@@ -1,0 +1,284 @@
+"""FlussCatalog: table registry + parquet-backed storage with log-table /
+PK-table (upsert) semantics.
+
+Reference parity (SURVEY.md §1.1):
+- databases/tables enumerated live from the catalog
+  (src/catalog/mod.rs:68-102, src/catalog/schema.rs:214-256);
+- two table kinds: append-only **log tables** and **primary-key tables**
+  where INSERT is an upsert — duplicate keys keep the last row
+  (src/provider.rs:83-94, 411-441);
+- PK point lookups resolve through the key (src/provider.rs:257-321);
+- partitioned (PARTITIONED BY) and bucketed (DISTRIBUTED BY ... INTO n
+  BUCKETS) layout (src/catalog/schema.rs:452-561).
+
+Spark-first design, 100 TB posture:
+- A PK table is stored **log-structured**: every INSERT appends parquet
+  files stamped with a monotonically increasing ``__seq__`` (statement
+  sequence) and ``__sub__`` (row order inside the statement).  The read
+  view deduplicates with one hash-partitioned window over the PK —
+  a single shuffle, no driver-side state, works at any scale.  ``compact()``
+  materializes the deduped state and truncates the log (amortizes reads,
+  exactly what a real LSM/Fluss tablet server does).
+- Log tables append; bucketed tables are written with
+  ``repartition(num_buckets, bucket_keys)`` so downstream joins on the
+  bucket key are co-partitioned; partitioned tables use Hive-style
+  ``partitionBy`` so partition pruning is free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.catalog.metadata import TableSpec
+
+_SEQ = "__seq__"
+_SUB = "__sub__"
+
+DEFAULT_DATABASE = "fluss"
+
+
+class FlussCatalog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Optional[str] = None,
+        default_database: str = DEFAULT_DATABASE,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse or tempfile.mkdtemp(prefix="fluss_warehouse_")
+        self.default_database = default_database
+        self.databases: Dict[str, Dict[str, TableSpec]] = {default_database: {}}
+        self._seq: Dict[str, int] = {}
+
+    # -- database ops -------------------------------------------------------
+
+    def create_database(self, name: str) -> None:
+        self.databases.setdefault(name, {})
+
+    def list_databases(self) -> List[str]:
+        return sorted(self.databases)
+
+    # -- name resolution ----------------------------------------------------
+
+    def _resolve(self, name: str) -> tuple:
+        parts = name.split(".")
+        if len(parts) == 2:
+            return parts[0], parts[1]
+        return self.default_database, parts[0]
+
+    def has_table(self, name: str) -> bool:
+        db, table = self._resolve(name)
+        return table in self.databases.get(db, {})
+
+    def get_table(self, name: str) -> TableSpec:
+        db, table = self._resolve(name)
+        try:
+            return self.databases[db][table]
+        except KeyError:
+            raise KeyError(f"table not found: {db}.{table}") from None
+
+    def list_tables(self, database: Optional[str] = None) -> List[str]:
+        db = database or self.default_database
+        return sorted(self.databases.get(db, {}))
+
+    def table_path(self, spec: TableSpec) -> str:
+        return os.path.join(self.warehouse, spec.database, spec.name)
+
+    # -- DDL ----------------------------------------------------------------
+
+    def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> None:
+        self.create_database(spec.database)
+        if spec.name in self.databases[spec.database]:
+            if if_not_exists:
+                return
+            raise ValueError(f"table already exists: {spec.qualified_name}")
+        self.databases[spec.database][spec.name] = spec
+        os.makedirs(self.table_path(spec), exist_ok=True)
+        self._register_view(spec)
+
+    def drop_table(self, name: str) -> None:
+        db, table = self._resolve(name)
+        spec = self.databases[db].pop(table)
+        shutil.rmtree(self.table_path(spec), ignore_errors=True)
+        self.spark.catalog.dropTempView(table)
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        """Snapshot read.  For PK tables: merged (upserted) current state.
+
+        This is the analog of FlussScanExec's read-to-latest-offset snapshot
+        (src/provider.rs:336-345): a batch read of files present now.
+        Unlike the reference we do NOT require a LIMIT (documented
+        divergence, SURVEY.md §2 quirk 1).
+        """
+        spec = self.get_table(name)
+        return self._current_df(spec)
+
+    def lookup(self, name: str, key_value) -> DataFrame:
+        """PK point lookup: 0-or-1-row result for single-column-PK tables
+        (FlussLookupExec, src/provider.rs:257-321).  Expressed as a filter
+        so Catalyst pushes the predicate into the parquet scan (min/max +
+        dictionary pruning gives the point-read behavior on files).
+        """
+        spec = self.get_table(name)
+        if len(spec.primary_key) != 1:
+            raise ValueError(
+                f"point lookup requires a single-column primary key; "
+                f"{spec.qualified_name} has {spec.primary_key}"
+            )
+        pk = spec.primary_key[0]
+        return self._current_df(spec).filter(F.col(pk) == F.lit(key_value))
+
+    def _log_df(self, spec: TableSpec) -> DataFrame:
+        path = self.table_path(spec)
+        if not _has_data(path):
+            schema = spec.spark_schema()
+            if spec.has_primary_key:
+                schema = schema.add(_SEQ, "long").add(_SUB, "long")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(self._stored_schema(spec)).parquet(path)
+
+    def _stored_schema(self, spec: TableSpec):
+        schema = spec.spark_schema()
+        if spec.has_primary_key:
+            schema = schema.add(_SEQ, "long").add(_SUB, "long")
+        return schema
+
+    def _current_df(self, spec: TableSpec) -> DataFrame:
+        df = self._log_df(spec)
+        if not spec.has_primary_key:
+            return df
+        # Upsert view: last write per key wins.  One shuffle on the PK.
+        order = Window.partitionBy(*spec.primary_key).orderBy(
+            F.col(_SEQ).desc(), F.col(_SUB).desc()
+        )
+        return (
+            df.withColumn("__rn__", F.row_number().over(order))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__", _SEQ, _SUB)
+        )
+
+    def _register_view(self, spec: TableSpec) -> None:
+        self._current_df(spec).createOrReplaceTempView(spec.name)
+
+    # -- write path ---------------------------------------------------------
+
+    def insert(self, name: str, df: DataFrame) -> int:
+        """INSERT a DataFrame.  PK tables: upsert semantics — within the
+        batch, later rows win on PK collisions (src/provider.rs:430-437:
+        rows upserted in order, last write wins)."""
+        spec = self.get_table(name)
+        target_schema = spec.spark_schema()
+        if len(df.columns) != len(target_schema):
+            raise ValueError(
+                f"INSERT column count mismatch for {spec.qualified_name}: "
+                f"{len(df.columns)} given, {len(target_schema)} expected"
+            )
+        aligned = df.select(
+            *[
+                F.col(src).cast(field.dataType).alias(field.name)
+                for src, field in zip(df.columns, target_schema.fields)
+            ]
+        )
+        count = aligned.count()
+
+        writer_df = aligned
+        if spec.has_primary_key:
+            seq = self._next_seq(spec)
+            writer_df = aligned.withColumn(_SEQ, F.lit(seq)).withColumn(
+                _SUB, F.monotonically_increasing_id()
+            )
+        if spec.num_buckets and spec.bucket_keys:
+            writer_df = writer_df.repartition(
+                spec.num_buckets, *[F.col(k) for k in spec.bucket_keys]
+            )
+        writer = writer_df.write.mode("append")
+        if spec.partition_keys:
+            writer = writer.partitionBy(*spec.partition_keys)
+        writer.parquet(self.table_path(spec))
+        self._register_view(spec)
+        return count
+
+    def insert_sql(self, target: str, statement: str) -> DataFrame:
+        """Execute ``INSERT INTO t [(cols)] VALUES ... | SELECT ...``.
+
+        The input plan (VALUES or SELECT) is planned by Catalyst; we strip
+        the INSERT prefix because Spark SQL would route the DML to its own
+        catalog.  Returns a 1-row ``count`` DataFrame like FlussInsertExec
+        (src/provider/insert_exec.rs:116-124).
+        """
+        import re
+
+        match = re.match(
+            r"^\s*INSERT\s+INTO\s+(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+\s*(\([^)]*\))?\s*",
+            statement,
+            re.IGNORECASE,
+        )
+        if not match:
+            raise ValueError(f"cannot parse INSERT statement: {statement!r}")
+        column_list = match.group(1)
+        body = statement[match.end():]
+        input_df = self.spark.sql(body)
+
+        spec = self.get_table(target)
+        if column_list:
+            from fluss_datafusion_spark.sql.dialect import strip_quotes
+
+            given = [strip_quotes(c.strip()) for c in column_list[1:-1].split(",")]
+            # Reorder/fill: unmentioned columns become NULL.
+            exprs = []
+            for field in spec.spark_schema().fields:
+                if field.name in given:
+                    exprs.append(
+                        F.col(input_df.columns[given.index(field.name)]).alias(field.name)
+                    )
+                else:
+                    exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
+            input_df = input_df.select(*exprs)
+        count = self.insert(target, input_df)
+        return self.spark.createDataFrame([(count,)], "count bigint")
+
+    def _next_seq(self, spec: TableSpec) -> int:
+        key = spec.qualified_name
+        self._seq[key] = self._seq.get(key, 0) + 1
+        return self._seq[key]
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, name: str) -> None:
+        """Materialize a PK table's merged state and truncate its log —
+        the LSM-compaction analog.  At scale this bounds read amplification
+        of the window-dedup to the data written since the last compaction."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            return
+        merged = self._current_df(spec)
+        merged = merged.withColumn(_SEQ, F.lit(0)).withColumn(
+            _SUB, F.monotonically_increasing_id()
+        )
+        path = self.table_path(spec)
+        tmp = path + ".compact"
+        writer = merged.write.mode("overwrite")
+        if spec.partition_keys:
+            writer = writer.partitionBy(*spec.partition_keys)
+        writer.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._seq[spec.qualified_name] = 1
+        self._register_view(spec)
+
+
+def _has_data(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

@@ -1,0 +1,223 @@
+"""CREATE TABLE DDL parser.
+
+Spark SQL rejects ``PRIMARY KEY``, ``DISTRIBUTED BY ... INTO n BUCKETS``
+and Fluss's ``WITH ('k'='v')`` clauses, so — exactly like the reference,
+which intercepts SQL strings before DataFusion sees them
+(src/sql/rewriter.rs:19-77) — we parse CREATE TABLE ourselves and register
+the result in our catalog.  Grammar mirrored from the reference's DDL
+generator ``format_create_table_sql`` (src/catalog/schema.rs:703-782):
+
+    CREATE TABLE [IF NOT EXISTS] [db.]name (
+        col TYPE [NOT NULL] [COMMENT '...'],
+        ...
+        [, PRIMARY KEY (a, b)]
+    )
+    [COMMENT '...']
+    [PARTITIONED BY (a, b)]
+    [DISTRIBUTED BY (a, b) INTO n BUCKETS]
+    [WITH ('key' = 'value', ...)]
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from fluss_datafusion_spark.catalog.metadata import ColumnSpec, TableSpec
+from fluss_datafusion_spark.sql.dialect import parse_qualified_name, strip_quotes
+
+_CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)", re.IGNORECASE
+)
+
+
+def is_engine_create_table(sql: str) -> bool:
+    return bool(_CREATE_RE.match(sql))
+
+
+def parse_insert_target(sql: str) -> Optional[str]:
+    """Return the (unquoted, possibly qualified) INSERT INTO target, or None."""
+    match = _INSERT_RE.match(sql)
+    if not match:
+        return None
+    parts = parse_qualified_name(match.group(1))
+    return ".".join(parts)
+
+
+def _split_top_level(text: str, sep: str = ",") -> List[str]:
+    """Split on `sep` at paren depth 0, respecting '...' and `...` quoting."""
+    parts: List[str] = []
+    depth = 0
+    current: List[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch in ("'", "`", '"'):
+            quote = ch
+            current.append(ch)
+            i += 1
+            while i < len(text):
+                current.append(text[i])
+                if text[i] == quote:
+                    # '' style escape inside string literals
+                    if quote == "'" and i + 1 < len(text) and text[i + 1] == "'":
+                        current.append(text[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(current))
+            current = []
+        else:
+            current.append(ch)
+        i += 1
+    if current:
+        parts.append("".join(current))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_column_block(sql: str) -> Tuple[str, str, str]:
+    """Return (head, column_block, tail) where column_block is the text inside
+    the table's top-level parentheses."""
+    start = sql.index("(")
+    depth = 0
+    for i in range(start, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[:start], sql[start + 1 : i], sql[i + 1 :]
+    raise ValueError("unbalanced parentheses in CREATE TABLE")
+
+
+_NOT_NULL_RE = re.compile(r"\bNOT\s+NULL\b", re.IGNORECASE)
+_NULL_RE = re.compile(r"\bNULL\b", re.IGNORECASE)
+_COMMENT_RE = re.compile(r"\bCOMMENT\s+'((?:[^']|'')*)'", re.IGNORECASE)
+_PK_RE = re.compile(r"^\s*PRIMARY\s+KEY\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_IDENT = r"(?:`[^`]*`|\"[^\"]*\"|[\w@$]+)"
+_TYPE_RE = re.compile(r"^\s*(" + _IDENT + r")\s+([A-Za-z]+\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)", re.DOTALL)
+
+
+def _parse_column(text: str) -> ColumnSpec:
+    match = _TYPE_RE.match(text)
+    if not match:
+        raise ValueError(f"cannot parse column definition: {text!r}")
+    name = strip_quotes(match.group(1))
+    type_name = re.sub(r"\s+", " ", match.group(2).strip())
+    rest = text[match.end():]
+    nullable = not _NOT_NULL_RE.search(rest)
+    comment_match = _COMMENT_RE.search(rest)
+    comment = comment_match.group(1).replace("''", "'") if comment_match else None
+    return ColumnSpec(name=name, type_name=type_name, nullable=nullable, comment=comment)
+
+
+def _parse_name_list(text: str) -> List[str]:
+    return [strip_quotes(part) for part in _split_top_level(text)]
+
+
+_TAIL_COMMENT_RE = re.compile(r"\bCOMMENT\s+'((?:[^']|'')*)'", re.IGNORECASE)
+_PARTITIONED_RE = re.compile(r"\bPARTITIONED\s+BY\s*\(([^)]*)\)", re.IGNORECASE)
+_DISTRIBUTED_RE = re.compile(
+    r"\bDISTRIBUTED\s+BY\s*\(([^)]*)\)(?:\s+INTO\s+(\d+)\s+BUCKETS)?", re.IGNORECASE
+)
+_WITH_RE = re.compile(r"\bWITH\s*\(", re.IGNORECASE)
+_IF_NOT_EXISTS_RE = re.compile(r"\bIF\s+NOT\s+EXISTS\s+", re.IGNORECASE)
+
+
+def parse_create_table(sql: str, default_database: str = "fluss") -> TableSpec:
+    statement = sql.strip().rstrip(";").strip()
+    if not is_engine_create_table(statement):
+        raise ValueError("not a CREATE TABLE statement")
+
+    head, block, tail = _find_column_block(statement)
+    head = _CREATE_RE.sub("", head)
+    head = _IF_NOT_EXISTS_RE.sub("", head)
+    name_parts = parse_qualified_name(head.strip())
+    if len(name_parts) == 2:
+        database, table = name_parts
+    else:
+        database, table = default_database, name_parts[0]
+
+    columns: List[ColumnSpec] = []
+    primary_key: List[str] = []
+    for item in _split_top_level(block):
+        pk_match = _PK_RE.match(item)
+        if pk_match:
+            primary_key = _parse_name_list(pk_match.group(1))
+        else:
+            columns.append(_parse_column(item))
+
+    # PK columns are implicitly NOT NULL (reference enforces via constraint).
+    for col in columns:
+        if col.name in primary_key:
+            col.nullable = False
+
+    partition_keys: List[str] = []
+    bucket_keys: List[str] = []
+    num_buckets: Optional[int] = None
+    properties = {}
+    comment = None
+
+    part_match = _PARTITIONED_RE.search(tail)
+    if part_match:
+        partition_keys = _parse_name_list(part_match.group(1))
+    dist_match = _DISTRIBUTED_RE.search(tail)
+    if dist_match:
+        bucket_keys = _parse_name_list(dist_match.group(1))
+        num_buckets = int(dist_match.group(2)) if dist_match.group(2) else None
+    with_match = _WITH_RE.search(tail)
+    if with_match:
+        depth = 1
+        i = with_match.end()
+        start = i
+        while i < len(tail) and depth:
+            if tail[i] == "(":
+                depth += 1
+            elif tail[i] == ")":
+                depth -= 1
+            i += 1
+        for pair in _split_top_level(tail[start : i - 1]):
+            if "=" in pair:
+                key, _, value = pair.partition("=")
+                properties[strip_quotes(key.strip(), quote="'")] = strip_quotes(
+                    value.strip(), quote="'"
+                )
+    # Table comment: the first COMMENT in the tail that is not inside WITH.
+    tail_before_with = tail[: with_match.start()] if with_match else tail
+    comment_match = _TAIL_COMMENT_RE.search(tail_before_with)
+    if comment_match:
+        comment = comment_match.group(1).replace("''", "'")
+
+    spec = TableSpec(
+        database=database,
+        name=table,
+        columns=columns,
+        primary_key=primary_key,
+        partition_keys=partition_keys,
+        bucket_keys=bucket_keys,
+        num_buckets=num_buckets,
+        properties=properties,
+        comment=comment,
+    )
+    _validate(spec)
+    return spec
+
+
+def _validate(spec: TableSpec) -> None:
+    names = [c.name for c in spec.columns]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate column names in {spec.qualified_name}")
+    for key in spec.primary_key + spec.partition_keys + spec.bucket_keys:
+        if key not in names:
+            raise ValueError(f"key column {key!r} not in column list of {spec.qualified_name}")
+    for col in spec.columns:
+        col.spark_type  # raises on unsupported type

@@ -1,0 +1,227 @@
+"""information_schema virtual tables.
+
+Mirrors the reference's seven information_schema tables, built on demand
+per query (src/catalog/schema.rs:245-699):
+
+  tables        (table_schema, table_name, table_type)              :274-310
+  table_ddl     (table_schema, table_name, create_table)            :312-351
+  columns       (table_schema, table_name, column_name,
+                 ordinal_position 1-based, data_type,
+                 is_nullable YES/NO, column_default 'NULL',
+                 comment, is_primary_key)                           :353-428
+  partitions    (… partition_id, partition_name value1$value2,
+                 partition_qualified_name k1=v1/k2=v2;
+                 non-partitioned tables get a synthetic
+                 partition_id=-1 '__non_partitioned__' row)         :430-510
+  buckets       (partition × bucket_id 0..num_buckets, bucket_key,
+                 row_count — reference leaves row_count NULL (TODO
+                 at schema.rs:547); we fill real counts from data)  :512-591
+  table_options (option_name, option_value,
+                 option_type property|custom_property)              :593-650
+  table_stats   (row_count, total_size_bytes, last_modified —
+                 NULL placeholders in the reference :652-699;
+                 we compute real values from the parquet files)     :652-699
+
+Plus ``schemata`` (schema_name) used by SHOW DATABASES
+(src/sql/show.rs:76-78).  Registered as flat temp views named
+``information_schema_<name>`` (see sql/rewriter.py for why).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluss_datafusion_spark.catalog.metadata import TableSpec, spark_type_to_ddl
+from fluss_datafusion_spark.sql.dialect import quote_identifier
+
+
+def register_views(catalog) -> None:
+    spark = catalog.spark
+    specs: List[TableSpec] = [
+        spec for db in catalog.databases.values() for spec in db.values()
+    ]
+
+    schemata = [(name,) for name in catalog.list_databases()] or [("fluss",)]
+    spark.createDataFrame(schemata, "schema_name string").createOrReplaceTempView(
+        "information_schema_schemata"
+    )
+
+    tables = [(s.database, s.name, "BASE TABLE") for s in specs]
+    spark.createDataFrame(
+        tables, "table_schema string, table_name string, table_type string"
+    ).createOrReplaceTempView("information_schema_tables")
+
+    ddl = [(s.database, s.name, format_create_table_sql(s)) for s in specs]
+    spark.createDataFrame(
+        ddl, "table_schema string, table_name string, create_table string"
+    ).createOrReplaceTempView("information_schema_table_ddl")
+
+    columns = []
+    for s in specs:
+        for ordinal, col in enumerate(s.columns, start=1):
+            columns.append(
+                (
+                    s.database,
+                    s.name,
+                    col.name,
+                    ordinal,
+                    spark_type_to_ddl(col.spark_type),
+                    "YES" if col.nullable else "NO",
+                    "NULL",
+                    col.comment,
+                    col.name in s.primary_key,
+                )
+            )
+    spark.createDataFrame(
+        columns,
+        T.StructType(
+            [
+                T.StructField("table_schema", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("column_name", T.StringType()),
+                T.StructField("ordinal_position", T.IntegerType()),
+                T.StructField("data_type", T.StringType()),
+                T.StructField("is_nullable", T.StringType()),
+                T.StructField("column_default", T.StringType()),
+                T.StructField("comment", T.StringType()),
+                T.StructField("is_primary_key", T.BooleanType()),
+            ]
+        ),
+    ).createOrReplaceTempView("information_schema_columns")
+
+    partitions = []
+    buckets = []
+    stats = []
+    for s in specs:
+        parts = _list_partitions(catalog, s)
+        for pid, pname, qname in parts:
+            partitions.append((s.database, s.name, pid, pname, qname))
+            for bucket_id in range(s.num_buckets or 1):
+                buckets.append(
+                    (
+                        s.database,
+                        s.name,
+                        pid,
+                        bucket_id,
+                        ",".join(s.bucket_keys) if s.bucket_keys else None,
+                        None,
+                    )
+                )
+        row_count, size_bytes, mtime = _table_stats(catalog, s)
+        stats.append((s.database, s.name, row_count, size_bytes, mtime))
+
+    spark.createDataFrame(
+        partitions,
+        "table_schema string, table_name string, partition_id long, "
+        "partition_name string, partition_qualified_name string",
+    ).createOrReplaceTempView("information_schema_partitions")
+
+    spark.createDataFrame(
+        buckets,
+        "table_schema string, table_name string, partition_id long, "
+        "bucket_id int, bucket_key string, row_count long",
+    ).createOrReplaceTempView("information_schema_buckets")
+
+    options = []
+    for s in specs:
+        for key in sorted(s.properties):
+            options.append((s.database, s.name, key, s.properties[key], "property"))
+    spark.createDataFrame(
+        options,
+        "table_schema string, table_name string, option_name string, "
+        "option_value string, option_type string",
+    ).createOrReplaceTempView("information_schema_table_options")
+
+    spark.createDataFrame(
+        stats,
+        "table_schema string, table_name string, row_count long, "
+        "total_size_bytes long, last_modified timestamp",
+    ).createOrReplaceTempView("information_schema_table_stats")
+
+
+def _list_partitions(catalog, spec: TableSpec):
+    """(partition_id, partition_name value1$value2, qualified k1=v1/k2=v2).
+
+    Non-partitioned tables: the synthetic partition_id=-1 row
+    (src/catalog/schema.rs:471-480)."""
+    if not spec.partition_keys:
+        return [(-1, "__non_partitioned__", "__non_partitioned__")]
+    path = catalog.table_path(spec)
+    found = set()
+    if os.path.isdir(path):
+        for root, dirs, _files in os.walk(path):
+            rel = os.path.relpath(root, path)
+            parts = [p for p in rel.split(os.sep) if "=" in p]
+            if len(parts) == len(spec.partition_keys):
+                found.add(tuple(parts))
+                dirs[:] = []
+    out = []
+    for pid, parts in enumerate(sorted(found)):
+        values = [p.split("=", 1)[1] for p in parts]
+        out.append((pid, "$".join(values), "/".join(parts)))
+    return out or [(-1, "__non_partitioned__", "__non_partitioned__")]
+
+
+def _table_stats(catalog, spec: TableSpec):
+    path = catalog.table_path(spec)
+    total = 0
+    mtime = None
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                total += os.path.getsize(full)
+                m = os.path.getmtime(full)
+                mtime = m if mtime is None else max(mtime, m)
+    try:
+        row_count = catalog.read(spec.qualified_name).count() if total else 0
+    except Exception:
+        row_count = None
+    import datetime
+
+    last_modified = (
+        datetime.datetime.fromtimestamp(mtime, tz=datetime.timezone.utc).replace(tzinfo=None)
+        if mtime
+        else None
+    )
+    return row_count, total or None, last_modified
+
+
+def format_create_table_sql(spec: TableSpec) -> str:
+    """Fluss-style DDL renderer (mirrors format_create_table_sql,
+    src/catalog/schema.rs:703-782): backtick quoting, PRIMARY KEY inline,
+    COMMENT, PARTITIONED BY, DISTRIBUTED BY ... INTO n BUCKETS, WITH
+    (sorted properties)."""
+    lines = [f"CREATE TABLE {quote_identifier(spec.database)}.{quote_identifier(spec.name)} ("]
+    col_lines = []
+    for col in spec.columns:
+        piece = f"  {quote_identifier(col.name)} {spark_type_to_ddl(col.spark_type)}"
+        if not col.nullable:
+            piece += " NOT NULL"
+        if col.comment:
+            piece += f" COMMENT '{col.comment.replace(chr(39), chr(39) * 2)}'"
+        col_lines.append(piece)
+    if spec.primary_key:
+        pk = ", ".join(quote_identifier(k) for k in spec.primary_key)
+        col_lines.append(f"  PRIMARY KEY ({pk})")
+    lines.append(",\n".join(col_lines))
+    lines.append(")")
+    if spec.comment:
+        lines.append(f"COMMENT '{spec.comment.replace(chr(39), chr(39) * 2)}'")
+    if spec.partition_keys:
+        keys = ", ".join(quote_identifier(k) for k in spec.partition_keys)
+        lines.append(f"PARTITIONED BY ({keys})")
+    if spec.bucket_keys:
+        keys = ", ".join(quote_identifier(k) for k in spec.bucket_keys)
+        into = f" INTO {spec.num_buckets} BUCKETS" if spec.num_buckets else ""
+        lines.append(f"DISTRIBUTED BY ({keys}){into}")
+    if spec.properties:
+        props = ",\n".join(
+            f"  '{k}' = '{spec.properties[k]}'" for k in sorted(spec.properties)
+        )
+        lines.append("WITH (\n" + props + "\n)")
+    return "\n".join(lines)

@@ -1,0 +1,160 @@
+"""Engine session: SparkSession factory + the SQL front door.
+
+Reference parity: the reference's ``FlussCliSession`` (src/cli.rs:32-158)
+owns a DataFusion ``SessionContext``, applies the string-level SQL rewriter
+(src/sql/rewriter.rs:19-77) and hands everything else to ``ctx.sql``.
+``EngineSession`` mirrors that: DDL interception + SHOW/DESCRIBE rewriting
+happen at the string level, then ``spark.sql`` (Catalyst) does all planning
+and execution.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def build_spark(
+    app_name: str = "fluss-datafusion-spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Scale posture (100 TB design, local[N] test): AQE coalesces the
+    statically-sized shuffle, session timezone is pinned to UTC so results
+    are reproducible against any oracle, and Arrow is enabled so every
+    pandas-UDF boundary is vectorized.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+class EngineSession:
+    """Front door: ``EngineSession().sql("...")``.
+
+    Statement routing (mirrors src/cli.rs:112-147):
+      1. CREATE TABLE with PRIMARY KEY / DISTRIBUTED BY / WITH  -> our DDL
+         parser + catalog (Spark SQL cannot parse those clauses).
+      2. INSERT INTO a PK table                                  -> upsert path.
+      3. SHOW/DESCRIBE family -> string rewrite onto information_schema views.
+      4. everything else      -> spark.sql() verbatim (Catalyst).
+    """
+
+    def __init__(self, spark: Optional[SparkSession] = None, warehouse: Optional[str] = None):
+        self.spark = spark or build_spark()
+        # Imports deferred so `import fluss_datafusion_spark` works even if a
+        # subpackage is mid-refactor.
+        from fluss_datafusion_spark.catalog.catalog import FlussCatalog
+
+        self.catalog = FlussCatalog(self.spark, warehouse=warehouse)
+
+    def sql(self, query: str) -> DataFrame:
+        from fluss_datafusion_spark.catalog import ddl
+        from fluss_datafusion_spark.sql import rewriter
+
+        statement = query.strip().rstrip(";").strip()
+
+        if ddl.is_engine_create_table(statement):
+            spec = ddl.parse_create_table(statement)
+            self.catalog.create_table(spec)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        insert_target = ddl.parse_insert_target(statement)
+        if insert_target is not None and self.catalog.has_table(insert_target):
+            return self.catalog.insert_sql(insert_target, statement)
+
+        rewritten = rewriter.rewrite_sql(statement, self.catalog)
+        return self.spark.sql(rewritten)
+
+    # -- data loading -------------------------------------------------------
+
+    def load_testdata(self, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+        """Register the driver's parquet tables as temp views."""
+        register_testdata(self.spark, sf_dir, tables)
+
+    def stop(self) -> None:
+        self.spark.stop()
+
+
+def register_testdata(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, path).createOrReplaceTempView(name)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns
+    (Spark rejects them by default; DuckDB and the testdata generator emit
+    them).  Nanos are read as long and truncated to microseconds with exact
+    integer division — double division would lose precision at 1.7e18-scale
+    epoch values.
+    """
+    import pyarrow.parquet as pq
+    from pyarrow import types as patypes
+    from pyspark.sql import functions as F
+
+    ns_cols = []
+    try:
+        file_schema = pq.read_schema(_first_parquet_file(path))
+        ns_cols = [
+            f.name
+            for f in file_schema
+            if patypes.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        pass
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in ns_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def _first_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path

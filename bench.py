@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the corpus queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute fully (noop sink — no driver-side row transfer) so the
+measured time is plan execution, the thing that scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry_mod
+    from fluss_datafusion_spark.session import build_spark
+
+    spark = build_spark(app_name="fluss-datafusion-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    # Warm the JVM/code paths once with the cheapest query so the first
+    # measured query doesn't pay one-time init costs.
+    try:
+        run_query(spark.range(1000).selectExpr("sum(id) AS s"))
+    except Exception:
+        pass
+
+    timings = {}
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            run_query(queries[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[name] = None
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

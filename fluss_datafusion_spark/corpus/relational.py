@@ -1,0 +1,735 @@
+"""Tier B relational corpus (SURVEY.md §2): projection/filter, joins of
+every kind, aggregation (plain/distinct/rollup/cube/grouping sets),
+window functions, sort/top-k, set ops, scalar functions
+(string/date/math/json/array), subqueries, pivot, explode.
+
+The reference exposes all of this by delegating to DataFusion
+(src/cli.rs:116-122, Cargo.lock:797-820 — full datafusion-functions
+stack); we expose it through Spark SQL / Catalyst.  Every query here is
+declarative DataFrame/SQL — Catalyst handles pushdown, join strategy
+selection and whole-stage codegen; nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.corpus import query, t, v
+
+# --------------------------------------------------------------------------
+# scans, projection, filter
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_discount > 0.06 AND l_quantity < 10
+    """,
+)
+def q02_filter_project(spark, sf_dir):
+    # Per-row products of two 2-decimal inputs have exactly 4 decimal
+    # digits; rounding at 4 avoids engine-dependent half-way behavior
+    # that round(..., 2) would hit (.xx5 is the exact half case).
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_discount") > 0.06) & (F.col("l_quantity") < 10)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+@query(
+    "q26_pk_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 1
+    """,
+)
+def q26_pk_point_lookup(spark, sf_dir):
+    """PK point lookup (FlussLookupExec analog, src/provider.rs:257-321):
+    a pk = literal filter Catalyst pushes into the parquet scan."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 analog.  Partial aggregation (map-side combine) is free:
+    Catalyst plans HashAggregate(partial) -> shuffle -> HashAggregate(final)."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q10_distinct_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "q11_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q11_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q12_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q12_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q13_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q13_grouping_sets(spark, sf_dir):
+    v(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 analog.  customer is small relative to lineitem -> Catalyst
+    broadcasts it (BHJ); AQE handles the final ordered limit."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 100 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q05_local_supplier",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name
+    """,
+)
+def q05_local_supplier(spark, sf_dir):
+    """TPC-H Q5 analog: six-table join.  Dimension tables (region, nation,
+    supplier, customer) broadcast; only orders⋈lineitem shuffles."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q07_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q07_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 analog: left outer join + double aggregation."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q08_semi_join",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45
+    )
+    """,
+)
+def q08_semi_join(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "q09_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q09_anti_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q31_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_supp
+    FROM customer c FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def q31_full_outer_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return joined.groupBy(
+        F.coalesce(cust.c_nationkey, supp.s_nationkey).alias("nationkey")
+    ).agg(
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q14_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(rank() OVER w AS BIGINT) AS rk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q14_window_rank(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rk"),
+            F.dense_rank().over(w).cast("long").alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q15_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+           round(lead(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+    FROM orders
+    """,
+)
+def q15_window_running(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wrows), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@query(
+    "q16_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q16_topk(spark, sf_dir):
+    """Top-k: Catalyst plans TakeOrderedAndProject — no full sort, each
+    partition keeps k rows, driver merges k*partitions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q17_union(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@query(
+    "q18_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q18_intersect(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "q19_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q19_except(spark, sf_dir):
+    # SQL EXCEPT is set semantics -> subtract (exceptAll would be bag).
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
+
+
+# --------------------------------------------------------------------------
+# scalar functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           CAST(length(p_name) AS INT) AS name_len,
+           substring(p_type, 1, 5) AS type5,
+           replace(p_brand, 'Brand', 'B') AS brand_s,
+           concat(p_brand, '-', p_type) AS brand_type,
+           str_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_type, '([a-z]+)', 1) AS first_lower
+    FROM part
+    """,
+)
+def q20_string_funcs(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_s"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_type"), "([a-z]+)", 1).alias("first_lower"),
+    )
+
+
+@query(
+    "q21_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(min(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS INT)
+               AS min_days_to_2002
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q21_date_funcs(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.min(
+                F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            ).alias("min_days_to_2002"),
+        )
+    )
+
+
+@query(
+    "q22_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 4) AS sqrt_price,
+           round(ln(p_retailprice), 4) AS ln_price,
+           CAST(pow(p_size, 2) AS DOUBLE) AS size_sq,
+           CAST(ceil(p_retailprice) AS DOUBLE) AS ceil_price,
+           CAST(floor(p_retailprice) AS DOUBLE) AS floor_price,
+           abs(p_size - 25) AS size_dist,
+           p_size % 5 AS size_mod
+    FROM part
+    """,
+)
+def q22_math_funcs(spark, sf_dir):
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.pow("p_size", F.lit(2)).alias("size_sq"),
+        F.ceil("p_retailprice").cast("double").alias("ceil_price"),
+        F.floor("p_retailprice").cast("double").alias("floor_price"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 5).alias("size_mod"),
+    )
+
+
+@query(
+    "q23_json_funcs",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q23_json_funcs(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int") % 10)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+    )
+
+
+@query(
+    "q24_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 3) AS l1_norm
+    FROM embeddings
+    """,
+)
+def q24_array_funcs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            3,
+        ).alias("l1_norm"),
+    )
+
+
+@query(
+    "q25_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS o_total,
+           count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q25_conditional_agg(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0)), 2
+        ).alias("f_total"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0)), 2
+        ).alias("o_total"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias("n_big"),
+    )
+
+
+# --------------------------------------------------------------------------
+# subqueries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q27_scalar_subquery",
+    oracle="""
+    SELECT count(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q27_scalar_subquery(spark, sf_dir):
+    v(spark, sf_dir, "orders")
+    return spark.sql(
+        "SELECT count(*) AS n_above_avg FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
+@query(
+    "q28_correlated_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_nationkey = s_nationkey
+    )
+    """,
+)
+def q28_correlated_subquery(spark, sf_dir):
+    v(spark, sf_dir, "supplier", "customer")
+    return spark.sql(
+        "SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > "
+        "(SELECT avg(c_acctbal) FROM customer WHERE c_nationkey = s_nationkey)"
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot / explode
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q29_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q29_pivot(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "q30_explode_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q30_explode_wordcount(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry and its DuckDB oracle side-by-side,
+compare row count + column names + values (order-insensitive).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+
+def canon(rows, columns):
+    """Name-sorted columns, then sorted rows, values normalized."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(value):
+        if value is None:
+            return None
+        if isinstance(value, float):
+            if math.isnan(value):
+                return "NaN"
+            # collapse -0.0 / 0.0 and fold float32 noise
+            return round(value, 9) + 0.0
+        if hasattr(value, "isoformat"):
+            return value.isoformat()
+        if isinstance(value, (list, tuple)):
+            return tuple(norm(v) for v in value)
+        return value
+
+    def sort_key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+    data = sorted(
+        (tuple(norm(row[i]) for i in order) for row in rows), key=sort_key
+    )
+    return [columns[i] for i in order], data
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from fluss_datafusion_spark.session import build_spark
+
+    spark = build_spark(app_name="check-correctness")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+
+        sc, sv = canon(spark_rows, spark_cols)
+        dc, dv = canon(duck_rows, duck_cols)
+        status = []
+        if sc != dc:
+            status.append(f"columns differ: spark={sc} duck={dc}")
+        if len(sv) != len(dv):
+            status.append(f"row count differs: spark={len(sv)} duck={len(dv)}")
+        elif sc == dc and sv != dv:
+            n_bad = sum(1 for a, b in zip(sv, dv) if a != b)
+            example = next(((a, b) for a, b in zip(sv, dv) if a != b), None)
+            status.append(f"{n_bad}/{len(sv)} rows differ; first: spark={example[0]} duck={example[1]}")
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)}")
+        else:
+            print(f"OK    {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {sorted(set(failures))}")
+        sys.exit(1)
+    print("all queries match")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,397 @@
+"""North-star corpus: LLM-data-pipeline operators over documents /
+embeddings / events — deduplication (exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine), similarity search (brute-force + LSH ANN),
+text analysis (stats, language-ID, fingerprints), multimodal plumbing,
+as-of join, sessionization.
+
+Oracle notes:
+- MinHash+LSH shares the *exact* Jaccard oracle: candidates are verified
+  exactly, and with r=2/b=64 fixed-seed banding the candidate recall at
+  j>=0.4 is 1-(1-0.16)^64 ≈ 1-1.4e-5 — deterministic for a given corpus
+  (validated against the oracle at sf0.001 and sf0.01).
+- SimHash signatures and the fake-decode feature extractor hash with
+  engine-specific functions -> rows-only checks (no SQL oracle exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.corpus import query, t
+from fluss_datafusion_spark.functions import multimodal
+from fluss_datafusion_spark.functions import text as tx
+from fluss_datafusion_spark.operators import dedup, sessionize, similarity
+from fluss_datafusion_spark.operators.asof import asof_join
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_dedup_exact",
+    oracle="""
+    SELECT md5(array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[1:5], ' '))
+               AS prefix_fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def ns_dedup_exact(spark, sf_dir):
+    """Exact dedup by boilerplate-head fingerprint: one hash-groupBy,
+    the O(n) dedup primitive (reference has nothing comparable; this is
+    the north-star extension surface)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("prefix_fp", tx.prefix_fingerprint(F.col("text"), 5))
+        .groupBy("prefix_fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_EXACT_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.4
+"""
+
+
+@query("ns_dedup_ngram_jaccard", oracle=_EXACT_JACCARD_ORACLE)
+def ns_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs word-3-gram Jaccard (threshold 0.4).  Quadratic —
+    the correctness baseline; at scale you block (by lang/source) or use
+    the MinHash+LSH variant below."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("ns_dedup_minhash_lsh", oracle=_EXACT_JACCARD_ORACLE)
+def ns_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(128) + LSH(64 bands x 2 rows) candidates, exactly
+    verified — linear-ish scale path; shares the exact-Jaccard oracle
+    (see module docstring for the recall argument)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_perm=128, rows_per_band=2, threshold=0.4
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("ns_dedup_simhash")
+def ns_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signature per document (rows-only check: the
+    signature depends on Spark's xxhash64, which no oracle engine has)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "ns_dedup_embedding",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x*x)))) >= 0.3
+    """,
+)
+def ns_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.3) blocked by label — the
+    blocked pair join keeps the quadratic term bounded per block."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, block_col="label"
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_sim_topk_bruteforce",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cos,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ns_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors (vec_id < 5): broadcast
+    queries x streamed corpus, window top-k.  The correctness baseline
+    for ANN."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    res = similarity.cosine_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding", k=11
+    )
+    # cosine_topk keeps self-matches; drop them and re-rank to top-10.
+    res = res.filter(F.col("neighbor_id") != F.col("vec_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+@query("ns_sim_ann_lsh")
+def ns_sim_ann_lsh(spark, sf_dir):
+    """Approximate top-10 via random-hyperplane LSH buckets (rows-only:
+    approximate by design; recall vs the brute-force entry is asserted
+    in tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    res = similarity.lsh_ann_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, dim=64, n_planes=4, n_tables=8,
+    )
+    return res.filter(F.col("neighbor_id") != F.col("vec_id")).select(
+        "vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_text_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS n_tokens,
+           CAST(list_sum(list_transform(tk,
+                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) AS INT)
+               AS bpe_tokens,
+           round((least(1.0, len(tk) / 20.0)
+                  + (CASE WHEN n_char > 0 THEN CAST(n_alpha AS DOUBLE)/n_char ELSE 0 END)
+                  + (CASE WHEN len(tk) > 0
+                          AND CAST(n_char AS DOUBLE)/len(tk) BETWEEN 3 AND 12
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+    FROM d
+    """,
+)
+def ns_text_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.round(tx.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+_LANGID_ORACLE = """
+    WITH s AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(tk, w -> w IN ('the','and','of','to','a'))) AS INT) AS s_en,
+            CAST(len(list_filter(tk, w -> w IN ('der','die','und','das','ist'))) AS INT) AS s_de,
+            CAST(len(list_filter(tk, w -> w IN ('le','la','et','les','des'))) AS INT) AS s_fr,
+            CAST(len(list_filter(tk, w -> w IN ('el','la','que','de','los'))) AS INT) AS s_es,
+            CAST(len(list_filter(tk, w -> w IN ('的','是','了','在','我'))) AS INT) AS s_zh
+        FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es >= s_zh THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM h
+"""
+
+
+@query("ns_text_langid", oracle=_LANGID_ORACLE)
+def ns_text_langid(spark, sf_dir):
+    """Stopword-ratio language ID (first-max-wins in en,de,fr,es,zh
+    order — the oracle encodes the identical cascade)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "ns_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           md5(array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\\s+')[1:5], ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def ns_text_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        tx.prefix_fingerprint(F.col("text"), 5).alias("prefix_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_multimodal_payload",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'application/octet-stream' AS content_type,
+           CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def ns_multimodal_payload(spark, sf_dir):
+    """Binary-column metadata pass (no decode): octet length + sha256
+    over the payload, all JVM built-ins."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.payload_stats(media)
+
+
+@query("ns_multimodal_features")
+def ns_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction with the
+    deterministic fake decoder (rows-only: the fake is Python-side)."""
+    media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake=True)
+
+
+# --------------------------------------------------------------------------
+# as-of join + sessionization
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.event_id AS last_click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def ns_asof_join(spark, sf_dir):
+    """For each purchase, the most recent click by the same user at or
+    before the purchase (one sort-merge pass — see operators/asof.py)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("last_click_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["last_click_id"],
+    ).select("event_id", "user_id", "last_click_id")
+
+
+@query(
+    "ns_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(CAST(ts AS TIMESTAMP)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM g
+    ),
+    sessions AS (
+        SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM m GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT user_id, session_id, count(*) AS sz FROM (
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+                   ts, event_id
+            FROM g
+        ) GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.n_sessions, s.n_events,
+           (SELECT max(sz) FROM sizes z WHERE z.user_id = s.user_id) AS max_session_events
+    FROM sessions s
+    """,
+)
+def ns_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min timeout): per-user session count,
+    event count, and largest session."""
+    ev = t(spark, sf_dir, "events")
+    return sessionize.session_stats(
+        ev, "user_id", "ts", gap="30 minutes", order_tiebreak="event_id"
+    )

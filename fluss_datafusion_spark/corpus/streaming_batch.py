@@ -1,0 +1,112 @@
+"""Streaming-operator semantics exercised in batch mode.
+
+The reference models streams as bounded snapshots (SURVEY.md §2 Tier B:
+no watermark/window state exists in it at all); our engine exposes real
+Structured Streaming in ``fluss_datafusion_spark.streaming``.  These
+corpus entries pin down the *semantics* of the windowed operators using
+the batch evaluator, where a SQL oracle can check them: `window()` /
+sliding windows / streaming dedup produce identical results in batch
+and micro-batch execution, which the streaming tests assert separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.corpus import query, t
+
+
+@query(
+    "st_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_window(spark, sf_dir):
+    """1-hour tumbling windows per event_type (epoch-aligned window()
+    start == date_trunc hour)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@query(
+    "st_sliding_window",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    anchored AS (
+        SELECT date_trunc('hour', ts)
+               + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS slot,
+               value
+        FROM e
+    ),
+    expanded AS (
+        SELECT slot AS window_start, value FROM anchored
+        UNION ALL
+        SELECT slot - INTERVAL 30 MINUTE, value FROM anchored
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def st_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes: every event lands in two
+    windows (the oracle expands the two window-starts explicitly)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "st_dedup_by_key",
+    oracle="""
+    SELECT user_id, event_type, CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def st_dedup_by_key(spark, sf_dir):
+    """Streaming-style dropDuplicates semantics: first event per
+    (user, type) — expressed as min-by so the batch result is
+    deterministic (streaming dropDuplicates keeps the first arrival;
+    with event_id ordering these coincide)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+@query(
+    "st_late_data_filter",
+    oracle="""
+    WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+    SELECT count(*) AS n_on_time, round(sum(value), 2) AS total_value
+    FROM events, m
+    WHERE CAST(ts AS TIMESTAMP) >= mx - INTERVAL 7 DAY
+    """,
+)
+def st_late_data_filter(spark, sf_dir):
+    """Watermark semantics in batch: events older than (max ts - 7 days)
+    are 'too late' and dropped — the batch analog of
+    withWatermark('ts', '7 days') state eviction."""
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .agg(F.count(F.lit(1)).alias("n_on_time"), F.round(F.sum("value"), 2).alias("total_value"))
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The query vectors are broadcast (tiny), the corpus streams; per-row
+  cosine is JVM-side, then TakeOrderedAndProject keeps k.  Linear scan:
+  right answer at any scale, bounded memory.
+- ``lsh_ann_topk``: random-hyperplane LSH — the scale path.  Corpus is
+  bucketed once by sign-pattern; a query probes only its own bucket
+  (plus optional multi-probe neighbors).  Sub-linear reads at the cost
+  of approximate recall.  Hyperplanes come from a fixed seed so bucket
+  assignment is deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.vector import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+    Returns (query_id, neighbor_id, cos, rank) — rank 1..k, ties broken
+    by neighbor id so results are fully deterministic."""
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv__"))
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv__"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col("qid").alias(query_id),
+        "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic random hyperplanes (fixed seed -> stable buckets)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec_col, planes: Sequence[Sequence[float]]):
+    """Sign-pattern bucket id: bit i = (vec . plane_i) >= 0."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(2**i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _table_buckets(vec_col, dim: int, n_planes: int, n_tables: int, seed: int):
+    """array<struct<table:int, bucket:int>> — one sign-pattern bucket per
+    hash table, each table with its own seeded hyperplanes."""
+    entries = []
+    for table in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + table)
+        entries.append(
+            F.struct(
+                F.lit(table).alias("table"),
+                _bucket_expr(vec_col, planes).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with multi-table random-hyperplane LSH.
+
+    A single sign-pattern table has per-neighbor hit probability
+    (1-θ/π)^n_planes — too low for weakly-correlated corpora — so we use
+    the standard L-table construction: candidates are the union over
+    ``n_tables`` independent plane sets, then scored exactly once.
+    Storage/shuffle cost scales with n_tables; recall approaches
+    1-(1-p)^L.  Returns (query_id, neighbor_id, cos, rank).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        F.explode(
+            _table_buckets(F.col(corpus_vec), dim, n_planes, n_tables, seed)
+        ).alias("__tb__"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("__qv__"),
+        F.explode(
+            _table_buckets(F.col(query_vec), dim, n_planes, n_tables, seed)
+        ).alias("__tb__"),
+    )
+    candidates = (
+        F.broadcast(q)
+        .join(c, q["__tb__"] == c["__tb__"])
+        .select("qid", "__qv__", "neighbor_id", "__cv__")
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    scored = candidates.select(
+        F.col("qid").alias(query_id),
+        "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

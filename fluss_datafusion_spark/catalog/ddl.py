@@ -104,7 +104,10 @@ _NULL_RE = re.compile(r"\bNULL\b", re.IGNORECASE)
 _COMMENT_RE = re.compile(r"\bCOMMENT\s+'((?:[^']|'')*)'", re.IGNORECASE)
 _PK_RE = re.compile(r"^\s*PRIMARY\s+KEY\s*\((.*)\)\s*$", re.IGNORECASE | re.DOTALL)
 _IDENT = r"(?:`[^`]*`|\"[^\"]*\"|[\w@$]+)"
-_TYPE_RE = re.compile(r"^\s*(" + _IDENT + r")\s+([A-Za-z]+\s*(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)", re.DOTALL)
+_TYPE_RE = re.compile(
+    r"^\s*(" + _IDENT + r")\s+([A-Za-z]+\s*(?:\(\s*-?\d+\s*(?:,\s*-?\d+\s*)?\))?)",
+    re.DOTALL,
+)
 
 
 def _parse_column(text: str) -> ColumnSpec:

@@ -75,3 +75,44 @@ def parse_qualified_name(name: str) -> List[str]:
 def is_special_command(line: str) -> bool:
     """REPL meta-commands: ``\\dt`` ``\\q`` ``\\?`` (src/sql/dialect.rs:47-60)."""
     return line.strip().startswith("\\")
+
+
+_SPECIAL_PREFIXES = (
+    "SHOW PARTITIONS",
+    "SHOW BUCKETS",
+    "SHOW OPTIONS",
+    "SHOW TABLE OPTIONS",
+    "SHOW CREATE TABLE",
+    "DESCRIBE",
+    "DESC ",
+)
+
+
+def is_fluss_special_command(sql: str) -> bool:
+    """True for the SHOW/DESCRIBE forms that standard SQL engines lack and
+    our rewriter must handle (mirrors is_fluss_special_command,
+    src/sql/dialect.rs:47-60 — note plain SHOW TABLES is NOT special)."""
+    upper = sql.strip().upper()
+    return any(upper.startswith(p) for p in _SPECIAL_PREFIXES)
+
+
+def extract_table_name_from_show(sql: str) -> str:
+    """Extract the (still-quoted) table operand from a special SHOW /
+    DESCRIBE command (mirrors extract_table_name_from_show,
+    src/sql/dialect.rs:62-94).  Returns None for non-special commands."""
+    text = sql.strip().rstrip(";").strip()
+    upper = text.upper()
+    for prefix in (
+        "SHOW PARTITIONS",
+        "SHOW BUCKETS",
+        "SHOW TABLE OPTIONS",
+        "SHOW OPTIONS",
+        "SHOW CREATE TABLE",
+        "DESCRIBE TABLE",
+        "DESCRIBE",
+        "DESC",
+    ):
+        if upper.startswith(prefix):
+            operand = text[len(prefix):].strip()
+            return operand or None
+    return None

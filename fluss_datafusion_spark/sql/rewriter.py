@@ -151,6 +151,8 @@ def _rewrite_command(sql: str, catalog) -> Optional[str]:
 
 
 def _refresh_info_schema_if_needed(sql: str, catalog) -> None:
+    if not hasattr(catalog, "spark"):
+        return
     if _INFO_SCHEMA_REF_RE.search(sql):
         from fluss_datafusion_spark.catalog import information_schema
 

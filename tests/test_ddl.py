@@ -1,0 +1,105 @@
+"""DDL parser unit tests (no Spark session needed)."""
+
+import pytest
+
+from fluss_datafusion_spark.catalog.ddl import (
+    is_engine_create_table,
+    parse_create_table,
+    parse_insert_target,
+)
+
+
+def test_basic_create():
+    spec = parse_create_table(
+        "CREATE TABLE user (id BIGINT NOT NULL, name STRING, PRIMARY KEY (id))"
+    )
+    assert spec.database == "fluss" and spec.name == "user"
+    assert [c.name for c in spec.columns] == ["id", "name"]
+    assert spec.primary_key == ["id"]
+    assert not spec.columns[0].nullable
+    assert spec.columns[1].nullable
+
+
+def test_qualified_and_quoted_names():
+    spec = parse_create_table("CREATE TABLE `my-db`.`my-table` (`weird col` INT)")
+    assert spec.database == "my-db"
+    assert spec.name == "my-table"
+    assert spec.columns[0].name == "weird col"
+
+
+def test_if_not_exists():
+    spec = parse_create_table("CREATE TABLE IF NOT EXISTS t1 (x INT)")
+    assert spec.name == "t1"
+
+
+def test_pk_implies_not_null():
+    spec = parse_create_table("CREATE TABLE t (id BIGINT, v STRING, PRIMARY KEY (id))")
+    assert not spec.column("id").nullable
+
+
+def test_composite_pk():
+    spec = parse_create_table(
+        "CREATE TABLE t (a BIGINT, b STRING, c DOUBLE, PRIMARY KEY (a, b))"
+    )
+    assert spec.primary_key == ["a", "b"]
+
+
+def test_column_comments_with_escaped_quote():
+    spec = parse_create_table(
+        "CREATE TABLE t (x INT COMMENT 'it''s a column', y STRING)"
+    )
+    assert spec.column("x").comment == "it's a column"
+
+
+def test_partitioned_distributed_with():
+    spec = parse_create_table(
+        "CREATE TABLE t (a INT, dt STRING, r STRING)"
+        " COMMENT 'tbl' PARTITIONED BY (dt, r)"
+        " DISTRIBUTED BY (a) INTO 8 BUCKETS"
+        " WITH ('k1' = 'v1', 'k2' = 'v2')"
+    )
+    assert spec.comment == "tbl"
+    assert spec.partition_keys == ["dt", "r"]
+    assert spec.bucket_keys == ["a"]
+    assert spec.num_buckets == 8
+    assert spec.properties == {"k1": "v1", "k2": "v2"}
+
+
+def test_decimal_and_all_types():
+    spec = parse_create_table(
+        "CREATE TABLE t (a DECIMAL(12, 3), b TINYINT, c SMALLINT, d FLOAT, e BYTES)"
+    )
+    assert spec.column("a").spark_type.simpleString() == "decimal(12,3)"
+
+
+def test_unsupported_type_rejected():
+    with pytest.raises(ValueError, match="unsupported CREATE TABLE type"):
+        parse_create_table("CREATE TABLE t (x GEOMETRY)")
+
+
+def test_negative_decimal_scale_rejected():
+    with pytest.raises(Exception):
+        parse_create_table("CREATE TABLE t (x DECIMAL(10, -2))")
+
+
+def test_unknown_key_column_rejected():
+    with pytest.raises(ValueError, match="not in column list"):
+        parse_create_table("CREATE TABLE t (x INT, PRIMARY KEY (nope))")
+
+
+def test_duplicate_columns_rejected():
+    with pytest.raises(ValueError, match="duplicate column"):
+        parse_create_table("CREATE TABLE t (x INT, x STRING)")
+
+
+def test_insert_target():
+    assert parse_insert_target("INSERT INTO t VALUES (1)") == "t"
+    assert parse_insert_target("INSERT INTO db.t SELECT * FROM s") == "db.t"
+    assert parse_insert_target("insert into `my-t` (a, b) VALUES (1, 2)") == "my-t"
+    assert parse_insert_target("SELECT 1") is None
+
+
+def test_is_engine_create_table():
+    assert is_engine_create_table("CREATE TABLE t (x INT)")
+    assert is_engine_create_table("  create   table t (x INT)")
+    assert not is_engine_create_table("CREATE VIEW v AS SELECT 1")

@@ -1,0 +1,141 @@
+"""End-to-end metadata surface: SHOW/DESCRIBE over a live engine with
+the FIXTURES.md tables (events_partitioned, typed_all)."""
+
+import pytest
+
+
+@pytest.fixture()
+def meta_engine(spark, tmp_path):
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE events_partitioned ("
+        " user_id BIGINT, event_type STRING, value DOUBLE, dt STRING, region STRING)"
+        " PARTITIONED BY (dt, region)"
+        " DISTRIBUTED BY (user_id) INTO 4 BUCKETS"
+        " WITH ('retention' = '7d', 'owner' = 'pipeline')"
+    )
+    e.sql(
+        "INSERT INTO events_partitioned VALUES "
+        "(1, 'click', 1.0, '2024-01-15', 'US'), "
+        "(2, 'view', 2.0, '2024-01-15', 'EU'), "
+        "(3, 'click', 3.0, '2024-01-16', 'US')"
+    )
+    e.sql(
+        "CREATE TABLE typed_all ("
+        " b BOOLEAN, t TINYINT, s SMALLINT, i INT, l BIGINT NOT NULL,"
+        " f FLOAT, d DOUBLE, str STRING COMMENT 'the string', bin BINARY,"
+        " dt DATE, ts TIMESTAMP, dec DECIMAL(10,2),"
+        " PRIMARY KEY (l))"
+    )
+    return e
+
+
+def test_show_tables(meta_engine):
+    names = [r["table_name"] for r in meta_engine.sql("SHOW TABLES").collect()]
+    assert names == ["events_partitioned", "typed_all"]
+
+
+def test_show_databases(meta_engine):
+    rows = [r["database_name"] for r in meta_engine.sql("SHOW DATABASES").collect()]
+    assert "fluss" in rows
+
+
+def test_show_partitions(meta_engine):
+    rows = meta_engine.sql("SHOW PARTITIONS events_partitioned").collect()
+    names = [r["partition_name"] for r in rows]
+    quals = [r["partition_qualified_name"] for r in rows]
+    assert names == ["2024-01-15$EU", "2024-01-15$US", "2024-01-16$US"]
+    assert quals == [
+        "dt=2024-01-15/region=EU",
+        "dt=2024-01-15/region=US",
+        "dt=2024-01-16/region=US",
+    ]
+    assert all(r["partition_id"] >= 0 for r in rows)
+
+
+def test_show_partitions_hides_non_partitioned(meta_engine):
+    assert meta_engine.sql("SHOW PARTITIONS typed_all").count() == 0
+
+
+def test_show_buckets(meta_engine):
+    rows = meta_engine.sql("SHOW BUCKETS events_partitioned").collect()
+    # 3 partitions x 4 buckets
+    assert len(rows) == 12
+    assert {r["bucket_id"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["bucket_key"] == "user_id" for r in rows)
+
+
+def test_show_options(meta_engine):
+    rows = {
+        r["option_name"]: r["option_value"]
+        for r in meta_engine.sql("SHOW OPTIONS events_partitioned").collect()
+    }
+    assert rows == {"retention": "7d", "owner": "pipeline"}
+
+
+def test_describe_typed_all(meta_engine):
+    rows = meta_engine.sql("DESCRIBE typed_all").collect()
+    got = [
+        (r["column_name"], r["data_type"], r["is_nullable"], r["is_primary_key"])
+        for r in rows
+    ]
+    assert got == [
+        ("b", "BOOLEAN", "YES", False),
+        ("t", "TINYINT", "YES", False),
+        ("s", "SMALLINT", "YES", False),
+        ("i", "INT", "YES", False),
+        ("l", "BIGINT", "NO", True),
+        ("f", "FLOAT", "YES", False),
+        ("d", "DOUBLE", "YES", False),
+        ("str", "STRING", "YES", False),
+        ("bin", "BYTES", "YES", False),
+        ("dt", "DATE", "YES", False),
+        ("ts", "TIMESTAMP", "YES", False),
+        ("dec", "DECIMAL(10, 2)", "YES", False),
+    ]
+    comments = {r["column_name"]: r["comment"] for r in rows}
+    assert comments["str"] == "the string"
+
+
+def test_show_create_table_roundtrip(meta_engine):
+    ddl = meta_engine.sql("SHOW CREATE TABLE events_partitioned").collect()[0][0]
+    assert "CREATE TABLE `fluss`.`events_partitioned`" in ddl
+    assert "PARTITIONED BY (`dt`, `region`)" in ddl
+    assert "DISTRIBUTED BY (`user_id`) INTO 4 BUCKETS" in ddl
+    assert "'owner' = 'pipeline'" in ddl
+    assert "'retention' = '7d'" in ddl
+
+    ddl2 = meta_engine.sql("SHOW CREATE TABLE typed_all").collect()[0][0]
+    assert "PRIMARY KEY (`l`)" in ddl2
+    assert "`l` BIGINT NOT NULL" in ddl2
+    assert "`dec` DECIMAL(10, 2)" in ddl2
+    # round-trip: the generated DDL reparses to the same spec
+    from fluss_datafusion_spark.catalog.ddl import parse_create_table
+
+    spec = parse_create_table(ddl2)
+    orig = meta_engine.catalog.get_table("typed_all")
+    assert [c.name for c in spec.columns] == [c.name for c in orig.columns]
+    assert spec.primary_key == orig.primary_key
+
+
+def test_information_schema_direct_query(meta_engine):
+    df = meta_engine.sql(
+        "SELECT table_name, table_type FROM information_schema.tables ORDER BY table_name"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("events_partitioned", "BASE TABLE"),
+        ("typed_all", "BASE TABLE"),
+    ]
+
+
+def test_table_stats_real_values(meta_engine):
+    rows = meta_engine.sql(
+        "SELECT table_name, row_count, total_size_bytes FROM information_schema.table_stats "
+        "ORDER BY table_name"
+    ).collect()
+    stats = {r["table_name"]: (r["row_count"], r["total_size_bytes"]) for r in rows}
+    # reference leaves these NULL (schema.rs:652-699); we compute real values
+    assert stats["events_partitioned"][0] == 3
+    assert stats["events_partitioned"][1] > 0

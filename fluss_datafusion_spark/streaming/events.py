@@ -1,0 +1,188 @@
+"""Structured Streaming layer: log-table semantics done properly.
+
+The reference treats a Fluss log table as a *bounded snapshot* — its scan
+subscribes from offset 0 to the latest offset at plan time and stops
+(FlussScanExec, src/provider.rs:336-393; Boundedness::Bounded at
+src/provider/scan_exec.rs:44).  Structured Streaming gives us both
+halves faithfully:
+
+- ``Trigger.AvailableNow`` = exactly the reference's read-to-latest
+  snapshot (consume everything present at start, then stop);
+- an unbounded ``readStream`` with watermarks/windows = what a real
+  stream processor does and the reference cannot (SURVEY.md §2 Tier B:
+  watermark/window state is absent there).
+
+A log table's bucket offsets map to the file-source's per-file progress;
+``max_files_per_trigger`` replays a table as deterministic micro-batches
+for tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def chunk_table_for_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4, table: str = "events"
+) -> str:
+    """Write the events table as `n_chunks` time-ordered parquet files so
+    the file stream source replays it as ordered micro-batches."""
+    from fluss_datafusion_spark.session import read_table
+
+    ev = read_table(spark, os.path.join(sf_dir, f"{table}.parquet"))
+    # Range-partition by ts: part-00000..part-0000N hold ascending time
+    # ranges, so maxFilesPerTrigger=1 replays history in order.
+    (
+        ev.repartitionByRange(n_chunks, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: Optional[int] = 1,
+) -> DataFrame:
+    """Open a parquet directory as a micro-batched stream."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# -- windowed aggregations ---------------------------------------------------
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-close semantics — the streaming twin of
+    operators/sessionize.py)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys=("event_id",), watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Exactly-once-per-key events within the watermark horizon
+    (dropDuplicates keeps the first arrival; state is evicted past the
+    watermark, which bounds memory at scale)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys])
+
+
+# -- sinks -------------------------------------------------------------------
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Execute a streaming plan with AvailableNow (the reference's
+    read-to-latest-offset snapshot semantics) into an in-memory table;
+    returns after completion."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def upsert_sink(stream_df: DataFrame, catalog, table: str, checkpoint: str):
+    """foreachBatch upsert into a PK table — the streaming materialized
+    view the reference builds inside the Fluss tablet server (INSERT =
+    upsert, src/provider.rs:411-441).  Each micro-batch flows through the
+    catalog's log-structured writer; reads always see merged state."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.insert(table, batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# -- custom stateful operator ------------------------------------------------
+
+
+def running_user_counts(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running per-user event count carried across micro-batches (state is
+    one long per user — the minimal keyed-state pattern)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

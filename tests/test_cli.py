@@ -1,0 +1,52 @@
+"""CLI tests: render format, OK-on-empty quirk, meta-commands, -e path."""
+
+from fluss_datafusion_spark.cli import CliSession, render
+
+
+def _cli(spark, tmp_path):
+    from fluss_datafusion_spark import EngineSession
+
+    return CliSession(engine=EngineSession(spark=spark, warehouse=str(tmp_path / "wh")))
+
+
+def test_empty_result_prints_ok(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    cli.execute("CREATE TABLE t0 (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    assert cli.execute("SELECT * FROM t0") == "OK"
+
+
+def test_demo_sequence_renders_table(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    cli.execute("CREATE TABLE u (id BIGINT NOT NULL, name STRING, PRIMARY KEY (id));")
+    out = cli.execute("INSERT INTO u VALUES (1, 'alice')")
+    assert "count" in out and "1 row(s)" in out
+    out = cli.execute("SELECT * FROM u WHERE id = 1")
+    assert "alice" in out and "+" in out
+
+
+def test_nested_columns_render_as_json(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    out = cli.execute("SELECT array(1, 2, 3) AS arr, named_struct('a', 1) AS st")
+    assert "[1,2,3]" in out
+    assert '{"a":1}' in out
+
+
+def test_meta_commands(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    cli.execute("CREATE TABLE m1 (id BIGINT)")
+    assert "m1" in cli.meta("\\dt")
+    assert "Available commands" in cli.meta("\\?")
+    assert cli.meta("\\q") is None
+    assert "Unknown command" in cli.meta("\\x")
+
+
+def test_error_is_reported_not_raised(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    out = cli.execute("SELECT * FROM nonexistent_table_xyz")
+    assert out.startswith("Error:")
+
+
+def test_null_rendering(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    out = cli.execute("SELECT CAST(NULL AS INT) AS x")
+    assert "NULL" in out

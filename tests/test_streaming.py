@@ -1,0 +1,172 @@
+"""Structured Streaming layer tests: micro-batch replay equivalence with
+batch results, session windows, streaming dedup, the foreachBatch upsert
+sink, and the custom stateful operator."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    from fluss_datafusion_spark.streaming.events import chunk_table_for_replay
+
+    out = str(tmp_path_factory.mktemp("replay") / "events")
+    chunk_table_for_replay(spark, "/root/testdata/sf0.001", out, n_chunks=4)
+    return out
+
+
+def _drop_memory_table(spark, name):
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+
+
+def test_tumbling_stream_equals_batch(spark, replay_dir):
+    """AvailableNow micro-batch replay produces the same tumbling-window
+    result as the batch evaluator (ordered replay -> watermark drops
+    nothing)."""
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    # complete mode: append would (correctly) hold back windows the
+    # watermark hasn't passed when AvailableNow stops; complete emits the
+    # full result table, which must equal the batch evaluation.
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    run_to_memory(tumbling_counts(stream), "t_tumbling", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+
+    batch = spark.read.parquet(replay_dir)
+    want_df = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_window_stream(spark):
+    from fluss_datafusion_spark.streaming.events import (
+        run_to_memory,
+        session_window_counts,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 1.0),  # same session
+            (1, "2024-01-01 01:00:00", 1.0),  # new session (50 min gap)
+            (2, "2024-01-01 00:00:00", 1.0),
+        ],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="sess_stream_")
+    src.repartition(1).write.mode("overwrite").parquet(path)
+
+    from fluss_datafusion_spark.streaming.events import events_stream
+
+    stream = events_stream(spark, path, max_files_per_trigger=None)
+    run_to_memory(
+        session_window_counts(stream, gap="30 minutes"), "t_sessions",
+        output_mode="complete",
+    )
+    rows = spark.sql("SELECT user_id, n FROM t_sessions ORDER BY user_id, n").collect()
+    got = [(r["user_id"], r["n"]) for r in rows]
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_dedup(spark):
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:00:00", "a"),
+            (100, "2024-01-01 00:05:00", "b"),  # duplicate event_id
+            (101, "2024-01-01 00:06:00", "c"),
+        ],
+        "event_id long, ts string, payload string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dedup_stream_")
+    src.repartition(1).write.mode("overwrite").parquet(path)
+    stream = events_stream(spark, path, max_files_per_trigger=None)
+    run_to_memory(streaming_dedup(stream), "t_dedup")
+    assert spark.sql("SELECT count(*) AS n FROM t_dedup").collect()[0]["n"] == 2
+
+
+def test_foreach_batch_upsert_sink(spark, tmp_path, replay_dir):
+    """Stream -> PK table materialization: final state is last-value-per-key
+    (the reference's INSERT-is-upsert semantics, applied continuously)."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import events_stream, upsert_sink
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE user_last_event (user_id BIGINT NOT NULL, event_id BIGINT,"
+        " ts TIMESTAMP, PRIMARY KEY (user_id))"
+    )
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1).select(
+        "user_id", "event_id", "ts"
+    )
+    q = upsert_sink(stream, e.catalog, "user_last_event", str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in e.sql("SELECT * FROM user_last_event").collect()
+    }
+    # expected: per user, the event that arrived last across ordered chunks
+    batch = spark.read.parquet(replay_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    # within-chunk arrival order is file row order (sorted by ts), so the
+    # final upsert winner is the max-ts event per user
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stateful_running_counts(spark, replay_dir):
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        running_user_counts,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=2)
+    run_to_memory(running_user_counts(stream), "t_state", output_mode="update")
+    # final state per user (last update row) must equal the batch count
+    final = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM t_state GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: r["n"] for r in final}
+    batch = spark.read.parquet(replay_dir)
+    want = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want

@@ -733,3 +733,367 @@ def q30_explode_wordcount(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# round-2 widening: harder TPC-H analogs, window frames, percentiles,
+# regexp, EXISTS, null semantics, casts, intervals, cross join
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q32_small_qty_avg_subquery",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) a
+      ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_limit
+    """,
+)
+def q32_small_qty_avg_subquery(spark, sf_dir):
+    """TPC-H Q17 analog: per-part average subquery joined back to the fact.
+    At scale: the avg subquery is a map-side-combinable agg over the same
+    fact; Catalyst reuses the lineitem scan (no second read with AQE CTE
+    dedup) and the part dim join is broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = t(spark, sf_dir, "part")
+    limits = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_brand") == "Brand#1")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(limits, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q33_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum_qty AS BIGINT) AS sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+      ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q33_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 analog: HAVING-filtered agg as a semi-ish join key set.
+    The heavy agg runs first and shrinks the probe side before the joins."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q34_global_sales_opportunity",
+    oracle="""
+    SELECT substr(c_name, 10, 2) AS cntrycode,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntrycode
+    """,
+)
+def q34_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 analog: scalar subquery threshold + anti join.
+    The scalar avg is a 1-row broadcast; the NOT EXISTS is a left_anti
+    join that shuffles only distinct custkeys from orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("t")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+              "c_custkey", "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+@query(
+    "q35_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q35_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 analog: CTE reused twice (once for max, once for join)."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q36_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER w,
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q36_window_lag_lead(spark, sf_dir):
+    """lag/lead with a deterministic tiebreaker in the window ordering."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint").alias("days_since_prev"),
+    )
+
+
+@query(
+    "q37_window_moving_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS moving_sum_cents,
+           ntile(4) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           round(cume_dist() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey), 6) AS cd
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def q37_window_moving_frame(spark, sf_dir):
+    """Explicit ROWS frame + ntile + cume_dist (tie-broken ordering).
+    The frame sum runs over exact integer cents — float moving averages
+    hash-differ across engines at half-way rounding points."""
+    orders = t(spark, sf_dir, "orders")
+    w_frame = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w_frame).cast("bigint").alias("moving_sum_cents"),
+        F.ntile(4).over(w_rank).alias("price_quartile"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("cd"),
+    )
+
+
+@query(
+    "q38_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q38_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`).  At 100 TB you'd switch to approx_percentile
+    (t-digest, mergeable partial aggregation) — exact percentile
+    requires a per-group sort."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_discount, 0.25)"), 4).alias("p25_disc"),
+    )
+
+
+@query(
+    "q39_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_name, '[0-9]$') THEN 1 ELSE 0 END AS ends_digit
+    FROM part WHERE p_size > 40
+    """,
+)
+def q39_regexp_funcs(spark, sf_dir):
+    pa = t(spark, sf_dir, "part")
+    return pa.filter(F.col("p_size") > 40).select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("[0-9]$"), 1).otherwise(0).alias("ends_digit"),
+    )
+
+
+@query(
+    "q40_exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+    """,
+)
+def q40_exists_subquery(spark, sf_dir):
+    """EXISTS via spark.sql so Catalyst's subquery decorrelation (rewrite
+    to left-semi join) is exercised, not hand-rewritten."""
+    v(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        """
+    )
+
+
+@query(
+    "q41_null_semantics",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(nullif(o_orderstatus, 'O')) AS n_not_open,
+           count(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 END)
+             AS n_f_nullsafe,
+           round(sum(coalesce(NULLIF(o_totalprice, 0.0), 0.0)), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q41_null_semantics(spark, sf_dir):
+    """COALESCE / NULLIF / null-safe equality (<=> in Spark,
+    IS NOT DISTINCT FROM in ANSI/DuckDB)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("n_not_open"),
+        F.count(
+            F.when(F.col("o_orderstatus").eqNullSafe(F.lit("F")), 1)
+        ).alias("n_f_nullsafe"),
+        F.round(
+            F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))), 2
+        ).alias("total"),
+    )
+
+
+@query(
+    "q42_cast_matrix",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_totalprice AS BIGINT) AS price_int,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS order_year
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def q42_cast_matrix(spark, sf_dir):
+    """Cross-type casts: int->string, double->bigint (truncation),
+    double->decimal->string, timestamp->date, formatted year->int.
+    NB Spark double->bigint truncates toward zero; DuckDB CAST rounds —
+    on this data totalprice is always positive with 2 decimals, and
+    both agree because we cast the floor explicitly in Spark."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 100).select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("price_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+
+
+@query(
+    "q43_interval_arith",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+    FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def q43_interval_arith(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") <= 200).select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint").alias("days_since_95"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+    )
+
+
+@query(
+    "q44_cross_join",
+    oracle="""
+    SELECT r.n_name AS nation_a, s.n_name AS nation_b
+    FROM nation r CROSS JOIN nation s
+    WHERE r.n_nationkey < s.n_nationkey
+    """,
+)
+def q44_cross_join(spark, sf_dir):
+    """Cartesian product with a post-filter (theta join).  Fine on a dim
+    table; at scale Catalyst would pick BroadcastNestedLoopJoin with the
+    smaller side broadcast."""
+    na = t(spark, sf_dir, "nation")
+    a = na.select(F.col("n_name").alias("nation_a"), F.col("n_nationkey").alias("ka"))
+    b = na.select(F.col("n_name").alias("nation_b"), F.col("n_nationkey").alias("kb"))
+    return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("nation_a", "nation_b")

@@ -134,20 +134,22 @@ def test_foreach_batch_upsert_sink(spark, tmp_path, replay_dir):
         r["user_id"]: r["event_id"]
         for r in e.sql("SELECT * FROM user_last_event").collect()
     }
-    # expected: per user, the event that arrived last across ordered chunks
+    # expected: per user, the event that arrived last across ordered chunks.
+    # Replay order is ts order, so the winner has the max ts — but when a
+    # user's max ts is shared by several events, arrival order among the
+    # tied rows is an implementation detail; accept any of the tied events.
     batch = spark.read.parquet(replay_dir)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
-    # within-chunk arrival order is file row order (sorted by ts), so the
-    # final upsert winner is the max-ts event per user
-    want = {
-        r["user_id"]: r["event_id"]
-        for r in batch.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+    want: dict = {}
+    for r in (
+        batch.join(
+            batch.groupBy("user_id").agg(F.max("ts").alias("ts")), ["user_id", "ts"]
+        )
+        .select("user_id", "event_id")
         .collect()
-    }
-    assert got == want
+    ):
+        want.setdefault(r["user_id"], set()).add(r["event_id"])
+    assert set(got) == set(want)
+    assert all(got[u] in want[u] for u in got)
 
 
 def test_stateful_running_counts(spark, replay_dir):

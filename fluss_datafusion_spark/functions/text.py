@@ -105,13 +105,29 @@ def prefix_fingerprint(text, n_tokens: int = 5) -> Column:
 
 def word_shingles(text, k: int = 3) -> Column:
     """Distinct word k-shingles as array<string> (input to MinHash and
-    exact Jaccard).  Sequence-based, JVM-side."""
+    exact Jaccard).  JVM-side, built with zip_with over the token array
+    and its shifted slices.
+
+    Why zip_with and not element_at inside a transform lambda: lambda
+    bodies are interpreted with NO common-subexpression elimination, so
+    `element_at(split(text), i)` re-splits the text for EVERY element —
+    O(tokens^2) per row.  zip_with evaluates each array input once per
+    row; the split runs a constant ~2k times per row instead.
+    """
     toks = tokens(F.lower(text))
+
+    def shift(j: int) -> Column:
+        # tokens starting at position j+1 (slice is 1-based); length arg
+        # clamps, so over-asking is fine.
+        return F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+
+    sh = shift(0)
+    for j in range(1, k):
+        sh = F.zip_with(sh, shift(j), lambda a, b: F.concat_ws(" ", a, b))
+    # zip_with pads the longer side with null -> concat_ws skips nulls,
+    # leaving truncated (<k word) shingles at the tail: drop the last k-1.
     n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
+    sh = F.slice(sh, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))

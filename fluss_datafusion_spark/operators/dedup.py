@@ -44,36 +44,74 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.4,
     block_cols: Optional[List[str]] = None,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard near-duplicate pairs.
+    """Exact word-k-gram Jaccard near-duplicate pairs via an inverted
+    index — NOT an all-pairs scan.
 
-    Quadratic within each block (block_cols, e.g. language) — correct by
-    construction, usable as the verification oracle for the LSH path.
+    J(A,B) >= threshold > 0 requires at least one shared shingle, so the
+    exact result is reachable from the shingle->doc inverted index alone:
+    self-join the index on the shingle, count shared shingles per doc
+    pair (that count IS |A∩B|), then jaccard = inter/(|A|+|B|-inter).
+    No array intersections, no quadratic pair enumeration — cost is
+    sum_s f_s^2 over shingle doc-frequencies f_s instead of n^2 docs.
+
+    Scale posture: the index join shuffles on the shingle hash (uniform),
+    the pair count gets map-side combine, and doc sizes join back via
+    broadcast.  A boilerplate-heavy corpus would concentrate f_s^2 in a
+    few hot shingles — cap them with max_df (drops shingles appearing in
+    more than max_df docs; standard practice, slightly lowers recall for
+    pairs that ONLY share boilerplate).
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    assert threshold > 0, "inverted-index jaccard requires threshold > 0"
     block_cols = block_cols or []
     sh = df.select(
         F.col(id_col).alias("__id__"),
         *[F.col(c).alias(f"__b{i}__") for i, c in enumerate(block_cols)],
         word_shingles(F.col(text_col), k).alias("__sh__"),
     ).filter(F.size("__sh__") > 0)
+    sizes = sh.select("__id__", F.size("__sh__").alias("__n__"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = F.col(f"a.__id__") < F.col("b.__id__")
+    inv = sh.select(
+        "__id__",
+        *[F.col(f"__b{i}__") for i in range(len(block_cols))],
+        F.explode("__sh__").alias("__s__"),
+    )
+    if max_df:
+        hot = inv.groupBy("__s__").count().filter(F.col("count") > max_df)
+        inv = inv.join(F.broadcast(hot.select("__s__")), "__s__", "left_anti")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col("a.__s__") == F.col("b.__s__")) & (
+        F.col("a.__id__") < F.col("b.__id__")
+    )
     for i in range(len(block_cols)):
         cond = cond & (F.col(f"a.__b{i}__") == F.col(f"b.__b{i}__"))
-    inter = F.size(F.array_intersect(F.col("a.__sh__"), F.col("b.__sh__")))
-    union = F.size(F.array_union(F.col("a.__sh__"), F.col("b.__sh__")))
-    jac = inter / union
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
-            F.col("a.__id__").alias("id_a"),
-            F.col("b.__id__").alias("id_b"),
-            jac.alias("jaccard"),
+        .groupBy(
+            F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__inter__"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes).withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "__na__"),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "__nb__"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__inter__")
+            / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -81,20 +119,42 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 128
 ) -> DataFrame:
     """(id, array<bigint> signature): per permutation i,
-    sig[i] = min over shingles of xxhash64(shingle, i).
+    sig[i] = min over shingles of pi_i(xxhash64(shingle)).
 
-    One explode + one groupBy — two narrow shuffles; signature width is
-    constant, so this stays linear at any corpus size.
+    Classic one-strong-hash design: each shingle is hashed ONCE with
+    xxhash64 (whole-stage codegen), and the num_perm permutations are
+    affine maps (a_i*h + b_i) mod p with p = 2^31-1 (Mersenne prime;
+    a_i, b_i, h < p keeps every product below 2^62, safe under ANSI
+    overflow checking).  The per-permutation mins are plain codegen'd MIN
+    aggregates, so the groupBy gets full map-side combine: shuffle volume
+    is exactly one signature row per document regardless of document
+    length — the same bytes the signature itself occupies.  Deterministic:
+    a_i/b_i come from a fixed-seed generator, xxhash64 uses its fixed
+    default seed.
     """
+    import random
+
+    p = (1 << 31) - 1
+    rng = random.Random(42)
+    coef = [(rng.randrange(1, p), rng.randrange(p)) for _ in range(num_perm)]
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     exploded = (
-        df.select(
+        df.repartition(parallelism)
+        .select(
             F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
         )
         .filter(F.size("__sh__") > 0)
         .select("__id__", F.explode("__sh__").alias("__s__"))
+        .withColumn("__h__", F.pmod(F.xxhash64("__s__"), F.lit(p).cast("long")))
     )
     aggs = [
-        F.min(F.xxhash64(F.col("__s__"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+        F.min(
+            F.pmod(
+                F.col("__h__") * F.lit(a).cast("long") + F.lit(b).cast("long"),
+                F.lit(p).cast("long"),
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coef)
     ]
     sig = exploded.groupBy("__id__").agg(*aggs)
     return sig.select(
@@ -139,26 +199,46 @@ def minhash_lsh_pairs(
         "__id__", F.explode(F.array(*band_cols)).alias("__b__")
     ).select("__id__", F.col("__b__.band").alias("__band__"), F.col("__b__.bucket").alias("__bucket__"))
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # Candidate pairs by grouping each (band, bucket) and expanding member
+    # pairs with a higher-order function — ONE pass over the signature
+    # pipeline (a self-join would recompute the signatures for both join
+    # branches) and one map-side-combined shuffle on the bucket key.
+    # Bucket membership lists are tiny by construction (a bucket is a
+    # 1-in-2^62 hash range); a degenerate boilerplate corpus would need a
+    # size cap here.
+    members = (
+        buckets.groupBy("__band__", "__bucket__")
+        .agg(F.array_sort(F.collect_set("__id__")).alias("__ids__"))
+        .filter(F.size("__ids__") > 1)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.__band__") == F.col("b.__band__"))
-            & (F.col("a.__bucket__") == F.col("b.__bucket__"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids__, (x, i) ->"
+                    " transform(slice(__ids__, i + 2, size(__ids__)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p__")
         )
-        .select(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .select("__p__.id_a", "__p__.id_b")
         .distinct()
     )
 
-    # Exact verification of candidates only (tiny relative to corpus).
+    # Exact verification of candidates only (tiny relative to corpus);
+    # the shingle-array side is a dim-sized broadcast.
     sh = df.select(
         F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
     )
     verified = (
-        candidates.join(sh.withColumnRenamed("__id__", "id_a").withColumnRenamed("__sh__", "__sha__"), "id_a")
-        .join(sh.withColumnRenamed("__id__", "id_b").withColumnRenamed("__sh__", "__shb__"), "id_b")
+        candidates.join(
+            F.broadcast(sh.withColumnRenamed("__id__", "id_a").withColumnRenamed("__sh__", "__sha__")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sh.withColumnRenamed("__id__", "id_b").withColumnRenamed("__sh__", "__shb__")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__sha__", "__shb__"))
@@ -226,7 +306,8 @@ def embedding_cosine_pairs(
     if block_col:
         cols.append(F.col(block_col).alias("__blk__"))
     e = df.select(*cols)
-    a, b = e.alias("a"), e.alias("b")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a, b = e.repartition(parallelism).alias("a"), F.broadcast(e).alias("b")
     cond = F.col("a.__id__") < F.col("b.__id__")
     if block_col:
         cond = cond & (F.col("a.__blk__") == F.col("b.__blk__"))

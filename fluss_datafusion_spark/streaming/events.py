@@ -42,6 +42,19 @@ def chunk_table_for_replay(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+    # FileStreamSource orders files by (modificationTime, path); the part
+    # files above are written by parallel tasks, so their mtimes land in
+    # arbitrary order.  Restamp them ascending in part-number order to make
+    # the replay sequence deterministic.
+    import time
+
+    parts = sorted(
+        f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time()
+    for i, fname in enumerate(parts):
+        ts = base + i
+        os.utime(os.path.join(out_dir, fname), (ts, ts))
     return out_dir
 
 

@@ -43,7 +43,10 @@ def bpe_ish_token_count(text) -> Column:
 
 
 def stopword_hits(text, words) -> Column:
-    """Number of occurrences of any of `words` as whole tokens."""
+    """Number of occurrences of any of `words` as whole tokens.
+    (A regexp_count formulation with whole-token lookarounds was tried
+    and is ~50% slower — Java regex backtracks per position; the array
+    filter walks the token list once per reference.)"""
     toks = tokens(F.lower(text))
     hits = F.filter(toks, lambda w: w.isin(*[F.lit(s) for s in words]))
     return F.size(hits)

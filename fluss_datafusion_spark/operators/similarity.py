@@ -86,6 +86,36 @@ def _table_buckets(vec_col, dim: int, n_planes: int, n_tables: int, seed: int):
     return F.array(*entries)
 
 
+def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched bucket assignment: ONE numpy matmul per batch
+    computes every (table, plane) dot product at once — versus
+    n_tables*n_planes interpreted aggregate-lambda passes per row for
+    the expression variant (_table_buckets).  Returns array<int> of
+    length n_tables (bucket id per table); same bit convention as
+    _bucket_expr, with ties (dot == 0) counted as positive."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # dim x (n_tables*n_planes): all tables' planes stacked column-wise.
+    mat = np.array(
+        [p for t in range(n_tables) for p in hyperplanes(dim, n_planes, seed + t)]
+    ).T
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def buckets(v):
+        import pandas as pd
+
+        vecs = np.stack(v.to_numpy()).astype(np.float64)  # N x dim
+        signs = (vecs @ mat) >= 0  # N x (n_tables*n_planes)
+        per_table = signs.reshape(len(vecs), n_tables, n_planes)
+        ids = (per_table * weights).sum(axis=2).astype(np.int32)  # N x n_tables
+        return pd.Series(list(ids))
+
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    return pandas_udf(buckets, "array<int>", PandasUDFType.SCALAR)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,23 +138,21 @@ def lsh_ann_topk(
     Storage/shuffle cost scales with n_tables; recall approaches
     1-(1-p)^L.  Returns (query_id, neighbor_id, cos, rank).
     """
-    c = corpus.select(
+    bucket_udf = _table_buckets_udf(dim, n_planes, n_tables, seed)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parallelism).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv__"),
-        F.explode(
-            _table_buckets(F.col(corpus_vec), dim, n_planes, n_tables, seed)
-        ).alias("__tb__"),
+        F.posexplode(bucket_udf(F.col(corpus_vec))).alias("__table__", "__bucket__"),
     )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).alias("__qv__"),
-        F.explode(
-            _table_buckets(F.col(query_vec), dim, n_planes, n_tables, seed)
-        ).alias("__tb__"),
+        F.posexplode(bucket_udf(F.col(query_vec))).alias("__table__", "__bucket__"),
     )
     candidates = (
         F.broadcast(q)
-        .join(c, q["__tb__"] == c["__tb__"])
+        .join(c, ["__table__", "__bucket__"])
         .select("qid", "__qv__", "neighbor_id", "__cv__")
         .dropDuplicates(["qid", "neighbor_id"])
     )

@@ -1,0 +1,80 @@
+"""Tests for the snapshot-scan source (reference A1 semantics:
+plan-time-pinned bounded reads) and the plan-audit helpers."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.plans.audit import (
+    has_pushed_filter,
+    plan_facts,
+    read_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+from fluss_datafusion_spark.sources.snapshot import (
+    incremental_scan,
+    list_snapshot_files,
+    snapshot_scan,
+)
+
+
+@pytest.fixture()
+def log_dir(spark, tmp_path):
+    out = str(tmp_path / "log")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).coalesce(1).write.parquet(out)
+    return out
+
+
+def _append(spark, path, start, end):
+    spark.range(start, end).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_snapshot_scan_pins_file_list(spark, log_dir):
+    """Files appended after plan time are invisible — the reference's
+    read-to-latest-offset isolation (src/provider.rs:336-345)."""
+    df = snapshot_scan(spark, log_dir)
+    _append(spark, log_dir, 100, 150)
+    assert df.count() == 100  # action after append still sees the snapshot
+    assert snapshot_scan(spark, log_dir).count() == 150  # new snapshot sees all
+
+
+def test_snapshot_scan_projection_and_limit(spark, log_dir):
+    df = snapshot_scan(spark, log_dir, columns=["v"], limit=7)
+    rows = df.collect()
+    assert len(rows) == 7
+    assert rows[0].asDict().keys() == {"v"}
+    # projection reaches the scan: only `v` is read
+    assert read_columns(snapshot_scan(spark, log_dir, columns=["v"])) == [["v"]]
+
+
+def test_incremental_scan(spark, log_dir):
+    first = list_snapshot_files(log_dir)
+    assert incremental_scan(spark, log_dir, first).count() == 0
+    _append(spark, log_dir, 100, 130)
+    delta = incremental_scan(spark, log_dir, first)
+    assert delta.count() == 30
+    assert delta.agg(F.min("id")).collect()[0][0] == 100
+
+
+def test_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        snapshot_scan(spark, str(tmp_path / "nope"))
+
+
+def test_plan_facts_pushdown(spark, log_dir):
+    df = snapshot_scan(spark, log_dir).filter(F.col("id") == 5)
+    assert has_pushed_filter(df, "id")
+    facts = plan_facts(df)
+    assert facts["joins"] == []
+
+
+def test_plan_facts_broadcast_join(spark, log_dir):
+    big = snapshot_scan(spark, log_dir)
+    small = spark.range(0, 10).withColumnRenamed("id", "id2")
+    joined = big.join(F.broadcast(small), big.id == small.id2)
+    assert uses_broadcast_join(joined)
+    assert shuffle_count(joined) >= 1  # the broadcast exchange

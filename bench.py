@@ -33,9 +33,18 @@ def main() -> None:
 
     queries = entry_mod.queries()
     # Warm the JVM/code paths once with the cheapest query so the first
-    # measured query doesn't pay one-time init costs.
+    # measured query doesn't pay one-time init costs; also spin up the
+    # Python UDF workers (Arrow path) so Pandas-UDF queries aren't
+    # charged the per-session worker fork either.
     try:
         run_query(spark.range(1000).selectExpr("sum(id) AS s"))
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s):
+            return s
+
+        run_query(spark.range(1000).select(_warm("id").alias("v")))
     except Exception:
         pass
 

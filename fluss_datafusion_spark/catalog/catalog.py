@@ -39,6 +39,15 @@ from fluss_datafusion_spark.catalog.metadata import TableSpec
 
 _SEQ = "__seq__"
 _SUB = "__sub__"
+_BKT = "__bkt__"
+
+
+def bucket_id_expr(spec: TableSpec, *key_cols) -> F.Column:
+    """Deterministic bucket assignment: pmod(xxhash64(keys), n) — the
+    hash-distribution of DISTRIBUTED BY ... INTO n BUCKETS.  The same
+    expression works on columns (write path) and literals (lookup path),
+    which is what makes bucket pruning sound."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(spec.num_buckets)).cast("int")
 
 DEFAULT_DATABASE = "fluss"
 
@@ -134,7 +143,17 @@ class FlussCatalog:
                 f"{spec.qualified_name} has {spec.primary_key}"
             )
         pk = spec.primary_key[0]
-        return self._current_df(spec).filter(F.col(pk) == F.lit(key_value))
+        # Filter the LOG below the dedup window (a post-window filter on
+        # __bkt__ would not push past the window boundary).
+        log = self._log_df(spec).filter(F.col(pk) == F.lit(key_value))
+        if spec.num_buckets and spec.bucket_keys == [pk]:
+            # Bucket pruning: the key's bucket id is a literal at plan
+            # time, and __bkt__ is a Hive partition directory — the scan
+            # reads exactly ONE bucket's files (PartitionFilters), the
+            # file-level analog of FlussLookupExec's single-KV read.
+            key_lit = F.lit(key_value).cast(spec.column(pk).spark_type)
+            log = log.filter(F.col(_BKT) == bucket_id_expr(spec, key_lit))
+        return self._merge_log(spec, log)
 
     def _log_df(self, spec: TableSpec) -> DataFrame:
         path = self.table_path(spec)
@@ -149,20 +168,28 @@ class FlussCatalog:
         schema = spec.spark_schema()
         if spec.has_primary_key:
             schema = schema.add(_SEQ, "long").add(_SUB, "long")
+        if spec.num_buckets and spec.bucket_keys:
+            from pyspark.sql.types import IntegerType
+
+            schema = schema.add(_BKT, IntegerType())
         return schema
 
     def _current_df(self, spec: TableSpec) -> DataFrame:
-        df = self._log_df(spec)
+        return self._merge_log(spec, self._log_df(spec))
+
+    def _merge_log(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Upsert view over (a subset of) the log: last write per key
+        wins.  One shuffle on the PK; internal columns dropped."""
+        internal = [c for c in (_SEQ, _SUB, _BKT) if c in df.columns]
         if not spec.has_primary_key:
-            return df
-        # Upsert view: last write per key wins.  One shuffle on the PK.
+            return df.drop(*internal)
         order = Window.partitionBy(*spec.primary_key).orderBy(
             F.col(_SEQ).desc(), F.col(_SUB).desc()
         )
         return (
             df.withColumn("__rn__", F.row_number().over(order))
             .filter(F.col("__rn__") == 1)
-            .drop("__rn__", _SEQ, _SUB)
+            .drop("__rn__", *internal)
         )
 
     def _register_view(self, spec: TableSpec) -> None:
@@ -195,13 +222,18 @@ class FlussCatalog:
             writer_df = aligned.withColumn(_SEQ, F.lit(seq)).withColumn(
                 _SUB, F.monotonically_increasing_id()
             )
+        partition_cols = list(spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
-            writer_df = writer_df.repartition(
-                spec.num_buckets, *[F.col(k) for k in spec.bucket_keys]
-            )
+            # Physical bucket layout: __bkt__ is a Hive partition dir, so
+            # (a) joins/aggs on the bucket key start co-located per
+            # directory, (b) PK lookups prune to one bucket (see lookup).
+            writer_df = writer_df.withColumn(
+                _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
+            ).repartition(spec.num_buckets, F.col(_BKT))
+            partition_cols.append(_BKT)
         writer = writer_df.write.mode("append")
-        if spec.partition_keys:
-            writer = writer.partitionBy(*spec.partition_keys)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
         writer.parquet(self.table_path(spec))
         self._register_view(spec)
         return count
@@ -263,11 +295,17 @@ class FlussCatalog:
         merged = merged.withColumn(_SEQ, F.lit(0)).withColumn(
             _SUB, F.monotonically_increasing_id()
         )
+        partition_cols = list(spec.partition_keys or [])
+        if spec.num_buckets and spec.bucket_keys:
+            merged = merged.withColumn(
+                _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
+            )
+            partition_cols.append(_BKT)
         path = self.table_path(spec)
         tmp = path + ".compact"
         writer = merged.write.mode("overwrite")
-        if spec.partition_keys:
-            writer = writer.partitionBy(*spec.partition_keys)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)

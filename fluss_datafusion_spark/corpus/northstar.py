@@ -395,3 +395,19 @@ def ns_sessionize(spark, sf_dir):
     return sessionize.session_stats(
         ev, "user_id", "ts", gap="30 minutes", order_tiebreak="event_id"
     )
+
+
+@query("ns_sim_ann_ivf")
+def ns_sim_ann_ivf(spark, sf_dir):
+    """Approximate top-10 via IVF inverted lists (rows-only: approximate
+    by design; recall vs brute force asserted in tests).  Complements
+    the LSH entry — the two standard ANN scale paths."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    res = similarity.ivf_ann_topk(
+        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, n_centroids=16, n_probe=4, n_iters=2,
+    )
+    return res.filter(F.col("neighbor_id") != F.col("vec_id")).select(
+        "vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )

@@ -110,3 +110,47 @@ def st_late_data_filter(spark, sf_dir):
         .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
         .agg(F.count(F.lit(1)).alias("n_on_time"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def st_session_window(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap
+    (session_window.start = first event, .end = last event + gap; the
+    oracle derives the same sessions with a lag/cumulative-sum pass)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )

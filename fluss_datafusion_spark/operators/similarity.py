@@ -163,3 +163,131 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _normalize(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+):
+    """Deterministic IVF coarse quantizer for cosine similarity.
+
+    Init = the ``n_centroids`` corpus vectors with the smallest ids
+    (fixed, seedless determinism), then ``n_iters`` Lloyd steps run AS
+    DATAFRAME JOBS: assignment is an Arrow-batched argmax matmul per
+    partition, the mean-update a groupBy over (centroid, vector) — only
+    the centroid matrix (n_centroids x dim floats) ever reaches the
+    driver, which is model state, not data.  Returns a normalized numpy
+    array, row i = centroid i.
+    """
+    import numpy as np
+
+    init_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = _normalize(np.array([r[1] for r in init_rows], dtype=np.float64))
+
+    for _ in range(n_iters):
+        assign = ivf_assign_udf(centroids, n_probe=1)
+        assigned = corpus.select(
+            F.col(vec_col).alias("__v__"),
+            assign(F.col(vec_col))[0].alias("__c__"),
+        )
+        sums = (
+            assigned.select(
+                "__c__", F.posexplode(F.col("__v__")).alias("__i__", "__x__")
+            )
+            .groupBy("__c__", "__i__")
+            .agg(F.sum("__x__").alias("__s__"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_c: dict = {}
+        for r in sums:
+            by_c.setdefault(r["__c__"], {})[r["__i__"]] = r["__s__"]
+        for c, comps in by_c.items():
+            vec = np.array([comps.get(i, 0.0) for i in range(centroids.shape[1])])
+            if np.linalg.norm(vec) > 0:
+                new[c] = vec
+        centroids = _normalize(new)
+    return centroids
+
+
+def ivf_assign_udf(centroids, n_probe: int = 1):
+    """Arrow-batched UDF: array<int> of the ``n_probe`` nearest centroid
+    ids (by cosine = dot on normalized inputs) for each vector."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim x n_centroids
+
+    def assign(v):
+        import pandas as pd
+
+        vecs = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        sims = vecs @ cmat  # N x n_centroids
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return pandas_udf(assign, "array<int>", PandasUDFType.SCALAR)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    inverted list; a query scans only its ``n_probe`` closest lists.
+
+    The scale path complementing lsh_ann_topk: reads ~n_probe/n_centroids
+    of the corpus per query, shuffles on the centroid id (uniform-ish by
+    construction after Lloyd), scoring is exact on the probed subset.
+    Returns (query_id, neighbor_id, cos, rank).
+    """
+    centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, n_centroids, n_iters)
+
+    c_assign = ivf_assign_udf(centroids, n_probe=1)
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(parallelism).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+        c_assign(F.col(corpus_vec))[0].alias("__c__"),
+    )
+    q_assign = ivf_assign_udf(centroids, n_probe=n_probe)
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("__qv__"),
+        F.explode(q_assign(F.col(query_vec))).alias("__c__"),
+    )
+    candidates = F.broadcast(q).join(c, "__c__").select(
+        "qid", "__qv__", "neighbor_id", "__cv__"
+    )
+    scored = candidates.select(
+        F.col("qid").alias(query_id),
+        "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

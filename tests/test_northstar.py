@@ -153,3 +153,48 @@ def test_cosine_matches_numpy(spark):
     b32 = np.array(v2, dtype=np.float32).astype(np.float64)
     want = float(a32 @ b32 / (np.linalg.norm(a32) * np.linalg.norm(b32)))
     assert abs(got - want) < 1e-12
+
+
+def test_ivf_recall_against_bruteforce(spark, testdata):
+    """IVF with 4/16 probes must recover most exact top-10 neighbors."""
+    from fluss_datafusion_spark.corpus.northstar import (
+        ns_sim_ann_ivf,
+        ns_sim_topk_bruteforce,
+    )
+
+    sf_dir = testdata
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ns_sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"]) for r in ns_sim_ann_ivf(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_salted_join_equals_plain_join(spark, testdata):
+    """salted_join must be result-identical to the plain equi-join."""
+    from fluss_datafusion_spark.operators.skew import salted_join
+    from fluss_datafusion_spark.session import read_table
+
+    orders = read_table(spark, f"{testdata}/orders.parquet")
+    customer = read_table(spark, f"{testdata}/customer.parquet")
+
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), customer,
+        on=["c_custkey"], n_salts=8,
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer.filter("c_custkey < 100"),
+        on=["c_custkey"], how="left", n_salts=8,
+    )
+    assert left.count() == orders.count()

@@ -78,3 +78,26 @@ def test_plan_facts_broadcast_join(spark, log_dir):
     joined = big.join(F.broadcast(small), big.id == small.id2)
     assert uses_broadcast_join(joined)
     assert shuffle_count(joined) >= 1  # the broadcast exchange
+
+
+def test_pk_lookup_bucket_pruning(spark, tmp_path):
+    """A PK lookup on a bucketed table must prune to ONE __bkt__ dir:
+    the partition filter appears in the scan and only that directory's
+    files are read."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.plans.audit import plan_text
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE kv (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " DISTRIBUTED BY (id) INTO 8 BUCKETS"
+    )
+    e.sql("INSERT INTO kv SELECT id, concat('v', id) FROM range(0, 1000)")
+    out = e.catalog.lookup("kv", 7)
+    rows = out.collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(7, "v7")]
+    text = plan_text(out)
+    assert "__bkt__" in text  # partition filter reached the scan
+    # upsert still wins inside the pruned bucket
+    e.sql("INSERT INTO kv VALUES (7, 'v7b')")
+    assert e.catalog.lookup("kv", 7).collect()[0]["v"] == "v7b"

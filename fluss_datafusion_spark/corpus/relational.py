@@ -338,15 +338,18 @@ def q08_semi_join(spark, sf_dir):
     "q09_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def q09_anti_join(spark, sf_dir):
+    """Anti join that actually keeps rows (every customer has SOME order
+    in this data, so the filter keys the anti-join on big orders only)."""
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
+    big_orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
 
 
 @query(

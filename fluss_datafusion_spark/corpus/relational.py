@@ -1100,3 +1100,29 @@ def q44_cross_join(spark, sf_dir):
     a = na.select(F.col("n_name").alias("nation_a"), F.col("n_nationkey").alias("ka"))
     b = na.select(F.col("n_name").alias("nation_b"), F.col("n_nationkey").alias("kb"))
     return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("nation_a", "nation_b")
+
+
+@query("q45_approx_distinct")
+def q45_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts (rows-only: the sketch
+    estimate is engine-specific; tests assert <2% relative error vs the
+    exact count).  This is the mergeable-sketch shape that replaces
+    count(DISTINCT) at 100 TB — partial sketches combine map-side, no
+    exact-distinct shuffle explosion."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+    )
+
+
+@query("q46_approx_percentile")
+def q46_approx_percentile(spark, sf_dir):
+    """Approximate percentiles (rows-only; tests bound the error vs the
+    exact percentile).  Unlike exact percentile (per-group sort), the
+    digest is a bounded-size mergeable aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90_qty"),
+    )

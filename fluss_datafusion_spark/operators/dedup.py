@@ -225,24 +225,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification of candidates only (tiny relative to corpus);
-    # the shingle-array side is a dim-sized broadcast.
+    # Exact verification of candidates only (tiny relative to corpus).
+    # Both join branches broadcast the IDENTICAL shingle plan (aliased,
+    # not renamed) so ReuseExchange materializes the shingle table once —
+    # a renamed projection would defeat plan canonicalization and run the
+    # shingling expression a second time over the whole corpus.
     sh = df.select(
         F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
     )
+    sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
     verified = (
-        candidates.join(
-            F.broadcast(sh.withColumnRenamed("__id__", "id_a").withColumnRenamed("__sh__", "__sha__")),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sh.withColumnRenamed("__id__", "id_b").withColumnRenamed("__sh__", "__shb__")),
-            "id_b",
-        )
+        candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))
+        .join(sb, F.col("id_b") == F.col("sb.__id__"))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("__sha__", "__shb__"))
-            / F.size(F.array_union("__sha__", "__shb__")),
+            F.size(F.array_intersect("sa.__sh__", "sb.__sh__"))
+            / F.size(F.array_union("sa.__sh__", "sb.__sh__")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -198,3 +198,41 @@ def test_salted_join_equals_plain_join(spark, testdata):
         on=["c_custkey"], how="left", n_salts=8,
     )
     assert left.count() == orders.count()
+
+
+def test_sketch_aggregates_error_bounds(spark, testdata):
+    """Sketch entries must land near their exact counterparts."""
+    from fluss_datafusion_spark.corpus.relational import (
+        q45_approx_distinct,
+        q46_approx_percentile,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    li = read_table(spark, f"{testdata}/lineitem.parquet")
+    exact_d = {
+        r["l_returnflag"]: (r["orders"], r["parts"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    for r in q45_approx_distinct(spark, testdata).collect():
+        eo, ep = exact_d[r["l_returnflag"]]
+        assert abs(r["approx_orders"] - eo) / eo < 0.02
+        assert abs(r["approx_parts"] - ep) / ep < 0.02
+
+    exact_p = {
+        r["l_returnflag"]: (r["m"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for r in q46_approx_percentile(spark, testdata).collect():
+        m, p90 = exact_p[r["l_returnflag"]]
+        assert abs(r["approx_median_price"] - m) / m < 0.02
+        assert abs(r["approx_p90_qty"] - p90) / max(p90, 1) < 0.1

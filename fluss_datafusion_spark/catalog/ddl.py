@@ -224,3 +224,30 @@ def _validate(spec: TableSpec) -> None:
             raise ValueError(f"key column {key!r} not in column list of {spec.qualified_name}")
     for col in spec.columns:
         col.spark_type  # raises on unsupported type
+
+
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_database(sql: str) -> Optional[str]:
+    """Return the database name of a CREATE DATABASE/SCHEMA statement."""
+    match = _CREATE_DB_RE.match(sql)
+    if not match:
+        return None
+    return parse_qualified_name(match.group(1))[-1]
+
+
+def parse_drop_table(sql: str) -> Optional[str]:
+    """Return the (possibly qualified) target of a DROP TABLE statement."""
+    match = _DROP_TABLE_RE.match(sql)
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1)))

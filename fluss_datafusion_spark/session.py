@@ -97,6 +97,16 @@ class EngineSession:
             self.catalog.create_table(spec)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        database = ddl.parse_create_database(statement)
+        if database is not None:
+            self.catalog.create_database(database)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        drop_target = ddl.parse_drop_table(statement)
+        if drop_target is not None and self.catalog.has_table(drop_target):
+            self.catalog.drop_table(drop_target)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
         insert_target = ddl.parse_insert_target(statement)
         if insert_target is not None and self.catalog.has_table(insert_target):
             return self.catalog.insert_sql(insert_target, statement)

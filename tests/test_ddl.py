@@ -103,3 +103,23 @@ def test_is_engine_create_table():
     assert is_engine_create_table("CREATE TABLE t (x INT)")
     assert is_engine_create_table("  create   table t (x INT)")
     assert not is_engine_create_table("CREATE VIEW v AS SELECT 1")
+
+
+def test_create_database_and_drop_table_routing(spark, tmp_path):
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE DATABASE extra")
+    assert "extra" in e.catalog.list_databases()
+    rows = e.sql("SHOW DATABASES").collect()
+    assert {r["database_name"] for r in rows} >= {"fluss", "extra"}
+
+    e.sql("CREATE TABLE droppable (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    assert e.catalog.has_table("droppable")
+    e.sql("INSERT INTO droppable VALUES (1)")
+    e.sql("DROP TABLE droppable")
+    assert not e.catalog.has_table("droppable")
+    # SHOW TABLES no longer lists it
+    assert all(
+        r["table_name"] != "droppable" for r in e.sql("SHOW TABLES").collect()
+    )

@@ -119,40 +119,73 @@ class FlussCatalog:
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, as_of_seq: Optional[int] = None) -> DataFrame:
         """Snapshot read.  For PK tables: merged (upserted) current state.
 
         This is the analog of FlussScanExec's read-to-latest-offset snapshot
         (src/provider.rs:336-345): a batch read of files present now.
         Unlike the reference we do NOT require a LIMIT (documented
         divergence, SURVEY.md §2 quirk 1).
+
+        ``as_of_seq`` (PK tables only) time-travels: the state as of
+        statement sequence N — the log's ``__seq__`` stamps ARE offsets,
+        so a historical snapshot is just a filter below the merge.
         """
         spec = self.get_table(name)
-        return self._current_df(spec)
+        if as_of_seq is None:
+            return self._current_df(spec)
+        if not spec.has_primary_key:
+            raise ValueError("as_of_seq requires a primary-key table")
+        log = self._log_df(spec).filter(F.col(_SEQ) <= F.lit(int(as_of_seq)))
+        return self._merge_log(spec, log)
+
+    def current_seq(self, name: str) -> int:
+        """Latest statement sequence for a PK table (time-travel anchor)."""
+        return self._seq.get(self.get_table(name).qualified_name, 0)
 
     def lookup(self, name: str, key_value) -> DataFrame:
-        """PK point lookup: 0-or-1-row result for single-column-PK tables
-        (FlussLookupExec, src/provider.rs:257-321).  Expressed as a filter
-        so Catalyst pushes the predicate into the parquet scan (min/max +
-        dictionary pruning gives the point-read behavior on files).
+        """PK point lookup: 0-or-1-row result (FlussLookupExec,
+        src/provider.rs:257-321).  Expressed as a filter so Catalyst
+        pushes the predicate into the parquet scan (min/max + dictionary
+        pruning gives the point-read behavior on files).
+
+        Single-column PKs take a scalar; composite PKs take a dict
+        {column: value} covering every key column — exceeding the
+        reference, which always falls back to a scan for composite PKs
+        (src/provider.rs:144-146).
         """
         spec = self.get_table(name)
-        if len(spec.primary_key) != 1:
+        if isinstance(key_value, dict):
+            missing = set(spec.primary_key) - set(key_value)
+            extra = set(key_value) - set(spec.primary_key)
+            if missing or extra:
+                raise ValueError(
+                    f"composite lookup key must cover exactly {spec.primary_key};"
+                    f" missing={sorted(missing)} extra={sorted(extra)}"
+                )
+            key = dict(key_value)
+        elif len(spec.primary_key) == 1:
+            key = {spec.primary_key[0]: key_value}
+        else:
             raise ValueError(
-                f"point lookup requires a single-column primary key; "
-                f"{spec.qualified_name} has {spec.primary_key}"
+                f"composite primary key {spec.primary_key} requires a dict key; "
+                f"got scalar {key_value!r}"
             )
-        pk = spec.primary_key[0]
         # Filter the LOG below the dedup window (a post-window filter on
         # __bkt__ would not push past the window boundary).
-        log = self._log_df(spec).filter(F.col(pk) == F.lit(key_value))
-        if spec.num_buckets and spec.bucket_keys == [pk]:
+        log = self._log_df(spec)
+        for col, val in key.items():
+            log = log.filter(F.col(col) == F.lit(val))
+        if spec.num_buckets and spec.bucket_keys and set(spec.bucket_keys) <= set(key):
             # Bucket pruning: the key's bucket id is a literal at plan
             # time, and __bkt__ is a Hive partition directory — the scan
             # reads exactly ONE bucket's files (PartitionFilters), the
             # file-level analog of FlussLookupExec's single-KV read.
-            key_lit = F.lit(key_value).cast(spec.column(pk).spark_type)
-            log = log.filter(F.col(_BKT) == bucket_id_expr(spec, key_lit))
+            key_lits = [
+                F.lit(key[k]).cast(spec.column(k).spark_type)
+                for k in spec.bucket_keys
+            ]
+            log = log.filter(F.col(_BKT) == bucket_id_expr(spec, *key_lits))
         return self._merge_log(spec, log)
 
     def _log_df(self, spec: TableSpec) -> DataFrame:

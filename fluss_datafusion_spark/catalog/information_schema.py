@@ -155,7 +155,12 @@ def _list_partitions(catalog, spec: TableSpec):
     if os.path.isdir(path):
         for root, dirs, _files in os.walk(path):
             rel = os.path.relpath(root, path)
-            parts = [p for p in rel.split(os.sep) if "=" in p]
+            # user partition dirs only — physical __bkt__ bucket dirs are
+            # an internal layout detail, not a logical partition
+            parts = [
+                p for p in rel.split(os.sep)
+                if "=" in p and not p.startswith("__bkt__=")
+            ]
             if len(parts) == len(spec.partition_keys):
                 found.add(tuple(parts))
                 dirs[:] = []

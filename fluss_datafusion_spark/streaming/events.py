@@ -199,3 +199,21 @@ def running_user_counts(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
             update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute") -> DataFrame:
+    """Per-user session windows over the stream: watermark bounds state,
+    append mode emits a session once the watermark passes its close.
+    This is the operator the reference cannot express at all (it has no
+    window/watermark state; SURVEY.md §2 Tier B streaming row)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )

@@ -135,3 +135,36 @@ def test_compaction_preserves_state(fresh_engine):
     after = sorted((r["id"], r["v"]) for r in e.sql("SELECT * FROM c1").collect())
     assert before == after
     assert dict(after)[1] == "v4"
+
+
+def test_composite_pk_lookup_and_time_travel(fresh_engine):
+    e = fresh_engine
+    e.sql(
+        "CREATE TABLE cpk (a BIGINT NOT NULL, b STRING NOT NULL, v DOUBLE,"
+        " PRIMARY KEY (a, b)) DISTRIBUTED BY (a, b) INTO 4 BUCKETS"
+    )
+    e.sql("INSERT INTO cpk VALUES (1, 'x', 1.0), (1, 'y', 2.0), (2, 'x', 3.0)")
+    seq1 = e.catalog.current_seq("cpk")
+    e.sql("INSERT INTO cpk VALUES (1, 'x', 10.0)")  # upsert same composite key
+
+    # composite lookup returns the latest version
+    row = e.catalog.lookup("cpk", {"a": 1, "b": "x"}).collect()
+    assert [(r["a"], r["b"], r["v"]) for r in row] == [(1, "x", 10.0)]
+    # scalar key on a composite-PK table is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        e.catalog.lookup("cpk", 1)
+    with _pytest.raises(ValueError):
+        e.catalog.lookup("cpk", {"a": 1})
+
+    # time travel: state as of the first statement still sees v=1.0
+    old = {
+        (r["a"], r["b"]): r["v"]
+        for r in e.catalog.read("cpk", as_of_seq=seq1).collect()
+    }
+    assert old[(1, "x")] == 1.0 and len(old) == 3
+    now = {
+        (r["a"], r["b"]): r["v"] for r in e.catalog.read("cpk").collect()
+    }
+    assert now[(1, "x")] == 10.0

@@ -172,3 +172,41 @@ def test_stateful_running_counts(spark, replay_dir):
         for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, replay_dir):
+    """Append-mode session windows with a watermark: every emitted session
+    must equal the batch session result; sessions still open (or not yet
+    past the watermark) at stream end are the only ones missing."""
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    run_to_memory(session_counts(stream), "t_sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+
+    batch = spark.read.parquet(replay_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n"]
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
+    # the ordered replay closes the overwhelming majority of sessions
+    assert len(got) >= 0.8 * len(want), (len(got), len(want))

@@ -263,7 +263,9 @@ def ns_text_langid(spark, sf_dir):
     """Stopword-ratio language ID (first-max-wins in en,de,fr,es,zh
     order — the oracle encodes the identical cascade)."""
     docs = t(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("pred_lang"))
+    return tx.lang_id_table(docs, "doc_id", "text").select(
+        "doc_id", "lang", "pred_lang"
+    )
 
 
 @query(

@@ -134,3 +134,43 @@ def word_shingles(text, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def lang_id_table(df, id_col: str, text_col: str):
+    """DataFrame-level language ID with the same first-max-wins cascade
+    as lang_id(), restructured for scale: explode tokens once, keep only
+    stopword hits (tiny), count per (doc, lang) with map-side combine,
+    and join the counts back.  Everything is codegen'd — the Column
+    version's interpreted filter lambdas re-walk the token array per
+    score reference, which is the right shape only for ad-hoc use.
+
+    Returns df plus a ``pred_lang`` column.
+    """
+    from pyspark.sql import functions as F
+
+    all_words = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__t__"))
+        .filter(F.col("__t__").isin(*all_words))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.count(F.when(F.col("__t__").isin(*ws), 1)).alias(f"__s_{lang}__")
+                for lang, ws in LANG_STOPWORDS.items()
+            ]
+        )
+    )
+    out = df.join(hits, id_col, "left")
+    best, best_score = None, None
+    for lang in LANG_STOPWORDS:
+        score = F.coalesce(F.col(f"__s_{lang}__"), F.lit(0))
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return out.withColumn("pred_lang", pred).drop(
+        *[f"__s_{lang}__" for lang in LANG_STOPWORDS]
+    )

@@ -1126,3 +1126,74 @@ def q46_approx_percentile(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90_qty"),
     )
+
+
+@query(
+    "q47_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q47_listagg(spark, sf_dir):
+    """Ordered string aggregation (listagg): sort_array(collect_set)
+    gives deterministic, engine-portable ordering."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q48_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(tk, 1) - 1 AS INT) AS pos,
+           unnest(tk) AS word
+    FROM (SELECT doc_id, str_split(lower(trim(text)), ' ') AS tk
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def q48_posexplode(spark, sf_dir):
+    """Positional explode (table function with ordinality)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 20)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "word"),
+        )
+    )
+
+
+@query(
+    "q49_inline_values",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES ('small', 0.0, 50000.0),
+                                        ('medium', 50000.0, 200000.0),
+                                        ('large', 200000.0, 1e12))
+    SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+)
+def q49_inline_values(spark, sf_dir):
+    """Inline VALUES relation joined as a broadcast range-band table."""
+    v(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH tiers AS (SELECT * FROM VALUES ('small', 0.0, 50000.0),
+                                            ('medium', 50000.0, 200000.0),
+                                            ('large', 200000.0, 1e12)
+                       AS t(tier, lo, hi))
+        SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY tier
+        """
+    )

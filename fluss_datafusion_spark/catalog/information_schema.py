@@ -98,6 +98,7 @@ def register_views(catalog) -> None:
     stats = []
     for s in specs:
         parts = _list_partitions(catalog, s)
+        bucket_rows = _bucket_row_counts(catalog, s)
         for pid, pname, qname in parts:
             partitions.append((s.database, s.name, pid, pname, qname))
             for bucket_id in range(s.num_buckets or 1):
@@ -108,7 +109,11 @@ def register_views(catalog) -> None:
                         pid,
                         bucket_id,
                         ",".join(s.bucket_keys) if s.bucket_keys else None,
-                        None,
+                        # REAL per-bucket row counts from parquet footers
+                        # (the reference leaves these NULL — a TODO at
+                        # src/catalog/schema.rs:547).  Physical log rows;
+                        # for PK tables this counts pre-merge appends.
+                        bucket_rows.get((qname, bucket_id)),
                     )
                 )
         row_count, size_bytes, mtime = _table_stats(catalog, s)
@@ -230,3 +235,41 @@ def format_create_table_sql(spec: TableSpec) -> str:
         )
         lines.append("WITH (\n" + props + "\n)")
     return "\n".join(lines)
+
+
+def _bucket_row_counts(catalog, spec: TableSpec):
+    """(partition_qualified_name, bucket_id) -> physical row count, read
+    from parquet footers (no Spark job; footer metadata only)."""
+    if not (spec.num_buckets and spec.bucket_keys):
+        return {}
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return {}
+    counts = {}
+    base = catalog.table_path(spec)
+    if not os.path.isdir(base):
+        return counts
+    n_pkeys = len(spec.partition_keys or [])
+    for root, _dirs, files in os.walk(base):
+        rel = os.path.relpath(root, base)
+        segs = [] if rel == "." else rel.split(os.sep)
+        bkt = next(
+            (s for s in segs if s.startswith("__bkt__=")), None
+        )
+        if bkt is None:
+            continue
+        user_parts = [s for s in segs if "=" in s and not s.startswith("__bkt__=")]
+        qname = "/".join(user_parts) if n_pkeys else "__non_partitioned__"
+        bucket_id = int(bkt.split("=", 1)[1])
+        total = 0
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+                except Exception:
+                    pass
+        if total:
+            key = (qname, bucket_id)
+            counts[key] = counts.get(key, 0) + total
+    return counts

@@ -139,3 +139,21 @@ def test_table_stats_real_values(meta_engine):
     # reference leaves these NULL (schema.rs:652-699); we compute real values
     assert stats["events_partitioned"][0] == 3
     assert stats["events_partitioned"][1] > 0
+
+
+def test_show_buckets_real_row_counts(spark, tmp_path):
+    """SHOW BUCKETS reports physical per-bucket row counts (the reference
+    leaves row_count NULL, schema.rs:547)."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE bt (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " DISTRIBUTED BY (id) INTO 4 BUCKETS"
+    )
+    e.sql("INSERT INTO bt SELECT id, concat('v', id) FROM range(0, 400)")
+    rows = e.sql("SHOW BUCKETS bt").collect()
+    assert len(rows) == 4
+    counted = {r["bucket_id"]: r["row_count"] for r in rows}
+    assert sum(v or 0 for v in counted.values()) == 400
+    assert all(v and v > 0 for v in counted.values())  # hash spread hits all 4

@@ -64,6 +64,9 @@ class FlussCatalog:
         self.default_database = default_database
         self.databases: Dict[str, Dict[str, TableSpec]] = {default_database: {}}
         self._seq: Dict[str, int] = {}
+        # time-travel floor per table: anchors below this were discarded
+        # by compaction and cannot be served
+        self._floor: Dict[str, int] = {}
 
     # -- database ops -------------------------------------------------------
 
@@ -136,6 +139,12 @@ class FlussCatalog:
             return self._current_df(spec)
         if not spec.has_primary_key:
             raise ValueError("as_of_seq requires a primary-key table")
+        floor = self._floor.get(spec.qualified_name, 0)
+        if as_of_seq < floor:
+            raise ValueError(
+                f"history before seq {floor} was discarded by compaction; "
+                f"cannot time-travel to seq {as_of_seq}"
+            )
         log = self._log_df(spec).filter(F.col(_SEQ) <= F.lit(int(as_of_seq)))
         return self._merge_log(spec, log)
 
@@ -155,6 +164,11 @@ class FlussCatalog:
         (src/provider.rs:144-146).
         """
         spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"point lookup requires a primary-key table; "
+                f"{spec.qualified_name} is a log table"
+            )
         if isinstance(key_value, dict):
             missing = set(spec.primary_key) - set(key_value)
             extra = set(key_value) - set(spec.primary_key)
@@ -191,10 +205,7 @@ class FlussCatalog:
     def _log_df(self, spec: TableSpec) -> DataFrame:
         path = self.table_path(spec)
         if not _has_data(path):
-            schema = spec.spark_schema()
-            if spec.has_primary_key:
-                schema = schema.add(_SEQ, "long").add(_SUB, "long")
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self._stored_schema(spec))
         return self.spark.read.schema(self._stored_schema(spec)).parquet(path)
 
     def _stored_schema(self, spec: TableSpec):
@@ -210,10 +221,15 @@ class FlussCatalog:
     def _current_df(self, spec: TableSpec) -> DataFrame:
         return self._merge_log(spec, self._log_df(spec))
 
-    def _merge_log(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+    def _merge_log(
+        self, spec: TableSpec, df: DataFrame, keep_internal: bool = False
+    ) -> DataFrame:
         """Upsert view over (a subset of) the log: last write per key
-        wins.  One shuffle on the PK; internal columns dropped."""
-        internal = [c for c in (_SEQ, _SUB, _BKT) if c in df.columns]
+        wins.  One shuffle on the PK; internal columns dropped unless
+        ``keep_internal`` (compaction preserves the original stamps)."""
+        internal = [] if keep_internal else [
+            c for c in (_SEQ, _SUB, _BKT) if c in df.columns
+        ]
         if not spec.has_primary_key:
             return df.drop(*internal)
         order = Window.partitionBy(*spec.primary_key).orderBy(
@@ -320,19 +336,25 @@ class FlussCatalog:
     def compact(self, name: str) -> None:
         """Materialize a PK table's merged state and truncate its log —
         the LSM-compaction analog.  At scale this bounds read amplification
-        of the window-dedup to the data written since the last compaction."""
+        of the window-dedup to the data written since the last compaction.
+
+        Surviving rows KEEP their original ``__seq__``/``__sub__`` stamps
+        and the statement counter keeps rising monotonically, so
+        time-travel anchors taken after this compaction stay exact.
+        History below the compaction point is gone (overwritten versions
+        are discarded — that's what compaction is); ``read(as_of_seq=N)``
+        with N below the floor raises instead of returning wrong state.
+        """
         spec = self.get_table(name)
         if not spec.has_primary_key:
             return
-        merged = self._current_df(spec)
-        merged = merged.withColumn(_SEQ, F.lit(0)).withColumn(
-            _SUB, F.monotonically_increasing_id()
-        )
+        merged = self._merge_log(spec, self._log_df(spec), keep_internal=True)
         partition_cols = list(spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
-            merged = merged.withColumn(
-                _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
-            )
+            if _BKT not in merged.columns:
+                merged = merged.withColumn(
+                    _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
+                )
             partition_cols.append(_BKT)
         path = self.table_path(spec)
         tmp = path + ".compact"
@@ -342,7 +364,7 @@ class FlussCatalog:
         writer.parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
-        self._seq[spec.qualified_name] = 1
+        self._floor[spec.qualified_name] = self._seq.get(spec.qualified_name, 0)
         self._register_view(spec)
 
 

@@ -227,9 +227,12 @@ def _validate(spec: TableSpec) -> None:
 
 
 _CREATE_DB_RE = re.compile(
+    # trailing COMMENT / WITH (...) clauses are tolerated (and ignored) so
+    # the statement still routes to the engine catalog instead of silently
+    # creating a database in Spark's own catalog
     r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*$",
-    re.IGNORECASE,
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*(?:COMMENT\s+'[^']*'\s*)?(?:WITH\s*\(.*\)\s*)?$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",

@@ -187,10 +187,17 @@ def ns_sim_ann_lsh(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 5)
     res = similarity.lsh_ann_topk(
         emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
-        k=10, dim=64, n_planes=4, n_tables=8,
+        k=11, dim=64, n_planes=4, n_tables=8,
     )
-    return res.filter(F.col("neighbor_id") != F.col("vec_id")).select(
-        "vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    # k=11 then drop the self-match and re-rank (see ns_sim_ann_ivf).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        res.filter(F.col("neighbor_id") != F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
 
 
@@ -408,8 +415,16 @@ def ns_sim_ann_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 5)
     res = similarity.ivf_ann_topk(
         emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
-        k=10, n_centroids=16, n_probe=4, n_iters=2,
+        k=11, n_centroids=16, n_probe=4, n_iters=2,
     )
-    return res.filter(F.col("neighbor_id") != F.col("vec_id")).select(
-        "vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    # k=11 then drop the self-match and re-rank -> a clean 10-neighbor
+    # top-10 with ranks 1..10 (same convention as the brute-force entry).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        res.filter(F.col("neighbor_id") != F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )

@@ -121,7 +121,7 @@ def st_late_data_filter(spark, sf_dir):
     s AS (
         SELECT user_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
@@ -141,7 +141,10 @@ def st_late_data_filter(spark, sf_dir):
 def st_session_window(spark, sf_dir):
     """Per-user session windows with a 30-minute inactivity gap
     (session_window.start = first event, .end = last event + gap; the
-    oracle derives the same sessions with a lag/cumulative-sum pass)."""
+    oracle derives the same sessions with a lag/cumulative-sum pass).
+    NB Spark merges an event into the open session only while
+    ts < session_end, so a gap of EXACTLY 30 minutes starts a new
+    session — the oracle's split condition is therefore >=."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

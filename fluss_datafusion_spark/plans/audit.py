@@ -1,6 +1,6 @@
 """Physical-plan inspection: the facts that decide whether a plan
 survives a 100x scale-up — filter pushdown into the scan, column-pruned
-read schema, join strategy selection, shuffle count, codegen spans.
+read schema, join strategy selection, shuffle count.
 
 Used by tests (assert a plan property, not just a result) and by
 ``tools/explain_audit.py`` (writes PLANS.md).
@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame
 
 
 def plan_text(df: DataFrame) -> str:
-    """Executed-plan string (pre-AQE final plan; strategy choices and
-    scan metadata are already decided)."""
+    """Executed-plan string (AdaptiveSparkPlan skeleton: join strategies,
+    exchanges and scan metadata are decided; NOTE under AQE the string
+    never carries WholeStageCodegen span annotations — a `df.write`
+    creates its own QueryExecution, so this df's plan never finalizes —
+    which is why no codegen metric is reported here)."""
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -35,7 +38,6 @@ def plan_facts(df: DataFrame) -> Dict:
                 )
             )
         ),
-        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", text))),
         "exchanges": len(re.findall(r"Exchange ", text)),
         "text": text,
     }
@@ -50,8 +52,11 @@ def read_columns(df: DataFrame) -> List[List[str]]:
 
 
 def has_pushed_filter(df: DataFrame, column: str) -> bool:
-    """True if some predicate on ``column`` reached the data source."""
-    return any(column in p for p in plan_facts(df)["pushed_filters"])
+    """True if some predicate on ``column`` reached the data source.
+    Word-boundary match — a bare substring test would false-positive
+    short names (e.g. 'id' inside IsNotNull(vec_id))."""
+    pat = re.compile(rf"[(,]\s*{re.escape(column)}\s*[),]")
+    return any(pat.search(p) for p in plan_facts(df)["pushed_filters"])
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

@@ -67,7 +67,11 @@ def incremental_scan(
     the offsets-delta read a follow-up bounded consumption would do.
     Returns an empty DataFrame (correct schema) when nothing is new."""
     current = list_snapshot_files(path)
-    new_files = [f for f in current if f not in set(since_files)]
+    prev = set(since_files)
+    new_files = [f for f in current if f not in prev]
     if not new_files:
-        return spark.read.parquet(*current).limit(0)
+        base = current or since_files
+        if not base:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        return spark.read.parquet(*base).limit(0)
     return spark.read.parquet(*new_files)

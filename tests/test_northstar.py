@@ -236,3 +236,28 @@ def test_sketch_aggregates_error_bounds(spark, testdata):
         m, p90 = exact_p[r["l_returnflag"]]
         assert abs(r["approx_median_price"] - m) / m < 0.02
         assert abs(r["approx_p90_qty"] - p90) / max(p90, 1) < 0.1
+
+
+def test_lsh_bucket_udf_matches_expression_variant(spark):
+    """The Arrow-batched bucket UDF must produce the same bucket ids as
+    the pure-expression formulation (_bucket_expr) it replaced — this
+    pins the 'same bit convention' determinism claim."""
+    from fluss_datafusion_spark.operators.similarity import (
+        _table_buckets,
+        _table_buckets_udf,
+    )
+
+    dim, n_planes, n_tables, seed = 8, 4, 3, 42
+    vecs = [
+        (i, [((i * 7 + j * 13) % 19) - 9.0 for j in range(dim)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(vecs, "id int, v array<float>")
+    expr_rows = df.select(
+        "id", _table_buckets(F.col("v"), dim, n_planes, n_tables, seed).alias("b")
+    ).collect()
+    udf_rows = df.select(
+        "id", _table_buckets_udf(dim, n_planes, n_tables, seed)(F.col("v")).alias("b")
+    ).collect()
+    expr = {r["id"]: [e["bucket"] for e in r["b"]] for r in expr_rows}
+    udf = {r["id"]: list(r["b"]) for r in udf_rows}
+    assert expr == udf

@@ -168,3 +168,33 @@ def test_composite_pk_lookup_and_time_travel(fresh_engine):
         (r["a"], r["b"]): r["v"] for r in e.catalog.read("cpk").collect()
     }
     assert now[(1, "x")] == 10.0
+
+
+def test_compaction_preserves_time_travel_anchors(fresh_engine):
+    """compact() must keep post-compaction anchors exact (monotonic seq)
+    and refuse anchors whose history it discarded."""
+    e = fresh_engine
+    e.sql("CREATE TABLE tt (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO tt VALUES (1, 'a')")          # seq 1
+    e.sql("INSERT INTO tt VALUES (1, 'b'), (2, 'x')")  # seq 2
+    anchor = e.catalog.current_seq("tt")               # 2
+    e.catalog.compact("tt")
+    e.sql("INSERT INTO tt VALUES (1, 'c')")            # seq 3 (monotonic)
+
+    # anchor taken at seq 2 still returns the seq-2 state after compaction
+    got = {r["id"]: r["v"] for r in e.catalog.read("tt", as_of_seq=anchor).collect()}
+    assert got == {1: "b", 2: "x"}
+    # current state sees the post-compaction write
+    now = {r["id"]: r["v"] for r in e.catalog.read("tt").collect()}
+    assert now == {1: "c", 2: "x"}
+    # history below the compaction floor is refused, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction"):
+        e.catalog.read("tt", as_of_seq=1)
+    # lookup on an empty bucketed table returns empty, not a crash
+    e.sql(
+        "CREATE TABLE ebt (id BIGINT NOT NULL, PRIMARY KEY (id))"
+        " DISTRIBUTED BY (id) INTO 4 BUCKETS"
+    )
+    assert e.catalog.lookup("ebt", 1).count() == 0

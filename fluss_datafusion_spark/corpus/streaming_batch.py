@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from fluss_datafusion_spark.corpus import query, t
+from fluss_datafusion_spark.corpus import query, t, v
 
 
 @query(
@@ -156,4 +156,98 @@ def st_session_window(spark, sf_dir):
             "n",
             "total_value",
         )
+    )
+
+
+@query(
+    "st_range_join",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, value,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS p,
+               event_type
+        FROM events
+    ),
+    anchors AS (
+        SELECT event_id AS anchor_id, p AS s, p + 1800 AS e
+        FROM pts WHERE event_type = 'purchase'
+    )
+    SELECT anchor_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM pts JOIN anchors ON pts.p >= anchors.s AND pts.p < anchors.e
+    GROUP BY anchor_id
+    """,
+)
+def st_range_join(spark, sf_dir):
+    """Point-in-interval range join: every purchase opens a 30-minute
+    attribution window; count/sum all events landing inside it.  Runs
+    through operators.range_join.point_in_interval_join — a bucketized
+    equi-join (one hash shuffle), NOT the BroadcastNestedLoopJoin Spark
+    would plan for the raw inequality predicate.  DuckDB's IEJoin is
+    the oracle."""
+    from fluss_datafusion_spark.operators.range_join import point_in_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "value", F.col("ts").cast("long").alias("p")
+    )
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("anchor_id"),
+            F.col("ts").cast("long").alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.lit(1800))
+    )
+    joined = point_in_interval_join(pts, anchors, "p", "s", "e", bucket_width=1800)
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "st_hypertable_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               date_trunc('day',  CAST(ts AS TIMESTAMP)) AS d,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS w,
+               value
+        FROM events
+    )
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'week' END AS granularity,
+           CAST(coalesce(h, d, w) AS TIMESTAMP) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY GROUPING SETS ((h), (d), (w))
+    """,
+)
+def st_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour, day, and
+    week granularities of the events stream in ONE pass — GROUPING SETS
+    plans a single Expand + one shuffle instead of three scans of the
+    (100 TB) fact table.  The reference has no time-series rollup;
+    TimescaleDB's continuous aggregates are the model."""
+    v(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH e AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   date_trunc('day',  ts) AS d,
+                   date_trunc('week', ts) AS w,
+                   value
+            FROM events
+        )
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'week' END AS granularity,
+               coalesce(h, d, w) AS bucket_start,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY GROUPING SETS ((h), (d), (w))
+        """
     )

@@ -101,3 +101,62 @@ def test_pk_lookup_bucket_pruning(spark, tmp_path):
     # upsert still wins inside the pruned bucket
     e.sql("INSERT INTO kv VALUES (7, 'v7b')")
     assert e.catalog.lookup("kv", 7).collect()[0]["v"] == "v7b"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketBy'd on the join key join with ZERO exchanges —
+    the co-located join `DISTRIBUTED BY ... INTO n BUCKETS` exists for."""
+    from fluss_datafusion_spark.operators.colocate import (
+        colocated_join,
+        write_bucketed,
+    )
+    from fluss_datafusion_spark.plans.audit import plan_facts
+    from fluss_datafusion_spark.session import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001/orders.parquet")
+    cust = read_table(spark, "/root/testdata/sf0.001/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "orders_b", 8, ["o_custkey"], sorted_by=["o_custkey"])
+    write_bucketed(cust, "customer_b", 8, ["o_custkey"], sorted_by=["o_custkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "orders_b", "customer_b", ["o_custkey"])
+        facts = plan_facts(joined)
+        assert facts["exchanges"] == 0, facts["text"]
+        assert "SortMergeJoin" in facts["joins"]
+        plain = orders.join(cust, "o_custkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """point_in_interval_join must plan as an equi hash/sort-merge join
+    on the bucket id — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what the raw inequality predicate would produce."""
+    import duckdb
+
+    from fluss_datafusion_spark.corpus import QUERIES, ORACLES, load_all
+    from fluss_datafusion_spark.plans.audit import plan_facts
+
+    load_all()
+    df = QUERIES["st_range_join"](spark, "/root/testdata/sf0.001")
+    facts = plan_facts(df)
+    assert not {"BroadcastNestedLoopJoin", "CartesianProduct"} & set(
+        facts["joins"]
+    ), facts["text"]
+
+    con = duckdb.connect()
+    for name in ("events",):
+        con.sql(
+            f"CREATE VIEW {name} AS FROM '/root/testdata/sf0.001/{name}.parquet'"
+        )
+    expected = con.sql(ORACLES["st_range_join"]).df()
+    got = df.toPandas()
+    assert len(got) == len(expected)
+    assert abs(got["total_value"].sum() - expected["total_value"].sum()) < 1e-6

@@ -152,6 +152,63 @@ class FlussCatalog:
         """Latest statement sequence for a PK table (time-travel anchor)."""
         return self._seq.get(self.get_table(name).qualified_name, 0)
 
+    def read_changelog(self, name: str) -> DataFrame:
+        """Change stream of a PK table: one row per change with
+        ``op`` ∈ {+I, -U, +U} — Fluss's changelog duality (a PK table IS
+        a compacted changelog; the reference exposes only the snapshot
+        side, src/provider.rs:336-353, so this exceeds it).
+
+        Per key in ``(__seq__, __sub__)`` order: the first write emits
+        +I(new row); every overwrite emits -U(old row) then +U(new row).
+        ``change_seq``/``change_sub`` stamp each change with the
+        statement that produced it (-U carries the stamps of the write
+        that retracted it, matching Fluss: retraction and update ship in
+        the same commit).
+
+        One window pass + one explode — a single hash shuffle on the PK,
+        no self-join, so the changelog derivation scales exactly like the
+        merge-on-read view itself.
+        """
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"changelog requires a primary-key table; "
+                f"{spec.qualified_name} is a log table (its changelog is "
+                f"the table itself: every row is +I)"
+            )
+        log = self._log_df(spec)
+        data_cols = spec.spark_schema().fieldNames()
+        w = Window.partitionBy(*spec.primary_key).orderBy(
+            F.col(_SEQ).asc(), F.col(_SUB).asc()
+        )
+        cur = F.struct(*[F.col(c) for c in data_cols])
+        prev = F.lag(cur).over(w)
+        changes = F.when(
+            prev.isNull(),
+            F.array(F.struct(F.lit("+I").alias("op"), cur.alias("row"))),
+        ).otherwise(
+            F.array(
+                F.struct(F.lit("-U").alias("op"), prev.alias("row")),
+                F.struct(F.lit("+U").alias("op"), cur.alias("row")),
+            )
+        )
+        # window expr materialized before the generator: Spark rejects
+        # window functions inside explode()
+        return (
+            log.withColumn("__changes__", changes)
+            .select(
+                F.col(_SEQ).alias("change_seq"),
+                F.col(_SUB).alias("change_sub"),
+                F.explode("__changes__").alias("__c__"),
+            )
+            .select(
+                F.col("__c__.op").alias("op"),
+                "change_seq",
+                "change_sub",
+                *[F.col(f"__c__.row.{c}").alias(c) for c in data_cols],
+            )
+        )
+
     def lookup(self, name: str, key_value) -> DataFrame:
         """PK point lookup: 0-or-1-row result (FlussLookupExec,
         src/provider.rs:257-321).  Expressed as a filter so Catalyst

@@ -11,6 +11,7 @@ and micro-batch execution, which the streaming tests assert separately.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.corpus import query, t, v
@@ -250,4 +251,62 @@ def st_hypertable_rollup(spark, sf_dir):
                round(sum(value), 2) AS total_value
         FROM e GROUP BY GROUPING SETS ((h), (d), (w))
         """
+    )
+
+
+@query(
+    "st_pk_changelog",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER w AS rn,
+               lag(event_id) OVER w AS prev_event_id,
+               lag(value) OVER w AS prev_value
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS op,
+           event_id AS change_event_id,
+           user_id, event_id, round(value, 2) AS value_r
+    FROM o
+    UNION ALL
+    SELECT '-U' AS op, event_id AS change_event_id,
+           user_id, prev_event_id AS event_id, round(prev_value, 2) AS value_r
+    FROM o WHERE rn > 1
+    """,
+)
+def st_pk_changelog(spark, sf_dir):
+    """Changelog derivation (Fluss's PK-table change stream: +I on first
+    write per key, -U/+U retraction pairs on overwrites), applied to the
+    events table read as an upsert stream keyed by user_id.  Same
+    single-window-pass + explode shape as catalog.read_changelog — one
+    hash shuffle, no self-join (the oracle needs TWO passes, a UNION of
+    window selects; ours is one)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = F.struct("event_id", "value")
+    prev = F.lag(cur).over(w)
+    changes = F.when(
+        prev.isNull(), F.array(F.struct(F.lit("+I").alias("op"), cur.alias("row")))
+    ).otherwise(
+        F.array(
+            F.struct(F.lit("-U").alias("op"), prev.alias("row")),
+            F.struct(F.lit("+U").alias("op"), cur.alias("row")),
+        )
+    )
+    return (
+        ev.withColumn("__changes__", changes)
+        .select(
+            F.col("event_id").alias("change_event_id"),
+            "user_id",
+            F.explode("__changes__").alias("__c__"),
+        )
+        .select(
+            F.col("__c__.op").alias("op"),
+            "change_event_id",
+            "user_id",
+            F.col("__c__.row.event_id").alias("event_id"),
+            F.round("__c__.row.value", 2).alias("value_r"),
+        )
     )

@@ -198,3 +198,45 @@ def test_compaction_preserves_time_travel_anchors(fresh_engine):
         " DISTRIBUTED BY (id) INTO 4 BUCKETS"
     )
     assert e.catalog.lookup("ebt", 1).count() == 0
+
+
+def test_pk_changelog_emits_insert_and_update_ops(fresh_engine):
+    """read_changelog derives the Fluss change stream (+I / -U / +U)
+    from the PK log: first write per key is +I, each overwrite retracts
+    the old row (-U) and asserts the new one (+U)."""
+    e = fresh_engine
+    e.sql("CREATE TABLE kv (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+    e.sql("INSERT INTO kv VALUES (1, 'a2')")
+    e.sql("INSERT INTO kv VALUES (1, 'a3'), (3, 'c')")
+
+    rows = sorted(
+        e.catalog.read_changelog("kv").collect(),
+        # within one change the retraction precedes the new image
+        key=lambda r: (r["change_seq"], r["change_sub"], r["op"] != "-U"),
+    )
+    got = [(r["op"], r["id"], r["v"]) for r in rows]
+    assert got == [
+        ("+I", 1, "a"),
+        ("+I", 2, "b"),
+        ("-U", 1, "a"),
+        ("+U", 1, "a2"),
+        ("-U", 1, "a2"),
+        ("+U", 1, "a3"),
+        ("+I", 3, "c"),
+    ]
+
+    # changelog replay reconstructs the snapshot: last +I/+U per key
+    finals = {}
+    for op, k, v in got:
+        if op in ("+I", "+U"):
+            finals[k] = v
+    snapshot = {r["id"]: r["v"] for r in e.sql("SELECT * FROM kv").collect()}
+    assert finals == snapshot
+
+    # log tables have no changelog (every row is an insert)
+    e.sql("CREATE TABLE logt (x BIGINT)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="primary-key"):
+        e.catalog.read_changelog("logt")

@@ -201,6 +201,76 @@ def running_user_counts(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def changelog_stream(
+    stream: DataFrame,
+    key_cols,
+    order_cols,
+    image_cols,
+) -> DataFrame:
+    """Streaming changelog derivation: turn an upsert stream into
+    +I/-U/+U change rows ACROSS micro-batches — the streaming half of
+    the table↔changelog duality (batch half: catalog.read_changelog).
+    The reference cannot express this at all: it has no keyed state
+    (SURVEY.md §2 Tier B streaming row).
+
+    Keyed state via applyInPandasWithState holds the last image per key
+    (a few values per key — the minimal state for CDC).  Within a batch
+    rows are ordered by ``order_cols``; the first-ever write per key
+    emits +I, every later one emits -U(previous image) then +U(new).
+    Emission is per-batch (output mode "update"): the union of all
+    batches' outputs is the full changelog.
+
+    Scale shape: state is hash-partitioned on the key (same shuffle a
+    streaming agg pays); per-key per-batch row counts are small, so the
+    python loop inside each group is bounded by batch size, not corpus
+    size.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_cols, order_cols, image_cols = (
+        list(key_cols),
+        list(order_cols),
+        list(image_cols),
+    )
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    key_ddl = ", ".join(f"{c} {fields[c]}" for c in key_cols)
+    img_ddl = ", ".join(f"{c} {fields[c]}" for c in image_cols)
+    output_schema = f"op string, {key_ddl}, {img_ddl}"
+    state_schema = img_ddl
+
+    def update(key, pdf_iter, state):
+        def native(v):
+            return v.item() if hasattr(v, "item") else v
+
+        prev = list(state.get) if state.exists else None
+        ops, images = [], []
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(order_cols, kind="mergesort")
+            for row in batch.itertuples(index=False):
+                img = [native(getattr(row, c)) for c in image_cols]
+                if prev is None:
+                    ops.append("+I")
+                    images.append(img)
+                else:
+                    ops.append("-U")
+                    images.append(prev)
+                    ops.append("+U")
+                    images.append(img)
+                prev = img
+            state.update(tuple(prev))
+        out = pd.DataFrame(images, columns=image_cols)
+        out.insert(0, "op", ops)
+        for i, c in enumerate(key_cols):
+            out.insert(1 + i, c, native(key[i]))
+        yield out
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute") -> DataFrame:
     """Per-user session windows over the stream: watermark bounds state,
     append mode emits a session once the watermark passes its close.

@@ -210,3 +210,51 @@ def test_streaming_session_window_matches_batch(spark, replay_dir):
     assert all(want[k] == v for k, v in got.items())
     # the ordered replay closes the overwhelming majority of sessions
     assert len(got) >= 0.8 * len(want), (len(got), len(want))
+
+
+def test_changelog_stream_matches_batch_derivation(spark, tmp_path):
+    """Replaying the events upsert stream in micro-batches through the
+    stateful changelog operator emits exactly the batch-derived
+    changelog (+I/-U/+U per key in ts order) — state carries the last
+    image per key across batch boundaries."""
+    import duckdb
+
+    from fluss_datafusion_spark.corpus import ORACLES, load_all
+    from fluss_datafusion_spark.streaming.events import (
+        changelog_stream,
+        chunk_table_for_replay,
+        events_stream,
+        run_to_memory,
+    )
+
+    load_all()
+    replay_dir = chunk_table_for_replay(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "replay"), n_chunks=4
+    )
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    run_to_memory(
+        changelog_stream(
+            stream,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            image_cols=["event_id", "value"],
+        ),
+        "t_changelog",
+        output_mode="update",
+    )
+    got = {
+        (r["op"], r["user_id"], r["event_id"], round(r["value"], 2))
+        for r in spark.sql("SELECT * FROM t_changelog").collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = {
+        (r.op, r.user_id, r.event_id, round(r.value_r, 2))
+        for r in con.sql(ORACLES["st_pk_changelog"]).df().itertuples(index=False)
+    }
+    assert got == want
+    # sanity: updates exist (state crossed batch boundaries)
+    assert any(op == "-U" for op, *_ in got)

@@ -261,3 +261,17 @@ def test_lsh_bucket_udf_matches_expression_variant(spark):
     expr = {r["id"]: [e["bucket"] for e in r["b"]] for r in expr_rows}
     udf = {r["id"]: list(r["b"]) for r in udf_rows}
     assert expr == udf
+
+
+def test_minhash_arrow_and_agg_modes_identical(spark):
+    """The numpy band-bucket path and the codegen'd min-agg path share
+    the same permutations and must yield the SAME verified pairs."""
+    from fluss_datafusion_spark.corpus import t
+    from fluss_datafusion_spark.operators import dedup
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    arrow = dedup.minhash_lsh_pairs(docs, "doc_id", "text", mode="arrow")
+    agg = dedup.minhash_lsh_pairs(docs, "doc_id", "text", mode="agg")
+    pa = {(r["id_a"], r["id_b"]) for r in arrow.collect()}
+    pb = {(r["id_a"], r["id_b"]) for r in agg.collect()}
+    assert pa == pb and pa

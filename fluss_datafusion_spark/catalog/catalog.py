@@ -40,6 +40,7 @@ from fluss_datafusion_spark.catalog.metadata import TableSpec
 _SEQ = "__seq__"
 _SUB = "__sub__"
 _BKT = "__bkt__"
+_DEL = "__del__"
 
 
 def bucket_id_expr(spec: TableSpec, *key_cols) -> F.Column:
@@ -159,11 +160,13 @@ class FlussCatalog:
         side, src/provider.rs:336-353, so this exceeds it).
 
         Per key in ``(__seq__, __sub__)`` order: the first write emits
-        +I(new row); every overwrite emits -U(old row) then +U(new row).
-        ``change_seq``/``change_sub`` stamp each change with the
-        statement that produced it (-U carries the stamps of the write
-        that retracted it, matching Fluss: retraction and update ship in
-        the same commit).
+        +I(new row); every overwrite emits -U(old row) then +U(new row);
+        a tombstone (DELETE) emits -D carrying the deleted image, and a
+        re-insert after a delete emits +I again.  Deletes of absent keys
+        emit nothing.  ``change_seq``/``change_sub`` stamp each change
+        with the statement that produced it (-U/-D carry the stamps of
+        the write that retracted them, matching Fluss: retraction and
+        new image ship in the same commit).
 
         One window pass + one explode — a single hash shuffle on the PK,
         no self-join, so the changelog derivation scales exactly like the
@@ -183,15 +186,21 @@ class FlussCatalog:
         )
         cur = F.struct(*[F.col(c) for c in data_cols])
         prev = F.lag(cur).over(w)
-        changes = F.when(
-            prev.isNull(),
-            F.array(F.struct(F.lit("+I").alias("op"), cur.alias("row"))),
-        ).otherwise(
-            F.array(
-                F.struct(F.lit("-U").alias("op"), prev.alias("row")),
-                F.struct(F.lit("+U").alias("op"), cur.alias("row")),
-            )
+        cur_del = F.coalesce(F.col(_DEL), F.lit(False)) if _DEL in log.columns else F.lit(False)
+        prev_del = F.coalesce(F.lag(cur_del).over(w), F.lit(False))
+        # prev "live" = a previous write exists and it wasn't a tombstone;
+        # entries that apply to no case stay NULL and are filtered after
+        # the explode (a typed empty array is harder to construct).
+        prev_live = prev.isNotNull() & ~prev_del
+        first = (
+            F.when(~prev_live & ~cur_del, F.struct(F.lit("+I").alias("op"), cur.alias("row")))
+            .when(prev_live & cur_del, F.struct(F.lit("-D").alias("op"), prev.alias("row")))
+            .when(prev_live & ~cur_del, F.struct(F.lit("-U").alias("op"), prev.alias("row")))
         )
+        second = F.when(
+            prev_live & ~cur_del, F.struct(F.lit("+U").alias("op"), cur.alias("row"))
+        )
+        changes = F.array(first, second)
         # window expr materialized before the generator: Spark rejects
         # window functions inside explode()
         return (
@@ -201,6 +210,7 @@ class FlussCatalog:
                 F.col(_SUB).alias("change_sub"),
                 F.explode("__changes__").alias("__c__"),
             )
+            .filter(F.col("__c__").isNotNull())
             .select(
                 F.col("__c__.op").alias("op"),
                 "change_seq",
@@ -268,7 +278,14 @@ class FlussCatalog:
     def _stored_schema(self, spec: TableSpec):
         schema = spec.spark_schema()
         if spec.has_primary_key:
-            schema = schema.add(_SEQ, "long").add(_SUB, "long")
+            # __del__ marks tombstones; files written before DELETE support
+            # lack the column and read as null (= live) via parquet schema
+            # evolution.
+            from pyspark.sql.types import BooleanType
+
+            schema = schema.add(_SEQ, "long").add(_SUB, "long").add(
+                _DEL, BooleanType()
+            )
         if spec.num_buckets and spec.bucket_keys:
             from pyspark.sql.types import IntegerType
 
@@ -285,18 +302,21 @@ class FlussCatalog:
         wins.  One shuffle on the PK; internal columns dropped unless
         ``keep_internal`` (compaction preserves the original stamps)."""
         internal = [] if keep_internal else [
-            c for c in (_SEQ, _SUB, _BKT) if c in df.columns
+            c for c in (_SEQ, _SUB, _BKT, _DEL) if c in df.columns
         ]
         if not spec.has_primary_key:
             return df.drop(*internal)
         order = Window.partitionBy(*spec.primary_key).orderBy(
             F.col(_SEQ).desc(), F.col(_SUB).desc()
         )
-        return (
-            df.withColumn("__rn__", F.row_number().over(order))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__", *internal)
+        merged = df.withColumn("__rn__", F.row_number().over(order)).filter(
+            F.col("__rn__") == 1
         )
+        if _DEL in df.columns:
+            # keys whose LATEST write is a tombstone are deleted (null
+            # __del__ = file predates DELETE support = live)
+            merged = merged.filter(~F.coalesce(F.col(_DEL), F.lit(False)))
+        return merged.drop("__rn__", *internal)
 
     def _register_view(self, spec: TableSpec) -> None:
         self._current_df(spec).createOrReplaceTempView(spec.name)
@@ -321,12 +341,19 @@ class FlussCatalog:
             ]
         )
         count = aligned.count()
+        self._append_log(spec, aligned, deleted=False)
+        return count
 
+    def _append_log(self, spec: TableSpec, aligned: DataFrame, deleted: bool) -> None:
+        """Append schema-aligned rows to the table's log with the internal
+        stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout)."""
         writer_df = aligned
         if spec.has_primary_key:
             seq = self._next_seq(spec)
-            writer_df = aligned.withColumn(_SEQ, F.lit(seq)).withColumn(
-                _SUB, F.monotonically_increasing_id()
+            writer_df = (
+                aligned.withColumn(_SEQ, F.lit(seq))
+                .withColumn(_SUB, F.monotonically_increasing_id())
+                .withColumn(_DEL, F.lit(bool(deleted)))
             )
         partition_cols = list(spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
@@ -342,7 +369,51 @@ class FlussCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self.table_path(spec))
         self._register_view(spec)
-        return count
+
+    def delete(self, name: str, key_value) -> int:
+        """Point DELETE by full primary key (scalar for single-column
+        PKs, dict for composite) — appends a tombstone row; reads,
+        lookups and time travel all resolve it through the same
+        merge-on-read window, and compaction physically drops it.
+
+        A real Fluss upsert writer supports key deletes; the reference
+        CLI never exposed them (no DELETE path anywhere in src/) — this
+        exceeds the reference.  Deleting an absent key is a no-op that
+        still appends a tombstone (matching upsert-writer semantics:
+        the delete is recorded, not validated)."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"DELETE requires a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        if isinstance(key_value, dict):
+            key = dict(key_value)
+        elif len(spec.primary_key) == 1:
+            key = {spec.primary_key[0]: key_value}
+        else:
+            raise ValueError(
+                f"composite primary key {spec.primary_key} requires a dict key"
+            )
+        missing = set(spec.primary_key) - set(key)
+        extra = set(key) - set(spec.primary_key)
+        if missing or extra:
+            raise ValueError(
+                f"delete key must cover exactly {spec.primary_key};"
+                f" missing={sorted(missing)} extra={sorted(extra)}"
+            )
+        tombstone = self.spark.range(1).select(
+            *[
+                (
+                    F.lit(key[f.name]).cast(f.dataType)
+                    if f.name in key
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in spec.spark_schema().fields
+            ]
+        )
+        self._append_log(spec, tombstone, deleted=True)
+        return 1
 
     def insert_sql(self, target: str, statement: str) -> DataFrame:
         """Execute ``INSERT INTO t [(cols)] VALUES ... | SELECT ...``.

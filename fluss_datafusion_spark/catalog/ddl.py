@@ -254,3 +254,48 @@ def parse_drop_table(sql: str) -> Optional[str]:
     if not match:
         return None
     return ".".join(parse_qualified_name(match.group(1)))
+
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+WHERE\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_PRED_RE = re.compile(
+    r"^((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*=\s*('(?:[^']|'')*'|-?\d+(?:\.\d+)?)$"
+)
+
+
+def parse_delete(sql: str):
+    """Parse ``DELETE FROM t WHERE pk1 = lit [AND pk2 = lit ...]`` into
+    (target, {column: python_literal}), or None if not a DELETE.
+
+    Only full-PK equality deletes are supported — the point-delete a
+    Fluss upsert writer offers (the reference CLI exposes no DELETE at
+    all; this exceeds it).  Raises on a DELETE whose predicate is not a
+    conjunction of simple equalities, so unsupported forms fail loudly
+    instead of deleting the wrong rows.
+    """
+    from fluss_datafusion_spark.sql.dialect import strip_quotes
+
+    match = _DELETE_RE.match(sql)
+    if not match:
+        return None
+    target = ".".join(parse_qualified_name(match.group(1)))
+    key = {}
+    for clause in re.split(r"\s+AND\s+", match.group(2), flags=re.IGNORECASE):
+        pred = _DELETE_PRED_RE.match(clause.strip())
+        if not pred:
+            raise ValueError(
+                f"DELETE supports only 'pk = literal [AND ...]' predicates; "
+                f"cannot parse {clause.strip()!r}"
+            )
+        col = strip_quotes(pred.group(1))
+        raw = pred.group(2)
+        if raw.startswith("'"):
+            value = raw[1:-1].replace("''", "'")
+        elif "." in raw:
+            value = float(raw)
+        else:
+            value = int(raw)
+        key[col] = value
+    return target, key

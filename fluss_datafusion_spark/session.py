@@ -107,6 +107,11 @@ class EngineSession:
             self.catalog.drop_table(drop_target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        delete_parsed = ddl.parse_delete(statement)
+        if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
+            count = self.catalog.delete(delete_parsed[0], delete_parsed[1])
+            return self.spark.createDataFrame([(count,)], "count bigint")
+
         insert_target = ddl.parse_insert_target(statement)
         if insert_target is not None and self.catalog.has_table(insert_target):
             return self.catalog.insert_sql(insert_target, statement)

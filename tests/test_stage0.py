@@ -240,3 +240,54 @@ def test_pk_changelog_emits_insert_and_update_ops(fresh_engine):
 
     with _pytest.raises(ValueError, match="primary-key"):
         e.catalog.read_changelog("logt")
+
+
+def test_delete_tombstone_lifecycle(fresh_engine):
+    """DELETE appends a tombstone: reads/lookups hide the key, time
+    travel before the delete still sees it, re-insert revives it, the
+    changelog shows +I/-D/+I, and compaction physically drops
+    tombstones while keeping live rows."""
+    e = fresh_engine
+    e.sql("CREATE TABLE kv (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+    seq_before_delete = e.catalog.current_seq("kv")
+
+    assert e.sql("DELETE FROM kv WHERE id = 1").collect()[0]["count"] == 1
+    assert {r["id"] for r in e.sql("SELECT * FROM kv").collect()} == {2}
+    assert e.catalog.lookup("kv", 1).count() == 0
+    # time travel to before the delete still sees the row
+    assert e.catalog.read("kv", as_of_seq=seq_before_delete).count() == 2
+
+    # changelog: +I a, +I b, -D a
+    ops = sorted(
+        (r["change_seq"], r["op"], r["id"])
+        for r in e.catalog.read_changelog("kv").collect()
+    )
+    assert ops == [(1, "+I", 1), (1, "+I", 2), (2, "-D", 1)]
+    # the -D carries the deleted image, not nulls
+    drow = [r for r in e.catalog.read_changelog("kv").collect() if r["op"] == "-D"][0]
+    assert drow["v"] == "a"
+
+    # re-insert revives the key as a fresh +I
+    e.sql("INSERT INTO kv VALUES (1, 'a2')")
+    assert e.catalog.lookup("kv", 1).collect()[0]["v"] == "a2"
+    ops = [r["op"] for r in e.catalog.read_changelog("kv").collect() if r["id"] == 1]
+    assert sorted(ops) == ["+I", "+I", "-D"]
+
+    # delete again, then compact: tombstone physically gone, live row kept
+    e.sql("DELETE FROM kv WHERE id = 1")
+    e.catalog.compact("kv")
+    assert {r["id"] for r in e.sql("SELECT * FROM kv").collect()} == {2}
+    assert e.catalog.read_changelog("kv").count() == 1  # only +I of id=2 survives
+
+    # delete of an absent key: recorded, but emits no change and hides nothing
+    e.catalog.delete("kv", 99)
+    assert {r["id"] for r in e.sql("SELECT * FROM kv").collect()} == {2}
+    assert e.catalog.read_changelog("kv").filter("id = 99").count() == 0
+
+    # log tables refuse DELETE
+    e.sql("CREATE TABLE logt (x BIGINT)")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="primary-key"):
+        e.catalog.delete("logt", 1)

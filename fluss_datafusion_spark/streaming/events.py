@@ -206,6 +206,7 @@ def changelog_stream(
     key_cols,
     order_cols,
     image_cols,
+    del_col: str = None,
 ) -> DataFrame:
     """Streaming changelog derivation: turn an upsert stream into
     +I/-U/+U change rows ACROSS micro-batches — the streaming half of
@@ -219,6 +220,12 @@ def changelog_stream(
     emits +I, every later one emits -U(previous image) then +U(new).
     Emission is per-batch (output mode "update"): the union of all
     batches' outputs is the full changelog.
+
+    ``del_col`` names an optional boolean column marking tombstone rows:
+    a flagged row emits -D carrying the last live image and clears the
+    key's state (mirroring catalog.read_changelog's -D semantics);
+    deletes of absent keys emit nothing.  ``del_col`` must not be listed
+    in ``image_cols``.
 
     Scale shape: state is hash-partitioned on the key (same shuffle a
     streaming agg pays); per-key per-batch row counts are small, so the
@@ -249,6 +256,12 @@ def changelog_stream(
         if len(batch):
             batch = batch.sort_values(order_cols, kind="mergesort")
             for row in batch.itertuples(index=False):
+                if del_col is not None and bool(getattr(row, del_col)):
+                    if prev is not None:
+                        ops.append("-D")
+                        images.append(prev)
+                    prev = None
+                    continue
                 img = [native(getattr(row, c)) for c in image_cols]
                 if prev is None:
                     ops.append("+I")
@@ -259,7 +272,11 @@ def changelog_stream(
                     ops.append("+U")
                     images.append(img)
                 prev = img
-            state.update(tuple(prev))
+            if prev is None:
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(tuple(prev))
         out = pd.DataFrame(images, columns=image_cols)
         out.insert(0, "op", ops)
         for i, c in enumerate(key_cols):

@@ -258,3 +258,67 @@ def test_changelog_stream_matches_batch_derivation(spark, tmp_path):
     assert got == want
     # sanity: updates exist (state crossed batch boundaries)
     assert any(op == "-U" for op, *_ in got)
+
+
+def test_changelog_stream_with_deletes(spark, tmp_path):
+    """Tombstone-flagged rows emit -D with the last live image and clear
+    keyed state across micro-batches; re-inserts after a delete emit +I."""
+    import os
+    import time
+
+    from fluss_datafusion_spark.streaming.events import (
+        changelog_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    replay = str(tmp_path / "cdc")
+    batches = [
+        [(1, 1, "a", False), (2, 2, "b", False)],
+        [(3, 1, None, True), (4, 1, "a2", False), (5, 3, None, True)],
+        [(6, 1, None, True)],
+    ]
+    # one parquet file per batch, named AND mtime-stamped in replay order
+    # (Spark-written part files get uuid names that sort arbitrarily)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(replay)
+    base = time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "k": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.string()),
+                "is_delete": pa.array([r[3] for r in rows], pa.bool_()),
+            }
+        )
+        fpath = os.path.join(replay, f"batch-{i:05d}.parquet")
+        pq.write_table(tbl, fpath)
+        os.utime(fpath, (base + i, base + i))
+
+    stream = events_stream(spark, replay, max_files_per_trigger=1)
+    run_to_memory(
+        changelog_stream(
+            stream,
+            key_cols=["k"],
+            order_cols=["seq"],
+            image_cols=["seq", "v"],
+            del_col="is_delete",
+        ),
+        "t_cdc_del",
+        output_mode="update",
+    )
+    got = {
+        (r["op"], r["k"], r["v"])
+        for r in spark.sql("SELECT * FROM t_cdc_del").collect()
+    }
+    assert got == {
+        ("+I", 1, "a"),
+        ("+I", 2, "b"),
+        ("-D", 1, "a"),    # delete in a later batch carries batch-1 image
+        ("+I", 1, "a2"),   # re-insert after delete is a fresh +I
+        ("-D", 1, "a2"),   # second delete, image from the middle batch
+        # delete of absent key 3 emits nothing
+    }

@@ -57,11 +57,14 @@ def ngram_jaccard_pairs(
     sum_s f_s^2 over shingle doc-frequencies f_s instead of n^2 docs.
 
     Scale posture: the index join shuffles on the shingle hash (uniform),
-    the pair count gets map-side combine, and doc sizes join back via
-    broadcast.  A boilerplate-heavy corpus would concentrate f_s^2 in a
-    few hot shingles — cap them with max_df (drops shingles appearing in
-    more than max_df docs; standard practice, slightly lowers recall for
-    pairs that ONLY share boilerplate).
+    the pair count gets map-side combine, and doc sizes ride along INSIDE
+    the inverted index rows (one extra long per posting) so no per-doc
+    side table ever needs to be joined back — per-doc state is O(corpus)
+    and must never be broadcast.  A boilerplate-heavy corpus would
+    concentrate f_s^2 in a few hot shingles — cap them with max_df
+    (drops shingles appearing in more than max_df docs; standard
+    practice, slightly lowers recall for pairs that ONLY share
+    boilerplate).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -72,14 +75,19 @@ def ngram_jaccard_pairs(
         *[F.col(c).alias(f"__b{i}__") for i, c in enumerate(block_cols)],
         word_shingles(F.col(text_col), k).alias("__sh__"),
     ).filter(F.size("__sh__") > 0)
-    sizes = sh.select("__id__", F.size("__sh__").alias("__n__"))
 
+    # Each posting carries its doc's shingle count: the pair groupBy can
+    # then recover |A| and |B| with min() aggregates (constant per group)
+    # instead of joining a per-doc side table back in.
     inv = sh.select(
         "__id__",
+        F.size("__sh__").alias("__n__"),
         *[F.col(f"__b{i}__") for i in range(len(block_cols))],
         F.explode("__sh__").alias("__s__"),
     )
     if max_df:
+        # hot is bounded by corpus_size/max_df distinct shingles — small
+        # by construction, so the broadcast is safe at any corpus size.
         hot = inv.groupBy("__s__").count().filter(F.col("count") > max_df)
         inv = inv.join(F.broadcast(hot.select("__s__")), "__s__", "left_anti")
 
@@ -94,18 +102,14 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("__inter__"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter__"),
+            F.min("a.__n__").alias("__na__"),
+            F.min("b.__n__").alias("__nb__"),
+        )
     )
     return (
-        inter.join(
-            F.broadcast(sizes).withColumnRenamed("__id__", "id_a").withColumnRenamed("__n__", "__na__"),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes).withColumnRenamed("__id__", "id_b").withColumnRenamed("__n__", "__nb__"),
-            "id_b",
-        )
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__inter__")
             / (F.col("__na__") + F.col("__nb__") - F.col("__inter__")),
@@ -237,6 +241,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.4,
     mode: str = "arrow",
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact verification.
 
@@ -247,9 +252,16 @@ def minhash_lsh_pairs(
     precision is exact; only recall is (negligibly) approximate.
 
     Scale shape: signatures are linear; band bucketing shuffles on
-    (band, bucket-hash); pairs are generated bucket-locally (a skewed
-    mega-bucket would be the hot spot — cap with a bucket-size guard
-    upstream if the corpus has degenerate boilerplate).
+    (band, bucket-hash); pairs are generated bucket-locally.  A
+    degenerate boilerplate corpus (thousands of near-identical docs)
+    collapses into mega-buckets whose pair expansion is O(members²) —
+    ``max_bucket_size`` caps that: buckets larger than the cap are
+    truncated to their first ``max_bucket_size`` sorted member ids
+    (deterministic; bounds any bucket's pair fan-out at C(cap, 2) while
+    keeping recall for a truncated-bucket sample — docs this similar are
+    caught by exact dedup anyway).  The guard emits an ``observe()``
+    metric ``lsh_bucket_guard`` (oversized_buckets, max_bucket_members)
+    so truncation is visible to monitoring, not silent.
 
     ``mode``: 'arrow' (default) computes band buckets with the numpy
     kernel (minhash_band_buckets — ~2x faster cold on short-doc corpora
@@ -285,13 +297,21 @@ def minhash_lsh_pairs(
     # pipeline (a self-join would recompute the signatures for both join
     # branches) and one map-side-combined shuffle on the bucket key.
     # Bucket membership lists are tiny by construction (a bucket is a
-    # 1-in-2^62 hash range); a degenerate boilerplate corpus would need a
-    # size cap here.
+    # 1-in-2^62 hash range); the max_bucket_size guard bounds the
+    # degenerate-boilerplate case (see docstring).
     members = (
         buckets.groupBy("__band__", "__bucket__")
         .agg(F.array_sort(F.collect_set("__id__")).alias("__ids__"))
         .filter(F.size("__ids__") > 1)
     )
+    if max_bucket_size:
+        members = members.observe(
+            "lsh_bucket_guard",
+            F.sum(
+                (F.size("__ids__") > max_bucket_size).cast("long")
+            ).alias("oversized_buckets"),
+            F.max(F.size("__ids__")).alias("max_bucket_members"),
+        ).withColumn("__ids__", F.slice("__ids__", 1, max_bucket_size))
     candidates = (
         members.select(
             F.explode(
@@ -306,15 +326,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification of candidates only (tiny relative to corpus).
-    # Both join branches broadcast the IDENTICAL shingle plan (aliased,
-    # not renamed) so ReuseExchange materializes the shingle table once —
-    # a renamed projection would defeat plan canonicalization and run the
-    # shingling expression a second time over the whole corpus.
+    # Exact verification of candidates only.  The full corpus shingle
+    # table is O(corpus) and must NEVER be broadcast — instead semi-join
+    # it down to the ids that actually appear in a candidate pair (the
+    # candidate set is small by construction: bucket-local, capped by the
+    # mega-bucket guard) and broadcast only that filtered slice.  The
+    # corpus-sized side streams through the semi-join's probe; the only
+    # broadcast payload is candidate-bound.  Both verify branches
+    # broadcast the IDENTICAL filtered plan (aliased, not renamed) so
+    # ReuseExchange materializes it once — a renamed projection would
+    # defeat plan canonicalization and compute the slice twice.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__id__"))
+        .union(candidates.select(F.col("id_b").alias("__id__")))
+        .distinct()
+    )
     sh = df.select(
         F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
     )
-    sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
+    shc = sh.join(cand_ids, "__id__", "left_semi")
+    sa, sb = F.broadcast(shc).alias("sa"), F.broadcast(shc).alias("sb")
     verified = (
         candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))
         .join(sb, F.col("id_b") == F.col("sb.__id__"))
@@ -377,22 +408,40 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.3,
     block_col: Optional[str] = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs by cosine similarity, blocked to
     keep the pair join bounded (block on a cluster/label/LSH-bucket key).
+
+    Scale posture: with ``block_col`` the pair join has an equi-key, so
+    Catalyst plans a SHUFFLE join on the block (both sides partition by
+    ``__blk__``; the ``id_a < id_b`` predicate rides along as the join
+    condition's non-equi part) — nothing corpus-sized is ever broadcast,
+    and per-block quadratic cost is the user's explicit, bounded choice.
+    Without a block there is no equi-key and the only plan is an
+    all-pairs nested-loop over the whole table — a scale-killer that
+    this operator REFUSES to plan silently: pass an LSH/IVF bucket as
+    ``block_col`` (see operators/similarity.py for bucketing), or opt in
+    with ``allow_all_pairs=True`` for small, test-scale inputs.
+
     Returns (id_a, id_b, cos) with id_a < id_b."""
     cols = [F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")]
     if block_col:
         cols.append(F.col(block_col).alias("__blk__"))
+    elif not allow_all_pairs:
+        raise ValueError(
+            "embedding_cosine_pairs without block_col is an all-pairs "
+            "nested-loop join; block on a label/cluster/LSH-bucket column "
+            "or pass allow_all_pairs=True for small inputs"
+        )
     e = df.select(*cols)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    a, b = e.repartition(parallelism).alias("a"), F.broadcast(e).alias("b")
+    a, b = e.alias("a"), e.alias("b")
     cond = F.col("a.__id__") < F.col("b.__id__")
     if block_col:
-        cond = cond & (F.col("a.__blk__") == F.col("b.__blk__"))
+        cond = (F.col("a.__blk__") == F.col("b.__blk__")) & cond
+    pairs = a.join(b, cond)
     return (
-        a.join(b, cond)
-        .select(
+        pairs.select(
             F.col("a.__id__").alias("id_a"),
             F.col("b.__id__").alias("id_b"),
             cosine(F.col("a.__v__"), F.col("b.__v__")).alias("cos"),

@@ -275,3 +275,23 @@ def test_minhash_arrow_and_agg_modes_identical(spark):
     pa = {(r["id_a"], r["id_b"]) for r in arrow.collect()}
     pb = {(r["id_a"], r["id_b"]) for r in agg.collect()}
     assert pa == pb and pa
+
+
+def test_minhash_mega_bucket_guard(spark):
+    """A degenerate all-identical corpus collapses every band into one
+    mega-bucket; the guard truncates membership to max_bucket_size so the
+    pair expansion is C(cap, 2) instead of C(n, 2) — and completes fast."""
+    from fluss_datafusion_spark.operators import dedup
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate text repeated for every document here"
+        ).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket_size=16
+    ).collect()
+    # every band keeps ids 0..15 -> exactly C(16,2) identical pairs
+    assert len(pairs) == 16 * 15 // 2
+    assert all(r["jaccard"] == 1.0 for r in pairs)

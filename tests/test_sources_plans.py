@@ -160,3 +160,60 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     got = df.toPandas()
     assert len(got) == len(expected)
     assert abs(got["total_value"].sum() - expected["total_value"].sum()) < 1e-6
+
+
+def test_dedup_plans_never_broadcast_corpus(spark):
+    """VERDICT r1 findings 1-3: with auto-broadcast disabled, the dedup
+    plans must not hint-broadcast anything corpus-sized.  ngram/embedding
+    plans carry NO BroadcastExchange at all; minhash may broadcast only
+    the candidate-bound verify slice (the LeftSemi-filtered shingles)."""
+    from fluss_datafusion_spark.operators import dedup
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4),
+            dedup.embedding_cosine_pairs(
+                emb, "vec_id", "embedding", block_col="label"
+            ),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, plan
+
+        plan = (
+            dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only broadcasts left are the two hinted verify branches,
+        # each fed by the LeftSemi candidate filter (never the raw table)
+        assert plan.count("BroadcastExchange") <= 2, plan
+        assert "LeftSemi" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_embedding_pairs_refuses_unblocked_all_pairs(spark):
+    """Without a block key the pair join is an all-pairs nested loop —
+    the operator must refuse unless explicitly opted in."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators import dedup
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="all-pairs"):
+        dedup.embedding_cosine_pairs(emb, "vec_id", "embedding")
+    # explicit opt-in still works for test-scale inputs
+    n = (
+        dedup.embedding_cosine_pairs(
+            emb.limit(20), "vec_id", "embedding", allow_all_pairs=True
+        )
+        .count()
+    )
+    assert n >= 0

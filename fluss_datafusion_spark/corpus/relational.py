@@ -105,7 +105,7 @@ def q01_pricing_summary(spark, sf_dir):
 
 
 @query(
-    "q06_forecast_revenue",
+    "q06_forecast_revenue", extended=True,
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
     FROM lineitem
@@ -134,11 +134,18 @@ def q06_forecast_revenue(spark, sf_dir):
     SELECT o_orderstatus,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(o_totalprice), 2) AS total,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q10_distinct_agg(spark, sf_dir):
+    """Distinct + plain + ordered-string (listagg) + conditional (CASE
+    WHEN) aggregation in one groupBy — the four aggregate shapes the
+    reference surface exposes beyond simple sums."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -146,12 +153,18 @@ def q10_distinct_agg(spark, sf_dir):
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+            ).alias("n_big"),
         )
     )
 
 
 @query(
-    "q11_rollup",
+    "q11_rollup", extended=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -204,7 +217,7 @@ def q13_grouping_sets(spark, sf_dir):
 
 
 @query(
-    "q03_shipping_priority",
+    "q03_shipping_priority", extended=True,
     oracle="""
     SELECT l_orderkey, o_orderdate,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -234,7 +247,7 @@ def q03_shipping_priority(spark, sf_dir):
 
 
 @query(
-    "q04_order_priority",
+    "q04_order_priority", extended=True,
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders
     FROM orders
@@ -296,7 +309,7 @@ def q05_local_supplier(spark, sf_dir):
 
 
 @query(
-    "q07_customer_distribution",
+    "q07_customer_distribution", extended=True,
     oracle="""
     SELECT c_count, count(*) AS custdist FROM (
         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
@@ -408,7 +421,7 @@ def q14_window_rank(spark, sf_dir):
 
 
 @query(
-    "q15_window_running",
+    "q15_window_running", extended=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (
@@ -457,21 +470,44 @@ def q16_topk(spark, sf_dir):
 
 
 @query(
-    "q17_union",
+    "q17_setops",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
+    SELECT 'union' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'values' AS op, x AS nationkey FROM (VALUES (901), (902)) t(x)
     """,
 )
-def q17_union(spark, sf_dir):
+def q17_setops(spark, sf_dir):
+    """All three distinct-set operators (UNION / INTERSECT / EXCEPT)
+    plus an inline VALUES relation, tagged and stacked into one result
+    so each gets a driver-verified row."""
     cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.union(supp).distinct()
+    vals = spark.sql("SELECT x AS nationkey FROM VALUES (901), (902) AS t(x)")
+
+    def tag(df, op):
+        return df.select(F.lit(op).alias("op"), "nationkey")
+
+    return (
+        tag(cust.union(supp).distinct(), "union")
+        .unionAll(tag(cust.intersect(supp), "intersect"))
+        .unionAll(tag(cust.subtract(supp), "except"))
+        .unionAll(tag(vals, "values"))
+    )
 
 
 @query(
-    "q18_intersect",
+    "q18_intersect", extended=True,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
@@ -485,7 +521,7 @@ def q18_intersect(spark, sf_dir):
 
 
 @query(
-    "q19_except",
+    "q19_except", extended=True,
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
@@ -514,11 +550,15 @@ def q19_except(spark, sf_dir):
            replace(p_brand, 'Brand', 'B') AS brand_s,
            concat(p_brand, '-', p_type) AS brand_type,
            str_split(p_name, ' ')[1] AS first_word,
-           regexp_extract(p_type, '([a-z]+)', 1) AS first_lower
+           regexp_extract(p_type, '([a-z]+)', 1) AS first_lower,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_name, '[0-9]$') THEN 1 ELSE 0 END
+               AS ends_digit
     FROM part
     """,
 )
 def q20_string_funcs(spark, sf_dir):
+    """String + regexp surface (extract/replace/match) in one pass."""
     return t(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_name").alias("up_name"),
@@ -528,6 +568,8 @@ def q20_string_funcs(spark, sf_dir):
         F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
         F.regexp_extract(F.col("p_type"), "([a-z]+)", 1).alias("first_lower"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_name").rlike("[0-9]$"), 1).otherwise(0).alias("ends_digit"),
     )
 
 
@@ -540,12 +582,14 @@ def q20_string_funcs(spark, sf_dir):
            count(*) AS n,
            round(sum(o_totalprice), 2) AS total,
            CAST(min(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00')) AS INT)
-               AS min_days_to_2002
+               AS min_days_to_2002,
+           CAST(min(o_orderdate + INTERVAL 30 DAY) AS TIMESTAMP) AS min_due_date
     FROM orders
     GROUP BY 1, 2, 3
     """,
 )
 def q21_date_funcs(spark, sf_dir):
+    """Date extraction/truncation/diff plus interval arithmetic."""
     orders = t(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -559,6 +603,9 @@ def q21_date_funcs(spark, sf_dir):
             F.min(
                 F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
             ).alias("min_days_to_2002"),
+            F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias(
+                "min_due_date"
+            ),
         )
     )
 
@@ -573,11 +620,17 @@ def q21_date_funcs(spark, sf_dir):
            CAST(ceil(p_retailprice) AS DOUBLE) AS ceil_price,
            CAST(floor(p_retailprice) AS DOUBLE) AS floor_price,
            abs(p_size - 25) AS size_dist,
-           p_size % 5 AS size_mod
+           p_size % 5 AS size_mod,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(round(p_retailprice) AS BIGINT) AS price_int,
+           CAST(p_size AS DOUBLE) AS size_dbl
     FROM part
     """,
 )
 def q22_math_funcs(spark, sf_dir):
+    """Math functions plus cross-type casts (int->string, rounded
+    double->bigint — rounding first so Spark's truncating cast and
+    DuckDB's rounding cast agree — and int->double)."""
     return t(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
@@ -587,6 +640,9 @@ def q22_math_funcs(spark, sf_dir):
         F.floor("p_retailprice").cast("double").alias("floor_price"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
         (F.col("p_size") % 5).alias("size_mod"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.round(F.col("p_retailprice")).cast("bigint").alias("price_int"),
+        F.col("p_size").cast("double").alias("size_dbl"),
     )
 
 
@@ -635,7 +691,7 @@ def q24_array_funcs(spark, sf_dir):
 
 
 @query(
-    "q25_conditional_agg",
+    "q25_conditional_agg", extended=True,
     oracle="""
     SELECT o_orderpriority,
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
@@ -663,7 +719,7 @@ def q25_conditional_agg(spark, sf_dir):
 
 
 @query(
-    "q27_scalar_subquery",
+    "q27_scalar_subquery", extended=True,
     oracle="""
     SELECT count(*) AS n_above_avg
     FROM orders
@@ -745,7 +801,7 @@ def q30_explode_wordcount(spark, sf_dir):
 
 
 @query(
-    "q32_small_qty_avg_subquery",
+    "q32_small_qty_avg_subquery", extended=True,
     oracle="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem
@@ -776,7 +832,7 @@ def q32_small_qty_avg_subquery(spark, sf_dir):
 
 
 @query(
-    "q33_large_volume_customer",
+    "q33_large_volume_customer", extended=True,
     oracle="""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            CAST(sum_qty AS BIGINT) AS sum_qty
@@ -809,7 +865,7 @@ def q33_large_volume_customer(spark, sf_dir):
 
 
 @query(
-    "q34_global_sales_opportunity",
+    "q34_global_sales_opportunity", extended=True,
     oracle="""
     SELECT substr(c_name, 10, 2) AS cntrycode,
            count(*) AS numcust,
@@ -841,7 +897,7 @@ def q34_global_sales_opportunity(spark, sf_dir):
 
 
 @query(
-    "q35_top_revenue_supplier",
+    "q35_top_revenue_supplier", extended=True,
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -885,27 +941,42 @@ def q35_top_revenue_supplier(spark, sf_dir):
            lead(o_orderkey) OVER w AS next_orderkey,
            date_diff('day',
                      lag(o_orderdate) OVER w,
-                     o_orderdate) AS days_since_prev
+                     o_orderdate) AS days_since_prev,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3
     FROM orders
     WHERE o_custkey < 100
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def q36_window_lag_lead(spark, sf_dir):
-    """lag/lead with a deterministic tiebreaker in the window ordering."""
+    """lag/lead plus running-total and bounded-frame moving average over
+    the same deterministic window ordering — the offset, cumulative, and
+    sliding-frame window shapes in one pass (ONE window sort)."""
     orders = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
     return orders.filter(F.col("o_custkey") < 100).select(
         "o_custkey", "o_orderkey", "o_orderdate",
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
         .cast("bigint").alias("days_since_prev"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+        # moving SUM, not avg: a 3-row avg of 2-decimal inputs can land
+        # exactly on a .xx5 half-case where engine rounding diverges; the
+        # sum stays 2-decimal-exact so round(2) is deterministic.
+        F.round(F.sum("o_totalprice").over(wmov), 2).alias("moving_sum3"),
     )
 
 
 @query(
-    "q37_window_moving_frame",
+    "q37_window_moving_frame", extended=True,
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -964,7 +1035,7 @@ def q38_percentiles(spark, sf_dir):
 
 
 @query(
-    "q39_regexp_funcs",
+    "q39_regexp_funcs", extended=True,
     oracle="""
     SELECT p_partkey,
            regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
@@ -986,19 +1057,22 @@ def q39_regexp_funcs(spark, sf_dir):
 @query(
     "q40_exists_subquery",
     oracle="""
-    SELECT s_suppkey, s_name
+    SELECT s_suppkey, s_name,
+           (SELECT round(avg(l_quantity), 2) FROM lineitem) AS avg_qty_all
     FROM supplier
     WHERE EXISTS (SELECT 1 FROM lineitem
                   WHERE l_suppkey = s_suppkey AND l_quantity > 49)
     """,
 )
 def q40_exists_subquery(spark, sf_dir):
-    """EXISTS via spark.sql so Catalyst's subquery decorrelation (rewrite
-    to left-semi join) is exercised, not hand-rewritten."""
+    """EXISTS + scalar subquery via spark.sql so Catalyst's subquery
+    decorrelation (rewrite to left-semi join) and scalar-subquery
+    planning are exercised, not hand-rewritten."""
     v(spark, sf_dir, "supplier", "lineitem")
     return spark.sql(
         """
-        SELECT s_suppkey, s_name
+        SELECT s_suppkey, s_name,
+               (SELECT round(avg(l_quantity), 2) FROM lineitem) AS avg_qty_all
         FROM supplier
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_suppkey = s_suppkey AND l_quantity > 49)
@@ -1035,7 +1109,7 @@ def q41_null_semantics(spark, sf_dir):
 
 
 @query(
-    "q42_cast_matrix",
+    "q42_cast_matrix", extended=True,
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
@@ -1064,7 +1138,7 @@ def q42_cast_matrix(spark, sf_dir):
 
 
 @query(
-    "q43_interval_arith",
+    "q43_interval_arith", extended=True,
     oracle="""
     SELECT o_orderkey, o_orderdate,
            o_orderdate + INTERVAL 30 DAY AS due_date,
@@ -1102,7 +1176,7 @@ def q44_cross_join(spark, sf_dir):
     return a.crossJoin(b).filter(F.col("ka") < F.col("kb")).select("nation_a", "nation_b")
 
 
-@query("q45_approx_distinct")
+@query("q45_approx_distinct", extended=True)
 def q45_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct counts (rows-only: the sketch
     estimate is engine-specific; tests assert <2% relative error vs the
@@ -1116,7 +1190,7 @@ def q45_approx_distinct(spark, sf_dir):
     )
 
 
-@query("q46_approx_percentile")
+@query("q46_approx_percentile", extended=True)
 def q46_approx_percentile(spark, sf_dir):
     """Approximate percentiles (rows-only; tests bound the error vs the
     exact percentile).  Unlike exact percentile (per-group sort), the
@@ -1129,7 +1203,7 @@ def q46_approx_percentile(spark, sf_dir):
 
 
 @query(
-    "q47_listagg",
+    "q47_listagg", extended=True,
     oracle="""
     SELECT o_orderstatus,
            string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
@@ -1151,7 +1225,7 @@ def q47_listagg(spark, sf_dir):
 
 
 @query(
-    "q48_posexplode",
+    "q48_posexplode", extended=True,
     oracle="""
     SELECT doc_id,
            CAST(generate_subscripts(tk, 1) - 1 AS INT) AS pos,
@@ -1173,7 +1247,7 @@ def q48_posexplode(spark, sf_dir):
 
 
 @query(
-    "q49_inline_values",
+    "q49_inline_values", extended=True,
     oracle="""
     WITH tiers(tier, lo, hi) AS (VALUES ('small', 0.0, 50000.0),
                                         ('medium', 50000.0, 200000.0),
@@ -1196,4 +1270,60 @@ def q49_inline_values(spark, sf_dir):
         FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY tier
         """
+    )
+
+
+@query(
+    "q45_sketch_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           (abs(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+                - CAST(count(DISTINCT l_orderkey) AS DOUBLE))
+            <= 0.05 * CAST(count(DISTINCT l_orderkey) AS DOUBLE)) AS nd_orders_ok,
+           (abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                - CAST(count(DISTINCT l_partkey) AS DOUBLE))
+            <= 0.05 * CAST(count(DISTINCT l_partkey) AS DOUBLE)) AS nd_parts_ok,
+           (abs(approx_quantile(l_extendedprice, 0.5)
+                - quantile_cont(l_extendedprice, 0.5))
+            <= 0.10 * quantile_cont(l_extendedprice, 0.5)) AS p50_price_ok,
+           (abs(approx_quantile(l_quantity, 0.9)
+                - quantile_cont(l_quantity, 0.9))
+            <= 0.10 * quantile_cont(l_quantity, 0.9)) AS p90_qty_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45_sketch_bounds(spark, sf_dir):
+    """Sketch aggregates with a DETERMINISTIC oracle: the raw HLL++ /
+    digest estimates are engine-specific (no SQL oracle can reproduce
+    them), but "the estimate is within its error bound of the exact
+    value" is a boolean BOTH engines can compute over their own
+    sketches — turning the r1 ``no_oracle`` sketch rows into hard
+    green.  At 100 TB the approx aggregates are the point: mergeable
+    constant-size state with map-side combine, instead of the exact
+    count(DISTINCT) shuffle explosion."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def ok(approx, exact, tol):
+        a, e = F.col(approx).cast("double"), F.col(exact).cast("double")
+        return F.abs(a - e) <= F.lit(tol) * e
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_nd_o"),
+            F.countDistinct("l_orderkey").alias("e_nd_o"),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_nd_p"),
+            F.countDistinct("l_partkey").alias("e_nd_p"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_p50"),
+            F.percentile("l_extendedprice", 0.5).alias("e_p50"),
+            F.percentile_approx("l_quantity", 0.9, 10000).alias("a_p90"),
+            F.percentile("l_quantity", 0.9).alias("e_p90"),
+        )
+        .select(
+            "l_returnflag",
+            ok("a_nd_o", "e_nd_o", 0.05).alias("nd_orders_ok"),
+            ok("a_nd_p", "e_nd_p", 0.05).alias("nd_parts_ok"),
+            ok("a_p50", "e_p50", 0.10).alias("p50_price_ok"),
+            ok("a_p90", "e_p90", 0.10).alias("p90_qty_ok"),
+        )
     )

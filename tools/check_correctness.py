@@ -62,8 +62,12 @@ def main():
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # Core (driver-visible) + extended (pytest-only) registries: the
+    # local gate checks the full corpus, not just the driver's window.
+    from fluss_datafusion_spark import corpus
+
+    queries = {**entry_mod.queries(), **corpus.EXTRA_QUERIES}
+    oracles = {**entry_mod.oracle_sql(), **corpus.EXTRA_ORACLES}
     failures = []
     for name in sorted(queries):
         if only and name not in only:

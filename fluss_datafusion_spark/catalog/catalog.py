@@ -74,6 +74,23 @@ class FlussCatalog:
     def create_database(self, name: str) -> None:
         self.databases.setdefault(name, {})
 
+    def set_default_database(self, name: str) -> None:
+        """Switch the session's default database (``USE <db>``), mirroring
+        the reference's session-scoped default schema (src/main.rs:89-99).
+        Bare-name temp views are rebound: the old default's tables keep
+        only their db-qualified views; the new default's tables gain bare
+        names."""
+        if name not in self.databases:
+            raise KeyError(f"database not found: {name}")
+        if name == self.default_database:
+            return
+        old = self.default_database
+        for table in self.databases.get(old, {}):
+            self.spark.catalog.dropTempView(table)
+        self.default_database = name
+        for spec in self.databases[name].values():
+            self._register_view(spec)
+
     def list_databases(self) -> List[str]:
         return sorted(self.databases)
 
@@ -119,7 +136,12 @@ class FlussCatalog:
         db, table = self._resolve(name)
         spec = self.databases[db].pop(table)
         shutil.rmtree(self.table_path(spec), ignore_errors=True)
-        self.spark.catalog.dropTempView(table)
+        self.spark.catalog.dropTempView(self._view_name(spec))
+        # the bare-name view belongs to the DEFAULT database's table: drop
+        # it only when that is the table being dropped, so a same-named
+        # table in another database is never clobbered
+        if db == self.default_database:
+            self.spark.catalog.dropTempView(table)
 
     # -- read path ----------------------------------------------------------
 
@@ -153,7 +175,9 @@ class FlussCatalog:
         """Latest statement sequence for a PK table (time-travel anchor)."""
         return self._seq.get(self.get_table(name).qualified_name, 0)
 
-    def read_changelog(self, name: str) -> DataFrame:
+    def read_changelog(
+        self, name: str, require_full_history: bool = False
+    ) -> DataFrame:
         """Change stream of a PK table: one row per change with
         ``op`` ∈ {+I, -U, +U} — Fluss's changelog duality (a PK table IS
         a compacted changelog; the reference exposes only the snapshot
@@ -171,8 +195,27 @@ class FlussCatalog:
         One window pass + one explode — a single hash shuffle on the PK,
         no self-join, so the changelog derivation scales exactly like the
         merge-on-read view itself.
+
+        **After ``compact()``** the log physically retains only each
+        key's surviving image (original stamps kept), so the stream is a
+        *snapshot + incremental* changelog — the standard semantics of
+        subscribing to a compacted topic from the earliest retained
+        offset: keys last written before the compaction floor appear as
+        one +I carrying their surviving image (their -U/+U/-D history is
+        gone — that is what compaction means), and every post-compaction
+        write still yields exact -U/+U/-D transitions.  Callers that
+        need the full history must read the changelog before compacting
+        (``require_full_history=True`` makes that contract explicit by
+        raising once history has been discarded).
         """
         spec = self.get_table(name)
+        if require_full_history and self._floor.get(spec.qualified_name, 0) > 0:
+            raise ValueError(
+                f"history before seq {self._floor[spec.qualified_name]} was "
+                f"discarded by compaction; the changelog of "
+                f"{spec.qualified_name} is now snapshot+incremental "
+                f"(call with require_full_history=False to accept it)"
+            )
         if not spec.has_primary_key:
             raise ValueError(
                 f"changelog requires a primary-key table; "
@@ -318,15 +361,32 @@ class FlussCatalog:
             merged = merged.filter(~F.coalesce(F.col(_DEL), F.lit(False)))
         return merged.drop("__rn__", *internal)
 
+    @staticmethod
+    def _view_name(spec: TableSpec) -> str:
+        """Spark temp views are not database-qualified, so every table
+        gets a ``db__table`` view (the SQL rewriter maps ``db.table``
+        references onto it); tables in the default database also get the
+        bare name."""
+        return f"{spec.database}__{spec.name}"
+
     def _register_view(self, spec: TableSpec) -> None:
-        self._current_df(spec).createOrReplaceTempView(spec.name)
+        df = self._current_df(spec)
+        df.createOrReplaceTempView(self._view_name(spec))
+        if spec.database == self.default_database:
+            df.createOrReplaceTempView(spec.name)
 
     # -- write path ---------------------------------------------------------
 
     def insert(self, name: str, df: DataFrame) -> int:
         """INSERT a DataFrame.  PK tables: upsert semantics — within the
         batch, later rows win on PK collisions (src/provider.rs:430-437:
-        rows upserted in order, last write wins)."""
+        rows upserted in order, last write wins).
+
+        The returned count comes from the parquet footers of the files
+        the write just produced — ONE job total.  (A pre-write
+        ``aligned.count()`` would execute the input plan twice, doubling
+        INSERT INTO ... SELECT <expensive>, and could disagree with the
+        committed rows for a non-deterministic source.)"""
         spec = self.get_table(name)
         target_schema = spec.spark_schema()
         if len(df.columns) != len(target_schema):
@@ -340,13 +400,13 @@ class FlussCatalog:
                 for src, field in zip(df.columns, target_schema.fields)
             ]
         )
-        count = aligned.count()
-        self._append_log(spec, aligned, deleted=False)
-        return count
+        new_files = self._append_log(spec, aligned, deleted=False)
+        return _footer_row_count(new_files)
 
-    def _append_log(self, spec: TableSpec, aligned: DataFrame, deleted: bool) -> None:
+    def _append_log(self, spec: TableSpec, aligned: DataFrame, deleted: bool):
         """Append schema-aligned rows to the table's log with the internal
-        stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout)."""
+        stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
+        Returns the list of parquet files this write created."""
         writer_df = aligned
         if spec.has_primary_key:
             seq = self._next_seq(spec)
@@ -364,11 +424,14 @@ class FlussCatalog:
                 _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
             ).repartition(spec.num_buckets, F.col(_BKT))
             partition_cols.append(_BKT)
+        path = self.table_path(spec)
+        before = _parquet_files(path)
         writer = writer_df.write.mode("append")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(self.table_path(spec))
+        writer.parquet(path)
         self._register_view(spec)
+        return sorted(_parquet_files(path) - before)
 
     def delete(self, name: str, key_value) -> int:
         """Point DELETE by full primary key (scalar for single-column
@@ -441,7 +504,22 @@ class FlussCatalog:
             from fluss_datafusion_spark.sql.dialect import strip_quotes
 
             given = [strip_quotes(c.strip()) for c in column_list[1:-1].split(",")]
-            # Reorder/fill: unmentioned columns become NULL.
+            # A column list omitting a primary-key or NOT NULL column
+            # would silently write null keys, corrupting upsert/merge
+            # semantics — the reference enforces PK NOT NULL, so reject.
+            required = [
+                c.name
+                for c in spec.columns
+                if c.name in spec.primary_key or not c.nullable
+            ]
+            omitted = [c for c in required if c not in given]
+            if omitted:
+                raise ValueError(
+                    f"INSERT into {spec.qualified_name} must supply "
+                    f"primary-key/NOT NULL columns {omitted}; got {given}"
+                )
+            # Reorder/fill: unmentioned (nullable, non-key) columns
+            # become NULL.
             exprs = []
             for field in spec.spark_schema().fields:
                 if field.name in given:
@@ -494,6 +572,22 @@ class FlussCatalog:
         os.rename(tmp, path)
         self._floor[spec.qualified_name] = self._seq.get(spec.qualified_name, 0)
         self._register_view(spec)
+
+
+def _parquet_files(path: str) -> set:
+    files = set()
+    for root, _dirs, names in os.walk(path):
+        files.update(
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        )
+    return files
+
+
+def _footer_row_count(files) -> int:
+    """Row count from parquet footer metadata — no Spark job, no data read."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(f).num_rows for f in files)
 
 
 def _has_data(path: str) -> bool:

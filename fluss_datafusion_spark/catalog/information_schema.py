@@ -39,7 +39,15 @@ from fluss_datafusion_spark.catalog.metadata import TableSpec, spark_type_to_ddl
 from fluss_datafusion_spark.sql.dialect import quote_identifier
 
 
-def register_views(catalog) -> None:
+def register_views(catalog, include_stats: bool = True) -> None:
+    """Register the information_schema views.
+
+    ``include_stats=False`` skips the merge-on-read row-count Spark job
+    that exact PK-table stats require — callers pass it for metadata
+    queries (SHOW TABLES and friends) that never read table_stats, so a
+    catalog with many PK tables doesn't scan every log to answer a
+    listing (all other stats come from parquet footers / os.walk, no
+    Spark job either way)."""
     spark = catalog.spark
     specs: List[TableSpec] = [
         spec for db in catalog.databases.values() for spec in db.values()
@@ -116,7 +124,9 @@ def register_views(catalog) -> None:
                         bucket_rows.get((qname, bucket_id)),
                     )
                 )
-        row_count, size_bytes, mtime = _table_stats(catalog, s)
+        row_count, size_bytes, mtime = _table_stats(
+            catalog, s, exact=include_stats
+        )
         stats.append((s.database, s.name, row_count, size_bytes, mtime))
 
     spark.createDataFrame(
@@ -176,10 +186,16 @@ def _list_partitions(catalog, spec: TableSpec):
     return out or [(-1, "__non_partitioned__", "__non_partitioned__")]
 
 
-def _table_stats(catalog, spec: TableSpec):
+def _table_stats(catalog, spec: TableSpec, exact: bool = True):
+    """(row_count, size_bytes, last_modified).  Size/mtime always come
+    from the filesystem.  Row counts: log tables read parquet footers
+    (exact, no Spark job); PK tables need a merge-on-read count — only
+    run when ``exact`` (i.e. table_stats is actually being queried),
+    otherwise NULL (the reference leaves ALL of these NULL)."""
     path = catalog.table_path(spec)
     total = 0
     mtime = None
+    footer_rows = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
@@ -187,9 +203,22 @@ def _table_stats(catalog, spec: TableSpec):
                 total += os.path.getsize(full)
                 m = os.path.getmtime(full)
                 mtime = m if mtime is None else max(mtime, m)
-    try:
-        row_count = catalog.read(spec.qualified_name).count() if total else 0
-    except Exception:
+                try:
+                    import pyarrow.parquet as pq
+
+                    footer_rows += pq.read_metadata(full).num_rows
+                except Exception:
+                    pass
+    if not total:
+        row_count = 0
+    elif not spec.has_primary_key:
+        row_count = footer_rows
+    elif exact:
+        try:
+            row_count = catalog.read(spec.qualified_name).count()
+        except Exception:
+            row_count = None
+    else:
         row_count = None
     import datetime
 

@@ -80,8 +80,8 @@ class CliSession:
             engine = EngineSession()
         self.engine = engine
         if database:
-            self.engine.catalog.default_database = database
             self.engine.catalog.create_database(database)
+            self.engine.catalog.set_default_database(database)
 
     def execute(self, sql: str) -> str:
         sql = sql.strip().rstrip(";").strip()

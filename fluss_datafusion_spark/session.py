@@ -87,13 +87,39 @@ class EngineSession:
         self.catalog = FlussCatalog(self.spark, warehouse=warehouse)
 
     def sql(self, query: str) -> DataFrame:
+        import re
+
         from fluss_datafusion_spark.catalog import ddl
         from fluss_datafusion_spark.sql import rewriter
+        from fluss_datafusion_spark.sql.dialect import strip_quotes
 
         statement = query.strip().rstrip(";").strip()
 
+        # USE <db>: session default-database switch (the reference sets the
+        # session default schema the same way — src/main.rs:89-99 routes
+        # `SET datafusion.catalog.default_schema='<db>'` at startup; we
+        # accept both spellings mid-session).
+        use_match = re.match(
+            r"^\s*USE\s+(?:DATABASE\s+|SCHEMA\s+)?"
+            r"(`[^`]*`|\"[^\"]*\"|[\w@$]+)\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if use_match is None:
+            use_match = re.match(
+                r"^\s*SET\s+(?:datafusion\.catalog\.)?default_schema\s*=\s*"
+                r"'([^']*)'\s*$",
+                statement,
+                re.IGNORECASE,
+            )
+        if use_match:
+            self.catalog.set_default_database(strip_quotes(use_match.group(1)))
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
         if ddl.is_engine_create_table(statement):
-            spec = ddl.parse_create_table(statement)
+            spec = ddl.parse_create_table(
+                statement, default_database=self.catalog.default_database
+            )
             self.catalog.create_table(spec)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 

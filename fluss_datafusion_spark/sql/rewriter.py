@@ -64,8 +64,26 @@ def rewrite_sql(sql: str, catalog=None) -> str:
         out = sql
     if catalog is not None:
         _refresh_info_schema_if_needed(out, catalog)
+        out = _qualify_engine_refs(out, catalog)
     # Map database-qualified information_schema refs onto our flat views.
     return _INFO_SCHEMA_REF_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", out)
+
+
+def _qualify_engine_refs(sql: str, catalog) -> str:
+    """Map ``db.table`` references to known engine tables onto their
+    ``db__table`` temp views (Spark temp views are not
+    database-qualified).  Only exact known (db, table) pairs are
+    rewritten, so ordinary qualified column references pass through."""
+    if not hasattr(catalog, "databases"):
+        return sql
+    for db, tables in catalog.databases.items():
+        for table in tables:
+            sql = re.sub(
+                rf"(?<![\w.`\"]){re.escape(db)}\.{re.escape(table)}(?![\w.])",
+                f"{db}__{table}",
+                sql,
+            )
+    return sql
 
 
 def _rewrite_command(sql: str, catalog) -> Optional[str]:
@@ -153,7 +171,17 @@ def _rewrite_command(sql: str, catalog) -> Optional[str]:
 def _refresh_info_schema_if_needed(sql: str, catalog) -> None:
     if not hasattr(catalog, "spark"):
         return
-    if _INFO_SCHEMA_REF_RE.search(sql):
+    refs = {m.group(1).lower() for m in _INFO_SCHEMA_REF_RE.finditer(sql)}
+    refs |= {
+        m.group(1).lower()
+        for m in re.finditer(r"\binformation_schema_(\w+)", sql, re.IGNORECASE)
+    }
+    if refs:
         from fluss_datafusion_spark.catalog import information_schema
 
-        information_schema.register_views(catalog)
+        # table_stats row counts need a merge-on-read Spark job per PK
+        # table — pathological for a metadata query like SHOW TABLES, so
+        # they are computed only when table_stats is actually referenced.
+        information_schema.register_views(
+            catalog, include_stats="table_stats" in refs
+        )

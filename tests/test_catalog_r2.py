@@ -1,0 +1,147 @@
+"""Round-2 catalog/session fixes (VERDICT + ADVICE findings): USE <db>
+routing, db-qualified temp views, INSERT single-job count, insert_sql
+PK/NOT NULL column-list enforcement, lazy table_stats, and the
+changelog-after-compaction contract."""
+
+import pytest
+
+
+def test_use_database_and_qualified_views(engine):
+    e = engine
+    e.sql("CREATE DATABASE dbx")
+    e.sql("CREATE DATABASE dby")
+    e.sql("CREATE TABLE dbx.kv_use (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("CREATE TABLE dby.kv_use (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO dbx.kv_use VALUES (1, 'x')")
+    e.sql("INSERT INTO dby.kv_use VALUES (1, 'y')")
+
+    # db-qualified SELECT resolves each table independently
+    assert e.sql("SELECT v FROM dbx.kv_use").collect()[0][0] == "x"
+    assert e.sql("SELECT v FROM dby.kv_use").collect()[0][0] == "y"
+
+    # USE switches the bare-name binding mid-session
+    e.sql("USE dbx")
+    assert e.sql("SELECT v FROM kv_use").collect()[0][0] == "x"
+    assert [r[0] for r in e.sql("SHOW TABLES").collect()] == ["kv_use"]
+    e.sql("USE dby")
+    assert e.sql("SELECT v FROM kv_use").collect()[0][0] == "y"
+
+    # the reference's SET default_schema spelling works too
+    e.sql("SET datafusion.catalog.default_schema = 'dbx'")
+    assert e.sql("SELECT v FROM kv_use").collect()[0][0] == "x"
+
+    # dropping dbx's table must not clobber dby's same-named view
+    e.sql("DROP TABLE dbx.kv_use")
+    assert e.sql("SELECT v FROM dby.kv_use").collect()[0][0] == "y"
+    e.sql("USE dby")
+    assert e.sql("SELECT v FROM kv_use").collect()[0][0] == "y"
+    e.sql("DROP TABLE dby.kv_use")
+
+    # unqualified CREATE under USE lands in the CURRENT database (the
+    # DDL parser must receive the session default, not the constant)
+    e.sql("USE dbx")
+    e.sql("CREATE TABLE local_t (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    assert e.catalog.has_table("dbx.local_t")
+    assert not e.catalog.has_table("fluss.local_t")
+    e.sql("INSERT INTO local_t VALUES (5)")
+    assert e.sql("SELECT id FROM local_t").collect()[0][0] == 5
+    e.sql("DROP TABLE local_t")
+    e.catalog.set_default_database("fluss")
+
+
+def test_use_unknown_database_raises(engine):
+    with pytest.raises(KeyError):
+        engine.catalog.set_default_database("nope_no_such_db")
+
+
+def test_insert_sql_rejects_omitted_pk_column(engine):
+    e = engine
+    e.sql(
+        "CREATE TABLE strict_ins (id BIGINT NOT NULL, v STRING, "
+        "n BIGINT NOT NULL, PRIMARY KEY (id))"
+    )
+    with pytest.raises(ValueError, match="primary-key/NOT NULL"):
+        e.sql("INSERT INTO strict_ins (v) VALUES ('a')")
+    with pytest.raises(ValueError, match="primary-key/NOT NULL"):
+        e.sql("INSERT INTO strict_ins (id, v) VALUES (1, 'a')")  # omits NOT NULL n
+    # full column list (any order) is fine; nullable columns may be omitted
+    e.sql("INSERT INTO strict_ins (n, id) VALUES (10, 1)")
+    row = e.sql("SELECT * FROM strict_ins").collect()[0]
+    assert (row["id"], row["v"], row["n"]) == (1, None, 10)
+    e.sql("DROP TABLE strict_ins")
+
+
+def test_insert_select_runs_one_job(engine):
+    """VERDICT finding 4: insert() must not execute the input plan twice
+    (count-then-write).  The committed count comes from parquet footers."""
+    e = engine
+    sc = e.spark.sparkContext
+    e.sql("CREATE TABLE ins_once (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    src = e.spark.range(100).selectExpr("id", "CAST(id AS STRING) AS v")
+    src.createOrReplaceTempView("ins_once_src")
+    sc.setJobGroup("ins-once", "insert single job probe")
+    try:
+        count = e.catalog.insert("ins_once", e.spark.sql("SELECT * FROM ins_once_src"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert count == 100
+    jobs = sc.statusTracker().getJobIdsForGroup("ins-once")
+    assert len(jobs) == 1, f"INSERT ran {len(jobs)} jobs: {jobs}"
+    e.sql("DROP TABLE ins_once")
+
+
+def test_changelog_after_compaction_contract(engine):
+    """After compact() the changelog is snapshot+incremental: surviving
+    pre-compaction images surface as +I (history is gone — that is what
+    compaction means), post-compaction writes still emit exact -U/+U."""
+    e = engine
+    e.sql("CREATE TABLE cl_cmp (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO cl_cmp VALUES (1, 'v1')")
+    e.sql("INSERT INTO cl_cmp VALUES (1, 'v2'), (2, 'w1')")
+
+    full = [(r["op"], r["id"], r["v"]) for r in
+            e.catalog.read_changelog("cl_cmp").orderBy("change_seq", "change_sub", "op").collect()]
+    assert ("-U", 1, "v1") in full and ("+U", 1, "v2") in full
+
+    e.catalog.compact("cl_cmp")
+    # full history is gone; the strict flag makes that explicit
+    with pytest.raises(ValueError, match="snapshot\\+incremental"):
+        e.catalog.read_changelog("cl_cmp", require_full_history=True)
+
+    # snapshot: each surviving key is one +I with its surviving image
+    snap = {(r["op"], r["id"], r["v"]) for r in e.catalog.read_changelog("cl_cmp").collect()}
+    assert snap == {("+I", 1, "v2"), ("+I", 2, "w1")}
+
+    # incremental on top of the snapshot stays exact
+    e.sql("INSERT INTO cl_cmp VALUES (1, 'v3')")
+    after = [(r["op"], r["id"], r["v"]) for r in
+             e.catalog.read_changelog("cl_cmp").orderBy("change_seq", "change_sub", "op").collect()]
+    assert ("-U", 1, "v2") in after and ("+U", 1, "v3") in after
+    e.sql("DROP TABLE cl_cmp")
+
+
+def test_table_stats_lazy_vs_exact(engine):
+    """ADVICE: metadata queries must not scan every PK table's log.
+    include_stats=False leaves PK row_count NULL (no Spark job); log
+    tables are exact either way via parquet footers."""
+    from fluss_datafusion_spark.catalog import information_schema
+
+    e = engine
+    e.sql("CREATE TABLE stats_pk (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("CREATE TABLE stats_log (id BIGINT, v STRING)")
+    e.sql("INSERT INTO stats_pk VALUES (1, 'a'), (1, 'b'), (2, 'c')")
+    e.sql("INSERT INTO stats_log VALUES (1, 'a'), (2, 'b')")
+
+    information_schema.register_views(e.catalog, include_stats=False)
+    rows = {r["table_name"]: r["row_count"] for r in
+            e.spark.sql("SELECT * FROM information_schema_table_stats").collect()}
+    assert rows["stats_pk"] is None  # no merge job was run
+    assert rows["stats_log"] == 2    # footer-exact, still no Spark job
+
+    # the SQL front door computes exact stats when the view is queried
+    rows = {r["table_name"]: r["row_count"] for r in
+            e.sql("SELECT table_name, row_count FROM information_schema.table_stats").collect()}
+    assert rows["stats_pk"] == 2     # merged (upserted) logical count
+    assert rows["stats_log"] == 2
+    e.sql("DROP TABLE stats_pk")
+    e.sql("DROP TABLE stats_log")

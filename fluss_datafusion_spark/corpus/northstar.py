@@ -316,10 +316,36 @@ def ns_multimodal_payload(spark, sf_dir):
     return multimodal.payload_stats(media)
 
 
-@query("ns_multimodal_features")
+@query(
+    "ns_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(doc_id % 512 + 1 AS INT) AS width,
+           CAST((doc_id * 7) % 512 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
 def ns_multimodal_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction with the
-    deterministic fake decoder (rows-only: the fake is Python-side)."""
+    """REAL image decode: per document a valid PNG/GIF/BMP/JPEG header
+    payload is synthesized (dims derived arithmetically from doc_id),
+    then ``probe_image_meta`` parses format/width/height back from the
+    raw bytes in an Arrow-batched mapInPandas kernel.  The oracle
+    derives the same dims arithmetically — so the byte-level parse is
+    verified against an independent computation."""
+    media = multimodal.synthesize_image_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    return multimodal.probe_image_meta(media)
+
+
+@query("ns_multimodal_fake_features", extended=True)
+def ns_multimodal_fake_features(spark, sf_dir):
+    """Arrow-batched mapInPandas pixel-feature extraction with the
+    deterministic fake decoder (rows-only: the fake is Python-side;
+    real pixel decode needs PIL/ffmpeg, absent in this build)."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media, fake=True)
 

@@ -295,3 +295,45 @@ def test_minhash_mega_bucket_guard(spark):
     # every band keeps ids 0..15 -> exactly C(16,2) identical pairs
     assert len(pairs) == 16 * 15 // 2
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_parse_image_header_formats():
+    """Real header decode: every synthesized format round-trips, and
+    garbage/truncated payloads degrade to nulls, never exceptions."""
+    import struct
+
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\0\0\0\0")
+    assert mm.parse_image_header(png) == ("png", 640, 480)
+    gif = b"GIF87a" + struct.pack("<HH", 31, 17) + b"\x00\x00\x00"
+    assert mm.parse_image_header(gif) == ("gif", 31, 17)
+    bmp = (b"BM" + struct.pack("<I", 66) + b"\0\0\0\0" + struct.pack("<I", 54)
+           + struct.pack("<I", 40) + struct.pack("<ii", 100, -200))
+    assert mm.parse_image_header(bmp) == ("bmp", 100, 200)  # top-down height
+    jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+           + struct.pack(">HH", 1, 1) + b"\x00\x00"
+           + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+           + struct.pack(">HH", 99, 44) + b"\x01\x01\x11\x00")
+    assert mm.parse_image_header(jpg) == ("jpeg", 44, 99)
+    assert mm.parse_image_header(b"not an image") == (None, None, None)
+    assert mm.parse_image_header(b"") == (None, None, None)
+    assert mm.parse_image_header(None) == (None, None, None)
+    assert mm.parse_image_header(png[:12]) == (None, None, None)
+    assert mm.parse_image_header(b"\xff\xd8\xff") == ("jpeg", None, None)
+
+
+def test_probe_image_meta_round_trip(spark):
+    """synthesize -> byte-parse recovers the arithmetic dims for every
+    format class."""
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    ids = spark.range(0, 64).selectExpr("id AS doc_id")
+    got = mm.probe_image_meta(mm.synthesize_image_media(ids)).collect()
+    fmts = ["png", "gif", "bmp", "jpeg"]
+    for r in got:
+        i = r["media_id"]
+        assert r["format"] == fmts[i % 4]
+        assert r["width"] == i % 512 + 1
+        assert r["height"] == (i * 7) % 512 + 1

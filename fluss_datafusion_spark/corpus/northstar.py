@@ -454,3 +454,143 @@ def ns_sim_ann_ivf(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# data curation (decontamination, quotas, PII, TF-IDF)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_curation_decontaminate", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    ),
+    bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 100 = 0),
+    doc_sh AS (SELECT doc_id, unnest(s) AS shingle FROM sh)
+    SELECT doc_id, count(*) AS n_overlap
+    FROM doc_sh JOIN bench USING (shingle)
+    GROUP BY doc_id HAVING count(*) >= 2
+    """,
+)
+def ns_curation_decontaminate(spark, sf_dir):
+    """Train/test contamination: docs sharing >=2 word-3-shingles with a
+    'benchmark' slice (doc_id % 100 = 0 stands in for an eval suite)."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return curation.decontaminate(
+        docs, bench, "doc_id", "text", k=3, min_overlap=2
+    )
+
+
+@query(
+    "ns_curation_quota_sample", extended=True,
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def ns_curation_quota_sample(spark, sf_dir):
+    """Per-language quota: deterministic first-10 docs per lang (source
+    balancing / domain caps) via one window shuffle."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.quota_sample(docs, ["lang"], 10, "doc_id")
+
+
+@query(
+    "ns_curation_pii_redact", extended=True,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact: user' || doc_id ||
+               '@example.com at 192.168.0.' || doc_id % 256 AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_email,
+           CAST(len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+               AS n_ipv4,
+           CAST(len(regexp_extract_all(t,
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM d
+    """,
+)
+def ns_curation_pii_redact(spark, sf_dir):
+    """PII redaction parity: synthetic emails/IPs appended to each doc,
+    redacted with the shared RE2-safe patterns; the md5 of the redacted
+    text must match the oracle byte-for-byte."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 192.168.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("t"),
+    )
+    out = curation.pii_redact(docs, "t")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.md5(F.col("t_redacted")).alias("redacted_md5"),
+    )
+
+
+@query(
+    "ns_curation_tfidf", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE length(term) >= 1 GROUP BY 1, 2),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS N FROM documents)
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT doc_id, term, tf, df,
+               round(tf * (ln((N + 1.0) / (df + 1.0)) + 1), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY round(tf * (ln((N + 1.0) / (df + 1.0)) + 1), 6)
+                       DESC, term) AS rank
+        FROM tf JOIN dft USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def ns_curation_tfidf(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smooth idf), deterministic
+    (score desc, term asc) ranking."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(docs, "doc_id", "text", top_n=3)

@@ -1300,25 +1300,34 @@ def q45_sketch_bounds(spark, sf_dir):
     sketches — turning the r1 ``no_oracle`` sketch rows into hard
     green.  At 100 TB the approx aggregates are the point: mergeable
     constant-size state with map-side combine, instead of the exact
-    count(DISTINCT) shuffle explosion."""
+    count(DISTINCT) shuffle explosion.
+
+    Plan shape: the exact count(DISTINCT)s and the sketch aggregates run
+    as SEPARATE aggregations joined on the (tiny) group key.  Mixing
+    them in one agg makes Catalyst Expand the input once per distinct
+    column and update every imperative sketch buffer against the
+    multiplied rows — measured 80x slower at sf0.1 (205 s vs 2.5 s).
+    Two narrow scans beat one exploded one."""
     li = t(spark, sf_dir, "lineitem")
 
     def ok(approx, exact, tol):
         a, e = F.col(approx).cast("double"), F.col(exact).cast("double")
         return F.abs(a - e) <= F.lit(tol) * e
 
+    exact_nd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("e_nd_o"),
+        F.countDistinct("l_partkey").alias("e_nd_p"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_nd_o"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_nd_p"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_p50"),
+        F.percentile("l_extendedprice", 0.5).alias("e_p50"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("a_p90"),
+        F.percentile("l_quantity", 0.9).alias("e_p90"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_nd_o"),
-            F.countDistinct("l_orderkey").alias("e_nd_o"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_nd_p"),
-            F.countDistinct("l_partkey").alias("e_nd_p"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_p50"),
-            F.percentile("l_extendedprice", 0.5).alias("e_p50"),
-            F.percentile_approx("l_quantity", 0.9, 10000).alias("a_p90"),
-            F.percentile("l_quantity", 0.9).alias("e_p90"),
-        )
+        exact_nd.join(sketches, "l_returnflag")
         .select(
             "l_returnflag",
             ok("a_nd_o", "e_nd_o", 0.05).alias("nd_orders_ok"),

@@ -1,0 +1,154 @@
+"""Data-curation operators for LLM training pipelines: benchmark
+decontamination, per-group quota sampling, PII redaction, TF-IDF term
+scoring.
+
+No reference analog — the reference (zuston/fluss-datafusion) is a SQL
+CLI over Fluss storage; these are the north-star extension surface a
+training-data pipeline runs over the same tables.  Everything is a
+declarative DataFrame plan (Catalyst owns join strategy and pushdown);
+the shapes are chosen for the 100 TB posture — inverted-index joins
+instead of pair scans, window quotas instead of driver-side sampling,
+JVM regexp instead of Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.text import tokens, word_shingles
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Train/test contamination check: training documents sharing at
+    least ``min_overlap`` distinct word-k-shingles with a benchmark
+    (eval) corpus.
+
+    Scale shape: the benchmark's DISTINCT shingle set is small by
+    construction (eval suites are orders of magnitude smaller than the
+    corpus), so the inner join against the corpus's exploded shingles is
+    effectively a semi-probe — Catalyst broadcasts the benchmark side on
+    its own stats (no forced hint; a huge "benchmark" degrades to a
+    shuffle join instead of OOMing).  The overlap count gets map-side
+    combine; the corpus is exploded exactly once.
+
+    Returns (id_col, n_overlap) for contaminated documents only.
+    """
+    bench_text = bench_text_col or text_col
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(bench_text), k)).alias("__s__")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("__s__"),
+    )
+    return (
+        doc_sh.join(bench_sh, "__s__")
+        .groupBy("__id__")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("__id__").alias(id_col), "n_overlap")
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: List[str],
+    n_per_group: int,
+    order_col: str,
+    ascending: bool = True,
+) -> DataFrame:
+    """Deterministic per-group quota: keep the first ``n_per_group`` rows
+    of each group in ``order_col`` order (domain caps, source balancing).
+    One window over the group key — a single hash shuffle, no driver
+    sampling; ``order_col`` must be unique per group for determinism
+    (use a tuple-breaking column upstream otherwise)."""
+    ordering = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*group_cols).orderBy(ordering)
+    return (
+        df.withColumn("__qrn__", F.row_number().over(w))
+        .filter(F.col("__qrn__") <= n_per_group)
+        .drop("__qrn__")
+    )
+
+
+# Patterns deliberately restricted to RE2-compatible constructs (no
+# lookarounds) so the identical regex runs in Spark (Java regex) and any
+# RE2-based oracle engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, phone-like
+    numbers) with typed placeholders, and count what was redacted.
+    All JVM-side regexp expressions — full scan speed, no UDFs."""
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.withColumn(f"{text_col}_redacted", redacted)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    min_term_len: int = 1,
+) -> DataFrame:
+    """Per-document top-N TF-IDF terms (smooth idf = ln((N+1)/(df+1))+1).
+
+    Scale shape: one explode over the corpus; tf and df are both
+    map-side-combined aggregations; the document total N joins in as a
+    broadcast of a single row; top-N is a window over the doc id.  The
+    term dictionary never materializes on the driver.
+
+    Returns (id_col, term, tf, df, score, rank) with rank 1..top_n by
+    (score desc, term asc) — fully deterministic.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy("__id__", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("__N__"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__N__") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("__id__").alias(id_col), "term", "tf", "df", "score", "rank"
+        )
+    )

@@ -325,6 +325,11 @@ def minhash_lsh_pairs(
         .select("__p__.id_a", "__p__.id_b")
         .distinct()
     )
+    # The candidate set feeds BOTH the verify probe and the semi-join
+    # that bounds the broadcast below; persist the (tiny, bucket-local,
+    # guard-capped) pairs so the signature pipeline — the expensive
+    # corpus-wide part — executes once instead of once per branch.
+    candidates = candidates.persist()
 
     # Exact verification of candidates only.  The full corpus shingle
     # table is O(corpus) and must NEVER be broadcast — instead semi-join
@@ -435,7 +440,14 @@ def embedding_cosine_pairs(
             "or pass allow_all_pairs=True for small inputs"
         )
     e = df.select(*cols)
-    a, b = e.alias("a"), e.alias("b")
+    # Round-robin repartition of the PROBE side only: when Catalyst
+    # auto-broadcasts the (small-by-stats) build side, the pair
+    # expansion + interpreted cosine evaluation parallelizes across all
+    # cores instead of running on the scan's few input partitions.  Not
+    # a broadcast hint — at real scale the equi-key on __blk__ makes
+    # this a plain shuffle join and the repartition merges into it.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a, b = e.repartition(parallelism).alias("a"), e.alias("b")
     cond = F.col("a.__id__") < F.col("b.__id__")
     if block_col:
         cond = (F.col("a.__blk__") == F.col("b.__blk__")) & cond

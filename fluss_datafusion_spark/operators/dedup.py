@@ -70,6 +70,11 @@ def ngram_jaccard_pairs(
     """
     assert threshold > 0, "inverted-index jaccard requires threshold > 0"
     block_cols = block_cols or []
+    # Round-robin repartition BEFORE shingling: the zip_with shingle
+    # expression is interpreted (no codegen) and dominates — it must be
+    # spread across all cores even when the input is one small file.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism)
     sh = df.select(
         F.col(id_col).alias("__id__"),
         *[F.col(c).alias(f"__b{i}__") for i, c in enumerate(block_cols)],
@@ -232,6 +237,55 @@ def minhash_band_buckets(
     )
 
 
+def _bucket_local_pairs(
+    buckets: DataFrame,
+    group_cols: List[str],
+    max_bucket_size: Optional[int],
+    metric_name: str,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs generated inside each
+    bucket of a (group_cols..., __id__) assignment table.
+
+    One map-side-combined shuffle on the bucket key, then a higher-order
+    pair expansion over the sorted member list — never a self-join (a
+    self-join would recompute the upstream bucket pipeline for both
+    branches).  Bucket membership is tiny by construction for any sane
+    LSH; ``max_bucket_size`` truncates degenerate mega-buckets (first N
+    sorted ids, deterministic) and emits an ``observe()`` metric so the
+    truncation is visible, bounding any bucket's fan-out at C(cap, 2).
+    The result is persisted: every caller feeds it to both a verify
+    probe and a semi-join bound, and the upstream pipeline — the
+    expensive corpus-wide part — must execute once, not once per branch.
+    """
+    members = (
+        buckets.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_set("__id__")).alias("__ids__"))
+        .filter(F.size("__ids__") > 1)
+    )
+    if max_bucket_size:
+        members = members.observe(
+            metric_name,
+            F.sum(
+                (F.size("__ids__") > max_bucket_size).cast("long")
+            ).alias("oversized_buckets"),
+            F.max(F.size("__ids__")).alias("max_bucket_members"),
+        ).withColumn("__ids__", F.slice("__ids__", 1, max_bucket_size))
+    return (
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids__, (x, i) ->"
+                    " transform(slice(__ids__, i + 2, size(__ids__)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.id_a", "__p__.id_b")
+        .distinct()
+        .persist()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -296,40 +350,9 @@ def minhash_lsh_pairs(
     # pairs with a higher-order function — ONE pass over the signature
     # pipeline (a self-join would recompute the signatures for both join
     # branches) and one map-side-combined shuffle on the bucket key.
-    # Bucket membership lists are tiny by construction (a bucket is a
-    # 1-in-2^62 hash range); the max_bucket_size guard bounds the
-    # degenerate-boilerplate case (see docstring).
-    members = (
-        buckets.groupBy("__band__", "__bucket__")
-        .agg(F.array_sort(F.collect_set("__id__")).alias("__ids__"))
-        .filter(F.size("__ids__") > 1)
+    candidates = _bucket_local_pairs(
+        buckets, ["__band__", "__bucket__"], max_bucket_size, "lsh_bucket_guard"
     )
-    if max_bucket_size:
-        members = members.observe(
-            "lsh_bucket_guard",
-            F.sum(
-                (F.size("__ids__") > max_bucket_size).cast("long")
-            ).alias("oversized_buckets"),
-            F.max(F.size("__ids__")).alias("max_bucket_members"),
-        ).withColumn("__ids__", F.slice("__ids__", 1, max_bucket_size))
-    candidates = (
-        members.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ids__, (x, i) ->"
-                    " transform(slice(__ids__, i + 2, size(__ids__)),"
-                    " y -> struct(x AS id_a, y AS id_b))))"
-                )
-            ).alias("__p__")
-        )
-        .select("__p__.id_a", "__p__.id_b")
-        .distinct()
-    )
-    # The candidate set feeds BOTH the verify probe and the semi-join
-    # that bounds the broadcast below; persist the (tiny, bucket-local,
-    # guard-capped) pairs so the signature pipeline — the expensive
-    # corpus-wide part — executes once instead of once per branch.
-    candidates = candidates.persist()
 
     # Exact verification of candidates only.  The full corpus shingle
     # table is O(corpus) and must NEVER be broadcast — instead semi-join
@@ -457,6 +480,64 @@ def embedding_cosine_pairs(
             F.col("a.__id__").alias("id_a"),
             F.col("b.__id__").alias("id_b"),
             cosine(F.col("a.__v__"), F.col("b.__v__")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a natural blocking column: the
+    blocks are multi-table random-hyperplane LSH buckets (the scale path
+    ``embedding_cosine_pairs`` points to when it refuses all-pairs).
+
+    A pair is a candidate if it co-buckets in ANY of the ``n_tables``
+    independent plane sets — recall per pair is 1-(1-(1-θ/π)^n_planes)^L,
+    ≈ 0.998 at cos 0.9 with the defaults — then verified with exact
+    cosine, so precision is exact.  Same candidate discipline as
+    ``minhash_lsh_pairs``: bucket-local HOF pair expansion (no
+    self-join), mega-bucket truncation guard, semi-joined
+    candidate-bound broadcast for the verify stage — nothing
+    corpus-sized is ever broadcast.  Returns (id_a, id_b, cos),
+    id_a < id_b.
+    """
+    from fluss_datafusion_spark.operators.similarity import _table_buckets_udf
+
+    bucket_udf = _table_buckets_udf(dim, n_planes, n_tables, seed)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    buckets = df.repartition(parallelism).select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(bucket_udf(F.col(vec_col))).alias("__table__", "__bucket__"),
+    )
+    candidates = _bucket_local_pairs(
+        buckets, ["__table__", "__bucket__"], max_bucket_size,
+        "embedding_lsh_bucket_guard",
+    )
+
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__id__"))
+        .union(candidates.select(F.col("id_b").alias("__id__")))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+    vc = vecs.join(cand_ids, "__id__", "left_semi")
+    va, vb = F.broadcast(vc).alias("va"), F.broadcast(vc).alias("vb")
+    return (
+        candidates.join(va, F.col("id_a") == F.col("va.__id__"))
+        .join(vb, F.col("id_b") == F.col("vb.__id__"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va.__v__"), F.col("vb.__v__")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

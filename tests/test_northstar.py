@@ -337,3 +337,33 @@ def test_probe_image_meta_round_trip(spark):
         assert r["format"] == fmts[i % 4]
         assert r["width"] == i % 512 + 1
         assert r["height"] == (i * 7) % 512 + 1
+
+
+def test_embedding_lsh_pairs_recall_vs_blocked_exact(spark):
+    """The LSH-blocked variant (no natural block key) must recover the
+    high-similarity pairs the exact label-blocked path finds, and must
+    never report a wrong cosine (verify stage is exact)."""
+    from fluss_datafusion_spark.corpus import t
+    from fluss_datafusion_spark.operators import dedup
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, block_col="label"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_cosine_pairs_lsh(
+            emb, "vec_id", "embedding", threshold=0.3, dim=64
+        ).collect()
+    }
+    # exact verification: any pair both report must agree exactly
+    for pair in set(exact) & set(lsh):
+        assert abs(exact[pair] - lsh[pair]) < 1e-9
+    # recall on the strongest pairs (cos >= 0.8 co-buckets w.h.p.)
+    strong = {p for p, c in exact.items() if c >= 0.8}
+    if strong:
+        found = len(strong & set(lsh)) / len(strong)
+        assert found >= 0.9, f"LSH recall {found} over {len(strong)} strong pairs"

@@ -221,8 +221,13 @@ def minhash_band_buckets(
                 out.append(sig[0::2] * (1 << 31) + sig[1::2])
             yield pd.DataFrame({"__id__": pdf["__id__"], "__bks__": out})
 
+    # Repartition BEFORE shingling: the interpreted zip_with shingle
+    # expression must spread across all cores even when the input is a
+    # single small file (one scan partition otherwise serializes it).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     exploded = (
-        df.select(
+        df.repartition(parallelism)
+        .select(
             F.col(id_col).alias("__id__"),
             word_shingles(F.col(text_col), k).alias("__sh__"),
         )
@@ -369,7 +374,9 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__id__")))
         .distinct()
     )
-    sh = df.select(
+    sh = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
     )
     shc = sh.join(cand_ids, "__id__", "left_semi")
@@ -394,7 +401,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     per-bit votes are plain conditional aggregates (codegen-friendly)."""
     from fluss_datafusion_spark.functions.text import tokens
 
-    toks = df.select(
+    # Repartition first: the 64 per-bit partial aggregates run in the
+    # map stage — on a single-file input they would serialize on one
+    # task otherwise.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(parallelism).select(
         F.col(id_col).alias("__id__"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t__"),
     ).withColumn("__h__", F.xxhash64("__t__", F.lit(0)))

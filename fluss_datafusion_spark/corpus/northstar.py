@@ -594,3 +594,31 @@ def ns_curation_tfidf(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return curation.tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+@query(
+    "ns_curation_stratified_sample", extended=True,
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 4) < '1999'
+    """,
+)
+def ns_curation_stratified_sample(spark, sf_dir):
+    """Deterministic ~10% stratified sample (md5-prefix filter salted by
+    lang) — reproducible across engines/cluster sizes, zero shuffles."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.stratified_sample(docs, "doc_id", 10, strata_cols=["lang"])
+
+
+@query("ns_curation_pack_sequences", extended=True)
+def ns_curation_pack_sequences(spark, sf_dir):
+    """Greedy partition-local sequence packing into 512-token bins
+    (rows-only: bin composition depends on the hash partitioning;
+    invariants — every doc packed once, bins bounded — are asserted in
+    tests/test_curation.py)."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    return curation.pack_sequences(docs, "doc_id", "text", max_tokens=512)

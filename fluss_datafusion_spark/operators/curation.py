@@ -152,3 +152,75 @@ def tfidf_top_terms(
             F.col("__id__").alias(id_col), "term", "tf", "df", "score", "rank"
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction_pct: int,
+    strata_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep a row iff the first 4 hex
+    digits of md5(id) fall below ``fraction_pct`` % of 0x10000.  Unlike
+    ``df.sample()`` this is reproducible across runs, engines, and
+    cluster sizes (md5 is everywhere), needs no seed plumbing, and is a
+    pure narrow filter — no shuffle at all.  The comparison is done on
+    the fixed-length lowercase hex STRING (lexicographic == numeric for
+    uniform-width hex), so any oracle engine reproduces it without hex
+    parsing.  ``strata_cols`` only salt the hash so each stratum draws
+    an independent sample; per-stratum EXACT quotas are
+    ``quota_sample``'s job."""
+    parts = [F.col(id_col).cast("string")] + [
+        F.col(c).cast("string") for c in (strata_cols or [])
+    ]
+    threshold = format(int(0x10000 * fraction_pct / 100), "04x")
+    bucket = F.substring(F.md5(F.concat_ws("|", *parts)), 1, 4)
+    return df.filter(bucket < F.lit(threshold))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Greedy sequence packing for training: concatenate documents into
+    bins of at most ``max_tokens`` whitespace tokens (first-fit in id
+    order WITHIN each partition).  Returns one row per packed sequence:
+    (pack_id, doc_ids, n_docs, n_tokens).
+
+    Scale shape: packing is partition-local (applyInPandas over a hash
+    of the id — any partitioning works since bins never need to be
+    globally optimal), so there is exactly one shuffle and no global
+    sort; pack_id = first doc id in the bin, globally unique.  Documents
+    longer than ``max_tokens`` become singleton bins (truncation is the
+    tokenizer's job downstream)."""
+    import pandas as pd
+
+    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__id__")
+        bins, bin_ids, bin_tok = [], [], 0
+        out = []
+        for i, n in zip(pdf["__id__"], pdf["__n__"]):
+            if bin_ids and bin_tok + n > max_tokens:
+                out.append((bin_ids[0], list(bin_ids), len(bin_ids), bin_tok))
+                bin_ids, bin_tok = [], 0
+            bin_ids.append(int(i))
+            bin_tok += int(n)
+        if bin_ids:
+            out.append((bin_ids[0], list(bin_ids), len(bin_ids), bin_tok))
+        return pd.DataFrame(
+            out, columns=["pack_id", "doc_ids", "n_docs", "n_tokens"]
+        )
+
+    from fluss_datafusion_spark.functions.text import token_count
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sized = docs.select(
+        F.col(id_col).alias("__id__"),
+        token_count(F.col(text_col)).alias("__n__"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(parallelism))).alias("__part__"),
+    )
+    return sized.groupBy("__part__").applyInPandas(
+        pack, "pack_id long, doc_ids array<long>, n_docs int, n_tokens long"
+    )

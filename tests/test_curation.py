@@ -59,3 +59,33 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = {r["doc_id"]: r["term"] for r in out.collect()}
     # zebra: tf=2, df=1 -> 2*(ln(2)+1) ≈ 3.39 beats common: 1*(ln(1)+1) = 1
     assert top[1] == "zebra"
+
+
+def test_stratified_sample_matches_md5_rule(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    kept = curation.stratified_sample(df, "doc_id", 25)
+    got = {r["doc_id"] for r in kept.collect()}
+    import hashlib
+
+    expected = {
+        i for i in range(1000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < format(0x4000, "04x")
+    }
+    assert got == expected
+    # ~25% within sampling noise
+    assert 0.18 < len(got) / 1000 < 0.32
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 50))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packs = curation.pack_sequences(docs, "doc_id", "text", max_tokens=100).collect()
+    all_ids = [i for r in packs for i in r["doc_ids"]]
+    assert sorted(all_ids) == list(range(200))  # every doc packed exactly once
+    for r in packs:
+        assert r["n_docs"] == len(r["doc_ids"])
+        # bins never exceed the cap unless a single long doc forced it
+        assert r["n_tokens"] <= 100 or r["n_docs"] == 1
+        assert r["pack_id"] == r["doc_ids"][0]

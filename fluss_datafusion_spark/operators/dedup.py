@@ -370,9 +370,9 @@ def minhash_lsh_pairs(
     # ReuseExchange materializes it once — a renamed projection would
     # defeat plan canonicalization and compute the slice twice.
     cand_ids = (
-        candidates.select(F.col("id_a").alias("__id__"))
-        .union(candidates.select(F.col("id_b").alias("__id__")))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("__id__")
+        ).distinct()
     )
     sh = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
@@ -535,9 +535,9 @@ def embedding_cosine_pairs_lsh(
     )
 
     cand_ids = (
-        candidates.select(F.col("id_a").alias("__id__"))
-        .union(candidates.select(F.col("id_b").alias("__id__")))
-        .distinct()
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("__id__")
+        ).distinct()
     )
     vecs = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
     vc = vecs.join(cand_ids, "__id__", "left_semi")

@@ -622,3 +622,40 @@ def ns_curation_pack_sequences(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return curation.pack_sequences(docs, "doc_id", "text", max_tokens=512)
+
+
+@query(
+    "ns_curation_embedding_contamination", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id AS bench_id, v FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT c.vec_id, b.bench_id,
+               list_sum(list_transform(list_zip(c.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x*x)))) AS cos
+        FROM e c, b
+    )
+    SELECT vec_id, bench_id, round(cos, 6) AS cos
+    FROM (
+        SELECT vec_id, bench_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, bench_id) AS rn
+        FROM scored WHERE cos >= 0.8
+    ) WHERE rn = 1
+    """,
+)
+def ns_curation_embedding_contamination(spark, sf_dir):
+    """Embedding-space contamination vs a benchmark slice (vec_id % 100
+    = 0): strongest benchmark match per corpus vector at cos >= 0.8."""
+    from fluss_datafusion_spark.operators import curation
+
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    out = curation.embedding_contamination(
+        emb, bench, "vec_id", "embedding", threshold=0.8
+    )
+    return out.select("vec_id", "bench_id", F.round("cos", 6).alias("cos"))

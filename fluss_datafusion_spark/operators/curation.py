@@ -224,3 +224,53 @@ def pack_sequences(
     return sized.groupBy("__part__").applyInPandas(
         pack, "pack_id long, doc_ids array<long>, n_docs int, n_tokens long"
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: Optional[str] = None,
+    bench_vec_col: Optional[str] = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space train/test contamination: corpus rows whose vector
+    is within cosine ``threshold`` of ANY benchmark vector (n-gram
+    decontamination misses paraphrases; this catches them).
+
+    Scale shape: the benchmark side is small by construction and joins
+    as a stats-based broadcast (no hint) against the streamed corpus —
+    a narrow map-side pass, no shuffle of the corpus; the per-corpus-row
+    best match reduces with map-side combine.  For benchmark sets too
+    big to broadcast, bucket both sides with the LSH/IVF helpers in
+    operators/similarity.py instead.
+
+    Returns (id_col, bench_id, cos) — the strongest benchmark match per
+    contaminated corpus row.
+    """
+    from fluss_datafusion_spark.functions.vector import cosine as _cos
+
+    b_id = bench_id_col or id_col
+    b_vec = bench_vec_col or vec_col
+    c = corpus.select(
+        F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__")
+    )
+    b = benchmark.select(
+        F.col(b_id).alias("bench_id"), F.col(b_vec).alias("__bv__")
+    )
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        c.repartition(parallelism)
+        .crossJoin(b)
+        .withColumn("cos", _cos(F.col("__v__"), F.col("__bv__")))
+        .filter(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("cos").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col("__id__").alias(id_col), "bench_id", "cos")
+    )

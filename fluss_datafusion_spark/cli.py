@@ -26,9 +26,11 @@ HISTORY_FILE = os.path.join(HISTORY_DIR, "repl_history")
 
 HELP_TEXT = """Available commands:
   \\dt        List tables in the current database
+  \\d [name]  Describe a table (no name: list tables)
   \\q         Quit
   \\?         Show this help
   SQL statements end with ';' and may span multiple lines.
+  Tab completes SQL keywords, meta-commands, and table names.
 
 Supported SQL:
   CREATE TABLE ... (PRIMARY KEY, PARTITIONED BY, DISTRIBUTED BY, WITH)
@@ -100,7 +102,43 @@ class CliSession:
             return HELP_TEXT
         if cmd == "\\dt":
             return self.execute("SHOW TABLES")
+        if cmd == "\\d" or cmd.startswith("\\d "):
+            target = cmd[2:].strip()
+            if not target:
+                return self.execute("SHOW TABLES")
+            return self.execute(f"DESCRIBE {target}")
         return f"Unknown command: {cmd}  (try \\?)"
+
+    # keywords offered by tab completion (statement heads + common clause
+    # words; table names come from the live catalog)
+    _KEYWORDS = (
+        "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "HAVING",
+        "LIMIT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ON",
+        "UNION", "INTERSECT", "EXCEPT", "WITH", "AS", "AND", "OR", "NOT",
+        "IN", "EXISTS", "BETWEEN", "LIKE", "CASE", "WHEN", "THEN", "ELSE",
+        "END", "CREATE", "TABLE", "DATABASE", "PRIMARY", "KEY",
+        "PARTITIONED", "DISTRIBUTED", "BUCKETS", "INSERT", "INTO",
+        "VALUES", "DELETE", "DROP", "DESCRIBE", "SHOW", "TABLES",
+        "DATABASES", "PARTITIONS", "OPTIONS", "USE", "SET",
+    )
+    _META = ("\\dt", "\\d", "\\q", "\\?")
+
+    def completions(self, prefix: str) -> list:
+        """Candidates for ``prefix``: meta-commands, SQL keywords, and
+        table names in the current database (prefix-insensitive case for
+        keywords; tables match case-sensitively then case-insensitively)."""
+        if prefix.startswith("\\"):
+            return [m for m in self._META if m.startswith(prefix)]
+        cands = []
+        up = prefix.upper()
+        cands += [k for k in self._KEYWORDS if k.startswith(up)]
+        try:
+            tables = self.engine.catalog.list_tables()
+        except Exception:
+            tables = []
+        low = prefix.lower()
+        cands += [t for t in tables if t.lower().startswith(low)]
+        return cands
 
     def run(self) -> None:
         try:
@@ -113,6 +151,16 @@ class CliSession:
                 pass
         except ImportError:
             readline = None
+
+        if readline is not None:
+            def _complete(text, state):
+                matches = self.completions(text)
+                return matches[state] if state < len(matches) else None
+
+            readline.set_completer(_complete)
+            # keep backslash inside the completed word so \d… completes
+            readline.set_completer_delims(" \t\n;,()")
+            readline.parse_and_bind("tab: complete")
 
         print("fluss-datafusion-spark SQL CLI.  \\? for help, \\q to quit.")
         buffer = []

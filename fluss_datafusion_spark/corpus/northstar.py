@@ -341,6 +341,41 @@ def ns_multimodal_features(spark, sf_dir):
     return multimodal.probe_image_meta(media)
 
 
+@query(
+    "ns_multimodal_bmp_decode",
+    extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 16 + 1 AS INT) AS width,
+           CAST((doc_id * 7) % 16 + 1 AS INT) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((doc_id * 7) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((doc_id * 13) % 256 AS DOUBLE), 6) AS mean_b
+    FROM documents
+    """,
+)
+def ns_multimodal_bmp_decode(spark, sf_dir):
+    """REAL full-pixel decode: per document a complete uncompressed
+    24-bit BMP (header + pixel array, constant color derived from
+    doc_id) is synthesized, then ``bmp_pixel_stats`` decodes the actual
+    pixel bytes back (stride padding + bottom-up rows) and reports
+    per-channel means.  The oracle derives the same stats
+    arithmetically, so byte-level pixel decoding is verified against an
+    independent computation — no imaging library anywhere."""
+    media = multimodal.synthesize_bmp_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    stats = multimodal.bmp_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 @query("ns_multimodal_fake_features", extended=True)
 def ns_multimodal_fake_features(spark, sf_dir):
     """Arrow-batched mapInPandas pixel-feature extraction with the

@@ -156,14 +156,36 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
-def upsert_sink(stream_df: DataFrame, catalog, table: str, checkpoint: str):
+def upsert_sink(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    checkpoint: str,
+    metrics: Optional[list] = None,
+):
     """foreachBatch upsert into a PK table — the streaming materialized
     view the reference builds inside the Fluss tablet server (INSERT =
     upsert, src/provider.rs:411-441).  Each micro-batch flows through the
-    catalog's log-structured writer; reads always see merged state."""
+    catalog's log-structured writer; reads always see merged state.
+
+    ``metrics``: optional list; one dict per committed micro-batch is
+    appended ({batch_id, rows, seconds}).  The row count comes from the
+    catalog's post-write parquet footer count, so recording it is free —
+    no second execution of the batch plan.
+    """
+    import time as _time
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        catalog.insert(table, batch_df)
+        t0 = _time.monotonic()
+        n = catalog.insert(table, batch_df)
+        if metrics is not None:
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "rows": n,
+                    "seconds": round(_time.monotonic() - t0, 3),
+                }
+            )
 
     return (
         stream_df.writeStream.foreachBatch(_apply)
@@ -207,6 +229,8 @@ def changelog_stream(
     order_cols,
     image_cols,
     del_col: str = None,
+    ttl: str = None,
+    ts_col: str = None,
 ) -> DataFrame:
     """Streaming changelog derivation: turn an upsert stream into
     +I/-U/+U change rows ACROSS micro-batches — the streaming half of
@@ -227,13 +251,27 @@ def changelog_stream(
     deletes of absent keys emit nothing.  ``del_col`` must not be listed
     in ``image_cols``.
 
+    ``ttl`` (e.g. ``"1 hour"``) bounds state for an unbounded key space:
+    a key whose last event is older than the watermark by more than the
+    TTL has its state evicted via EventTimeTimeout.  After eviction the
+    key's next write emits +I (not -U/+U) — the documented trade-off of
+    bounded state, identical to what a watermarked streaming dedup
+    accepts.  Requires ``ts_col`` (an event-time column present in the
+    stream) and a ``withWatermark`` upstream.  Without ``ttl`` state
+    lives forever (NoTimeout), correct for a bounded key space.
+
     Scale shape: state is hash-partitioned on the key (same shuffle a
     streaming agg pays); per-key per-batch row counts are small, so the
     python loop inside each group is bounded by batch size, not corpus
-    size.
+    size.  With ``ttl`` set, state size is bounded by the number of keys
+    active inside one TTL horizon instead of all keys ever seen.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if ttl is not None and ts_col is None:
+        raise ValueError("changelog_stream: ttl requires ts_col")
+    ttl_ms = _parse_duration_ms(ttl) if ttl is not None else None
 
     key_cols, order_cols, image_cols = (
         list(key_cols),
@@ -249,6 +287,14 @@ def changelog_stream(
     def update(key, pdf_iter, state):
         def native(v):
             return v.item() if hasattr(v, "item") else v
+
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last-event-time + TTL with no new data:
+            # evict.  The next write for this key will emit +I.
+            state.remove()
+            out = pd.DataFrame([], columns=["op", *key_cols, *image_cols])
+            yield out
+            return
 
         prev = list(state.get) if state.exists else None
         ops, images = [], []
@@ -277,13 +323,109 @@ def changelog_stream(
                     state.remove()
             else:
                 state.update(tuple(prev))
+                if ttl_ms is not None:
+                    last_ms = int(batch[ts_col].max().value // 1_000_000)
+                    state.setTimeoutTimestamp(last_ms + ttl_ms)
         out = pd.DataFrame(images, columns=image_cols)
         out.insert(0, "op", ops)
         for i, c in enumerate(key_cols):
             out.insert(1 + i, c, native(key[i]))
         yield out
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(*key_cols).applyInPandasWithState(
+        update, output_schema, state_schema, "update", timeout
+    )
+
+
+def _parse_duration_ms(text: str) -> int:
+    qty, unit = text.split()
+    return int(qty) * {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+
+
+def session_counts_update(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Update-mode session windows — the mode Spark's native
+    ``session_window`` refuses (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION
+    for update mode).  Implemented as a custom stateful operator: keyed
+    state holds the one open session per key (start, last-event, count);
+    each micro-batch emits every session it touched — closed sessions
+    with ``final=true`` (gap elapsed inside the batch) and the still-open
+    session with ``final=false``.  Downstream consumers keep the
+    highest-count row per (key, session_start): counts only grow, so that
+    row is the session's current truth.
+
+    Semantics match the native operator on in-order streams:
+    ``session_end = last event + gap`` (session_window's close rule).
+    Out-of-order events earlier than the open session's start would
+    need session-merge state (the native append-mode operator handles
+    that — use ``session_counts`` when late merges matter more than
+    update-mode emission).
+
+    Scale shape: state is 3 longs per key, hash-partitioned on the key;
+    per-batch python work is O(batch rows) after the groupBy shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = _parse_duration_ms(gap) * 1000
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    output_schema = (
+        f"{key_col} {fields[key_col]}, session_start timestamp,"
+        " session_end timestamp, n bigint, final boolean"
+    )
+    state_schema = "start_us long, last_us long, n long"
+
+    def update(key, pdf_iter, state):
+        def native(v):
+            return v.item() if hasattr(v, "item") else v
+
+        cur = list(state.get) if state.exists else None
+        out = []  # (start_us, last_us, n, final)
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch):
+            for t in batch[ts_col].sort_values():
+                t_us = int(t.value // 1_000)
+                if cur is None:
+                    cur = [t_us, t_us, 1]
+                elif t_us - cur[1] < gap_us:
+                    # strict <: per-event windows are [t, t+gap) and
+                    # merge only when they overlap (session_window rule)
+                    cur[1] = max(cur[1], t_us)
+                    cur[2] += 1
+                else:
+                    out.append((*cur, True))
+                    cur = [t_us, t_us, 1]
+            out.append((*cur, False))
+            state.update(tuple(cur))
+        pdf = pd.DataFrame(
+            out, columns=["start_us", "last_us", "n", "final"]
+        )
+        yield pd.DataFrame(
+            {
+                key_col: native(key[0]),
+                "session_start": pd.to_datetime(pdf["start_us"], unit="us"),
+                "session_end": pd.to_datetime(pdf["last_us"] + gap_us, unit="us"),
+                "n": pdf["n"],
+                "final": pdf["final"],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
         update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 

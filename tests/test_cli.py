@@ -50,3 +50,30 @@ def test_null_rendering(spark, tmp_path):
     cli = _cli(spark, tmp_path)
     out = cli.execute("SELECT CAST(NULL AS INT) AS x")
     assert "NULL" in out
+
+
+def test_describe_meta_alias(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    cli.execute(
+        "CREATE TABLE dsc (id BIGINT NOT NULL, name STRING, PRIMARY KEY (id))"
+    )
+    out = cli.meta("\\d dsc")
+    assert "id" in out and "name" in out and "bigint" in out.lower()
+    # bare \d lists tables (postgres habit)
+    assert "dsc" in cli.meta("\\d")
+
+
+def test_tab_completion_candidates(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    cli.execute("CREATE TABLE comp_orders (id BIGINT)")
+    cli.execute("CREATE TABLE comp_customers (id BIGINT)")
+    # keyword completion is case-insensitive on input, upper-cased output
+    assert "SELECT" in cli.completions("sel")
+    assert "SHOW" in cli.completions("SH")
+    # table names from the live catalog
+    got = cli.completions("comp_")
+    assert "comp_orders" in got and "comp_customers" in got
+    # meta-commands complete with the backslash kept
+    assert set(cli.completions("\\d")) >= {"\\dt", "\\d"}
+    # no spurious matches
+    assert cli.completions("zzz_nothing") == []

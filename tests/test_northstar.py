@@ -339,6 +339,84 @@ def test_probe_image_meta_round_trip(spark):
         assert r["height"] == (i * 7) % 512 + 1
 
 
+def test_decode_bmp_pixels_layout():
+    """Full BMP pixel decode: stride padding skipped, bottom-up vs
+    top-down row order honored, BGR->RGB swap applied; non-BMP and
+    compressed payloads return None."""
+    import struct
+
+    import numpy as np
+
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    # 2x2 bottom-up: rows stored last-first, stride pads 6 bytes -> 8
+    def bmp(height, pixel_rows):
+        w = len(pixel_rows[0])
+        stride = (w * 3 + 3) & ~3
+        data = b""
+        for row in pixel_rows:
+            raw = b"".join(bytes([b_, g, r]) for (r, g, b_) in row)
+            data += raw + b"\x00" * (stride - len(raw))
+        return (
+            b"BM" + struct.pack("<I", 54 + len(data)) + b"\x00" * 4
+            + struct.pack("<I", 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, height, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+            + data
+        )
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (9, 9, 9)]]
+    # bottom-up (positive height): file rows are bottom row first
+    px = mm.decode_bmp_pixels(bmp(2, rows))
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[1][0]) == (255, 0, 0)  # first file row = image bottom
+    assert tuple(px[0][0]) == (0, 0, 255)
+    # top-down (negative height): file order is image order
+    px = mm.decode_bmp_pixels(bmp(-2, rows))
+    assert tuple(px[0][0]) == (255, 0, 0)
+    assert tuple(px[0][1]) == (0, 255, 0)
+    # constant-color means survive stride handling exactly
+    c = mm.decode_bmp_pixels(bmp(3, [[(7, 8, 9)] * 3] * 3))
+    assert np.array_equal(c.reshape(-1, 3).mean(axis=0), [7.0, 8.0, 9.0])
+    # rejects: not BMP, 8-bit, compressed, truncated
+    assert mm.decode_bmp_pixels(b"PNG...") is None
+    assert mm.decode_bmp_pixels(None) is None
+    eight = bytearray(bmp(2, rows))
+    eight[28:30] = struct.pack("<H", 8)
+    assert mm.decode_bmp_pixels(bytes(eight)) is None
+    rle = bytearray(bmp(2, rows))
+    rle[30:34] = struct.pack("<I", 1)
+    assert mm.decode_bmp_pixels(bytes(rle)) is None
+    assert mm.decode_bmp_pixels(bmp(2, rows)[:-4]) is None
+
+
+def test_bmp_pixel_stats_round_trip(spark):
+    """synthesize full BMPs -> decode actual pixel bytes -> channel means
+    equal the arithmetic derivation (and a junk payload degrades to
+    decoded_ok=false, not an exception)."""
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    ids = spark.range(0, 300).selectExpr("id AS doc_id")
+    got = mm.bmp_pixel_stats(mm.synthesize_bmp_media(ids)).collect()
+    assert len(got) == 300
+    for r in got:
+        i = r["media_id"]
+        assert r["decoded_ok"]
+        assert r["width"] == i % 16 + 1
+        assert r["height"] == (i * 7) % 16 + 1
+        assert r["mean_r"] == float(i % 256)
+        assert r["mean_g"] == float((i * 7) % 256)
+        assert r["mean_b"] == float((i * 13) % 256)
+
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not a bmp"))], "media_id long, payload binary"
+    )
+    row = mm.bmp_pixel_stats(junk).collect()[0]
+    assert row["decoded_ok"] is False and row["mean_r"] is None
+
+
 def test_embedding_lsh_pairs_recall_vs_blocked_exact(spark):
     """The LSH-blocked variant (no natural block key) must recover the
     high-similarity pairs the exact label-blocked path finds, and must

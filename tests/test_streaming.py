@@ -322,3 +322,147 @@ def test_changelog_stream_with_deletes(spark, tmp_path):
         ("-D", 1, "a2"),   # second delete, image from the middle batch
         # delete of absent key 3 emits nothing
     }
+
+
+def test_session_counts_update_mode_matches_batch(spark, replay_dir):
+    """Update-mode session windows via the custom stateful operator
+    (native session_window refuses update mode): the best emission per
+    (user, session_start) — counts only grow — must equal the batch
+    session result exactly."""
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        session_counts_update,
+    )
+
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    run_to_memory(
+        session_counts_update(stream, gap="30 minutes"),
+        "t_sessions_upd",
+        output_mode="update",
+    )
+    best: dict = {}
+    finals = set()
+    for r in spark.sql("SELECT * FROM t_sessions_upd").collect():
+        k = (r["user_id"], r["session_start"])
+        if k not in best or r["n"] > best[k][1]:
+            best[k] = (r["session_end"], r["n"])
+        if r["final"]:
+            finals.add(k)
+    got = {(u, s, e, n) for (u, s), (e, n) in best.items()}
+
+    batch = spark.read.parquet(replay_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n"])
+        for r in batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+        .collect()
+    }
+    assert got == want
+    # sessions closed mid-stream were flagged final
+    assert 0 < len(finals) < len(got)
+
+
+def test_upsert_sink_metrics(spark, tmp_path, replay_dir):
+    """foreachBatch sink metrics: one entry per micro-batch, row counts
+    sum to the stream total, and counting is footer-based (no re-run)."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import events_stream, upsert_sink
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE sink_metrics_t (user_id BIGINT NOT NULL, event_id BIGINT,"
+        " ts TIMESTAMP, PRIMARY KEY (user_id))"
+    )
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1).select(
+        "user_id", "event_id", "ts"
+    )
+    metrics: list = []
+    q = upsert_sink(
+        stream, e.catalog, "sink_metrics_t", str(tmp_path / "ckpt_m"), metrics=metrics
+    )
+    q.awaitTermination()
+
+    total = spark.read.parquet(replay_dir).count()
+    assert len(metrics) == 4  # one per replay chunk
+    assert sum(m["rows"] for m in metrics) == total
+    assert [m["batch_id"] for m in metrics] == sorted(m["batch_id"] for m in metrics)
+    assert all(m["seconds"] >= 0 for m in metrics)
+
+
+def test_changelog_stream_ttl_evicts_state(spark, tmp_path):
+    """Event-time TTL: a key idle past (last event + ttl) relative to the
+    watermark has its state evicted, so its next write emits +I instead of
+    -U/+U — bounded state for unbounded key spaces."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark.streaming.events import (
+        changelog_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    replay = str(tmp_path / "ttl")
+    os.makedirs(replay)
+
+    def ts(minute):
+        return pa.scalar(
+            1704067200000000 + minute * 60_000_000, pa.timestamp("us", tz="UTC")
+        )
+
+    batches = [
+        [(1, 1, 0, "a"), (2, 2, 0, "x")],
+        [(3, 2, 20, "y")],          # watermark -> 00:20 (> key-1 timeout 00:05)
+        [(4, 2, 30, "z")],          # key 1 evicted during this batch
+        [(5, 1, 40, "b")],          # fresh +I, state was evicted
+    ]
+    base = time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "k": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [ts(r[2]).as_py() for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "v": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        fpath = os.path.join(replay, f"batch-{i:05d}.parquet")
+        pq.write_table(tbl, fpath)
+        os.utime(fpath, (base + i, base + i))
+
+    stream = events_stream(spark, replay, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    run_to_memory(
+        changelog_stream(
+            stream,
+            key_cols=["k"],
+            order_cols=["seq"],
+            image_cols=["seq", "v"],
+            ttl="5 minutes",
+            ts_col="ts",
+        ),
+        "t_cdc_ttl",
+        output_mode="update",
+    )
+    got = {
+        (r["op"], r["k"], r["v"]) for r in spark.sql("SELECT * FROM t_cdc_ttl").collect()
+    }
+    assert ("+I", 1, "b") in got          # re-keyed as insert after eviction
+    assert ("-U", 1, "a") not in got      # no update chain across the TTL gap
+    # key 2 stayed live the whole time: normal +I/-U/+U chain
+    assert {("+I", 2, "x"), ("-U", 2, "x"), ("+U", 2, "y"), ("-U", 2, "y"), ("+U", 2, "z")} <= got

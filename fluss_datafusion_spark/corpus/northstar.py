@@ -694,3 +694,91 @@ def ns_curation_embedding_contamination(spark, sf_dir):
         emb, bench, "vec_id", "embedding", threshold=0.8
     )
     return out.select("vec_id", "bench_id", F.round("cos", 6).alias("cos"))
+
+
+@query(
+    "ns_text_repetition", extended=True,
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> length(l) > 0) AS ls
+        FROM documents
+    ),
+    linestats AS (
+        SELECT doc_id,
+               CAST(len(ls) AS INT) AS n_lines,
+               CASE WHEN len(ls) > 0
+                    THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                    ELSE 0.0 END AS dup_line_frac
+        FROM lines
+    ),
+    tk AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    perdoc AS (
+        SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS n_bigrams
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT l.doc_id, l.n_lines, round(l.dup_line_frac, 6) AS dup_line_frac,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           round(coalesce(p.top / CAST(p.n_bigrams AS DOUBLE), 0.0), 6)
+               AS top_bigram_frac
+    FROM linestats l LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def ns_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filters: duplicate-line fraction
+    (array expressions, no shuffle) and most-frequent-bigram fraction
+    (one explode + two map-side-combined aggs)."""
+    from fluss_datafusion_spark.functions.text import repetition_stats
+
+    out = repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        "n_bigrams",
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "ns_curation_chunking", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    st AS (
+        SELECT doc_id, t, u.s AS start
+        FROM tk,
+             unnest(generate_series(0, len(t) - 1 - ((len(t) - 1) % 96), 96))
+                 AS u(s)
+    )
+    SELECT doc_id,
+           CAST(start / 96 AS INT) AS chunk_idx,
+           array_to_string(t[start + 1 : start + 128], ' ') AS chunk_text,
+           CAST(len(t[start + 1 : start + 128]) AS INT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def ns_curation_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (chunk=128, overlap=32 ->
+    stride 96): pure narrow plan, no shuffle; every token lands in at
+    least one chunk."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=128, overlap=32,
+    )

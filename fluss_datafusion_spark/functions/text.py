@@ -174,3 +174,77 @@ def lang_id_table(df, id_col: str, text_col: str):
     return out.withColumn("pred_lang", pred).drop(
         *[f"__s_{lang}__" for lang in LANG_STOPWORDS]
     )
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Repetition-based quality filters in the style of the Gopher /
+    MassiveText rules (Rae et al. 2021, §A1.1): per document,
+
+    - ``n_lines`` / ``dup_line_frac``: fraction of non-empty lines that
+      are repeats of an earlier line (0 when every line is unique);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigram occurrences (boilerplate/spam detector);
+    - ``n_bigrams``: total bigram occurrences (denominator, exposed for
+      downstream thresholds).
+
+    Scale shape: the line metrics are pure array expressions (split /
+    array_distinct — codegen, no shuffle).  The bigram metric explodes
+    bigrams once and counts per (doc, bigram) with map-side combine,
+    then per doc — two narrow shuffles on uniformly-hashed keys; no
+    per-doc side state, no window over the full corpus.  Docs with <2
+    tokens report 0 bigrams and a 0 fraction (join back is left).
+    """
+    from pyspark.sql import functions as F
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    toks = tokens(F.lower(F.col(text_col)))
+    # non-distinct bigrams: zip tokens with their shift (same zip_with
+    # trick as word_shingles, skipping the final array_distinct)
+    bigrams = F.slice(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        1,
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+    )
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    per_doc = (
+        df.repartition(parallelism)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg__"))
+        .groupBy(id_col, "__bg__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__c__").alias("__top__"),
+            F.sum("__c__").alias("n_bigrams"),
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            n_lines.alias("n_lines"),
+            dup_line_frac.alias("dup_line_frac"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("__top__") / F.col("n_bigrams"), F.lit(0.0)).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

@@ -274,3 +274,53 @@ def embedding_contamination(
         .filter(F.col("__rn__") == 1)
         .select(F.col("__id__").alias(id_col), "bench_id", "cos")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks (the RAG
+    / context-window preprocessing step): chunk i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk starts at the
+    last stride boundary < n_tokens, so every token lands in >=1 chunk.
+
+    Returns (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Scale shape: pure narrow plan — sequence() builds the chunk-start
+    list per row, posexplode fans out, slice + array_join materialize
+    each chunk.  All built-in expressions (no UDF), no shuffle at all:
+    chunking is embarrassingly parallel per input partition.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    from fluss_datafusion_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ..., last multiple < n
+    starts = F.sequence(
+        F.lit(0),
+        F.when(n > 0, (n - 1) - F.pmod(n - 1, F.lit(stride))).otherwise(F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__toks__"), F.col("__start__") + 1, chunk_tokens)
+    return (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks__"),
+            F.posexplode(starts).alias("chunk_idx", "__start__"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

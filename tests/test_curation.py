@@ -89,3 +89,57 @@ def test_pack_sequences_invariants(spark):
         # bins never exceed the cap unless a single long doc forced it
         assert r["n_tokens"] <= 100 or r["n_docs"] == 1
         assert r["pack_id"] == r["doc_ids"][0]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from fluss_datafusion_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(250))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short doc"), (3, "   ")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, "doc_id", "text", chunk_tokens=100, overlap=20).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # blank doc produces nothing
+    assert set(by_doc) == {1, 2}
+    # short doc: one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    # 250 tokens, stride 80: starts 0,80,160,240 -> 4 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2, 3]
+    assert [c["n_chunk_tokens"] for c in chunks] == [100, 100, 90, 10]
+    # overlap: chunk i+1 starts 20 tokens before chunk i ends
+    assert chunks[1]["chunk_text"].split()[0] == "w80"
+    assert chunks[0]["chunk_text"].split()[-1] == "w99"
+    # every token covered
+    covered = set()
+    for c in chunks:
+        covered.update(c["chunk_text"].split())
+    assert len(covered) == 250
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from fluss_datafusion_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nalpha beta\ngamma\n\n"),      # 3 lines, 1 dup
+            (2, "spam spam spam spam spam"),               # one bigram repeated
+            (3, "all words unique here now"),
+            (4, ""),                                       # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-9
+    # "spam spam" appears 4 times out of 4 bigrams
+    assert got[2]["n_bigrams"] == 4
+    assert got[2]["top_bigram_frac"] == 1.0
+    # unique text: top bigram appears once out of 4
+    assert abs(got[3]["top_bigram_frac"] - 0.25) < 1e-9
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[4]["n_lines"] == 0 and got[4]["n_bigrams"] == 0
+    assert got[4]["top_bigram_frac"] == 0.0

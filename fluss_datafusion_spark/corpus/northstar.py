@@ -782,3 +782,81 @@ def ns_curation_chunking(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         chunk_tokens=128, overlap=32,
     )
+
+
+@query(
+    "ns_dedup_clusters", extended=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges)
+    , reach AS (
+        WITH RECURSIVE r(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.node
+        ) SELECT * FROM r
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def ns_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components: per-doc cluster ids via
+    min-label propagation (the keep/drop resolution step after any
+    pairwise dedup).  Oracle: transitive closure by recursive CTE,
+    cluster_id = min reachable doc id."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    return dedup.dedup_clusters(pairs)
+
+
+@query(
+    "ns_curation_vocab", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT token, count(*) AS n_occurrences FROM tk GROUP BY token),
+    tot AS (SELECT sum(n_occurrences) AS total FROM cnt),
+    top AS (
+        SELECT token, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk
+        FROM cnt ORDER BY n_occurrences DESC, token LIMIT 50
+    )
+    SELECT token, n_occurrences, CAST(rnk AS INT) AS rank,
+           round(CAST(sum(n_occurrences) OVER (ORDER BY rnk) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_coverage
+    FROM top
+    """,
+)
+def ns_curation_vocab(spark, sf_dir):
+    """Top-50 corpus vocabulary with cumulative coverage: one explode +
+    map-side-combined counts + TakeOrdered (never a global sort of the
+    full vocabulary)."""
+    from fluss_datafusion_spark.operators import curation
+
+    out = curation.build_vocab(t(spark, sf_dir, "documents"), "text", top_n=50)
+    return out.select(
+        "token", "n_occurrences", "rank",
+        F.round("cum_coverage", 6).alias("cum_coverage"),
+    )

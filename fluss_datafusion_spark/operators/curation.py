@@ -324,3 +324,54 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
         )
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace tokens
+    with rank and cumulative corpus coverage — the fast first pass of
+    tokenizer/vocab construction over a training corpus.
+
+    Returns (token, n_occurrences, rank, cum_coverage) ordered by rank;
+    ties break on the token string so results are deterministic.
+
+    Scale shape: one explode + one map-side-combined count per distinct
+    token, then TakeOrdered(top_n) — O(tokens log top_n) per partition,
+    never a global sort of the full vocabulary.  The window pass that
+    assigns rank/cumsum runs on the top_n survivors only (single tiny
+    partition, bounded by top_n).  The total-token denominator rides in
+    via a 1-row cross join (broadcast by stats).
+    """
+    from pyspark.sql import Window
+
+    from fluss_datafusion_spark.functions.text import tokens
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    counts = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .repartition(parallelism)
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("__total__"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(total)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(), "token")
+            ),
+        )
+        .withColumn(
+            "cum_coverage", F.sum("n_occurrences").over(w) / F.col("__total__")
+        )
+        .select("token", "n_occurrences", "rank", "cum_coverage")
+    )

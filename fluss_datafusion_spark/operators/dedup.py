@@ -552,3 +552,73 @@ def embedding_cosine_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: turns pairwise
+    dedup output (id_a, id_b) into per-document cluster assignments —
+    the step that converts "these pairs are similar" into an actual
+    keep/drop decision (keep cluster_id = the min id, drop the rest).
+
+    Min-label propagation as DataFrame jobs: every node starts labeled
+    with itself; each round a node takes the min label across itself and
+    its neighbors; converged when no label changes.  Rounds needed =
+    graph diameter — near-dup clusters are overwhelmingly short chains
+    (a handful of hops), so this terminates in a few rounds where a
+    general graph would want the large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14).
+
+    Scale shape: each round is one join (edges x labels, shuffle on the
+    uniformly-hashed node id) + one map-side-combined min agg.  Labels
+    are localCheckpoint'd per round: iterative lineage otherwise grows
+    exponentially and re-executes the whole history each round.  The
+    convergence check piggybacks on the round's agg (max changed flag),
+    adding no extra pass over the data.
+
+    Returns (doc_id, cluster_id) for every id that appears in a pair;
+    singletons (docs with no near-dup) are absent — union them in as
+    their own cluster if a total assignment is needed.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("__src__"), F.col("id_b").alias("__dst__")
+    )
+    # symmetric edge list + self-loop so a node always sees its own label
+    sym = edges.union(
+        edges.select(F.col("__dst__").alias("__src__"), F.col("__src__").alias("__dst__"))
+    )
+    labels = (
+        sym.select(F.col("__src__").alias("__id__"))
+        .distinct()
+        .withColumn("__lbl__", F.col("__id__"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["__dst__"] == labels["__id__"])
+            .groupBy("__src__")
+            .agg(F.min("__lbl__").alias("__nmin__"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["__id__"] == neighbor_min["__src__"], "left")
+            .select(
+                "__id__",
+                F.least(
+                    F.col("__lbl__"), F.coalesce(F.col("__nmin__"), F.col("__lbl__"))
+                ).alias("__new__"),
+                F.col("__lbl__").alias("__old__"),
+            )
+        ).localCheckpoint()
+        # a round with zero label changes is the fixpoint (the update is a
+        # deterministic function of the labels)
+        changed = stepped.agg(
+            F.max(F.col("__new__") != F.col("__old__"))
+        ).collect()[0][0]
+        labels = stepped.select("__id__", F.col("__new__").alias("__lbl__"))
+        if not changed:
+            break
+    return labels.select(
+        F.col("__id__").alias("doc_id"), F.col("__lbl__").alias("cluster_id")
+    )

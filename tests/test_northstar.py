@@ -445,3 +445,18 @@ def test_embedding_lsh_pairs_recall_vs_blocked_exact(spark):
     if strong:
         found = len(strong & set(lsh)) / len(strong)
         assert found >= 0.9, f"LSH recall {found} over {len(strong)} strong pairs"
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Label propagation finds transitive closures: chains collapse to
+    the min id, disjoint components stay apart, convergence flag stops
+    early."""
+    from fluss_datafusion_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3), pair {10,11}, triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -860,3 +860,36 @@ def ns_curation_vocab(spark, sf_dir):
         "token", "n_occurrences", "rank",
         F.round("cum_coverage", 6).alias("cum_coverage"),
     )
+
+
+@query(
+    "ns_multimodal_wav_decode", extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(doc_id % 100 + 1 AS INT) AS n_frames,
+           ROUND(CAST(doc_id % 100 + 1 AS DOUBLE) * 1000
+                 / (8000 + (doc_id % 4) * 4000), 6) AS duration_ms,
+           ROUND(CAST(doc_id % 2000 - 1000 AS DOUBLE), 6) AS mean_amp,
+           ROUND(CAST(abs(doc_id % 2000 - 1000) AS DOUBLE), 6) AS rms
+    FROM documents
+    """,
+)
+def ns_multimodal_wav_decode(spark, sf_dir):
+    """REAL audio sample decode: per document a complete 16-bit PCM WAV
+    (RIFF/fmt/data chunks + constant-amplitude sample array, all fields
+    derived from doc_id) is synthesized, then ``wav_pcm_stats`` parses
+    the chunk headers and decodes the actual sample bytes back.  The
+    oracle derives the same stats arithmetically — byte-level audio
+    decoding verified with no audio library anywhere."""
+    media = multimodal.synthesize_wav_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    stats = multimodal.wav_pcm_stats(media)
+    return stats.select(
+        "media_id", "sample_rate", "channels", "n_frames",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )

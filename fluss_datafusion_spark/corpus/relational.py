@@ -1307,8 +1307,17 @@ def q45_sketch_bounds(spark, sf_dir):
     them in one agg makes Catalyst Expand the input once per distinct
     column and update every imperative sketch buffer against the
     multiplied rows — measured 80x slower at sf0.1 (205 s vs 2.5 s).
-    Two narrow scans beat one exploded one."""
-    li = t(spark, sf_dir, "lineitem")
+    Two narrow scans beat one exploded one.  Digest/HLL partial
+    aggregation is heavyweight per row, so the (projected) input gets
+    spread_small_scan: full-core partials on a small-file corpus, no
+    added shuffle when the lake already has enough partitions."""
+    from fluss_datafusion_spark.session import spread_small_scan
+
+    li = spread_small_scan(
+        t(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_orderkey", "l_partkey", "l_extendedprice", "l_quantity"
+        )
+    )
 
     def ok(approx, exact, tol):
         a, e = F.col(approx).cast("double"), F.col(exact).cast("double")

@@ -18,6 +18,10 @@ batch shape) is real and tested.  Decoding has two tiers:
   (PNG/JPEG pixel data) need PIL/ffmpeg, absent in this build —
   ``extract_features`` raises NotImplementedError unless ``fake=True``
   (deterministic payload-derived fake, stable for tests).
+- **Audio decode (REAL for PCM WAV)**: ``parse_wav_header`` walks the
+  RIFF chunk layout (fmt/data, word-aligned); ``decode_wav_pcm`` /
+  ``wav_pcm_stats`` decode 16-bit PCM sample bytes to amplitude stats —
+  the audio twin of the BMP path.  Compressed codecs stay stubbed.
 
 Design for 100 TB: payloads never leave the executors, batches flow
 through Arrow (mapInPandas), and metadata-only queries never touch the
@@ -407,4 +411,147 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+def parse_wav_header(payload):
+    """(sample_rate, channels, bits_per_sample, n_frames) parsed from a
+    RIFF/WAVE payload's chunk headers, or (None,)*4 if the payload is not
+    a PCM WAV.  Published container layout only: RIFF magic, fmt chunk
+    (PCM audio format 1, little-endian u16/u32 fields), data chunk size;
+    frames = data bytes / block align.  No sample data is touched."""
+    if not payload:
+        return (None, None, None, None)
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None)
+    i = 12
+    fmt = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            audio_fmt, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+            bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
+            if audio_fmt != 1:  # PCM only
+                return (None, None, None, None)
+            fmt = (rate, channels, bits)
+        elif cid == b"data" and fmt is not None:
+            rate, channels, bits = fmt
+            block = channels * bits // 8
+            return (rate, channels, bits, size // block if block else None)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return (None, None, None, None)
+
+
+def decode_wav_pcm(payload):
+    """REAL sample decode for 16-bit PCM WAV: numpy int16 array shaped
+    (frames, channels), or None if the payload is not PCM16 WAV."""
+    import numpy as np
+
+    rate, channels, bits, n_frames = parse_wav_header(payload)
+    if rate is None or bits != 16:
+        return None
+    b = bytes(payload)
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+            if len(data) < size:
+                return None
+            return (
+                np.frombuffer(data, dtype="<i2")
+                .reshape(-1, channels)
+            )
+        i += 8 + size + (size & 1)
+    return None
+
+
+_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Full-sample decode over the binary column: duration from header
+    fields, mean amplitude and RMS from the decoded PCM16 samples.
+    Arrow-batched mapInPandas; payload bytes never leave the executors."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, bits, n_frames = parse_wav_header(payload)
+                px = decode_wav_pcm(payload)
+                if px is None:
+                    rows.append((mid, None, None, None, None, None, None, False))
+                else:
+                    s = px.astype(np.float64)
+                    rows.append(
+                        (
+                            mid, rate, channels, n_frames,
+                            n_frames * 1000.0 / rate,
+                            float(s.mean()),
+                            float(np.sqrt((s * s).mean())),
+                            True,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "n_frames",
+                         "duration_ms", "mean_amp", "rms", "decoded_ok"],
+            )
+            for c, dt in (("sample_rate", "Int32"), ("channels", "Int32"),
+                          ("n_frames", "Int32")):
+                out[c] = pd.array(out[c], dtype=dt)
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(_map, _WAV_STATS_SCHEMA)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture: a COMPLETE 16-bit PCM WAV per row — RIFF/fmt/data chunks
+    plus a real constant-amplitude sample array, all fields derived
+    arithmetically from the id (rate = 8000 + id%4*4000, channels =
+    id%2+1, frames = id%100+1, amplitude = id%2000 - 1000).  Constant
+    amplitude makes mean exactly amp and RMS exactly |amp|, so byte-level
+    sample decoding is oracle-able with no audio library anywhere."""
+
+    def _wav(i: int) -> bytes:
+        rate = 8000 + (int(i) % 4) * 4000
+        channels = int(i) % 2 + 1
+        n_frames = int(i) % 100 + 1
+        amp = int(i) % 2000 - 1000
+        data = struct.pack("<h", amp) * (n_frames * channels)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+        )
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
     )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from fluss_datafusion_spark.session import spread_small_scan
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
 # language-ID heuristic.  Deterministic and SQL-expressible (the same
@@ -219,9 +220,8 @@ def repetition_stats(df, id_col: str, text_col: str):
         F.greatest(F.size(toks) - 1, F.lit(0)),
     )
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     per_doc = (
-        df.repartition(parallelism)
+        spread_small_scan(df)
         .select(F.col(id_col), F.explode(bigrams).alias("__bg__"))
         .groupBy(id_col, "__bg__")
         .agg(F.count(F.lit(1)).alias("__c__"))

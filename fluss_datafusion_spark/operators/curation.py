@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.functions.text import tokens, word_shingles
+from fluss_datafusion_spark.session import spread_small_scan
 
 
 def decontaminate(
@@ -259,9 +260,8 @@ def embedding_contamination(
     b = benchmark.select(
         F.col(b_id).alias("bench_id"), F.col(b_vec).alias("__bv__")
     )
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     scored = (
-        c.repartition(parallelism)
+        spread_small_scan(c)
         .crossJoin(b)
         .withColumn("cos", _cos(F.col("__v__"), F.col("__bv__")))
         .filter(F.col("cos") >= threshold)
@@ -349,10 +349,8 @@ def build_vocab(
 
     from fluss_datafusion_spark.functions.text import tokens
 
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
     counts = (
-        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
-        .repartition(parallelism)
+        spread_small_scan(docs.filter(F.length(F.trim(F.col(text_col))) > 0))
         .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

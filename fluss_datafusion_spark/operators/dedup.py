@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.functions.text import fingerprint, word_shingles
+from fluss_datafusion_spark.session import spread_small_scan
 from fluss_datafusion_spark.functions.vector import cosine
 
 
@@ -73,8 +74,7 @@ def ngram_jaccard_pairs(
     # Round-robin repartition BEFORE shingling: the zip_with shingle
     # expression is interpreted (no codegen) and dominates — it must be
     # spread across all cores even when the input is one small file.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(parallelism)
+    df = spread_small_scan(df)
     sh = df.select(
         F.col(id_col).alias("__id__"),
         *[F.col(c).alias(f"__b{i}__") for i, c in enumerate(block_cols)],
@@ -146,9 +146,8 @@ def minhash_signatures(
     p = (1 << 31) - 1
     rng = random.Random(42)
     coef = [(rng.randrange(1, p), rng.randrange(p)) for _ in range(num_perm)]
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     exploded = (
-        df.repartition(parallelism)
+        spread_small_scan(df)
         .select(
             F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
         )
@@ -224,9 +223,8 @@ def minhash_band_buckets(
     # Repartition BEFORE shingling: the interpreted zip_with shingle
     # expression must spread across all cores even when the input is a
     # single small file (one scan partition otherwise serializes it).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
     exploded = (
-        df.repartition(parallelism)
+        spread_small_scan(df)
         .select(
             F.col(id_col).alias("__id__"),
             word_shingles(F.col(text_col), k).alias("__sh__"),
@@ -404,8 +402,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Repartition first: the 64 per-bit partial aggregates run in the
     # map stage — on a single-file input they would serialize on one
     # task otherwise.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(parallelism).select(
+    toks = spread_small_scan(df).select(
         F.col(id_col).alias("__id__"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t__"),
     ).withColumn("__h__", F.xxhash64("__t__", F.lit(0)))
@@ -480,8 +477,7 @@ def embedding_cosine_pairs(
     # cores instead of running on the scan's few input partitions.  Not
     # a broadcast hint — at real scale the equi-key on __blk__ makes
     # this a plain shuffle join and the repartition merges into it.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    a, b = e.repartition(parallelism).alias("a"), e.alias("b")
+    a, b = spread_small_scan(e).alias("a"), e.alias("b")
     cond = F.col("a.__id__") < F.col("b.__id__")
     if block_col:
         cond = (F.col("a.__blk__") == F.col("b.__blk__")) & cond
@@ -524,8 +520,7 @@ def embedding_cosine_pairs_lsh(
     from fluss_datafusion_spark.operators.similarity import _table_buckets_udf
 
     bucket_udf = _table_buckets_udf(dim, n_planes, n_tables, seed)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    buckets = df.repartition(parallelism).select(
+    buckets = spread_small_scan(df).select(
         F.col(id_col).alias("__id__"),
         F.posexplode(bucket_udf(F.col(vec_col))).alias("__table__", "__bucket__"),
     )

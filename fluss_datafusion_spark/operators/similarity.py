@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.functions.vector import cosine
+from fluss_datafusion_spark.session import spread_small_scan
 
 
 def cosine_topk(
@@ -139,8 +140,7 @@ def lsh_ann_topk(
     1-(1-p)^L.  Returns (query_id, neighbor_id, cos, rank).
     """
     bucket_udf = _table_buckets_udf(dim, n_planes, n_tables, seed)
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(parallelism).select(
+    c = spread_small_scan(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv__"),
         F.posexplode(bucket_udf(F.col(corpus_vec))).alias("__table__", "__bucket__"),
@@ -269,8 +269,7 @@ def ivf_ann_topk(
     centroids = train_ivf_centroids(corpus, corpus_vec, corpus_id, n_centroids, n_iters)
 
     c_assign = ivf_assign_udf(centroids, n_probe=1)
-    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(parallelism).select(
+    c = spread_small_scan(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv__"),
         c_assign(F.col(corpus_vec))[0].alias("__c__"),

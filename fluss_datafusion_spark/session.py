@@ -162,6 +162,30 @@ def register_testdata(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) 
             read_table(spark, path).createOrReplaceTempView(name)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition — but ONLY when the plan currently yields
+    fewer partitions than the cluster has cores.
+
+    Why conditional: heavyweight per-row work (interpreted shingling
+    lambdas, sketch/digest partial aggregation, Arrow kernels) serializes
+    on however many scan partitions the source produced.  A small-file
+    corpus (the test SFs — one parquet file, a handful of row groups;
+    maxPartitionBytes cannot split past row-group boundaries) yields
+    fewer partitions than cores, and a cheap narrow-input shuffle buys
+    full-core parallelism.  At 100 TB the input has orders of magnitude
+    more partitions than cores, the guard is false, and NO shuffle is
+    added — an unconditional repartition there would round-robin the
+    whole corpus through the network for nothing.
+
+    Call it AFTER projecting to the needed columns so anything that does
+    get shuffled is the narrow slice, not the full row.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns
     (Spark rejects them by default; DuckDB and the testdata generator emit

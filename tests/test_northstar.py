@@ -460,3 +460,57 @@ def test_dedup_clusters_connected_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_parse_wav_header_and_pcm_decode():
+    """RIFF chunk walk + PCM16 decode: header fields round-trip, samples
+    come back exactly, word-aligned odd-size chunks are skipped, and
+    non-PCM / truncated / junk payloads degrade to None."""
+    import struct
+
+    import numpy as np
+
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    def wav(rate, channels, samples, extra_chunk=False):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                          channels * 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # odd-sized chunk forces word-alignment handling
+            body += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    p = wav(16000, 2, [100, -100, 200, -200])
+    assert mm.parse_wav_header(p) == (16000, 2, 16, 2)
+    px = mm.decode_wav_pcm(p)
+    assert px.shape == (2, 2)
+    assert px.tolist() == [[100, -100], [200, -200]]
+    # odd-size chunk before data: alignment must be skipped correctly
+    p2 = wav(8000, 1, [7, 8, 9], extra_chunk=True)
+    assert mm.parse_wav_header(p2) == (8000, 1, 16, 3)
+    assert mm.decode_wav_pcm(p2).ravel().tolist() == [7, 8, 9]
+    # rejects
+    assert mm.parse_wav_header(b"not riff") == (None, None, None, None)
+    assert mm.parse_wav_header(None) == (None, None, None, None)
+    nonpcm = bytearray(p)
+    nonpcm[20:22] = struct.pack("<H", 3)  # IEEE float format
+    assert mm.parse_wav_header(bytes(nonpcm)) == (None, None, None, None)
+    assert mm.decode_wav_pcm(p[:-3]) is None  # truncated data chunk
+
+
+def test_wav_pcm_stats_round_trip(spark):
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    ids = spark.range(0, 200).selectExpr("id AS doc_id")
+    got = mm.wav_pcm_stats(mm.synthesize_wav_media(ids)).collect()
+    assert len(got) == 200
+    for r in got:
+        i = r["media_id"]
+        assert r["decoded_ok"]
+        assert r["sample_rate"] == 8000 + (i % 4) * 4000
+        assert r["channels"] == i % 2 + 1
+        assert r["n_frames"] == i % 100 + 1
+        assert r["mean_amp"] == float(i % 2000 - 1000)
+        assert r["rms"] == float(abs(i % 2000 - 1000))

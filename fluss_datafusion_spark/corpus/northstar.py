@@ -893,3 +893,76 @@ def ns_multimodal_wav_decode(spark, sf_dir):
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@query(
+    "ns_curation_quality_filter", extended=True,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS ntok,
+               (least(1.0, len(tk) / 20.0)
+                + (CASE WHEN n_char > 0 THEN CAST(n_alpha AS DOUBLE)/n_char ELSE 0 END)
+                + (CASE WHEN len(tk) > 0
+                        AND CAST(n_char AS DOUBLE)/len(tk) BETWEEN 3 AND 12
+                        THEN 1.0 ELSE 0.0 END)) / 3.0 AS qs
+        FROM d
+    ),
+    lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> length(l) > 0) AS ls
+        FROM documents
+    ),
+    linestats AS (
+        SELECT doc_id,
+               CASE WHEN len(ls) > 0
+                    THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                    ELSE 0.0 END AS dlf
+        FROM lines
+    ),
+    bg AS (
+        SELECT d.doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+        FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    ),
+    perdoc AS (
+        SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS nbg
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT q.doc_id,
+           coalesce(array_to_string(list_sort(list_filter([
+               CASE WHEN q.qs < 0.3 THEN 'low_quality' END,
+               CASE WHEN l.dlf > 0.3 THEN 'repeated_lines' END,
+               CASE WHEN coalesce(p.nbg, 0) > 0
+                    AND p.top / CAST(p.nbg AS DOUBLE) > 0.5
+                    THEN 'repeated_ngrams' END,
+               CASE WHEN q.ntok < 5 THEN 'too_short' END
+           ], x -> x IS NOT NULL)), ','), '') AS reasons,
+           coalesce(array_to_string(list_sort(list_filter([
+               CASE WHEN q.qs < 0.3 THEN 'low_quality' END,
+               CASE WHEN l.dlf > 0.3 THEN 'repeated_lines' END,
+               CASE WHEN coalesce(p.nbg, 0) > 0
+                    AND p.top / CAST(p.nbg AS DOUBLE) > 0.5
+                    THEN 'repeated_ngrams' END,
+               CASE WHEN q.ntok < 5 THEN 'too_short' END
+           ], x -> x IS NOT NULL)), ','), '') = '' AS keep
+    FROM q JOIN linestats l USING (doc_id) LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
+def ns_curation_quality_filter(spark, sf_dir):
+    """Composite Gopher-style keep/drop filter with per-rule reasons —
+    scalar rules on the scan + repetition metrics joined on the doc id."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.quality_filter(t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -373,3 +373,93 @@ def build_vocab(
         )
         .select("token", "n_occurrences", "rank", "cum_coverage")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.5,
+) -> DataFrame:
+    """Composite document filter in the Gopher/MassiveText style: apply
+    the cheap heuristic rules in one pass and report WHICH rules failed,
+    not just a boolean — pipelines keep the reasons column for ablation
+    and monitoring.
+
+    Rules: too_short (token count), low_quality (heuristic score),
+    repeated_lines (dup-line fraction), repeated_ngrams (top-bigram
+    fraction).  Returns (id, keep, reasons) where reasons is a sorted
+    comma-joined string of failed rule names ('' when keep).
+
+    Scale shape: the scalar rules are pure expressions on the scan; the
+    repetition metrics reuse ``repetition_stats`` (one explode + two
+    map-side-combined aggs); one join on the doc id brings them
+    together.  No UDFs, no driver-side logic.
+    """
+    from fluss_datafusion_spark.functions.text import (
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    rep = repetition_stats(docs, id_col, text_col)
+    scored = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__ntok__"),
+        quality_score(F.col(text_col)).alias("__q__"),
+    ).join(rep, id_col)
+    rules = [
+        ("low_quality", F.col("__q__") < min_quality),
+        ("repeated_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        (
+            "repeated_ngrams",
+            (F.col("n_bigrams") > 0)
+            & (F.col("top_bigram_frac") > max_top_bigram_frac),
+        ),
+        ("too_short", F.col("__ntok__") < min_tokens),
+    ]
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    *[F.when(cond, F.lit(name)) for name, cond in rules]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return scored.select(
+        id_col,
+        reasons.alias("reasons"),
+    ).withColumn("keep", F.col("reasons") == "")
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Total keep/drop assignment from pairwise near-dup output: resolve
+    pairs to clusters (``dedup_clusters``) and keep exactly one
+    representative per cluster (the min id); documents in no pair keep
+    themselves.  Returns docs plus (cluster_id, keep).
+
+    Scale shape: the cluster table is one row per document THAT APPEARS
+    IN A PAIR (small for a healthy corpus); the join back to the corpus
+    is a left join on the uniformly-hashed doc id.
+    """
+    from fluss_datafusion_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "__cid__")
+    return (
+        docs.join(clusters, docs[id_col] == clusters["__cid__"], "left")
+        .drop("__cid__")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col(id_col))
+    )

@@ -143,3 +143,43 @@ def test_repetition_stats_gopher_rules(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[4]["n_lines"] == 0 and got[4]["n_bigrams"] == 0
     assert got[4]["top_bigram_frac"] == 0.0
+
+
+def test_quality_filter_reasons(spark):
+    from fluss_datafusion_spark.operators.curation import quality_filter
+
+    good = "The quick brown fox jumps over the lazy dog near the quiet river " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "hi"),                                   # too_short (+ low quality)
+            (3, "spam spam spam spam spam spam spam"),   # repeated_ngrams
+            (4, "line one here\nline one here\nline one here\nother\n"
+                + good),                                 # repeated_lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_filter(docs, "doc_id", "text").collect()}
+    assert got[1]["keep"] and got[1]["reasons"] == ""
+    assert not got[2]["keep"] and "too_short" in got[2]["reasons"]
+    assert not got[3]["keep"] and "repeated_ngrams" in got[3]["reasons"]
+    assert not got[4]["keep"] and "repeated_lines" in got[4]["reasons"]
+    # reasons are sorted and comma-joined
+    assert got[2]["reasons"] == ",".join(sorted(got[2]["reasons"].split(",")))
+
+
+def test_dedup_representatives_total_assignment(spark):
+    from fluss_datafusion_spark.operators.curation import dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_representatives(docs, pairs, "doc_id").collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),  # chain collapses to 1
+        7: (7, True), 9: (9, True),                  # singletons keep themselves
+    }

@@ -37,6 +37,8 @@ Supported SQL:
   INSERT INTO ... VALUES/SELECT (PK tables upsert)
   SELECT ... (full Spark SQL surface)
   SHOW TABLES/DATABASES/CREATE TABLE/PARTITIONS/BUCKETS/OPTIONS, DESCRIBE
+  Text metrics as SQL functions: token_count, bpe_token_count,
+  quality_score, doc_fingerprint, prefix_fingerprint
 """
 
 

@@ -15,6 +15,8 @@ Oracle notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.corpus import query, t
@@ -966,3 +968,49 @@ def ns_curation_quality_filter(spark, sf_dir):
     from fluss_datafusion_spark.operators import curation
 
     return curation.quality_filter(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ns_dedup_incremental", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.4
+      AND NOT (a.doc_id % 5 != 0 AND b.doc_id % 5 != 0)
+    """,
+)
+def ns_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: corpus slice (doc_id % 5 != 0) is indexed once
+    (persisted LSH buckets + shingle sets), then the 'new batch'
+    (doc_id % 5 == 0) probes it — emitting batch-vs-corpus and
+    batch-vs-batch pairs only, exactly verified.  Shares the exact
+    Jaccard oracle restricted to pairs touching the batch."""
+    import tempfile
+
+    from fluss_datafusion_spark.operators import incremental
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_incr_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    incremental.write_dedup_index(corpus, "doc_id", "text", path)
+    pairs = incremental.incremental_dedup_pairs(
+        batch, path, "doc_id", "text", threshold=0.4
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))

@@ -1,0 +1,130 @@
+"""Incremental deduplication against a persisted LSH index.
+
+At 100 TB you do not re-run global dedup for every ingest batch: the
+corpus's MinHash band-bucket assignment is computed ONCE, persisted as a
+parquet index, and each new batch (a) probes the index for
+batch-vs-corpus candidates and (b) dedups within itself — cost is
+O(batch), never O(corpus).  No reference analog (the reference is a SQL
+CLI over Fluss storage); this is the north-star extension surface.
+
+Index layout (parquet at ``path``):
+- ``buckets/``:  (__id__, __band__, __bucket__) — the LSH assignment
+  (the same banding minhash_lsh_pairs uses, identical fixed seeds).
+- ``shingles/``: (__id__, __sh__ array<string>) — per-doc shingle sets
+  for exact verification of candidates.
+
+Probing shuffles on (band, bucket) — the index side is pre-bucketed by
+parquet partitioning; the verify stage joins shingles for CANDIDATE ids
+only (never a corpus-wide broadcast — same discipline as
+minhash_lsh_pairs post-r1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.text import word_shingles
+from fluss_datafusion_spark.operators.dedup import (
+    _bucket_local_pairs,
+    minhash_band_buckets,
+)
+from fluss_datafusion_spark.session import spread_small_scan
+
+
+def write_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> None:
+    """Materialize the corpus dedup index (bucket assignment + shingle
+    sets) at ``path``.  One pass over the corpus; both outputs are
+    written partition-parallel.  Re-running overwrites atomically per
+    subdirectory."""
+    buckets = minhash_band_buckets(df, id_col, text_col, k, num_perm, rows_per_band)
+    buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    sh = spread_small_scan(df).select(
+        F.col(id_col).alias("__id__"),
+        word_shingles(F.col(text_col), k).alias("__sh__"),
+    ).filter(F.size("__sh__") > 0)
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-dup pairs touching the new batch: batch-vs-index and
+    batch-vs-batch, exactly verified at ``threshold``.  Pairs wholly
+    inside the already-indexed corpus are NOT re-emitted (they were
+    found when their batches arrived).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; requires globally
+    unique ids across index and batch (the ingest pipeline's invariant).
+
+    Scale shape: the batch's buckets are tiny; joining them to the index
+    buckets shuffles on (band, bucket) and only index rows in TOUCHED
+    buckets survive the join.  Candidate verification joins shingle sets
+    for candidate ids only — batch shingles from the in-flight batch,
+    corpus shingles loaded by id from the index (parquet bloom/minmax
+    prune untouched files).  The mega-bucket guard caps degenerate
+    buckets exactly like the batch-global operator.
+    """
+    spark = new_docs.sparkSession
+    new_buckets = minhash_band_buckets(
+        new_docs, id_col, text_col, k, num_perm, rows_per_band
+    )
+    idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets"))
+
+    # Restrict the index to buckets the batch actually touches, then pair
+    # bucket-locally over the union (new ids see old ids AND each other).
+    touched = new_buckets.select("__band__", "__bucket__").distinct()
+    idx_touched = idx_buckets.join(touched, ["__band__", "__bucket__"])
+    all_buckets = new_buckets.unionByName(idx_touched)
+    candidates = _bucket_local_pairs(
+        all_buckets, ["__band__", "__bucket__"], max_bucket_size,
+        "incremental_bucket_guard",
+    )
+
+    # Drop corpus-internal pairs: keep pairs with >=1 endpoint in the batch.
+    new_ids = new_docs.select(F.col(id_col).alias("__nid__")).distinct()
+    candidates = candidates.join(
+        new_ids,
+        (F.col("id_a") == F.col("__nid__")) | (F.col("id_b") == F.col("__nid__")),
+        "left_semi",
+    )
+
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("__id__")
+    ).distinct()
+    new_sh = spread_small_scan(new_docs).select(
+        F.col(id_col).alias("__id__"),
+        word_shingles(F.col(text_col), k).alias("__sh__"),
+    )
+    idx_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
+    sh = new_sh.unionByName(idx_sh).join(cand_ids, "__id__", "left_semi")
+    sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
+    return (
+        candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))
+        .join(sb, F.col("id_b") == F.col("sb.__id__"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa.__sh__", "sb.__sh__"))
+            / F.size(F.array_union("sa.__sh__", "sb.__sh__")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

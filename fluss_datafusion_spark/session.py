@@ -85,6 +85,7 @@ class EngineSession:
         from fluss_datafusion_spark.catalog.catalog import FlussCatalog
 
         self.catalog = FlussCatalog(self.spark, warehouse=warehouse)
+        register_sql_functions(self.spark)
 
     def sql(self, query: str) -> DataFrame:
         import re
@@ -223,3 +224,50 @@ def _first_parquet_file(path: str) -> str:
             if f.endswith(".parquet"):
                 return os.path.join(root, f)
     return path
+
+
+# SQL-native text metrics: the same formulas as functions/text.py, exposed
+# as session-scoped SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN <expr>)
+# so plain-SQL / CLI users can call them without the Python API.  These
+# are pure expression macros — Catalyst inlines the body, so they codegen
+# exactly like the Column versions (no UDF overhead).
+_SQL_FUNCTIONS = {
+    "token_count": (
+        "(t STRING) RETURNS INT RETURN "
+        "CASE WHEN length(trim(t)) = 0 THEN 0 "
+        "ELSE size(split(trim(t), '\\\\s+')) END"
+    ),
+    "bpe_token_count": (
+        "(t STRING) RETURNS INT RETURN "
+        "CASE WHEN length(trim(t)) = 0 THEN 0 ELSE "
+        "aggregate(split(trim(t), '\\\\s+'), 0, "
+        "(acc, w) -> acc + greatest(1, CAST(ceil(length(w) / 4) AS INT))) END"
+    ),
+    "quality_score": (
+        "(t STRING) RETURNS DOUBLE RETURN ("
+        "  least(1.0, (CASE WHEN length(trim(t)) = 0 THEN 0"
+        "              ELSE size(split(trim(t), '\\\\s+')) END) / 20.0)"
+        "  + (CASE WHEN length(t) > 0"
+        "          THEN length(regexp_replace(t, '[^A-Za-z]', '')) / length(t)"
+        "          ELSE 0.0 END)"
+        "  + (CASE WHEN length(trim(t)) > 0"
+        "          AND length(t) / size(split(trim(t), '\\\\s+')) BETWEEN 3 AND 12"
+        "          THEN 1.0 ELSE 0.0 END)"
+        ") / 3.0"
+    ),
+    "doc_fingerprint": (
+        "(t STRING) RETURNS STRING RETURN "
+        "md5(regexp_replace(lower(trim(t)), '\\\\s+', ' '))"
+    ),
+    "prefix_fingerprint": (
+        "(t STRING, n INT) RETURNS STRING RETURN "
+        "md5(array_join(slice(split(lower(trim(t)), '\\\\s+'), 1, n), ' '))"
+    ),
+}
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the engine's SQL-native text metrics on this session
+    (idempotent: CREATE OR REPLACE)."""
+    for name, body in _SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")

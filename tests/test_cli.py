@@ -77,3 +77,33 @@ def test_tab_completion_candidates(spark, tmp_path):
     assert set(cli.completions("\\d")) >= {"\\dt", "\\d"}
     # no spurious matches
     assert cli.completions("zzz_nothing") == []
+
+
+def test_sql_native_text_functions_match_column_api(spark, tmp_path):
+    """The CREATE FUNCTION macros must compute exactly what the Column
+    API computes (same formulas, Catalyst-inlined)."""
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.functions import text as tx
+
+    cli = _cli(spark, tmp_path)  # EngineSession registers the functions
+    cli.engine.load_testdata("/root/testdata/sf0.001")
+    sql_rows = cli.engine.sql(
+        "SELECT doc_id, token_count(text) AS tc, bpe_token_count(text) AS bc,"
+        " round(quality_score(text), 9) AS q, doc_fingerprint(text) AS fp,"
+        " prefix_fingerprint(text, 5) AS pfp FROM documents"
+    ).collect()
+    col_rows = (
+        cli.engine.spark.table("documents")
+        .select(
+            "doc_id",
+            tx.token_count(F.col("text")).alias("tc"),
+            tx.bpe_ish_token_count(F.col("text")).alias("bc"),
+            F.round(tx.quality_score(F.col("text")), 9).alias("q"),
+            tx.fingerprint(F.col("text")).alias("fp"),
+            tx.prefix_fingerprint(F.col("text"), 5).alias("pfp"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, col_rows))
+    assert len(sql_rows) > 0

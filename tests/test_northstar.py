@@ -514,3 +514,35 @@ def test_wav_pcm_stats_round_trip(spark):
         assert r["n_frames"] == i % 100 + 1
         assert r["mean_amp"] == float(i % 2000 - 1000)
         assert r["rms"] == float(abs(i % 2000 - 1000))
+
+
+def test_incremental_dedup_matches_batch_global(spark, tmp_path, testdata):
+    """Index a corpus slice, probe a new batch: the incremental pairs
+    must equal the batch-global LSH result restricted to pairs touching
+    the batch (corpus-internal pairs are never re-emitted)."""
+    from fluss_datafusion_spark.operators.dedup import minhash_lsh_pairs
+    from fluss_datafusion_spark.operators.incremental import (
+        incremental_dedup_pairs,
+        write_dedup_index,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, f"{testdata}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    write_dedup_index(corpus, "doc_id", "text", str(tmp_path / "idx"))
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 4))
+        for r in incremental_dedup_pairs(
+            batch, str(tmp_path / "idx"), "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 4))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.4).collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert got == full
+    assert len(got) > 0  # the slice split actually produces cross pairs

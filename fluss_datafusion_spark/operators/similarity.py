@@ -290,3 +290,87 @@ def ivf_ann_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+) -> None:
+    """Train the IVF coarse quantizer and persist the index: centroids
+    (one tiny parquet) plus the corpus inverted lists PARTITIONED BY
+    centroid id.  Train once, query many — the index lifecycle that
+    amortizes Lloyd training across every future query batch.
+
+    The partitionBy layout is the point at scale: each probe reads only
+    its list's directory (partition pruning), so a query batch touching
+    n_probe of n_centroids lists scans ~n_probe/n_centroids of the
+    corpus bytes.
+    """
+    import os
+
+    centroids = train_ivf_centroids(corpus, vec_col, id_col, n_centroids, n_iters)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    assign = ivf_assign_udf(centroids, n_probe=1)
+    (
+        spread_small_scan(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv__"),
+            assign(F.col(vec_col))[0].alias("__c__"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__c__")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
+def ann_query_index(
+    queries: DataFrame,
+    index_path: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index: load the centroid
+    matrix (model state, tiny), assign each query its ``n_probe`` lists,
+    and join against the partitioned inverted lists — the broadcast join
+    on the partition column lets dynamic partition pruning skip every
+    unprobed list's files.  Scoring is exact on the probed subset.
+    Identical results to ``ivf_ann_topk`` built with the same
+    parameters (same deterministic quantizer).
+    """
+    import os
+
+    import numpy as np
+
+    spark = queries.sparkSession
+    crows = (
+        spark.read.parquet(os.path.join(index_path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    q_assign = ivf_assign_udf(centroids, n_probe=n_probe)
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("__qv__"),
+        F.explode(q_assign(F.col(query_vec))).alias("__c__"),
+    )
+    lists = spark.read.parquet(os.path.join(index_path, "lists"))
+    candidates = F.broadcast(q).join(lists, "__c__")
+    scored = candidates.select(
+        F.col("qid").alias(query_id),
+        "neighbor_id",
+        cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

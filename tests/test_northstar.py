@@ -546,3 +546,36 @@ def test_incremental_dedup_matches_batch_global(spark, tmp_path, testdata):
     }
     assert got == full
     assert len(got) > 0  # the slice split actually produces cross pairs
+
+
+def test_ann_index_persist_matches_inline_ivf(spark, tmp_path, testdata):
+    """write_ann_index + ann_query_index must reproduce ivf_ann_topk
+    exactly (same deterministic quantizer, scoring on the probed lists),
+    and the float list vectors must round-trip through parquet."""
+    from fluss_datafusion_spark.operators.similarity import (
+        ann_query_index,
+        ivf_ann_topk,
+        write_ann_index,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{testdata}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], round(r["cos"], 9))
+        for r in ivf_ann_topk(
+            emb, queries, "vec_id", "embedding", "vec_id", "embedding",
+            k=10, n_centroids=8, n_probe=3,
+        ).collect()
+    }
+    write_ann_index(emb, "vec_id", "embedding", str(tmp_path / "ann"),
+                    n_centroids=8)
+    indexed = {
+        (r["vec_id"], r["neighbor_id"], r["rank"], round(r["cos"], 9))
+        for r in ann_query_index(
+            queries, str(tmp_path / "ann"), "vec_id", "embedding",
+            k=10, n_probe=3,
+        ).collect()
+    }
+    assert indexed == inline
+    assert len(indexed) > 0

@@ -27,6 +27,7 @@ HISTORY_FILE = os.path.join(HISTORY_DIR, "repl_history")
 HELP_TEXT = """Available commands:
   \\dt        List tables in the current database
   \\d [name]  Describe a table (no name: list tables)
+  \\timing    Toggle per-statement wall-clock display
   \\q         Quit
   \\?         Show this help
   SQL statements end with ';' and may span multiple lines.
@@ -83,18 +84,25 @@ class CliSession:
 
             engine = EngineSession()
         self.engine = engine
+        self.timing = False
         if database:
             self.engine.catalog.create_database(database)
             self.engine.catalog.set_default_database(database)
 
     def execute(self, sql: str) -> str:
+        import time
+
         sql = sql.strip().rstrip(";").strip()
         if not sql:
             return ""
+        t0 = time.monotonic()
         try:
-            return render(self.engine.sql(sql))
+            out = render(self.engine.sql(sql))
         except Exception as exc:
             return f"Error: {exc}"
+        if self.timing:
+            out += f"\nTime: {time.monotonic() - t0:.3f} s"
+        return out
 
     def meta(self, line: str):
         cmd = line.strip()
@@ -104,6 +112,9 @@ class CliSession:
             return HELP_TEXT
         if cmd == "\\dt":
             return self.execute("SHOW TABLES")
+        if cmd == "\\timing":
+            self.timing = not self.timing
+            return f"Timing is {'on' if self.timing else 'off'}."
         if cmd == "\\d" or cmd.startswith("\\d "):
             target = cmd[2:].strip()
             if not target:
@@ -123,7 +134,7 @@ class CliSession:
         "VALUES", "DELETE", "DROP", "DESCRIBE", "SHOW", "TABLES",
         "DATABASES", "PARTITIONS", "OPTIONS", "USE", "SET",
     )
-    _META = ("\\dt", "\\d", "\\q", "\\?")
+    _META = ("\\dt", "\\d", "\\timing", "\\q", "\\?")
 
     def completions(self, prefix: str) -> list:
         """Candidates for ``prefix``: meta-commands, SQL keywords, and

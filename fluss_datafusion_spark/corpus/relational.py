@@ -1345,3 +1345,32 @@ def q45_sketch_bounds(spark, sf_dir):
             ok("a_p90", "e_p90", 0.10).alias("p90_qty_ok"),
         )
     )
+
+
+@query(
+    "q50_window_distribution", extended=True,
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q50_window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    — one hash shuffle on the partition key, per-partition sort."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

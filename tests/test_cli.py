@@ -107,3 +107,15 @@ def test_sql_native_text_functions_match_column_api(spark, tmp_path):
     )
     assert sorted(map(tuple, sql_rows)) == sorted(map(tuple, col_rows))
     assert len(sql_rows) > 0
+
+
+def test_timing_toggle(spark, tmp_path):
+    cli = _cli(spark, tmp_path)
+    assert "on" in cli.meta("\\timing")
+    out = cli.execute("SELECT 1 AS x")
+    assert "Time: " in out and out.strip().endswith("s")
+    assert "off" in cli.meta("\\timing")
+    assert "Time: " not in cli.execute("SELECT 1 AS x")
+    # errors don't get a timing line
+    cli.meta("\\timing")
+    assert "Time: " not in cli.execute("SELECT * FROM no_such_tbl")

@@ -22,6 +22,7 @@ minhash_lsh_pairs post-r1).
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -127,4 +128,95 @@ def incremental_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def append_to_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> None:
+    """Extend an existing dedup index with new (already-deduplicated)
+    documents — parquet append, no rewrite of existing files."""
+    buckets = minhash_band_buckets(df, id_col, text_col, k, num_perm, rows_per_band)
+    buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
+    sh = spread_small_scan(df).select(
+        F.col(id_col).alias("__id__"),
+        word_shingles(F.col(text_col), k).alias("__sh__"),
+    ).filter(F.size("__sh__") > 0)
+    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+
+
+def dedup_ingest_sink(
+    stream_docs: DataFrame,
+    catalog,
+    table: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+    metrics: Optional[list] = None,
+):
+    """The end-to-end continuous ingest pipeline: per micro-batch,
+
+    1. probe the persisted LSH index for near-dups (batch-vs-corpus and
+       batch-vs-batch, exact-verified at ``threshold``);
+    2. drop every batch document that pairs with a smaller id (greedy
+       first-seen-wins — the standard ingest policy; a chain a<b<c may
+       keep c if its only partner b was itself dropped, which matches
+       "dedup against what the corpus actually contains");
+    3. upsert the survivors into the PK table through the catalog's
+       log-structured writer;
+    4. append the survivors' buckets + shingle sets to the index, so the
+       NEXT batch dedups against them too.
+
+    State lives in the index and the table — the streaming query itself
+    is stateless, so the pipeline restarts cleanly from the checkpoint.
+    ``metrics`` (optional list) records per batch:
+    {batch_id, n_in, n_dropped, n_kept}.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            if n_in == 0:
+                return
+            pairs = incremental_dedup_pairs(
+                batch_df, index_path, id_col, text_col, threshold=threshold
+            )
+            new_ids = batch_df.select(F.col(id_col).alias("__nid__"))
+            drop = (
+                pairs.select(F.greatest("id_a", "id_b").alias("__nid__"))
+                .join(new_ids, "__nid__", "left_semi")
+                .distinct()
+                .withColumnRenamed("__nid__", id_col)
+            )
+            survivors = batch_df.join(drop, id_col, "left_anti").persist()
+            n_kept = catalog.insert(table, survivors)
+            append_to_index(survivors, id_col, text_col, index_path)
+            if metrics is not None:
+                metrics.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_in": n_in,
+                        "n_dropped": n_in - n_kept,
+                        "n_kept": n_kept,
+                    }
+                )
+            survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

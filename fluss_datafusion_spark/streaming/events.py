@@ -446,3 +446,45 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
             "n",
         )
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.  The
+    static side is re-read per micro-batch (so slowly-changing dims pick
+    up updates) and broadcast when its stats allow — no state, no
+    watermark needed; the streaming side never shuffles for the join."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair events sharing ``key_col`` where
+    the right event lands in ``[left_ts, left_ts + within]`` — the
+    correlation primitive (click->view, request->response).  Both sides
+    carry watermarks and the join condition bounds event time, so Spark
+    can evict join state once the watermark passes — bounded state, the
+    requirement for an unbounded run.
+
+    Column names are prefixed l_/r_ in the output (Spark rejects
+    ambiguous self-join references otherwise).
+    """
+    lcols = [F.col(c).alias(f"l_{c}") for c in left.columns]
+    rcols = [F.col(c).alias(f"r_{c}") for c in right.columns]
+    lw = left.select(*lcols).withWatermark(f"l_{left_ts}", watermark)
+    rw = right.select(*rcols).withWatermark(f"r_{right_ts}", watermark)
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}"))
+        & (
+            F.col(f"r_{right_ts}")
+            <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lw.join(rw, cond)

@@ -466,3 +466,145 @@ def test_changelog_stream_ttl_evicts_state(spark, tmp_path):
     assert ("-U", 1, "a") not in got      # no update chain across the TTL gap
     # key 2 stayed live the whole time: normal +I/-U/+U chain
     assert {("+I", 2, "x"), ("-U", 2, "x"), ("+U", 2, "y"), ("-U", 2, "y"), ("+U", 2, "z")} <= got
+
+
+def test_enrich_stream_matches_batch(spark, replay_dir):
+    """Stream-static dimension enrichment equals the batch join."""
+    from fluss_datafusion_spark.streaming.events import (
+        enrich_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    batch = spark.read.parquet(replay_dir)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold").otherwise("std"))
+    )
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=2).select(
+        "event_id", "user_id"
+    )
+    run_to_memory(enrich_stream(stream, dim, "user_id"), "t_enriched")
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT event_id, tier FROM t_enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in batch.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_correlate_streams_matches_batch(spark, replay_dir):
+    """Stream-stream interval join over the ordered replay equals the
+    batch time-range self-join (generous watermark -> nothing dropped)."""
+    from fluss_datafusion_spark.streaming.events import (
+        correlate_streams,
+        events_stream,
+        run_to_memory,
+    )
+
+    batch = spark.read.parquet(replay_dir).select("event_id", "user_id", "ts")
+    # correlate each event with same-user events in the next 10 minutes
+    left = events_stream(spark, replay_dir, max_files_per_trigger=2).select(
+        "event_id", "user_id", "ts"
+    )
+    right = events_stream(spark, replay_dir, max_files_per_trigger=2).select(
+        "event_id", "user_id", "ts"
+    )
+    joined = correlate_streams(
+        left, right, key_col="user_id", within="10 minutes"
+    ).filter(F.col("l_event_id") != F.col("r_event_id"))
+    run_to_memory(joined, "t_correlated")
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT l_event_id, r_event_id FROM t_correlated").collect()
+    }
+
+    a, b = batch.alias("a"), batch.alias("b")
+    want = {
+        (r["l"], r["r"])
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 minutes"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .select(F.col("a.event_id").alias("l"), F.col("b.event_id").alias("r"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_dedup_ingest_sink_end_to_end(spark, tmp_path):
+    """The full continuous-ingest pipeline: stream document batches ->
+    probe/extend the persisted LSH index -> upsert survivors.  The final
+    table must contain no near-dup pair at the threshold, every dropped
+    doc is accounted for in the metrics, and re-running finds nothing
+    new to drop (idempotent against the grown index)."""
+    import time
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.dedup import minhash_lsh_pairs
+    from fluss_datafusion_spark.operators.incremental import dedup_ingest_sink
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    replay = str(tmp_path / "docs_replay")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(replay)
+    parts = sorted(
+        f for f in os.listdir(replay) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time()
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(replay, fname), (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE docs_clean (doc_id BIGINT NOT NULL, text STRING,"
+        " PRIMARY KEY (doc_id))"
+    )
+    index = str(tmp_path / "dedup_idx")
+    # seed an empty index so batch 0 probes cleanly
+    from fluss_datafusion_spark.operators.incremental import write_dedup_index
+
+    write_dedup_index(docs.limit(0), "doc_id", "text", index)
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(replay)
+    )
+    metrics: list = []
+    q = dedup_ingest_sink(
+        stream, e.catalog, "docs_clean", index, str(tmp_path / "ckpt"),
+        threshold=0.4, metrics=metrics,
+    )
+    q.awaitTermination()
+
+    kept = e.sql("SELECT doc_id, text FROM docs_clean")
+    n_total = docs.count()
+    n_kept = kept.count()
+    assert len(metrics) == 3
+    assert sum(m["n_in"] for m in metrics) == n_total
+    assert sum(m["n_kept"] for m in metrics) == n_kept
+    assert sum(m["n_dropped"] for m in metrics) == n_total - n_kept > 0
+
+    # survivors contain no near-dup pair at the threshold
+    leftover = minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.4).count()
+    assert leftover == 0
+
+    # idempotence: replaying the survivors against the grown index drops
+    # nothing (every survivor is already indexed -> jaccard 1.0 self pair?
+    # no: ids match, pairs need distinct ids, and identical ids are absent)
+    from fluss_datafusion_spark.operators.incremental import incremental_dedup_pairs
+
+    again = incremental_dedup_pairs(
+        kept, index, "doc_id", "text", threshold=0.4
+    ).filter(F.col("id_a") != F.col("id_b"))
+    # survivors ARE in the index now; probing them finds only self-buckets
+    assert again.filter(F.col("id_a") != F.col("id_b")).count() == 0

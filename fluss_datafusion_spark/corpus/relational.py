@@ -1327,12 +1327,16 @@ def q45_sketch_bounds(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("e_nd_o"),
         F.countDistinct("l_partkey").alias("e_nd_p"),
     )
+    # rsd=0.02 / accuracy=2500 keep worst-case observed error well inside
+    # the asserted 5%/10% bounds (measured 3.3%/2.2% at sf0.1) at ~2.5x
+    # less sketch-buffer cost than rsd=0.01/10000 (10.1s -> 4.3s cold);
+    # rsd=0.05 breaks the 5% bound (6.4% observed).
     sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a_nd_o"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_nd_p"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_p50"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_nd_o"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_nd_p"),
+        F.percentile_approx("l_extendedprice", 0.5, 2500).alias("a_p50"),
         F.percentile("l_extendedprice", 0.5).alias("e_p50"),
-        F.percentile_approx("l_quantity", 0.9, 10000).alias("a_p90"),
+        F.percentile_approx("l_quantity", 0.9, 2500).alias("a_p90"),
         F.percentile("l_quantity", 0.9).alias("e_p90"),
     )
     return (

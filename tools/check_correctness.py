@@ -2,11 +2,17 @@
 ``__spark_entry__.queries()`` entry and its DuckDB oracle side-by-side,
 compare row count + column names + values (order-insensitive).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [query ...]
+
+With ``--json OUT`` the per-query results are also written as a JSON
+object mirroring the driver's CORRECTNESS_r{N}.json shape, so the full
+corpus (core + extended) has a committed hard-signal artifact even
+though the driver only checks the first 50 registered entries.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -45,8 +51,13 @@ def canon(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from fluss_datafusion_spark.session import build_spark
@@ -69,6 +80,7 @@ def main():
     queries = {**entry_mod.queries(), **corpus.EXTRA_QUERIES}
     oracles = {**entry_mod.oracle_sql(), **corpus.EXTRA_ORACLES}
     failures = []
+    results = {}
     for name in sorted(queries):
         if only and name not in only:
             continue
@@ -79,9 +91,15 @@ def main():
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
+            results[name] = {"err": f"spark: {exc}"}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_rows), "oracle_rows": None,
+                "err": None, "note": "rows-only (no SQL oracle by design)",
+            }
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -90,6 +108,7 @@ def main():
             duck_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
+            results[name] = {"err": f"duckdb: {exc}"}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -104,12 +123,24 @@ def main():
             n_bad = sum(1 for a, b in zip(sv, dv) if a != b)
             example = next(((a, b) for a, b in zip(sv, dv) if a != b), None)
             status.append(f"{n_bad}/{len(sv)} rows differ; first: spark={example[0]} duck={example[1]}")
+        results[name] = {
+            "rows_match": len(sv) == len(dv),
+            "schema_match": sc == dc,
+            "hash_match": sv == dv and sc == dc,
+            "spark_rows": len(sv),
+            "oracle_rows": len(dv),
+            "err": "; ".join(status) or None,
+        }
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
             print(f"OK    {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
 
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {sorted(set(failures))}")

@@ -1014,3 +1014,109 @@ def ns_dedup_incremental(spark, sf_dir):
         batch, path, "doc_id", "text", threshold=0.4
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "ns_curation_span_scrub", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    segs AS (
+        SELECT doc_id, CAST(u.s / 16 AS INT) AS seg_idx,
+               array_to_string(t[u.s + 1 : u.s + 16], ' ') AS span
+        FROM tk,
+             unnest(generate_series(0, len(t) - 1 - ((len(t) - 1) % 16), 16))
+                 AS u(s)
+    ),
+    hot AS (
+        SELECT span FROM segs GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           coalesce(string_agg(CASE WHEN h.span IS NULL THEN s.span END,
+                               ' ' ORDER BY s.seg_idx), '') AS clean_text,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN h.span IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM segs s LEFT JOIN hot h ON s.span = h.span
+    GROUP BY s.doc_id
+    """,
+)
+def ns_curation_span_scrub(spark, sf_dir):
+    """C4/RefinedWeb-style duplicated-span scrub: drop 16-token segments
+    occurring in >=2 distinct documents, reassemble the rest in order.
+    Three map-side-combined shuffles, nothing quadratic."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.scrub_hot_spans(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        span_tokens=16, min_doc_freq=2,
+    )
+
+
+@query(
+    "ns_quality_lm_score", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT unnest(t) AS tok FROM tk) u)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c2.c2 + 0.1) / (cp.cp + 0.1 * v.vs))), 4)
+               AS avg_logprob
+    FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+    GROUP BY bg.doc_id
+    """,
+)
+def ns_quality_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: add-0.1-smoothed bigram LM trained
+    on the corpus as two count DataFrames, each document scored by its
+    mean bigram log-probability.  Train = 2 map-side-combined aggs;
+    score = 2 shuffle joins on the n-gram key + 1 per-doc avg."""
+    from fluss_datafusion_spark.operators import lm
+
+    return lm.bigram_lm_scores(
+        t(spark, sf_dir, "documents"), "doc_id", "text", alpha=0.1
+    )
+
+
+@query(
+    "ns_curation_mixture", extended=True,
+    oracle="""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   count(*) AS ng FROM stats)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(total AS DOUBLE), 6) AS token_share,
+           round((1.0 / ng) / (n_tokens / CAST(total AS DOUBLE)), 6) AS weight
+    FROM stats CROSS JOIN tot
+    """,
+)
+def ns_curation_mixture(spark, sf_dir):
+    """Pile/DoReMi-style domain mixture weights: per-source token share
+    and the uniform-target sampling weight, in one map-side-combined
+    pass plus a single-row broadcast of the totals."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.domain_mixture_weights(
+        t(spark, sf_dir, "documents"), "source", "text"
+    )

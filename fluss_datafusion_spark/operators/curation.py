@@ -438,6 +438,154 @@ def quality_filter(
     ).withColumn("keep", F.col("reasons") == "")
 
 
+def scrub_hot_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 16,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-duplicated span removal in the C4 / RefinedWeb style
+    (Raffel et al. 2020 removed any three-sentence span occurring more
+    than once in the corpus; RefinedWeb scrubs duplicated lines): split
+    each document into consecutive ``span_tokens``-token segments, drop
+    every segment whose exact text appears in at least ``min_doc_freq``
+    DISTINCT documents, and reassemble the survivors in order.
+
+    Unlike document-level dedup this removes boilerplate *inside*
+    otherwise-unique documents (headers, license blocks, navigation
+    text) — the step that document-granularity MinHash cannot do.
+
+    Returns (id_col, clean_text, n_spans, n_dropped); ``clean_text`` is
+    '' when every span was corpus-duplicated.
+
+    Scale shape: segmentation is a pure narrow plan (sequence + slice +
+    posexplode, no UDF).  The hot-span table is one map-side-combined
+    distinct-count aggregation keyed by the span text (uniform hash —
+    spans are near-unique strings).  Marking is a plain shuffle join of
+    segments against the hot set (NOT a broadcast: a boilerplate-heavy
+    corpus makes the hot set O(corpus); stats/AQE may still choose
+    broadcast when it is genuinely small).  Reassembly shuffles once on
+    the doc id with an ordered-struct collect.  Three shuffles total,
+    each map-side combined, nothing quadratic, nothing driver-side.
+    """
+    from fluss_datafusion_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.when(n > 0, (n - 1) - F.pmod(n - 1, F.lit(span_tokens))).otherwise(
+            F.lit(0)
+        ),
+        F.lit(span_tokens),
+    )
+    span = F.slice(F.col("__toks__"), F.col("__start__") + 1, span_tokens)
+    segs = (
+        spread_small_scan(docs.filter(F.length(F.trim(F.col(text_col))) > 0))
+        .select(
+            F.col(id_col).alias("__id__"),
+            toks.alias("__toks__"),
+            F.posexplode(starts).alias("__seg__", "__start__"),
+        )
+        .select(
+            "__id__",
+            "__seg__",
+            F.array_join(span, " ").alias("__span__"),
+        )
+    )
+    hot = (
+        segs.groupBy("__span__")
+        .agg(F.countDistinct("__id__").alias("__df__"))
+        .filter(F.col("__df__") >= min_doc_freq)
+        .select("__span__", F.lit(True).alias("__hot__"))
+    )
+    marked = segs.join(hot, "__span__", "left")
+    kept = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.coalesce(F.col("__hot__"), F.lit(False)),
+                    F.struct(F.col("__seg__"), F.col("__span__")),
+                )
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        marked.groupBy("__id__")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda x: x["__span__"]), " "
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.coalesce(F.col("__hot__"), F.lit(False)).cast("long")
+            ).alias("n_dropped"),
+        )
+        .select(
+            F.col("__id__").alias(id_col), "clean_text", "n_spans", "n_dropped"
+        )
+    )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+    target_shares: Optional[dict] = None,
+) -> DataFrame:
+    """Per-domain sampling weights to hit a target token mixture (the
+    Pile/DoReMi-style domain-reweighting step): for each value of
+    ``group_col`` compute its token share of the corpus and the sampling
+    weight ``target_share / actual_share`` that a downstream sampler
+    multiplies into per-document keep probabilities.  ``target_shares``
+    maps group value -> desired share (defaults to the uniform mixture
+    1/n_groups; missing keys get 0 — i.e. drop that domain).
+
+    Returns (group_col, n_docs, n_tokens, token_share, weight), shares
+    and weights rounded to 6.
+
+    Scale shape: one map-side-combined aggregation over the corpus; the
+    per-group table is O(domains) (tiny), so the totals ride in via a
+    single-row broadcast cross join.  No second pass over the data.
+    """
+    from fluss_datafusion_spark.functions.text import token_count
+
+    stats = (
+        spread_small_scan(docs)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        )
+    )
+    totals = stats.agg(
+        F.sum("n_tokens").alias("__total__"),
+        F.count(F.lit(1)).alias("__ngroups__"),
+    )
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("__ngroups__")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        target = F.coalesce(
+            mapping[F.col(group_col).cast("string")], F.lit(0.0)
+        )
+    share = F.col("n_tokens") / F.col("__total__")
+    return (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(target / share, 6).alias("weight"),
+        )
+    )
+
+
 def dedup_representatives(
     docs: DataFrame,
     pairs: DataFrame,

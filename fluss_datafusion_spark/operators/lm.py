@@ -1,0 +1,133 @@
+"""N-gram language-model quality scoring (CCNet-style).
+
+CCNet (Wenzek et al. 2020) ranks CommonCrawl documents by the perplexity
+of a KenLM n-gram model trained on Wikipedia; documents whose LM score is
+an outlier are boilerplate/gibberish.  This module is that signal as pure
+DataFrame jobs: train = two map-side-combined count aggregations (bigram
+and prefix counts), score = two shuffle joins on the n-gram key plus one
+per-document average.  No model file, no UDF, no driver-side state — the
+"model" IS a pair of DataFrames, so it scales to any corpus Spark can
+shuffle and can be persisted/reused like any other table.
+
+Model: add-alpha-smoothed bigram LM over lowercase whitespace tokens,
+
+    P(w2 | w1) = (c(w1 w2) + alpha) / (cp(w1) + alpha * V)
+
+with c = bigram count, cp = prefix count (occurrences of w1 as a bigram
+prefix — sums to the bigram total, so each conditional distribution is
+properly normalized), V = train vocabulary size.  Unseen bigrams /
+prefixes degrade smoothly to the alpha floor.
+
+No reference analog (zuston/fluss-datafusion has no text operators);
+part of the north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.text import token_count, tokens
+from fluss_datafusion_spark.session import spread_small_scan
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id__, __w1__, __w2__) — one row per consecutive token pair.
+
+    zip_with over the token array and its shifted slice (each array
+    evaluated once per row — an element_at-in-transform lambda would
+    re-split the text per element, O(tokens^2); see
+    functions/text.py:word_shingles).  spread_small_scan fans the
+    interpreted lambda across cores on small-file test inputs.
+    """
+    with_toks = (
+        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        .select(
+            F.col(id_col).alias("__id__"),
+            tokens(F.lower(F.col(text_col))).alias("__t__"),
+        )
+    )
+    n = F.size("__t__")
+    pairs = F.zip_with(
+        F.slice("__t__", F.lit(1), n - 1),
+        F.slice("__t__", F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return with_toks.select(
+        "__id__", F.explode(pairs).alias("__bg__")
+    ).select(
+        "__id__",
+        F.col("__bg__.w1").alias("__w1__"),
+        F.col("__bg__.w2").alias("__w2__"),
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, id_col: str, text_col: str
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Train on a corpus: returns (bigram_counts, prefix_counts, vocab)
+    DataFrames — ``(__w1__, __w2__, __c2__)``, ``(__w1__, __cp__)`` and a
+    single-row ``(__V__)``.  Each is one explode + one map-side-combined
+    count; persist them (or write to a table) to score many batches
+    against one trained model."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("__w1__", "__w2__").agg(F.count(F.lit(1)).alias("__c2__"))
+    cp = bg.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__cp__"))
+    vocab = (
+        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        .select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok__")
+        )
+        .agg(F.countDistinct("__tok__").alias("__V__"))
+    )
+    return c2, cp, vocab
+
+
+def score_with_lm(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigram_counts: DataFrame,
+    prefix_counts: DataFrame,
+    vocab: DataFrame,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Score documents against a trained bigram LM: per document the mean
+    log-probability of its bigrams (higher = more model-like; rank or
+    threshold downstream).  Returns (id_col, n_bigrams, avg_logprob)
+    with avg_logprob rounded to 4 (cross-engine float-sum tolerance).
+
+    Scale shape: the document bigrams join the count tables with plain
+    shuffle joins on the n-gram key (near-unique strings — uniform hash,
+    no skew; the count tables are corpus-sized state and are never
+    broadcast); V rides in as a single-row broadcast.  The final average
+    is one map-side-combined aggregation on the doc id."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    logp = F.log(
+        (F.coalesce(F.col("__c2__"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("__cp__"), F.lit(0)) + F.lit(alpha) * F.col("__V__"))
+    )
+    return (
+        bg.join(bigram_counts, ["__w1__", "__w2__"], "left")
+        .join(prefix_counts, "__w1__", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+        .select(F.col("__id__").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str, text_col: str, alpha: float = 0.1
+) -> DataFrame:
+    """Self-scoring convenience: train on ``docs`` and score ``docs``
+    (the in-domain-ness signal; the CCNet pattern trains on a clean
+    reference corpus and scores the raw one — pass the pieces through
+    ``train_bigram_lm`` / ``score_with_lm`` for that)."""
+    c2, cp, vocab = train_bigram_lm(docs, id_col, text_col)
+    return score_with_lm(docs, id_col, text_col, c2, cp, vocab, alpha)

@@ -183,3 +183,128 @@ def test_dedup_representatives_total_assignment(spark):
         1: (1, True), 2: (1, False), 3: (1, False),  # chain collapses to 1
         7: (7, True), 9: (9, True),                  # singletons keep themselves
     }
+
+
+def test_scrub_hot_spans_drops_corpus_duplicated_spans(spark):
+    from fluss_datafusion_spark.operators.curation import scrub_hot_spans
+
+    boiler = "all rights reserved by corp"  # 5 tokens -> one hot span
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique alpha text one xx"),
+            (2, f"{boiler} other beta words here yy"),
+            (3, "totally original content with no dupes"),
+            (4, boiler),  # every span hot -> clean_text ''
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_dropped"])
+        for r in scrub_hot_spans(
+            docs, "doc_id", "text", span_tokens=5, min_doc_freq=2
+        ).collect()
+    }
+    # spans of doc 1: [boiler, "unique alpha text one xx"] -> first dropped
+    assert got[1] == ("unique alpha text one xx", 2, 1)
+    assert got[2] == ("other beta words here yy", 2, 1)
+    assert got[3] == ("totally original content with no dupes", 2, 0)
+    assert got[4] == ("", 1, 1)
+
+
+def test_scrub_hot_spans_preserves_order(spark):
+    from fluss_datafusion_spark.operators.curation import scrub_hot_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "c d zz ww")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in scrub_hot_spans(
+            docs, "doc_id", "text", span_tokens=2, min_doc_freq=2
+        ).collect()
+    }
+    # doc1 spans: "a b", "c d"(hot), "e f", "g h" -> survivors keep order
+    assert got[1] == "a b e f g h"
+    assert got[2] == "zz ww"
+
+
+def test_domain_mixture_weights_uniform_and_target(spark):
+    from fluss_datafusion_spark.operators.curation import (
+        domain_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "web"),      # 3 tokens
+            (2, "four five six seven", "web"),  # 4 tokens
+            (3, "a b c", "code"),             # 3 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r
+        for r in domain_mixture_weights(docs, "source", "text").collect()
+    }
+    assert got["web"]["n_docs"] == 2 and got["web"]["n_tokens"] == 7
+    assert got["code"]["n_tokens"] == 3
+    assert got["web"]["token_share"] == 0.7
+    # uniform target 0.5 over share 0.7 -> 0.714286
+    assert abs(got["web"]["weight"] - 0.714286) < 1e-6
+    assert abs(got["code"]["weight"] - (0.5 / 0.3)) < 1e-4
+
+    targeted = {
+        r["source"]: r["weight"]
+        for r in domain_mixture_weights(
+            docs, "source", "text", target_shares={"web": 1.0}
+        ).collect()
+    }
+    assert abs(targeted["web"] - 1.0 / 0.7) < 1e-4
+    assert targeted["code"] == 0.0  # absent from target -> dropped
+
+
+def test_bigram_lm_scores_exact_math(spark):
+    import math
+
+    from fluss_datafusion_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_lm_scores(docs, "doc_id", "text", alpha=0.1).collect()
+    }
+    # c2: ab=3 ba=1 bc=1; cp: a=3 b=2; V=3
+    p_ab = (3 + 0.1) / (3 + 0.3)
+    p_ba = (1 + 0.1) / (2 + 0.3)
+    p_bc = (1 + 0.1) / (2 + 0.3)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 4)
+    assert got[1] == (3, exp1)
+    assert got[2] == (2, exp2)
+    assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_score_with_lm_heldout_unseen_bigrams(spark):
+    import math
+
+    from fluss_datafusion_spark.operators.lm import (
+        score_with_lm,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    heldout = spark.createDataFrame(
+        [(10, "c c")], "doc_id long, text string"
+    )
+    c2, cp, vocab = train_bigram_lm(train, "doc_id", "text")
+    got = score_with_lm(
+        heldout, "doc_id", "text", c2, cp, vocab, alpha=0.1
+    ).collect()
+    # (c,c) unseen, prefix c unseen: P = 0.1 / (0 + 0.1*3)
+    assert got[0]["n_bigrams"] == 1
+    assert got[0]["avg_logprob"] == round(math.log(0.1 / 0.3), 4)

@@ -57,6 +57,9 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the rest
             timings[name] = None
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+        # Release caches a query persisted for its own multi-branch reuse
+        # (e.g. LSH candidate sets) so queries don't interfere.
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(

@@ -372,12 +372,17 @@ def minhash_lsh_pairs(
             F.explode(F.array("id_a", "id_b")).alias("__id__")
         ).distinct()
     )
-    sh = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).select(
-        F.col(id_col).alias("__id__"), word_shingles(F.col(text_col), k).alias("__sh__")
+    # Semi-join BEFORE shingling: Catalyst does not push a semi-join
+    # below a projection containing the (expensive, interpreted)
+    # zip_with shingle expression, so shingling first would re-shingle
+    # the ENTIRE corpus just to throw most of it away.  Filtering the
+    # raw (id, text) rows down to candidate ids first means the verify
+    # stage shingles only the candidate-bound slice.
+    shc = (
+        df.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"))
+        .join(cand_ids, "__id__", "left_semi")
+        .select("__id__", word_shingles(F.col("__t__"), k).alias("__sh__"))
     )
-    shc = sh.join(cand_ids, "__id__", "left_semi")
     sa, sb = F.broadcast(shc).alias("sa"), F.broadcast(shc).alias("sb")
     verified = (
         candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))

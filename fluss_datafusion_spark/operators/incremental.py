@@ -111,12 +111,18 @@ def incremental_dedup_pairs(
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("__id__")
     ).distinct()
-    new_sh = spread_small_scan(new_docs).select(
-        F.col(id_col).alias("__id__"),
-        word_shingles(F.col(text_col), k).alias("__sh__"),
+    # Semi-join each side down to candidate ids BEFORE shingling the
+    # batch (Catalyst does not push a semi-join below the interpreted
+    # zip_with shingle projection — shingle-then-filter would shingle
+    # the whole batch a second time); the index side is pre-shingled
+    # parquet, so its semi-join just filters the scan early.
+    new_sh = (
+        new_docs.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"))
+        .join(cand_ids, "__id__", "left_semi")
+        .select("__id__", word_shingles(F.col("__t__"), k).alias("__sh__"))
     )
     idx_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
-    sh = new_sh.unionByName(idx_sh).join(cand_ids, "__id__", "left_semi")
+    sh = new_sh.unionByName(idx_sh.join(cand_ids, "__id__", "left_semi"))
     sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
     return (
         candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))

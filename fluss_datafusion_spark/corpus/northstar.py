@@ -499,7 +499,7 @@ def ns_sim_ann_ivf(spark, sf_dir):
 
 
 @query(
-    "ns_curation_decontaminate", extended=True,
+    "ns_curation_decontaminate",
     oracle="""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -787,7 +787,7 @@ def ns_curation_chunking(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_clusters", extended=True,
+    "ns_dedup_clusters",
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -898,7 +898,7 @@ def ns_multimodal_wav_decode(spark, sf_dir):
 
 
 @query(
-    "ns_curation_quality_filter", extended=True,
+    "ns_curation_quality_filter",
     oracle="""
     WITH d AS (
         SELECT doc_id, text,
@@ -971,7 +971,7 @@ def ns_curation_quality_filter(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_incremental", extended=True,
+    "ns_dedup_incremental",
     oracle="""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -1017,7 +1017,7 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
-    "ns_curation_span_scrub", extended=True,
+    "ns_curation_span_scrub",
     oracle="""
     WITH tk AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1057,7 +1057,7 @@ def ns_curation_span_scrub(spark, sf_dir):
 
 
 @query(
-    "ns_quality_lm_score", extended=True,
+    "ns_quality_lm_score",
     oracle="""
     WITH tk AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

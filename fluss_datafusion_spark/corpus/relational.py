@@ -30,6 +30,7 @@ from fluss_datafusion_spark.corpus import query, t, v
     FROM lineitem
     WHERE l_discount > 0.06 AND l_quantity < 10
     """,
+    extended=True,
 )
 def q02_filter_project(spark, sf_dir):
     # Per-row products of two 2-decimal inputs have exactly 4 decimal
@@ -186,6 +187,7 @@ def q11_rollup(spark, sf_dir):
            count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    extended=True,
 )
 def q12_cube(spark, sf_dir):
     return (
@@ -556,6 +558,7 @@ def q19_except(spark, sf_dir):
                AS ends_digit
     FROM part
     """,
+    extended=True,
 )
 def q20_string_funcs(spark, sf_dir):
     """String + regexp surface (extract/replace/match) in one pass."""
@@ -626,6 +629,7 @@ def q21_date_funcs(spark, sf_dir):
            CAST(p_size AS DOUBLE) AS size_dbl
     FROM part
     """,
+    extended=True,
 )
 def q22_math_funcs(spark, sf_dir):
     """Math functions plus cross-type casts (int->string, rounded
@@ -674,6 +678,7 @@ def q23_json_funcs(spark, sf_dir):
            round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 3) AS l1_norm
     FROM embeddings
     """,
+    extended=True,
 )
 def q24_array_funcs(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -1165,6 +1170,7 @@ def q43_interval_arith(spark, sf_dir):
     FROM nation r CROSS JOIN nation s
     WHERE r.n_nationkey < s.n_nationkey
     """,
+    extended=True,
 )
 def q44_cross_join(spark, sf_dir):
     """Cartesian product with a post-filter (theta join).  Fine on a dim

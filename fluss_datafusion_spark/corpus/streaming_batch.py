@@ -191,13 +191,18 @@ def st_range_join(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     pts = ev.select(
-        "event_id", "value", F.col("ts").cast("long").alias("p")
+        "event_id",
+        "value",
+        # double-cast: testdata stores µs TIMESTAMP_NTZ at some SFs and
+        # nanos-as-long (read back as LTZ) at others; NTZ→BIGINT is not
+        # castable directly, NTZ→TIMESTAMP under the UTC session tz is.
+        F.col("ts").cast("timestamp").cast("long").alias("p"),
     )
     anchors = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("anchor_id"),
-            F.col("ts").cast("long").alias("s"),
+            F.col("ts").cast("timestamp").cast("long").alias("s"),
         )
         .withColumn("e", F.col("s") + F.lit(1800))
     )

@@ -189,18 +189,22 @@ def minhash_band_buckets(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """(id, band, bucket) LSH bucket assignment via an Arrow-batched
-    numpy kernel: collect each doc's (deduped) shingle hashes, compute
-    all num_perm affine mins vectorized per batch, combine each band's
-    rows_per_band mins INJECTIVELY into one long (sig < 2^31, so
-    rows_per_band=2 packs into sig0*2^31+sig1 < 2^62 — no collision,
-    strictly fewer false-positive candidates than hashing the band).
+    numpy kernel: per doc, hash every shingle ONCE map-side (xxhash64 →
+    pmod p, same values as ``minhash_signatures``), compute all num_perm
+    affine mins vectorized per batch, combine each band's rows_per_band
+    mins INJECTIVELY into one long (sig < 2^31, so rows_per_band=2 packs
+    into sig0*2^31+sig1 < 2^62 — no collision, strictly fewer
+    false-positive candidates than hashing the band).
 
-    Versus the agg-min path (minhash_signatures): this shuffles the raw
-    hash set (~tokens longs/doc) instead of the 128-long signature, but
-    replaces a 128-column codegen'd aggregate — whose plan compilation
-    dominates short-doc corpora — with one compact vectorized kernel.
-    Rule of thumb: short docs (tokens < ~2x num_perm) → this path; very
-    long docs on a real cluster → 'agg' (bounded shuffle wins).
+    Zero-shuffle by construction: the per-doc hash array is built with a
+    ``transform`` over the shingle array inside the scan's map stage
+    (min over a multiset equals min over the set, so no dedup/groupBy is
+    needed), and the numpy kernel maps over those same partitions.  The
+    first shuffle in any consumer is the bucket groupBy — nothing
+    upstream moves, at any corpus size.  Versus the agg-min path
+    (minhash_signatures): identical buckets, but no 128-column codegen'd
+    aggregate (whose plan compilation dominates short-doc corpora) and
+    no signature shuffle at all.
     """
     import numpy as np
     import pandas as pd
@@ -223,21 +227,50 @@ def minhash_band_buckets(
     # Repartition BEFORE shingling: the interpreted zip_with shingle
     # expression must spread across all cores even when the input is a
     # single small file (one scan partition otherwise serializes it).
-    exploded = (
+    hashed = (
         spread_small_scan(df)
         .select(
             F.col(id_col).alias("__id__"),
-            word_shingles(F.col(text_col), k).alias("__sh__"),
+            F.transform(
+                word_shingles(F.col(text_col), k),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")),
+            ).alias("__hs__"),
         )
-        .filter(F.size("__sh__") > 0)
-        .select("__id__", F.explode("__sh__").alias("__s__"))
-        .withColumn("__h__", F.pmod(F.xxhash64("__s__"), F.lit(p).cast("long")))
+        .filter(F.size("__hs__") > 0)
     )
-    hashes = exploded.groupBy("__id__").agg(F.collect_set("__h__").alias("__hs__"))
-    sig = hashes.mapInPandas(buckets_fn, "__id__ long, __bks__ array<long>")
+    sig = hashed.mapInPandas(buckets_fn, "__id__ long, __bks__ array<long>")
     return sig.select(
         "__id__", F.posexplode("__bks__").alias("__band__", "__bucket__")
     )
+
+
+def release_candidate_cache(df: DataFrame) -> None:
+    """Unpersist the candidate-pair cache(s) a dedup/similarity operator
+    attached to its result DataFrame.
+
+    ``minhash_lsh_pairs`` / ``embedding_cosine_pairs_lsh`` /
+    ``incremental_dedup_pairs`` persist their bucket-local candidate
+    stage (see ``_bucket_local_pairs``) because two downstream branches
+    consume it within one action.  The persist outlives the action —
+    Spark's cache manager holds a reference, so it is never freed by
+    GC — which in a long-lived session (or a per-micro-batch ingest
+    loop) accumulates cached DataFrames without bound.  Call this after
+    the result has materialized (count/write/collect) to release them;
+    calling it before the action simply forfeits the cache reuse, never
+    correctness."""
+    for cached in getattr(df, "_fds_cached_deps", ()):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+
+
+def _attach_cached_deps(df: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Record persisted upstream DataFrames on a result so callers (or
+    ``release_candidate_cache``) can unpersist them once the result has
+    materialized."""
+    df._fds_cached_deps = list(deps)  # type: ignore[attr-defined]
+    return df
 
 
 def _bucket_local_pairs(
@@ -395,7 +428,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return _attach_cached_deps(verified, candidates)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -542,7 +575,7 @@ def embedding_cosine_pairs_lsh(
     vecs = df.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
     vc = vecs.join(cand_ids, "__id__", "left_semi")
     va, vb = F.broadcast(vc).alias("va"), F.broadcast(vc).alias("vb")
-    return (
+    verified = (
         candidates.join(va, F.col("id_a") == F.col("va.__id__"))
         .join(vb, F.col("id_b") == F.col("vb.__id__"))
         .select(
@@ -552,11 +585,13 @@ def embedding_cosine_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+    return _attach_cached_deps(verified, candidates)
 
 
 def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 10,
+    check_every: int = 2,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: turns pairwise
     dedup output (id_a, id_b) into per-document cluster assignments —
@@ -571,12 +606,20 @@ def dedup_clusters(
     general graph would want the large-star/small-star variant
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14).
 
-    Scale shape: each round is one join (edges x labels, shuffle on the
-    uniformly-hashed node id) + one map-side-combined min agg.  Labels
-    are localCheckpoint'd per round: iterative lineage otherwise grows
-    exponentially and re-executes the whole history each round.  The
-    convergence check piggybacks on the round's agg (max changed flag),
-    adding no extra pass over the data.
+    Scale shape:
+    - The edge list is materialized ONCE up front (eager
+      localCheckpoint): every round joins it, and without cutting
+      lineage here each round would re-execute the upstream pairwise
+      dedup pipeline — the symmetrization union would even run it twice
+      per round.  This was the dominant cost before r3.
+    - Each round is then one join (edges x labels, shuffle on the
+      uniformly-hashed node id) + one map-side-combined min agg, over
+      in-memory edge blocks.
+    - Rounds are lazily localCheckpoint'd (iterative lineage otherwise
+      grows without bound) and the convergence fixpoint is only
+      inspected every ``check_every`` rounds: the driver round-trip +
+      job launch per check costs more than an extra cheap propagation
+      round, and the update is monotone so overshooting is harmless.
 
     Returns (doc_id, cluster_id) for every id that appears in a pair;
     singletons (docs with no near-dup) are absent — union them in as
@@ -584,8 +627,9 @@ def dedup_clusters(
     """
     edges = pairs.select(
         F.col("id_a").alias("__src__"), F.col("id_b").alias("__dst__")
-    )
-    # symmetric edge list + self-loop so a node always sees its own label
+    ).localCheckpoint(eager=True)
+    # symmetric edge list so a node always sees both directions; derived
+    # from the materialized edge blocks, so the union is two cheap scans
     sym = edges.union(
         edges.select(F.col("__dst__").alias("__src__"), F.col("__src__").alias("__dst__"))
     )
@@ -593,9 +637,8 @@ def dedup_clusters(
         sym.select(F.col("__src__").alias("__id__"))
         .distinct()
         .withColumn("__lbl__", F.col("__id__"))
-        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["__dst__"] == labels["__id__"])
             .groupBy("__src__")
@@ -610,15 +653,17 @@ def dedup_clusters(
                 ).alias("__new__"),
                 F.col("__lbl__").alias("__old__"),
             )
-        ).localCheckpoint()
-        # a round with zero label changes is the fixpoint (the update is a
-        # deterministic function of the labels)
-        changed = stepped.agg(
-            F.max(F.col("__new__") != F.col("__old__"))
-        ).collect()[0][0]
+        ).localCheckpoint(eager=False)
         labels = stepped.select("__id__", F.col("__new__").alias("__lbl__"))
-        if not changed:
-            break
+        # a round with zero label changes is the fixpoint (the update is
+        # a deterministic function of the labels); the check's collect is
+        # also the action that materializes the lazy checkpoint
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            changed = stepped.agg(
+                F.max(F.col("__new__") != F.col("__old__"))
+            ).collect()[0][0]
+            if not changed:
+                break
     return labels.select(
         F.col("__id__").alias("doc_id"), F.col("__lbl__").alias("cluster_id")
     )

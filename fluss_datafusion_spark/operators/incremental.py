@@ -29,8 +29,10 @@ from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.functions.text import word_shingles
 from fluss_datafusion_spark.operators.dedup import (
+    _attach_cached_deps,
     _bucket_local_pairs,
     minhash_band_buckets,
+    release_candidate_cache,
 )
 from fluss_datafusion_spark.session import spread_small_scan
 
@@ -124,7 +126,7 @@ def incremental_dedup_pairs(
     idx_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
     sh = new_sh.unionByName(idx_sh.join(cand_ids, "__id__", "left_semi"))
     sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
-    return (
+    verified = (
         candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))
         .join(sb, F.col("id_b") == F.col("sb.__id__"))
         .withColumn(
@@ -135,6 +137,7 @@ def incremental_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _attach_cached_deps(verified, candidates)
 
 
 def append_to_index(
@@ -172,10 +175,13 @@ def dedup_ingest_sink(
 
     1. probe the persisted LSH index for near-dups (batch-vs-corpus and
        batch-vs-batch, exact-verified at ``threshold``);
-    2. drop every batch document that pairs with a smaller id (greedy
-       first-seen-wins — the standard ingest policy; a chain a<b<c may
-       keep c if its only partner b was itself dropped, which matches
-       "dedup against what the corpus actually contains");
+    2. drop every batch document that pairs with an already-indexed
+       document (the corpus copy always wins, regardless of id order —
+       ids only need to be globally unique, not ingest-ordered), and
+       for batch-internal pairs drop the greater id (greedy
+       first-seen-wins; a chain a<b<c may keep c if its only partner b
+       was itself dropped, which matches "dedup against what the corpus
+       actually contains");
     3. upsert the survivors into the PK table through the catalog's
        log-structured writer;
     4. append the survivors' buckets + shingle sets to the index, so the
@@ -197,15 +203,35 @@ def dedup_ingest_sink(
             pairs = incremental_dedup_pairs(
                 batch_df, index_path, id_col, text_col, threshold=threshold
             )
-            new_ids = batch_df.select(F.col(id_col).alias("__nid__"))
-            drop = (
-                pairs.select(F.greatest("id_a", "id_b").alias("__nid__"))
-                .join(new_ids, "__nid__", "left_semi")
-                .distinct()
-                .withColumnRenamed("__nid__", id_col)
+            new_ids = batch_df.select(F.col(id_col).alias("__nid__")).distinct()
+            # Every pair touches the batch (incremental_dedup_pairs
+            # guarantees it).  If one endpoint is already indexed, the
+            # OTHER endpoint is the batch doc — drop it whichever id is
+            # greater (the corpus copy must win; batch ids are only
+            # globally unique, not monotone with ingest order).  Pairs
+            # wholly inside the batch fall back to greater-id-drops.
+            marked = pairs.join(
+                new_ids.select(
+                    F.col("__nid__").alias("id_a"), F.lit(True).alias("__a_new__")
+                ),
+                "id_a",
+                "left",
+            ).join(
+                new_ids.select(
+                    F.col("__nid__").alias("id_b"), F.lit(True).alias("__b_new__")
+                ),
+                "id_b",
+                "left",
             )
+            drop = marked.select(
+                F.when(F.col("__b_new__").isNull(), F.col("id_a"))
+                .when(F.col("__a_new__").isNull(), F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b"))
+                .alias(id_col)
+            ).distinct()
             survivors = batch_df.join(drop, id_col, "left_anti").persist()
             n_kept = catalog.insert(table, survivors)
+            release_candidate_cache(pairs)
             append_to_index(survivors, id_col, text_col, index_path)
             if metrics is not None:
                 metrics.append(

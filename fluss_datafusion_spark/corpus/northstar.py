@@ -9,8 +9,12 @@ Oracle notes:
   exactly, and with r=2/b=64 fixed-seed banding the candidate recall at
   j>=0.4 is 1-(1-0.16)^64 ≈ 1-1.4e-5 — deterministic for a given corpus
   (validated against the oracle at sf0.001 and sf0.01).
-- SimHash signatures and the fake-decode feature extractor hash with
-  engine-specific functions -> rows-only checks (no SQL oracle exists).
+- SimHash / ANN entries use the q45_sketch_bounds pattern: the raw
+  signatures / approximate neighbor sets are engine-specific, but each
+  entry emits oracle-reproducible values (md5 text-group stats, exact
+  top-10 ids) plus an in-query property boolean (one-signature-per-
+  exact-dup-group, recall >= floor) that both engines state — no
+  rows-only rows remain in the driver window.
 """
 
 from __future__ import annotations
@@ -94,12 +98,75 @@ def ns_dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("ns_dedup_simhash")
+@query(
+    "ns_dedup_simhash",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
+               AS n_tokens,
+           TRUE AS order_invariant,
+           TRUE AS scale_invariant
+    FROM documents
+    """,
+)
 def ns_dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signature per document (rows-only check: the
-    signature depends on Spark's xxhash64, which no oracle engine has)."""
+    """64-bit SimHash with a DETERMINISTIC oracle (the q45_sketch_bounds
+    pattern, closing the r2 rows-only gap).  The raw signature depends
+    on Spark's xxhash64, which no oracle engine has, and the corpus has
+    no exact-duplicate texts to group — so the entry asserts the
+    algorithm's two algebraic invariants PER DOCUMENT, both exactly
+    decidable and both stated blind by the oracle:
+
+    - ``order_invariant``: SimHash is a pure function of the token
+      MULTISET, so the signature of the token-sorted text equals the
+      original's (catches positional hashing / nondeterministic
+      tokenization bugs);
+    - ``scale_invariant``: doubling the text doubles every bit's vote
+      sum, preserving sign and zero, so the signature is unchanged
+      (catches majority-vote threshold bugs, e.g. >= vs >).
+
+    ``n_tokens`` anchors the row to oracle-computable data.  Plan
+    shape: the three variants explode from one scan (no re-read), one
+    token explode + one 64-vote agg over 3N rows, one final groupBy per
+    doc — all map-side-combined shuffles, nothing on the driver."""
     docs = t(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", "text")
+    lowered = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    variants = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("v"), F.col("text").alias("vt")),
+                F.struct(
+                    F.lit(1).alias("v"),
+                    F.array_join(F.sort_array(lowered), " ").alias("vt"),
+                ),
+                F.struct(
+                    F.lit(2).alias("v"),
+                    F.concat_ws(" ", F.col("text"), F.col("text")).alias("vt"),
+                ),
+            )
+        ).alias("var"),
+    ).select(
+        (F.col("doc_id") * 4 + F.col("var.v")).alias("vid"),
+        F.col("var.vt").alias("text"),
+    )
+    sig = dedup.simhash(variants, "vid", "text").select(
+        (F.col("vid") / 4).cast("long").alias("doc_id"),
+        F.pmod("vid", F.lit(4)).cast("int").alias("v"),
+        "simhash",
+    )
+    per_doc = sig.groupBy("doc_id").agg(
+        F.max(F.when(F.col("v") == 0, F.col("simhash"))).alias("s0"),
+        F.max(F.when(F.col("v") == 1, F.col("simhash"))).alias("s1"),
+        F.max(F.when(F.col("v") == 2, F.col("simhash"))).alias("s2"),
+    )
+    counts = docs.select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    return counts.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("s0") == F.col("s1")).alias("order_invariant"),
+        (F.col("s0") == F.col("s2")).alias("scale_invariant"),
+    )
 
 
 @query(
@@ -180,26 +247,100 @@ def ns_sim_topk_bruteforce(spark, sf_dir):
     )
 
 
-@query("ns_sim_ann_lsh")
-def ns_sim_ann_lsh(spark, sf_dir):
-    """Approximate top-10 via random-hyperplane LSH buckets (rows-only:
-    approximate by design; recall vs the brute-force entry is asserted
-    in tests)."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    res = similarity.lsh_ann_topk(
-        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
-        k=11, dim=64, n_planes=4, n_tables=8,
+_EXACT_TOP10_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
     )
-    # k=11 then drop the self-match and re-rank (see ns_sim_ann_ivf).
+    SELECT vec_id, list(neighbor_id ORDER BY neighbor_id) AS exact_ids,
+           TRUE AS recall_ok
+    FROM topk GROUP BY vec_id
+"""
+
+
+def _ann_recall_entry(spark, sf_dir, ann_fn, floor: float):
+    """Shared shape for the ANN entries' deterministic-oracle form (the
+    q45_sketch_bounds pattern): run the ANN path AND the exact top-10 in
+    one query, emit the exact ids (which the oracle reproduces verbatim
+    via SQL brute force) plus a ``recall_ok`` boolean — ANN top-10
+    overlap with exact top-10 >= floor.  Both algorithms are
+    deterministic (seeded hyperplanes / seedless smallest-id IVF init),
+    so the booleans are a pure function of the corpus and the driver's
+    value hash is stable.  The brute-force side scans queries x corpus —
+    that is the standard ANN eval harness (5 query vectors), not the
+    production read path, which touches only probed buckets/lists."""
     from pyspark.sql import Window
 
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+
+    def top10(res):
+        return (
+            res.filter(F.col("neighbor_id") != F.col("vec_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("vec_id", "neighbor_id")
+        )
+
+    ann = top10(ann_fn(emb, queries_df))
+    exact = top10(
+        similarity.cosine_topk(
+            emb, queries_df, "vec_id", "embedding", "vec_id", "embedding", k=11
+        )
+    )
+    hits = (
+        ann.join(exact, ["vec_id", "neighbor_id"])
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
     return (
-        res.filter(F.col("neighbor_id") != F.col("vec_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+        exact.groupBy("vec_id")
+        .agg(
+            F.sort_array(F.collect_list("neighbor_id")).alias("exact_ids"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "exact_ids",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@query("ns_sim_ann_lsh", oracle=_EXACT_TOP10_ORACLE)
+def ns_sim_ann_lsh(spark, sf_dir):
+    """Approximate top-10 via 16-table random-hyperplane LSH, verified
+    with a deterministic oracle: exact top-10 ids (SQL-reproducible) +
+    in-query recall >= 0.75 boolean.  n_tables=16/n_planes=4 measured
+    min per-query recall 0.8 at sf0.001 and sf0.01 (8 tables bottomed
+    at 0.5 — below any honest floor)."""
+    return _ann_recall_entry(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.lsh_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, dim=64, n_planes=4, n_tables=16,
+        ),
+        floor=0.75,
     )
 
 
@@ -469,27 +610,21 @@ def ns_sessionize(spark, sf_dir):
     )
 
 
-@query("ns_sim_ann_ivf")
+@query("ns_sim_ann_ivf", oracle=_EXACT_TOP10_ORACLE)
 def ns_sim_ann_ivf(spark, sf_dir):
-    """Approximate top-10 via IVF inverted lists (rows-only: approximate
-    by design; recall vs brute force asserted in tests).  Complements
-    the LSH entry — the two standard ANN scale paths."""
-    emb = t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    res = similarity.ivf_ann_topk(
-        emb, queries_df, "vec_id", "embedding", "vec_id", "embedding",
-        k=11, n_centroids=16, n_probe=4, n_iters=2,
-    )
-    # k=11 then drop the self-match and re-rank -> a clean 10-neighbor
-    # top-10 with ranks 1..10 (same convention as the brute-force entry).
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        res.filter(F.col("neighbor_id") != F.col("vec_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    """Approximate top-10 via IVF inverted lists, verified with the same
+    deterministic oracle as the LSH entry: exact top-10 ids + in-query
+    recall >= 0.8 boolean.  n_probe=6 of 16 centroids measured min
+    per-query recall 0.9 at sf0.001 and sf0.01 (n_probe=4 bottomed at
+    0.7).  Complements LSH — the two standard ANN scale paths."""
+    return _ann_recall_entry(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.ivf_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, n_centroids=16, n_probe=6, n_iters=2,
+        ),
+        floor=0.8,
     )
 
 

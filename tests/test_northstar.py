@@ -89,24 +89,63 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert pairs[0]["jaccard"] >= 0.4
 
 
-def test_ann_recall_against_bruteforce(spark, testdata):
-    """LSH ANN should recover a decent fraction of true top-10 neighbors
-    (6 hyperplanes -> 64 buckets over 500 vecs)."""
-    from fluss_datafusion_spark.corpus.northstar import (
-        ns_sim_ann_lsh,
-        ns_sim_topk_bruteforce,
-    )
+def _ann_recall(spark, sf_dir, ann_fn):
+    """Per-query recall of an ANN function vs exact brute force (both
+    self-dropped top-10, ties by neighbor id)."""
+    from pyspark.sql import Window
 
-    sf_dir = testdata
-    truth = {
-        (r["vec_id"], r["neighbor_id"])
-        for r in ns_sim_topk_bruteforce(spark, sf_dir).collect()
-    }
-    approx = {
-        (r["vec_id"], r["neighbor_id"]) for r in ns_sim_ann_lsh(spark, sf_dir).collect()
-    }
-    recall = len(truth & approx) / len(truth)
-    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+    from fluss_datafusion_spark.operators import similarity
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+
+    def top10(res):
+        return {
+            (r["vec_id"], r["neighbor_id"])
+            for r in res.filter(F.col("neighbor_id") != F.col("vec_id"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 10)
+            .select("vec_id", "neighbor_id")
+            .collect()
+        }
+
+    exact = top10(
+        similarity.cosine_topk(
+            emb, qdf, "vec_id", "embedding", "vec_id", "embedding", k=11
+        )
+    )
+    got = top10(ann_fn(emb, qdf))
+    return [
+        len({n for v, n in exact if v == q} & {n for v, n in got if v == q})
+        / max(1, len({n for v, n in exact if v == q}))
+        for q in range(5)
+    ]
+
+
+def test_ann_recall_against_bruteforce(spark, testdata):
+    """16-table/4-plane LSH: measured per-query recall at sf0.001 is
+    {0.8..1.0}; the floors assert the configuration keeps delivering
+    that (mean >= 0.8, min >= 0.7 leaves one-neighbor margin), and the
+    corpus entry's own recall_ok booleans must all hold."""
+    from fluss_datafusion_spark.corpus.northstar import ns_sim_ann_lsh
+    from fluss_datafusion_spark.operators import similarity
+
+    per = _ann_recall(
+        spark,
+        testdata,
+        lambda emb, q: similarity.lsh_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, dim=64, n_planes=4, n_tables=16,
+        ),
+    )
+    assert sum(per) / len(per) >= 0.8, f"LSH mean recall collapsed: {per}"
+    assert min(per) >= 0.7, f"LSH per-query recall collapsed: {per}"
+
+    rows = ns_sim_ann_lsh(spark, testdata).collect()
+    assert len(rows) == 5
+    assert all(r["recall_ok"] for r in rows)
 
 
 def test_multimodal_real_decode_raises(spark):
@@ -156,22 +195,26 @@ def test_cosine_matches_numpy(spark):
 
 
 def test_ivf_recall_against_bruteforce(spark, testdata):
-    """IVF with 4/16 probes must recover most exact top-10 neighbors."""
-    from fluss_datafusion_spark.corpus.northstar import (
-        ns_sim_ann_ivf,
-        ns_sim_topk_bruteforce,
-    )
+    """IVF probing 6/16 lists: measured per-query recall at sf0.001 is
+    {0.9..1.0}; assert mean >= 0.85 and min >= 0.8, plus the corpus
+    entry's recall_ok booleans."""
+    from fluss_datafusion_spark.corpus.northstar import ns_sim_ann_ivf
+    from fluss_datafusion_spark.operators import similarity
 
-    sf_dir = testdata
-    exact = {
-        (r["vec_id"], r["neighbor_id"])
-        for r in ns_sim_topk_bruteforce(spark, sf_dir).collect()
-    }
-    approx = {
-        (r["vec_id"], r["neighbor_id"]) for r in ns_sim_ann_ivf(spark, sf_dir).collect()
-    }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    per = _ann_recall(
+        spark,
+        testdata,
+        lambda emb, q: similarity.ivf_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, n_centroids=16, n_probe=6, n_iters=2,
+        ),
+    )
+    assert sum(per) / len(per) >= 0.85, f"IVF mean recall collapsed: {per}"
+    assert min(per) >= 0.8, f"IVF per-query recall collapsed: {per}"
+
+    rows = ns_sim_ann_ivf(spark, testdata).collect()
+    assert len(rows) == 5
+    assert all(r["recall_ok"] for r in rows)
 
 
 def test_salted_join_equals_plain_join(spark, testdata):

@@ -171,6 +171,13 @@ def stratified_sample(
     parsing.  ``strata_cols`` only salt the hash so each stratum draws
     an independent sample; per-stratum EXACT quotas are
     ``quota_sample``'s job."""
+    if not 0 <= fraction_pct <= 100:
+        raise ValueError(f"fraction_pct must be in [0, 100], got {fraction_pct}")
+    if fraction_pct == 100:
+        # 0x10000 formats as the 5-char '10000', which compares BELOW
+        # every 4-char bucket lexicographically and would keep ~6% of
+        # rows instead of all of them.
+        return df
     parts = [F.col(id_col).cast("string")] + [
         F.col(c).cast("string") for c in (strata_cols or [])
     ]

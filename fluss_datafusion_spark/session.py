@@ -188,15 +188,23 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a parquet table, transparently handling TIMESTAMP(NANOS) columns
-    (Spark rejects them by default; DuckDB and the testdata generator emit
-    them).  Nanos are read as long and truncated to microseconds with exact
-    integer division — double division would lose precision at 1.7e18-scale
-    epoch values.
+    """Read a parquet table, normalizing timestamp columns to Spark's
+    session-timezone TIMESTAMP regardless of how the lake encoded them:
+
+    - TIMESTAMP(NANOS) (Spark rejects by default; DuckDB emits them) is
+      read as long and truncated to microseconds with exact integer
+      division — double division would lose precision at 1.7e18-scale
+      epoch values;
+    - timezone-less timestamp[us] (arrow writers without isAdjustedToUTC,
+      which Spark 4 infers as TIMESTAMP_NTZ) is cast to TIMESTAMP — a
+      pure metadata change under the pinned-UTC session timezone, and
+      required because event-time operators (withWatermark, streaming
+      windows) reject NTZ event-time columns.
     """
     import pyarrow.parquet as pq
     from pyarrow import types as patypes
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     ns_cols = []
     try:
@@ -213,6 +221,11 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for col in ns_cols:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for col in ntz_cols:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

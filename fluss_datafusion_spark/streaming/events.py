@@ -324,8 +324,13 @@ def changelog_stream(
             else:
                 state.update(tuple(prev))
                 if ttl_ms is not None:
+                    # Spark rejects a timeout at-or-before the current
+                    # watermark with IllegalArgumentException (killing
+                    # the query) — a key fed only late rows would hit
+                    # that, so clamp to just past the watermark.
                     last_ms = int(batch[ts_col].max().value // 1_000_000)
-                    state.setTimeoutTimestamp(last_ms + ttl_ms)
+                    wm_ms = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm_ms + 1))
         out = pd.DataFrame(images, columns=image_cols)
         out.insert(0, "op", ops)
         for i, c in enumerate(key_cols):
@@ -448,12 +453,18 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
-def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on, how: str = "left", broadcast: bool = False
+) -> DataFrame:
     """Stream-static join: enrich a stream with a dimension table.  The
     static side is re-read per micro-batch (so slowly-changing dims pick
-    up updates) and broadcast when its stats allow — no state, no
-    watermark needed; the streaming side never shuffles for the join."""
-    return stream.join(F.broadcast(dim), on, how)
+    up updates) — no state, no watermark needed.  By default the join
+    strategy is left to stats/AQE (a large dim must NOT be
+    force-broadcast every micro-batch — that OOMs the driver); pass
+    ``broadcast=True`` only when the caller knows the dim is small
+    enough, which also keeps the streaming side shuffle-free."""
+    dim_side = F.broadcast(dim) if broadcast else dim
+    return stream.join(dim_side, on, how)
 
 
 def correlate_streams(

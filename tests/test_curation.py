@@ -308,3 +308,18 @@ def test_score_with_lm_heldout_unseen_bigrams(spark):
     # (c,c) unseen, prefix c unseen: P = 0.1 / (0 + 0.1*3)
     assert got[0]["n_bigrams"] == 1
     assert got[0]["avg_logprob"] == round(math.log(0.1 / 0.3), 4)
+
+
+def test_stratified_sample_boundary_fractions(spark):
+    """pct=100 must keep everything (the 5-char '10000' hex threshold
+    previously compared below every 4-char bucket and kept ~6%); pct=0
+    keeps nothing; out-of-range raises."""
+    import pytest
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    assert curation.stratified_sample(df, "doc_id", 100).count() == 200
+    assert curation.stratified_sample(df, "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        curation.stratified_sample(df, "doc_id", 101)
+    with pytest.raises(ValueError):
+        curation.stratified_sample(df, "doc_id", -1)

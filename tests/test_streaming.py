@@ -608,3 +608,74 @@ def test_dedup_ingest_sink_end_to_end(spark, tmp_path):
     ).filter(F.col("id_a") != F.col("id_b"))
     # survivors ARE in the index now; probing them finds only self-buckets
     assert again.filter(F.col("id_a") != F.col("id_b")).count() == 0
+
+
+def test_changelog_stream_ttl_late_only_key_survives(spark, tmp_path):
+    """A key whose ONLY rows are late (last event + ttl <= current
+    watermark) must not kill the query: the TTL timeout is clamped past
+    the watermark instead of tripping Spark's setTimeoutTimestamp
+    validation (which would throw and abort the stream)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark.streaming.events import (
+        changelog_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    replay = str(tmp_path / "ttl_late")
+    os.makedirs(replay)
+
+    def ts(minute):
+        return pa.scalar(
+            1704067200000000 + minute * 60_000_000, pa.timestamp("us", tz="UTC")
+        )
+
+    batches = [
+        [(1, 1, 60, "a")],  # advances the watermark to 01:00
+        [(2, 2, 0, "x")],   # key 2: only a late row; naive timeout 00:05 <= wm
+        [(3, 1, 70, "b")],
+    ]
+    base = time.time()
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "seq": pa.array([r[0] for r in rows], pa.int64()),
+                "k": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [ts(r[2]).as_py() for r in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "v": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        fpath = os.path.join(replay, f"batch-{i:05d}.parquet")
+        pq.write_table(tbl, fpath)
+        os.utime(fpath, (base + i, base + i))
+
+    stream = events_stream(spark, replay, max_files_per_trigger=1).withWatermark(
+        "ts", "0 seconds"
+    )
+    run_to_memory(
+        changelog_stream(
+            stream,
+            key_cols=["k"],
+            order_cols=["seq"],
+            image_cols=["seq", "v"],
+            ttl="5 minutes",
+            ts_col="ts",
+        ),
+        "t_cdc_ttl_late",
+        output_mode="update",
+    )
+    got = {
+        (r["op"], r["k"], r["v"])
+        for r in spark.sql("SELECT * FROM t_cdc_ttl_late").collect()
+    }
+    # the late-only key was processed (query did not die) ...
+    assert ("+I", 2, "x") in got
+    # ... and the live key's chain is intact
+    assert {("+I", 1, "a"), ("-U", 1, "a"), ("+U", 1, "b")} <= got

@@ -519,6 +519,50 @@ def ns_multimodal_bmp_decode(spark, sf_dir):
     )
 
 
+@query(
+    "ns_multimodal_png_decode",
+    extended=True,
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 1 AS INT) AS width,
+               CAST((doc_id * 7) % 16 + 1 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id AS media_id, width, height,
+           ROUND(list_avg(list_transform(range(height),
+                 y -> (31*y + doc_id) % 256)), 6) AS mean_r,
+           ROUND(list_avg(list_transform(range(height),
+                 y -> (31*y + 7*doc_id) % 256)), 6) AS mean_g,
+           ROUND(list_avg(list_transform(range(height),
+                 y -> (31*y + 13*doc_id) % 256)), 6) AS mean_b
+    FROM dims
+    """,
+)
+def ns_multimodal_png_decode(spark, sf_dir):
+    """REAL compressed-pixel decode: per document a complete RGB PNG
+    (real zlib stream, CRCs, scanline filters cycling through all five
+    spec types) is synthesized, then ``png_pixel_stats`` inflates and
+    unfilters the actual pixel bytes back and reports per-channel means.
+    Row y of image id is the constant color ((31y+id)%256, (31y+7id)%256,
+    (31y+13id)%256), so the oracle reproduces every mean with a range()
+    aggregate — byte-exact verification of the stdlib-only PNG decoder
+    (the r2 NotImplementedError boundary, now closed), no imaging
+    library anywhere."""
+    media = multimodal.synthesize_png_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    stats = multimodal.png_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 @query("ns_multimodal_fake_features", extended=True)
 def ns_multimodal_fake_features(spark, sf_dir):
     """Arrow-batched mapInPandas pixel-feature extraction with the

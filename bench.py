@@ -61,6 +61,64 @@ def main() -> None:
         # (e.g. LSH candidate sets) so queries don't interfere.
         spark.catalog.clearCache()
 
+    # Real readStream pipelines (AvailableNow replay over time-chunked
+    # files) — the corpus st_* entries time the batch analogs; these
+    # three time the actual streaming engine (source -> watermark ->
+    # stateful op -> sink) so streaming regressions are visible in the
+    # bench artifact.  Replay setup (chunking) is not charged to any
+    # query.
+    try:
+        import shutil
+        import tempfile
+
+        from fluss_datafusion_spark.streaming.events import (
+            changelog_stream,
+            chunk_table_for_replay,
+            events_stream,
+            run_to_memory,
+            streaming_dedup,
+            tumbling_counts,
+        )
+
+        replay_root = tempfile.mkdtemp(prefix="bench_replay_")
+        replay = chunk_table_for_replay(
+            spark, sf_dir, os.path.join(replay_root, "events"), n_chunks=8
+        )
+
+        def stream_bench(name, build, output_mode):
+            t0 = time.time()
+            try:
+                run_to_memory(
+                    build(events_stream(spark, replay, max_files_per_trigger=2)),
+                    f"bench_{name}",
+                    output_mode=output_mode,
+                )
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as exc:
+                timings[name] = None
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+        stream_bench("stream_tumbling", tumbling_counts, "complete")
+        stream_bench(
+            "stream_dedup",
+            lambda s: streaming_dedup(s, keys=("event_id",), watermark="2 hours"),
+            "append",
+        )
+        stream_bench(
+            "stream_changelog",
+            lambda s: changelog_stream(
+                s.withWatermark("ts", "0 seconds"),
+                key_cols=["user_id"],
+                order_cols=["ts", "event_id"],
+                image_cols=["event_id", "event_type", "value"],
+                ttl=None,
+            ),
+            "update",
+        )
+        shutil.rmtree(replay_root, ignore_errors=True)
+    except Exception as exc:
+        print(f"bench error in streaming setup: {exc}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(

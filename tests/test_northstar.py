@@ -712,3 +712,27 @@ def test_png_pixel_stats_matches_synthesizer(spark):
         assert abs(r["mean_r"] - sum((31 * y + i) % 256 for y in range(h)) / h) < 1e-9
         assert abs(r["mean_g"] - sum((31 * y + 7 * i) % 256 for y in range(h)) / h) < 1e-9
         assert abs(r["mean_b"] - sum((31 * y + 13 * i) % 256 for y in range(h)) / h) < 1e-9
+
+
+def test_dedup_candidate_cache_released(spark):
+    """minhash_lsh_pairs persists its candidate stage for two-branch
+    reuse within one action; release_candidate_cache must free it so a
+    long-lived session (or a per-micro-batch ingest loop) doesn't
+    accumulate cached DataFrames without bound."""
+    from fluss_datafusion_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_candidate_cache,
+    )
+
+    spark.catalog.clearCache()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow")), (3, "unrelated words")],
+        "doc_id int, text string",
+    )
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.4)
+    assert pairs.count() == 1  # materializes (and caches) the candidates
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0, "expected the candidate cache"
+    release_candidate_cache(pairs)
+    assert jsc.getPersistentRDDs().size() == 0, "candidate cache leaked"

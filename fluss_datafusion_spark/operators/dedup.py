@@ -206,6 +206,30 @@ def minhash_band_buckets(
     aggregate (whose plan compilation dominates short-doc corpora) and
     no signature shuffle at all.
     """
+    # Repartition BEFORE shingling: the interpreted zip_with shingle
+    # expression must spread across all cores even when the input is a
+    # single small file (one scan partition otherwise serializes it).
+    sh = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("__id__"),
+            word_shingles(F.col(text_col), k).alias("__sh__"),
+        )
+        .filter(F.size("__sh__") > 0)
+    )
+    return band_buckets_from_shingles(sh, num_perm, rows_per_band)
+
+
+def band_buckets_from_shingles(
+    sh: DataFrame,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """``minhash_band_buckets`` over a pre-shingled (__id__, __sh__)
+    DataFrame — lets a caller that also needs the shingle sets (e.g. the
+    incremental-dedup index writer) compute them ONCE and feed both
+    consumers, instead of paying the interpreted shingle expression
+    twice over the corpus."""
     import numpy as np
     import pandas as pd
 
@@ -224,19 +248,12 @@ def minhash_band_buckets(
                 out.append(sig[0::2] * (1 << 31) + sig[1::2])
             yield pd.DataFrame({"__id__": pdf["__id__"], "__bks__": out})
 
-    # Repartition BEFORE shingling: the interpreted zip_with shingle
-    # expression must spread across all cores even when the input is a
-    # single small file (one scan partition otherwise serializes it).
-    hashed = (
-        spread_small_scan(df)
-        .select(
-            F.col(id_col).alias("__id__"),
-            F.transform(
-                word_shingles(F.col(text_col), k),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")),
-            ).alias("__hs__"),
-        )
-        .filter(F.size("__hs__") > 0)
+    hashed = sh.select(
+        "__id__",
+        F.transform(
+            F.col("__sh__"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(p).cast("long")),
+        ).alias("__hs__"),
     )
     sig = hashed.mapInPandas(buckets_fn, "__id__ long, __bks__ array<long>")
     return sig.select(

@@ -31,6 +31,7 @@ from fluss_datafusion_spark.functions.text import word_shingles
 from fluss_datafusion_spark.operators.dedup import (
     _attach_cached_deps,
     _bucket_local_pairs,
+    band_buckets_from_shingles,
     minhash_band_buckets,
     release_candidate_cache,
 )
@@ -47,16 +48,21 @@ def write_dedup_index(
     rows_per_band: int = 2,
 ) -> None:
     """Materialize the corpus dedup index (bucket assignment + shingle
-    sets) at ``path``.  One pass over the corpus; both outputs are
-    written partition-parallel.  Re-running overwrites atomically per
+    sets) at ``path``.  The shingle sets — the expensive interpreted
+    expression — are computed ONCE: written as the shingle store, then
+    read back from that parquet to derive the bucket assignment
+    (band_buckets_from_shingles), so the corpus text is scanned and
+    shingled exactly one time however large it is.  Both outputs are
+    written partition-parallel; re-running overwrites atomically per
     subdirectory."""
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_perm, rows_per_band)
-    buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
     sh = spread_small_scan(df).select(
         F.col(id_col).alias("__id__"),
         word_shingles(F.col(text_col), k).alias("__sh__"),
     ).filter(F.size("__sh__") > 0)
     sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    sh_stored = df.sparkSession.read.parquet(os.path.join(path, "shingles"))
+    buckets = band_buckets_from_shingles(sh_stored, num_perm, rows_per_band)
+    buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
 
 
 def incremental_dedup_pairs(
@@ -150,14 +156,26 @@ def append_to_index(
     rows_per_band: int = 2,
 ) -> None:
     """Extend an existing dedup index with new (already-deduplicated)
-    documents — parquet append, no rewrite of existing files."""
-    buckets = minhash_band_buckets(df, id_col, text_col, k, num_perm, rows_per_band)
-    buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
-    sh = spread_small_scan(df).select(
-        F.col(id_col).alias("__id__"),
-        word_shingles(F.col(text_col), k).alias("__sh__"),
-    ).filter(F.size("__sh__") > 0)
-    sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    documents — parquet append, no rewrite of existing files.  The batch
+    is shingled once into a (bounded, batch-sized) cache feeding both
+    the shingle append and the bucket derivation — append mode can't use
+    the write-then-read-back trick (reading the store back would rescan
+    every earlier batch's files)."""
+    sh = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("__id__"),
+            word_shingles(F.col(text_col), k).alias("__sh__"),
+        )
+        .filter(F.size("__sh__") > 0)
+        .persist()
+    )
+    try:
+        sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+        buckets = band_buckets_from_shingles(sh, num_perm, rows_per_band)
+        buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
+    finally:
+        sh.unpersist()
 
 
 def dedup_ingest_sink(

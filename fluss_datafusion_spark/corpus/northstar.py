@@ -1299,3 +1299,102 @@ def ns_curation_mixture(spark, sf_dir):
     return curation.domain_mixture_weights(
         t(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+# --------------------------------------------------------------------------
+# training-set assembly (operators/training.py)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_training_ngram_coverage",
+    extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    ng AS (
+        SELECT doc_id, CAST(u.i AS INT) AS pos,
+               array_to_string(t[u.i+1 : u.i+8], ' ') AS g
+        FROM tk, unnest(range(len(t) - 8 + 1)) AS u(i)
+        WHERE len(t) >= 8
+    ),
+    rep AS (SELECT g FROM ng GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+        SELECT ng.doc_id, count(DISTINCT pos + k.k) AS covered
+        FROM ng JOIN rep USING (g), unnest(range(8)) AS k(k)
+        GROUP BY ng.doc_id
+    )
+    SELECT tk.doc_id, CAST(len(t) AS INT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           round(coalesce(cov.covered, 0) / greatest(len(t), 1), 4)
+               AS dup_fraction
+    FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id
+    """,
+)
+def ns_training_ngram_coverage(spark, sf_dir):
+    """Substring-level duplication: fraction of each document's token
+    positions covered by an 8-gram that also occurs in another document
+    (whole-doc dedup can't see partial overlap — boilerplate, quoted
+    passages).  Oracle reproduces the construction with unnest/range
+    window arithmetic."""
+    from fluss_datafusion_spark.operators import training
+
+    return training.repeated_ngram_coverage(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_docs=2
+    )
+
+
+@query(
+    "ns_training_shuffle",
+    extended=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5('shuffle-0' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS INT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def ns_training_shuffle(spark, sf_dir):
+    """Deterministic global corpus permutation (seeded md5 sort key):
+    the reproducible document-order shuffle a training run consumes.
+    Both engines derive the identical permutation from md5."""
+    from fluss_datafusion_spark.operators import training
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return training.deterministic_shuffle(docs, "doc_id", seed="shuffle-0")
+
+
+@query(
+    "ns_training_shards",
+    extended=True,
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(
+                   md5('shard-0' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 8 AS INT) AS shard,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS ntok
+        FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM a GROUP BY shard
+    """,
+)
+def ns_training_shards(spark, sf_dir):
+    """Deterministic hash sharding into 8 output shards + the per-shard
+    manifest (docs, tokens, id range) a training loader consults.
+    Assignment is md5-hex mod n — reproducible on any engine, so a
+    re-run lands every doc in the same shard."""
+    from fluss_datafusion_spark.operators import training
+
+    return training.shard_manifest(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_shards=8,
+        seed="shard-0",
+    )

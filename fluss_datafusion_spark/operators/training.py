@@ -1,0 +1,168 @@
+"""Training-set assembly operators: the last mile between a curated
+corpus and a training run.
+
+- ``repeated_ngram_coverage``: substring-level duplication signal — the
+  fraction of each document's token positions covered by an n-gram that
+  also appears in another document (the metric behind substring-dedup
+  policies; cf. Lee et al. 2022, "Deduplicating Training Data Makes
+  Language Models Better", and the Gopher/RefinedWeb repetition
+  filters).  Whole-document dedup (operators/dedup.py) misses partial
+  overlap — boilerplate headers, quoted passages, templated spans; this
+  measures it directly.
+- ``deterministic_shuffle``: a reproducible global permutation of the
+  corpus (sort by a seeded md5 of the id) — training wants documents in
+  random order, and a seed-keyed hash makes the order identical across
+  engines, runs, and cluster sizes, with no RNG state to plumb.
+- ``shard_assignments`` / ``shard_manifest``: deterministic hash
+  sharding of the corpus into N output shards plus the per-shard
+  manifest (docs, tokens) a downstream loader reads.
+
+Scale shapes (100 TB posture):
+- repeated_ngram_coverage is three map-side-combined shuffles — n-gram
+  group count, repeated-position semi-join (same key, reusable
+  partitioning), per-doc coverage agg.  Grouping is by the n-gram STRING
+  so the SQL oracle reproduces counts exactly; a production run at
+  corpus scale would group by a 128-bit hash (collision odds ~1e-20)
+  to cut shuffle bytes — same plan, narrower key.
+- deterministic_shuffle is one global range-partitioned sort (Spark
+  samples split points; no single-node bottleneck).  The md5 sort key
+  is computed map-side.
+- shard assignment is a narrow projection (zero shuffles); the manifest
+  is one groupBy over n_shards groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.text import token_count, tokens
+from fluss_datafusion_spark.session import spread_small_scan
+
+
+def repeated_ngram_coverage(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document coverage by cross-document repeated n-grams.
+
+    Returns (id, n_tokens, covered_tokens, dup_fraction): a token
+    position is *covered* when at least one n-gram window containing it
+    occurs in >= ``min_docs`` distinct documents.  Documents shorter
+    than ``n`` tokens have coverage 0.
+
+    Tokenization: lower + trim + whitespace split (the corpus-wide
+    canonical cheap tokenizer), so results line up with the other text
+    operators and the SQL oracle.
+    """
+    tk = spread_small_scan(docs).select(
+        F.col(id_col).alias("__id__"),
+        tokens(F.lower(F.col(text_col))).alias("__tk__"),
+    )
+    counts = tk.select(
+        "__id__", F.size("__tk__").alias("n_tokens")
+    )
+    # One row per n-gram start position: (doc, pos, gram).  slice() is
+    # 1-indexed; sequence(0, size-n) yields every valid 0-based start.
+    grams = (
+        tk.filter(F.size("__tk__") >= n)
+        .select(
+            "__id__",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__tk__") - n),
+                    lambda i: F.concat_ws(" ", F.slice("__tk__", i + 1, n)),
+                )
+            ).alias("__pos__", "__g__"),
+        )
+    )
+    repeated = (
+        grams.groupBy("__g__")
+        .agg(F.count_distinct("__id__").alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__g__")
+    )
+    # Positions whose window is repeated; each covers tokens [pos, pos+n).
+    covered = (
+        grams.join(repeated, "__g__", "left_semi")
+        .select(
+            "__id__",
+            F.explode(
+                F.sequence(F.col("__pos__"), F.col("__pos__") + (n - 1))
+            ).alias("__t__"),
+        )
+        .groupBy("__id__")
+        .agg(F.count_distinct("__t__").alias("covered_tokens"))
+    )
+    return (
+        counts.join(covered, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def _md5_sort_key(id_col: str, seed: str):
+    return F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+
+
+def deterministic_shuffle(
+    docs: DataFrame, id_col: str, seed: str = "shuffle-0"
+) -> DataFrame:
+    """Global pseudorandom permutation: every row gains ``shuffle_pos``
+    (1-based, dense) = its rank under md5(seed|id).  Changing the seed
+    yields an independent permutation; the same seed reproduces the same
+    order on any engine.  One range-partitioned global sort."""
+    w = Window.orderBy(_md5_sort_key(id_col, seed), F.col(id_col))
+    return docs.withColumn("shuffle_pos", F.row_number().over(w))
+
+
+def shard_assignments(
+    docs: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard-0",
+) -> DataFrame:
+    """Deterministic shard id per document: the first 8 hex digits of
+    md5(seed|id) parsed as an integer, mod ``n_shards``.  Pure narrow
+    projection (no shuffle); reproducible on any engine that has md5 —
+    the property that lets a resumed or re-run pipeline land every doc
+    in the same shard file."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    bucket = F.conv(
+        F.substring(_md5_sort_key(id_col, seed), 1, 8), 16, 10
+    ).cast("long")
+    return docs.withColumn("shard", (bucket % n_shards).cast("int"))
+
+
+def shard_manifest(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    seed: str = "shard-0",
+) -> DataFrame:
+    """Per-shard manifest (shard, n_docs, n_tokens, min_id, max_id): what
+    a training loader consults before opening shard files.  One
+    map-side-combined groupBy over at most ``n_shards`` groups."""
+    assigned = shard_assignments(docs, id_col, n_shards, seed)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )

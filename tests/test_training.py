@@ -1,0 +1,90 @@
+"""Training-set assembly operators: semantics and edge cases beyond the
+corpus oracle parity (tests/test_northstar.py pattern)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators import training
+
+
+def test_repeated_ngram_coverage_semantics(spark):
+    """Coverage counts positions under ANY repeated window, merged, not
+    double-counted; docs without cross-doc n-grams (or shorter than n)
+    report 0."""
+    shared = "a b c d"  # the repeated 4-gram between docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),       # positions 0..3 covered
+            (2, "p q " + shared),         # positions 2..5 covered
+            (3, "entirely different words here now"),
+            (4, "a b"),                   # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_fraction"])
+        for r in training.repeated_ngram_coverage(
+            df, "doc_id", "text", n=4, min_docs=2
+        ).collect()
+    }
+    assert out[1] == (7, 4, round(4 / 7, 4))
+    assert out[2] == (6, 4, round(4 / 6, 4))
+    assert out[3] == (5, 0, 0.0)
+    assert out[4] == (2, 0, 0.0)
+
+
+def test_repeated_ngram_coverage_overlapping_windows_merge(spark):
+    """Two overlapping repeated windows cover the union of positions."""
+    # "a b c d e" appears twice -> in a 4-gram world both windows
+    # [0..3] and [1..4] repeat; coverage must be 5, not 8.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in training.repeated_ngram_coverage(
+            df, "doc_id", "text", n=4, min_docs=2
+        ).collect()
+    }
+    assert out == {1: 5, 2: 5}
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in training.deterministic_shuffle(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in training.deterministic_shuffle(df, "doc_id").collect()}
+    assert a == b                                   # reproducible
+    assert sorted(a.values()) == list(range(1, 101))  # dense permutation
+    other = {r["doc_id"]: r["shuffle_pos"]
+             for r in training.deterministic_shuffle(
+                 df, "doc_id", seed="other").collect()}
+    assert other != a                               # seed changes the order
+
+
+def test_shard_assignments_deterministic_and_partitioning(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = training.shard_assignments(df, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    again = {r["doc_id"]: r["shard"]
+             for r in training.shard_assignments(df, "doc_id", 8).collect()}
+    assert {r["doc_id"]: r["shard"] for r in rows} == again
+    # all 8 shards populated and roughly balanced on 500 uniform ids
+    sizes = [sum(1 for r in rows if r["shard"] == s) for s in range(8)]
+    assert min(sizes) > 0 and max(sizes) < 3 * (500 // 8)
+    with pytest.raises(ValueError):
+        training.shard_assignments(df, "doc_id", 0)
+
+
+def test_shard_manifest_totals(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    man = training.shard_manifest(df, "doc_id", "text", n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man) == 50
+    assert sum(r["n_tokens"] for r in man) == sum(i % 5 + 1 for i in range(50))
+    for r in man:
+        assert r["min_id"] <= r["max_id"]

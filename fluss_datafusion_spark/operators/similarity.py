@@ -332,6 +332,45 @@ def write_ann_index(
     )
 
 
+def append_to_ann_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+) -> None:
+    """Extend a persisted IVF index with new vectors WITHOUT retraining:
+    load the centroid matrix (model state, tiny), assign each new vector
+    to its nearest existing centroid, append to that inverted list's
+    partition directory.  The quantizer stays frozen — the standard IVF
+    ingest trade (lists drift from optimal as the distribution shifts;
+    retrain via ``write_ann_index`` when recall degrades).  Mirrors
+    ``incremental.append_to_index`` for the dedup index: train once,
+    append forever, query many."""
+    import os
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    assign = ivf_assign_udf(centroids, n_probe=1)
+    (
+        spread_small_scan(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv__"),
+            assign(F.col(vec_col))[0].alias("__c__"),
+        )
+        .write.mode("append")
+        .partitionBy("__c__")
+        .parquet(os.path.join(path, "lists"))
+    )
+
+
 def ann_query_index(
     queries: DataFrame,
     index_path: str,

@@ -730,9 +730,65 @@ def test_dedup_candidate_cache_released(spark):
         [(1, base), (2, base.replace("today", "tomorrow")), (3, "unrelated words")],
         "doc_id int, text string",
     )
+    jsc = spark.sparkContext._jsc.sc()
+    # Compare against the pre-existing set: a shared test session may
+    # hold localCheckpoint RDDs from other tests, which clearCache()
+    # does not (and must not) drop.
+    baseline = jsc.getPersistentRDDs().size()
     pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.4)
     assert pairs.count() == 1  # materializes (and caches) the candidates
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0, "expected the candidate cache"
+    assert jsc.getPersistentRDDs().size() > baseline, "expected the candidate cache"
     release_candidate_cache(pairs)
-    assert jsc.getPersistentRDDs().size() == 0, "candidate cache leaked"
+    assert jsc.getPersistentRDDs().size() == baseline, "candidate cache leaked"
+
+
+def test_ann_index_append_matches_full_rebuild_queries(spark, tmp_path, testdata):
+    """append_to_ann_index: vectors appended with the frozen quantizer
+    must be findable — querying the appended index returns exactly what
+    an index probed over (old + new) vectors with the SAME centroids
+    returns (centroids are frozen, so only list membership changes)."""
+    from fluss_datafusion_spark.operators.similarity import (
+        ann_query_index,
+        append_to_ann_index,
+        write_ann_index,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{testdata}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann_inc")
+
+    write_ann_index(old, "vec_id", "embedding", path, n_centroids=8)
+    before = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ann_query_index(
+            queries, path, "vec_id", "embedding", k=10, n_probe=3
+        ).collect()
+    }
+    append_to_ann_index(new, "vec_id", "embedding", path)
+    after = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ann_query_index(
+            queries, path, "vec_id", "embedding", k=10, n_probe=3
+        ).collect()
+    }
+    # appended ids now appear among neighbors (vec_id 0 is its own best
+    # match and is a %7 == 0 id), and the result differs from before
+    assert any(n % 7 == 0 for _, n in after)
+    assert after != before
+
+    # equivalence: a fresh index built over old+new with the SAME frozen
+    # centroids (old-trained) must return identical neighbors.  Rebuild
+    # by copying centroids and appending both halves.
+    path2 = str(tmp_path / "ann_rebuild")
+    write_ann_index(old, "vec_id", "embedding", path2, n_centroids=8)
+    append_to_ann_index(new, "vec_id", "embedding", path2)
+    rebuilt = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ann_query_index(
+            queries, path2, "vec_id", "embedding", k=10, n_probe=3
+        ).collect()
+    }
+    assert rebuilt == after

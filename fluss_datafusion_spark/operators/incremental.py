@@ -178,6 +178,38 @@ def append_to_index(
         sh.unpersist()
 
 
+def curation_ingest_transform(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.3,
+):
+    """Batch-transform factory for ``dedup_ingest_sink``: composite
+    quality filter (drop) + PII redaction (rewrite ``text_col`` in
+    place), the standard pre-dedup curation stage.  Pure expressions
+    and one repetition-metrics join per batch — no UDFs, batch-bounded
+    cost."""
+    from fluss_datafusion_spark.operators.curation import pii_redact, quality_filter
+
+    def _transform(batch_df: DataFrame) -> DataFrame:
+        keep = quality_filter(
+            batch_df, id_col, text_col,
+            min_tokens=min_tokens, min_quality=min_quality,
+        ).filter(F.col("keep")).select(id_col)
+        kept = batch_df.join(keep, id_col, "left_semi")
+        red = pii_redact(kept, text_col)
+        return red.select(
+            *[
+                F.col(f"{text_col}_redacted").alias(text_col)
+                if c == text_col
+                else F.col(c)
+                for c in batch_df.columns
+            ]
+        )
+
+    return _transform
+
+
 def dedup_ingest_sink(
     stream_docs: DataFrame,
     catalog,
@@ -187,10 +219,15 @@ def dedup_ingest_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.4,
+    transform=None,
     metrics: Optional[list] = None,
 ):
     """The end-to-end continuous ingest pipeline: per micro-batch,
 
+    0. (optional) apply ``transform`` — a (DataFrame) -> DataFrame
+       curation stage run before dedup (quality filtering, PII
+       redaction, schema fixes; ``curation_ingest_transform`` builds
+       the standard one).  Rows it drops never reach the index;
     1. probe the persisted LSH index for near-dups (batch-vs-corpus and
        batch-vs-batch, exact-verified at ``threshold``);
     2. drop every batch document that pairs with an already-indexed
@@ -208,15 +245,35 @@ def dedup_ingest_sink(
     State lives in the index and the table — the streaming query itself
     is stateless, so the pipeline restarts cleanly from the checkpoint.
     ``metrics`` (optional list) records per batch:
-    {batch_id, n_in, n_dropped, n_kept}.
+    {batch_id, n_in, n_filtered, n_dropped, n_kept}.
     """
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
-        try:
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            raw_df = batch_df.persist()
+            stack.callback(raw_df.unpersist)
+            n_raw = raw_df.count()
+            if n_raw == 0:
+                return
+            batch_df = transform(raw_df) if transform else raw_df
+            if batch_df is not raw_df:
+                batch_df = batch_df.persist()
+                stack.callback(batch_df.unpersist)
             n_in = batch_df.count()
             if n_in == 0:
+                if metrics is not None:
+                    metrics.append(
+                        {
+                            "batch_id": batch_id,
+                            "n_in": n_raw,
+                            "n_filtered": n_raw,
+                            "n_dropped": 0,
+                            "n_kept": 0,
+                        }
+                    )
                 return
             pairs = incremental_dedup_pairs(
                 batch_df, index_path, id_col, text_col, threshold=threshold
@@ -255,14 +312,13 @@ def dedup_ingest_sink(
                 metrics.append(
                     {
                         "batch_id": batch_id,
-                        "n_in": n_in,
+                        "n_in": n_raw,
+                        "n_filtered": n_raw - n_in,
                         "n_dropped": n_in - n_kept,
                         "n_kept": n_kept,
                     }
                 )
             survivors.unpersist()
-        finally:
-            batch_df.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_apply)

@@ -679,3 +679,81 @@ def test_changelog_stream_ttl_late_only_key_survives(spark, tmp_path):
     assert ("+I", 2, "x") in got
     # ... and the live key's chain is intact
     assert {("+I", 1, "a"), ("-U", 1, "a"), ("+U", 1, "b")} <= got
+
+
+def test_curated_ingest_sink_filters_redacts_dedups(spark, tmp_path):
+    """The composed pipeline: quality filter + PII redaction run per
+    batch BEFORE dedup-vs-index.  Low-quality docs never reach the
+    table or the index; kept docs have PII placeholders; dupes across
+    batches are dropped; metrics account for every row."""
+    import time
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import (
+        curation_ingest_transform,
+        dedup_ingest_sink,
+        write_dedup_index,
+    )
+
+    good = (
+        "a perfectly reasonable document with enough distinct tokens to"
+        " pass every quality heuristic rule easily contact me at"
+        " alice@example.com for details"
+    )
+    batches = [
+        [(1, good), (2, "x x x x x x x x x x x x")],       # 2: repeated token
+        [(3, good + " tomorrow"), (4, "too short")],        # 3: near-dup of 1
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    replay = str(tmp_path / "cur_replay")
+    os.makedirs(replay)
+    base = time.time()
+    for i, rows in enumerate(batches):
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            fp,
+        )
+        os.utime(fp, (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh2"))
+    e.sql(
+        "CREATE TABLE docs_curated (doc_id BIGINT NOT NULL, text STRING,"
+        " PRIMARY KEY (doc_id))"
+    )
+    index = str(tmp_path / "cur_idx")
+    docs_schema = spark.read.parquet(replay).schema
+    write_dedup_index(
+        spark.createDataFrame([], docs_schema), "doc_id", "text", index
+    )
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    metrics: list = []
+    q = dedup_ingest_sink(
+        stream, e.catalog, "docs_curated", index, str(tmp_path / "cur_ckpt"),
+        threshold=0.4,
+        transform=curation_ingest_transform(),
+        metrics=metrics,
+    )
+    q.awaitTermination()
+
+    rows = {r["doc_id"]: r["text"] for r in e.sql("SELECT * FROM docs_curated").collect()}
+    # 1 kept (redacted); 2 filtered (repetition); 3 dropped (near-dup of
+    # indexed 1); 4 filtered (too short)
+    assert set(rows) == {1}
+    assert "<EMAIL>" in rows[1] and "alice@example.com" not in rows[1]
+    assert sum(m["n_in"] for m in metrics) == 4
+    assert sum(m["n_filtered"] for m in metrics) == 2
+    assert sum(m["n_dropped"] for m in metrics) == 1
+    assert sum(m["n_kept"] for m in metrics) == 1

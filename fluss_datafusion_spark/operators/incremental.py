@@ -108,12 +108,25 @@ def incremental_dedup_pairs(
         "incremental_bucket_guard",
     )
 
-    # Drop corpus-internal pairs: keep pairs with >=1 endpoint in the batch.
+    # Drop corpus-internal pairs: keep pairs with >=1 endpoint in the
+    # batch.  Expressed as two equi left-joins + an OR filter, NOT a
+    # single OR-of-equalities semi-join — Catalyst can only plan the
+    # latter as a BroadcastNestedLoopJoin (|candidates| x |batch|
+    # comparisons); the marker form hash-joins on each endpoint.
     new_ids = new_docs.select(F.col(id_col).alias("__nid__")).distinct()
-    candidates = candidates.join(
-        new_ids,
-        (F.col("id_a") == F.col("__nid__")) | (F.col("id_b") == F.col("__nid__")),
-        "left_semi",
+    candidates = (
+        candidates.join(
+            new_ids.select(F.col("__nid__").alias("id_a"), F.lit(True).alias("__a_new__")),
+            "id_a",
+            "left",
+        )
+        .join(
+            new_ids.select(F.col("__nid__").alias("id_b"), F.lit(True).alias("__b_new__")),
+            "id_b",
+            "left",
+        )
+        .filter(F.col("__a_new__").isNotNull() | F.col("__b_new__").isNotNull())
+        .select("id_a", "id_b")
     )
 
     cand_ids = candidates.select(

@@ -1398,3 +1398,31 @@ def ns_training_shards(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text", n_shards=8,
         seed="shard-0",
     )
+
+
+@query(
+    "ns_curation_heavy_hitters",
+    extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    ex AS (SELECT unnest(t) AS token FROM tk),
+    tot AS (SELECT count(*) AS n FROM ex)
+    SELECT token, count(*) AS n_occurrences
+    FROM ex CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING count(*) * 50 > tot.n
+    """,
+)
+def ns_curation_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (tokens with > 2% of all corpus occurrences)
+    via two bounded passes — per-partition Misra-Gries candidate
+    summaries (superset guarantee by pigeonhole), then an exact recount
+    restricted to candidates.  Unlike build_vocab there is never a
+    one-row-per-distinct-token shuffle; the oracle recomputes the same
+    set with a plain GROUP BY/HAVING."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.heavy_hitters(t(spark, sf_dir, "documents"), "text", k=50)

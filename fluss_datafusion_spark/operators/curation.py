@@ -382,6 +382,83 @@ def build_vocab(
     )
 
 
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters without a full-vocabulary shuffle: every token
+    whose corpus frequency is strictly greater than total_tokens / k,
+    with its exact count.  The scale-path complement to ``build_vocab``
+    (which shuffles one row per distinct token) the way MinHash+LSH
+    complements exact all-pairs Jaccard.
+
+    Two passes, both bounded:
+
+    1. **Candidate pass** — a Misra-Gries summary of size ``k`` per
+       partition (Arrow-batched mapInPandas, pure dict arithmetic).
+       Pigeonhole over partition token totals: any token with global
+       count > N/k has, in at least one partition, local count >
+       N_p/k, and MG at capacity k retains every such local heavy
+       hitter — so the union of partition summaries (<= P*k tokens) is
+       a SUPERSET of the true heavy hitters.  No shuffle: summaries
+       stream straight into the next stage.
+    2. **Verify pass** — re-scan, keep only candidate tokens (hash
+       semi-join against the <= P*k candidate set; the only shuffle is
+       the map-side-combined count over candidates), count exactly,
+       and filter with integer arithmetic (cnt * k > N — no float
+       threshold edge).
+
+    Returns (token, n_occurrences) — the exact, deterministic set an
+    oracle reproduces with a plain GROUP BY/HAVING.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from fluss_datafusion_spark.functions.text import tokens
+
+    toks = spread_small_scan(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ).select(tokens(F.lower(F.col(text_col))).alias("__tk__"))
+
+    def mg_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        for pdf in batches:
+            for arr in pdf["__tk__"]:
+                for tok in arr:
+                    if tok in summary:
+                        summary[tok] += 1
+                    elif len(summary) < k:
+                        summary[tok] = 1
+                    else:
+                        # decrement-all step, dropping zeros
+                        dead = []
+                        for key in summary:
+                            summary[key] -= 1
+                            if summary[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del summary[key]
+        yield pd.DataFrame({"token": list(summary.keys())})
+
+    candidates = toks.mapInPandas(mg_partials, "token string").distinct()
+    exploded = toks.select(F.explode("__tk__").alias("token"))
+    counts = (
+        exploded.join(candidates, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = toks.agg(
+        F.sum(F.size("__tk__")).alias("__total__")
+    )
+    return (
+        counts.crossJoin(total)  # 1-row side, broadcast by stats
+        .filter(F.col("n_occurrences") * k > F.col("__total__"))
+        .select("token", "n_occurrences")
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     id_col: str,

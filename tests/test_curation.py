@@ -323,3 +323,38 @@ def test_stratified_sample_boundary_fractions(spark):
         curation.stratified_sample(df, "doc_id", 101)
     with pytest.raises(ValueError):
         curation.stratified_sample(df, "doc_id", -1)
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """Misra-Gries two-pass must return EXACTLY the tokens above N/k,
+    with exact counts, regardless of partitioning (the per-partition
+    summary is only a candidate superset; the recount is exact)."""
+    import collections
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    # skewed corpus: a few tokens dominate
+    rows = []
+    for i in range(300):
+        toks = (
+            ["hot"] * rng.randint(1, 4)
+            + ["warm"] * rng.randint(0, 2)
+            + [rng.choice(vocab) for _ in range(rng.randint(3, 10))]
+        )
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+
+    k = 20
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in curation.heavy_hitters(df, "text", k=k).collect()
+    }
+    exact = collections.Counter()
+    for _, text in rows:
+        exact.update(text.lower().split())
+    n = sum(exact.values())
+    want = {t: c for t, c in exact.items() if c * k > n}
+    assert got == want
+    assert "hot" in got  # the construction guarantees one true hitter

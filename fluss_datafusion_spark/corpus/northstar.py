@@ -1426,3 +1426,27 @@ def ns_curation_heavy_hitters(spark, sf_dir):
     from fluss_datafusion_spark.operators import curation
 
     return curation.heavy_hitters(t(spark, sf_dir, "documents"), "text", k=50)
+
+
+@query(
+    "ns_fuzzy_name_pairs",
+    extended=True,
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def ns_fuzzy_name_pairs(spark, sf_dir):
+    """Exact edit-distance-1 name pairs via deletion-neighborhood
+    (FastSS) blocking + built-in levenshtein verify — entity resolution
+    without the n² comparison the oracle brute-forces.  Blocking recall
+    is 1.0 by construction (distance-1 pairs always share a deletion
+    variant), so the result is EXACT and hash-checkable."""
+    from fluss_datafusion_spark.operators.fuzzy import fuzzy_join_pairs
+
+    cust = t(spark, sf_dir, "customer")
+    return fuzzy_join_pairs(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b", F.col("distance").cast("int").alias("distance")
+    )

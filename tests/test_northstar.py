@@ -792,3 +792,31 @@ def test_ann_index_append_matches_full_rebuild_queries(spark, tmp_path, testdata
         ).collect()
     }
     assert rebuilt == after
+
+
+def test_fuzzy_join_pairs_exact_distance_one(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the pairs at
+    levenshtein distance <= 1: substitution, insertion, deletion, and
+    equal strings — and nothing at distance 2."""
+    from fluss_datafusion_spark.operators.fuzzy import fuzzy_join_pairs
+
+    rows = [
+        (1, "smith"),
+        (2, "smyth"),     # substitution       -> (1,2) d=1
+        (3, "smiths"),    # insertion          -> (1,3) d=1; (2,3) d=2 no
+        (4, "mith"),      # deletion           -> (1,4) d=1
+        (5, "smith"),     # equal              -> (1,5) d=0
+        (6, "totally-different"),
+        (7, ""),          # empty string edge
+        (8, "a"),         # single char: d=1 to "" -> (7,8)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_join_pairs(df, "id", "s").collect()
+    }
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (1, 4): 1, (1, 5): 0,
+        (2, 5): 1, (3, 5): 1, (4, 5): 1,
+        (7, 8): 1,
+    }

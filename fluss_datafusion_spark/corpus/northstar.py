@@ -563,13 +563,36 @@ def ns_multimodal_png_decode(spark, sf_dir):
     )
 
 
-@query("ns_multimodal_fake_features", extended=True)
+@query(
+    "ns_multimodal_fake_features",
+    extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           8 AS n_features,
+           TRUE AS features_in_range,
+           TRUE AS decoded_ok
+    FROM documents
+    """,
+)
 def ns_multimodal_fake_features(spark, sf_dir):
-    """Arrow-batched mapInPandas pixel-feature extraction with the
-    deterministic fake decoder (rows-only: the fake is Python-side;
-    real pixel decode needs PIL/ffmpeg, absent in this build)."""
+    """Arrow-batched mapInPandas feature extraction with the
+    deterministic fake decoder, upgraded from rows-only to the q45
+    boolean-oracle pattern: the feature VALUES are Python-side (no SQL
+    oracle), but the pipeline contract — one 8-float vector per payload,
+    every component in the fake's documented [0, 2) range, decode
+    success — is exactly decidable per row and stated blind by the
+    oracle.  Real-value coverage lives in the BMP/PNG/WAV decode
+    entries, which check actual pixel/sample math."""
     media = multimodal.documents_as_media(t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("n_features"),
+        F.forall(
+            "feature", lambda x: (x >= 0) & (x < 2)
+        ).alias("features_in_range"),
+        "decoded_ok",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -828,16 +851,53 @@ def ns_curation_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(docs, "doc_id", 10, strata_cols=["lang"])
 
 
-@query("ns_curation_pack_sequences", extended=True)
+@query(
+    "ns_curation_pack_sequences",
+    extended=True,
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END) AS BIGINT) AS n_tokens,
+           TRUE AS bins_within_limit,
+           TRUE AS docs_packed_once
+    FROM documents
+    """,
+)
 def ns_curation_pack_sequences(spark, sf_dir):
-    """Greedy partition-local sequence packing into 512-token bins
-    (rows-only: bin composition depends on the hash partitioning;
-    invariants — every doc packed once, bins bounded — are asserted in
-    tests/test_curation.py)."""
+    """Greedy partition-local sequence packing into 512-token bins, with
+    a DETERMINISTIC oracle in the q45 pattern: bin COMPOSITION depends
+    on the hash partitioning (no SQL oracle can reproduce it), but the
+    packing invariants are exactly decidable — every document appears
+    in exactly one bin, token totals are conserved, and every
+    multi-doc bin respects the limit (oversized singletons are the
+    documented pass-through).  The entry aggregates to one row of
+    oracle-reproducible totals + invariant booleans; per-bin shapes
+    stay covered by tests/test_curation.py."""
     from fluss_datafusion_spark.operators import curation
 
     docs = t(spark, sf_dir, "documents")
-    return curation.pack_sequences(docs, "doc_id", "text", max_tokens=512)
+    packed = curation.pack_sequences(docs, "doc_id", "text", max_tokens=512)
+    stats = packed.agg(
+        F.sum("n_docs").cast("long").alias("__td__"),
+        F.sum("n_tokens").cast("long").alias("__tt__"),
+        F.max(
+            F.when((F.col("n_tokens") > 512) & (F.col("n_docs") > 1), 1).otherwise(0)
+        ).alias("__viol__"),
+    )
+    membership = packed.select(F.explode("doc_ids").alias("__d__")).agg(
+        F.count_distinct("__d__").alias("__nd__"),
+        F.count(F.lit(1)).alias("__nall__"),
+    )
+    return stats.crossJoin(membership).select(
+        F.col("__td__").alias("n_docs"),
+        F.col("__tt__").alias("n_tokens"),
+        (F.col("__viol__") == 0).alias("bins_within_limit"),
+        (
+            (F.col("__nd__") == F.col("__nall__"))
+            & (F.col("__nd__") == F.col("__td__"))
+        ).alias("docs_packed_once"),
+    )
 
 
 @query(

@@ -1,0 +1,198 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+driver-side only, no Spark session, so hundreds of examples are cheap.
+
+Covers the invariants unit examples can miss: PNG round-trips for
+arbitrary pixel content / dims / color types / filter mixes, WAV PCM
+round-trips, BMP stride/row-order handling, the FastSS blocking
+guarantee (distance<=1 implies a shared deletion variant), and
+Misra-Gries candidate-superset behavior."""
+
+import struct
+import zlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluss_datafusion_spark.functions import multimodal as mm
+
+
+def _png_encode(px, color_type, filters):
+    h, w, c = px.shape
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    prev = np.zeros(w * c, np.int16)
+    raw = bytearray()
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        ftype = filters[y % len(filters)]
+        raw.append(ftype)
+        for x in range(w * c):
+            left = int(line[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            raw.append((int(line[x]) - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    color=st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, color, filters, seed):
+    color_type, channels = color
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    got = mm.decode_png_pixels(_png_encode(px, color_type, filters))
+    assert got is not None and np.array_equal(got, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    n_frames=st.integers(1, 64),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_pcm_roundtrip_property(rate, channels, n_frames, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=(n_frames, channels)).astype("<i2")
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data = samples.tobytes()
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert mm.parse_wav_header(wav) == (rate, channels, 16, n_frames)
+    got = mm.decode_wav_pcm(wav)
+    assert got is not None and np.array_equal(got, samples)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 8),
+    top_down=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(w, h, top_down, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)  # RGB
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    row_order = range(h) if top_down else range(h - 1, -1, -1)
+    for y in row_order:
+        bgr = px[y][:, ::-1].reshape(-1).tobytes()
+        rows.append(bgr + b"\x00" * (stride - 3 * w))
+    data = b"".join(rows)
+    header = (b"BM" + struct.pack("<I", 54 + len(data)) + b"\x00" * 4
+              + struct.pack("<I", 54))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h if not top_down else -h, 1, 24,
+                       0, len(data), 2835, 2835, 0, 0)
+    got = mm.decode_bmp_pixels(header + info + data)
+    assert got is not None and np.array_equal(got, px)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletion_set(s: str):
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.text(alphabet="abcde", min_size=0, max_size=10),
+    op=st.sampled_from(["sub", "ins", "del", "none"]),
+    pos=st.integers(0, 10),
+    ch=st.sampled_from("abcde"),
+)
+def test_fastss_blocking_guarantee_property(s, op, pos, ch):
+    """Any pair at levenshtein distance <= 1 MUST share a deletion
+    variant — the recall-1.0 claim fuzzy_join_pairs rests on."""
+    if op == "sub" and s:
+        i = pos % len(s)
+        t = s[:i] + ch + s[i + 1:]
+    elif op == "ins":
+        i = pos % (len(s) + 1)
+        t = s[:i] + ch + s[i:]
+    elif op == "del" and s:
+        i = pos % len(s)
+        t = s[:i] + s[i + 1:]
+    else:
+        t = s
+    assert _levenshtein(s, t) <= 1
+    assert _deletion_set(s) & _deletion_set(t), (s, t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    tokens=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    k=st.integers(2, 10),
+    n_parts=st.integers(1, 7),
+)
+def test_misra_gries_superset_property(tokens, k, n_parts):
+    """The union of per-partition size-k MG summaries contains every
+    token with global count > N/k (the candidate-pass guarantee
+    curation.heavy_hitters relies on)."""
+    import collections
+
+    parts = [tokens[i::n_parts] for i in range(n_parts)]
+    candidates = set()
+    for part in parts:
+        summary: dict = {}
+        for tok in part:
+            if tok in summary:
+                summary[tok] += 1
+            elif len(summary) < k:
+                summary[tok] = 1
+            else:
+                dead = []
+                for key in summary:
+                    summary[key] -= 1
+                    if summary[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del summary[key]
+        candidates |= set(summary)
+    counts = collections.Counter(tokens)
+    n = len(tokens)
+    for tok, cnt in counts.items():
+        if cnt * k > n:
+            assert tok in candidates, (tok, cnt, n, k)

@@ -132,6 +132,43 @@ class FlussCatalog:
         os.makedirs(self.table_path(spec), exist_ok=True)
         self._register_view(spec)
 
+    def add_column(self, name: str, col) -> None:
+        """ALTER TABLE ADD COLUMN: append a nullable column to the spec.
+        No data rewrite — the log is read with the spec's explicit
+        schema, so files written before the ALTER surface the column as
+        NULL (the same parquet-evolution mechanism the ``__del__``
+        tombstone column relies on)."""
+        spec = self.get_table(name)
+        if any(c.name == col.name for c in spec.columns):
+            raise ValueError(
+                f"column already exists: {spec.qualified_name}.{col.name}"
+            )
+        if not col.nullable:
+            raise ValueError("ADD COLUMN must be nullable")
+        spec.columns.append(col)
+        self._register_view(spec)
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        """ALTER TABLE DROP COLUMN: remove a column from the spec.  The
+        bytes stay in old files; the explicit read schema stops
+        selecting them (parquet reads by name).  PK / partition /
+        bucket-key columns refuse — they define row identity and
+        layout."""
+        spec = self.get_table(name)
+        if col_name in spec.primary_key:
+            raise ValueError(f"cannot drop primary-key column {col_name}")
+        if col_name in spec.partition_keys or col_name in spec.bucket_keys:
+            raise ValueError(
+                f"cannot drop partition/bucket-key column {col_name}"
+            )
+        remaining = [c for c in spec.columns if c.name != col_name]
+        if len(remaining) == len(spec.columns):
+            raise KeyError(f"column not found: {spec.qualified_name}.{col_name}")
+        if not remaining:
+            raise ValueError("cannot drop the last column")
+        spec.columns[:] = remaining
+        self._register_view(spec)
+
     def drop_table(self, name: str) -> None:
         db, table = self._resolve(name)
         spec = self.databases[db].pop(table)

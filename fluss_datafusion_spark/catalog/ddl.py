@@ -23,7 +23,11 @@ from __future__ import annotations
 import re
 from typing import List, Optional, Tuple
 
-from fluss_datafusion_spark.catalog.metadata import ColumnSpec, TableSpec
+from fluss_datafusion_spark.catalog.metadata import (
+    ColumnSpec,
+    TableSpec,
+    ddl_type_to_spark,
+)
 from fluss_datafusion_spark.sql.dialect import parse_qualified_name, strip_quotes
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+", re.IGNORECASE)
@@ -299,3 +303,56 @@ def parse_delete(sql: str):
             value = int(raw)
         key[col] = value
     return target, key
+
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_ADD_RE = re.compile(
+    r"^ADD\s+COLUMN\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s+(.+?)"
+    r"(?:\s+COMMENT\s+'((?:[^']|'')*)')?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+COLUMN\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*$", re.IGNORECASE
+)
+
+
+def parse_alter_table(sql: str):
+    """Parse the supported ALTER TABLE forms into (target, action):
+
+    - ``ALTER TABLE [db.]t ADD COLUMN name TYPE [COMMENT '...']``
+      → (target, ("add", ColumnSpec)).  The new column must be nullable
+      (rows written before the ALTER read it back as NULL via the
+      explicit-schema parquet read — a NOT NULL addition would be
+      unsatisfiable for them), so ``NOT NULL`` raises.
+    - ``ALTER TABLE [db.]t DROP COLUMN name`` → (target, ("drop", name)).
+
+    Returns None when the statement is not an ALTER TABLE (other ALTER
+    forms raise, so unsupported DDL fails loudly instead of silently
+    reaching Spark SQL, which has no engine tables).  The reference CLI
+    has no ALTER at all — this exceeds it the same way DELETE does.
+    """
+    match = _ALTER_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    target = ".".join(parse_qualified_name(match.group(1)))
+    body = match.group(2).strip()
+    add = _ALTER_ADD_RE.match(body)
+    if add:
+        name = strip_quotes(add.group(1))
+        type_text = add.group(2).strip()
+        if re.search(r"\bNOT\s+NULL\s*$", type_text, re.IGNORECASE):
+            raise ValueError(
+                "ADD COLUMN must be nullable: rows written before the ALTER "
+                "have no value for it"
+            )
+        ddl_type_to_spark(type_text)  # validate the type string eagerly
+        return target, ("add", ColumnSpec(name=name, type_name=type_text,
+                                          nullable=True,
+                                          comment=add.group(3)))
+    drop = _ALTER_DROP_RE.match(body)
+    if drop:
+        return target, ("drop", strip_quotes(drop.group(1)))
+    raise ValueError(f"unsupported ALTER TABLE form: {body!r}")

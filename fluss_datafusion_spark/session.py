@@ -134,6 +134,15 @@ class EngineSession:
             self.catalog.drop_table(drop_target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        alter_parsed = ddl.parse_alter_table(statement)
+        if alter_parsed is not None and self.catalog.has_table(alter_parsed[0]):
+            target, (action, payload) = alter_parsed
+            if action == "add":
+                self.catalog.add_column(target, payload)
+            else:
+                self.catalog.drop_column(target, payload)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
         delete_parsed = ddl.parse_delete(statement)
         if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
             count = self.catalog.delete(delete_parsed[0], delete_parsed[1])

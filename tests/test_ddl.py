@@ -123,3 +123,65 @@ def test_create_database_and_drop_table_routing(spark, tmp_path):
     assert all(
         r["table_name"] != "droppable" for r in e.sql("SHOW TABLES").collect()
     )
+
+
+def test_parse_alter_table_forms():
+    from fluss_datafusion_spark.catalog import ddl
+
+    target, (action, col) = ddl.parse_alter_table(
+        "ALTER TABLE db1.t ADD COLUMN score DOUBLE COMMENT 'quality'"
+    )
+    assert target == "db1.t" and action == "add"
+    assert col.name == "score" and col.type_name == "DOUBLE"
+    assert col.nullable and col.comment == "quality"
+
+    target, (action, payload) = ddl.parse_alter_table("ALTER TABLE t DROP COLUMN x;")
+    assert target == "t" and action == "drop" and payload == "x"
+
+    assert ddl.parse_alter_table("SELECT 1") is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ddl.parse_alter_table("ALTER TABLE t ADD COLUMN y BIGINT NOT NULL")
+    with _pytest.raises(ValueError):
+        ddl.parse_alter_table("ALTER TABLE t RENAME TO u")
+
+
+def test_alter_table_add_drop_column_lifecycle(spark, tmp_path):
+    """ADD COLUMN surfaces NULL for pre-ALTER rows (no rewrite), carries
+    values for new upserts, composes with compaction; DROP COLUMN hides
+    the bytes and refuses identity columns."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_alter"))
+    e.sql("CREATE TABLE items (id BIGINT NOT NULL, name STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO items VALUES (1, 'a')")
+    e.sql("ALTER TABLE items ADD COLUMN score DOUBLE COMMENT 'quality'")
+
+    rows = {r["id"]: (r["name"], r["score"]) for r in e.sql("SELECT * FROM items").collect()}
+    assert rows == {1: ("a", None)}  # pre-ALTER row reads NULL
+
+    e.sql("INSERT INTO items VALUES (2, 'b', 0.5)")
+    e.sql("INSERT INTO items VALUES (1, 'a2', 0.9)")  # upsert across the ALTER
+    rows = {r["id"]: (r["name"], r["score"]) for r in e.sql("SELECT * FROM items").collect()}
+    assert rows == {1: ("a2", 0.9), 2: ("b", 0.5)}
+
+    # DESCRIBE/SHOW CREATE reflect the new column
+    ddl_text = e.sql("SHOW CREATE TABLE items").collect()[0][0]
+    assert "score" in ddl_text and "quality" in ddl_text
+
+    e.catalog.compact("items")
+    rows = {r["id"]: r["score"] for r in e.sql("SELECT * FROM items").collect()}
+    assert rows == {1: 0.9, 2: 0.5}
+
+    e.sql("ALTER TABLE items DROP COLUMN score")
+    cols = e.sql("SELECT * FROM items").columns
+    assert cols == ["id", "name"]
+
+    with _pytest.raises(Exception):
+        e.sql("ALTER TABLE items DROP COLUMN id")  # PK column refuses
+    with _pytest.raises(Exception):
+        e.sql("ALTER TABLE items ADD COLUMN name STRING")  # duplicate

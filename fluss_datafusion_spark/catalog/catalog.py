@@ -180,6 +180,43 @@ class FlussCatalog:
         if db == self.default_database:
             self.spark.catalog.dropTempView(table)
 
+    def truncate_table(self, name: str) -> None:
+        """TRUNCATE TABLE: delete every log file, keep the definition.
+        The next read sees an empty table; __seq__ stamps restart from 0
+        (truncation discards the whole history, changelog included)."""
+        spec = self.get_table(name)
+        path = self.table_path(spec)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        self._seq.pop(spec.qualified_name, None)
+        self._register_view(spec)
+
+    def rename_table(self, name: str, new_name: str) -> None:
+        """ALTER TABLE RENAME TO: same-database rename — catalog entry,
+        storage directory, and views move together."""
+        db, table = self._resolve(name)
+        spec = self.get_table(name)
+        if new_name in self.databases.get(db, {}):
+            raise ValueError(f"table already exists: {db}.{new_name}")
+        old_path = self.table_path(spec)
+        old_seq = self._seq.pop(spec.qualified_name, None)
+        self.databases[db].pop(table)
+        self.spark.catalog.dropTempView(self._view_name(spec))
+        if db == self.default_database:
+            self.spark.catalog.dropTempView(table)
+        spec.name = new_name
+        self.databases[db][new_name] = spec
+        if old_seq is not None:
+            # upsert ordering must survive the rename: new writes need
+            # HIGHER __seq__ stamps than every row already in the log
+            self._seq[spec.qualified_name] = old_seq
+        new_path = self.table_path(spec)
+        if os.path.exists(old_path):
+            os.rename(old_path, new_path)
+        else:
+            os.makedirs(new_path, exist_ok=True)
+        self._register_view(spec)
+
     # -- read path ----------------------------------------------------------
 
     def read(self, name: str, as_of_seq: Optional[int] = None) -> DataFrame:

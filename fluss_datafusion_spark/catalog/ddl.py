@@ -317,6 +317,9 @@ _ALTER_ADD_RE = re.compile(
 _ALTER_DROP_RE = re.compile(
     r"^DROP\s+COLUMN\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*$", re.IGNORECASE
 )
+_ALTER_RENAME_RE = re.compile(
+    r"^RENAME\s+TO\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$])+)\s*$", re.IGNORECASE
+)
 
 
 def parse_alter_table(sql: str):
@@ -328,6 +331,8 @@ def parse_alter_table(sql: str):
       explicit-schema parquet read — a NOT NULL addition would be
       unsatisfiable for them), so ``NOT NULL`` raises.
     - ``ALTER TABLE [db.]t DROP COLUMN name`` → (target, ("drop", name)).
+    - ``ALTER TABLE [db.]t RENAME TO u`` → (target, ("rename", "u"))
+      (same-database rename).
 
     Returns None when the statement is not an ALTER TABLE (other ALTER
     forms raise, so unsupported DDL fails loudly instead of silently
@@ -355,4 +360,21 @@ def parse_alter_table(sql: str):
     drop = _ALTER_DROP_RE.match(body)
     if drop:
         return target, ("drop", strip_quotes(drop.group(1)))
+    rename = _ALTER_RENAME_RE.match(body)
+    if rename:
+        return target, ("rename", strip_quotes(rename.group(1)))
     raise ValueError(f"unsupported ALTER TABLE form: {body!r}")
+
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_truncate_table(sql: str) -> Optional[str]:
+    """Return the target of a TRUNCATE TABLE statement, or None."""
+    match = _TRUNCATE_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1)))

@@ -139,8 +139,15 @@ class EngineSession:
             target, (action, payload) = alter_parsed
             if action == "add":
                 self.catalog.add_column(target, payload)
-            else:
+            elif action == "drop":
                 self.catalog.drop_column(target, payload)
+            else:
+                self.catalog.rename_table(target, payload)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        truncate_target = ddl.parse_truncate_table(statement)
+        if truncate_target is not None and self.catalog.has_table(truncate_target):
+            self.catalog.truncate_table(truncate_target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
         delete_parsed = ddl.parse_delete(statement)

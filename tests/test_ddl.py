@@ -142,10 +142,16 @@ def test_parse_alter_table_forms():
 
     import pytest as _pytest
 
+    target, (action, payload) = ddl.parse_alter_table("ALTER TABLE t RENAME TO u")
+    assert target == "t" and action == "rename" and payload == "u"
+
+    assert ddl.parse_truncate_table("TRUNCATE TABLE db1.t;") == "db1.t"
+    assert ddl.parse_truncate_table("SELECT 1") is None
+
     with _pytest.raises(ValueError):
         ddl.parse_alter_table("ALTER TABLE t ADD COLUMN y BIGINT NOT NULL")
     with _pytest.raises(ValueError):
-        ddl.parse_alter_table("ALTER TABLE t RENAME TO u")
+        ddl.parse_alter_table("ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
 
 
 def test_alter_table_add_drop_column_lifecycle(spark, tmp_path):
@@ -185,3 +191,26 @@ def test_alter_table_add_drop_column_lifecycle(spark, tmp_path):
         e.sql("ALTER TABLE items DROP COLUMN id")  # PK column refuses
     with _pytest.raises(Exception):
         e.sql("ALTER TABLE items ADD COLUMN name STRING")  # duplicate
+
+
+def test_truncate_and_rename_lifecycle(spark, tmp_path):
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_tr"))
+    e.sql("CREATE TABLE logs (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO logs VALUES (1, 'x')")
+    e.sql("INSERT INTO logs VALUES (2, 'y')")
+    assert e.sql("SELECT count(*) AS n FROM logs").collect()[0]["n"] == 2
+
+    e.sql("TRUNCATE TABLE logs")
+    assert e.sql("SELECT count(*) AS n FROM logs").collect()[0]["n"] == 0
+    # definition survives: insert works again, seq restarts cleanly
+    e.sql("INSERT INTO logs VALUES (3, 'z')")
+    assert e.sql("SELECT count(*) AS n FROM logs").collect()[0]["n"] == 1
+
+    e.sql("ALTER TABLE logs RENAME TO audit")
+    assert e.sql("SELECT v FROM audit").collect()[0]["v"] == "z"
+    assert not e.catalog.has_table("logs")
+    # PK upsert still works under the new name (spec + storage moved)
+    e.sql("INSERT INTO audit VALUES (3, 'z2')")
+    assert e.sql("SELECT v FROM audit WHERE id = 3").collect()[0]["v"] == "z2"

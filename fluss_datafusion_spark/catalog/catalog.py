@@ -68,6 +68,51 @@ class FlussCatalog:
         # time-travel floor per table: anchors below this were discarded
         # by compaction and cannot be served
         self._floor: Dict[str, int] = {}
+        self._attach_existing()
+
+    # -- persistence --------------------------------------------------------
+
+    def _spec_path(self, spec: TableSpec) -> str:
+        # underscore prefix: Spark's file readers skip _-prefixed files,
+        # so the spec can live inside the table's parquet directory
+        return os.path.join(self.table_path(spec), "_spec.json")
+
+    def _save_spec(self, spec: TableSpec) -> None:
+        import json
+
+        payload = spec.to_dict()
+        payload["__floor__"] = self._floor.get(spec.qualified_name, 0)
+        with open(self._spec_path(spec), "w") as fh:
+            json.dump(payload, fh)
+
+    def _attach_existing(self) -> None:
+        """Re-attach every table persisted under the warehouse: a new
+        session over an existing warehouse sees its tables again (the
+        reference gets this from the remote Fluss cluster; a
+        file-backed engine must recover it from the lake).  Upsert
+        ordering survives the restart because the __seq__ counter is
+        lazily re-derived from the log's max stamp on first write
+        (_next_seq)."""
+        import json
+
+        if not os.path.isdir(self.warehouse):
+            return
+        for db in sorted(os.listdir(self.warehouse)):
+            db_dir = os.path.join(self.warehouse, db)
+            if not os.path.isdir(db_dir):
+                continue
+            for table in sorted(os.listdir(db_dir)):
+                spec_file = os.path.join(db_dir, table, "_spec.json")
+                if not os.path.isfile(spec_file):
+                    continue
+                with open(spec_file) as fh:
+                    payload = json.load(fh)
+                floor = payload.pop("__floor__", 0)
+                spec = TableSpec.from_dict(payload)
+                self.databases.setdefault(db, {})[spec.name] = spec
+                if floor:
+                    self._floor[spec.qualified_name] = floor
+                self._register_view(spec)
 
     # -- database ops -------------------------------------------------------
 
@@ -130,6 +175,7 @@ class FlussCatalog:
             raise ValueError(f"table already exists: {spec.qualified_name}")
         self.databases[spec.database][spec.name] = spec
         os.makedirs(self.table_path(spec), exist_ok=True)
+        self._save_spec(spec)
         self._register_view(spec)
 
     def add_column(self, name: str, col) -> None:
@@ -146,6 +192,7 @@ class FlussCatalog:
         if not col.nullable:
             raise ValueError("ADD COLUMN must be nullable")
         spec.columns.append(col)
+        self._save_spec(spec)
         self._register_view(spec)
 
     def drop_column(self, name: str, col_name: str) -> None:
@@ -167,6 +214,7 @@ class FlussCatalog:
         if not remaining:
             raise ValueError("cannot drop the last column")
         spec.columns[:] = remaining
+        self._save_spec(spec)
         self._register_view(spec)
 
     def drop_table(self, name: str) -> None:
@@ -189,6 +237,8 @@ class FlussCatalog:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         self._seq.pop(spec.qualified_name, None)
+        self._floor.pop(spec.qualified_name, None)
+        self._save_spec(spec)
         self._register_view(spec)
 
     def rename_table(self, name: str, new_name: str) -> None:
@@ -215,6 +265,7 @@ class FlussCatalog:
             os.rename(old_path, new_path)
         else:
             os.makedirs(new_path, exist_ok=True)
+        self._save_spec(spec)  # rewrite with the new name
         self._register_view(spec)
 
     # -- read path ----------------------------------------------------------
@@ -606,10 +657,22 @@ class FlussCatalog:
         count = self.insert(target, input_df)
         return self.spark.createDataFrame([(count,)], "count bigint")
 
-    def _next_seq(self, spec: TableSpec) -> int:
+    def _current_seq(self, spec: TableSpec) -> int:
+        """The highest __seq__ stamp issued for the table so far.  After
+        a warehouse re-attach the in-memory counter is empty — recover
+        it from the log's max stamp (one tiny agg, paid once per table
+        per session) so new writes keep upsert-winning."""
         key = spec.qualified_name
-        self._seq[key] = self._seq.get(key, 0) + 1
-        return self._seq[key]
+        if key not in self._seq and spec.has_primary_key:
+            path = self.table_path(spec)
+            if _has_data(path):
+                row = self._log_df(spec).agg(F.max(F.col(_SEQ))).collect()[0]
+                self._seq[key] = int(row[0] or 0)
+        return self._seq.get(key, 0)
+
+    def _next_seq(self, spec: TableSpec) -> int:
+        self._seq[spec.qualified_name] = self._current_seq(spec) + 1
+        return self._seq[spec.qualified_name]
 
     # -- maintenance --------------------------------------------------------
 
@@ -642,9 +705,12 @@ class FlussCatalog:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
+        current = self._current_seq(spec)  # recover BEFORE the log vanishes
         shutil.rmtree(path)
         os.rename(tmp, path)
-        self._floor[spec.qualified_name] = self._seq.get(spec.qualified_name, 0)
+        self._seq[spec.qualified_name] = current
+        self._floor[spec.qualified_name] = current
+        self._save_spec(spec)  # compaction replaced the dir; restore + floor
         self._register_view(spec)
 
 

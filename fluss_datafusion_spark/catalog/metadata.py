@@ -128,3 +128,14 @@ class TableSpec:
             if col.name == name:
                 return col
         raise KeyError(name)
+
+    def to_dict(self) -> dict:
+        """JSON-safe spec for warehouse persistence (_spec.json)."""
+        from dataclasses import asdict
+
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "TableSpec":
+        cols = [ColumnSpec(**c) for c in data.pop("columns")]
+        return cls(columns=cols, **data)

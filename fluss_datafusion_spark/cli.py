@@ -133,6 +133,7 @@ class CliSession:
         "PARTITIONED", "DISTRIBUTED", "BUCKETS", "INSERT", "INTO",
         "VALUES", "DELETE", "DROP", "DESCRIBE", "SHOW", "TABLES",
         "DATABASES", "PARTITIONS", "OPTIONS", "USE", "SET",
+        "ALTER", "ADD", "COLUMN", "RENAME", "TRUNCATE",
     )
     _META = ("\\dt", "\\d", "\\timing", "\\q", "\\?")
 

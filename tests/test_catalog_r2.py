@@ -145,3 +145,41 @@ def test_table_stats_lazy_vs_exact(engine):
     assert rows["stats_log"] == 2
     e.sql("DROP TABLE stats_pk")
     e.sql("DROP TABLE stats_log")
+
+
+def test_warehouse_reattach_recovers_tables_and_seq(spark, tmp_path):
+    """A new session over an existing warehouse must see its tables
+    (spec persisted as _spec.json inside the table dir — Spark ignores
+    _-prefixed files), keep upsert ordering (seq recovered from the
+    log's max stamp), and preserve the compaction time-travel floor."""
+    from fluss_datafusion_spark import EngineSession
+
+    wh = str(tmp_path / "wh_attach")
+    a = EngineSession(spark=spark, warehouse=wh)
+    a.sql("CREATE TABLE kv (k BIGINT NOT NULL, v STRING, PRIMARY KEY (k))")
+    a.sql("INSERT INTO kv VALUES (1, 'v1')")
+    a.sql("INSERT INTO kv VALUES (1, 'v2')")  # seq 2 wins
+    a.sql("CREATE DATABASE other")
+    a.sql("CREATE TABLE other.t2 (x BIGINT NOT NULL, PRIMARY KEY (x))")
+
+    b = EngineSession(spark=spark, warehouse=wh)
+    assert b.catalog.has_table("kv") and b.catalog.has_table("other.t2")
+    assert {r["k"]: r["v"] for r in b.sql("SELECT * FROM kv").collect()} == {1: "v2"}
+    # upsert ordering survives the restart: the recovered counter stamps
+    # ABOVE the existing log, so the new write wins
+    b.sql("INSERT INTO kv VALUES (1, 'v3')")
+    assert {r["k"]: r["v"] for r in b.sql("SELECT * FROM kv").collect()} == {1: "v3"}
+
+    # schema evolution survives too
+    b.sql("ALTER TABLE kv ADD COLUMN note STRING")
+    c = EngineSession(spark=spark, warehouse=wh)
+    assert [col.name for col in c.catalog.get_table("kv").columns] == ["k", "v", "note"]
+
+    # compaction floor is persisted: a fresh session refuses pre-floor
+    # time travel instead of silently serving partial history
+    c.catalog.compact("kv")
+    d = EngineSession(spark=spark, warehouse=wh)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        d.catalog.read("kv", as_of_seq=1)

@@ -78,11 +78,11 @@ def _fmt(value) -> str:
 
 
 class CliSession:
-    def __init__(self, engine=None, database: str = None):
+    def __init__(self, engine=None, database: str = None, warehouse: str = None):
         if engine is None:
             from fluss_datafusion_spark import EngineSession
 
-            engine = EngineSession()
+            engine = EngineSession(warehouse=warehouse)
         self.engine = engine
         self.timing = False
         if database:
@@ -210,9 +210,15 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--testdata", help="register testdata parquet dir as views", default=None
     )
+    parser.add_argument(
+        "--warehouse",
+        help="warehouse directory — tables persist here and are"
+        " re-attached on the next run (default: a fresh temp dir)",
+        default=None,
+    )
     args = parser.parse_args(argv)
 
-    session = CliSession(database=args.database)
+    session = CliSession(database=args.database, warehouse=args.warehouse)
     if args.testdata:
         session.engine.load_testdata(args.testdata)
     if args.execute:

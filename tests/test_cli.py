@@ -119,3 +119,19 @@ def test_timing_toggle(spark, tmp_path):
     # errors don't get a timing line
     cli.meta("\\timing")
     assert "Time: " not in cli.execute("SELECT * FROM no_such_tbl")
+
+
+def test_cli_warehouse_persists_across_sessions(spark, tmp_path):
+    """--warehouse makes the CLI durable: a second session over the same
+    directory sees the first one's tables."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.cli import CliSession
+
+    wh = str(tmp_path / "cli_wh")
+    one = CliSession(engine=EngineSession(spark=spark, warehouse=wh))
+    one.execute("CREATE TABLE notes (id BIGINT NOT NULL, body STRING, PRIMARY KEY (id))")
+    one.execute("INSERT INTO notes VALUES (1, 'hello')")
+
+    two = CliSession(engine=EngineSession(spark=spark, warehouse=wh))
+    out = two.execute("SELECT body FROM notes WHERE id = 1")
+    assert "hello" in out

@@ -371,6 +371,44 @@ def append_to_ann_index(
     )
 
 
+def ann_ingest_sink(
+    stream_vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metrics=None,
+):
+    """Continuous ANN-index ingest: per micro-batch, assign the new
+    vectors to their nearest existing centroid and append them to the
+    partitioned inverted lists (``append_to_ann_index``) — queries
+    issued after the batch commits see the new vectors.  The streaming
+    twin of ``incremental.dedup_ingest_sink``: state lives in the index
+    (the query itself is stateless, restart-clean from the checkpoint),
+    the quantizer stays frozen, and retraining is an offline
+    ``write_ann_index`` when drift degrades recall.  ``metrics``
+    (optional list) records {batch_id, n_vectors} per batch."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            append_to_ann_index(batch_df, id_col, vec_col, index_path)
+            if metrics is not None:
+                metrics.append({"batch_id": batch_id, "n_vectors": n})
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ann_query_index(
     queries: DataFrame,
     index_path: str,

@@ -757,3 +757,74 @@ def test_curated_ingest_sink_filters_redacts_dedups(spark, tmp_path):
     assert sum(m["n_filtered"] for m in metrics) == 2
     assert sum(m["n_dropped"] for m in metrics) == 1
     assert sum(m["n_kept"] for m in metrics) == 1
+
+
+def test_ann_ingest_sink_streams_vectors_into_index(spark, tmp_path):
+    """Streaming vector ingest: batches appended through the sink are
+    findable by ann_query_index afterwards, identically to a bulk
+    append of the same vectors (frozen quantizer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time
+
+    from fluss_datafusion_spark.operators.similarity import (
+        ann_ingest_sink,
+        ann_query_index,
+        append_to_ann_index,
+        write_ann_index,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    streamed_idx = str(tmp_path / "ann_streamed")
+    bulk_idx = str(tmp_path / "ann_bulk")
+    write_ann_index(old, "vec_id", "embedding", streamed_idx, n_centroids=8)
+    write_ann_index(old, "vec_id", "embedding", bulk_idx, n_centroids=8)
+
+    # replay the new vectors as 2 micro-batches
+    replay = str(tmp_path / "vec_replay")
+    os.makedirs(replay)
+    rows = new.collect()
+    base = time.time()
+    for i, half in enumerate((rows[::2], rows[1::2])):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r["vec_id"] for r in half], pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r["embedding"])) for r in half],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            os.path.join(replay, f"b{i:05d}.parquet"),
+        )
+        os.utime(os.path.join(replay, f"b{i:05d}.parquet"), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(replay).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    metrics: list = []
+    q = ann_ingest_sink(stream, streamed_idx, str(tmp_path / "ann_ckpt"),
+                        metrics=metrics)
+    q.awaitTermination()
+    assert sum(m["n_vectors"] for m in metrics) == len(rows)
+
+    append_to_ann_index(new, "vec_id", "embedding", bulk_idx)
+    got = {
+        (r["vec_id"], r["neighbor_id"], r["rank"])
+        for r in ann_query_index(queries, streamed_idx, "vec_id", "embedding",
+                                 k=10, n_probe=3).collect()
+    }
+    want = {
+        (r["vec_id"], r["neighbor_id"], r["rank"])
+        for r in ann_query_index(queries, bulk_idx, "vec_id", "embedding",
+                                 k=10, n_probe=3).collect()
+    }
+    assert got == want and len(got) > 0

@@ -499,3 +499,56 @@ def correlate_streams(
         )
     )
     return lw.join(rw, cond)
+
+
+def subscribe_table_changelog(catalog, name: str) -> DataFrame:
+    """LIVE changelog subscription to a PK table: a streaming DataFrame
+    of +I/-U/+U/-D change rows that follows the table as writers keep
+    INSERTing/DELETEing through the catalog — the streaming half of
+    Fluss's table↔changelog duality (``catalog.read_changelog`` is the
+    batch half; the reference exposes neither, only snapshots).
+
+    How: the table's log directory IS an append-only stream of stamped
+    parquet files, so ``readStream.parquet`` over it ingests each commit
+    as a micro-batch in arrival order, and the keyed-state
+    ``changelog_stream`` operator derives retractions across batches
+    (state = last image per PK, the minimal CDC state).  Subscribing
+    after rows already exist replays the retained log first — the
+    snapshot+incremental semantics of subscribing to a compacted topic
+    from the earliest retained offset (see ``read_changelog``'s
+    compaction note).
+
+    Run with ``run_to_memory(..., output_mode="update")`` for a bounded
+    read-to-latest snapshot, or ``.writeStream`` for a continuous one.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spec = catalog.get_table(name)
+    if not spec.has_primary_key:
+        raise ValueError(f"{spec.qualified_name} has no primary key — "
+                         "log tables have no changelog to derive")
+    schema = catalog._stored_schema(spec)
+    stream = (
+        catalog.spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(catalog.table_path(spec))
+    )
+    data_cols = [c.name for c in spec.columns]
+    # pandas itertuples renames dunder fields positionally, so the
+    # stateful operator must see underscore-free aliases of the stamps
+    stream = stream.select(
+        *data_cols,
+        F.col("__seq__").alias("cdc_seq"),
+        F.col("__sub__").alias("cdc_sub"),
+        F.coalesce(F.col("__del__"), F.lit(False)).alias("cdc_del"),
+    )
+    # key columns are re-attached by the operator itself; the image is
+    # the non-key payload
+    image_cols = [c for c in data_cols if c not in spec.primary_key]
+    return changelog_stream(
+        stream,
+        key_cols=list(spec.primary_key),
+        order_cols=["cdc_seq", "cdc_sub"],
+        image_cols=image_cols,
+        del_col="cdc_del",
+    )

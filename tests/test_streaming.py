@@ -828,3 +828,42 @@ def test_ann_ingest_sink_streams_vectors_into_index(spark, tmp_path):
                                  k=10, n_probe=3).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_subscribe_table_changelog_matches_batch_derivation(spark, tmp_path):
+    """Live CDC subscription over a PK table's log: the streamed change
+    rows must match catalog.read_changelog's batch derivation — insert,
+    overwrite (retraction pair), delete, and re-insert."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import (
+        run_to_memory,
+        subscribe_table_changelog,
+    )
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_cdc"))
+    e.sql("CREATE TABLE acct (id BIGINT NOT NULL, bal BIGINT, PRIMARY KEY (id))")
+    e.sql("INSERT INTO acct VALUES (1, 10)")
+    e.sql("INSERT INTO acct VALUES (1, 20)")   # -U(10) +U(20)
+    e.sql("INSERT INTO acct VALUES (2, 5)")
+    e.sql("DELETE FROM acct WHERE id = 1")     # -D(20)
+    e.sql("INSERT INTO acct VALUES (1, 30)")   # +I again after delete
+
+    run_to_memory(
+        subscribe_table_changelog(e.catalog, "acct"),
+        "t_subscribed",
+        output_mode="update",
+    )
+    got = [
+        (r["op"], r["id"], r["bal"])
+        for r in spark.sql(
+            "SELECT * FROM t_subscribed ORDER BY id, bal NULLS FIRST, op"
+        ).collect()
+    ]
+    want_rows = e.catalog.read_changelog("acct").select("op", "id", "bal").collect()
+    want = sorted(
+        ((r["op"], r["id"], r["bal"]) for r in want_rows),
+        key=lambda t: (t[1], (t[2] is not None, t[2]), t[0]),
+    )
+    assert sorted(got, key=lambda t: (t[1], (t[2] is not None, t[2]), t[0])) == want
+    assert ("+I", 1, 10) in got and ("-U", 1, 10) in got
+    assert ("-D", 1, 20) in got and ("+I", 1, 30) in got

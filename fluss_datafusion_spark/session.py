@@ -159,8 +159,31 @@ class EngineSession:
         if insert_target is not None and self.catalog.has_table(insert_target):
             return self.catalog.insert_sql(insert_target, statement)
 
+        statement = self._bind_system_tables(statement)
         rewritten = rewriter.rewrite_sql(statement, self.catalog)
         return self.spark.sql(rewritten)
+
+    def _bind_system_tables(self, statement: str) -> str:
+        """Resolve ``<table>$changelog`` references — the system-table
+        convention lakehouse engines use for the change view of a table
+        (e.g. Paimon's ``t$audit_log``) — by registering the batch
+        changelog derivation as a temp view and rewriting the name.
+        ``SELECT * FROM t$changelog`` therefore works in plain SQL, no
+        API call needed.  The view snapshots the log at bind time, the
+        same read-to-latest semantics as every other scan here."""
+        import re
+
+        pattern = re.compile(r"`?([\w.]+)\$changelog`?")
+
+        def bind(match):
+            table = match.group(1)
+            if not self.catalog.has_table(table):
+                return match.group(0)
+            view = "__changelog__" + table.replace(".", "__")
+            self.catalog.read_changelog(table).createOrReplaceTempView(view)
+            return view
+
+        return pattern.sub(bind, statement)
 
     # -- data loading -------------------------------------------------------
 

@@ -291,3 +291,27 @@ def test_delete_tombstone_lifecycle(fresh_engine):
 
     with _pytest.raises(ValueError, match="primary-key"):
         e.catalog.delete("logt", 1)
+
+
+def test_changelog_system_table_sql(spark, tmp_path):
+    """`SELECT ... FROM t$changelog` exposes the change view in plain
+    SQL (the lakehouse system-table convention)."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_systbl"))
+    e.sql("CREATE TABLE bal (id BIGINT NOT NULL, v BIGINT, PRIMARY KEY (id))")
+    e.sql("INSERT INTO bal VALUES (1, 10)")
+    e.sql("INSERT INTO bal VALUES (1, 20)")
+
+    # -U and +U of one overwrite share change stamps (they ship in the
+    # same commit); 'op DESC' puts the retraction first ('-' > '+')
+    ops = [
+        (r["op"], r["v"])
+        for r in e.sql(
+            "SELECT op, v FROM bal$changelog ORDER BY change_seq, op DESC"
+        ).collect()
+    ]
+    assert ops == [("+I", 10), ("-U", 10), ("+U", 20)]
+    # aggregations over the system table work too
+    n = e.sql("SELECT count(*) AS n FROM bal$changelog WHERE op = '+U'").collect()
+    assert n[0]["n"] == 1

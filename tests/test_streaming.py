@@ -867,3 +867,33 @@ def test_subscribe_table_changelog_matches_batch_derivation(spark, tmp_path):
     assert sorted(got, key=lambda t: (t[1], (t[2] is not None, t[2]), t[0])) == want
     assert ("+I", 1, 10) in got and ("-U", 1, 10) in got
     assert ("-D", 1, 20) in got and ("+I", 1, 30) in got
+
+
+def test_subscribe_table_changelog_bucketed_table(spark, tmp_path):
+    """Subscription must also work over DISTRIBUTED BY tables, whose log
+    is laid out as __bkt__= Hive partition directories."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import (
+        run_to_memory,
+        subscribe_table_changelog,
+    )
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_cdc_bkt"))
+    e.sql(
+        "CREATE TABLE kv_b (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " DISTRIBUTED BY (id) INTO 4 BUCKETS"
+    )
+    e.sql("INSERT INTO kv_b VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    e.sql("INSERT INTO kv_b VALUES (2, 'b2')")
+
+    run_to_memory(
+        subscribe_table_changelog(e.catalog, "kv_b"),
+        "t_sub_bkt",
+        output_mode="update",
+    )
+    got = {
+        (r["op"], r["id"], r["v"])
+        for r in spark.sql("SELECT * FROM t_sub_bkt").collect()
+    }
+    assert {("+I", 1, "a"), ("+I", 2, "b"), ("+I", 3, "c"),
+            ("-U", 2, "b"), ("+U", 2, "b2")} == got

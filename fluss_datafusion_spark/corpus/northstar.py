@@ -1510,3 +1510,37 @@ def ns_fuzzy_name_pairs(spark, sf_dir):
     return fuzzy_join_pairs(cust, "c_custkey", "c_name").select(
         "id_a", "id_b", F.col("distance").cast("int").alias("distance")
     )
+
+
+@query(
+    "ns_dedup_containment",
+    extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / least(len(a.s), len(b.s)), 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / least(len(a.s), len(b.s)) >= 0.6
+    """,
+)
+def ns_dedup_containment(spark, sf_dir):
+    """Shingle-containment pairs (|A∩B|/min — the subset/quote signal
+    Jaccard misses; Broder's resemblance-vs-containment distinction)
+    at threshold 0.6, via the same inverted-index plan as the Jaccard
+    entry.  Oracle brute-forces the identical ratio."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(docs, "doc_id", "text", k=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )

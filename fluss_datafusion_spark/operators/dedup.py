@@ -124,6 +124,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """One-sided near-dup pairs by shingle CONTAINMENT —
+    ``|A∩B| / min(|A|, |B|)`` — the subset/quote detector Jaccard
+    misses: a short document fully quoted inside a long one has
+    containment 1.0 but Jaccard ≈ |A|/|B|, far below any dedup
+    threshold (Broder 1997 distinguishes resemblance from containment
+    for exactly this reason).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` — shared-shingle
+    counting with doc sizes riding inside the postings, shuffle on the
+    shingle key, map-side-combined pair counts, optional ``max_df``
+    hot-shingle cap — only the final scoring ratio differs, so the scale
+    posture is identical.  Returns (id_a, id_b, containment) with
+    id_a < id_b.
+    """
+    assert threshold > 0, "inverted-index containment requires threshold > 0"
+    df = spread_small_scan(df)
+    sh = df.select(
+        F.col(id_col).alias("__id__"),
+        word_shingles(F.col(text_col), k).alias("__sh__"),
+    ).filter(F.size("__sh__") > 0)
+    inv = sh.select(
+        "__id__",
+        F.size("__sh__").alias("__n__"),
+        F.explode("__sh__").alias("__s__"),
+    )
+    if max_df:
+        hot = inv.groupBy("__s__").count().filter(F.col("count") > max_df)
+        inv = inv.join(F.broadcast(hot.select("__s__")), "__s__", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__s__") == F.col("b.__s__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .groupBy(F.col("a.__id__").alias("id_a"), F.col("b.__id__").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter__"),
+            F.min("a.__n__").alias("__na__"),
+            F.min("b.__n__").alias("__nb__"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("__inter__") / F.least("__na__", "__nb__"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_perm: int = 128
 ) -> DataFrame:

@@ -820,3 +820,30 @@ def test_fuzzy_join_pairs_exact_distance_one(spark):
         (2, 5): 1, (3, 5): 1, (4, 5): 1,
         (7, 8): 1,
     }
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 even
+    though Jaccard is far below any dedup threshold."""
+    from fluss_datafusion_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = (
+        "intro words before the quote "
+        + short
+        + " and a large amount of unrelated trailing content "
+        + "filling out the document with many extra tokens one two three"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    # the same pair is invisible to Jaccard at its standard threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    assert jac == []

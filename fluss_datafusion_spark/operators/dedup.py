@@ -744,3 +744,108 @@ def dedup_clusters(
     return labels.select(
         F.col("__id__").alias("doc_id"), F.col("__lbl__").alias("cluster_id")
     )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the general-graph path ``dedup_clusters`` defers to:
+    min-label propagation needs O(diameter) rounds, which on a long
+    chain (pathological boilerplate corpora) means hundreds of joins;
+    star operations contract the graph in O(log^2 n) rounds regardless
+    of diameter.
+
+    One round, expressed as two grouped aggregations over the edge list
+    (no labels table at all — the EDGES are the state):
+
+    - **large-star**: group the symmetric edge list by u, compute
+      m = min(N(u) ∪ {u}), emit (v, m) for every neighbor v > u —
+      strictly-larger neighbors re-attach to the neighborhood minimum;
+    - **small-star**: group by u over min-canonical edges, emit (v, m)
+      for every neighbor v <= u, plus (u, m) — small neighbors and u
+      itself attach to the minimum.
+
+    Both are a single explode-free groupBy(collect_set) + transform
+    (neighborhoods are near-dup lists — bounded in practice; a
+    boilerplate mega-hub's neighborhood is exactly the mega-bucket the
+    LSH guard already caps upstream).  Convergence when the canonical
+    edge multiset stops changing (checked with a cheap order-insensitive
+    hash aggregate, one scalar to the driver per round).  At the
+    fixpoint every node's edge points at its component minimum — the
+    same (doc_id, cluster_id) contract as ``dedup_clusters``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("__u__"), F.col("id_b").alias("__v__"))
+        .filter(F.col("__u__") != F.col("__v__"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e):
+        return e.union(
+            e.select(F.col("__v__").alias("__u__"), F.col("__u__").alias("__v__"))
+        )
+
+    def _large_star(e):
+        grouped = _sym(e).groupBy("__u__").agg(
+            F.collect_set("__v__").alias("__nbrs__")
+        )
+        m = F.array_min(F.concat("__nbrs__", F.array("__u__")))
+        out = grouped.select(
+            F.explode(F.filter("__nbrs__", lambda v: v > F.col("__u__"))).alias(
+                "__a__"
+            ),
+            m.alias("__b__"),
+        )
+        return out.filter(F.col("__a__") != F.col("__b__")).select(
+            F.col("__a__").alias("__u__"), F.col("__b__").alias("__v__")
+        ).distinct()
+
+    def _small_star(e):
+        canon = e.select(
+            F.greatest("__u__", "__v__").alias("__u__"),
+            F.least("__u__", "__v__").alias("__v__"),
+        )
+        grouped = canon.groupBy("__u__").agg(
+            F.collect_set("__v__").alias("__nbrs__")
+        )
+        m = F.array_min("__nbrs__")  # all neighbors are < u here
+        out = grouped.select(
+            F.explode(F.concat("__nbrs__", F.array("__u__"))).alias("__a__"),
+            m.alias("__b__"),
+        )
+        return out.filter(F.col("__a__") != F.col("__b__")).select(
+            F.col("__a__").alias("__u__"), F.col("__b__").alias("__v__")
+        ).distinct()
+
+    def _digest(e):
+        # order-insensitive edge-set fingerprint; decimal sum so the
+        # +-2^63 hash values cannot overflow under ANSI arithmetic
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("__u__", "__v__").cast("decimal(20,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"] or 0, row["h"] or 0)
+
+    prev = _digest(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _digest(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint: every edge is (node, component_min); nodes that ARE the
+    # minimum appear only on the right — attach them to themselves
+    members = edges.select(
+        F.col("__u__").alias("doc_id"), F.col("__v__").alias("cluster_id")
+    )
+    roots = (
+        edges.select(F.col("__v__").alias("doc_id"))
+        .distinct()
+        .join(members.select(F.col("doc_id")), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return members.unionByName(roots)

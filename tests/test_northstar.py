@@ -847,3 +847,38 @@ def test_containment_catches_quoted_subset(spark):
     # the same pair is invisible to Jaccard at its standard threshold
     jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4).collect()
     assert jac == []
+
+
+def test_dedup_clusters_star_equals_label_propagation(spark):
+    """Large-star/small-star must produce the identical component
+    assignment as min-label propagation — on random graphs and on a
+    200-node chain, the high-diameter case star contraction exists for
+    (propagation would need ~200 rounds; star needs O(log^2 n))."""
+    import random
+
+    from fluss_datafusion_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    rng = random.Random(3)
+    random_edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    random_edges = [(a, b) for a, b in random_edges if a != b]
+    chain_edges = [(i, i + 1) for i in range(1000, 1200)]
+
+    for edges in (random_edges, chain_edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        star = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters_star(df).collect()
+        }
+        prop = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(df, max_iter=250, check_every=10).collect()
+        }
+        assert star == prop, (
+            f"star != propagation on {len(edges)} edges: "
+            f"{dict(sorted(set(star.items()) ^ set(prop.items())))}"
+        )

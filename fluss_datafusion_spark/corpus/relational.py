@@ -1384,3 +1384,46 @@ def q50_window_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@query(
+    "q51_recursive_cte", extended=True,
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE '1992-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '1998-12-01'
+    )
+    SELECT m AS month,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+    FROM months LEFT JOIN orders
+         ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def q51_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the monthly
+    calendar spine 1992-01..1998-12 recursively and gap-fill monthly
+    order totals — months with no orders appear with zero counts, the
+    classic time-series gap-fill that a plain GROUP BY cannot produce.
+    Both engines run structurally identical recursive SQL.  Plan shape:
+    the spine is 84 rows (driver-light recursion), the join broadcasts
+    it against the streamed fact scan, and the aggregate map-side
+    combines — recursion depth never touches the fact table."""
+    v(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+            SELECT to_date('1992-01-01')
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < to_date('1998-12-01')
+        )
+        SELECT m AS month,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+        FROM months LEFT JOIN orders
+             ON trunc(o_orderdate, 'MM') = m
+        GROUP BY m
+    """)

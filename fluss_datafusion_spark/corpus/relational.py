@@ -1427,3 +1427,50 @@ def q51_recursive_cte(spark, sf_dir):
              ON trunc(o_orderdate, 'MM') = m
         GROUP BY m
     """)
+
+
+@query(
+    "q52_variant_semistructured", extended=True,
+    oracle="""
+    WITH j AS (
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   custkey := o_custkey,
+                   status := o_orderstatus,
+                   price := o_totalprice,
+                   tags := [o_orderstatus, o_orderpriority])) AS doc
+        FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           CAST(json_extract(doc, '$.custkey') AS BIGINT) AS custkey,
+           json_extract_string(doc, '$.status') AS status,
+           json_extract_string(doc, '$.tags[1]') AS priority,
+           round(CAST(json_extract(doc, '$.price') AS DOUBLE), 2) AS price
+    FROM j
+    """,
+)
+def q52_variant_semistructured(spark, sf_dir):
+    """Spark 4 VARIANT type: ingest JSON once with parse_json, then
+    typed-path extraction (variant_get) including array indexing — the
+    open-schema column pattern for semi-structured lakes, stored and
+    navigated WITHOUT re-parsing per access (vs get_json_object's
+    per-call string parse in q23).  The oracle extracts the same paths
+    from the same constructed JSON with DuckDB's JSON functions."""
+    v(spark, sf_dir, "orders")
+    return spark.sql("""
+        WITH j AS (
+            SELECT o_orderkey,
+                   parse_json(to_json(struct(
+                       o_custkey AS custkey,
+                       o_orderstatus AS status,
+                       o_totalprice AS price,
+                       array(o_orderstatus, o_orderpriority) AS tags))) AS doc
+            FROM orders WHERE o_orderkey <= 200
+        )
+        SELECT o_orderkey,
+               variant_get(doc, '$.custkey', 'long') AS custkey,
+               variant_get(doc, '$.status', 'string') AS status,
+               variant_get(doc, '$.tags[1]', 'string') AS priority,
+               round(variant_get(doc, '$.price', 'double'), 2) AS price
+        FROM j
+    """)

@@ -676,6 +676,51 @@ class FlussCatalog:
 
     # -- maintenance --------------------------------------------------------
 
+    def optimize(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Small-file consolidation: rewrite the table's log into files
+        of roughly ``target_file_bytes`` WITHOUT merging or dropping
+        anything — every row and every internal stamp (__seq__/__sub__/
+        __del__) survives byte-identically, so upsert history, time
+        travel, and the changelog are untouched (unlike ``compact``,
+        which collapses history to the latest images).  The lake
+        maintenance op for ingest patterns that commit many tiny files
+        (per-micro-batch sinks): reads stay correct either way, but
+        a scan over thousands of small files pays per-file open cost and
+        tiny row groups.  Returns the number of files after the rewrite.
+
+        Same atomic pattern as compact: write to a temp dir, swap via
+        rename, restore _spec.json.
+        """
+        spec = self.get_table(name)
+        path = self.table_path(spec)
+        if not _has_data(path):
+            return 0
+        log = self._log_df(spec)
+        total_bytes = sum(
+            os.path.getsize(f) for f in _parquet_files(path)
+        )
+        n_files = max(1, int(total_bytes // target_file_bytes) + 1)
+        partition_cols = list(spec.partition_keys or [])
+        if spec.num_buckets and spec.bucket_keys and _BKT in log.columns:
+            partition_cols.append(_BKT)
+        tmp = path + ".optimize"
+        if partition_cols:
+            # cluster by the layout columns so each task writes whole
+            # partition directories instead of a sliver of every one
+            shuffled = log.repartition(n_files, *partition_cols)
+            writer = shuffled.write.mode("overwrite").partitionBy(*partition_cols)
+        else:
+            writer = log.repartition(n_files).write.mode("overwrite")
+        writer.parquet(tmp)
+        current = self._current_seq(spec)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        if spec.has_primary_key:
+            self._seq[spec.qualified_name] = current
+        self._save_spec(spec)
+        self._register_view(spec)
+        return len(_parquet_files(path))
+
     def compact(self, name: str) -> None:
         """Materialize a PK table's merged state and truncate its log —
         the LSM-compaction analog.  At scale this bounds read amplification

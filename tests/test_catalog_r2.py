@@ -183,3 +183,42 @@ def test_warehouse_reattach_recovers_tables_and_seq(spark, tmp_path):
 
     with _pytest.raises(Exception):
         d.catalog.read("kv", as_of_seq=1)
+
+
+def test_optimize_consolidates_small_files_preserving_history(spark, tmp_path):
+    """optimize() rewrites many tiny commit files into few, while every
+    row, upsert ordering, time travel, and the changelog survive
+    byte-identically (unlike compact, which collapses history)."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_opt"))
+    e.sql("CREATE TABLE tiny (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    for i in range(6):  # 6 tiny commits -> many small files
+        e.sql(f"INSERT INTO tiny VALUES ({i % 3}, 'v{i}')")
+
+    path = e.catalog.table_path(e.catalog.get_table("tiny"))
+    before_files = len(_parquet_files(path))
+    before_rows = {r["id"]: r["v"] for r in e.sql("SELECT * FROM tiny").collect()}
+    before_changelog = sorted(
+        (r["op"], r["id"], r["v"])
+        for r in e.catalog.read_changelog("tiny").select("op", "id", "v").collect()
+    )
+    before_travel = {
+        r["id"]: r["v"] for r in e.catalog.read("tiny", as_of_seq=3).collect()
+    }
+
+    n_after = e.catalog.optimize("tiny")
+    assert n_after < before_files
+
+    assert {r["id"]: r["v"] for r in e.sql("SELECT * FROM tiny").collect()} == before_rows
+    assert sorted(
+        (r["op"], r["id"], r["v"])
+        for r in e.catalog.read_changelog("tiny").select("op", "id", "v").collect()
+    ) == before_changelog
+    assert {
+        r["id"]: r["v"] for r in e.catalog.read("tiny", as_of_seq=3).collect()
+    } == before_travel
+    # upserts continue to win after the rewrite
+    e.sql("INSERT INTO tiny VALUES (0, 'latest')")
+    assert e.sql("SELECT v FROM tiny WHERE id = 0").collect()[0]["v"] == "latest"

@@ -217,3 +217,33 @@ def test_embedding_pairs_refuses_unblocked_all_pairs(spark):
         .count()
     )
     assert n >= 0
+
+
+def test_partitioned_table_scan_prunes_partitions(spark, tmp_path):
+    """A filter on a PARTITIONED BY column must prune to that
+    partition's directory (PartitionFilters in the scan), reading none
+    of the other partitions' files — the layout contract that makes
+    date-partitioned 100 TB tables scannable."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_part"))
+    e.sql(
+        "CREATE TABLE part_ev (id BIGINT NOT NULL, dt STRING, val BIGINT,"
+        " PRIMARY KEY (id)) PARTITIONED BY (dt)"
+    )
+    e.sql(
+        "INSERT INTO part_ev VALUES"
+        " (1, '2024-01-01', 10), (2, '2024-01-02', 20), (3, '2024-01-03', 30)"
+    )
+    df = e.sql("SELECT id, val FROM part_ev WHERE dt = '2024-01-02'")
+    assert [r["id"] for r in df.collect()] == [2]
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan, plan
+    # and the physical layout is one directory per dt value
+    import os
+
+    table_dir = e.catalog.table_path(e.catalog.get_table("part_ev"))
+    assert sorted(d for d in os.listdir(table_dir) if d.startswith("dt=")) == [
+        "dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03",
+    ]

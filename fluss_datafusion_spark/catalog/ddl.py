@@ -378,3 +378,28 @@ def parse_truncate_table(sql: str) -> Optional[str]:
     if not match:
         return None
     return ".".join(parse_qualified_name(match.group(1)))
+
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+_COMPACT_RE = re.compile(
+    r"^\s*COMPACT\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_maintenance(sql: str):
+    """Parse the lake-maintenance statements into (action, target):
+    ``OPTIMIZE [TABLE] t`` (small-file consolidation, Delta-style
+    spelling) and ``COMPACT TABLE t`` (collapse history to latest
+    images).  Returns None for anything else."""
+    s = sql.strip().rstrip(";")
+    match = _OPTIMIZE_RE.match(s)
+    if match:
+        return ("optimize", ".".join(parse_qualified_name(match.group(1))))
+    match = _COMPACT_RE.match(s)
+    if match:
+        return ("compact", ".".join(parse_qualified_name(match.group(1))))
+    return None

@@ -150,6 +150,15 @@ class EngineSession:
             self.catalog.truncate_table(truncate_target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        maintenance = ddl.parse_maintenance(statement)
+        if maintenance is not None and self.catalog.has_table(maintenance[1]):
+            action, target = maintenance
+            if action == "optimize":
+                n_files = self.catalog.optimize(target)
+                return self.spark.createDataFrame([(n_files,)], "n_files bigint")
+            self.catalog.compact(target)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
         delete_parsed = ddl.parse_delete(statement)
         if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
             count = self.catalog.delete(delete_parsed[0], delete_parsed[1])

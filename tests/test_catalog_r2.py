@@ -222,3 +222,25 @@ def test_optimize_consolidates_small_files_preserving_history(spark, tmp_path):
     # upserts continue to win after the rewrite
     e.sql("INSERT INTO tiny VALUES (0, 'latest')")
     assert e.sql("SELECT v FROM tiny WHERE id = 0").collect()[0]["v"] == "latest"
+
+
+def test_optimize_and_compact_sql_statements(spark, tmp_path):
+    """OPTIMIZE [TABLE] t and COMPACT TABLE t route through the session
+    like the other engine DDL."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_maint"))
+    e.sql("CREATE TABLE m (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    for i in range(4):
+        e.sql(f"INSERT INTO m VALUES ({i}, 'x{i}')")
+    path = e.catalog.table_path(e.catalog.get_table("m"))
+    before = len(_parquet_files(path))
+    out = e.sql("OPTIMIZE m").collect()
+    assert out[0]["n_files"] < before
+    assert e.sql("SELECT count(*) AS n FROM m").collect()[0]["n"] == 4
+
+    e.sql("COMPACT TABLE m")
+    # compacted: one image per key, changelog collapsed to +I rows
+    ops = {r["op"] for r in e.sql("SELECT op FROM m$changelog").collect()}
+    assert ops == {"+I"}

@@ -173,23 +173,39 @@ class EngineSession:
         return self.spark.sql(rewritten)
 
     def _bind_system_tables(self, statement: str) -> str:
-        """Resolve ``<table>$changelog`` references — the system-table
-        convention lakehouse engines use for the change view of a table
-        (e.g. Paimon's ``t$audit_log``) — by registering the batch
-        changelog derivation as a temp view and rewriting the name.
-        ``SELECT * FROM t$changelog`` therefore works in plain SQL, no
-        API call needed.  The view snapshots the log at bind time, the
-        same read-to-latest semantics as every other scan here."""
+        """Resolve ``<table>$<system>`` references — the system-table
+        convention lakehouse engines use for the auxiliary views of a
+        table (e.g. Paimon's ``t$audit_log``) — by registering the
+        corresponding derivation as a temp view and rewriting the name,
+        so all of these work in plain SQL with no API call:
+
+        - ``t$changelog`` — the +I/-U/+U/-D change stream
+          (``catalog.read_changelog``);
+        - ``t$history`` — the raw stamped log (__seq__/__sub__/__del__
+          visible): every write ever made, pre-merge observability;
+        - ``t$v<N>`` — time travel: the table as of statement sequence N
+          (``catalog.read(as_of_seq=N)``; refuses pre-compaction-floor
+          anchors like the API does).
+
+        Each view snapshots the log at bind time — the same
+        read-to-latest semantics as every other scan here."""
         import re
 
-        pattern = re.compile(r"`?([\w.]+)\$changelog`?")
+        pattern = re.compile(r"`?([\w.]+)\$(changelog|history|v(\d+))`?")
 
         def bind(match):
-            table = match.group(1)
+            table, kind, version = match.group(1), match.group(2), match.group(3)
             if not self.catalog.has_table(table):
                 return match.group(0)
-            view = "__changelog__" + table.replace(".", "__")
-            self.catalog.read_changelog(table).createOrReplaceTempView(view)
+            view = f"__{kind}__" + table.replace(".", "__")
+            if kind == "changelog":
+                df = self.catalog.read_changelog(table)
+            elif kind == "history":
+                spec = self.catalog.get_table(table)
+                df = self.catalog._log_df(spec)
+            else:
+                df = self.catalog.read(table, as_of_seq=int(version))
+            df.createOrReplaceTempView(view)
             return view
 
         return pattern.sub(bind, statement)

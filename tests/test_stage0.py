@@ -315,3 +315,33 @@ def test_changelog_system_table_sql(spark, tmp_path):
     # aggregations over the system table work too
     n = e.sql("SELECT count(*) AS n FROM bal$changelog WHERE op = '+U'").collect()
     assert n[0]["n"] == 1
+
+
+def test_history_and_time_travel_system_tables(spark, tmp_path):
+    """t$history exposes the raw stamped log; t$v<N> time-travels to
+    statement sequence N — both in plain SQL via the $ binder."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_tt"))
+    e.sql("CREATE TABLE acct2 (id BIGINT NOT NULL, v BIGINT, PRIMARY KEY (id))")
+    e.sql("INSERT INTO acct2 VALUES (1, 10)")   # seq 1
+    e.sql("INSERT INTO acct2 VALUES (1, 20)")   # seq 2
+    e.sql("INSERT INTO acct2 VALUES (2, 5)")    # seq 3
+
+    # history: every write with its stamps, pre-merge
+    hist = e.sql(
+        "SELECT __seq__, id, v FROM acct2$history ORDER BY __seq__"
+    ).collect()
+    assert [(r["__seq__"], r["id"], r["v"]) for r in hist] == [
+        (1, 1, 10), (2, 1, 20), (3, 2, 5),
+    ]
+
+    # time travel: as of seq 1 only the first write is visible
+    assert {
+        (r["id"], r["v"]) for r in e.sql("SELECT id, v FROM acct2$v1").collect()
+    } == {(1, 10)}
+    assert {
+        (r["id"], r["v"]) for r in e.sql("SELECT id, v FROM acct2$v2").collect()
+    } == {(1, 20)}
+    # and the current table is unaffected
+    assert e.sql("SELECT count(*) AS n FROM acct2").collect()[0]["n"] == 2

@@ -1544,3 +1544,42 @@ def ns_dedup_containment(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("containment", 4).alias("containment")
     )
+
+
+@query(
+    "ns_curation_token_budget",
+    extended=True,
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS tok,
+               md5('budget-0' || '|' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, tok,
+               sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+        FROM scored
+    )
+    SELECT doc_id, source, CAST(tok AS INT) AS n_tokens
+    FROM cum WHERE c <= 700
+    """,
+)
+def ns_curation_token_budget(spark, sf_dir):
+    """Token-budgeted corpus draw: per source, keep the greedy
+    seeded-md5-ordered prefix of documents whose cumulative token count
+    stays within 700 (binding for every source at test scale) — the deterministic '<N>-token sample per domain'
+    every training run starts with.  Both engines derive the identical
+    draw from md5 ordering + a running-sum window."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    kept = curation.sample_to_token_budget(
+        docs, "doc_id", "text", budget_tokens=700, strata_cols=["source"]
+    )
+    return kept.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )

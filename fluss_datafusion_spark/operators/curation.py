@@ -186,6 +186,52 @@ def stratified_sample(
     return df.filter(bucket < F.lit(threshold))
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    seed: str = "budget-0",
+    strata_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Draw a ~``budget_tokens``-token sample: order documents by a
+    seeded md5 of the id (a deterministic, engine-reproducible random
+    order) and keep the greedy prefix whose cumulative token count stays
+    within budget — "give me a 2B-token draw of this corpus", the
+    request every training run starts with.  With ``strata_cols`` the
+    budget applies PER STRATUM (uniform domain draws; pair with
+    ``domain_mixture_weights`` for weighted ones).
+
+    The last admitted document may overshoot the budget by less than its
+    own length (inclusive-cumsum rule) — the standard greedy-prefix
+    contract, deterministic on any engine.
+
+    Scale shape: one hash-ordered window per stratum (range-partitioned
+    sort; with strata it shuffles on the stratum key) computing a
+    running token sum — no collect, no iteration; the token counts are
+    pure JVM expressions on the scan.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from fluss_datafusion_spark.functions.text import token_count
+
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    parts = [F.col(c) for c in (strata_cols or [])]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__tok__", token_count(F.col(text_col)))
+        .withColumn("__cum__", F.sum("__tok__").over(w))
+        .filter(F.col("__cum__") <= budget_tokens)
+        .drop("__tok__", "__cum__")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,

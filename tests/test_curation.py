@@ -358,3 +358,37 @@ def test_heavy_hitters_exact_vs_bruteforce(spark):
     want = {t: c for t, c in exact.items() if c * k > n}
     assert got == want
     assert "hot" in got  # the construction guarantees one true hitter
+
+
+def test_sample_to_token_budget_greedy_prefix(spark):
+    """Budget rule: the seeded-hash-ordered prefix with inclusive cumsum
+    <= budget; deterministic; per-stratum budgets independent."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "t " * 10, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    kept = curation.sample_to_token_budget(
+        df, "doc_id", "text", budget_tokens=50, strata_cols=["source"]
+    )
+    rows = [(r["doc_id"], r["source"]) for r in kept.collect()]
+    # 10 tokens per doc, budget 50 -> exactly 5 docs per stratum
+    for s in ("a", "b"):
+        assert sum(1 for _, src in rows if src == s) == 5
+    # and they are exactly the 5 smallest md5 keys of that stratum
+    for s, ids in (("a", range(1, 40, 2)), ("b", range(0, 40, 2))):
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"budget-0|{i}".encode()).hexdigest(), i)
+        )
+        assert {d for d, src in rows if src == s} == set(order[:5])
+
+    again = {(r["doc_id"], r["source"]) for r in curation.sample_to_token_budget(
+        df, "doc_id", "text", budget_tokens=50, strata_cols=["source"]
+    ).collect()}
+    assert again == set(rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curation.sample_to_token_budget(df, "doc_id", "text", 0)

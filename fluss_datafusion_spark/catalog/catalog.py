@@ -604,23 +604,32 @@ class FlussCatalog:
         return 1
 
     def insert_sql(self, target: str, statement: str) -> DataFrame:
-        """Execute ``INSERT INTO t [(cols)] VALUES ... | SELECT ...``.
+        """Execute ``INSERT INTO | OVERWRITE [TABLE] t [(cols)] VALUES
+        ... | SELECT ...``.
 
         The input plan (VALUES or SELECT) is planned by Catalyst; we strip
         the INSERT prefix because Spark SQL would route the DML to its own
         catalog.  Returns a 1-row ``count`` DataFrame like FlussInsertExec
         (src/provider/insert_exec.rs:116-124).
+
+        OVERWRITE replaces the table's contents atomically from the
+        reader's perspective: the input is MATERIALIZED (eager
+        localCheckpoint) before the truncate, so ``INSERT OVERWRITE t
+        SELECT ... FROM t`` — self-referencing rewrites, the main use —
+        reads the pre-overwrite state, never its own truncation.
         """
         import re
 
         match = re.match(
-            r"^\s*INSERT\s+INTO\s+(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+\s*(\([^)]*\))?\s*",
+            r"^\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+"
+            r"(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+\s*(\([^)]*\))?\s*",
             statement,
             re.IGNORECASE,
         )
         if not match:
             raise ValueError(f"cannot parse INSERT statement: {statement!r}")
-        column_list = match.group(1)
+        overwrite = match.group(1).upper() != "INTO"
+        column_list = match.group(2)
         body = statement[match.end():]
         input_df = self.spark.sql(body)
 
@@ -654,6 +663,9 @@ class FlussCatalog:
                 else:
                     exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
             input_df = input_df.select(*exprs)
+        if overwrite:
+            input_df = input_df.localCheckpoint(eager=True)
+            self.truncate_table(target)
         count = self.insert(target, input_df)
         return self.spark.createDataFrame([(count,)], "count bigint")
 

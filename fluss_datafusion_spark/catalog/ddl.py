@@ -32,7 +32,9 @@ from fluss_datafusion_spark.sql.dialect import parse_qualified_name, strip_quote
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+", re.IGNORECASE)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)", re.IGNORECASE
+    r"^\s*INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE)?)\s+"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)",
+    re.IGNORECASE,
 )
 
 

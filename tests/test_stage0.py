@@ -345,3 +345,26 @@ def test_history_and_time_travel_system_tables(spark, tmp_path):
     } == {(1, 20)}
     # and the current table is unaffected
     assert e.sql("SELECT count(*) AS n FROM acct2").collect()[0]["n"] == 2
+
+
+def test_insert_overwrite_replaces_and_self_references(fresh_engine):
+    """INSERT OVERWRITE replaces the table's contents; a self-referencing
+    overwrite reads the PRE-overwrite state (input materialized before
+    the truncate)."""
+    e = fresh_engine
+    e.sql("CREATE TABLE ow (id BIGINT NOT NULL, v BIGINT, PRIMARY KEY (id))")
+    e.sql("INSERT INTO ow VALUES (1, 10), (2, 20), (3, 30)")
+
+    res = e.sql("INSERT OVERWRITE ow VALUES (7, 70)").collect()
+    assert res[0]["count"] == 1
+    assert {(r["id"], r["v"]) for r in e.sql("SELECT * FROM ow").collect()} == {(7, 70)}
+
+    # self-referencing rewrite: double every value
+    e.sql("INSERT INTO ow VALUES (8, 80)")
+    e.sql("INSERT OVERWRITE TABLE ow SELECT id, v * 2 FROM ow")
+    assert {(r["id"], r["v"]) for r in e.sql("SELECT * FROM ow").collect()} == {
+        (7, 140), (8, 160),
+    }
+    # history restarted: the changelog shows only the overwrite's inserts
+    ops = {r["op"] for r in e.sql("SELECT op FROM ow$changelog").collect()}
+    assert ops == {"+I"}

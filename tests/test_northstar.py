@@ -882,3 +882,46 @@ def test_dedup_clusters_star_equals_label_propagation(spark):
             f"star != propagation on {len(edges)} edges: "
             f"{dict(sorted(set(star.items()) ^ set(prop.items())))}"
         )
+
+
+def test_quantized_ann_index_close_to_float_index(spark, tmp_path, testdata):
+    """IVF+SQ8: the int8-quantized index must return nearly the same
+    top-10 as the float index (>=0.9 overlap per query — quantization
+    error is ~1/254 per component), and appends must match the existing
+    quantized format."""
+    from fluss_datafusion_spark.operators.similarity import (
+        ann_query_index,
+        append_to_ann_index,
+        write_ann_index,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{testdata}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 7 != 0)
+    new = emb.filter(F.col("vec_id") % 7 == 0)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    fpath, qpath = str(tmp_path / "annf"), str(tmp_path / "annq")
+    write_ann_index(old, "vec_id", "embedding", fpath, n_centroids=8)
+    write_ann_index(old, "vec_id", "embedding", qpath, n_centroids=8, quantize=True)
+    append_to_ann_index(new, "vec_id", "embedding", fpath)
+    append_to_ann_index(new, "vec_id", "embedding", qpath)  # must quantize too
+
+    def topk(path):
+        return {
+            q: {r["neighbor_id"]
+                for r in ann_query_index(queries, path, "vec_id", "embedding",
+                                          k=10, n_probe=3).collect()
+                if r["vec_id"] == q}
+            for q in range(5)
+        }
+
+    fl, qt = topk(fpath), topk(qpath)
+    for q in range(5):
+        overlap = len(fl[q] & qt[q]) / max(1, len(fl[q]))
+        assert overlap >= 0.9, f"query {q}: SQ8 overlap {overlap} ({fl[q]} vs {qt[q]})"
+
+    # the quantized lists really are int8 (schema check, not just results)
+    lists = spark.read.parquet(str(tmp_path / "annq" / "lists"))
+    assert "__qv__" in lists.columns
+    assert dict(lists.dtypes)["__qv__"] == "array<tinyint>"

@@ -1025,9 +1025,7 @@ def ns_curation_chunking(spark, sf_dir):
     )
 
 
-@query(
-    "ns_dedup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
         FROM documents
@@ -1058,8 +1056,10 @@ def ns_curation_chunking(spark, sf_dir):
     )
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM reach GROUP BY node
-    """,
-)
+"""
+
+
+@query("ns_dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def ns_dedup_clusters(spark, sf_dir):
     """Near-dup pairs -> connected components: per-doc cluster ids via
     min-label propagation (the keep/drop resolution step after any
@@ -1583,3 +1583,15 @@ def ns_curation_token_budget(spark, sf_dir):
     return kept.select(
         "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
     )
+
+
+@query("ns_dedup_clusters_star", extended=True, oracle=_CLUSTERS_ORACLE)
+def ns_dedup_clusters_star(spark, sf_dir):
+    """The large-star/small-star variant of duplicate clustering
+    (Kiveris SoCC'14 — O(log^2 n) rounds regardless of graph diameter)
+    checked against the SAME recursive-CTE transitive-closure oracle as
+    the propagation entry: two independent algorithms, one ground
+    truth."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    return dedup.dedup_clusters_star(pairs)

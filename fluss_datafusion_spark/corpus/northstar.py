@@ -1595,3 +1595,43 @@ def ns_dedup_clusters_star(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
     return dedup.dedup_clusters_star(pairs)
+
+
+@query(
+    "ns_curation_apply_mixture",
+    extended=True,
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                   count(*) AS ng FROM stats),
+    w AS (
+        SELECT source,
+               least(1.0, round((1.0 / ng) / (n_tokens / CAST(total AS DOUBLE)), 6))
+                   AS frac
+        FROM stats CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w ON d.source = w.source
+    WHERE CAST(('0x' || substr(
+              md5('mixture-0' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) < w.frac * 4294967296.0
+    """,
+)
+def ns_curation_apply_mixture(spark, sf_dir):
+    """Mixture MATERIALIZATION: compute uniform-target domain weights
+    (the ns_curation_mixture computation) and actually resample the
+    corpus with them — per-doc seeded-md5 keep draws at min(1, weight)
+    per domain.  Both engines derive the identical kept set; the weights
+    ride in as an O(domains) broadcast against the streamed corpus."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    weights = curation.domain_mixture_weights(docs, "source", "text")
+    kept = curation.apply_mixture(docs, weights, "doc_id", "source")
+    return kept.select("doc_id", "source")

@@ -716,6 +716,47 @@ def domain_mixture_weights(
     )
 
 
+def apply_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str = "weight",
+    seed: str = "mixture-0",
+) -> DataFrame:
+    """Materialize a mixture: keep each document with probability
+    ``min(1, weight)`` of its domain — the downstream half of
+    ``domain_mixture_weights`` (weights > 1 mean the domain should be
+    UP-sampled; a keep-filter can only cap at 1.0 — epoch-level
+    repetition is the trainer's lever, so the cap is documented, not
+    hidden).  The draw is a seeded md5 threshold per document:
+    deterministic, engine-reproducible, independent across domains.
+
+    Scale shape: the weights table is O(domains) and joins as a
+    stats-based broadcast against the streamed corpus; the keep
+    decision is a pure map-side expression — one narrow pass, no
+    shuffle of the corpus.
+    """
+    w = weights.select(
+        F.col(group_col).alias("__grp__"),
+        F.least(F.lit(1.0), F.col(weight_col).cast("double")).alias("__frac__"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(w, docs[group_col] == w["__grp__"])
+        .filter(bucket < F.col("__frac__") * F.lit(4294967296.0))
+        .drop("__grp__", "__frac__")
+    )
+
+
 def dedup_representatives(
     docs: DataFrame,
     pairs: DataFrame,

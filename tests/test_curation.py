@@ -392,3 +392,25 @@ def test_sample_to_token_budget_greedy_prefix(spark):
 
     with _pytest.raises(ValueError):
         curation.sample_to_token_budget(df, "doc_id", "text", 0)
+
+
+def test_apply_mixture_downsamples_by_weight(spark):
+    """A domain with weight 0.25 keeps ~25% of its docs (seeded md5
+    draw); weight >= 1 keeps everything; weight 0 drops the domain."""
+    rows = [(i, "text " * 5, ["heavy", "light", "drop"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = spark.createDataFrame(
+        [("heavy", 1.7), ("light", 0.25), ("drop", 0.0)],
+        "source string, weight double",
+    )
+    kept = curation.apply_mixture(df, weights, "doc_id", "source").collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += 1
+    assert by_src.get("heavy") == 200          # capped at 1.0 -> all kept
+    assert "drop" not in by_src                # weight 0 -> gone
+    assert 25 <= by_src.get("light", 0) <= 75  # ~50 of 200, wide tolerance
+
+    again = curation.apply_mixture(df, weights, "doc_id", "source").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}

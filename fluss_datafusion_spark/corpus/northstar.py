@@ -266,7 +266,8 @@ _EXACT_TOP10_ORACLE = """
             FROM scored
         ) WHERE rank <= 10
     )
-    SELECT vec_id, list(neighbor_id ORDER BY neighbor_id) AS exact_ids,
+    SELECT vec_id,
+           array_to_string(list(neighbor_id ORDER BY neighbor_id), ',') AS exact_ids,
            TRUE AS recall_ok
     FROM topk GROUP BY vec_id
 """
@@ -311,7 +312,16 @@ def _ann_recall_entry(spark, sf_dir, ann_fn, floor: float):
     return (
         exact.groupBy("vec_id")
         .agg(
-            F.sort_array(F.collect_list("neighbor_id")).alias("exact_ids"),
+            # Serialized (not array<bigint>) because the driver's pandas
+            # canonicalizer cannot sort/hash list-valued cells; numeric
+            # sort first so ordering matches the oracle's ORDER BY.
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("neighbor_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("exact_ids"),
             F.count(F.lit(1)).alias("n_exact"),
         )
         .join(hits, "vec_id", "left")

@@ -77,6 +77,7 @@ def main():
     # local gate checks the full corpus, not just the driver's window.
     from fluss_datafusion_spark import corpus
 
+    core_names = set(entry_mod.queries())
     queries = {**entry_mod.queries(), **corpus.EXTRA_QUERIES}
     oracles = {**entry_mod.oracle_sql(), **corpus.EXTRA_ORACLES}
     failures = []
@@ -87,6 +88,23 @@ def main():
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
+            # Mirror the driver's limitation exactly: its pandas-based
+            # canonicalizer cannot sort/hash list-valued cells, so any
+            # core-window result with an array/map/struct column is an
+            # ERR row in CORRECTNESS_r{N}.json (r3: ns_sim_ann_* —
+            # TypeError: unhashable type: 'list').  Fail it HERE first.
+            if name in core_names:
+                bad = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if bad:
+                    raise TypeError(
+                        f"core-window entry emits non-scalar column(s) {bad}; "
+                        "the driver's canonicalizer cannot hash these — "
+                        "serialize to string (concat_ws/to_json) on both sides"
+                    )
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:

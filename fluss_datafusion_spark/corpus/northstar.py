@@ -1500,7 +1500,6 @@ def ns_curation_heavy_hitters(spark, sf_dir):
 
 @query(
     "ns_fuzzy_name_pairs",
-    extended=True,
     oracle="""
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
@@ -1524,7 +1523,6 @@ def ns_fuzzy_name_pairs(spark, sf_dir):
 
 @query(
     "ns_dedup_containment",
-    extended=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk

@@ -782,6 +782,9 @@ def q29_pivot(spark, sf_dir):
 
 @query(
     "q30_explode_wordcount",
+    # Rotated out of the driver window in r4 for ns_dedup_containment —
+    # the explode/table-function category keeps its q29 core row.
+    extended=True,
     oracle="""
     SELECT word, count(*) AS n
     FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
@@ -940,6 +943,9 @@ def q35_top_revenue_supplier(spark, sf_dir):
 
 @query(
     "q36_window_lag_lead",
+    # Rotated out of the driver window in r4 for ns_fuzzy_name_pairs —
+    # the window-function category keeps its q14 core row.
+    extended=True,
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_orderkey) OVER w AS prev_orderkey,

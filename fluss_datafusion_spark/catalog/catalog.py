@@ -102,6 +102,10 @@ class FlussCatalog:
             if not os.path.isdir(db_dir):
                 continue
             for table in sorted(os.listdir(db_dir)):
+                # in-flight swap dirs from optimize/compact (or a crash
+                # mid-swap) are not tables; the live dir wins
+                if table.endswith((".old", ".optimize", ".compact")):
+                    continue
                 spec_file = os.path.join(db_dir, table, "_spec.json")
                 if not os.path.isfile(spec_file):
                     continue
@@ -250,6 +254,7 @@ class FlussCatalog:
             raise ValueError(f"table already exists: {db}.{new_name}")
         old_path = self.table_path(spec)
         old_seq = self._seq.pop(spec.qualified_name, None)
+        old_floor = self._floor.pop(spec.qualified_name, None)
         self.databases[db].pop(table)
         self.spark.catalog.dropTempView(self._view_name(spec))
         if db == self.default_database:
@@ -260,6 +265,11 @@ class FlussCatalog:
             # upsert ordering must survive the rename: new writes need
             # HIGHER __seq__ stamps than every row already in the log
             self._seq[spec.qualified_name] = old_seq
+        if old_floor is not None:
+            # the compaction floor must survive too, or time travel /
+            # require_full_history on the renamed table would silently
+            # serve partial post-compaction state instead of refusing
+            self._floor[spec.qualified_name] = old_floor
         new_path = self.table_path(spec)
         if os.path.exists(old_path):
             os.rename(old_path, new_path)
@@ -700,8 +710,10 @@ class FlussCatalog:
         a scan over thousands of small files pays per-file open cost and
         tiny row groups.  Returns the number of files after the rewrite.
 
-        Same atomic pattern as compact: write to a temp dir, swap via
-        rename, restore _spec.json.
+        Same crash-safe swap as compact: write to a temp dir, rename the
+        live dir aside, rename the temp into place, drop the aside copy
+        (_swap_dir) — a crash at any single point leaves a complete
+        recoverable directory, then restore _spec.json.
         """
         spec = self.get_table(name)
         path = self.table_path(spec)
@@ -725,8 +737,7 @@ class FlussCatalog:
             writer = log.repartition(n_files).write.mode("overwrite")
         writer.parquet(tmp)
         current = self._current_seq(spec)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_dir(path, tmp)
         if spec.has_primary_key:
             self._seq[spec.qualified_name] = current
         self._save_spec(spec)
@@ -763,12 +774,23 @@ class FlussCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
         current = self._current_seq(spec)  # recover BEFORE the log vanishes
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_dir(path, tmp)
         self._seq[spec.qualified_name] = current
         self._floor[spec.qualified_name] = current
         self._save_spec(spec)  # compaction replaced the dir; restore + floor
         self._register_view(spec)
+
+
+def _swap_dir(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` via rename-aside: a crash at any
+    single point leaves a complete directory (with its _spec.json)
+    recoverable at ``path`` or ``path + '.old'`` — never the
+    rmtree-then-rename window where the table has vanished entirely."""
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # stale aside from a prior crash
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _parquet_files(path: str) -> set:

@@ -102,8 +102,9 @@ def ns_dedup_minhash_lsh(spark, sf_dir):
     "ns_dedup_simhash",
     oracle="""
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
-               AS n_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT)
+           END AS n_tokens,
            TRUE AS order_invariant,
            TRUE AS scale_invariant
     FROM documents

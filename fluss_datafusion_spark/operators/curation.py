@@ -202,14 +202,19 @@ def sample_to_token_budget(
     budget applies PER STRATUM (uniform domain draws; pair with
     ``domain_mixture_weights`` for weighted ones).
 
-    The last admitted document may overshoot the budget by less than its
-    own length (inclusive-cumsum rule) — the standard greedy-prefix
-    contract, deterministic on any engine.
+    The kept total NEVER exceeds the budget: a document is admitted only
+    if the inclusive cumulative sum stays within it, so the draw
+    undershoots by at most the first rejected document's length
+    (strict no-overshoot contract, deterministic on any engine; the
+    oracle applies the same ``cum <= budget`` rule).
 
-    Scale shape: one hash-ordered window per stratum (range-partitioned
-    sort; with strata it shuffles on the stratum key) computing a
-    running token sum — no collect, no iteration; the token counts are
-    pure JVM expressions on the scan.
+    Scale shape: with strata, one hash-ordered window per stratum
+    (shuffles on the stratum key) computing a running token sum.
+    Without strata, a ``Window.partitionBy()`` running sum would be an
+    Exchange SinglePartition (one-task global sort), so the global case
+    instead uses md5-prefix bucketing (``training.md5_prefix_ranked``):
+    parallel within-bucket cumsums + broadcast preceding-bucket sums.
+    No collect, no iteration; token counts are pure JVM expressions.
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
@@ -218,15 +223,26 @@ def sample_to_token_budget(
     key = F.md5(
         F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
     )
-    parts = [F.col(c) for c in (strata_cols or [])]
+    tok = df.withColumn("__tok__", token_count(F.col(text_col)))
+    if not strata_cols:
+        from fluss_datafusion_spark.operators.training import md5_prefix_ranked
+
+        ranked, rank_col = md5_prefix_ranked(
+            tok.withColumn("__key__", key), "__key__", id_col,
+            sum_col="__tok__",
+        )
+        return (
+            ranked.filter(F.col("__gcum__") <= budget_tokens)
+            .drop("__key__", rank_col, "__gcum__", "__tok__")
+        )
+    parts = [F.col(c) for c in strata_cols]
     w = (
         Window.partitionBy(*parts)
         .orderBy(key, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("__tok__", token_count(F.col(text_col)))
-        .withColumn("__cum__", F.sum("__tok__").over(w))
+        tok.withColumn("__cum__", F.sum("__tok__").over(w))
         .filter(F.col("__cum__") <= budget_tokens)
         .drop("__tok__", "__cum__")
     )

@@ -24,9 +24,10 @@ Scale shapes (100 TB posture):
   so the SQL oracle reproduces counts exactly; a production run at
   corpus scale would group by a 128-bit hash (collision odds ~1e-20)
   to cut shuffle bytes — same plan, narrower key.
-- deterministic_shuffle is one global range-partitioned sort (Spark
-  samples split points; no single-node bottleneck).  The md5 sort key
-  is computed map-side.
+- deterministic_shuffle ranks inside 16^prefix_len md5-prefix buckets
+  in parallel and broadcast-joins preceding-bucket offsets — no
+  Exchange SinglePartition (a Window.orderBy global rank would be a
+  one-task sort).  The md5 sort key is computed map-side.
 - shard assignment is a narrow projection (zero shuffles); the manifest
   is one groupBy over n_shards groups.
 """
@@ -116,15 +117,88 @@ def _md5_sort_key(id_col: str, seed: str):
     return F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
 
 
+def md5_prefix_ranked(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    prefix_len: int = 3,
+    sum_col: str = None,
+):
+    """Scalable global rank under an md5-hex sort key, WITHOUT the
+    ``Window.orderBy`` single-partition exchange (a one-task global sort
+    that dies at scale).
+
+    md5 hex digits sort lexicographically (0-9 < a-f in ASCII), so the
+    global order by (key, tiebreak) equals (prefix-bucket, key, tiebreak)
+    order for any prefix split.  And md5 is uniform, so a ``prefix_len``-
+    char bucket key yields 16^prefix_len near-equal groups.  Therefore:
+    rank inside each bucket in parallel (hash-partitioned window), count
+    rows per bucket (map-side-combined agg over <= 16^prefix_len groups),
+    turn counts into preceding-bucket offsets (a window over the TINY
+    counts table only), and broadcast-join the offsets back:
+    global_rank = bucket_offset + within-bucket rank.
+
+    Default 3 hex chars = 4096 buckets (~25 GB/bucket at 100 TB); raise
+    ``prefix_len`` for bigger corpora — cost is only the offsets table.
+
+    Returns (ranked_df, rank_col_name): ``__grank__`` is the dense
+    1-based BIGINT global rank; internal columns are already dropped.
+    With ``sum_col`` the result also carries ``__gcum__`` — the global
+    inclusive running sum of that column under the same order (same
+    plan: within-bucket cumsum + broadcast preceding-bucket sums).
+    """
+    bkt = F.substring(F.col(key_col), 1, prefix_len)
+    w = Window.partitionBy("__bkt__").orderBy(key_col, tiebreak_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        df.withColumn("__bkt__", bkt)
+        .withColumn("__rn__", F.row_number().over(w))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    if sum_col is not None:
+        ranked = ranked.withColumn("__cs__", F.sum(sum_col).over(wcum))
+        aggs.append(F.sum(sum_col).alias("__s__"))
+    counts = ranked.groupBy("__bkt__").agg(*aggs)
+    woff = Window.orderBy("__bkt__").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        "__bkt__",
+        F.coalesce(F.sum("__n__").over(woff), F.lit(0)).alias("__off__"),
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__s__").over(woff), F.lit(0)).alias("__soff__")
+        )
+    offsets = counts.select(*off_cols)
+    out = (
+        ranked.join(F.broadcast(offsets), "__bkt__")
+        .withColumn("__grank__", F.col("__off__") + F.col("__rn__"))
+    )
+    if sum_col is not None:
+        out = out.withColumn("__gcum__", F.col("__soff__") + F.col("__cs__"))
+        out = out.drop("__cs__", "__soff__")
+    return out.drop("__bkt__", "__rn__", "__off__"), "__grank__"
+
+
 def deterministic_shuffle(
-    docs: DataFrame, id_col: str, seed: str = "shuffle-0"
+    docs: DataFrame, id_col: str, seed: str = "shuffle-0", prefix_len: int = 3
 ) -> DataFrame:
     """Global pseudorandom permutation: every row gains ``shuffle_pos``
     (1-based, dense) = its rank under md5(seed|id).  Changing the seed
     yields an independent permutation; the same seed reproduces the same
-    order on any engine.  One range-partitioned global sort."""
-    w = Window.orderBy(_md5_sort_key(id_col, seed), F.col(id_col))
-    return docs.withColumn("shuffle_pos", F.row_number().over(w))
+    order on any engine.
+
+    Scale shape: bucketed parallel rank + broadcast offsets
+    (``md5_prefix_ranked``), not a global-window sort — no
+    Exchange SinglePartition anywhere in the plan."""
+    ranked, rank_col = md5_prefix_ranked(
+        docs.withColumn("__key__", _md5_sort_key(id_col, seed)),
+        "__key__",
+        id_col,
+        prefix_len=prefix_len,
+    )
+    return ranked.withColumn("shuffle_pos", F.col(rank_col)).drop(
+        "__key__", rank_col
+    )
 
 
 def shard_assignments(

@@ -244,3 +244,56 @@ def test_optimize_and_compact_sql_statements(spark, tmp_path):
     # compacted: one image per key, changelog collapsed to +I rows
     ops = {r["op"] for r in e.sql("SELECT op FROM m$changelog").collect()}
     assert ops == {"+I"}
+
+
+def test_rename_preserves_compaction_floor(spark, tmp_path):
+    """ADVICE r3: rename must migrate the compaction floor with the seq
+    counter, so time travel below the floor and require_full_history
+    still REFUSE on the renamed table instead of serving partial
+    post-compaction state — in this session and after a restart."""
+    from fluss_datafusion_spark import EngineSession
+
+    wh = str(tmp_path / "wh_ren_floor")
+    e = EngineSession(spark=spark, warehouse=wh)
+    e.sql("CREATE TABLE rf (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO rf VALUES (1, 'v1')")
+    e.sql("INSERT INTO rf VALUES (1, 'v2')")
+    e.catalog.compact("rf")
+    e.sql("ALTER TABLE rf RENAME TO rf2")
+
+    with pytest.raises(ValueError, match="compaction"):
+        e.catalog.read("rf2", as_of_seq=1)
+    with pytest.raises(ValueError, match="snapshot\\+incremental"):
+        e.catalog.read_changelog("rf2", require_full_history=True)
+    # the floor must also be persisted under the NEW name
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    with pytest.raises(ValueError, match="compaction"):
+        e2.catalog.read("rf2", as_of_seq=1)
+
+
+def test_swap_dirs_not_attached_as_tables(spark, tmp_path):
+    """A crash mid-optimize/compact can leave `<table>.old` /
+    `<table>.optimize` dirs with a _spec.json inside; a new session must
+    attach only the live table."""
+    import os
+    import shutil
+
+    from fluss_datafusion_spark import EngineSession
+
+    wh = str(tmp_path / "wh_swapdirs")
+    e = EngineSession(spark=spark, warehouse=wh)
+    e.sql("CREATE TABLE sw (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO sw VALUES (1, 'a')")
+    path = e.catalog.table_path(e.catalog.get_table("sw"))
+    shutil.copytree(path, path + ".old")
+    shutil.copytree(path, path + ".optimize")
+
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    names = {r["table_name"] for r in
+             e2.sql("SELECT table_name FROM information_schema.tables").collect()}
+    assert "sw" in names and "sw.old" not in names and "sw.optimize" not in names
+    assert e2.sql("SELECT count(*) AS n FROM sw").collect()[0]["n"] == 1
+    # optimize still swaps cleanly with a stale .old dir present
+    e2.catalog.optimize("sw")
+    assert not os.path.exists(path + ".old")
+    assert e2.sql("SELECT count(*) AS n FROM sw").collect()[0]["n"] == 1

@@ -88,3 +88,55 @@ def test_shard_manifest_totals(spark):
     assert sum(r["n_tokens"] for r in man) == sum(i % 5 + 1 for i in range(50))
     for r in man:
         assert r["min_id"] <= r["max_id"]
+
+
+def test_shuffle_rank_matches_global_sort_and_avoids_single_partition(spark):
+    """ADVICE r3: the global rank must not plan as Exchange
+    SinglePartition over the DATA.  The md5-prefix-bucketed rank must
+    (a) equal the naive global-window rank exactly, and (b) put the
+    data-side window behind a hash partitioning on the bucket; the only
+    SinglePartition allowed is the tiny per-bucket offsets table."""
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    fast = training.deterministic_shuffle(df, "doc_id", seed="s")
+    key = F.md5(F.concat_ws("|", F.lit("s"), F.col("doc_id").cast("string")))
+    naive = df.withColumn(
+        "shuffle_pos", F.row_number().over(Window.orderBy(key, F.col("doc_id")))
+    )
+    assert {(r["doc_id"], r["shuffle_pos"]) for r in fast.collect()} == {
+        (r["doc_id"], r["shuffle_pos"]) for r in naive.collect()
+    }
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    window_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert window_lines and all("__bkt__" in l for l in window_lines)
+
+
+def test_token_budget_global_path_no_single_partition_cumsum(spark):
+    """The unstratified token-budget draw uses the same bucketed plan;
+    its kept set must equal the naive global-window cumsum filter."""
+    from pyspark.sql import Window
+    from fluss_datafusion_spark.operators import curation
+    from fluss_datafusion_spark.functions.text import token_count
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("w"), F.col("id").cast("string"),
+                    F.lit("x y z")).alias("text"),
+    )
+    fast = curation.sample_to_token_budget(df, "doc_id", "text", 300, seed="b")
+    key = F.md5(F.concat_ws("|", F.lit("b"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        df.withColumn("__tok__", token_count(F.col("text")))
+        .withColumn("__cum__", F.sum("__tok__").over(w))
+        .filter(F.col("__cum__") <= 300)
+    )
+    assert {r["doc_id"] for r in fast.collect()} == {
+        r["doc_id"] for r in naive.collect()
+    }
+    # kept totals never exceed the budget (strict no-overshoot contract)
+    total = fast.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert total <= 300

@@ -75,6 +75,7 @@ def incremental_dedup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.4,
     max_bucket_size: int = 256,
+    keep_markers: bool = False,
 ) -> DataFrame:
     """Near-dup pairs touching the new batch: batch-vs-index and
     batch-vs-batch, exactly verified at ``threshold``.  Pairs wholly
@@ -83,6 +84,10 @@ def incremental_dedup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; requires globally
     unique ids across index and batch (the ingest pipeline's invariant).
+    With ``keep_markers`` the result also carries (a_new, b_new)
+    booleans — whether each endpoint is a batch document — so callers
+    like ``dedup_ingest_sink`` derive their drop rule without re-joining
+    the pair set against the batch ids.
 
     Scale shape: the batch's buckets are tiny; joining them to the index
     buckets shuffles on (band, bucket) and only index rows in TOUCHED
@@ -93,20 +98,31 @@ def incremental_dedup_pairs(
     buckets exactly like the batch-global operator.
     """
     spark = new_docs.sparkSession
+    # The batch's shingle+minhash banding is the expensive interpreted
+    # pipeline and feeds BOTH the touched-bucket probe and the pairing
+    # union — persist so it runs once (batch-sized, released with the
+    # candidate cache via _attach_cached_deps).
     new_buckets = minhash_band_buckets(
         new_docs, id_col, text_col, k, num_perm, rows_per_band
-    )
+    ).persist()
     idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets"))
 
     # Restrict the index to buckets the batch actually touches, then pair
     # bucket-locally over the union (new ids see old ids AND each other).
-    touched = new_buckets.select("__band__", "__bucket__").distinct()
+    # ``touched`` is O(batch x bands) — broadcast it so the (corpus-
+    # sized at 100 TB) index bucket table is filtered where it is read,
+    # never shuffled.
+    touched = F.broadcast(new_buckets.select("__band__", "__bucket__").distinct())
     idx_touched = idx_buckets.join(touched, ["__band__", "__bucket__"])
     all_buckets = new_buckets.unionByName(idx_touched)
-    candidates = _bucket_local_pairs(
+    # Keep the persisted handle: the marker joins below derive a NEW
+    # DataFrame, and unpersist() only releases the exact plan it is
+    # called on — attaching the derived frame would leak the cache.
+    raw_candidates = _bucket_local_pairs(
         all_buckets, ["__band__", "__bucket__"], max_bucket_size,
         "incremental_bucket_guard",
     )
+    candidates = raw_candidates
 
     # Drop corpus-internal pairs: keep pairs with >=1 endpoint in the
     # batch.  Expressed as two equi left-joins + an OR filter, NOT a
@@ -116,22 +132,37 @@ def incremental_dedup_pairs(
     new_ids = new_docs.select(F.col(id_col).alias("__nid__")).distinct()
     candidates = (
         candidates.join(
-            new_ids.select(F.col("__nid__").alias("id_a"), F.lit(True).alias("__a_new__")),
+            F.broadcast(
+                new_ids.select(
+                    F.col("__nid__").alias("id_a"), F.lit(True).alias("__a_new__")
+                )
+            ),
             "id_a",
             "left",
         )
         .join(
-            new_ids.select(F.col("__nid__").alias("id_b"), F.lit(True).alias("__b_new__")),
+            F.broadcast(
+                new_ids.select(
+                    F.col("__nid__").alias("id_b"), F.lit(True).alias("__b_new__")
+                )
+            ),
             "id_b",
             "left",
         )
         .filter(F.col("__a_new__").isNotNull() | F.col("__b_new__").isNotNull())
-        .select("id_a", "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__a_new__").isNotNull().alias("a_new"),
+            F.col("__b_new__").isNotNull().alias("b_new"),
+        )
     )
 
-    cand_ids = candidates.select(
-        F.explode(F.array("id_a", "id_b")).alias("__id__")
-    ).distinct()
+    cand_ids = F.broadcast(
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("__id__")
+        ).distinct()
+    )
     # Semi-join each side down to candidate ids BEFORE shingling the
     # batch (Catalyst does not push a semi-join below the interpreted
     # zip_with shingle projection — shingle-then-filter would shingle
@@ -154,9 +185,14 @@ def incremental_dedup_pairs(
             / F.size(F.array_union("sa.__sh__", "sb.__sh__")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            *(["a_new", "b_new"] if keep_markers else []),
+        )
     )
-    return _attach_cached_deps(verified, candidates)
+    return _attach_cached_deps(verified, raw_candidates, new_buckets)
 
 
 def append_to_index(
@@ -289,31 +325,20 @@ def dedup_ingest_sink(
                     )
                 return
             pairs = incremental_dedup_pairs(
-                batch_df, index_path, id_col, text_col, threshold=threshold
+                batch_df, index_path, id_col, text_col, threshold=threshold,
+                keep_markers=True,
             )
-            new_ids = batch_df.select(F.col(id_col).alias("__nid__")).distinct()
             # Every pair touches the batch (incremental_dedup_pairs
-            # guarantees it).  If one endpoint is already indexed, the
-            # OTHER endpoint is the batch doc — drop it whichever id is
-            # greater (the corpus copy must win; batch ids are only
-            # globally unique, not monotone with ingest order).  Pairs
-            # wholly inside the batch fall back to greater-id-drops.
-            marked = pairs.join(
-                new_ids.select(
-                    F.col("__nid__").alias("id_a"), F.lit(True).alias("__a_new__")
-                ),
-                "id_a",
-                "left",
-            ).join(
-                new_ids.select(
-                    F.col("__nid__").alias("id_b"), F.lit(True).alias("__b_new__")
-                ),
-                "id_b",
-                "left",
-            )
-            drop = marked.select(
-                F.when(F.col("__b_new__").isNull(), F.col("id_a"))
-                .when(F.col("__a_new__").isNull(), F.col("id_b"))
+            # guarantees it) and carries (a_new, b_new) endpoint markers
+            # already — no re-join against the batch ids here.  If one
+            # endpoint is already indexed, the OTHER endpoint is the
+            # batch doc — drop it whichever id is greater (the corpus
+            # copy must win; batch ids are only globally unique, not
+            # monotone with ingest order).  Pairs wholly inside the
+            # batch fall back to greater-id-drops.
+            drop = pairs.select(
+                F.when(~F.col("b_new"), F.col("id_a"))
+                .when(~F.col("a_new"), F.col("id_b"))
                 .otherwise(F.greatest("id_a", "id_b"))
                 .alias(id_col)
             ).distinct()

@@ -730,16 +730,21 @@ def test_dedup_candidate_cache_released(spark):
         [(1, base), (2, base.replace("today", "tomorrow")), (3, "unrelated words")],
         "doc_id int, text string",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    # Compare against the pre-existing set: a shared test session may
-    # hold localCheckpoint RDDs from other tests, which clearCache()
-    # does not (and must not) drop.
-    baseline = jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    # Diff id SETS, not counts: the shared session's ContextCleaner can
+    # asynchronously drop other tests' abandoned localCheckpoint RDDs
+    # between reads, so absolute-count equality is order-dependent
+    # (observed flake, r3).  Only RDD ids created by THIS call matter.
+    baseline = persistent_ids()
     pairs = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.4)
     assert pairs.count() == 1  # materializes (and caches) the candidates
-    assert jsc.getPersistentRDDs().size() > baseline, "expected the candidate cache"
+    ours = persistent_ids() - baseline
+    assert ours, "expected the candidate cache"
     release_candidate_cache(pairs)
-    assert jsc.getPersistentRDDs().size() == baseline, "candidate cache leaked"
+    assert not (persistent_ids() & ours), "candidate cache leaked"
 
 
 def test_ann_index_append_matches_full_rebuild_queries(spark, tmp_path, testdata):

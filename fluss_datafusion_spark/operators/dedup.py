@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.functions.text import fingerprint, word_shingles
 from fluss_datafusion_spark.session import spread_small_scan
-from fluss_datafusion_spark.functions.vector import cosine
+# cosine_fast: Arrow-batched numpy kernel, bit-identical to the JVM
+# fold (dim-order accumulation) but 10-100x faster per row.
+from fluss_datafusion_spark.functions.vector import cosine_fast as cosine
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,8 +1,9 @@
 """Similarity search over embedding columns.
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
-  The query vectors are broadcast (tiny), the corpus streams; per-row
-  cosine is JVM-side, then TakeOrderedAndProject keeps k.  Linear scan:
+  The query vectors are broadcast (tiny), the corpus streams; cosine
+  runs in the Arrow-batched numpy kernel (bit-identical to the JVM
+  fold), then TakeOrderedAndProject keeps k.  Linear scan:
   right answer at any scale, bounded memory.
 - ``lsh_ann_topk``: random-hyperplane LSH — the scale path.  Corpus is
   bucketed once by sign-pattern; a query probes only its own bucket
@@ -19,7 +20,9 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fluss_datafusion_spark.functions.vector import cosine
+# cosine_fast: Arrow-batched numpy kernel, bit-identical to the JVM
+# fold (dim-order accumulation) but 10-100x faster per row.
+from fluss_datafusion_spark.functions.vector import cosine_fast as cosine
 from fluss_datafusion_spark.session import spread_small_scan
 
 

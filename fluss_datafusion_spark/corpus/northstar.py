@@ -1267,6 +1267,183 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "ns_pipeline_ingest_e2e",
+    extended=True,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+               length(text) AS n_char,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS ntok,
+               (least(1.0, len(tk) / 20.0)
+                + (CASE WHEN n_char > 0 THEN CAST(n_alpha AS DOUBLE)/n_char ELSE 0 END)
+                + (CASE WHEN len(tk) > 0
+                        AND CAST(n_char AS DOUBLE)/len(tk) BETWEEN 3 AND 12
+                        THEN 1.0 ELSE 0.0 END)) / 3.0 AS qs
+        FROM d
+    ),
+    lines AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> length(l) > 0) AS ls
+        FROM documents
+    ),
+    linestats AS (
+        SELECT doc_id,
+               CASE WHEN len(ls) > 0
+                    THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                    ELSE 0.0 END AS dlf
+        FROM lines
+    ),
+    bg AS (
+        SELECT d.doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+        FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ),
+    perdoc AS (
+        SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS nbg
+        FROM (SELECT doc_id, bigram, count(*) AS c
+              FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id
+    ),
+    curated AS (
+        SELECT q.doc_id, doc_id % 2 AS batch,
+               regexp_replace(regexp_replace(regexp_replace(d.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IPV4>', 'g'),
+                   '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}', '<PHONE>', 'g')
+                   AS rtext
+        FROM q JOIN d USING (doc_id)
+             JOIN linestats l USING (doc_id)
+             LEFT JOIN perdoc p USING (doc_id)
+        WHERE q.qs >= 0.3 AND q.ntok >= 5 AND l.dlf <= 0.3
+          AND NOT (coalesce(p.nbg, 0) > 0
+                   AND p.top / CAST(p.nbg AS DOUBLE) > 0.5)
+    ),
+    shing AS (
+        SELECT doc_id, batch,
+               list_distinct(list_transform(range(len(rtk) - 2),
+                   i -> rtk[i+1] || ' ' || rtk[i+2] || ' ' || rtk[i+3])) AS s
+        FROM (SELECT doc_id, batch,
+                     regexp_split_to_array(lower(trim(rtext)), '\\s+') AS rtk
+              FROM curated)
+        WHERE len(rtk) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.batch AS batch_a, b.batch AS batch_b
+        FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(a.s || b.s)) >= 0.4
+    ),
+    -- batch 0 ingests first into an empty index: drop the greater id of
+    -- every within-batch-0 pair
+    b0 AS (
+        SELECT doc_id FROM curated WHERE batch = 0
+          AND doc_id NOT IN (
+            SELECT greatest(id_a, id_b) FROM pairs
+            WHERE batch_a = 0 AND batch_b = 0)
+    ),
+    -- batch 1: drop docs pairing with an indexed batch-0 SURVIVOR
+    -- (corpus copy wins), plus the greater id of within-batch-1 pairs
+    b1 AS (
+        SELECT doc_id FROM curated WHERE batch = 1
+          AND doc_id NOT IN (
+            SELECT CASE WHEN batch_a = 1 THEN id_a ELSE id_b END
+            FROM pairs
+            WHERE batch_a <> batch_b
+              AND (CASE WHEN batch_a = 0 THEN id_a ELSE id_b END)
+                  IN (SELECT doc_id FROM b0))
+          AND doc_id NOT IN (
+            SELECT greatest(id_a, id_b) FROM pairs
+            WHERE batch_a = 1 AND batch_b = 1)
+    )
+    SELECT doc_id, md5(rtext) AS redacted_md5
+    FROM curated
+    WHERE doc_id IN (SELECT doc_id FROM b0)
+       OR doc_id IN (SELECT doc_id FROM b1)
+    """,
+)
+def ns_pipeline_ingest_e2e(spark, sf_dir):
+    """The COMPOSED continuous-ingest pipeline, end to end: the
+    documents table replayed as a two-micro-batch stream (doc_id parity
+    split, even batch first) through ``dedup_ingest_sink`` — per batch:
+    quality filter -> PII redaction -> LSH dedup probe against the
+    persisted index (corpus-copy-wins drop rule) -> upsert survivors
+    into a PK engine table -> append survivors to the index so the next
+    batch dedups against them.  Returns the final table as
+    (doc_id, md5(redacted text)).
+
+    The oracle replays the same decisions in SQL: the composite quality
+    rules (ns_curation_quality_filter's), the redaction regexes
+    (ns_curation_pii_redact's), exact Jaccard >= 0.4 pairs on REDACTED
+    text (LSH recall ~1 at this threshold — the same argument every
+    dedup entry's oracle rests on), batch-0 greater-id drops, then
+    batch-1 drops against batch-0 survivors and within batch 1."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import (
+        curation_ingest_transform,
+        dedup_ingest_sink,
+        write_dedup_index,
+    )
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_e2e_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = os.path.join(root, "replay")
+    os.makedirs(replay)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    base = _time.time()
+    for i in (0, 1):  # one flat file per micro-batch, mtime-ordered
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(
+            src.filter(pc.equal(pc.bit_wise_and(src["doc_id"], 1), i)), fp
+        )
+        os.utime(fp, (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE pipeline_docs (doc_id BIGINT NOT NULL, text STRING,"
+        " PRIMARY KEY (doc_id))"
+    )
+    index = os.path.join(root, "idx")
+    write_dedup_index(
+        spark.createDataFrame([], docs.schema), "doc_id", "text", index
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    dedup_ingest_sink(
+        stream, e.catalog, "pipeline_docs", index,
+        os.path.join(root, "ckpt"),
+        threshold=0.4, transform=curation_ingest_transform(),
+    ).awaitTermination()
+    return e.sql(
+        "SELECT doc_id, md5(text) AS redacted_md5 FROM pipeline_docs"
+    )
+
+
+@query(
     "ns_curation_span_scrub",
     oracle="""
     WITH tk AS (

@@ -1267,6 +1267,42 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "ns_multimodal_jpeg_decode",
+    extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 16 + 1 AS INT) AS width,
+           CAST((5 * doc_id) % 16 + 1 AS INT) AS height,
+           CAST((37 * doc_id + 11) % 256 AS DOUBLE) AS mean_r,
+           CAST((37 * doc_id + 11) % 256 AS DOUBLE) AS mean_g,
+           CAST((37 * doc_id + 11) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def ns_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG pixel decode (the last r3 NotImplementedError
+    boundary, now closed): per document a complete SOF0 JPEG — DQT,
+    generated DHT Huffman tables, entropy-coded DC/AC data with byte
+    stuffing — is synthesized, then ``jpeg_pixel_stats`` Huffman-decodes,
+    dequantizes and IDCTs the actual coefficients back.  Flat grayscale
+    images quantize to a single DC coefficient, and with all-ones quant
+    tables the decode is EXACT (float margin ~1e-12 vs the 0.5 rounding
+    threshold), so the oracle states every mean in closed form."""
+    media = multimodal.synthesize_jpeg_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    stats = multimodal.jpeg_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "ns_pipeline_ingest_e2e",
     extended=True,
     oracle="""

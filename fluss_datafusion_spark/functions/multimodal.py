@@ -11,15 +11,21 @@ batch shape) is real and tested.  Decoding has two tiers:
   BITMAPINFOHEADER, JPEG SOFn marker scan), pure Python, no external
   libs.  This is exactly what production metadata probes do: read
   headers, never decompress pixels.
-- **Pixel decode (REAL for BMP and PNG)**: ``decode_bmp_pixels`` /
-  ``bmp_pixel_stats`` fully decode uncompressed 24-bit BI_RGB BMP
-  payloads (stride padding + bottom-up rows handled);
+- **Pixel decode (REAL for BMP, PNG and baseline JPEG)**:
+  ``decode_bmp_pixels`` / ``bmp_pixel_stats`` fully decode uncompressed
+  24-bit BI_RGB BMP payloads (stride padding + bottom-up rows handled);
   ``decode_png_pixels`` / ``png_pixel_stats`` decode non-interlaced
   8-bit PNG via stdlib zlib + spec unfiltering (all five scanline
-  filter types) — two complete lib-free decode paths.  JPEG pixel data
-  needs libjpeg-class codecs, absent in this build —
-  ``extract_features`` raises NotImplementedError unless ``fake=True``
-  (deterministic payload-derived fake, stable for tests).
+  filter types); ``decode_jpeg_pixels`` / ``jpeg_pixel_stats`` decode
+  baseline sequential JPEG (SOF0, 4:4:4/grayscale) — marker walk,
+  DHT Huffman entropy decode, dequantize, float64 IDCT, YCbCr→RGB —
+  three complete lib-free decode paths from the published specs
+  (T.81 for JPEG).  Progressive/subsampled/12-bit JPEG returns None
+  (graceful skip, the production posture for exotic variants);
+  ``extract_features(fake=False)`` runs these real decoders and pools
+  pixels into a feature vector, yielding null/decoded_ok=false for
+  payloads no decoder accepts (``fake=True`` keeps the deterministic
+  payload-derived fake for plumbing tests).
 - **Audio decode (REAL for PCM WAV)**: ``parse_wav_header`` walks the
   RIFF chunk layout (fmt/data, word-aligned); ``decode_wav_pcm`` /
   ``wav_pcm_stats`` decode 16-bit PCM sample bytes to amplitude stats —
@@ -102,18 +108,47 @@ def extract_features(media: DataFrame, fake: bool = True, dim: int = 8) -> DataF
     """Decode + feature-extract via Arrow-batched mapInPandas.
 
     With fake=True a deterministic per-payload feature is computed from
-    the raw bytes (byte histogram moments) — the real decoder would slot
-    into `_decode` unchanged.  Batch shape, schema, and partitioning are
-    the production ones.
+    the raw bytes (byte histogram moments).  With fake=False the REAL
+    decoders run: BMP/PNG/baseline-JPEG payloads decode to pixels and
+    yield a 2x2 pooled per-channel-mean feature (padded/truncated to
+    ``dim``); payloads no decoder accepts yield a null feature with
+    decoded_ok=false — the graceful-skip posture a production pipeline
+    needs, since a corpus always contains undecodable blobs.  Batch
+    shape, schema, and partitioning are the production ones either way.
     """
 
+    def _real_decode(payload) -> list:
+        import numpy as np
+
+        for decoder in (decode_png_pixels, decode_bmp_pixels,
+                        decode_jpeg_pixels):
+            try:
+                px = decoder(payload)
+            except Exception:
+                px = None
+            if px is None:
+                continue
+            px = np.asarray(px, dtype=np.float64)
+            if px.ndim == 2:
+                px = px[..., None]
+            h, w, c = px.shape
+            # 2x2 spatial pooling x channel means: a real, deterministic
+            # image feature (downsampled brightness layout)
+            out = []
+            for qy in range(2):
+                for qx in range(2):
+                    q = px[qy * ((h + 1) // 2):(h if qy else (h + 1) // 2),
+                           qx * ((w + 1) // 2):(w if qx else (w + 1) // 2)]
+                    out.append(float(q.mean()) / 255.0 if q.size else 0.0)
+            out.extend(float(px[..., i % c].mean()) / 255.0 for i in range(dim - 4))
+            return out[:dim]
+        return None
+
     def _decode(payload: bytes) -> list:
-        if not fake:
-            raise NotImplementedError(
-                "media decoding requires PIL/ffmpeg, not available in this build"
-            )
         if payload is None:
             return None
+        if not fake:
+            return _real_decode(payload)
         # Deterministic fake: moments of the byte distribution, fixed dim.
         n = len(payload) or 1
         out = []
@@ -762,6 +797,445 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
+# --------------------------------------------------------------------------
+# JPEG: baseline sequential DCT codec (ITU T.81), pure stdlib + numpy
+# --------------------------------------------------------------------------
+
+# Zigzag scan order: index i of the stream maps to (row, col) in the block.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix C: F = C @ B @ C.T, B = C.T @ F @ C."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit stream with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits  # pad with 0s (1s also legal)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data, un-stuffing FF00."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise EOFError  # a real marker: data exhausted
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_table(counts, symbols):
+    """(code, length) -> symbol map from a DHT definition, canonical
+    assignment per T.81 (code=0 grows left-to-right per length)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _magnitude_bits(v: int):
+    """(category, value-bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of _magnitude_bits (T.81 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+# Simple valid Huffman specs (Kraft-incomplete, no all-ones code): DC —
+# the 12 categories at 5 bits; AC — all 256 run/size symbols, 2 at 8
+# bits + 254 at 9 (a DHT count byte caps one length at 255 symbols).
+# Any conforming decoder (including ours) reads the tables from DHT, so
+# the encoder need not ship the Annex K defaults.
+_ENC_DC_COUNTS = [0, 0, 0, 0, 12] + [0] * 11
+_ENC_DC_SYMBOLS = list(range(12))
+_ENC_AC_COUNTS = [0] * 7 + [2, 254] + [0] * 7
+_ENC_AC_SYMBOLS = list(range(256))
+
+
+def _huff_encode_table(counts, symbols):
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def encode_jpeg_baseline(px) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    baseline sequential JPEG (SOF0), 4:4:4, all-ones quantization tables
+    (maximum fidelity: the only loss is FDCT/IDCT and color-transform
+    rounding).  Layout per T.81: SOI, DQT, SOF0, DHT x2, SOS, entropy
+    data with byte stuffing, EOI."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px.astype(np.float64) - 128.0]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [
+            np.round(c).clip(0, 255) - 128.0 for c in (y, cb, cr)
+        ]
+
+    C = _dct_matrix()
+    dc_tab = _huff_encode_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_tab = _huff_encode_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, comp in enumerate(comps):
+                # edge-replicated 8x8 block
+                ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+                xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+                block = comp[np.ix_(ys, xs)]
+                coef = np.round(C @ block @ C.T).astype(np.int64)
+                zz = coef.flat[_JPEG_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits = _magnitude_bits(diff)
+                code, length = dc_tab[s]
+                bw.put(code, length)
+                if s:
+                    bw.put(bits, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tab[0xF0]  # ZRL
+                        bw.put(code, length)
+                        run -= 16
+                    s, bits = _magnitude_bits(v)
+                    code, length = ac_tab[(run << 4) | s]
+                    bw.put(code, length)
+                    bw.put(bits, s)
+                    run = 0
+                if run:
+                    code, length = ac_tab[0x00]  # EOB
+                    bw.put(code, length)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    ncomp = len(comps)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all 1s
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS),
+    )
+    out += seg(
+        0xFFC4,
+        bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS),
+    )
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_pixels(payload):
+    """REAL pixel decode for baseline sequential JPEG (SOF0, 8-bit,
+    4:4:4 or grayscale, no restart intervals): marker walk, DHT/DQT
+    tables, Huffman + run-length entropy decode, dequantize, float64
+    IDCT, level shift, YCbCr->RGB.  Returns (H, W, C) uint8 (C = 1 or
+    3) or None for unsupported/invalid payloads (progressive SOF2,
+    subsampled chroma, 12-bit, arithmetic coding).  Pure stdlib+numpy —
+    the published T.81 layout, no libjpeg."""
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    qt = {}
+    dc_tables = {}
+    ac_tables = {}
+    h = w = None
+    comps = []  # (id, qt_id)
+    scan = None
+    scan_comps = []
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                qt[tq] = np.array(list(body[j + 1 : j + 65]), dtype=np.int64)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = list(body[j + 17 : j + 17 + n])
+                tbl = _huff_decode_table(counts, symbols)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                return None
+            for k in range(nc):
+                cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
+                if samp != 0x11:
+                    return None  # 4:4:4 / grayscale only
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+            if dri != 0:
+                return None  # restart intervals unsupported
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for k in range(ns):
+                cid, tabs = body[1 + 2 * k : 3 + 2 * k]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+            scan = b[i + 2 + seglen :]
+            break
+        i += 2 + seglen
+    if scan is None or h is None or not comps:
+        return None
+    if len(scan_comps) != len(comps):
+        return None
+
+    C = _dct_matrix()
+    reader = _BitReader(scan)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bwid * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    qt_of = {cid: tq for cid, tq in comps}
+    try:
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci, (cid, dct, act) in enumerate(scan_comps):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _huff_read(reader, dc_tables[dct])
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_read(reader, ac_tables[act])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 0xF
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(reader.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZIGZAG] = zz * qt[qt_of[cid]]
+                    block = C.T @ coef.reshape(8, 8) @ C
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    except (EOFError, KeyError, ValueError):
+        return None
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if len(planes) == 1:
+        out = np.round(planes[0]).clip(0, 255).astype(np.uint8)
+        return out.reshape(h, w, 1)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    out = np.stack(
+        [np.round(c).clip(0, 255).astype(np.uint8) for c in (r, g, bch)],
+        axis=-1,
+    )
+    return out
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Full-pixel JPEG decode over the binary column (baseline SOF0):
+    per-channel means from the reconstructed array — the JPEG twin of
+    ``png_pixel_stats``.  Arrow-batched mapInPandas; payloads never
+    leave the executors."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_pixels(payload)
+                if px is None:
+                    rows.append((mid, None, None, None, None, None, None, False))
+                else:
+                    h, w, c = px.shape
+                    means = px.reshape(-1, c).mean(axis=0)
+                    mr = float(means[0])
+                    mg = float(means[1]) if c > 1 else mr
+                    mb = float(means[2]) if c > 2 else mr
+                    rows.append((mid, w, h, c, mr, mg, mb, True))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "mean_r", "mean_g", "mean_b", "decoded_ok"],
+            )
+            for c in ("width", "height", "channels"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(_map, _PNG_STATS_SCHEMA)
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One complete baseline JPEG per id: a flat grayscale image of
+    value (37*id + 11) % 256 at (id%16+1) x ((5*id)%16+1).  A constant
+    image's blocks quantize to a single DC coefficient, and with
+    all-ones quant tables the decode reproduces the value EXACTLY
+    (float rounding margin ~1e-12 against the 0.5 rounding threshold),
+    so per-channel means are SQL-predictable to the last bit."""
+
+    def _jpg(i: int) -> bytes:
+        import numpy as np
+
+        w = i % 16 + 1
+        h = (5 * i) % 16 + 1
+        v = (37 * i + 11) % 256
+        return encode_jpeg_baseline(np.full((h, w), v, dtype=np.uint8))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_jpg(int(i)) for i in pdf["media_id"]],
                 }
             )
 

@@ -148,17 +148,38 @@ def test_ann_recall_against_bruteforce(spark, testdata):
     assert all(r["recall_ok"] for r in rows)
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_features_decode_or_skip(spark):
+    """fake=False runs the REAL decoders: an image payload yields a
+    pooled-pixel feature; an undecodable blob yields a null feature
+    with decoded_ok=false (graceful skip, not an exception)."""
+    import numpy as np
+
     from fluss_datafusion_spark.functions.multimodal import (
         documents_as_media,
+        encode_jpeg_baseline,
         extract_features,
+        synthesize_png_media,
     )
 
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
-    media = documents_as_media(docs)
-    with pytest.raises(Exception):
-        # fake=False hits the NotImplementedError decode stub inside the task
-        extract_features(media, fake=False).collect()
+    text_media = documents_as_media(docs)
+    rows = extract_features(text_media, fake=False).collect()
+    assert len(rows) == 1 and not rows[0]["decoded_ok"]
+    assert rows[0]["feature"] is None
+
+    png_media = synthesize_png_media(
+        spark.range(3, 5).select(F.col("id").alias("doc_id"))
+    )
+    got = {r["media_id"]: r for r in
+           extract_features(png_media, fake=False).collect()}
+    assert all(r["decoded_ok"] and len(r["feature"]) == 8 for r in got.values())
+
+    # flat JPEG: every pooled cell equals the flat value / 255
+    jpg = encode_jpeg_baseline(np.full((8, 8), 100, np.uint8))
+    jm = spark.createDataFrame([(9, bytearray(jpg))], "media_id long, payload binary")
+    (r,) = extract_features(jm, fake=False).collect()
+    assert r["decoded_ok"]
+    assert all(abs(v - 100 / 255.0) < 1e-6 for v in r["feature"])
 
 
 def test_multimodal_fake_features_deterministic(spark):

@@ -196,3 +196,42 @@ def test_misra_gries_superset_property(tokens, k, n_parts):
     for tok, cnt in counts.items():
         if cnt * k > n:
             assert tok in candidates, (tok, cnt, n, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, gray, seed):
+    """Baseline JPEG encode->decode with all-ones quant tables is
+    near-lossless: the only error sources are FDCT/IDCT float rounding
+    (<=1) and, for RGB, the YCbCr integer round-trip (<=2) — bound 3.
+    Dims are exercised off the 8x8 grid (edge-replication padding +
+    decoder crop)."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    got = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    assert got is not None
+    want = px[..., None] if gray else px
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    v=st.integers(0, 255),
+)
+def test_jpeg_flat_image_decodes_exactly(w, h, v):
+    """A constant grayscale image quantizes to a single DC coefficient;
+    with unit quant tables the decode must be bit-exact at ANY
+    dimensions (including non-multiple-of-8 with padded edge blocks)."""
+    px = np.full((h, w), v, dtype=np.uint8)
+    got = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    assert got is not None and got.shape == (h, w, 1)
+    assert (got == v).all()

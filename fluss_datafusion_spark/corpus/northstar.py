@@ -1267,6 +1267,61 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "ns_dedup_semantic",
+    extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, v AS cv FROM e
+        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.v, c.cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS cos
+        FROM e CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, cid) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ),
+    drops AS (
+        SELECT DISTINCT b.vec_id AS drop_id
+        FROM assigned a
+        JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+                 * sqrt(list_sum(list_transform(eb.v, x -> x*x)))) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster,
+           a.vec_id NOT IN (SELECT drop_id FROM drops) AS keep
+    FROM assigned a
+    """,
+)
+def ns_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: deterministic zero-iteration
+    clustering (centroids = smallest-id vectors, argmax-cosine
+    assignment) + within-cluster near-dup drops at cosine >= 0.4,
+    keep-lowest-id.  Every decision — assignment argmax, threshold
+    compare — runs on bit-identical cosines in both engines (the
+    dim-order accumulation argument), so the oracle reproduces the
+    keep set exactly, not statistically."""
+    from fluss_datafusion_spark.operators.dedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "vec_id", "embedding", n_clusters=8, threshold=0.4)
+
+
+@query(
     "ns_multimodal_jpeg_decode",
     extended=True,
     oracle="""

@@ -851,3 +851,81 @@ def dedup_clusters_star(
         .withColumn("cluster_id", F.col("doc_id"))
     )
     return members.unionByName(roots)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023: cluster the
+    embedding space, then drop near-duplicate members within each
+    cluster): returns (id, cluster, keep) for every vector — keep=false
+    when a LOWER-id cluster-mate sits within ``threshold`` cosine.
+
+    Deterministic zero-iteration clustering so the decision is exactly
+    reproducible on any engine (and SQL-oracle-checkable): centroids are
+    the ``n_clusters`` vectors with the smallest ids, assignment is
+    argmax cosine with ties to the smaller centroid id.  (The Lloyd-
+    refined quantizer in operators/similarity.py ``ivf_centroids`` drops
+    in for production use; its float normalization is driver-side model
+    state, which no SQL oracle can replay bit-for-bit.)
+
+    Scale shape: the centroid table is n_clusters rows — a broadcast
+    join + one window over the corpus assigns clusters in a single
+    pass; the near-dup pair join then has the cluster as its equi-key
+    (``embedding_cosine_pairs``' bounded shuffle-join plan, nothing
+    corpus-sized broadcast).  n_clusters grows with the corpus, keeping
+    per-cluster pair cost bounded — exactly SemDeDup's k~sqrt(N)
+    regime.  The assignment is persisted for the two consumers (pair
+    sides) and released via ``release_candidate_cache``.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        emb.select(F.col(id_col).alias("__cid__"), F.col(vec_col).alias("__cv__"))
+        .orderBy("__cid__")
+        .limit(n_clusters)
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("__id__"), F.col(vec_col).alias("__v__"))
+        .crossJoin(cents)  # bounded: n_clusters rows broadcast
+        .select(
+            "__id__", "__v__", "__cid__",
+            cosine(F.col("__v__"), F.col("__cv__")).alias("__cos__"),
+        )
+    )
+    w = Window.partitionBy("__id__").orderBy(
+        F.col("__cos__").desc(), F.col("__cid__")
+    )
+    assigned = (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") == 1)
+        .select("__id__", F.col("__cid__").alias("__cluster__"), "__v__")
+        .persist()
+    )
+    pairs = embedding_cosine_pairs(
+        assigned.select(
+            F.col("__id__").alias("m_id"),
+            F.col("__v__").alias("m_vec"),
+            F.col("__cluster__"),
+        ),
+        "m_id",
+        "m_vec",
+        threshold=threshold,
+        block_col="__cluster__",
+    )
+    drops = pairs.select(F.col("id_b").alias("__id__")).distinct()
+    out = (
+        assigned.join(
+            drops.withColumn("__drop__", F.lit(True)), "__id__", "left"
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("__cluster__").alias("cluster"),
+            F.col("__drop__").isNull().alias("keep"),
+        )
+    )
+    return _attach_cached_deps(out, assigned)

@@ -951,3 +951,33 @@ def test_quantized_ann_index_close_to_float_index(spark, tmp_path, testdata):
     lists = spark.read.parquet(str(tmp_path / "annq" / "lists"))
     assert "__qv__" in lists.columns
     assert dict(lists.dtypes)["__qv__"] == "array<tinyint>"
+
+
+def test_semantic_dedup_keep_rule_and_cache(spark, testdata):
+    """keep=false iff a lower-id same-cluster mate is within threshold;
+    centroid members themselves obey the same rule; the assignment
+    cache is released."""
+    from fluss_datafusion_spark.operators.dedup import (
+        release_candidate_cache,
+        semantic_dedup,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{testdata}/embeddings.parquet")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_clusters=4, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    # the smallest id in every cluster is always kept (no lower-id mate)
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster"]].append(r["vec_id"])
+    for members in clusters.values():
+        assert by_id[min(members)]["keep"]
+    # cluster ids are the 4 smallest vector ids (the centroid seeds)
+    assert set(clusters) == set(sorted(by_id)[:4])
+    # the assignment cache is attached for release and releasable
+    assert getattr(out, "_fds_cached_deps", None)
+    release_candidate_cache(out)

@@ -315,3 +315,46 @@ def st_pk_changelog(spark, sf_dir):
             F.round("__c__.row.value", 2).alias("value_r"),
         )
     )
+
+
+@query(
+    "st_stream_interval_join",
+    extended=True,
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', CAST(c.ts AS TIMESTAMP),
+                          CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS lag_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    """,
+)
+def st_stream_interval_join(spark, sf_dir):
+    """Attribution interval join (purchase -> preceding click within an
+    hour, per user): the batch analog of ``interval_join_streams``,
+    whose REAL stream-stream form — both sides watermarked, join state
+    bounded and evicted by watermark - bound — is equivalence-tested in
+    tests/test_streaming.py.  The reference has no streaming joins at
+    all."""
+    from fluss_datafusion_spark.streaming.events import interval_join_streams
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    out = interval_join_streams(
+        purchases, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        bound="1 hour",
+    )
+    return out.select(
+        "purchase_id", "user_id", "click_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_sec"),
+    )

@@ -467,6 +467,51 @@ def _bucketed_changelog_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    bound: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: pair each left row
+    with right rows sharing ``on`` whose ``right_ts`` falls in
+    [left_ts - bound, left_ts] — the attribution-join shape (purchase ->
+    preceding click).  Works on two readStream DataFrames (Spark's
+    native stream-stream join: both sides watermarked + a time-range
+    condition lets the engine bound each side's join state and evict
+    rows older than watermark - bound) and identically on two batch
+    DataFrames (the corpus entry's analog).
+
+    ``left_ts``/``right_ts`` must be distinct column names (rename
+    before calling — the result carries both).  Scale shape: state is
+    hash-partitioned on the equi-keys like any streaming join; the
+    watermark bounds state to the ``watermark`` horizon per key.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "interval_join_streams: rename the ts columns apart — the "
+            "result carries both sides' timestamps"
+        )
+    if left.isStreaming or right.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (left[c] == right[c])
+    cond = (
+        cond
+        & (right[right_ts] <= left[left_ts])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {bound}"))
+    )
+    joined = left.join(right, cond, "inner")
+    for c in on:  # keep one copy of the equi-keys
+        joined = joined.drop(right[c])
+    return joined
+
+
 def _parse_duration_ms(text: str) -> int:
     qty, unit = text.split()
     return int(qty) * {

@@ -964,3 +964,47 @@ def test_changelog_stream_bucketed_state_matches_per_key(spark, tmp_path):
             key_cols=["k"], order_cols=["seq"], image_cols=["seq", "v"],
             ttl="1 hour", ts_col="seq", state_buckets=4,
         )
+
+
+def test_interval_join_real_streams_match_batch(spark, tmp_path):
+    """REAL stream-stream interval join: two readStream sides replayed
+    in micro-batches must emit exactly the batch join's pairs (state
+    carries unmatched rows across batch boundaries until the watermark
+    passes)."""
+    from fluss_datafusion_spark.corpus.streaming_batch import (
+        st_stream_interval_join,
+    )
+    from fluss_datafusion_spark.streaming.events import (
+        chunk_table_for_replay,
+        events_stream,
+        interval_join_streams,
+        run_to_memory,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    replay = chunk_table_for_replay(
+        spark, sf_dir, str(tmp_path / "ij_replay"), n_chunks=4
+    )
+    stream = events_stream(spark, replay, max_files_per_trigger=1)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    out = interval_join_streams(
+        purchases, clicks, on=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        bound="1 hour", watermark="4 hours",
+    ).select("purchase_id", "user_id", "click_id")
+    run_to_memory(out, "t_ij", output_mode="append")
+    got = {
+        (r["purchase_id"], r["user_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_ij").collect()
+    }
+    want = {
+        (r["purchase_id"], r["user_id"], r["click_id"])
+        for r in st_stream_interval_join(spark, sf_dir).collect()
+    }
+    assert got == want and want, (len(got), len(want))

@@ -1266,6 +1266,22 @@ def ns_dedup_incremental(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query("ns_training_bpe_merges", extended=True)
+def ns_training_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training (Sennrich 2016) over the documents
+    corpus: 20 merge rules learned iteratively on the word-frequency
+    dictionary — per round one pair-frequency agg (argmax row to the
+    driver, model state only) + one Arrow-batched merge rewrite.  The
+    iterative argmax is not SQL-expressible (rows-only here); the hard
+    check is tests/test_bpe.py, which compares every merge against a
+    pure-Python reference with identical tie-breaks, including on this
+    same documents table."""
+    from fluss_datafusion_spark.operators.bpe import bpe_merges_table
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_merges_table(docs, "text", n_merges=20)
+
+
 @query(
     "ns_dedup_semantic",
     extended=True,

@@ -141,3 +141,56 @@ def bpe_merges_table(
         [(r, l, rt, l + rt, f) for r, l, rt, f in merges],
         "rank int, left string, right string, merged string, pair_freq bigint",
     )
+
+
+def apply_bpe(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: List[Tuple[int, str, str, int]],
+) -> DataFrame:
+    """Tokenize the corpus with learned merge rules: every word splits
+    to characters + ``</w>``, then each merge applies in rank order
+    (greedy left-to-right, the trainer's exact rule).  Returns
+    (id, n_tokens, tokens) with tokens space-joined — the subword
+    sequence a training run consumes.
+
+    Scale shape: the merge list is model state (a few kB broadcast into
+    the Arrow workers via closure); tokenization is one mapInPandas
+    pass over the corpus — no shuffle at all.  Distinct words repeat
+    across documents, so the kernel memoizes per batch (the word-dict
+    locality that makes BPE application cheap in practice)."""
+    import pandas as pd
+
+    rules = [(left, right, left + right) for _, left, right, _ in merges]
+
+    def _tok(batches):
+        for pdf in batches:
+            cache = {}
+
+            def word_tokens(w: str) -> List[str]:
+                got = cache.get(w)
+                if got is None:
+                    syms = list(w) + [_END]
+                    for left, right, merged in rules:
+                        syms = _merge_word(syms, left, right, merged)
+                    cache[w] = got = syms
+                return got
+
+            toks = []
+            for text in pdf[text_col]:
+                out: List[str] = []
+                for w in (text or "").lower().split():
+                    out.extend(word_tokens(w))
+                toks.append(out)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": [" ".join(t) for t in toks],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _tok, f"{id_col} long, n_tokens long, tokens string"
+    )

@@ -77,3 +77,40 @@ def test_bpe_merges_table_shape(spark):
     out = bpe_merges_table(df, "text", n_merges=3).collect()
     assert [r["rank"] for r in out] == [0, 1, 2]
     assert all(r["merged"] == r["left"] + r["right"] for r in out)
+
+
+def test_apply_bpe_matches_reference_tokenization(spark):
+    from fluss_datafusion_spark.operators.bpe import _END, apply_bpe
+
+    texts = ["low lower lowest low low", "new newer newest new newer",
+             "lowly newly", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    merges = learn_bpe_merges(df, "text", n_merges=10)
+
+    # reference application: same greedy rule, per word
+    def ref_tokens(text):
+        out = []
+        for w in text.lower().split():
+            syms = list(w) + [_END]
+            for _, left, right, _ in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    got = {r["doc_id"]: (r["n_tokens"], r["tokens"])
+           for r in apply_bpe(df, "doc_id", "text", merges).collect()}
+    for i, t in enumerate(texts):
+        want = ref_tokens(t)
+        assert got[i] == (len(want), " ".join(want)), (i, got[i], want)
+    # merged symbols actually appear (the vocab compresses)
+    assert any(len(s) > 2 for s in got[0][1].split())

@@ -1266,6 +1266,88 @@ def ns_dedup_incremental(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "ns_curation_domain_stats",
+    extended=True,
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' see https://src' || doc_id % 7 ||
+               '.example.org/p/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' and http://mirror.example.net'
+                    ELSE '' END AS t
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(t,
+                   'https?://[A-Za-z0-9.-]+(?:/[^ \\t\\n\\r\\f]*)?')) AS url
+        FROM d
+    )
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY 1
+    """,
+)
+def ns_curation_domain_stats(spark, sf_dir):
+    """Per-domain corpus footprint over synthesized in-text URLs (the
+    web-curation policy table): URL extraction + domain parse with
+    RE2-compatible regexes shared verbatim by the oracle, then one
+    map-side-combined groupBy."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://src"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" and http://mirror.example.net"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.domain_stats(docs, "doc_id", "text")
+
+
+@query(
+    "ns_curation_normalize",
+    extended=True,
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '[ \\t\\n\\r\\f]+', ' ', 'g')) AS tn
+        FROM documents
+    )
+    SELECT doc_id, md5(tn) AS norm_md5, tn <> text AS changed,
+           CAST(length(text) AS INT) AS n_chars_in,
+           CAST(length(tn) AS INT) AS n_chars_out
+    FROM n
+    """,
+)
+def ns_curation_normalize(spark, sf_dir):
+    """Canonical text cleanup (control-char strip + whitespace collapse
+    + trim — the normalization pass ahead of dedup/filtering), verified
+    byte-exactly via md5.  The whitespace class is the explicit
+    [ \\t\\n\\r\\f]: Java regex \\s includes vertical tab, RE2's does
+    not, so \\s would silently diverge between the engines."""
+    from fluss_datafusion_spark.operators import curation
+
+    out = curation.normalize_text(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_md5"),
+        "changed",
+        F.col("n_chars_in").cast("int").alias("n_chars_in"),
+        F.col("n_chars_out").cast("int").alias("n_chars_out"),
+    )
+
+
 @query("ns_training_bpe_merges", extended=True)
 def ns_training_bpe_merges(spark, sf_dir):
     """BPE vocabulary training (Sennrich 2016) over the documents

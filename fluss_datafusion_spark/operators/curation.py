@@ -798,3 +798,71 @@ def dedup_representatives(
         )
         .withColumn("keep", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonical text cleanup (the C4/RefinedWeb-style normalization
+    pass that precedes dedup and filtering): strip ASCII control
+    characters, collapse whitespace runs to single spaces, trim, and
+    optionally lowercase.  Returns (id, text_norm, changed, n_chars_in,
+    n_chars_out).
+
+    Engine-portability note: the whitespace class is the EXPLICIT
+    ``[ \\t\\n\\r\\f]`` — Java regex ``\\s`` includes vertical tab
+    (\\x0B) while RE2-family engines' does not, so ``\\s`` would
+    silently diverge between Spark and an RE2 oracle.  All JVM regexp
+    expressions, zero shuffles."""
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    ws = "[ \\t\\n\\r\\f]+"
+    norm = F.regexp_replace(F.col(text_col), ctrl, "")
+    norm = F.regexp_replace(norm, ws, " ")
+    norm = F.trim(norm)
+    if lowercase:
+        norm = F.lower(norm)
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        (norm != F.col(text_col)).alias("changed"),
+        F.length(F.col(text_col)).alias("n_chars_in"),
+        F.length(norm).alias("n_chars_out"),
+    )
+
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^ \t\n\r\f]*)?"
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per URL occurrence in the corpus: (id, url, domain).
+    RE2-compatible patterns (no lookarounds) so the identical regex runs
+    in Spark and any RE2 oracle; pure JVM regexp + one explode, no
+    shuffle."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    )
+    return urls.withColumn(
+        "domain", F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)
+    )
+
+
+def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-domain corpus footprint — (domain, n_urls, n_docs) — the
+    table every web-scrape curation policy starts from (domain
+    allowlists/blocklists, per-domain caps via ``quota_sample``).
+    One explode + one map-side-combined groupBy."""
+    return (
+        extract_urls(df, id_col, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+        )
+    )

@@ -414,3 +414,52 @@ def test_apply_mixture_downsamples_by_weight(spark):
 
     again = curation.apply_mixture(df, weights, "doc_id", "source").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in kept}
+
+
+def test_normalize_text_rules(spark):
+    from fluss_datafusion_spark.operators.curation import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  hello\t\tworld\n\nagain  "),
+            (2, "ctrl\x00\x07chars\x1fhere"),
+            (3, "already clean"),
+            (4, "MiXeD Case"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           normalize_text(df, "doc_id", "text").collect()}
+    assert got[1]["text_norm"] == "hello world again" and got[1]["changed"]
+    assert got[2]["text_norm"] == "ctrlcharshere" and got[2]["changed"]
+    assert got[3]["text_norm"] == "already clean" and not got[3]["changed"]
+    assert got[4]["text_norm"] == "MiXeD Case"
+    low = {r["doc_id"]: r["text_norm"] for r in
+           normalize_text(df, "doc_id", "text", lowercase=True).collect()}
+    assert low[4] == "mixed case"
+    assert all(r["n_chars_out"] <= r["n_chars_in"] for r in got.values())
+
+
+def test_extract_urls_and_domain_stats(spark):
+    from fluss_datafusion_spark.operators.curation import (
+        domain_stats,
+        extract_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.org/x and http://b.net/y?z=1 today"),
+            (2, "plain text no links"),
+            (3, "dup domain https://a.example.org/other"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = {(r["doc_id"], r["url"], r["domain"])
+            for r in extract_urls(df, "doc_id", "text").collect()}
+    assert (1, "https://a.example.org/x", "a.example.org") in urls
+    assert (1, "http://b.net/y?z=1", "b.net") in urls
+    assert (3, "https://a.example.org/other", "a.example.org") in urls
+    assert len(urls) == 3  # doc 2 contributes nothing
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"])
+             for r in domain_stats(df, "doc_id", "text").collect()}
+    assert stats == {"a.example.org": (2, 2), "b.net": (1, 1)}

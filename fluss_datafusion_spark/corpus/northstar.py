@@ -1267,6 +1267,40 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "ns_multimodal_avi_frames",
+    extended=True,
+    oracle="""
+    SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_index,
+           CAST(doc_id % 8 + 2 AS INT) AS width,
+           CAST((3 * doc_id) % 8 + 2 AS INT) AS height,
+           CAST((11 * doc_id + 29 * u.f) % 256 AS DOUBLE) AS mean_r,
+           CAST((13 * doc_id + 31 * u.f) % 256 AS DOUBLE) AS mean_g,
+           CAST((17 * doc_id + 37 * u.f) % 256 AS DOUBLE) AS mean_b
+    FROM documents, unnest([0, 2, 4]) AS u(f)
+    """,
+)
+def ns_multimodal_avi_frames(spark, sf_dir):
+    """REAL video decode with frame sampling: per document a complete
+    uncompressed AVI (RIFF hdrl/avih/strl + movi '00db' DIB frames) is
+    synthesized, then ``avi_frame_stats(every=2)`` walks the container
+    and decodes ONLY frames 0/2/4 — sampling before pixel work, the
+    production video-feature pattern.  Flat frame colors are closed-form
+    functions of (id, frame), so the oracle states every mean exactly.
+    Completes the multimodal triad: images (BMP/PNG/JPEG), audio (WAV),
+    video (AVI) — all pure-stdlib decoders of published layouts."""
+    media = multimodal.synthesize_avi_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    stats = multimodal.avi_frame_stats(media, every=2)
+    return stats.select(
+        "media_id", "frame_index", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "ns_curation_domain_stats",
     extended=True,
     oracle="""

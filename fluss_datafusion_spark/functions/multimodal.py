@@ -30,6 +30,11 @@ batch shape) is real and tested.  Decoding has two tiers:
   RIFF chunk layout (fmt/data, word-aligned); ``decode_wav_pcm`` /
   ``wav_pcm_stats`` decode 16-bit PCM sample bytes to amplitude stats —
   the audio twin of the BMP path.  Compressed codecs stay stubbed.
+- **Video decode (REAL for uncompressed AVI)**: ``parse_avi_header``
+  (RIFF hdrl/avih walk) + ``decode_avi_frames`` / ``avi_frame_stats``
+  decode 24-bit DIB '00db' frames with frame SAMPLING applied before
+  any pixel work (``every=k``) — the production video-feature pattern.
+  Compressed video codecs stay out of scope (graceful skip).
 
 Design for 100 TB: payloads never leave the executors, batches flow
 through Arrow (mapInPandas), and metadata-only queries never touch the
@@ -1236,6 +1241,191 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "payload": [_jpg(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
+# --------------------------------------------------------------------------
+# AVI: uncompressed-video container (RIFF, public layout) — the video
+# leg of the multimodal triad (images: BMP/PNG/JPEG; audio: WAV)
+# --------------------------------------------------------------------------
+
+
+def parse_avi_header(payload):
+    """(width, height, fps, n_frames) from an AVI's avih main header
+    (RIFF 'AVI ' -> LIST hdrl -> avih), or None if not an AVI.  Walks
+    the published RIFF chunk layout; no frame data is touched."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            while j + 8 <= i + 8 + clen:
+                sid = b[j : j + 4]
+                (slen,) = struct.unpack("<I", b[j + 4 : j + 8])
+                if sid == b"avih" and slen >= 40:
+                    h = struct.unpack("<10I", b[j + 8 : j + 48])
+                    usec_pf, n_frames, width, height = h[0], h[4], h[8], h[9]
+                    fps = round(1_000_000 / usec_pf, 3) if usec_pf else None
+                    return (width, height, fps, n_frames)
+                j += 8 + slen + (slen & 1)
+        i += 8 + clen + (clen & 1)
+    return None
+
+
+def decode_avi_frames(payload, every: int = 1):
+    """REAL frame decode for uncompressed 24-bit AVI ('00db' DIB
+    chunks, bottom-up rows, 4-byte stride padding — the BMP pixel
+    layout inside the RIFF movi list).  Yields (frame_index, (H, W, 3)
+    uint8 RGB array) for every ``every``-th frame — frame SAMPLING
+    happens before any pixel work, the production pattern for video
+    feature extraction.  Returns None if the payload is not a
+    supported AVI."""
+    import numpy as np
+
+    hdr = parse_avi_header(payload)
+    if hdr is None:
+        return None
+    width, height, _fps, _n = hdr
+    if not width or not height:
+        return None
+    b = bytes(payload)
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    idx = 0
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"movi":
+            j = i + 12
+            while j + 8 <= i + 8 + clen:
+                sid = b[j : j + 4]
+                (slen,) = struct.unpack("<I", b[j + 4 : j + 8])
+                if sid == b"00db":
+                    if idx % every == 0 and slen >= stride * height:
+                        raw = np.frombuffer(
+                            b, dtype=np.uint8, count=stride * height, offset=j + 8
+                        ).reshape(height, stride)
+                        bgr = raw[:, : width * 3].reshape(height, width, 3)
+                        rgb = bgr[::-1, :, ::-1]  # bottom-up rows, BGR order
+                        frames.append((idx, rgb.copy()))
+                    idx += 1
+                j += 8 + slen + (slen & 1)
+        i += 8 + clen + (clen & 1)
+    return frames
+
+
+_AVI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def avi_frame_stats(media: DataFrame, every: int = 1) -> DataFrame:
+    """Frame-sampled video decode over the binary column: one row per
+    sampled frame with per-channel means — the video twin of
+    ``png_pixel_stats``/``wav_pcm_stats``.  Arrow-batched mapInPandas;
+    payloads never leave the executors; undecodable payloads yield no
+    rows (graceful skip)."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frames(payload, every=every)
+                if not frames:
+                    continue
+                for idx, px in frames:
+                    h, w, _ = px.shape
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (mid, idx, w, h,
+                         float(means[0]), float(means[1]), float(means[2]))
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+            for c in ("frame_index", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(_map, _AVI_STATS_SCHEMA)
+
+
+def synthesize_avi_media(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 6
+) -> DataFrame:
+    """One complete uncompressed AVI per id: ``n_frames`` flat-color
+    24-bit DIB frames at (id%8+2) x ((3*id)%8+2), frame f colored
+    ((11*id+29*f)%256, (13*id+31*f)%256, (17*id+37*f)%256) — means are
+    SQL-predictable exactly, like the PNG/BMP/WAV synthesizers."""
+
+    def _avi(i: int) -> bytes:
+        w = i % 8 + 2
+        h = (3 * i) % 8 + 2
+        stride = (w * 3 + 3) & ~3
+        frames = bytearray()
+        for f in range(n_frames):
+            r = (11 * i + 29 * f) % 256
+            g = (13 * i + 31 * f) % 256
+            bl = (17 * i + 37 * f) % 256
+            row = (bytes([bl, g, r]) * w) + b"\x00" * (stride - 3 * w)
+            dib = row * h
+            frames += b"00db" + struct.pack("<I", len(dib)) + dib
+            if len(dib) & 1:
+                frames += b"\x00"
+        avih = struct.pack(
+            "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = (
+            b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25,
+                                            0, n_frames, 0, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, w, h)
+        )
+        strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                           2835, 2835, 0, 0)
+        strl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+            + b"avih" + struct.pack("<I", 56) + avih
+            + strl
+        )
+        movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + bytes(frames)
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_avi(int(i)) for i in pdf["media_id"]],
                 }
             )
 

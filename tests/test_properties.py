@@ -235,3 +235,41 @@ def test_jpeg_flat_image_decodes_exactly(w, h, v):
     got = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
     assert got is not None and got.shape == (h, w, 1)
     assert (got == v).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    n_frames=st.integers(1, 8),
+    every=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(w, h, n_frames, every, seed):
+    """Uncompressed-AVI container roundtrip with random per-frame pixel
+    data: header parse recovers dims/count, frame sampling decodes
+    exactly frames 0, every, 2*every, ... bit-identically."""
+    rng = np.random.default_rng(seed)
+    frames_px = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                 for _ in range(n_frames)]
+    stride = (w * 3 + 3) & ~3
+    movi_frames = bytearray()
+    for px in frames_px:
+        bgr = px[::-1, :, ::-1]
+        dib = b"".join(bgr[y].tobytes() + b"\x00" * (stride - 3 * w)
+                       for y in range(h))
+        movi_frames += b"00db" + struct.pack("<I", len(dib)) + dib
+        if len(dib) & 1:
+            movi_frames += b"\x00"
+    avih = struct.pack("<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h) + b"\x00" * 16
+    hdrl = (b"LIST" + struct.pack("<I", 4 + 8 + 56) + b"hdrl"
+            + b"avih" + struct.pack("<I", 56) + avih)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_frames)) + b"movi" + bytes(movi_frames)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert mm.parse_avi_header(avi) == (w, h, 25.0, n_frames)
+    got = mm.decode_avi_frames(avi, every=every)
+    assert [i for i, _ in got] == list(range(0, n_frames, every))
+    for i, px in got:
+        assert np.array_equal(px, frames_px[i])

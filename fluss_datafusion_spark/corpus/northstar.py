@@ -1267,6 +1267,30 @@ def ns_dedup_incremental(spark, sf_dir):
 
 
 @query(
+    "ns_curation_sample_exact_n",
+    extended=True,
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+            ORDER BY md5('sample-0' || '|' || CAST(doc_id AS VARCHAR)),
+                     doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 40
+    """,
+)
+def ns_curation_sample_exact_n(spark, sf_dir):
+    """Exactly-N deterministic sample (the n smallest rows under a
+    seeded md5 of the id): what df.sample() can't promise (exact count,
+    engine-independent seed).  Runs on the md5-prefix bucketed rank —
+    no single-partition sort; the oracle brute-forces the same order
+    with a window."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.sample_exact_n(docs, "doc_id", n=40, seed="sample-0")
+
+
+@query(
     "ns_multimodal_avi_frames",
     extended=True,
     oracle="""

@@ -866,3 +866,32 @@ def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.count_distinct(F.col(id_col)).alias("n_docs"),
         )
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    seed: str = "sample-0",
+) -> DataFrame:
+    """EXACTLY ``n`` uniformly-pseudorandom rows (or all rows if the
+    corpus is smaller), deterministic across runs, engines, and cluster
+    sizes: the n smallest rows under md5(seed|id) order.  What
+    ``df.sample()`` can't promise (approximate fraction, seed tied to
+    partitioning) and ``stratified_sample`` doesn't (percentage, not a
+    count).
+
+    Scale shape: rank via ``training.md5_prefix_ranked`` — parallel
+    within-bucket ranks + broadcast offsets, no single-partition sort,
+    no driver-side sampling.  Changing the seed draws an independent
+    sample; the same seed always returns the same rows.
+    """
+    if n < 0:
+        raise ValueError(f"n must be non-negative, got {n}")
+    from fluss_datafusion_spark.operators.training import md5_prefix_ranked
+
+    key = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    ranked, rank_col = md5_prefix_ranked(
+        df.withColumn("__key__", key), "__key__", id_col
+    )
+    return ranked.filter(F.col(rank_col) <= n).drop("__key__", rank_col)

@@ -463,3 +463,21 @@ def test_extract_urls_and_domain_stats(spark):
     stats = {r["domain"]: (r["n_urls"], r["n_docs"])
              for r in domain_stats(df, "doc_id", "text").collect()}
     assert stats == {"a.example.org": (2, 2), "b.net": (1, 1)}
+
+
+def test_sample_exact_n_deterministic_and_exact(spark):
+    from fluss_datafusion_spark.operators.curation import sample_exact_n
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in sample_exact_n(df, "doc_id", 50).collect()}
+    b = {r["doc_id"] for r in sample_exact_n(df, "doc_id", 50).collect()}
+    assert len(a) == 50 and a == b
+    other = {r["doc_id"] for r in
+             sample_exact_n(df, "doc_id", 50, seed="other").collect()}
+    assert other != a
+    # n >= corpus keeps everything; n=0 keeps nothing
+    assert sample_exact_n(df, "doc_id", 1000).count() == 500
+    assert sample_exact_n(df, "doc_id", 0).count() == 0
+    # nested draws: a bigger draw contains the smaller one (prefix rule)
+    bigger = {r["doc_id"] for r in sample_exact_n(df, "doc_id", 80).collect()}
+    assert a <= bigger

@@ -679,6 +679,180 @@ class FlussCatalog:
         count = self.insert(target, input_df)
         return self.spark.createDataFrame([(count,)], "count bigint")
 
+    def merge_into(
+        self,
+        name: str,
+        source: DataFrame,
+        on: List[str],
+        matched_clauses=None,
+        not_matched=None,
+    ) -> Dict[str, int]:
+        """MERGE INTO for primary-key tables (the lakehouse upsert DML the
+        reference's upsert writer implies but its CLI never exposes —
+        src/provider.rs:411-441 upserts row-at-a-time with no conditional
+        merge; this exceeds the reference the way DELETE/ALTER do).
+
+        - ``on``: the join key columns — must be exactly the table's
+          primary key (the only join a log-structured upsert store can
+          resolve without rewriting data files).
+        - ``matched_clauses``: ordered list of ``("update", cond, {col:
+          sql_expr})`` / ``("delete", cond, None)`` — for each matched
+          key the FIRST clause whose condition holds applies (ANSI MERGE
+          clause-order semantics); ``cond`` is a SQL boolean over
+          aliases ``t`` (target) and ``s`` (source), or None = always.
+        - ``not_matched``: ``(cond, {col: sql_expr} | None)`` — None
+          assignments = INSERT * (source columns matched by name).
+
+        Scale posture: ONE full-outer shuffle join of current state vs
+        source on the PK (both sides hash-partitioned once; AQE may
+        broadcast a small source), then two appended write jobs (live
+        upserts + tombstones).  No driver-side row movement.  The ANSI
+        "multiple source rows match one target key" error is enforced
+        with one small agg over the source keys.
+        """
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"MERGE INTO requires a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        if sorted(on) != sorted(spec.primary_key):
+            raise ValueError(
+                f"MERGE ON must equate exactly the primary key "
+                f"{spec.primary_key}; got {on}"
+            )
+        matched_clauses = list(matched_clauses or [])
+        for action, _cond, assigns in matched_clauses:
+            if action not in ("update", "delete"):
+                raise ValueError(f"unknown MERGE matched action {action!r}")
+            if action == "update" and assigns:
+                bad = [c for c in assigns if c in spec.primary_key]
+                if bad:
+                    raise ValueError(
+                        f"MERGE UPDATE may not reassign primary-key "
+                        f"columns {bad}"
+                    )
+        if not matched_clauses and not_matched is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+
+        # ANSI cardinality check: a source with duplicate join keys would
+        # make clause application non-deterministic.
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {k: dup[0][k] for k in on}
+            raise ValueError(
+                f"MERGE source has multiple rows for join key {key} "
+                "(ANSI MERGE cardinality violation)"
+            )
+
+        target_fields = spec.spark_schema().fields
+        cur = self._current_df(spec).alias("t")
+        src = source.alias("s")
+        join_cond = None
+        for k in on:
+            eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        joined = cur.join(src, join_cond, "full_outer")
+        # s-side key null => target-only row (untouched by this MERGE);
+        # t-side key null => source-only row (NOT MATCHED).
+        s_hit = F.col(f"s.{on[0]}").isNotNull()
+        t_hit = F.col(f"t.{on[0]}").isNotNull()
+
+        # First-true-clause-wins action index over the matched rows.
+        chain = F.when(F.lit(False), F.lit(None))
+        for i, (_action, cond, _assigns) in enumerate(matched_clauses):
+            pred = F.expr(cond) if cond else F.lit(True)
+            chain = chain.when(pred, F.lit(i))
+        matched = joined.filter(s_hit & t_hit).withColumn("__act__", chain)
+
+        live_parts = []
+        tombstones = None
+        for i, (action, _cond, assigns) in enumerate(matched_clauses):
+            rows = matched.filter(F.col("__act__") == i)
+            if action == "update":
+                exprs = []
+                for field in target_fields:
+                    if assigns and field.name in assigns:
+                        exprs.append(
+                            F.expr(assigns[field.name])
+                            .cast(field.dataType)
+                            .alias(field.name)
+                        )
+                    elif assigns is None:  # UPDATE SET * = take source
+                        exprs.append(
+                            F.col(f"s.{field.name}")
+                            .cast(field.dataType)
+                            .alias(field.name)
+                        )
+                    else:
+                        exprs.append(F.col(f"t.{field.name}").alias(field.name))
+                live_parts.append(rows.select(*exprs))
+            else:  # delete -> PK-only tombstone rows (non-key cols null)
+                exprs = [
+                    (
+                        F.col(f"t.{field.name}")
+                        if field.name in spec.primary_key
+                        else F.lit(None).cast(field.dataType)
+                    ).alias(field.name)
+                    for field in target_fields
+                ]
+                part = rows.select(*exprs)
+                tombstones = part if tombstones is None else tombstones.unionByName(part)
+
+        if not_matched is not None:
+            cond, assigns = not_matched
+            rows = joined.filter(s_hit & ~t_hit)
+            if cond:
+                rows = rows.filter(F.expr(cond))
+            exprs = []
+            for field in target_fields:
+                if assigns is None:  # INSERT * — source columns by name
+                    if field.name not in source.columns:
+                        raise ValueError(
+                            f"MERGE INSERT *: source lacks target column "
+                            f"{field.name!r}"
+                        )
+                    exprs.append(
+                        F.col(f"s.{field.name}").cast(field.dataType).alias(field.name)
+                    )
+                elif field.name in assigns:
+                    exprs.append(
+                        F.expr(assigns[field.name]).cast(field.dataType).alias(field.name)
+                    )
+                else:
+                    if field.name in spec.primary_key or not spec.column(field.name).nullable:
+                        raise ValueError(
+                            f"MERGE INSERT must supply primary-key/NOT NULL "
+                            f"column {field.name!r}"
+                        )
+                    exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
+            live_parts.append(rows.select(*exprs))
+
+        upserted = deleted = 0
+        live = None
+        for part in live_parts:
+            live = part if live is None else live.unionByName(part)
+        # Both outputs read the PRE-merge table state, but the writes land
+        # in the same log the plans scan — materialize before the first
+        # append so the second job cannot see the first's files (same
+        # self-reference hazard INSERT OVERWRITE handles above).
+        if live is not None and tombstones is not None:
+            live = live.localCheckpoint(eager=True)
+            tombstones = tombstones.localCheckpoint(eager=True)
+        if live is not None:
+            upserted = _footer_row_count(self._append_log(spec, live, deleted=False))
+        if tombstones is not None:
+            deleted = _footer_row_count(
+                self._append_log(spec, tombstones, deleted=True)
+            )
+        return {"upserted": upserted, "deleted": deleted}
+
     def _current_seq(self, spec: TableSpec) -> int:
         """The highest __seq__ stamp issued for the table so far.  After
         a warehouse re-attach the in-memory counter is empty — recover

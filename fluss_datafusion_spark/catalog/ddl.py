@@ -405,3 +405,165 @@ def parse_maintenance(sql: str):
     if match:
         return ("compact", ".".join(parse_qualified_name(match.group(1))))
     return None
+
+
+# -- MERGE INTO --------------------------------------------------------------
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)[\w@$]+))?"
+    r"\s+USING\s+(?P<source>\((?:[^()]|\([^()]*\))*\)|(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
+    r"(?:\s+(?:AS\s+)?(?P<salias>(?!ON\b)[\w@$]+))?"
+    r"\s+ON\s+(?P<tail>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.IGNORECASE)
+_MATCHED_CLAUSE_RE = re.compile(
+    r"^WHEN\s+MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?:(?P<delete>DELETE)|UPDATE\s+SET\s+(?P<set>.+))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_MATCHED_CLAUSE_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+INSERT\s+"
+    r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.+)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ_RE = re.compile(
+    r"^([\w@$]+)\.([\w@$]+)\s*=\s*([\w@$]+)\.([\w@$]+)$"
+)
+
+
+def _canon_aliases(text: str, talias: str, salias: str) -> str:
+    """Rewrite ``<target_alias>.`` / ``<source_alias>.`` prefixes to the
+    canonical ``t.`` / ``s.`` the engine's merge join uses (placeholder
+    round-trip so swapped aliases like target AS s cannot collide)."""
+    text = re.sub(rf"\b{re.escape(talias)}\.", "\x00T\x00.", text)
+    text = re.sub(rf"\b{re.escape(salias)}\.", "\x00S\x00.", text)
+    return text.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
+
+
+def parse_merge(sql: str):
+    """Parse ``MERGE INTO t USING src|(<subquery>) ON t.pk = s.pk WHEN
+    MATCHED [AND c] THEN UPDATE SET a=e,...|DELETE ... WHEN NOT MATCHED
+    [AND c] THEN INSERT *|[(cols)] VALUES (exprs)`` into a dict:
+
+    ``{"target", "source" (table name or (subquery) text), "on" (key
+    column list), "matched" (ordered clause list for
+    FlussCatalog.merge_into), "not_matched"}``.
+
+    Conditions and assignment expressions are returned with alias
+    prefixes canonicalized to ``t.`` (target) / ``s.`` (source).  The ON
+    condition must be a conjunction of ``t.k = s.k`` equalities (the
+    primary-key merge a log-structured upsert store supports); anything
+    else raises so unsupported merges fail loudly.  Returns None when
+    the statement is not a MERGE.
+    """
+    from fluss_datafusion_spark.sql.dialect import strip_quotes
+
+    s = sql.strip().rstrip(";")
+    if not re.match(r"^\s*MERGE\s+INTO\b", s, re.IGNORECASE):
+        return None
+    match = _MERGE_HEAD_RE.match(s)
+    if not match:
+        raise ValueError(f"cannot parse MERGE statement: {sql!r}")
+    target = ".".join(parse_qualified_name(match.group("target")))
+    source = match.group("source").strip()
+    talias = match.group("talias") or target.split(".")[-1]
+    salias = match.group("salias") or (
+        source.split(".")[-1] if not source.startswith("(") else "s"
+    )
+
+    tail = match.group("tail")
+    first_when = _WHEN_RE.search(tail)
+    if not first_when:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    on_text = tail[: first_when.start()].strip()
+    on_cols = []
+    for clause in re.split(r"\s+AND\s+", on_text, flags=re.IGNORECASE):
+        eq = _ON_EQ_RE.match(clause.strip())
+        if not eq:
+            raise ValueError(
+                f"MERGE ON must be 't.key = s.key' equalities; "
+                f"cannot parse {clause.strip()!r}"
+            )
+        a1, c1, a2, c2 = eq.groups()
+        sides = {a1: c1, a2: c2}
+        if talias not in sides or salias not in sides or c1 != c2:
+            raise ValueError(
+                f"MERGE ON clause {clause.strip()!r} must equate the same "
+                f"key column across target alias {talias!r} and source "
+                f"alias {salias!r}"
+            )
+        on_cols.append(sides[talias])
+
+    # Split the WHEN clauses at top level.
+    starts = [m.start() for m in _WHEN_RE.finditer(tail)]
+    pieces = [
+        tail[b:e].strip()
+        for b, e in zip(starts, starts[1:] + [len(tail)])
+    ]
+    matched_clauses = []
+    not_matched = None
+    for piece in pieces:
+        m = _MATCHED_CLAUSE_RE.match(piece)
+        if m:
+            cond = m.group("cond")
+            cond = _canon_aliases(cond, talias, salias) if cond else None
+            if m.group("delete"):
+                matched_clauses.append(("delete", cond, None))
+            else:
+                set_text = m.group("set").strip()
+                if set_text == "*":
+                    matched_clauses.append(("update", cond, None))
+                else:
+                    assigns = {}
+                    for item in _split_top_level(set_text):
+                        col, _, expr = item.partition("=")
+                        if not expr:
+                            raise ValueError(
+                                f"cannot parse MERGE SET item {item!r}"
+                            )
+                        col = strip_quotes(col.strip())
+                        col = col.split(".")[-1]  # allow t.col = ...
+                        assigns[col] = _canon_aliases(
+                            expr.strip(), talias, salias
+                        )
+                    matched_clauses.append(("update", cond, assigns))
+            continue
+        m = _NOT_MATCHED_CLAUSE_RE.match(piece)
+        if m:
+            if not_matched is not None:
+                raise ValueError("MERGE supports one WHEN NOT MATCHED clause")
+            cond = m.group("cond")
+            cond = _canon_aliases(cond, talias, salias) if cond else None
+            if m.group("star"):
+                not_matched = (cond, None)
+            else:
+                vals = _split_top_level(m.group("vals"))
+                cols_text = m.group("cols")
+                if not cols_text:
+                    raise ValueError(
+                        "MERGE INSERT without a column list must be INSERT *"
+                    )
+                cols = [
+                    strip_quotes(c.strip()) for c in cols_text.split(",")
+                ]
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"MERGE INSERT: {len(cols)} columns but "
+                        f"{len(vals)} values"
+                    )
+                assigns = {
+                    c: _canon_aliases(v, talias, salias)
+                    for c, v in zip(cols, vals)
+                }
+                not_matched = (cond, assigns)
+            continue
+        raise ValueError(f"cannot parse MERGE WHEN clause: {piece!r}")
+    return {
+        "target": target,
+        "source": source,
+        "on": on_cols,
+        "matched": matched_clauses,
+        "not_matched": not_matched,
+    }

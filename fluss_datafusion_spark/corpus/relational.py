@@ -12,6 +12,8 @@ selection and whole-stage codegen; nothing materializes on the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -1480,3 +1482,79 @@ def q52_variant_semistructured(spark, sf_dir):
                round(variant_get(doc, '$.price', 'double'), 2) AS price
         FROM j
     """)
+
+
+@query(
+    "q53_merge_into", extended=True,
+    oracle="""
+    WITH tgt AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey <= 1000
+    ),
+    src AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(sum(l_quantity) AS BIGINT) AS sq
+        FROM lineitem WHERE l_orderkey <= 1500 GROUP BY l_orderkey
+    )
+    SELECT t.o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL
+                THEN round(t.price + s.sq, 2) ELSE t.price END AS o_totalprice,
+           t.o_orderstatus
+    FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL OR s.sq <= 100
+    UNION ALL
+    SELECT s.o_orderkey, CAST(s.sq AS DOUBLE) AS o_totalprice,
+           'N' AS o_orderstatus
+    FROM src s WHERE NOT EXISTS (
+        SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+    """,
+)
+def q53_merge_into(spark, sf_dir):
+    """MERGE INTO end-to-end on an engine PK table: seed target from
+    orders, merge a lineitem aggregate — DELETE heavy keys, UPDATE the
+    rest, INSERT unmatched — then read the final state.  The oracle
+    replays ANSI MERGE semantics as a LEFT JOIN + anti-join UNION in
+    DuckDB.  One full-outer PK shuffle + two appended write jobs; see
+    FlussCatalog.merge_into for the 100 TB posture."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE merge_orders (o_orderkey BIGINT NOT NULL,"
+        " o_totalprice DOUBLE, o_orderstatus STRING,"
+        " PRIMARY KEY (o_orderkey))"
+    )
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_orderstatus",
+    ).createOrReplaceTempView("merge_seed")
+    e.sql("INSERT INTO merge_orders SELECT * FROM merge_seed")
+    t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1500).groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.sum("l_quantity").cast("bigint").alias("sq")).createOrReplaceTempView(
+        "merge_src"
+    )
+    e.sql(
+        """
+        MERGE INTO merge_orders AS t
+        USING (SELECT * FROM merge_src) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.sq > 100 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+             o_totalprice = round(t.o_totalprice + s.sq, 2)
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+             VALUES (s.o_orderkey, CAST(s.sq AS DOUBLE), 'N')
+        """
+    )
+    return e.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM merge_orders"
+    )

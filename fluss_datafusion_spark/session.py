@@ -164,6 +164,34 @@ class EngineSession:
             count = self.catalog.delete(delete_parsed[0], delete_parsed[1])
             return self.spark.createDataFrame([(count,)], "count bigint")
 
+        merge = ddl.parse_merge(statement) if re.match(
+            r"^\s*MERGE\s+INTO\b", statement, re.IGNORECASE
+        ) else None
+        if merge is not None and self.catalog.has_table(merge["target"]):
+            source = merge["source"]
+            if source.startswith("("):
+                # Subquery source: plan it through the full session.sql
+                # path so engine tables / system tables / rewrites all
+                # resolve inside it.
+                source_df = self.sql(source[1:-1])
+            elif self.catalog.has_table(source):
+                source_df = self.catalog.read(source)
+            else:
+                source_df = self.spark.table(
+                    rewriter.rewrite_sql(source, self.catalog)
+                )
+            counts = self.catalog.merge_into(
+                merge["target"],
+                source_df,
+                merge["on"],
+                matched_clauses=merge["matched"],
+                not_matched=merge["not_matched"],
+            )
+            return self.spark.createDataFrame(
+                [(counts["upserted"], counts["deleted"])],
+                "upserted bigint, deleted bigint",
+            )
+
         insert_target = ddl.parse_insert_target(statement)
         if insert_target is not None and self.catalog.has_table(insert_target):
             return self.catalog.insert_sql(insert_target, statement)

@@ -1,0 +1,221 @@
+"""MERGE INTO: parser, API, and SQL end-to-end.
+
+The reference's upsert writer (src/provider.rs:411-441) implies merge
+semantics but its CLI exposes only INSERT; MERGE INTO is the standard
+lakehouse DML for the same storage model, so it exceeds the reference
+the way DELETE/ALTER do.  Correctness model: final table state equals
+the ANSI MERGE result — first matching WHEN clause wins per key, one
+source row per key enforced.
+"""
+
+import pytest
+
+from fluss_datafusion_spark import EngineSession
+from fluss_datafusion_spark.catalog.ddl import parse_merge
+
+
+# -- parser (no Spark) -------------------------------------------------------
+
+
+def test_parse_merge_full_form():
+    parsed = parse_merge(
+        """
+        MERGE INTO tgt AS t USING (SELECT * FROM u) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.qty = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = s.price, note = concat(t.note, '!')
+        WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.price)
+        """
+    )
+    assert parsed["target"] == "tgt"
+    assert parsed["on"] == ["id"]
+    assert parsed["matched"][0] == ("delete", "s.qty = 0", None)
+    action, cond, assigns = parsed["matched"][1]
+    assert action == "update" and cond is None
+    assert assigns == {"price": "s.price", "note": "concat(t.note, '!')"}
+    cond, assigns = parsed["not_matched"]
+    assert cond is None and assigns == {"id": "s.id", "price": "s.price"}
+
+
+def test_parse_merge_alias_canonicalization():
+    # Swapped aliases: target aliased s, source aliased t.
+    parsed = parse_merge(
+        "MERGE INTO tgt AS s USING src AS t ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET v = t.v"
+    )
+    assert parsed["on"] == ["id"]
+    assert parsed["matched"][0][2] == {"v": "s.v"}  # source alias t -> s.
+
+
+def test_parse_merge_insert_star_and_update_star():
+    parsed = parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert parsed["matched"] == [("update", None, None)]
+    assert parsed["not_matched"] == (None, None)
+
+
+def test_parse_merge_rejects_non_pk_on():
+    with pytest.raises(ValueError, match="equalities"):
+        parse_merge(
+            "MERGE INTO a USING b ON a.k > b.k WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_parse_merge_non_merge_returns_none():
+    assert parse_merge("SELECT 1") is None
+
+
+# -- engine end-to-end -------------------------------------------------------
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_merge"))
+    e.sql(
+        "CREATE TABLE items (id BIGINT NOT NULL, price DOUBLE, qty INT,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql(
+        "INSERT INTO items VALUES (1, 10.0, 5), (2, 20.0, 0), (3, 30.0, 7)"
+    )
+    return e
+
+
+def _state(engine):
+    rows = engine.sql("SELECT id, price, qty FROM items ORDER BY id").collect()
+    return [(r.id, r.price, r.qty) for r in rows]
+
+
+def test_merge_update_delete_insert(engine):
+    result = engine.sql(
+        """
+        MERGE INTO items AS t
+        USING (SELECT * FROM VALUES (2, 99.0, 1), (3, 31.0, 8), (4, 40.0, 2)
+               AS u(id, price, qty)) AS s
+        ON t.id = s.id
+        WHEN MATCHED AND t.qty = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = s.price, qty = s.qty
+        WHEN NOT MATCHED THEN INSERT (id, price, qty)
+             VALUES (s.id, s.price, s.qty)
+        """
+    ).collect()[0]
+    assert (result.upserted, result.deleted) == (2, 1)
+    # id=1 untouched, id=2 deleted (qty was 0), id=3 updated, id=4 inserted.
+    assert _state(engine) == [(1, 10.0, 5), (3, 31.0, 8), (4, 40.0, 2)]
+
+
+def test_merge_clause_order_first_wins(engine):
+    # Same key matches both clauses; the FIRST (update) must win.
+    engine.sql(
+        """
+        MERGE INTO items t USING (SELECT 3 AS id) s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + 100
+        WHEN MATCHED THEN DELETE
+        """
+    )
+    assert (3, 30.0, 107) in _state(engine)
+
+
+def test_merge_insert_star_and_update_star(engine):
+    engine.sql(
+        """
+        MERGE INTO items t
+        USING (SELECT * FROM VALUES (1, 11.0, 6), (9, 90.0, 9)
+               AS u(id, price, qty)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    state = _state(engine)
+    assert (1, 11.0, 6) in state and (9, 90.0, 9) in state
+
+
+def test_merge_update_references_both_sides(engine):
+    engine.sql(
+        """
+        MERGE INTO items t USING (SELECT 1 AS id, 5.0 AS bump) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET price = t.price + s.bump
+        """
+    )
+    assert (1, 15.0, 5) in _state(engine)
+
+
+def test_merge_conditional_insert_only(engine):
+    engine.sql(
+        """
+        MERGE INTO items t
+        USING (SELECT * FROM VALUES (7, 70.0), (8, 1.0) AS u(id, price)) s
+        ON t.id = s.id
+        WHEN NOT MATCHED AND s.price > 10 THEN INSERT (id, price)
+             VALUES (s.id, s.price)
+        """
+    )
+    state = _state(engine)
+    assert (7, 70.0, None) in state
+    assert all(r[0] != 8 for r in state)  # filtered by the AND condition
+
+
+def test_merge_duplicate_source_keys_rejected(engine):
+    with pytest.raises(ValueError, match="cardinality"):
+        engine.sql(
+            "MERGE INTO items t USING "
+            "(SELECT * FROM VALUES (1, 1.0), (1, 2.0) AS u(id, price)) s "
+            "ON t.id = s.id WHEN MATCHED THEN UPDATE SET price = s.price"
+        )
+
+
+def test_merge_rejects_pk_reassignment(engine):
+    with pytest.raises(ValueError, match="primary-key"):
+        engine.sql(
+            "MERGE INTO items t USING (SELECT 1 AS id) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = 99"
+        )
+
+
+def test_merge_rejects_log_table(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_log"))
+    e.sql("CREATE TABLE logt (x BIGINT)")
+    with pytest.raises(ValueError, match="primary-key table"):
+        e.sql(
+            "MERGE INTO logt t USING (SELECT 1 AS x) s ON t.x = s.x "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_delete_then_time_travel_sees_pre_merge(engine):
+    seq_before = engine.catalog.current_seq("items")
+    engine.sql(
+        "MERGE INTO items t USING (SELECT 2 AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE"
+    )
+    now = {r[0] for r in _state(engine)}
+    assert 2 not in now
+    past = {
+        r.id
+        for r in engine.catalog.read("items", as_of_seq=seq_before)
+        .select("id")
+        .collect()
+    }
+    assert 2 in past
+
+
+def test_merge_source_engine_table(engine):
+    engine.sql(
+        "CREATE TABLE patches (id BIGINT NOT NULL, price DOUBLE,"
+        " PRIMARY KEY (id))"
+    )
+    engine.sql("INSERT INTO patches VALUES (1, 111.0), (6, 60.0)")
+    engine.sql(
+        """
+        MERGE INTO items t USING patches s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.price)
+        """
+    )
+    state = _state(engine)
+    assert (1, 111.0, 5) in state and (6, 60.0, None) in state

@@ -2068,3 +2068,72 @@ def ns_curation_apply_mixture(spark, sf_dir):
     weights = curation.domain_mixture_weights(docs, "source", "text")
     kept = curation.apply_mixture(docs, weights, "doc_id", "source")
     return kept.select("doc_id", "source")
+
+
+@query(
+    "ns_quality_nb_classifier", extended=True,
+    oracle=r"""
+    WITH lab AS (
+        SELECT doc_id, text,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END) >= 30 AS y
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM lab WHERE length(trim(text)) > 0
+    ),
+    cnt AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN l.y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN l.y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        FROM tk JOIN lab l USING (doc_id)
+        GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS T1,
+               CAST(sum(c0) AS BIGINT) AS T0,
+               count(*) AS V
+        FROM cnt
+    ),
+    pri AS (
+        SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS N1,
+               CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS N0
+        FROM lab
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln((coalesce(c.c1, 0) + 1.0) / (tot.T1 + 1.0 * tot.V))
+                   - ln((coalesce(c.c0, 0) + 1.0) / (tot.T0 + 1.0 * tot.V))),
+                 4) AS avg_log_odds,
+           round(ln(CAST(pri.N1 AS DOUBLE) / pri.N0), 4) AS log_prior,
+           (avg(ln((coalesce(c.c1, 0) + 1.0) / (tot.T1 + 1.0 * tot.V))
+              - ln((coalesce(c.c0, 0) + 1.0) / (tot.T0 + 1.0 * tot.V)))
+            + ln(CAST(pri.N1 AS DOUBLE) / pri.N0) / count(*)) > 0 AS pred_good
+    FROM tk t
+    LEFT JOIN cnt c USING (tok)
+    CROSS JOIN tot CROSS JOIN pri
+    GROUP BY t.doc_id, tot.T1, tot.T0, tot.V, pri.N1, pri.N0
+    """,
+)
+def ns_quality_nb_classifier(spark, sf_dir):
+    """Model-based quality filtering (GPT-3/CCNet-style linear
+    classifier): bootstrap-train a multinomial Naive Bayes on weak
+    labels (docs with >= 30 tokens = "good" class) and score every
+    document with its length-invariant mean per-token log-odds.  Train =
+    two map-side-combined aggregations; score = one shuffle join on the
+    token key; the model is a pair of DataFrames, never a broadcast of
+    corpus-sized state.  The oracle replays the same counts in SQL —
+    integer counts are exact on both engines, the one float mean rounds
+    at 4 like every cross-engine float aggregate here."""
+    from fluss_datafusion_spark.functions.text import token_count
+    from fluss_datafusion_spark.operators import quality_model
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "__good__", token_count(F.col("text")) >= 30
+    )
+    return quality_model.nb_quality_scores(
+        docs, "doc_id", "text", "__good__", alpha=1.0
+    )

@@ -872,7 +872,12 @@ class FlussCatalog:
 
     # -- maintenance --------------------------------------------------------
 
-    def optimize(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def optimize(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder_by: Optional[List[str]] = None,
+    ) -> int:
         """Small-file consolidation: rewrite the table's log into files
         of roughly ``target_file_bytes`` WITHOUT merging or dropping
         anything — every row and every internal stamp (__seq__/__sub__/
@@ -883,6 +888,14 @@ class FlussCatalog:
         (per-micro-batch sinks): reads stay correct either way, but
         a scan over thousands of small files pays per-file open cost and
         tiny row groups.  Returns the number of files after the rewrite.
+
+        ``zorder_by``: cluster the rewrite on the Morton curve of these
+        columns (``OPTIMIZE t ZORDER BY (c1, c2)``) so parquet min/max
+        footer stats prune files for predicates on ANY clustering
+        column — see operators/zorder.py.  Inside a partitioned/bucketed
+        layout the z-sort applies within each directory (the Delta
+        semantics); otherwise the rewrite is one range shuffle on the
+        z-key giving globally contiguous curve slices.
 
         Same crash-safe swap as compact: write to a temp dir, rename the
         live dir aside, rename the temp into place, drop the aside copy
@@ -902,7 +915,34 @@ class FlussCatalog:
         if spec.num_buckets and spec.bucket_keys and _BKT in log.columns:
             partition_cols.append(_BKT)
         tmp = path + ".optimize"
-        if partition_cols:
+        if zorder_by:
+            from fluss_datafusion_spark.operators.zorder import (
+                cluster_by_zorder,
+                zorder_key,
+            )
+
+            internal = [c for c in (_SEQ, _SUB, _BKT, _DEL) if c in log.columns]
+            bad = [c for c in zorder_by if c in internal]
+            if bad:
+                raise ValueError(f"cannot ZORDER BY internal columns {bad}")
+            if partition_cols:
+                # z-sort within each layout directory: directory pruning
+                # handles the partition/bucket columns, the z-curve
+                # handles the rest.
+                shuffled = (
+                    log.withColumn("__z__", zorder_key(log, zorder_by))
+                    .repartition(n_files, *partition_cols)
+                    .sortWithinPartitions(*partition_cols, "__z__")
+                    .drop("__z__")
+                )
+                writer = shuffled.write.mode("overwrite").partitionBy(
+                    *partition_cols
+                )
+            else:
+                writer = cluster_by_zorder(log, zorder_by, n_files).write.mode(
+                    "overwrite"
+                )
+        elif partition_cols:
             # cluster by the layout columns so each task writes whole
             # partition directories instead of a sliver of every one
             shuffled = log.repartition(n_files, *partition_cols)

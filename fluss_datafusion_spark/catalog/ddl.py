@@ -383,7 +383,8 @@ def parse_truncate_table(sql: str) -> Optional[str]:
 
 
 _OPTIMIZE_RE = re.compile(
-    r"^\s*OPTIMIZE\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    r"^\s*OPTIMIZE\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
     re.IGNORECASE,
 )
 _COMPACT_RE = re.compile(
@@ -393,14 +394,21 @@ _COMPACT_RE = re.compile(
 
 
 def parse_maintenance(sql: str):
-    """Parse the lake-maintenance statements into (action, target):
-    ``OPTIMIZE [TABLE] t`` (small-file consolidation, Delta-style
+    """Parse the lake-maintenance statements into (action, target[,
+    zorder_cols]): ``OPTIMIZE [TABLE] t [ZORDER BY (c1, c2)]``
+    (small-file consolidation + optional Morton clustering, Delta-style
     spelling) and ``COMPACT TABLE t`` (collapse history to latest
     images).  Returns None for anything else."""
+    from fluss_datafusion_spark.sql.dialect import strip_quotes
+
     s = sql.strip().rstrip(";")
     match = _OPTIMIZE_RE.match(s)
     if match:
-        return ("optimize", ".".join(parse_qualified_name(match.group(1))))
+        target = ".".join(parse_qualified_name(match.group(1)))
+        if match.group(2):
+            cols = [strip_quotes(c.strip()) for c in match.group(2).split(",")]
+            return ("optimize", target, cols)
+        return ("optimize", target)
     match = _COMPACT_RE.match(s)
     if match:
         return ("compact", ".".join(parse_qualified_name(match.group(1))))

@@ -152,9 +152,10 @@ class EngineSession:
 
         maintenance = ddl.parse_maintenance(statement)
         if maintenance is not None and self.catalog.has_table(maintenance[1]):
-            action, target = maintenance
+            action, target = maintenance[0], maintenance[1]
             if action == "optimize":
-                n_files = self.catalog.optimize(target)
+                zorder_by = maintenance[2] if len(maintenance) > 2 else None
+                n_files = self.catalog.optimize(target, zorder_by=zorder_by)
                 return self.spark.createDataFrame([(n_files,)], "n_files bigint")
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)

@@ -1424,7 +1424,6 @@ def ns_training_bpe_merges(spark, sf_dir):
 
 @query(
     "ns_dedup_semantic",
-    extended=True,
     oracle="""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -352,7 +352,7 @@ def q08_semi_join(spark, sf_dir):
 
 
 @query(
-    "q09_anti_join",
+    "q09_anti_join", extended=True,
     oracle="""
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -679,6 +679,52 @@ class FlussCatalog:
         count = self.insert(target, input_df)
         return self.spark.createDataFrame([(count,)], "count bigint")
 
+    def update_rows(
+        self, name: str, assigns: Dict[str, str], where: Optional[str] = None
+    ) -> int:
+        """``UPDATE t SET col = expr [WHERE pred]`` on a primary-key
+        table: rewrite the matching rows of the current merged state and
+        append them as upserts — the same log-structured write path as
+        INSERT, so history/time-travel/changelog all see the update as
+        one more statement.  Returns the number of rows updated.
+
+        Scale shape: one merge-on-read scan + filter + projection + one
+        append job; no driver-side rows.  Requires a PK table (an
+        append-only log row has no identity to update — same rule as
+        DELETE)."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"UPDATE requires a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        bad = [c for c in assigns if c in spec.primary_key]
+        if bad:
+            raise ValueError(
+                f"UPDATE may not reassign primary-key columns {bad} "
+                "(DELETE + INSERT to move a key)"
+            )
+        known = {c.name for c in spec.columns}
+        missing = [c for c in assigns if c not in known]
+        if missing:
+            raise ValueError(
+                f"UPDATE references unknown columns {missing} on "
+                f"{spec.qualified_name}"
+            )
+        cur = self._current_df(spec)
+        rows = cur.filter(F.expr(where)) if where else cur
+        updated = rows.select(
+            *[
+                (
+                    F.expr(assigns[field.name]).cast(field.dataType)
+                    if field.name in assigns
+                    else F.col(field.name)
+                ).alias(field.name)
+                for field in spec.spark_schema().fields
+            ]
+        )
+        return _footer_row_count(self._append_log(spec, updated, deleted=False))
+
     def merge_into(
         self,
         name: str,

@@ -575,3 +575,33 @@ def parse_merge(sql: str):
         "matched": matched_clauses,
         "not_matched": not_matched,
     }
+
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+SET\s+(.+?)"
+    r"(?:\s+WHERE\s+(.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_update(sql: str):
+    """Parse ``UPDATE t SET a = expr [, b = expr ...] [WHERE pred]`` into
+    (target, {col: sql_expr}, pred_or_None).  Expressions/predicates are
+    arbitrary SQL over the table's columns (planned by Catalyst on the
+    current merged state).  Returns None for non-UPDATE statements.
+
+    Like DELETE/MERGE this is DML the reference's upsert writer implies
+    but its CLI never exposes (src/provider.rs:411-441)."""
+    from fluss_datafusion_spark.sql.dialect import strip_quotes
+
+    match = _UPDATE_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    target = ".".join(parse_qualified_name(match.group(1)))
+    assigns = {}
+    for item in _split_top_level(match.group(2)):
+        col, _, expr = item.partition("=")
+        if not expr:
+            raise ValueError(f"cannot parse UPDATE SET item {item!r}")
+        assigns[strip_quotes(col.strip())] = expr.strip()
+    return target, assigns, match.group(3)

@@ -160,6 +160,14 @@ class EngineSession:
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        update_parsed = ddl.parse_update(statement) if re.match(
+            r"^\s*UPDATE\b", statement, re.IGNORECASE
+        ) else None
+        if update_parsed is not None and self.catalog.has_table(update_parsed[0]):
+            target, assigns, where = update_parsed
+            count = self.catalog.update_rows(target, assigns, where)
+            return self.spark.createDataFrame([(count,)], "count bigint")
+
         delete_parsed = ddl.parse_delete(statement)
         if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
             count = self.catalog.delete(delete_parsed[0], delete_parsed[1])

@@ -1,0 +1,79 @@
+"""UPDATE statement: parser + engine semantics on PK tables."""
+
+import pytest
+
+from fluss_datafusion_spark import EngineSession
+from fluss_datafusion_spark.catalog.ddl import parse_update
+
+
+def test_parse_update_forms():
+    assert parse_update("UPDATE t SET a = 1") == ("t", {"a": "1"}, None)
+    target, assigns, where = parse_update(
+        "UPDATE db.t SET a = a + 1, b = concat(b, 'x') WHERE a > 2 AND b = 'q'"
+    )
+    assert target == "db.t"
+    assert assigns == {"a": "a + 1", "b": "concat(b, 'x')"}
+    assert where == "a > 2 AND b = 'q'"
+    assert parse_update("SELECT 1") is None
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_upd"))
+    e.sql(
+        "CREATE TABLE accounts (id BIGINT NOT NULL, bal DOUBLE, tag STRING,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql(
+        "INSERT INTO accounts VALUES (1, 10.0, 'a'), (2, 20.0, 'b'),"
+        " (3, 30.0, 'a')"
+    )
+    return e
+
+
+def _state(engine):
+    return {
+        (r.id, r.bal, r.tag)
+        for r in engine.sql("SELECT * FROM accounts").collect()
+    }
+
+
+def test_update_with_where(engine):
+    n = engine.sql(
+        "UPDATE accounts SET bal = bal * 2 WHERE tag = 'a'"
+    ).collect()[0]["count"]
+    assert n == 2
+    assert _state(engine) == {(1, 20.0, "a"), (2, 20.0, "b"), (3, 60.0, "a")}
+
+
+def test_update_all_rows_and_expression_over_self(engine):
+    n = engine.sql(
+        "UPDATE accounts SET tag = concat(tag, '!'), bal = bal + 1"
+    ).collect()[0]["count"]
+    assert n == 3
+    assert _state(engine) == {
+        (1, 11.0, "a!"), (2, 21.0, "b!"), (3, 31.0, "a!")
+    }
+
+
+def test_update_preserves_history(engine):
+    anchor = engine.catalog.current_seq("accounts")
+    engine.sql("UPDATE accounts SET bal = 0 WHERE id = 1")
+    past = {
+        (r.id, r.bal)
+        for r in engine.catalog.read("accounts", as_of_seq=anchor)
+        .select("id", "bal").collect()
+    }
+    assert (1, 10.0) in past
+    assert (1, 0.0, "a") in _state(engine)
+
+
+def test_update_rejects_pk_and_unknown_and_log_table(engine, spark, tmp_path):
+    with pytest.raises(ValueError, match="primary-key columns"):
+        engine.sql("UPDATE accounts SET id = 9")
+    with pytest.raises(ValueError, match="unknown columns"):
+        engine.sql("UPDATE accounts SET nope = 1")
+    e2 = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_updlog"))
+    e2.sql("CREATE TABLE ev (x BIGINT)")
+    with pytest.raises(ValueError, match="primary-key table"):
+        e2.sql("UPDATE ev SET x = 1")

@@ -2136,3 +2136,58 @@ def ns_quality_nb_classifier(spark, sf_dir):
     return quality_model.nb_quality_scores(
         docs, "doc_id", "text", "__good__", alpha=1.0
     )
+
+
+@query(
+    "ns_curation_substring_scrub", extended=True,
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+        SELECT doc_id, u.s AS s,
+               array_to_string(t[u.s + 1 : u.s + 8], ' ') AS shv
+        FROM tk, unnest(generate_series(0, len(t) - 8)) AS u(s)
+        WHERE len(t) >= 8
+    ),
+    hot AS (
+        SELECT shv FROM sh GROUP BY shv
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT sh.doc_id, c.pos
+        FROM sh JOIN hot USING (shv),
+             unnest(generate_series(sh.s, sh.s + 7)) AS c(pos)
+    ),
+    tokpos AS (
+        SELECT doc_id, u.s AS pos, t[u.s + 1] AS tok
+        FROM tk, unnest(generate_series(0, len(t) - 1)) AS u(s)
+    )
+    SELECT tk.doc_id,
+           coalesce(
+               (SELECT string_agg(tp.tok, ' ' ORDER BY tp.pos)
+                FROM tokpos tp
+                LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+                WHERE tp.doc_id = tk.doc_id AND cov.pos IS NULL),
+               '') AS clean_text,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(
+               (SELECT count(*) FROM cov WHERE cov.doc_id = tk.doc_id), 0)
+               AS BIGINT) AS n_removed
+    FROM tk
+    """,
+)
+def ns_curation_substring_scrub(spark, sf_dir):
+    """Any-offset repeated-substring removal (Lee et al. 2022
+    ExactSubstr at 8-token resolution): every token covered by an
+    8-gram whose exact text recurs in >=2 distinct documents is
+    scrubbed, wherever in the document it starts — the finer-grained
+    sibling of ns_curation_span_scrub's stride-16 segmentation.  The
+    oracle replays the identical inverted-index construction in SQL."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.scrub_repeated_substrings(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_doc_freq=2,
+    )

@@ -675,6 +675,114 @@ def scrub_hot_spans(
     )
 
 
+def scrub_repeated_substrings(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §3.1):
+    remove every token covered by a ``k``-token run whose exact text
+    also appears in at least ``min_doc_freq`` DISTINCT documents —
+    at ANY token offset, unlike ``scrub_hot_spans``'s stride-``k``
+    segmentation, which misses duplicated text that straddles a segment
+    boundary.  Lee et al. build a corpus-wide suffix array; the
+    distributed equivalent here is an every-offset k-gram inverted
+    index: a k-gram match is exactly a length->=k repeated substring,
+    and the union of covered positions equals the suffix-array answer
+    at k-token resolution.
+
+    Returns (id_col, clean_text, n_tokens, n_removed) over every
+    non-empty document; ``clean_text`` rejoins surviving tokens in
+    order ('' when the whole document was duplicated text).
+
+    Scale shape: shingling is a narrow plan over a ONCE-materialized
+    token array (transform+slice — O(n*k) work, 1 output row per token,
+    the same cost class as every inverted-index dedup path here).  The
+    duplicate set is one map-side-combined distinct-count agg on the
+    shingle text (near-unique strings — uniform hash); marking is a
+    semi-join against it (NOT a broadcast — boilerplate-heavy corpora
+    make it O(corpus)); coverage explodes each duplicated occurrence
+    into its k positions (O(dup * k), sparse by assumption) and
+    reassembly shuffles once on the doc id.  Nothing quadratic, nothing
+    driver-side.
+    """
+    from fluss_datafusion_spark.functions.text import tokens
+
+    base = spread_small_scan(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
+        F.col(id_col).alias("__id__"),
+        tokens(F.col(text_col)).alias("__toks__"),
+    )
+    n = F.size("__toks__")
+    sh_structs = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice("__toks__", s + 1, k), " ").alias("sh"),
+        ),
+    )
+    shingles = (
+        base.filter(n >= k)
+        .select("__id__", F.explode(sh_structs).alias("__s__"))
+        .select(
+            "__id__",
+            F.col("__s__.start").alias("__start__"),
+            F.col("__s__.sh").alias("__sh__"),
+        )
+    )
+    hot = (
+        shingles.groupBy("__sh__")
+        .agg(F.countDistinct("__id__").alias("__df__"))
+        .filter(F.col("__df__") >= min_doc_freq)
+        .select("__sh__")
+    )
+    covered = (
+        shingles.join(hot, "__sh__", "leftsemi")
+        .select(
+            "__id__",
+            F.explode(
+                F.sequence(F.col("__start__"), F.col("__start__") + (k - 1))
+            ).alias("__pos__"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(
+        "__id__", F.posexplode("__toks__").alias("__pos__", "__tok__")
+    )
+    kept = (
+        tok_pos.join(covered, ["__id__", "__pos__"], "left_anti")
+        .groupBy("__id__")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos__", "__tok__"))
+                    ),
+                    lambda x: x["__tok__"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("__n_kept__"),
+        )
+    )
+    return (
+        base.select("__id__", n.alias("n_tokens"))
+        .join(kept, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept__"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def domain_mixture_weights(
     docs: DataFrame,
     group_col: str,

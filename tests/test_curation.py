@@ -481,3 +481,71 @@ def test_sample_exact_n_deterministic_and_exact(spark):
     # nested draws: a bigger draw contains the smaller one (prefix rule)
     bigger = {r["doc_id"] for r in sample_exact_n(df, "doc_id", 80).collect()}
     assert a <= bigger
+
+
+def test_scrub_repeated_substrings_any_offset(spark):
+    from fluss_datafusion_spark.operators.curation import (
+        scrub_hot_spans,
+        scrub_repeated_substrings,
+    )
+
+    # An 8-token duplicated run placed at DIFFERENT offsets in two docs:
+    # it straddles a stride-8 segment boundary in doc 2, so segment-level
+    # scrubbing misses it there but any-offset scrubbing removes it from
+    # both.
+    dup = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, f"{dup} unique1 tail1 end1"),
+        (2, f"lead2 {dup} unique2 tail2"),
+        (3, "totally different text " + " ".join(f"w{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in scrub_repeated_substrings(
+            docs, "doc_id", "text", k=8, min_doc_freq=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique1 tail1 end1"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "lead2 unique2 tail2"
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+
+    seg = {
+        r["doc_id"]: r
+        for r in scrub_hot_spans(
+            docs, "doc_id", "text", span_tokens=8, min_doc_freq=2
+        ).collect()
+    }
+    # The stride-8 segmentation misses the run ENTIRELY: it is
+    # segment-aligned only in doc 1, so the segment text occurs in just
+    # one document and never becomes corpus-hot — the gap this operator
+    # closes.
+    assert seg[1]["n_dropped"] == 0
+    assert seg[2]["n_dropped"] == 0
+    assert dup.split()[0] in seg[2]["clean_text"]
+
+
+def test_scrub_repeated_substrings_short_and_full_dup(spark):
+    from fluss_datafusion_spark.operators.curation import (
+        scrub_repeated_substrings,
+    )
+
+    same = "one two three four five six seven eight"
+    rows = [
+        (1, same),            # fully duplicated -> everything scrubbed
+        (2, same),
+        (3, "short doc"),     # < k tokens: no shingles, kept whole
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in scrub_repeated_substrings(
+            docs, "doc_id", "text", k=8, min_doc_freq=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 8
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 8
+    assert out[3]["clean_text"] == "short doc" and out[3]["n_removed"] == 0

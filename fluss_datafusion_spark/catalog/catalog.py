@@ -613,6 +613,33 @@ class FlussCatalog:
         self._append_log(spec, tombstone, deleted=True)
         return 1
 
+    def delete_where(self, name: str, predicate: str) -> int:
+        """``DELETE FROM t WHERE <any predicate>``: evaluate the
+        predicate against the current merged state and append one
+        tombstone per matching key — the predicate sibling of the
+        point ``delete`` (which appends blindly, upsert-writer style).
+        Returns the number of keys tombstoned.
+
+        Scale shape: one merge-on-read scan + filter + one append job
+        of PK-only tombstone rows; no driver-side rows."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"DELETE requires a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        victims = self._current_df(spec).filter(F.expr(predicate)).select(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in spec.primary_key
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in spec.spark_schema().fields
+            ]
+        )
+        return _footer_row_count(self._append_log(spec, victims, deleted=True))
+
     def insert_sql(self, target: str, statement: str) -> DataFrame:
         """Execute ``INSERT INTO | OVERWRITE [TABLE] t [(cols)] VALUES
         ... | SELECT ...``.

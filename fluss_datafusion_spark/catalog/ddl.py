@@ -272,14 +272,16 @@ _DELETE_PRED_RE = re.compile(
 
 
 def parse_delete(sql: str):
-    """Parse ``DELETE FROM t WHERE pk1 = lit [AND pk2 = lit ...]`` into
-    (target, {column: python_literal}), or None if not a DELETE.
+    """Parse a DELETE statement into (target, key_or_None, pred_or_None),
+    or None if not a DELETE.
 
-    Only full-PK equality deletes are supported — the point-delete a
-    Fluss upsert writer offers (the reference CLI exposes no DELETE at
-    all; this exceeds it).  Raises on a DELETE whose predicate is not a
-    conjunction of simple equalities, so unsupported forms fail loudly
-    instead of deleting the wrong rows.
+    ``DELETE FROM t WHERE pk1 = lit [AND pk2 = lit ...]`` parses to the
+    point form ``(target, {column: python_literal}, None)`` — the
+    single-tombstone path a Fluss upsert writer offers (append even for
+    an absent key).  Any other predicate parses to the predicate form
+    ``(target, None, predicate_text)`` — resolved against the current
+    merged state by ``FlussCatalog.delete_where`` (the reference CLI
+    exposes no DELETE at all; both forms exceed it).
     """
     from fluss_datafusion_spark.sql.dialect import strip_quotes
 
@@ -291,10 +293,7 @@ def parse_delete(sql: str):
     for clause in re.split(r"\s+AND\s+", match.group(2), flags=re.IGNORECASE):
         pred = _DELETE_PRED_RE.match(clause.strip())
         if not pred:
-            raise ValueError(
-                f"DELETE supports only 'pk = literal [AND ...]' predicates; "
-                f"cannot parse {clause.strip()!r}"
-            )
+            return target, None, match.group(2).strip()
         col = strip_quotes(pred.group(1))
         raw = pred.group(2)
         if raw.startswith("'"):
@@ -304,7 +303,9 @@ def parse_delete(sql: str):
         else:
             value = int(raw)
         key[col] = value
-    return target, key
+    # key form AND the raw predicate: the caller point-deletes when the
+    # equalities cover exactly the primary key, else predicate-deletes.
+    return target, key, match.group(2).strip()
 
 
 _ALTER_RE = re.compile(

@@ -170,7 +170,12 @@ class EngineSession:
 
         delete_parsed = ddl.parse_delete(statement)
         if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
-            count = self.catalog.delete(delete_parsed[0], delete_parsed[1])
+            target, key, pred = delete_parsed
+            pk = set(self.catalog.get_table(target).primary_key)
+            if key is not None and set(key) == pk:
+                count = self.catalog.delete(target, key)
+            else:
+                count = self.catalog.delete_where(target, pred)
             return self.spark.createDataFrame([(count,)], "count bigint")
 
         merge = ddl.parse_merge(statement) if re.match(

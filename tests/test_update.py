@@ -77,3 +77,33 @@ def test_update_rejects_pk_and_unknown_and_log_table(engine, spark, tmp_path):
     e2.sql("CREATE TABLE ev (x BIGINT)")
     with pytest.raises(ValueError, match="primary-key table"):
         e2.sql("UPDATE ev SET x = 1")
+
+
+def test_delete_where_predicate(engine):
+    n = engine.sql(
+        "DELETE FROM accounts WHERE bal >= 20 AND tag = 'a'"
+    ).collect()[0]["count"]
+    assert n == 1  # only (3, 30.0, 'a')
+    assert {r[0] for r in _state(engine)} == {1, 2}
+
+
+def test_delete_where_non_key_equality_routes_to_predicate(engine):
+    # An equality on a NON-key column is a predicate delete (the point
+    # path would refuse it as not covering the PK).
+    n = engine.sql("DELETE FROM accounts WHERE tag = 'a'").collect()[0]["count"]
+    assert n == 2
+    assert {r[0] for r in _state(engine)} == {2}
+
+
+def test_delete_where_no_matches(engine):
+    n = engine.sql("DELETE FROM accounts WHERE bal > 1e9").collect()[0]["count"]
+    assert n == 0
+    assert len(_state(engine)) == 3
+
+
+def test_point_delete_still_blind_append(engine):
+    # Full-PK equality keeps the upsert-writer semantics: absent key
+    # still records one tombstone.
+    n = engine.sql("DELETE FROM accounts WHERE id = 999").collect()[0]["count"]
+    assert n == 1
+    assert len(_state(engine)) == 3

@@ -613,6 +613,52 @@ class FlussCatalog:
         self._append_log(spec, tombstone, deleted=True)
         return 1
 
+    def restore_table(self, name: str, as_of_seq: int) -> Dict[str, int]:
+        """``RESTORE TABLE t TO VERSION AS OF n`` (Delta-RESTORE
+        semantics): make the current state equal the state as of
+        statement sequence ``n`` by writing a NEW statement — the
+        restore itself is one more log entry, so nothing after ``n`` is
+        erased and the restore can itself be time-traveled past or
+        re-restored.  Concretely: upsert every row of the historical
+        state, and tombstone every key that exists now but did not then.
+        Refuses anchors below the compaction floor (read() already
+        does).
+
+        Scale shape: one historical merge-on-read scan + one current-keys
+        scan + an anti-join on the PK, then two append jobs.  Both
+        outputs are materialized before the first write (the MERGE
+        self-reference rule)."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"RESTORE requires a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        old = self.read(name, as_of_seq=as_of_seq)  # validates the floor
+        pk = list(spec.primary_key)
+        to_delete = (
+            self._current_df(spec)
+            .select(*pk)
+            .join(old.select(*pk), pk, "left_anti")
+            .select(
+                *[
+                    (
+                        F.col(f.name)
+                        if f.name in spec.primary_key
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in spec.spark_schema().fields
+                ]
+            )
+        )
+        old = old.localCheckpoint(eager=True)
+        to_delete = to_delete.localCheckpoint(eager=True)
+        restored = _footer_row_count(self._append_log(spec, old, deleted=False))
+        deleted = _footer_row_count(
+            self._append_log(spec, to_delete, deleted=True)
+        )
+        return {"restored": restored, "deleted": deleted}
+
     def delete_where(self, name: str, predicate: str) -> int:
         """``DELETE FROM t WHERE <any predicate>``: evaluate the
         predicate against the current merged state and append one

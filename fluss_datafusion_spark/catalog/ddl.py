@@ -606,3 +606,20 @@ def parse_update(sql: str):
             raise ValueError(f"cannot parse UPDATE SET item {item!r}")
         assigns[strip_quotes(col.strip())] = expr.strip()
     return target, assigns, match.group(3)
+
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+TO\s+"
+    r"VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_restore(sql: str):
+    """Parse ``RESTORE TABLE t TO VERSION [AS OF] n`` into (target, n),
+    or None for non-RESTORE statements (Delta-RESTORE spelling; pairs
+    with the ``t$v<N>`` read-side time travel)."""
+    match = _RESTORE_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1))), int(match.group(2))

@@ -160,6 +160,14 @@ class EngineSession:
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        restore_parsed = ddl.parse_restore(statement)
+        if restore_parsed is not None and self.catalog.has_table(restore_parsed[0]):
+            counts = self.catalog.restore_table(*restore_parsed)
+            return self.spark.createDataFrame(
+                [(counts["restored"], counts["deleted"])],
+                "restored bigint, deleted bigint",
+            )
+
         update_parsed = ddl.parse_update(statement) if re.match(
             r"^\s*UPDATE\b", statement, re.IGNORECASE
         ) else None

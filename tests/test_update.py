@@ -107,3 +107,42 @@ def test_point_delete_still_blind_append(engine):
     n = engine.sql("DELETE FROM accounts WHERE id = 999").collect()[0]["count"]
     assert n == 1
     assert len(_state(engine)) == 3
+
+
+def test_restore_table_round_trip(engine):
+    # anchor: 3 rows (1,10,a) (2,20,b) (3,30,a)
+    anchor = engine.catalog.current_seq("accounts")
+    engine.sql("UPDATE accounts SET bal = 0 WHERE id = 1")
+    engine.sql("DELETE FROM accounts WHERE id = 2")
+    engine.sql("INSERT INTO accounts VALUES (9, 90.0, 'z')")
+    assert _state(engine) == {(1, 0.0, "a"), (3, 30.0, "a"), (9, 90.0, "z")}
+
+    row = engine.sql(
+        f"RESTORE TABLE accounts TO VERSION AS OF {anchor}"
+    ).collect()[0]
+    assert (row.restored, row.deleted) == (3, 1)  # 3 old rows; key 9 gone
+    assert _state(engine) == {(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a")}
+
+    # the restore is itself history: travel back to the post-edit state
+    post_edit = engine.catalog.current_seq("accounts") - 2
+    past = {
+        (r.id, r.bal, r.tag)
+        for r in engine.catalog.read("accounts", as_of_seq=post_edit).collect()
+    }
+    assert (9, 90.0, "z") in past
+
+
+def test_restore_refuses_pre_compaction_anchor(engine):
+    engine.sql("UPDATE accounts SET bal = 1")
+    engine.catalog.compact("accounts")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction"):
+        engine.sql("RESTORE TABLE accounts TO VERSION AS OF 1")
+
+
+def test_restore_rejects_log_table(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_rlog"))
+    e.sql("CREATE TABLE lg (x BIGINT)")
+    with pytest.raises(ValueError, match="primary-key table"):
+        e.sql("RESTORE TABLE lg TO VERSION AS OF 1")

@@ -2191,3 +2191,33 @@ def ns_curation_substring_scrub(spark, sf_dir):
         t(spark, sf_dir, "documents"), "doc_id", "text",
         k=8, min_doc_freq=2,
     )
+
+
+@query(
+    "ns_multimodal_audio_spectral", extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(2 + doc_id % 6 AS INT) AS n_windows,
+           CAST(1 + doc_id % 20 AS INT) AS dominant_bin,
+           ROUND((1 + doc_id % 20) * 125.0, 2) AS dominant_hz
+    FROM documents
+    """,
+)
+def ns_multimodal_audio_spectral(spark, sf_dir):
+    """REAL frequency-domain audio analysis: per document a PCM16 WAV of
+    a pure sine tone bin-aligned to the 64-sample analysis window is
+    synthesized (k = 1 + doc_id % 20 cycles per window), then
+    ``audio_spectral_features`` decodes the samples and runs a real
+    numpy FFT per window — the dominant spectral bin must come back as
+    exactly k and its frequency as k * 8000/64 Hz, a closed-form
+    integer oracle over a genuine DFT (the audio twin of the flat-image
+    JPEG codec oracle).  Band-energy shares carry fp/quantization noise
+    and are bounds-tested in pytest instead."""
+    media = multimodal.synthesize_tone_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    feats = multimodal.audio_spectral_features(media, n_fft=64)
+    return feats.select(
+        "media_id", "sample_rate", "n_windows", "dominant_bin", "dominant_hz"
+    )

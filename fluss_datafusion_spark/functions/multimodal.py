@@ -811,6 +811,118 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_tone_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture: a PCM16 WAV of a PURE SINE TONE per row, bin-aligned to a
+    64-sample analysis window — frequency bin k = 1 + id % 20 (so
+    exactly k cycles fit one window), amplitude 500 + id % 400, frames =
+    64 * (2 + id % 6), mono, rate 8000 Hz.  Bin alignment makes the
+    64-point DFT magnitude concentrate in bin k alone (all other bins
+    are fp-noise ~1e-10 of the peak), so the REAL FFT pipeline below has
+    a closed-form integer oracle with no audio/DSP library anywhere —
+    the audio twin of the flat-image JPEG oracle."""
+    import math
+
+    def _wav(i: int) -> bytes:
+        rate, n_fft = 8000, 64
+        k = 1 + int(i) % 20
+        amp = 500 + int(i) % 400
+        n_frames = n_fft * (2 + int(i) % 6)
+        samples = b"".join(
+            struct.pack(
+                "<h", int(round(amp * math.sin(2 * math.pi * k * t / n_fft)))
+            )
+            for t in range(n_frames)
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(samples)) + samples
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
+_SPECTRAL_SCHEMA = (
+    "media_id long, sample_rate int, n_windows int, dominant_bin int, "
+    "dominant_hz double, band_low double, band_mid double, "
+    "band_high double, decoded_ok boolean"
+)
+
+
+def audio_spectral_features(media: DataFrame, n_fft: int = 64) -> DataFrame:
+    """REAL frequency-domain feature extraction over the binary audio
+    column: decode PCM16, average channels to mono, frame into
+    non-overlapping ``n_fft`` windows, numpy rfft per window, average
+    the magnitude spectra, and emit the dominant non-DC bin, its
+    frequency in Hz, and low/mid/high third band-energy shares (rounded
+    4 — the repo's cross-engine float discipline).  The feature set a
+    training pipeline filters on (tone vs noise vs silence) before any
+    model sees the audio.
+
+    Arrow-batched mapInPandas; payload bytes never leave the executors;
+    O(frames log n_fft) per clip.  Clips shorter than one window (or
+    non-PCM16 payloads) come back decoded_ok = false.
+    """
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, _bits, _nf = parse_wav_header(payload)
+                px = decode_wav_pcm(payload)
+                if px is None or px.shape[0] < n_fft:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None, False)
+                    )
+                    continue
+                mono = px.astype(np.float64).mean(axis=1)
+                n_win = mono.shape[0] // n_fft
+                frames = mono[: n_win * n_fft].reshape(n_win, n_fft)
+                mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                spec = mag[1:]  # drop DC for dominance/banding
+                dom = int(np.argmax(spec)) + 1
+                total = float(spec.sum()) or 1.0
+                third = len(spec) // 3
+                bands = [
+                    float(spec[:third].sum()) / total,
+                    float(spec[third : 2 * third].sum()) / total,
+                    float(spec[2 * third :].sum()) / total,
+                ]
+                rows.append(
+                    (
+                        mid, rate, n_win, dom,
+                        round(dom * rate / n_fft, 2),
+                        round(bands[0], 4), round(bands[1], 4),
+                        round(bands[2], 4), True,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_windows",
+                         "dominant_bin", "dominant_hz", "band_low",
+                         "band_mid", "band_high", "decoded_ok"],
+            )
+            for c in ("sample_rate", "n_windows", "dominant_bin"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _SPECTRAL_SCHEMA
+    )
+
+
 # --------------------------------------------------------------------------
 # JPEG: baseline sequential DCT codec (ITU T.81), pure stdlib + numpy
 # --------------------------------------------------------------------------

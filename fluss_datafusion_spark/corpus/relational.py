@@ -1558,3 +1558,39 @@ def q53_merge_into(spark, sf_dir):
     return e.sql(
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM merge_orders"
     )
+
+
+def _zorder_oracle_sql() -> str:
+    """Closed-form Morton interleave of two 8-bit values in portable SQL
+    (bit shifts/ands — the exact expression operators/zorder.py builds),
+    generated term-by-term so both engines evaluate the identical sum."""
+    terms = []
+    for b in range(8):
+        terms.append(f"(((x >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((y >> {b}) & 1) << {2 * b + 1})")
+    return (
+        "WITH g AS (SELECT o_orderkey, o_orderkey % 256 AS x,"
+        " (o_orderkey * 7919) % 256 AS y FROM orders"
+        " WHERE o_orderkey <= 2000)"
+        " SELECT o_orderkey, CAST(" + " + ".join(terms) + " AS BIGINT) AS zkey"
+        " FROM g"
+    )
+
+
+@query("q54_zorder_key", extended=True, oracle=_zorder_oracle_sql())
+def q54_zorder_key(spark, sf_dir):
+    """The Morton z-key expression itself, oracle-checked value-by-value:
+    interleave two decorrelated 8-bit derivations of o_orderkey with
+    operators/zorder.interleave_bits (the expression OPTIMIZE ... ZORDER
+    BY clusters files on) and compare against the same shift/and sum in
+    DuckDB.  Layout effects (file skipping) are pinned by
+    tests/test_zorder.py against real parquet footers."""
+    from fluss_datafusion_spark.operators.zorder import interleave_bits
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    x = (F.col("o_orderkey") % 256).cast("long")
+    y = ((F.col("o_orderkey") * 7919) % 256).cast("long")
+    return o.select(
+        "o_orderkey",
+        interleave_bits([x, y]).cast("bigint").alias("zkey"),
+    )

@@ -105,11 +105,14 @@ def main() -> None:
         batch_partitions = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-        def stream_bench(name, build, output_mode):
+        def stream_bench(name, build, output_mode, max_files_per_trigger=2):
             t0 = time.time()
             try:
                 run_to_memory(
-                    build(events_stream(spark, replay, max_files_per_trigger=2)),
+                    build(events_stream(
+                        spark, replay,
+                        max_files_per_trigger=max_files_per_trigger,
+                    )),
                     f"bench_{name}",
                     output_mode=output_mode,
                 )
@@ -156,7 +159,15 @@ def main() -> None:
                 bound="1 hour", watermark="4 hours",
             ).select("purchase_id", "user_id", "click_id")
 
-        stream_bench("stream_interval_join", _interval, "append")
+        # 2 micro-batches (8 chunks / 4 per trigger): still a real
+        # multi-batch stream-stream join with state crossing a batch
+        # boundary (identical output rows at any batch size — A/B
+        # measured 371 rows at mfpt 2/4/8), at half the per-batch fixed
+        # cost of the two stateful sides (9.6 -> 4.4 s).
+        stream_bench(
+            "stream_interval_join", _interval, "append",
+            max_files_per_trigger=4,
+        )
 
         spark.conf.set("spark.sql.shuffle.partitions", batch_partitions)
         shutil.rmtree(replay_root, ignore_errors=True)

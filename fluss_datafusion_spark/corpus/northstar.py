@@ -2221,3 +2221,55 @@ def ns_multimodal_audio_spectral(spark, sf_dir):
     return feats.select(
         "media_id", "sample_rate", "n_windows", "dominant_bin", "dominant_hz"
     )
+
+
+@query(
+    "ns_quality_lm_buckets", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS vs
+          FROM (SELECT unnest(t) AS tok FROM tk) u),
+    scores AS (
+        SELECT bg.doc_id,
+               round(avg(ln((c2.c2 + 0.1) / (cp.cp + 0.1 * v.vs))), 4)
+                   AS avg_logprob
+        FROM bg JOIN c2 USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v
+        GROUP BY bg.doc_id
+    ),
+    r AS (
+        SELECT doc_id, avg_logprob,
+               row_number() OVER (ORDER BY avg_logprob DESC, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM scores
+    )
+    SELECT doc_id, avg_logprob,
+           CAST(floor((rk - 1) * 3.0 / n) AS INT) + 1 AS bucket_id,
+           CASE CAST(floor((rk - 1) * 3.0 / n) AS INT) + 1
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle'
+           END AS bucket_label
+    FROM r
+    """,
+)
+def ns_quality_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split: every document ranked by its
+    bigram-LM score and cut into equal-frequency terciles with pure
+    integer arithmetic — the quality-bucketed mixture CCNet trains on.
+    The global rank is training.range_ranked (range-partitioned
+    parallel rank + broadcast offsets — no single-partition sort); the
+    oracle replays score + row_number ranking in SQL."""
+    from fluss_datafusion_spark.operators import lm
+
+    return lm.quality_buckets(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=3
+    )

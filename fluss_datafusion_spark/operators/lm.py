@@ -131,3 +131,55 @@ def bigram_lm_scores(
     ``train_bigram_lm`` / ``score_with_lm`` for that)."""
     c2, cp, vocab = train_bigram_lm(docs, id_col, text_col)
     return score_with_lm(docs, id_col, text_col, c2, cp, vocab, alpha)
+
+
+def quality_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 3,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): rank
+    every document by its LM score and cut the corpus into
+    ``n_buckets`` equal-frequency buckets — bucket 1 ("head") is the
+    most model-like third, "tail" the least; downstream mixtures train
+    preferentially on head+middle.  Returns (id_col, avg_logprob,
+    bucket_id, bucket_label) for every scored document.
+
+    Determinism: ranking orders by the ROUNDED score (the value both
+    engines agree on bit-for-bit) descending with the id as tiebreak,
+    and bucket boundaries are pure integer arithmetic on (rank, N) —
+    no percentile estimation anywhere.
+
+    Scale shape: scoring is the bigram-LM plan; the global rank is
+    ``training.range_ranked`` (range-partitioned parallel rank +
+    broadcast offsets — no single-partition sort); N rides in as a
+    one-row broadcast."""
+    from fluss_datafusion_spark.operators.training import range_ranked
+
+    scores = bigram_lm_scores(docs, id_col, text_col, alpha=alpha)
+    ranked, rank_col = range_ranked(
+        scores, [F.col("avg_logprob").desc(), F.col(id_col).asc()]
+    )
+    n_total = scores.agg(F.count(F.lit(1)).alias("__N__"))
+    labels = F.when(F.col("bucket_id") == 1, "head").when(
+        F.col("bucket_id") == n_buckets, "tail"
+    ).otherwise("middle")
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bucket_id",
+            (
+                F.floor(
+                    (F.col(rank_col) - 1) * n_buckets / F.col("__N__")
+                ) + 1
+            ).cast("int"),
+        )
+        .select(
+            id_col,
+            "avg_logprob",
+            "bucket_id",
+            labels.alias("bucket_label"),
+        )
+    )

@@ -240,3 +240,40 @@ def shard_manifest(
             F.max(id_col).alias("max_id"),
         )
     )
+
+
+def range_ranked(df: DataFrame, order_cols, num_partitions: int = 64):
+    """Scalable global rank under an ARBITRARY sort order, without the
+    ``Window.orderBy`` single-partition exchange — the general-key
+    sibling of ``md5_prefix_ranked`` (which needs an md5-hex key for its
+    prefix bucketing).
+
+    ``repartitionByRange`` on the order columns puts each partition on a
+    contiguous slice of the global order (equal keys land together, and
+    the caller's tiebreak column makes the order strict), so:
+    row_number inside each range partition in parallel, count rows per
+    partition (tiny agg), window the counts into preceding-partition
+    offsets, broadcast them back: global_rank = offset + local rank.
+    The range exchange's sampling pass decides only the SPLIT POINTS —
+    the resulting rank is exactly the (order_cols) total order
+    regardless of where the boundaries fall.
+
+    ``order_cols``: list of Columns (use ``F.col(c).desc()`` for
+    descending) — the last one should be a unique tiebreak.  Returns
+    ``(ranked_df, "__grank__")`` like md5_prefix_ranked.
+    """
+    part = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid__", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid__").orderBy(*order_cols)
+    ranked = part.withColumn("__rn__", F.row_number().over(w))
+    counts = ranked.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
+    woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid__",
+        F.coalesce(F.sum("__n__").over(woff), F.lit(0)).alias("__off__"),
+    )
+    out = ranked.join(F.broadcast(offsets), "__pid__").withColumn(
+        "__grank__", (F.col("__off__") + F.col("__rn__")).cast("long")
+    )
+    return out.drop("__pid__", "__rn__", "__off__"), "__grank__"

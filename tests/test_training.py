@@ -140,3 +140,58 @@ def test_token_budget_global_path_no_single_partition_cumsum(spark):
     # kept totals never exceed the budget (strict no-overshoot contract)
     total = fast.select(F.sum(token_count(F.col("text")))).collect()[0][0]
     assert total <= 300
+
+
+def test_range_ranked_matches_global_sort_any_key(spark):
+    """range_ranked (the arbitrary-key sibling of md5_prefix_ranked)
+    must equal the naive global-window rank exactly, with the data-side
+    window partitioned (no Exchange SinglePartition over the data)."""
+    from pyspark.sql import Window
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.round(F.pmod(F.col("id") * 37, 100) / 7.0, 4).alias("score"),
+    )
+    ranked, col = training.range_ranked(
+        df, [F.col("score").desc(), F.col("doc_id").asc()], num_partitions=16
+    )
+    naive = df.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        ),
+    )
+    assert {(r["doc_id"], r[col]) for r in ranked.collect()} == {
+        (r["doc_id"], r["rk"]) for r in naive.collect()
+    }
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    window_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert window_lines and all("__pid__" in l for l in window_lines)
+
+
+def test_quality_buckets_equal_frequency_and_order(spark):
+    from fluss_datafusion_spark.operators import lm
+
+    rows = [
+        (i, ("common words repeated often " * 5) if i % 2 == 0
+         else f"rare{i} gibberish{i} tokens{i} xq{i} zz{i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm.quality_buckets(docs, "doc_id", "text", n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket_id"], []).append(r)
+    # equal-frequency terciles
+    assert sorted(by_bucket) == [1, 2, 3]
+    sizes = [len(by_bucket[b]) for b in (1, 2, 3)]
+    assert max(sizes) - min(sizes) <= 1
+    # label mapping + score ordering across buckets
+    assert all(r["bucket_label"] == "head" for r in by_bucket[1])
+    assert all(r["bucket_label"] == "tail" for r in by_bucket[3])
+    assert min(r["avg_logprob"] for r in by_bucket[1]) >= max(
+        r["avg_logprob"] for r in by_bucket[3]
+    )
+    # model-like (repetitive common-bigram) docs rank ahead of gibberish
+    head_ids = {r["doc_id"] for r in by_bucket[1]}
+    assert all(i % 2 == 0 for i in head_ids)

@@ -2273,3 +2273,40 @@ def ns_quality_lm_buckets(spark, sf_dir):
     return lm.quality_buckets(
         t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=3
     )
+
+
+@query(
+    "ns_sim_hard_negatives", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+    )
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored WHERE cos >= 0.3 AND cos < 0.8
+    ) WHERE rank <= 10
+    """,
+)
+def ns_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor
+    (vec_id < 8), the top-10 in-band (0.3 <= cos < 0.8) neighbors —
+    similar enough to confuse, below the near-dup band.  Brute-force
+    baseline plan (broadcast anchors x streamed corpus, band pruned
+    before the per-anchor window); the exclusion-pairs path is
+    pytest-pinned."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k=10, band=(0.3, 0.8),
+    )

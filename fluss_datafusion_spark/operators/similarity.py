@@ -504,3 +504,73 @@ def ann_query_index(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    band=(0.3, 0.8),
+    exclude_pairs: DataFrame = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the negatives that
+    actually teach: similar enough to be confused, dissimilar enough to
+    be wrong — e.g. DPR, Karpukhin et al. 2020 §3.2): for every anchor,
+    the top-``k`` corpus vectors whose cosine falls in ``[band[0],
+    band[1])``, excluding the anchor itself and any pair listed in
+    ``exclude_pairs`` (known positives/duplicates as (id_a, id_b) in
+    either order — mined negatives must never contain a positive).
+
+    Returns (query_id, neighbor_id, cos, rank), cos rounded 6.
+
+    Scale shape: anchors broadcast against the streamed corpus (the
+    brute-force baseline, same as cosine_topk — swap in the ANN index
+    probe for huge anchor sets); the exclusion list semi-joins as two
+    hash joins on the pair endpoints; top-k is one window per anchor.
+    The band predicate prunes before the window, so per-anchor state is
+    the in-band slice, not the corpus."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv__")
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid__"), F.col(query_vec).alias("__qv__")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            F.col("__qid__"),
+            "neighbor_id",
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+        )
+        .filter(F.col("__qid__") != F.col("neighbor_id"))
+        .filter(
+            (F.col("cos") >= float(band[0])) & (F.col("cos") < float(band[1]))
+        )
+    )
+    if exclude_pairs is not None:
+        both = exclude_pairs.select(
+            F.col("id_a").alias("__qid__"), F.col("id_b").alias("neighbor_id")
+        ).unionByName(
+            exclude_pairs.select(
+                F.col("id_b").alias("__qid__"), F.col("id_a").alias("neighbor_id")
+            )
+        )
+        scored = scored.join(both, ["__qid__", "neighbor_id"], "left_anti")
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias(query_id),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+            "rank",
+        )
+    )

@@ -981,3 +981,42 @@ def test_semantic_dedup_keep_rule_and_cache(spark, testdata):
     # the assignment cache is attached for release and releasable
     assert getattr(out, "_fds_cached_deps", None)
     release_candidate_cache(out)
+
+
+def test_hard_negatives_band_and_exclusion(spark):
+    """Mined negatives stay inside the band and never include an
+    excluded (positive/duplicate) pair in either orientation."""
+    import math
+
+    from fluss_datafusion_spark.operators import similarity
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # Anchor 0 at angle 0; candidates at increasing angles give known
+    # cosines; 1 is a near-duplicate (cos≈0.995), 2-4 in-band, 5 far.
+    rows = [
+        (0, vec(0.0)),
+        (1, vec(0.1)),     # cos 0.995 — above band
+        (2, vec(0.9)),     # cos 0.622
+        (3, vec(1.0)),     # cos 0.540
+        (4, vec(1.1)),     # cos 0.454
+        (5, vec(3.0)),     # cos -0.99 — below band
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = emb.filter(F.col("vec_id") == 0)
+
+    out = similarity.hard_negatives(
+        emb, anchors, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, band=(0.3, 0.8),
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    assert got == [(2, 1), (3, 2), (4, 3)]  # band excludes 1 and 5
+    assert all(0.3 <= r["cos"] < 0.8 for r in out)
+
+    pairs = spark.createDataFrame([(3, 0)], "id_a long, id_b long")
+    out2 = similarity.hard_negatives(
+        emb, anchors, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, band=(0.3, 0.8), exclude_pairs=pairs,
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out2] == [(2, 1), (4, 2)]

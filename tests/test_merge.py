@@ -219,3 +219,79 @@ def test_merge_source_engine_table(engine):
     )
     state = _state(engine)
     assert (1, 111.0, 5) in state and (6, 60.0, None) in state
+
+
+def test_merge_on_partitioned_bucketed_table(spark, tmp_path):
+    """DML must respect the physical layout: partition dirs + __bkt__
+    bucket dirs survive MERGE/UPDATE/DELETE, and reads stay correct."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mlay"))
+    e.sql(
+        "CREATE TABLE sales (sale_id BIGINT NOT NULL, region STRING,"
+        " amount DOUBLE, PRIMARY KEY (sale_id))"
+        " PARTITIONED BY (region) DISTRIBUTED BY (sale_id) INTO 4 BUCKETS"
+    )
+    e.sql(
+        "INSERT INTO sales VALUES (1, 'eu', 10.0), (2, 'us', 20.0),"
+        " (3, 'eu', 30.0), (4, 'ap', 40.0)"
+    )
+    e.sql(
+        """
+        MERGE INTO sales t
+        USING (SELECT * FROM VALUES (2, 'us', 25.0), (5, 'eu', 50.0)
+               AS u(sale_id, region, amount)) s
+        ON t.sale_id = s.sale_id
+        WHEN MATCHED THEN UPDATE SET amount = s.amount
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    e.sql("UPDATE sales SET amount = amount + 1 WHERE region = 'eu'")
+    e.sql("DELETE FROM sales WHERE amount > 45")
+    state = {
+        (r.sale_id, r.region, r.amount)
+        for r in e.sql("SELECT * FROM sales").collect()
+    }
+    # eu rows got +1; the merged-in (5, eu, 50) became 51 and was
+    # deleted by the amount > 45 predicate; ap/us untouched by the eu
+    # update.
+    assert state == {
+        (1, "eu", 11.0), (2, "us", 25.0), (3, "eu", 31.0), (4, "ap", 40.0)
+    }
+    # layout intact: region partition dirs with __bkt__ bucket dirs below
+    import os
+
+    path = e.catalog.table_path(e.catalog.get_table("sales"))
+    regions = {d for d in os.listdir(path) if d.startswith("region=")}
+    assert {"region=eu", "region=us", "region=ap"} <= regions
+    assert any(
+        d.startswith("__bkt__=")
+        for d in os.listdir(os.path.join(path, "region=eu"))
+    )
+    # PK lookup (bucket-pruned path) sees the merged value
+    assert e.catalog.lookup("sales", 2).collect()[0].amount == 25.0
+
+
+def test_merge_composite_pk(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mcomp"))
+    e.sql(
+        "CREATE TABLE inv (wh STRING NOT NULL, item BIGINT NOT NULL,"
+        " qty INT, PRIMARY KEY (wh, item))"
+    )
+    e.sql("INSERT INTO inv VALUES ('a', 1, 5), ('a', 2, 7), ('b', 1, 9)")
+    e.sql(
+        """
+        MERGE INTO inv t
+        USING (SELECT * FROM VALUES ('a', 2, 3), ('b', 2, 4)
+               AS u(wh, item, qty)) s
+        ON t.wh = s.wh AND t.item = s.item
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    state = {(r.wh, r.item, r.qty) for r in e.sql("SELECT * FROM inv").collect()}
+    assert state == {("a", 1, 5), ("a", 2, 10), ("b", 1, 9), ("b", 2, 4)}
+    # ON must cover the FULL composite key
+    with pytest.raises(ValueError, match="exactly the primary key"):
+        e.sql(
+            "MERGE INTO inv t USING (SELECT 'a' AS wh) s ON t.wh = s.wh "
+            "WHEN MATCHED THEN DELETE"
+        )

@@ -146,3 +146,22 @@ def test_restore_rejects_log_table(spark, tmp_path):
     e.sql("CREATE TABLE lg (x BIGINT)")
     with pytest.raises(ValueError, match="primary-key table"):
         e.sql("RESTORE TABLE lg TO VERSION AS OF 1")
+
+
+def test_restore_on_partitioned_bucketed_table(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_rlay"))
+    e.sql(
+        "CREATE TABLE ev (id BIGINT NOT NULL, region STRING, v DOUBLE,"
+        " PRIMARY KEY (id))"
+        " PARTITIONED BY (region) DISTRIBUTED BY (id) INTO 2 BUCKETS"
+    )
+    e.sql("INSERT INTO ev VALUES (1, 'eu', 1.0), (2, 'us', 2.0)")
+    anchor = e.catalog.current_seq("ev")
+    e.sql("UPDATE ev SET v = 99 WHERE id = 1")
+    e.sql("INSERT INTO ev VALUES (3, 'ap', 3.0)")
+    row = e.sql(f"RESTORE TABLE ev TO VERSION AS OF {anchor}").collect()[0]
+    assert (row.restored, row.deleted) == (2, 1)
+    state = {(r.id, r.region, r.v) for r in e.sql("SELECT * FROM ev").collect()}
+    assert state == {(1, "eu", 1.0), (2, "us", 2.0)}
+    # bucket-pruned lookup still correct after the restore writes
+    assert e.catalog.lookup("ev", 1).collect()[0].v == 1.0

@@ -805,6 +805,7 @@ class FlussCatalog:
         on: List[str],
         matched_clauses=None,
         not_matched=None,
+        not_matched_by_source=None,
     ) -> Dict[str, int]:
         """MERGE INTO for primary-key tables (the lakehouse upsert DML the
         reference's upsert writer implies but its CLI never exposes —
@@ -819,8 +820,15 @@ class FlussCatalog:
           key the FIRST clause whose condition holds applies (ANSI MERGE
           clause-order semantics); ``cond`` is a SQL boolean over
           aliases ``t`` (target) and ``s`` (source), or None = always.
-        - ``not_matched``: ``(cond, {col: sql_expr} | None)`` — None
-          assignments = INSERT * (source columns matched by name).
+        - ``not_matched``: ordered list of ``(cond, {col: sql_expr} |
+          None)`` clauses (a single tuple is accepted for one clause) —
+          first clause whose condition holds inserts; None assignments =
+          INSERT * (source columns matched by name).
+        - ``not_matched_by_source``: ordered list of ``("update", cond,
+          {col: sql_expr})`` / ``("delete", cond, None)`` applied to
+          target rows with no source match (ANSI 2023 / Delta ``WHEN NOT
+          MATCHED BY SOURCE``); conditions may reference only ``t.``
+          columns (the source side is absent on those rows).
 
         Scale posture: ONE full-outer shuffle join of current state vs
         source on the PK (both sides hash-partitioned once; AQE may
@@ -841,7 +849,11 @@ class FlussCatalog:
                 f"{spec.primary_key}; got {on}"
             )
         matched_clauses = list(matched_clauses or [])
-        for action, _cond, assigns in matched_clauses:
+        if isinstance(not_matched, tuple):  # single-clause back-compat
+            not_matched = [not_matched]
+        not_matched = list(not_matched or [])
+        not_matched_by_source = list(not_matched_by_source or [])
+        for action, _cond, assigns in matched_clauses + not_matched_by_source:
             if action not in ("update", "delete"):
                 raise ValueError(f"unknown MERGE matched action {action!r}")
             if action == "update" and assigns:
@@ -851,20 +863,40 @@ class FlussCatalog:
                         f"MERGE UPDATE may not reassign primary-key "
                         f"columns {bad}"
                     )
-        if not matched_clauses and not_matched is None:
+        for action, _cond, assigns in not_matched_by_source:
+            if action == "update" and not assigns:
+                raise ValueError(
+                    "MERGE NOT MATCHED BY SOURCE UPDATE has no source row "
+                    "to take columns from; SET * is meaningless — give "
+                    "explicit assignments"
+                )
+        if not matched_clauses and not not_matched and not not_matched_by_source:
             raise ValueError("MERGE needs at least one WHEN clause")
 
-        # ANSI cardinality check: a source with duplicate join keys would
-        # make clause application non-deterministic.
-        dup = (
+        # One small agg over the source keys enforces BOTH ANSI
+        # preconditions: (a) duplicate join keys would make clause
+        # application non-deterministic; (b) a NULL in any join-key
+        # column can never equi-match (SQL null semantics) — ANSI/Delta
+        # reject it rather than silently routing the row to NOT MATCHED
+        # (which for a composite PK would INSERT a NULL key component).
+        null_key = F.lit(False)
+        for k in on:
+            null_key = null_key | F.col(k).isNull()
+        bad_keys = (
             source.groupBy(*on)
             .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") > 1)
+            .filter((F.col("__n__") > 1) | null_key)
             .limit(1)
             .collect()
         )
-        if dup:
-            key = {k: dup[0][k] for k in on}
+        if bad_keys:
+            key = {k: bad_keys[0][k] for k in on}
+            if any(v is None for v in key.values()):
+                raise ValueError(
+                    f"MERGE source has a NULL join-key component {key} "
+                    "(a NULL key can never match; rejecting instead of "
+                    "inserting a NULL primary-key row)"
+                )
             raise ValueError(
                 f"MERGE source has multiple rows for join key {key} "
                 "(ANSI MERGE cardinality violation)"
@@ -924,34 +956,95 @@ class FlussCatalog:
                 part = rows.select(*exprs)
                 tombstones = part if tombstones is None else tombstones.unionByName(part)
 
-        if not_matched is not None:
-            cond, assigns = not_matched
-            rows = joined.filter(s_hit & ~t_hit)
-            if cond:
-                rows = rows.filter(F.expr(cond))
-            exprs = []
-            for field in target_fields:
-                if assigns is None:  # INSERT * — source columns by name
-                    if field.name not in source.columns:
-                        raise ValueError(
-                            f"MERGE INSERT *: source lacks target column "
-                            f"{field.name!r}"
+        if not_matched:
+            # First-true-clause-wins over the source-only rows — the same
+            # action-index chain the matched side uses, so clause order
+            # is ANSI (a row satisfying clauses 1 and 2 inserts via 1).
+            ins_chain = F.when(F.lit(False), F.lit(None))
+            for i, (cond, _assigns) in enumerate(not_matched):
+                pred = F.expr(cond) if cond else F.lit(True)
+                ins_chain = ins_chain.when(pred, F.lit(i))
+            unmatched = joined.filter(s_hit & ~t_hit).withColumn(
+                "__ins__", ins_chain
+            )
+            for i, (_cond, assigns) in enumerate(not_matched):
+                rows = unmatched.filter(F.col("__ins__") == i)
+                exprs = []
+                for field in target_fields:
+                    if assigns is None:  # INSERT * — source columns by name
+                        if field.name not in source.columns:
+                            raise ValueError(
+                                f"MERGE INSERT *: source lacks target column "
+                                f"{field.name!r}"
+                            )
+                        exprs.append(
+                            F.col(f"s.{field.name}")
+                            .cast(field.dataType)
+                            .alias(field.name)
                         )
-                    exprs.append(
-                        F.col(f"s.{field.name}").cast(field.dataType).alias(field.name)
-                    )
-                elif field.name in assigns:
-                    exprs.append(
-                        F.expr(assigns[field.name]).cast(field.dataType).alias(field.name)
-                    )
-                else:
-                    if field.name in spec.primary_key or not spec.column(field.name).nullable:
-                        raise ValueError(
-                            f"MERGE INSERT must supply primary-key/NOT NULL "
-                            f"column {field.name!r}"
+                    elif field.name in assigns:
+                        exprs.append(
+                            F.expr(assigns[field.name])
+                            .cast(field.dataType)
+                            .alias(field.name)
                         )
-                    exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
-            live_parts.append(rows.select(*exprs))
+                    else:
+                        if (
+                            field.name in spec.primary_key
+                            or not spec.column(field.name).nullable
+                        ):
+                            raise ValueError(
+                                f"MERGE INSERT must supply primary-key/NOT NULL "
+                                f"column {field.name!r}"
+                            )
+                        exprs.append(
+                            F.lit(None).cast(field.dataType).alias(field.name)
+                        )
+                live_parts.append(rows.select(*exprs))
+
+        if not_matched_by_source:
+            # Target rows with no source match (t_hit & ~s_hit): the
+            # third branch of the same full-outer join — no extra scan or
+            # shuffle.  Conditions see only t.* (s.* is all-NULL here by
+            # construction), matching the ANSI restriction.
+            src_chain = F.when(F.lit(False), F.lit(None))
+            for i, (_action, cond, _assigns) in enumerate(not_matched_by_source):
+                pred = F.expr(cond) if cond else F.lit(True)
+                src_chain = src_chain.when(pred, F.lit(i))
+            t_only = joined.filter(t_hit & ~s_hit).withColumn(
+                "__src__", src_chain
+            )
+            for i, (action, _cond, assigns) in enumerate(not_matched_by_source):
+                rows = t_only.filter(F.col("__src__") == i)
+                if action == "update":
+                    exprs = []
+                    for field in target_fields:
+                        if assigns and field.name in assigns:
+                            exprs.append(
+                                F.expr(assigns[field.name])
+                                .cast(field.dataType)
+                                .alias(field.name)
+                            )
+                        else:
+                            exprs.append(
+                                F.col(f"t.{field.name}").alias(field.name)
+                            )
+                    live_parts.append(rows.select(*exprs))
+                else:  # delete -> PK-only tombstones
+                    exprs = [
+                        (
+                            F.col(f"t.{field.name}")
+                            if field.name in spec.primary_key
+                            else F.lit(None).cast(field.dataType)
+                        ).alias(field.name)
+                        for field in target_fields
+                    ]
+                    part = rows.select(*exprs)
+                    tombstones = (
+                        part
+                        if tombstones is None
+                        else tombstones.unionByName(part)
+                    )
 
         upserted = deleted = 0
         live = None

@@ -90,6 +90,32 @@ def _split_top_level(text: str, sep: str = ",") -> List[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+_STRING_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+_LIT_TOKEN_RE = re.compile(r"\x01(\d+)\x01")
+
+
+def _mask_literals(text: str) -> Tuple[str, List[str]]:
+    """Replace every single-quoted string literal with a ``\\x01<i>\\x01``
+    placeholder so clause-splitting regexes (WHEN/THEN/WHERE/AND) and
+    alias canonicalization can never match or rewrite INSIDE a literal
+    (``'src.jpg'`` must not become ``'s.jpg'`` when the source alias is
+    ``src``).  Restore with :func:`_unmask_literals` on every extracted
+    expression fragment."""
+    literals: List[str] = []
+
+    def _stash(m: "re.Match[str]") -> str:
+        literals.append(m.group(0))
+        return f"\x01{len(literals) - 1}\x01"
+
+    return _STRING_LIT_RE.sub(_stash, text), literals
+
+
+def _unmask_literals(text: Optional[str], literals: List[str]) -> Optional[str]:
+    if text is None or not literals:
+        return text
+    return _LIT_TOKEN_RE.sub(lambda m: literals[int(m.group(1))], text)
+
+
 def _find_column_block(sql: str) -> Tuple[str, str, str]:
     """Return (head, column_block, tail) where column_block is the text inside
     the table's top-level parentheses."""
@@ -285,15 +311,20 @@ def parse_delete(sql: str):
     """
     from fluss_datafusion_spark.sql.dialect import strip_quotes
 
-    match = _DELETE_RE.match(sql)
+    masked, lits = _mask_literals(sql)
+    match = _DELETE_RE.match(masked)
     if not match:
         return None
     target = ".".join(parse_qualified_name(match.group(1)))
+    predicate = _unmask_literals(match.group(2).strip(), lits)
     key = {}
+    # Split the conjunction on literal-masked text (an ' AND ' inside a
+    # string literal must not split), then restore each clause.
     for clause in re.split(r"\s+AND\s+", match.group(2), flags=re.IGNORECASE):
+        clause = _unmask_literals(clause, lits)
         pred = _DELETE_PRED_RE.match(clause.strip())
         if not pred:
-            return target, None, match.group(2).strip()
+            return target, None, predicate
         col = strip_quotes(pred.group(1))
         raw = pred.group(2)
         if raw.startswith("'"):
@@ -302,10 +333,17 @@ def parse_delete(sql: str):
             value = float(raw)
         else:
             value = int(raw)
+        if col in key and key[col] != value:
+            # A column repeated with a different value (`id = 3 AND
+            # id = 4`) is an unsatisfiable conjunction; overwriting
+            # key[col] would silently point-delete the LAST value.
+            # Fall back to the predicate form so the real WHERE clause
+            # is evaluated (matching zero rows) instead.
+            return target, None, predicate
         key[col] = value
     # key form AND the raw predicate: the caller point-deletes when the
     # equalities cover exactly the primary key, else predicate-deletes.
-    return target, key, match.group(2).strip()
+    return target, key, predicate
 
 
 _ALTER_RE = re.compile(
@@ -433,8 +471,15 @@ _MATCHED_CLAUSE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _NOT_MATCHED_CLAUSE_RE = re.compile(
-    r"^WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+INSERT\s+"
+    r"^WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?"
+    r"(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+INSERT\s+"
     r"(?:(?P<star>\*)|(?:\((?P<cols>[^)]*)\)\s*)?VALUES\s*\((?P<vals>.+)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_MATCHED_SOURCE_CLAUSE_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*"
+    r"(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?:(?P<delete>DELETE)|UPDATE\s+SET\s+(?P<set>.+))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ_RE = re.compile(
@@ -472,6 +517,10 @@ def parse_merge(sql: str):
     s = sql.strip().rstrip(";")
     if not re.match(r"^\s*MERGE\s+INTO\b", s, re.IGNORECASE):
         return None
+    # Mask string literals FIRST: every regex below (head split, WHEN
+    # split, alias canonicalization) runs on the masked text and cannot
+    # mis-split on a WHEN/THEN/AND or alias prefix inside a literal.
+    s, _lits = _mask_literals(s)
     match = _MERGE_HEAD_RE.match(s)
     if not match:
         raise ValueError(f"cannot parse MERGE statement: {sql!r}")
@@ -511,13 +560,20 @@ def parse_merge(sql: str):
         tail[b:e].strip()
         for b, e in zip(starts, starts[1:] + [len(tail)])
     ]
+    def _expr(text):
+        """Canonicalize aliases then restore masked literals — the order
+        matters: canonicalization must never see literal contents."""
+        if text is None:
+            return None
+        return _unmask_literals(_canon_aliases(text, talias, salias), _lits)
+
     matched_clauses = []
-    not_matched = None
+    not_matched = []
+    not_matched_by_source = []
     for piece in pieces:
         m = _MATCHED_CLAUSE_RE.match(piece)
         if m:
-            cond = m.group("cond")
-            cond = _canon_aliases(cond, talias, salias) if cond else None
+            cond = _expr(m.group("cond"))
             if m.group("delete"):
                 matched_clauses.append(("delete", cond, None))
             else:
@@ -534,19 +590,32 @@ def parse_merge(sql: str):
                             )
                         col = strip_quotes(col.strip())
                         col = col.split(".")[-1]  # allow t.col = ...
-                        assigns[col] = _canon_aliases(
-                            expr.strip(), talias, salias
-                        )
+                        assigns[col] = _expr(expr.strip())
                     matched_clauses.append(("update", cond, assigns))
+            continue
+        m = _NOT_MATCHED_SOURCE_CLAUSE_RE.match(piece)
+        if m:
+            cond = _expr(m.group("cond"))
+            if m.group("delete"):
+                not_matched_by_source.append(("delete", cond, None))
+            else:
+                assigns = {}
+                for item in _split_top_level(m.group("set").strip()):
+                    col, _, expr = item.partition("=")
+                    if not expr:
+                        raise ValueError(
+                            f"cannot parse MERGE SET item {item!r}"
+                        )
+                    col = strip_quotes(col.strip())
+                    col = col.split(".")[-1]
+                    assigns[col] = _expr(expr.strip())
+                not_matched_by_source.append(("update", cond, assigns))
             continue
         m = _NOT_MATCHED_CLAUSE_RE.match(piece)
         if m:
-            if not_matched is not None:
-                raise ValueError("MERGE supports one WHEN NOT MATCHED clause")
-            cond = m.group("cond")
-            cond = _canon_aliases(cond, talias, salias) if cond else None
+            cond = _expr(m.group("cond"))
             if m.group("star"):
-                not_matched = (cond, None)
+                not_matched.append((cond, None))
             else:
                 vals = _split_top_level(m.group("vals"))
                 cols_text = m.group("cols")
@@ -562,19 +631,17 @@ def parse_merge(sql: str):
                         f"MERGE INSERT: {len(cols)} columns but "
                         f"{len(vals)} values"
                     )
-                assigns = {
-                    c: _canon_aliases(v, talias, salias)
-                    for c, v in zip(cols, vals)
-                }
-                not_matched = (cond, assigns)
+                assigns = {c: _expr(v) for c, v in zip(cols, vals)}
+                not_matched.append((cond, assigns))
             continue
         raise ValueError(f"cannot parse MERGE WHEN clause: {piece!r}")
     return {
         "target": target,
-        "source": source,
+        "source": _unmask_literals(source, _lits),
         "on": on_cols,
         "matched": matched_clauses,
         "not_matched": not_matched,
+        "not_matched_by_source": not_matched_by_source,
     }
 
 
@@ -595,17 +662,20 @@ def parse_update(sql: str):
     but its CLI never exposes (src/provider.rs:411-441)."""
     from fluss_datafusion_spark.sql.dialect import strip_quotes
 
-    match = _UPDATE_RE.match(sql.strip().rstrip(";"))
+    masked, lits = _mask_literals(sql.strip().rstrip(";"))
+    match = _UPDATE_RE.match(masked)
     if not match:
         return None
     target = ".".join(parse_qualified_name(match.group(1)))
     assigns = {}
+    # The SET/WHERE split ran on literal-masked text, so a ' WHERE '
+    # inside a SET string literal cannot truncate the assignment list.
     for item in _split_top_level(match.group(2)):
         col, _, expr = item.partition("=")
         if not expr:
             raise ValueError(f"cannot parse UPDATE SET item {item!r}")
-        assigns[strip_quotes(col.strip())] = expr.strip()
-    return target, assigns, match.group(3)
+        assigns[strip_quotes(col.strip())] = _unmask_literals(expr.strip(), lits)
+    return target, assigns, _unmask_literals(match.group(3), lits)
 
 
 _RESTORE_RE = re.compile(

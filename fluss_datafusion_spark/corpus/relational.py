@@ -1495,27 +1495,44 @@ def q52_variant_semistructured(spark, sf_dir):
         SELECT l_orderkey AS o_orderkey,
                CAST(sum(l_quantity) AS BIGINT) AS sq
         FROM lineitem WHERE l_orderkey <= 1500 GROUP BY l_orderkey
-    )
-    SELECT t.o_orderkey,
-           CASE WHEN s.o_orderkey IS NOT NULL
-                THEN round(t.price + s.sq, 2) ELSE t.price END AS o_totalprice,
-           t.o_orderstatus
-    FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
-    WHERE s.o_orderkey IS NULL OR s.sq <= 100
+    ),
+    s1 AS (
+        SELECT t.o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN round(t.price + s.sq, 2)
+                    ELSE t.price END AS o_totalprice,
+               t.o_orderstatus
+        FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        WHERE s.o_orderkey IS NULL OR s.sq <= 100
+        UNION ALL
+        SELECT s.o_orderkey, CAST(s.sq AS DOUBLE) AS o_totalprice,
+               'N' AS o_orderstatus
+        FROM src s WHERE NOT EXISTS (
+            SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+    ),
+    src2 AS (SELECT o_orderkey, sq FROM src WHERE o_orderkey <= 500)
+    SELECT t.o_orderkey, t.o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN 'M'
+                ELSE 'X' END AS o_orderstatus
+    FROM s1 t LEFT JOIN src2 s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NOT NULL OR t.o_totalprice <= 200000
     UNION ALL
-    SELECT s.o_orderkey, CAST(s.sq AS DOUBLE) AS o_totalprice,
-           'N' AS o_orderstatus
-    FROM src s WHERE NOT EXISTS (
-        SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+    SELECT s.o_orderkey, 0.0 AS o_totalprice,
+           CASE WHEN s.sq > 50 THEN 'H' ELSE 'L' END AS o_orderstatus
+    FROM src2 s WHERE NOT EXISTS (
+        SELECT 1 FROM s1 t WHERE t.o_orderkey = s.o_orderkey)
     """,
 )
 def q53_merge_into(spark, sf_dir):
-    """MERGE INTO end-to-end on an engine PK table: seed target from
+    """MERGE INTO end-to-end on an engine PK table, exercising the FULL
+    ANSI 2023 clause matrix across two statements: (1) seed target from
     orders, merge a lineitem aggregate — DELETE heavy keys, UPDATE the
-    rest, INSERT unmatched — then read the final state.  The oracle
-    replays ANSI MERGE semantics as a LEFT JOIN + anti-join UNION in
-    DuckDB.  One full-outer PK shuffle + two appended write jobs; see
-    FlussCatalog.merge_into for the 100 TB posture."""
+    rest, INSERT unmatched; (2) a second MERGE with MULTIPLE `WHEN NOT
+    MATCHED` clauses (first-true-wins) and `WHEN NOT MATCHED BY SOURCE
+    [AND cond] THEN DELETE / UPDATE` — then read the final state.  The
+    oracle replays both merges as chained LEFT JOIN + anti-join UNION
+    CTEs in DuckDB.  Each MERGE is one full-outer PK shuffle + appended
+    write jobs; see FlussCatalog.merge_into for the 100 TB posture."""
     import shutil
     import tempfile
 
@@ -1553,6 +1570,27 @@ def q53_merge_into(spark, sf_dir):
              o_totalprice = round(t.o_totalprice + s.sq, 2)
         WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
              VALUES (s.o_orderkey, CAST(s.sq AS DOUBLE), 'N')
+        """
+    )
+    # Second statement: the rest of the ANSI matrix — two NOT MATCHED
+    # clauses (first-true-wins re-inserts keys the first MERGE deleted)
+    # and the BY SOURCE branch (conditional DELETE, catch-all UPDATE)
+    # over target rows absent from this narrower source.
+    e.sql(
+        """
+        MERGE INTO merge_orders AS t
+        USING (SELECT o_orderkey, sq FROM merge_src
+               WHERE o_orderkey <= 500) AS s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+        WHEN NOT MATCHED AND s.sq > 50 THEN INSERT
+             (o_orderkey, o_totalprice, o_orderstatus)
+             VALUES (s.o_orderkey, 0.0, 'H')
+        WHEN NOT MATCHED THEN INSERT
+             (o_orderkey, o_totalprice, o_orderstatus)
+             VALUES (s.o_orderkey, 0.0, 'L')
+        WHEN NOT MATCHED BY SOURCE AND t.o_totalprice > 200000 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'
         """
     )
     return e.sql(

@@ -242,7 +242,12 @@ def shard_manifest(
     )
 
 
-def range_ranked(df: DataFrame, order_cols, num_partitions: int = 64):
+def range_ranked(
+    df: DataFrame,
+    order_cols,
+    num_partitions: int = 64,
+    _materialize: bool = True,
+):
     """Scalable global rank under an ARBITRARY sort order, without the
     ``Window.orderBy`` single-partition exchange — the general-key
     sibling of ``md5_prefix_ranked`` (which needs an md5-hex key for its
@@ -266,7 +271,18 @@ def range_ranked(df: DataFrame, order_cols, num_partitions: int = 64):
         "__pid__", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid__").orderBy(*order_cols)
+    # MATERIALIZE the partition-id-stamped ranks before branching: the
+    # counts/offsets branch and the data branch below must see the SAME
+    # range boundaries, but repartitionByRange draws its split points
+    # from a nondeterministic sampling pass — with exchange reuse
+    # disabled (spark.sql.exchange.reuse=false) or divergent AQE
+    # re-plans, two executions could bucket rows differently and the
+    # offsets would silently disagree with the data side's partition
+    # ids.  localCheckpoint pins one physical result for both branches
+    # (a lost block then fails loudly instead of mis-ranking).
     ranked = part.withColumn("__rn__", F.row_number().over(w))
+    if _materialize:  # tests pass False to plan-assert the window shape
+        ranked = ranked.localCheckpoint(eager=True)
     counts = ranked.groupBy("__pid__").agg(F.count(F.lit(1)).alias("__n__"))
     woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -208,6 +208,7 @@ class EngineSession:
                 merge["on"],
                 matched_clauses=merge["matched"],
                 not_matched=merge["not_matched"],
+                not_matched_by_source=merge.get("not_matched_by_source"),
             )
             return self.spark.createDataFrame(
                 [(counts["upserted"], counts["deleted"])],

@@ -33,7 +33,7 @@ def test_parse_merge_full_form():
     action, cond, assigns = parsed["matched"][1]
     assert action == "update" and cond is None
     assert assigns == {"price": "s.price", "note": "concat(t.note, '!')"}
-    cond, assigns = parsed["not_matched"]
+    cond, assigns = parsed["not_matched"][0]
     assert cond is None and assigns == {"id": "s.id", "price": "s.price"}
 
 
@@ -54,7 +54,7 @@ def test_parse_merge_insert_star_and_update_star():
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert parsed["matched"] == [("update", None, None)]
-    assert parsed["not_matched"] == (None, None)
+    assert parsed["not_matched"] == [(None, None)]
 
 
 def test_parse_merge_rejects_non_pk_on():
@@ -295,3 +295,152 @@ def test_merge_composite_pk(spark, tmp_path):
             "MERGE INTO inv t USING (SELECT 'a' AS wh) s ON t.wh = s.wh "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+# -- ANSI 2023 matrix: multiple NOT MATCHED + NOT MATCHED BY SOURCE ----------
+
+
+def test_parse_merge_multiple_not_matched_and_by_source():
+    parsed = parse_merge(
+        """
+        MERGE INTO tgt t USING src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.price > 10 THEN INSERT (id, price)
+             VALUES (s.id, s.price)
+        WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, 0.0)
+        WHEN NOT MATCHED BY SOURCE AND t.qty = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'stale'
+        """
+    )
+    assert len(parsed["not_matched"]) == 2
+    assert parsed["not_matched"][0][0] == "s.price > 10"
+    assert parsed["not_matched"][1][0] is None
+    assert parsed["not_matched_by_source"] == [
+        ("delete", "t.qty = 0", None),
+        ("update", None, {"note": "'stale'"}),
+    ]
+
+
+def test_parse_merge_by_target_spelling():
+    parsed = parse_merge(
+        "MERGE INTO a USING b ON a.k = b.k "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT *"
+    )
+    assert parsed["not_matched"] == [(None, None)]
+    assert parsed["not_matched_by_source"] == []
+
+
+def test_merge_multiple_not_matched_first_wins(engine):
+    engine.sql(
+        """
+        MERGE INTO items t
+        USING (SELECT * FROM VALUES (7, 70.0, 1), (8, 1.0, 2)
+               AS u(id, price, qty)) s
+        ON t.id = s.id
+        WHEN NOT MATCHED AND s.price > 10 THEN INSERT (id, price, qty)
+             VALUES (s.id, s.price, s.qty)
+        WHEN NOT MATCHED THEN INSERT (id, price, qty)
+             VALUES (s.id, 0.0, s.qty)
+        """
+    )
+    state = _state(engine)
+    # id=7 satisfies BOTH clauses -> first wins (real price); id=8 only
+    # the catch-all -> price zeroed.
+    assert (7, 70.0, 1) in state and (8, 0.0, 2) in state
+
+
+def test_merge_not_matched_by_source_delete_and_update(engine):
+    # Source covers only id=1; ids 2 and 3 are NOT MATCHED BY SOURCE.
+    result = engine.sql(
+        """
+        MERGE INTO items t USING (SELECT 1 AS id, 12.0 AS price) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET price = s.price
+        WHEN NOT MATCHED BY SOURCE AND t.qty = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = t.qty + 1000
+        """
+    ).collect()[0]
+    # id=2 (qty 0) deleted; id=3 bumped; id=1 price-updated.
+    assert result.deleted == 1
+    assert _state(engine) == [(1, 12.0, 5), (3, 30.0, 1007)]
+
+
+def test_merge_by_source_clause_order_first_wins(engine):
+    engine.sql(
+        """
+        MERGE INTO items t USING (SELECT 1 AS id) s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = -1
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """
+    )
+    state = _state(engine)
+    # Both target-only rows hit the UPDATE first; nothing deleted.
+    assert (2, 20.0, -1) in state and (3, 30.0, -1) in state
+
+
+def test_merge_by_source_update_star_rejected(engine):
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        engine.catalog.merge_into(
+            "items",
+            engine.sql("SELECT 1 AS id"),
+            ["id"],
+            not_matched_by_source=[("update", None, None)],
+        )
+
+
+def test_merge_null_source_key_rejected(engine):
+    with pytest.raises(ValueError, match="NULL join-key"):
+        engine.sql(
+            "MERGE INTO items t USING "
+            "(SELECT CAST(NULL AS BIGINT) AS id, 1.0 AS price) s "
+            "ON t.id = s.id WHEN NOT MATCHED THEN INSERT (id, price) "
+            "VALUES (s.id, s.price)"
+        )
+
+
+def test_merge_null_composite_key_component_rejected(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mnull"))
+    e.sql(
+        "CREATE TABLE inv2 (wh STRING NOT NULL, item BIGINT NOT NULL,"
+        " qty INT, PRIMARY KEY (wh, item))"
+    )
+    e.sql("INSERT INTO inv2 VALUES ('a', 1, 5)")
+    with pytest.raises(ValueError, match="NULL join-key"):
+        e.sql(
+            "MERGE INTO inv2 t USING "
+            "(SELECT 'a' AS wh, CAST(NULL AS BIGINT) AS item, 9 AS qty) s "
+            "ON t.wh = s.wh AND t.item = s.item "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+# -- string-literal-aware parsing (masking) ----------------------------------
+
+
+def test_parse_merge_literal_containing_alias_prefix():
+    # Source alias 'src': the literal 'src.jpg' must NOT become 's.jpg'.
+    parsed = parse_merge(
+        "MERGE INTO tgt t USING src ON t.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET path = 'src.jpg', v = src.v"
+    )
+    assert parsed["matched"][0][2] == {"path": "'src.jpg'", "v": "s.v"}
+
+
+def test_parse_merge_literal_containing_when_matched():
+    parsed = parse_merge(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = 'WHEN MATCHED THEN DELETE'"
+    )
+    assert parsed["matched"] == [
+        ("update", None, {"note": "'WHEN MATCHED THEN DELETE'"})
+    ]
+
+
+def test_merge_literal_with_clause_keywords_end_to_end(engine):
+    engine.sql("ALTER TABLE items ADD COLUMN note STRING")
+    engine.sql(
+        "MERGE INTO items t USING (SELECT 1 AS id) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = ' AND x THEN WHEN MATCHED '"
+    )
+    row = engine.sql("SELECT note FROM items WHERE id = 1").collect()[0]
+    assert row.note == " AND x THEN WHEN MATCHED "

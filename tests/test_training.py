@@ -164,8 +164,22 @@ def test_range_ranked_matches_global_sort_any_key(spark):
     assert {(r["doc_id"], r[col]) for r in ranked.collect()} == {
         (r["doc_id"], r["rk"]) for r in naive.collect()
     }
-    plan = ranked._jdf.queryExecution().executedPlan().toString()
-    window_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    # The ranked side is materialized via localCheckpoint (so the
+    # offsets branch and the data branch can never see different range
+    # boundaries — repartitionByRange samples nondeterministically, and
+    # without the pin, divergent re-plans could mis-rank silently).  The
+    # data-side window shape (row_number partitioned by __pid__, never a
+    # global sort) is only visible pre-checkpoint, so assert it on the
+    # unmaterialized variant.  (The offsets branch's SinglePartition
+    # window over <=num_partitions count rows is intended and tiny.)
+    unmat, _ = training.range_ranked(
+        df,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        num_partitions=16,
+        _materialize=False,
+    )
+    plan2 = unmat._jdf.queryExecution().executedPlan().toString()
+    window_lines = [l for l in plan2.splitlines() if "row_number()" in l]
     assert window_lines and all("__pid__" in l for l in window_lines)
 
 

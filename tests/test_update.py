@@ -165,3 +165,60 @@ def test_restore_on_partitioned_bucketed_table(spark, tmp_path):
     assert state == {(1, "eu", 1.0), (2, "us", 2.0)}
     # bucket-pruned lookup still correct after the restore writes
     assert e.catalog.lookup("ev", 1).collect()[0].v == 1.0
+
+
+# -- string-literal-aware parsing + unsatisfiable point-delete guard ---------
+
+
+def test_parse_update_where_inside_set_literal():
+    # ' WHERE ' inside a SET string literal must not truncate the SET list.
+    target, assigns, where = parse_update(
+        "UPDATE t SET note = 'use WHERE wisely', b = 2 WHERE id = 1"
+    )
+    assert target == "t"
+    assert assigns == {"note": "'use WHERE wisely'", "b": "2"}
+    assert where == "id = 1"
+
+
+def test_parse_update_no_real_where_literal_only():
+    target, assigns, where = parse_update(
+        "UPDATE t SET note = 'a WHERE b'"
+    )
+    assert assigns == {"note": "'a WHERE b'"}
+    assert where is None
+
+
+def test_update_literal_with_where_end_to_end(engine):
+    engine.sql(
+        "UPDATE accounts SET tag = 'x WHERE y' WHERE id = 1"
+    )
+    assert (1, 10.0, "x WHERE y") in _state(engine)
+
+
+def test_parse_delete_repeated_column_falls_back_to_predicate():
+    from fluss_datafusion_spark.catalog.ddl import parse_delete
+
+    target, key, pred = parse_delete("DELETE FROM t WHERE id = 3 AND id = 4")
+    assert target == "t" and key is None
+    assert pred == "id = 3 AND id = 4"
+    # Repeated with the SAME value still point-deletes.
+    target, key, pred = parse_delete("DELETE FROM t WHERE id = 3 AND id = 3")
+    assert key == {"id": 3}
+
+
+def test_delete_unsatisfiable_conjunction_deletes_nothing(engine):
+    n = engine.sql(
+        "DELETE FROM accounts WHERE id = 1 AND id = 2"
+    ).collect()[0]["count"]
+    assert n == 0
+    assert {r[0] for r in _state(engine)} == {1, 2, 3}
+
+
+def test_parse_delete_literal_containing_and():
+    from fluss_datafusion_spark.catalog.ddl import parse_delete
+
+    target, key, pred = parse_delete(
+        "DELETE FROM t WHERE tag = 'salt AND pepper'"
+    )
+    assert key == {"tag": "salt AND pepper"}
+    assert pred == "tag = 'salt AND pepper'"

@@ -53,8 +53,58 @@ def main() -> None:
             return s
 
         run_query(spark.range(1000).select(_warm("id").alias("v")))
-    except Exception:
-        pass
+
+        # One-time codegen/JIT for the operator families whose FIRST use
+        # measured >1 s of cold-plan cost at sf0.1 (triplicate runs in
+        # ROADMAP): imperative sketch aggregates, the scrubbing regex
+        # engine, and the shingle -> minhash -> band -> verify dedup
+        # pipeline (incl. the persisted-index write/probe path).  All on
+        # ~200 synthetic rows — warms the JVM paths, charges no query.
+        from pyspark.sql import functions as F
+
+        run_query(
+            spark.range(2000).selectExpr(
+                "approx_count_distinct(id) AS acd",
+                "percentile_approx(CAST(id AS DOUBLE), 0.5) AS p50",
+            )
+        )
+        run_query(
+            spark.range(200).select(
+                F.regexp_replace(
+                    F.concat(F.lit("mail x"), F.col("id").cast("string"),
+                             F.lit("@y.com end")),
+                    r"[\w.+-]+@[\w-]+\.[\w.]+", "<EMAIL>",
+                ).alias("t")
+            )
+        )
+        import shutil as _sh
+        import tempfile as _tf
+
+        from fluss_datafusion_spark.operators import incremental as _incr
+
+        _wdocs = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"w{j}x"), (F.col("id") % (j + 7)).cast("string"))
+                  for j in range(12)],
+            ).alias("text"),
+        )
+        _widx = _tf.mkdtemp(prefix="bench_warm_idx_")
+        _incr.write_dedup_index(
+            _wdocs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
+            _widx, source_id="warm",
+        )
+        run_query(
+            _incr.incremental_dedup_pairs(
+                _wdocs.filter(F.col("doc_id") % 2 == 1), _widx,
+                "doc_id", "text", threshold=0.4,
+            )
+        )
+        _sh.rmtree(_widx, ignore_errors=True)
+        spark.catalog.clearCache()
+    except Exception as exc:
+        print(f"bench warmup error: {exc}", file=sys.stderr)
 
     timings = {}
     for name in sorted(queries):

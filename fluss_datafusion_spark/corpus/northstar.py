@@ -1220,6 +1220,69 @@ def ns_curation_quality_filter(spark, sf_dir):
     return curation.quality_filter(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _incr_index_path(sf_dir):
+    """Shared on-disk location of the incremental-dedup LSH index for
+    one scale factor — ns_dedup_idx_build (re)builds it, and
+    ns_dedup_incremental probes it (via ensure_dedup_index, so the
+    probe self-heals when run standalone but never pays the build when
+    the index is current)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_incr_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+
+
+def _incr_source_id(sf_dir):
+    """Corpus identity for the index freshness token, derived from the
+    source file's stat (no scan): the probe must not pay a count() per
+    batch just to trust its index.  A real deployment keys this on the
+    table's snapshot/version id."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"docs:{st.st_size}:{st.st_mtime_ns}:mod5"
+
+
+@query(
+    "ns_dedup_idx_build",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents WHERE doc_id % 5 != 0
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tk) - 2),
+                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+        FROM toks WHERE len(tk) >= 3
+    )
+    SELECT doc_id, CAST(len(s) AS INT) AS n_shingles FROM sh
+    """,
+)
+def ns_dedup_idx_build(spark, sf_dir):
+    """One-time corpus index BUILD, measured on its own: persist the
+    LSH band-bucket assignment + shingle store for the corpus slice
+    (doc_id % 5 != 0), then read the shingle store back as the
+    hash-checked result (per-doc distinct-shingle counts — DuckDB
+    re-derives them from the raw text, certifying the store's content).
+    Splitting build from probe is the point: at 100 TB the index is
+    built once (plus appends) while every ingest batch pays only the
+    O(batch) probe, so the two costs must be visible separately."""
+    from fluss_datafusion_spark.operators import incremental
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = _incr_index_path(sf_dir)
+    incremental.write_dedup_index(
+        corpus, "doc_id", "text", path, source_id=_incr_source_id(sf_dir)
+    )
+    idx = spark.read.parquet(os.path.join(path, "shingles"))
+    return idx.select(
+        F.col("__id__").alias("doc_id"),
+        F.size("__sh__").alias("n_shingles"),
+    )
+
+
 @query(
     "ns_dedup_incremental",
     oracle="""
@@ -1243,23 +1306,23 @@ def ns_curation_quality_filter(spark, sf_dir):
     """,
 )
 def ns_dedup_incremental(spark, sf_dir):
-    """Incremental dedup: corpus slice (doc_id % 5 != 0) is indexed once
-    (persisted LSH buckets + shingle sets), then the 'new batch'
-    (doc_id % 5 == 0) probes it — emitting batch-vs-corpus and
-    batch-vs-batch pairs only, exactly verified.  Shares the exact
-    Jaccard oracle restricted to pairs touching the batch."""
-    import tempfile
-
+    """Incremental dedup PROBE: the 'new batch' (doc_id % 5 == 0)
+    probes the persisted corpus index — emitting batch-vs-corpus and
+    batch-vs-batch pairs only, exactly verified.  The index build is a
+    separate measured entry (ns_dedup_idx_build); ensure_dedup_index
+    here only rebuilds when the marker is missing/stale (standalone
+    correctness runs), so the benched time is the O(batch) probe the
+    ingest path pays per batch.  Shares the exact Jaccard oracle
+    restricted to pairs touching the batch."""
     from fluss_datafusion_spark.operators import incremental
 
     docs = t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_incr_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    path = _incr_index_path(sf_dir)
+    incremental.ensure_dedup_index(
+        corpus, "doc_id", "text", path, source_id=_incr_source_id(sf_dir)
     )
-    incremental.write_dedup_index(corpus, "doc_id", "text", path)
     pairs = incremental.incremental_dedup_pairs(
         batch, path, "doc_id", "text", threshold=0.4
     )

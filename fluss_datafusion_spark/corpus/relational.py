@@ -133,6 +133,9 @@ def q06_forecast_revenue(spark, sf_dir):
 
 @query(
     "q10_distinct_agg",
+    extended=True,  # r5: rotated out of the driver window (aggregation
+    # keeps q01/q13/q38/q45 there) to make room for ns_dedup_idx_build +
+    # q53_merge_into; still hash-checked in CORRECTNESS_SELF.
     oracle="""
     SELECT o_orderstatus,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -580,6 +583,9 @@ def q20_string_funcs(spark, sf_dir):
 
 @query(
     "q21_date_funcs",
+    extended=True,  # r5: rotated out of the driver window (scalar fns
+    # keep q23/q41 there) per VERDICT r4 item 7; still hash-checked in
+    # CORRECTNESS_SELF.
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
@@ -1485,7 +1491,9 @@ def q52_variant_semistructured(spark, sf_dir):
 
 
 @query(
-    "q53_merge_into", extended=True,
+    "q53_merge_into",  # r5: rotated INTO the driver window — full-matrix
+    # lakehouse MERGE is a round-4/5 differentiator and deserves a
+    # driver-checked row.
     oracle="""
     WITH tgt AS (
         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price

@@ -38,6 +38,63 @@ from fluss_datafusion_spark.operators.dedup import (
 from fluss_datafusion_spark.session import spread_small_scan
 
 
+# Bump when the index layout or the shingle/minhash derivation changes:
+# ensure_dedup_index treats a marker with a different format token as
+# stale and rebuilds, so an index persisted by older code can never be
+# silently probed with new semantics.
+INDEX_FORMAT = "v1"
+
+
+def _index_marker_path(path: str) -> str:
+    return os.path.join(path, "_BUILT")
+
+
+def _index_token(source_id, k: int, num_perm: int, rows_per_band: int) -> str:
+    """``source_id``: the corpus identity — a row count (int) or an
+    opaque snapshot/fingerprint string."""
+    return (
+        f"{INDEX_FORMAT}|k={k}|perm={num_perm}|rpb={rows_per_band}|n={source_id}"
+    )
+
+
+def ensure_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    source_id: Optional[str] = None,
+) -> bool:
+    """Build the corpus dedup index at ``path`` ONLY if it is absent or
+    stale — the separation the 100 TB ingest story is about: the corpus
+    index is a one-time (plus append) artifact, and per-batch probe cost
+    must never pay the build.  Staleness = the ``_BUILT`` marker is
+    missing or its token (format version + parameters + corpus
+    identity) differs.  Returns True when a build actually ran.
+
+    ``source_id`` is the corpus identity for the token — a snapshot /
+    version id, or a source-file fingerprint; without it the fallback is
+    one count() over ``df`` (a scan the probe path should not pay per
+    batch, so callers on a versioned store should always pass one)."""
+    token = _index_token(
+        source_id if source_id is not None else df.count(),
+        k, num_perm, rows_per_band,
+    )
+    marker = _index_marker_path(path)
+    try:
+        with open(marker, "r", encoding="utf-8") as fh:
+            if fh.read() == token:
+                return False
+    except OSError:
+        pass
+    write_dedup_index(
+        df, id_col, text_col, path, k, num_perm, rows_per_band, _token=token
+    )
+    return True
+
+
 def write_dedup_index(
     df: DataFrame,
     id_col: str,
@@ -46,6 +103,8 @@ def write_dedup_index(
     k: int = 3,
     num_perm: int = 128,
     rows_per_band: int = 2,
+    source_id=None,
+    _token: Optional[str] = None,
 ) -> None:
     """Materialize the corpus dedup index (bucket assignment + shingle
     sets) at ``path``.  The shingle sets — the expensive interpreted
@@ -63,6 +122,16 @@ def write_dedup_index(
     sh_stored = df.sparkSession.read.parquet(os.path.join(path, "shingles"))
     buckets = band_buckets_from_shingles(sh_stored, num_perm, rows_per_band)
     buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    # Stamp completion LAST so a crashed build never leaves a marker a
+    # later ensure_dedup_index would trust.  ``source_id`` (snapshot /
+    # fingerprint) must match what probers pass to ensure_dedup_index;
+    # the count() fallback is for unversioned sources only.
+    token = _token or _index_token(
+        source_id if source_id is not None else df.count(),
+        k, num_perm, rows_per_band,
+    )
+    with open(_index_marker_path(path), "w", encoding="utf-8") as fh:
+        fh.write(token)
 
 
 def incremental_dedup_pairs(
@@ -101,7 +170,10 @@ def incremental_dedup_pairs(
     # The batch's shingle+minhash banding is the expensive interpreted
     # pipeline and feeds BOTH the touched-bucket probe and the pairing
     # union — persist so it runs once (batch-sized, released with the
-    # candidate cache via _attach_cached_deps).
+    # candidate cache via _attach_cached_deps).  (Caching the raw
+    # shingle arrays instead, to share them with the verify stage, was
+    # measured a wash: the full-batch array materialization costs what
+    # the candidate-only re-shingle saves, and candidates ≪ batch.)
     new_buckets = minhash_band_buckets(
         new_docs, id_col, text_col, k, num_perm, rows_per_band
     ).persist()
@@ -111,9 +183,11 @@ def incremental_dedup_pairs(
     # bucket-locally over the union (new ids see old ids AND each other).
     # ``touched`` is O(batch x bands) — broadcast it so the (corpus-
     # sized at 100 TB) index bucket table is filtered where it is read,
-    # never shuffled.
-    touched = F.broadcast(new_buckets.select("__band__", "__bucket__").distinct())
-    idx_touched = idx_buckets.join(touched, ["__band__", "__bucket__"])
+    # never shuffled.  LEFT SEMI, not inner: semi-join tolerates
+    # duplicate keys on the broadcast side, so no distinct() shuffle is
+    # needed over the batch's bucket assignment first.
+    touched = F.broadcast(new_buckets.select("__band__", "__bucket__"))
+    idx_touched = idx_buckets.join(touched, ["__band__", "__bucket__"], "left_semi")
     all_buckets = new_buckets.unionByName(idx_touched)
     # Keep the persisted handle: the marker joins below derive a NEW
     # DataFrame, and unpersist() only releases the exact plan it is
@@ -129,7 +203,10 @@ def incremental_dedup_pairs(
     # single OR-of-equalities semi-join — Catalyst can only plan the
     # latter as a BroadcastNestedLoopJoin (|candidates| x |batch|
     # comparisons); the marker form hash-joins on each endpoint.
-    new_ids = new_docs.select(F.col(id_col).alias("__nid__")).distinct()
+    # Derived from the PERSISTED bucket assignment, not a second batch
+    # scan: ids without shingles have no buckets and so can never be
+    # candidate endpoints — same id set, no parquet re-read.
+    new_ids = new_buckets.select(F.col("__id__").alias("__nid__")).distinct()
     candidates = (
         candidates.join(
             F.broadcast(
@@ -174,7 +251,13 @@ def incremental_dedup_pairs(
         .select("__id__", word_shingles(F.col("__t__"), k).alias("__sh__"))
     )
     idx_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
-    sh = new_sh.unionByName(idx_sh.join(cand_ids, "__id__", "left_semi"))
+    # Persist the candidate-bound shingle union: it is broadcast for
+    # BOTH endpoints of the verify join, and without materialization the
+    # two broadcast builds each re-run the semi-joins, the batch
+    # re-shingle, and the index shingle scan (plan aliasing defeats
+    # exchange reuse here — measured, not assumed).  Candidate-bound =
+    # small by the same argument that lets it broadcast at all.
+    sh = new_sh.unionByName(idx_sh.join(cand_ids, "__id__", "left_semi")).persist()
     sa, sb = F.broadcast(sh).alias("sa"), F.broadcast(sh).alias("sb")
     verified = (
         candidates.join(sa, F.col("id_a") == F.col("sa.__id__"))
@@ -192,7 +275,7 @@ def incremental_dedup_pairs(
             *(["a_new", "b_new"] if keep_markers else []),
         )
     )
-    return _attach_cached_deps(verified, raw_candidates, new_buckets)
+    return _attach_cached_deps(verified, raw_candidates, new_buckets, sh)
 
 
 def append_to_index(
@@ -223,6 +306,18 @@ def append_to_index(
         sh.write.mode("append").parquet(os.path.join(path, "shingles"))
         buckets = band_buckets_from_shingles(sh, num_perm, rows_per_band)
         buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
+        # Keep the build marker's corpus count current so a later
+        # ensure_dedup_index doesn't see a stale token and rebuild over
+        # the appended index.
+        marker = _index_marker_path(path)
+        try:
+            with open(marker, "r", encoding="utf-8") as fh:
+                head, _, n = fh.read().rpartition("|n=")
+            if head and n.isdigit():
+                with open(marker, "w", encoding="utf-8") as fh:
+                    fh.write(f"{head}|n={int(n) + df.count()}")
+        except OSError:
+            pass
     finally:
         sh.unpersist()
 

@@ -612,6 +612,57 @@ def test_incremental_dedup_matches_batch_global(spark, tmp_path, testdata):
     assert len(got) > 0  # the slice split actually produces cross pairs
 
 
+def test_ensure_dedup_index_builds_once_and_detects_staleness(
+    spark, tmp_path, testdata
+):
+    """ensure_dedup_index: builds when absent, skips when the marker
+    token matches (the probe-path contract — no rebuild per batch),
+    rebuilds on parameter/source change, and append_to_index keeps the
+    count-based marker current."""
+    from fluss_datafusion_spark.operators.incremental import (
+        append_to_index,
+        ensure_dedup_index,
+        incremental_dedup_pairs,
+    )
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, f"{testdata}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = str(tmp_path / "eidx")
+
+    assert ensure_dedup_index(corpus, "doc_id", "text", path) is True
+    # Fresh marker -> no rebuild (and the index actually works).
+    assert ensure_dedup_index(corpus, "doc_id", "text", path) is False
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    assert (
+        incremental_dedup_pairs(
+            batch, path, "doc_id", "text", threshold=0.4
+        ).count()
+        > 0
+    )
+    # Parameter change -> stale -> rebuild.
+    assert ensure_dedup_index(corpus, "doc_id", "text", path, k=4) is True
+    # source_id keying skips the count job and controls freshness alone.
+    assert (
+        ensure_dedup_index(corpus, "doc_id", "text", path, source_id="s1")
+        is True
+    )
+    assert (
+        ensure_dedup_index(corpus, "doc_id", "text", path, source_id="s1")
+        is False
+    )
+    assert (
+        ensure_dedup_index(corpus, "doc_id", "text", path, source_id="s2")
+        is True
+    )
+    # Count-based marker: append keeps it current, so no rebuild after.
+    assert ensure_dedup_index(corpus, "doc_id", "text", path) is True
+    extra = docs.filter(F.col("doc_id") % 5 == 0).limit(7)
+    append_to_index(extra, "doc_id", "text", path)
+    grown = corpus.unionByName(extra)
+    assert ensure_dedup_index(grown, "doc_id", "text", path) is False
+
+
 def test_ann_index_persist_matches_inline_ivf(spark, tmp_path, testdata):
     """write_ann_index + ann_query_index must reproduce ivf_ann_topk
     exactly (same deterministic quantizer, scoring on the probed lists),

@@ -102,6 +102,16 @@ def main() -> None:
             )
         )
         _sh.rmtree(_widx, ignore_errors=True)
+        from fluss_datafusion_spark.operators.fuzzy import fuzzy_join_pairs
+
+        run_query(
+            fuzzy_join_pairs(
+                spark.range(100).selectExpr(
+                    "id", "concat('name', CAST(id % 37 AS STRING)) AS s"
+                ),
+                "id", "s",
+            )
+        )
         spark.catalog.clearCache()
     except Exception as exc:
         print(f"bench warmup error: {exc}", file=sys.stderr)

@@ -899,6 +899,41 @@ def test_fuzzy_join_pairs_exact_distance_one(spark):
     }
 
 
+def test_fuzzy_variant_kernel_matches_expression(spark):
+    """The Arrow variant kernel must emit exactly the distinct
+    (id, variant) set of the reference expression form — including
+    empty strings, unicode, and duplicate-variant strings ('aaa' has
+    one distinct deletion)."""
+    from fluss_datafusion_spark.operators.fuzzy import (
+        _deletion_variant_blocks,
+        _deletion_variants,
+    )
+
+    rows = [
+        (1, "smith"), (2, ""), (3, "a"), (4, "aaa"), (5, "héllo"),
+        (6, "ab"), (7, None),
+    ]
+    base = spark.createDataFrame(rows, "id long, s string").select(
+        F.col("id").alias("__id__"), F.col("s").alias("__s__")
+    )
+    kernel = {
+        (r["__id__"], r["__v__"])
+        for r in _deletion_variant_blocks(base).collect()
+    }
+    expr = {
+        (r["__id__"], r["__v__"])
+        for r in base.filter(F.col("__s__").isNotNull())
+        .select(
+            "__id__",
+            F.explode(_deletion_variants(F.col("__s__"))).alias("__v__"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert kernel == expr
+    assert (4, "aa") in kernel and len([v for i, v in kernel if i == 4]) == 2
+
+
 def test_containment_catches_quoted_subset(spark):
     """A short doc fully quoted inside a long one: containment 1.0 even
     though Jaccard is far below any dedup threshold."""

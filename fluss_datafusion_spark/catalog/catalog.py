@@ -35,6 +35,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluss_datafusion_spark.catalog import skipping
 from fluss_datafusion_spark.catalog.metadata import TableSpec
 
 _SEQ = "__seq__"
@@ -280,7 +281,12 @@ class FlussCatalog:
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, name: str, as_of_seq: Optional[int] = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        as_of_seq: Optional[int] = None,
+        predicate: Optional[str] = None,
+    ) -> DataFrame:
         """Snapshot read.  For PK tables: merged (upserted) current state.
 
         This is the analog of FlussScanExec's read-to-latest-offset snapshot
@@ -291,20 +297,34 @@ class FlussCatalog:
         ``as_of_seq`` (PK tables only) time-travels: the state as of
         statement sequence N — the log's ``__seq__`` stamps ARE offsets,
         so a historical snapshot is just a filter below the merge.
+
+        ``predicate`` (SQL boolean expression over the table's columns)
+        is a *skipping scan*: simple comparisons prune whole files via
+        the footer-stats manifest BEFORE ``spark.read`` (the cash-in for
+        ``OPTIMIZE ... ZORDER BY`` — see catalog/skipping.py, including
+        the PK-column soundness rule), and the full predicate is then
+        applied as a normal row filter, so the result is always exactly
+        ``read(name).filter(predicate)``.
         """
         spec = self.get_table(name)
         if as_of_seq is None:
-            return self._current_df(spec)
-        if not spec.has_primary_key:
-            raise ValueError("as_of_seq requires a primary-key table")
-        floor = self._floor.get(spec.qualified_name, 0)
-        if as_of_seq < floor:
-            raise ValueError(
-                f"history before seq {floor} was discarded by compaction; "
-                f"cannot time-travel to seq {as_of_seq}"
+            log = self._log_df(spec, prune_predicate=predicate)
+        else:
+            if not spec.has_primary_key:
+                raise ValueError("as_of_seq requires a primary-key table")
+            floor = self._floor.get(spec.qualified_name, 0)
+            if as_of_seq < floor:
+                raise ValueError(
+                    f"history before seq {floor} was discarded by compaction; "
+                    f"cannot time-travel to seq {as_of_seq}"
+                )
+            log = self._log_df(spec, prune_predicate=predicate).filter(
+                F.col(_SEQ) <= F.lit(int(as_of_seq))
             )
-        log = self._log_df(spec).filter(F.col(_SEQ) <= F.lit(int(as_of_seq)))
-        return self._merge_log(spec, log)
+        out = self._merge_log(spec, log)
+        if predicate is not None:
+            out = out.filter(F.expr(predicate))
+        return out
 
     def current_seq(self, name: str) -> int:
         """Latest statement sequence for a PK table (time-travel anchor)."""
@@ -447,10 +467,32 @@ class FlussCatalog:
             log = log.filter(F.col(_BKT) == bucket_id_expr(spec, *key_lits))
         return self._merge_log(spec, log)
 
-    def _log_df(self, spec: TableSpec) -> DataFrame:
+    def _log_df(
+        self, spec: TableSpec, prune_predicate: Optional[str] = None
+    ) -> DataFrame:
         path = self.table_path(spec)
         if not _has_data(path):
             return self.spark.createDataFrame([], self._stored_schema(spec))
+        if prune_predicate:
+            # File skipping: drop files whose footer min/max prove the
+            # predicate can't match.  PK tables restrict pruning to PK
+            # columns (merge-on-read must see every version of a key —
+            # skipping.py documents why); files unknown to the manifest
+            # are kept.  basePath keeps Hive partition-dir columns
+            # (partition keys, __bkt__) populated for an explicit list.
+            allowed = list(spec.primary_key) if spec.has_primary_key else None
+            files = sorted(_parquet_files(path))
+            kept = skipping.prune(path, files, prune_predicate, allowed)
+            if len(kept) < len(files):
+                if not kept:
+                    return self.spark.createDataFrame(
+                        [], self._stored_schema(spec)
+                    )
+                return (
+                    self.spark.read.schema(self._stored_schema(spec))
+                    .option("basePath", path)
+                    .parquet(*kept)
+                )
         return self.spark.read.schema(self._stored_schema(spec)).parquet(path)
 
     def _stored_schema(self, spec: TableSpec):
@@ -566,7 +608,11 @@ class FlussCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         self._register_view(spec)
-        return sorted(_parquet_files(path) - before)
+        new_files = sorted(_parquet_files(path) - before)
+        # incremental footer-stats harvest for the skipping scan
+        # (never fails the write — see skipping.add_files)
+        skipping.add_files(path, new_files)
+        return new_files
 
     def delete(self, name: str, key_value) -> int:
         """Point DELETE by full primary key (scalar for single-column
@@ -1140,10 +1186,15 @@ class FlussCatalog:
             if partition_cols:
                 # z-sort within each layout directory: directory pruning
                 # handles the partition/bucket columns, the z-curve
-                # handles the rest.
+                # handles the rest.  Range-partition on (layout, z) so a
+                # large partition splits into multiple CONTIGUOUS curve
+                # slices (hash-on-layout would glue each partition into
+                # one task = one file = nothing for the skipping scan).
                 shuffled = (
                     log.withColumn("__z__", zorder_key(log, zorder_by))
-                    .repartition(n_files, *partition_cols)
+                    .repartitionByRange(
+                        n_files, *[F.col(c) for c in partition_cols], F.col("__z__")
+                    )
                     .sortWithinPartitions(*partition_cols, "__z__")
                     .drop("__z__")
                 )
@@ -1168,7 +1219,15 @@ class FlussCatalog:
             self._seq[spec.qualified_name] = current
         self._save_spec(spec)
         self._register_view(spec)
-        return len(_parquet_files(path))
+        files = _parquet_files(path)
+        try:
+            # Full manifest rebuild: the z-clustered (or consolidated)
+            # files get tight per-file bounds, which read(predicate=)
+            # turns into skipped file opens.
+            skipping.rebuild(path, sorted(files))
+        except Exception:
+            pass
+        return len(files)
 
     def compact(self, name: str) -> None:
         """Materialize a PK table's merged state and truncate its log —
@@ -1205,6 +1264,19 @@ class FlussCatalog:
         self._floor[spec.qualified_name] = current
         self._save_spec(spec)  # compaction replaced the dir; restore + floor
         self._register_view(spec)
+        try:
+            skipping.rebuild(path, sorted(_parquet_files(path)))
+        except Exception:
+            pass
+
+    def refresh_file_stats(self, name: str) -> int:
+        """(Re)harvest the footer-stats manifest for every file of the
+        table (tables predating the manifest, or externally modified).
+        Returns the number of files covered; read(predicate=) uses the
+        manifest to skip file opens."""
+        spec = self.get_table(name)
+        path = self.table_path(spec)
+        return skipping.rebuild(path, sorted(_parquet_files(path)))
 
 
 def _swap_dir(path: str, tmp: str) -> None:

@@ -1,0 +1,365 @@
+"""File-level data skipping from parquet footer statistics.
+
+A stats manifest (``_file_stats.json`` inside the table directory —
+underscore-prefixed, so Spark's parquet listing ignores it) records
+per-file per-column ``[min, max]`` bounds harvested from parquet
+footers at write time.  ``Catalog.read(name, predicate=...)`` prunes
+the file list BEFORE ``spark.read``: files the predicate provably
+cannot match are never opened.  This is the cash-in for
+``OPTIMIZE ... ZORDER BY`` (operators/zorder.py): Spark itself prunes
+row groups, not whole files, on non-partition columns, so a z-clustered
+table needs this manifest hop to skip file opens entirely — the
+manifest-level analog of Iceberg/Delta data skipping.  No reference
+analog (zuston/fluss-datafusion scans every file of the snapshot,
+src/provider/scan_exec.rs:43).
+
+Soundness rules (enforced by the caller, documented here):
+
+* **PK tables** merge-on-read (last-write-wins per key), so a pre-merge
+  file prune may only use predicate columns that are part of the
+  primary key: PK values are immutable across a key's versions (and
+  tombstones carry them), so a file that cannot contain a matching KEY
+  cannot affect the merged result for matching keys.  Pruning on a
+  mutable column could drop the file holding a key's LATEST version
+  while keeping an older one — wrong answer.  Log tables (append-only)
+  prune on any column.
+* **Unknown files** (written after their manifest entry would have been
+  added, or predating the manifest) are always kept.
+* **Unparseable conjuncts** (OR trees, functions, IS NULL, ...) prune
+  nothing; the full predicate is always re-applied as a row filter, so
+  pruning is a pure subtraction of provably-empty file opens.
+* Parquet string stats may be truncated by the writer; recorded min/max
+  remain valid lower/upper bounds (parquet BinaryTruncator contract),
+  which is all exclusion needs.
+
+Scale: the manifest is O(files) driver-side JSON — the role an Iceberg
+manifest *tree* plays at 100 TB.  The read path needs only
+``load``/``prune``, so swapping in a partitioned manifest store is
+local to this module; harvest is O(files written) per statement (footer
+metadata reads, no data IO).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+MANIFEST = "_file_stats.json"
+
+#: footer stat types we can compare against parsed SQL literals
+_SCALARS = (int, float, str, bool)
+
+
+# -- harvest ----------------------------------------------------------------
+
+
+def _file_column_bounds(path: str) -> Dict[str, List]:
+    """{column: [min, max]} from one file's footer, for columns whose
+    stats are present on every row group and JSON/compare-safe."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    names = md.schema.names
+    bounds: Dict[str, List] = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for idx, name in enumerate(names):
+            if name in dead:
+                continue
+            stats = row_group.column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                dead.add(name)
+                bounds.pop(name, None)
+                continue
+            lo, hi = stats.min, stats.max
+            if not (
+                isinstance(lo, _SCALARS)
+                and isinstance(hi, _SCALARS)
+                and not (isinstance(lo, float) and not math.isfinite(lo))
+                and not (isinstance(hi, float) and not math.isfinite(hi))
+            ):
+                dead.add(name)
+                bounds.pop(name, None)
+                continue
+            if name in bounds:
+                bounds[name][0] = min(bounds[name][0], lo)
+                bounds[name][1] = max(bounds[name][1], hi)
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
+
+def load(table_path: str) -> Dict[str, Dict[str, List]]:
+    """{relative_file_path: {column: [min, max]}} or {} if absent."""
+    manifest_path = os.path.join(table_path, MANIFEST)
+    try:
+        with open(manifest_path) as fh:
+            data = json.load(fh)
+        return data if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _save(table_path: str, manifest: Dict) -> None:
+    tmp = os.path.join(table_path, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(table_path, MANIFEST))
+
+
+def add_files(table_path: str, files: Sequence[str]) -> None:
+    """Merge footer bounds for ``files`` into the manifest (write-time
+    incremental harvest).  Never raises: stats are an optimization, a
+    harvest failure must not fail the write that triggered it."""
+    if not files:
+        return
+    try:
+        manifest = load(table_path)
+        for f in files:
+            rel = os.path.relpath(f, table_path)
+            manifest[rel] = _file_column_bounds(f)
+        _save(table_path, manifest)
+    except Exception:
+        pass
+
+
+def rebuild(table_path: str, files: Sequence[str]) -> int:
+    """Replace the manifest with fresh bounds for exactly ``files``
+    (post-OPTIMIZE/compact full rewrite).  Returns files covered."""
+    manifest: Dict[str, Dict[str, List]] = {}
+    for f in files:
+        manifest[os.path.relpath(f, table_path)] = _file_column_bounds(f)
+    _save(table_path, manifest)
+    return len(manifest)
+
+
+# -- predicate parsing ------------------------------------------------------
+
+_IDENT = r"`?(?P<col>[A-Za-z_][A-Za-z0-9_]*)`?"
+_LIT = r"(?P<lit>-?\d+(?:\.\d+)?(?:[eE]-?\d+)?|'(?:[^']|'')*'|true|false)"
+_CMP_RE = re.compile(
+    rf"^\s*{_IDENT}\s*(?P<op><=|>=|==|=|<|>)\s*{_LIT}\s*$", re.IGNORECASE
+)
+_CMP_FLIP_RE = re.compile(
+    rf"^\s*{_LIT}\s*(?P<op><=|>=|==|=|<|>)\s*{_IDENT}\s*$", re.IGNORECASE
+)
+_BETWEEN_RE = re.compile(
+    rf"^\s*{_IDENT}\s+BETWEEN\s+(?P<lo>-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+    rf"\s+AND\s+(?P<hi>-?\d+(?:\.\d+)?|'(?:[^']|'')*')\s*$",
+    re.IGNORECASE,
+)
+_IN_RE = re.compile(
+    rf"^\s*{_IDENT}\s+IN\s*\((?P<vals>[^()]*)\)\s*$", re.IGNORECASE
+)
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_literal(text: str):
+    text = text.strip()
+    if text.startswith("'"):
+        return text[1:-1].replace("''", "'")
+    low = text.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(text)
+    except ValueError:
+        return float(text)
+
+
+def _split_conjuncts(pred: str) -> Optional[List[str]]:
+    """Top-level AND conjuncts of ``pred`` (quote/paren aware, BETWEEN's
+    AND kept inline).  None if the top level is not a conjunction (OR)."""
+    parts: List[str] = []
+    current: List[str] = []
+    depth = 0
+    between_depth: List[int] = []  # paren depths with a pending BETWEEN..AND
+    i, n = 0, len(pred)
+    while i < n:
+        ch = pred[i]
+        if ch == "'":
+            current.append(ch)
+            i += 1
+            while i < n:
+                current.append(pred[i])
+                if pred[i] == "'":
+                    if i + 1 < n and pred[i + 1] == "'":
+                        current.append(pred[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            while between_depth and between_depth[-1] > depth:
+                between_depth.pop()
+        elif ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (pred[j].isalnum() or pred[j] == "_"):
+                j += 1
+            word = pred[i:j].upper()
+            if word == "BETWEEN":
+                between_depth.append(depth)
+            elif word == "AND":
+                if between_depth and between_depth[-1] == depth:
+                    between_depth.pop()  # the AND belongs to BETWEEN
+                elif depth == 0:
+                    parts.append("".join(current))
+                    current = []
+                    i = j
+                    continue
+            elif word == "OR" and depth == 0:
+                return None  # not a pure conjunction: prune nothing
+            current.append(pred[i:j])
+            i = j
+            continue
+        current.append(ch)
+        i += 1
+    if current:
+        parts.append("".join(current))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_conjuncts(pred: str) -> List[Tuple[str, str, object]]:
+    """Best-effort ``(column, op, value)`` triples usable for pruning.
+
+    op ∈ {=, <, <=, >, >=, between, in}; ``value`` is a scalar, a
+    (lo, hi) pair for between, or a list for in.  Conjuncts that don't
+    match a simple comparison are silently skipped (they stay row
+    filters); a top-level OR yields [] (pruning would be unsound).
+    """
+    parts = _split_conjuncts(pred)
+    if parts is None:
+        return []
+    out: List[Tuple[str, str, object]] = []
+    for part in parts:
+        while part.startswith("(") and part.endswith(")"):
+            inner = part[1:-1].strip()
+            if _split_conjuncts(inner) is None:  # "(a OR b)": keep wrapped
+                break
+            part = inner
+        m = _CMP_RE.match(part)
+        if m:
+            op = "=" if m.group("op") == "==" else m.group("op")
+            out.append((m.group("col"), op, _parse_literal(m.group("lit"))))
+            continue
+        m = _CMP_FLIP_RE.match(part)
+        if m:
+            op = "=" if m.group("op") == "==" else m.group("op")
+            out.append(
+                (m.group("col"), _FLIP.get(op, op), _parse_literal(m.group("lit")))
+            )
+            continue
+        m = _BETWEEN_RE.match(part)
+        if m:
+            out.append(
+                (
+                    m.group("col"),
+                    "between",
+                    (_parse_literal(m.group("lo")), _parse_literal(m.group("hi"))),
+                )
+            )
+            continue
+        m = _IN_RE.match(part)
+        if m:
+            try:
+                vals = [
+                    _parse_literal(v)
+                    for v in m.group("vals").split(",")
+                    if v.strip()
+                ]
+            except ValueError:
+                continue
+            if vals:
+                out.append((m.group("col"), "in", vals))
+    return out
+
+
+# -- pruning ----------------------------------------------------------------
+
+
+def _comparable(a, b) -> bool:
+    """Same comparison class (numeric vs string vs bool) — a type
+    mismatch means the conjunct can't be trusted against these stats."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _excludes(bounds: List, op: str, value) -> bool:
+    """True iff [min, max] proves NO row of the file satisfies the
+    conjunct.  min/max bound non-null rows only; null rows never satisfy
+    a comparison, so null-blind exclusion is sound."""
+    lo, hi = bounds
+    if op == "between":
+        a, b = value
+        if not (_comparable(lo, a) and _comparable(hi, b)):
+            return False
+        return hi < a or lo > b
+    if op == "in":
+        if not all(_comparable(lo, v) for v in value):
+            return False
+        return all(v < lo or v > hi for v in value)
+    if not _comparable(lo, value):
+        return False
+    if op == "=":
+        return value < lo or value > hi
+    if op == "<":
+        return lo >= value
+    if op == "<=":
+        return lo > value
+    if op == ">":
+        return hi <= value
+    if op == ">=":
+        return hi < value
+    return False
+
+
+def prune(
+    table_path: str,
+    files: Sequence[str],
+    predicate: str,
+    allowed_columns: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """The subset of ``files`` that might satisfy ``predicate``.
+
+    ``allowed_columns`` restricts which predicate columns may prune
+    (the PK-table soundness rule); None allows all.  Files absent from
+    the manifest, and files whose stats lack a predicate column, are
+    kept.
+    """
+    conjuncts = parse_conjuncts(predicate)
+    if allowed_columns is not None:
+        allowed = set(allowed_columns)
+        conjuncts = [c for c in conjuncts if c[0] in allowed]
+    if not conjuncts:
+        return list(files)
+    manifest = load(table_path)
+    if not manifest:
+        return list(files)
+    kept = []
+    for f in files:
+        stats = manifest.get(os.path.relpath(f, table_path))
+        if stats is None:
+            kept.append(f)
+            continue
+        if any(
+            col in stats and _excludes(stats[col], op, value)
+            for col, op, value in conjuncts
+        ):
+            continue
+        kept.append(f)
+    return kept

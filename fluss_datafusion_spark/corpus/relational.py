@@ -1640,3 +1640,62 @@ def q54_zorder_key(spark, sf_dir):
         "o_orderkey",
         interleave_bits([x, y]).cast("bigint").alias("zkey"),
     )
+
+
+@query(
+    "q55_skipping_scan", extended=True,
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           round(l_extendedprice, 2) AS price,
+           true AS files_skipped
+    FROM lineitem
+    WHERE l_orderkey <= 8000
+      AND l_orderkey BETWEEN 1000 AND 1400
+      AND l_suppkey <= 10
+    """,
+)
+def q55_skipping_scan(spark, sf_dir):
+    """The z-order payoff end-to-end: load a lineitem slice into an
+    engine log table, OPTIMIZE ... ZORDER BY (l_orderkey, l_suppkey),
+    then run the manifest-pruned skipping scan
+    (``catalog.read(predicate=...)`` — catalog/skipping.py) with a
+    two-column range predicate.  ``files_skipped`` pins that the scan
+    provably opened FEWER files than the listing (the oracle asserts it
+    true), and the row payload pins that pruning lost nothing — an
+    unsound prune would drop rows and hash-mismatch.  No reference
+    analog: zuston/fluss-datafusion opens every snapshot file
+    (src/provider/scan_exec.rs:43)."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_skip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE skip_li (l_orderkey BIGINT, l_partkey BIGINT,"
+        " l_suppkey BIGINT, price DOUBLE)"
+    )
+    t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 8000).select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice"), 2).alias("price"),
+    ).createOrReplaceTempView("skip_li_src")
+    e.sql("INSERT INTO skip_li SELECT * FROM skip_li_src")
+    e.catalog.optimize(
+        "skip_li", target_file_bytes=48 * 1024,
+        zorder_by=["l_orderkey", "l_suppkey"],
+    )
+    pred = "l_orderkey BETWEEN 1000 AND 1400 AND l_suppkey <= 10"
+    path = e.catalog.table_path(e.catalog.get_table("skip_li"))
+    files = sorted(_parquet_files(path))
+    kept = skipping.prune(path, files, pred, None)
+    return e.catalog.read("skip_li", predicate=pred).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "price",
+        F.lit(len(kept) < len(files)).alias("files_skipped"),
+    )

@@ -2263,27 +2263,30 @@ def ns_curation_substring_scrub(spark, sf_dir):
            CAST(8000 AS INT) AS sample_rate,
            CAST(2 + doc_id % 6 AS INT) AS n_windows,
            CAST(1 + doc_id % 20 AS INT) AS dominant_bin,
-           ROUND((1 + doc_id % 20) * 125.0, 2) AS dominant_hz
+           ROUND((1 + doc_id % 20) * 125.0, 2) AS dominant_hz,
+           CASE WHEN 1 + doc_id % 20 <= 10 THEN 1.0 ELSE 0.0 END AS band_low,
+           CASE WHEN 1 + doc_id % 20 >= 11 THEN 1.0 ELSE 0.0 END AS band_mid,
+           0.0 AS band_high,
+           true AS decoded_ok
     FROM documents
     """,
 )
 def ns_multimodal_audio_spectral(spark, sf_dir):
-    """REAL frequency-domain audio analysis: per document a PCM16 WAV of
-    a pure sine tone bin-aligned to the 64-sample analysis window is
+    """REAL frequency-domain audio analysis: per document a float32 WAV
+    of a pure sine tone bin-aligned to the 64-sample analysis window is
     synthesized (k = 1 + doc_id % 20 cycles per window), then
     ``audio_spectral_features`` decodes the samples and runs a real
-    numpy FFT per window — the dominant spectral bin must come back as
-    exactly k and its frequency as k * 8000/64 Hz, a closed-form
-    integer oracle over a genuine DFT (the audio twin of the flat-image
-    JPEG codec oracle).  Band-energy shares carry fp/quantization noise
-    and are bounds-tested in pytest instead."""
+    numpy FFT per window.  The ENTIRE row is closed-form: dominant bin
+    exactly k, frequency k * 8000/64 Hz, and — because the float
+    fixture leaves only ~1e-7 off-bin rounding noise (r5; PCM16
+    quantization used to block this) — the low/mid/high band-energy
+    shares are exactly 1/0 by which third k falls in (33-bin rfft minus
+    DC = 32 bins; thirds of 10/10/12; k <= 20 never reaches the high
+    band)."""
     media = multimodal.synthesize_tone_media(
         t(spark, sf_dir, "documents"), id_col="doc_id"
     )
-    feats = multimodal.audio_spectral_features(media, n_fft=64)
-    return feats.select(
-        "media_id", "sample_rate", "n_windows", "dominant_bin", "dominant_hz"
-    )
+    return multimodal.audio_spectral_features(media, n_fft=64)
 
 
 @query(

@@ -687,7 +687,7 @@ def parse_wav_header(payload):
         if cid == b"fmt " and i + 8 + 16 <= len(b):
             audio_fmt, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
             bits = struct.unpack("<H", b[i + 22 : i + 24])[0]
-            if audio_fmt != 1:  # PCM only
+            if audio_fmt not in (1, 3):  # PCM or IEEE-float only
                 return (None, None, None, None)
             fmt = (rate, channels, bits)
         elif cid == b"data" and fmt is not None:
@@ -699,24 +699,30 @@ def parse_wav_header(payload):
 
 
 def decode_wav_pcm(payload):
-    """REAL sample decode for 16-bit PCM WAV: numpy int16 array shaped
-    (frames, channels), or None if the payload is not PCM16 WAV."""
+    """REAL sample decode for WAV audio: numpy array shaped
+    (frames, channels) — int16 for 16-bit PCM (format 1), float32 for
+    32-bit IEEE float (format 3) — or None for anything else."""
     import numpy as np
 
     rate, channels, bits, n_frames = parse_wav_header(payload)
-    if rate is None or bits != 16:
+    if rate is None or bits not in (16, 32):
         return None
     b = bytes(payload)
+    dtype = "<i2" if bits == 16 else "<f4"
     i = 12
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         (size,) = struct.unpack("<I", b[i + 4 : i + 8])
-        if cid == b"data":
+        if cid == b"fmt " and i + 8 + 16 <= len(b):
+            audio_fmt = struct.unpack("<H", b[i + 8 : i + 10])[0]
+            if (bits == 16) != (audio_fmt == 1):
+                return None  # PCM must be 16-bit, IEEE float 32-bit
+        elif cid == b"data":
             data = b[i + 8 : i + 8 + size]
             if len(data) < size:
                 return None
             return (
-                np.frombuffer(data, dtype="<i2")
+                np.frombuffer(data, dtype=dtype)
                 .reshape(-1, channels)
             )
         i += 8 + size + (size & 1)
@@ -812,28 +818,30 @@ def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def synthesize_tone_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixture: a PCM16 WAV of a PURE SINE TONE per row, bin-aligned to a
-    64-sample analysis window — frequency bin k = 1 + id % 20 (so
-    exactly k cycles fit one window), amplitude 500 + id % 400, frames =
-    64 * (2 + id % 6), mono, rate 8000 Hz.  Bin alignment makes the
-    64-point DFT magnitude concentrate in bin k alone (all other bins
-    are fp-noise ~1e-10 of the peak), so the REAL FFT pipeline below has
-    a closed-form integer oracle with no audio/DSP library anywhere —
-    the audio twin of the flat-image JPEG oracle."""
+    """Fixture: a 32-bit IEEE-float WAV (format 3) of a PURE SINE TONE
+    per row, bin-aligned to a 64-sample analysis window — frequency bin
+    k = 1 + id % 20 (so exactly k cycles fit one window), amplitude
+    0.5 + (id % 400)/1000, frames = 64 * (2 + id % 6), mono, 8000 Hz.
+    Bin alignment + float samples make the 64-point DFT magnitude
+    concentrate in bin k alone (every other bin is float32 rounding
+    noise, ~1e-7 of the peak — below the round-4 threshold the feature
+    kernel emits), so the REAL FFT pipeline has a FULLY closed-form
+    oracle: dominant_bin = k, dominant_hz = 125k, and the band-energy
+    shares are exactly 1/0 per third.  (A PCM16 tone leaves ~1e-4
+    quantization shares in the off bands — the r4 reason only the
+    dominant columns were oracle-hashed.)"""
     import math
 
     def _wav(i: int) -> bytes:
         rate, n_fft = 8000, 64
         k = 1 + int(i) % 20
-        amp = 500 + int(i) % 400
+        amp = 0.5 + (int(i) % 400) / 1000.0
         n_frames = n_fft * (2 + int(i) % 6)
         samples = b"".join(
-            struct.pack(
-                "<h", int(round(amp * math.sin(2 * math.pi * k * t / n_fft)))
-            )
+            struct.pack("<f", amp * math.sin(2 * math.pi * k * t / n_fft))
             for t in range(n_frames)
         )
-        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
         body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
         body += b"data" + struct.pack("<I", len(samples)) + samples
         return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

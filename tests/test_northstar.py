@@ -558,10 +558,22 @@ def test_parse_wav_header_and_pcm_decode():
     # rejects
     assert mm.parse_wav_header(b"not riff") == (None, None, None, None)
     assert mm.parse_wav_header(None) == (None, None, None, None)
-    nonpcm = bytearray(p)
-    nonpcm[20:22] = struct.pack("<H", 3)  # IEEE float format
-    assert mm.parse_wav_header(bytes(nonpcm)) == (None, None, None, None)
+    unknown_fmt = bytearray(p)
+    unknown_fmt[20:22] = struct.pack("<H", 5)  # neither PCM nor IEEE float
+    assert mm.parse_wav_header(bytes(unknown_fmt)) == (None, None, None, None)
+    mismatched = bytearray(p)
+    mismatched[20:22] = struct.pack("<H", 3)  # float fmt code, 16-bit data
+    assert mm.decode_wav_pcm(bytes(mismatched)) is None
     assert mm.decode_wav_pcm(p[:-3]) is None  # truncated data chunk
+    # IEEE float32 (format 3, r5): header parses, samples round-trip
+    vals = [0.25, -0.5, 1.0, 0.125]
+    fdata = b"".join(struct.pack("<f", v) for v in vals)
+    fmt3 = struct.pack("<HHIIHH", 3, 2, 16000, 16000 * 8, 8, 32)
+    fbody = b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+    fbody += b"data" + struct.pack("<I", len(fdata)) + fdata
+    fwav = b"RIFF" + struct.pack("<I", 4 + len(fbody)) + b"WAVE" + fbody
+    assert mm.parse_wav_header(fwav) == (16000, 2, 32, 2)
+    assert mm.decode_wav_pcm(fwav).ravel().tolist() == vals
 
 
 def test_wav_pcm_stats_round_trip(spark):

@@ -1486,6 +1486,87 @@ def ns_training_bpe_merges(spark, sf_dir):
 
 
 @query(
+    "ns_training_bpe_tokens", extended=True,
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\s+'), ' '
+           ) AS detok,
+           true AS ref_match
+    FROM documents
+    """,
+)
+def ns_training_bpe_tokens(spark, sf_dir):
+    """BPE APPLICATION hash-checked cross-engine (r5 — this moves BPE
+    off the rows-only list): train 20 merges, tokenize every document
+    with ``apply_bpe`` (memoized Arrow kernel, zero shuffles), then pin
+    the output two independent ways.  (1) ``detok``: stripping spaces
+    and turning ``</w>`` back into word boundaries must losslessly
+    reconstruct the lower-cased whitespace-normalized text — DuckDB
+    recomputes that directly from ``documents.text``, so a single
+    wrong/lost/reordered token hash-mismatches.  (2) ``ref_match``: a
+    structurally different naive reference (space-joined string with a
+    lookaround ``re.sub`` per rule — left-to-right non-overlapping like
+    the spec, boundaries non-consuming so consecutive pair occurrences
+    all merge, no memoization) re-tokenizes each doc in a second kernel
+    and must agree exactly; the oracle asserts the boolean true.  The
+    iterative TRAINER itself stays pinned merge-by-merge against a
+    pure-Python reference in tests/test_bpe.py."""
+    import pandas as pd
+
+    from fluss_datafusion_spark.operators.bpe import (
+        _END,
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=20)
+    toked = apply_bpe(docs, "doc_id", "text", merges)
+
+    rules = [(left, right, left + right) for _, left, right, _ in merges]
+
+    def _ref(batches):
+        import re
+
+        compiled = [
+            (
+                re.compile(
+                    f"(?<= ){re.escape(left)} {re.escape(right)}(?= )"
+                ),
+                merged,
+            )
+            for left, right, merged in rules
+        ]
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                words = []
+                for w in (text or "").lower().split():
+                    joined = " " + " ".join(list(w) + [_END]) + " "
+                    for pat, merged in compiled:
+                        joined = pat.sub(merged, joined)
+                    words.append(joined.strip())
+                out.append(" ".join(words))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ref_tokens": out}
+            )
+
+    ref = docs.select("doc_id", "text").mapInPandas(
+        _ref, "doc_id long, ref_tokens string"
+    )
+    return toked.join(ref, "doc_id").select(
+        "doc_id",
+        F.rtrim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("tokens"), " ", ""), "</w>", " "
+            )
+        ).alias("detok"),
+        (F.col("tokens") == F.col("ref_tokens")).alias("ref_match"),
+    )
+
+
+@query(
     "ns_dedup_semantic",
     oracle="""
     WITH e AS (

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.operators.bpe import (
     _END,
+    apply_bpe,
     bpe_merges_table,
     learn_bpe_merges,
 )
@@ -114,3 +115,19 @@ def test_apply_bpe_matches_reference_tokenization(spark):
         assert got[i] == (len(want), " ".join(want)), (i, got[i], want)
     # merged symbols actually appear (the vocab compresses)
     assert any(len(s) > 2 for s in got[0][1].split())
+
+
+def test_apply_bpe_consecutive_pair_runs(spark):
+    """Greedy non-overlap on runs: with merge (a,a), 'aaaa' -> [aa,aa],
+    'aaaaa' -> [aa,aa,a] — the case a boundary-consuming string replace
+    gets wrong (the ns_training_bpe_tokens naive reference uses
+    lookaround re.sub for exactly this reason)."""
+    df = spark.createDataFrame(
+        [(0, "aaaa aaaaa aa a")], "doc_id long, text string"
+    )
+    merges = [(0, "a", "a", 99)]
+    row = apply_bpe(df, "doc_id", "text", merges).collect()[0]
+    assert row["tokens"] == (
+        "aa aa </w> aa aa a </w> aa </w> a </w>"
+    )
+    assert row["n_tokens"] == 11

@@ -1,0 +1,116 @@
+"""Property test: the full DML state machine vs a dict-model oracle.
+
+Hypothesis drives random sequences of INSERT / point DELETE / predicate
+DELETE / UPDATE / RESTORE / compact against one engine PK table and a
+plain-dict model applying the documented semantics (upsert last-wins,
+tombstones, restore-as-new-statement, compaction floor).  After every
+sequence the merged table state must equal the model, a time-travel
+read at a random recorded anchor must equal that anchor's snapshot,
+and restoring below the compaction floor must refuse.  This pins the
+interaction space (e.g. restore-past-a-restore, delete-then-reinsert,
+update-after-restore) that example-based tests can't enumerate —
+VERDICT r4 item 8.
+"""
+
+import os
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fluss_datafusion_spark import EngineSession
+
+_STATE = {}
+
+
+def _engine(spark):
+    if "e" not in _STATE:
+        wh = os.path.join(tempfile.mkdtemp(prefix="dml_prop_"), "wh")
+        e = EngineSession(spark=spark, warehouse=wh)
+        e.sql(
+            "CREATE TABLE dmlp (k BIGINT NOT NULL, v BIGINT,"
+            " PRIMARY KEY (k))"
+        )
+        _STATE["e"] = e
+    return _STATE["e"]
+
+
+_keys = st.integers(min_value=0, max_value=6)
+_vals = st.integers(min_value=-50, max_value=50)
+
+_op = st.one_of(
+    st.tuples(
+        st.just("ins"),
+        st.lists(st.tuples(_keys, _vals), min_size=1, max_size=4),
+    ),
+    st.tuples(st.just("del"), _keys),
+    st.tuples(st.just("delw"), _vals),  # DELETE ... WHERE v < x
+    st.tuples(st.just("upd"), st.tuples(_keys, _vals)),  # v = v + d WHERE k >= t
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=10**6)),
+    st.tuples(st.just("compact"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=7), data=st.data())
+def test_dml_state_machine_matches_dict_model(spark, ops, data):
+    e = _engine(spark)
+    e.catalog.truncate_table("dmlp")  # resets __seq__ and the floor
+
+    model = {}
+    floor = 0
+    # (seq, snapshot) after every statement; seq 0 = empty table
+    history = [(0, {})]
+
+    def record():
+        history.append((e.catalog.current_seq("dmlp"), dict(model)))
+
+    for op, arg in ops:
+        if op == "ins":
+            values = ", ".join(f"({k}, {v})" for k, v in arg)
+            e.sql(f"INSERT INTO dmlp VALUES {values}")
+            for k, v in arg:  # within-batch last write wins
+                model[k] = v
+            record()
+        elif op == "del":
+            e.sql(f"DELETE FROM dmlp WHERE k = {arg}")
+            model.pop(arg, None)
+            record()
+        elif op == "delw":
+            e.sql(f"DELETE FROM dmlp WHERE v < {arg}")
+            model = {k: v for k, v in model.items() if not (v < arg)}
+            record()
+        elif op == "upd":
+            thr, delta = arg
+            e.sql(f"UPDATE dmlp SET v = v + {delta} WHERE k >= {thr}")
+            model = {
+                k: (v + delta if k >= thr else v) for k, v in model.items()
+            }
+            record()
+        elif op == "restore":
+            seq, snap = history[arg % len(history)]
+            if seq < floor:
+                with pytest.raises(ValueError):
+                    e.catalog.restore_table("dmlp", seq)
+                # refused: no statement happened, model unchanged
+            else:
+                e.catalog.restore_table("dmlp", seq)
+                model = dict(snap)
+                record()
+        elif op == "compact":
+            e.catalog.compact("dmlp")
+            floor = e.catalog.current_seq("dmlp")
+
+    got = {r.k: r.v for r in e.catalog.read("dmlp").collect()}
+    assert got == model, (ops, got, model)
+
+    # time travel to a random recorded anchor at or above the floor
+    valid = [(s, snap) for s, snap in history if s >= floor]
+    seq, snap = valid[data.draw(st.integers(0, len(valid) - 1), label="anchor")]
+    past = {r.k: r.v for r in e.catalog.read("dmlp", as_of_seq=seq).collect()}
+    assert past == snap, (ops, seq, past, snap)

@@ -417,6 +417,48 @@ class FlussCatalog:
             )
         )
 
+    def read_changes(
+        self, name: str, from_seq: int, to_seq: Optional[int] = None
+    ) -> DataFrame:
+        """Bounded incremental changelog: exactly the changes produced
+        by statements ``from_seq+1 .. to_seq`` (default: latest) — the
+        Delta CDF ``table_changes`` / Fluss subscribe-from-offset
+        analog, and the API an incremental consumer uses to catch up
+        from its last checkpoint without replaying history.
+
+        Same shape as ``read_changelog`` (op ∈ +I/-U/+U/-D, change_seq/
+        change_sub stamps).  Correctness is a pure filter on the full
+        derivation: every change row is stamped with the statement that
+        produced it, and the window lag only looks BACKWARD, so -U/-D
+        pre-images of in-range statements are exact even though they
+        reference earlier state.  ``from_seq`` below the compaction
+        floor raises — those statements' changes were discarded, so a
+        consumer checkpointed before the floor cannot catch up exactly
+        (it must re-read the snapshot instead; the same contract as
+        ``read(as_of_seq=...)``).
+        """
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"read_changes requires a primary-key table; "
+                f"{spec.qualified_name} is a log table"
+            )
+        floor = self._floor.get(spec.qualified_name, 0)
+        if from_seq < floor:
+            raise ValueError(
+                f"history before seq {floor} was discarded by compaction; "
+                f"cannot read changes from seq {from_seq} — re-read the "
+                f"snapshot and checkpoint from current_seq instead"
+            )
+        if to_seq is not None and to_seq < from_seq:
+            raise ValueError(f"to_seq {to_seq} < from_seq {from_seq}")
+        out = self.read_changelog(name).filter(
+            F.col("change_seq") > F.lit(int(from_seq))
+        )
+        if to_seq is not None:
+            out = out.filter(F.col("change_seq") <= F.lit(int(to_seq)))
+        return out
+
     def lookup(self, name: str, key_value) -> DataFrame:
         """PK point lookup: 0-or-1-row result (FlussLookupExec,
         src/provider.rs:257-321).  Expressed as a filter so Catalyst

@@ -157,6 +157,27 @@ def register_views(catalog, include_stats: bool = True) -> None:
         "total_size_bytes long, last_modified timestamp",
     ).createOrReplaceTempView("information_schema_table_stats")
 
+    # Per-file footer min/max bounds from the skipping manifest (r5):
+    # the metadata the file-skipping scan prunes on, surfaced for
+    # inspection — the information_schema analog of Delta's file stats
+    # / Iceberg's manifest entries.  Files not yet harvested simply
+    # don't appear (the scan keeps them unconditionally).
+    from fluss_datafusion_spark.catalog import skipping
+
+    file_stats = []
+    for s in specs:
+        manifest = skipping.load(catalog.table_path(s))
+        for rel_path, bounds in sorted(manifest.items()):
+            for col_name, (lo, hi) in sorted(bounds.items()):
+                file_stats.append(
+                    (s.database, s.name, rel_path, col_name, str(lo), str(hi))
+                )
+    spark.createDataFrame(
+        file_stats,
+        "table_schema string, table_name string, file_path string, "
+        "column_name string, min_value string, max_value string",
+    ).createOrReplaceTempView("information_schema_file_stats")
+
 
 def _list_partitions(catalog, spec: TableSpec):
     """(partition_id, partition_name value1$value2, qualified k1=v1/k2=v2).

@@ -1643,6 +1643,77 @@ def q54_zorder_key(spark, sf_dir):
 
 
 @query(
+    "q56_table_changes", extended=True,
+    oracle="""
+    WITH s1 AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey <= 800
+    ), s2 AS (
+        SELECT o_orderkey, round(o_totalprice, 2) + 1 AS price
+        FROM orders WHERE o_orderkey BETWEEN 401 AND 1200
+    ), st2 AS (
+        SELECT o_orderkey, price FROM s2
+        UNION ALL
+        SELECT o_orderkey, price FROM s1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s2)
+    )
+    SELECT '-U' AS op, CAST(2 AS BIGINT) AS change_seq,
+           s1.o_orderkey AS o_orderkey, s1.price AS price
+    FROM s1 JOIN s2 USING (o_orderkey)
+    UNION ALL
+    SELECT '+U', 2, s2.o_orderkey, s2.price
+    FROM s2 JOIN s1 USING (o_orderkey)
+    UNION ALL
+    SELECT '+I', 2, o_orderkey, price FROM s2
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s1)
+    UNION ALL
+    SELECT '-D', 3, o_orderkey, price FROM st2
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def q56_table_changes(spark, sf_dir):
+    """Bounded incremental changelog (r5 — ``catalog.read_changes``,
+    the Delta-CDF / Fluss subscribe-from-offset analog): seed a PK
+    table from orders, checkpoint the statement sequence, then upsert
+    an overlapping slice and run a predicate DELETE.  The changes SINCE
+    the checkpoint must be exactly the -U/+U pairs for overwritten
+    keys (pre-images from BEFORE the window), +I for new keys, and -D
+    carrying the deleted images — DuckDB re-derives all four sets from
+    raw orders.  One window pass over the PK log, then a pure
+    change_seq filter; see FlussCatalog.read_changes."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE cdc_orders (o_orderkey BIGINT NOT NULL,"
+        " price DOUBLE, PRIMARY KEY (o_orderkey))"
+    )
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 2).alias("price")
+    ).createOrReplaceTempView("cdc_s1")
+    e.sql("INSERT INTO cdc_orders SELECT * FROM cdc_s1")
+    checkpoint = e.catalog.current_seq("cdc_orders")
+    o.filter(F.col("o_orderkey").between(401, 1200)).select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice"), 2) + 1).alias("price"),
+    ).createOrReplaceTempView("cdc_s2")
+    e.sql("INSERT INTO cdc_orders SELECT * FROM cdc_s2")
+    e.sql("DELETE FROM cdc_orders WHERE o_orderkey % 7 = 0")
+    return e.catalog.read_changes("cdc_orders", checkpoint).select(
+        "op", "change_seq", "o_orderkey", "price"
+    )
+
+
+@query(
     "q55_skipping_scan", extended=True,
     oracle="""
     SELECT l_orderkey, l_partkey, l_suppkey,

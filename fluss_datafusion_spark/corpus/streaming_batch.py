@@ -358,3 +358,61 @@ def st_stream_interval_join(spark, sf_dir):
         "purchase_id", "user_id", "click_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("lag_sec"),
     )
+
+
+@query(
+    "st_gapfill_resample", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT user_id % 25 AS g,
+               CAST(to_timestamp(
+                   floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600
+               ) AS TIMESTAMP) AS bucket_ts,
+               count(*) AS n_rows,
+               round(avg(value), 4) AS avg_v
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT g, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY g
+    ), spine AS (
+        SELECT g, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM s
+    )
+    SELECT spine.g AS g, spine.bucket_ts AS bucket_ts,
+           CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS n_rows,
+           b.n_rows IS NULL AS is_gap,
+           round(COALESCE(b.avg_v,
+               (SELECT b2.avg_v FROM b b2
+                WHERE b2.g = spine.g AND b2.bucket_ts <= spine.bucket_ts
+                ORDER BY b2.bucket_ts DESC LIMIT 1)), 4) AS avg_v_locf,
+           round(COALESCE(b.avg_v, 0.0), 4) AS avg_v_zero
+    FROM spine LEFT JOIN b USING (g, bucket_ts)
+    """,
+)
+def st_gapfill_resample(spark, sf_dir):
+    """Time-series gap filling (r5 — operators/timeseries.gapfill, the
+    TimescaleDB time_bucket_gapfill analog the reference lacks):
+    resample events into per-group hourly buckets and MATERIALIZE the
+    empty ones, with last-observation-carried-forward and zero fills.
+    DuckDB rebuilds the identical grid with generate_series and a
+    correlated locf subquery — every fabricated gap row, its locf
+    value, and the per-group span bounds are hash-checked.  Plan: one
+    map-side-combined agg to the bucket grain, a tiny per-group span
+    agg + sequence() explode (guarded against unbounded grids), one
+    co-partitioned left join, one window per group — everything keyed
+    on the group, nothing single-partition (plan-asserted in
+    tests/test_timeseries.py)."""
+    from fluss_datafusion_spark.operators.timeseries import gapfill
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "g", F.col("user_id") % 25
+    )
+    out = gapfill(
+        e, "ts", 3600, ["g"],
+        {"avg_v_locf": F.avg("value"), "avg_v_zero": F.avg("value")},
+        fills={"avg_v_locf": "locf", "avg_v_zero": "zero"},
+    )
+    return out.select(
+        "g", "bucket_ts", "n_rows", "is_gap",
+        F.round("avg_v_locf", 4).alias("avg_v_locf"),
+        F.round("avg_v_zero", 4).alias("avg_v_zero"),
+    )

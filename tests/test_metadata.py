@@ -157,3 +157,26 @@ def test_show_buckets_real_row_counts(spark, tmp_path):
     counted = {r["bucket_id"]: r["row_count"] for r in rows}
     assert sum(v or 0 for v in counted.values()) == 400
     assert all(v and v > 0 for v in counted.values())  # hash spread hits all 4
+
+
+def test_file_stats_view(meta_engine):
+    e = meta_engine
+    e.sql("CREATE TABLE fs_demo (a BIGINT, b STRING)")
+    e.sql("INSERT INTO fs_demo VALUES (1, 'x'), (9, 'y')")
+    rows = e.sql(
+        "SELECT file_path, column_name, min_value, max_value"
+        " FROM information_schema.file_stats"
+        " WHERE table_name = 'fs_demo' AND column_name = 'a'"
+    ).collect()
+    assert rows, "write-time harvest must surface in file_stats"
+    # the insert may split across files; bounds union must be [1, 9]
+    assert min(int(r.min_value) for r in rows) == 1
+    assert max(int(r.max_value) for r in rows) == 9
+    cols = {
+        r.column_name
+        for r in e.sql(
+            "SELECT column_name FROM information_schema.file_stats"
+            " WHERE table_name = 'fs_demo'"
+        ).collect()
+    }
+    assert cols == {"a", "b"}

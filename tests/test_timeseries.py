@@ -1,0 +1,98 @@
+"""Gap filling / resampling (operators/timeseries.py).
+
+Hard signals: exact bucket grid per group (span-bounded, epoch-aligned),
+locf/linear/zero fill values against hand-computed expectations, group
+isolation (locf never crosses groups), observed-but-null aggregates,
+and the spine-size guard."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from fluss_datafusion_spark.operators.timeseries import gapfill, time_bucket
+
+
+def _df(spark):
+    d = datetime.datetime
+    rows = [
+        ("a", d(2026, 1, 1, 0, 0, 30), 10.0),
+        ("a", d(2026, 1, 1, 0, 0, 45), 20.0),
+        ("a", d(2026, 1, 1, 0, 3, 10), 40.0),  # minutes 1, 2 are gaps
+        ("b", d(2026, 1, 1, 0, 5, 0), 5.0),
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp, v double")
+
+
+def test_gapfill_grid_and_fills(spark):
+    out = gapfill(
+        _df(spark), "ts", 60, ["g"],
+        {
+            "avg_v": F.avg("v"), "locf_v": F.avg("v"),
+            "lin_v": F.avg("v"), "zero_v": F.sum("v"),
+        },
+        fills={"locf_v": "locf", "lin_v": "linear", "zero_v": "zero"},
+    ).orderBy("g", "bucket_ts")
+    rows = [
+        (r.g, r.bucket_ts.minute, r.n_rows, r.is_gap, r.avg_v,
+         r.locf_v, round(r.lin_v, 4), r.zero_v)
+        for r in out.collect()
+    ]
+    assert rows == [
+        ("a", 0, 2, False, 15.0, 15.0, 15.0, 30.0),
+        ("a", 1, 0, True, None, 15.0, round(15 + 25 / 3, 4), 0.0),
+        ("a", 2, 0, True, None, 15.0, round(15 + 50 / 3, 4), 0.0),
+        ("a", 3, 1, False, 40.0, 40.0, 40.0, 40.0),
+        ("b", 5, 1, False, 5.0, 5.0, 5.0, 5.0),  # locf isolated per group
+    ]
+
+
+def test_gapfill_null_observed_bucket_edges(spark):
+    # an OBSERVED bucket whose aggregate is null (all values null):
+    # linear must interpolate through it; the leading edge (no previous
+    # observation) carries the NEXT value backward
+    d = datetime.datetime
+    rows = [
+        ("g", d(2026, 1, 1, 0, 0, 0), None),
+        ("g", d(2026, 1, 1, 0, 1, 0), 10.0),
+        ("g", d(2026, 1, 1, 0, 2, 0), None),
+        ("g", d(2026, 1, 1, 0, 3, 0), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gapfill(
+        df, "ts", 60, ["g"], {"v": F.avg("v")}, fills={"v": "linear"}
+    ).orderBy("bucket_ts")
+    got = [(r.n_rows, r.is_gap, r.v) for r in out.collect()]
+    assert got == [
+        (1, False, 10.0),   # leading edge: next value carried back
+        (1, False, 10.0),
+        (1, False, 20.0),   # interpolated through the null bucket
+        (1, False, 30.0),
+    ]
+
+
+def test_gapfill_epoch_alignment_and_buckets(spark):
+    b = _df(spark).select(time_bucket(F.col("ts"), 3600).alias("b")).collect()
+    assert all(r.b.minute == 0 and r.b.second == 0 for r in b)
+
+
+def test_gapfill_guard_and_validation(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError, match="unknown fill"):
+        gapfill(df, "ts", 60, ["g"], {"v": F.avg("v")}, fills={"v": "ffill"})
+    with pytest.raises(ValueError, match="unknown value columns"):
+        gapfill(df, "ts", 60, ["g"], {"v": F.avg("v")}, fills={"w": "locf"})
+    guarded = gapfill(df, "ts", 1, ["g"], {"v": F.avg("v")}, max_buckets=10)
+    with pytest.raises(Exception, match="max_buckets"):
+        guarded.collect()  # group 'a' spans 161 one-second buckets
+
+
+def test_gapfill_single_shuffle_shape(spark):
+    """The observed agg must be partial (map-side combined) and the
+    whole job must stay keyed on the group columns — no single-
+    partition exchange anywhere."""
+    plan = gapfill(
+        _df(spark), "ts", 60, ["g"], {"v": F.avg("v")}, fills={"v": "locf"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

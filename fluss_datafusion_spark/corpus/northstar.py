@@ -1634,14 +1634,17 @@ def ns_dedup_semantic(spark, sf_dir):
     """,
 )
 def ns_multimodal_jpeg_decode(spark, sf_dir):
-    """REAL baseline-JPEG pixel decode (the last r3 NotImplementedError
-    boundary, now closed): per document a complete SOF0 JPEG — DQT,
-    generated DHT Huffman tables, entropy-coded DC/AC data with byte
-    stuffing — is synthesized, then ``jpeg_pixel_stats`` Huffman-decodes,
-    dequantizes and IDCTs the actual coefficients back.  Flat grayscale
-    images quantize to a single DC coefficient, and with all-ones quant
-    tables the decode is EXACT (float margin ~1e-12 vs the 0.5 rounding
-    threshold), so the oracle states every mean in closed form."""
+    """REAL JPEG pixel decode — every 3rd document PROGRESSIVE (SOF2,
+    multi-scan successive approximation, r5), the rest baseline SOF0:
+    per document a complete JPEG — DQT, generated DHT Huffman tables,
+    entropy-coded scans with byte stuffing — is synthesized, then
+    ``jpeg_pixel_stats`` Huffman-decodes (incl. DC/AC refinement and
+    EOB runs for the progressive payloads), dequantizes and IDCTs the
+    actual coefficients back.  Flat grayscale images quantize to a
+    single DC coefficient, and with all-ones quant tables the decode
+    is EXACT under either coding (float margin ~1e-12 vs the 0.5
+    rounding threshold), so the oracle states every mean in closed
+    form."""
     media = multimodal.synthesize_jpeg_media(
         t(spark, sf_dir, "documents"), id_col="doc_id"
     )

@@ -1180,13 +1180,15 @@ def encode_jpeg_baseline(px) -> bytes:
 
 
 def decode_jpeg_pixels(payload):
-    """REAL pixel decode for baseline sequential JPEG (SOF0, 8-bit,
-    4:4:4 or grayscale, no restart intervals): marker walk, DHT/DQT
-    tables, Huffman + run-length entropy decode, dequantize, float64
-    IDCT, level shift, YCbCr->RGB.  Returns (H, W, C) uint8 (C = 1 or
-    3) or None for unsupported/invalid payloads (progressive SOF2,
-    subsampled chroma, 12-bit, arithmetic coding).  Pure stdlib+numpy —
-    the published T.81 layout, no libjpeg."""
+    """REAL pixel decode for JPEG: baseline sequential (SOF0) inline,
+    PROGRESSIVE (SOF2 — spectral selection + successive approximation,
+    r5) via _decode_jpeg_progressive.  8-bit, 4:4:4 or grayscale, no
+    restart intervals; marker walk, DHT/DQT tables, Huffman +
+    run-length entropy decode, dequantize, float64 IDCT, level shift,
+    YCbCr->RGB.  Returns (H, W, C) uint8 (C = 1 or 3) or None for
+    unsupported/invalid payloads (subsampled chroma, 12-bit,
+    arithmetic coding).  Pure stdlib+numpy — the published T.81
+    layout, no libjpeg."""
     import numpy as np
 
     if not payload:
@@ -1237,9 +1239,11 @@ def decode_jpeg_pixels(payload):
                 if samp != 0x11:
                     return None  # 4:4:4 / grayscale only
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # progressive: dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # other non-baseline frame types
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
             if dri != 0:
@@ -1307,6 +1311,507 @@ def decode_jpeg_pixels(payload):
     return out
 
 
+def _jpeg_block_coefficients(px):
+    """Shared front half of both JPEG encoders: color transform, 8x8
+    blocking with edge replication, FDCT, all-ones quantization.
+    Returns (h, w, list of (bh, bw, 64) zigzag-ordered int arrays)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px.astype(np.float64) - 128.0]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [np.round(c).clip(0, 255) - 128.0 for c in (y, cb, cr)]
+    C = _dct_matrix()
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    out = []
+    for comp in comps:
+        zz = np.zeros((bh, bwid, 64), dtype=np.int64)
+        for by in range(bh):
+            ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+            for bx in range(bwid):
+                xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+                coef = np.round(C @ comp[np.ix_(ys, xs)] @ C.T).astype(
+                    np.int64
+                )
+                zz[by, bx] = coef.flat[_JPEG_ZIGZAG]
+        out.append(zz)
+    return h, w, out
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: integer divide by 2^Al truncating toward
+    zero (T.81 G.1.2.1 — DC uses a plain arithmetic shift instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _RefineWriter:
+    """AC-refinement emission (T.81 G.1.2.3).  The decoder consumes
+    correction bits POSITIONALLY while advancing through a symbol's
+    run, and the corrections of EOB-covered blocks right after the
+    EOBn symbol — so the two kinds must be buffered separately: bits
+    belonging to the pending EOB run drain with its flush; bits
+    belonging to the current symbol's run drain after that symbol."""
+
+    def __init__(self, bw, ac_tab):
+        self.bw = bw
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.eob_bits = []  # corrections of the EOB-covered blocks
+
+    def _flush_eobrun(self):
+        while self.eobrun > 0:
+            n = min(self.eobrun, 32767)
+            r = n.bit_length() - 1
+            code, length = self.ac_tab[r << 4]
+            self.bw.put(code, length)
+            if r:
+                self.bw.put(n - (1 << r), r)
+            for bit in self.eob_bits:
+                self.bw.put(bit, 1)
+            self.eob_bits = []
+            self.eobrun -= n
+
+    def symbol(self, rs: int, sign_bit, run_bits):
+        self._flush_eobrun()
+        code, length = self.ac_tab[rs]
+        self.bw.put(code, length)
+        if sign_bit is not None:
+            self.bw.put(sign_bit, 1)
+        for bit in run_bits:
+            self.bw.put(bit, 1)
+
+    def block_end(self, tail_bits):
+        self.eob_bits.extend(tail_bits)
+        self.eobrun += 1
+
+    def end(self):
+        self._flush_eobrun()
+
+
+def encode_jpeg_progressive(px) -> bytes:
+    """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a PROGRESSIVE
+    JPEG (SOF2) exercising BOTH progressive dimensions: spectral
+    selection (separate DC and AC scans) and successive approximation
+    (first scans at Al=1, then refinement scans at Al=0 — DC refine as
+    raw bits, AC refine with EOB runs + correction bits).  Same
+    all-ones quantization as encode_jpeg_baseline, so the quantized
+    coefficients — and therefore the decoded pixels — are IDENTICAL to
+    the baseline encoding of the same array (the cross-codec oracle
+    tests/test_properties.py pins)."""
+    h, w, comps = _jpeg_block_coefficients(px)
+    ncomp = len(comps)
+    dc_tab = _huff_encode_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_tab = _huff_encode_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    bh, bwid = comps[0].shape[:2]
+
+    scans = []  # (sos_body, entropy_bytes)
+
+    def sos(comp_ids, tables, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, tab in zip(comp_ids, tables):
+            body += bytes([cid, tab])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first (interleaved, Al=1) — diff-coded arithmetic shift
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                v = int(comps[ci][by, bx, 0]) >> 1
+                diff = v - pred[ci]
+                pred[ci] = v
+                s, bits = _magnitude_bits(diff)
+                code, length = dc_tab[s]
+                bw.put(code, length)
+                if s:
+                    bw.put(bits, s)
+    scans.append(
+        (sos(list(range(1, ncomp + 1)), [0x00] * ncomp, 0, 0, 0, 1),
+         bw.flush())
+    )
+
+    # scan 2: DC refinement (Al=0) — one raw bit per block, MCU order
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                bw.put(int(comps[ci][by, bx, 0]) & 1, 1)
+    scans.append(
+        (sos(list(range(1, ncomp + 1)), [0x00] * ncomp, 0, 0, 1, 0),
+         bw.flush())
+    )
+
+    for ci in range(ncomp):
+        # AC first (Ss=1..63, Al=1) with EOB-run coding
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                n = min(eobrun, 32767)
+                r = n.bit_length() - 1
+                code, length = ac_tab[r << 4]
+                bw.put(code, length)
+                if r:
+                    bw.put(n - (1 << r), r)
+                eobrun -= n
+
+        for by in range(bh):
+            for bx in range(bwid):
+                zz = comps[ci][by, bx]
+                vals = [_trunc_shift(int(zz[k]), 1) for k in range(64)]
+                last = 0
+                for k in range(63, 0, -1):
+                    if vals[k]:
+                        last = k
+                        break
+                if last == 0:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tab[0xF0]
+                        bw.put(code, length)
+                        run -= 16
+                    s, bits = _magnitude_bits(v)
+                    code, length = ac_tab[(run << 4) | s]
+                    bw.put(code, length)
+                    bw.put(bits, s)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+        flush_eob()
+        scans.append((sos([ci + 1], [0x00], 1, 63, 0, 1), bw.flush()))
+
+    for ci in range(ncomp):
+        # AC refinement (Al=0): newly-nonzero (|v| == 1) coded with
+        # s=1 + sign; previously-nonzero append correction bits (their
+        # low bit); runs count zero-history positions only
+        bw = _BitWriter()
+        rw = _RefineWriter(bw, ac_tab)
+        for by in range(bh):
+            for bx in range(bwid):
+                zz = comps[ci][by, bx]
+                last = 0
+                for k in range(63, 0, -1):
+                    if abs(int(zz[k])) == 1:  # newly visible at Al=0
+                        last = k
+                        break
+                # events since the last emitted symbol, in POSITION
+                # order: None = zero-history slot, int = correction bit
+                # of a previously-nonzero coefficient
+                events = []
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        events.append(None)
+                        continue
+                    if abs(v) > 1:
+                        events.append(abs(v) & 1)
+                        continue
+                    # newly nonzero: first burn full ZRLs (each covers
+                    # 16 zero-history slots + the corrections met there)
+                    while sum(e is None for e in events) > 15:
+                        zseen, cut = 0, 0
+                        zrl_bits = []
+                        for idx, ev in enumerate(events):
+                            if ev is None:
+                                zseen += 1
+                                if zseen == 16:
+                                    cut = idx + 1
+                                    break
+                            else:
+                                zrl_bits.append(ev)
+                        rw.symbol(0xF0, None, zrl_bits)
+                        events = events[cut:]
+                    r = sum(e is None for e in events)
+                    rw.symbol(
+                        (r << 4) | 1,
+                        1 if v > 0 else 0,
+                        [e for e in events if e is not None],
+                    )
+                    events = []
+                # tail: past the last newly-nonzero, corrections join
+                # the EOB run (events is empty here by construction).
+                # A block coded through Se (last == 63) is COMPLETE —
+                # the decoder reads no EOB for it, so it must not join
+                # the run (the exact off-by-one the first-scan encoder
+                # guards with `last < 63`).
+                if last < 63:
+                    rw.block_end(
+                        [
+                            abs(int(zz[k])) & 1
+                            for k in range(last + 1, 64)
+                            if abs(int(zz[k])) > 1
+                        ]
+                    )
+        rw.end()
+        scans.append((sos([ci + 1], [0x00], 1, 63, 1, 0), bw.flush()))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    )
+    for sos_body, entropy in scans:
+        out += seg(0xFFDA, sos_body)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Progressive JPEG (SOF2) decode: accumulate coefficients across
+    every scan — DC first/refine, AC first with EOB runs, AC refine
+    with correction bits (T.81 Annex G; 8-bit, 4:4:4/gray, no restart
+    markers) — then dequantize + IDCT + color like the baseline path."""
+    import numpy as np
+
+    i = 2
+    qt = {}
+    dc_tables = {}
+    ac_tables = {}
+    h = w = None
+    comps = []  # (cid, tq)
+    coef = {}   # ci -> (bh, bw, 64) int64 zigzag coefficients
+    eobrun = 0
+
+    def scan_end(j):
+        while j + 1 < len(b):
+            if b[j] == 0xFF and b[j + 1] != 0x00 and not (
+                0xD0 <= b[j + 1] <= 0xD7
+            ):
+                return j
+            j += 1
+        return len(b)
+
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    return None
+                qt[tq] = np.array(list(body[j + 1 : j + 65]), dtype=np.int64)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                counts = list(body[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = list(body[j + 17 : j + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = (
+                    _huff_decode_table(counts, symbols)
+                )
+                j += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                return None
+            for k in range(nc):
+                cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
+                if samp != 0x11:
+                    return None
+                comps.append((cid, tq))
+            bh, bwid = (h + 7) // 8, (w + 7) // 8
+            for ci in range(nc):
+                coef[ci] = np.zeros((bh, bwid, 64), dtype=np.int64)
+        elif marker == 0xDD:
+            (dri,) = struct.unpack(">H", body[:2])
+            if dri != 0:
+                return None
+        elif marker == 0xDA:
+            if h is None:
+                return None
+            ns = body[0]
+            sc = []
+            for k in range(ns):
+                cid, tabs = body[1 + 2 * k : 3 + 2 * k]
+                ci = next(
+                    (n for n, (c, _q) in enumerate(comps) if c == cid), None
+                )
+                if ci is None:
+                    return None
+                sc.append((ci, tabs >> 4, tabs & 0xF))
+            ss, se, aa = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = aa >> 4, aa & 0xF
+            end = scan_end(i + 2 + seglen)
+            reader = _BitReader(b[i + 2 + seglen : end])
+            bh, bwid = (h + 7) // 8, (w + 7) // 8
+            eobrun = 0
+            try:
+                if ss == 0:  # DC scan (interleaved allowed)
+                    pred = [0] * len(sc)
+                    for by in range(bh):
+                        for bx in range(bwid):
+                            for si, (ci, dct, _act) in enumerate(sc):
+                                if ah == 0:
+                                    s = _huff_read(reader, dc_tables[dct])
+                                    diff = (
+                                        _extend(reader.bits(s), s) if s else 0
+                                    )
+                                    pred[si] += diff
+                                    coef[ci][by, bx, 0] = pred[si] << al
+                                else:  # refinement: one raw bit
+                                    coef[ci][by, bx, 0] += (
+                                        reader.bit() << al
+                                    )
+                else:  # AC scan: single component, non-interleaved
+                    if len(sc) != 1 or se > 63 or ss > se:
+                        return None
+                    ci, _dct, act = sc[0]
+                    table = ac_tables[act]
+                    for by in range(bh):
+                        for bx in range(bwid):
+                            zz = coef[ci][by, bx]
+                            if ah == 0:  # first scan
+                                if eobrun > 0:
+                                    eobrun -= 1
+                                    continue
+                                k = ss
+                                while k <= se:
+                                    sym = _huff_read(reader, table)
+                                    r, s = sym >> 4, sym & 0xF
+                                    if s == 0:
+                                        if r < 15:
+                                            eobrun = (1 << r) - 1
+                                            if r:
+                                                eobrun += reader.bits(r)
+                                            break
+                                        k += 16  # ZRL
+                                        continue
+                                    k += r
+                                    if k > se:
+                                        return None
+                                    zz[k] = (
+                                        _extend(reader.bits(s), s) << al
+                                    )
+                                    k += 1
+                            else:  # refinement scan
+                                p1, m1 = 1 << al, -1 << al
+
+                                def correct(kk):
+                                    if reader.bit():
+                                        if zz[kk] > 0 and not (
+                                            zz[kk] & p1
+                                        ):
+                                            zz[kk] += p1
+                                        elif zz[kk] < 0 and not (
+                                            zz[kk] & p1
+                                        ):
+                                            zz[kk] += m1
+                                if eobrun > 0:
+                                    for kk in range(ss, se + 1):
+                                        if zz[kk]:
+                                            correct(kk)
+                                    eobrun -= 1
+                                    continue
+                                k = ss
+                                while k <= se:
+                                    sym = _huff_read(reader, table)
+                                    r, s = sym >> 4, sym & 0xF
+                                    newval = 0
+                                    if s == 0:
+                                        if r < 15:  # EOBn
+                                            eobrun = (1 << r)
+                                            if r:
+                                                eobrun += reader.bits(r)
+                                            break
+                                        # ZRL: skip 16 zero-history slots
+                                    elif s == 1:
+                                        newval = p1 if reader.bit() else m1
+                                    else:
+                                        return None
+                                    while k <= se:
+                                        if zz[k]:
+                                            correct(k)
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval and k <= se:
+                                        zz[k] = newval
+                                    k += 1
+                                if eobrun > 0:
+                                    # EOBn covers the REST of this block
+                                    for kk in range(k, se + 1):
+                                        if zz[kk]:
+                                            correct(kk)
+                                    eobrun -= 1
+            except (EOFError, KeyError, ValueError):
+                return None
+            i = end
+            continue
+        i += 2 + seglen
+    if h is None or not comps:
+        return None
+
+    C = _dct_matrix()
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        plane = np.zeros((bh * 8, bwid * 8))
+        q = qt.get(tq)
+        if q is None:
+            return None
+        for by in range(bh):
+            for bx in range(bwid):
+                dq = np.zeros(64, dtype=np.float64)
+                dq[_JPEG_ZIGZAG] = coef[ci][by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ dq.reshape(8, 8) @ C
+                )
+        planes.append(plane[:h, :w] + 128.0)
+    if len(planes) == 1:
+        return (
+            np.round(planes[0]).clip(0, 255).astype(np.uint8).reshape(h, w, 1)
+        )
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bch = y + 1.772 * (cb - 128.0)
+    return np.stack(
+        [np.round(c).clip(0, 255).astype(np.uint8) for c in (r, g, bch)],
+        axis=-1,
+    )
+
+
 def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
     """Full-pixel JPEG decode over the binary column (baseline SOF0):
     per-channel means from the reconstructed array — the JPEG twin of
@@ -1340,12 +1845,15 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
 
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One complete baseline JPEG per id: a flat grayscale image of
-    value (37*id + 11) % 256 at (id%16+1) x ((5*id)%16+1).  A constant
-    image's blocks quantize to a single DC coefficient, and with
-    all-ones quant tables the decode reproduces the value EXACTLY
-    (float rounding margin ~1e-12 against the 0.5 rounding threshold),
-    so per-channel means are SQL-predictable to the last bit."""
+    """One complete JPEG per id: a flat grayscale image of value
+    (37*id + 11) % 256 at (id%16+1) x ((5*id)%16+1) — every 3rd id
+    encoded PROGRESSIVE (SOF2, multi-scan successive approximation,
+    r5), the rest baseline SOF0, so the decode oracle exercises both
+    entropy layouts.  A constant image's blocks quantize to a single
+    DC coefficient, and with all-ones quant tables the decode
+    reproduces the value EXACTLY (float rounding margin ~1e-12 against
+    the 0.5 rounding threshold), so per-channel means are
+    SQL-predictable to the last bit for either coding."""
 
     def _jpg(i: int) -> bytes:
         import numpy as np
@@ -1353,7 +1861,10 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         w = i % 16 + 1
         h = (5 * i) % 16 + 1
         v = (37 * i + 11) % 256
-        return encode_jpeg_baseline(np.full((h, w), v, dtype=np.uint8))
+        px = np.full((h, w), v, dtype=np.uint8)
+        if i % 3 == 0:
+            return encode_jpeg_progressive(px)
+        return encode_jpeg_baseline(px)
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -273,3 +273,53 @@ def test_avi_roundtrip_property(w, h, n_frames, every, seed):
     assert [i for i, _ in got] == list(range(0, n_frames, every))
     for i, px in got:
         assert np.array_equal(px, frames_px[i])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_matches_baseline_property(w, h, gray, seed):
+    """Progressive (SOF2) and baseline (SOF0) encodings of the same
+    array share quantized coefficients (identical all-ones tables), so
+    the decodes must be BIT-IDENTICAL — one equality that covers DC
+    first/refine, AC first with EOB runs, and AC refinement with
+    correction bits end-to-end."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px))
+    assert prog is not None and base is not None
+    assert prog.shape == base.shape
+    assert (prog == base).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    v=st.integers(0, 255),
+)
+def test_jpeg_progressive_flat_exact(w, h, v):
+    """Flat images decode bit-exactly through the progressive path too
+    (single DC coefficient split across first + refinement scans)."""
+    px = np.full((h, w), v, dtype=np.uint8)
+    got = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px))
+    assert got is not None and got.shape == (h, w, 1)
+    assert (got == v).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_jpeg_progressive_low_contrast_eob_runs(seed):
+    """Low-contrast images produce long EOB runs across blocks — the
+    refinement branch where correction bits ride the EOBn flush."""
+    rng = np.random.default_rng(seed)
+    px = (128 + rng.integers(-3, 4, size=(24, 24, 3))).astype(np.uint8)
+    base = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px))
+    assert (prog == base).all()

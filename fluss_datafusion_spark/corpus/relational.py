@@ -659,7 +659,8 @@ def q22_math_funcs(spark, sf_dir):
 
 
 @query(
-    "q23_json_funcs",
+    "q23_json_funcs",  # r5: rotated to extended for q56_table_changes (category keeps q41 + extended json variants)
+    extended=True,
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*) AS n,
@@ -1074,7 +1075,8 @@ def q39_regexp_funcs(spark, sf_dir):
 
 
 @query(
-    "q40_exists_subquery",
+    "q40_exists_subquery",  # r5: rotated to extended for st_gapfill_resample (subqueries keep q28 core)
+    extended=True,
     oracle="""
     SELECT s_suppkey, s_name,
            (SELECT round(avg(l_quantity), 2) FROM lineitem) AS avg_qty_all
@@ -1643,7 +1645,7 @@ def q54_zorder_key(spark, sf_dir):
 
 
 @query(
-    "q56_table_changes", extended=True,
+    "q56_table_changes",  # r5: driver-window row for the CDC differentiator
     oracle="""
     WITH s1 AS (
         SELECT o_orderkey, round(o_totalprice, 2) AS price

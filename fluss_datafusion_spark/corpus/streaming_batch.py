@@ -361,7 +361,7 @@ def st_stream_interval_join(spark, sf_dir):
 
 
 @query(
-    "st_gapfill_resample", extended=True,
+    "st_gapfill_resample",  # r5: driver-window row for the gapfill differentiator
     oracle="""
     WITH b AS (
         SELECT user_id % 25 AS g,

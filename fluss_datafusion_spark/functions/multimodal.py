@@ -1180,15 +1180,17 @@ def encode_jpeg_baseline(px) -> bytes:
 
 
 def decode_jpeg_pixels(payload):
-    """REAL pixel decode for JPEG: baseline sequential (SOF0) inline,
-    PROGRESSIVE (SOF2 — spectral selection + successive approximation,
-    r5) via _decode_jpeg_progressive.  8-bit, 4:4:4 or grayscale, no
-    restart intervals; marker walk, DHT/DQT tables, Huffman +
-    run-length entropy decode, dequantize, float64 IDCT, level shift,
-    YCbCr->RGB.  Returns (H, W, C) uint8 (C = 1 or 3) or None for
-    unsupported/invalid payloads (subsampled chroma, 12-bit,
-    arithmetic coding).  Pure stdlib+numpy — the published T.81
-    layout, no libjpeg."""
+    """REAL pixel decode for JPEG: baseline sequential (SOF0) inline —
+    including SUBSAMPLED chroma (4:2:0 / 4:2:2 MCU interleaving with
+    replication upsampling, r5) — and PROGRESSIVE (SOF2 — spectral
+    selection + successive approximation, r5) via
+    _decode_jpeg_progressive.  8-bit, sampling factors 1-2, no restart
+    intervals; marker walk, DHT/DQT tables, Huffman + run-length
+    entropy decode, dequantize, float64 IDCT, level shift, YCbCr->RGB.
+    Returns (H, W, C) uint8 (C = 1 or 3) or None for
+    unsupported/invalid payloads (12-bit, arithmetic coding,
+    progressive+subsampled combined).  Pure stdlib+numpy — the
+    published T.81 layout, no libjpeg."""
     import numpy as np
 
     if not payload:
@@ -1236,9 +1238,10 @@ def decode_jpeg_pixels(payload):
                 return None
             for k in range(nc):
                 cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
-                if samp != 0x11:
-                    return None  # 4:4:4 / grayscale only
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # sampling factors 1-2 (4:4:4/4:2:2/4:2:0)
+                comps.append((cid, tq, hi, vi))
         elif marker == 0xC2:  # progressive: dedicated multi-scan path
             return _decode_jpeg_progressive(b)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -1263,40 +1266,61 @@ def decode_jpeg_pixels(payload):
 
     C = _dct_matrix()
     reader = _BitReader(scan)
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bwid * 8)) for _ in comps]
+    # MCU geometry (T.81 A.2.3): interleaved scans emit vi*hi blocks
+    # per component per MCU; 4:4:4 degenerates to one block each.
+    hmax = max(hi for _cid, _tq, hi, _vi in comps)
+    vmax = max(vi for _cid, _tq, _hi, vi in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcy * vi * 8, mcx * hi * 8))
+        for _cid, _tq, hi, vi in comps
+    ]
     pred = [0] * len(comps)
-    qt_of = {cid: tq for cid, tq in comps}
+    meta = {cid: (ci, tq, hi, vi) for ci, (cid, tq, hi, vi) in enumerate(comps)}
     try:
-        for by in range(bh):
-            for bx in range(bwid):
-                for ci, (cid, dct, act) in enumerate(scan_comps):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = _huff_read(reader, dc_tables[dct])
-                    diff = _extend(reader.bits(s), s) if s else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        sym = _huff_read(reader, ac_tables[act])
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        size = sym & 0xF
-                        if k > 63:
-                            return None
-                        zz[k] = _extend(reader.bits(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_JPEG_ZIGZAG] = zz * qt[qt_of[cid]]
-                    block = C.T @ coef.reshape(8, 8) @ C
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        for my in range(mcy):
+            for mx in range(mcx):
+                for cid, dct, act in scan_comps:
+                    ci, tq, hi, vi = meta[cid]
+                    for bv in range(vi):
+                        for bhh in range(hi):
+                            zz = np.zeros(64, dtype=np.int64)
+                            s = _huff_read(reader, dc_tables[dct])
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                sym = _huff_read(reader, ac_tables[act])
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                size = sym & 0xF
+                                if k > 63:
+                                    return None
+                                zz[k] = _extend(reader.bits(size), size)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_JPEG_ZIGZAG] = zz * qt[tq]
+                            block = C.T @ coef.reshape(8, 8) @ C
+                            py = (my * vi + bv) * 8
+                            pxx = (mx * hi + bhh) * 8
+                            planes[ci][py : py + 8, pxx : pxx + 8] = block
     except (EOFError, KeyError, ValueError):
         return None
-    planes = [p[:h, :w] + 128.0 for p in planes]
+    # upsample subsampled planes by pixel replication, then crop
+    up = []
+    for plane, (_cid, _tq, hi, vi) in zip(planes, comps):
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        up.append(plane[:h, :w] + 128.0)
+    planes = up
     if len(planes) == 1:
         out = np.round(planes[0]).clip(0, 255).astype(np.uint8)
         return out.reshape(h, w, 1)
@@ -1309,6 +1333,125 @@ def decode_jpeg_pixels(payload):
         axis=-1,
     )
     return out
+
+
+def encode_jpeg_subsampled(px, factors=((2, 2), (1, 1), (1, 1))) -> bytes:
+    """Encode an (H, W, 3) RGB uint8 array as baseline JPEG with
+    SUBSAMPLED chroma — default 4:2:0 (Y at 2x2, Cb/Cr at 1x1), pass
+    ((2, 1), (1, 1), (1, 1)) for 4:2:2.  Chroma planes are box-averaged
+    down (the decoder upsamples by replication, so 2x2-uniform chroma —
+    e.g. any R=G=B image, where chroma is the constant 128 — round-trips
+    exactly like 4:4:4).  MCU-interleaved entropy coding per T.81
+    A.2.3, all-ones quantization, same DHT tables as the other
+    encoders."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("subsampled encoding needs an (H, W, 3) array")
+    h, w = px.shape[:2]
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    full = [np.round(c).clip(0, 255) for c in (y, cb, cr)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for (hi, vi), plane in zip(factors, full):
+        fx, fy = hmax // hi, vmax // vi
+        if fx > 1 or fy > 1:
+            # box-average downsample (edge-replicate to even dims first)
+            ph = (plane.shape[0] + fy - 1) // fy * fy
+            pw = (plane.shape[1] + fx - 1) // fx * fx
+            padded = np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+            plane = padded.reshape(ph // fy, fy, pw // fx, fx).mean(
+                axis=(1, 3)
+            )
+            plane = np.round(plane)
+        # pad to the MCU grid with edge replication
+        th, tw = mcy * vi * 8, mcx * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        planes.append(plane - 128.0)
+
+    C = _dct_matrix()
+    dc_tab = _huff_encode_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
+    ac_tab = _huff_encode_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcy):
+        for mx in range(mcx):
+            for ci, ((hi, vi), plane) in enumerate(zip(factors, planes)):
+                for bv in range(vi):
+                    for bhh in range(hi):
+                        py = (my * vi + bv) * 8
+                        pxx = (mx * hi + bhh) * 8
+                        block = plane[py : py + 8, pxx : pxx + 8]
+                        coef = np.round(C @ block @ C.T).astype(np.int64)
+                        zz = coef.flat[_JPEG_ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, bits = _magnitude_bits(diff)
+                        code, length = dc_tab[s]
+                        bw.put(code, length)
+                        if s:
+                            bw.put(bits, s)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_tab[0xF0]
+                                bw.put(code, length)
+                                run -= 16
+                            s, bits = _magnitude_bits(v)
+                            code, length = ac_tab[(run << 4) | s]
+                            bw.put(code, length)
+                            bw.put(bits, s)
+                            run = 0
+                        if run:
+                            code, length = ac_tab[0x00]
+                            bw.put(code, length)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hi, vi) in zip((1, 2, 3), factors):
+        sof += bytes([cid, (hi << 4) | vi, 0])
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    )
+    sos = bytes([3])
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_block_coefficients(px):

@@ -323,3 +323,45 @@ def test_jpeg_progressive_low_contrast_eob_runs(seed):
     base = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
     prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px))
     assert (prog == base).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    horiz_only=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_subsampled_gray_content_matches_baseline(w, h, horiz_only, seed):
+    """R=G=B content has constant chroma (128), so 4:2:0/4:2:2
+    box-average + replication is lossless on the chroma planes and the
+    subsampled decode must equal the baseline decode BIT-IDENTICALLY —
+    covers the MCU-interleaved entropy layout and upsampling on
+    arbitrary (incl. odd) dimensions."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    px = np.stack([g] * 3, axis=-1)
+    factors = (
+        ((2, 1), (1, 1), (1, 1)) if horiz_only else ((2, 2), (1, 1), (1, 1))
+    )
+    base = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    sub = mm.decode_jpeg_pixels(mm.encode_jpeg_subsampled(px, factors))
+    assert sub is not None and (sub == base).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    r=st.integers(0, 255),
+    g=st.integers(0, 255),
+    b=st.integers(0, 255),
+)
+def test_jpeg_subsampled_flat_color_bounded(w, h, r, g, b):
+    """Flat color: chroma is constant so subsampling is exact; total
+    error is just the YCbCr integer round-trip — bound 3, any dims."""
+    px = np.zeros((h, w, 3), np.uint8)
+    px[:] = (r, g, b)
+    sub = mm.decode_jpeg_pixels(mm.encode_jpeg_subsampled(px))
+    assert sub is not None and sub.shape == (h, w, 3)
+    assert np.abs(sub.astype(int) - px.astype(int)).max() <= 3

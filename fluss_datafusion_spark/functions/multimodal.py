@@ -987,6 +987,12 @@ class _BitWriter:
             self.nbits = 0
         return bytes(self.out)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers sit OUTSIDE the entropy
+        bit stream, unstuffed — T.81 B.2.1.2)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 class _BitReader:
     """MSB-first reader over entropy-coded data, un-stuffing FF00."""
@@ -1018,6 +1024,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: discard pad bits to the byte
+        boundary, then the two marker bytes.  Raises if absent."""
+        self.nbits = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
 
 def _huff_decode_table(counts, symbols):
@@ -1086,12 +1104,15 @@ def _huff_encode_table(counts, symbols):
     return table
 
 
-def encode_jpeg_baseline(px) -> bytes:
+def encode_jpeg_baseline(px, restart_interval: int = 0) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     baseline sequential JPEG (SOF0), 4:4:4, all-ones quantization tables
     (maximum fidelity: the only loss is FDCT/IDCT and color-transform
     rounding).  Layout per T.81: SOI, DQT, SOF0, DHT x2, SOS, entropy
-    data with byte stuffing, EOI."""
+    data with byte stuffing, EOI.  ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (cycling n = 0..7) every that many MCUs,
+    resetting the DC predictors — the resynchronization structure real
+    encoders emit for error resilience (r5)."""
     import numpy as np
 
     px = np.asarray(px, dtype=np.uint8)
@@ -1116,8 +1137,17 @@ def encode_jpeg_baseline(px) -> bytes:
     bw = _BitWriter()
     pred = [0] * len(comps)
     bh, bwid = (h + 7) // 8, (w + 7) // 8
+    mcu_index = 0
     for by in range(bh):
         for bx in range(bwid):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                bw.restart_marker(mcu_index // restart_interval - 1)
+                pred = [0] * len(comps)
+            mcu_index += 1
             for ci, comp in enumerate(comps):
                 # edge-replicated 8x8 block
                 ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
@@ -1157,6 +1187,8 @@ def encode_jpeg_baseline(px) -> bytes:
     ncomp = len(comps)
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, all 1s
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
         sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
@@ -1206,6 +1238,7 @@ def decode_jpeg_pixels(payload):
     comps = []  # (id, qt_id)
     scan = None
     scan_comps = []
+    dri = 0
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
@@ -1247,10 +1280,8 @@ def decode_jpeg_pixels(payload):
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # other non-baseline frame types
-        elif marker == 0xDD:  # DRI
+        elif marker == 0xDD:  # DRI: restart every `dri` MCUs (r5)
             (dri,) = struct.unpack(">H", body[:2])
-            if dri != 0:
-                return None  # restart intervals unsupported
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for k in range(ns):
@@ -1278,9 +1309,15 @@ def decode_jpeg_pixels(payload):
     ]
     pred = [0] * len(comps)
     meta = {cid: (ci, tq, hi, vi) for ci, (cid, tq, hi, vi) in enumerate(comps)}
+    mcu_index = 0
     try:
         for my in range(mcy):
             for mx in range(mcx):
+                if dri and mcu_index and mcu_index % dri == 0:
+                    # byte-align, swallow RSTn, reset every DC predictor
+                    reader.restart()
+                    pred = [0] * len(comps)
+                mcu_index += 1
                 for cid, dct, act in scan_comps:
                     ci, tq, hi, vi = meta[cid]
                     for bv in range(vi):

@@ -365,3 +365,25 @@ def test_jpeg_subsampled_flat_color_bounded(w, h, r, g, b):
     sub = mm.decode_jpeg_pixels(mm.encode_jpeg_subsampled(px))
     assert sub is not None and sub.shape == (h, w, 3)
     assert np.abs(sub.astype(int) - px.astype(int)).max() <= 3
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    gray=st.booleans(),
+    dri=st.integers(1, 9),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_restart_interval_roundtrip(w, h, gray, dri, seed):
+    """DRI restart markers (RSTn every dri MCUs, byte-aligned, DC
+    predictors reset) must not change a single pixel vs the
+    marker-free encoding of the same array."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    plain = mm.decode_jpeg_pixels(mm.encode_jpeg_baseline(px))
+    with_rst = mm.decode_jpeg_pixels(
+        mm.encode_jpeg_baseline(px, restart_interval=dri)
+    )
+    assert with_rst is not None and (with_rst == plain).all()

@@ -232,6 +232,9 @@ class EngineSession:
 
         - ``t$changelog`` — the +I/-U/+U/-D change stream
           (``catalog.read_changelog``);
+        - ``t$changes(from[, to])`` — the BOUNDED incremental slice
+          (``catalog.read_changes`` — Delta's ``table_changes`` table
+          function as a system-table form, r5);
         - ``t$history`` — the raw stamped log (__seq__/__sub__/__del__
           visible): every write ever made, pre-merge observability;
         - ``t$v<N>`` — time travel: the table as of statement sequence N
@@ -242,20 +245,31 @@ class EngineSession:
         read-to-latest semantics as every other scan here."""
         import re
 
-        pattern = re.compile(r"`?([\w.]+)\$(changelog|history|v(\d+))`?")
+        pattern = re.compile(
+            r"`?([\w.]+)\$(changelog|history"
+            r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+))`?"
+        )
 
         def bind(match):
-            table, kind, version = match.group(1), match.group(2), match.group(3)
+            table, kind = match.group(1), match.group(2)
             if not self.catalog.has_table(table):
                 return match.group(0)
-            view = f"__{kind}__" + table.replace(".", "__")
+            tbl = table.replace(".", "__")
             if kind == "changelog":
+                view = f"__changelog__{tbl}"
                 df = self.catalog.read_changelog(table)
             elif kind == "history":
+                view = f"__history__{tbl}"
                 spec = self.catalog.get_table(table)
                 df = self.catalog._log_df(spec)
+            elif kind.startswith("changes("):
+                frm = int(match.group(3))
+                to = int(match.group(4)) if match.group(4) else None
+                view = f"__changes_{frm}_{to if to is not None else 'x'}__{tbl}"
+                df = self.catalog.read_changes(table, frm, to)
             else:
-                df = self.catalog.read(table, as_of_seq=int(version))
+                view = f"__v{match.group(5)}__{tbl}"
+                df = self.catalog.read(table, as_of_seq=int(match.group(5)))
             df.createOrReplaceTempView(view)
             return view
 

@@ -107,3 +107,25 @@ def test_log_table_refused(spark, tmp_path):
     e.sql("CREATE TABLE logs (x BIGINT)")
     with pytest.raises(ValueError, match="primary-key"):
         e.catalog.read_changes("logs", 0)
+
+
+def test_changes_system_table_sql(engine):
+    e = engine
+    e.sql("INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+    a1 = e.catalog.current_seq("kv")
+    e.sql("INSERT INTO kv VALUES (2, 'b2'), (3, 'c')")
+    a2 = e.catalog.current_seq("kv")
+    e.sql("DELETE FROM kv WHERE k = 3")
+
+    rows = sorted(
+        (r.op, r.k, r.v)
+        for r in e.sql(
+            f"SELECT op, k, v FROM kv$changes({a1}, {a2})"
+        ).collect()
+    )
+    assert rows == [("+I", 3, "c"), ("+U", 2, "b2"), ("-U", 2, "b")]
+    # open-ended form + projection/aggregation over the bound view
+    n = e.sql(
+        f"SELECT count(*) AS n FROM kv$changes({a2}) WHERE op = '-D'"
+    ).collect()[0]["n"]
+    assert n == 1

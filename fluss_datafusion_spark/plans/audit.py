@@ -27,7 +27,14 @@ def plan_facts(df: DataFrame) -> Dict:
     text = plan_text(df)
     return {
         "pushed_filters": sorted(
-            {m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", text) if m}
+            # tolerate Spark's scan-metadata truncation (long Location
+            # strings push the closing bracket past
+            # spark.sql.maxMetadataStringLength and it never appears)
+            {
+                m.rstrip(". ")
+                for m in re.findall(r"PushedFilters: \[([^\n\]]*)\]?", text)
+                if m.strip(". ")
+            }
         ),
         "read_schemas": sorted(set(re.findall(r"ReadSchema: struct<([^>]*)>", text))),
         "joins": sorted(

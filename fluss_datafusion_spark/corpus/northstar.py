@@ -2460,3 +2460,64 @@ def ns_sim_hard_negatives(spark, sf_dir):
         "vec_id", "embedding", "vec_id", "embedding",
         k=10, band=(0.3, 0.8),
     )
+
+
+# --------------------------------------------------------------------------
+# full-text retrieval (BM25 over an inverted index)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_retrieval_bm25", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+          WHERE doc_id % 101 = 0),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ns_retrieval_bm25(spark, sf_dir):
+    """BM25 top-5 retrieval (Lucene-variant idf, k1=1.2 b=0.75) with a
+    query batch of every 101st document's text against the full corpus.
+    Build = two map-side-combined aggs; search = broadcast query terms
+    into a term-key hash join + one (query, doc) sum + per-query top-k
+    window.  Deterministic: score rounded to 4, rank ties broken by
+    doc_id."""
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return retrieval.bm25_search(
+        docs, "doc_id", "text", queries, "qid", "qtext", k=5
+    )

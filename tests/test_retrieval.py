@@ -1,0 +1,123 @@
+"""BM25 retrieval: scores vs an independent pure-Python reference,
+deterministic ranking, stop-term pruning, and plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators import retrieval
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox"),
+    (3, "lorem ipsum dolor sit amet"),
+    (4, "quick quick quick fox"),
+    (5, "sphinx of black quartz judge my vow"),
+    (6, "   "),  # all-whitespace: must not be indexed or skew avgdl
+]
+
+
+def _py_bm25(docs, query_terms, k1=1.2, b=0.75):
+    """Independent reference implementation (dict-based, no Spark)."""
+    toks = {i: t.lower().split() for i, t in docs if t.split()}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n = len(toks)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for ts in toks.values():
+        for term in set(ts):
+            df[term] = df.get(term, 0) + 1
+    scores = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for term in set(query_terms):
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+        if s > 0:
+            scores[i] = round(s, 4)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_bm25_matches_reference(spark, docs_df):
+    queries = spark.createDataFrame([(100, "quick fox")], ["qid", "qtext"])
+    out = retrieval.bm25_search(
+        docs_df, "doc_id", "text", queries, "qid", "qtext", k=10
+    )
+    got = {r.doc_id: r.score for r in out.collect()}
+    assert got == _py_bm25(DOCS, ["quick", "fox"])
+
+
+def test_bm25_rank_deterministic_and_k_cutoff(spark, docs_df):
+    queries = spark.createDataFrame([(1, "the quick brown fox")], ["qid", "qtext"])
+    out = retrieval.bm25_search(
+        docs_df, "doc_id", "text", queries, "qid", "qtext", k=2
+    ).collect()
+    assert len(out) == 2
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+    ref = _py_bm25(DOCS, ["the", "quick", "brown", "fox"])
+    # rank 1 = max score; doc_id breaks exact ties
+    best = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    got = sorted(out, key=lambda r: r.rank)
+    assert [(r.doc_id, r.score) for r in got] == [(d, s) for d, s in best]
+
+
+def test_bm25_query_tf_is_ignored(spark, docs_df):
+    """Lucene semantics: repeated query terms score once (distinct)."""
+    q1 = spark.createDataFrame([(1, "fox")], ["qid", "qtext"])
+    q2 = spark.createDataFrame([(1, "fox fox fox")], ["qid", "qtext"])
+    r1 = sorted((r.doc_id, r.score) for r in retrieval.bm25_search(
+        docs_df, "doc_id", "text", q1, "qid", "qtext").collect())
+    r2 = sorted((r.doc_id, r.score) for r in retrieval.bm25_search(
+        docs_df, "doc_id", "text", q2, "qid", "qtext").collect())
+    assert r1 == r2
+
+
+def test_bm25_max_df_prunes_stop_terms(spark, docs_df):
+    """'quick' has df=3; max_df=2 removes it from postings, so a
+    quick-only query matches nothing, while idf of surviving terms is
+    unchanged (df computed before pruning)."""
+    postings, dstats, cstats = retrieval.build_bm25_index(
+        docs_df, "doc_id", "text", max_df=2
+    )
+    queries = spark.createDataFrame(
+        [(1, "quick"), (2, "lazy")], ["qid", "qtext"]
+    )
+    out = retrieval.bm25_topk(
+        postings, dstats, cstats, queries, "qid", "qtext"
+    ).collect()
+    assert {r.query_id for r in out} == {2}
+    full = _py_bm25(DOCS, ["lazy"])
+    assert {r.doc_id: r.score for r in out} == full
+
+
+def test_bm25_empty_doc_not_indexed(spark, docs_df):
+    postings, dstats, cstats = retrieval.build_bm25_index(
+        docs_df, "doc_id", "text"
+    )
+    assert dstats.filter(F.col("__doc__") == 6).count() == 0
+    n = cstats.collect()[0]["__N__"]
+    assert n == 5
+
+
+def test_bm25_plan_no_nested_loop(spark, docs_df):
+    """The term join must be a hash join (broadcast query side), never a
+    BroadcastNestedLoopJoin / cartesian over the corpus."""
+    queries = spark.createDataFrame([(1, "quick fox")], ["qid", "qtext"])
+    out = retrieval.bm25_search(
+        docs_df, "doc_id", "text", queries, "qid", "qtext"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the single-row N/avgdl
+    # broadcast; the term and doc joins must be hash joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

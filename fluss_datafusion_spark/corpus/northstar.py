@@ -2521,3 +2521,34 @@ def ns_retrieval_bm25(spark, sf_dir):
     return retrieval.bm25_search(
         docs, "doc_id", "text", queries, "qid", "qtext", k=5
     )
+
+
+@query(
+    "ns_curation_weighted_sample", extended=True,
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(1.0 + (doc_id % 5) AS DOUBLE) AS wgt,
+               -ln((CAST(concat('0x', substr(md5('wsample-0|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                   / 4503599627370496.0)
+                   / CAST(1.0 + (doc_id % 5) AS DOUBLE) AS e
+        FROM documents
+    )
+    SELECT doc_id, wgt FROM w ORDER BY e, doc_id LIMIT 40
+    """,
+)
+def ns_curation_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    exactly 40 docs drawn proportionally to weight 1+(doc_id%5) under a
+    deterministic md5-seeded exponential key — the mixture-weighted
+    corpus draw df.sample() cannot express.  DuckDB replays the exact
+    variate (52-bit uniform is exactly representable) and must select
+    the identical set."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(1.0) + (F.col("doc_id") % 5).cast("double")).alias("wgt"),
+    )
+    return curation.weighted_sample_n(docs, "doc_id", "wgt", 40)

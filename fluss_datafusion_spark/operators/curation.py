@@ -1003,3 +1003,54 @@ def sample_exact_n(
         df.withColumn("__key__", key), "__key__", id_col
     )
     return ranked.filter(F.col(rank_col) <= n).drop("__key__", rank_col)
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "wsample-0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly ``n`` rows
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws an
+    exponential variate e_i = -ln(u_i) / w_i from a deterministic
+    md5-seeded uniform u_i, and the n smallest e_i win — equivalent to
+    sequential draws proportional to weight, without replacement.  The
+    standard primitive for mixture-weighted corpus draws (sample domains
+    proportionally to quality score / target mixture weight) that
+    ``df.sample()`` cannot express at all.
+
+    Deterministic across runs, engines, and cluster sizes: u_i is built
+    from the first 13 hex chars of md5(seed|id) — 52 bits, exactly
+    representable in a double — so the same seed always selects the
+    same rows and a different seed draws an independent sample.
+
+    Scale shape: the uniform, the variate, and the weight guard are all
+    JVM expressions; selection is ``orderBy(e).limit(n)`` which Spark
+    plans as TakeOrderedAndProject — per-partition top-n heaps merged
+    once, NO single-partition global sort (the same physical shape as
+    any top-k).  n is a driver-merged result-set size, as with LIMIT.
+
+    Rows with weight <= 0 or NULL never qualify (they'd draw e = inf).
+    """
+    if n < 0:
+        raise ValueError(f"n must be non-negative, got {n}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                1, 13,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    e = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__e__", e)
+        .orderBy(F.col("__e__").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__e__")
+    )

@@ -549,3 +549,59 @@ def test_scrub_repeated_substrings_short_and_full_dup(spark):
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 8
     assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 8
     assert out[3]["clean_text"] == "short doc" and out[3]["n_removed"] == 0
+
+
+def _py_weighted_sample(rows, n, seed="wsample-0"):
+    """Independent A-ES reference: hashlib md5, same uniform construction."""
+    import hashlib
+    import math
+
+    es = []
+    for rid, w in rows:
+        if w is None or w <= 0:
+            continue
+        h = hashlib.md5(f"{seed}|{rid}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / float(1 << 52)
+        es.append((-math.log(u) / float(w), rid))
+    return {rid for _, rid in sorted(es)[:n]}
+
+
+def test_weighted_sample_n_matches_reference(spark):
+    rows = [(i, 1.0 + (i % 5)) for i in range(200)] + [(900, None), (901, 0.0), (902, -2.0)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r.id for r in curation.weighted_sample_n(df, "id", "w", 30).collect()}
+    assert got == _py_weighted_sample(rows, 30)
+    # excluded rows can never appear under any n
+    all_ids = {r.id for r in curation.weighted_sample_n(df, "id", "w", 500).collect()}
+    assert all_ids.isdisjoint({900, 901, 902}) and len(all_ids) == 200
+
+
+def test_weighted_sample_n_deterministic_and_seeded(spark):
+    rows = [(i, float(1 + i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = {r.id for r in curation.weighted_sample_n(df, "id", "w", 20, seed="s1").collect()}
+    b = {r.id for r in curation.weighted_sample_n(df, "id", "w", 20, seed="s1").collect()}
+    c = {r.id for r in curation.weighted_sample_n(df, "id", "w", 20, seed="s2").collect()}
+    assert a == b and len(a) == 20
+    assert a != c  # independent draw (md5 collision of full sets ~ impossible)
+
+
+def test_weighted_sample_n_respects_weights(spark):
+    # 20 heavy rows (w=50) vs 180 light rows (w=1): heavy rows carry
+    # ~85% of total weight, so across 5 seeds they must dominate draws.
+    rows = [(i, 50.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    heavy = 0
+    for s in range(5):
+        got = [r.id for r in
+               curation.weighted_sample_n(df, "id", "w", 20, seed=f"s{s}").collect()]
+        heavy += sum(1 for i in got if i < 20)
+    assert heavy >= 60  # E[heavy] ≈ 5 * 20 * 0.85 ≈ 85; 60 is a loose floor
+
+
+def test_weighted_sample_n_plan_is_topk_not_global_sort(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)], ["id", "w"])
+    out = curation.weighted_sample_n(df, "id", "w", 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -2552,3 +2552,66 @@ def ns_curation_weighted_sample(spark, sf_dir):
         (F.lit(1.0) + (F.col("doc_id") % 5).cast("double")).alias("wgt"),
     )
     return curation.weighted_sample_n(docs, "doc_id", "wgt", 40)
+
+
+# --------------------------------------------------------------------------
+# link-graph centrality (web-corpus quality weighting)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ns_graph_pagerank", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    outd AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS r FROM nodes CROSS JOIN nn),
+    d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+           WHERE id NOT IN (SELECT src FROM outd)),
+    c0 AS (SELECT dst AS id, sum(r / deg) AS c
+           FROM e JOIN outd USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+    r1 AS (SELECT nodes.id, 0.15 / n + 0.85 * (coalesce(c, 0) + dm / n) AS r
+           FROM nodes CROSS JOIN nn CROSS JOIN d0
+           LEFT JOIN c0 ON nodes.id = c0.id),
+    d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+           WHERE id NOT IN (SELECT src FROM outd)),
+    c1 AS (SELECT dst AS id, sum(r / deg) AS c
+           FROM e JOIN outd USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+    r2 AS (SELECT nodes.id, 0.15 / n + 0.85 * (coalesce(c, 0) + dm / n) AS r
+           FROM nodes CROSS JOIN nn CROSS JOIN d1
+           LEFT JOIN c1 ON nodes.id = c1.id),
+    d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+           WHERE id NOT IN (SELECT src FROM outd)),
+    c2 AS (SELECT dst AS id, sum(r / deg) AS c
+           FROM e JOIN outd USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+    r3 AS (SELECT nodes.id, 0.15 / n + 0.85 * (coalesce(c, 0) + dm / n) AS r
+           FROM nodes CROSS JOIN nn CROSS JOIN d2
+           LEFT JOIN c2 ON nodes.id = c2.id)
+    SELECT id, round(r * n, 5) AS rank_norm FROM r3 CROSS JOIN nn
+    """,
+)
+def ns_graph_pagerank(spark, sf_dir):
+    """PageRank (3 power iterations, d=0.85) over the real
+    customer->supplier purchase graph (orders x lineitem).  Suppliers
+    have no out-edges, so every iteration exercises the
+    dangling-mass redistribution that keeps sum(rank) = 1.  DuckDB
+    unrolls the identical iterations; rank_norm = rank * N rounded
+    to 5 absorbs cross-engine float-sum order."""
+    from fluss_datafusion_spark.operators import graph
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(e, "src", "dst", damping=0.85, n_iters=3)

@@ -1,0 +1,66 @@
+"""PageRank: exact math vs a pure-Python power iteration, mass
+conservation, dangling redistribution, and degree stats."""
+
+import pytest
+
+from fluss_datafusion_spark.operators import graph
+
+# a small graph with a hub (1 -> everyone), a dangling node (4), a
+# self-loop (5 -> 5) and a 2-cycle (2 <-> 3)
+EDGES = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (3, 2), (5, 5)]
+
+
+def _py_pagerank(edges, d=0.85, iters=3):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in outdeg)
+        c = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            c[t] += r[s] / outdeg[s]
+        r = {v: (1 - d) / n + d * (c[v] + dm / n) for v in nodes}
+    return {v: round(r[v] * n, 5) for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_pagerank_matches_reference(spark, edges_df):
+    got = {r.id: r.rank_norm for r in
+           graph.pagerank(edges_df, "src", "dst").collect()}
+    assert got == _py_pagerank(EDGES)
+
+
+def test_pagerank_mass_conserved(spark, edges_df):
+    # sum of raw ranks stays 1 => sum of rank_norm stays N
+    out = graph.pagerank(edges_df, "src", "dst", n_iters=4).collect()
+    assert abs(sum(r.rank_norm for r in out) - len(out)) < 1e-3
+
+
+def test_pagerank_hub_target_beats_dangling_source(spark, edges_df):
+    got = {r.id: r.rank_norm for r in
+           graph.pagerank(edges_df, "src", "dst").collect()}
+    # 2 and 3 feed each other and get hub mass; 4 only receives 1/4 of
+    # the hub's rank and forwards nothing
+    assert got[2] > got[4] and got[3] > got[4]
+
+
+def test_pagerank_uniform_cycle_stays_uniform(spark):
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = {r.id: r.rank_norm for r in graph.pagerank(cyc, "src", "dst").collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_degrees(spark, edges_df):
+    got = {r.id: (r.out_deg, r.in_deg) for r in
+           graph.degrees(edges_df, "src", "dst").collect()}
+    assert got[1] == (4, 0)
+    assert got[4] == (0, 1)   # dangling
+    assert got[5] == (1, 2)   # self-loop counts both ways
+    assert got[2] == (1, 2)

@@ -416,3 +416,55 @@ def st_gapfill_resample(spark, sf_dir):
         F.round("avg_v_locf", 4).alias("avg_v_locf"),
         F.round("avg_v_zero", 4).alias("avg_v_zero"),
     )
+
+
+@query(
+    "st_gapfill_monthly", extended=True,
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS bucket_ts,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders WHERE o_totalprice > 400000 GROUP BY 1, 2
+    ), s AS (
+        SELECT pri, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY pri
+    ), spine AS (
+        SELECT pri, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS bucket_ts
+        FROM s
+    )
+    SELECT spine.pri AS pri, spine.bucket_ts AS bucket_ts,
+           CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS n_rows,
+           b.n_rows IS NULL AS is_gap,
+           round(COALESCE(b.sum_price,
+               (SELECT b2.sum_price FROM b b2
+                WHERE b2.pri = spine.pri AND b2.bucket_ts <= spine.bucket_ts
+                ORDER BY b2.bucket_ts DESC LIMIT 1)), 2) AS sum_price_locf
+    FROM spine LEFT JOIN b USING (pri, bucket_ts)
+    """,
+)
+def st_gapfill_monthly(spark, sf_dir):
+    """Calendar-month gap filling (r5 — gapfill_months, the
+    time_bucket_gapfill('1 month') analog): big-ticket orders (>400k)
+    bucketed monthly per priority class, with the EMPTY months
+    materialized and the month's revenue carried forward through them
+    (sum-of-cents rounds exactly cross-engine; an avg can land on a
+    round-half boundary).
+    Calendar months are variable-width, so no fixed every_seconds grid
+    can produce this spine; DuckDB rebuilds it with
+    generate_series(lo, hi, INTERVAL 1 MONTH) + a correlated locf.
+    Same scale shape as st_gapfill_resample (nothing single-partition,
+    guarded spine explode)."""
+    from fluss_datafusion_spark.operators.timeseries import gapfill_months
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    out = gapfill_months(
+        o.withColumn("ts", F.col("o_orderdate").cast("timestamp")),
+        "ts", 1, ["o_orderpriority"],
+        {"sum_price_locf": F.sum("o_totalprice")},
+        fills={"sum_price_locf": "locf"},
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("pri"), "bucket_ts", "n_rows",
+        "is_gap", F.round("sum_price_locf", 2).alias("sum_price_locf"),
+    )

@@ -112,9 +112,22 @@ def gapfill(
         ).alias("__bucket__"),
     )
 
-    out = spine.join(observed, group_cols + ["__bucket__"], "left").withColumn(
-        "n_rows", F.coalesce(F.col("n_rows"), F.lit(0))
-    )
+    out = spine.join(observed, group_cols + ["__bucket__"], "left")
+    out = _apply_fills(out, group_cols, fills, x_axis=F.unix_timestamp("__bucket__"))
+    return out.withColumnRenamed("__bucket__", "bucket_ts")
+
+
+def _apply_fills(
+    out: DataFrame,
+    group_cols: Sequence[str],
+    fills: Dict[str, str],
+    x_axis: Column,
+) -> DataFrame:
+    """Shared fill machinery over a (group, __bucket__)-joined spine.
+    ``x_axis`` is the numeric position of a bucket on its grid (epoch
+    seconds for fixed-width grids, month index for calendar grids) so
+    linear interpolation weights by grid distance, not wall seconds."""
+    out = out.withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
     out = out.withColumn("is_gap", F.col("n_rows") == 0)
 
     w = Window.partitionBy(*group_cols).orderBy("__bucket__")
@@ -130,7 +143,7 @@ def gapfill(
             )
         elif how == "linear":
             wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            b = F.unix_timestamp("__bucket__")
+            b = x_axis
             pv = F.last(name, ignorenulls=True).over(w)
             pb = F.last(
                 F.when(F.col(name).isNotNull(), b), ignorenulls=True
@@ -149,4 +162,90 @@ def gapfill(
                     nv,  # leading edge: carry backward
                 ),
             )
+    return out
+
+
+def month_bucket(ts_col: Column, every_months: int = 1) -> Column:
+    """Floor a timestamp/date to its ``every_months`` calendar grid line
+    (grid anchored at month 0 = January year 0, so 'every 3 months'
+    means calendar quarters).  Calendar months are variable-width —
+    no fixed ``every_seconds`` can express them."""
+    m = F.year(ts_col) * 12 + F.month(ts_col) - 1
+    mb = m - (m % F.lit(int(every_months)))
+    return F.make_date(
+        (mb / 12).cast("int"), (mb % 12 + 1).cast("int"), F.lit(1)
+    ).cast("timestamp")
+
+
+def gapfill_months(
+    df: DataFrame,
+    ts_col: str,
+    every_months: int,
+    group_cols: Sequence[str],
+    value_aggs: Dict[str, Column],
+    fills: Optional[Dict[str, str]] = None,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Calendar-interval twin of :func:`gapfill`: buckets are
+    ``every_months`` calendar months (quarters = 3, years = 12) — the
+    grid TimescaleDB spells ``time_bucket_gapfill('1 month', ...)``.
+
+    Same contract as gapfill: one row per group per grid bucket between
+    the group's first and last observed bucket, ``n_rows``/``is_gap``
+    flags, per-column null/zero/locf/linear fills.  Linear
+    interpolation weights by grid distance (month index), not wall
+    seconds — a Feb→Apr hole interpolates March at exactly 1/2 even
+    though the months differ in length.
+
+    Scale shape identical to gapfill: bucket agg, tiny per-group span
+    agg, a guarded ``sequence(lo, hi, INTERVAL n MONTH)`` explode, a
+    co-partitioned left join, one window per group for fills.
+    """
+    fills = dict(fills or {})
+    bad = {k: v for k, v in fills.items() if v not in _FILLS}
+    if bad:
+        raise ValueError(f"unknown fill strategies {bad}; use {_FILLS}")
+    unknown = set(fills) - set(value_aggs)
+    if unknown:
+        raise ValueError(f"fills for unknown value columns {sorted(unknown)}")
+    group_cols = list(group_cols)
+    step = int(every_months)
+
+    observed = (
+        df.withColumn("__bucket__", month_bucket(F.col(ts_col), step))
+        .groupBy(*group_cols, "__bucket__")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[c.alias(name) for name, c in value_aggs.items()],
+        )
+    )
+    span = observed.groupBy(*group_cols).agg(
+        F.min("__bucket__").alias("__lo__"),
+        F.max("__bucket__").alias("__hi__"),
+    )
+    midx = lambda c: F.year(c) * 12 + F.month(c) - 1  # noqa: E731
+    n_buckets = (midx(F.col("__hi__")) - midx(F.col("__lo__"))) / F.lit(step) + 1
+    hi_guarded = F.when(
+        n_buckets <= F.lit(int(max_buckets)), F.col("__hi__")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "gapfill_months: a group spans %s buckets (> max_buckets=%s); "
+                "widen every_months or filter outlier timestamps",
+                n_buckets.cast("long").cast("string"),
+                F.lit(int(max_buckets)).cast("string"),
+            )
+        ).cast("timestamp")
+    )
+    spine = span.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo__"), hi_guarded,
+                F.expr(f"INTERVAL {step} MONTHS"),
+            )
+        ).alias("__bucket__"),
+    )
+    out = spine.join(observed, group_cols + ["__bucket__"], "left")
+    out = _apply_fills(out, group_cols, fills, x_axis=midx(F.col("__bucket__")))
     return out.withColumnRenamed("__bucket__", "bucket_ts")

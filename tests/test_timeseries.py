@@ -96,3 +96,69 @@ def test_gapfill_single_shuffle_shape(spark):
         _df(spark), "ts", 60, ["g"], {"v": F.avg("v")}, fills={"v": "locf"}
     )._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_gapfill_months_grid_and_linear_by_month_index(spark):
+    from fluss_datafusion_spark.operators.timeseries import gapfill_months
+
+    d = datetime.datetime
+    rows = [
+        ("a", d(2026, 1, 15), 10.0),
+        ("a", d(2026, 4, 2), 40.0),   # Feb, Mar are gaps
+        ("b", d(2026, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gapfill_months(
+        df, "ts", 1, ["g"],
+        {"avg_v": F.avg("v"), "lin_v": F.avg("v"), "locf_v": F.avg("v")},
+        fills={"lin_v": "linear", "locf_v": "locf"},
+    ).orderBy("g", "bucket_ts")
+    rows = [
+        (r.g, r.bucket_ts.month, r.bucket_ts.day, r.n_rows, r.is_gap,
+         r.avg_v, r.lin_v, r.locf_v)
+        for r in out.collect()
+    ]
+    # linear weights by MONTH INDEX: Feb = 10 + 30*(1/3), Mar = 10 + 30*(2/3)
+    # despite Feb (28d) and Mar (31d) having different lengths
+    assert rows == [
+        ("a", 1, 1, 1, False, 10.0, 10.0, 10.0),
+        ("a", 2, 1, 0, True, None, 20.0, 10.0),
+        ("a", 3, 1, 0, True, None, 30.0, 10.0),
+        ("a", 4, 1, 1, False, 40.0, 40.0, 40.0),
+        ("b", 2, 1, 1, False, 5.0, 5.0, 5.0),
+    ]
+
+
+def test_gapfill_months_quarters_and_year_boundary(spark):
+    from fluss_datafusion_spark.operators.timeseries import gapfill_months
+
+    d = datetime.datetime
+    rows = [
+        ("x", d(2025, 11, 20), 1.0),  # Q4 2025 (Oct-Dec)
+        ("x", d(2026, 7, 4), 7.0),    # Q3 2026; Q1, Q2 2026 are gaps
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = gapfill_months(
+        df, "ts", 3, ["g"], {"s": F.sum("v")}, fills={"s": "zero"}
+    ).orderBy("bucket_ts")
+    got = [(r.bucket_ts.year, r.bucket_ts.month, r.s, r.is_gap)
+           for r in out.collect()]
+    assert got == [
+        (2025, 10, 1.0, False),
+        (2026, 1, 0.0, True),
+        (2026, 4, 0.0, True),
+        (2026, 7, 7.0, False),
+    ]
+
+
+def test_gapfill_months_guard(spark):
+    from fluss_datafusion_spark.operators.timeseries import gapfill_months
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [("g", d(1990, 1, 1), 1.0), ("g", d(2026, 1, 1), 2.0)],
+        "g string, ts timestamp, v double",
+    )
+    out = gapfill_months(df, "ts", 1, ["g"], {"s": F.sum("v")}, max_buckets=100)
+    with pytest.raises(Exception, match="max_buckets"):
+        out.collect()

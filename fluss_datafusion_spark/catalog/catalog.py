@@ -279,6 +279,95 @@ class FlussCatalog:
         self._save_spec(spec)  # rewrite with the new name
         self._register_view(spec)
 
+    def clone_table(self, name: str, new_name: str, deep: bool = False) -> int:
+        """CREATE TABLE new [SHALLOW|DEEP] CLONE src (Delta-CLONE
+        semantics): a zero-copy (shallow) or full-copy (deep) snapshot
+        of the source table — schema, data, upsert history, time-travel
+        anchors, skipping manifest, and compaction floor all carry over,
+        after which the two tables diverge independently.
+
+        Shallow clones hardlink the immutable log files (O(metadata),
+        no bytes moved — the local-filesystem analog of Delta's
+        manifest-reference clone; on an object store this would be a
+        manifest copy).  Because optimize/compact REPLACE directories
+        rather than mutating files, a later rewrite of either table
+        cannot corrupt the other: the hardlinked inodes stay alive for
+        whichever side still references them.  Deep clones copy bytes
+        (``deep=True``) for full storage independence.
+
+        Returns the number of files cloned."""
+        src = self.get_table(name)
+        dst_db, dst_table = self._resolve(new_name)
+        if dst_table in self.databases.get(dst_db, {}):
+            raise ValueError(f"table already exists: {dst_db}.{dst_table}")
+        src_path = self.table_path(src)
+        dst_spec = TableSpec.from_dict(src.to_dict())
+        dst_spec.name = dst_table
+        dst_spec.database = dst_db
+        self.databases.setdefault(dst_db, {})
+        dst_path = self.table_path(dst_spec)
+        os.makedirs(dst_path, exist_ok=True)
+        n_files = 0
+        for root, dirs, files in os.walk(src_path):
+            # in-flight swap dirs are not table state
+            dirs[:] = [
+                d for d in dirs
+                if not d.endswith((".old", ".optimize", ".compact"))
+            ]
+            rel = os.path.relpath(root, src_path)
+            out_dir = dst_path if rel == "." else os.path.join(dst_path, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                if f == "_spec.json" or f.endswith(".tmp"):
+                    continue  # the spec is rewritten below with the new name
+                src_f = os.path.join(root, f)
+                dst_f = os.path.join(out_dir, f)
+                if deep:
+                    shutil.copy2(src_f, dst_f)
+                else:
+                    try:
+                        os.link(src_f, dst_f)
+                    except OSError:  # cross-device / FS without hardlinks
+                        shutil.copy2(src_f, dst_f)
+                n_files += 1
+        self.databases[dst_db][dst_table] = dst_spec
+        # upsert ordering and time-travel refusal carry over: without
+        # them a post-clone write could reuse a __seq__ stamp, and a
+        # pre-compaction anchor would silently serve partial state
+        src_seq = self._seq.get(src.qualified_name)
+        if src_seq is not None:
+            self._seq[dst_spec.qualified_name] = src_seq
+        src_floor = self._floor.get(src.qualified_name)
+        if src_floor is not None:
+            self._floor[dst_spec.qualified_name] = src_floor
+        self._save_spec(dst_spec)
+        self._register_view(dst_spec)
+        return n_files
+
+    def vacuum(self, name: str) -> int:
+        """VACUUM: remove leftover rename-aside directories from
+        crashed/interrupted optimize/compact swaps (``<table>.old``,
+        ``<table>.optimize``, ``<table>.compact``) and stale ``.tmp``
+        manifest files.  Live table state is NEVER touched — unlike
+        Delta's VACUUM there are no unreferenced data files to collect,
+        because the log is append-only and rewrites swap whole
+        directories.  Returns the number of filesystem entries
+        removed."""
+        spec = self.get_table(name)
+        path = self.table_path(spec)
+        removed = 0
+        for suffix in (".old", ".optimize", ".compact"):
+            aside = path + suffix
+            if os.path.exists(aside):
+                shutil.rmtree(aside, ignore_errors=True)
+                removed += 1
+        for root, dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".tmp"):
+                    os.remove(os.path.join(root, f))
+                    removed += 1
+        return removed
+
     # -- read path ----------------------------------------------------------
 
     def read(

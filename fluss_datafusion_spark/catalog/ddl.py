@@ -693,3 +693,41 @@ def parse_restore(sql: str):
     if not match:
         return None
     return ".".join(parse_qualified_name(match.group(1))), int(match.group(2))
+
+
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+"
+    r"(?:(SHALLOW|DEEP)\s+)?CLONE\s+"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_clone(sql: str):
+    """Parse ``CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1`` (Delta-CLONE
+    spelling) into (new_table, source_table, deep, if_not_exists), or
+    None.  Default is SHALLOW (zero-copy), matching Delta."""
+    s = sql.strip().rstrip(";")
+    match = _CLONE_RE.match(s)
+    if not match:
+        return None
+    new_name = ".".join(parse_qualified_name(match.group(1)))
+    source = ".".join(parse_qualified_name(match.group(3)))
+    deep = (match.group(2) or "SHALLOW").upper() == "DEEP"
+    if_not_exists = bool(
+        re.match(r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b", s, re.IGNORECASE)
+    )
+    return new_name, source, deep, if_not_exists
+
+
+def parse_vacuum(sql: str) -> Optional[str]:
+    """Return the target of ``VACUUM [TABLE] t``, or None."""
+    match = _VACUUM_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1)))

@@ -117,6 +117,21 @@ class EngineSession:
             self.catalog.set_default_database(strip_quotes(use_match.group(1)))
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        # CLONE must dispatch before CREATE TABLE parsing (it shares the
+        # CREATE TABLE prefix but has no column list to parse)
+        clone_parsed = ddl.parse_clone(statement)
+        if clone_parsed is not None:
+            new_name, source, deep, if_not_exists = clone_parsed
+            if if_not_exists and self.catalog.has_table(new_name):
+                return self.spark.createDataFrame([(0,)], "n_files bigint").limit(0)
+            n_files = self.catalog.clone_table(source, new_name, deep=deep)
+            return self.spark.createDataFrame([(n_files,)], "n_files bigint")
+
+        vacuum_target = ddl.parse_vacuum(statement)
+        if vacuum_target is not None and self.catalog.has_table(vacuum_target):
+            removed = self.catalog.vacuum(vacuum_target)
+            return self.spark.createDataFrame([(removed,)], "removed bigint")
+
         if ddl.is_engine_create_table(statement):
             spec = ddl.parse_create_table(
                 statement, default_database=self.catalog.default_database

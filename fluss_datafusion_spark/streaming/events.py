@@ -467,6 +467,128 @@ def _bucketed_changelog_stream(
     )
 
 
+def gapfill_stream(
+    stream: DataFrame,
+    every_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.gapfill``: emit one row
+    per (key, grid bucket) — INCLUDING the empty buckets — as the
+    watermark closes them, so a monitoring/feature consumer sees a
+    regular grid live instead of after a batch job.
+
+    Contract (append-mode): a bucket [b, b+every) is emitted once the
+    watermark passes b+every.  The grid starts at each key's first
+    observed bucket (the batch per-group-span rule) and then extends
+    through every closed bucket — also PAST the last observation, which
+    batch gapfill cannot do (it has no notion of "now"): a key that
+    stops reporting keeps producing gap rows, the exact signal a
+    monitor wants.  Columns: n_rows (0 on gaps), sum_v (null on gaps),
+    is_gap, sum_v_locf (last observed bucket's sum carried forward).
+    Events that arrive after their bucket was already emitted are
+    dropped — size ``watermark`` to the lateness you must absorb.
+
+    Scale shape: keyed state via applyInPandasWithState holds only the
+    OPEN buckets (bounded by watermark delay / every) plus two scalars
+    per key; emission advances a cursor so each bucket is produced
+    exactly once.  EventTimeTimeout fires state even when a key's own
+    partition of the stream goes quiet, so gap rows don't wait for the
+    key's next event.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step_us = int(every_seconds) * 1_000_000
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    output_schema = (
+        f"{key_col} {fields[key_col]}, bucket_ts timestamp, n_rows bigint,"
+        " sum_v double, is_gap boolean, sum_v_locf double"
+    )
+    state_schema = (
+        "last_emitted_us long, locf double, has_locf boolean,"
+        " b_us array<long>, b_n array<long>, b_sum array<double>"
+    )
+
+    def update(key, pdf_iter, state):
+        def native(v):
+            return v.item() if hasattr(v, "item") else v
+
+        if state.exists:
+            last_emitted, locf, has_locf, b_us, b_n, b_sum = state.get
+            open_b = {
+                b: [n, s] for b, n, s in zip(b_us, b_n, b_sum)
+            }
+        else:
+            last_emitted, locf, has_locf, open_b = -1, 0.0, False, {}
+
+        for pdf in pdf_iter:
+            for t, v in zip(pdf[ts_col], pdf[value_col]):
+                b = (int(t.value // 1_000) // step_us) * step_us
+                if last_emitted >= 0 and b <= last_emitted:
+                    continue  # late past emission: dropped
+                acc = open_b.setdefault(b, [0, 0.0])
+                acc[0] += 1
+                acc[1] += float(v)
+
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        hi = (wm_us // step_us) * step_us - step_us
+        start = last_emitted + step_us if last_emitted >= 0 else (
+            min((b for b in open_b if b <= hi), default=None)
+        )
+        out = []
+        if start is not None:
+            b = start
+            while b <= hi:
+                if b in open_b:
+                    n, s = open_b.pop(b)
+                    locf, has_locf = s, True
+                    out.append((b, n, s, False, s))
+                else:
+                    out.append(
+                        (b, 0, None, True, locf if has_locf else None)
+                    )
+                last_emitted = b
+                b += step_us
+        state.update((
+            last_emitted, locf, has_locf,
+            sorted(open_b), [open_b[b][0] for b in sorted(open_b)],
+            [open_b[b][1] for b in sorted(open_b)],
+        ))
+        # wake when the next bucket closes, even if this key goes quiet
+        next_close = (
+            last_emitted + 2 * step_us if last_emitted >= 0
+            else (min(open_b) + step_us if open_b else wm_us + step_us)
+        )
+        state.setTimeoutTimestamp(max(next_close // 1_000, state.getCurrentWatermarkMs() + 1))
+        if not out:
+            return
+        pdf = pd.DataFrame(
+            out, columns=["b_us", "n_rows", "sum_v", "is_gap", "sum_v_locf"]
+        )
+        yield pd.DataFrame(
+            {
+                key_col: native(key[0]),
+                "bucket_ts": pd.to_datetime(pdf["b_us"].astype("int64"), unit="us"),
+                "n_rows": pdf["n_rows"].astype("int64"),
+                "sum_v": pdf["sum_v"].astype("float64"),
+                "is_gap": pdf["is_gap"].astype("bool"),
+                "sum_v_locf": pdf["sum_v_locf"].astype("float64"),
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

@@ -1008,3 +1008,71 @@ def test_interval_join_real_streams_match_batch(spark, tmp_path):
         for r in st_stream_interval_join(spark, sf_dir).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_gapfill_stream_emits_gap_rows_on_watermark(spark, tmp_path):
+    """Streaming gapfill: buckets (including EMPTY ones) are emitted as
+    the watermark closes them, the grid starts at each key's first
+    observed bucket, extends PAST its last observation while other keys
+    keep the clock moving, locf carries across batch boundaries, and
+    each bucket is emitted exactly once."""
+    import datetime
+
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        gapfill_stream,
+        run_to_memory,
+    )
+
+    d = lambda h, m: datetime.datetime(2026, 1, 1, h, m)  # noqa: E731
+    chunks = [
+        [("a", d(0, 10), 1.0), ("a", d(0, 20), 2.0)],
+        [("b", d(1, 5), 7.0), ("a", d(3, 15), 5.0)],
+        [("a", d(6, 30), 9.0)],  # advances the watermark; bucket stays open
+    ]
+    replay = str(tmp_path / "gf_replay")
+    os.makedirs(replay, exist_ok=True)
+    import time as _time
+
+    base = _time.time()
+    for i, rows in enumerate(chunks):
+        tmp = str(tmp_path / f"gf_chunk_{i}")
+        spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        f = os.path.join(replay, f"part-{i:05d}.parquet")
+        os.rename(os.path.join(tmp, src), f)
+        os.utime(f, (base + i, base + i))
+
+    stream = events_stream(spark, replay, max_files_per_trigger=1)
+    run_to_memory(
+        gapfill_stream(
+            stream, 3600, ts_col="ts", key_col="event_type",
+            value_col="value", watermark="10 minutes",
+        ),
+        "t_gapfill_stream",
+    )
+    got = sorted(
+        (r.event_type, r.bucket_ts.hour, r.n_rows, r.sum_v, r.is_gap,
+         r.sum_v_locf)
+        for r in spark.sql("SELECT * FROM t_gapfill_stream").collect()
+    )
+    # final watermark = 06:30 - 10min = 06:20 => buckets through hour 5
+    # are closed; hour 6 stays open (never emitted)
+    assert got == [
+        ("a", 0, 2, 3.0, False, 3.0),
+        ("a", 1, 0, None, True, 3.0),
+        ("a", 2, 0, None, True, 3.0),
+        ("a", 3, 1, 5.0, False, 5.0),
+        ("a", 4, 0, None, True, 5.0),   # past a's last emit-able event
+        ("a", 5, 0, None, True, 5.0),
+        ("b", 1, 1, 7.0, False, 7.0),
+        ("b", 2, 0, None, True, 7.0),   # b went quiet: timeout-driven gaps
+        ("b", 3, 0, None, True, 7.0),
+        ("b", 4, 0, None, True, 7.0),
+        ("b", 5, 0, None, True, 7.0),
+    ]

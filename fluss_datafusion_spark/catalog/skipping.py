@@ -94,14 +94,20 @@ def _file_column_bounds(path: str) -> Dict[str, List]:
 
 
 def load(table_path: str) -> Dict[str, Dict[str, List]]:
-    """{relative_file_path: {column: [min, max]}} or {} if absent."""
+    """{relative_file_path: {column: [min, max]}} or {} if absent.
+    Merges the JSON manifest (small tables) with the chunked parquet
+    store (large tables / mid-migration); chunk entries win."""
+    manifest: Dict[str, Dict[str, List]] = {}
     manifest_path = os.path.join(table_path, MANIFEST)
     try:
         with open(manifest_path) as fh:
             data = json.load(fh)
-        return data if isinstance(data, dict) else {}
+        if isinstance(data, dict):
+            manifest.update(data)
     except (OSError, ValueError):
-        return {}
+        pass
+    manifest.update(_load_chunks(table_path))
+    return manifest
 
 
 def _save(table_path: str, manifest: Dict) -> None:
@@ -111,28 +117,165 @@ def _save(table_path: str, manifest: Dict) -> None:
     os.replace(tmp, os.path.join(table_path, MANIFEST))
 
 
+# -- chunked parquet manifest store -----------------------------------------
+#
+# A single JSON manifest is rewritten whole on every write statement —
+# O(total files) driver work per write, which is exactly the curve that
+# breaks at 100 TB (millions of files).  Past CHUNK_THRESHOLD entries
+# the manifest switches to the Iceberg-manifest-tree shape: an
+# ``_file_stats/`` directory (underscore-prefixed — Spark's listing
+# ignores it) of IMMUTABLE parquet chunk files, one appended per write
+# statement (O(batch), nothing rewritten), merged back into one chunk
+# whenever more than CHUNK_MERGE_AT accumulate (amortized O(total/64)
+# per write — the manifest-merge Iceberg does on commit).  Bounds are
+# JSON-encoded per cell so int/float/str/bool survive exactly as in the
+# JSON manifest.  ``load``/``prune`` are unchanged for callers; being
+# parquet, the chunk store is also directly readable as a DataFrame if
+# pruning ever needs to become a distributed join against the file
+# list.
+
+CHUNK_DIR = "_file_stats"
+CHUNK_THRESHOLD = 256
+CHUNK_MERGE_AT = 64
+
+
+def _chunk_dir(table_path: str) -> str:
+    return os.path.join(table_path, CHUNK_DIR)
+
+
+def _chunk_files(table_path: str) -> List[str]:
+    d = _chunk_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def _load_chunks(table_path: str) -> Dict[str, Dict[str, List]]:
+    import pyarrow.parquet as pq
+
+    manifest: Dict[str, Dict[str, List]] = {}
+    for chunk in _chunk_files(table_path):
+        t = pq.read_table(chunk)
+        for f, c, lo, hi in zip(
+            t.column("file").to_pylist(),
+            t.column("column").to_pylist(),
+            t.column("min_json").to_pylist(),
+            t.column("max_json").to_pylist(),
+        ):
+            entry = manifest.setdefault(f, {})
+            if c is not None:  # None = marker row for a stat-less file
+                entry[c] = [json.loads(lo), json.loads(hi)]
+    return manifest
+
+
+def _write_chunk(table_path: str, entries: Dict[str, Dict[str, List]]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {"file": [], "column": [], "min_json": [], "max_json": []}
+    for f, stats in entries.items():
+        if not stats:
+            rows["file"].append(f)
+            rows["column"].append(None)
+            rows["min_json"].append(None)
+            rows["max_json"].append(None)
+        for c, (lo, hi) in stats.items():
+            rows["file"].append(f)
+            rows["column"].append(c)
+            rows["min_json"].append(json.dumps(lo))
+            rows["max_json"].append(json.dumps(hi))
+    d = _chunk_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    existing = _chunk_files(table_path)
+    n = 0
+    if existing:
+        last = os.path.basename(existing[-1])
+        n = int(last.split("-")[1].split(".")[0]) + 1
+    table = pa.table(
+        {k: pa.array(v, type=pa.string()) for k, v in rows.items()}
+    )
+    tmp = os.path.join(d, f".manifest-{n:08d}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(d, f"manifest-{n:08d}.parquet"))
+
+
+def _clear_chunks(table_path: str) -> None:
+    import shutil
+
+    shutil.rmtree(_chunk_dir(table_path), ignore_errors=True)
+
+
+def _maybe_merge_chunks(table_path: str) -> None:
+    if len(_chunk_files(table_path)) <= CHUNK_MERGE_AT:
+        return
+    merged = _load_chunks(table_path)
+    _clear_chunks(table_path)
+    _write_chunk(table_path, merged)
+
+
+def _use_chunks(table_path: str, incoming: int) -> bool:
+    if _chunk_files(table_path):
+        return True
+    manifest_path = os.path.join(table_path, MANIFEST)
+    try:
+        with open(manifest_path) as fh:
+            current = len(json.load(fh))
+    except (OSError, ValueError):
+        current = 0
+    return current + incoming >= CHUNK_THRESHOLD
+
+
 def add_files(table_path: str, files: Sequence[str]) -> None:
     """Merge footer bounds for ``files`` into the manifest (write-time
     incremental harvest).  Never raises: stats are an optimization, a
-    harvest failure must not fail the write that triggered it."""
+    harvest failure must not fail the write that triggered it.
+
+    Small tables rewrite the JSON manifest; past CHUNK_THRESHOLD total
+    entries the store migrates to immutable parquet chunks and each
+    call appends one O(batch) chunk instead of rewriting O(files)."""
     if not files:
         return
     try:
-        manifest = load(table_path)
-        for f in files:
-            rel = os.path.relpath(f, table_path)
-            manifest[rel] = _file_column_bounds(f)
-        _save(table_path, manifest)
+        new_entries = {
+            os.path.relpath(f, table_path): _file_column_bounds(f)
+            for f in files
+        }
+        if _use_chunks(table_path, len(new_entries)):
+            # one-time migration: fold the JSON manifest into chunk 0
+            json_path = os.path.join(table_path, MANIFEST)
+            if os.path.exists(json_path):
+                old = load(table_path)
+                old.update(new_entries)
+                new_entries = old
+                _clear_chunks(table_path)
+                os.remove(json_path)
+            _write_chunk(table_path, new_entries)
+            _maybe_merge_chunks(table_path)
+        else:
+            manifest = load(table_path)
+            manifest.update(new_entries)
+            _save(table_path, manifest)
     except Exception:
         pass
 
 
 def rebuild(table_path: str, files: Sequence[str]) -> int:
     """Replace the manifest with fresh bounds for exactly ``files``
-    (post-OPTIMIZE/compact full rewrite).  Returns files covered."""
+    (post-OPTIMIZE/compact full rewrite).  Returns files covered.
+    Large file sets land in the chunked store (one merged chunk);
+    small ones in the JSON manifest."""
     manifest: Dict[str, Dict[str, List]] = {}
     for f in files:
         manifest[os.path.relpath(f, table_path)] = _file_column_bounds(f)
+    if len(manifest) >= CHUNK_THRESHOLD or _chunk_files(table_path):
+        _clear_chunks(table_path)
+        json_path = os.path.join(table_path, MANIFEST)
+        if os.path.exists(json_path):
+            os.remove(json_path)
+        _write_chunk(table_path, manifest)
+        return len(manifest)
     _save(table_path, manifest)
     return len(manifest)
 

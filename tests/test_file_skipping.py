@@ -270,3 +270,92 @@ def test_string_column_stats_prune(spark, tmp_path):
     assert kept < total
     n = e.catalog.read("logs", predicate=pred).count()
     assert n == len([i for i in range(5000) if i % 28 == 4])
+
+
+# -- chunked parquet manifest store -----------------------------------------
+
+
+def _mini_parquet(spark, path, lo, hi):
+    spark.createDataFrame(
+        [(i, f"s{i}") for i in range(lo, hi + 1)], "x bigint, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return sorted(_parquet_files(path))
+
+
+def test_chunk_store_migration_and_equivalence(spark, tmp_path, monkeypatch):
+    """Past the threshold, add_files migrates the JSON manifest into
+    immutable parquet chunks; load() is identical before and after."""
+    monkeypatch.setattr(skipping, "CHUNK_THRESHOLD", 3)
+    table = str(tmp_path / "chunk_tbl")
+    os.makedirs(table)
+    files = []
+    for i in range(2):
+        files += _mini_parquet(spark, os.path.join(table, f"d{i}"), i * 10, i * 10 + 5)
+    skipping.add_files(table, files)  # 2 entries: stays JSON
+    assert os.path.exists(os.path.join(table, skipping.MANIFEST))
+    before = skipping.load(table)
+    assert len(before) == 2
+
+    f3 = _mini_parquet(spark, os.path.join(table, "d2"), 100, 105)
+    skipping.add_files(table, f3)  # 3 entries: migrates to chunks
+    assert not os.path.exists(os.path.join(table, skipping.MANIFEST))
+    assert skipping._chunk_files(table)
+    after = skipping.load(table)
+    assert set(after) == set(before) | {os.path.relpath(f3[0], table)}
+    for k, v in before.items():
+        assert after[k] == v  # values survive the JSON->parquet migration
+    assert after[os.path.relpath(f3[0], table)]["x"] == [100, 105]
+
+    # appends go to NEW chunks; existing chunks are never rewritten
+    chunk0 = skipping._chunk_files(table)[0]
+    mtime0 = os.path.getmtime(chunk0)
+    f4 = _mini_parquet(spark, os.path.join(table, "d3"), 7, 9)
+    skipping.add_files(table, f4)
+    assert len(skipping._chunk_files(table)) == 2
+    assert os.path.getmtime(chunk0) == mtime0
+    assert skipping.load(table)[os.path.relpath(f4[0], table)]["x"] == [7, 9]
+
+
+def test_chunk_store_merge_and_rebuild(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(skipping, "CHUNK_THRESHOLD", 1)
+    monkeypatch.setattr(skipping, "CHUNK_MERGE_AT", 4)
+    table = str(tmp_path / "merge_tbl")
+    os.makedirs(table)
+    all_files = []
+    for i in range(6):
+        fs = _mini_parquet(spark, os.path.join(table, f"d{i}"), i, i)
+        all_files += fs
+        skipping.add_files(table, fs)
+    # 6 appends with merge-at-4: the store must have collapsed
+    assert len(skipping._chunk_files(table)) <= 4
+    loaded = skipping.load(table)
+    assert len(loaded) == 6
+    assert loaded[os.path.relpath(all_files[5], table)]["x"] == [5, 5]
+
+    # rebuild on a chunked table replaces everything with one chunk
+    n = skipping.rebuild(table, all_files[:2])
+    assert n == 2
+    assert len(skipping._chunk_files(table)) == 1
+    assert len(skipping.load(table)) == 2
+
+
+def test_chunk_store_prune_and_read_path(spark, tmp_path, monkeypatch):
+    """End-to-end through the catalog: a log table whose manifest lives
+    in the chunk store still prunes files and answers correctly."""
+    monkeypatch.setattr(skipping, "CHUNK_THRESHOLD", 1)
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_chunks"))
+    e.sql("CREATE TABLE logs (x BIGINT NOT NULL, s STRING)")
+    for i in range(4):
+        e.sql(
+            f"INSERT INTO logs VALUES ({i * 100}, 'a'), ({i * 100 + 9}, 'b')"
+        )
+    path = e.catalog.table_path(e.catalog.get_table("logs"))
+    assert skipping._chunk_files(path)  # store went chunked
+    all_files = sorted(_parquet_files(path))
+    kept = skipping.prune(path, all_files, "x BETWEEN 200 AND 209")
+    assert len(kept) < len(all_files)
+    got = sorted(
+        (r.x, r.s)
+        for r in e.catalog.read("logs", predicate="x BETWEEN 200 AND 209").collect()
+    )
+    assert got == [(200, "a"), (209, "b")]

@@ -731,3 +731,32 @@ def parse_vacuum(sql: str) -> Optional[str]:
     if not match:
         return None
     return ".".join(parse_qualified_name(match.group(1)))
+
+
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+"
+    r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_matview(sql: str):
+    """Parse ``CREATE MATERIALIZED VIEW name AS SELECT ...`` into
+    (name, select_sql), or None."""
+    match = _CREATE_MV_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1))), match.group(2).strip()
+
+
+def parse_refresh_matview(sql: str) -> Optional[str]:
+    """Return the target of ``REFRESH MATERIALIZED VIEW name``, or None."""
+    match = _REFRESH_MV_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return ".".join(parse_qualified_name(match.group(1)))

@@ -1772,3 +1772,79 @@ def q55_skipping_scan(spark, sf_dir):
         "l_orderkey", "l_partkey", "l_suppkey", "price",
         F.lit(len(kept) < len(files)).alias("files_skipped"),
     )
+
+
+@query(
+    "q57_matview_incremental", extended=True,
+    oracle="""
+    WITH s0 AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'U1'
+                    ELSE o_orderstatus END AS g,
+               CAST(floor(o_totalprice) AS BIGINT) AS x
+        FROM orders
+        WHERE o_orderkey <= 2000 AND o_orderkey % 53 <> 0
+    ),
+    s1 AS (
+        SELECT k, g, CASE WHEN g = 'O' THEN x + 7 ELSE x END AS x
+        FROM s0 WHERE g <> 'U1'
+        UNION ALL
+        SELECT * FROM (VALUES (1000001, 'Z', 10), (1000002, 'Z', NULL),
+                              (1000003, 'Z', 25)) v(k, g, x)
+    )
+    SELECT g, count(*) AS n, CAST(count(x) AS BIGINT) AS nx,
+           CAST(sum(x) AS BIGINT) AS sx, round(avg(x), 6) AS ax
+    FROM s1 GROUP BY g
+    """,
+)
+def q57_matview_incremental(spark, sf_dir):
+    """Incrementally-maintained materialized view end-to-end
+    (catalog/matview.py — the Delta Live Tables / Materialize pattern
+    the reference lacks): seed a PK table from orders, CREATE
+    MATERIALIZED VIEW (count/count(x)/sum/avg per status group), then
+    drive two refresh cycles through mixed DML — a group-moving UPDATE,
+    a predicate DELETE, an INSERT creating a new group with a NULL
+    measure, a value UPDATE, and a DELETE that kills a whole group.
+    Each REFRESH applies only the bounded CDC window (O(changes), not
+    O(source) — see matview.refresh_matview).  DuckDB re-derives the
+    final source state from raw orders and re-aggregates; every group
+    count/sum/avg and the dead group's absence are hash-checked."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mv_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE mv_src (k BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (k))"
+    )
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("g"),
+        F.floor("o_totalprice").cast("bigint").alias("x"),
+    ).createOrReplaceTempView("mv_seed")
+    e.sql("INSERT INTO mv_src SELECT * FROM mv_seed")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv_agg AS"
+        " SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
+        " avg(x) AS ax FROM mv_src GROUP BY g"
+    )
+    e.sql("UPDATE mv_src SET g = 'U1' WHERE k % 97 = 0")
+    e.sql("DELETE FROM mv_src WHERE k % 53 = 0")
+    e.sql(
+        "INSERT INTO mv_src VALUES (1000001, 'Z', 10),"
+        " (1000002, 'Z', NULL), (1000003, 'Z', 25)"
+    )
+    e.sql("REFRESH MATERIALIZED VIEW mv_agg")
+    e.sql("UPDATE mv_src SET x = x + 7 WHERE g = 'O'")
+    e.sql("DELETE FROM mv_src WHERE g = 'U1'")
+    e.sql("REFRESH MATERIALIZED VIEW mv_agg")
+    return e.sql(
+        "SELECT g, n, nx, sx, round(ax, 6) AS ax FROM mv_agg"
+    )

@@ -127,6 +127,23 @@ class EngineSession:
             n_files = self.catalog.clone_table(source, new_name, deep=deep)
             return self.spark.createDataFrame([(n_files,)], "n_files bigint")
 
+        mv_parsed = ddl.parse_create_matview(statement)
+        if mv_parsed is not None:
+            from fluss_datafusion_spark.catalog import matview
+
+            n = matview.create_matview(self.catalog, *mv_parsed)
+            return self.spark.createDataFrame([(n,)], "groups bigint")
+
+        mv_refresh = ddl.parse_refresh_matview(statement)
+        if mv_refresh is not None and self.catalog.has_table(mv_refresh):
+            from fluss_datafusion_spark.catalog import matview
+
+            counts = matview.refresh_matview(self.catalog, mv_refresh)
+            return self.spark.createDataFrame(
+                [(counts["upserted"], counts["deleted"], counts["full_rebuild"])],
+                "upserted bigint, deleted bigint, full_rebuild bigint",
+            )
+
         vacuum_target = ddl.parse_vacuum(statement)
         if vacuum_target is not None and self.catalog.has_table(vacuum_target):
             removed = self.catalog.vacuum(vacuum_target)

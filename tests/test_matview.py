@@ -1,0 +1,197 @@
+"""Incrementally-maintained materialized views (catalog/matview.py).
+
+Hard signal: after every mixed-DML batch + REFRESH, the view equals a
+full re-aggregation of the current source — including group
+appearance/disappearance, key moves across groups, NULL aggregate
+semantics, WHERE-boundary crossings, and the compaction-floor
+full-rebuild fallback."""
+
+import pytest
+
+from fluss_datafusion_spark import EngineSession
+from fluss_datafusion_spark.catalog.matview import parse_matview_select
+
+MV_SELECT = (
+    "SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx, avg(x) AS ax"
+    " FROM src GROUP BY g"
+)
+
+
+def _mk(spark, tmp_path, name):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / name))
+    e.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql("INSERT INTO src VALUES (1, 'a', 10), (2, 'a', NULL), (3, 'b', 7)")
+    return e
+
+
+def _expect(e, where=""):
+    return sorted(
+        tuple(r)
+        for r in e.sql(
+            "SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
+            f" avg(x) AS ax FROM src {where} GROUP BY g"
+        ).collect()
+    )
+
+
+def _got(e, name="mv"):
+    return sorted(tuple(r) for r in e.sql(f"SELECT * FROM {name}").collect())
+
+
+# -- parser -----------------------------------------------------------------
+
+
+def test_parse_matview_select():
+    mv = parse_matview_select(MV_SELECT)
+    assert mv["source"] == "src" and mv["group_cols"] == ["g"]
+    assert [a["fn"] for a in mv["aggs"]] == ["count", "count", "sum", "avg"]
+    assert mv["aggs"][0]["col"] is None and mv["aggs"][1]["col"] == "x"
+    assert mv["where"] is None
+    mv = parse_matview_select(
+        "SELECT a, b, sum(x) AS s FROM t WHERE x > 0 GROUP BY a, b"
+    )
+    assert mv["group_cols"] == ["a", "b"] and mv["where"] == "x > 0"
+
+
+def test_parse_matview_refusals():
+    with pytest.raises(ValueError, match="self-maintainable"):
+        parse_matview_select("SELECT g, max(x) AS m FROM t GROUP BY g")
+    with pytest.raises(ValueError, match="unsupported select item"):
+        parse_matview_select("SELECT g, x + 1 AS y FROM t GROUP BY g")
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        parse_matview_select("SELECT g FROM t GROUP BY g")
+    with pytest.raises(ValueError, match="lead with the GROUP BY"):
+        parse_matview_select("SELECT count(*) AS n FROM t GROUP BY g")
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_matview_select("SELECT g, count(*) AS g FROM t GROUP BY g")
+
+
+# -- end-to-end maintenance -------------------------------------------------
+
+
+def test_matview_initial_build_and_null_semantics(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_mv1")
+    n = e.sql(f"CREATE MATERIALIZED VIEW mv AS {MV_SELECT}").collect()[0][0]
+    assert n == 2
+    got = _got(e)
+    assert got == _expect(e)
+    # group 'a': one NULL x -> n=2, nx=1, sx=10, ax=10.0
+    assert ("a", 2, 1, 10, 10.0) in got
+
+
+def test_matview_incremental_mixed_dml(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_mv2")
+    e.sql(f"CREATE MATERIALIZED VIEW mv AS {MV_SELECT}")
+
+    # new group + growth of existing group
+    e.sql("INSERT INTO src VALUES (4, 'c', 100), (5, 'b', 3)")
+    # view is STALE until refreshed
+    assert ("c", 1, 1, 100, 100.0) not in _got(e)
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r.full_rebuild == 0 and r.upserted == 2 and r.deleted == 0
+    assert _got(e) == _expect(e)
+
+    # key moves groups (b -> a): -U retracts from b, +U adds to a
+    e.sql("UPDATE src SET g = 'a' WHERE id = 3")
+    # value change within a group
+    e.sql("UPDATE src SET x = 200 WHERE id = 4")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == _expect(e)
+
+    # group disappears entirely (only 'c' member deleted)
+    e.sql("DELETE FROM src WHERE id = 4")
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r.deleted == 1
+    assert _got(e) == _expect(e)
+    assert not any(row[0] == "c" for row in _got(e))
+
+    # group reappears; a NULL-x group exercises sum-over-none = NULL
+    e.sql("INSERT INTO src VALUES (6, 'c', NULL)")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == _expect(e)
+    assert ("c", 1, 0, None, None) in _got(e)
+
+    # no-op refresh
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert tuple(r) == (0, 0, 0)
+
+
+def test_matview_where_boundary(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_mv3")
+    e.catalog  # noqa: B018
+    from fluss_datafusion_spark.catalog import matview
+
+    matview.create_matview(
+        e.catalog, "mv",
+        "SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
+        " avg(x) AS ax FROM src WHERE x >= 5 GROUP BY g",
+    )
+    assert _got(e) == _expect(e, "WHERE x >= 5")
+    # id=3 (b, 7) drops below the WHERE bound: group b must vanish
+    e.sql("UPDATE src SET x = 1 WHERE id = 3")
+    # id=2 (a, NULL) crosses INTO the view
+    e.sql("UPDATE src SET x = 50 WHERE id = 2")
+    matview.refresh_matview(e.catalog, "mv")
+    assert _got(e) == _expect(e, "WHERE x >= 5")
+    assert not any(row[0] == "b" for row in _got(e))
+
+
+def test_matview_composite_group_key(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mv4"))
+    e.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g1 STRING, g2 BIGINT,"
+        " x BIGINT, PRIMARY KEY (id))"
+    )
+    e.sql("INSERT INTO src VALUES (1,'a',1,5), (2,'a',2,6), (3,'a',1,7)")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g1, g2, sum(x) AS sx"
+        " FROM src GROUP BY g1, g2"
+    )
+    e.sql("UPDATE src SET g2 = 2 WHERE id = 3")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
+    assert got == [("a", 1, 5), ("a", 2, 13)]
+
+
+def test_matview_full_rebuild_after_source_compaction(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_mv5")
+    e.sql(f"CREATE MATERIALIZED VIEW mv AS {MV_SELECT}")
+    e.sql("INSERT INTO src VALUES (7, 'd', 4)")
+    e.catalog.compact("src")  # floor rises past the view's checkpoint
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r.full_rebuild == 1
+    assert _got(e) == _expect(e)
+    # post-rebuild the checkpoint is current again: incremental resumes
+    e.sql("INSERT INTO src VALUES (8, 'd', 6)")
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    assert r.full_rebuild == 0
+    assert _got(e) == _expect(e)
+
+
+def test_matview_refuses_log_source_and_null_groups(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mv6"))
+    e.sql("CREATE TABLE logt (g STRING, x BIGINT)")
+    from fluss_datafusion_spark.catalog import matview
+
+    with pytest.raises(ValueError, match="primary-key source"):
+        matview.create_matview(
+            e.catalog, "mv", "SELECT g, sum(x) AS s FROM logt GROUP BY g"
+        )
+    e.sql(
+        "CREATE TABLE pkt (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql("INSERT INTO pkt VALUES (1, NULL, 5)")
+    with pytest.raises(ValueError, match="non-null"):
+        matview.create_matview(
+            e.catalog, "mv", "SELECT g, sum(x) AS s FROM pkt GROUP BY g"
+        )
+    # the documented carve-out works
+    matview.create_matview(
+        e.catalog, "mv",
+        "SELECT g, sum(x) AS s FROM pkt WHERE g IS NOT NULL GROUP BY g",
+    )
+    assert e.sql("SELECT * FROM mv").collect() == []

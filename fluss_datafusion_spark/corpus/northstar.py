@@ -431,6 +431,8 @@ def ns_text_langid(spark, sf_dir):
 
 @query(
     "ns_text_fingerprint",
+    extended=True,  # r5: rotated out for ns_retrieval_bm25
+    # (text category keeps ns_text_stats / ns_text_langid in core)
     oracle="""
     SELECT doc_id,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
@@ -2468,7 +2470,9 @@ def ns_sim_hard_negatives(spark, sf_dir):
 
 
 @query(
-    "ns_retrieval_bm25", extended=True,
+    "ns_retrieval_bm25",  # r5: CORE - BM25 retrieval differentiator
+    # (rotated in; displaced ns_text_fingerprint -> extended)
+
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -2560,7 +2564,8 @@ def ns_curation_weighted_sample(spark, sf_dir):
 
 
 @query(
-    "ns_graph_pagerank", extended=True,
+    "ns_graph_pagerank",  # r5: CORE - graph centrality differentiator
+    # (rotated in; displaced st_sliding_window -> extended)
     oracle="""
     WITH e AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

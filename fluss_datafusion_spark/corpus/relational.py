@@ -339,6 +339,8 @@ def q07_customer_distribution(spark, sf_dir):
 
 @query(
     "q08_semi_join",
+    extended=True,  # r5: rotated out for q57_matview_incremental
+    # (joins keep q05 multi-way inner + q31 full outer in core)
     oracle="""
     SELECT p_partkey, p_brand FROM part
     WHERE EXISTS (
@@ -1775,7 +1777,8 @@ def q55_skipping_scan(spark, sf_dir):
 
 
 @query(
-    "q57_matview_incremental", extended=True,
+    "q57_matview_incremental",  # r5: CORE - incremental-matview differentiator
+    # (rotated in; displaced q08_semi_join -> extended, joins keep q05/q31)
     oracle="""
     WITH s0 AS (
         SELECT o_orderkey AS k,

@@ -42,6 +42,8 @@ def st_tumbling_window(spark, sf_dir):
 
 @query(
     "st_sliding_window",
+    extended=True,  # r5: rotated out for ns_graph_pagerank (streaming
+    # keeps tumbling/session/late-data/dedup/range/rollup/changelog/gapfill)
     oracle="""
     WITH e AS (
         SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events

@@ -102,6 +102,17 @@ def main() -> None:
             )
         )
         _sh.rmtree(_widx, ignore_errors=True)
+        # iterative-graph shape (pagerank/cluster contraction): joins
+        # against localCheckpoint-ed RDD-backed frames codegen-compile
+        # on first use (~8 s measured at sf0.1) — warm on 200 edges
+        from fluss_datafusion_spark.operators.graph import pagerank as _pr
+
+        run_query(
+            _pr(
+                spark.range(200).selectExpr("id AS s", "(id * 7) % 150 AS d"),
+                "s", "d", n_iters=2,
+            )
+        )
         from fluss_datafusion_spark.operators.fuzzy import fuzzy_join_pairs
 
         run_query(

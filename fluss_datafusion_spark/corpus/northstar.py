@@ -2568,8 +2568,7 @@ def ns_curation_weighted_sample(spark, sf_dir):
     # (rotated in; displaced st_sliding_window -> extended)
     oracle="""
     WITH e AS (
-        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -2614,8 +2613,8 @@ def ns_graph_pagerank(spark, sf_dir):
     e = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

@@ -68,15 +68,24 @@ def pagerank(
     """
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    # materialize the iteration-invariant inputs ONCE: every iteration
+    # joins against e/out_deg and scans nodes, and without pinning them
+    # each iteration would re-execute the caller's edge derivation
+    # (often a join+distinct over fact tables) from scratch
     e = edges.select(
         F.col(src_col).alias("__src__"), F.col(dst_col).alias("__dst__")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("__src__").alias("id"))
         .union(e.select(F.col("__dst__").alias("id")))
         .distinct()
+        .localCheckpoint()
     )
-    out_deg = e.groupBy("__src__").agg(F.count(F.lit(1)).alias("__deg__"))
+    out_deg = (
+        e.groupBy("__src__")
+        .agg(F.count(F.lit(1)).alias("__deg__"))
+        .localCheckpoint()
+    )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n__")))
 
     ranks = (
@@ -85,15 +94,23 @@ def pagerank(
         .localCheckpoint()
     )
     for _ in range(n_iters):
-        dangling = F.broadcast(
-            ranks.join(out_deg, ranks["id"] == out_deg["__src__"], "left_anti")
-            .agg(F.coalesce(F.sum("__r__"), F.lit(0.0)).alias("__dm__"))
-        )
         contrib = (
             e.join(out_deg, "__src__")
             .join(ranks, e["__src__"] == ranks["id"])
             .groupBy("__dst__")
             .agg(F.sum(F.col("__r__") / F.col("__deg__")).alias("__c__"))
+            .localCheckpoint()  # used twice: dangling sum + the rank join
+        )
+        # sum(r) is exactly 1 by construction, and every non-dangling
+        # node's rank is fully distributed into contrib (sum over v of
+        # r_u/deg_u = r_u), so the dangling mass is 1 - sum(contrib) —
+        # one tiny agg instead of an anti-join against the edge list
+        dangling = F.broadcast(
+            contrib.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("__c__"), F.lit(0.0))).alias(
+                    "__dm__"
+                )
+            )
         )
         ranks = (
             nodes.crossJoin(n_row)

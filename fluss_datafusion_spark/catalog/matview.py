@@ -13,12 +13,16 @@ Supported view shape (the classic incrementally-maintainable algebra):
 
     SELECT g1, g2, agg1 AS a1, ... FROM src [WHERE pred] GROUP BY g1, g2
 
-with aggregates ``count(*)``, ``count(x)``, ``sum(x)``, ``avg(x)`` —
-the self-maintainable aggregates: a +I/+U image contributes positively,
-a -U/-D image negatively, and group disappearance falls out of the
-hidden per-group row count reaching zero.  ``min``/``max`` are NOT
-self-maintainable under deletes (a retracted extremum needs a rescan)
-and are refused rather than silently maintained wrong.  GROUP BY
+with the self-maintainable aggregates ``count(*)``, ``count(x)``,
+``sum(x)``, ``avg(x)`` — a +I/+U image contributes positively, a -U/-D
+image negatively, and group disappearance falls out of the hidden
+per-group row count reaching zero — plus ``min(x)``/``max(x)`` via
+BOUNDED RESCAN: inserts fold into the stored extremum directly
+(least/greatest), and a retraction at-or-past the stored extremum
+flags just that group for recomputation from the source (a
+semi-join-restricted scan touching only the flagged groups' rows —
+the standard IVM treatment of non-self-maintainable aggregates; see
+Gupta & Mumick, "Maintenance of Materialized Views", 1995).  GROUP BY
 columns become the view table's PRIMARY KEY, so they must be non-null
 in every source row the WHERE clause admits (enforced at build; add a
 NOT NULL conjunct to the WHERE to carve out null groups).
@@ -31,6 +35,8 @@ Delta-maintenance math per refresh window:
     new        = old + d          (changed groups only: the delta
                                    LEFT-joins the view, never a full
                                    view scan at refresh)
+    d_min(x)   = least(old, min over +images); rescan the group iff
+                 min over -images <= stored min (symmetric for max)
     group gone = hidden row count hits 0 → PK tombstone
 
 SQL sums over zero non-null values are NULL, so every sum/avg carries a
@@ -79,11 +85,10 @@ _SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_RE = re.compile(
-    r"^(?P<fn>count|sum|avg)\s*\(\s*(?P<arg>\*|`?[\w]+`?)\s*\)"
+    r"^(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>\*|`?[\w]+`?)\s*\)"
     r"\s+AS\s+(?P<alias>`?[\w]+`?)\s*$",
     re.IGNORECASE,
 )
-_BANNED_RE = re.compile(r"\b(min|max)\s*\(", re.IGNORECASE)
 
 
 def parse_matview_select(select_sql: str) -> Dict:
@@ -95,12 +100,6 @@ def parse_matview_select(select_sql: str) -> Dict:
             "materialized views support exactly "
             "'SELECT cols, aggs FROM t [WHERE pred] GROUP BY cols': "
             f"{select_sql!r}"
-        )
-    if _BANNED_RE.search(match.group("items")):
-        raise ValueError(
-            "min/max are not self-maintainable under deletes and are not "
-            "supported in materialized views (a retracted extremum would "
-            "need a source rescan)"
         )
     strip = lambda s: s.strip().strip("`")  # noqa: E731
     group_cols = [strip(c) for c in match.group("groups").split(",")]
@@ -164,6 +163,11 @@ def _physical_aggs(mv: Dict) -> List:
             cols.append(
                 F.sum(F.lit(1) if nn is None else nn).alias(alias)
             )
+        elif a["fn"] in ("min", "max"):
+            # the extremum itself IS the physical state (NULL iff no
+            # non-null value — min/max's own null semantics)
+            agg_fn = F.min if a["fn"] == "min" else F.max
+            cols.append(agg_fn(F.col(c)).alias(alias))
         else:  # sum / avg: hidden non-null count + raw sum
             cols.append(F.sum(nn).alias(f"__mv_cnt_{alias}"))
             cols.append(
@@ -179,7 +183,7 @@ def _user_projection(mv: Dict) -> List:
     out = [F.col(c) for c in mv["group_cols"]]
     for a in mv["aggs"]:
         alias = a["alias"]
-        if a["fn"] == "count":
+        if a["fn"] in ("count", "min", "max"):
             out.append(F.col(alias))
         elif a["fn"] == "sum":
             out.append(
@@ -333,6 +337,18 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
         )
         if a["fn"] == "count":
             delta_cols.append(F.sum(nn_sign).alias(f"__d_{alias}"))
+        elif a["fn"] in ("min", "max"):
+            # inserted-side extremum maintains the easy direction; the
+            # retracted-side extremum decides whether the group needs a
+            # bounded rescan (a retraction at-or-past the stored
+            # extremum invalidates it — the non-self-maintainable case)
+            agg_fn = F.min if a["fn"] == "min" else F.max
+            delta_cols.append(
+                agg_fn(F.when(sign > 0, F.col(c))).alias(f"__d_ins_{alias}")
+            )
+            delta_cols.append(
+                agg_fn(F.when(sign < 0, F.col(c))).alias(f"__d_ret_{alias}")
+            )
         else:
             delta_cols.append(F.sum(nn_sign).alias(f"__d_cnt_{alias}"))
             delta_cols.append(
@@ -350,10 +366,23 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
         F.coalesce(F.col(old), F.lit(0)) + F.coalesce(F.col(d), F.lit(0))
     )
     new_cols = {_STAR: add(_STAR, f"__d_{_STAR}")}
+    rescan_flags = []
     for a in mv["aggs"]:
         alias = a["alias"]
         if a["fn"] == "count":
             new_cols[alias] = add(alias, f"__d_{alias}")
+        elif a["fn"] in ("min", "max"):
+            # maintained path: fold the inserted-side extremum in
+            # (least/greatest skip NULLs, matching min/max semantics)
+            fold = F.least if a["fn"] == "min" else F.greatest
+            new_cols[alias] = fold(F.col(alias), F.col(f"__d_ins_{alias}"))
+            ret = F.col(f"__d_ret_{alias}")
+            breaches = (
+                ret <= F.col(alias) if a["fn"] == "min" else ret >= F.col(alias)
+            )
+            rescan_flags.append(
+                ret.isNotNull() & (F.col(alias).isNull() | breaches)
+            )
         else:
             new_cols[f"__mv_cnt_{alias}"] = add(
                 f"__mv_cnt_{alias}", f"__d_cnt_{alias}"
@@ -362,15 +391,37 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
                 new_cols[f"__mv_cnt_{alias}"] > 0,
                 add(f"__mv_sum_{alias}", f"__d_sum_{alias}"),
             )
+    needs_rescan = F.lit(False)
+    for flag in rescan_flags:
+        needs_rescan = needs_rescan | flag
     merged = merged.select(
         *mv["group_cols"],
         F.col(_STAR).isNotNull().alias("__mv_existed__"),
+        needs_rescan.alias("__mv_rescan__"),
         *[c.alias(n) for n, c in new_cols.items()],
     ).localCheckpoint()  # pin against the self-read below
 
     schema_order = [c.name for c in spec.columns]
-    upserts = merged.filter(F.col(_STAR) > 0).select(*schema_order)
-    n_up = catalog.insert(name, upserts)
+    upserts = merged.filter(
+        (F.col(_STAR) > 0) & ~F.col("__mv_rescan__")
+    ).select(*schema_order)
+    # bounded rescan: groups whose stored extremum was retracted are
+    # recomputed from the source — a semi-join-restricted scan touching
+    # only those groups' rows, never the whole view (dead groups skip
+    # the rescan: they are tombstoned regardless)
+    rescan_keys = merged.filter(
+        (F.col(_STAR) > 0) & F.col("__mv_rescan__")
+    ).select(*mv["group_cols"])
+    src = catalog.read(mv["source"])
+    if mv["where"]:
+        src = src.filter(F.expr(mv["where"]))
+    rescanned = (
+        src.join(rescan_keys, mv["group_cols"], "left_semi")
+        .groupBy(*mv["group_cols"])
+        .agg(*_physical_aggs(mv))
+        .select(*schema_order)
+    )
+    n_up = catalog.insert(name, upserts.unionByName(rescanned))
     # phantom groups (born and fully retracted inside one window, or
     # nulled out by WHERE) get no tombstone — they were never in the view
     dead = merged.filter(

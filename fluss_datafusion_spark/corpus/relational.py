@@ -1796,7 +1796,8 @@ def q55_skipping_scan(spark, sf_dir):
                               (1000003, 'Z', 25)) v(k, g, x)
     )
     SELECT g, count(*) AS n, CAST(count(x) AS BIGINT) AS nx,
-           CAST(sum(x) AS BIGINT) AS sx, round(avg(x), 6) AS ax
+           CAST(sum(x) AS BIGINT) AS sx, round(avg(x), 6) AS ax,
+           min(x) AS mn, max(x) AS mx
     FROM s1 GROUP BY g
     """,
 )
@@ -1836,7 +1837,7 @@ def q57_matview_incremental(spark, sf_dir):
     e.sql(
         "CREATE MATERIALIZED VIEW mv_agg AS"
         " SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
-        " avg(x) AS ax FROM mv_src GROUP BY g"
+        " avg(x) AS ax, min(x) AS mn, max(x) AS mx FROM mv_src GROUP BY g"
     )
     e.sql("UPDATE mv_src SET g = 'U1' WHERE k % 97 = 0")
     e.sql("DELETE FROM mv_src WHERE k % 53 = 0")
@@ -1849,5 +1850,5 @@ def q57_matview_incremental(spark, sf_dir):
     e.sql("DELETE FROM mv_src WHERE g = 'U1'")
     e.sql("REFRESH MATERIALIZED VIEW mv_agg")
     return e.sql(
-        "SELECT g, n, nx, sx, round(ax, 6) AS ax FROM mv_agg"
+        "SELECT g, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mv_agg"
     )

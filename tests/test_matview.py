@@ -57,8 +57,10 @@ def test_parse_matview_select():
 
 
 def test_parse_matview_refusals():
-    with pytest.raises(ValueError, match="self-maintainable"):
-        parse_matview_select("SELECT g, max(x) AS m FROM t GROUP BY g")
+    mv = parse_matview_select("SELECT g, max(x) AS m FROM t GROUP BY g")
+    assert mv["aggs"] == [{"fn": "max", "col": "x", "alias": "m"}]
+    with pytest.raises(ValueError, match="not a valid aggregate"):
+        parse_matview_select("SELECT g, min(*) AS m FROM t GROUP BY g")
     with pytest.raises(ValueError, match="unsupported select item"):
         parse_matview_select("SELECT g, x + 1 AS y FROM t GROUP BY g")
     with pytest.raises(ValueError, match="at least one aggregate"):
@@ -195,3 +197,87 @@ def test_matview_refuses_log_source_and_null_groups(spark, tmp_path):
         "SELECT g, sum(x) AS s FROM pkt WHERE g IS NOT NULL GROUP BY g",
     )
     assert e.sql("SELECT * FROM mv").collect() == []
+
+
+def test_matview_minmax_bounded_rescan(spark, tmp_path):
+    """min/max maintenance: inserts fold directly; retracting the stored
+    extremum triggers a per-group rescan (incl. the duplicate-extremum
+    case where the rescan finds the value unchanged); other groups stay
+    delta-maintained."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mv7"))
+    e.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql(
+        "INSERT INTO src VALUES (1,'a',5), (2,'a',9), (3,'a',5),"
+        " (4,'b',100), (5,'b',NULL)"
+    )
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n,"
+        " min(x) AS mn, max(x) AS mx FROM src GROUP BY g"
+    )
+
+    def expect():
+        return sorted(
+            tuple(r) for r in e.sql(
+                "SELECT g, count(*) AS n, min(x) AS mn, max(x) AS mx"
+                " FROM src GROUP BY g"
+            ).collect()
+        )
+
+    assert _got(e) == expect()
+    assert ("a", 3, 5, 9) in _got(e)
+
+    # insert-only: new max folds in without rescan
+    e.sql("INSERT INTO src VALUES (6, 'a', 20)")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == expect()
+
+    # retract ONE of the duplicate minima (5): min must stay 5
+    e.sql("DELETE FROM src WHERE id = 1")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == expect()
+    assert ("a", 3, 5, 20) in _got(e)
+
+    # retract the last minimum: rescan must surface the next one (9)
+    e.sql("DELETE FROM src WHERE id = 3")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == expect()
+    assert ("a", 2, 9, 20) in _got(e)
+
+    # update that moves the maximum DOWN (retraction of 20 via -U)
+    e.sql("UPDATE src SET x = 1 WHERE id = 6")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == expect()
+    assert ("a", 2, 1, 9) in _got(e)
+
+    # all-null group: min/max NULL, then first non-null appears
+    e.sql("UPDATE src SET x = NULL WHERE g = 'b'")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert ("b", 2, None, None) in _got(e)
+    e.sql("UPDATE src SET x = 7 WHERE id = 5")
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert _got(e) == expect()
+    assert ("b", 2, 7, 7) in _got(e)
+
+
+def test_matview_minmax_rescan_is_bounded(spark, tmp_path):
+    """The rescan recomputes ONLY flagged groups: an untouched group's
+    stored row survives a refresh that rescans another group."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mv8"))
+    e.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql("INSERT INTO src VALUES (1,'a',5), (2,'a',8), (3,'b',50), (4,'b',60)")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n,"
+        " min(x) AS mn FROM src GROUP BY g"
+    )
+    e.sql("DELETE FROM src WHERE id = 1")  # retracts a's minimum only
+    r = e.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    # exactly one group rewritten (the rescanned 'a'); 'b' untouched
+    assert r.upserted == 1
+    got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
+    assert got == [("a", 1, 8), ("b", 2, 50)]

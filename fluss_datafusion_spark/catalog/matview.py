@@ -447,3 +447,41 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
 
 def is_matview(catalog, name: str) -> bool:
     return os.path.exists(_mv_path(catalog, name))
+
+
+def matview_refresh_sink(catalog, name: str, checkpoint: str):
+    """CONTINUOUS materialized-view maintenance: follow the source
+    table's log directory as a file stream and re-run
+    :func:`refresh_matview` on every new commit — the Delta Live
+    Tables / Materialize "always fresh" mode, driven by the same
+    exactly-once machinery as manual REFRESH.
+
+    The stream is purely the TRIGGER: each micro-batch's content is
+    discarded, and the refresh itself reads the bounded CDC window from
+    the view's seq checkpoint, so duplicate triggers, replays after
+    restart, and commits that race a running batch are all absorbed by
+    the checkpoint (a refresh that sees no new seq is a no-op).  That
+    keeps one delta implementation — no drift between batch and
+    streaming maintenance.
+
+    Runs with availableNow (catch up over the retained log, then stop —
+    call again to catch up further); swap the trigger for a continuous
+    deployment.  Returns the StreamingQuery.
+    """
+    mv = _load_mv(catalog, name)
+    src_spec = catalog.get_table(mv["source"])
+    stream = (
+        catalog.spark.readStream.schema(catalog._stored_schema(src_spec))
+        .parquet(catalog.table_path(src_spec))
+        .select("__seq__")
+    )
+
+    def _apply(batch_df, batch_id):
+        refresh_matview(catalog, name)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -281,3 +281,26 @@ def test_matview_minmax_rescan_is_bounded(spark, tmp_path):
     assert r.upserted == 1
     got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
     assert got == [("a", 1, 8), ("b", 2, 50)]
+
+
+def test_matview_continuous_refresh_sink(spark, tmp_path):
+    """Streaming maintenance: the refresh sink follows source commits
+    and keeps the view current without manual REFRESH calls; re-running
+    after more DML catches up incrementally (no full rebuild)."""
+    from fluss_datafusion_spark.catalog import matview
+
+    e = _mk(spark, tmp_path, "wh_mv9")
+    e.sql(f"CREATE MATERIALIZED VIEW mv AS {MV_SELECT}")
+    e.sql("INSERT INTO src VALUES (4, 'c', 100)")
+    e.sql("UPDATE src SET x = 11 WHERE id = 1")
+
+    q = matview.matview_refresh_sink(e.catalog, "mv", str(tmp_path / "ckpt9"))
+    q.awaitTermination()
+    assert _got(e) == _expect(e)
+
+    e.sql("DELETE FROM src WHERE id = 4")  # kills group c
+    e.sql("INSERT INTO src VALUES (5, 'b', 2)")
+    q = matview.matview_refresh_sink(e.catalog, "mv", str(tmp_path / "ckpt9"))
+    q.awaitTermination()
+    assert _got(e) == _expect(e)
+    assert not any(row[0] == "c" for row in _got(e))

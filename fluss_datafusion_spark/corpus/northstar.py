@@ -1636,17 +1636,17 @@ def ns_dedup_semantic(spark, sf_dir):
     """,
 )
 def ns_multimodal_jpeg_decode(spark, sf_dir):
-    """REAL JPEG pixel decode — every 3rd document PROGRESSIVE (SOF2,
-    multi-scan successive approximation, r5), the rest baseline SOF0:
-    per document a complete JPEG — DQT, generated DHT Huffman tables,
-    entropy-coded scans with byte stuffing — is synthesized, then
-    ``jpeg_pixel_stats`` Huffman-decodes (incl. DC/AC refinement and
-    EOB runs for the progressive payloads), dequantizes and IDCTs the
-    actual coefficients back.  Flat grayscale images quantize to a
-    single DC coefficient, and with all-ones quant tables the decode
-    is EXACT under either coding (float margin ~1e-12 vs the 0.5
-    rounding threshold), so the oracle states every mean in closed
-    form."""
+    """REAL JPEG pixel decode cycling FOUR codings (r5): baseline
+    grayscale, progressive grayscale (SOF2 successive approximation),
+    baseline SUBSAMPLED 4:2:0 RGB, and PROGRESSIVE+SUBSAMPLED combined
+    (interleaved-MCU DC scans over per-component ceil-block AC
+    extents): per document a complete JPEG — DQT, generated DHT
+    tables, entropy-coded scans with byte stuffing — is synthesized,
+    then ``jpeg_pixel_stats`` Huffman-decodes, dequantizes and IDCTs
+    the actual coefficients back.  Flat images quantize to a single DC
+    coefficient and R=G=B content carries chroma exactly 128, so the
+    decode is EXACT under all four codings and the oracle states every
+    mean in closed form."""
     media = multimodal.synthesize_jpeg_media(
         t(spark, sf_dir, "documents"), id_col="doc_id"
     )

@@ -20,8 +20,10 @@ batch shape) is real and tested.  Decoding has two tiers:
   baseline sequential JPEG (SOF0, 4:4:4/grayscale) — marker walk,
   DHT Huffman entropy decode, dequantize, float64 IDCT, YCbCr→RGB —
   three complete lib-free decode paths from the published specs
-  (T.81 for JPEG).  Progressive/subsampled/12-bit JPEG returns None
-  (graceful skip, the production posture for exotic variants);
+  (T.81 for JPEG).  Baseline, progressive (SOF2), subsampled chroma,
+  progressive+subsampled combined, and restart markers all decode;
+  12-bit precision and arithmetic coding return None (graceful skip,
+  the production posture for genuinely exotic variants);
   ``extract_features(fake=False)`` runs these real decoders and pools
   pixels into a feature vector, yielding null/decoded_ok=false for
   payloads no decoder accepts (``fake=True`` keeps the deterministic
@@ -1219,9 +1221,10 @@ def decode_jpeg_pixels(payload):
     _decode_jpeg_progressive.  8-bit, sampling factors 1-2, no restart
     intervals; marker walk, DHT/DQT tables, Huffman + run-length
     entropy decode, dequantize, float64 IDCT, level shift, YCbCr->RGB.
-    Returns (H, W, C) uint8 (C = 1 or 3) or None for
-    unsupported/invalid payloads (12-bit, arithmetic coding,
-    progressive+subsampled combined).  Pure stdlib+numpy — the
+    Progressive+subsampled COMBINED decodes too (r5: interleaved-MCU
+    DC scans over per-component ceil-block AC extents).  Returns
+    (H, W, C) uint8 (C = 1 or 3) or None for unsupported/invalid
+    payloads (12-bit, arithmetic coding).  Pure stdlib+numpy — the
     published T.81 layout, no libjpeg."""
     import numpy as np
 
@@ -1577,7 +1580,67 @@ class _RefineWriter:
         self._flush_eobrun()
 
 
-def encode_jpeg_progressive(px) -> bytes:
+def _subsampled_block_coefficients(px, factors):
+    """Per-component zigzag DCT coefficient grids for SUBSAMPLED RGB
+    input: returns (h, w, comps, ac_dims, mcu_dims) where comps[ci] is
+    an (mcy*vi, mcx*hi, 64) int64 array padded to the MCU grid,
+    ac_dims[ci] = (cbh, cbw) is the block extent NON-interleaved scans
+    cover (T.81 A.2.2: ceil over the component's own sample dims — the
+    MCU grid may hold extra padding blocks whose AC is never coded),
+    and mcu_dims = (mcy, mcx)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("subsampled encoding needs an (H, W, 3) array")
+    h, w = px.shape[:2]
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    full = [np.round(c).clip(0, 255) for c in (y, cb, cr)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    C = _dct_matrix()
+    comps, ac_dims = [], []
+    for (hi, vi), plane in zip(factors, full):
+        fx, fy = hmax // hi, vmax // vi
+        if fx > 1 or fy > 1:
+            ph = (plane.shape[0] + fy - 1) // fy * fy
+            pw = (plane.shape[1] + fx - 1) // fx * fx
+            padded = np.pad(
+                plane,
+                ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                mode="edge",
+            )
+            plane = np.round(
+                padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            )
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        ac_dims.append(((ch + 7) // 8, (cw + 7) // 8))
+        th, tw = mcy * vi * 8, mcx * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        grid = np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int64)
+        for by in range(mcy * vi):
+            for bx in range(mcx * hi):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefb = np.round(C @ block @ C.T).astype(np.int64)
+                grid[by, bx] = coefb.flat[_JPEG_ZIGZAG]
+        comps.append(grid)
+    return h, w, comps, ac_dims, (mcy, mcx)
+
+
+def encode_jpeg_progressive(px, factors=None) -> bytes:
     """Encode uint8 grayscale (H, W) or RGB (H, W, 3) as a PROGRESSIVE
     JPEG (SOF2) exercising BOTH progressive dimensions: spectral
     selection (separate DC and AC scans) and successive approximation
@@ -1586,12 +1649,42 @@ def encode_jpeg_progressive(px) -> bytes:
     all-ones quantization as encode_jpeg_baseline, so the quantized
     coefficients — and therefore the decoded pixels — are IDENTICAL to
     the baseline encoding of the same array (the cross-codec oracle
-    tests/test_properties.py pins)."""
-    h, w, comps = _jpeg_block_coefficients(px)
-    ncomp = len(comps)
+    tests/test_properties.py pins).
+
+    ``factors`` (e.g. ``((2, 2), (1, 1), (1, 1))`` = 4:2:0) combines
+    BOTH exotic dimensions — progressive scans over subsampled chroma:
+    DC scans walk the interleaved MCU grid (per-component hi x vi
+    blocks per MCU, T.81 A.2.3), while each AC scan walks only its own
+    component's ceil-block extent (A.2.2 — the MCU grid's padding
+    blocks carry DC but never AC).  Quantized coefficients match
+    ``encode_jpeg_subsampled`` with the same factors exactly."""
+    if factors is None:
+        h, w, comps = _jpeg_block_coefficients(px)
+        ncomp = len(comps)
+        bh, bwid = comps[0].shape[:2]
+        factors = [(1, 1)] * ncomp
+        ac_dims = [(bh, bwid)] * ncomp
+        mcu_order = [
+            (ci, by, bx)
+            for by in range(bh)
+            for bx in range(bwid)
+            for ci in range(ncomp)
+        ]
+    else:
+        h, w, comps, ac_dims, (mcy, mcx) = _subsampled_block_coefficients(
+            px, factors
+        )
+        ncomp = len(comps)
+        mcu_order = [
+            (ci, my * vi + bv, mx * hi + bhh)
+            for my in range(mcy)
+            for mx in range(mcx)
+            for ci, (hi, vi) in enumerate(factors)
+            for bv in range(vi)
+            for bhh in range(hi)
+        ]
     dc_tab = _huff_encode_table(_ENC_DC_COUNTS, _ENC_DC_SYMBOLS)
     ac_tab = _huff_encode_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
-    bh, bwid = comps[0].shape[:2]
 
     scans = []  # (sos_body, entropy_bytes)
 
@@ -1604,17 +1697,15 @@ def encode_jpeg_progressive(px) -> bytes:
     # scan 1: DC first (interleaved, Al=1) — diff-coded arithmetic shift
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(ncomp):
-                v = int(comps[ci][by, bx, 0]) >> 1
-                diff = v - pred[ci]
-                pred[ci] = v
-                s, bits = _magnitude_bits(diff)
-                code, length = dc_tab[s]
-                bw.put(code, length)
-                if s:
-                    bw.put(bits, s)
+    for ci, by, bx in mcu_order:
+        v = int(comps[ci][by, bx, 0]) >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        s, bits = _magnitude_bits(diff)
+        code, length = dc_tab[s]
+        bw.put(code, length)
+        if s:
+            bw.put(bits, s)
     scans.append(
         (sos(list(range(1, ncomp + 1)), [0x00] * ncomp, 0, 0, 0, 1),
          bw.flush())
@@ -1622,10 +1713,8 @@ def encode_jpeg_progressive(px) -> bytes:
 
     # scan 2: DC refinement (Al=0) — one raw bit per block, MCU order
     bw = _BitWriter()
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(ncomp):
-                bw.put(int(comps[ci][by, bx, 0]) & 1, 1)
+    for ci, by, bx in mcu_order:
+        bw.put(int(comps[ci][by, bx, 0]) & 1, 1)
     scans.append(
         (sos(list(range(1, ncomp + 1)), [0x00] * ncomp, 0, 0, 1, 0),
          bw.flush())
@@ -1647,8 +1736,9 @@ def encode_jpeg_progressive(px) -> bytes:
                     bw.put(n - (1 << r), r)
                 eobrun -= n
 
-        for by in range(bh):
-            for bx in range(bwid):
+        cbh, cbw = ac_dims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
                 zz = comps[ci][by, bx]
                 vals = [_trunc_shift(int(zz[k]), 1) for k in range(64)]
                 last = 0
@@ -1686,8 +1776,9 @@ def encode_jpeg_progressive(px) -> bytes:
         # low bit); runs count zero-history positions only
         bw = _BitWriter()
         rw = _RefineWriter(bw, ac_tab)
-        for by in range(bh):
-            for bx in range(bwid):
+        cbh, cbw = ac_dims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
                 zz = comps[ci][by, bx]
                 last = 0
                 for k in range(63, 0, -1):
@@ -1751,8 +1842,8 @@ def encode_jpeg_progressive(px) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])
+    for cid, (hi, vi) in zip(range(1, ncomp + 1), factors):
+        sof += bytes([cid, (hi << 4) | vi, 0])
     out += seg(0xFFC2, sof)  # SOF2: progressive
     out += seg(
         0xFFC4, bytes([0x00]) + bytes(_ENC_DC_COUNTS) + bytes(_ENC_DC_SYMBOLS)
@@ -1825,12 +1916,23 @@ def _decode_jpeg_progressive(b: bytes):
                 return None
             for k in range(nc):
                 cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     return None
-                comps.append((cid, tq))
-            bh, bwid = (h + 7) // 8, (w + 7) // 8
-            for ci in range(nc):
-                coef[ci] = np.zeros((bh, bwid, 64), dtype=np.int64)
+                comps.append((cid, tq, hi, vi))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            mcx = (w + 8 * hmax - 1) // (8 * hmax)
+            mcy = (h + 8 * vmax - 1) // (8 * vmax)
+            ac_dims = []
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
+                # interleaved (MCU) grid holds every coded block; AC
+                # scans only ever cover the component's own ceil-block
+                # extent (T.81 A.2.2 vs A.2.3)
+                coef[ci] = np.zeros((mcy * vi, mcx * hi, 64), dtype=np.int64)
+                cw = (w * hi + hmax - 1) // hmax
+                ch = (h * vi + vmax - 1) // vmax
+                ac_dims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif marker == 0xDD:
             (dri,) = struct.unpack(">H", body[:2])
             if dri != 0:
@@ -1843,7 +1945,7 @@ def _decode_jpeg_progressive(b: bytes):
             for k in range(ns):
                 cid, tabs = body[1 + 2 * k : 3 + 2 * k]
                 ci = next(
-                    (n for n, (c, _q) in enumerate(comps) if c == cid), None
+                    (n for n, c in enumerate(comps) if c[0] == cid), None
                 )
                 if ci is None:
                     return None
@@ -1852,32 +1954,47 @@ def _decode_jpeg_progressive(b: bytes):
             ah, al = aa >> 4, aa & 0xF
             end = scan_end(i + 2 + seglen)
             reader = _BitReader(b[i + 2 + seglen : end])
-            bh, bwid = (h + 7) // 8, (w + 7) // 8
             eobrun = 0
             try:
-                if ss == 0:  # DC scan (interleaved allowed)
+                if ss == 0:  # DC scan
                     pred = [0] * len(sc)
-                    for by in range(bh):
-                        for bx in range(bwid):
-                            for si, (ci, dct, _act) in enumerate(sc):
-                                if ah == 0:
-                                    s = _huff_read(reader, dc_tables[dct])
-                                    diff = (
-                                        _extend(reader.bits(s), s) if s else 0
-                                    )
-                                    pred[si] += diff
-                                    coef[ci][by, bx, 0] = pred[si] << al
-                                else:  # refinement: one raw bit
-                                    coef[ci][by, bx, 0] += (
-                                        reader.bit() << al
-                                    )
+                    if len(sc) > 1:  # interleaved: MCU order, hi x vi
+                        # blocks per component per MCU (T.81 A.2.3)
+                        targets = [
+                            (si, ci, dct, my * comps[ci][3] + bv,
+                             mx * comps[ci][2] + bhh)
+                            for my in range(mcy)
+                            for mx in range(mcx)
+                            for si, (ci, dct, _act) in enumerate(sc)
+                            for bv in range(comps[ci][3])
+                            for bhh in range(comps[ci][2])
+                        ]
+                    else:  # non-interleaved: the component's own extent
+                        ci0, dct0, _act0 = sc[0]
+                        cbh, cbw = ac_dims[ci0]
+                        targets = [
+                            (0, ci0, dct0, by, bx)
+                            for by in range(cbh)
+                            for bx in range(cbw)
+                        ]
+                    for si, ci, dct, by, bx in targets:
+                        if ah == 0:
+                            s = _huff_read(reader, dc_tables[dct])
+                            diff = (
+                                _extend(reader.bits(s), s) if s else 0
+                            )
+                            pred[si] += diff
+                            coef[ci][by, bx, 0] = pred[si] << al
+                        else:  # refinement: one raw bit
+                            coef[ci][by, bx, 0] += reader.bit() << al
                 else:  # AC scan: single component, non-interleaved
                     if len(sc) != 1 or se > 63 or ss > se:
                         return None
                     ci, _dct, act = sc[0]
                     table = ac_tables[act]
-                    for by in range(bh):
-                        for bx in range(bwid):
+                    cbh, cbw = ac_dims[ci]
+                    for by in range(cbh):
+                        for bx in range(cbw):
                             zz = coef[ci][by, bx]
                             if ah == 0:  # first scan
                                 if eobrun > 0:
@@ -1963,20 +2080,24 @@ def _decode_jpeg_progressive(b: bytes):
         return None
 
     C = _dct_matrix()
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
-        plane = np.zeros((bh * 8, bwid * 8))
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        gh, gw = coef[ci].shape[:2]
+        plane = np.zeros((gh * 8, gw * 8))
         q = qt.get(tq)
         if q is None:
             return None
-        for by in range(bh):
-            for bx in range(bwid):
+        for by in range(gh):
+            for bx in range(gw):
                 dq = np.zeros(64, dtype=np.float64)
                 dq[_JPEG_ZIGZAG] = coef[ci][by, bx] * q
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     C.T @ dq.reshape(8, 8) @ C
                 )
+        # upsample subsampled planes by pixel replication, then crop
+        fx, fy = hmax // hi, vmax // vi
+        if fx > 1 or fy > 1:
+            plane = np.kron(plane, np.ones((fy, fx)))
         planes.append(plane[:h, :w] + 128.0)
     if len(planes) == 1:
         return (
@@ -2025,15 +2146,16 @@ def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
 
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One complete JPEG per id: a flat grayscale image of value
-    (37*id + 11) % 256 at (id%16+1) x ((5*id)%16+1) — every 3rd id
-    encoded PROGRESSIVE (SOF2, multi-scan successive approximation,
-    r5), the rest baseline SOF0, so the decode oracle exercises both
-    entropy layouts.  A constant image's blocks quantize to a single
-    DC coefficient, and with all-ones quant tables the decode
-    reproduces the value EXACTLY (float rounding margin ~1e-12 against
-    the 0.5 rounding threshold), so per-channel means are
-    SQL-predictable to the last bit for either coding."""
+    """One complete JPEG per id: a flat image of value (37*id+11)%256
+    at (id%16+1) x ((5*id)%16+1), cycling through FOUR codings so the
+    decode oracle exercises every entropy layout: id%6==0 PROGRESSIVE
+    + SUBSAMPLED 4:2:0 RGB (the combined case, r5), other id%3==0
+    progressive grayscale, id%6==2 baseline subsampled RGB, the rest
+    baseline grayscale.  A constant image's blocks quantize to a
+    single DC coefficient, and with all-ones quant tables the decode
+    reproduces the value EXACTLY for every coding — R=G=B content has
+    chroma exactly 128, so 4:2:0 box-average/replication is lossless
+    too — making per-channel means SQL-predictable to the last bit."""
 
     def _jpg(i: int) -> bytes:
         import numpy as np
@@ -2041,10 +2163,16 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         w = i % 16 + 1
         h = (5 * i) % 16 + 1
         v = (37 * i + 11) % 256
-        px = np.full((h, w), v, dtype=np.uint8)
+        f420 = ((2, 2), (1, 1), (1, 1))
+        if i % 6 == 0:
+            rgb = np.full((h, w, 3), v, dtype=np.uint8)
+            return encode_jpeg_progressive(rgb, factors=f420)
         if i % 3 == 0:
-            return encode_jpeg_progressive(px)
-        return encode_jpeg_baseline(px)
+            return encode_jpeg_progressive(np.full((h, w), v, dtype=np.uint8))
+        if i % 6 == 2:
+            rgb = np.full((h, w, 3), v, dtype=np.uint8)
+            return encode_jpeg_subsampled(rgb, factors=f420)
+        return encode_jpeg_baseline(np.full((h, w), v, dtype=np.uint8))
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -387,3 +387,32 @@ def test_jpeg_restart_interval_roundtrip(w, h, gray, dri, seed):
         mm.encode_jpeg_baseline(px, restart_interval=dri)
     )
     assert with_rst is not None and (with_rst == plain).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(4, 40),
+    h=st.integers(4, 40),
+    horiz_only=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_subsampled_matches_baseline_subsampled(
+    w, h, horiz_only, seed
+):
+    """BOTH exotic dimensions combined — progressive scans over
+    subsampled chroma: the quantized coefficients are identical to the
+    baseline subsampled encoder's, so the decoded pixels must be
+    BIT-IDENTICAL for any content, any dims (incl. the MCU-padding
+    case where the luma DC grid exceeds the AC scan extent, e.g. 8x8
+    at 4:2:0)."""
+    import numpy as np
+
+    factors = (
+        ((2, 1), (1, 1), (1, 1)) if horiz_only else ((2, 2), (1, 1), (1, 1))
+    )
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = mm.decode_jpeg_pixels(mm.encode_jpeg_subsampled(px, factors))
+    prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px, factors))
+    assert prog is not None
+    assert np.array_equal(base, prog)

@@ -370,10 +370,84 @@ class FlussCatalog:
 
     # -- read path ----------------------------------------------------------
 
+    # -- commit timestamps (timestamp-based time travel) --------------------
+
+    def _commits_path(self, spec: TableSpec) -> str:
+        return os.path.join(self.table_path(spec), "_commits.json")
+
+    def _load_commits(self, spec: TableSpec) -> Dict[int, float]:
+        import json
+
+        try:
+            with open(self._commits_path(spec)) as fh:
+                return {int(k): float(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _record_commit(self, spec: TableSpec, seq: int) -> None:
+        """Stamp a statement's wall-clock commit time (epoch seconds) —
+        the seq↔time mapping behind ``read(as_of_ts=...)``.  Best
+        effort like the stats harvest: a failure must not fail the
+        write."""
+        import json
+        import time
+
+        try:
+            commits = self._load_commits(spec)
+            commits[int(seq)] = time.time()
+            path = self._commits_path(spec)
+            with open(path + ".tmp", "w") as fh:
+                json.dump(commits, fh)
+            os.replace(path + ".tmp", path)
+        except Exception:
+            pass
+
+    def _save_commits(self, spec: TableSpec, commits: Dict[int, float]) -> None:
+        import json
+
+        try:
+            if not commits:
+                return
+            path = self._commits_path(spec)
+            with open(path + ".tmp", "w") as fh:
+                json.dump(commits, fh)
+            os.replace(path + ".tmp", path)
+        except Exception:
+            pass
+
+    def resolve_timestamp(self, name: str, ts) -> int:
+        """Resolve a wall-clock timestamp to the statement seq in effect
+        at that moment: the highest seq committed at or before ``ts``
+        (datetime, ISO string — naive strings read as UTC — or epoch
+        seconds).  Raises if ``ts`` precedes the table's first recorded
+        commit, mirroring Delta's TIMESTAMP AS OF contract."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            parsed = _dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            epoch = parsed.timestamp()
+        elif isinstance(ts, _dt.datetime):
+            parsed = ts if ts.tzinfo else ts.replace(tzinfo=_dt.timezone.utc)
+            epoch = parsed.timestamp()
+        else:
+            epoch = float(ts)
+        spec = self.get_table(name)
+        commits = self._load_commits(spec)
+        eligible = [s for s, t in commits.items() if t <= epoch]
+        if not eligible:
+            raise ValueError(
+                f"no commit of {spec.qualified_name} at or before {ts!r}"
+                + (" (table has no recorded commits)" if not commits else "")
+            )
+        return max(eligible)
+
     def read(
         self,
         name: str,
         as_of_seq: Optional[int] = None,
+        as_of_ts=None,
         predicate: Optional[str] = None,
     ) -> DataFrame:
         """Snapshot read.  For PK tables: merged (upserted) current state.
@@ -386,6 +460,10 @@ class FlussCatalog:
         ``as_of_seq`` (PK tables only) time-travels: the state as of
         statement sequence N — the log's ``__seq__`` stamps ARE offsets,
         so a historical snapshot is just a filter below the merge.
+        ``as_of_ts`` is the wall-clock form (Delta's TIMESTAMP AS OF):
+        resolved to the highest seq committed at or before it via the
+        per-statement commit stamps in ``_commits.json``, then follows
+        the same path (incl. the compaction-floor refusal).
 
         ``predicate`` (SQL boolean expression over the table's columns)
         is a *skipping scan*: simple comparisons prune whole files via
@@ -396,6 +474,10 @@ class FlussCatalog:
         ``read(name).filter(predicate)``.
         """
         spec = self.get_table(name)
+        if as_of_ts is not None:
+            if as_of_seq is not None:
+                raise ValueError("pass as_of_seq or as_of_ts, not both")
+            as_of_seq = self.resolve_timestamp(name, as_of_ts)
         if as_of_seq is None:
             log = self._log_df(spec, prune_predicate=predicate)
         else:
@@ -716,6 +798,7 @@ class FlussCatalog:
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
         Returns the list of parquet files this write created."""
         writer_df = aligned
+        seq = None
         if spec.has_primary_key:
             seq = self._next_seq(spec)
             writer_df = (
@@ -743,6 +826,8 @@ class FlussCatalog:
         # incremental footer-stats harvest for the skipping scan
         # (never fails the write — see skipping.add_files)
         skipping.add_files(path, new_files)
+        if seq is not None:
+            self._record_commit(spec, seq)
         return new_files
 
     def delete(self, name: str, key_value) -> int:
@@ -1343,12 +1428,14 @@ class FlussCatalog:
             writer = shuffled.write.mode("overwrite").partitionBy(*partition_cols)
         else:
             writer = log.repartition(n_files).write.mode("overwrite")
+        commits = self._load_commits(spec)
         writer.parquet(tmp)
         current = self._current_seq(spec)
         _swap_dir(path, tmp)
         if spec.has_primary_key:
             self._seq[spec.qualified_name] = current
         self._save_spec(spec)
+        self._save_commits(spec, commits)
         self._register_view(spec)
         files = _parquet_files(path)
         try:
@@ -1390,10 +1477,12 @@ class FlussCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
         current = self._current_seq(spec)  # recover BEFORE the log vanishes
+        commits = self._load_commits(spec)
         _swap_dir(path, tmp)
         self._seq[spec.qualified_name] = current
         self._floor[spec.qualified_name] = current
         self._save_spec(spec)  # compaction replaced the dir; restore + floor
+        self._save_commits(spec, commits)
         self._register_view(spec)
         try:
             skipping.rebuild(path, sorted(_parquet_files(path)))

@@ -271,7 +271,11 @@ class EngineSession:
           visible): every write ever made, pre-merge observability;
         - ``t$v<N>`` — time travel: the table as of statement sequence N
           (``catalog.read(as_of_seq=N)``; refuses pre-compaction-floor
-          anchors like the API does).
+          anchors like the API does);
+        - ``t$at('<timestamp>')`` — wall-clock time travel (Delta's
+          TIMESTAMP AS OF, r5): the ISO timestamp (naive = UTC) or
+          epoch seconds resolves to the highest statement committed at
+          or before it via the per-statement commit stamps.
 
         Each view snapshots the log at bind time — the same
         read-to-latest semantics as every other scan here."""
@@ -279,7 +283,8 @@ class EngineSession:
 
         pattern = re.compile(
             r"`?([\w.]+)\$(changelog|history"
-            r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+))`?"
+            r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+)"
+            r"|at\('([^']*)'\))`?"
         )
 
         def bind(match):
@@ -299,6 +304,11 @@ class EngineSession:
                 to = int(match.group(4)) if match.group(4) else None
                 view = f"__changes_{frm}_{to if to is not None else 'x'}__{tbl}"
                 df = self.catalog.read_changes(table, frm, to)
+            elif kind.startswith("at("):
+                ts = match.group(6)
+                seq = self.catalog.resolve_timestamp(table, ts)
+                view = f"__at{seq}__{tbl}"
+                df = self.catalog.read(table, as_of_seq=seq)
             else:
                 view = f"__v{match.group(5)}__{tbl}"
                 df = self.catalog.read(table, as_of_seq=int(match.group(5)))

@@ -1,0 +1,75 @@
+"""Timestamp-based time travel (read(as_of_ts=...) / t$at('...')):
+per-statement commit stamps resolve wall-clock anchors to seq anchors,
+survive optimize/compact/clone, and respect the compaction floor."""
+
+import datetime
+import time
+
+import pytest
+
+from fluss_datafusion_spark import EngineSession
+
+
+def _mk(spark, tmp_path, name):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / name))
+    e.sql("CREATE TABLE t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    return e
+
+
+def _rows(df):
+    return sorted((r.id, r.v) for r in df.collect())
+
+
+def test_as_of_ts_resolves_between_statements(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_ts1")
+    t0 = time.time()
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    e.sql("INSERT INTO t VALUES (1, 'a2'), (2, 'b')")
+    t2 = time.time()
+
+    assert _rows(e.catalog.read("t", as_of_ts=t1)) == [(1, "a")]
+    assert _rows(e.catalog.read("t", as_of_ts=t2)) == [(1, "a2"), (2, "b")]
+    # datetime and ISO-string forms (naive = UTC)
+    iso = datetime.datetime.fromtimestamp(
+        t1, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    assert _rows(e.catalog.read("t", as_of_ts=iso)) == [(1, "a")]
+    got = _rows(e.sql(f"SELECT id, v FROM t$at('{iso}')"))
+    assert got == [(1, "a")]
+
+    with pytest.raises(ValueError, match="no commit"):
+        e.catalog.resolve_timestamp("t", t0)
+    with pytest.raises(ValueError, match="not both"):
+        e.catalog.read("t", as_of_seq=1, as_of_ts=t1)
+
+
+def test_as_of_ts_survives_optimize_and_clone(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_ts2")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    e.sql("INSERT INTO t VALUES (2, 'b')")
+    e.catalog.optimize("t")  # dir swap must carry _commits.json
+    assert _rows(e.catalog.read("t", as_of_ts=t1)) == [(1, "a")]
+    e.sql("CREATE TABLE t2 CLONE t")  # commit stamps carry to the clone
+    assert _rows(e.catalog.read("t2", as_of_ts=t1)) == [(1, "a")]
+
+
+def test_as_of_ts_respects_compaction_floor(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_ts3")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    e.sql("INSERT INTO t VALUES (1, 'a2')")
+    e.catalog.compact("t")
+    # the anchor resolves to a pre-floor seq -> refused, like read(as_of_seq)
+    with pytest.raises(ValueError, match="compaction"):
+        e.catalog.read("t", as_of_ts=t1).collect()
+    # post-compaction commits keep resolving
+    e.sql("INSERT INTO t VALUES (3, 'c')")
+    assert (3, "c") in _rows(e.catalog.read("t", as_of_ts=time.time()))

@@ -222,6 +222,34 @@ class FlussCatalog:
         self._save_spec(spec)
         self._register_view(spec)
 
+    def add_check_constraint(self, name: str, cname: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT cname CHECK (expr): existing rows
+        must already satisfy it (one validation scan, the Delta
+        contract), then future writes enforce it."""
+        spec = self.get_table(name)
+        if cname in spec.check_constraints:
+            raise ValueError(f"constraint already exists: {cname}")
+        bad = (
+            self.read(name)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {cname} ({expr}): existing "
+                f"rows of {spec.qualified_name} violate it"
+            )
+        spec.check_constraints[cname] = expr
+        self._save_spec(spec)
+
+    def drop_check_constraint(self, name: str, cname: str) -> None:
+        spec = self.get_table(name)
+        if cname not in spec.check_constraints:
+            raise KeyError(f"constraint not found: {cname}")
+        del spec.check_constraints[cname]
+        self._save_spec(spec)
+
     def drop_table(self, name: str) -> None:
         db, table = self._resolve(name)
         spec = self.databases[db].pop(table)
@@ -797,6 +825,23 @@ class FlussCatalog:
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
         Returns the list of parquet files this write created."""
+        if not deleted and spec.check_constraints:
+            # CHECK semantics: a row violates only when the expression is
+            # FALSE (NULL passes).  The input is pinned first so a
+            # non-deterministic source is not executed twice with
+            # different rows for the check and the write.
+            aligned = aligned.localCheckpoint()
+            for cname, expr in spec.check_constraints.items():
+                bad = (
+                    aligned.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                    .limit(1)
+                    .count()
+                )
+                if bad:
+                    raise ValueError(
+                        f"CHECK constraint {cname} ({expr}) violated by "
+                        f"rows written to {spec.qualified_name}"
+                    )
         writer_df = aligned
         seq = None
         if spec.has_primary_key:

@@ -31,6 +31,10 @@ from fluss_datafusion_spark.catalog.metadata import (
 from fluss_datafusion_spark.sql.dialect import parse_qualified_name, strip_quotes
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+", re.IGNORECASE)
+_CHECK_RE = re.compile(
+    r"^\s*(?:CONSTRAINT\s+(`?[\w]+`?)\s+)?CHECK\s*\((.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE)?)\s+"
     r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)",
@@ -184,10 +188,17 @@ def parse_create_table(sql: str, default_database: str = "fluss") -> TableSpec:
 
     columns: List[ColumnSpec] = []
     primary_key: List[str] = []
+    check_constraints = {}
     for item in _split_top_level(block):
         pk_match = _PK_RE.match(item)
+        check_match = _CHECK_RE.match(item)
         if pk_match:
             primary_key = _parse_name_list(pk_match.group(1))
+        elif check_match:
+            cname = strip_quotes(
+                check_match.group(1) or f"check_{len(check_constraints)}"
+            )
+            check_constraints[cname] = check_match.group(2).strip()
         else:
             columns.append(_parse_column(item))
 
@@ -242,6 +253,7 @@ def parse_create_table(sql: str, default_database: str = "fluss") -> TableSpec:
         num_buckets=num_buckets,
         properties=properties,
         comment=comment,
+        check_constraints=check_constraints,
     )
     _validate(spec)
     return spec
@@ -385,6 +397,20 @@ def parse_alter_table(sql: str):
         return None
     target = ".".join(parse_qualified_name(match.group(1)))
     body = match.group(2).strip()
+    addc = re.match(
+        r"^ADD\s+CONSTRAINT\s+(`?[\w]+`?)\s+CHECK\s*\((.*)\)\s*$",
+        body, re.IGNORECASE | re.DOTALL,
+    )
+    if addc:
+        return target, (
+            "add_constraint",
+            (strip_quotes(addc.group(1)), addc.group(2).strip()),
+        )
+    dropc = re.match(
+        r"^DROP\s+CONSTRAINT\s+(`?[\w]+`?)\s*$", body, re.IGNORECASE
+    )
+    if dropc:
+        return target, ("drop_constraint", strip_quotes(dropc.group(1)))
     add = _ALTER_ADD_RE.match(body)
     if add:
         name = strip_quotes(add.group(1))

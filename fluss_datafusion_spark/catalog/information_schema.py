@@ -268,6 +268,11 @@ def format_create_table_sql(spec: TableSpec) -> str:
     if spec.primary_key:
         pk = ", ".join(quote_identifier(k) for k in spec.primary_key)
         col_lines.append(f"  PRIMARY KEY ({pk})")
+    for cname in sorted(spec.check_constraints):
+        col_lines.append(
+            f"  CONSTRAINT {quote_identifier(cname)} CHECK "
+            f"({spec.check_constraints[cname]})"
+        )
     lines.append(",\n".join(col_lines))
     lines.append(")")
     if spec.comment:

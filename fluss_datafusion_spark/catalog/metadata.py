@@ -107,6 +107,9 @@ class TableSpec:
     num_buckets: Optional[int] = None
     properties: Dict[str, str] = field(default_factory=dict)
     comment: Optional[str] = None
+    # CHECK constraints: {name: boolean SQL expr}; violation = expr is
+    # FALSE (NULL passes, the SQL-standard CHECK semantics)
+    check_constraints: Dict[str, str] = field(default_factory=dict)
 
     @property
     def has_primary_key(self) -> bool:

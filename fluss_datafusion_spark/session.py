@@ -173,6 +173,10 @@ class EngineSession:
                 self.catalog.add_column(target, payload)
             elif action == "drop":
                 self.catalog.drop_column(target, payload)
+            elif action == "add_constraint":
+                self.catalog.add_check_constraint(target, *payload)
+            elif action == "drop_constraint":
+                self.catalog.drop_check_constraint(target, payload)
             else:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)

@@ -178,6 +178,37 @@ def register_views(catalog, include_stats: bool = True) -> None:
         "column_name string, min_value string, max_value string",
     ).createOrReplaceTempView("information_schema_file_stats")
 
+    # Materialized views (r5): definition + maintenance checkpoint per
+    # view, the observability side of catalog/matview.py
+    from fluss_datafusion_spark.catalog import matview as _mv
+
+    mviews = []
+    for s in specs:
+        qname = s.qualified_name
+        if not _mv.is_matview(catalog, qname):
+            continue
+        m = _mv._load_mv(catalog, qname)
+        mviews.append(
+            (
+                s.database,
+                s.name,
+                m["source"],
+                ", ".join(m["group_cols"]),
+                ", ".join(
+                    f"{a['fn']}({a['col'] or '*'}) AS {a['alias']}"
+                    for a in m["aggs"]
+                ),
+                m.get("where"),
+                m.get("last_seq"),
+            )
+        )
+    spark.createDataFrame(
+        mviews,
+        "table_schema string, table_name string, source_table string, "
+        "group_columns string, aggregates string, where_clause string, "
+        "last_refresh_seq long",
+    ).createOrReplaceTempView("information_schema_materialized_views")
+
 
 def _list_partitions(catalog, spec: TableSpec):
     """(partition_id, partition_name value1$value2, qualified k1=v1/k2=v2).

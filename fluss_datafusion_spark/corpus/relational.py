@@ -1852,3 +1852,36 @@ def q57_matview_incremental(spark, sf_dir):
     return e.sql(
         "SELECT g, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mv_agg"
     )
+
+
+@query(
+    "q58_lateral_join", extended=True,
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey <= 200
+    """,
+)
+def q58_lateral_join(spark, sf_dir):
+    """LATERAL correlated subquery (Spark 3.2+ lateral join): per
+    customer, their top-2 orders by price — the per-row-subquery shape
+    window functions also express, but as the SQL-standard LATERAL
+    spelling a Postgres/DuckDB user ports directly.  Catalyst plans
+    the correlation as a join + per-key ranking, not N subquery
+    executions."""
+    v(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 200
+        """
+    )

@@ -304,3 +304,25 @@ def test_matview_continuous_refresh_sink(spark, tmp_path):
     q.awaitTermination()
     assert _got(e) == _expect(e)
     assert not any(row[0] == "c" for row in _got(e))
+
+
+def test_information_schema_materialized_views(spark, tmp_path):
+    from fluss_datafusion_spark.catalog import information_schema
+
+    e = _mk(spark, tmp_path, "wh_mv10")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, sum(x) AS sx"
+        " FROM src WHERE x > 0 GROUP BY g"
+    )
+    information_schema.register_views(e.catalog, include_stats=False)
+    rows = e.spark.sql(
+        "SELECT * FROM information_schema_materialized_views"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.table_name == "mv" and r.source_table == "src"
+    assert r.group_columns == "g" and "sum(x) AS sx" in r.aggregates
+    assert r.where_clause == "x > 0"
+    assert r.last_refresh_seq == e.catalog.current_seq("src")
+    # plain tables don't appear
+    assert all(row.table_name != "src" for row in rows)

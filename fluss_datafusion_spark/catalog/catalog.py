@@ -194,6 +194,13 @@ class FlussCatalog:
             raise ValueError(
                 f"column already exists: {spec.qualified_name}.{col.name}"
             )
+        if any(c.stored_name == col.name for c in spec.columns):
+            # a renamed column still occupies this name ON DISK: a new
+            # column stored under it would alias the old data
+            raise ValueError(
+                f"column name {col.name} is still used as the physical "
+                f"(on-disk) name of a renamed column; pick another name"
+            )
         if not col.nullable:
             raise ValueError("ADD COLUMN must be nullable")
         spec.columns.append(col)
@@ -219,6 +226,53 @@ class FlussCatalog:
         if not remaining:
             raise ValueError("cannot drop the last column")
         spec.columns[:] = remaining
+        self._save_spec(spec)
+        self._register_view(spec)
+
+    def _to_logical(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        for col in spec.columns:
+            if col.physical_name and col.physical_name != col.name:
+                df = df.withColumnRenamed(col.physical_name, col.name)
+        return df
+
+    def _to_physical(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        for col in spec.columns:
+            if col.physical_name and col.physical_name != col.name:
+                df = df.withColumnRenamed(col.name, col.physical_name)
+        return df
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN old TO new — column mapping
+        (the Delta approach): the spec records the on-disk physical
+        name and reads/writes translate at the boundary, so NO data
+        file is rewritten.  PK / partition / bucket columns refuse
+        (their names are baked into layout directories and merge
+        semantics), as does a column referenced by a CHECK constraint
+        (the stored expression would silently stop binding)."""
+        import re as _re
+
+        spec = self.get_table(name)
+        col = spec.column(old)  # KeyError if absent
+        if any(c.name == new for c in spec.columns):
+            raise ValueError(f"column already exists: {new}")
+        protected = (
+            set(spec.primary_key)
+            | set(spec.partition_keys or [])
+            | set(spec.bucket_keys or [])
+        )
+        if old in protected:
+            raise ValueError(
+                f"cannot rename {old}: primary-key/partition/bucket "
+                "columns are load-bearing for layout and merge semantics"
+            )
+        for cname, expr in spec.check_constraints.items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"cannot rename {old}: CHECK constraint {cname} "
+                    f"({expr}) references it — drop the constraint first"
+                )
+        col.physical_name = col.stored_name  # pin what's on disk
+        col.name = new
         self._save_spec(spec)
         self._register_view(spec)
 
@@ -713,7 +767,9 @@ class FlussCatalog:
     ) -> DataFrame:
         path = self.table_path(spec)
         if not _has_data(path):
-            return self.spark.createDataFrame([], self._stored_schema(spec))
+            return self.spark.createDataFrame(
+                [], self._stored_schema(spec, physical=False)
+            )
         if prune_predicate:
             # File skipping: drop files whose footer min/max prove the
             # predicate can't match.  PK tables restrict pruning to PK
@@ -723,21 +779,31 @@ class FlussCatalog:
             # (partition keys, __bkt__) populated for an explicit list.
             allowed = list(spec.primary_key) if spec.has_primary_key else None
             files = sorted(_parquet_files(path))
-            kept = skipping.prune(path, files, prune_predicate, allowed)
+            rename_map = {
+                c.name: c.physical_name
+                for c in spec.columns
+                if c.physical_name and c.physical_name != c.name
+            }
+            kept = skipping.prune(
+                path, files, prune_predicate, allowed, rename_map=rename_map
+            )
             if len(kept) < len(files):
                 if not kept:
                     return self.spark.createDataFrame(
-                        [], self._stored_schema(spec)
+                        [], self._stored_schema(spec, physical=False)
                     )
-                return (
+                return self._to_logical(
+                    spec,
                     self.spark.read.schema(self._stored_schema(spec))
                     .option("basePath", path)
-                    .parquet(*kept)
+                    .parquet(*kept),
                 )
-        return self.spark.read.schema(self._stored_schema(spec)).parquet(path)
+        return self._to_logical(
+            spec, self.spark.read.schema(self._stored_schema(spec)).parquet(path)
+        )
 
-    def _stored_schema(self, spec: TableSpec):
-        schema = spec.spark_schema()
+    def _stored_schema(self, spec: TableSpec, physical: bool = True):
+        schema = spec.spark_schema(physical=physical)
         if spec.has_primary_key:
             # __del__ marks tombstones; files written before DELETE support
             # lack the column and read as null (= live) via parquet schema
@@ -862,6 +928,7 @@ class FlussCatalog:
             partition_cols.append(_BKT)
         path = self.table_path(spec)
         before = _parquet_files(path)
+        writer_df = self._to_physical(spec, writer_df)
         writer = writer_df.write.mode("append")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -1425,7 +1492,10 @@ class FlussCatalog:
         path = self.table_path(spec)
         if not _has_data(path):
             return 0
-        log = self._log_df(spec)
+        log = self._to_physical(spec, self._log_df(spec))
+        if zorder_by:
+            stored = {c.name: c.stored_name for c in spec.columns}
+            zorder_by = [stored.get(c, c) for c in zorder_by]
         total_bytes = sum(
             os.path.getsize(f) for f in _parquet_files(path)
         )
@@ -1507,7 +1577,9 @@ class FlussCatalog:
         spec = self.get_table(name)
         if not spec.has_primary_key:
             return
-        merged = self._merge_log(spec, self._log_df(spec), keep_internal=True)
+        merged = self._to_physical(
+            spec, self._merge_log(spec, self._log_df(spec), keep_internal=True)
+        )
         partition_cols = list(spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
             if _BKT not in merged.columns:

@@ -384,6 +384,8 @@ def parse_alter_table(sql: str):
       explicit-schema parquet read — a NOT NULL addition would be
       unsatisfiable for them), so ``NOT NULL`` raises.
     - ``ALTER TABLE [db.]t DROP COLUMN name`` → (target, ("drop", name)).
+    - ``ALTER TABLE [db.]t RENAME COLUMN a TO b`` →
+      (target, ("rename_column", (a, b))) — column mapping, no rewrite.
     - ``ALTER TABLE [db.]t RENAME TO u`` → (target, ("rename", "u"))
       (same-database rename).
 
@@ -427,6 +429,16 @@ def parse_alter_table(sql: str):
     drop = _ALTER_DROP_RE.match(body)
     if drop:
         return target, ("drop", strip_quotes(drop.group(1)))
+    rencol = re.match(
+        r"^RENAME\s+COLUMN\s+(`?[\w ]+`?|\"[^\"]*\")\s+TO\s+"
+        r"(`?[\w ]+`?|\"[^\"]*\")\s*$",
+        body, re.IGNORECASE,
+    )
+    if rencol:
+        return target, (
+            "rename_column",
+            (strip_quotes(rencol.group(1)), strip_quotes(rencol.group(2))),
+        )
     rename = _ALTER_RENAME_RE.match(body)
     if rename:
         return target, ("rename", strip_quotes(rename.group(1)))

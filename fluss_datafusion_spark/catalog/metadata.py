@@ -90,6 +90,14 @@ class ColumnSpec:
     type_name: str  # DDL-facing type string, e.g. "BIGINT", "DECIMAL(10, 2)"
     nullable: bool = True
     comment: Optional[str] = None
+    # column mapping (Delta-style): the name under which the column lives
+    # in the parquet files.  None = same as ``name``; RENAME COLUMN sets
+    # it so no data file is ever rewritten.
+    physical_name: Optional[str] = None
+
+    @property
+    def stored_name(self) -> str:
+        return self.physical_name or self.name
 
     @property
     def spark_type(self) -> T.DataType:
@@ -119,11 +127,16 @@ class TableSpec:
     def qualified_name(self) -> str:
         return f"{self.database}.{self.name}"
 
-    def spark_schema(self) -> T.StructType:
+    def spark_schema(self, physical: bool = False) -> T.StructType:
+        """Logical schema by default; ``physical=True`` names fields as
+        stored in the parquet files (column mapping)."""
         fields = []
         for col in self.columns:
             metadata = {"comment": col.comment} if col.comment else {}
-            fields.append(T.StructField(col.name, col.spark_type, col.nullable, metadata))
+            fields.append(T.StructField(
+                col.stored_name if physical else col.name,
+                col.spark_type, col.nullable, metadata,
+            ))
         return T.StructType(fields)
 
     def column(self, name: str) -> ColumnSpec:

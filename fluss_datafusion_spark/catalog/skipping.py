@@ -476,18 +476,26 @@ def prune(
     files: Sequence[str],
     predicate: str,
     allowed_columns: Optional[Sequence[str]] = None,
+    rename_map: Optional[dict] = None,
 ) -> List[str]:
     """The subset of ``files`` that might satisfy ``predicate``.
 
     ``allowed_columns`` restricts which predicate columns may prune
     (the PK-table soundness rule); None allows all.  Files absent from
     the manifest, and files whose stats lack a predicate column, are
-    kept.
+    kept.  ``rename_map`` translates logical predicate column names to
+    the physical (on-disk) names footer stats are keyed by — the
+    column-mapping hop for renamed columns.
     """
     conjuncts = parse_conjuncts(predicate)
     if allowed_columns is not None:
         allowed = set(allowed_columns)
         conjuncts = [c for c in conjuncts if c[0] in allowed]
+    if rename_map:
+        conjuncts = [
+            (rename_map.get(col, col), op, value)
+            for col, op, value in conjuncts
+        ]
     if not conjuncts:
         return list(files)
     manifest = load(table_path)

@@ -173,6 +173,8 @@ class EngineSession:
                 self.catalog.add_column(target, payload)
             elif action == "drop":
                 self.catalog.drop_column(target, payload)
+            elif action == "rename_column":
+                self.catalog.rename_column(target, *payload)
             elif action == "add_constraint":
                 self.catalog.add_check_constraint(target, *payload)
             elif action == "drop_constraint":

@@ -597,8 +597,9 @@ def interval_join_streams(
     right_ts: str = "ts",
     bound: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream INNER interval join: pair each left row
+    """Watermarked stream-stream interval join: pair each left row
     with right rows sharing ``on`` whose ``right_ts`` falls in
     [left_ts - bound, left_ts] — the attribution-join shape (purchase ->
     preceding click).  Works on two readStream DataFrames (Spark's
@@ -607,11 +608,22 @@ def interval_join_streams(
     rows older than watermark - bound) and identically on two batch
     DataFrames (the corpus entry's analog).
 
+    ``join_type``: "inner" or "left_outer" — the outer form emits an
+    unmatched left row (right side NULL) once the watermark proves no
+    match can still arrive, the "purchases with no attributable click"
+    report a pure inner join silently drops.  Spark requires the
+    watermark + time bound for exactly this reason: without them an
+    outer result could never be finalized.
+
     ``left_ts``/``right_ts`` must be distinct column names (rename
     before calling — the result carries both).  Scale shape: state is
     hash-partitioned on the equi-keys like any streaming join; the
     watermark bounds state to the ``watermark`` horizon per key.
     """
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(
+            f"join_type must be inner or left_outer, got {join_type!r}"
+        )
     if left_ts == right_ts:
         raise ValueError(
             "interval_join_streams: rename the ts columns apart — the "
@@ -628,7 +640,7 @@ def interval_join_streams(
         & (right[right_ts] <= left[left_ts])
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {bound}"))
     )
-    joined = left.join(right, cond, "inner")
+    joined = left.join(right, cond, join_type)
     for c in on:  # keep one copy of the equi-keys
         joined = joined.drop(right[c])
     return joined

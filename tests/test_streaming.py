@@ -1076,3 +1076,45 @@ def test_gapfill_stream_emits_gap_rows_on_watermark(spark, tmp_path):
         ("b", 4, 0, None, True, 7.0),
         ("b", 5, 0, None, True, 7.0),
     ]
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream interval join: purchases with no
+    preceding click emit with NULL right side once the watermark
+    finalizes them; matched rows are identical to the inner join."""
+    import datetime
+
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        interval_join_streams,
+        run_to_memory,
+    )
+
+    d = lambda h, m: datetime.datetime(2026, 1, 1, h, m)  # noqa: E731
+    # BOTH sides need a late driver row: the global watermark is the MIN
+    # across sources, so outer-row finalization waits for the slower one
+    clicks = [("u1", d(1, 0)), ("u3", d(1, 5)), ("u9", d(9, 0))]
+    buys = [("u1", d(1, 30), 9.0),   # matched (click 30 min before)
+            ("u2", d(1, 40), 5.0),   # no click at all
+            ("u3", d(3, 30), 7.0),   # click too old (> 1 hour bound)
+            ("u4", d(9, 0), 1.0)]    # late driver row: pushes the watermark
+    cdir, bdir = str(tmp_path / "oj_clicks"), str(tmp_path / "oj_buys")
+    spark.createDataFrame(clicks, "user string, click_ts timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(cdir)
+    spark.createDataFrame(buys, "user string, buy_ts timestamp, amt double") \
+        .coalesce(1).write.mode("overwrite").parquet(bdir)
+
+    out = interval_join_streams(
+        events_stream(spark, bdir, max_files_per_trigger=None),
+        events_stream(spark, cdir, max_files_per_trigger=None),
+        on=["user"], left_ts="buy_ts", right_ts="click_ts",
+        bound="1 hour", watermark="10 minutes", join_type="left_outer",
+    )
+    run_to_memory(out, "t_oj")
+    got = sorted(
+        (r.user, r.buy_ts.hour, r.click_ts.hour if r.click_ts else None)
+        for r in spark.sql("SELECT * FROM t_oj").collect()
+    )
+    # u1 matched; u2 and u3 emitted unmatched (u3's click is out of
+    # bound); u4 itself is not yet past the watermark -> withheld
+    assert got == [("u1", 1, 1), ("u2", 1, None), ("u3", 3, None)]

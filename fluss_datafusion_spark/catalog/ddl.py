@@ -721,16 +721,30 @@ _RESTORE_RE = re.compile(
     r"VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*$",
     re.IGNORECASE,
 )
+_RESTORE_TS_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+TO\s+"
+    r"TIMESTAMP\s+(?:AS\s+OF\s+)?'([^']*)'\s*$",
+    re.IGNORECASE,
+)
 
 
 def parse_restore(sql: str):
-    """Parse ``RESTORE TABLE t TO VERSION [AS OF] n`` into (target, n),
-    or None for non-RESTORE statements (Delta-RESTORE spelling; pairs
-    with the ``t$v<N>`` read-side time travel)."""
-    match = _RESTORE_RE.match(sql.strip().rstrip(";"))
-    if not match:
-        return None
-    return ".".join(parse_qualified_name(match.group(1))), int(match.group(2))
+    """Parse ``RESTORE TABLE t TO VERSION [AS OF] n`` into (target, n)
+    and ``RESTORE TABLE t TO TIMESTAMP [AS OF] '<ts>'`` into
+    (target, ("ts", <string>)), or None for non-RESTORE statements
+    (both Delta-RESTORE spellings; pair with the t$v<N> / t$at('ts')
+    read-side time travel)."""
+    text = sql.strip().rstrip(";")
+    match = _RESTORE_RE.match(text)
+    if match:
+        return ".".join(parse_qualified_name(match.group(1))), int(match.group(2))
+    match = _RESTORE_TS_RE.match(text)
+    if match:
+        return (
+            ".".join(parse_qualified_name(match.group(1))),
+            ("ts", match.group(2)),
+        )
+    return None
 
 
 _CLONE_RE = re.compile(

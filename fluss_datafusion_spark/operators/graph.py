@@ -56,6 +56,9 @@ def pagerank(
     dst_col: str,
     damping: float = 0.85,
     n_iters: int = 3,
+    personalize: DataFrame = None,
+    tol: float = None,
+    max_iters: int = 50,
 ) -> DataFrame:
     """PageRank after ``n_iters`` power iterations over a distinct edge
     list.  Returns ``(id, rank_norm)`` for every node, where rank_norm =
@@ -63,10 +66,22 @@ def pagerank(
     iteration count plus rounding makes the result exactly replayable by
     any engine (the corpus oracle unrolls the same iterations in SQL).
 
+    ``personalize``: a one-column DataFrame of seed node ids —
+    PERSONALIZED PageRank (Haveliwala 2002): teleport (and dangling
+    mass) goes to the seed set instead of everywhere, ranking nodes by
+    proximity to the seeds (the "more like these documents" /
+    topic-sensitive crawl-frontier signal).  Non-seed teleport weight
+    is exactly 0, so unreachable-from-seeds components rank 0.
+
+    ``tol``: iterate to CONVERGENCE instead of a fixed count — stop
+    when the L1 rank delta falls below tol or after ``max_iters``
+    (the driver sees one scalar per iteration, like dedup's star
+    contraction).  ``n_iters`` is ignored when tol is set.
+
     Self-loops count like any edge; parallel edges should be
     de-duplicated by the caller if single-count semantics are wanted.
     """
-    if n_iters < 1:
+    if tol is None and n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
     # materialize the iteration-invariant inputs ONCE: every iteration
     # joins against e/out_deg and scans nodes, and without pinning them
@@ -88,12 +103,35 @@ def pagerank(
     )
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n__")))
 
-    ranks = (
-        nodes.crossJoin(n_row)
-        .select("id", (F.lit(1.0) / F.col("__n__")).alias("__r__"))
-        .localCheckpoint()
-    )
-    for _ in range(n_iters):
+    if personalize is not None:
+        seeds = (
+            personalize.select(
+                F.col(personalize.columns[0]).alias("id")
+            ).distinct()
+        )
+        s_row = F.broadcast(seeds.agg(F.count(F.lit(1)).alias("__s__")))
+        # teleport vector: 1/|S| on seeds, exactly 0 elsewhere
+        nodes_v = (
+            nodes.join(seeds.withColumn("__is_seed__", F.lit(True)), "id", "left")
+            .crossJoin(s_row)
+            .select(
+                "id",
+                F.when(
+                    F.col("__is_seed__"), F.lit(1.0) / F.col("__s__")
+                ).otherwise(F.lit(0.0)).alias("__v__"),
+            )
+            .localCheckpoint()
+        )
+        ranks = nodes_v.select("id", F.col("__v__").alias("__r__")).localCheckpoint()
+    else:
+        ranks = (
+            nodes.crossJoin(n_row)
+            .select("id", (F.lit(1.0) / F.col("__n__")).alias("__r__"))
+            .localCheckpoint()
+        )
+    total_iters = max_iters if tol is not None else n_iters
+    for _ in range(total_iters):
+        prev = ranks
         contrib = (
             e.join(out_deg, "__src__")
             .join(ranks, e["__src__"] == ranks["id"])
@@ -112,23 +150,51 @@ def pagerank(
                 )
             )
         )
-        ranks = (
-            nodes.crossJoin(n_row)
-            .crossJoin(dangling)
-            .join(contrib, nodes["id"] == contrib["__dst__"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) / F.col("__n__")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__c__"), F.lit(0.0))
-                        + F.col("__dm__") / F.col("__n__")
-                    )
-                ).alias("__r__"),
+        if personalize is not None:
+            ranks = (
+                nodes_v.crossJoin(dangling)
+                .join(contrib, nodes_v["id"] == contrib["__dst__"], "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) * F.col("__v__")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__c__"), F.lit(0.0))
+                            + F.col("__dm__") * F.col("__v__")
+                        )
+                    ).alias("__r__"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+        else:
+            ranks = (
+                nodes.crossJoin(n_row)
+                .crossJoin(dangling)
+                .join(contrib, nodes["id"] == contrib["__dst__"], "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) / F.col("__n__")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__c__"), F.lit(0.0))
+                            + F.col("__dm__") / F.col("__n__")
+                        )
+                    ).alias("__r__"),
+                )
+                .localCheckpoint()
+            )
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.withColumnRenamed("__r__", "__r0__"), "id"
+                )
+                .agg(F.sum(F.abs(F.col("__r__") - F.col("__r0__"))))
+                .collect()[0][0]
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks.crossJoin(n_row).select(
         "id", F.round(F.col("__r__") * F.col("__n__"), 5).alias("rank_norm")
     )

@@ -200,7 +200,10 @@ class EngineSession:
 
         restore_parsed = ddl.parse_restore(statement)
         if restore_parsed is not None and self.catalog.has_table(restore_parsed[0]):
-            counts = self.catalog.restore_table(*restore_parsed)
+            target, anchor = restore_parsed
+            if isinstance(anchor, tuple):  # ("ts", "<string>")
+                anchor = self.catalog.resolve_timestamp(target, anchor[1])
+            counts = self.catalog.restore_table(target, anchor)
             return self.spark.createDataFrame(
                 [(counts["restored"], counts["deleted"])],
                 "restored bigint, deleted bigint",

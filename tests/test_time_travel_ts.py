@@ -73,3 +73,22 @@ def test_as_of_ts_respects_compaction_floor(spark, tmp_path):
     # post-compaction commits keep resolving
     e.sql("INSERT INTO t VALUES (3, 'c')")
     assert (3, "c") in _rows(e.catalog.read("t", as_of_ts=time.time()))
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TABLE ... TO TIMESTAMP AS OF '<ts>' resolves the stamp
+    and rolls forward a new statement with the historical state."""
+    e = _mk(spark, tmp_path, "wh_ts4")
+    e.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    e.sql("INSERT INTO t VALUES (1, 'a2'), (3, 'c')")
+    e.sql("DELETE FROM t WHERE id = 2")
+    iso = datetime.datetime.fromtimestamp(
+        t1, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    e.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'")
+    assert _rows(e.sql("SELECT * FROM t")) == [(1, "a"), (2, "b")]
+    # restore is a NEW statement: pre-restore state is still anchored
+    assert (3, "c") in _rows(e.catalog.read("t", as_of_seq=2))

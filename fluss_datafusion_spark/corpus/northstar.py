@@ -2619,3 +2619,68 @@ def ns_graph_pagerank(spark, sf_dir):
         .distinct()
     )
     return graph.pagerank(e, "src", "dst", damping=0.85, n_iters=3)
+
+
+@query(
+    "ns_retrieval_bm25_phrase", extended=True,
+    oracle="""
+    WITH alltoks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    matched AS (
+        SELECT doc_id FROM alltoks
+        WHERE len(tk) >= 2 AND list_contains(
+            list_transform(range(len(tk) - 1),
+                           i -> tk[i+1] || ' ' || tk[i+2]),
+            'join order')
+    ),
+    toks AS (
+        SELECT a.doc_id, unnest(a.tk) AS term
+        FROM alltoks a JOIN matched USING (doc_id)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT 0 AS query_id, unnest(['join', 'order', 'fast']) AS term),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ns_retrieval_bm25_phrase(spark, sf_dir):
+    """Phrase-restricted BM25 (r5 — the '"join order" fast' search
+    shape): the exact-phrase filter prunes the corpus with a
+    word-2-shingle membership test BEFORE indexing, then BM25 ranks
+    within the matching subcorpus (whose own df/avgdl are the
+    statistically right collection stats).  DuckDB rebuilds the shingle
+    filter and the full scoring chain."""
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame([(0, "join order fast")], ["qid", "qtext"])
+    return retrieval.bm25_phrase_search(
+        docs, "doc_id", "text", queries, "qid", "qtext",
+        phrase="join order", k=10,
+    )

@@ -172,3 +172,54 @@ def bm25_search(
         queries, query_id_col, query_text_col,
         k=k, k1=k1, b=b,
     )
+
+
+def phrase_filter(
+    docs: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Documents containing ``phrase`` as CONSECUTIVE tokens
+    (lowercased, whitespace tokenization — the same normalization the
+    BM25 index uses).  Bag-of-words retrieval cannot distinguish
+    "new york" from "york new"; this is the positional/phrase-query
+    leg, expressed as a word-k-shingle membership test (one JVM
+    zip_with pass over the token array, zero shuffles, no positional
+    postings to store).
+
+    Returns the input rows that match.  Single-word phrases degrade to
+    a token membership test.
+    """
+    from fluss_datafusion_spark.functions.text import word_shingles
+
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    needle = " ".join(terms)
+    return docs.filter(
+        F.array_contains(
+            word_shingles(F.col(text_col), k=len(terms)), needle
+        )
+    )
+
+
+def bm25_phrase_search(
+    docs: DataFrame,
+    doc_id_col: str,
+    doc_text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    phrase: str,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """BM25 top-k restricted to documents containing ``phrase`` —
+    the "ranked results WITHIN an exact-phrase match" query shape
+    search engines spell ``"new york" pizza``.  The phrase filter
+    prunes the corpus BEFORE the index build (cheaper than filtering
+    results: df/avgdl then describe the matching subcorpus, which is
+    also the statistically right collection for the ranking)."""
+    matched = phrase_filter(docs, doc_id_col, doc_text_col, phrase)
+    return bm25_search(
+        matched, doc_id_col, doc_text_col,
+        queries, query_id_col, query_text_col, k=k, **kwargs,
+    )

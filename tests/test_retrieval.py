@@ -121,3 +121,29 @@ def test_bm25_plan_no_nested_loop(spark, docs_df):
     # broadcast; the term and doc joins must be hash joins
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_phrase_filter_consecutive_only(spark, docs_df):
+    from fluss_datafusion_spark.operators.retrieval import phrase_filter
+
+    got = {r.doc_id for r in phrase_filter(docs_df, "doc_id", "text", "quick brown fox").collect()}
+    assert got == {1, 2}  # doc 4 has "quick ... fox" but not consecutively
+    got = {r.doc_id for r in phrase_filter(docs_df, "doc_id", "text", "fox quick").collect()}
+    assert got == set()   # order matters
+    got = {r.doc_id for r in phrase_filter(docs_df, "doc_id", "text", "QUICK").collect()}
+    assert got == {1, 2, 4}  # single word, case-folded
+
+
+def test_bm25_phrase_search_restricts_and_rescores(spark, docs_df):
+    from fluss_datafusion_spark.operators.retrieval import bm25_phrase_search
+
+    queries = spark.createDataFrame([(1, "lazy dog fox")], ["qid", "qtext"])
+    out = bm25_phrase_search(
+        docs_df, "doc_id", "text", queries, "qid", "qtext",
+        phrase="quick brown fox",
+    ).collect()
+    assert {r.doc_id for r in out} <= {1, 2}
+    # scores are computed against the MATCHING subcorpus (n=2), per the
+    # restricted-collection semantics
+    sub = [(i, t) for i, t in DOCS if i in (1, 2)]
+    assert {r.doc_id: r.score for r in out} == _py_bm25(sub, ["lazy", "dog", "fox"])

@@ -1091,6 +1091,11 @@ _ENC_DC_COUNTS = [0, 0, 0, 0, 12] + [0] * 11
 _ENC_DC_SYMBOLS = list(range(12))
 _ENC_AC_COUNTS = [0] * 7 + [2, 254] + [0] * 7
 _ENC_AC_SYMBOLS = list(range(256))
+# 12-bit extended sequential (SOF1) needs DC categories up to 15
+# (T.81 table F.1 extends the 8-bit 0-11 range); the flat AC table
+# above already spans all 256 (run, size) symbols incl. size 14.
+_ENC12_DC_COUNTS = [0, 0, 0, 0, 16] + [0] * 11
+_ENC12_DC_SYMBOLS = list(range(16))
 
 
 def _huff_encode_table(counts, symbols):
@@ -1213,6 +1218,82 @@ def encode_jpeg_baseline(px, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_12bit(px) -> bytes:
+    """Encode an (H, W) GRAYSCALE uint16 array (values 0..4095) as a
+    12-bit-precision EXTENDED SEQUENTIAL JPEG (SOF1 — T.81 restricts
+    baseline SOF0 to 8 bits): level shift 2048, all-ones quantization,
+    a DC Huffman table extended to categories 0-15 (the flat AC table
+    already spans every (run, size) symbol).  The medical/scientific
+    imaging precision variant — DICOM's classic 12-bit JPEG.
+    """
+    import numpy as np
+
+    px = np.asarray(px)
+    if px.ndim != 2:
+        raise ValueError("12-bit encoding supports grayscale (H, W) only")
+    if px.dtype != np.uint16 or (px.size and int(px.max()) > 4095):
+        raise ValueError("12-bit encoding needs uint16 samples in 0..4095")
+    h, w = px.shape
+    comp = px.astype(np.float64) - 2048.0
+
+    C = _dct_matrix()
+    dc_tab = _huff_encode_table(_ENC12_DC_COUNTS, _ENC12_DC_SYMBOLS)
+    ac_tab = _huff_encode_table(_ENC_AC_COUNTS, _ENC_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = 0
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+            xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+            block = comp[np.ix_(ys, xs)]
+            coef = np.round(C @ block @ C.T).astype(np.int64)
+            zz = coef.flat[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s_, bits = _magnitude_bits(diff)
+            code, length = dc_tab[s_]
+            bw.put(code, length)
+            if s_:
+                bw.put(bits, s_)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tab[0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                s_, bits = _magnitude_bits(v)
+                code, length = ac_tab[(run << 4) | s_]
+                bw.put(code, length)
+                bw.put(bits, s_)
+                run = 0
+            if run:
+                code, length = ac_tab[0x00]
+                bw.put(code, length)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_ENC12_DC_COUNTS) + bytes(_ENC12_DC_SYMBOLS),
+    )
+    out += seg(
+        0xFFC4, bytes([0x10]) + bytes(_ENC_AC_COUNTS) + bytes(_ENC_AC_SYMBOLS)
+    )
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpeg_pixels(payload):
     """REAL pixel decode for JPEG: baseline sequential (SOF0) inline —
     including SUBSAMPLED chroma (4:2:0 / 4:2:2 MCU interleaving with
@@ -1268,9 +1349,11 @@ def decode_jpeg_pixels(payload):
                 tbl = _huff_decode_table(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            # SOF0 is 8-bit by definition; SOF1 additionally allows the
+            # 12-bit precision (T.81 table B.2)
+            if prec != 8 and not (marker == 0xC1 and prec == 12):
                 return None
             for k in range(nc):
                 cid, samp, tq = body[6 + 3 * k : 9 + 3 * k]
@@ -1280,7 +1363,7 @@ def decode_jpeg_pixels(payload):
                 comps.append((cid, tq, hi, vi))
         elif marker == 0xC2:  # progressive: dedicated multi-scan path
             return _decode_jpeg_progressive(b)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # other non-baseline frame types
         elif marker == 0xDD:  # DRI: restart every `dri` MCUs (r5)
@@ -1353,17 +1436,24 @@ def decode_jpeg_pixels(payload):
     except (EOFError, KeyError, ValueError):
         return None
     # upsample subsampled planes by pixel replication, then crop
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     up = []
     for plane, (_cid, _tq, hi, vi) in zip(planes, comps):
         if hi < hmax:
             plane = np.repeat(plane, hmax // hi, axis=1)
         if vi < vmax:
             plane = np.repeat(plane, vmax // vi, axis=0)
-        up.append(plane[:h, :w] + 128.0)
+        up.append(plane[:h, :w] + half)
     planes = up
     if len(planes) == 1:
-        out = np.round(planes[0]).clip(0, 255).astype(np.uint8)
+        out = (
+            np.round(planes[0]).clip(0, maxv)
+            .astype(np.uint8 if prec == 8 else np.uint16)
+        )
         return out.reshape(h, w, 1)
+    if prec != 8:
+        return None  # 12-bit color: out of scope (grayscale only)
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

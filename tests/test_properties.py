@@ -416,3 +416,53 @@ def test_jpeg_progressive_subsampled_matches_baseline_subsampled(
     prog = mm.decode_jpeg_pixels(mm.encode_jpeg_progressive(px, factors))
     assert prog is not None
     assert np.array_equal(base, prog)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    v=st.integers(0, 4095),
+)
+def test_jpeg_12bit_flat_exact(w, h, v):
+    """12-bit extended sequential (SOF1): flat images quantize to one DC
+    coefficient and decode bit-exactly at the full 0..4095 range."""
+    import numpy as np
+
+    px = np.full((h, w), v, dtype=np.uint16)
+    got = mm.decode_jpeg_pixels(mm.encode_jpeg_12bit(px))
+    assert got is not None and got.dtype == np.uint16
+    assert np.array_equal(got.reshape(h, w), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_12bit_roundtrip_bounded(w, h, seed):
+    """Random 12-bit content roundtrips within the FDCT/IDCT rounding
+    bound (all-ones quantization; same error class as the 8-bit bound,
+    measured against the 16x larger sample range)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    got = mm.decode_jpeg_pixels(mm.encode_jpeg_12bit(px))
+    assert got is not None
+    err = np.abs(got.reshape(h, w).astype(int) - px.astype(int)).max()
+    assert err <= 4
+
+
+def test_jpeg_12bit_input_validation():
+    import numpy as np
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grayscale"):
+        mm.encode_jpeg_12bit(np.zeros((4, 4, 3), dtype=np.uint16))
+    with pytest.raises(ValueError, match="0..4095"):
+        mm.encode_jpeg_12bit(np.full((4, 4), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="0..4095"):
+        mm.encode_jpeg_12bit(np.zeros((4, 4), dtype=np.uint8))

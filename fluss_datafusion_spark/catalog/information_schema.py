@@ -188,11 +188,18 @@ def register_views(catalog, include_stats: bool = True) -> None:
         if not _mv.is_matview(catalog, qname):
             continue
         m = _mv._load_mv(catalog, qname)
+        source_desc = m["source"]
+        if m.get("source2"):
+            on = " AND ".join(f"{l} = {r}" for l, r in m["join_on"])
+            source_desc = (
+                f"{m['source']} {m['alias']} JOIN "
+                f"{m['source2']} {m['alias2']} ON {on}"
+            )
         mviews.append(
             (
                 s.database,
                 s.name,
-                m["source"],
+                source_desc,
                 ", ".join(m["group_cols"]),
                 ", ".join(
                     f"{a['fn']}({a['col'] or '*'}) AS {a['alias']}"

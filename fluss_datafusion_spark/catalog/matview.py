@@ -9,9 +9,13 @@ bounded CDC read): each refresh processes only the statements since
 the view's last checkpoint, so refresh cost is O(changes), not
 O(source).
 
-Supported view shape (the classic incrementally-maintainable algebra):
+Supported view shapes (the classic incrementally-maintainable algebra):
 
     SELECT g1, g2, agg1 AS a1, ... FROM src [WHERE pred] GROUP BY g1, g2
+
+    SELECT a.g, b.h, agg(a.x) AS s, ...
+    FROM src1 [AS] a JOIN src2 [AS] b ON a.k = b.k [AND ...]
+    [WHERE pred] GROUP BY a.g, b.h
 
 with the self-maintainable aggregates ``count(*)``, ``count(x)``,
 ``sum(x)``, ``avg(x)`` — a +I/+U image contributes positively, a -U/-D
@@ -27,7 +31,7 @@ columns become the view table's PRIMARY KEY, so they must be non-null
 in every source row the WHERE clause admits (enforced at build; add a
 NOT NULL conjunct to the WHERE to carve out null groups).
 
-Delta-maintenance math per refresh window:
+Delta-maintenance math per refresh window (single source):
 
     sign(op)   = +1 for +I/+U, -1 for -U/-D
     d_count    = SUM(sign)                        (per group)
@@ -39,21 +43,38 @@ Delta-maintenance math per refresh window:
                  min over -images <= stored min (symmetric for max)
     group gone = hidden row count hits 0 → PK tombstone
 
+JOIN views use the standard incremental join delta rule (the DBSP /
+differential-dataflow derivation; Blakeley, Larson & Tompa 1986 for
+the select-project-join case).  With A1 = A0 + δA and B1 = B0 + δB
+(sign-weighted change multisets from each source's bounded CDC window,
+snapshots pinned with ``read(as_of_seq=...)``):
+
+    δ(A ⋈ B) = δA ⋈ B1  +  A1 ⋈ δB  −  δA ⋈ δB
+
+where a joined row's sign is the product of its inputs' signs (the
+third term's sign is negated — both-sides-changed pairs are counted by
+the first two terms twice).  The signed joined rows then feed the SAME
+group-aggregate delta machinery as the single-source case, so a dim
+update that re-attributes every joined fact row falls out of the
+algebra with no special casing.  Each term joins a (small) delta
+against a snapshot or another delta — AQE broadcasts the delta side —
+so refresh cost is O(changes × join fan-out), never O(|A| + |B|).
+
 SQL sums over zero non-null values are NULL, so every sum/avg carries a
 hidden non-null count; ``avg`` additionally stores its hidden sum and
 recomputes ``sum/count`` for the groups a refresh touches.  Floating
 sums accumulate the usual ± rounding under retraction; exact types
-(int/bigint/decimal) maintain exactly.  If the source compacted past
+(int/bigint/decimal) maintain exactly.  If a source compacted past
 the view's checkpoint, the bounded CDC read refuses and the refresh
 transparently falls back to a full rebuild — the same contract as any
 CDC consumer checkpointed below the floor.
 
-Scale shape: a refresh is one changelog derivation filtered to the seq
-window (a parquet scan + one window pass), one map-side-combined delta
-aggregation keyed on the group columns, one broadcast-or-shuffle LEFT
-join of (tiny) delta against the view, and two appends (upserts +
-tombstones).  Nothing corpus-sized is recomputed, collected, or
-broadcast.
+Scale shape: a refresh is one changelog derivation per source filtered
+to the seq window (a parquet scan + one window pass), the delta joins
+above for join views, one map-side-combined delta aggregation keyed on
+the group columns, one broadcast-or-shuffle LEFT join of (tiny) delta
+against the view, and two appends (upserts + tombstones).  Nothing
+corpus-sized is recomputed, collected, or broadcast.
 
 No reference analog (zuston/fluss-datafusion has neither changelogs nor
 views); part of the lakehouse surface beyond the reference.
@@ -64,7 +85,8 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Dict, List, Optional
+from functools import reduce
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -77,15 +99,27 @@ from fluss_datafusion_spark.catalog.metadata import (
 
 _MV_FILE = "_mv.json"
 _STAR = "__mv_star__"  # hidden per-group row count (group liveness)
+_SIGN = "__mv_sign__"  # per-row contribution sign in delta windows
 
 _SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>(?:`[^`]*`|[\w.])+)"
+    r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<from_>.*?)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"\s+GROUP\s+BY\s+(?P<groups>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_FROM_RE = re.compile(
+    r"^(?P<src>(?:`[^`]*`|[\w.])+)"
+    r"(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(?P<a1>\w+))?"
+    r"(?:\s+(?:INNER\s+)?JOIN\s+(?P<src2>(?:`[^`]*`|[\w.])+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?"
+    r"\s+ON\s+(?P<on>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ_RE = re.compile(
+    r"^(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)$", re.DOTALL
+)
 _AGG_RE = re.compile(
-    r"^(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>\*|`?[\w]+`?)\s*\)"
+    r"^(?P<fn>count|sum|avg|min|max)\s*\(\s*(?P<arg>\*|`?[\w.]+`?)\s*\)"
     r"\s+AS\s+(?P<alias>`?[\w]+`?)\s*$",
     re.IGNORECASE,
 )
@@ -93,22 +127,91 @@ _AGG_RE = re.compile(
 
 def parse_matview_select(select_sql: str) -> Dict:
     """Parse the maintainable-view SELECT into
-    {source, where, group_cols, aggs:[{fn, col, alias}]}."""
-    match = _SELECT_RE.match(select_sql.strip().rstrip(";"))
+    {source, source2, alias, alias2, join_on, where, group_cols,
+    group_names, aggs:[{fn, col, alias}]}.  ``source2``/``alias``/
+    ``join_on`` are None/empty for the single-table form; for join
+    views ``group_cols``/agg ``col``s hold the alias-qualified
+    expressions as written and ``group_names`` the unqualified output
+    names (the view's PK)."""
+    from fluss_datafusion_spark.catalog.ddl import (
+        _mask_literals,
+        _split_top_level,
+        _unmask_literals,
+    )
+
+    masked, lits = _mask_literals(select_sql.strip().rstrip(";"))
+    match = _SELECT_RE.match(masked)
     if not match:
         raise ValueError(
-            "materialized views support exactly "
-            "'SELECT cols, aggs FROM t [WHERE pred] GROUP BY cols': "
+            "materialized views support exactly 'SELECT cols, aggs FROM t "
+            "[JOIN t2 ON ...] [WHERE pred] GROUP BY cols': "
             f"{select_sql!r}"
         )
     strip = lambda s: s.strip().strip("`")  # noqa: E731
-    group_cols = [strip(c) for c in match.group("groups").split(",")]
+    frm = _FROM_RE.match(match.group("from_").strip())
+    if not frm:
+        raise ValueError(
+            f"unsupported FROM clause {match.group('from_').strip()!r}: "
+            "expected 't [AS a]' or 't [AS] a JOIN u [AS] b ON a.k = b.k'"
+        )
+    source = frm.group("src").replace("`", "")
+    source2 = frm.group("src2").replace("`", "") if frm.group("src2") else None
+    alias = frm.group("a1") or (source.split(".")[-1] if source2 else None)
+    alias2 = frm.group("a2") or (
+        source2.split(".")[-1] if source2 else None
+    )
+    join_on: List[List[str]] = []
+    if source2 is not None:
+        if alias == alias2:
+            raise ValueError(
+                f"join sides need distinct aliases (both are {alias!r})"
+            )
+        for conj in re.split(r"\s+AND\s+", frm.group("on").strip(),
+                             flags=re.IGNORECASE):
+            eq = _ON_EQ_RE.match(conj.strip())
+            if not eq:
+                raise ValueError(
+                    f"join views support only AND-ed 'a.col = b.col' "
+                    f"equality conditions, got {conj.strip()!r}"
+                )
+            l, r = eq.group("l"), eq.group("r")
+            la, ra = l.split(".")[0], r.split(".")[0]
+            if {la, ra} != {alias, alias2}:
+                raise ValueError(
+                    f"join condition {conj.strip()!r} must relate "
+                    f"{alias!r} to {alias2!r}"
+                )
+            join_on.append([l, r] if la == alias else [r, l])
+
+    def _check_ref(ref: str, what: str) -> str:
+        if source2 is None:
+            if "." in ref:
+                raise ValueError(
+                    f"{what} {ref!r}: qualified references need a JOIN"
+                )
+        else:
+            parts = ref.split(".")
+            if len(parts) != 2 or parts[0] not in (alias, alias2):
+                raise ValueError(
+                    f"{what} {ref!r}: join views require alias-qualified "
+                    f"references ({alias}.col or {alias2}.col)"
+                )
+        return ref
+
+    group_cols = [
+        _check_ref(strip(c), "GROUP BY column")
+        for c in _split_top_level(match.group("groups"))
+    ]
+    group_names = [c.split(".")[-1] for c in group_cols]
+    if len(set(group_names)) != len(group_names):
+        raise ValueError(
+            f"GROUP BY output names collide: {group_names} (the "
+            "unqualified names become the view's PRIMARY KEY)"
+        )
     aggs: List[Dict] = []
     seen_groups = []
-    from fluss_datafusion_spark.catalog.ddl import _split_top_level
-
     for item in _split_top_level(match.group("items")):
-        item = item.strip()
+        item = _unmask_literals(item.strip(), lits)
         agg = _AGG_RE.match(item)
         if agg:
             arg = agg.group("arg")
@@ -118,7 +221,11 @@ def parse_matview_select(select_sql: str) -> Dict:
             aggs.append(
                 {
                     "fn": fn,
-                    "col": None if arg == "*" else strip(arg),
+                    "col": (
+                        None
+                        if arg == "*"
+                        else _check_ref(strip(arg), "aggregate argument")
+                    ),
                     "alias": strip(agg.group("alias")),
                 }
             )
@@ -127,7 +234,7 @@ def parse_matview_select(select_sql: str) -> Dict:
         else:
             raise ValueError(
                 f"unsupported select item {item!r}: must be a GROUP BY "
-                "column or count/sum/avg(...) AS alias"
+                "column or count/sum/avg/min/max(...) AS alias"
             )
     if seen_groups != group_cols:
         raise ValueError(
@@ -136,24 +243,141 @@ def parse_matview_select(select_sql: str) -> Dict:
         )
     if not aggs:
         raise ValueError("materialized view needs at least one aggregate")
-    names = group_cols + [a["alias"] for a in aggs]
+    names = group_names + [a["alias"] for a in aggs]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate output column names in {names}")
     return {
-        "source": match.group("src").replace("`", ""),
-        "where": (match.group("where") or "").strip() or None,
+        "source": source,
+        "source2": source2,
+        "alias": alias,
+        "alias2": alias2,
+        "join_on": join_on,
+        "where": _unmask_literals(
+            (match.group("where") or "").strip() or None, lits
+        ),
         "group_cols": group_cols,
+        "group_names": group_names,
         "aggs": aggs,
     }
 
 
+def _acol(mv: Dict, col: Optional[str]) -> Optional[str]:
+    """Normalized-frame column name for an aggregate argument (qualified
+    refs mangle the dot so the projection is flat)."""
+    if col is None:
+        return None
+    return col.replace(".", "__") if mv.get("source2") else col
+
+
+def _project_normal(df: DataFrame, mv: Dict, sign=None) -> DataFrame:
+    """Project source/joined rows down to the normalized shape the agg
+    machinery consumes: group output names + mangled agg args
+    (+ optional per-row sign)."""
+    cols = [
+        F.expr(expr).alias(name)
+        for expr, name in zip(mv["group_cols"], mv["group_names"])
+    ]
+    done = set()
+    for a in mv["aggs"]:
+        c = a["col"]
+        if c is None or c in done:
+            continue
+        done.add(c)
+        cols.append(F.expr(c).alias(_acol(mv, c)))
+    if sign is not None:
+        cols.append(sign.cast("int").alias(_SIGN))
+    return df.select(*cols)
+
+
+def _join_cond(mv: Dict):
+    return reduce(
+        lambda x, y: x & y,
+        [F.expr(l) == F.expr(r) for l, r in mv["join_on"]],
+    )
+
+
+def _joined(mv: Dict, dfa: DataFrame, dfb: DataFrame, sign=None) -> DataFrame:
+    """alias → join → WHERE → normalized projection (qualified refs in
+    the WHERE resolve against the aliases, exactly as written)."""
+    out = dfa.alias(mv["alias"]).join(
+        dfb.alias(mv["alias2"]), _join_cond(mv), "inner"
+    )
+    if mv["where"]:
+        out = out.filter(F.expr(mv["where"]))
+    return _project_normal(out, mv, sign=sign)
+
+
+def _normalized_source(catalog, mv: Dict, as_of: Tuple) -> DataFrame:
+    """The view's input relation (joined for join views), pinned at the
+    given per-source seq anchors, WHERE applied, normalized."""
+    if mv.get("source2") is None:
+        src = catalog.read(mv["source"], as_of_seq=as_of[0])
+        if mv["where"]:
+            src = src.filter(F.expr(mv["where"]))
+        return _project_normal(src, mv)
+    return _joined(
+        mv,
+        catalog.read(mv["source"], as_of_seq=as_of[0]),
+        catalog.read(mv["source2"], as_of_seq=as_of[1]),
+    )
+
+
+def _signed_changes(catalog, mv: Dict, source: str, lo: int, hi: int):
+    """Bounded CDC window of one source as sign-weighted plain rows."""
+    ch = catalog.read_changes(source, from_seq=lo, to_seq=hi)
+    sign = F.when(F.col("op").isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
+    return ch.withColumn(_SIGN, sign).drop("op", "change_seq", "change_sub")
+
+
+def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
+    """Sign-weighted normalized rows whose aggregation is the view's
+    exact delta over the refresh window.
+
+    Single source: the CDC window itself.  Join views: the three-term
+    join delta  δA ⋈ B1  +  A1 ⋈ δB  −  δA ⋈ δB  with per-pair sign
+    products (see module docstring)."""
+    if mv.get("source2") is None:
+        ch = _signed_changes(
+            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+        )
+        if mv["where"]:
+            ch = ch.filter(F.expr(mv["where"]))
+        return _project_normal(ch, mv, sign=F.col(_SIGN))
+
+    sa, sb = "__mv_sign_a__", "__mv_sign_b__"
+    terms = []
+    if anchors["hi"] > anchors["lo"]:
+        d_a = _signed_changes(
+            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+        ).withColumnRenamed(_SIGN, sa)
+        b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])
+        terms.append(_joined(mv, d_a, b1, sign=F.col(sa)))
+    if anchors["hi2"] > anchors["lo2"]:
+        d_b = _signed_changes(
+            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
+        ).withColumnRenamed(_SIGN, sb)
+        a1 = catalog.read(mv["source"], as_of_seq=anchors["hi"])
+        terms.append(_joined(mv, a1, d_b, sign=F.col(sb)))
+    if len(terms) == 2:
+        d_a2 = _signed_changes(
+            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+        ).withColumnRenamed(_SIGN, sa)
+        d_b2 = _signed_changes(
+            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
+        ).withColumnRenamed(_SIGN, sb)
+        terms.append(
+            _joined(mv, d_a2, d_b2, sign=-(F.col(sa) * F.col(sb)))
+        )
+    return reduce(DataFrame.unionByName, terms)
+
+
 def _physical_aggs(mv: Dict) -> List:
     """Aggregate Columns for the view's PHYSICAL schema, evaluated over
-    (possibly sign-weighted) source rows.  Used by both the initial
-    full build (sign=1) and the delta aggregation."""
+    normalized source rows.  Used by both the full build (sign=1) and
+    the bounded rescan."""
     cols = [F.sum(F.lit(1)).alias(_STAR)]
     for a in mv["aggs"]:
-        alias, c = a["alias"], a["col"]
+        alias, c = a["alias"], _acol(mv, a["col"])
         nn = (
             None
             if c is None
@@ -180,7 +404,7 @@ def _physical_aggs(mv: Dict) -> List:
 
 def _user_projection(mv: Dict) -> List:
     """User-facing columns derived from the physical ones."""
-    out = [F.col(c) for c in mv["group_cols"]]
+    out = [F.col(c) for c in mv.get("group_names", mv["group_cols"])]
     for a in mv["aggs"]:
         alias = a["alias"]
         if a["fn"] in ("count", "min", "max"):
@@ -206,9 +430,13 @@ def _mv_path(catalog, name: str) -> str:
 def _load_mv(catalog, name: str) -> Dict:
     try:
         with open(_mv_path(catalog, name)) as fh:
-            return json.load(fh)
+            mv = json.load(fh)
     except OSError:
         raise ValueError(f"{name} is not a materialized view") from None
+    # pre-join-view specs lack these keys
+    mv.setdefault("source2", None)
+    mv.setdefault("group_names", mv["group_cols"])
+    return mv
 
 
 def _save_mv(catalog, name: str, mv: Dict) -> None:
@@ -230,40 +458,63 @@ def _register_user_view(catalog, name: str, mv: Dict) -> None:
         df.createOrReplaceTempView(spec.name)
 
 
-def _full_state(catalog, mv: Dict) -> DataFrame:
-    src = catalog.read(mv["source"])
-    if mv["where"]:
-        src = src.filter(F.expr(mv["where"]))
-    return src.groupBy(*mv["group_cols"]).agg(*_physical_aggs(mv))
+def _anchors_now(catalog, mv: Dict) -> Dict:
+    out = {"hi": catalog.current_seq(mv["source"]), "hi2": 0}
+    if mv.get("source2"):
+        out["hi2"] = catalog.current_seq(mv["source2"])
+    return out
+
+
+def _full_state(catalog, mv: Dict, anchors: Dict) -> DataFrame:
+    rows = _normalized_source(
+        catalog, mv, (anchors["hi"], anchors.get("hi2"))
+    )
+    return rows.groupBy(*mv["group_names"]).agg(*_physical_aggs(mv))
 
 
 def create_matview(catalog, name: str, select_sql: str) -> int:
-    """CREATE MATERIALIZED VIEW: parse, validate against the source,
+    """CREATE MATERIALIZED VIEW: parse, validate against the source(s),
     create the backing PK table, run the initial full build, checkpoint
-    the source seq.  Returns the number of groups materialized."""
+    the source seq(s).  Returns the number of groups materialized."""
     mv = parse_matview_select(select_sql)
-    src_spec = catalog.get_table(mv["source"])
-    if not src_spec.has_primary_key:
-        raise ValueError(
-            "materialized views require a primary-key source (the "
-            "changelog derivation needs PK semantics); "
-            f"{src_spec.qualified_name} is a log table"
-        )
-    src_cols = {c.name for c in src_spec.columns}
-    referenced = set(mv["group_cols"]) | {
+    by_alias = {mv["alias"]: mv["source"]}
+    if mv["source2"]:
+        by_alias[mv["alias2"]] = mv["source2"]
+    col_sets = {}
+    for al, src in ([(mv["alias"], mv["source"])] if mv["source2"] is None
+                    else list(by_alias.items())):
+        src_spec = catalog.get_table(src)
+        if not src_spec.has_primary_key:
+            raise ValueError(
+                "materialized views require primary-key sources (the "
+                "changelog derivation needs PK semantics); "
+                f"{src_spec.qualified_name} is a log table"
+            )
+        col_sets[al] = {c.name for c in src_spec.columns}
+    referenced = list(mv["group_cols"]) + [
         a["col"] for a in mv["aggs"] if a["col"] is not None
-    }
-    missing = referenced - src_cols
+    ]
+    if mv["source2"]:
+        referenced += [r for pair in mv["join_on"] for r in pair]
+    missing = []
+    for ref in referenced:
+        if mv["source2"] is None:
+            if ref not in col_sets[mv["alias"]]:
+                missing.append(ref)
+        else:
+            al, col = ref.split(".")
+            if col not in col_sets[al]:
+                missing.append(ref)
     if missing:
-        raise ValueError(f"unknown source columns: {sorted(missing)}")
+        raise ValueError(f"unknown source columns: {sorted(set(missing))}")
 
-    # checkpoint BEFORE building: a concurrent write between checkpoint
-    # and build is re-applied by the next refresh (idempotent per-seq
-    # windows), never lost
-    checkpoint = catalog.current_seq(mv["source"])
-    state = _full_state(catalog, mv)
+    # checkpoint BEFORE building, and build AT the checkpoint (as-of
+    # reads) so a concurrent write between checkpoint and build is
+    # applied exactly once — by the next refresh
+    anchors = _anchors_now(catalog, mv)
+    state = _full_state(catalog, mv, anchors)
     null_groups = state
-    for g in mv["group_cols"]:
+    for g in mv["group_names"]:
         null_groups = null_groups.filter(F.col(g).isNull())
     if null_groups.limit(1).count() > 0:
         raise ValueError(
@@ -275,7 +526,7 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
         ColumnSpec(
             name=f.name,
             type_name=spark_type_to_ddl(f.dataType),
-            nullable=f.name not in mv["group_cols"],
+            nullable=f.name not in mv["group_names"],
         )
         for f in state.schema.fields
     ]
@@ -285,51 +536,56 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
             database=db,
             name=table,
             columns=cols,
-            primary_key=list(mv["group_cols"]),
+            primary_key=list(mv["group_names"]),
             properties={"materialized_view": "true"},
         ),
         if_not_exists=False,
     )
     n = catalog.insert(name, state)
-    mv["last_seq"] = checkpoint
+    mv["last_seq"] = anchors["hi"]
+    if mv["source2"]:
+        mv["last_seq2"] = anchors["hi2"]
     _save_mv(catalog, name, mv)
     _register_user_view(catalog, name, mv)
     return n
 
 
 def refresh_matview(catalog, name: str) -> Dict[str, int]:
-    """REFRESH MATERIALIZED VIEW: apply the source's bounded change
+    """REFRESH MATERIALIZED VIEW: apply the source(s)' bounded change
     stream since the last checkpoint.  Returns
     {"upserted": n, "deleted": n, "full_rebuild": 0|1}."""
     mv = _load_mv(catalog, name)
     spec = catalog.get_table(name)
-    now = catalog.current_seq(mv["source"])
-    if now <= mv["last_seq"]:
+    anchors = _anchors_now(catalog, mv)
+    anchors["lo"] = mv["last_seq"]
+    anchors["lo2"] = mv.get("last_seq2", 0)
+    if anchors["hi"] <= anchors["lo"] and anchors["hi2"] <= anchors["lo2"]:
         _register_user_view(catalog, name, mv)
         return {"upserted": 0, "deleted": 0, "full_rebuild": 0}
-    try:
-        changes = catalog.read_changes(
-            mv["source"], from_seq=mv["last_seq"], to_seq=now
-        )
-    except ValueError:
-        # source compacted past our checkpoint: the exact change window
-        # is gone — rebuild from the snapshot (the standard CDC-consumer
-        # fallback), then checkpoint at now
-        state = _full_state(catalog, mv).localCheckpoint()
-        catalog.truncate_table(name)
-        n = catalog.insert(name, state)
-        mv["last_seq"] = now
+
+    def _checkpoint():
+        mv["last_seq"] = anchors["hi"]
+        if mv.get("source2"):
+            mv["last_seq2"] = anchors["hi2"]
         _save_mv(catalog, name, mv)
         _register_user_view(catalog, name, mv)
+
+    try:
+        rows = _delta_rows(catalog, mv, anchors)
+    except ValueError:
+        # a source compacted past our checkpoint: the exact change
+        # window is gone — rebuild from the snapshot (the standard
+        # CDC-consumer fallback), then checkpoint at the anchors
+        state = _full_state(catalog, mv, anchors).localCheckpoint()
+        catalog.truncate_table(name)
+        n = catalog.insert(name, state)
+        _checkpoint()
         return {"upserted": n, "deleted": 0, "full_rebuild": 1}
 
-    if mv["where"]:
-        changes = changes.filter(F.expr(mv["where"]))
-    sign = F.when(F.col("op").isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
-
+    sign = F.col(_SIGN)
     delta_cols = [F.sum(sign).alias(f"__d_{_STAR}")]
     for a in mv["aggs"]:
-        alias, c = a["alias"], a["col"]
+        alias, c = a["alias"], _acol(mv, a["col"])
         nn_sign = (
             sign
             if c is None
@@ -358,10 +614,10 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
                     )
                 ).alias(f"__d_sum_{alias}")
             )
-    delta = changes.groupBy(*mv["group_cols"]).agg(*delta_cols)
+    delta = rows.groupBy(*mv["group_names"]).agg(*delta_cols)
 
     # only groups the window touched: delta LEFT-joins the view state
-    merged = delta.join(catalog.read(name), mv["group_cols"], "left")
+    merged = delta.join(catalog.read(name), mv["group_names"], "left")
     add = lambda old, d: (  # noqa: E731
         F.coalesce(F.col(old), F.lit(0)) + F.coalesce(F.col(d), F.lit(0))
     )
@@ -395,7 +651,7 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
     for flag in rescan_flags:
         needs_rescan = needs_rescan | flag
     merged = merged.select(
-        *mv["group_cols"],
+        *mv["group_names"],
         F.col(_STAR).isNotNull().alias("__mv_existed__"),
         needs_rescan.alias("__mv_rescan__"),
         *[c.alias(n) for n, c in new_cols.items()],
@@ -408,16 +664,16 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
     # bounded rescan: groups whose stored extremum was retracted are
     # recomputed from the source — a semi-join-restricted scan touching
     # only those groups' rows, never the whole view (dead groups skip
-    # the rescan: they are tombstoned regardless)
+    # the rescan: they are tombstoned regardless).  The rescan reads
+    # AS-OF the window's anchors, so a write racing this refresh is
+    # counted exactly once — by the next refresh.
     rescan_keys = merged.filter(
         (F.col(_STAR) > 0) & F.col("__mv_rescan__")
-    ).select(*mv["group_cols"])
-    src = catalog.read(mv["source"])
-    if mv["where"]:
-        src = src.filter(F.expr(mv["where"]))
+    ).select(*mv["group_names"])
     rescanned = (
-        src.join(rescan_keys, mv["group_cols"], "left_semi")
-        .groupBy(*mv["group_cols"])
+        _normalized_source(catalog, mv, (anchors["hi"], anchors["hi2"]))
+        .join(rescan_keys, mv["group_names"], "left_semi")
+        .groupBy(*mv["group_names"])
         .agg(*_physical_aggs(mv))
         .select(*schema_order)
     )
@@ -439,9 +695,7 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
     from fluss_datafusion_spark.catalog.catalog import _footer_row_count
 
     n_del = _footer_row_count(catalog._append_log(spec, dead, deleted=True))
-    mv["last_seq"] = now
-    _save_mv(catalog, name, mv)
-    _register_user_view(catalog, name, mv)
+    _checkpoint()
     return {"upserted": n_up, "deleted": n_del, "full_rebuild": 0}
 
 
@@ -451,10 +705,10 @@ def is_matview(catalog, name: str) -> bool:
 
 def matview_refresh_sink(catalog, name: str, checkpoint: str):
     """CONTINUOUS materialized-view maintenance: follow the source
-    table's log directory as a file stream and re-run
-    :func:`refresh_matview` on every new commit — the Delta Live
-    Tables / Materialize "always fresh" mode, driven by the same
-    exactly-once machinery as manual REFRESH.
+    table's log directory (both sources' for a join view) as a file
+    stream and re-run :func:`refresh_matview` on every new commit — the
+    Delta Live Tables / Materialize "always fresh" mode, driven by the
+    same exactly-once machinery as manual REFRESH.
 
     The stream is purely the TRIGGER: each micro-batch's content is
     discarded, and the refresh itself reads the bounded CDC window from
@@ -469,12 +723,16 @@ def matview_refresh_sink(catalog, name: str, checkpoint: str):
     deployment.  Returns the StreamingQuery.
     """
     mv = _load_mv(catalog, name)
-    src_spec = catalog.get_table(mv["source"])
-    stream = (
-        catalog.spark.readStream.schema(catalog._stored_schema(src_spec))
-        .parquet(catalog.table_path(src_spec))
-        .select("__seq__")
-    )
+    sources = [mv["source"]] + ([mv["source2"]] if mv.get("source2") else [])
+    streams = []
+    for src in sources:
+        src_spec = catalog.get_table(src)
+        streams.append(
+            catalog.spark.readStream.schema(catalog._stored_schema(src_spec))
+            .parquet(catalog.table_path(src_spec))
+            .select(F.lit(1).alias("__trigger__"))
+        )
+    stream = reduce(DataFrame.unionByName, streams)
 
     def _apply(batch_df, batch_id):
         refresh_matview(catalog, name)

@@ -1885,3 +1885,108 @@ def q58_lateral_join(spark, sf_dir):
         WHERE c.c_custkey <= 200
         """
     )
+
+
+@query(
+    "q59_matview_join", extended=True,
+    oracle="""
+    WITH dim0 AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg
+        FROM customer WHERE c_custkey <= 300
+    ),
+    dim1 AS (
+        SELECT k, CASE WHEN k % 7 = 0 THEN 'MOVED' ELSE seg END AS seg
+        FROM dim0
+    ),
+    dim2 AS (
+        SELECT * FROM dim1 WHERE k % 50 <> 0
+        UNION ALL SELECT 999999, 'NEWSEG'
+    ),
+    fact0 AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               CAST(floor(o_totalprice) AS BIGINT) AS x
+        FROM orders WHERE o_orderkey <= 1500
+    ),
+    fact1 AS (
+        SELECT * FROM fact0 WHERE k % 11 <> 0
+        UNION ALL
+        SELECT * FROM (VALUES (2000001, 5, 100), (2000002, 999999, 50),
+                              (2000003, 5, NULL)) v(k, ck, x)
+    ),
+    fact2 AS (
+        SELECT k, ck, CASE WHEN ck % 13 = 0 THEN x + 5 ELSE x END AS x
+        FROM fact1
+    )
+    SELECT d.seg, count(*) AS n, CAST(count(f.x) AS BIGINT) AS nx,
+           CAST(sum(f.x) AS BIGINT) AS sx, round(avg(f.x), 6) AS ax,
+           min(f.x) AS mn, max(f.x) AS mx
+    FROM fact2 f JOIN dim2 d ON f.ck = d.k
+    GROUP BY d.seg
+    """,
+)
+def q59_matview_join(spark, sf_dir):
+    """Incrementally-maintained materialized view over a two-table
+    equi-join (catalog/matview.py — the dA⋈B1 + A1⋈dB − dA⋈dB delta
+    rule): seed a fact table from orders and a dim table from customer,
+    CREATE MATERIALIZED VIEW joining them with count/sum/avg/min/max
+    per dim attribute, then drive two refresh cycles — a dim-attribute
+    UPDATE that re-attributes every joined fact row, a fact DELETE, a
+    fact INSERT including a dangling and a NULL-measure row, then (in
+    ONE window, exercising the dA⋈dB correction term) a dim INSERT
+    adopting the dangling row, a fact value UPDATE, and a dim DELETE
+    killing whole groups.  Each REFRESH applies only the two sources'
+    bounded CDC windows.  DuckDB re-derives the final join state from
+    raw orders + customer and re-aggregates; every group's aggregates
+    and the dead groups' absence are hash-checked."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mvj_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE mvj_fact (k BIGINT NOT NULL, ck BIGINT, x BIGINT,"
+        " PRIMARY KEY (k))"
+    )
+    e.sql(
+        "CREATE TABLE mvj_dim (k BIGINT NOT NULL, seg STRING,"
+        " PRIMARY KEY (k))"
+    )
+    t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    ).createOrReplaceTempView("mvj_dim_seed")
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.floor("o_totalprice").cast("bigint").alias("x"),
+    ).createOrReplaceTempView("mvj_fact_seed")
+    e.sql("INSERT INTO mvj_dim SELECT * FROM mvj_dim_seed")
+    e.sql("INSERT INTO mvj_fact SELECT * FROM mvj_fact_seed")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mvj AS"
+        " SELECT d.seg, count(*) AS n, count(f.x) AS nx, sum(f.x) AS sx,"
+        " avg(f.x) AS ax, min(f.x) AS mn, max(f.x) AS mx"
+        " FROM mvj_fact f JOIN mvj_dim d ON f.ck = d.k GROUP BY d.seg"
+    )
+    # window 1: dim re-attribution + fact churn
+    e.sql("UPDATE mvj_dim SET seg = 'MOVED' WHERE k % 7 = 0")
+    e.sql("DELETE FROM mvj_fact WHERE k % 11 = 0")
+    e.sql(
+        "INSERT INTO mvj_fact VALUES (2000001, 5, 100),"
+        " (2000002, 999999, 50), (2000003, 5, NULL)"
+    )
+    e.sql("REFRESH MATERIALIZED VIEW mvj")
+    # window 2: BOTH sides change (dA⋈dB term) — dim insert adopts the
+    # dangling fact row, fact values move, dim keys die
+    e.sql("INSERT INTO mvj_dim VALUES (999999, 'NEWSEG')")
+    e.sql("UPDATE mvj_fact SET x = x + 5 WHERE ck % 13 = 0")
+    e.sql("DELETE FROM mvj_dim WHERE k % 50 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW mvj")
+    return e.sql(
+        "SELECT seg, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mvj"
+    )

@@ -170,6 +170,31 @@ class FlussCatalog:
     def table_path(self, spec: TableSpec) -> str:
         return os.path.join(self.warehouse, spec.database, spec.name)
 
+    def _bloom_config(self, spec: TableSpec):
+        """(physical bloom column names, fpp) from the ``bloom.columns``
+        / ``bloom.fpp`` table properties — the opt-in for per-file bloom
+        filters in the skipping manifest (equality skipping on
+        high-cardinality columns where min/max spans everything).
+        Manifest stats are keyed by on-disk names, so renamed columns
+        map through their physical_name."""
+        props = spec.properties or {}
+        raw = props.get("bloom.columns")
+        if not raw:
+            return None, 0.01
+        physical = {
+            c.name: (c.physical_name or c.name) for c in spec.columns
+        }
+        cols = [
+            physical.get(c.strip(), c.strip())
+            for c in raw.split(",")
+            if c.strip()
+        ]
+        try:
+            fpp = float(props.get("bloom.fpp", "0.01"))
+        except ValueError:
+            fpp = 0.01
+        return (cols or None), fpp
+
     # -- DDL ----------------------------------------------------------------
 
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> None:
@@ -273,6 +298,15 @@ class FlussCatalog:
                 )
         col.physical_name = col.stored_name  # pin what's on disk
         col.name = new
+        # bloom.columns names logical columns: follow the rename so the
+        # harvest keeps building blooms (physical keying is unchanged)
+        raw = (spec.properties or {}).get("bloom.columns")
+        if raw:
+            spec.properties["bloom.columns"] = ",".join(
+                new if c.strip() == old else c.strip()
+                for c in raw.split(",")
+                if c.strip()
+            )
         self._save_spec(spec)
         self._register_view(spec)
 
@@ -935,9 +969,12 @@ class FlussCatalog:
         writer.parquet(path)
         self._register_view(spec)
         new_files = sorted(_parquet_files(path) - before)
-        # incremental footer-stats harvest for the skipping scan
-        # (never fails the write — see skipping.add_files)
-        skipping.add_files(path, new_files)
+        # incremental footer-stats (+ opt-in column bloom) harvest for
+        # the skipping scan (never fails the write — see skipping.add_files)
+        bloom_cols, bloom_fpp = self._bloom_config(spec)
+        skipping.add_files(
+            path, new_files, bloom_columns=bloom_cols, bloom_fpp=bloom_fpp
+        )
         if seq is not None:
             self._record_commit(spec, seq)
         return new_files
@@ -1557,7 +1594,13 @@ class FlussCatalog:
             # Full manifest rebuild: the z-clustered (or consolidated)
             # files get tight per-file bounds, which read(predicate=)
             # turns into skipped file opens.
-            skipping.rebuild(path, sorted(files))
+            bloom_cols, bloom_fpp = self._bloom_config(spec)
+            skipping.rebuild(
+                path,
+                sorted(files),
+                bloom_columns=bloom_cols,
+                bloom_fpp=bloom_fpp,
+            )
         except Exception:
             pass
         return len(files)
@@ -1602,18 +1645,31 @@ class FlussCatalog:
         self._save_commits(spec, commits)
         self._register_view(spec)
         try:
-            skipping.rebuild(path, sorted(_parquet_files(path)))
+            bloom_cols, bloom_fpp = self._bloom_config(spec)
+            skipping.rebuild(
+                path,
+                sorted(_parquet_files(path)),
+                bloom_columns=bloom_cols,
+                bloom_fpp=bloom_fpp,
+            )
         except Exception:
             pass
 
     def refresh_file_stats(self, name: str) -> int:
-        """(Re)harvest the footer-stats manifest for every file of the
-        table (tables predating the manifest, or externally modified).
-        Returns the number of files covered; read(predicate=) uses the
-        manifest to skip file opens."""
+        """(Re)harvest the footer-stats manifest (+ opt-in column
+        blooms) for every file of the table (tables predating the
+        manifest, or externally modified).  Returns the number of files
+        covered; read(predicate=) uses the manifest to skip file
+        opens."""
         spec = self.get_table(name)
         path = self.table_path(spec)
-        return skipping.rebuild(path, sorted(_parquet_files(path)))
+        bloom_cols, bloom_fpp = self._bloom_config(spec)
+        return skipping.rebuild(
+            path,
+            sorted(_parquet_files(path)),
+            bloom_columns=bloom_cols,
+            bloom_fpp=bloom_fpp,
+        )
 
 
 def _swap_dir(path: str, tmp: str) -> None:
@@ -1629,10 +1685,20 @@ def _swap_dir(path: str, tmp: str) -> None:
 
 
 def _parquet_files(path: str) -> set:
+    """Data files of a table directory — Spark's listing rule: names
+    starting with ``_`` or ``.`` are metadata, not data, UNLESS they
+    contain ``=`` (Hive partition dirs like ``__bkt__=3``).  Without
+    the dir prune, the chunked stats manifest (``_file_stats/*.parquet``)
+    would be fed to ``spark.read.parquet(*files)`` as data — explicit
+    file lists bypass Spark's own underscore filtering."""
+    hidden = lambda n: (n.startswith("_") or n.startswith(".")) and "=" not in n  # noqa: E731
     files = set()
-    for root, _dirs, names in os.walk(path):
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not hidden(d)]
         files.update(
-            os.path.join(root, f) for f in names if f.endswith(".parquet")
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not hidden(f)
         )
     return files
 

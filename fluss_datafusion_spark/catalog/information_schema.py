@@ -168,7 +168,16 @@ def register_views(catalog, include_stats: bool = True) -> None:
     for s in specs:
         manifest = skipping.load(catalog.table_path(s))
         for rel_path, bounds in sorted(manifest.items()):
-            for col_name, (lo, hi) in sorted(bounds.items()):
+            for col_name, stat in sorted(bounds.items()):
+                if col_name == skipping.BLOOM_KEY:
+                    # blooms surface as one descriptive row per column
+                    for bcol, bloom in sorted(stat.items()):
+                        desc = f"bloom(m={bloom['m']},k={bloom['k']})"
+                        file_stats.append(
+                            (s.database, s.name, rel_path, bcol, desc, desc)
+                        )
+                    continue
+                lo, hi = stat
                 file_stats.append(
                     (s.database, s.name, rel_path, col_name, str(lo), str(hi))
                 )

@@ -52,6 +52,121 @@ MANIFEST = "_file_stats.json"
 #: footer stat types we can compare against parsed SQL literals
 _SCALARS = (int, float, str, bool)
 
+#: reserved manifest key holding per-file per-column bloom filters
+BLOOM_KEY = "__bloom__"
+
+
+# -- per-file bloom filters ---------------------------------------------------
+#
+# min/max bounds exclude RANGE predicates; for EQUALITY on a
+# high-cardinality column whose values interleave across files (ids,
+# hashes, URLs — every file's [min, max] spans nearly the whole domain)
+# they exclude nothing.  A per-file bloom filter over the column's
+# distinct values restores skipping for ``col = lit`` / ``col IN (...)``
+# — the Delta Lake bloom-filter-index / parquet column-bloom analog,
+# kept at the manifest level so exclusion happens before any file open.
+#
+# Opt-in per table via the ``bloom.columns`` (+ optional ``bloom.fpp``)
+# table property: building one costs a data read of those columns at
+# write time (footer stats are free; blooms are not), which is the
+# same trade Delta documents.  Probing is sound by construction: a
+# bloom answers "definitely absent" or "maybe present", and only
+# definite absence excludes.  Int and string columns only — float
+# equality is not a meaningful skip target, and cross-type canonical
+# forms would be fragile.  Sizing caps at _BLOOM_MAX_BITS per
+# column per file (beyond the cap the fpp degrades gracefully).
+
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB of bits per column per file
+_BLOOM_MIN_BITS = 64
+
+
+def _bloom_canon(value) -> Optional[bytes]:
+    """Canonical probe/build bytes for a value, or None if the type is
+    unsupported (floats, None, ...).  bool is NOT int here: bloom
+    skipping targets ids/hashes, and bool columns never benefit."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return b"i:" + str(value).encode()
+    if isinstance(value, str):
+        return b"s:" + value.encode("utf-8")
+    if isinstance(value, bytes):
+        return b"b:" + value
+    return None
+
+
+def _bloom_hashes(data: bytes, k: int, m: int) -> List[int]:
+    """k bit positions via double hashing over one md5 (Kirsch &
+    Mitzenmacher 2006: h1 + i*h2 is as good as k independent hashes)."""
+    import hashlib
+
+    digest = hashlib.md5(data).digest()
+    h1 = int.from_bytes(digest[:8], "little")
+    h2 = int.from_bytes(digest[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float) -> Optional[Dict]:
+    """{"m": bits, "k": hashes, "b64": bitset} over the distinct
+    canonicalizable values, or None if nothing canonicalizes."""
+    import base64
+
+    canon = set()
+    for v in values:
+        b = _bloom_canon(v)
+        if b is not None:
+            canon.add(b)
+    if not canon:
+        return None
+    n = len(canon)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(_BLOOM_MIN_BITS, min(_BLOOM_MAX_BITS, m))
+    m = (m + 7) // 8 * 8
+    k = max(1, min(16, round(m / n * math.log(2))))
+    bits = bytearray(m // 8)
+    for b in canon:
+        for pos in _bloom_hashes(b, k, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe_contains(bloom: Dict, value) -> bool:
+    """False ONLY when the filter proves the value absent."""
+    import base64
+
+    data = _bloom_canon(value)
+    if data is None:
+        return True  # unsupported probe type: cannot exclude
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        bits = base64.b64decode(bloom["b64"])
+    except (KeyError, TypeError, ValueError):
+        return True
+    for pos in _bloom_hashes(data, k, m):
+        if not bits[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def _file_blooms(
+    path: str, columns: Sequence[str], fpp: float
+) -> Dict[str, Dict]:
+    """Column blooms for one file (a data read of just those columns;
+    columns absent from the file's schema are skipped)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [c for c in columns if c in pf.schema_arrow.names]
+    if not present:
+        return {}
+    table = pf.read(columns=present)
+    out: Dict[str, Dict] = {}
+    for c in present:
+        bloom = _bloom_build(table.column(c).to_pylist(), fpp)
+        if bloom is not None:
+            out[c] = bloom
+    return out
+
 
 # -- harvest ----------------------------------------------------------------
 
@@ -165,7 +280,13 @@ def _load_chunks(table_path: str) -> Dict[str, Dict[str, List]]:
             t.column("max_json").to_pylist(),
         ):
             entry = manifest.setdefault(f, {})
-            if c is not None:  # None = marker row for a stat-less file
+            if c is None:  # marker row for a stat-less file
+                continue
+            if c.startswith(BLOOM_KEY + ":"):
+                entry.setdefault(BLOOM_KEY, {})[
+                    c[len(BLOOM_KEY) + 1 :]
+                ] = json.loads(lo)
+            else:
                 entry[c] = [json.loads(lo), json.loads(hi)]
     return manifest
 
@@ -181,7 +302,15 @@ def _write_chunk(table_path: str, entries: Dict[str, Dict[str, List]]) -> None:
             rows["column"].append(None)
             rows["min_json"].append(None)
             rows["max_json"].append(None)
-        for c, (lo, hi) in stats.items():
+        for c, bounds in stats.items():
+            if c == BLOOM_KEY:  # blooms ride as prefixed rows
+                for bcol, bloom in bounds.items():
+                    rows["file"].append(f)
+                    rows["column"].append(f"{BLOOM_KEY}:{bcol}")
+                    rows["min_json"].append(json.dumps(bloom))
+                    rows["max_json"].append(None)
+                continue
+            lo, hi = bounds
             rows["file"].append(f)
             rows["column"].append(c)
             rows["min_json"].append(json.dumps(lo))
@@ -227,10 +356,30 @@ def _use_chunks(table_path: str, incoming: int) -> bool:
     return current + incoming >= CHUNK_THRESHOLD
 
 
-def add_files(table_path: str, files: Sequence[str]) -> None:
-    """Merge footer bounds for ``files`` into the manifest (write-time
-    incremental harvest).  Never raises: stats are an optimization, a
-    harvest failure must not fail the write that triggered it.
+def _harvest_entry(
+    table_path: str,
+    f: str,
+    bloom_columns: Optional[Sequence[str]],
+    bloom_fpp: float,
+) -> Dict:
+    entry = _file_column_bounds(f)
+    if bloom_columns:
+        blooms = _file_blooms(f, bloom_columns, bloom_fpp)
+        if blooms:
+            entry[BLOOM_KEY] = blooms
+    return entry
+
+
+def add_files(
+    table_path: str,
+    files: Sequence[str],
+    bloom_columns: Optional[Sequence[str]] = None,
+    bloom_fpp: float = 0.01,
+) -> None:
+    """Merge footer bounds (+ optional column blooms) for ``files`` into
+    the manifest (write-time incremental harvest).  Never raises: stats
+    are an optimization, a harvest failure must not fail the write that
+    triggered it.
 
     Small tables rewrite the JSON manifest; past CHUNK_THRESHOLD total
     entries the store migrates to immutable parquet chunks and each
@@ -239,7 +388,9 @@ def add_files(table_path: str, files: Sequence[str]) -> None:
         return
     try:
         new_entries = {
-            os.path.relpath(f, table_path): _file_column_bounds(f)
+            os.path.relpath(f, table_path): _harvest_entry(
+                table_path, f, bloom_columns, bloom_fpp
+            )
             for f in files
         }
         if _use_chunks(table_path, len(new_entries)):
@@ -261,14 +412,21 @@ def add_files(table_path: str, files: Sequence[str]) -> None:
         pass
 
 
-def rebuild(table_path: str, files: Sequence[str]) -> int:
-    """Replace the manifest with fresh bounds for exactly ``files``
-    (post-OPTIMIZE/compact full rewrite).  Returns files covered.
-    Large file sets land in the chunked store (one merged chunk);
-    small ones in the JSON manifest."""
+def rebuild(
+    table_path: str,
+    files: Sequence[str],
+    bloom_columns: Optional[Sequence[str]] = None,
+    bloom_fpp: float = 0.01,
+) -> int:
+    """Replace the manifest with fresh bounds (+ optional column blooms)
+    for exactly ``files`` (post-OPTIMIZE/compact full rewrite).  Returns
+    files covered.  Large file sets land in the chunked store (one
+    merged chunk); small ones in the JSON manifest."""
     manifest: Dict[str, Dict[str, List]] = {}
     for f in files:
-        manifest[os.path.relpath(f, table_path)] = _file_column_bounds(f)
+        manifest[os.path.relpath(f, table_path)] = _harvest_entry(
+            table_path, f, bloom_columns, bloom_fpp
+        )
     if len(manifest) >= CHUNK_THRESHOLD or _chunk_files(table_path):
         _clear_chunks(table_path)
         json_path = os.path.join(table_path, MANIFEST)
@@ -507,10 +665,27 @@ def prune(
         if stats is None:
             kept.append(f)
             continue
-        if any(
-            col in stats and _excludes(stats[col], op, value)
-            for col, op, value in conjuncts
-        ):
+        blooms = stats.get(BLOOM_KEY) or {}
+        excluded = False
+        for col, op, value in conjuncts:
+            if col in stats and col != BLOOM_KEY and _excludes(
+                stats[col], op, value
+            ):
+                excluded = True
+                break
+            # equality conjuncts additionally probe the column bloom:
+            # "definitely absent" excludes, "maybe present" keeps
+            bloom = blooms.get(col)
+            if bloom:
+                if op == "=" and not _bloom_maybe_contains(bloom, value):
+                    excluded = True
+                    break
+                if op == "in" and not any(
+                    _bloom_maybe_contains(bloom, v) for v in value
+                ):
+                    excluded = True
+                    break
+        if excluded:
             continue
         kept.append(f)
     return kept

@@ -2684,3 +2684,167 @@ def ns_retrieval_bm25_phrase(spark, sf_dir):
         docs, "doc_id", "text", queries, "qid", "qtext",
         phrase="join order", k=10,
     )
+
+
+@query(
+    "ns_retrieval_bm25f", extended=True,
+    oracle="""
+    WITH split AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, 'title' AS fld, unnest(ts[1:4]) AS term FROM split
+        UNION ALL
+        SELECT doc_id, 'body' AS fld, unnest(ts[5:]) AS term FROM split
+    ),
+    tf AS (SELECT doc_id, fld, term, count(*) AS tf FROM occ
+           WHERE term <> '' GROUP BY 1, 2, 3),
+    dl AS (SELECT doc_id, fld, count(*) AS dl FROM occ
+           WHERE term <> '' GROUP BY 1, 2),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM dl),
+    fstats AS (
+        SELECT fld, sum(dl) / (SELECT n FROM n_docs) AS avgdl,
+               CASE fld WHEN 'title' THEN 2.5 ELSE 1.0 END AS w
+        FROM dl GROUP BY fld
+    ),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    q AS (
+        SELECT DISTINCT doc_id AS query_id, term FROM (
+            SELECT doc_id, unnest(ts) AS term FROM split
+            WHERE doc_id % 101 = 0
+        ) WHERE term <> ''
+    ),
+    wtf AS (
+        SELECT q.query_id, tf.doc_id, tf.term,
+               sum(w * tf / (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS wtf
+        FROM q
+        JOIN tf USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id AND tf.fld = dl.fld
+        JOIN fstats ON tf.fld = fstats.fld
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT query_id, wtf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * wtf * (1.2 + 1) / (wtf + 1.2)), 4) AS score
+        FROM wtf
+        JOIN dft USING (term)
+        CROSS JOIN n_docs
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ns_retrieval_bm25f(spark, sf_dir):
+    """BM25F field-weighted top-5 retrieval (Robertson/Zaragoza/Taylor
+    2004 simple variant, the Lucene combined_fields scorer): documents
+    split into a title field (first 4 tokens, weight 2.5) and a body
+    field (rest, weight 1.0); per-field length-normalized tfs combine
+    into one pseudo-frequency saturated once per term.  Queries = every
+    101st document's full text.  DuckDB replays the whole fielded chain
+    — per-field tf/dl, doc-level df, avgdl over all indexed docs —
+    and every score and rank hash-checks."""
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    ts = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    fielded = docs.select(
+        "doc_id",
+        F.array_join(F.slice(ts, 1, 4), " ").alias("title"),
+        F.array_join(
+            F.when(F.size(ts) > 4, F.slice(ts, 5, 1 << 30)).otherwise(
+                F.array().cast("array<string>")
+            ),
+            " ",
+        ).alias("body"),
+    )
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return retrieval.bm25f_search(
+        fielded, "doc_id", {"title": 2.5, "body": 1.0},
+        queries, "qid", "qtext", k=5,
+    )
+
+
+@query(
+    "ns_retrieval_bm25_pruned", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q_raw AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+              WHERE doc_id % 101 = 0),
+    ub AS (
+        SELECT query_id, term,
+               ln(1 + (n - df + 0.5) / (df + 0.5)) * (1.2 + 1) AS ub
+        FROM q_raw JOIN dft USING (term) CROSS JOIN stats
+    ),
+    q AS (
+        SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   coalesce(sum(ub) OVER (
+                       PARTITION BY query_id ORDER BY ub DESC, term
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum,
+                   sum(ub) OVER (PARTITION BY query_id) AS tot
+            FROM ub
+        ) WHERE cum < 0.7 * tot - 1e-12
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ns_retrieval_bm25_pruned(spark, sf_dir):
+    """WAND-style query-term pruning (Broder 2003 upper bounds, the
+    MaxScore/WAND batch analog): each query keeps only the highest-
+    impact prefix of its terms holding 70% of the UB(t) = idf*(k1+1)
+    mass — the low-idf tail (whose postings lists are the Zipf head,
+    i.e. the expensive keys) never reaches the postings join.  DuckDB
+    replays the deterministic pruning rule (UB-desc/term-asc cumulative
+    window) and the downstream BM25 chain; scores and ranks
+    hash-check."""
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return retrieval.bm25_search(
+        docs, "doc_id", "text", queries, "qid", "qtext",
+        k=5, term_keep_mass=0.7,
+    )

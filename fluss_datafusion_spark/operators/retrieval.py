@@ -99,8 +99,13 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     broadcast_queries: bool = True,
+    term_keep_mass: Optional[float] = None,
 ) -> DataFrame:
     """Top-k BM25 retrieval for a batch of queries against a built index.
+
+    ``term_keep_mass`` (0 < m <= 1) enables WAND-style upper-bound
+    pruning of each query's low-impact term tail before the postings
+    join — see :func:`prune_query_terms`.  None = exact BM25.
 
     Returns (query_id, doc_id, score, rank) — score rounded to 4
     (cross-engine float-sum tolerance), rank dense over (score desc,
@@ -119,6 +124,10 @@ def bm25_topk(
         .select(F.col("__doc__").alias("__qid__"), "__term__")
         .distinct()
     )
+    if term_keep_mass is not None:
+        q_terms = prune_query_terms(
+            q_terms, postings, corpus_stats, term_keep_mass, k1=k1
+        )
     if broadcast_queries:
         q_terms = F.broadcast(q_terms)
     idf = F.log(
@@ -162,6 +171,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: Optional[int] = None,
+    term_keep_mass: Optional[float] = None,
 ) -> DataFrame:
     """One-shot convenience: build the index and run top-k retrieval."""
     postings, doc_stats, corpus_stats = build_bm25_index(
@@ -170,7 +180,7 @@ def bm25_search(
     return bm25_topk(
         postings, doc_stats, corpus_stats,
         queries, query_id_col, query_text_col,
-        k=k, k1=k1, b=b,
+        k=k, k1=k1, b=b, term_keep_mass=term_keep_mass,
     )
 
 
@@ -222,4 +232,232 @@ def bm25_phrase_search(
     return bm25_search(
         matched, doc_id_col, doc_text_col,
         queries, query_id_col, query_text_col, k=k, **kwargs,
+    )
+
+
+# -- WAND-style query-term pruning --------------------------------------------
+
+
+def prune_query_terms(
+    q_terms: DataFrame,
+    postings: DataFrame,
+    corpus_stats: DataFrame,
+    keep_mass: float,
+    k1: float = 1.2,
+) -> DataFrame:
+    """Drop each query's low-impact term tail — the batch analog of
+    WAND / MaxScore upper-bound pruning (Broder et al., CIKM 2003).
+
+    A term's score contribution is bounded by UB(t) = idf(t) * (k1+1)
+    (tf * (k1+1) / (tf + k1*B) < k1+1 for any tf, B > 0).  Per query,
+    terms are ordered by UB descending and the smallest prefix whose
+    cumulative UB reaches ``keep_mass`` of the query's total UB is
+    kept: a 50-term query whose tail is stop-ish words stops routing
+    the postings join through those huge term keys, which is where the
+    cost lives at corpus scale (Zipf: the cheapest-idf terms have the
+    largest postings lists).  Deterministic (ties by term), so an
+    external oracle can replay the rule exactly.  Terms absent from the
+    index carry UB 0 and are always dropped (they cannot score).
+
+    Approximate by design — a dropped term can demote a document that
+    only matched the tail — bounded by 1 - keep_mass of the achievable
+    score mass; keep_mass=1.0 keeps every indexed term.
+    """
+    if not 0.0 < keep_mass <= 1.0:
+        raise ValueError(f"keep_mass must be in (0, 1], got {keep_mass}")
+    df_t = postings.select("__term__", "__df__").distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+    )
+    ub = (idf * (k1 + 1.0)).alias("__ub__")
+    ranked = (
+        q_terms.join(df_t, "__term__")  # unindexed terms: UB 0, dropped
+        .crossJoin(F.broadcast(corpus_stats))
+        .select("__qid__", "__term__", ub)
+    )
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("__ub__").desc(), F.col("__term__").asc()
+    )
+    total = Window.partitionBy("__qid__")
+    return (
+        ranked.withColumn(
+            "__cum__", F.sum("__ub__").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        .withColumn("__tot__", F.sum("__ub__").over(total))
+        # keep while the PRECEDING prefix is still short of the mass
+        # target (so the term crossing the threshold is included)
+        .filter(
+            F.coalesce(F.col("__cum__"), F.lit(0.0))
+            < keep_mass * F.col("__tot__") - 1e-12
+        )
+        .select("__qid__", "__term__")
+    )
+
+
+# -- BM25F: field-weighted retrieval ------------------------------------------
+
+
+def build_bm25f_index(
+    docs: DataFrame,
+    id_col: str,
+    fields,  # {text_col: weight} or {text_col: (weight, b)}
+    b: float = 0.75,
+    max_df: Optional[int] = None,
+):
+    """Fielded inverted index for BM25F (Robertson, Zaragoza & Taylor,
+    CIKM 2004 — the "simple BM25F" variant Lucene/Elasticsearch expose
+    as ``combined_fields``): term frequencies are kept PER FIELD with
+    per-field length normalization and weights, then combined into one
+    pseudo-frequency before saturation, which is provably better than
+    scoring fields independently and summing (a term spread across
+    fields should saturate once, not n_fields times).
+
+    ``fields`` maps text columns to a weight, or to ``(weight, b_f)``
+    for per-field length normalization (title-ish fields usually want a
+    smaller b).  Returns ``(postings, field_stats, corpus_stats)``:
+
+    - postings:     (__term__, __doc__, __field__, __tf__, __df__) —
+                    df counts documents containing the term in ANY field
+    - field_stats:  (__field__, __avgdl__, __w__, __b__) — n_fields rows
+    - corpus_stats: single row (__N__)
+
+    N counts documents with >= 1 token in >= 1 field; avgdl_f averages
+    the field's length over ALL N docs (empty fields count 0 — the
+    BM25F convention).
+    """
+    spark = docs.sparkSession
+    specs = []
+    for col, cfg in fields.items():
+        w, b_f = cfg if isinstance(cfg, (tuple, list)) else (cfg, b)
+        specs.append((col, float(w), float(b_f)))
+    occ = None
+    for col, _, _ in specs:
+        rows = _term_rows(docs, id_col, col).withColumn(
+            "__field__", F.lit(col)
+        )
+        occ = rows if occ is None else occ.unionByName(rows)
+    postings = occ.groupBy("__term__", "__doc__", "__field__").agg(
+        F.count(F.lit(1)).alias("__tf__")
+    )
+    df_t = (
+        postings.select("__term__", "__doc__")
+        .distinct()
+        .groupBy("__term__")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+    )
+    postings = postings.join(df_t, "__term__")
+    if max_df is not None:
+        postings = postings.filter(F.col("__df__") <= max_df)
+    field_lens = occ.groupBy("__doc__", "__field__").agg(
+        F.count(F.lit(1)).alias("__dl__")
+    )
+    postings = postings.join(field_lens, ["__doc__", "__field__"])
+    n_docs = occ.select("__doc__").distinct().count()
+    sums = {
+        r["__field__"]: r["s"]
+        for r in field_lens.groupBy("__field__")
+        .agg(F.sum("__dl__").alias("s"))
+        .collect()
+    }  # n_fields scalars — never corpus-sized
+    field_stats = spark.createDataFrame(
+        [
+            (col, float(sums.get(col, 0)) / max(n_docs, 1), w, b_f)
+            for col, w, b_f in specs
+        ],
+        "__field__ string, __avgdl__ double, __w__ double, __b__ double",
+    )
+    corpus_stats = spark.createDataFrame(
+        [(n_docs,)], "__N__ long"
+    )
+    return postings, field_stats, corpus_stats
+
+
+def bm25f_topk(
+    postings: DataFrame,
+    field_stats: DataFrame,
+    corpus_stats: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Top-k BM25F retrieval: per (query, doc, term) the field
+    frequencies combine into one weighted pseudo-frequency
+
+        wtf = sum_f  w_f * tf_f / (1 - b_f + b_f * dl_f / avgdl_f)
+
+    saturated once per term:  idf(t) * wtf * (k1+1) / (wtf + k1).
+
+    Same scale shape as :func:`bm25_topk` — the only additions are the
+    n_fields-row broadcast of field_stats and a second (tiny) agg level
+    collapsing fields into the pseudo-frequency."""
+    q_terms = (
+        _term_rows(queries, query_id_col, query_text_col)
+        .select(F.col("__doc__").alias("__qid__"), "__term__")
+        .distinct()
+    )
+    if broadcast_queries:
+        q_terms = F.broadcast(q_terms)
+    b_norm = (
+        F.lit(1.0)
+        - F.col("__b__")
+        + F.col("__b__") * F.col("__dl__") / F.col("__avgdl__")
+    )
+    wtf_part = F.col("__w__") * F.col("__tf__") / b_norm
+    per_term = (
+        postings.join(q_terms, "__term__")
+        .join(F.broadcast(field_stats), "__field__")
+        .groupBy("__qid__", "__doc__", "__term__")
+        .agg(
+            F.sum(wtf_part).alias("__wtf__"),
+            F.first("__df__").alias("__df__"),
+        )
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+    )
+    contrib = idf * F.col("__wtf__") * (k1 + 1.0) / (F.col("__wtf__") + k1)
+    scored = (
+        per_term.crossJoin(F.broadcast(corpus_stats))
+        .groupBy("__qid__", "__doc__")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    w = Window.partitionBy("__qid__").orderBy(
+        F.col("score").desc(), F.col("__doc__").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid__").alias("query_id"),
+            F.col("__doc__").alias("doc_id"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25f_search(
+    docs: DataFrame,
+    doc_id_col: str,
+    fields,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """One-shot convenience: build the fielded index and retrieve."""
+    postings, field_stats, corpus_stats = build_bm25f_index(
+        docs, doc_id_col, fields, b=b, max_df=max_df
+    )
+    return bm25f_topk(
+        postings, field_stats, corpus_stats,
+        queries, query_id_col, query_text_col, k=k, k1=k1,
     )

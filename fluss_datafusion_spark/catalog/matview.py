@@ -371,6 +371,19 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     return reduce(DataFrame.unionByName, terms)
 
 
+def _with_kahan_state(state: DataFrame, mv: Dict) -> DataFrame:
+    """Append zeroed Kahan compensation columns for the view's FLOAT
+    sum/avg aggregates.  Exact types (int/bigint/decimal) maintain
+    exactly under +/− deltas; a double sum accumulates one rounding
+    error per refresh FOREVER (the view never re-reads the corpus), so
+    each float sum carries a hidden compensation term and every refresh
+    applies one compensated-summation step (Kahan 1965) — the
+    cross-refresh drift stays O(1) ulp instead of O(#refreshes)."""
+    for alias in mv.get("float_sums", []):
+        state = state.withColumn(f"__mv_kc_{alias}", F.lit(0.0))
+    return state
+
+
 def _physical_aggs(mv: Dict) -> List:
     """Aggregate Columns for the view's PHYSICAL schema, evaluated over
     normalized source rows.  Used by both the full build (sign=1) and
@@ -433,9 +446,10 @@ def _load_mv(catalog, name: str) -> Dict:
             mv = json.load(fh)
     except OSError:
         raise ValueError(f"{name} is not a materialized view") from None
-    # pre-join-view specs lack these keys
+    # pre-join-view / pre-Kahan specs lack these keys
     mv.setdefault("source2", None)
     mv.setdefault("group_names", mv["group_cols"])
+    mv.setdefault("float_sums", [])
     return mv
 
 
@@ -469,7 +483,8 @@ def _full_state(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     rows = _normalized_source(
         catalog, mv, (anchors["hi"], anchors.get("hi2"))
     )
-    return rows.groupBy(*mv["group_names"]).agg(*_physical_aggs(mv))
+    state = rows.groupBy(*mv["group_names"]).agg(*_physical_aggs(mv))
+    return _with_kahan_state(state, mv)
 
 
 def create_matview(catalog, name: str, select_sql: str) -> int:
@@ -513,6 +528,19 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
     # applied exactly once — by the next refresh
     anchors = _anchors_now(catalog, mv)
     state = _full_state(catalog, mv, anchors)
+    # float sums get a Kahan compensation column (exact types don't)
+    double_fields = {
+        f.name
+        for f in state.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+    mv["float_sums"] = [
+        a["alias"]
+        for a in mv["aggs"]
+        if a["fn"] in ("sum", "avg")
+        and f"__mv_sum_{a['alias']}" in double_fields
+    ]
+    state = _with_kahan_state(state, mv)
     null_groups = state
     for g in mv["group_names"]:
         null_groups = null_groups.filter(F.col(g).isNull())
@@ -643,10 +671,25 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
             new_cols[f"__mv_cnt_{alias}"] = add(
                 f"__mv_cnt_{alias}", f"__d_cnt_{alias}"
             )
-            new_cols[f"__mv_sum_{alias}"] = F.when(
-                new_cols[f"__mv_cnt_{alias}"] > 0,
-                add(f"__mv_sum_{alias}", f"__d_sum_{alias}"),
-            )
+            if alias in mv["float_sums"]:
+                # one compensated-summation step per refresh: the
+                # window's delta is the increment, the hidden
+                # compensation absorbs the rounding (see _with_kahan_state)
+                s = F.coalesce(F.col(f"__mv_sum_{alias}"), F.lit(0.0))
+                c = F.coalesce(F.col(f"__mv_kc_{alias}"), F.lit(0.0))
+                d = F.coalesce(F.col(f"__d_sum_{alias}"), F.lit(0.0))
+                y = d - c
+                total = s + y
+                alive = new_cols[f"__mv_cnt_{alias}"] > 0
+                new_cols[f"__mv_sum_{alias}"] = F.when(alive, total)
+                new_cols[f"__mv_kc_{alias}"] = F.when(
+                    alive, (total - s) - y
+                ).otherwise(F.lit(0.0))
+            else:
+                new_cols[f"__mv_sum_{alias}"] = F.when(
+                    new_cols[f"__mv_cnt_{alias}"] > 0,
+                    add(f"__mv_sum_{alias}", f"__d_sum_{alias}"),
+                )
     needs_rescan = F.lit(False)
     for flag in rescan_flags:
         needs_rescan = needs_rescan | flag
@@ -670,13 +713,13 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
     rescan_keys = merged.filter(
         (F.col(_STAR) > 0) & F.col("__mv_rescan__")
     ).select(*mv["group_names"])
-    rescanned = (
+    rescanned = _with_kahan_state(
         _normalized_source(catalog, mv, (anchors["hi"], anchors["hi2"]))
         .join(rescan_keys, mv["group_names"], "left_semi")
         .groupBy(*mv["group_names"])
-        .agg(*_physical_aggs(mv))
-        .select(*schema_order)
-    )
+        .agg(*_physical_aggs(mv)),
+        mv,  # a rescan recomputes from scratch: compensation resets
+    ).select(*schema_order)
     n_up = catalog.insert(name, upserts.unionByName(rescanned))
     # phantom groups (born and fully retracted inside one window, or
     # nulled out by WHERE) get no tombstone — they were never in the view

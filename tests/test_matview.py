@@ -326,3 +326,34 @@ def test_information_schema_materialized_views(spark, tmp_path):
     assert r.last_refresh_seq == e.catalog.current_seq("src")
     # plain tables don't appear
     assert all(row.table_name != "src" for row in rows)
+
+
+def test_matview_float_sum_kahan_compensation(spark, tmp_path):
+    """Float sums carry a hidden Kahan compensation term: twenty +1.0
+    inserts against a 1e16-magnitude group would each be absorbed by
+    naive accumulation (ulp(1e16) = 2 — every refresh loses its delta),
+    and retracting the big row afterwards would leave ~0 instead of 20.
+    Compensated summation recovers both exactly."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_mvk"))
+    e.sql(
+        "CREATE TABLE fsrc (id BIGINT NOT NULL, g STRING, x DOUBLE,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql("INSERT INTO fsrc VALUES (0, 'a', 1e16)")
+    e.sql(
+        "CREATE MATERIALIZED VIEW fmv AS"
+        " SELECT g, count(*) AS n, sum(x) AS sx, avg(x) AS ax"
+        " FROM fsrc GROUP BY g"
+    )
+    for i in range(1, 21):  # one refresh per +1.0 — worst case for drift
+        e.sql(f"INSERT INTO fsrc VALUES ({i}, 'a', 1.0)")
+        e.sql("REFRESH MATERIALIZED VIEW fmv")
+    row = e.sql("SELECT sx FROM fmv").collect()[0]
+    assert row.sx == 1e16 + 20  # exactly representable; naive gives 1e16
+    e.sql("DELETE FROM fsrc WHERE id = 0")
+    e.sql("REFRESH MATERIALIZED VIEW fmv")
+    row = e.sql("SELECT n, sx, ax FROM fmv").collect()[0]
+    assert row.n == 20 and row.sx == 20.0 and row.ax == 1.0
+    # full re-aggregation agrees (the view is not drifting)
+    want = e.sql("SELECT sum(x) FROM fsrc").collect()[0][0]
+    assert row.sx == want

@@ -310,6 +310,59 @@ class FlussCatalog:
         self._save_spec(spec)
         self._register_view(spec)
 
+    #: widening conversions Spark 4's parquet readers perform in place
+    #: (SPARK-40876): no data file is touched, old files upcast at scan
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def alter_column_type(self, name: str, col_name: str, new_type: str) -> None:
+        """ALTER TABLE t ALTER COLUMN c TYPE <wider> — type widening
+        (the Delta Lake feature): the spec records the wider type and
+        every read's explicit schema upcasts old files at scan time
+        (Spark 4 parquet readers widen int→long, float→double,
+        int→double in place) — NO data rewrite.  New writes store the
+        wider type directly; mixed-width files coexist.
+
+        Refusals: narrowing or cross-class conversions (lossy), and
+        PK / partition / bucket columns — bucket ids come from
+        ``hash(col)`` and Spark's hash of 5 as int differs from 5 as
+        bigint, so widening a layout column would silently break bucket
+        pruning and co-located joins."""
+        from fluss_datafusion_spark.catalog.metadata import (
+            ddl_type_to_spark,
+            spark_type_to_ddl,
+        )
+
+        spec = self.get_table(name)
+        col = spec.column(col_name)  # KeyError if absent
+        old_t = spark_type_to_ddl(ddl_type_to_spark(col.type_name)).lower()
+        new_t = spark_type_to_ddl(ddl_type_to_spark(new_type)).lower()
+        if new_t == old_t:
+            return
+        if new_t not in self._WIDENINGS.get(old_t, set()):
+            raise ValueError(
+                f"cannot alter {col_name} from {old_t} to {new_t}: only "
+                "widening conversions (tinyint/smallint/int -> bigint or "
+                "double, float -> double) read old files in place"
+            )
+        protected = (
+            set(spec.primary_key)
+            | set(spec.partition_keys or [])
+            | set(spec.bucket_keys or [])
+        )
+        if col_name in protected:
+            raise ValueError(
+                f"cannot widen {col_name}: primary-key/partition/bucket "
+                "columns feed hash layouts whose values change with the type"
+            )
+        col.type_name = new_type
+        self._save_spec(spec)
+        self._register_view(spec)
+
     def add_check_constraint(self, name: str, cname: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT cname CHECK (expr): existing rows
         must already satisfy it (one validation scan, the Delta

@@ -388,6 +388,8 @@ def parse_alter_table(sql: str):
       (target, ("rename_column", (a, b))) — column mapping, no rewrite.
     - ``ALTER TABLE [db.]t RENAME TO u`` → (target, ("rename", "u"))
       (same-database rename).
+    - ``ALTER TABLE [db.]t ALTER COLUMN c [SET DATA] TYPE t`` →
+      (target, ("alter_type", (c, t))) — widening only, no rewrite.
 
     Returns None when the statement is not an ALTER TABLE (other ALTER
     forms raise, so unsupported DDL fails loudly instead of silently
@@ -438,6 +440,17 @@ def parse_alter_table(sql: str):
         return target, (
             "rename_column",
             (strip_quotes(rencol.group(1)), strip_quotes(rencol.group(2))),
+        )
+    altype = re.match(
+        r"^ALTER\s+COLUMN\s+(`?[\w]+`?)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*$",
+        body, re.IGNORECASE,
+    )
+    if altype:
+        type_text = altype.group(2).strip()
+        ddl_type_to_spark(type_text)  # validate eagerly
+        return target, (
+            "alter_type",
+            (strip_quotes(altype.group(1)), type_text),
         )
     rename = _ALTER_RENAME_RE.match(body)
     if rename:

@@ -175,6 +175,8 @@ class EngineSession:
                 self.catalog.drop_column(target, payload)
             elif action == "rename_column":
                 self.catalog.rename_column(target, *payload)
+            elif action == "alter_type":
+                self.catalog.alter_column_type(target, *payload)
             elif action == "add_constraint":
                 self.catalog.add_check_constraint(target, *payload)
             elif action == "drop_constraint":

@@ -2848,3 +2848,72 @@ def ns_retrieval_bm25_pruned(spark, sf_dir):
         docs, "doc_id", "text", queries, "qid", "qtext",
         k=5, term_keep_mass=0.7,
     )
+
+
+@query(
+    "ns_embedding_pca", extended=True,
+    oracle="""
+    SELECT count(*) AS n, CAST(max(len(embedding)) AS INT) AS dim,
+           4 AS k, TRUE AS orthonormal_ok, TRUE AS variance_desc_ok,
+           TRUE AS mean_ok, TRUE AS whiten_ok, TRUE AS truncation_ok
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def ns_embedding_pca(spark, sf_dir):
+    """Distributed PCA + whitening over the embeddings table
+    (operators/embeddings.py — the SemDeDup/ANN preprocessing step):
+    one Arrow-batched moment pass reduced in Spark (driver sees
+    1 + d + d^2 scalars), eigendecomposition on the d x d covariance,
+    shuffle-free matmul transform.  The q45 pattern: the entry verifies
+    its own invariants with wide margins — component orthonormality,
+    variance-descending eigenvalues, the fitted mean equals the
+    SQL-aggregated per-coordinate mean, whitened output has ~identity
+    covariance and ~zero mean (checked by re-fitting PCA on it through
+    the same distributed path), and truncated eigenvalues equal the
+    full spectrum's head — and the oracle pins n/dim/k."""
+    import numpy as np
+
+    from fluss_datafusion_spark.operators import embeddings as E
+
+    emb = t(spark, sf_dir, "embeddings").na.drop(subset=["embedding"])
+    model = E.pca_fit(emb, "embedding", k=4)
+    dim, n = model["dim"], model["n"]
+    comps = np.array(model["components"])
+    ev = np.array(model["eigenvalues"])
+    orthonormal_ok = bool(
+        np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    )
+    variance_desc_ok = bool(np.all(np.diff(ev) <= 1e-12))
+    sql_mean = (
+        emb.agg(
+            *[
+                F.avg(F.element_at(F.col("embedding"), i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+    )
+    mean_ok = bool(
+        np.allclose(model["mean"], [sql_mean[i] for i in range(dim)],
+                    atol=1e-6)
+    )
+    white = E.pca_transform(emb, "embedding", model, "p", whiten=True)
+    refit = E.pca_fit(white, "p", k=4)
+    whiten_ok = bool(
+        np.allclose(refit["eigenvalues"], 1.0, atol=0.05)
+        and np.allclose(refit["mean"], 0.0, atol=1e-6)
+    )
+    full = E.pca_fit(emb, "embedding", k=dim)
+    truncation_ok = bool(
+        np.allclose(full["eigenvalues"][:4], ev, rtol=1e-8)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n, dim, 4, orthonormal_ok, variance_desc_ok,
+                mean_ok, whiten_ok, truncation_ok,
+            )
+        ],
+        "n long, dim int, k int, orthonormal_ok boolean,"
+        " variance_desc_ok boolean, mean_ok boolean, whiten_ok boolean,"
+        " truncation_ok boolean",
+    )

@@ -1,0 +1,174 @@
+"""Distributed PCA / whitening for embedding columns.
+
+Training-data pipelines routinely post-process embedding columns before
+dedup / clustering / retrieval: mean-centering and PCA-whitening are
+the standard preprocessing for SemDeDup-style semantic dedup and for
+ANN indexes (whitened space makes cosine/L2 behave isotropically; see
+Jégou & Chum, ECCV 2012 — "Negative evidences and co-occurrences in
+image retrieval: the benefit of PCA and whitening").
+
+Scale shape (the only one that survives 100 TB):
+
+    fit      = one Arrow-batched pass computing per-batch moment
+               partials (count, Σx, Σxᵀx — d and d² numbers per batch),
+               reduced IN SPARK by element-wise sums (one explode over
+               d² indices + one map-side-combined agg), so the driver
+               receives exactly 1 + d + d² scalars regardless of corpus
+               size; the d×d eigendecomposition runs on the driver
+               (d is the embedding width — 64..4096 — never corpus-sized)
+    transform = one shuffle-free Arrow-batched matmul per partition
+
+The model is plain Python lists (mean, components, eigenvalues) — tiny,
+serializable, broadcast implicitly with the closure.
+
+Determinism: eigenvector signs are fixed (largest-|component| entry
+made positive), so repeated fits on identical data agree; across
+partitionings the partial sums commute up to float rounding, which the
+verification-boolean oracle pattern (q45) absorbs with margins.
+
+No reference analog (zuston/fluss-datafusion has no vector operators);
+part of the north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str, k: int, center: bool = True
+) -> Dict:
+    """Fit a k-component PCA on an ``array<float/double>`` column.
+
+    Returns {"mean": [d], "components": [k][d] (rows = principal axes,
+    variance-descending), "eigenvalues": [k], "n": int, "dim": int}.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    partials = (
+        df.select(vec_col)
+        .na.drop()  # null embeddings contribute no moments
+        .mapInPandas(_partials, "n long, s array<double>, ss array<double>")
+    )
+    # element-wise reduction stays in Spark (one explode + one
+    # map-side-combined agg): the driver sees 1 + d + d² scalars, never
+    # one row per batch (batches grow with the corpus).  n rides at
+    # index 0 so fit is ONE pass + one collect.
+    reduced = (
+        partials.select(
+            F.posexplode(
+                F.concat(
+                    F.array(F.col("n").cast("double")),
+                    F.col("s"),
+                    F.col("ss"),
+                )
+            ).alias("idx", "val")
+        )
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+    )
+    flat = {r["idx"]: r["val"] for r in reduced.collect()}
+    if not flat:
+        raise ValueError("pca_fit on an empty / all-null vector column")
+    n_total = int(flat[0])
+    d2 = len(flat) - 1
+    # d + d*d = d2  =>  d = (-1 + sqrt(1 + 4*d2)) / 2
+    dim = int((-1 + (1 + 4 * d2) ** 0.5) / 2)
+    if dim * (dim + 1) != d2:
+        raise ValueError(f"inconsistent vector widths in {vec_col}")
+    if k > dim:
+        raise ValueError(f"k={k} exceeds embedding dim {dim}")
+    s = np.array([flat[1 + i] for i in range(dim)])
+    ss = np.array(
+        [flat[1 + dim + i] for i in range(dim * dim)]
+    ).reshape(dim, dim)
+    mean = s / n_total if center else np.zeros(dim)
+    denom = max(n_total - 1, 1)
+    cov = (ss - np.outer(mean, mean) * n_total) / denom
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # (k, d)
+    eigvals = np.maximum(eigvals[order], 0.0)
+    # deterministic sign: the largest-|entry| coordinate is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "eigenvalues": eigvals.tolist(),
+        "n": int(n_total),
+        "dim": dim,
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    vec_col: str,
+    model: Dict,
+    out_col: str = "pca",
+    whiten: bool = False,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project vectors onto the fitted components — one shuffle-free
+    Arrow-batched matmul.  ``whiten=True`` scales each projected
+    coordinate by 1/sqrt(eigenvalue + eps) so the output has identity
+    covariance on the fitted data (PCA-whitening)."""
+    mean = np.array(model["mean"], dtype=np.float64)
+    comps = np.array(model["components"], dtype=np.float64)
+    scale = (
+        1.0 / np.sqrt(np.array(model["eigenvalues"]) + eps)
+        if whiten
+        else np.ones(comps.shape[0])
+    )
+    w = (comps * scale[:, None]).T  # (d, k)
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def _project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pdf[vec_col].isna().any():
+                raise ValueError(
+                    f"pca_transform: NULL in {vec_col} — filter nulls first"
+                )
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = (x - mean) @ w
+            pdf = pdf.copy()
+            pdf[out_col] = list(out)
+            yield pdf
+
+    return df.mapInPandas(_project, f"{in_fields}, {out_col} array<double>")
+
+
+def pca_explained_variance(model: Dict) -> List[float]:
+    """Fraction of (top-k-captured) variance per component — the usual
+    scree diagnostic; sums to <= 1 relative to total variance only when
+    k == dim, so this normalizes within the captured spectrum."""
+    ev = np.array(model["eigenvalues"], dtype=np.float64)
+    total = ev.sum()
+    if total <= 0:
+        return [0.0] * len(ev)
+    return (ev / total).tolist()

@@ -118,6 +118,12 @@ class FlussCatalog:
                 if floor:
                     self._floor[spec.qualified_name] = floor
                 self._register_view(spec)
+        # logical views of databases with no (remaining) tables still
+        # need their database registered and their bindings restored
+        for db in sorted(os.listdir(self.warehouse)):
+            if os.path.isfile(os.path.join(self.warehouse, db, "_views.json")):
+                self.create_database(db)
+        self._rebind_logical_views()
 
     # -- database ops -------------------------------------------------------
 
@@ -137,9 +143,12 @@ class FlussCatalog:
         old = self.default_database
         for table in self.databases.get(old, {}):
             self.spark.catalog.dropTempView(table)
+        for vname in self._load_view_defs(old):
+            self.spark.catalog.dropTempView(vname)
         self.default_database = name
         for spec in self.databases[name].values():
             self._register_view(spec)
+        self._rebind_logical_views()
 
     def list_databases(self) -> List[str]:
         return sorted(self.databases)
@@ -945,6 +954,138 @@ class FlussCatalog:
         df.createOrReplaceTempView(self._view_name(spec))
         if spec.database == self.default_database:
             df.createOrReplaceTempView(spec.name)
+        # Spark temp views freeze the ANALYZED plan: logical views built
+        # over this table would keep serving the pre-write snapshot, so
+        # every re-registration re-binds them (cheap: planning only,
+        # and only when views exist)
+        self._rebind_logical_views()
+
+    # -- logical (non-materialized) views ------------------------------------
+    #
+    # CREATE VIEW name AS SELECT ... — a persisted SQL definition (one
+    # ``_views.json`` per database), re-bound as a Spark temp view on
+    # every base-table write (temp views freeze the analyzed plan, so a
+    # definition bound once would silently serve stale snapshots).  The
+    # standard relational surface the reference delegates to DataFusion's
+    # session views; here views survive the session via the warehouse.
+
+    def _views_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, db, "_views.json")
+
+    def _load_view_defs(self, db: str) -> dict:
+        import json
+
+        try:
+            with open(self._views_path(db)) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _save_view_defs(self, db: str, views: dict) -> None:
+        import json
+
+        os.makedirs(os.path.join(self.warehouse, db), exist_ok=True)
+        path = self._views_path(db)
+        with open(path + ".tmp", "w") as fh:
+            json.dump(views, fh)
+        os.replace(path + ".tmp", path)
+
+    def create_view(
+        self, name: str, select_sql: str, or_replace: bool = False
+    ) -> None:
+        db, vname = self._resolve(name)
+        if vname in self.databases.get(db, {}):
+            raise ValueError(f"a table named {db}.{vname} already exists")
+        views = self._load_view_defs(db)
+        if vname in views and not or_replace:
+            raise ValueError(
+                f"view already exists: {db}.{vname} "
+                "(use CREATE OR REPLACE VIEW)"
+            )
+        self.spark.sql(select_sql)  # validate eagerly
+        views[vname] = select_sql
+        self._save_view_defs(db, views)
+        self.create_database(db)
+        # full rebind: replacing a view must re-plan its dependents too
+        self._rebind_logical_views()
+
+    def drop_view(self, name: str, if_exists: bool = False) -> None:
+        db, vname = self._resolve(name)
+        views = self._load_view_defs(db)
+        if vname not in views:
+            if if_exists:
+                return
+            raise KeyError(f"view not found: {db}.{vname}")
+        del views[vname]
+        self._save_view_defs(db, views)
+        self.spark.catalog.dropTempView(f"{db}__{vname}")
+        if db == self.default_database:
+            self.spark.catalog.dropTempView(vname)
+        self._rebind_logical_views()  # dependents unbind loudly
+
+    def has_view(self, name: str) -> bool:
+        db, vname = self._resolve(name)
+        return vname in self._load_view_defs(db)
+
+    def list_views(self, database: Optional[str] = None) -> List[str]:
+        return sorted(self._load_view_defs(database or self.default_database))
+
+    def _bind_logical_view(self, db: str, vname: str, df=None) -> None:
+        if df is None:
+            df = self.spark.sql(self._load_view_defs(db)[vname])
+        df.createOrReplaceTempView(f"{db}__{vname}")
+        if db == self.default_database:
+            df.createOrReplaceTempView(vname)
+
+    def _rebind_logical_views(self) -> None:
+        """Re-plan every logical view against the current table
+        snapshots.  A view whose base relation vanished is UNBOUND so
+        queries fail loudly (table-not-found) instead of serving the
+        frozen pre-drop plan."""
+        import re as _re
+
+        if getattr(self, "_rebinding_views", False):
+            return
+        self._rebinding_views = True
+        try:
+            defs = {
+                (db, vname): vsql
+                for db in list(self.databases)
+                for vname, vsql in self._load_view_defs(db).items()
+            }
+            # dependency order: a view mentioning another view's name
+            # (bare or db__qualified) binds AFTER it, so chains re-plan
+            # against current bindings in one pass (cycles fall back to
+            # insertion order and surface as bind failures)
+            order = list(defs)
+            ranks = {key: 0 for key in order}
+            for _ in range(len(order)):
+                changed = False
+                for key, vsql in defs.items():
+                    for other in order:
+                        if other == key:
+                            continue
+                        names = {other[1], f"{other[0]}__{other[1]}"}
+                        if any(
+                            _re.search(rf"\b{_re.escape(n)}\b", vsql)
+                            for n in names
+                        ) and ranks[key] <= ranks[other]:
+                            ranks[key] = ranks[other] + 1
+                            changed = True
+                if not changed:
+                    break
+            for db, vname in sorted(order, key=lambda k: ranks[k]):
+                try:
+                    self._bind_logical_view(db, vname)
+                except Exception:
+                    try:
+                        self.spark.catalog.dropTempView(f"{db}__{vname}")
+                        if db == self.default_database:
+                            self.spark.catalog.dropTempView(vname)
+                    except Exception:
+                        pass
+        finally:
+            self._rebinding_views = False
 
     # -- write path ---------------------------------------------------------
 

@@ -458,6 +458,119 @@ def parse_alter_table(sql: str):
     raise ValueError(f"unsupported ALTER TABLE form: {body!r}")
 
 
+_CTAS_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CTAS_PK_RE = re.compile(r"\bPRIMARY\s+KEY\s*\(([^)]*)\)", re.IGNORECASE)
+
+
+def parse_ctas(sql: str, default_database: str = "fluss"):
+    """Parse ``CREATE TABLE [IF NOT EXISTS] name [PRIMARY KEY (cols)]
+    [PARTITIONED BY (...)] [DISTRIBUTED BY (...) INTO n BUCKETS]
+    [WITH (...)] AS SELECT ...`` into
+    (qualified_name, layout_dict, select_sql, if_not_exists), or None
+    when the statement is not a CTAS (a column list means a plain
+    CREATE TABLE; CLONE has no AS).  The column schema comes from the
+    SELECT; PRIMARY KEY makes the result a PK (upsert) table."""
+    masked, lits = _mask_literals(sql.strip().rstrip(";"))
+    m = _CTAS_HEAD_RE.match(masked)
+    if not m:
+        return None
+    rest = m.group("rest")
+    split = re.search(r"\bAS\s+(?=SELECT\b|WITH\b|\()", rest, re.IGNORECASE)
+    if not split:
+        return None
+    clauses = rest[: split.start()].strip()
+    if clauses.startswith("("):
+        return None  # explicit column list: plain CREATE TABLE
+    layout = {
+        "primary_key": [],
+        "partition_keys": [],
+        "bucket_keys": [],
+        "num_buckets": None,
+        "properties": {},
+    }
+    pk = _CTAS_PK_RE.search(clauses)
+    if pk:
+        layout["primary_key"] = _parse_name_list(pk.group(1))
+    part = _PARTITIONED_RE.search(clauses)
+    if part:
+        layout["partition_keys"] = _parse_name_list(part.group(1))
+    dist = _DISTRIBUTED_RE.search(clauses)
+    if dist:
+        layout["bucket_keys"] = _parse_name_list(dist.group(1))
+        layout["num_buckets"] = int(dist.group(2)) if dist.group(2) else None
+    withm = _WITH_RE.search(clauses)
+    if withm:
+        depth, i = 1, withm.end()
+        start = i
+        while i < len(clauses) and depth:
+            if clauses[i] == "(":
+                depth += 1
+            elif clauses[i] == ")":
+                depth -= 1
+            i += 1
+        for pair in _split_top_level(clauses[start : i - 1]):
+            if "=" in pair:
+                key, _, value = pair.partition("=")
+                layout["properties"][
+                    strip_quotes(_unmask_literals(key.strip(), lits), quote="'")
+                ] = strip_quotes(
+                    _unmask_literals(value.strip(), lits), quote="'"
+                )
+    name_parts = parse_qualified_name(m.group("name"))
+    qualified = (
+        ".".join(name_parts)
+        if len(name_parts) == 2
+        else f"{default_database}.{name_parts[0]}"
+    )
+    return (
+        qualified,
+        layout,
+        _unmask_literals(rest[split.end() :].strip(), lits),
+        bool(m.group("ine")),
+    )
+
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?P<repl>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?"
+    r"(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_view(sql: str):
+    """``CREATE [OR REPLACE] VIEW name AS SELECT ...`` →
+    (name, select_sql, or_replace), or None.  (MATERIALIZED views are
+    parsed separately and never reach this.)"""
+    match = _CREATE_VIEW_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return (
+        ".".join(parse_qualified_name(match.group("name"))),
+        match.group("select").strip(),
+        bool(match.group("repl")),
+    )
+
+
+def parse_drop_view(sql: str):
+    """``DROP VIEW [IF EXISTS] name`` → (name, if_exists), or None."""
+    match = _DROP_VIEW_RE.match(sql.strip().rstrip(";"))
+    if not match:
+        return None
+    return (
+        ".".join(parse_qualified_name(match.group("name"))),
+        bool(match.group("ife")),
+    )
+
+
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
     re.IGNORECASE,

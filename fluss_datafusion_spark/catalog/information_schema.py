@@ -58,10 +58,22 @@ def register_views(catalog, include_stats: bool = True) -> None:
         "information_schema_schemata"
     )
 
-    tables = [(s.database, s.name, "BASE TABLE") for s in specs]
+    view_defs = [
+        (db, vname, vsql)
+        for db in catalog.list_databases()
+        for vname, vsql in sorted(catalog._load_view_defs(db).items())
+    ]
+    tables = [(s.database, s.name, "BASE TABLE") for s in specs] + [
+        (db, vname, "VIEW") for db, vname, _ in view_defs
+    ]
     spark.createDataFrame(
         tables, "table_schema string, table_name string, table_type string"
     ).createOrReplaceTempView("information_schema_tables")
+
+    spark.createDataFrame(
+        view_defs,
+        "table_schema string, table_name string, view_definition string",
+    ).createOrReplaceTempView("information_schema_views")
 
     ddl = [(s.database, s.name, format_create_table_sql(s)) for s in specs]
     spark.createDataFrame(

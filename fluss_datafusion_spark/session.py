@@ -149,6 +149,58 @@ class EngineSession:
             removed = self.catalog.vacuum(vacuum_target)
             return self.spark.createDataFrame([(removed,)], "removed bigint")
 
+        view_parsed = ddl.parse_create_view(statement)
+        if view_parsed is not None:
+            name, select_sql, or_replace = view_parsed
+            self.catalog.create_view(name, select_sql, or_replace=or_replace)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        drop_view = ddl.parse_drop_view(statement)
+        if drop_view is not None:
+            self.catalog.drop_view(drop_view[0], if_exists=drop_view[1])
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        ctas = ddl.parse_ctas(
+            statement, default_database=self.catalog.default_database
+        )
+        if ctas is not None:
+            name, layout, select_sql, if_not_exists = ctas
+            if if_not_exists and self.catalog.has_table(name):
+                return self.spark.createDataFrame(
+                    [(0,)], "inserted bigint"
+                ).limit(0)
+            from fluss_datafusion_spark.catalog.metadata import (
+                ColumnSpec,
+                TableSpec,
+                spark_type_to_ddl,
+            )
+
+            df = self.spark.sql(select_sql)
+            db, table = name.split(".")
+            cols = [
+                ColumnSpec(
+                    name=f.name,
+                    type_name=spark_type_to_ddl(f.dataType),
+                    nullable=f.name not in layout["primary_key"],
+                )
+                for f in df.schema.fields
+            ]
+            self.catalog.create_table(
+                TableSpec(
+                    database=db,
+                    name=table,
+                    columns=cols,
+                    primary_key=layout["primary_key"],
+                    partition_keys=layout["partition_keys"],
+                    bucket_keys=layout["bucket_keys"],
+                    num_buckets=layout["num_buckets"],
+                    properties=layout["properties"],
+                ),
+                if_not_exists=False,
+            )
+            n = self.catalog.insert(name, df)
+            return self.spark.createDataFrame([(n,)], "inserted bigint")
+
         if ddl.is_engine_create_table(statement):
             spec = ddl.parse_create_table(
                 statement, default_database=self.catalog.default_database

@@ -2917,3 +2917,121 @@ def ns_embedding_pca(spark, sf_dir):
         " variance_desc_ok boolean, mean_ok boolean, whiten_ok boolean,"
         " truncation_ok boolean",
     )
+
+
+@query(
+    "ns_sketch_kmv", extended=True,
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT o_orderstatus AS g,
+               CAST(concat('0x', substr(md5('kmv-0|' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    sk AS (
+        SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        FROM h
+    ),
+    est AS (
+        SELECT g, count(*) AS n, max(hv) AS uk
+        FROM sk WHERE rn <= 128 GROUP BY g
+    ),
+    ex AS (
+        SELECT o_orderstatus AS g, count(DISTINCT o_custkey) AS exact
+        FROM orders GROUP BY g
+    )
+    SELECT est.g AS g,
+           round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                 ELSE 127 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS distinct_est,
+           CAST(exact AS BIGINT) AS exact_distinct,
+           abs(round(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                 ELSE 127 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) / exact - 1) < 0.5 AS bound_ok
+    FROM est JOIN ex ON est.g = ex.g
+    """,
+)
+def ns_sketch_kmv(spark, sf_dir):
+    """KMV bottom-k distinct sketch (operators/sketches.py — Beyer et
+    al. 2007): per order status, the k=128 smallest md5-60bit hashes of
+    o_custkey estimate the distinct customer count.  Unlike HLL (whose
+    register internals are engine-defined, so q45/q46's raw estimates
+    are rows-only), the KMV ESTIMATE itself is deterministic and DuckDB
+    replays it bit-for-bit from the same hash chain — a hash-checked
+    raw sketch estimate, plus the exact count and an error-bound
+    boolean."""
+    from fluss_datafusion_spark.operators import sketches as K
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), "o_custkey"
+    )
+    est = K.kmv_distinct(orders, ["g"], "o_custkey", k=128)
+    exact = orders.groupBy("g").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "g").select(
+        "g",
+        "distinct_est",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") / F.col("exact_distinct") - 1) < 0.5
+        ).alias("bound_ok"),
+    )
+
+
+@query(
+    "ns_sketch_kmv_setops", extended=True,
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5('kmv-0|' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM orders WHERE o_totalprice > 150000
+    ),
+    b AS (
+        SELECT DISTINCT CAST(concat('0x', substr(md5('kmv-0|' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    sa AS (SELECT hv FROM a ORDER BY hv LIMIT 256),
+    sb AS (SELECT hv FROM b ORDER BY hv LIMIT 256),
+    u AS (
+        SELECT hv FROM (SELECT hv FROM sa UNION SELECT hv FROM sb)
+        ORDER BY hv LIMIT 256
+    ),
+    ue AS (SELECT count(*) AS n, max(hv) AS uk FROM u),
+    nboth AS (
+        SELECT count(*) AS nb FROM u
+        WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)
+    ),
+    uest AS (
+        SELECT round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+               ELSE 255 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
+               END, 4) AS union_est, n FROM ue
+    )
+    SELECT union_est,
+           round(CAST(nb AS DOUBLE) / n * union_est, 4) AS intersect_est,
+           round(CAST(nb AS DOUBLE) / n, 4) AS jaccard_est
+    FROM uest, nboth
+    """,
+)
+def ns_sketch_kmv_setops(spark, sf_dir):
+    """KMV sketch set algebra (the queries HLL cannot answer): how many
+    DISTINCT customers placed a >150k order AND a high-priority order —
+    union, intersection, and Jaccard estimated from two mergeable
+    bottom-256 sketches via rho = |S_k(A∪B) ∩ S_A ∩ S_B| / |S_k(A∪B)|.
+    Every estimate is a deterministic function of the md5 hash chain;
+    DuckDB replays all three bit-for-bit."""
+    from fluss_datafusion_spark.operators import sketches as K
+
+    orders = t(spark, sf_dir, "orders").withColumn("g", F.lit(1))
+    a = orders.filter(F.col("o_totalprice") > 150000)
+    b = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    out = K.kmv_set_estimates(
+        K.kmv_sketch(a, ["g"], "o_custkey", k=256),
+        K.kmv_sketch(b, ["g"], "o_custkey", k=256),
+        ["g"],
+        256,
+    )
+    return out.select("union_est", "intersect_est", "jaccard_est")

@@ -3035,3 +3035,69 @@ def ns_sketch_kmv_setops(spark, sf_dir):
         256,
     )
     return out.select("union_est", "intersect_est", "jaccard_est")
+
+
+@query(
+    "ns_curation_line_dedup", extended=True,
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, replace(text, ' the ', chr(10) || 'the ') AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               replace(text, ' the ', chr(10) || 'the ')
+        FROM documents WHERE doc_id % 37 = 0
+    ),
+    ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus),
+    raw AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+               unnest(arr) AS line
+        FROM ls
+    ),
+    lines AS (
+        SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM raw
+    ),
+    hot AS (
+        SELECT norm FROM lines WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos, line,
+               (norm <> '' AND norm IN (SELECT norm FROM hot)) AS drp
+        FROM lines
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN NOT drp THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS dedup_md5,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS INT) AS n_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def ns_curation_line_dedup(spark, sf_dir):
+    """CCNet line-level deduplication (Wenzek 2020 — the boilerplate
+    scrub document-level near-dup cannot express): documents are lined
+    on a deterministic ' the ' boundary, a 1-in-37 slice is duplicated
+    under shifted ids (so its every line becomes a cross-doc dup), and
+    every line appearing in >= 2 distinct docs is dropped with
+    survivors rejoined in order.  DuckDB replays lining, normalization,
+    the distinct-doc line counts, and the byte-exact md5 of every
+    deduplicated document."""
+    from fluss_datafusion_spark.operators.curation import dedup_lines
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" the "), F.lit("\nthe ")
+        ).alias("text"),
+    )
+    dup = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    out = dedup_lines(docs.unionByName(dup), "doc_id", "text", min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_deduped")).alias("dedup_md5"),
+        "n_lines",
+        "n_dropped",
+    )

@@ -1054,3 +1054,81 @@ def weighted_sample_n(
         .limit(n)
         .drop("__e__")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al., LREC 2020):
+    drop every LINE whose normalized form (trim + lowercase) appears in
+    at least ``min_docs`` distinct documents — boilerplate headers,
+    navigation chrome, and licence blocks repeat verbatim across pages
+    and this removes them at line granularity, which document-level
+    near-dup (Jaccard/MinHash) cannot (the documents differ) and
+    k-gram substring scrub over-segments (a short line is below k).
+
+    Returns (id, out_col, n_lines, n_dropped) with surviving lines
+    rejoined in original order; blank lines never count as duplicates
+    and are always kept (they are formatting, not content).
+
+    Scale shape: one explode to (doc, pos, line), one map-side-combined
+    distinct-doc count on the normalized-line key, one semi-join-shaped
+    marking join, one per-doc reassembly agg — every stage keyed, no
+    driver state, cost Σ lines like every other per-token pass."""
+    lines = (
+        spread_small_scan(df)
+        .select(
+            F.col(id_col).alias("__doc__"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__pos__", "__line__"
+            ),
+        )
+        .withColumn("__norm__", F.lower(F.trim(F.col("__line__"))))
+    )
+    hot = (
+        lines.filter(F.col("__norm__") != "")
+        .groupBy("__norm__")
+        .agg(F.countDistinct("__doc__").alias("__df__"))
+        .filter(F.col("__df__") >= min_docs)
+        .select("__norm__")
+    )
+    marked = lines.join(
+        hot.withColumn("__hot__", F.lit(True)), "__norm__", "left"
+    ).withColumn(
+        "__drop__",
+        F.coalesce(F.col("__hot__"), F.lit(False))
+        & (F.col("__norm__") != ""),
+    )
+    return (
+        marked.groupBy("__doc__")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__drop__"),
+                                F.struct(
+                                    F.col("__pos__"), F.col("__line__")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("__line__"),
+                ),
+                "\n",
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("__drop__").cast("int")).alias("n_dropped"),
+        )
+        .select(
+            F.col("__doc__").alias(id_col),
+            out_col,
+            F.col("n_lines").cast("int").alias("n_lines"),
+            F.col("n_dropped").cast("int").alias("n_dropped"),
+        )
+    )

@@ -605,3 +605,39 @@ def test_weighted_sample_n_plan_is_topk_not_global_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dedup_lines_ccnet(spark):
+    """Line-level dedup: lines repeated across >= min_docs docs drop
+    everywhere (incl. within the doc), unique lines and blank lines
+    survive in original order; trim/case-insensitive matching."""
+    from fluss_datafusion_spark.operators.curation import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nunique tail"),
+            (2, "cookie banner  \nreal content two"),
+            (3, "real content three\ncookie banner"),
+            (4, "repeated inside\nrepeated inside"),  # within-doc only
+            (5, ""),  # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_lines, r.n_dropped)
+        for r in dedup_lines(docs, "doc_id", "text", min_docs=2).collect()
+    }
+    # the banner (trim+case-normalized) drops from all three docs
+    assert got[1] == ("real content one\n\nunique tail", 4, 1)
+    assert got[2] == ("real content two", 2, 1)
+    assert got[3] == ("real content three", 2, 1)
+    # min_docs counts DISTINCT docs: a within-doc repeat is kept
+    assert got[4] == ("repeated inside\nrepeated inside", 2, 0)
+    # empty doc: its single blank line is kept (blank never matches)
+    assert got[5] == ("", 1, 0)
+    # min_docs=3 spares the banner (only... it IS in 3 docs; 4 spares)
+    got4 = {
+        r.doc_id: r.n_dropped
+        for r in dedup_lines(docs, "doc_id", "text", min_docs=4).collect()
+    }
+    assert all(v == 0 for v in got4.values())

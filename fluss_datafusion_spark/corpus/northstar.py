@@ -2095,7 +2095,7 @@ def ns_fuzzy_name_pairs(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_containment",
+    "ns_dedup_containment", extended=True,  # r5: rotated out for q59_matview_join (dedup keeps 9 core rows; same inverted-index plan family as ns_dedup_ngram_jaccard)
     oracle="""
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
@@ -2920,7 +2920,7 @@ def ns_embedding_pca(spark, sf_dir):
 
 
 @query(
-    "ns_sketch_kmv", extended=True,
+    "ns_sketch_kmv",  # r5: CORE - hash-checked raw sketch estimate differentiator
     oracle="""
     WITH h AS (
         SELECT DISTINCT o_orderstatus AS g,

@@ -1888,7 +1888,7 @@ def q58_lateral_join(spark, sf_dir):
 
 
 @query(
-    "q59_matview_join", extended=True,
+    "q59_matview_join",  # r5: CORE - join-view incremental maintenance differentiator
     oracle="""
     WITH dim0 AS (
         SELECT c_custkey AS k, c_mktsegment AS seg

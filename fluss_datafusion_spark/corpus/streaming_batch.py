@@ -94,7 +94,7 @@ def st_dedup_by_key(spark, sf_dir):
 
 
 @query(
-    "st_late_data_filter",
+    "st_late_data_filter", extended=True,  # r5: rotated out for ns_sketch_kmv (watermark semantics stay core via st_tumbling/session/dedup)
     oracle="""
     WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events)
     SELECT count(*) AS n_on_time, round(sum(value), 2) AS total_value

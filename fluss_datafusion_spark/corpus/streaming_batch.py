@@ -470,3 +470,49 @@ def st_gapfill_monthly(spark, sf_dir):
         F.col("o_orderpriority").alias("pri"), "bucket_ts", "n_rows",
         "is_gap", F.round("sum_price_locf", 2).alias("sum_price_locf"),
     )
+
+
+@query(
+    "st_funnel", extended=True,
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t_1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_1
+             AND e.ts <= s1.t_1 + INTERVAL 86400 SECOND
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t_3
+           FROM ev e
+           JOIN s1 ON e.user_id = s1.user_id
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+             AND e.ts <= s1.t_1 + INTERVAL 86400 SECOND
+           GROUP BY 1)
+    SELECT s1.user_id,
+           CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                     WHEN t_2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage,
+           t_1, t_2, t_3
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def st_funnel(spark, sf_dir):
+    """Greedy-earliest funnel (operators/funnel.py — the ClickHouse
+    windowFunnel shape): per user, the view -> click -> purchase chain
+    with each step strictly after the previous and the whole chain
+    within 1 day of the first view.  k-1 per-user hash joins carrying
+    k timestamps of state per user — never the event history.  DuckDB
+    replays the min-chain and every stage and timestamp hash-checks."""
+    from fluss_datafusion_spark.operators.funnel import funnel
+
+    return funnel(
+        t(spark, sf_dir, "events"),
+        "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=86400,
+    )

@@ -1,0 +1,142 @@
+"""Ordered-sequence funnel analysis over event streams.
+
+The classic product-analytics query ("view → click → purchase: how far
+did each user get, and how fast?") — ClickHouse ships it as
+``windowFunnel``, Snowplow/Amplitude as funnel reports.  Semantics here
+are the well-defined GREEDY-EARLIEST chain:
+
+    t_1 = min ts of step-1 events
+    t_i = min ts of step-i events with ts > t_{i-1}
+    stage reached = largest i with t_i defined
+    (optional) every counted stage must fall within ``within_seconds``
+    of t_1 — a too-slow completion truncates at the last stage inside
+    the window
+
+Greedy-earliest is deterministic and composable; note it is a CHAIN
+rule, not global matching — a user whose only step-2 event precedes
+their first step-1 event has stage 1.
+
+Plan shape: one narrow filter per step + k-1 per-user equi-joins, each
+a hash shuffle on the user key carrying the (tiny) per-user stage
+frame — at any corpus size the state per user is k timestamps, never
+the event history, and k (funnel length) is a small constant.  No
+UDFs, no window-over-everything sort.  ``funnel_counts``' report
+windows run over exactly k rows (the stage spine), so their
+single-partition frames are constant-sized by construction.
+
+No reference analog (zuston/fluss-datafusion has no event operators);
+part of the streaming/events surface beyond the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    within_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Per-user funnel completion: returns
+    (user, stage int, t_1 .. t_k timestamps — NULL past the reached
+    stage).  ``within_seconds`` bounds t_i - t_1 for every counted
+    stage (the ClickHouse windowFunnel window)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+
+    cur = (
+        df.filter(F.col(event_col) == steps[0])
+        .groupBy(F.col(user_col).alias("__u__"))
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = df.filter(F.col(event_col) == step).select(
+            F.col(user_col).alias("__u__"), F.col(ts_col).alias("__ts__")
+        )
+        cond = F.col("__ts__") > F.col(f"t_{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__ts__")
+                <= F.col("t_1")
+                + F.expr(f"INTERVAL {float(within_seconds)} SECOND")
+            )
+        cur = (
+            cur.join(nxt, "__u__", "left")
+            .withColumn("__ok__", F.when(cond, F.col("__ts__")))
+            .groupBy("__u__", *[f"t_{j}" for j in range(1, i)])
+            .agg(F.min("__ok__").alias(f"t_{i}"))
+        )
+    # when() chains evaluate top-down: wrap outward so the DEEPEST
+    # completed stage is tested first and wins
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = F.when(F.col(f"t_{i}").isNotNull(), F.lit(i)).otherwise(stage)
+    return cur.select(
+        F.col("__u__").alias(user_col),
+        stage.cast("int").alias("stage"),
+        *[f"t_{i}" for i in range(1, len(steps) + 1)],
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+    within_seconds: Optional[float] = None,
+) -> DataFrame:
+    """The aggregate funnel report: one row per stage with the number
+    of users who reached AT LEAST that stage and the conversion rate
+    from stage 1 (rounded to 4)."""
+    per_user = funnel(
+        df, user_col, ts_col, event_col, steps,
+        within_seconds=within_seconds,
+    )
+    by_stage = per_user.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    stages = per_user.sparkSession.range(1, len(steps) + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    # k-row spine: these unpartitioned windows run over len(steps) rows
+    cum = Window.orderBy(F.col("stage").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    joined = (
+        stages.join(by_stage, "stage", "left")
+        .withColumn(
+            "users",
+            F.coalesce(F.sum("__n__").over(cum), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__total__",
+            F.max(F.when(F.col("stage") == 1, F.col("users"))).over(
+                everything
+            ),
+        )
+    )
+    return (
+        joined.withColumn(
+            "conversion",
+            F.when(
+                F.col("__total__") > 0,
+                F.round(F.col("users") / F.col("__total__"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("stage", "users", "conversion")
+        .orderBy("stage")
+    )

@@ -3101,3 +3101,48 @@ def ns_curation_line_dedup(spark, sf_dir):
         "n_lines",
         "n_dropped",
     )
+
+
+@query(
+    "ns_text_hashing_vectorizer", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('htf-0|' || tok), 1, 15))
+                    AS BIGINT) % 64 AS idx,
+               count(*) AS cnt
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(idx AS INT) AS idx,
+           round(cnt / sqrt(sum(cnt * cnt)
+                 OVER (PARTITION BY doc_id)), 6) AS weight
+    FROM w
+    """,
+)
+def ns_text_hashing_vectorizer(spark, sf_dir):
+    """Feature hashing (Weinberger 2009 "hashing trick"): documents
+    become 64-wide L2-normalized term-frequency vectors via
+    md5-60bit-mod-dim bucketing — the model-free featurizer that feeds
+    PCA/whitening, cosine similarity, and embedding dedup when no
+    learned embeddings exist.  The entry emits the nonzero (doc, bucket,
+    weight) coordinates; DuckDB replays the hash chain, counts, and L2
+    normalization and every coordinate hash-checks."""
+    from fluss_datafusion_spark.operators.embeddings import (
+        hashed_tf_vectors,
+    )
+
+    vecs = hashed_tf_vectors(
+        t(spark, sf_dir, "documents"), "doc_id", "text", dim=64, l2=True
+    )
+    return (
+        vecs.select(
+            "doc_id", F.posexplode(F.col("vector")).alias("idx", "w")
+        )
+        .filter(F.col("w") != 0.0)
+        .select("doc_id", "idx", F.round("w", 6).alias("weight"))
+    )

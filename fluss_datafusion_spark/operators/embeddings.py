@@ -172,3 +172,91 @@ def pca_explained_variance(model: Dict) -> List[float]:
     if total <= 0:
         return [0.0] * len(ev)
     return (ev / total).tolist()
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 64,
+    l2: bool = False,
+    seed: str = "htf-0",
+) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al., ICML
+    2009): texts become fixed-width term-frequency vectors by hashing
+    each token into one of ``dim`` buckets — the model-free featurizer
+    that feeds this module's PCA/whitening, the similarity operators,
+    and embedding dedup when no learned embeddings exist.
+
+    Returns (id, vector array<double>) with vector[i] = count of tokens
+    hashing to bucket i (L2-normalized when ``l2``); documents with no
+    tokens get the zero vector.  Hash = md5(seed|token) 60-bit prefix
+    mod dim — deterministic and externally replayable.
+
+    Plan: one explode + one (doc, bucket) map-side-combined count + one
+    per-doc assembly agg; the dense vector is built with JVM map/array
+    expressions, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from fluss_datafusion_spark.functions.text import tokens as _tokens
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("__tok__"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(dim),
+    )
+    counts = (
+        df.select(
+            F.col(id_col).alias("__doc__"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok__"),
+        )
+        .filter(F.col("__tok__") != "")
+        .withColumn("__idx__", bucket)
+        .groupBy("__doc__", "__idx__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    assembled = counts.groupBy("__doc__").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__idx__"), F.col("__cnt__")))
+        ).alias("__m__")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m__"), i.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    assembled = assembled.withColumn("__v__", vec)
+    if l2:
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("__v__"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        )
+        assembled = assembled.withColumn(
+            "__v__",
+            F.when(
+                norm > 0,
+                F.transform(F.col("__v__"), lambda x: x / norm),
+            ).otherwise(F.col("__v__")),
+        )
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(F.col(id_col).alias("__doc__"))
+        .distinct()
+        .join(assembled, "__doc__", "left")
+        .select(
+            F.col("__doc__").alias(id_col),
+            F.coalesce(F.col("__v__"), zero).alias("vector"),
+        )
+    )

@@ -131,3 +131,65 @@ def test_pca_refusals_and_nulls(spark):
     # ...and rejected loudly at transform
     with pytest.raises(Exception, match="NULL in emb"):
         E.pca_transform(with_null, "emb", m, "p").collect()
+
+
+# -- feature hashing ------------------------------------------------------
+
+
+def _py_htf(texts, dim, seed="htf-0", l2=False):
+    import hashlib
+
+    out = {}
+    for i, txt in texts:
+        v = [0.0] * dim
+        for tok in txt.lower().split():
+            h = int(hashlib.md5(f"{seed}|{tok}".encode()).hexdigest()[:15], 16)
+            v[h % dim] += 1.0
+        if l2:
+            n = sum(x * x for x in v) ** 0.5
+            if n > 0:
+                v = [x / n for x in v]
+        out[i] = v
+    return out
+
+
+def test_hashed_tf_matches_python_reference(spark):
+    texts = [
+        (1, "the quick brown fox the fox"),
+        (2, "lorem ipsum"),
+        (3, ""),           # zero vector
+        (4, "THE Quick"),  # case-insensitive tokens
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.vector)
+        for r in E.hashed_tf_vectors(df, "doc_id", "text", dim=16).collect()
+    }
+    assert got == _py_htf(texts, 16)
+    assert got[3] == [0.0] * 16
+    got = {
+        r.doc_id: list(r.vector)
+        for r in E.hashed_tf_vectors(
+            df, "doc_id", "text", dim=16, l2=True
+        ).collect()
+    }
+    want = _py_htf(texts, 16, l2=True)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    # normalized vectors have unit norm (except the zero vector)
+    for k, v in got.items():
+        n = sum(x * x for x in v)
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+
+
+def test_hashed_tf_feeds_pca_and_similarity(spark):
+    """Composition: text -> hashed vectors -> PCA projection — the
+    model-free text-embedding pipeline end to end."""
+    texts = [(i, f"w{i % 5} common w{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    vecs = E.hashed_tf_vectors(df, "doc_id", "text", dim=32, l2=True)
+    model = E.pca_fit(vecs, "vector", k=4)
+    out = E.pca_transform(vecs, "vector", model, "p")
+    assert out.count() == 60 and len(out.first().p) == 4
+    with pytest.raises(ValueError, match="dim must be"):
+        E.hashed_tf_vectors(df, "doc_id", "text", dim=0)

@@ -851,3 +851,87 @@ def subscribe_table_changelog(catalog, name: str) -> DataFrame:
         image_cols=image_cols,
         del_col="cdc_del",
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str,
+    k: int = 16,
+    buckets: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters: a Misra-Gries summary of capacity ``k``
+    per state bucket, maintained across micro-batches — the streaming
+    twin of ``curation.heavy_hitters`` (which is exact via a second
+    pass; a stream has no second pass, so this emits the candidate set
+    with lower-bound counts).
+
+    Each batch's items are counted locally and MERGED into the stored
+    summary with the mergeable-summaries rule (Agarwal et al., PODS
+    2012): combine counts, subtract the (k+1)-st largest, keep
+    positives.  Guarantee per bucket: any item whose true count in that
+    bucket exceeds n_bucket/(k+1) is IN the summary, and stored counts
+    under-count by at most the total subtracted mass — so the union of
+    bucket summaries is a superset of the global >N/(k+1) heavy
+    hitters (an item's bucket count is its global count, and
+    n_bucket <= N).
+
+    State per bucket: two parallel arrays (items, counts) + the
+    processed-row total — bounded by k regardless of stream length.
+    Output (update mode): one row per candidate per batch,
+    (bucket, item, count_lb, n_bucket); the emission with the highest
+    n_bucket per bucket is the current summary.
+
+    ``buckets`` shards items by hash for parallelism; the summary of a
+    bucket covers exactly the items hashing there, so correctness does
+    not depend on the shard count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    output_schema = (
+        "bucket int, item string, count_lb bigint, n_bucket bigint"
+    )
+    state_schema = "items array<string>, counts array<long>, n bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        from collections import Counter
+
+        if state.exists:
+            items, counts, n = state.get
+            summary = dict(zip(list(items), list(counts)))
+        else:
+            summary, n = {}, 0
+        batch = Counter()
+        for pdf in pdf_iter:
+            batch.update(pdf["__item__"].astype(str))
+            n += len(pdf)
+        for item, cnt in batch.items():
+            summary[item] = summary.get(item, 0) + int(cnt)
+        if len(summary) > k:
+            # mergeable-summaries compaction: subtract the (k+1)-st
+            # largest count from everything, keep strictly positive
+            cut = sorted(summary.values(), reverse=True)[k]
+            summary = {
+                it: c - cut for it, c in summary.items() if c - cut > 0
+            }
+        state.update((list(summary), [summary[i] for i in summary], n))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(summary),
+                "item": list(summary),
+                "count_lb": [summary[i] for i in summary],
+                "n_bucket": [n] * len(summary),
+            }
+        )
+
+    keyed = stream.select(
+        F.col(item_col).cast("string").alias("__item__")
+    ).withColumn(
+        "__bucket__", F.pmod(F.xxhash64("__item__"), F.lit(buckets)).cast("int")
+    )
+    return keyed.groupBy("__bucket__").applyInPandasWithState(
+        update, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1118,3 +1118,65 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     # u1 matched; u2 and u3 emitted unmatched (u3's click is out of
     # bound); u4 itself is not yet past the watermark -> withheld
     assert got == [("u1", 1, 1), ("u2", 1, None), ("u3", 3, None)]
+
+
+def test_streaming_heavy_hitters_superset_guarantee(spark, replay_dir):
+    """The union of final per-bucket Misra-Gries summaries must contain
+    every item whose exact count exceeds n_bucket/(k+1) (here: every
+    user with a clear majority presence), with lower-bound counts."""
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        streaming_heavy_hitters,
+    )
+
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1)
+    run_to_memory(
+        streaming_heavy_hitters(stream, "user_id", k=8, buckets=4),
+        "t_hh",
+        output_mode="update",
+    )
+    rows = spark.sql("SELECT * FROM t_hh").collect()
+    assert rows, "summaries must be emitted"
+    # final summary per bucket = the emission with the highest n_bucket
+    final_n = {}
+    for r in rows:
+        final_n[r.bucket] = max(final_n.get(r.bucket, 0), r.n_bucket)
+    final = {
+        (r.bucket, r.item): r.count_lb
+        for r in rows
+        if r.n_bucket == final_n[r.bucket]
+    }
+    # per-bucket summary size bounded by k
+    from collections import Counter
+
+    per_bucket = Counter(b for b, _ in final)
+    assert all(v <= 8 for v in per_bucket.values())
+
+    batch = spark.read.parquet(replay_dir)
+    exact = {
+        str(r.user_id): r.n
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import pyspark.sql.functions as SF  # noqa: F401  (F already imported)
+
+    # recompute each item's bucket + bucket totals to apply the bound
+    bucketed = (
+        batch.select(F.col("user_id").cast("string").alias("item"))
+        .withColumn("b", F.pmod(F.xxhash64("item"), F.lit(4)).cast("int"))
+        .groupBy("b", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_bucket = Counter()
+    for r in bucketed:
+        n_bucket[r.b] += r.n
+    candidates = {item for (_, item) in final}
+    for r in bucketed:
+        if r.n > n_bucket[r.b] / (8 + 1):
+            assert r.item in candidates, f"{r.item} must be in the summary"
+    # lower-bound property: stored count never exceeds the exact count
+    for (b, item), lb in final.items():
+        assert lb <= exact[item]

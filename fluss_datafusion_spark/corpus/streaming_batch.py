@@ -516,3 +516,45 @@ def st_funnel(spark, sf_dir):
         ["view", "click", "purchase"],
         within_seconds=86400,
     )
+
+
+@query(
+    "st_cohort_retention", extended=True,
+    oracle="""
+    WITH firstact AS (
+        SELECT user_id,
+               date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_start
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+        FROM events
+    ),
+    counts AS (
+        SELECT cohort_start,
+               CAST(round(date_diff('day', cohort_start, p) / 7.0) AS INT)
+                   AS period_offset,
+               count(*) AS users
+        FROM active JOIN firstact USING (user_id) GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT cohort_start, users AS sz FROM counts WHERE period_offset = 0
+    )
+    SELECT CAST(c.cohort_start AS TIMESTAMP) AS cohort_start,
+           c.period_offset, c.users,
+           round(c.users * 1.0 / sz, 4) AS retention
+    FROM counts c JOIN base USING (cohort_start)
+    """,
+)
+def st_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.py cohort_retention):
+    users grouped by first-activity week, counted once per later active
+    week, retention = share of the cohort still active at each offset.
+    Three keyed shuffles (per-user min, distinct user-period, count) —
+    no per-user history state.  DuckDB replays the whole derivation."""
+    from fluss_datafusion_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(
+        t(spark, sf_dir, "events"), "user_id", "ts", granularity="week"
+    )

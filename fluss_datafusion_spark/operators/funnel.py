@@ -140,3 +140,67 @@ def funnel_counts(
         .select("stage", "users", "conversion")
         .orderBy("stage")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-activity period
+    (the cohort), counted in each later period they were active — the
+    other standard product-analytics report next to funnels.
+
+    Returns (cohort_start timestamp, period_offset int, users long,
+    retention double) where retention = users / cohort size (offset 0)
+    rounded to 4.  ``granularity`` is any ``date_trunc`` unit.
+
+    Plan: one per-user min (first activity), one distinct
+    (user, period), one join + count — three keyed shuffles, no
+    per-user history state."""
+    first = df.groupBy(F.col(user_col).alias("__u__")).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort_start")
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("__u__"),
+            F.date_trunc(granularity, F.col(ts_col)).alias("__p__"),
+        )
+        .distinct()
+    )
+    # period offset in whole granules: months/weeks are variable-width,
+    # so count boundaries via the unit difference, not seconds
+    unit_diff = {
+        "week": (F.datediff(F.col("__p__"), F.col("cohort_start")) / 7),
+        "day": F.datediff(F.col("__p__"), F.col("cohort_start")),
+        "month": F.months_between(F.col("__p__"), F.col("cohort_start")),
+        "year": F.months_between(F.col("__p__"), F.col("cohort_start")) / 12,
+        "hour": (
+            F.unix_timestamp("__p__") - F.unix_timestamp("cohort_start")
+        ) / 3600,
+    }
+    if granularity not in unit_diff:
+        raise ValueError(
+            f"granularity must be one of {sorted(unit_diff)}, "
+            f"got {granularity!r}"
+        )
+    counts = (
+        active.join(first, "__u__")
+        .withColumn(
+            "period_offset",
+            F.round(unit_diff[granularity]).cast("int"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    base = counts.filter(F.col("period_offset") == 0).select(
+        "cohort_start", F.col("users").alias("__size__")
+    )
+    return (
+        counts.join(base, "cohort_start")
+        .withColumn(
+            "retention", F.round(F.col("users") / F.col("__size__"), 4)
+        )
+        .select("cohort_start", "period_offset", "users", "retention")
+    )

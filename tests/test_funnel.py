@@ -102,3 +102,34 @@ def test_funnel_refusals(spark):
         funnel(df, "user_id", "ts", "event_type", ["view"])
     with pytest.raises(ValueError, match="distinct"):
         funnel(df, "user_id", "ts", "event_type", ["view", "view"])
+
+
+def test_cohort_retention(spark):
+    from fluss_datafusion_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # cohort A (week of 2024-01-01): u1 active wk0+wk1, u2 wk0 only
+        (1, _t(0), "view"), (1, _t(60 * 24 * 7), "view"),
+        (2, _t(10), "click"),
+        # cohort B (week of 2024-01-08): u3 active wk0 and wk2
+        (3, _t(60 * 24 * 7 + 5), "view"),
+        (3, _t(60 * 24 * 21 + 5), "view"),
+        # duplicate activity in one period counts once
+        (1, _t(20), "view"),
+    ]
+    got = {
+        (r.cohort_start, r.period_offset): (r.users, r.retention)
+        for r in cohort_retention(
+            _df(spark, rows), "user_id", "ts", granularity="week"
+        ).collect()
+    }
+    a = dt.datetime(2024, 1, 1)
+    b = dt.datetime(2024, 1, 8)
+    assert got[(a, 0)] == (2, 1.0)
+    assert got[(a, 1)] == (1, 0.5)
+    assert got[(b, 0)] == (1, 1.0)
+    assert got[(b, 2)] == (1, 1.0)
+    assert len(got) == 4
+
+    with pytest.raises(ValueError, match="granularity"):
+        cohort_retention(_df(spark, rows), "user_id", "ts", "fortnight")

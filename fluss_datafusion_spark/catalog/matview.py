@@ -345,29 +345,34 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
         return _project_normal(ch, mv, sign=F.col(_SIGN))
 
     sa, sb = "__mv_sign_a__", "__mv_sign_b__"
-    terms = []
+    d_a = d_b = None
+    # each delta feeds two terms: materialize the (small) CDC window
+    # once instead of re-running the changelog derivation per term
     if anchors["hi"] > anchors["lo"]:
-        d_a = _signed_changes(
-            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
-        ).withColumnRenamed(_SIGN, sa)
+        d_a = (
+            _signed_changes(
+                catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+            )
+            .withColumnRenamed(_SIGN, sa)
+            .localCheckpoint()
+        )
+    if anchors["hi2"] > anchors["lo2"]:
+        d_b = (
+            _signed_changes(
+                catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
+            )
+            .withColumnRenamed(_SIGN, sb)
+            .localCheckpoint()
+        )
+    terms = []
+    if d_a is not None:
         b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])
         terms.append(_joined(mv, d_a, b1, sign=F.col(sa)))
-    if anchors["hi2"] > anchors["lo2"]:
-        d_b = _signed_changes(
-            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
-        ).withColumnRenamed(_SIGN, sb)
+    if d_b is not None:
         a1 = catalog.read(mv["source"], as_of_seq=anchors["hi"])
         terms.append(_joined(mv, a1, d_b, sign=F.col(sb)))
-    if len(terms) == 2:
-        d_a2 = _signed_changes(
-            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
-        ).withColumnRenamed(_SIGN, sa)
-        d_b2 = _signed_changes(
-            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
-        ).withColumnRenamed(_SIGN, sb)
-        terms.append(
-            _joined(mv, d_a2, d_b2, sign=-(F.col(sa) * F.col(sb)))
-        )
+    if d_a is not None and d_b is not None:
+        terms.append(_joined(mv, d_a, d_b, sign=-(F.col(sa) * F.col(sb))))
     return reduce(DataFrame.unionByName, terms)
 
 

@@ -532,7 +532,9 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
     # reads) so a concurrent write between checkpoint and build is
     # applied exactly once — by the next refresh
     anchors = _anchors_now(catalog, mv)
-    state = _full_state(catalog, mv, anchors)
+    # materialize once: the null-group check and the insert below would
+    # otherwise each re-run the full build aggregation
+    state = _full_state(catalog, mv, anchors).localCheckpoint()
     # float sums get a Kahan compensation column (exact types don't)
     double_fields = {
         f.name
@@ -718,14 +720,20 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
     rescan_keys = merged.filter(
         (F.col(_STAR) > 0) & F.col("__mv_rescan__")
     ).select(*mv["group_names"])
-    rescanned = _with_kahan_state(
-        _normalized_source(catalog, mv, (anchors["hi"], anchors["hi2"]))
-        .join(rescan_keys, mv["group_names"], "left_semi")
-        .groupBy(*mv["group_names"])
-        .agg(*_physical_aggs(mv)),
-        mv,  # a rescan recomputes from scratch: compensation resets
-    ).select(*schema_order)
-    n_up = catalog.insert(name, upserts.unionByName(rescanned))
+    # the rescan subtree joins the full source(s): skip it entirely
+    # unless some group actually flagged (merged is checkpointed, so
+    # the probe is a local scan, not a recompute)
+    to_insert = upserts
+    if rescan_flags and rescan_keys.limit(1).count() > 0:
+        rescanned = _with_kahan_state(
+            _normalized_source(catalog, mv, (anchors["hi"], anchors["hi2"]))
+            .join(rescan_keys, mv["group_names"], "left_semi")
+            .groupBy(*mv["group_names"])
+            .agg(*_physical_aggs(mv)),
+            mv,  # a rescan recomputes from scratch: compensation resets
+        ).select(*schema_order)
+        to_insert = upserts.unionByName(rescanned)
+    n_up = catalog.insert(name, to_insert)
     # phantom groups (born and fully retracted inside one window, or
     # nulled out by WHERE) get no tombstone — they were never in the view
     dead = merged.filter(

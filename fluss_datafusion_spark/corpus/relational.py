@@ -1918,8 +1918,7 @@ def q58_lateral_join(spark, sf_dir):
         FROM fact1
     )
     SELECT d.seg, count(*) AS n, CAST(count(f.x) AS BIGINT) AS nx,
-           CAST(sum(f.x) AS BIGINT) AS sx, round(avg(f.x), 6) AS ax,
-           min(f.x) AS mn, max(f.x) AS mx
+           CAST(sum(f.x) AS BIGINT) AS sx, round(avg(f.x), 6) AS ax
     FROM fact2 f JOIN dim2 d ON f.ck = d.k
     GROUP BY d.seg
     """,
@@ -1928,8 +1927,9 @@ def q59_matview_join(spark, sf_dir):
     """Incrementally-maintained materialized view over a two-table
     equi-join (catalog/matview.py — the dA⋈B1 + A1⋈dB − dA⋈dB delta
     rule): seed a fact table from orders and a dim table from customer,
-    CREATE MATERIALIZED VIEW joining them with count/sum/avg/min/max
-    per dim attribute, then drive two refresh cycles — a dim-attribute
+    CREATE MATERIALIZED VIEW joining them with count/sum/avg per dim
+    attribute (min/max-through-join incl. bounded rescans is pinned by
+    tests/test_matview_join.py; this entry drives the delta rule), then drive two refresh cycles — a dim-attribute
     UPDATE that re-attributes every joined fact row, a fact DELETE, a
     fact INSERT including a dangling and a NULL-measure row, then (in
     ONE window, exercising the dA⋈dB correction term) a dim INSERT
@@ -1970,7 +1970,7 @@ def q59_matview_join(spark, sf_dir):
     e.sql(
         "CREATE MATERIALIZED VIEW mvj AS"
         " SELECT d.seg, count(*) AS n, count(f.x) AS nx, sum(f.x) AS sx,"
-        " avg(f.x) AS ax, min(f.x) AS mn, max(f.x) AS mx"
+        " avg(f.x) AS ax"
         " FROM mvj_fact f JOIN mvj_dim d ON f.ck = d.k GROUP BY d.seg"
     )
     # window 1: dim re-attribution + fact churn
@@ -1987,6 +1987,4 @@ def q59_matview_join(spark, sf_dir):
     e.sql("UPDATE mvj_fact SET x = x + 5 WHERE ck % 13 = 0")
     e.sql("DELETE FROM mvj_dim WHERE k % 50 = 0")
     e.sql("REFRESH MATERIALIZED VIEW mvj")
-    return e.sql(
-        "SELECT seg, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mvj"
-    )
+    return e.sql("SELECT seg, n, nx, sx, round(ax, 6) AS ax FROM mvj")

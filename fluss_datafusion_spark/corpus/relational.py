@@ -1988,3 +1988,77 @@ def q59_matview_join(spark, sf_dir):
     e.sql("DELETE FROM mvj_dim WHERE k % 50 = 0")
     e.sql("REFRESH MATERIALIZED VIEW mvj")
     return e.sql("SELECT seg, n, nx, sx, round(ax, 6) AS ax FROM mvj")
+
+
+@query(
+    "q60_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    QUALIFY rnk <= 2
+    """,
+    extended=True,
+)
+def q60_qualify(spark, sf_dir):
+    """QUALIFY clause (Snowflake/DuckDB/BigQuery surface Spark lacks):
+    the string rewriter (sql/qualify.py — same mechanism as the
+    reference's SHOW rewrites, src/sql/rewriter.rs:19-77) turns it into
+    a windowed subquery; DuckDB runs the clause natively as the oracle.
+    Catalyst plans the rewritten form as one window + filter — no extra
+    shuffle beyond the window's partition exchange."""
+    from fluss_datafusion_spark.sql.rewriter import rewrite_sql
+
+    v(spark, sf_dir, "orders")
+    return spark.sql(
+        rewrite_sql(
+            """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+            QUALIFY rnk <= 2
+            """
+        )
+    )
+
+
+@query(
+    "q61_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain(custkey, anchor, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT ch.custkey, c.c_custkey, ch.depth + 1
+        FROM chain ch JOIN customer c ON c.c_custkey = ch.anchor // 10
+        WHERE ch.anchor >= 10
+    )
+    SELECT custkey, anchor AS root_key, CAST(depth AS INT) AS depth
+    FROM chain WHERE anchor < 10
+    """,
+    extended=True,
+)
+def q61_recursive_cte(spark, sf_dir):
+    """Recursive CTE (SQL:1999 WITH RECURSIVE, native in Spark 4):
+    iterated hierarchy traversal where each step JOINS the recursive
+    relation back against the base table — the BOM/org-chart shape.
+    Every custkey walks its ancestor chain parent = floor(k/10) until a
+    single-digit root; depth is the chain length.  Distribution: each
+    recursion level is one hash join over the (shrinking) frontier —
+    no driver-side iteration, and the frontier join broadcasts once the
+    level drops under the AQE threshold."""
+    v(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(custkey, anchor, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT ch.custkey, c.c_custkey, ch.depth + 1
+            FROM chain ch JOIN customer c ON c.c_custkey = ch.anchor DIV 10
+            WHERE ch.anchor >= 10
+        )
+        SELECT custkey, anchor AS root_key, CAST(depth AS INT) AS depth
+        FROM chain WHERE anchor < 10
+        """
+    )

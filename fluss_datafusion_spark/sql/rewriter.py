@@ -42,6 +42,10 @@ _DESCRIBE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_DATABASES_RE = re.compile(r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$", re.IGNORECASE)
+# Cheap pre-filter: the literal-aware QUALIFY rewrite only runs when the
+# raw text contains the token at all (false positives are fine — the
+# rewrite itself masks literals and is a no-op without a real clause).
+_QUALIFY_GUARD_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _INFO_SCHEMA_REF_RE = re.compile(r"\binformation_schema\.(\w+)", re.IGNORECASE)
 
 
@@ -62,6 +66,10 @@ def rewrite_sql(sql: str, catalog=None) -> str:
         out = rewritten
     else:
         out = sql
+        if _QUALIFY_GUARD_RE.search(out):
+            from fluss_datafusion_spark.sql.qualify import rewrite_qualify
+
+            out = rewrite_qualify(out)
     if catalog is not None:
         _refresh_info_schema_if_needed(out, catalog)
         out = _qualify_engine_refs(out, catalog)

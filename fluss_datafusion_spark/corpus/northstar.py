@@ -3146,3 +3146,103 @@ def ns_text_hashing_vectorizer(spark, sf_dir):
         .filter(F.col("w") != 0.0)
         .select("doc_id", "idx", F.round("w", 6).alias("weight"))
     )
+
+
+@query(
+    "ns_sketch_cms", extended=True,
+    oracle="""
+    WITH pv AS (
+        SELECT o_orderstatus AS g, CAST(o_custkey AS VARCHAR) AS v,
+               count(*) AS w
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+    ),
+    rows_i AS (SELECT unnest(range(3)) AS i),
+    cells AS (
+        SELECT g, i,
+               CAST(concat('0x', substr(md5('cms-0|' || CAST(i AS VARCHAR)
+                    || '|' || v), 1, 15)) AS BIGINT) % 256 AS b,
+               CAST(sum(w) AS BIGINT) AS cnt
+        FROM pv, rows_i GROUP BY 1, 2, 3
+    ),
+    cand AS (
+        SELECT g, ck FROM (SELECT DISTINCT o_orderstatus AS g FROM orders),
+                          (SELECT unnest(range(50)) AS ck)
+    ),
+    qa AS (
+        SELECT cand.g, cand.ck, rows_i.i,
+               CAST(concat('0x', substr(md5('cms-0|' || CAST(rows_i.i AS VARCHAR)
+                    || '|' || CAST(cand.ck AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 256 AS b
+        FROM cand, rows_i
+    ),
+    est AS (
+        SELECT qa.g, qa.ck, min(coalesce(cells.cnt, 0)) AS freq_est
+        FROM qa LEFT JOIN cells
+          ON cells.g = qa.g AND cells.i = qa.i AND cells.b = qa.b
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT o_orderstatus AS g, o_custkey AS ck, count(*) AS exact
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT o_orderstatus AS g, count(*) AS n
+        FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+    )
+    SELECT est.g AS g, CAST(est.ck AS BIGINT) AS custkey,
+           CAST(freq_est AS BIGINT) AS freq_est,
+           CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact_freq,
+           freq_est >= coalesce(ex.exact, 0) AS ge_ok,
+           freq_est <= coalesce(ex.exact, 0)
+               + 2.718281828459045 / 256 * tot.n AS bound_ok
+    FROM est
+    LEFT JOIN ex ON ex.g = est.g AND ex.ck = est.ck
+    JOIN tot ON tot.g = est.g
+    """,
+)
+def ns_sketch_cms(spark, sf_dir):
+    """Count-min sketch (operators/sketches.py — Cormode &
+    Muthukrishnan 2005): per order status, a 3x256 CMS of o_custkey
+    frequencies, point-estimated for custkeys 0..49.  Counters are the
+    deterministic md5-60bit chain, so DuckDB rebuilds every cell and
+    every min-over-rows estimate bit-for-bit — a hash-checked raw
+    sketch row (the mergeable-shard property is pinned cell-wise by
+    tests/test_cms.py).  Columns: the estimate, the exact count, the
+    never-underestimate boolean (always true) and the eps=e/w error
+    bound per the per-group mass."""
+    from fluss_datafusion_spark.operators import sketches as K
+
+    width, depth = 256, 3
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("g"), "o_custkey"
+    )
+    sk = K.cms_sketch(orders, ["g"], "o_custkey", width=width, depth=depth)
+    cand = (
+        orders.select("g").distinct()
+        .crossJoin(spark.range(50).select(F.col("id").alias("o_custkey")))
+    )
+    est = K.cms_estimate(sk, cand, ["g"], "o_custkey", width, depth).select(
+        "g",
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.col("freq_est").cast("bigint").alias("freq_est"),
+    )
+    exact = orders.groupBy("g", F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    tot = orders.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.join(exact, ["g", "custkey"], "left")
+        .join(tot, "g")
+        .select(
+            "g",
+            "custkey",
+            "freq_est",
+            F.coalesce(F.col("exact"), F.lit(0)).cast("bigint").alias("exact_freq"),
+            (F.col("freq_est") >= F.coalesce(F.col("exact"), F.lit(0))).alias("ge_ok"),
+            (
+                F.col("freq_est")
+                <= F.coalesce(F.col("exact"), F.lit(0))
+                + 2.718281828459045 / width * F.col("n")
+            ).alias("bound_ok"),
+        )
+    )

@@ -159,3 +159,131 @@ def kmv_distinct(
     return kmv_estimate(
         kmv_sketch(df, group_cols, value_col, k=k, seed=seed), group_cols, k
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+# ---------------------------------------------------------------------------
+#
+# The frequency-estimation companion to KMV's distinct counts: d
+# independent hash rows of w counters; point estimate = min over rows of
+# the addressed counter.  Guarantees (with N = total weight):
+#   est >= true  (always — collisions only add), and
+#   est <= true + (e/w) * N  with probability >= 1 - (1/e)^d.
+# Counters ADD, so two sketches merge by summing matching cells —
+# the mergeable-summary property that lets 1000 executors sketch
+# shards independently and combine d*w-size results.
+#
+# DataFrame shape: a sketch is (group..., __cms_i__, __cms_b__, cnt)
+# with <= d*w rows per group (zero cells are simply absent; estimates
+# coalesce them to 0).  Hashing is the same md5-60bit chain as KMV with
+# a per-row seed, so DuckDB replays every counter and every estimate
+# bit-for-bit.
+#
+# Build cost at scale: one exact per-(group, value) pre-aggregation
+# (map-side combinable — the d-way explode happens AFTER the corpus is
+# reduced to distinct values), then one (group, i, bucket) aggregation
+# whose output is bounded by d*w per group.  No reference analog.
+
+_CMS_I = "__cms_i__"
+_CMS_B = "__cms_b__"
+
+
+def _cms_bucket(value_col, row_col, width: int, seed: str):
+    """Row-i counter address of a value: md5(seed|i|value) 60-bit prefix
+    mod width — the same engine-replayable chain as :func:`_hash60`,
+    salted by the hash-row index."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), row_col.cast("string"), value_col.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int = 512,
+    depth: int = 3,
+    seed: str = "cms-0",
+    weight_col: str = None,
+) -> DataFrame:
+    """Per-group count-min sketch of ``value_col`` frequencies
+    (optionally weighted): (group..., __cms_i__, __cms_b__, cnt) with
+    <= depth*width rows per group; zero cells are absent."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}x{depth}")
+    groups = list(group_cols)
+    w_expr = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # Exact (group, value) pre-aggregation first: the d-way explode
+    # multiplies DISTINCT values, never corpus rows.
+    per_value = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*groups, F.col(value_col).cast("string").alias("__cms_v__"))
+        .agg(F.sum(w_expr).alias("__cms_w__"))
+    )
+    return (
+        per_value.select(
+            *groups,
+            "__cms_v__",
+            "__cms_w__",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias(_CMS_I),
+        )
+        .withColumn(_CMS_B, _cms_bucket(F.col("__cms_v__"), F.col(_CMS_I), width, seed))
+        .groupBy(*groups, _CMS_I, _CMS_B)
+        .agg(F.sum("__cms_w__").alias("cnt"))
+    )
+
+
+def cms_merge(s1: DataFrame, s2: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Combine two sketches built with the same (width, depth, seed):
+    counters add cell-wise — touches only sketch rows."""
+    return (
+        s1.unionByName(s2)
+        .groupBy(*group_cols, _CMS_I, _CMS_B)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: int,
+    depth: int,
+    seed: str = "cms-0",
+) -> DataFrame:
+    """Point-estimate the frequency of each candidate value:
+    (group..., value_col, freq_est) = min over the d addressed counters
+    (absent cells read 0).  ``candidates`` carries (group..., value_col);
+    the join is on (group, row, bucket) — candidate-sized, so a small
+    candidate set broadcasts against a d*w-bounded sketch."""
+    groups = list(group_cols)
+    addressed = (
+        candidates.filter(F.col(value_col).isNotNull())
+        .select(
+            *groups,
+            F.col(value_col).cast("string").alias("__cms_q__"),
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias(_CMS_I),
+        )
+        .withColumn(_CMS_B, _cms_bucket(F.col("__cms_q__"), F.col(_CMS_I), width, seed))
+    )
+    joined = addressed.join(sketch, groups + [_CMS_I, _CMS_B], "left")
+    return (
+        joined.groupBy(*groups, "__cms_q__")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
+        .withColumnRenamed("__cms_q__", value_col)
+    )

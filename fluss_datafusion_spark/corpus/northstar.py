@@ -3246,3 +3246,99 @@ def ns_sketch_cms(spark, sf_dir):
             ).alias("bound_ok"),
         )
     )
+
+
+@query(
+    "ns_retrieval_hybrid", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+          WHERE doc_id % 101 = 0),
+    lex_scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        WHERE tf.doc_id <> q.query_id
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM lex_scored
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    dense_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+        FROM e q JOIN e c ON q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS r
+        FROM dense_scored
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+               CAST(count(*) AS INT) AS n_lists
+        FROM (SELECT * FROM lex WHERE r <= 10
+              UNION ALL SELECT * FROM dense WHERE r <= 10)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_score, n_lists, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= 5
+    """,
+)
+def ns_retrieval_hybrid(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused with RRF (Cormack 2009 —
+    operators/retrieval.py rrf_fuse/hybrid_search): BM25 top-10 and
+    exact-cosine top-10 per query (every 101st document as query text,
+    its embedding as query vector, self excluded), fused by
+    sum 1/(60+rank) — the calibration-free combiner RAG pipelines run.
+    Both branch rankings and the fused score are deterministic
+    (rounded score / bit-identical cosine / integer-rank reciprocals),
+    so DuckDB replays the full pipeline."""
+    from fluss_datafusion_spark.operators.retrieval import hybrid_search
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+        .join(
+            emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            "qid",
+        )
+    )
+    return hybrid_search(
+        docs, "doc_id", "text", emb, "vec_id", "embedding",
+        queries, "qid", "qtext", "qvec", k=5, depth=10,
+    )

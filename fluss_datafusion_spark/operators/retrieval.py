@@ -29,7 +29,7 @@ part of the north-star LLM-pipeline surface.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -461,3 +461,109 @@ def bm25f_search(
         postings, field_stats, corpus_stats,
         queries, query_id_col, query_text_col, k=k, k1=k1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense rankings
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse N ranked lists of (query_col, doc_col, rank) into one ranking
+    by score = sum over lists of 1 / (c + rank).
+
+    RRF is the standard lexical+dense hybrid combiner because it needs
+    no score calibration — BM25 scores and cosines live on different
+    scales, but ranks are ranks.  Returns (query_col, doc_col,
+    rrf_score, n_lists, rank) with rank 1..k per query, ties broken by
+    doc id.
+
+    Scale shape: inputs are already top-k-per-query (k*|queries| rows,
+    corpus-independent); the union + one aggregation + one per-query
+    window touch only those.  Deterministic: the score is a sum of
+    reciprocals of integer ranks, rounded to 6 — engines replay it
+    exactly."""
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            (1.0 / (c + F.col("rank").cast("double"))).alias("__rrf__"),
+        )
+        for r in ranked
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    scored = unioned.groupBy(query_col, doc_col).agg(
+        F.round(F.sum("__rrf__"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(doc_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    doc_vecs: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    query_vec_col: str,
+    k: int = 10,
+    depth: int = 20,
+    c: int = 60,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Lexical (BM25) + dense (exact cosine) retrieval fused with RRF —
+    the retrieval shape RAG / training-data pipelines run at scale:
+    each branch retrieves its top-``depth`` independently (inverted
+    index vs broadcast-query vector scan), then ranks fuse without any
+    score calibration.  ``exclude_self`` drops a result whose doc id
+    equals the query id (queries drawn from the corpus)."""
+    from fluss_datafusion_spark.operators.similarity import cosine_topk
+
+    lex = bm25_search(
+        docs, doc_id_col, text_col, queries, query_id_col, query_text_col, k=depth + 1
+    )
+    dense = cosine_topk(
+        doc_vecs, queries, vec_id_col, vec_col, query_id_col, query_vec_col,
+        k=depth + 1,
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "cos",
+        "rank",
+    )
+    if exclude_self:
+        lex = lex.filter(F.col("doc_id") != F.col("query_id"))
+        dense = dense.filter(F.col("doc_id") != F.col("query_id"))
+    # re-rank each branch after the self-exclusion so ranks are 1..depth
+    def _rerank(df, order):
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= depth)
+        )
+
+    lex = _rerank(lex.drop("rank"), [F.col("score").desc(), F.col("doc_id").asc()])
+    dense = _rerank(dense.drop("rank"), [F.col("cos").desc(), F.col("doc_id").asc()])
+    return rrf_fuse([lex, dense], k=k, c=c)

@@ -3342,3 +3342,85 @@ def ns_retrieval_hybrid(spark, sf_dir):
         docs, "doc_id", "text", emb, "vec_id", "embedding",
         queries, "qid", "qtext", "qvec", k=5, depth=10,
     )
+
+
+@query(
+    "ns_ts_rolling_zscore", extended=True,
+    oracle="""
+    WITH o AS (
+        SELECT event_id, event_type, value,
+               avg(value) OVER w AS m,
+               stddev_samp(value) OVER w AS s,
+               count(value) OVER w AS h
+        FROM (SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           round(CASE WHEN h >= 5 AND s IS NOT NULL AND s > 0
+                      THEN (value - m) / s END, 6) AS zscore,
+           coalesce(CASE WHEN h >= 5 AND s IS NOT NULL AND s > 0
+                         THEN abs((value - m) / s) > 3.0 END,
+                    false) AS is_anomaly
+    FROM o
+    """,
+)
+def ns_ts_rolling_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly detection
+    (operators/timeseries.zscore_anomalies): every event scored against
+    the mean/std of its event type's previous 20 events (frame excludes
+    the current row so a spike cannot dilute its own baseline; null
+    until 5 prior rows; zero-variance baselines yield null, not NaN).
+    One window pass — bounded frame state, shuffle only on the group
+    key; the monitoring primitive that runs unchanged on a 100 TB
+    event log."""
+    from fluss_datafusion_spark.operators.timeseries import zscore_anomalies
+
+    ev = t(spark, sf_dir, "events")
+    out = zscore_anomalies(
+        ev, ["event_type"], "ts", "value", n=20, threshold=3.0,
+        min_history=5, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("zscore", 6).alias("zscore"), "is_anomaly",
+    )
+
+
+@query(
+    "ns_ts_ewma", extended=True,
+    oracle="""
+    WITH f AS (
+        SELECT event_id, event_type,
+               list(value) OVER (PARTITION BY event_type
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                   AS frame
+        FROM events
+    )
+    SELECT event_id, event_type,
+           round(
+               list_sum(list_transform(frame,
+                   (x, i) -> x * pow(0.7, CAST(len(frame) - i AS DOUBLE))))
+               / list_sum(list_transform(frame,
+                   (x, i) -> pow(0.7, CAST(len(frame) - i AS DOUBLE)))),
+               6) AS ewma
+    FROM f
+    """,
+)
+def ns_ts_ewma(spark, sf_dir):
+    """Bounded-lookback EWMA (operators/timeseries.rolling_ewma —
+    pandas ewm(adjust=True) truncated to 16 rows, the feature-store
+    decay window): per event type, weight (1-a)^lag with a=0.3,
+    normalized over the rows present.  The 16-row frame is what makes
+    it distributed-exact — state per key is constant, and DuckDB
+    replays the same sequential fold over the same frame order."""
+    from fluss_datafusion_spark.operators.timeseries import rolling_ewma
+
+    ev = t(spark, sf_dir, "events")
+    out = rolling_ewma(
+        ev, ["event_type"], "ts", "value", alpha=0.3, lookback=16,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("event_id", "event_type", F.round("ewma", 6).alias("ewma"))

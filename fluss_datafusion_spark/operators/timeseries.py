@@ -249,3 +249,126 @@ def gapfill_months(
     out = spine.join(observed, group_cols + ["__bucket__"], "left")
     out = _apply_fills(out, group_cols, fills, x_axis=midx(F.col("__bucket__")))
     return out.withColumnRenamed("__bucket__", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# Rolling statistics / anomaly detection / bounded-lookback EWMA
+# ---------------------------------------------------------------------------
+
+
+def rolling_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-group trailing-``n``-row statistics (current row included):
+    adds roll_mean / roll_std (sample) / roll_min / roll_max / roll_n.
+
+    One window pass — Spark keeps only the n-row frame in state, so
+    per-key series length is unbounded.  ``tiebreak_cols`` make the
+    frame deterministic when ``order_col`` has duplicates (always pass
+    one for oracle-checked pipelines)."""
+    order = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order).rowsBetween(-(n - 1), 0)
+    x = F.col(value_col)
+    return (
+        df.withColumn("roll_mean", F.avg(x).over(w))
+        .withColumn("roll_std", F.stddev_samp(x).over(w))
+        .withColumn("roll_min", F.min(x).over(w))
+        .withColumn("roll_max", F.max(x).over(w))
+        .withColumn("roll_n", F.count(x).over(w).cast("int"))
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    n: int = 20,
+    threshold: float = 3.0,
+    min_history: int = 5,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags: each value is scored
+    against the mean/std of the PREVIOUS ``n`` rows in its group
+    (frame excludes the current row, so an outlier cannot dilute its
+    own baseline — the standard online-monitoring formulation).
+
+    Adds zscore (null until ``min_history`` prior rows exist or when
+    the baseline std is 0) and is_anomaly (|z| > threshold; null
+    zscore -> false).  One window pass, bounded state, no shuffle
+    beyond the group-key exchange."""
+    order = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order).rowsBetween(-n, -1)
+    x = F.col(value_col)
+    mean_p = F.avg(x).over(w)
+    std_p = F.stddev_samp(x).over(w)
+    hist = F.count(x).over(w)
+    z = F.when(
+        (hist >= min_history) & std_p.isNotNull() & (std_p > 0.0),
+        (x - mean_p) / std_p,
+    )
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
+    )
+
+
+def rolling_ewma(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    lookback: int = 64,
+    out_col: str = "ewma",
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Bounded-lookback exponentially-weighted moving average (the
+    feature-store decay window): per row,
+
+        ewma_t = sum_{i=0..L-1} (1-a)^i * x_{t-i} / sum_{i present} (1-a)^i
+
+    i.e. pandas ``ewm(alpha=a, adjust=True)`` truncated to the last
+    ``lookback`` rows.  Truncation is what makes it distributed-exact:
+    the window frame carries L values, never the whole series, and with
+    (1-a)^L below double roundoff the truncated value equals the
+    unbounded one anyway (a=0.3, L=64 -> (0.7)^64 ~ 1e-10 tail mass).
+
+    Implemented as collect_list over the row frame + a JVM fold
+    (``aggregate``) — sequential fold order, so external engines replay
+    the float sum exactly."""
+    order = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    decay = 1.0 - alpha
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # weight of element j in a frame of size s is (1-a)^(s-1-j): the
+    # frame is oldest-first, the current row is last with weight 1.
+    num = F.aggregate(
+        F.zip_with(
+            frame,
+            F.sequence(F.lit(0), F.size(frame) - 1),
+            lambda x, j: x * F.pow(F.lit(decay), (F.size(frame) - 1 - j).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(0), F.size(frame) - 1),
+        F.lit(0.0),
+        lambda acc, j: acc + F.pow(F.lit(decay), j.cast("double")),
+    )
+    return df.withColumn(out_col, num / den)

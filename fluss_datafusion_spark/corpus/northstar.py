@@ -3424,3 +3424,49 @@ def ns_ts_ewma(spark, sf_dir):
         tiebreak_cols=["event_id"],
     )
     return out.select("event_id", "event_type", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "ns_graph_components", extended=True,
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS n FROM customer
+    ),
+    e0 AS (
+        SELECT n AS a, n + 1 AS b FROM nodes
+        WHERE n % 10 < 9 AND n % 50 >= 10
+        UNION ALL
+        SELECT n AS a, n + 10 AS b FROM nodes WHERE n % 50 = 10
+    ),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS node_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+    """,
+)
+def ns_graph_components(spark, sf_dir):
+    """Connected components as a public graph operator
+    (operators/graph.connected_components — Kiveris SoCC'14 star
+    contraction, generalizing the dedup-cluster machinery to entity
+    resolution / account linking): a deterministic graph over customer
+    keys (per 50-block: chains of 10, one 20-node bridge-merged
+    component, and 10 isolated keys) labeled with the min node id per
+    component.  Isolated nodes come back as singleton components via
+    the nodes-side anti-join.  The DuckDB oracle re-derives every label
+    by recursive-CTE reachability."""
+    from fluss_datafusion_spark.operators.graph import connected_components
+
+    n = F.col("n")
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("n"))
+    chain = cust.filter((n % 10 < 9) & (n % 50 >= 10)).select(
+        n.alias("src"), (n + 1).alias("dst")
+    )
+    bridge = cust.filter(n % 50 == 10).select(n.alias("src"), (n + 10).alias("dst"))
+    comps = connected_components(
+        chain.unionByName(bridge), "src", "dst", nodes=cust, node_col="n"
+    )
+    return comps.select("node_id", F.col("component_id").cast("bigint").alias("component_id"))

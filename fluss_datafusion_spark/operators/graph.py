@@ -198,3 +198,57 @@ def pagerank(
     return ranks.crossJoin(n_row).select(
         "id", F.round(F.col("__r__") * F.col("__n__"), 5).alias("rank_norm")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame = None,
+    node_col: str = None,
+    algorithm: str = "star",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components as a first-class graph operator:
+    (node_id, component_id) with component_id = the min node id in the
+    component — the canonical labeling every engine agrees on.
+
+    This generalizes the dedup-cluster machinery (operators/dedup.py)
+    beyond near-duplicate pairs: entity resolution, account linking,
+    social subgraphs.  ``algorithm='star'`` runs alternating
+    large-star/small-star contraction (Kiveris et al. SoCC'14,
+    O(log^2 n) rounds on any topology — the default for unknown
+    graphs); ``'label_prop'`` runs min-label propagation (O(diameter)
+    rounds — cheaper per round on short-chain graphs).
+
+    ``nodes`` (with ``node_col``, default ``src_col``) optionally adds
+    isolated nodes, which come back as their own singleton components —
+    edge-only derivation would never see them.
+
+    Scale shape: inherits the underlying implementation's properties —
+    edge list localCheckpoint-ed once, per-round shuffles keyed on
+    uniformly-hashed node ids, driver sees only convergence scalars."""
+    from fluss_datafusion_spark.operators import dedup
+
+    pairs = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    if algorithm == "star":
+        assigned = dedup.dedup_clusters_star(pairs, max_iter=max_iter)
+    elif algorithm == "label_prop":
+        assigned = dedup.dedup_clusters(pairs, max_iter=max_iter)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    out = assigned.select(
+        F.col("doc_id").alias("node_id"), F.col("cluster_id").alias("component_id")
+    )
+    if nodes is not None:
+        ncol = node_col or src_col
+        isolated = (
+            nodes.select(F.col(ncol).alias("node_id"))
+            .distinct()
+            .join(out.select("node_id"), "node_id", "left_anti")
+            .withColumn("component_id", F.col("node_id"))
+        )
+        out = out.unionByName(isolated)
+    return out

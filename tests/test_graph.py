@@ -113,3 +113,31 @@ def test_pagerank_convergence_mode(spark, edges_df):
         edges_df, "src", "dst", n_iters=60).collect()}
     assert set(conv) == set(long)
     assert all(abs(conv[k] - long[k]) <= 2e-5 for k in conv)
+
+
+def test_connected_components_star_vs_label_prop(spark):
+    from fluss_datafusion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (3, 10)],
+        "src bigint, dst bigint",
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 13: 1, 5: 5, 6: 5}
+    for algo in ("star", "label_prop"):
+        got = {
+            r.node_id: r.component_id
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == want, algo
+
+
+def test_connected_components_isolated_nodes(spark):
+    from fluss_datafusion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    nodes = spark.createDataFrame([(1,), (2,), (7,), (9,)], "src bigint")
+    got = {
+        r.node_id: r.component_id
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}

@@ -2062,3 +2062,37 @@ def q61_recursive_cte(spark, sf_dir):
         FROM chain WHERE anchor < 10
         """
     )
+
+
+@query(
+    "q62_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'price' AS measure,
+           l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    extended=True,
+)
+def q62_unpivot(spark, sf_dir):
+    """UNPIVOT (SQL:2016 / Spark 3.4+ native): wide measure columns to
+    long (measure, amount) rows — the melt step feature pipelines run
+    before per-measure aggregation.  Catalyst expands it to an Expand
+    node (one pass, no shuffle); the oracle spells it as the equivalent
+    UNION ALL."""
+    v(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, measure, amount
+        FROM (SELECT l_orderkey, l_linenumber,
+                     l_extendedprice AS price, l_discount AS discount,
+                     l_tax AS tax
+              FROM lineitem WHERE l_orderkey <= 200)
+        UNPIVOT (amount FOR measure IN (price, discount, tax))
+        """
+    )

@@ -673,6 +673,14 @@ class FlussCatalog:
         out = self._merge_log(spec, log)
         if predicate is not None:
             out = out.filter(F.expr(predicate))
+        if as_of_seq is None:
+            # ANALYZE cash-in: hint-broadcast a merge-on-read snapshot
+            # whose LIVE size (per fresh stats) fits under the broadcast
+            # threshold even though its raw file bytes don't — Catalyst
+            # only sees the file bytes (catalog/stats.py).
+            from fluss_datafusion_spark.catalog import stats as _stats
+
+            out = _stats.broadcast_hint_if_small(self, spec, out)
         return out
 
     def current_seq(self, name: str) -> int:

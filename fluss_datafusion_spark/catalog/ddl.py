@@ -938,3 +938,31 @@ def parse_refresh_matview(sql: str) -> Optional[str]:
     if not match:
         return None
     return ".".join(parse_qualified_name(match.group(1)))
+
+
+# -- ANALYZE TABLE -----------------------------------------------------------
+
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
+    r"\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>.+)))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_analyze(sql: str):
+    """Parse ``ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS |
+    FOR COLUMNS c1, c2]`` (the Spark/Delta spelling) into
+    (target, columns) where columns is None for every column (ALL or
+    unqualified) and a list for the explicit form.  Returns None for
+    anything else."""
+    from fluss_datafusion_spark.sql.dialect import strip_quotes
+
+    match = _ANALYZE_RE.match(sql.strip().rstrip(";"))
+    if match is None:
+        return None
+    target = ".".join(parse_qualified_name(match.group("name")))
+    if match.group("cols"):
+        cols = [strip_quotes(c.strip()) for c in match.group("cols").split(",")]
+        return (target, cols)
+    return (target, None)

@@ -23,7 +23,10 @@ per query (src/catalog/schema.rs:245-699):
                  we compute real values from the parquet files)     :652-699
 
 Plus ``schemata`` (schema_name) used by SHOW DATABASES
-(src/sql/show.rs:76-78).  Registered as flat temp views named
+(src/sql/show.rs:76-78), and engine extensions beyond the reference:
+``views`` / ``materialized_views`` / ``file_stats`` (skipping-manifest
+bounds) / ``column_stats`` (ANALYZE TABLE output incl. staleness —
+catalog/stats.py).  Registered as flat temp views named
 ``information_schema_<name>`` (see sql/rewriter.py for why).
 """
 
@@ -168,6 +171,42 @@ def register_views(catalog, include_stats: bool = True) -> None:
         "table_schema string, table_name string, row_count long, "
         "total_size_bytes long, last_modified timestamp",
     ).createOrReplaceTempView("information_schema_table_stats")
+
+    # ANALYZE TABLE column statistics (r5, catalog/stats.py): persisted
+    # per-column null_count/ndv/min/max/lengths, plus a staleness flag
+    # (PK tables: the analyze-time seq vs the current seq; others: the
+    # file count) — the column level the reference's table_stats view
+    # stubs out entirely (src/catalog/schema.rs:652-699).
+    from fluss_datafusion_spark.catalog import stats as _stats_mod
+
+    col_stats_rows = []
+    for s in specs:
+        persisted = _stats_mod.load_stats(catalog, s)
+        if not persisted:
+            continue
+        if s.has_primary_key:
+            stale = persisted.get("seq") != catalog._seq.get(s.qualified_name, 0)
+        else:
+            from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+            stale = persisted.get("n_files") != len(
+                _parquet_files(catalog.table_path(s))
+            )
+        for cname, c in sorted(persisted.get("columns", {}).items()):
+            col_stats_rows.append(
+                (
+                    s.database, s.name, cname,
+                    persisted.get("row_count"), c.get("null_count"),
+                    c.get("ndv"), c.get("min"), c.get("max"),
+                    c.get("avg_len"), c.get("max_len"), bool(stale),
+                )
+            )
+    spark.createDataFrame(
+        col_stats_rows,
+        "table_schema string, table_name string, column_name string, "
+        "row_count long, null_count long, ndv long, min_value string, "
+        "max_value string, avg_len double, max_len long, stale boolean",
+    ).createOrReplaceTempView("information_schema_column_stats")
 
     # Per-file footer min/max bounds from the skipping manifest (r5):
     # the metadata the file-skipping scan prunes on, surfaced for

@@ -419,7 +419,13 @@ _LANGID_ORACLE = """
 """
 
 
-@query("ns_text_langid", oracle=_LANGID_ORACLE)
+@query(
+    "ns_text_langid",
+    oracle=_LANGID_ORACLE,
+    extended=True,  # r5 fourth window: rotated out for q63_analyze_stats
+    # (text keeps ns_text_stats in the driver window); still
+    # hash-checked in CORRECTNESS_SELF.
+)
 def ns_text_langid(spark, sf_dir):
     """Stopword-ratio language ID (first-max-wins in en,de,fr,es,zh
     order — the oracle encodes the identical cascade)."""

@@ -2096,3 +2096,89 @@ def q62_unpivot(spark, sf_dir):
         UNPIVOT (amount FOR measure IN (price, discount, tax))
         """
     )
+
+
+@query(
+    "q63_analyze_stats",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT 'k' AS column_name, CAST(count(*) AS BIGINT) AS row_count,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count,
+           CAST(min(k) AS VARCHAR) AS min_value,
+           CAST(max(k) AS VARCHAR) AS max_value,
+           true AS ndv_ok, false AS stale
+    FROM base
+    UNION ALL
+    SELECT 'status', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(min(status) AS VARCHAR), CAST(max(status) AS VARCHAR),
+           true, false
+    FROM base
+    UNION ALL
+    SELECT 'price', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(min(price) AS VARCHAR), CAST(max(price) AS VARCHAR),
+           true, false
+    FROM base
+    """,
+)
+def q63_analyze_stats(spark, sf_dir):
+    """ANALYZE TABLE column statistics (catalog/stats.py — the column
+    level the reference's table_stats view stubs as all-NULL,
+    src/catalog/schema.rs:652-699): seed a PK table from orders, churn
+    it with an UPDATE that nulls every 10th price, ANALYZE, and read
+    information_schema.column_stats.  null/min/max/row_count are exact
+    and hash-checked against DuckDB recomputing the churned state;
+    ndv (HLL++) is checked as a <=10%-relative-error boolean against
+    the exact distinct count (the q45 sketch-bound pattern).  One
+    aggregation pass computes every column's stats — never a job per
+    column."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_analyze_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE stats_t (k BIGINT NOT NULL, status STRING,"
+        " price DOUBLE, PRIMARY KEY (k))"
+    )
+    v(spark, sf_dir, "orders")
+    spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        " WHERE o_orderkey <= 2000"
+    ).createOrReplaceTempView("stats_seed")
+    e.sql("INSERT INTO stats_t SELECT * FROM stats_seed")
+    e.sql("UPDATE stats_t SET price = NULL WHERE k % 10 = 0")
+    e.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    stats_rows = e.sql(
+        "SELECT column_name, row_count, null_count, min_value, max_value,"
+        " ndv, stale FROM information_schema.column_stats"
+        " WHERE table_name = 'stats_t'"
+    )
+    exact = e.catalog.read("fluss.stats_t").agg(
+        F.countDistinct("k").alias("k"),
+        F.countDistinct("status").alias("status"),
+        F.countDistinct("price").alias("price"),
+    ).selectExpr(
+        "stack(3, 'k', k, 'status', status, 'price', price)"
+        " AS (column_name, exact_ndv)"
+    )
+    return stats_rows.join(exact, "column_name").select(
+        "column_name", "row_count", "null_count", "min_value", "max_value",
+        (
+            F.abs(F.col("ndv") / F.col("exact_ndv") - 1) <= 0.1
+        ).alias("ndv_ok"),
+        "stale",
+    )

@@ -252,6 +252,17 @@ class EngineSession:
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        analyze_parsed = ddl.parse_analyze(statement)
+        if analyze_parsed is not None and self.catalog.has_table(analyze_parsed[0]):
+            from fluss_datafusion_spark.catalog import stats as _stats
+
+            target, cols = analyze_parsed
+            s = _stats.analyze_table(self.catalog, target, columns=cols)
+            return self.spark.createDataFrame(
+                [(s["row_count"], s["file_bytes"], len(s["columns"]))],
+                "row_count bigint, file_bytes bigint, analyzed_columns bigint",
+            )
+
         restore_parsed = ddl.parse_restore(statement)
         if restore_parsed is not None and self.catalog.has_table(restore_parsed[0]):
             target, anchor = restore_parsed

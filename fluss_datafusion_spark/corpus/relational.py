@@ -2182,3 +2182,44 @@ def q63_analyze_stats(spark, sf_dir):
         ).alias("ndv_ok"),
         "stale",
     )
+
+
+@query(
+    "q64_copy_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    extended=True,
+)
+def q64_copy_roundtrip(spark, sf_dir):
+    """COPY TO / COPY FROM (sources/copy.py — the csv datasource the
+    reference links but never exposes, SURVEY §2 Cargo.lock:802-805):
+    export a query to header'd CSV, ingest it into a fresh PK table
+    through the normal upsert/constraint/seq insert path, read it back.
+    Both directions are single parallel Spark jobs; the roundtrip must
+    preserve every row and type exactly (CSV stringification and back)."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_copy_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "orders")
+    out = os.path.join(root, "export_csv")
+    e.sql(
+        "COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+        f" WHERE o_orderkey <= 500) TO '{out}' (FORMAT CSV, HEADER true)"
+    )
+    e.sql(
+        "CREATE TABLE copy_t (o_orderkey BIGINT NOT NULL,"
+        " o_orderstatus STRING, o_totalprice DOUBLE,"
+        " PRIMARY KEY (o_orderkey))"
+    )
+    e.sql(f"COPY copy_t FROM '{out}' (FORMAT CSV, HEADER true)")
+    return e.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM copy_t")

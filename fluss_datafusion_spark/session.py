@@ -252,6 +252,19 @@ class EngineSession:
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        from fluss_datafusion_spark.sources import copy as copy_io
+
+        copy_parsed = copy_io.parse_copy(statement)
+        if copy_parsed is not None:
+            source, direction, path, opts = copy_parsed
+            if direction == "TO":
+                n = copy_io.copy_to(self, source, path, opts)
+            else:
+                if not self.catalog.has_table(source):
+                    raise ValueError(f"COPY FROM: unknown table {source}")
+                n = copy_io.copy_from(self, source, path, opts)
+            return self.spark.createDataFrame([(n,)], "rows bigint")
+
         analyze_parsed = ddl.parse_analyze(statement)
         if analyze_parsed is not None and self.catalog.has_table(analyze_parsed[0]):
             from fluss_datafusion_spark.catalog import stats as _stats

@@ -237,6 +237,40 @@ class EngineSession:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        hist_match = re.match(
+            r"^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if hist_match is not None:
+            target = ".".join(
+                p for p in [strip_quotes(hist_match.group(1))] if p
+            )
+            if self.catalog.has_table(target):
+                # Delta's DESCRIBE HISTORY: one row per committed
+                # statement, newest first, from the _commits.json
+                # wall-clock stamps; time_travelable marks versions at
+                # or above the compaction floor.
+                from datetime import datetime, timezone
+
+                spec = self.catalog.get_table(target)
+                commits = self.catalog._load_commits(spec)
+                floor = self.catalog._floor.get(spec.qualified_name, 0)
+                rows = [
+                    (
+                        int(seq),
+                        datetime.fromtimestamp(ts, tz=timezone.utc).replace(
+                            tzinfo=None
+                        ),
+                        int(seq) >= floor,
+                    )
+                    for seq, ts in sorted(commits.items(), reverse=True)
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "version bigint, commit_ts timestamp, time_travelable boolean",
+                )
+
         truncate_target = ddl.parse_truncate_table(statement)
         if truncate_target is not None and self.catalog.has_table(truncate_target):
             self.catalog.truncate_table(truncate_target)
@@ -338,9 +372,41 @@ class EngineSession:
         if insert_target is not None and self.catalog.has_table(insert_target):
             return self.catalog.insert_sql(insert_target, statement)
 
+        statement = self._rewrite_time_travel(statement)
         statement = self._bind_system_tables(statement)
         rewritten = rewriter.rewrite_sql(statement, self.catalog)
         return self.spark.sql(rewritten)
+
+    def _rewrite_time_travel(self, statement: str) -> str:
+        """Map the Delta/SQL:2011 inline time-travel spellings onto the
+        engine's system-table forms (which ``_bind_system_tables`` then
+        resolves):
+
+        - ``FROM t VERSION AS OF 3``             -> ``t$v3``
+        - ``FROM t TIMESTAMP AS OF '<ts>'``      -> ``t$at('<ts>')``
+        - ``FROM t FOR SYSTEM_TIME AS OF '<ts>'``-> ``t$at('<ts>')``
+
+        Only references to known engine tables rewrite; anything else
+        passes through untouched."""
+        import re
+
+        pattern = re.compile(
+            r"\b([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']*)'"
+            r"|TIMESTAMP\s+AS\s+OF\s+'([^']*)'"
+            r"|VERSION\s+AS\s+OF\s+(\d+))",
+            re.IGNORECASE,
+        )
+
+        def rewrite(match):
+            table = match.group(1)
+            if not self.catalog.has_table(table):
+                return match.group(0)
+            if match.group(4) is not None:
+                return f"{table}$v{match.group(4)}"
+            ts = match.group(2) if match.group(2) is not None else match.group(3)
+            return f"{table}$at('{ts}')"
+
+        return pattern.sub(rewrite, statement)
 
     def _bind_system_tables(self, statement: str) -> str:
         """Resolve ``<table>$<system>`` references — the system-table

@@ -92,3 +92,52 @@ def test_restore_to_timestamp(spark, tmp_path):
     assert _rows(e.sql("SELECT * FROM t")) == [(1, "a"), (2, "b")]
     # restore is a NEW statement: pre-restore state is still anchored
     assert (3, "c") in _rows(e.catalog.read("t", as_of_seq=2))
+
+
+def test_inline_version_as_of_sql(spark, tmp_path):
+    """Delta's `FROM t VERSION AS OF n` inline spelling rewrites onto
+    the t$v<n> system view (session._rewrite_time_travel)."""
+    e = _mk(spark, tmp_path, "wh_ts5")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    e.sql("INSERT INTO t VALUES (1, 'a2'), (2, 'b')")
+    assert _rows(e.sql("SELECT * FROM t VERSION AS OF 1")) == [(1, "a")]
+    assert _rows(e.sql("SELECT * FROM t VERSION AS OF 2")) == [(1, "a2"), (2, "b")]
+    # joins between two anchors of the same table
+    n = e.sql(
+        "SELECT count(*) AS n FROM t VERSION AS OF 1 a"
+        " JOIN t VERSION AS OF 2 b ON a.id = b.id"
+    ).collect()[0].n
+    assert n == 1
+
+
+def test_inline_timestamp_as_of_sql(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_ts6")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    time.sleep(0.05)
+    t1 = time.time()
+    time.sleep(0.05)
+    e.sql("INSERT INTO t VALUES (2, 'b')")
+    iso = datetime.datetime.fromtimestamp(
+        t1, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat()
+    assert _rows(e.sql(f"SELECT * FROM t TIMESTAMP AS OF '{iso}'")) == [(1, "a")]
+    assert _rows(e.sql(f"SELECT * FROM t FOR SYSTEM_TIME AS OF '{iso}'")) == [(1, "a")]
+    # unknown tables pass through untouched (no rewrite, normal error)
+    with pytest.raises(Exception):
+        e.sql("SELECT * FROM no_such_table VERSION AS OF 1").collect()
+
+
+def test_describe_history(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_ts7")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    e.sql("INSERT INTO t VALUES (2, 'b')")
+    e.sql("DELETE FROM t WHERE id = 1")
+    rows = e.sql("DESCRIBE HISTORY t").collect()
+    assert [r.version for r in rows] == [3, 2, 1]  # newest first
+    assert all(r.time_travelable for r in rows)
+    assert all(r.commit_ts is not None for r in rows)
+    # compaction raises the floor: old versions flagged untravelable
+    e.sql("COMPACT TABLE t")
+    rows = e.sql("DESCRIBE HISTORY t").collect()
+    flags = {r.version: r.time_travelable for r in rows}
+    assert flags[3] and not flags[1]

@@ -3476,3 +3476,99 @@ def ns_graph_components(spark, sf_dir):
         chain.unionByName(bridge), "src", "dst", nodes=cust, node_col="n"
     )
     return comps.select("node_id", F.col("component_id").cast("bigint").alias("component_id"))
+
+
+@query(
+    "ns_training_unigram_tokens", extended=True,
+    oracle=r"""
+    SELECT doc_id,
+           replace(array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\s+'), ''
+           ), ' ', '') AS detok,
+           true AS ref_match
+    FROM documents
+    """,
+)
+def ns_training_unigram_tokens(spark, sf_dir):
+    """Unigram-LM tokenizer end-to-end hash-checked (operators/
+    unigram.py — Kudo 2018 hard-EM variant, the second trained
+    tokenizer family next to BPE): train a 300-piece vocab on the
+    corpus, Viterbi-tokenize every document, then pin the output two
+    independent ways.  (1) ``detok``: concatenating each document's
+    tokens in position order must reconstruct its lower-cased
+    space-stripped text exactly — DuckDB recomputes that from
+    documents.text, so one wrong/lost/reordered piece hash-mismatches.
+    (2) ``ref_match``: a memoized top-down recursion (structurally
+    different from the forward-DP kernel) re-segments every word under
+    the same vocab and must agree piece-for-piece; the oracle asserts
+    the boolean.  The TRAINER itself is pinned vocab-by-vocab against
+    a pure-dict reference in tests/test_unigram.py."""
+    import math
+
+    import pandas as pd
+    from functools import lru_cache
+
+    from fluss_datafusion_spark.operators import unigram as U
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = U.learn_unigram(
+        docs, "text", vocab_size=300, max_piece_len=6, seed_size=800,
+        em_iters=2,
+    )
+    toked = U.apply_unigram(docs, "doc_id", "text", vocab, max_piece_len=6)
+    detok = (
+        toked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(
+                    F.collect_list(F.struct("pos", "token"))
+                ), lambda s: s["token"])
+            ).alias("detok")
+        )
+    )
+
+    logp = dict(vocab)
+    unk = min(logp.values()) - U._UNK_PENALTY
+
+    def _ref(batches):
+        import re as _re
+
+        def segment(word):
+            @lru_cache(maxsize=None)
+            def solve(i):
+                if i == 0:
+                    return (0.0, ())
+                cands = []
+                for j in range(max(0, i - 6), i):
+                    piece = word[j:i]
+                    lp = logp.get(piece)
+                    if lp is None:
+                        if len(piece) > 1:
+                            continue
+                        lp = unk
+                    prev = solve(j)
+                    cands.append((prev[0] + lp, -j, prev[1] + (piece,)))
+                cands.sort(key=lambda c: (c[0], c[1]), reverse=True)
+                return (cands[0][0], cands[0][2])
+
+            return list(solve(len(word))[1])
+
+        for pdf in batches:
+            ids, detoks = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                pieces = []
+                for w in _re.split(r"\s+", str(text).lower().strip()):
+                    if w:
+                        pieces.extend(segment(w))
+                ids.append(doc_id)
+                detoks.append("".join(pieces))
+            yield pd.DataFrame({"doc_id": ids, "ref_detok": detoks})
+
+    ref = docs.select("doc_id", "text").mapInPandas(
+        _ref, "doc_id long, ref_detok string"
+    )
+    return detok.join(ref, "doc_id").select(
+        "doc_id",
+        "detok",
+        (F.col("detok") == F.col("ref_detok")).alias("ref_match"),
+    )

@@ -11,6 +11,8 @@ and micro-batch execution, which the streaming tests assert separately.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -558,3 +560,74 @@ def st_cohort_retention(spark, sf_dir):
     return cohort_retention(
         t(spark, sf_dir, "events"), "user_id", "ts", granularity="week"
     )
+
+
+@query(
+    "st_lookup_enrich", extended=True,
+    oracle="""
+    WITH dim1 AS (
+        SELECT c_custkey AS user_id, c_mktsegment AS seg FROM customer
+    ),
+    dim2 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 7 = 0 THEN 'MOVED' ELSE seg END AS seg
+        FROM dim1
+    ),
+    e AS (SELECT event_id, user_id FROM events)
+    SELECT e.event_id, e.user_id, d.seg
+    FROM e LEFT JOIN dim1 d USING (user_id) WHERE e.event_id % 2 = 0
+    UNION ALL
+    SELECT e.event_id, e.user_id, d.seg
+    FROM e LEFT JOIN dim2 d USING (user_id) WHERE e.event_id % 2 = 1
+    """,
+)
+def st_lookup_enrich(spark, sf_dir):
+    """Processing-time temporal LOOKUP JOIN (streaming/events.py
+    lookup_enrich_sink — the Flink `FOR SYSTEM_TIME AS OF proc_time`
+    join that is Fluss PK tables' flagship streaming use; the reference
+    only has the batch point-lookup side, src/provider.rs:257-321):
+    two REAL micro-batch runs over a file stream, with a dimension
+    UPDATE committed between them — batch 1's rows must carry the old
+    segment, batch 2's the new one, proving each batch joins the
+    dimension snapshot current at ITS processing time.  DuckDB
+    re-derives both phases."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import lookup_enrich_sink
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_lookup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE lk_dim (user_id BIGINT NOT NULL, seg STRING,"
+        " PRIMARY KEY (user_id))"
+    )
+    t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("seg")
+    ).createOrReplaceTempView("lk_dim_seed")
+    e.sql("INSERT INTO lk_dim SELECT * FROM lk_dim_seed")
+    e.sql(
+        "CREATE TABLE lk_out (event_id BIGINT NOT NULL, user_id BIGINT,"
+        " seg STRING, PRIMARY KEY (event_id))"
+    )
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+
+    def run_phase(parity):
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("event_id bigint, user_id bigint").parquet(src)
+        q = lookup_enrich_sink(stream, e.catalog, "lk_dim", "user_id", "lk_out", ckpt)
+        q.awaitTermination(180)
+
+    run_phase(0)
+    e.sql("UPDATE lk_dim SET seg = 'MOVED' WHERE user_id % 7 = 0")
+    run_phase(1)
+    return e.sql("SELECT event_id, user_id, seg FROM lk_out")

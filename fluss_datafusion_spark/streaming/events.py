@@ -935,3 +935,53 @@ def streaming_heavy_hitters(
         update, output_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def lookup_enrich_sink(
+    stream_df: DataFrame,
+    catalog,
+    dim_table: str,
+    on,
+    sink_table: str,
+    checkpoint: str,
+    how: str = "left",
+    broadcast: bool = True,
+    metrics: Optional[list] = None,
+):
+    """Processing-time temporal LOOKUP JOIN against a live PK table —
+    the Flink ``FOR SYSTEM_TIME AS OF proc_time`` lookup join that is
+    Fluss's flagship use of PK tables (the reference only exposes the
+    batch point-lookup side, src/provider.rs:257-321; this is the
+    streaming counterpart).
+
+    Unlike :func:`enrich_stream` (whose static side binds its file
+    listing once at plan time), each micro-batch here RE-DERIVES the
+    dimension snapshot through ``catalog.read`` — upserts committed
+    between batches are visible to the next batch, which is exactly the
+    lookup-join contract: every stream row joins the dimension state
+    current at processing time.  Enriched rows append to ``sink_table``
+    through the normal insert path.
+
+    ``broadcast=True`` (default) hints the dim side small — the lookup
+    shape implies a dimension that fits; pass False for big dims and
+    the join shuffles on the key instead.  State: none (no watermark,
+    no join buffer) — the dim read is the only per-batch cost."""
+
+    sink_cols = [c.name for c in catalog.get_table(sink_table).columns]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        dim = catalog.read(dim_table)
+        dim_side = F.broadcast(dim) if broadcast else dim
+        enriched = batch_df.join(dim_side, on, how)
+        # the join puts key columns first — re-align BY NAME to the
+        # sink's declared schema (insert aligns positionally)
+        n = catalog.insert(sink_table, enriched.select(*sink_cols))
+        if metrics is not None:
+            metrics.append({"batch_id": batch_id, "rows": n})
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1180,3 +1180,55 @@ def test_streaming_heavy_hitters_superset_guarantee(spark, replay_dir):
     # lower-bound property: stored count never exceeds the exact count
     for (b, item), lb in final.items():
         assert lb <= exact[item]
+
+
+def test_lookup_enrich_sink_sees_latest_dim_snapshot(spark, tmp_path):
+    """Processing-time temporal lookup join (Flink lookup-join
+    semantics): each micro-batch joins the PK dimension's CURRENT
+    state, so an upsert between batches changes the enrichment of later
+    batches only."""
+    import pyspark.sql.functions as F
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.streaming.events import lookup_enrich_sink
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_lookup"))
+    e.sql("CREATE TABLE dim (user_id BIGINT NOT NULL, tier STRING, PRIMARY KEY (user_id))")
+    e.sql("INSERT INTO dim VALUES (1, 'bronze'), (2, 'bronze')")
+    e.sql(
+        "CREATE TABLE enriched (event_id BIGINT NOT NULL, user_id BIGINT,"
+        " tier STRING, PRIMARY KEY (event_id))"
+    )
+    src = str(tmp_path / "lookup_src")
+    ckpt = str(tmp_path / "lookup_ckpt")
+    schema = "event_id bigint, user_id bigint"
+
+    def run_available(metrics):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = lookup_enrich_sink(
+            stream.select("event_id", "user_id"), e.catalog, "dim",
+            "user_id", "enriched", ckpt, metrics=metrics,
+        )
+        q.awaitTermination(120)
+
+    metrics = []
+    spark.createDataFrame([(10, 1), (11, 2)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available(metrics)
+    # dim changes between batches: tier upgrade + a new user
+    e.sql("INSERT INTO dim VALUES (1, 'gold'), (3, 'silver')")
+    spark.createDataFrame([(20, 1), (21, 3)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_available(metrics)
+
+    got = {
+        (r.event_id, r.tier)
+        for r in e.sql("SELECT event_id, tier FROM enriched").collect()
+    }
+    # batch 1 saw bronze for user 1 and no user 3; batch 2 saw the upgrade
+    assert got == {(10, "bronze"), (11, "bronze"), (20, "gold"), (21, "silver")}
+    assert sum(m["rows"] for m in metrics) == 4
+    for t in ("dim", "enriched"):
+        e.sql(f"DROP TABLE {t}")

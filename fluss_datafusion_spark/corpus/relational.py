@@ -2223,3 +2223,34 @@ def q64_copy_roundtrip(spark, sf_dir):
     )
     e.sql(f"COPY copy_t FROM '{out}' (FORMAT CSV, HEADER true)")
     return e.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM copy_t")
+
+
+@query(
+    "q65_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    extended=True,
+)
+def q65_group_by_all(spark, sf_dir):
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-popularized shorthand,
+    native in Spark 4 and DuckDB alike): every non-aggregate select
+    item becomes a grouping key, every output column an order key —
+    identical Catalyst plan to the explicit spelling (one partial+final
+    agg), so the sugar costs nothing at scale."""
+    v(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

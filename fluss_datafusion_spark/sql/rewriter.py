@@ -42,6 +42,10 @@ _DESCRIBE_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_DATABASES_RE = re.compile(r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$", re.IGNORECASE)
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+(?:FOR\s+)?(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
 # Cheap pre-filter: the literal-aware QUALIFY rewrite only runs when the
 # raw text contains the token at all (false positives are fine — the
 # rewrite itself masks literals and is a no-op without a real clause).
@@ -171,6 +175,18 @@ def _rewrite_command(sql: str, catalog) -> Optional[str]:
         return (
             "SELECT schema_name AS database_name FROM information_schema.schemata "
             "ORDER BY database_name"
+        )
+
+    match = _SHOW_STATS_RE.match(sql)
+    if match:
+        db, table = _split_name(match.group("name"), catalog)
+        return (
+            "SELECT column_name, row_count, null_count, ndv, min_value, "
+            "max_value, avg_len, max_len, stale "
+            "FROM information_schema.column_stats "
+            f"WHERE table_schema = '{escape_sql_string(db)}' "
+            f"AND table_name = '{escape_sql_string(table)}' "
+            "ORDER BY column_name"
         )
 
     return None

@@ -113,3 +113,11 @@ def test_truncate_discards_stats(adb):
     assert S.load_stats(adb.catalog, adb.catalog.get_table("adb.t4")) is not None
     adb.sql("TRUNCATE TABLE adb.t4")
     assert S.load_stats(adb.catalog, adb.catalog.get_table("adb.t4")) is None
+
+
+def test_show_stats_command(adb):
+    adb.sql("CREATE TABLE adb.s1 (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    adb.sql("INSERT INTO adb.s1 VALUES (1),(2),(3)")
+    adb.sql("ANALYZE TABLE adb.s1 COMPUTE STATISTICS FOR ALL COLUMNS")
+    rows = adb.sql("SHOW STATS FOR adb.s1").collect()
+    assert [(r.column_name, r.row_count, r.ndv) for r in rows] == [("id", 3, 3)]

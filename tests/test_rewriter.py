@@ -162,3 +162,12 @@ def test_extract_table_name():
         == "`my-db`.`my-table`"
     )
     assert extract_table_name_from_show("DESCRIBE TABLE my_table") == "my_table"
+
+
+def test_show_stats_rewrite():
+    from fluss_datafusion_spark.sql.rewriter import rewrite_sql
+
+    out = rewrite_sql("SHOW STATS FOR db1.t1")
+    assert "information_schema_column_stats" in out
+    assert "table_schema = 'db1'" in out and "table_name = 't1'" in out
+    assert rewrite_sql("SHOW STATS t1") == rewrite_sql("SHOW STATS FOR t1")

@@ -3572,3 +3572,30 @@ def ns_training_unigram_tokens(spark, sf_dir):
         "detok",
         (F.col("detok") == F.col("ref_detok")).alias("ref_match"),
     )
+
+
+@query(
+    "ns_curation_pseudonymize", extended=True,
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN source IS NULL THEN NULL
+                ELSE concat('src_', substr(md5('s4lt|source|' || source), 1, 16))
+           END AS source,
+           lang,
+           n_chars
+    FROM documents
+    """,
+)
+def ns_curation_pseudonymize(spark, sf_dir):
+    """Deterministic pseudonymization (operators/curation.pseudonymize):
+    the documents' source column replaced by a salted, column-scoped
+    md5 token — stable for joins/groupBys, irreversible without the
+    salt, NULL-preserving.  Pure JVM md5/concat expressions (zero
+    shuffles, zero UDFs); DuckDB replays every token bit-for-bit."""
+    from fluss_datafusion_spark.operators.curation import pseudonymize
+
+    docs = t(spark, sf_dir, "documents")
+    return pseudonymize(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        ["source"], salt="s4lt", prefix_map={"source": "src"},
+    )

@@ -13,7 +13,7 @@ JVM regexp instead of Python UDFs.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1132,3 +1132,47 @@ def dedup_lines(
             F.col("n_dropped").cast("int").alias("n_dropped"),
         )
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    salt: str,
+    prefix_map: Optional[Dict[str, str]] = None,
+    keep_null: bool = True,
+) -> DataFrame:
+    """Deterministic column pseudonymization (the GDPR/CCPA-grade
+    de-identification step training pipelines run before sharing): each
+    listed column's value is replaced by ``<prefix>_<md5(salt|col|value)
+    [:16]>`` — stable (the same value always maps to the same token, so
+    joins/groupBys on the column still work), irreversible without the
+    salt, and column-scoped (the same email in two different columns
+    yields two different tokens, preventing cross-column linkage).
+
+    ``prefix_map`` overrides the default prefix (the column name) —
+    e.g. {"email": "user"}.  NULLs stay NULL (``keep_null=False`` maps
+    them to a token too, hiding WHICH rows had values).
+
+    Pure JVM expressions (md5/concat) — zero shuffles, zero UDFs;
+    replayable bit-for-bit by any engine with md5, so de-identified
+    exports remain oracle-checkable."""
+    out = df
+    for col in cols:
+        prefix = (prefix_map or {}).get(col, col)
+        token = F.concat(
+            F.lit(f"{prefix}_"),
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit(salt), F.lit(col), F.col(col).cast("string"))
+                ),
+                1,
+                16,
+            ),
+        )
+        if keep_null:
+            out = out.withColumn(
+                col, F.when(F.col(col).isNull(), F.lit(None)).otherwise(token)
+            )
+        else:
+            out = out.withColumn(col, token)
+    return out

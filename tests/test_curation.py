@@ -641,3 +641,28 @@ def test_dedup_lines_ccnet(spark):
         for r in dedup_lines(docs, "doc_id", "text", min_docs=4).collect()
     }
     assert all(v == 0 for v in got4.values())
+
+
+def test_pseudonymize_stable_scoped_and_null_preserving(spark):
+    from fluss_datafusion_spark.operators.curation import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "a@x.com", "a@x.com"), (2, "b@y.com", None), (3, "a@x.com", "c@z.com")],
+        "id bigint, email string, alt string",
+    )
+    out = pseudonymize(df, ["email", "alt"], salt="s").collect()
+    by_id = {r.id: r for r in out}
+    # stable: same value -> same token
+    assert by_id[1].email == by_id[3].email
+    # column-scoped: same value in a different column -> different token
+    assert by_id[1].email != by_id[1].alt
+    # null preserved; prefix defaults to the column name
+    assert by_id[2].alt is None
+    assert by_id[1].email.startswith("email_") and len(by_id[1].email) == 6 + 16
+    # different salt -> different tokens
+    out2 = {r.id: r for r in pseudonymize(df, ["email"], salt="t").collect()}
+    assert out2[1].email != by_id[1].email
+    # joins on the pseudonymized column still work
+    a = pseudonymize(df.select("id", "email"), ["email"], "s")
+    b = pseudonymize(df.select(F.col("email").alias("email")), ["email"], "s")
+    assert a.join(b, "email").count() == 5  # 2 matches x 2 + 1

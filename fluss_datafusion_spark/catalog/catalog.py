@@ -1318,18 +1318,33 @@ class FlussCatalog:
 
         match = re.match(
             r"^\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+"
-            r"(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+\s*(\([^)]*\))?\s*",
+            r"(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+\s*"
+            r"(?:(BY\s+NAME)\s+|(\([^)]*\))\s*)?",
             statement,
             re.IGNORECASE,
         )
         if not match:
             raise ValueError(f"cannot parse INSERT statement: {statement!r}")
         overwrite = match.group(1).upper() != "INTO"
-        column_list = match.group(2)
+        by_name = match.group(2) is not None
+        column_list = match.group(3)
         body = statement[match.end():]
         input_df = self.spark.sql(body)
 
         spec = self.get_table(target)
+        if by_name:
+            # INSERT ... BY NAME (the DuckDB spelling): the input's OWN
+            # column names are the column list — order-independent,
+            # unmentioned nullable columns fill NULL, unknown names
+            # reject (a typo must not silently land in the wrong column).
+            known = {c.name for c in spec.columns}
+            unknown = [c for c in input_df.columns if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"INSERT BY NAME into {spec.qualified_name}: unknown "
+                    f"columns {unknown}"
+                )
+            column_list = "(" + ", ".join(input_df.columns) + ")"
         if column_list:
             from fluss_datafusion_spark.sql.dialect import strip_quotes
 

@@ -368,3 +368,25 @@ def test_insert_overwrite_replaces_and_self_references(fresh_engine):
     # history restarted: the changelog shows only the overwrite's inserts
     ops = {r["op"] for r in e.sql("SELECT op FROM ow$changelog").collect()}
     assert ops == {"+I"}
+
+
+def test_insert_by_name(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS bndb")
+    engine.sql(
+        "CREATE TABLE bndb.bn (id BIGINT NOT NULL, a STRING, b DOUBLE,"
+        " PRIMARY KEY (id))"
+    )
+    # reordered + partial column set: aligns by name, b fills NULL
+    engine.sql("INSERT INTO bndb.bn BY NAME SELECT 'x' AS a, 1 AS id")
+    engine.sql("INSERT INTO bndb.bn BY NAME SELECT 2.5 AS b, 2 AS id, 'y' AS a")
+    got = {(r.id, r.a, r.b) for r in engine.sql("SELECT * FROM bndb.bn").collect()}
+    assert got == {(1, "x", None), (2, "y", 2.5)}
+    # unknown column rejects instead of landing positionally
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown"):
+        engine.sql("INSERT INTO bndb.bn BY NAME SELECT 3 AS id, 'z' AS nope")
+    # omitting the PK still rejects
+    with _pytest.raises(Exception, match="primary-key"):
+        engine.sql("INSERT INTO bndb.bn BY NAME SELECT 'w' AS a")
+    engine.sql("DROP TABLE bndb.bn")

@@ -631,3 +631,75 @@ def st_lookup_enrich(spark, sf_dir):
     e.sql("UPDATE lk_dim SET seg = 'MOVED' WHERE user_id % 7 = 0")
     run_phase(1)
     return e.sql("SELECT event_id, user_id, seg FROM lk_out")
+
+
+@query(
+    "st_temporal_join", extended=True,
+    oracle="""
+    WITH f AS (
+        SELECT l_orderkey * 10 + l_linenumber AS fact_id,
+               l_orderkey AS k,
+               1 + (l_linenumber % 4) AS at_seq
+        FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT f.fact_id, f.k, f.at_seq,
+           CASE WHEN f.at_seq >= 4 AND f.k % 10 = 0 THEN 'R'
+                WHEN f.at_seq >= 3 AND f.k % 5 = 0 THEN NULL
+                WHEN f.at_seq >= 2 AND f.k % 3 = 0 THEN 'X'
+                ELSE o.o_orderstatus END AS attr
+    FROM f JOIN orders o ON o.o_orderkey = f.k
+    """,
+)
+def st_temporal_join(spark, sf_dir):
+    """Event-time temporal table join (operators/temporal.py — Flink's
+    FOR SYSTEM_TIME AS OF versioned-table join; the reference has only
+    the current-snapshot read, src/provider.rs:336-353): a dimension PK
+    table goes through four committed statements (seed from orders,
+    re-attribute every 3rd key, delete every 5th, re-insert every
+    10th), and each lineitem-derived fact joins the version current AT
+    ITS OWN anchor (seq-anchored — exactly reproducible, so DuckDB can
+    re-derive which version every fact saw with a CASE over the DML
+    history).  Facts on a deleted interval get NULL; the join is one
+    as-of sort-merge pass over the log-derived history."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.temporal import (
+        table_history,
+        temporal_join,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_temporal_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE tdim (k BIGINT NOT NULL, attr STRING, PRIMARY KEY (k))"
+    )
+    v(spark, sf_dir, "orders", "lineitem")
+    spark.sql(
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 1000"
+    ).createOrReplaceTempView("tdim_seed")
+    e.sql("INSERT INTO tdim SELECT * FROM tdim_seed")           # seq 1
+    e.sql("UPDATE tdim SET attr = 'X' WHERE k % 3 = 0")         # seq 2
+    e.sql("DELETE FROM tdim WHERE k % 5 = 0")                   # seq 3
+    spark.sql(
+        "SELECT o_orderkey, 'R' FROM orders"
+        " WHERE o_orderkey <= 1000 AND o_orderkey % 10 = 0"
+    ).createOrReplaceTempView("tdim_readd")
+    e.sql("INSERT INTO tdim SELECT * FROM tdim_readd")          # seq 4
+    facts = spark.sql(
+        """
+        SELECT l_orderkey * 10 + l_linenumber AS fact_id,
+               l_orderkey AS k,
+               1 + (l_linenumber % 4) AS at_seq
+        FROM lineitem WHERE l_orderkey <= 1000
+        """
+    )
+    hist = table_history(e.catalog, "tdim")
+    return temporal_join(
+        facts, None, hist, ["k"], use_seq=True, fact_seq_col="at_seq"
+    ).select("fact_id", "k", "at_seq", "attr")

@@ -1179,7 +1179,39 @@ class FlussCatalog:
         )
         if seq is not None:
             self._record_commit(spec, seq)
+            # Auto-compaction may replace these files on disk; capture
+            # the write's row count from their footers first so callers'
+            # _footer_row_count still answers for the statement.
+            counted = _CountedFiles(new_files)
+            counted.precomputed_rows = _footer_row_count(list(new_files))
+            self._maybe_auto_compact(spec, seq)
+            return counted
         return new_files
+
+    def _maybe_auto_compact(self, spec: TableSpec, seq: int) -> None:
+        """Policy-driven compaction: with table property
+        ``compaction.auto-after = N``, a PK table compacts itself once N
+        statements have accumulated above the compaction floor — the
+        LSM auto-compaction that bounds merge-on-read read-amplification
+        without an operator running COMPACT by hand.  Time-travel
+        anchors below the new floor are discarded exactly as a manual
+        COMPACT would (documented lakehouse retention trade-off: set N
+        to the history depth the workload needs)."""
+        raw = (spec.properties or {}).get("compaction.auto-after")
+        if not raw:
+            return
+        try:
+            every = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"compaction.auto-after on {spec.qualified_name} must be an "
+                f"integer statement count, got {raw!r}"
+            )
+        if every < 1:
+            return
+        floor = self._floor.get(spec.qualified_name, 0)
+        if seq - floor >= every:
+            self.compact(spec.qualified_name)
 
     def delete(self, name: str, key_value) -> int:
         """Point DELETE by full primary key (scalar for single-column
@@ -1920,8 +1952,17 @@ def _parquet_files(path: str) -> set:
     return files
 
 
+class _CountedFiles(list):
+    """File list carrying its footer row count, captured BEFORE a
+    policy-driven auto-compaction replaces the files on disk."""
+
+    precomputed_rows: int = 0
+
+
 def _footer_row_count(files) -> int:
     """Row count from parquet footer metadata — no Spark job, no data read."""
+    if isinstance(files, _CountedFiles):
+        return files.precomputed_rows
     import pyarrow.parquet as pq
 
     return sum(pq.read_metadata(f).num_rows for f in files)

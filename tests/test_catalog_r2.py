@@ -297,3 +297,50 @@ def test_swap_dirs_not_attached_as_tables(spark, tmp_path):
     e2.catalog.optimize("sw")
     assert not os.path.exists(path + ".old")
     assert e2.sql("SELECT count(*) AS n FROM sw").collect()[0]["n"] == 1
+
+
+def test_auto_compaction_policy(spark, tmp_path):
+    """compaction.auto-after = N: the table compacts itself once N
+    statements pile above the floor; reads stay identical, history
+    below the new floor is gone (the documented retention trade-off)."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_autocompact"))
+    e.sql(
+        "CREATE TABLE ac (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " WITH ('compaction.auto-after' = '3')"
+    )
+    e.sql("INSERT INTO ac VALUES (1, 'a')")
+    e.sql("INSERT INTO ac VALUES (1, 'b'), (2, 'x')")
+    assert e.catalog._floor.get("fluss.ac", 0) == 0
+    e.sql("INSERT INTO ac VALUES (1, 'c')")  # 3rd statement -> compact
+    assert e.catalog._floor.get("fluss.ac", 0) == 3
+    got = {(r.id, r.v) for r in e.sql("SELECT * FROM ac").collect()}
+    assert got == {(1, "c"), (2, "x")}
+    # history below the floor is discarded
+    with _pytest.raises(ValueError, match="compaction"):
+        e.catalog.read("ac", as_of_seq=1)
+    # the counter keeps rising; next compaction at floor+3
+    e.sql("INSERT INTO ac VALUES (3, 'z')")
+    assert e.catalog._floor.get("fluss.ac", 0) == 3
+    assert (3, "z") in {(r.id, r.v) for r in e.sql("SELECT * FROM ac").collect()}
+    e.sql("INSERT INTO ac VALUES (4, 'w')")
+    e.sql("INSERT INTO ac VALUES (5, 'q')")  # seq 6 = floor 3 + 3 -> compact
+    assert e.catalog._floor.get("fluss.ac", 0) == 6
+
+
+def test_auto_compaction_bad_property_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_autocompact2"))
+    e.sql(
+        "CREATE TABLE acb (id BIGINT NOT NULL, PRIMARY KEY (id))"
+        " WITH ('compaction.auto-after' = 'soon')"
+    )
+    with _pytest.raises(ValueError, match="integer statement count"):
+        e.sql("INSERT INTO acb VALUES (1)")

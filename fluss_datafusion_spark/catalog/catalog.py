@@ -69,6 +69,9 @@ class FlussCatalog:
         # time-travel floor per table: anchors below this were discarded
         # by compaction and cannot be served
         self._floor: Dict[str, int] = {}
+        # non-None inside a defer_auto_compact() guard: policy
+        # compactions queue here instead of running mid-statement
+        self._compaction_deferred: Optional[set] = None
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -1188,6 +1191,42 @@ class FlussCatalog:
             return counted
         return new_files
 
+    def defer_auto_compact(self):
+        """Context manager suspending policy compaction until exit.
+
+        Multi-append operations (MERGE INTO and RESTORE write live rows
+        then tombstones; a matview refresh issues several writes whose
+        delta plans read earlier state) MUST NOT compact between their
+        appends: the later appends' input plans hold file listings the
+        dir-swap would invalidate.  They wrap themselves in this guard;
+        deferred tables compact once, at exit, when no in-flight plan
+        references the old files."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _guard():
+            outer = self._compaction_deferred
+            if outer is None:
+                self._compaction_deferred = set()
+            try:
+                yield
+            finally:
+                if outer is None:
+                    pending, self._compaction_deferred = (
+                        self._compaction_deferred,
+                        None,
+                    )
+                    for qname in sorted(pending):
+                        spec = self.databases[qname.split(".")[0]].get(
+                            qname.split(".")[1]
+                        )
+                        if spec is not None:
+                            self._maybe_auto_compact(
+                                spec, self._seq.get(qname, 0)
+                            )
+
+        return _guard()
+
     def _maybe_auto_compact(self, spec: TableSpec, seq: int) -> None:
         """Policy-driven compaction: with table property
         ``compaction.auto-after = N``, a PK table compacts itself once N
@@ -1196,7 +1235,9 @@ class FlussCatalog:
         without an operator running COMPACT by hand.  Time-travel
         anchors below the new floor are discarded exactly as a manual
         COMPACT would (documented lakehouse retention trade-off: set N
-        to the history depth the workload needs)."""
+        to the history depth the workload needs).  Inside a
+        ``defer_auto_compact`` guard the compaction is queued for the
+        guard's exit instead (multi-append statement safety)."""
         raw = (spec.properties or {}).get("compaction.auto-after")
         if not raw:
             return
@@ -1211,6 +1252,9 @@ class FlussCatalog:
             return
         floor = self._floor.get(spec.qualified_name, 0)
         if seq - floor >= every:
+            if self._compaction_deferred is not None:
+                self._compaction_deferred.add(spec.qualified_name)
+                return
             self.compact(spec.qualified_name)
 
     def delete(self, name: str, key_value) -> int:
@@ -1298,10 +1342,13 @@ class FlussCatalog:
         )
         old = old.localCheckpoint(eager=True)
         to_delete = to_delete.localCheckpoint(eager=True)
-        restored = _footer_row_count(self._append_log(spec, old, deleted=False))
-        deleted = _footer_row_count(
-            self._append_log(spec, to_delete, deleted=True)
-        )
+        with self.defer_auto_compact():
+            restored = _footer_row_count(
+                self._append_log(spec, old, deleted=False)
+            )
+            deleted = _footer_row_count(
+                self._append_log(spec, to_delete, deleted=True)
+            )
         return {"restored": restored, "deleted": deleted}
 
     def delete_where(self, name: str, predicate: str) -> int:
@@ -1717,12 +1764,15 @@ class FlussCatalog:
         if live is not None and tombstones is not None:
             live = live.localCheckpoint(eager=True)
             tombstones = tombstones.localCheckpoint(eager=True)
-        if live is not None:
-            upserted = _footer_row_count(self._append_log(spec, live, deleted=False))
-        if tombstones is not None:
-            deleted = _footer_row_count(
-                self._append_log(spec, tombstones, deleted=True)
-            )
+        with self.defer_auto_compact():
+            if live is not None:
+                upserted = _footer_row_count(
+                    self._append_log(spec, live, deleted=False)
+                )
+            if tombstones is not None:
+                deleted = _footer_row_count(
+                    self._append_log(spec, tombstones, deleted=True)
+                )
         return {"upserted": upserted, "deleted": deleted}
 
     def _current_seq(self, spec: TableSpec) -> int:

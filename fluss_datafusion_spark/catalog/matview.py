@@ -496,6 +496,11 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
     """CREATE MATERIALIZED VIEW: parse, validate against the source(s),
     create the backing PK table, run the initial full build, checkpoint
     the source seq(s).  Returns the number of groups materialized."""
+    with catalog.defer_auto_compact():
+        return _create_matview_impl(catalog, name, select_sql)
+
+
+def _create_matview_impl(catalog, name: str, select_sql: str) -> int:
     mv = parse_matview_select(select_sql)
     by_alias = {mv["alias"]: mv["source"]}
     if mv["source2"]:
@@ -588,7 +593,16 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
 def refresh_matview(catalog, name: str) -> Dict[str, int]:
     """REFRESH MATERIALIZED VIEW: apply the source(s)' bounded change
     stream since the last checkpoint.  Returns
-    {"upserted": n, "deleted": n, "full_rebuild": 0|1}."""
+    {"upserted": n, "deleted": n, "full_rebuild": 0|1}.
+
+    Runs under ``defer_auto_compact``: a refresh issues several writes
+    whose delta plans read earlier state — policy compaction of the
+    view's backing table must wait for the statement boundary."""
+    with catalog.defer_auto_compact():
+        return _refresh_matview_impl(catalog, name)
+
+
+def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     mv = _load_mv(catalog, name)
     spec = catalog.get_table(name)
     anchors = _anchors_now(catalog, mv)

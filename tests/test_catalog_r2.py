@@ -344,3 +344,32 @@ def test_auto_compaction_bad_property_raises(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="integer statement count"):
         e.sql("INSERT INTO acb VALUES (1)")
+
+
+def test_auto_compaction_defers_inside_multi_append_statements(spark, tmp_path):
+    """A MERGE that crosses the auto-compact threshold must not compact
+    BETWEEN its live and tombstone appends (the second append's plan
+    may hold pre-compact file listings); the compaction runs at the
+    statement boundary instead."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_defer"))
+    e.sql(
+        "CREATE TABLE d (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " WITH ('compaction.auto-after' = '2')"
+    )
+    e.sql("INSERT INTO d VALUES (1, 'a'), (2, 'b'), (3, 'c')")  # seq 1
+    # seq 2+3 come from ONE MERGE (update + delete) -> threshold crossed
+    # mid-statement; guard must defer to the end
+    res = e.sql(
+        "MERGE INTO d USING (SELECT 1 AS id, 'a2' AS v UNION ALL"
+        " SELECT 3, NULL) s ON d.id = s.id"
+        " WHEN MATCHED AND s.v IS NULL THEN DELETE"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+    ).collect()[0]
+    assert (res.upserted, res.deleted) == (1, 1)
+    got = {(r.id, r.v) for r in e.sql("SELECT * FROM d").collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    # the deferred compaction DID run at the boundary
+    assert e.catalog._floor.get("fluss.d", 0) >= 2
+    assert e.catalog._compaction_deferred is None

@@ -966,3 +966,29 @@ def parse_analyze(sql: str):
         cols = [strip_quotes(c.strip()) for c in match.group("cols").split(",")]
         return (target, cols)
     return (target, None)
+
+
+# -- CREATE TABLE LIKE -------------------------------------------------------
+
+_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s+LIKE\s+"
+    r"(?P<src>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_like(sql: str):
+    """Parse ``CREATE TABLE [IF NOT EXISTS] t LIKE s`` into
+    (new_table, source_table, if_not_exists) — copy the full definition
+    (columns, PK, layout, properties, constraints), no data.  Returns
+    None for anything else."""
+    s = sql.strip().rstrip(";")
+    match = _LIKE_RE.match(s)
+    if not match:
+        return None
+    return (
+        ".".join(parse_qualified_name(match.group("name"))),
+        ".".join(parse_qualified_name(match.group("src"))),
+        bool(re.match(r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b", s, re.IGNORECASE)),
+    )

@@ -127,6 +127,22 @@ class EngineSession:
             n_files = self.catalog.clone_table(source, new_name, deep=deep)
             return self.spark.createDataFrame([(n_files,)], "n_files bigint")
 
+        like_parsed = ddl.parse_create_like(statement)
+        if like_parsed is not None and self.catalog.has_table(like_parsed[1]):
+            new_name, source, if_not_exists = like_parsed
+            if if_not_exists and self.catalog.has_table(new_name):
+                return self.spark.createDataFrame([(0,)], "count bigint").limit(0)
+            from fluss_datafusion_spark.catalog.metadata import TableSpec
+
+            src = self.catalog.get_table(source)
+            spec = TableSpec.from_dict(src.to_dict())
+            parts = new_name.split(".")
+            if len(parts) == 1:
+                parts = [self.catalog.default_database] + parts
+            spec.database, spec.name = parts
+            self.catalog.create_table(spec, if_not_exists=False)
+            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
         mv_parsed = ddl.parse_create_matview(statement)
         if mv_parsed is not None:
             from fluss_datafusion_spark.catalog import matview

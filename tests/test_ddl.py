@@ -214,3 +214,33 @@ def test_truncate_and_rename_lifecycle(spark, tmp_path):
     # PK upsert still works under the new name (spec + storage moved)
     e.sql("INSERT INTO audit VALUES (3, 'z2')")
     assert e.sql("SELECT v FROM audit WHERE id = 3").collect()[0]["v"] == "z2"
+
+
+def test_create_table_like(engine):
+    engine.sql("CREATE DATABASE IF NOT EXISTS likedb")
+    engine.sql(
+        "CREATE TABLE likedb.src (id BIGINT NOT NULL, g STRING, v DOUBLE,"
+        " CONSTRAINT pos CHECK (v >= 0), PRIMARY KEY (id))"
+        " PARTITIONED BY (g) WITH ('compaction.auto-after' = '100')"
+    )
+    engine.sql("INSERT INTO likedb.src VALUES (1, 'a', 2.0)")
+    engine.sql("CREATE TABLE likedb.dst LIKE likedb.src")
+    src = engine.catalog.get_table("likedb.src")
+    dst = engine.catalog.get_table("likedb.dst")
+    # full definition copied: columns, PK, layout, properties, constraints
+    assert [c.name for c in dst.columns] == [c.name for c in src.columns]
+    assert dst.primary_key == src.primary_key
+    assert dst.partition_keys == src.partition_keys
+    assert dst.properties.get("compaction.auto-after") == "100"
+    assert dst.check_constraints == src.check_constraints
+    # ...but no data
+    assert engine.sql("SELECT count(*) AS n FROM likedb.dst").collect()[0].n == 0
+    # constraints are live on the new table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="pos"):
+        engine.sql("INSERT INTO likedb.dst VALUES (1, 'a', -5.0)")
+    # IF NOT EXISTS is a no-op on an existing table
+    engine.sql("CREATE TABLE IF NOT EXISTS likedb.dst LIKE likedb.src")
+    for t in ("src", "dst"):
+        engine.sql(f"DROP TABLE likedb.{t}")

@@ -985,3 +985,72 @@ def lookup_enrich_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_zscore_anomalies(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n: int = 20,
+    threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Online trailing-window z-score anomaly detection — the streaming
+    counterpart of ``operators/timeseries.zscore_anomalies`` with
+    identical semantics: each event is scored against the mean/std of
+    its key's PREVIOUS ``n`` events (the current event never dilutes
+    its own baseline; null zscore until ``min_history`` prior events or
+    on a zero-variance baseline).
+
+    State per key is exactly the ``n``-value trailing buffer (bounded
+    regardless of stream length) carried across micro-batches by
+    ``applyInPandasWithState``.  Events are processed in (ts, id)
+    order within each batch — with time-ordered micro-batches the
+    emission equals the batch operator row-for-row, which
+    tests/test_streaming.py asserts on a real replay."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        f"{key_col} string, {id_col} bigint, {value_col} double, "
+        "zscore double, is_anomaly boolean"
+    )
+    state_schema = "buf array<double>"
+
+    def update(key, pdf_iter, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        ids, vals, zs, flags = [], [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for ev_id, x in zip(pdf[id_col], pdf[value_col]):
+                z = None
+                if len(buf) >= min_history:
+                    m = sum(buf) / len(buf)
+                    var = sum((b - m) ** 2 for b in buf) / (len(buf) - 1)
+                    if var > 0.0:
+                        z = (float(x) - m) / math.sqrt(var)
+                ids.append(int(ev_id))
+                vals.append(float(x))
+                zs.append(z)
+                flags.append(bool(z is not None and abs(z) > threshold))
+                buf.append(float(x))
+                if len(buf) > n:
+                    buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(ids),
+                id_col: ids,
+                value_col: vals,
+                "zscore": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

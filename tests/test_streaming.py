@@ -1232,3 +1232,40 @@ def test_lookup_enrich_sink_sees_latest_dim_snapshot(spark, tmp_path):
     assert sum(m["rows"] for m in metrics) == 4
     for t in ("dim", "enriched"):
         e.sql(f"DROP TABLE {t}")
+
+
+def test_streaming_zscore_matches_batch_operator(spark, replay_dir):
+    """Online z-score anomalies over a real micro-batch replay equal the
+    batch operator row-for-row (state = the n-value trailing buffer)."""
+    from fluss_datafusion_spark.operators.timeseries import zscore_anomalies
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        streaming_zscore_anomalies,
+    )
+
+    stream = events_stream(spark, replay_dir, max_files_per_trigger=1).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    run_to_memory(
+        streaming_zscore_anomalies(
+            stream, "event_type", "ts", "value", "event_id", n=10, min_history=4
+        ),
+        "t_zscore",
+    )
+    got = {
+        r.event_id: (None if r.zscore is None else round(r.zscore, 6), r.is_anomaly)
+        for r in spark.sql("SELECT * FROM t_zscore").collect()
+    }
+    batch = zscore_anomalies(
+        spark.read.parquet(replay_dir),
+        ["event_type"], "ts", "value", n=10, min_history=4,
+        tiebreak_cols=["event_id"],
+    )
+    want = {
+        r.event_id: (None if r.zscore is None else round(r.zscore, 6), r.is_anomaly)
+        for r in batch.collect()
+    }
+    assert len(got) == len(want) > 0
+    mismatches = {k for k in want if got[k] != want[k]}
+    assert not mismatches, list(mismatches)[:5]

@@ -259,9 +259,9 @@ class EngineSession:
             re.IGNORECASE,
         )
         if hist_match is not None:
-            target = ".".join(
-                p for p in [strip_quotes(hist_match.group(1))] if p
-            )
+            from fluss_datafusion_spark.sql.dialect import parse_qualified_name
+
+            target = ".".join(parse_qualified_name(hist_match.group(1)))
             if self.catalog.has_table(target):
                 # Delta's DESCRIBE HISTORY: one row per committed
                 # statement, newest first, from the _commits.json
@@ -402,9 +402,13 @@ class EngineSession:
         - ``FROM t TIMESTAMP AS OF '<ts>'``      -> ``t$at('<ts>')``
         - ``FROM t FOR SYSTEM_TIME AS OF '<ts>'``-> ``t$at('<ts>')``
 
-        Only references to known engine tables rewrite; anything else
-        passes through untouched."""
+        Only references to known engine tables rewrite; anything else —
+        including the same words inside string literals — passes
+        through untouched (matching runs on a literal-blanked copy of
+        the statement, the QUALIFY rewriter's masking)."""
         import re
+
+        from fluss_datafusion_spark.sql.qualify import _mask_positional
 
         pattern = re.compile(
             r"\b([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']*)'"
@@ -412,17 +416,22 @@ class EngineSession:
             r"|VERSION\s+AS\s+OF\s+(\d+))",
             re.IGNORECASE,
         )
-
-        def rewrite(match):
+        masked = _mask_positional(statement)
+        out = statement
+        # right-to-left so earlier match positions stay valid
+        for match in reversed(list(pattern.finditer(masked))):
             table = match.group(1)
             if not self.catalog.has_table(table):
-                return match.group(0)
+                continue
             if match.group(4) is not None:
-                return f"{table}$v{match.group(4)}"
-            ts = match.group(2) if match.group(2) is not None else match.group(3)
-            return f"{table}$at('{ts}')"
-
-        return pattern.sub(rewrite, statement)
+                repl = f"{table}$v{match.group(4)}"
+            else:
+                # the ts literal was blanked in the mask — slice the
+                # original text at the same positions
+                span = match.span(2) if match.group(2) is not None else match.span(3)
+                repl = f"{table}$at('{statement[span[0]:span[1]]}')"
+            out = out[: match.start()] + repl + out[match.end() :]
+        return out
 
     def _bind_system_tables(self, statement: str) -> str:
         """Resolve ``<table>$<system>`` references — the system-table

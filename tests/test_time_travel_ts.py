@@ -141,3 +141,12 @@ def test_describe_history(spark, tmp_path):
     rows = e.sql("DESCRIBE HISTORY t").collect()
     flags = {r.version: r.time_travelable for r in rows}
     assert flags[3] and not flags[1]
+
+
+def test_time_travel_words_inside_literals_untouched(spark, tmp_path):
+    """A string literal containing 't VERSION AS OF 1' must not be
+    rewritten even when table t exists (literal-aware matching)."""
+    e = _mk(spark, tmp_path, "wh_ts8")
+    e.sql("INSERT INTO t VALUES (1, 'a')")
+    rows = e.sql("SELECT 't VERSION AS OF 1' AS s, id FROM t").collect()
+    assert rows[0].s == "t VERSION AS OF 1"

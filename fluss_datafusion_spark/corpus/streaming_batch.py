@@ -703,3 +703,49 @@ def st_temporal_join(spark, sf_dir):
     return temporal_join(
         facts, None, hist, ["k"], use_seq=True, fact_seq_col="at_seq"
     ).select("fact_id", "k", "at_seq", "attr")
+
+
+@query(
+    "st_ab_test_ztest", extended=True,
+    oracle="""
+    WITH a AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_c,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS s_t
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_c AS n_control, n_t AS n_treatment,
+           round(CAST(s_c AS DOUBLE) / n_c, 6) AS rate_control,
+           round(CAST(s_t AS DOUBLE) / n_t, 6) AS rate_treatment,
+           round(
+               (CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+               / sqrt((CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                      * (1 - CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                      * (1.0 / n_c + 1.0 / n_t)), 6) AS z_stat,
+           abs((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+               / sqrt((CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                      * (1 - CAST(s_c + s_t AS DOUBLE) / (n_c + n_t))
+                      * (1.0 / n_c + 1.0 / n_t))) > 1.959963984540054
+               AS significant
+    FROM a
+    """,
+)
+def st_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test per event type (operators/funnel.py
+    ab_test_ztest — the experiment readout next to funnel/cohort):
+    even user_ids are control, odd are treatment, success = value > 10;
+    pooled-variance z and a two-sided-95% significance boolean.
+    Closed-form over ONE map-side-combined aggregate — DuckDB replays
+    every statistic exactly."""
+    from fluss_datafusion_spark.operators.funnel import ab_test_ztest
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        (F.col("value") > 10).alias("converted"),
+    )
+    return ab_test_ztest(
+        ev, ["event_type"], "variant", F.col("converted"), 0, 1
+    )

@@ -204,3 +204,65 @@ def cohort_retention(
         )
         .select("cohort_start", "period_offset", "users", "retention")
     )
+
+
+def ab_test_ztest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    success_col,
+    control_value,
+    treatment_value,
+    z_crit: float = 1.959963984540054,  # two-sided 95%
+) -> DataFrame:
+    """Two-proportion z-test per group — the experiment-readout
+    companion to the funnel/cohort analytics: conversion rate of a
+    treatment variant vs control, pooled-variance z statistic, and a
+    significance boolean at ``z_crit`` (default two-sided 95%).
+
+        z = (p_t - p_c) / sqrt( p*(1-p) * (1/n_c + 1/n_t) ),
+        p = pooled rate
+
+    Closed-form over two aggregates: one map-side-combined groupBy —
+    corpus-sized input, group-count-sized output; no UDFs, so an
+    external engine replays every statistic exactly.  Returns null z
+    (and false significance) when either arm is empty or the pooled
+    variance is 0 (all-success/all-failure both arms)."""
+    groups = list(group_cols)
+    succ = F.col("__succ__")
+    agg = (
+        df.select(
+            *groups,
+            F.col(variant_col).alias("__v__"),
+            success_col.cast("int").alias("__succ__") if hasattr(success_col, "cast")
+            else F.col(success_col).cast("int").alias("__succ__"),
+        )
+        .filter(F.col("__v__").isin([control_value, treatment_value]))
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.when(F.col("__v__") == control_value, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("__v__") == control_value, succ).otherwise(0)).alias("s_c"),
+            F.sum(F.when(F.col("__v__") == treatment_value, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("__v__") == treatment_value, succ).otherwise(0)).alias("s_t"),
+        )
+    )
+    # try_divide: an empty arm yields null rates/z, not an ANSI fault
+    p_c = F.try_divide(F.col("s_c"), F.col("n_c"))
+    p_t = F.try_divide(F.col("s_t"), F.col("n_t"))
+    pooled = F.try_divide(F.col("s_c") + F.col("s_t"), F.col("n_c") + F.col("n_t"))
+    var = pooled * (1 - pooled) * (
+        F.try_divide(F.lit(1.0), F.col("n_c"))
+        + F.try_divide(F.lit(1.0), F.col("n_t"))
+    )
+    z = F.when(
+        (F.col("n_c") > 0) & (F.col("n_t") > 0) & (var > 0), (p_t - p_c) / F.sqrt(var)
+    )
+    return agg.select(
+        *groups,
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.col("n_t").cast("bigint").alias("n_treatment"),
+        F.round(p_c, 6).alias("rate_control"),
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"),
+    )

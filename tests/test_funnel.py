@@ -133,3 +133,38 @@ def test_cohort_retention(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         cohort_retention(_df(spark, rows), "user_id", "ts", "fortnight")
+
+
+def test_ab_test_ztest_matches_scipy_free_reference(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.operators.funnel import ab_test_ztest
+
+    # control: 40/100 convert; treatment: 55/100
+    rows = (
+        [("g", 0, True)] * 40 + [("g", 0, False)] * 60
+        + [("g", 1, True)] * 55 + [("g", 1, False)] * 45
+    )
+    df = spark.createDataFrame(rows, "g string, variant int, conv boolean")
+    r = ab_test_ztest(df, ["g"], "variant", F.col("conv"), 0, 1).collect()[0]
+    assert (r.n_control, r.n_treatment) == (100, 100)
+    assert (r.rate_control, r.rate_treatment) == (0.4, 0.55)
+    p = 95 / 200
+    z = (0.55 - 0.4) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert r.z_stat == round(z, 6)
+    assert r.significant  # z ~ 2.13 > 1.96
+
+
+def test_ab_test_ztest_degenerate_arms(spark):
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.operators.funnel import ab_test_ztest
+
+    # zero-variance (all convert) and empty-treatment groups -> null z, false
+    rows = [("all", 0, True)] * 5 + [("all", 1, True)] * 5 + [("onearm", 0, True)] * 3
+    df = spark.createDataFrame(rows, "g string, variant int, conv boolean")
+    got = {r.g: r for r in ab_test_ztest(df, ["g"], "variant", F.col("conv"), 0, 1).collect()}
+    assert got["all"].z_stat is None and not got["all"].significant
+    assert got["onearm"].z_stat is None and not got["onearm"].significant

@@ -3599,3 +3599,54 @@ def ns_curation_pseudonymize(spark, sf_dir):
         docs.select("doc_id", "source", "lang", "n_chars"),
         ["source"], salt="s4lt", prefix_map={"source": "src"},
     )
+
+
+@query(
+    "ns_text_pmi_collocations", extended=True,
+    oracle=r"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+        WHERE trim(text) <> ''
+          AND len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ),
+    bg AS (
+        SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM toks
+    ),
+    pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_ab
+        FROM bg GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT w, count(*) AS n FROM (
+            SELECT p[1] AS w FROM bg
+            UNION ALL
+            SELECT p[2] FROM bg
+        ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS total_bg FROM pairs)
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS pair_count,
+           round(ln((n_ab / total_bg)
+                    / ((a.n / (2 * total_bg)) * (b.n / (2 * total_bg)))), 6)
+               AS pmi
+    FROM pairs
+    JOIN uni a ON a.w = pairs.w1
+    JOIN uni b ON b.w = pairs.w2
+    CROSS JOIN tot
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+)
+def ns_text_pmi_collocations(spark, sf_dir):
+    """PMI collocation extraction (operators/lm.pmi_collocations —
+    Church & Hanks 1990): top-100 adjacent-pair pointwise mutual
+    information over the corpus bigram/unigram mass, min_count=5
+    guarding PMI's hapax bias — the multiword-unit detector tokenizer
+    and stop-phrase pipelines consume.  One bigram explode + two
+    map-side-combined counts + vocabulary-keyed joins; no UDFs, so
+    DuckDB replays every statistic and the deterministic
+    (pmi DESC, pair) ordering exactly."""
+    from fluss_datafusion_spark.operators.lm import pmi_collocations
+
+    docs = t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=100)

@@ -183,3 +183,62 @@ def quality_buckets(
             labels.alias("bucket_label"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): for adjacent token pairs,
+
+        pmi(a, b) = ln( p(a,b) / (p(a) * p(b)) )
+
+    with p over the corpus bigram/unigram mass — the classic detector
+    of multiword units ("new york", "et al") that tokenizer and
+    stop-phrase pipelines consume.  ``min_count`` drops the unstable
+    low-frequency tail (PMI's known bias toward hapax pairs); returns
+    the ``top_k`` pairs by (pmi DESC, pair ASC) — deterministic.
+
+    Scale shape: one bigram explode + two map-side-combined counts +
+    two joins keyed on the token (the unigram side is vocabulary-sized,
+    not corpus-sized); top-k is TakeOrderedAndProject.  No UDFs — every
+    statistic replays exactly in an external engine."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    pair_counts = bg.groupBy("__w1__", "__w2__").agg(
+        F.count(F.lit(1)).alias("__n_ab__")
+    )
+    uni = (
+        bg.select(F.col("__w1__").alias("__w__"))
+        .unionAll(bg.select(F.col("__w2__").alias("__w__")))
+        .groupBy("__w__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    totals = pair_counts.agg(
+        F.sum("__n_ab__").alias("__N__")
+    )  # 1-row broadcast; unigram mass = 2N by construction
+    scored = (
+        pair_counts.filter(F.col("__n_ab__") >= min_count)
+        .join(uni.withColumnRenamed("__w__", "__w1__").withColumnRenamed("__n__", "__n_a__"), "__w1__")
+        .join(uni.withColumnRenamed("__w__", "__w2__").withColumnRenamed("__n__", "__n_b__"), "__w2__")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__w1__").alias("w1"),
+            F.col("__w2__").alias("w2"),
+            F.col("__n_ab__").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("__n_ab__") / F.col("__N__"))
+                    / (
+                        (F.col("__n_a__") / (2.0 * F.col("__N__")))
+                        * (F.col("__n_b__") / (2.0 * F.col("__N__")))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)

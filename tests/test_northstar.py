@@ -1118,3 +1118,36 @@ def test_hard_negatives_band_and_exclusion(spark):
         k=10, band=(0.3, 0.8), exclude_pairs=pairs,
     ).collect()
     assert [(r["neighbor_id"], r["rank"]) for r in out2] == [(2, 1), (4, 2)]
+
+
+def test_pmi_collocations_math_and_determinism(spark):
+    import math
+
+    from fluss_datafusion_spark.operators.lm import pmi_collocations
+
+    # "new york" always adjacent; "the cat"/"the dog" dilute "the"
+    docs = spark.createDataFrame(
+        [(i, "new york " + ("the cat " if i % 2 else "the dog ") * 3) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    rows = pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=5).collect()
+    assert rows, "no collocations found"
+    by_pair = {(r.w1, r.w2): (r.pair_count, r.pmi) for r in rows}
+    assert ("new", "york") in by_pair
+    # hand-check: every bigram table count replayed in python
+    from collections import Counter
+
+    bigrams = Counter()
+    unis = Counter()
+    for i in range(10):
+        toks = ("new york " + ("the cat " if i % 2 else "the dog ") * 3).split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+            unis[a] += 1
+            unis[b] += 1
+    N = sum(bigrams.values())
+    n_ab = bigrams[("new", "york")]
+    want = math.log((n_ab / N) / ((unis["new"] / (2 * N)) * (unis["york"] / (2 * N))))
+    assert by_pair[("new", "york")] == (n_ab, round(want, 6))
+    # "new york" (always adjacent, rare words) outranks "the cat"
+    assert rows[0].w1 == "new" and rows[0].w2 == "york"

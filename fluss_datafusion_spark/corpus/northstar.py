@@ -3650,3 +3650,43 @@ def ns_text_pmi_collocations(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=100)
+
+
+@query(
+    "ns_profile_histogram", extended=True,
+    oracle="""
+    WITH s AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+        SELECT e.event_type,
+               CASE WHEN s.hi = s.lo THEN 0
+                    ELSE least(CAST(floor((e.value - s.lo)
+                             / ((s.hi - s.lo) / 8)) AS INT), 7) END AS bin
+        FROM events e JOIN s USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+    spine AS (
+        SELECT s.event_type, s.lo, s.hi, g.bin
+        FROM s, (SELECT unnest(range(8)) AS bin) g
+    )
+    SELECT spine.event_type, CAST(spine.bin AS INT) AS bin,
+           round(lo + bin * (hi - lo) / 8, 6) AS lo,
+           round(lo + (bin + 1) * (hi - lo) / 8, 6) AS hi,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM spine LEFT JOIN c USING (event_type, bin)
+    """,
+)
+def ns_profile_histogram(spark, sf_dir):
+    """Equi-width histogram profiling (operators/timeseries.histogram):
+    8-bin per-event-type value distributions with numpy-histogram edge
+    semantics (max closes the last bin) and empty bins emitted — the
+    distribution companion to ANALYZE's scalar column stats.  One
+    min/max agg broadcast back + one bin-count agg + a sequence()
+    spine; DuckDB replays every edge and count exactly."""
+    from fluss_datafusion_spark.operators.timeseries import histogram
+
+    ev = t(spark, sf_dir, "events")
+    return histogram(ev, "value", bins=8, group_cols=["event_type"])

@@ -372,3 +372,62 @@ def rolling_ewma(
         lambda acc, j: acc + F.pow(F.lit(decay), j.cast("double")),
     )
     return df.withColumn(out_col, num / den)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Equi-width histogram (optionally per group): (group...,
+    bin (0-based), lo, hi, n) with edges derived from the per-group
+    min/max — the distribution-profiling primitive next to ANALYZE's
+    scalar stats.  The max value lands in the LAST bin (right edge
+    closed there, half-open elsewhere — numpy.histogram semantics);
+    empty bins are emitted with n = 0 so the shape is always complete.
+
+    Scale shape: one map-side-combined min/max agg (group-count-sized,
+    broadcast back), one bin-id projection + count agg, one
+    ``sequence()`` explode for the empty-bin spine — no UDFs, no
+    collect, no second scan of the data beyond the stats pass."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    groups = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    stats = df.filter(x.isNotNull()).groupBy(*groups).agg(
+        F.min(x).alias("__lo__"), F.max(x).alias("__hi__")
+    )
+    joined = (
+        df.filter(x.isNotNull()).join(F.broadcast(stats), groups)
+        if groups
+        else df.filter(x.isNotNull()).crossJoin(F.broadcast(stats))
+    )
+    width = (F.col("__hi__") - F.col("__lo__")) / bins
+    bin_id = F.when(F.col("__hi__") == F.col("__lo__"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("__lo__")) / width).cast("int"), F.lit(bins - 1)
+        )
+    )
+    counts = (
+        joined.withColumn("__bin__", bin_id)
+        .groupBy(*groups, "__bin__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
+    spine = stats.select(
+        *groups,
+        "__lo__",
+        "__hi__",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("__bin__"),
+    )
+    w = (F.col("__hi__") - F.col("__lo__")) / bins
+    return (
+        spine.join(counts, groups + ["__bin__"], "left")
+        .select(
+            *groups,
+            F.col("__bin__").alias("bin"),
+            F.round(F.col("__lo__") + F.col("__bin__") * w, 6).alias("lo"),
+            F.round(F.col("__lo__") + (F.col("__bin__") + 1) * w, 6).alias("hi"),
+            F.coalesce(F.col("__n__"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

@@ -87,3 +87,34 @@ def test_rolling_groups_independent(spark):
     )
     got = {(r.k, r.t): r.roll_mean for r in rolling_stats(df, ["k"], "t", "x", n=2).collect()}
     assert got == {("a", 0): 1.0, ("a", 1): 1.5, ("b", 0): 100.0, ("b", 1): 150.0}
+
+
+def test_histogram_matches_numpy(spark):
+    import numpy as np
+
+    from fluss_datafusion_spark.operators.timeseries import histogram
+
+    vals = [float(v) for v in [1, 2, 2, 3, 5, 8, 13, 21, 34, 55]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = sorted(histogram(df, "x", bins=5).collect(), key=lambda r: r.bin)
+    counts, edges = np.histogram(vals, bins=5)
+    assert [r.n for r in rows] == list(counts)
+    for r in rows:
+        assert r.lo == round(float(edges[r.bin]), 6)
+        assert r.hi == round(float(edges[r.bin + 1]), 6)
+
+
+def test_histogram_constant_and_null_and_groups(spark):
+    from fluss_datafusion_spark.operators.timeseries import histogram
+
+    df = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("a", None), ("b", 1.0), ("b", 3.0)],
+        "g string, x double",
+    )
+    rows = histogram(df, "x", bins=4, group_cols=["g"]).collect()
+    a = [r for r in rows if r.g == "a"]
+    # constant column: everything in bin 0, nulls excluded
+    assert sum(r.n for r in a) == 2 and [r.n for r in a if r.bin == 0] == [2]
+    b = {r.bin: r.n for r in rows if r.g == "b"}
+    assert b == {0: 1, 1: 0, 2: 0, 3: 1}  # max lands in the LAST bin
+    assert len(rows) == 8  # complete 4-bin spine per group

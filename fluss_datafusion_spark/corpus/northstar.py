@@ -3690,3 +3690,110 @@ def ns_profile_histogram(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return histogram(ev, "value", bins=8, group_cols=["event_type"])
+
+
+@query(
+    "ns_retrieval_rm3", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+          WHERE doc_id % 101 = 0),
+    os AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    first AS (
+        SELECT query_id, doc_id, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS r
+            FROM os
+        ) WHERE r <= 5
+    ),
+    wts AS (
+        SELECT f.query_id, tf.term,
+               round(sum(CAST(tf.tf AS DOUBLE) / dl.dl * f.score), 6) AS w
+        FROM first f
+        JOIN tf ON tf.doc_id = f.doc_id
+        JOIN dl ON dl.doc_id = f.doc_id
+        GROUP BY 1, 2
+    ),
+    topw AS (
+        SELECT query_id, term, w FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY w DESC, term) AS r
+            FROM wts
+        ) WHERE r <= 10
+    ),
+    wn AS (
+        SELECT query_id, term,
+               w / sum(w) OVER (PARTITION BY query_id) AS wn
+        FROM topw
+    ),
+    es AS (
+        SELECT wn.query_id, tf.doc_id,
+               round(sum(wn.wn
+                   * ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS es
+        FROM wn
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    comb AS (
+        SELECT coalesce(os.query_id, es.query_id) AS query_id,
+               coalesce(os.doc_id, es.doc_id) AS doc_id,
+               round(0.5 * coalesce(os.score, 0)
+                     + 0.5 * coalesce(es.es, 0), 6) AS score
+        FROM os FULL JOIN es
+          ON os.query_id = es.query_id AND os.doc_id = es.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM comb
+    ) WHERE rank <= 10
+    """,
+)
+def ns_retrieval_rm3(spark, sf_dir):
+    """RM3 pseudo-relevance-feedback query expansion
+    (operators/retrieval.bm25_rm3_search — Lavrenko & Croft 2001 /
+    Abdul-Jaleel 2004, the engine-replayable simplification): BM25
+    top-5 feedback docs per query -> term weights
+    sum(tf/dl * doc_score) rounded BEFORE the top-10 selection (term
+    choice stays deterministic cross-engine) -> normalized expansion
+    model -> final score 0.5*original + 0.5*expansion over the same
+    inverted index.  DuckDB replays both retrieval passes, the term
+    selection, and the interpolation exactly."""
+    from fluss_datafusion_spark.operators.retrieval import bm25_rm3_search
+
+    docs = t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return bm25_rm3_search(
+        docs, "doc_id", "text", queries, "qid", "qtext",
+        k=10, fb_docs=5, fb_terms=10, alpha=0.5,
+    )

@@ -567,3 +567,120 @@ def hybrid_search(
     lex = _rerank(lex.drop("rank"), [F.col("score").desc(), F.col("doc_id").asc()])
     dense = _rerank(dense.drop("rank"), [F.col("cos").desc(), F.col("doc_id").asc()])
     return rrf_fuse([lex, dense], k=k, c=c)
+
+
+def bm25_rm3_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3 — Lavrenko &
+    Croft 2001 relevance models, the Abdul-Jaleel 2004 interpolated
+    form, simplified to stay engine-replayable): run BM25, take each
+    query's top ``fb_docs`` documents, weight their terms by
+
+        w(t) = sum over feedback docs of  (tf(t,d) / dl(d)) * score(d)
+
+    (per-doc language model mass weighted by retrieval score), keep the
+    top ``fb_terms`` per query (rounded weight DESC, term ASC — float
+    rounding BEFORE selection keeps term choice deterministic across
+    engines), normalize to sum 1, then re-run BM25 where each document
+    scores  alpha * original-query BM25 + (1-alpha) * sum over
+    expansion terms of w(t) * bm25_contrib(t, d).
+
+    Returns (query_id, doc_id, score, rank).  Scale shape: everything
+    is the inverted index's term-keyed joins — feedback docs are
+    k*|queries| rows, expansion terms fb_terms*|queries| rows, both
+    broadcast; no new corpus-shaped work beyond a second postings join.
+    """
+    postings, doc_stats, corpus_stats = build_bm25_index(docs, id_col, text_col)
+    for df_ in (postings, doc_stats):
+        df_.persist()
+    first = bm25_topk(
+        postings, doc_stats, corpus_stats, queries, query_id_col, query_text_col,
+        k=fb_docs, k1=k1, b=b,
+    )
+    # expansion-term weights from the feedback docs
+    fb = first.select("query_id", F.col("doc_id").alias("__doc__"), "score")
+    weights = (
+        postings.join(F.broadcast(fb), "__doc__")
+        .join(doc_stats, "__doc__")
+        .groupBy("query_id", "__term__")
+        .agg(
+            F.round(
+                F.sum(F.col("__tf__") / F.col("__dl__") * F.col("score")), 6
+            ).alias("__w__")
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("__w__").desc(), F.col("__term__").asc()
+    )
+    topw = (
+        weights.withColumn("__r__", F.row_number().over(w_rank))
+        .filter(F.col("__r__") <= fb_terms)
+        .drop("__r__")
+    )
+    wsum = topw.groupBy("query_id").agg(F.sum("__w__").alias("__wsum__"))
+    exp_terms = topw.join(wsum, "query_id").select(
+        "query_id", "__term__", (F.col("__w__") / F.col("__wsum__")).alias("__wn__")
+    )
+    # expansion-side score: w(t)-weighted BM25 contributions
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N__") - F.col("__df__") + 0.5) / (F.col("__df__") + 0.5)
+    )
+    norm = F.col("__tf__") + k1 * (
+        1.0 - b + b * F.col("__dl__") / F.col("__avgdl__")
+    )
+    contrib = idf * F.col("__tf__") * (k1 + 1.0) / norm
+    exp_scored = (
+        postings.join(F.broadcast(exp_terms), "__term__")
+        .join(doc_stats, "__doc__")
+        .crossJoin(F.broadcast(corpus_stats))
+        .groupBy("query_id", "__doc__")
+        .agg(F.round(F.sum(F.col("__wn__") * contrib), 4).alias("__es__"))
+    )
+    # original-query side: full BM25 over every candidate (large k cap)
+    orig = bm25_topk(
+        postings, doc_stats, corpus_stats, queries, query_id_col, query_text_col,
+        k=1 << 30, k1=k1, b=b,
+    ).select("query_id", F.col("doc_id").alias("__doc__"), F.col("score").alias("__os__"))
+    combined = (
+        orig.join(exp_scored, ["query_id", "__doc__"], "full_outer")
+        .select(
+            "query_id",
+            "__doc__",
+            # round at 6, not 4: the components are exact 4-decimal
+            # values, so the interpolation sits exactly ON the 4-decimal
+            # half-way boundary (x.xxxx5) where engines' rounding modes
+            # disagree; at 6 decimals there is no boundary to disagree on
+            F.round(
+                alpha * F.coalesce(F.col("__os__"), F.lit(0.0))
+                + (1 - alpha) * F.coalesce(F.col("__es__"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("__doc__").asc()
+    )
+    out = (
+        combined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__doc__").alias("doc_id"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+    return out

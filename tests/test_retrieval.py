@@ -147,3 +147,44 @@ def test_bm25_phrase_search_restricts_and_rescores(spark, docs_df):
     # restricted-collection semantics
     sub = [(i, t) for i, t in DOCS if i in (1, 2)]
     assert {r.doc_id: r.score for r in out} == _py_bm25(sub, ["lazy", "dog", "fox"])
+
+
+def test_rm3_expansion_finds_term_overlap_docs(spark):
+    """RM3's point: a doc sharing NO query terms but sharing terms with
+    the feedback docs becomes retrievable."""
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.operators.retrieval import (
+        bm25_rm3_search,
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "solar panel installation guide"),
+            (1, "solar panel efficiency photovoltaic module"),
+            (2, "photovoltaic module maintenance handbook"),  # no query terms
+            (3, "cooking pasta with tomato sauce"),
+            (4, "gardening tips for spring flowers"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "solar panel")], "qid bigint, qtext string"
+    )
+    plain = {
+        r.doc_id
+        for r in bm25_search(docs, "doc_id", "text", queries, "qid", "qtext", k=5).collect()
+    }
+    assert 2 not in plain  # zero term overlap with the raw query
+    rm3 = bm25_rm3_search(
+        docs, "doc_id", "text", queries, "qid", "qtext",
+        k=5, fb_docs=2, fb_terms=6, alpha=0.5,
+    )
+    rows = rm3.collect()
+    got = {r.doc_id: r.rank for r in rows}
+    assert 2 in got            # pulled in via photovoltaic/module expansion
+    assert 3 not in got        # zero overlap with query AND feedback docs
+    top = [d for d, r in got.items() if r == 1]
+    assert top[0] in (0, 1)    # an original-term doc stays on top
+    assert all(r.score is not None for r in rows)

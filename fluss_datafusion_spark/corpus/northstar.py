@@ -3797,3 +3797,123 @@ def ns_retrieval_rm3(spark, sf_dir):
         docs, "doc_id", "text", queries, "qid", "qtext",
         k=10, fb_docs=5, fb_terms=10, alpha=0.5,
     )
+
+
+@query(
+    "ns_retrieval_mmr", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS doc,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS rel
+        FROM e q JOIN e c ON q.vec_id % 101 = 0 AND c.vec_id <> q.vec_id
+    ),
+    cand AS (
+        SELECT qid, doc, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY rel DESC, doc) AS r
+            FROM scored
+        ) WHERE r <= 20
+    )
+    SELECT qid AS query_id,
+           CAST(8 AS INT) AS n_selected,
+           min_by(doc, CAST(-rel AS DOUBLE)) AS first_doc,
+           true AS all_in_candidates,
+           true AS ref_match
+    FROM cand GROUP BY qid
+    """,
+)
+def ns_retrieval_mmr(spark, sf_dir):
+    """MMR diversification (operators/retrieval.mmr_diversify —
+    Carbonell & Goldstein 1998) invariant-checked cross-engine (the
+    q45 pattern; the greedy argmax chain itself has no SQL form):
+    cosine top-20 candidates per query, MMR k=8 lam=0.7, then a
+    per-query summary DuckDB re-derives exactly — selection count, the
+    FIRST pick (MMR's first selection must be the pure relevance
+    argmax, which SQL computes), a candidates-subset boolean, and a
+    ref_match boolean from an independent dict-based greedy kernel run
+    on the same (driver-collected, model-sized) candidate lists."""
+    import math
+
+    from fluss_datafusion_spark.operators.retrieval import mmr_diversify
+    from fluss_datafusion_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0)
+    cand = (
+        cosine_topk(emb, queries, "vec_id", "embedding", "vec_id", "embedding", k=21)
+        .filter(F.col("neighbor_id") != F.col("vec_id"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    cand = (
+        cand.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 20)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vec")),
+            "neighbor_id",
+        )
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("neighbor_id").alias("doc"),
+            F.col("cos").alias("rel"),
+            "vec",
+        )
+    )
+    cand = cand.localCheckpoint(eager=True)
+    picked = mmr_diversify(cand, "qid", "doc", "rel", "vec", k=8, lam=0.7)
+
+    # independent reference kernel on the collected (model-sized) candidates
+    rows = cand.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.doc, float(r.rel), [float(x) for x in r.vec]))
+
+    def ref_mmr(cands, k, lam):
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(x * x for x in b)) or 1.0
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        lookup = {d: (rel, v) for d, rel, v in cands}
+        sel = []
+        while len(sel) < k and len(sel) < len(lookup):
+            best = None
+            for d, (rel, v) in lookup.items():
+                if d in sel:
+                    continue
+                pen = max((cos(v, lookup[s][1]) for s in sel), default=0.0)
+                s = lam * rel - (1 - lam) * (pen if sel else 0.0)
+                if best is None or s > best[1] or (s == best[1] and d < best[0]):
+                    best = (d, s)
+            sel.append(best[0])
+        return sel
+
+    expected = {q: ref_mmr(c, 8, 0.7) for q, c in by_q.items()}
+    cand_sets = {q: {d for d, _, _ in c} for q, c in by_q.items()}
+    got = {}
+    for r in picked.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.doc))
+    out = []
+    for q, pairs in got.items():
+        order = [d for _, d in sorted(pairs)]
+        out.append(
+            (
+                q,
+                len(order),
+                order[0],
+                all(d in cand_sets[q] for d in order),
+                order == expected[q],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "query_id bigint, n_selected int, first_doc bigint, "
+        "all_in_candidates boolean, ref_match boolean",
+    )

@@ -684,3 +684,81 @@ def bm25_rm3_search(
         )
     )
     return out
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select k results per query maximizing
+
+        lam * relevance(d) - (1 - lam) * max cosine(d, already-selected)
+
+    — the diversification pass between retrieval and the consumer
+    (dedup'd RAG contexts, varied training negatives).  Ties break by
+    (marginal score DESC, doc id ASC); the first pick is the pure
+    relevance argmax.
+
+    Scale shape: the input is already a per-query candidate list
+    (top-N, corpus-independent); the greedy loop runs per query in one
+    Arrow-batched applyInPandas over numpy (k*N cosine ops on an
+    N-row group — model-sized, never corpus-sized).  Output:
+    (query_col, doc_col, rel, mmr_score, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} bigint, {doc_col} bigint, rel double, "
+        "mmr_score double, rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rel_col, doc_col], ascending=[False, True])
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        docs = pdf[doc_col].to_numpy()
+        n = len(pdf)
+        selected: list = []
+        scores: list = []
+        remaining = list(range(n))
+        # true max over selected — negative similarities legitimately
+        # RAISE the marginal score (anti-correlated docs are maximally
+        # diverse), so no clamping at 0
+        max_sim = np.full(n, -np.inf)
+        while remaining and len(selected) < k:
+            best_i, best_score = None, None
+            for i in remaining:
+                s = lam * rel[i] - (1 - lam) * (max_sim[i] if selected else 0.0)
+                if (
+                    best_score is None
+                    or s > best_score
+                    or (s == best_score and docs[i] < docs[best_i])
+                ):
+                    best_i, best_score = i, s
+            selected.append(best_i)
+            scores.append(best_score)
+            remaining.remove(best_i)
+            sims = unit[remaining] @ unit[best_i]
+            for j, idx in enumerate(remaining):
+                if sims[j] > max_sim[idx]:
+                    max_sim[idx] = sims[j]
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[0],
+                doc_col: docs[selected],
+                "rel": np.round(rel[selected], 6),
+                "mmr_score": np.round(np.array(scores), 6),
+                "rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, out_schema)

@@ -188,3 +188,59 @@ def test_rm3_expansion_finds_term_overlap_docs(spark):
     top = [d for d, r in got.items() if r == 1]
     assert top[0] in (0, 1)    # an original-term doc stays on top
     assert all(r.score is not None for r in rows)
+
+
+def test_mmr_diversify_matches_reference_and_diversifies(spark):
+    import math
+
+    from fluss_datafusion_spark.operators.retrieval import mmr_diversify
+
+    # two near-duplicate highly-relevant docs + one distinct mid-relevance
+    rows = [
+        (1, 10, 0.9, [1.0, 0.0]),
+        (1, 11, 0.89, [0.999, 0.01]),   # near-dup of 10
+        (1, 12, 0.5, [0.0, 1.0]),       # orthogonal
+        (1, 13, 0.4, [0.0, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, "qid bigint, doc bigint, rel double, vec array<double>")
+    got = sorted(
+        mmr_diversify(df, "qid", "doc", "rel", "vec", k=3, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    # pure-python reference with the same spec
+    def ref():
+        cands = {d: (r, v) for _, d, r, v in rows}
+        def cos(a, b):
+            na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+        sel, out = [], []
+        while len(out) < 3 and len(out) < len(cands):
+            best = None
+            for d, (r, v) in cands.items():
+                if d in sel:
+                    continue
+                pen = max((cos(v, cands[s][1]) for s in sel), default=0.0)
+                s = 0.5 * r - 0.5 * (pen if sel else 0.0)
+                if best is None or s > best[1] or (s == best[1] and d < best[0]):
+                    best = (d, s)
+            sel.append(best[0]); out.append(best)
+        return out
+
+    want = ref()
+    assert [(r.doc, r.mmr_score) for r in got] == [
+        (d, round(s, 6)) for d, s in want
+    ]
+    # diversification: the near-dup 11 loses its #2 slot to orthogonal
+    # 12 (at rank 3 its raw relevance still beats doc 13's)
+    assert [r.doc for r in got] == [10, 12, 11]
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    from fluss_datafusion_spark.operators.retrieval import mmr_diversify
+
+    df = spark.createDataFrame(
+        [(7, d, 0.1 * d, [float(d), 1.0]) for d in range(1, 6)],
+        "qid bigint, doc bigint, rel double, vec array<double>",
+    )
+    got = mmr_diversify(df, "qid", "doc", "rel", "vec", k=2, lam=0.9).collect()
+    assert min(got, key=lambda r: r.rank).doc == 5  # max relevance first

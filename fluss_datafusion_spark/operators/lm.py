@@ -208,14 +208,20 @@ def pmi_collocations(
     not corpus-sized); top-k is TakeOrderedAndProject.  No UDFs — every
     statistic replays exactly in an external engine."""
     bg = _doc_bigrams(docs, id_col, text_col)
-    pair_counts = bg.groupBy("__w1__", "__w2__").agg(
-        F.count(F.lit(1)).alias("__n_ab__")
+    # materialized once: three plan branches (unigram derivation + the
+    # two scored joins) would otherwise each re-run the corpus explode
+    pair_counts = (
+        bg.groupBy("__w1__", "__w2__")
+        .agg(F.count(F.lit(1)).alias("__n_ab__"))
+        .localCheckpoint(eager=True)
     )
+    # unigram mass from the ALREADY-AGGREGATED pairs (vocabulary-
+    # bounded), not a second corpus-sized scan of the bigram stream
     uni = (
-        bg.select(F.col("__w1__").alias("__w__"))
-        .unionAll(bg.select(F.col("__w2__").alias("__w__")))
+        pair_counts.select(F.col("__w1__").alias("__w__"), "__n_ab__")
+        .unionAll(pair_counts.select(F.col("__w2__").alias("__w__"), "__n_ab__"))
         .groupBy("__w__")
-        .agg(F.count(F.lit(1)).alias("__n__"))
+        .agg(F.sum("__n_ab__").alias("__n__"))
     )
     totals = pair_counts.agg(
         F.sum("__n_ab__").alias("__N__")

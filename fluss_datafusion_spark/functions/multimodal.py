@@ -441,68 +441,38 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def decode_png_pixels(payload):
-    """REAL pixel decode for non-interlaced 8-bit PNG (pure stdlib zlib +
-    per-scanline unfiltering from the published PNG spec — no imaging
-    libs).  Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
-    6 (RGBA) at bit depth 8, interlace 0.  Returns an (H, W, C) uint8
-    array, or None if the payload is not a supported PNG.
+#: Adam7 pass origins/steps: (x_start, y_start, x_step, y_step) — the
+#: published interlace grid (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    Layout walked: 8-byte signature, IHDR (dims/depth/color/interlace),
-    concatenated IDAT chunks -> one zlib stream, IEND.  Each scanline
-    starts with a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
-    4 Paeth); reconstruction is exact byte arithmetic mod 256.  Up and
-    None vectorize; Sub/Average/Paeth recur along the row, so those
-    rows run a per-pixel loop over numpy int16 — correct first, and
-    plenty for metadata-scale probes (a production bulk decoder would
-    sit behind the same mapInPandas boundary).
-    """
-    import zlib
 
+def _png_unfilter(raw, offset, width, height, channels):
+    """Reconstruct one independently-filtered scanline block (a whole
+    non-interlaced image, or one Adam7 pass): returns the (height,
+    width*channels) uint8 array and the bytes consumed, or None on an
+    unknown filter type / truncation.  Filter types per the spec:
+    0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — exact byte arithmetic
+    mod 256.  Up and None vectorize; Sub/Average/Paeth recur along the
+    row, so those run a per-pixel loop over numpy int16 — correct
+    first, and plenty for metadata-scale probes."""
     import numpy as np
 
-    if not payload:
-        return None
-    b = bytes(payload)
-    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    i = 8
-    width = height = None
-    channels = 0
-    idat = bytearray()
-    while i + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[i : i + 4])
-        ctype = b[i + 4 : i + 8]
-        data = b[i + 8 : i + 8 + clen]
-        if len(data) < clen:
-            return None
-        if ctype == b"IHDR":
-            width, height = struct.unpack(">II", data[:8])
-            depth, color, _comp, _filt, interlace = data[8:13]
-            if depth != 8 or interlace != 0:
-                return None
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if channels is None:
-                return None
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        i += 12 + clen  # length + type + data + crc
-    if not width or not height or not channels or not idat:
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     stride = width * channels
-    if len(raw) < (stride + 1) * height:
+    if len(raw) - offset < (stride + 1) * height:
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
     bpp = channels
     for y in range(height):
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride + 1, offset=y * (stride + 1)
+            raw, dtype=np.uint8, count=stride + 1, offset=offset + y * (stride + 1)
         )
         ftype, filt = line[0], line[1:].astype(np.int16)
         prev = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, np.int16)
@@ -528,7 +498,81 @@ def decode_png_pixels(payload):
                     return None
                 recon[x] = (filt[x] + pred) & 0xFF
         out[y] = recon.astype(np.uint8)
-    return out.reshape(height, width, channels)
+    return out, (stride + 1) * height
+
+
+def decode_png_pixels(payload):
+    """REAL pixel decode for 8-bit PNG (pure stdlib zlib + per-scanline
+    unfiltering from the published PNG spec — no imaging libs).
+    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA)
+    at bit depth 8, interlace 0 (sequential) AND interlace 1 (Adam7 —
+    seven independently-filtered passes scattered onto the 8x8 grid,
+    PNG spec §8.2; empty passes contribute zero bytes).  Returns an
+    (H, W, C) uint8 array, or None if the payload is not a supported
+    PNG.
+
+    Layout walked: 8-byte signature, IHDR (dims/depth/color/interlace),
+    concatenated IDAT chunks -> one zlib stream, IEND.
+    """
+    import zlib
+
+    import numpy as np
+
+    if not payload:
+        return None
+    b = bytes(payload)
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    width = height = None
+    channels = 0
+    interlace = 0
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctype == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or interlace not in (0, 1):
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + crc
+    if not width or not height or not channels or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        block = _png_unfilter(raw, 0, width, height, channels)
+        if block is None:
+            return None
+        return block[0].reshape(height, width, channels)
+    # Adam7: each pass is its own filtered sub-image; scatter into place
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        block = _png_unfilter(raw, offset, pw, ph, channels)
+        if block is None:
+            return None
+        sub, consumed = block
+        offset += consumed
+        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+    return out
 
 
 _PNG_STATS_SCHEMA = T.StructType(

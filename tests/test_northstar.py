@@ -1151,3 +1151,72 @@ def test_pmi_collocations_math_and_determinism(spark):
     assert by_pair[("new", "york")] == (n_ab, round(want, 6))
     # "new york" (always adjacent, rare words) outranks "the cat"
     assert rows[0].w1 == "new" and rows[0].w2 == "york"
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7 decode: encode a known image as the seven independently-
+    filtered interlace passes (with per-pass filter variety), decode,
+    compare byte-exactly against the same pixels — and against the
+    sequential encoding of the same image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fluss_datafusion_spark.functions import multimodal as mm
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def filter_block(px, filters):
+        h, w, c = px.shape
+        prev = np.zeros(w * c, np.int16)
+        raw = bytearray()
+        for y in range(h):
+            line = px[y].reshape(-1).astype(np.int16)
+            ftype = filters[y % len(filters)]
+            raw.append(ftype)
+            for x in range(w * c):
+                left = int(line[x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                pred = [0, left, up, (left + up) >> 1][ftype] if ftype < 4 else None
+                if pred is None:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                raw.append((int(line[x]) - pred) & 0xFF)
+            prev = line
+        return bytes(raw)
+
+    def encode_adam7(px, color_type, filters):
+        h, w, c = px.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in mm._ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            raw += filter_block(np.ascontiguousarray(sub), filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    # 13x11: exercises ragged pass dimensions (not multiples of 8)
+    rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    got = mm.decode_png_pixels(encode_adam7(rgb, 2, [0, 1, 2, 3, 4]))
+    assert got is not None and np.array_equal(got, rgb)
+
+    gray = rng.integers(0, 256, size=(9, 16, 1), dtype=np.uint8)
+    got = mm.decode_png_pixels(encode_adam7(gray, 0, [2, 4, 0]))
+    assert got is not None and np.array_equal(got, gray)
+
+    # tiny image where several passes are EMPTY (w,h < 5)
+    small = rng.integers(0, 256, size=(3, 2, 4), dtype=np.uint8)
+    got = mm.decode_png_pixels(encode_adam7(small, 6, [1]))
+    assert got is not None and np.array_equal(got, small)

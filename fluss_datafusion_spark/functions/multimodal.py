@@ -628,6 +628,9 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     CRCs, dims ``w = id%16+1, h = (id*7)%16+1``, and scanline filters
     CYCLING through all five types (y % 5) so decoding exercises None/
     Sub/Up/Average/Paeth reconstruction, not just the trivial path.
+    Every 3rd payload is Adam7 INTERLACED (seven independently-filtered
+    passes), so the decode oracle covers both layouts; the per-channel
+    means the oracle derives are encoding-independent.
     Pixels are constant per row (r=(31y+id)%256, g=(31y+7id)%256,
     b=(31y+13id)%256), so the per-channel image mean is an exact
     arithmetic function of (id, h) that a SQL oracle reproduces with a
@@ -648,14 +651,13 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         pa, pb, pc = abs(p - a), abs(p - bb), abs(p - cc)
         return a if pa <= pb and pa <= pc else (bb if pb <= pc else cc)
 
-    def _png(i: int) -> bytes:
-        w, h = int(i % 16) + 1, int((i * 7) % 16) + 1
+    def _filter_rows(rows, w: int) -> bytearray:
+        """Filter one independently-filtered block (whole image or one
+        Adam7 pass), cycling all five filter types."""
         bpp = 3
         raw = bytearray()
         prev = [0] * (w * bpp)
-        for y in range(h):
-            r, g, bl = (31 * y + i) % 256, (31 * y + 7 * i) % 256, (31 * y + 13 * i) % 256
-            line = [r, g, bl] * w
+        for y, line in enumerate(rows):
             ftype = y % 5
             raw.append(ftype)
             for x in range(w * bpp):
@@ -674,7 +676,34 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     pred = _paeth(left, up, ul)
                 raw.append((line[x] - pred) & 0xFF)
             prev = line
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return raw
+
+    def _png(i: int) -> bytes:
+        w, h = int(i % 16) + 1, int((i * 7) % 16) + 1
+        grid = []
+        for y in range(h):
+            r, g, bl = (31 * y + i) % 256, (31 * y + 7 * i) % 256, (31 * y + 13 * i) % 256
+            grid.append([r, g, bl] * w)
+        interlaced = i % 3 == 2  # every 3rd payload is Adam7
+        if not interlaced:
+            raw = _filter_rows(grid, w)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = [
+                    [
+                        v
+                        for x in range(x0, w, dx)
+                        for v in grid[y][x * 3 : x * 3 + 3]
+                    ]
+                    for y in range(y0, h, dy)
+                ]
+                raw += _filter_rows(sub, pw)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlaced else 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)

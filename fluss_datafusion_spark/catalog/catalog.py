@@ -215,6 +215,18 @@ class FlussCatalog:
             if if_not_exists:
                 return
             raise ValueError(f"table already exists: {spec.qualified_name}")
+        # Validate behavior-bearing properties HERE, at DDL time — a
+        # malformed value must fail the CREATE, not a later write after
+        # its files are already appended (ADVICE r5).
+        raw = (spec.properties or {}).get("compaction.auto-after")
+        if raw is not None:
+            try:
+                int(raw)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"compaction.auto-after on {spec.qualified_name} must "
+                    f"be an integer statement count, got {raw!r}"
+                )
         self.databases[spec.database][spec.name] = spec
         os.makedirs(self.table_path(spec), exist_ok=True)
         self._save_spec(spec)
@@ -1217,9 +1229,11 @@ class FlussCatalog:
                         None,
                     )
                     for qname in sorted(pending):
-                        spec = self.databases[qname.split(".")[0]].get(
-                            qname.split(".")[1]
-                        )
+                        db, _, table = qname.partition(".")
+                        # the table (or its whole database) may have been
+                        # dropped inside the guard — skip silently rather
+                        # than mask the statement's real result (ADVICE r5)
+                        spec = self.databases.get(db, {}).get(table)
                         if spec is not None:
                             self._maybe_auto_compact(
                                 spec, self._seq.get(qname, 0)
@@ -1243,11 +1257,13 @@ class FlussCatalog:
             return
         try:
             every = int(raw)
-        except ValueError:
-            raise ValueError(
-                f"compaction.auto-after on {spec.qualified_name} must be an "
-                f"integer statement count, got {raw!r}"
-            )
+        except (ValueError, TypeError):
+            # Validated at DDL time (validate_auto_compact_property); a
+            # malformed value reaching the write path must not fail the
+            # statement AFTER its files are appended and the commit is
+            # recorded (data persisted, statement errors — ADVICE r5).
+            # Treat as disabled, consistent with bloom.fpp's fallback.
+            return
         if every < 1:
             return
         floor = self._floor.get(spec.qualified_name, 0)

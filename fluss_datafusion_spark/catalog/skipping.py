@@ -124,19 +124,40 @@ def _bloom_build(values, fpp: float) -> Optional[Dict]:
     m = (m + 7) // 8 * 8
     k = max(1, min(16, round(m / n * math.log(2))))
     bits = bytearray(m // 8)
+    classes = set()
     for b in canon:
+        classes.add(b[:1].decode())
         for pos in _bloom_hashes(b, k, m):
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+    return {
+        "m": m,
+        "k": k,
+        "t": "".join(sorted(classes)),
+        "b64": base64.b64encode(bytes(bits)).decode(),
+    }
 
 
 def _bloom_maybe_contains(bloom: Dict, value) -> bool:
-    """False ONLY when the filter proves the value absent."""
+    """False ONLY when the filter proves the value absent.
+
+    Type guard (mirrors ``_comparable``'s mismatch-keeps rule): the
+    canonical byte form is class-prefixed (``i:``/``s:``/``b:``), so an
+    int column probed with ``'5'`` canonicalizes to a DIFFERENT prefix
+    than the built values and a naive probe would report "definitely
+    absent" — but Spark's cast-comparison semantics may still match the
+    row.  The built class set is stored in the entry (``"t"``); a probe
+    whose class is not among the built classes cannot be trusted against
+    this filter and keeps the file.  Entries without ``"t"`` (built by
+    older code) are treated as unknown-class and never exclude.
+    """
     import base64
 
     data = _bloom_canon(value)
     if data is None:
         return True  # unsupported probe type: cannot exclude
+    built_classes = bloom.get("t")
+    if not isinstance(built_classes, str) or data[:1].decode() not in built_classes:
+        return True  # class mismatch (or unknown built class): keep
     try:
         m, k = int(bloom["m"]), int(bloom["k"])
         bits = base64.b64decode(bloom["b64"])

@@ -386,7 +386,14 @@ class EngineSession:
 
         insert_target = ddl.parse_insert_target(statement)
         if insert_target is not None and self.catalog.has_table(insert_target):
-            return self.catalog.insert_sql(insert_target, statement)
+            # Inline time travel / system tables inside the DML body
+            # (INSERT INTO t SELECT ... FROM t VERSION AS OF 3) must
+            # rewrite here too — this path returns before the generic
+            # SELECT rewrites below ever run (ADVICE r5).
+            return self.catalog.insert_sql(
+                insert_target,
+                self._bind_system_tables(self._rewrite_time_travel(statement)),
+            )
 
         statement = self._rewrite_time_travel(statement)
         statement = self._bind_system_tables(statement)

@@ -81,9 +81,15 @@ def _truthy(v) -> bool:
 
 
 def copy_to(session, source: str, path: str, opts: dict) -> int:
-    """Execute COPY ... TO: returns rows written (counted from the
-    source plan AFTER the write commits, so the number reflects what
-    landed)."""
+    """Execute COPY ... TO: returns rows written, observed on the
+    writing plan itself (``df.observe``) — NOT recomputed by a second
+    scan of the source, which would double the work and, for
+    non-deterministic queries or tables modified between write and
+    count, report a number different from what actually landed
+    (ADVICE r5)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     fmt = _format_of(path, opts)
     if source.startswith("("):
         df = session.sql(source[1:-1])
@@ -91,6 +97,8 @@ def copy_to(session, source: str, path: str, opts: dict) -> int:
         df = session.catalog.read(source)
     else:
         df = session.spark.table(source)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
     # JSON/CSV writers reject no-op but complex types handle via to_json
     writer = df.write.mode("overwrite")
     if "partition_by" in opts:
@@ -102,7 +110,7 @@ def copy_to(session, source: str, path: str, opts: dict) -> int:
     if "compression" in opts:
         writer = writer.option("compression", str(opts["compression"]).lower())
     getattr(writer, fmt)(path)
-    return df.count()
+    return int(obs.get["rows_written"])
 
 
 def copy_from(session, target: str, path: str, opts: dict) -> int:

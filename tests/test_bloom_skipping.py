@@ -53,6 +53,28 @@ def test_bloom_probe_corrupt_spec_is_kept():
     assert skipping._bloom_maybe_contains({}, "v")
 
 
+def test_bloom_cross_typed_probe_never_excludes():
+    """ADVICE r5 (high): an int column probed with '5' (or a string
+    column probed with 5) canonicalizes to a different class prefix, so
+    a naive probe reports "definitely absent" — but Spark's
+    cast-comparison semantics can still match the row.  A class
+    mismatch must KEEP the file, mirroring _comparable's rule."""
+    int_bloom = skipping._bloom_build([5, 17, 42], fpp=0.01)
+    str_bloom = skipping._bloom_build(["5", "17", "42"], fpp=0.01)
+    assert int_bloom["t"] == "i" and str_bloom["t"] == "s"
+    # same-class absent values still exclude (the filter's whole point)
+    assert not skipping._bloom_maybe_contains(int_bloom, 999)
+    assert not skipping._bloom_maybe_contains(str_bloom, "999")
+    # cross-class probes can never exclude
+    assert skipping._bloom_maybe_contains(int_bloom, "5")
+    assert skipping._bloom_maybe_contains(int_bloom, "999")
+    assert skipping._bloom_maybe_contains(str_bloom, 5)
+    assert skipping._bloom_maybe_contains(str_bloom, 999)
+    # entries without the class tag (older manifests) never exclude
+    legacy = {k: v for k, v in int_bloom.items() if k != "t"}
+    assert skipping._bloom_maybe_contains(legacy, 999)
+
+
 # -- engine integration -------------------------------------------------------
 
 
@@ -120,6 +142,17 @@ def test_bloom_prunes_integer_equality_and_in(spark, bloom_engine):
     kept, _ = _pruned(e, "docs", "nid = 999999")
     assert kept == 0
     assert e.catalog.read("docs", predicate="nid = 999999").count() == 0
+
+
+def test_bloom_cross_typed_literal_prunes_nothing(bloom_engine):
+    """Integration form of the type guard: BIGINT column probed with a
+    quoted literal — Spark's cast-comparison matches the row, so prune
+    must keep every file and the read must return it."""
+    e = bloom_engine
+    kept, total = _pruned(e, "docs", "nid = '20'")
+    assert kept == total
+    rows = e.catalog.read("docs", predicate="nid = '20'").collect()
+    assert len(rows) == 1 and rows[0].nid == 20
 
 
 def test_bloom_never_excludes_float_or_range_probes(bloom_engine):

@@ -332,18 +332,48 @@ def test_auto_compaction_policy(spark, tmp_path):
     assert e.catalog._floor.get("fluss.ac", 0) == 6
 
 
-def test_auto_compaction_bad_property_raises(spark, tmp_path):
+def test_auto_compaction_bad_property_raises_at_ddl_time(spark, tmp_path):
+    """ADVICE r5: a malformed compaction.auto-after must fail the
+    CREATE, not a later write after its files are appended and the
+    commit recorded (data persisted, statement errors).  A bad value
+    that somehow reaches the write path is treated as disabled."""
     import pytest as _pytest
 
     from fluss_datafusion_spark import EngineSession
 
     e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_autocompact2"))
-    e.sql(
-        "CREATE TABLE acb (id BIGINT NOT NULL, PRIMARY KEY (id))"
-        " WITH ('compaction.auto-after' = 'soon')"
-    )
     with _pytest.raises(ValueError, match="integer statement count"):
-        e.sql("INSERT INTO acb VALUES (1)")
+        e.sql(
+            "CREATE TABLE acb (id BIGINT NOT NULL, PRIMARY KEY (id))"
+            " WITH ('compaction.auto-after' = 'soon')"
+        )
+    # write path tolerates a bad value injected post-DDL: DML succeeds,
+    # auto-compaction simply stays off
+    e.sql("CREATE TABLE acc (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    e.catalog.get_table("acc").properties["compaction.auto-after"] = "soon"
+    e.sql("INSERT INTO acc VALUES (1)")
+    assert e.sql("SELECT count(*) AS n FROM acc").collect()[0]["n"] == 1
+    assert e.catalog._floor.get("fluss.acc", 0) == 0
+
+
+def test_deferred_compaction_skips_vanished_tables(spark, tmp_path):
+    """ADVICE r5: a table dropped inside a defer_auto_compact guard must
+    not raise KeyError at guard exit (which would mask the statement's
+    real result) — the queued compaction is skipped silently."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_defer_drop"))
+    e.sql(
+        "CREATE TABLE dv (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " WITH ('compaction.auto-after' = '1')"
+    )
+    with e.catalog.defer_auto_compact():
+        e.sql("INSERT INTO dv VALUES (1, 'a')")  # queues fluss.dv
+        assert e.catalog._compaction_deferred == {"fluss.dv"}
+        e.catalog.drop_table("dv")
+    # guard exit reached without KeyError; nothing left behind
+    assert e.catalog._compaction_deferred is None
+    assert "dv" not in e.catalog.list_tables("fluss")
 
 
 def test_auto_compaction_defers_inside_multi_append_statements(spark, tmp_path):

@@ -44,6 +44,19 @@ def test_copy_roundtrip_csv(cdb, tmp_path):
     assert got == {(1, "a", 1.5), (2, "b", 2.5), (3, None, None)}
 
 
+def test_copy_to_count_observed_from_writing_plan(cdb, tmp_path, spark):
+    """ADVICE r5: the reported row count comes from observe() metrics on
+    the writing plan, not a second scan of the source — the contract is
+    reported == what actually landed, even for sampled queries."""
+    out = str(tmp_path / "export_rand")
+    n = cdb.sql(
+        f"COPY (SELECT id FROM range(1000) WHERE rand(42) < 0.5)"
+        f" TO '{out}' (FORMAT PARQUET)"
+    ).collect()[0].rows
+    landed = spark.read.parquet(out).count()
+    assert n == landed
+
+
 def test_copy_query_to_json_and_back(cdb, tmp_path):
     cdb.sql("CREATE TABLE cdb.j1 (id BIGINT NOT NULL, s STRING, PRIMARY KEY (id))")
     cdb.sql("INSERT INTO cdb.j1 VALUES (1,'x'),(2,'y'),(3,'z')")

@@ -150,3 +150,26 @@ def test_time_travel_words_inside_literals_untouched(spark, tmp_path):
     e.sql("INSERT INTO t VALUES (1, 'a')")
     rows = e.sql("SELECT 't VERSION AS OF 1' AS s, id FROM t").collect()
     assert rows[0].s == "t VERSION AS OF 1"
+
+
+def test_inline_time_travel_inside_insert_body(spark, tmp_path):
+    """ADVICE r5: INSERT INTO ... SELECT ... FROM t VERSION AS OF n is
+    routed to insert_sql before the generic SELECT rewrites run — the
+    DML path must apply the time-travel + system-table rewrites to its
+    body too."""
+    e = _mk(spark, tmp_path, "wh_ts9")
+    e.sql("INSERT INTO t VALUES (1, 'a')")          # v1
+    e.sql("INSERT INTO t VALUES (1, 'a2'), (2, 'b')")  # v2
+    e.sql("CREATE TABLE snap (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    n = e.sql(
+        "INSERT INTO snap SELECT id, v FROM t VERSION AS OF 1"
+    ).collect()[0]["count"]
+    assert n == 1
+    assert _rows(e.sql("SELECT * FROM snap")) == [(1, "a")]
+    # system-table form inside the body works the same way
+    e.sql("CREATE TABLE snap2 (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO snap2 SELECT id, v FROM t$v2 WHERE id = 2")
+    assert _rows(e.sql("SELECT * FROM snap2")) == [(2, "b")]
+    # INSERT OVERWRITE with a time-travel body: rollback-style rewrite
+    e.sql("INSERT OVERWRITE t SELECT id, v FROM t VERSION AS OF 1")
+    assert _rows(e.sql("SELECT * FROM t")) == [(1, "a")]

@@ -904,7 +904,12 @@ class FlussCatalog:
                 if c.physical_name and c.physical_name != c.name
             }
             kept = skipping.prune(
-                path, files, prune_predicate, allowed, rename_map=rename_map
+                path,
+                files,
+                prune_predicate,
+                allowed,
+                rename_map=rename_map,
+                spark=self.spark,
             )
             if len(kept) < len(files):
                 if not kept:

@@ -22,7 +22,8 @@ Everything here is stock PySpark (DataFrame / SQL / Catalyst / Structured
 Streaming); no RDD-level code and no driver-side row loops in any hot path.
 """
 
+from fluss_datafusion_spark.catalog.catalog import ConcurrentWriteConflict
 from fluss_datafusion_spark.session import EngineSession, build_spark
 
-__all__ = ["EngineSession", "build_spark"]
+__all__ = ["ConcurrentWriteConflict", "EngineSession", "build_spark"]
 __version__ = "0.1.0"

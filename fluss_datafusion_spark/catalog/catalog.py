@@ -42,6 +42,14 @@ _SEQ = "__seq__"
 _SUB = "__sub__"
 _BKT = "__bkt__"
 _DEL = "__del__"
+_COMMIT_DIR = "_commits"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed to the table between this statement's
+    snapshot read and its commit reservation.  The statement wrote
+    NOTHING — re-run it against the fresh state (optimistic concurrency,
+    the Delta commit-conflict contract)."""
 
 
 def bucket_id_expr(spec: TableSpec, *key_cols) -> F.Column:
@@ -563,12 +571,39 @@ class FlussCatalog:
 
     # -- read path ----------------------------------------------------------
 
-    # -- commit timestamps (timestamp-based time travel) --------------------
+    # -- commit protocol (seq allocation + timestamp time travel) -----------
+    #
+    # Optimistic concurrent writers (VERDICT r5 #2): the statement
+    # sequence is allocated by ATOMIC CREATE of a per-seq reservation
+    # file in ``<table>/_commits/`` (``O_CREAT|O_EXCL`` — the local-fs
+    # analog of Delta's put-if-absent commit file; on an object store
+    # this would be a conditional PUT).  Two sessions writing the same
+    # table can never stamp the same ``__seq__``: the loser's create
+    # fails and it retries at the next number.  After the data lands the
+    # reservation finalizes to ``<seq>.json`` holding the wall-clock
+    # commit time (the seq↔time mapping behind ``read(as_of_ts=...)``),
+    # one O(1) immutable file per statement — nothing is ever
+    # read-modify-written on the commit path.  The legacy whole-map
+    # ``_commits.json`` remains as the COMPACTED form: maintenance ops
+    # that swap the table directory (optimize/compact) fold the per-seq
+    # files into it, bounding the directory's size.  Read-modify-write
+    # statements (UPDATE/MERGE/predicate-DELETE/RESTORE) additionally
+    # pass the seq they based their snapshot on; if the allocation comes
+    # back higher than base+1, another writer committed in between and
+    # the statement raises ConcurrentWriteConflict BEFORE writing
+    # anything, instead of silently losing the concurrent update.
+    #
+    # Out of scope, documented: concurrent DDL on one table, and
+    # maintenance ops (OPTIMIZE/COMPACT/RESTORE swap the directory)
+    # concurrent with writers — those need exclusive table access.
 
     def _commits_path(self, spec: TableSpec) -> str:
         return os.path.join(self.table_path(spec), "_commits.json")
 
-    def _load_commits(self, spec: TableSpec) -> Dict[int, float]:
+    def _commit_dir(self, spec: TableSpec) -> str:
+        return os.path.join(self.table_path(spec), _COMMIT_DIR)
+
+    def _legacy_commits(self, spec: TableSpec) -> Dict[int, float]:
         import json
 
         try:
@@ -577,34 +612,151 @@ class FlussCatalog:
         except (OSError, ValueError):
             return {}
 
+    def _commit_dir_entries(self, spec: TableSpec) -> Dict[int, Optional[float]]:
+        """{seq: commit epoch | None-if-still-inflight} from the per-seq
+        commit directory.  Inflight reservations count as TAKEN (their
+        seq may be stamped into data files right now) but have no
+        timestamp until finalized."""
+        import json
+
+        out: Dict[int, Optional[float]] = {}
+        try:
+            entries = os.listdir(self._commit_dir(spec))
+        except OSError:
+            return out
+        for f in entries:
+            stem, _, ext = f.partition(".")
+            if not stem.isdigit():
+                continue
+            n = int(stem)
+            if ext == "json":
+                try:
+                    with open(os.path.join(self._commit_dir(spec), f)) as fh:
+                        out[n] = float(json.load(fh)["ts"])
+                except Exception:
+                    out.setdefault(n, None)
+            elif ext == "inflight":
+                out.setdefault(n, None)
+        return out
+
+    def _load_commits(self, spec: TableSpec) -> Dict[int, float]:
+        commits = self._legacy_commits(spec)
+        commits.update(
+            {
+                n: ts
+                for n, ts in self._commit_dir_entries(spec).items()
+                if ts is not None
+            }
+        )
+        return commits
+
+    def _latest_seq(self, spec: TableSpec) -> int:
+        """The highest statement seq visible anywhere: this session's
+        counter / log recovery, the legacy commit map, and the per-seq
+        commit dir (inflight reservations included) — the snapshot base
+        read-modify-write statements validate their commit against."""
+        disk = max(self._commit_dir_entries(spec), default=0)
+        legacy = max(self._legacy_commits(spec), default=0)
+        return max(self._current_seq(spec), legacy, disk)
+
+    def _reserve_seqs(
+        self,
+        spec: TableSpec,
+        count: int = 1,
+        expect_base: Optional[int] = None,
+    ) -> List[int]:
+        """Allocate ``count`` contiguous statement seqs by atomic
+        reservation-file create with retry.  With ``expect_base`` given,
+        raise ConcurrentWriteConflict if the allocation would not start
+        at ``expect_base + 1`` — i.e. another writer committed since the
+        caller read its snapshot.  Nothing is written to the data log
+        here, so a conflict aborts the statement cleanly."""
+        key = spec.qualified_name
+        d = self._commit_dir(spec)
+        os.makedirs(d, exist_ok=True)
+        base = self._current_seq(spec)
+        legacy = max(self._legacy_commits(spec), default=0)
+        while True:
+            disk = max(self._commit_dir_entries(spec), default=0)
+            start = max(base, legacy, disk) + 1
+            if expect_base is not None and start != expect_base + 1:
+                raise ConcurrentWriteConflict(
+                    f"concurrent write to {spec.qualified_name}: statement "
+                    f"read state as of seq {expect_base} but seq "
+                    f"{start - 1} has been committed since; nothing was "
+                    f"written — re-run the statement"
+                )
+            got: List[int] = []
+            for n in range(start, start + count):
+                try:
+                    fd = os.open(
+                        os.path.join(d, f"{n:010d}.inflight"),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    )
+                    os.close(fd)
+                    got.append(n)
+                except FileExistsError:
+                    break
+            if len(got) == count:
+                self._seq[key] = got[-1]
+                return got
+            for n in got:  # lost the race mid-range: release and retry
+                try:
+                    os.unlink(os.path.join(d, f"{n:010d}.inflight"))
+                except OSError:
+                    pass
+            base = start + len(got)
+
     def _record_commit(self, spec: TableSpec, seq: int) -> None:
-        """Stamp a statement's wall-clock commit time (epoch seconds) —
-        the seq↔time mapping behind ``read(as_of_ts=...)``.  Best
-        effort like the stats harvest: a failure must not fail the
-        write."""
+        """Finalize a reserved seq: write the per-seq commit file with
+        the wall-clock commit time (epoch seconds) and drop the
+        reservation.  Best effort like the stats harvest: a failure must
+        not fail the write — an unfinalized reservation still counts as
+        a taken seq, it just has no timestamp anchor."""
         import json
         import time
 
         try:
-            commits = self._load_commits(spec)
-            commits[int(seq)] = time.time()
-            path = self._commits_path(spec)
-            with open(path + ".tmp", "w") as fh:
-                json.dump(commits, fh)
-            os.replace(path + ".tmp", path)
+            d = self._commit_dir(spec)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"{int(seq):010d}.json")
+            tmp = f"{final}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"ts": time.time()}, fh)
+            os.replace(tmp, final)
+            try:
+                os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
+            except OSError:
+                pass
         except Exception:
             pass
 
     def _save_commits(self, spec: TableSpec, commits: Dict[int, float]) -> None:
+        """Write the whole seq↔time map as the compacted legacy JSON and
+        clear any per-seq commit files it absorbs.  Only called from
+        maintenance ops that swap the table directory (exclusive-access
+        contexts); the concurrent write path never rewrites this map."""
         import json
 
         try:
             if not commits:
                 return
             path = self._commits_path(spec)
-            with open(path + ".tmp", "w") as fh:
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
                 json.dump(commits, fh)
-            os.replace(path + ".tmp", path)
+            os.replace(tmp, path)
+            d = self._commit_dir(spec)
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    stem, _, ext = f.partition(".")
+                    if stem.isdigit() and ext in ("json", "inflight") and int(
+                        stem
+                    ) in commits:
+                        try:
+                            os.unlink(os.path.join(d, f))
+                        except OSError:
+                            pass
         except Exception:
             pass
 
@@ -1143,10 +1295,24 @@ class FlussCatalog:
         new_files = self._append_log(spec, aligned, deleted=False)
         return _footer_row_count(new_files)
 
-    def _append_log(self, spec: TableSpec, aligned: DataFrame, deleted: bool):
+    def _append_log(
+        self,
+        spec: TableSpec,
+        aligned: DataFrame,
+        deleted: bool,
+        reserved_seq: Optional[int] = None,
+        expect_base: Optional[int] = None,
+    ):
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
-        Returns the list of parquet files this write created."""
+        Returns the list of parquet files this write created.
+
+        ``reserved_seq``: use a seq the caller already reserved
+        (multi-append statements reserve their whole contiguous range
+        up front so a conflict aborts before ANY append).
+        ``expect_base``: read-modify-write callers pass the seq their
+        snapshot was based on — allocation raises
+        ConcurrentWriteConflict if another writer committed since."""
         if not deleted and spec.check_constraints:
             # CHECK semantics: a row violates only when the expression is
             # FALSE (NULL passes).  The input is pinned first so a
@@ -1167,7 +1333,11 @@ class FlussCatalog:
         writer_df = aligned
         seq = None
         if spec.has_primary_key:
-            seq = self._next_seq(spec)
+            seq = (
+                reserved_seq
+                if reserved_seq is not None
+                else self._next_seq(spec, expect_base=expect_base)
+            )
             writer_df = (
                 aligned.withColumn(_SEQ, F.lit(seq))
                 .withColumn(_SUB, F.monotonically_increasing_id())
@@ -1344,6 +1514,7 @@ class FlussCatalog:
                 f"RESTORE requires a primary-key table; "
                 f"{spec.qualified_name} is an append-only log table"
             )
+        base = self._latest_seq(spec)  # snapshot the RMW statement reads
         old = self.read(name, as_of_seq=as_of_seq)  # validates the floor
         pk = list(spec.primary_key)
         to_delete = (
@@ -1363,12 +1534,19 @@ class FlussCatalog:
         )
         old = old.localCheckpoint(eager=True)
         to_delete = to_delete.localCheckpoint(eager=True)
+        # reserve BOTH seqs before either append: a conflicting
+        # concurrent writer aborts the whole statement, never half of it
+        seq_restore, seq_delete = self._reserve_seqs(
+            spec, 2, expect_base=base
+        )
         with self.defer_auto_compact():
             restored = _footer_row_count(
-                self._append_log(spec, old, deleted=False)
+                self._append_log(spec, old, deleted=False, reserved_seq=seq_restore)
             )
             deleted = _footer_row_count(
-                self._append_log(spec, to_delete, deleted=True)
+                self._append_log(
+                    spec, to_delete, deleted=True, reserved_seq=seq_delete
+                )
             )
         return {"restored": restored, "deleted": deleted}
 
@@ -1387,6 +1565,7 @@ class FlussCatalog:
                 f"DELETE requires a primary-key table; "
                 f"{spec.qualified_name} is an append-only log table"
             )
+        base = self._latest_seq(spec)  # snapshot the RMW statement reads
         victims = self._current_df(spec).filter(F.expr(predicate)).select(
             *[
                 (
@@ -1397,7 +1576,9 @@ class FlussCatalog:
                 for f in spec.spark_schema().fields
             ]
         )
-        return _footer_row_count(self._append_log(spec, victims, deleted=True))
+        return _footer_row_count(
+            self._append_log(spec, victims, deleted=True, expect_base=base)
+        )
 
     def insert_sql(self, target: str, statement: str) -> DataFrame:
         """Execute ``INSERT INTO | OVERWRITE [TABLE] t [(cols)] VALUES
@@ -1512,6 +1693,7 @@ class FlussCatalog:
                 f"UPDATE references unknown columns {missing} on "
                 f"{spec.qualified_name}"
             )
+        base = self._latest_seq(spec)  # snapshot the RMW statement reads
         cur = self._current_df(spec)
         rows = cur.filter(F.expr(where)) if where else cur
         updated = rows.select(
@@ -1524,7 +1706,9 @@ class FlussCatalog:
                 for field in spec.spark_schema().fields
             ]
         )
-        return _footer_row_count(self._append_log(spec, updated, deleted=False))
+        return _footer_row_count(
+            self._append_log(spec, updated, deleted=False, expect_base=base)
+        )
 
     def merge_into(
         self,
@@ -1630,6 +1814,7 @@ class FlussCatalog:
                 "(ANSI MERGE cardinality violation)"
             )
 
+        base = self._latest_seq(spec)  # snapshot the RMW statement reads
         target_fields = spec.spark_schema().fields
         cur = self._current_df(spec).alias("t")
         src = source.alias("s")
@@ -1785,14 +1970,30 @@ class FlussCatalog:
         if live is not None and tombstones is not None:
             live = live.localCheckpoint(eager=True)
             tombstones = tombstones.localCheckpoint(eager=True)
+        # reserve the statement's whole contiguous seq range before the
+        # first append: a concurrent writer conflicts the whole MERGE,
+        # never half of it
+        n_appends = (live is not None) + (tombstones is not None)
+        reserved = (
+            self._reserve_seqs(spec, n_appends, expect_base=base)
+            if n_appends
+            else []
+        )
         with self.defer_auto_compact():
             if live is not None:
                 upserted = _footer_row_count(
-                    self._append_log(spec, live, deleted=False)
+                    self._append_log(
+                        spec, live, deleted=False, reserved_seq=reserved[0]
+                    )
                 )
             if tombstones is not None:
                 deleted = _footer_row_count(
-                    self._append_log(spec, tombstones, deleted=True)
+                    self._append_log(
+                        spec,
+                        tombstones,
+                        deleted=True,
+                        reserved_seq=reserved[-1],
+                    )
                 )
         return {"upserted": upserted, "deleted": deleted}
 
@@ -1809,9 +2010,10 @@ class FlussCatalog:
                 self._seq[key] = int(row[0] or 0)
         return self._seq.get(key, 0)
 
-    def _next_seq(self, spec: TableSpec) -> int:
-        self._seq[spec.qualified_name] = self._current_seq(spec) + 1
-        return self._seq[spec.qualified_name]
+    def _next_seq(
+        self, spec: TableSpec, expect_base: Optional[int] = None
+    ) -> int:
+        return self._reserve_seqs(spec, 1, expect_base=expect_base)[0]
 
     # -- maintenance --------------------------------------------------------
 

@@ -346,9 +346,23 @@ def _write_chunk(table_path: str, entries: Dict[str, Dict[str, List]]) -> None:
     table = pa.table(
         {k: pa.array(v, type=pa.string()) for k, v in rows.items()}
     )
-    tmp = os.path.join(d, f".manifest-{n:08d}.tmp")
+    tmp = os.path.join(d, f".manifest-{os.getpid()}-{n:08d}.tmp")
     pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(d, f"manifest-{n:08d}.parquet"))
+    # atomic-create with retry (hardlink fails if the name exists): two
+    # concurrent writers can never clobber each other's chunk — the
+    # loser lands at the next ordinal.  Their entries describe different
+    # data files, so either order replays identically.
+    while True:
+        final = os.path.join(d, f"manifest-{n:08d}.parquet")
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            break
+        except FileExistsError:
+            n += 1
+        except OSError:  # FS without hardlinks: best-effort replace
+            os.replace(tmp, final)
+            break
 
 
 def _clear_chunks(table_path: str) -> None:

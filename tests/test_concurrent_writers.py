@@ -1,0 +1,189 @@
+"""Optimistic concurrent-writer commits (VERDICT r5 #2).
+
+Statement seqs are allocated by atomic create of per-seq reservation
+files in ``<table>/_commits/`` (O_CREAT|O_EXCL with retry — the
+local-fs analog of Delta's put-if-absent commit), so two sessions over
+one warehouse can never stamp the same ``__seq__``; commit timestamps
+are one immutable file per statement (no read-modify-write anywhere on
+the commit path); read-modify-write DML (UPDATE/MERGE/predicate
+DELETE/RESTORE) validates its snapshot base at reservation time and
+raises ConcurrentWriteConflict BEFORE writing anything."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark import ConcurrentWriteConflict, EngineSession
+
+
+def _mk_pair(spark, tmp_path):
+    """Two independent EngineSessions (separate catalogs, separate
+    in-memory seq counters) over ONE warehouse directory."""
+    wh = str(tmp_path / "wh_concurrent")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e2 = EngineSession(spark=spark, warehouse=wh)  # attaches t from disk
+    return e1, e2
+
+
+def _seq_history(e, table="t"):
+    return sorted(
+        r["__seq__"]
+        for r in e.sql(f"SELECT DISTINCT __seq__ FROM {table}$history").collect()
+    )
+
+
+def test_interleaved_inserts_never_share_a_seq(spark, tmp_path):
+    e1, e2 = _mk_pair(spark, tmp_path)
+    for i in range(5):
+        e1.sql(f"INSERT INTO t VALUES ({i}, 'one-{i}')")
+        e2.sql(f"INSERT INTO t VALUES ({100 + i}, 'two-{i}')")
+    rows = {(r.id, r.v) for r in e1.sql("SELECT * FROM t").collect()}
+    assert len(rows) == 10, "no lost rows"
+    seqs = _seq_history(e1)
+    assert len(seqs) == 10, "10 statements -> 10 distinct seqs"
+    assert seqs == sorted(set(seqs)) and seqs[-1] == 10, (
+        "strictly monotone, gap-free under pure contention"
+    )
+    # both sessions read the same merged state
+    assert e2.sql("SELECT count(*) AS n FROM t").collect()[0].n == 10
+
+
+def test_upsert_ordering_across_sessions(spark, tmp_path):
+    """Cross-session writes to ONE key resolve by commit order — the
+    last statement's value wins everywhere, and time travel replays the
+    intermediate states."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")   # seq 1
+    e2.sql("INSERT INTO t VALUES (1, 'b')")   # seq 2
+    e1.sql("INSERT INTO t VALUES (1, 'c')")   # seq 3
+    for e in (e1, e2):
+        assert e.sql("SELECT v FROM t").collect()[0].v == "c"
+    assert e2.catalog.read("t", as_of_seq=1).collect()[0].v == "a"
+    assert e1.catalog.read("t", as_of_seq=2).collect()[0].v == "b"
+    # per-seq commit files exist and timestamp travel resolves across
+    # sessions (each statement wrote its own immutable commit file)
+    commits = e2.catalog._load_commits(e2.catalog.get_table("t"))
+    assert sorted(commits) == [1, 2, 3]
+    assert e1.catalog.resolve_timestamp("t", commits[2]) == 2
+
+
+def test_update_conflict_detected_before_any_write(spark, tmp_path, monkeypatch):
+    """A write landing between an UPDATE's snapshot read and its commit
+    reservation raises ConcurrentWriteConflict; the UPDATE writes
+    NOTHING (no partial statement), and a retry succeeds."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    cat = e1.catalog
+    orig = cat._reserve_seqs
+    state = {"fired": False}
+
+    def sneak_then_reserve(spec, count=1, expect_base=None):
+        if not state["fired"]:
+            state["fired"] = True
+            e2.sql("INSERT INTO t VALUES (99, 'sneak')")  # concurrent commit
+        return orig(spec, count, expect_base=expect_base)
+
+    monkeypatch.setattr(cat, "_reserve_seqs", sneak_then_reserve)
+    with pytest.raises(ConcurrentWriteConflict, match="re-run"):
+        e1.sql("UPDATE t SET v = upper(v)")
+    monkeypatch.undo()
+    # nothing half-applied: the sneak landed, the update did not
+    got = {(r.id, r.v) for r in e1.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a"), (2, "b"), (99, "sneak")}
+    assert _seq_history(e1) == [1, 2]
+    # the failed statement left no stray reservation: retry allocates
+    # the next seq and applies cleanly
+    assert e1.sql("UPDATE t SET v = upper(v)").collect()[0]["count"] == 3
+    got = {r.v for r in e1.sql("SELECT v FROM t").collect()}
+    assert got == {"A", "B", "SNEAK"}
+
+
+def test_merge_conflict_aborts_whole_statement(spark, tmp_path, monkeypatch):
+    """MERGE reserves its full contiguous seq range up front — a
+    concurrent commit aborts the whole MERGE (both appends), never half."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    cat = e1.catalog
+    orig = cat._reserve_seqs
+    state = {"fired": False}
+
+    def sneak_then_reserve(spec, count=1, expect_base=None):
+        if not state["fired"]:
+            state["fired"] = True
+            e2.sql("INSERT INTO t VALUES (50, 'mid')")
+        return orig(spec, count, expect_base=expect_base)
+
+    monkeypatch.setattr(cat, "_reserve_seqs", sneak_then_reserve)
+    with pytest.raises(ConcurrentWriteConflict):
+        e1.sql(
+            "MERGE INTO t USING (SELECT 1 AS id, 'A' AS v UNION ALL"
+            " SELECT 2, NULL) s ON t.id = s.id"
+            " WHEN MATCHED AND s.v IS NULL THEN DELETE"
+            " WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+    monkeypatch.undo()
+    got = {(r.id, r.v) for r in e1.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "a"), (2, "b"), (50, "mid")}, "no partial MERGE"
+    # retry applies both halves under fresh contiguous seqs
+    res = e1.sql(
+        "MERGE INTO t USING (SELECT 1 AS id, 'A' AS v UNION ALL"
+        " SELECT 2, NULL) s ON t.id = s.id"
+        " WHEN MATCHED AND s.v IS NULL THEN DELETE"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+    ).collect()[0]
+    assert (res.upserted, res.deleted) == (1, 1)
+    seqs = _seq_history(e1)
+    assert seqs[-2:] == [seqs[-1] - 1, seqs[-1]], "contiguous MERGE seqs"
+    got = {(r.id, r.v) for r in e1.sql("SELECT * FROM t").collect()}
+    assert got == {(1, "A"), (50, "mid")}
+
+
+def test_blind_inserts_never_conflict(spark, tmp_path):
+    """INSERT is a blind append: contention retries allocation instead
+    of raising — interleaved inserts all succeed."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    # stale in-memory counters on both sides: each session's cache lags
+    # the other's commits, so every allocation exercises the CAS retry
+    for i in range(4):
+        (e1 if i % 2 == 0 else e2).sql(f"INSERT INTO t VALUES ({i}, 'x')")
+    assert e1.sql("SELECT count(*) AS n FROM t").collect()[0].n == 4
+    assert _seq_history(e1) == [1, 2, 3, 4]
+
+
+def test_crashed_reservation_does_not_block_writers(spark, tmp_path):
+    """A writer that reserved a seq and died (stray .inflight, no data,
+    no finalize) must not block others: allocation skips past it and the
+    seq history simply has a gap."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    d = e1.catalog._commit_dir(spec)
+    with open(os.path.join(d, f"{2:010d}.inflight"), "x"):
+        pass  # simulated crash: reservation never finalized
+    e2.sql("INSERT INTO t VALUES (3, 'c')")  # allocates seq 3, not 2
+    assert _seq_history(e2) == [1, 3]
+    assert e1.sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    # time travel ignores the phantom: seq 3 is the latest anchor
+    assert {r.id for r in e1.catalog.read("t", as_of_seq=3).collect()} == {1, 3}
+
+
+def test_maintenance_folds_commit_files(spark, tmp_path):
+    """OPTIMIZE/COMPACT fold the per-seq commit files into the legacy
+    JSON map (bounding the directory) and timestamp travel still
+    resolves afterwards."""
+    e1, _ = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    e1.sql("INSERT INTO t VALUES (2, 'b')")
+    spec = e1.catalog.get_table("t")
+    commits_before = e1.catalog._load_commits(spec)
+    assert sorted(commits_before) == [1, 2]
+    e1.catalog.optimize("t")
+    d = e1.catalog._commit_dir(spec)
+    assert not os.path.isdir(d) or not os.listdir(d), "per-seq files folded"
+    assert e1.catalog._load_commits(spec) == commits_before
+    assert e1.catalog.resolve_timestamp("t", commits_before[1]) == 1
+    # and the commit protocol keeps working after the fold
+    e1.sql("INSERT INTO t VALUES (3, 'c')")
+    assert sorted(e1.catalog._load_commits(spec)) == [1, 2, 3]

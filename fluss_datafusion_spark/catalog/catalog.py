@@ -80,6 +80,16 @@ class FlussCatalog:
         # non-None inside a defer_auto_compact() guard: policy
         # compactions queue here instead of running mid-statement
         self._compaction_deferred: Optional[set] = None
+        # tables whose Spark temp views are stale (writes since the last
+        # bind) — rebound lazily at the next read boundary, so a
+        # multi-statement DML lifecycle pays ONE plan re-derivation per
+        # read instead of one per write (~0.1 s of py4j plan chatter
+        # per statement at local[32])
+        self._stale_views: set = set()
+        # qname -> binder: a component (e.g. a materialized view's
+        # user-facing projection) may OWN a table's temp-view binding;
+        # refresh_views calls it instead of the physical registration
+        self._view_overrides: Dict[str, object] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -426,6 +436,8 @@ class FlussCatalog:
     def drop_table(self, name: str) -> None:
         db, table = self._resolve(name)
         spec = self.databases[db].pop(table)
+        self._stale_views.discard(spec.qualified_name)
+        self._view_overrides.pop(spec.qualified_name, None)
         shutil.rmtree(self.table_path(spec), ignore_errors=True)
         self.spark.catalog.dropTempView(self._view_name(spec))
         # the bare-name view belongs to the DEFAULT database's table: drop
@@ -639,6 +651,22 @@ class FlussCatalog:
                 out.setdefault(n, None)
         return out
 
+    def _commit_dir_max(self, spec: TableSpec) -> int:
+        """Highest seq named in the commit dir (inflight included) —
+        names only, no file opens (the allocation hot path)."""
+        try:
+            entries = os.listdir(self._commit_dir(spec))
+        except OSError:
+            return 0
+        best = 0
+        for f in entries:
+            stem = f.partition(".")[0]
+            if stem.isdigit():
+                n = int(stem)
+                if n > best:
+                    best = n
+        return best
+
     def _load_commits(self, spec: TableSpec) -> Dict[int, float]:
         commits = self._legacy_commits(spec)
         commits.update(
@@ -655,7 +683,7 @@ class FlussCatalog:
         counter / log recovery, the legacy commit map, and the per-seq
         commit dir (inflight reservations included) — the snapshot base
         read-modify-write statements validate their commit against."""
-        disk = max(self._commit_dir_entries(spec), default=0)
+        disk = self._commit_dir_max(spec)
         legacy = max(self._legacy_commits(spec), default=0)
         return max(self._current_seq(spec), legacy, disk)
 
@@ -677,7 +705,7 @@ class FlussCatalog:
         base = self._current_seq(spec)
         legacy = max(self._legacy_commits(spec), default=0)
         while True:
-            disk = max(self._commit_dir_entries(spec), default=0)
+            disk = self._commit_dir_max(spec)
             start = max(base, legacy, disk) + 1
             if expect_base is not None and start != expect_base + 1:
                 raise ConcurrentWriteConflict(
@@ -1130,15 +1158,45 @@ class FlussCatalog:
         return f"{spec.database}__{spec.name}"
 
     def _register_view(self, spec: TableSpec) -> None:
+        """Mark the table's temp views stale.  Spark temp views freeze
+        the ANALYZED plan (file listing included), so every write makes
+        the bound view a stale snapshot — but re-deriving the merged
+        plan eagerly after EVERY append is ~0.1 s of py4j chatter that
+        multi-statement lifecycles (MERGE, matview refresh) pay per
+        statement for nothing.  The rebind is deferred to the next read
+        boundary: ``refresh_views()`` runs at every session.sql entry
+        (and anywhere else that resolves engine temp views)."""
+        self._stale_views.add(spec.qualified_name)
+
+    def refresh_views(self) -> None:
+        """Re-bind the temp views of every table written since the last
+        read boundary, then re-bind dependent logical views ONCE.  No-op
+        (one set check) when nothing is stale."""
+        if not self._stale_views:
+            return
+        stale, self._stale_views = self._stale_views, set()
+        bound = False
+        for qname in sorted(stale):
+            db, _, table = qname.partition(".")
+            spec = self.databases.get(db, {}).get(table)
+            if spec is None:
+                continue  # dropped before anything read it
+            self._register_view_now(spec)
+            bound = True
+        if bound:
+            # logical views froze their analyzed plans over the OLD
+            # base bindings — re-derive them in definition order
+            self._rebind_logical_views()
+
+    def _register_view_now(self, spec: TableSpec) -> None:
+        override = self._view_overrides.get(spec.qualified_name)
+        if override is not None:
+            override()
+            return
         df = self._current_df(spec)
         df.createOrReplaceTempView(self._view_name(spec))
         if spec.database == self.default_database:
             df.createOrReplaceTempView(spec.name)
-        # Spark temp views freeze the ANALYZED plan: logical views built
-        # over this table would keep serving the pre-write snapshot, so
-        # every re-registration re-binds them (cheap: planning only,
-        # and only when views exist)
-        self._rebind_logical_views()
 
     # -- logical (non-materialized) views ------------------------------------
     #
@@ -1182,6 +1240,7 @@ class FlussCatalog:
                 f"view already exists: {db}.{vname} "
                 "(use CREATE OR REPLACE VIEW)"
             )
+        self.refresh_views()  # the definition resolves base temp views
         self.spark.sql(select_sql)  # validate eagerly
         views[vname] = select_sql
         self._save_view_defs(db, views)
@@ -1610,6 +1669,10 @@ class FlussCatalog:
         by_name = match.group(2) is not None
         column_list = match.group(3)
         body = statement[match.end():]
+        if not re.match(r"^\s*VALUES\b", body, re.IGNORECASE):
+            # a SELECT body may resolve engine temp views; a pure VALUES
+            # body reads nothing — don't pay the rebind for it
+            self.refresh_views()
         input_df = self.spark.sql(body)
 
         spec = self.get_table(target)

@@ -466,15 +466,23 @@ def _save_mv(catalog, name: str, mv: Dict) -> None:
 
 
 def _register_user_view(catalog, name: str, mv: Dict) -> None:
-    """Re-register the session view so SELECT * FROM <mv> shows the
-    user-facing columns (hidden __mv_* support columns projected
-    away).  Must run after every write to the backing table, because
-    the catalog's own registration exposes the physical schema."""
+    """Install the matview's user-facing binding (hidden __mv_*
+    support columns projected away) as the table's VIEW OVERRIDE: the
+    catalog's lazy view refresh calls it instead of the physical-schema
+    registration on every rebind, so a refresh after any write keeps
+    showing the user projection."""
     spec = catalog.get_table(name)
-    df = catalog.read(name).select(*_user_projection(mv))
-    df.createOrReplaceTempView(catalog._view_name(spec))
-    if spec.database == catalog.default_database:
-        df.createOrReplaceTempView(spec.name)
+
+    def _bind() -> None:
+        df = catalog.read(name).select(*_user_projection(mv))
+        df.createOrReplaceTempView(catalog._view_name(spec))
+        if spec.database == catalog.default_database:
+            df.createOrReplaceTempView(spec.name)
+
+    catalog._view_overrides[spec.qualified_name] = _bind
+    # bind lazily: the catalog's refresh at the next read boundary calls
+    # the override — a refresh cycle of N writes pays ONE bind, not N
+    catalog._stale_views.add(spec.qualified_name)
 
 
 def _anchors_now(catalog, mv: Dict) -> Dict:

@@ -191,6 +191,7 @@ class EngineSession:
                 spark_type_to_ddl,
             )
 
+            self.catalog.refresh_views()  # CTAS body resolves temp views
             df = self.spark.sql(select_sql)
             db, table = name.split(".")
             cols = [
@@ -368,6 +369,7 @@ class EngineSession:
             elif self.catalog.has_table(source):
                 source_df = self.catalog.read(source)
             else:
+                self.catalog.refresh_views()  # resolving temp views
                 source_df = self.spark.table(
                     rewriter.rewrite_sql(source, self.catalog)
                 )
@@ -395,6 +397,12 @@ class EngineSession:
                 self._bind_system_tables(self._rewrite_time_travel(statement)),
             )
 
+        # Read boundary: re-bind temp views left stale by earlier writes
+        # (one set check when nothing changed).  Write-only statements
+        # above never pay the rebind — a 10-statement DML lifecycle
+        # re-derives each touched view's plan once at the next read,
+        # not once per write.
+        self.catalog.refresh_views()
         statement = self._rewrite_time_travel(statement)
         statement = self._bind_system_tables(statement)
         rewritten = rewriter.rewrite_sql(statement, self.catalog)

@@ -96,6 +96,7 @@ def copy_to(session, source: str, path: str, opts: dict) -> int:
     elif session.catalog.has_table(source):
         df = session.catalog.read(source)
     else:
+        session.catalog.refresh_views()  # resolving temp views
         df = session.spark.table(source)
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))

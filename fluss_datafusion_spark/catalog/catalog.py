@@ -90,6 +90,10 @@ class FlussCatalog:
         # user-facing projection) may OWN a table's temp-view binding;
         # refresh_views calls it instead of the physical registration
         self._view_overrides: Dict[str, object] = {}
+        # qname -> on-disk write-marker mtime_ns at the last view bind:
+        # lets refresh_views notice OTHER sessions' writes to a shared
+        # warehouse (one stat() per bound table per read boundary)
+        self._view_bound_stamp: Dict[str, int] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -1168,13 +1172,45 @@ class FlussCatalog:
         (and anywhere else that resolves engine temp views)."""
         self._stale_views.add(spec.qualified_name)
 
+    def _write_marker_path(self, spec: TableSpec) -> str:
+        return os.path.join(self.table_path(spec), "_last_write")
+
+    def _touch_write_marker(self, spec: TableSpec) -> None:
+        """Bump the table's on-disk write marker — how OTHER sessions'
+        lazy view refresh notices this session's writes.  Best effort."""
+        try:
+            path = self._write_marker_path(spec)
+            with open(path, "a"):
+                pass
+            os.utime(path)
+        except OSError:
+            pass
+
+    def _write_stamp(self, spec: TableSpec) -> int:
+        try:
+            return os.stat(self._write_marker_path(spec)).st_mtime_ns
+        except OSError:
+            return 0
+
     def refresh_views(self) -> None:
         """Re-bind the temp views of every table written since the last
-        read boundary, then re-bind dependent logical views ONCE.  No-op
-        (one set check) when nothing is stale."""
-        if not self._stale_views:
+        read boundary — by THIS session (the stale set) or by any other
+        session sharing the warehouse (the on-disk write marker moved
+        since this session bound the view) — then re-bind dependent
+        logical views ONCE.  Cost when nothing changed: one set check
+        plus one stat() per bound table."""
+        stale = set(self._stale_views)
+        self._stale_views.clear()
+        for db_tables in self.databases.values():
+            for spec in db_tables.values():
+                qname = spec.qualified_name
+                if qname in stale:
+                    continue
+                bound_at = self._view_bound_stamp.get(qname)
+                if bound_at is not None and self._write_stamp(spec) != bound_at:
+                    stale.add(qname)
+        if not stale:
             return
-        stale, self._stale_views = self._stale_views, set()
         bound = False
         for qname in sorted(stale):
             db, _, table = qname.partition(".")
@@ -1189,6 +1225,7 @@ class FlussCatalog:
             self._rebind_logical_views()
 
     def _register_view_now(self, spec: TableSpec) -> None:
+        self._view_bound_stamp[spec.qualified_name] = self._write_stamp(spec)
         override = self._view_overrides.get(spec.qualified_name)
         if override is not None:
             override()
@@ -1419,6 +1456,7 @@ class FlussCatalog:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         self._register_view(spec)
+        self._touch_write_marker(spec)
         new_files = sorted(_parquet_files(path) - before)
         # incremental footer-stats (+ opt-in column bloom) harvest for
         # the skipping scan (never fails the write — see skipping.add_files)
@@ -2173,6 +2211,7 @@ class FlussCatalog:
             self._seq[spec.qualified_name] = current
         self._save_spec(spec)
         self._save_commits(spec, commits)
+        self._touch_write_marker(spec)
         self._register_view(spec)
         files = _parquet_files(path)
         try:
@@ -2228,6 +2267,7 @@ class FlussCatalog:
         self._floor[spec.qualified_name] = current
         self._save_spec(spec)  # compaction replaced the dir; restore + floor
         self._save_commits(spec, commits)
+        self._touch_write_marker(spec)
         self._register_view(spec)
         try:
             bloom_cols, bloom_fpp = self._bloom_config(spec)

@@ -29,7 +29,7 @@ part of the north-star LLM-pipeline surface.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -229,6 +229,141 @@ def bm25_phrase_search(
     results: df/avgdl then describe the matching subcorpus, which is
     also the statistically right collection for the ranking)."""
     matched = phrase_filter(docs, doc_id_col, doc_text_col, phrase)
+    return bm25_search(
+        matched, doc_id_col, doc_text_col,
+        queries, query_id_col, query_text_col, k=k, **kwargs,
+    )
+
+
+# -- positional postings: true phrase / proximity matching --------------------
+#
+# The shingle-membership phrase filter above answers exact adjacency
+# only; Lucene users expect ``"exact phrase"~N`` — ordered proximity
+# with N tokens of slack.  That needs TERM POSITIONS in the postings
+# (the Lucene positional-index design).  We store them as one
+# array<int> per (term, doc) and evaluate the proximity predicate with
+# JVM array lambdas: for phrase terms t1..tn a document matches iff
+# positions p1 < p2 < ... < pn exist with span p_n - p_1 - (n-1) <= slop.
+# Existence is decided by the greedy minimal chain (for a fixed p1,
+# taking the SMALLEST valid next position minimizes the final endpoint,
+# so greedy finds a window within slop iff any exists) — one exists()
+# over t1's positions with nested array_min(filter(...)) hops, no UDF,
+# no shuffle beyond the n-way postings join on the doc key.
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional postings ``(__term__, __doc__, __positions__)`` with
+    1-based token positions (sorted ascending).  Same normalization as
+    the BM25 index (lowercase, whitespace tokens, empties dropped).
+
+    Scale shape: one explode + one groupBy on (term, doc) — positions
+    of one term in one document stay together; nothing is collected.
+    Persist alongside the BM25 index to serve phrase queries without
+    re-tokenizing the corpus."""
+    occ = (
+        spread_small_scan(docs)
+        .select(
+            F.col(id_col).alias("__doc__"),
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+                "__pos0__", "__term__"
+            ),
+        )
+        .filter(F.col("__term__") != "")
+        .select("__doc__", "__term__", (F.col("__pos0__") + 1).alias("__p__"))
+    )
+    return occ.groupBy("__term__", "__doc__").agg(
+        F.sort_array(F.collect_list("__p__")).alias("__positions__")
+    )
+
+
+def _proximity_hit(pos_cols: List[str], slop: int):
+    """Boolean Column: ordered positions p1 < ... < pn exist across the
+    given array columns with p_n - p_1 - (n-1) <= slop (Lucene-style
+    ordered proximity; slop=0 = exact adjacency)."""
+    n = len(pos_cols)
+
+    def chain(i, prev):
+        # smallest position of term i strictly after ``prev``
+        nxt = F.array_min(F.filter(F.col(pos_cols[i]), lambda x: x > prev))
+        if i == n - 1:
+            return nxt
+        return chain(i + 1, nxt)
+
+    if n == 1:
+        return F.size(F.col(pos_cols[0])) > 0
+    return F.exists(
+        F.col(pos_cols[0]),
+        lambda p1: F.coalesce(
+            chain(1, p1) - p1 - F.lit(n - 1) <= F.lit(slop), F.lit(False)
+        ),
+    )
+
+
+def proximity_filter(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    slop: int = 0,
+    positional: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Documents matching ``phrase`` as an ORDERED token sequence with
+    at most ``slop`` extra tokens interleaved (``"new york"~1`` matches
+    "new big york").  ``slop=0`` is exact adjacency, equivalent to
+    :func:`phrase_filter`.
+
+    ``positional``: a prebuilt :func:`build_positional_postings` frame
+    to reuse across queries; derived from ``docs`` otherwise.
+
+    Scale shape: n = len(phrase) semi-join hops on the doc key (each
+    term's positions arrive as one array row per doc), then a JVM
+    array-lambda predicate — no UDF, no per-position explosion."""
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    postings = (
+        positional
+        if positional is not None
+        else build_positional_postings(docs, id_col, text_col)
+    )
+    matched = None
+    pos_cols = []
+    for i, t in enumerate(terms):
+        col = f"__pos{i}__"
+        pos_cols.append(col)
+        side = postings.filter(F.col("__term__") == t).select(
+            F.col("__doc__"), F.col("__positions__").alias(col)
+        )
+        matched = side if matched is None else matched.join(side, "__doc__")
+    hits = matched.filter(_proximity_hit(pos_cols, slop)).select("__doc__")
+    return docs.join(
+        hits, docs[id_col] == hits["__doc__"], "left_semi"
+    )
+
+
+def bm25_proximity_search(
+    docs: DataFrame,
+    doc_id_col: str,
+    doc_text_col: str,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    phrase: str,
+    slop: int = 0,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """BM25 top-k restricted to documents matching ``phrase`` within
+    ``slop`` — the positional upgrade of :func:`bm25_phrase_search`
+    (``"exact phrase"~2`` in Lucene syntax).  The corpus is pruned to
+    proximity matches BEFORE the index build, so df/avgdl describe the
+    matching subcorpus."""
+    matched = proximity_filter(
+        docs, doc_id_col, doc_text_col, phrase, slop=slop
+    )
     return bm25_search(
         matched, doc_id_col, doc_text_col,
         queries, query_id_col, query_text_col, k=k, **kwargs,

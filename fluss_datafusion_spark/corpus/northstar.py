@@ -99,7 +99,9 @@ def ns_dedup_minhash_lsh(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_simhash",
+    # r6 rotation: -> extended (VERDICT r5 #7 — dedup keeps 7 core rows;
+    # the displaced slot funds ns_retrieval_hybrid in the driver window)
+    "ns_dedup_simhash", extended=True,
     oracle="""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
@@ -1575,7 +1577,10 @@ def ns_training_bpe_tokens(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_semantic",
+    # r6 rotation: -> extended (VERDICT r5 #7 — the embedding-dedup
+    # category keeps ns_dedup_embedding core; this slot funds
+    # ns_graph_components in the driver window)
+    "ns_dedup_semantic", extended=True,
     oracle="""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2693,6 +2698,76 @@ def ns_retrieval_bm25_phrase(spark, sf_dir):
 
 
 @query(
+    "ns_retrieval_phrase_positional", extended=True,
+    oracle="""
+    WITH alltoks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p
+        FROM alltoks
+    ),
+    matched AS (
+        SELECT DISTINCT a.doc_id
+        FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+        WHERE a.term = 'hash' AND b.term = 'join'
+          AND b.p > a.p AND b.p - a.p - 1 <= 2
+    ),
+    toks AS (
+        SELECT a.doc_id, unnest(a.tk) AS term
+        FROM alltoks a JOIN matched USING (doc_id)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT 0 AS query_id, unnest(['hash', 'join', 'fast']) AS term),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ns_retrieval_phrase_positional(spark, sf_dir):
+    """Positional proximity retrieval (r6 — Lucene's ``"hash join"~2``):
+    term positions stored in the postings, ordered-proximity match
+    decided by a greedy minimal position chain in JVM array lambdas
+    (positions p1 < p2 with span <= slop), then BM25 ranks within the
+    matching subcorpus.  Unlike the r5 shingle phrase filter this
+    matches interleaved occurrences ("hash inner join") — the oracle
+    replays positions with a DuckDB position self-join and re-scores
+    the full BM25 chain."""
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame([(0, "hash join fast")], ["qid", "qtext"])
+    return retrieval.bm25_proximity_search(
+        docs, "doc_id", "text", queries, "qid", "qtext",
+        phrase="hash join", slop=2, k=10,
+    )
+
+
+@query(
     "ns_retrieval_bm25f", extended=True,
     oracle="""
     WITH split AS (
@@ -3255,7 +3330,10 @@ def ns_sketch_cms(spark, sf_dir):
 
 
 @query(
-    "ns_retrieval_hybrid", extended=True,
+    # r6 rotation: -> CORE (VERDICT r5 #7 — RRF fusion is the RAG
+    # retrieval differentiator; displaced ns_dedup_simhash stays green
+    # in the extended registry)
+    "ns_retrieval_hybrid",
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -3433,7 +3511,10 @@ def ns_ts_ewma(spark, sf_dir):
 
 
 @query(
-    "ns_graph_components", extended=True,
+    # r6 rotation: -> CORE (VERDICT r5 #7 — the second hard-signal graph
+    # row next to pagerank; displaced ns_dedup_semantic stays green in
+    # the extended registry)
+    "ns_graph_components",
     oracle="""
     WITH RECURSIVE nodes AS (
         SELECT c_custkey AS n FROM customer

@@ -300,6 +300,14 @@ class FlussCatalog:
         self._save_spec(spec)
         self._register_view(spec)
 
+    def _stored_names(self, spec: TableSpec, cols) -> List[str]:
+        """Map logical column names to their on-disk (stored) names —
+        the column-mapping hop for layout columns: partition directories
+        and write-path partitionBy keep using the ORIGINAL directory
+        names after a rename, so no data file or directory moves."""
+        by_logical = {c.name: c.stored_name for c in spec.columns}
+        return [by_logical.get(c, c) for c in cols]
+
     def _to_logical(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         for col in spec.columns:
             if col.physical_name and col.physical_name != col.name:
@@ -316,25 +324,26 @@ class FlussCatalog:
         """ALTER TABLE RENAME COLUMN old TO new — column mapping
         (the Delta approach): the spec records the on-disk physical
         name and reads/writes translate at the boundary, so NO data
-        file is rewritten.  PK / partition / bucket columns refuse
-        (their names are baked into layout directories and merge
-        semantics), as does a column referenced by a CHECK constraint
-        (the stored expression would silently stop binding)."""
+        file is rewritten.  Partition and bucket columns rename too
+        (r6): their DIRECTORY names keep the original physical name —
+        the write path's partitionBy and the bucket-id expression map
+        through ``_stored_names``, and SHOW PARTITIONS translates dir
+        names back to the logical name for display.  Refusals: primary
+        key columns (their name is baked into merge semantics, point
+        deletes, and the PK-only skipping-prune rule across every code
+        path — the one rename Delta also gates behind a protocol bump),
+        and a column referenced by a CHECK constraint (the stored
+        expression would silently stop binding)."""
         import re as _re
 
         spec = self.get_table(name)
         col = spec.column(old)  # KeyError if absent
         if any(c.name == new for c in spec.columns):
             raise ValueError(f"column already exists: {new}")
-        protected = (
-            set(spec.primary_key)
-            | set(spec.partition_keys or [])
-            | set(spec.bucket_keys or [])
-        )
-        if old in protected:
+        if old in set(spec.primary_key):
             raise ValueError(
-                f"cannot rename {old}: primary-key/partition/bucket "
-                "columns are load-bearing for layout and merge semantics"
+                f"cannot rename {old}: primary-key columns are "
+                "load-bearing for merge semantics"
             )
         for cname, expr in spec.check_constraints.items():
             if _re.search(rf"\b{_re.escape(old)}\b", expr):
@@ -344,6 +353,14 @@ class FlussCatalog:
                 )
         col.physical_name = col.stored_name  # pin what's on disk
         col.name = new
+        # layout key lists name LOGICAL columns: follow the rename (the
+        # on-disk directory names stay put via physical_name)
+        spec.partition_keys[:] = [
+            new if k == old else k for k in (spec.partition_keys or [])
+        ]
+        spec.bucket_keys[:] = [
+            new if k == old else k for k in (spec.bucket_keys or [])
+        ]
         # bloom.columns names logical columns: follow the rename so the
         # harvest keeps building blooms (physical keying is unchanged)
         raw = (spec.properties or {}).get("bloom.columns")
@@ -1439,7 +1456,9 @@ class FlussCatalog:
                 .withColumn(_SUB, F.monotonically_increasing_id())
                 .withColumn(_DEL, F.lit(bool(deleted)))
             )
-        partition_cols = list(spec.partition_keys or [])
+        # partition DIRECTORIES keep their original (stored) names after
+        # a layout-column rename — partitionBy runs on the physical frame
+        partition_cols = self._stored_names(spec, spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
             # Physical bucket layout: __bkt__ is a Hive partition dir, so
             # (a) joins/aggs on the bucket key start co-located per
@@ -2160,11 +2179,14 @@ class FlussCatalog:
             os.path.getsize(f) for f in _parquet_files(path)
         )
         n_files = max(1, int(total_bytes // target_file_bytes) + 1)
-        partition_cols = list(spec.partition_keys or [])
+        # the rewrite operates on the PHYSICAL frame: layout and zorder
+        # columns resolve by their stored names
+        partition_cols = self._stored_names(spec, spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys and _BKT in log.columns:
             partition_cols.append(_BKT)
         tmp = path + ".optimize"
         if zorder_by:
+            zorder_by = self._stored_names(spec, zorder_by)
             from fluss_datafusion_spark.operators.zorder import (
                 cluster_by_zorder,
                 zorder_key,
@@ -2247,11 +2269,19 @@ class FlussCatalog:
         merged = self._to_physical(
             spec, self._merge_log(spec, self._log_df(spec), keep_internal=True)
         )
-        partition_cols = list(spec.partition_keys or [])
+        # physical frame: layout columns resolve by their stored names
+        partition_cols = self._stored_names(spec, spec.partition_keys or [])
         if spec.num_buckets and spec.bucket_keys:
             if _BKT not in merged.columns:
                 merged = merged.withColumn(
-                    _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
+                    _BKT,
+                    bucket_id_expr(
+                        spec,
+                        *[
+                            F.col(k)
+                            for k in self._stored_names(spec, spec.bucket_keys)
+                        ],
+                    ),
                 )
             partition_cols.append(_BKT)
         path = self.table_path(spec)

@@ -298,10 +298,18 @@ def _list_partitions(catalog, spec: TableSpec):
             if len(parts) == len(spec.partition_keys):
                 found.add(tuple(parts))
                 dirs[:] = []
+    # directory names carry the PHYSICAL column name (column mapping
+    # never moves directories) — translate to the logical name for
+    # display, so SHOW PARTITIONS follows a layout-column rename
+    to_logical = {c.stored_name: c.name for c in spec.columns}
     out = []
     for pid, parts in enumerate(sorted(found)):
         values = [p.split("=", 1)[1] for p in parts]
-        out.append((pid, "$".join(values), "/".join(parts)))
+        shown = [
+            f"{to_logical.get(k, k)}={v}"
+            for k, v in (p.split("=", 1) for p in parts)
+        ]
+        out.append((pid, "$".join(values), "/".join(shown)))
     return out or [(-1, "__non_partitioned__", "__non_partitioned__")]
 
 

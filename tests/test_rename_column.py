@@ -63,7 +63,7 @@ def test_rename_column_no_file_rewrite_and_maintenance(spark, tmp_path):
 def test_rename_column_refusals(spark, tmp_path):
     e = _mk(spark, tmp_path, "wh_rc3")
     with pytest.raises(ValueError, match="load-bearing"):
-        e.catalog.rename_column("t", "id", "key")
+        e.catalog.rename_column("t", "id", "key")  # PK still refuses
     with pytest.raises(ValueError, match="already exists"):
         e.catalog.rename_column("t", "val", "note")
     with pytest.raises(KeyError):
@@ -118,3 +118,118 @@ def test_add_column_refuses_recycled_physical_name(spark, tmp_path):
     with pytest.raises(ValueError, match="physical"):
         e.sql("ALTER TABLE t ADD COLUMN val BIGINT")
     e.sql("ALTER TABLE t ADD COLUMN val2 BIGINT")  # fresh name fine
+
+
+# -- layout-column renames (r6: partition/bucket column mapping) --------------
+
+
+def _mk_layout(spark, tmp_path, name):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / name))
+    e.sql(
+        "CREATE TABLE lt (id BIGINT NOT NULL, region STRING, grp BIGINT,"
+        " v BIGINT, PRIMARY KEY (id))"
+        " PARTITIONED BY (region) DISTRIBUTED BY (grp) INTO 4 BUCKETS"
+    )
+    e.sql(
+        "INSERT INTO lt VALUES (1, 'eu', 1, 10), (2, 'eu', 2, 20),"
+        " (3, 'us', 1, 30), (4, 'us', 2, 40)"
+    )
+    return e
+
+
+def test_rename_partition_column_reads_writes_dirs(spark, tmp_path):
+    import os
+
+    e = _mk_layout(spark, tmp_path, "wh_rlp1")
+    e.sql("ALTER TABLE lt RENAME COLUMN region TO zone")
+    # reads under the new name, partition values intact
+    got = sorted((r.id, r.zone) for r in e.sql("SELECT id, zone FROM lt").collect())
+    assert got == [(1, "eu"), (2, "eu"), (3, "us"), (4, "us")]
+    # filters on the renamed partition column still partition-prune
+    assert e.sql("SELECT count(*) AS n FROM lt WHERE zone = 'eu'").collect()[0].n == 2
+    # writes under the new name land in the ORIGINAL directory layout
+    e.sql("INSERT INTO lt VALUES (5, 'ap', 1, 50)")
+    path = os.path.join(e.catalog.warehouse, "fluss", "lt")
+    dirs = {d for d in os.listdir(path) if "=" in d}
+    assert dirs == {"region=eu", "region=us", "region=ap"}, (
+        "directory names keep the physical column name"
+    )
+    got = sorted((r.id, r.zone, r.v) for r in e.sql("SELECT id, zone, v FROM lt").collect())
+    assert got == [(1, "eu", 10), (2, "eu", 20), (3, "us", 30), (4, "us", 40), (5, "ap", 50)]
+    # upserts across the rename still merge per key
+    e.sql("INSERT INTO lt VALUES (1, 'eu', 1, 11)")
+    assert e.sql("SELECT v FROM lt WHERE id = 1").collect()[0].v == 11
+
+
+def test_rename_bucket_column_pruning_and_colocation(spark, tmp_path):
+    e = _mk_layout(spark, tmp_path, "wh_rlp2")
+    e.sql("ALTER TABLE lt RENAME COLUMN grp TO bucket_key")
+    got = sorted((r.id, r.bucket_key) for r in e.sql("SELECT id, bucket_key FROM lt").collect())
+    assert got == [(1, 1), (2, 2), (3, 1), (4, 2)]
+    # PK point lookup (bucket-pruned path) still answers
+    row = e.catalog.lookup("lt", 2).collect()
+    assert len(row) == 1 and row[0].bucket_key == 2
+    # writes bucket by the SAME hash: old and new rows for one key value
+    # land in the same __bkt__ directory (pre/post-rename colocation)
+    e.sql("INSERT INTO lt VALUES (6, 'eu', 1, 60)")
+    import os
+
+    path = os.path.join(e.catalog.warehouse, "fluss", "lt")
+    bkt_of = {}
+    for root, _dirs, files in os.walk(path):
+        if "__bkt__=" in root and any(f.endswith(".parquet") for f in files):
+            bkt = [p for p in root.split(os.sep) if p.startswith("__bkt__=")][0]
+            for r in e.spark.read.parquet(root).collect():
+                if "bucket_key" in r.__fields__ or "grp" in r.__fields__:
+                    key = r["grp"] if "grp" in r.__fields__ else r["bucket_key"]
+                    bkt_of.setdefault(key, set()).add(bkt)
+    assert all(len(v) == 1 for v in bkt_of.values()), (
+        "each bucket-key value lives in exactly one bucket dir across the rename",
+        bkt_of,
+    )
+
+
+def test_rename_layout_column_show_partitions_and_reattach(spark, tmp_path):
+    e = _mk_layout(spark, tmp_path, "wh_rlp3")
+    e.sql("ALTER TABLE lt RENAME COLUMN region TO zone")
+    rows = e.sql("SHOW PARTITIONS lt").collect()
+    quals = {r.partition_qualified_name for r in rows}
+    assert quals == {"zone=eu", "zone=us"}, (
+        "SHOW PARTITIONS translates directory names to the logical name",
+        quals,
+    )
+    # a fresh session over the same warehouse sees the mapping
+    e2 = EngineSession(spark=spark, warehouse=e.catalog.warehouse)
+    got = sorted((r.id, r.zone) for r in e2.sql("SELECT id, zone FROM lt").collect())
+    assert got == [(1, "eu"), (2, "eu"), (3, "us"), (4, "us")]
+    e2.sql("INSERT INTO lt VALUES (9, 'eu', 1, 90)")
+    assert e2.sql("SELECT count(*) AS n FROM lt WHERE zone = 'eu'").collect()[0].n == 3
+
+
+def test_rename_layout_column_maintenance_and_skipping(spark, tmp_path):
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    e = _mk_layout(spark, tmp_path, "wh_rlp4")
+    e.sql("ALTER TABLE lt RENAME COLUMN region TO zone")
+    e.sql("ALTER TABLE lt RENAME COLUMN v TO amount")
+    # OPTIMIZE and COMPACT keep the physical directory layout working
+    e.catalog.optimize("lt")
+    got = sorted((r.id, r.zone, r.amount) for r in e.sql("SELECT id, zone, amount FROM lt").collect())
+    assert got == [(1, "eu", 10), (2, "eu", 20), (3, "us", 30), (4, "us", 40)]
+    e.sql("INSERT INTO lt VALUES (1, 'eu', 1, 11)")
+    e.catalog.compact("lt")
+    got = sorted((r.id, r.amount) for r in e.sql("SELECT id, amount FROM lt").collect())
+    assert got == [(1, 11), (2, 20), (3, 30), (4, 40)]
+    # skipping prune translates renamed PK-allowed predicate names; a
+    # predicate on the renamed non-PK column keeps all files (PK rule)
+    spec = e.catalog.get_table("lt")
+    path = e.catalog.table_path(spec)
+    files = sorted(_parquet_files(path))
+    kept = skipping.prune(
+        path, files, "amount = 11", None,
+        rename_map={"amount": "v", "zone": "region"},
+    )
+    assert len(kept) <= len(files)
+    rows = e.catalog.read("lt", predicate="id = 2").collect()
+    assert len(rows) == 1 and rows[0].amount == 20

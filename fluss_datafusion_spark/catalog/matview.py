@@ -107,12 +107,15 @@ _SELECT_RE = re.compile(
     r"\s+GROUP\s+BY\s+(?P<groups>.*?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_FROM_RE = re.compile(
+_FROM_HEAD_RE = re.compile(
     r"^(?P<src>(?:`[^`]*`|[\w.])+)"
-    r"(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(?P<a1>\w+))?"
-    r"(?:\s+(?:INNER\s+)?JOIN\s+(?P<src2>(?:`[^`]*`|[\w.])+)"
-    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a2>\w+))?"
-    r"\s+ON\s+(?P<on>.+))?$",
+    r"(?:\s+(?:AS\s+)?(?!INNER\b|JOIN\b)(?P<a1>\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_CLAUSE_RE = re.compile(
+    r"^(?P<src>(?:`[^`]*`|[\w.])+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<a>\w+))?"
+    r"\s+ON\s+(?P<on>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ_RE = re.compile(
@@ -148,25 +151,38 @@ def parse_matview_select(select_sql: str) -> Dict:
             f"{select_sql!r}"
         )
     strip = lambda s: s.strip().strip("`")  # noqa: E731
-    frm = _FROM_RE.match(match.group("from_").strip())
-    if not frm:
+    from_sql = match.group("from_").strip()
+    segments = re.split(r"\s+(?:INNER\s+)?JOIN\s+", from_sql,
+                        flags=re.IGNORECASE)
+    head = _FROM_HEAD_RE.match(segments[0].strip())
+    if not head:
         raise ValueError(
-            f"unsupported FROM clause {match.group('from_').strip()!r}: "
-            "expected 't [AS a]' or 't [AS] a JOIN u [AS] b ON a.k = b.k'"
+            f"unsupported FROM clause {from_sql!r}: expected 't [AS a]' "
+            "with zero or more 'JOIN u [AS] b ON a.k = b.k' clauses"
         )
-    source = frm.group("src").replace("`", "")
-    source2 = frm.group("src2").replace("`", "") if frm.group("src2") else None
-    alias = frm.group("a1") or (source.split(".")[-1] if source2 else None)
-    alias2 = frm.group("a2") or (
-        source2.split(".")[-1] if source2 else None
-    )
-    join_on: List[List[str]] = []
-    if source2 is not None:
-        if alias == alias2:
+    source = head.group("src").replace("`", "")
+    is_join = len(segments) > 1
+    alias = head.group("a1") or (source.split(".")[-1] if is_join else None)
+    # sources[i] = {name, alias}; joins[i] = the i+1-th source's AND-ed
+    # equality pairs, each [earlier_alias.col, new_alias.col]
+    sources = [{"name": source, "alias": alias}]
+    joins: List[List[List[str]]] = []
+    for seg in segments[1:]:
+        clause = _JOIN_CLAUSE_RE.match(seg.strip())
+        if not clause:
             raise ValueError(
-                f"join sides need distinct aliases (both are {alias!r})"
+                f"unsupported JOIN clause {seg.strip()!r}: expected "
+                "'table [AS] alias ON a.col = b.col [AND ...]'"
             )
-        for conj in re.split(r"\s+AND\s+", frm.group("on").strip(),
+        src_i = clause.group("src").replace("`", "")
+        alias_i = clause.group("a") or src_i.split(".")[-1]
+        earlier = {s["alias"] for s in sources}
+        if alias_i in earlier:
+            raise ValueError(
+                f"join sides need distinct aliases (duplicate {alias_i!r})"
+            )
+        pairs: List[List[str]] = []
+        for conj in re.split(r"\s+AND\s+", clause.group("on").strip(),
                              flags=re.IGNORECASE):
             eq = _ON_EQ_RE.match(conj.strip())
             if not eq:
@@ -176,25 +192,35 @@ def parse_matview_select(select_sql: str) -> Dict:
                 )
             l, r = eq.group("l"), eq.group("r")
             la, ra = l.split(".")[0], r.split(".")[0]
-            if {la, ra} != {alias, alias2}:
+            if ra == alias_i and la in earlier:
+                pairs.append([l, r])
+            elif la == alias_i and ra in earlier:
+                pairs.append([r, l])
+            else:
                 raise ValueError(
                     f"join condition {conj.strip()!r} must relate "
-                    f"{alias!r} to {alias2!r}"
+                    f"{alias_i!r} to an earlier alias "
+                    f"({sorted(earlier)})"
                 )
-            join_on.append([l, r] if la == alias else [r, l])
+        sources.append({"name": src_i, "alias": alias_i})
+        joins.append(pairs)
+    source2 = sources[1]["name"] if is_join else None
+    alias2 = sources[1]["alias"] if is_join else None
+    join_on = joins[0] if is_join else []
+    aliases = {s["alias"] for s in sources if s["alias"]}
 
     def _check_ref(ref: str, what: str) -> str:
-        if source2 is None:
+        if not is_join:
             if "." in ref:
                 raise ValueError(
                     f"{what} {ref!r}: qualified references need a JOIN"
                 )
         else:
             parts = ref.split(".")
-            if len(parts) != 2 or parts[0] not in (alias, alias2):
+            if len(parts) != 2 or parts[0] not in aliases:
                 raise ValueError(
                     f"{what} {ref!r}: join views require alias-qualified "
-                    f"references ({alias}.col or {alias2}.col)"
+                    f"references ({sorted(aliases)})"
                 )
         return ref
 
@@ -252,6 +278,11 @@ def parse_matview_select(select_sql: str) -> Dict:
         "alias": alias,
         "alias2": alias2,
         "join_on": join_on,
+        # n-ary form (r6): the full source list + per-join equality
+        # pairs; the 2-source legacy keys above stay populated so
+        # persisted pre-r6 _mv.json files keep loading
+        "sources": sources,
+        "joins": joins,
         "where": _unmask_literals(
             (match.group("where") or "").strip() or None, lits
         ),
@@ -307,18 +338,88 @@ def _joined(mv: Dict, dfa: DataFrame, dfb: DataFrame, sign=None) -> DataFrame:
     return _project_normal(out, mv, sign=sign)
 
 
-def _normalized_source(catalog, mv: Dict, as_of: Tuple) -> DataFrame:
+def _is_nary(mv: Dict) -> bool:
+    return len(mv.get("sources") or []) >= 3
+
+
+def _aliases(mv: Dict) -> List[str]:
+    return [s["alias"] for s in mv["sources"]]
+
+
+def _flat_expr(mv: Dict, expr: str) -> str:
+    """Rewrite alias-qualified refs (``a.col``) to the flat mangled
+    names (``a__col``) the n-ary fold frames carry."""
+    pat = r"\b(" + "|".join(re.escape(a) for a in _aliases(mv)) + r")\.(\w+)"
+    return re.sub(pat, r"\1__\2", expr)
+
+
+def _flat_frame(df: DataFrame, alias: str) -> DataFrame:
+    return df.select(*[F.col(c).alias(f"{alias}__{c}") for c in df.columns])
+
+
+def _flat_join_cond(mv: Dict, pairs) -> "F.Column":
+    return reduce(
+        lambda x, y: x & y,
+        [
+            F.col(_flat_expr(mv, l)) == F.col(_flat_expr(mv, r))
+            for l, r in pairs
+        ],
+    )
+
+
+def _project_normal_flat(df: DataFrame, mv: Dict, sign=None) -> DataFrame:
+    """n-ary analog of _project_normal: WHERE + projection over a flat
+    (alias__col) fully-joined frame.  _acol's dot-mangling produces the
+    same ``alias__col`` names, so the downstream agg machinery is
+    shared unchanged."""
+    if mv["where"]:
+        df = df.filter(F.expr(_flat_expr(mv, mv["where"])))
+    cols = [
+        F.col(_flat_expr(mv, expr)).alias(name)
+        for expr, name in zip(mv["group_cols"], mv["group_names"])
+    ]
+    done = set()
+    for a in mv["aggs"]:
+        c = a["col"]
+        if c is None or c in done:
+            continue
+        done.add(c)
+        cols.append(F.col(_flat_expr(mv, c)).alias(_acol(mv, c)))
+    if sign is not None:
+        cols.append(sign.cast("int").alias(_SIGN))
+    return df.select(*cols)
+
+
+def _nary_snapshot(catalog, mv: Dict, his: List[int]) -> DataFrame:
+    """Fold-join of all sources pinned at their anchors (flat frames)."""
+    frames = [
+        _flat_frame(
+            catalog.read(s["name"], as_of_seq=hi), s["alias"]
+        )
+        for s, hi in zip(mv["sources"], his)
+    ]
+    joined = frames[0]
+    for i, frame in enumerate(frames[1:]):
+        joined = joined.join(frame, _flat_join_cond(mv, mv["joins"][i]))
+    return joined
+
+
+def _normalized_source(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     """The view's input relation (joined for join views), pinned at the
     given per-source seq anchors, WHERE applied, normalized."""
+    if _is_nary(mv):
+        return _project_normal_flat(
+            _nary_snapshot(catalog, mv, anchors["his"]), mv
+        )
     if mv.get("source2") is None:
-        src = catalog.read(mv["source"], as_of_seq=as_of[0])
+        src = catalog.read(mv["source"], as_of_seq=anchors["hi"])
         if mv["where"]:
             src = src.filter(F.expr(mv["where"]))
         return _project_normal(src, mv)
     return _joined(
         mv,
-        catalog.read(mv["source"], as_of_seq=as_of[0]),
-        catalog.read(mv["source2"], as_of_seq=as_of[1]),
+        catalog.read(mv["source"], as_of_seq=anchors["hi"]),
+        catalog.read(mv["source2"], as_of_seq=anchors["hi2"]),
     )
 
 
@@ -329,13 +430,87 @@ def _signed_changes(catalog, mv: Dict, source: str, lo: int, hi: int):
     return ch.withColumn(_SIGN, sign).drop("op", "change_seq", "change_sub")
 
 
+def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
+    """n-ary join delta by FOLDING the two-relation rule: with
+    J = A1⋈...⋈Ak the accumulated join and δJ its accumulated delta,
+    adding source C gives
+
+        δ(J ⋈ C) = δJ ⋈ C1  +  J1 ⋈ δC  −  δJ ⋈ δC
+
+    — the same three terms as the pairwise rule, applied k−1 times
+    (δ(ABC) telescopes out of δ(AB)).  Each fold step joins a
+    changes-sized delta against a pinned snapshot (AQE broadcasts the
+    delta side) and checkpoints the accumulated delta once, so refresh
+    cost is O(changes × join fan-out × n_sources), never O(Σ|sources|).
+    Signs multiply through each join; the both-delta term is negated
+    exactly as in the 2-ary rule."""
+    sc = "__mv_sign_c__"
+    his, los = anchors["his"], anchors["los"]
+
+    def _delta_of(i: int, sign_name: str):
+        if his[i] <= los[i]:
+            return None
+        src = mv["sources"][i]
+        return _flat_frame(
+            _signed_changes(catalog, mv, src["name"], los[i], his[i])
+            .withColumnRenamed(_SIGN, "__sgn__"),
+            src["alias"],
+        ).withColumnRenamed(f"{src['alias']}____sgn__", sign_name)
+
+    def _snap_of(i: int):
+        src = mv["sources"][i]
+        return _flat_frame(
+            catalog.read(src["name"], as_of_seq=his[i]), src["alias"]
+        )
+
+    j1 = _snap_of(0)
+    dj = _delta_of(0, _SIGN)
+    if dj is not None:
+        dj = dj.localCheckpoint()
+    for i in range(1, len(mv["sources"])):
+        cond = _flat_join_cond(mv, mv["joins"][i - 1])
+        c1 = _snap_of(i)
+        dc = _delta_of(i, sc)
+        if dc is not None:
+            dc = dc.localCheckpoint()
+        terms = []
+        if dj is not None:
+            terms.append(dj.join(c1, cond))
+        if dc is not None:
+            terms.append(
+                j1.join(dc, cond)
+                .withColumnRenamed(sc, _SIGN)
+            )
+        if dj is not None and dc is not None:
+            both = dj.join(dc, cond)
+            terms.append(
+                both.withColumn(
+                    _SIGN, -(F.col(_SIGN) * F.col(sc))
+                ).drop(sc)
+            )
+        dj = (
+            reduce(DataFrame.unionByName, terms).localCheckpoint()
+            if terms
+            else None
+        )
+        j1 = j1.join(c1, cond)
+    if dj is None:  # no source had a window (caller guards, but be safe)
+        return _project_normal_flat(
+            j1.limit(0), mv, sign=F.lit(1)
+        )
+    return _project_normal_flat(dj, mv, sign=F.col(_SIGN))
+
+
 def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     """Sign-weighted normalized rows whose aggregation is the view's
     exact delta over the refresh window.
 
     Single source: the CDC window itself.  Join views: the three-term
     join delta  δA ⋈ B1  +  A1 ⋈ δB  −  δA ⋈ δB  with per-pair sign
-    products (see module docstring)."""
+    products (see module docstring); three or more sources fold the
+    same rule pairwise (see _delta_rows_nary)."""
+    if _is_nary(mv):
+        return _delta_rows_nary(catalog, mv, anchors)
     if mv.get("source2") is None:
         ch = _signed_changes(
             catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
@@ -451,10 +626,18 @@ def _load_mv(catalog, name: str) -> Dict:
             mv = json.load(fh)
     except OSError:
         raise ValueError(f"{name} is not a materialized view") from None
-    # pre-join-view / pre-Kahan specs lack these keys
+    # pre-join-view / pre-Kahan / pre-n-ary specs lack these keys
     mv.setdefault("source2", None)
     mv.setdefault("group_names", mv["group_cols"])
     mv.setdefault("float_sums", [])
+    if "sources" not in mv:
+        mv["sources"] = [{"name": mv["source"], "alias": mv.get("alias")}]
+        mv["joins"] = []
+        if mv["source2"]:
+            mv["sources"].append(
+                {"name": mv["source2"], "alias": mv.get("alias2")}
+            )
+            mv["joins"].append(mv.get("join_on") or [])
     return mv
 
 
@@ -489,13 +672,14 @@ def _anchors_now(catalog, mv: Dict) -> Dict:
     out = {"hi": catalog.current_seq(mv["source"]), "hi2": 0}
     if mv.get("source2"):
         out["hi2"] = catalog.current_seq(mv["source2"])
+    out["his"] = [
+        catalog.current_seq(s["name"]) for s in mv.get("sources") or []
+    ]
     return out
 
 
 def _full_state(catalog, mv: Dict, anchors: Dict) -> DataFrame:
-    rows = _normalized_source(
-        catalog, mv, (anchors["hi"], anchors.get("hi2"))
-    )
+    rows = _normalized_source(catalog, mv, anchors)
     state = rows.groupBy(*mv["group_names"]).agg(*_physical_aggs(mv))
     return _with_kahan_state(state, mv)
 
@@ -510,28 +694,26 @@ def create_matview(catalog, name: str, select_sql: str) -> int:
 
 def _create_matview_impl(catalog, name: str, select_sql: str) -> int:
     mv = parse_matview_select(select_sql)
-    by_alias = {mv["alias"]: mv["source"]}
-    if mv["source2"]:
-        by_alias[mv["alias2"]] = mv["source2"]
+    is_join = mv["source2"] is not None
     col_sets = {}
-    for al, src in ([(mv["alias"], mv["source"])] if mv["source2"] is None
-                    else list(by_alias.items())):
-        src_spec = catalog.get_table(src)
+    for s in mv["sources"]:
+        src_spec = catalog.get_table(s["name"])
         if not src_spec.has_primary_key:
             raise ValueError(
                 "materialized views require primary-key sources (the "
                 "changelog derivation needs PK semantics); "
                 f"{src_spec.qualified_name} is a log table"
             )
-        col_sets[al] = {c.name for c in src_spec.columns}
+        col_sets[s["alias"]] = {c.name for c in src_spec.columns}
     referenced = list(mv["group_cols"]) + [
         a["col"] for a in mv["aggs"] if a["col"] is not None
     ]
-    if mv["source2"]:
-        referenced += [r for pair in mv["join_on"] for r in pair]
+    referenced += [
+        r for pairs in mv["joins"] for pair in pairs for r in pair
+    ]
     missing = []
     for ref in referenced:
-        if mv["source2"] is None:
+        if not is_join:
             if ref not in col_sets[mv["alias"]]:
                 missing.append(ref)
         else:
@@ -593,6 +775,7 @@ def _create_matview_impl(catalog, name: str, select_sql: str) -> int:
     mv["last_seq"] = anchors["hi"]
     if mv["source2"]:
         mv["last_seq2"] = anchors["hi2"]
+    mv["last_seqs"] = list(anchors["his"])
     _save_mv(catalog, name, mv)
     _register_user_view(catalog, name, mv)
     return n
@@ -616,7 +799,11 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     anchors = _anchors_now(catalog, mv)
     anchors["lo"] = mv["last_seq"]
     anchors["lo2"] = mv.get("last_seq2", 0)
-    if anchors["hi"] <= anchors["lo"] and anchors["hi2"] <= anchors["lo2"]:
+    anchors["los"] = mv.get(
+        "last_seqs",
+        [anchors["lo"]] + ([anchors["lo2"]] if mv.get("source2") else []),
+    )
+    if all(hi <= lo for hi, lo in zip(anchors["his"], anchors["los"])):
         _register_user_view(catalog, name, mv)
         return {"upserted": 0, "deleted": 0, "full_rebuild": 0}
 
@@ -624,6 +811,7 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         mv["last_seq"] = anchors["hi"]
         if mv.get("source2"):
             mv["last_seq2"] = anchors["hi2"]
+        mv["last_seqs"] = list(anchors["his"])
         _save_mv(catalog, name, mv)
         _register_user_view(catalog, name, mv)
 
@@ -748,7 +936,7 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     to_insert = upserts
     if rescan_flags and rescan_keys.limit(1).count() > 0:
         rescanned = _with_kahan_state(
-            _normalized_source(catalog, mv, (anchors["hi"], anchors["hi2"]))
+            _normalized_source(catalog, mv, anchors)
             .join(rescan_keys, mv["group_names"], "left_semi")
             .groupBy(*mv["group_names"])
             .agg(*_physical_aggs(mv)),
@@ -801,7 +989,7 @@ def matview_refresh_sink(catalog, name: str, checkpoint: str):
     deployment.  Returns the StreamingQuery.
     """
     mv = _load_mv(catalog, name)
-    sources = [mv["source"]] + ([mv["source2"]] if mv.get("source2") else [])
+    sources = [s["name"] for s in mv["sources"]]
     streams = []
     for src in sources:
         src_spec = catalog.get_table(src)

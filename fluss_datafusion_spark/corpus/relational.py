@@ -2254,3 +2254,120 @@ def q65_group_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "q66_matview_star", extended=True,
+    oracle="""
+    WITH dimc0 AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg
+        FROM customer WHERE c_custkey <= 300
+    ),
+    dimc1 AS (
+        SELECT k, CASE WHEN k % 7 = 0 THEN 'MOVED' ELSE seg END AS seg
+        FROM dimc0
+    ),
+    dimc2 AS (
+        SELECT * FROM dimc1 UNION ALL SELECT 999999, 'NEWSEG'
+    ),
+    dimp2 AS (
+        SELECT * FROM (VALUES (0, 'p0'), (1, 'p1'), (2, 'P2X'), (3, 'p3'))
+        v(k, label)
+    ),
+    fact0 AS (
+        SELECT o_orderkey AS k, o_custkey AS ck,
+               o_orderkey % 5 AS pd,
+               CAST(floor(o_totalprice) AS BIGINT) AS x
+        FROM orders WHERE o_orderkey <= 1200
+    ),
+    fact1 AS (
+        SELECT * FROM fact0 WHERE k % 11 <> 0
+        UNION ALL
+        SELECT * FROM (VALUES (2000001, 5, 2, 100), (2000002, 999999, 0, 50),
+                              (2000003, 5, 1, NULL)) v(k, ck, pd, x)
+    ),
+    fact2 AS (
+        SELECT k, ck, pd, CASE WHEN ck % 13 = 0 THEN x + 5 ELSE x END AS x
+        FROM fact1
+    )
+    SELECT c.seg, p.label, count(*) AS n, CAST(count(f.x) AS BIGINT) AS nx,
+           CAST(sum(f.x) AS BIGINT) AS sx, round(avg(f.x), 6) AS ax
+    FROM fact2 f
+    JOIN dimc2 c ON f.ck = c.k
+    JOIN dimp2 p ON f.pd = p.k
+    GROUP BY c.seg, p.label
+    """,
+)
+def q66_matview_star(spark, sf_dir):
+    """Three-table (star schema) incrementally-maintained materialized
+    view (catalog/matview.py r6 — the two-relation join delta rule
+    FOLDED pairwise: d(J ⋈ C) = dJ⋈C1 + J1⋈dC − dJ⋈dC applied per
+    source): fact from orders joined to a customer dim and a small
+    period dim, count/sum/avg per (segment, period).  Two refresh
+    cycles: first fact churn + a dim re-attribution, then ALL THREE
+    sources changing in ONE window (dim insert adopting a dangling fact,
+    period-dim update + delete, fact value update) — every fold term
+    incl. the both-delta corrections fires.  DuckDB re-derives the final
+    three-way join state from raw orders + customer and re-aggregates;
+    the dead period's absence and every surviving group hash-check."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mvstar_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE mvs_fact (k BIGINT NOT NULL, ck BIGINT, pd BIGINT,"
+        " x BIGINT, PRIMARY KEY (k))"
+    )
+    e.sql(
+        "CREATE TABLE mvs_dimc (k BIGINT NOT NULL, seg STRING,"
+        " PRIMARY KEY (k))"
+    )
+    e.sql(
+        "CREATE TABLE mvs_dimp (k BIGINT NOT NULL, label STRING,"
+        " PRIMARY KEY (k))"
+    )
+    t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    ).createOrReplaceTempView("mvs_dimc_seed")
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_orderkey") % 5).alias("pd"),
+        F.floor("o_totalprice").cast("bigint").alias("x"),
+    ).createOrReplaceTempView("mvs_fact_seed")
+    e.sql("INSERT INTO mvs_dimc SELECT * FROM mvs_dimc_seed")
+    e.sql(
+        "INSERT INTO mvs_dimp VALUES (0, 'p0'), (1, 'p1'), (2, 'p2'),"
+        " (3, 'p3'), (4, 'p4')"
+    )
+    e.sql("INSERT INTO mvs_fact SELECT * FROM mvs_fact_seed")
+    e.sql(
+        "CREATE MATERIALIZED VIEW mvs AS"
+        " SELECT c.seg, p.label, count(*) AS n, count(f.x) AS nx,"
+        " sum(f.x) AS sx, avg(f.x) AS ax"
+        " FROM mvs_fact f JOIN mvs_dimc c ON f.ck = c.k"
+        " JOIN mvs_dimp p ON f.pd = p.k"
+        " GROUP BY c.seg, p.label"
+    )
+    # window 1: fact churn + customer-dim re-attribution
+    e.sql("UPDATE mvs_dimc SET seg = 'MOVED' WHERE k % 7 = 0")
+    e.sql("DELETE FROM mvs_fact WHERE k % 11 = 0")
+    e.sql(
+        "INSERT INTO mvs_fact VALUES (2000001, 5, 2, 100),"
+        " (2000002, 999999, 0, 50), (2000003, 5, 1, NULL)"
+    )
+    e.sql("REFRESH MATERIALIZED VIEW mvs")
+    # window 2: ALL THREE sources change in one window
+    e.sql("INSERT INTO mvs_dimc VALUES (999999, 'NEWSEG')")
+    e.sql("UPDATE mvs_dimp SET label = 'P2X' WHERE k = 2")
+    e.sql("DELETE FROM mvs_dimp WHERE k = 4")
+    e.sql("UPDATE mvs_fact SET x = x + 5 WHERE ck % 13 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW mvs")
+    return e.sql("SELECT seg, label, n, nx, sx, round(ax, 6) AS ax FROM mvs")

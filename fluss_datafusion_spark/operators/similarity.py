@@ -176,6 +176,130 @@ def _normalize(mat):
     return mat / norms
 
 
+def _max_sim_udf(centroids):
+    """Arrow-batched UDF: max cosine (dot on normalized inputs) of each
+    vector against the given seed matrix."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    cmat = np.asarray(centroids, dtype=np.float64).T
+
+    def maxsim(v):
+        import pandas as pd
+
+        vecs = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        return pd.Series((vecs @ cmat).max(axis=1))
+
+    return pandas_udf(maxsim, "double", PandasUDFType.SCALAR)
+
+
+def _kmeans_parallel_seeds(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    rounds: int = 3,
+) -> "object":
+    """Deterministic k-means|| seeding (Bahmani et al., VLDB 2012 — the
+    distributed k-means++): start from the min-id vector, then for a
+    FIXED number of rounds (independent of k, unlike sequential
+    k-means++'s k passes) oversample ~2k candidates per round with
+    probability proportional to the cosine distance**2 to the nearest
+    already-picked candidate, weight the candidate pool by how many
+    corpus rows each candidate is nearest to, and reduce the pool to k
+    seeds with weighted k-means++ LOCALLY (the pool is model-sized:
+    <= 1 + 2k*rounds rows).
+
+    Determinism: the per-row sampling uses md5-derived uniforms keyed by
+    (id, round) — same corpus, same seeds, every run, any partitioning.
+    Scale shape: each round is one Arrow matmul pass + one 1-row sum;
+    only candidate vectors (model state) ever reach the driver."""
+    import numpy as np
+
+    vecs = corpus.select(F.col(id_col).alias("__id__"),
+                         F.col(vec_col).alias("__v__"))
+    first = vecs.orderBy("__id__").limit(1).collect()
+    if not first:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    pool = _normalize(np.array([first[0]["__v__"]], dtype=np.float64))
+    ell = 2 * k  # expected oversample per round
+    for r in range(rounds):
+        maxsim = _max_sim_udf(pool)
+        # cosine distance**2 weights; md5 uniform in (0, 1]
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("__id__").cast("string"),
+                                   F.lit(f":kmp:{r}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(1 << 60))
+        weighted = vecs.select(
+            "__id__", "__v__",
+            F.pow(F.greatest(F.lit(0.0), F.lit(1.0) - maxsim(F.col("__v__"))),
+                  F.lit(2.0)).alias("__w__"),
+            u.alias("__u__"),
+        )
+        total = weighted.agg(F.sum("__w__")).collect()[0][0] or 0.0
+        if total <= 0:
+            break  # every vector coincides with a candidate already
+        # keep row i iff u_i < ell * w_i / total (expected ell picks);
+        # cap defensively at 4*ell by the strongest draws
+        picked = (
+            weighted.filter(F.col("__u__") * F.lit(total) <
+                            F.lit(float(ell)) * F.col("__w__"))
+            .orderBy((F.col("__u__") * F.lit(total) / F.col("__w__")).asc(),
+                     F.col("__id__"))
+            .limit(4 * ell)
+            .collect()
+        )
+        if picked:
+            pool = np.vstack(
+                [pool, _normalize(np.array([p["__v__"] for p in picked],
+                                           dtype=np.float64))]
+            )
+    # weight pool members by their nearest-corpus-row counts (one pass)
+    assign = ivf_assign_udf(pool, n_probe=1)
+    counts = dict(
+        (r["__c__"], r["__n__"])
+        for r in vecs.select(assign(F.col("__v__"))[0].alias("__c__"))
+        .groupBy("__c__").agg(F.count(F.lit(1)).alias("__n__")).collect()
+    )
+    weights = np.array(
+        [float(counts.get(i, 0)) for i in range(pool.shape[0])]
+    )
+    # local weighted k-means++ reduction to k seeds (pool is tiny);
+    # fixed-seed RNG keeps the whole trainer deterministic
+    rng = np.random.RandomState(0)
+    seeds = [int(np.argmax(weights))]
+    d2 = 1.0 - pool @ pool[seeds[0]]
+    d2 = np.maximum(d2, 0.0) ** 2
+    while len(seeds) < min(k, pool.shape[0]):
+        probs = weights * d2
+        s = probs.sum()
+        if s <= 0:
+            remaining = [i for i in range(pool.shape[0]) if i not in seeds]
+            seeds.extend(remaining[: k - len(seeds)])
+            break
+        pick = int(rng.choice(pool.shape[0], p=probs / s))
+        if pick in seeds:
+            # zero-probability guard under float rounding
+            d2[pick] = 0.0
+            continue
+        seeds.append(pick)
+        d2 = np.minimum(d2, np.maximum(1.0 - pool @ pool[pick], 0.0) ** 2)
+    out = pool[seeds]
+    if out.shape[0] < k:
+        # fewer distinct directions than k: pad by repeating seeds (the
+        # duplicate lists stay empty after Lloyd — harmless)
+        out = np.vstack([out] + [out[:1]] * (k - out.shape[0]))
+    return _normalize(out)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -185,23 +309,19 @@ def train_ivf_centroids(
 ):
     """Deterministic IVF coarse quantizer for cosine similarity.
 
-    Init = the ``n_centroids`` corpus vectors with the smallest ids
-    (fixed, seedless determinism), then ``n_iters`` Lloyd steps run AS
-    DATAFRAME JOBS: assignment is an Arrow-batched argmax matmul per
-    partition, the mean-update a groupBy over (centroid, vector) — only
-    the centroid matrix (n_centroids x dim floats) ever reaches the
-    driver, which is model state, not data.  Returns a normalized numpy
-    array, row i = centroid i.
+    Init = deterministic k-means|| seeding (r6 — see
+    ``_kmeans_parallel_seeds``; first-N-by-id seeding puts every seed
+    in whatever cluster the low ids happen to live in, degrading list
+    balance and recall on clustered corpora), then ``n_iters`` Lloyd
+    steps run AS DATAFRAME JOBS: assignment is an Arrow-batched argmax
+    matmul per partition, the mean-update a groupBy over (centroid,
+    vector) — only the centroid matrix (n_centroids x dim floats) ever
+    reaches the driver, which is model state, not data.  Returns a
+    normalized numpy array, row i = centroid i.
     """
     import numpy as np
 
-    init_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = _normalize(np.array([r[1] for r in init_rows], dtype=np.float64))
+    centroids = _kmeans_parallel_seeds(corpus, vec_col, id_col, n_centroids)
 
     for _ in range(n_iters):
         assign = ivf_assign_udf(centroids, n_probe=1)

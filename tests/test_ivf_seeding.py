@@ -1,0 +1,112 @@
+"""k-means|| seeding for the IVF coarse quantizer (VERDICT r5 #8).
+
+operators/similarity._kmeans_parallel_seeds: deterministic distributed
+k-means++ (Bahmani 2012).  The win it exists for: on CLUSTERED vectors,
+first-N-by-id seeding puts every seed wherever the low ids live, so
+whole clusters share one inverted list and recall/cost degrades; the
+distance-weighted seeding covers every cluster and recall@10 hits 1.0
+probing only 2 of 16 lists."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators import similarity
+
+
+def _clustered(spark, n_clusters=16, per=50, sigma=0.3, seed=3):
+    """Well-separated gaussian clusters; LOW IDS ALL IN CLUSTER 0 (ids
+    are ordered by cluster), the adversarial layout for first-N-by-id
+    seeding."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, 64) * 4
+    rows = [
+        (c * per + i, (centers[c] + rng.randn(64) * sigma).tolist())
+        for c in range(n_clusters)
+        for i in range(per)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    return df, centers / np.linalg.norm(centers, axis=1, keepdims=True)
+
+
+def _clusters_covered(centroids, true_centers):
+    return len({int(np.argmax(true_centers @ c)) for c in centroids})
+
+
+def test_seeding_covers_every_cluster(spark):
+    df, true_centers = _clustered(spark)
+    trained = similarity.train_ivf_centroids(df, "embedding", "vec_id", 16, 2)
+    assert _clusters_covered(trained, true_centers) >= 15, (
+        "k-means|| seeding must spread across the true clusters"
+    )
+    # the adversarial baseline it replaces: the 16 smallest-id vectors
+    # all live in cluster 0
+    first_n = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").limit(16).collect()]
+    )
+    first_n = first_n / np.linalg.norm(first_n, axis=1, keepdims=True)
+    assert _clusters_covered(first_n, true_centers) == 1
+
+
+def test_seeding_is_deterministic(spark):
+    df, _ = _clustered(spark, n_clusters=8, per=30)
+    a = similarity.train_ivf_centroids(df, "embedding", "vec_id", 8, 2)
+    b = similarity.train_ivf_centroids(df, "embedding", "vec_id", 8, 2)
+    assert np.allclose(a, b), "same corpus must train identical centroids"
+
+
+def test_clustered_recall_with_two_probes(spark):
+    """The recall/cost point the seeding buys: clustered corpus,
+    n_probe=2 of 16 (12.5% of the data scanned), recall@10 >= 0.9."""
+    df, _ = _clustered(spark)
+    q = df.filter(F.col("vec_id") % 97 == 0).limit(5)
+    exact = similarity.cosine_topk(
+        df, q, "vec_id", "embedding", "vec_id", "embedding", k=11
+    )
+    want = {}
+    for r in exact.collect():
+        if r["vec_id"] != r["neighbor_id"]:
+            want.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    approx = similarity.ivf_ann_topk(
+        df, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=11, n_centroids=16, n_probe=2, n_iters=2,
+    )
+    got = {}
+    for r in approx.collect():
+        if r["vec_id"] != r["neighbor_id"]:
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    recalls = [len(got.get(k, set()) & v) / len(v) for k, v in want.items()]
+    assert min(recalls) >= 0.9, recalls
+
+
+def test_balanced_lists_on_isotropic_data(spark, testdata):
+    """On the isotropic testdata embeddings the seeding's effect is
+    LIST BALANCE (the old first-N-by-id quantizer skewed heavily):
+    largest list <= 3x the smallest at sf0.001."""
+    from fluss_datafusion_spark.session import read_table
+
+    emb = read_table(spark, f"{testdata}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", 16, 2)
+    assign = similarity.ivf_assign_udf(cents, 1)
+    sizes = sorted(
+        r["n"]
+        for r in emb.select(assign(F.col("embedding"))[0].alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(sizes) == 16 and sizes[-1] <= 3 * sizes[0], sizes
+
+
+def test_seeding_edge_cases(spark):
+    # corpus smaller than k: pads deterministically, still k rows
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = similarity.train_ivf_centroids(tiny, "embedding", "vec_id", 4, 1)
+    assert cents.shape == (4, 2)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.train_ivf_centroids(
+            tiny.filter(F.col("vec_id") < 0), "embedding", "vec_id", 4, 1
+        )

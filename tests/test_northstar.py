@@ -216,9 +216,12 @@ def test_cosine_matches_numpy(spark):
 
 
 def test_ivf_recall_against_bruteforce(spark, testdata):
-    """IVF probing 6/16 lists: measured per-query recall at sf0.001 is
-    {0.9..1.0}; assert mean >= 0.85 and min >= 0.8, plus the corpus
-    entry's recall_ok booleans."""
+    """IVF probing 12/16 lists (r6: the k-means|| quantizer balances the
+    lists, so on these ISOTROPIC synthetic embeddings recall tracks the
+    probed corpus fraction — measured per-query {0.9..1.0} at sf0.001;
+    clustered-data recall is pinned separately by test_ivf_seeding.py):
+    assert mean >= 0.85 and min >= 0.8, plus the corpus entry's
+    recall_ok booleans."""
     from fluss_datafusion_spark.corpus.northstar import ns_sim_ann_ivf
     from fluss_datafusion_spark.operators import similarity
 
@@ -227,7 +230,7 @@ def test_ivf_recall_against_bruteforce(spark, testdata):
         testdata,
         lambda emb, q: similarity.ivf_ann_topk(
             emb, q, "vec_id", "embedding", "vec_id", "embedding",
-            k=11, n_centroids=16, n_probe=6, n_iters=2,
+            k=11, n_centroids=16, n_probe=12, n_iters=2,
         ),
     )
     assert sum(per) / len(per) >= 0.85, f"IVF mean recall collapsed: {per}"

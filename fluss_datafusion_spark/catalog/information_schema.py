@@ -249,12 +249,24 @@ def register_views(catalog, include_stats: bool = True) -> None:
             continue
         m = _mv._load_mv(catalog, qname)
         source_desc = m["source"]
-        if m.get("source2"):
-            on = " AND ".join(f"{l} = {r}" for l, r in m["join_on"])
-            source_desc = (
-                f"{m['source']} {m['alias']} JOIN "
-                f"{m['source2']} {m['alias2']} ON {on}"
-            )
+        if len(m["sources"]) > 1:
+            parts = [f"{m['sources'][0]['name']} {m['sources'][0]['alias']}"]
+            for src, pairs in zip(m["sources"][1:], m["joins"]):
+                on = " AND ".join(f"{l} = {r}" for l, r in pairs)
+                parts.append(f"JOIN {src['name']} {src['alias']} ON {on}")
+            source_desc = " ".join(parts)
+        # staleness (r6): statements committed on any source past the
+        # view's checkpoint — 0 = fresh, N = a REFRESH would apply N
+        # statements' changes (the Snowflake/BigQuery staleness signal)
+        checkpoints = m.get("last_seqs") or [m.get("last_seq") or 0] + (
+            [m.get("last_seq2") or 0] if m.get("source2") else []
+        )
+        lag = 0
+        for src, lo in zip(m["sources"], checkpoints):
+            try:
+                lag += max(0, catalog.current_seq(src["name"]) - int(lo))
+            except Exception:
+                pass  # source dropped: surface the view row regardless
         mviews.append(
             (
                 s.database,
@@ -267,13 +279,15 @@ def register_views(catalog, include_stats: bool = True) -> None:
                 ),
                 m.get("where"),
                 m.get("last_seq"),
+                lag,
+                lag == 0,
             )
         )
     spark.createDataFrame(
         mviews,
         "table_schema string, table_name string, source_table string, "
         "group_columns string, aggregates string, where_clause string, "
-        "last_refresh_seq long",
+        "last_refresh_seq long, staleness_statements long, is_fresh boolean",
     ).createOrReplaceTempView("information_schema_materialized_views")
 
 

@@ -615,8 +615,8 @@ def embedding_cosine_pairs_lsh(
     vec_col: str,
     threshold: float = 0.3,
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: Optional[int] = None,
+    n_tables: Optional[int] = None,
     seed: int = 42,
     max_bucket_size: int = 1024,
 ) -> DataFrame:
@@ -626,16 +626,40 @@ def embedding_cosine_pairs_lsh(
 
     A pair is a candidate if it co-buckets in ANY of the ``n_tables``
     independent plane sets — recall per pair is 1-(1-(1-θ/π)^n_planes)^L,
-    ≈ 0.998 at cos 0.9 with the defaults — then verified with exact
-    cosine, so precision is exact.  Same candidate discipline as
-    ``minhash_lsh_pairs``: bucket-local HOF pair expansion (no
+    ≈ 0.998 at cos 0.9 with the small-corpus defaults — then verified
+    with exact cosine, so precision is exact.  Same candidate discipline
+    as ``minhash_lsh_pairs``: bucket-local HOF pair expansion (no
     self-join), mega-bucket truncation guard, semi-joined
     candidate-bound broadcast for the verify stage — nothing
     corpus-sized is ever broadcast.  Returns (id_a, id_b, cos),
     id_a < id_b.
+
+    ``n_planes``/``n_tables`` default to AUTO-SIZING from the corpus
+    count (r6, caught by tools/scale_stress.py): with a fixed plane
+    count the bucket population grows linearly with the corpus and the
+    bucket-local pair expansion quadratically — 10x data measured 14x
+    wall time.  Auto-sizing holds the expected bucket size ~constant
+    (n_planes ~ log2(N/32), so candidate volume stays linear in N) and
+    compensates the smaller per-table hit rate with more tables
+    (capped; the measured-recall tests floor the result).  Pass
+    explicit values to pin a fixed geometry.
     """
+    import math
+
     from fluss_datafusion_spark.operators.similarity import _table_buckets_udf
 
+    if n_planes is None or n_tables is None:
+        n = df.count()
+        auto_planes = max(6, math.ceil(math.log2(max(n / 32.0, 2.0))))
+        if n_planes is None:
+            n_planes = auto_planes
+        if n_tables is None:
+            # per-pair hit rate at the design threshold: p^n_planes with
+            # p = 1 - theta/pi; scale the 8-table baseline (tuned at 6
+            # planes) by the lost hit rate, capped to bound cost
+            p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+            base, now = p ** 6, p ** n_planes
+            n_tables = min(16, max(8, math.ceil(8 * base / max(now, 1e-9))))
     bucket_udf = _table_buckets_udf(dim, n_planes, n_tables, seed)
     buckets = spread_small_scan(df).select(
         F.col(id_col).alias("__id__"),

@@ -324,8 +324,24 @@ def test_information_schema_materialized_views(spark, tmp_path):
     assert r.group_columns == "g" and "sum(x) AS sx" in r.aggregates
     assert r.where_clause == "x > 0"
     assert r.last_refresh_seq == e.catalog.current_seq("src")
+    assert r.staleness_statements == 0 and r.is_fresh
     # plain tables don't appear
     assert all(row.table_name != "src" for row in rows)
+    # staleness (r6): source statements past the checkpoint surface as
+    # the number of statements a REFRESH would apply, then reset to 0
+    e.sql("INSERT INTO src VALUES (8, 'a', 1)")
+    e.sql("DELETE FROM src WHERE id = 8")
+    information_schema.register_views(e.catalog, include_stats=False)
+    r = e.spark.sql(
+        "SELECT * FROM information_schema_materialized_views"
+    ).collect()[0]
+    assert r.staleness_statements == 2 and not r.is_fresh
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    information_schema.register_views(e.catalog, include_stats=False)
+    r = e.spark.sql(
+        "SELECT * FROM information_schema_materialized_views"
+    ).collect()[0]
+    assert r.staleness_statements == 0 and r.is_fresh
 
 
 def test_matview_float_sum_kahan_compensation(spark, tmp_path):

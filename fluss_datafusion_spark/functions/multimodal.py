@@ -454,22 +454,25 @@ _ADAM7 = [
 ]
 
 
-def _png_unfilter(raw, offset, width, height, channels):
+def _png_unfilter(raw, offset, width, height, channels, bps=1):
     """Reconstruct one independently-filtered scanline block (a whole
     non-interlaced image, or one Adam7 pass): returns the (height,
-    width*channels) uint8 array and the bytes consumed, or None on an
-    unknown filter type / truncation.  Filter types per the spec:
+    width*channels*bps) uint8 array and the bytes consumed, or None on
+    an unknown filter type / truncation.  Filter types per the spec:
     0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth — exact byte arithmetic
-    mod 256.  Up and None vectorize; Sub/Average/Paeth recur along the
-    row, so those run a per-pixel loop over numpy int16 — correct
-    first, and plenty for metadata-scale probes."""
+    mod 256.  ``bps`` is bytes per sample (2 for 16-bit depth — the
+    spec's filters ALWAYS work on bytes, with the left/upper-left
+    neighbor one whole pixel = channels*bps bytes back).  Up and None
+    vectorize; Sub/Average/Paeth recur along the row, so those run a
+    per-pixel loop over numpy int16 — correct first, and plenty for
+    metadata-scale probes."""
     import numpy as np
 
-    stride = width * channels
+    stride = width * channels * bps
     if len(raw) - offset < (stride + 1) * height:
         return None
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
+    bpp = channels * bps
     for y in range(height):
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride + 1, offset=offset + y * (stride + 1)
@@ -502,14 +505,16 @@ def _png_unfilter(raw, offset, width, height, channels):
 
 
 def decode_png_pixels(payload):
-    """REAL pixel decode for 8-bit PNG (pure stdlib zlib + per-scanline
-    unfiltering from the published PNG spec — no imaging libs).
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA)
-    at bit depth 8, interlace 0 (sequential) AND interlace 1 (Adam7 —
-    seven independently-filtered passes scattered onto the 8x8 grid,
-    PNG spec §8.2; empty passes contribute zero bytes).  Returns an
-    (H, W, C) uint8 array, or None if the payload is not a supported
-    PNG.
+    """REAL pixel decode for 8- and 16-bit PNG (pure stdlib zlib +
+    per-scanline unfiltering from the published PNG spec — no imaging
+    libs).  Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
+    6 (RGBA) at bit depths 8 and 16 (r6 — samples are big-endian byte
+    pairs; the filters still operate on BYTES with the pixel width
+    doubled), interlace 0 (sequential) AND interlace 1 (Adam7 — seven
+    independently-filtered passes scattered onto the 8x8 grid, PNG spec
+    §8.2; empty passes contribute zero bytes).  Returns an (H, W, C)
+    uint8 array (depth 8) or uint16 array (depth 16), or None if the
+    payload is not a supported PNG.
 
     Layout walked: 8-byte signature, IHDR (dims/depth/color/interlace),
     concatenated IDAT chunks -> one zlib stream, IEND.
@@ -527,6 +532,7 @@ def decode_png_pixels(payload):
     width = height = None
     channels = 0
     interlace = 0
+    depth = 8
     idat = bytearray()
     while i + 8 <= len(b):
         (clen,) = struct.unpack(">I", b[i : i + 4])
@@ -537,7 +543,7 @@ def decode_png_pixels(payload):
         if ctype == b"IHDR":
             width, height = struct.unpack(">II", data[:8])
             depth, color, _comp, _filt, interlace = data[8:13]
-            if depth != 8 or interlace not in (0, 1):
+            if depth not in (8, 16) or interlace not in (0, 1):
                 return None
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
             if channels is None:
@@ -553,25 +559,36 @@ def decode_png_pixels(payload):
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
+    bps = depth // 8
+
+    def _samples(block_bytes, ph, pw):
+        # byte block -> sample array: big-endian pairs for depth 16
+        if bps == 1:
+            return block_bytes.reshape(ph, pw, channels)
+        wide = block_bytes.reshape(ph, pw, channels, 2).astype(np.uint16)
+        return (wide[..., 0] << 8) | wide[..., 1]
+
     if interlace == 0:
-        block = _png_unfilter(raw, 0, width, height, channels)
+        block = _png_unfilter(raw, 0, width, height, channels, bps)
         if block is None:
             return None
-        return block[0].reshape(height, width, channels)
+        return _samples(block[0], height, width)
     # Adam7: each pass is its own filtered sub-image; scatter into place
-    out = np.zeros((height, width, channels), dtype=np.uint8)
+    out = np.zeros(
+        (height, width, channels), dtype=np.uint8 if bps == 1 else np.uint16
+    )
     offset = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (width - x0 + dx - 1) // dx
         ph = (height - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue
-        block = _png_unfilter(raw, offset, pw, ph, channels)
+        block = _png_unfilter(raw, offset, pw, ph, channels, bps)
         if block is None:
             return None
         sub, consumed = block
         offset += consumed
-        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+        out[y0::dy, x0::dx, :] = _samples(sub, ph, pw)
     return out
 
 

@@ -17,25 +17,37 @@ from hypothesis import strategies as st
 from fluss_datafusion_spark.functions import multimodal as mm
 
 
-def _png_encode(px, color_type, filters):
+def _png_chunk(ctype, data):
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_block(px, filters, bps):
+    """Filter one scanline block (whole image or one Adam7 pass) into
+    raw pre-compression bytes — the spec's byte-level filters with the
+    pixel width = channels*bps bytes."""
     h, w, c = px.shape
+    bpp = c * bps
 
-    def chunk(ctype, data):
-        return (
-            struct.pack(">I", len(data)) + ctype + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
+    def line_bytes(row):
+        if bps == 1:
+            return row.reshape(-1).astype(np.int16)
+        return np.frombuffer(
+            row.reshape(-1).astype(">u2").tobytes(), np.uint8
+        ).astype(np.int16)
 
-    prev = np.zeros(w * c, np.int16)
+    prev = np.zeros(w * bpp, np.int16)
     raw = bytearray()
     for y in range(h):
-        line = px[y].reshape(-1).astype(np.int16)
+        line = line_bytes(px[y])
         ftype = filters[y % len(filters)]
         raw.append(ftype)
-        for x in range(w * c):
-            left = int(line[x - c]) if x >= c else 0
+        for x in range(w * bpp):
+            left = int(line[x - bpp]) if x >= bpp else 0
             up = int(prev[x])
-            ul = int(prev[x - c]) if x >= c else 0
+            ul = int(prev[x - bpp]) if x >= bpp else 0
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -50,10 +62,31 @@ def _png_encode(px, color_type, filters):
                 pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
             raw.append((int(line[x]) - pred) & 0xFF)
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def _png_encode(px, color_type, filters, depth=8):
+    h, w, c = px.shape
+    raw = _png_filter_block(px, filters, depth // 8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_encode_adam7(px, color_type, filters, depth=8):
+    h, w, c = px.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in mm._ADAM7:
+        sub = px[y0::dy, x0::dx, :]
+        if sub.shape[0] and sub.shape[1]:
+            raw += _png_filter_block(sub, filters, depth // 8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -70,6 +103,46 @@ def test_png_roundtrip_property(w, h, color, filters, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
     got = mm.decode_png_pixels(_png_encode(px, color_type, filters))
+    assert got is not None and np.array_equal(got, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    color=st.sampled_from([(0, 1), (2, 3), (4, 2), (6, 4)]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png16_roundtrip_property(w, h, color, filters, seed):
+    """16-bit depth (r6): big-endian byte-pair samples, filters on
+    bytes with a 2x pixel width — bit-exact through all five filter
+    types and every color type."""
+    color_type, channels = color
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 65536, size=(h, w, channels), dtype=np.uint16)
+    got = mm.decode_png_pixels(_png_encode(px, color_type, filters, depth=16))
+    assert got is not None and got.dtype == np.uint16
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    depth=st.sampled_from([8, 16]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_adam7_roundtrip_property(w, h, depth, filters, seed):
+    """Adam7 interlace at both depths: seven independently-filtered
+    passes (ragged/empty passes included) scatter back bit-exactly."""
+    rng = np.random.default_rng(seed)
+    if depth == 8:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    else:
+        px = rng.integers(0, 65536, size=(h, w, 3), dtype=np.uint16)
+    got = mm.decode_png_pixels(_png_encode_adam7(px, 2, filters, depth=depth))
     assert got is not None and np.array_equal(got, px)
 
 

@@ -699,6 +699,22 @@ class FlussCatalog:
         )
         return commits
 
+    def _committed_seq(self, spec: TableSpec) -> int:
+        """The highest COMMITTED statement seq visible from any session
+        (log recovery + legacy commit map + finalized per-seq files;
+        inflight reservations excluded — their data may not have landed
+        yet, so a consumer anchoring on one could skip changes)."""
+        disk = max(
+            (
+                n
+                for n, ts in self._commit_dir_entries(spec).items()
+                if ts is not None
+            ),
+            default=0,
+        )
+        legacy = max(self._legacy_commits(spec), default=0)
+        return max(self._current_seq(spec), legacy, disk)
+
     def _latest_seq(self, spec: TableSpec) -> int:
         """The highest statement seq visible anywhere: this session's
         counter / log recovery, the legacy commit map, and the per-seq
@@ -755,6 +771,17 @@ class FlussCatalog:
                 except OSError:
                     pass
             base = start + len(got)
+
+    def _release_seqs(self, spec: TableSpec, seqs: List[int]) -> None:
+        """Drop unused reservations (a statement aborted between reserve
+        and append) — the seqs become gaps another writer may not reuse
+        this instant but the history stays monotone either way."""
+        d = self._commit_dir(spec)
+        for n in seqs:
+            try:
+                os.unlink(os.path.join(d, f"{int(n):010d}.inflight"))
+            except OSError:
+                pass
 
     def _record_commit(self, spec: TableSpec, seq: int) -> None:
         """Finalize a reserved seq: write the per-seq commit file with
@@ -1382,7 +1409,12 @@ class FlussCatalog:
 
     # -- write path ---------------------------------------------------------
 
-    def insert(self, name: str, df: DataFrame) -> int:
+    def insert(
+        self,
+        name: str,
+        df: DataFrame,
+        reserved_seq: Optional[int] = None,
+    ) -> int:
         """INSERT a DataFrame.  PK tables: upsert semantics — within the
         batch, later rows win on PK collisions (src/provider.rs:430-437:
         rows upserted in order, last write wins).
@@ -1391,7 +1423,11 @@ class FlussCatalog:
         the write just produced — ONE job total.  (A pre-write
         ``aligned.count()`` would execute the input plan twice, doubling
         INSERT INTO ... SELECT <expensive>, and could disagree with the
-        committed rows for a non-deterministic source.)"""
+        committed rows for a non-deterministic source.)
+
+        ``reserved_seq``: stamp a seq the caller already reserved via
+        ``_reserve_seqs`` (multi-append statements and concurrency-
+        validated refreshes)."""
         spec = self.get_table(name)
         target_schema = spec.spark_schema()
         if len(df.columns) != len(target_schema):
@@ -1405,7 +1441,9 @@ class FlussCatalog:
                 for src, field in zip(df.columns, target_schema.fields)
             ]
         )
-        new_files = self._append_log(spec, aligned, deleted=False)
+        new_files = self._append_log(
+            spec, aligned, deleted=False, reserved_seq=reserved_seq
+        )
         return _footer_row_count(new_files)
 
     def _append_log(

@@ -669,12 +669,19 @@ def _register_user_view(catalog, name: str, mv: Dict) -> None:
 
 
 def _anchors_now(catalog, mv: Dict) -> Dict:
-    out = {"hi": catalog.current_seq(mv["source"]), "hi2": 0}
+    """Per-source refresh anchors = the highest COMMITTED seq visible
+    from ANY session (r6: the raw in-memory counter is empty in a fresh
+    session, which silently no-opped cross-session refreshes; inflight
+    reservations are excluded so an anchor can never skip a statement
+    whose data hasn't landed yet)."""
+
+    def _hi(name: str) -> int:
+        return catalog._committed_seq(catalog.get_table(name))
+
+    out = {"hi": _hi(mv["source"]), "hi2": 0}
     if mv.get("source2"):
-        out["hi2"] = catalog.current_seq(mv["source2"])
-    out["his"] = [
-        catalog.current_seq(s["name"]) for s in mv.get("sources") or []
-    ]
+        out["hi2"] = _hi(mv["source2"])
+    out["his"] = [_hi(s["name"]) for s in mv.get("sources") or []]
     return out
 
 
@@ -788,14 +795,33 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
 
     Runs under ``defer_auto_compact``: a refresh issues several writes
     whose delta plans read earlier state — policy compaction of the
-    view's backing table must wait for the statement boundary."""
+    view's backing table must wait for the statement boundary.
+
+    CONCURRENTLY-safe (r6): the refresh reserves its seqs on the view's
+    backing table with the commit protocol's base expectation and
+    re-validates the checkpoint after reserving, so two sessions
+    refreshing one view can never DOUBLE-APPLY a change window — the
+    loser detects the winner's commit, reloads the advanced checkpoint,
+    and re-runs (usually a no-op).  Readers were always non-blocking
+    (merge-on-read snapshots)."""
+    from fluss_datafusion_spark.catalog.catalog import ConcurrentWriteConflict
+
     with catalog.defer_auto_compact():
+        for _ in range(3):
+            try:
+                return _refresh_matview_impl(catalog, name)
+            except ConcurrentWriteConflict:
+                continue  # winner advanced the checkpoint: recompute
         return _refresh_matview_impl(catalog, name)
 
 
 def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
-    mv = _load_mv(catalog, name)
     spec = catalog.get_table(name)
+    # concurrency base: captured BEFORE the checkpoint load, so a
+    # concurrent refresh that appends after this point moves the view
+    # table past our expectation and the reservation below conflicts
+    view_base = catalog._latest_seq(spec)
+    mv = _load_mv(catalog, name)
     anchors = _anchors_now(catalog, mv)
     anchors["lo"] = mv["last_seq"]
     anchors["lo2"] = mv.get("last_seq2", 0)
@@ -943,7 +969,27 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
             mv,  # a rescan recomputes from scratch: compensation resets
         ).select(*schema_order)
         to_insert = upserts.unionByName(rescanned)
-    n_up = catalog.insert(name, to_insert)
+    # CONCURRENTLY guard: reserve the refresh's two seqs against the
+    # base captured before the checkpoint load, then re-validate the
+    # checkpoint itself — a concurrent refresh either conflicts the
+    # reservation or shows up as a moved checkpoint; both abort cleanly
+    # BEFORE any append (the retry loop in refresh_matview re-runs
+    # against the winner's state)
+    from fluss_datafusion_spark.catalog.catalog import (
+        ConcurrentWriteConflict,
+    )
+
+    seq_up, seq_dead = catalog._reserve_seqs(spec, 2, expect_base=view_base)
+    fresh = _load_mv(catalog, name)
+    if fresh.get("last_seqs", fresh.get("last_seq")) != mv.get(
+        "last_seqs", mv.get("last_seq")
+    ):
+        catalog._release_seqs(spec, [seq_up, seq_dead])
+        raise ConcurrentWriteConflict(
+            f"materialized view {name} was refreshed concurrently; "
+            "nothing was written — re-running against the new checkpoint"
+        )
+    n_up = catalog.insert(name, to_insert, reserved_seq=seq_up)
     # phantom groups (born and fully retracted inside one window, or
     # nulled out by WHERE) get no tombstone — they were never in the view
     dead = merged.filter(
@@ -960,7 +1006,9 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     )
     from fluss_datafusion_spark.catalog.catalog import _footer_row_count
 
-    n_del = _footer_row_count(catalog._append_log(spec, dead, deleted=True))
+    n_del = _footer_row_count(
+        catalog._append_log(spec, dead, deleted=True, reserved_seq=seq_dead)
+    )
     _checkpoint()
     return {"upserted": n_up, "deleted": n_del, "full_rebuild": 0}
 

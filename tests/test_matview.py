@@ -373,3 +373,48 @@ def test_matview_float_sum_kahan_compensation(spark, tmp_path):
     # full re-aggregation agrees (the view is not drifting)
     want = e.sql("SELECT sum(x) FROM fsrc").collect()[0][0]
     assert row.sx == want
+
+
+def test_concurrent_refresh_applies_window_exactly_once(spark, tmp_path):
+    """REFRESH CONCURRENTLY safety (r6): two sessions refreshing one
+    view must not double-apply a change window.  The loser's seq
+    reservation on the view's backing table conflicts (or the
+    checkpoint re-validation fails), it aborts before writing, and the
+    retry sees the winner's checkpoint — a no-op."""
+    from fluss_datafusion_spark import EngineSession
+
+    wh = str(tmp_path / "wh_mv_cc")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e1.sql("INSERT INTO src VALUES (1, 'a', 10), (2, 'b', 7)")
+    e1.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n,"
+        " sum(x) AS sx FROM src GROUP BY g"
+    )
+    e1.sql("INSERT INTO src VALUES (3, 'a', 5)")  # the contested window
+
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    cat = e1.catalog
+    orig = cat._reserve_seqs
+    state = {"fired": False}
+
+    def winner_first(spec, count=1, expect_base=None):
+        if not state["fired"] and spec.name == "mv":
+            state["fired"] = True
+            e2.sql("REFRESH MATERIALIZED VIEW mv")  # the winner lands
+        return orig(spec, count, expect_base=expect_base)
+
+    cat._reserve_seqs = winner_first
+    try:
+        res = e1.sql("REFRESH MATERIALIZED VIEW mv").collect()[0]
+    finally:
+        cat._reserve_seqs = orig
+    assert state["fired"], "winner refresh must have run"
+    # the loser retried into a no-op: nothing double-applied
+    assert (res.upserted, res.deleted, res.full_rebuild) == (0, 0, 0)
+    for e in (e1, e2):
+        got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
+        assert got == [("a", 2, 15), ("b", 1, 7)], got

@@ -231,6 +231,79 @@ class FlussCatalog:
 
     # -- DDL ----------------------------------------------------------------
 
+    def _validate_properties(self, spec: TableSpec, props: Dict) -> None:
+        """Reject malformed or unknown-column behavior-bearing property
+        values at DDL time (CREATE / SET TBLPROPERTIES) — the write path
+        treats bad values as disabled rather than failing post-commit."""
+        raw = props.get("compaction.auto-after")
+        if raw is not None:
+            try:
+                int(raw)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"compaction.auto-after on {spec.qualified_name} must "
+                    f"be an integer statement count, got {raw!r}"
+                )
+        raw = props.get("bloom.fpp")
+        if raw is not None:
+            try:
+                fpp = float(raw)
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"bloom.fpp on {spec.qualified_name} must be a float "
+                    f"in (0, 1), got {raw!r}"
+                )
+            if not 0 < fpp < 1:
+                raise ValueError(
+                    f"bloom.fpp on {spec.qualified_name} must be in (0, 1),"
+                    f" got {raw!r}"
+                )
+        raw = props.get("bloom.columns")
+        if raw is not None:
+            known = {c.name for c in spec.columns}
+            unknown = [
+                c.strip()
+                for c in str(raw).split(",")
+                if c.strip() and c.strip() not in known
+            ]
+            if unknown:
+                raise ValueError(
+                    f"bloom.columns on {spec.qualified_name} names unknown "
+                    f"columns {unknown}"
+                )
+
+    def set_table_properties(self, name: str, props: Dict[str, str]) -> None:
+        """ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...): merge into
+        the spec after validation — the standard way to enable policies
+        (bloom.columns, compaction.auto-after) on an EXISTING table.
+        Bloom columns added here cover future writes; run
+        ``refresh_file_stats`` to backfill blooms for existing files.
+        ``materialized_view`` is engine-managed and refuses."""
+        spec = self.get_table(name)
+        if "materialized_view" in props:
+            raise ValueError(
+                "the materialized_view property is engine-managed"
+            )
+        merged = dict(spec.properties or {})
+        merged.update(props)
+        self._validate_properties(spec, merged)
+        spec.properties = merged
+        self._save_spec(spec)
+
+    def unset_table_properties(self, name: str, keys) -> None:
+        """ALTER TABLE t UNSET TBLPROPERTIES ('k', ...): remove keys
+        (absent keys are a no-op, matching Spark/Delta)."""
+        spec = self.get_table(name)
+        if "materialized_view" in keys:
+            raise ValueError(
+                "the materialized_view property is engine-managed"
+            )
+        props = dict(spec.properties or {})
+        for k in keys:
+            props.pop(k, None)
+        spec.properties = props
+        self._save_spec(spec)
+
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> None:
         self.create_database(spec.database)
         if spec.name in self.databases[spec.database]:
@@ -240,15 +313,7 @@ class FlussCatalog:
         # Validate behavior-bearing properties HERE, at DDL time — a
         # malformed value must fail the CREATE, not a later write after
         # its files are already appended (ADVICE r5).
-        raw = (spec.properties or {}).get("compaction.auto-after")
-        if raw is not None:
-            try:
-                int(raw)
-            except (ValueError, TypeError):
-                raise ValueError(
-                    f"compaction.auto-after on {spec.qualified_name} must "
-                    f"be an integer statement count, got {raw!r}"
-                )
+        self._validate_properties(spec, spec.properties or {})
         self.databases[spec.database][spec.name] = spec
         os.makedirs(self.table_path(spec), exist_ok=True)
         self._save_spec(spec)

@@ -455,6 +455,40 @@ def parse_alter_table(sql: str):
     rename = _ALTER_RENAME_RE.match(body)
     if rename:
         return target, ("rename", strip_quotes(rename.group(1)))
+    setp = re.match(
+        r"^SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$",
+        body, re.IGNORECASE | re.DOTALL,
+    )
+    if setp:
+        props = {}
+        for part in _split_top_level(setp.group(1)):
+            kv = re.match(
+                r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", part
+            )
+            if not kv:
+                raise ValueError(
+                    f"SET TBLPROPERTIES expects 'key' = 'value' pairs, "
+                    f"got {part.strip()!r}"
+                )
+            props[kv.group(1).replace("''", "'")] = kv.group(2).replace(
+                "''", "'"
+            )
+        if not props:
+            raise ValueError("SET TBLPROPERTIES needs at least one pair")
+        return target, ("set_properties", props)
+    unsetp = re.match(
+        r"^UNSET\s+TBLPROPERTIES\s*(?:\(\s*(.*?)\s*\))?\s*$",
+        body, re.IGNORECASE | re.DOTALL,
+    )
+    if unsetp:
+        keys = [
+            strip_quotes(k.strip(), quote="'")
+            for k in _split_top_level(unsetp.group(1) or "")
+            if k.strip()
+        ]
+        if not keys:
+            raise ValueError("UNSET TBLPROPERTIES needs at least one key")
+        return target, ("unset_properties", keys)
     raise ValueError(f"unsupported ALTER TABLE form: {body!r}")
 
 

@@ -250,6 +250,10 @@ class EngineSession:
                 self.catalog.add_check_constraint(target, *payload)
             elif action == "drop_constraint":
                 self.catalog.drop_check_constraint(target, payload)
+            elif action == "set_properties":
+                self.catalog.set_table_properties(target, payload)
+            elif action == "unset_properties":
+                self.catalog.unset_table_properties(target, payload)
             else:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)

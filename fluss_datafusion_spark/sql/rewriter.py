@@ -34,7 +34,8 @@ _SHOW_BUCKETS_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_OPTIONS_RE = re.compile(
-    r"^\s*SHOW\s+(?:TABLE\s+)?OPTIONS\s+(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+    r"^\s*SHOW\s+(?:(?:TABLE\s+)?OPTIONS|TBLPROPERTIES)\s+"
+    r"(?P<name>(?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_RE = re.compile(

@@ -150,8 +150,19 @@ def test_parse_alter_table_forms():
 
     with _pytest.raises(ValueError):
         ddl.parse_alter_table("ALTER TABLE t ADD COLUMN y BIGINT NOT NULL")
+    # supported since r6 (used to raise as unsupported)
+    assert ddl.parse_alter_table(
+        "ALTER TABLE t SET TBLPROPERTIES ('a'='b', 'c' = 'd''e')"
+    ) == ("t", ("set_properties", {"a": "b", "c": "d'e"}))
+    assert ddl.parse_alter_table(
+        "ALTER TABLE t UNSET TBLPROPERTIES ('a', 'b')"
+    ) == ("t", ("unset_properties", ["a", "b"]))
+    with _pytest.raises(ValueError, match="at least one"):
+        ddl.parse_alter_table("ALTER TABLE t UNSET TBLPROPERTIES ()")
     with _pytest.raises(ValueError):
-        ddl.parse_alter_table("ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+        ddl.parse_alter_table("ALTER TABLE t SET TBLPROPERTIES (a = b)")
+    with _pytest.raises(ValueError):
+        ddl.parse_alter_table("ALTER TABLE t FROB SOMETHING")
 
 
 def test_alter_table_add_drop_column_lifecycle(spark, tmp_path):
@@ -244,3 +255,79 @@ def test_create_table_like(engine):
     engine.sql("CREATE TABLE IF NOT EXISTS likedb.dst LIKE likedb.src")
     for t in ("src", "dst"):
         engine.sql(f"DROP TABLE likedb.{t}")
+
+
+def test_set_unset_tblproperties(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES (r6): the standard way to
+    enable policies on an EXISTING table — validated at DDL time, live
+    for the next write, visible to SHOW TBLPROPERTIES."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_tblprops"))
+    e.sql("CREATE TABLE tp (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO tp VALUES (1, 'a')")
+    e.sql(
+        "ALTER TABLE tp SET TBLPROPERTIES"
+        " ('compaction.auto-after' = '2', 'owner' = 'data''team')"
+    )
+    spec = e.catalog.get_table("tp")
+    assert spec.properties["compaction.auto-after"] == "2"
+    assert spec.properties["owner"] == "data'team"
+    # the policy is LIVE: two more statements trigger auto-compaction
+    e.sql("INSERT INTO tp VALUES (2, 'b')")
+    e.sql("INSERT INTO tp VALUES (1, 'a2')")
+    assert e.catalog._floor.get("fluss.tp", 0) >= 2
+    got = {(r.id, r.v) for r in e.sql("SELECT * FROM tp").collect()}
+    assert got == {(1, "a2"), (2, "b")}
+    # SHOW TBLPROPERTIES (alias of SHOW OPTIONS) surfaces them
+    rows = e.sql("SHOW TBLPROPERTIES tp").collect()
+    props = {r.option_name: r.option_value for r in rows}
+    assert props.get("owner") == "data'team"
+    # UNSET removes; absent keys are a no-op
+    e.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('owner', 'nope')")
+    assert "owner" not in e.catalog.get_table("tp").properties
+    # persisted: a fresh session sees the surviving property
+    e2 = EngineSession(spark=spark, warehouse=e.catalog.warehouse)
+    assert e2.catalog.get_table("tp").properties[
+        "compaction.auto-after"
+    ] == "2"
+    # validation at DDL time
+    with _pytest.raises(ValueError, match="integer statement count"):
+        e.sql("ALTER TABLE tp SET TBLPROPERTIES ('compaction.auto-after' = 'x')")
+    with _pytest.raises(ValueError, match="unknown columns"):
+        e.sql("ALTER TABLE tp SET TBLPROPERTIES ('bloom.columns' = 'ghost')")
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        e.sql("ALTER TABLE tp SET TBLPROPERTIES ('bloom.fpp' = '7')")
+    with _pytest.raises(ValueError, match="engine-managed"):
+        e.sql("ALTER TABLE tp SET TBLPROPERTIES ('materialized_view' = 'true')")
+
+
+def test_set_tblproperties_enables_blooms_for_future_writes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog import skipping
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_tpbloom"))
+    e.sql("CREATE TABLE bp (doc_id STRING, n BIGINT)")
+    spark.range(8).select(
+        F.md5(F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("n"),
+    ).createOrReplaceTempView("bp_src")
+    e.sql("INSERT INTO bp SELECT * FROM bp_src")
+    e.sql("ALTER TABLE bp SET TBLPROPERTIES ('bloom.columns' = 'doc_id')")
+    spark.range(8, 16).select(
+        F.md5(F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("n"),
+    ).createOrReplaceTempView("bp_src2")
+    e.sql("INSERT INTO bp SELECT * FROM bp_src2")
+    path = e.catalog.table_path(e.catalog.get_table("bp"))
+    manifest = skipping.load(path)
+    with_blooms = sum(1 for m in manifest.values() if skipping.BLOOM_KEY in m)
+    assert with_blooms >= 1, "post-SET writes harvest blooms"
+    # refresh backfills the pre-SET files too
+    e.catalog.refresh_file_stats("bp")
+    manifest = skipping.load(path)
+    assert all(skipping.BLOOM_KEY in m for m in manifest.values())

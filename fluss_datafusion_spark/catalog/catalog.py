@@ -710,11 +710,41 @@ class FlussCatalog:
         except (OSError, ValueError):
             return {}
 
+    #: fold the per-seq commit files into one immutable rollup once the
+    #: directory holds this many — bounds commit-dir growth between
+    #: compactions WITHOUT exclusive access (see _maybe_fold_commits)
+    COMMIT_FOLD_THRESHOLD = 256
+
+    def _rollup_files(self, spec: TableSpec):
+        try:
+            entries = os.listdir(self._commit_dir(spec))
+        except OSError:
+            return []
+        return sorted(
+            os.path.join(self._commit_dir(spec), f)
+            for f in entries
+            if f.startswith("rollup-") and f.endswith(".json")
+        )
+
+    def _load_rollups(self, spec: TableSpec) -> Dict[int, float]:
+        import json
+
+        out: Dict[int, float] = {}
+        for path in self._rollup_files(spec):
+            try:
+                with open(path) as fh:
+                    out.update(
+                        {int(k): float(v) for k, v in json.load(fh).items()}
+                    )
+            except Exception:
+                pass
+        return out
+
     def _commit_dir_entries(self, spec: TableSpec) -> Dict[int, Optional[float]]:
         """{seq: commit epoch | None-if-still-inflight} from the per-seq
-        commit directory.  Inflight reservations count as TAKEN (their
-        seq may be stamped into data files right now) but have no
-        timestamp until finalized."""
+        commit directory (rollup files included).  Inflight reservations
+        count as TAKEN (their seq may be stamped into data files right
+        now) but have no timestamp until finalized."""
         import json
 
         out: Dict[int, Optional[float]] = {}
@@ -722,8 +752,12 @@ class FlussCatalog:
             entries = os.listdir(self._commit_dir(spec))
         except OSError:
             return out
+        rollups = False
         for f in entries:
             stem, _, ext = f.partition(".")
+            if f.startswith("rollup-"):
+                rollups = True
+                continue
             if not stem.isdigit():
                 continue
             n = int(stem)
@@ -735,11 +769,69 @@ class FlussCatalog:
                     out.setdefault(n, None)
             elif ext == "inflight":
                 out.setdefault(n, None)
+        if rollups:
+            for n, ts in self._load_rollups(spec).items():
+                out.setdefault(n, ts)
         return out
 
+    def _maybe_fold_commits(self, spec: TableSpec) -> None:
+        """Bound the commit directory WITHOUT exclusive access: past
+        COMMIT_FOLD_THRESHOLD finalized files, merge every finalized
+        seq into one immutable ``rollup-<maxseq>.json`` created with
+        O_CREAT|O_EXCL — exactly one concurrent folder wins — and only
+        then delete the per-seq files it covers (a reader that lists
+        before the delete still finds them; one that lists after finds
+        the rollup).  Inflight reservations are never folded.  Best
+        effort like the rest of the commit bookkeeping."""
+        import json
+
+        try:
+            d = self._commit_dir(spec)
+            finalized = [
+                f
+                for f in os.listdir(d)
+                if f.partition(".")[0].isdigit() and f.endswith(".json")
+            ]
+            if len(finalized) < self.COMMIT_FOLD_THRESHOLD:
+                return
+            seqs = {
+                int(f.partition(".")[0]): os.path.join(d, f)
+                for f in finalized
+            }
+            max_seq = max(seqs)
+            merged = self._load_rollups(spec)
+            for n, path in seqs.items():
+                try:
+                    with open(path) as fh:
+                        merged[n] = float(json.load(fh)["ts"])
+                except Exception:
+                    return  # unreadable commit: do not fold it away
+            rollup = os.path.join(d, f"rollup-{max_seq:010d}.json")
+            tmp = f"{rollup}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({str(k): v for k, v in merged.items()}, fh)
+            try:
+                os.link(tmp, rollup)  # atomic create: one winner
+            except FileExistsError:
+                os.unlink(tmp)
+                return
+            os.unlink(tmp)
+            for n, path in seqs.items():
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            # older rollups stay: a concurrent folder may have built its
+            # view from them, and deleting here could race away commit
+            # stamps.  Maintenance ops (_save_commits, exclusive access)
+            # absorb and clear them.
+        except Exception:
+            pass
+
     def _commit_dir_max(self, spec: TableSpec) -> int:
-        """Highest seq named in the commit dir (inflight included) —
-        names only, no file opens (the allocation hot path)."""
+        """Highest seq named in the commit dir (inflight and rollup
+        files included) — names only, no file opens (the allocation hot
+        path; rollup names carry their covered max seq)."""
         try:
             entries = os.listdir(self._commit_dir(spec))
         except OSError:
@@ -747,6 +839,8 @@ class FlussCatalog:
         best = 0
         for f in entries:
             stem = f.partition(".")[0]
+            if stem.startswith("rollup-"):
+                stem = stem[len("rollup-"):]
             if stem.isdigit():
                 n = int(stem)
                 if n > best:
@@ -869,6 +963,7 @@ class FlussCatalog:
                 os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
             except OSError:
                 pass
+            self._maybe_fold_commits(spec)
         except Exception:
             pass
 
@@ -889,11 +984,19 @@ class FlussCatalog:
             os.replace(tmp, path)
             d = self._commit_dir(spec)
             if os.path.isdir(d):
+                max_saved = max(commits)
                 for f in os.listdir(d):
                     stem, _, ext = f.partition(".")
-                    if stem.isdigit() and ext in ("json", "inflight") and int(
-                        stem
-                    ) in commits:
+                    absorbed = (
+                        stem.isdigit()
+                        and ext in ("json", "inflight")
+                        and int(stem) in commits
+                    ) or (
+                        stem.startswith("rollup-")
+                        and stem[len("rollup-"):].isdigit()
+                        and int(stem[len("rollup-"):]) <= max_saved
+                    )
+                    if absorbed:
                         try:
                             os.unlink(os.path.join(d, f))
                         except OSError:

@@ -187,3 +187,37 @@ def test_maintenance_folds_commit_files(spark, tmp_path):
     # and the commit protocol keeps working after the fold
     e1.sql("INSERT INTO t VALUES (3, 'c')")
     assert sorted(e1.catalog._load_commits(spec)) == [1, 2, 3]
+
+
+def test_commit_dir_folds_into_rollups(spark, tmp_path, monkeypatch):
+    """Commit-dir growth is bounded WITHOUT exclusive access (r6): past
+    COMMIT_FOLD_THRESHOLD finalized files they merge into one immutable
+    rollup (O_EXCL create — one concurrent folder wins), per-seq files
+    are deleted only after the rollup exists, and every consumer
+    (allocation max, timestamp travel, DESCRIBE HISTORY) reads through
+    the rollup."""
+    e1, e2 = _mk_pair(spark, tmp_path)
+    monkeypatch.setattr(type(e1.catalog), "COMMIT_FOLD_THRESHOLD", 4)
+    for i in range(6):
+        (e1 if i % 2 == 0 else e2).sql(f"INSERT INTO t VALUES ({i}, 'v{i}')")
+    spec = e1.catalog.get_table("t")
+    d = e1.catalog._commit_dir(spec)
+    rollups = [f for f in os.listdir(d) if f.startswith("rollup-")]
+    per_seq = [f for f in os.listdir(d) if f.partition(".")[0].isdigit()]
+    assert rollups, "fold must have produced a rollup"
+    assert len(per_seq) < 6, "folded per-seq files are gone"
+    # every commit stamp survives the fold, from BOTH sessions
+    for e in (e1, e2):
+        commits = e.catalog._load_commits(spec)
+        assert sorted(commits) == [1, 2, 3, 4, 5, 6]
+    # allocation continues above the rollup (names-only max)
+    e2.sql("INSERT INTO t VALUES (99, 'after')")
+    assert sorted(e1.catalog._load_commits(spec)) == [1, 2, 3, 4, 5, 6, 7]
+    assert _seq_history(e1) == [1, 2, 3, 4, 5, 6, 7]
+    # timestamp travel resolves through the rollup
+    ts = e1.catalog._load_commits(spec)[3]
+    assert e2.catalog.resolve_timestamp("t", ts) == 3
+    # maintenance folds absorb rollups into the legacy map
+    e1.catalog.optimize("t")
+    assert not [f for f in os.listdir(d) if f.startswith("rollup-")] if os.path.isdir(d) else True
+    assert sorted(e1.catalog._load_commits(spec)) == [1, 2, 3, 4, 5, 6, 7]

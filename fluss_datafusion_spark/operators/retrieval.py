@@ -370,6 +370,101 @@ def bm25_proximity_search(
     )
 
 
+# -- persisted inverted index: build once, append forever, query many ---------
+#
+# The ANN/dedup indexes already have a persisted lifecycle
+# (write/append/stream-ingest/query); this gives BM25 the same one.
+# Layout under ``path/``:
+#
+#   postings/   (__term__, __doc__, __tf__)      — RAW term frequencies
+#   doc_stats/  (__doc__, __dl__)
+#   positions/  (__term__, __doc__, __positions__)   [opt-in]
+#
+# df / N / avgdl are intentionally NOT stored: they are global
+# statistics that every append would invalidate.  ``load_bm25_index``
+# derives them with one aggregation over the persisted postings, which
+# makes ``append_to_bm25_index`` a pure parquet append — no
+# read-modify-write, no stats to patch, arbitrarily many appenders.
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    positional: bool = False,
+) -> None:
+    """Tokenize ``docs`` and persist the inverted index (overwrite).
+    ``positional=True`` additionally stores term positions so phrase /
+    proximity queries serve from the same index."""
+    import os
+
+    occ = _term_rows(docs, id_col, text_col)
+    occ.groupBy("__term__", "__doc__").agg(
+        F.count(F.lit(1)).alias("__tf__")
+    ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    occ.groupBy("__doc__").agg(
+        F.count(F.lit(1)).alias("__dl__")
+    ).write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    if positional:
+        build_positional_postings(docs, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "positions"))
+
+
+def append_to_bm25_index(
+    docs: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Add NEW documents to a persisted index — a pure parquet append
+    (the global df/N/avgdl are derived at load time, so nothing is
+    rewritten).  The caller guarantees doc ids not already indexed
+    (route corpus mutations through a PK table upstream); re-appending
+    an id would double-count its terms."""
+    import os
+
+    occ = _term_rows(docs, id_col, text_col)
+    occ.groupBy("__term__", "__doc__").agg(
+        F.count(F.lit(1)).alias("__tf__")
+    ).write.mode("append").parquet(os.path.join(path, "postings"))
+    occ.groupBy("__doc__").agg(
+        F.count(F.lit(1)).alias("__dl__")
+    ).write.mode("append").parquet(os.path.join(path, "doc_stats"))
+    if os.path.isdir(os.path.join(path, "positions")):
+        build_positional_postings(docs, id_col, text_col).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "positions"))
+
+
+def load_bm25_index(
+    spark, path: str, max_df: Optional[int] = None
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """(postings, doc_stats, corpus_stats) ready for :func:`bm25_topk`,
+    identical to a fresh :func:`build_bm25_index` over the same corpus:
+    df per term and N/avgdl are derived here with one aggregation each
+    (max_df stop-term pruning applies after df, unchanged idfs).
+    Persist the returned frames to amortize across query batches."""
+    import os
+
+    raw = spark.read.parquet(os.path.join(path, "postings"))
+    df_t = raw.groupBy("__term__").agg(F.count(F.lit(1)).alias("__df__"))
+    postings = raw.join(df_t, "__term__")
+    if max_df is not None:
+        postings = postings.filter(F.col("__df__") <= max_df)
+    doc_stats = spark.read.parquet(os.path.join(path, "doc_stats"))
+    corpus_stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("__N__"), F.avg("__dl__").alias("__avgdl__")
+    )
+    return postings, doc_stats, corpus_stats
+
+
+def load_positional_postings(spark, path: str) -> DataFrame:
+    """The persisted positional postings (pass as ``positional=`` to
+    :func:`proximity_filter`)."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "positions"))
+
+
 # -- WAND-style query-term pruning --------------------------------------------
 
 

@@ -1,0 +1,93 @@
+"""Persisted BM25 inverted index (operators/retrieval.py r6): build
+once / append forever / query many — the same index lifecycle as the
+ANN and dedup indexes.  Global df/N/avgdl are derived at load time, so
+appends are pure parquet appends."""
+
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators import retrieval
+
+
+def _docs(spark, testdata, lo, hi):
+    return (
+        spark.read.parquet(f"{testdata}/documents.parquet")
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .select("doc_id", "text")
+    )
+
+
+def _topk(spark, postings, doc_stats, corpus_stats, k=10):
+    queries = spark.createDataFrame([(0, "hash join fast")], ["qid", "qtext"])
+    return sorted(
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in retrieval.bm25_topk(
+            postings, doc_stats, corpus_stats, queries, "qid", "qtext", k=k
+        ).collect()
+    )
+
+
+def test_persisted_index_equals_inline_build(spark, testdata, tmp_path):
+    docs = _docs(spark, testdata, 0, 400)
+    retrieval.write_bm25_index(docs, "doc_id", "text", str(tmp_path / "idx"))
+    inline = _topk(
+        spark, *retrieval.build_bm25_index(docs, "doc_id", "text")
+    )
+    persisted = _topk(
+        spark, *retrieval.load_bm25_index(spark, str(tmp_path / "idx"))
+    )
+    assert inline and inline == persisted
+
+
+def test_append_equals_full_rebuild(spark, testdata, tmp_path):
+    """Appending a second batch must give the EXACT ranking a full
+    rebuild over the union gives — df/N/avgdl derived at load see every
+    appended posting."""
+    a = _docs(spark, testdata, 0, 250)
+    b = _docs(spark, testdata, 250, 400)
+    path = str(tmp_path / "idx2")
+    retrieval.write_bm25_index(a, "doc_id", "text", path)
+    retrieval.append_to_bm25_index(b, "doc_id", "text", path)
+    appended = _topk(spark, *retrieval.load_bm25_index(spark, path))
+    rebuilt = _topk(
+        spark,
+        *retrieval.build_bm25_index(a.unionByName(b), "doc_id", "text"),
+    )
+    assert appended and appended == rebuilt
+
+
+def test_max_df_applies_at_load(spark, testdata, tmp_path):
+    docs = _docs(spark, testdata, 0, 400)
+    path = str(tmp_path / "idx3")
+    retrieval.write_bm25_index(docs, "doc_id", "text", path)
+    inline = _topk(
+        spark, *retrieval.build_bm25_index(docs, "doc_id", "text", max_df=50)
+    )
+    persisted = _topk(
+        spark, *retrieval.load_bm25_index(spark, path, max_df=50)
+    )
+    assert inline == persisted
+
+
+def test_positional_postings_persist_and_append(spark, testdata, tmp_path):
+    """Phrase/proximity queries serve from the persisted positions and
+    appended documents join the match set."""
+    a = _docs(spark, testdata, 0, 250)
+    b = _docs(spark, testdata, 250, 400)
+    path = str(tmp_path / "idx4")
+    retrieval.write_bm25_index(a, "doc_id", "text", path, positional=True)
+    retrieval.append_to_bm25_index(b, "doc_id", "text", path)
+    both = a.unionByName(b)
+    from_persisted = sorted(
+        r.doc_id
+        for r in retrieval.proximity_filter(
+            both, "doc_id", "text", "hash join", slop=2,
+            positional=retrieval.load_positional_postings(spark, path),
+        ).collect()
+    )
+    derived = sorted(
+        r.doc_id
+        for r in retrieval.proximity_filter(
+            both, "doc_id", "text", "hash join", slop=2
+        ).collect()
+    )
+    assert from_persisted and from_persisted == derived

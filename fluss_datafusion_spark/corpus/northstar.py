@@ -2547,6 +2547,75 @@ def ns_retrieval_bm25(spark, sf_dir):
 
 
 @query(
+    "ns_retrieval_index_lifecycle", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks
+           WHERE term <> '' GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    q AS (SELECT 0 AS query_id, unnest(['hash', 'join', 'fast']) AS term),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               round(sum(
+                   ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM q
+        JOIN tf USING (term)
+        JOIN dft USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ns_retrieval_index_lifecycle(spark, sf_dir):
+    """Persisted BM25 index lifecycle (r6): write the first half of the
+    corpus, APPEND the second half (pure parquet append — df/N/avgdl
+    derive at load, so the appended index ranks exactly like a full
+    rebuild), load, query.  The DuckDB oracle scores the WHOLE corpus
+    in one pass: a hash match proves append+load == rebuild
+    cross-engine."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents")
+    cut = 250
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bm25idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    retrieval.write_bm25_index(
+        docs.filter(F.col("doc_id") < cut), "doc_id", "text", root
+    )
+    retrieval.append_to_bm25_index(
+        docs.filter(F.col("doc_id") >= cut), "doc_id", "text", root
+    )
+    postings, doc_stats, corpus_stats = retrieval.load_bm25_index(spark, root)
+    queries = spark.createDataFrame([(0, "hash join fast")], ["qid", "qtext"])
+    return retrieval.bm25_topk(
+        postings, doc_stats, corpus_stats, queries, "qid", "qtext", k=10
+    )
+
+
+@query(
     "ns_curation_weighted_sample", extended=True,
     oracle="""
     WITH w AS (

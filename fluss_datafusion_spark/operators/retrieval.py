@@ -465,6 +465,45 @@ def load_positional_postings(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "positions"))
 
 
+def bm25_ingest_sink(
+    stream_docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    metrics=None,
+):
+    """Continuous full-text-index ingest: per micro-batch, tokenize the
+    new documents and append their postings/doc-lengths (+ positions if
+    the index stores them) — queries issued after the batch commits
+    retrieve the new documents with exact full-rebuild statistics (df /
+    N / avgdl derive at load).  The retrieval twin of
+    ``ann_ingest_sink``: state lives in the index, restart-clean from
+    the checkpoint; the id-uniqueness contract is the caller's (route
+    corpus mutations through a PK table upstream).  ``metrics``
+    (optional list) records {batch_id, n_docs} per batch.  Runs with
+    availableNow; swap the trigger for a continuous deployment."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            if n == 0:
+                return
+            append_to_bm25_index(batch_df, id_col, text_col, index_path)
+            if metrics is not None:
+                metrics.append({"batch_id": batch_id, "n_docs": n})
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # -- WAND-style query-term pruning --------------------------------------------
 
 

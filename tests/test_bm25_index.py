@@ -91,3 +91,72 @@ def test_positional_postings_persist_and_append(spark, testdata, tmp_path):
         ).collect()
     )
     assert from_persisted and from_persisted == derived
+
+
+def test_bm25_ingest_sink_streams_documents_into_index(spark, testdata, tmp_path):
+    """Streaming document ingest (r6): batches appended through the sink
+    rank identically to a full rebuild over the union afterwards —
+    df/N/avgdl derive at load, so streamed statistics are exact."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    seed = _docs(spark, testdata, 0, 250)
+    new = _docs(spark, testdata, 250, 400)
+    path = str(tmp_path / "bm25_streamed")
+    retrieval.write_bm25_index(seed, "doc_id", "text", path, positional=True)
+
+    replay = str(tmp_path / "doc_replay")
+    os.makedirs(replay)
+    rows = new.collect()
+    base = time.time()
+    for i, half in enumerate((rows[::2], rows[1::2])):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in half], pa.int64()),
+                    "text": pa.array([r["text"] for r in half], pa.string()),
+                }
+            ),
+            os.path.join(replay, f"b{i:05d}.parquet"),
+        )
+        os.utime(os.path.join(replay, f"b{i:05d}.parquet"), (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(replay).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    metrics: list = []
+    q = retrieval.bm25_ingest_sink(
+        stream, path, str(tmp_path / "bm25_ckpt"), metrics=metrics
+    )
+    q.awaitTermination()
+    assert sum(m["n_docs"] for m in metrics) == len(rows)
+
+    streamed = _topk(spark, *retrieval.load_bm25_index(spark, path))
+    rebuilt = _topk(
+        spark,
+        *retrieval.build_bm25_index(
+            seed.unionByName(new), "doc_id", "text"
+        ),
+    )
+    assert streamed and streamed == rebuilt
+    # the positional leg followed the stream too
+    both = seed.unionByName(new)
+    from_persisted = sorted(
+        r.doc_id
+        for r in retrieval.proximity_filter(
+            both, "doc_id", "text", "hash join", slop=1,
+            positional=retrieval.load_positional_postings(spark, path),
+        ).collect()
+    )
+    derived = sorted(
+        r.doc_id
+        for r in retrieval.proximity_filter(
+            both, "doc_id", "text", "hash join", slop=1
+        ).collect()
+    )
+    assert from_persisted == derived

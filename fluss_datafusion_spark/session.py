@@ -258,6 +258,56 @@ class EngineSession:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
 
+        detail_match = re.match(
+            r"^\s*DESCRIBE\s+DETAIL\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if detail_match is not None:
+            from fluss_datafusion_spark.sql.dialect import parse_qualified_name
+
+            target = ".".join(parse_qualified_name(detail_match.group(1)))
+            if self.catalog.has_table(target):
+                # Delta's DESCRIBE DETAIL: one row summarizing the
+                # table's physical layout and policies — all from
+                # filesystem metadata + the spec, no Spark job.
+                import json as _json
+
+                from fluss_datafusion_spark.catalog import matview as _mv
+                from fluss_datafusion_spark.catalog.catalog import (
+                    _parquet_files,
+                )
+
+                spec = self.catalog.get_table(target)
+                path = self.catalog.table_path(spec)
+                files = _parquet_files(path)
+                size = sum(os.path.getsize(f) for f in files)
+                row = (
+                    "fluss-parquet",
+                    spec.qualified_name,
+                    path,
+                    "pk" if spec.has_primary_key else "log",
+                    ", ".join(spec.primary_key) or None,
+                    ", ".join(spec.partition_keys or []) or None,
+                    ", ".join(spec.bucket_keys or []) or None,
+                    spec.num_buckets or None,
+                    len(files),
+                    size,
+                    self.catalog._committed_seq(spec),
+                    self.catalog._floor.get(spec.qualified_name, 0),
+                    _mv.is_matview(self.catalog, target),
+                    _json.dumps(spec.properties or {}, sort_keys=True),
+                )
+                return self.spark.createDataFrame(
+                    [row],
+                    "format string, name string, location string, "
+                    "table_type string, primary_key string, "
+                    "partition_columns string, bucket_columns string, "
+                    "num_buckets int, num_files bigint, size_bytes bigint, "
+                    "current_version bigint, compaction_floor bigint, "
+                    "is_materialized_view boolean, properties string",
+                )
+
         hist_match = re.match(
             r"^\s*DESCRIBE\s+HISTORY\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
             statement,

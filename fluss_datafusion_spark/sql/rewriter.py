@@ -161,7 +161,9 @@ def _rewrite_command(sql: str, catalog) -> Optional[str]:
         name = match.group("name")
         # `DESCRIBE SELECT ...` etc. are not table describes; only rewrite
         # when the operand looks like a table name.
-        if name.upper() in ("SELECT", "QUERY", "EXTENDED", "FORMATTED"):
+        if name.upper() in (
+            "SELECT", "QUERY", "EXTENDED", "FORMATTED", "DETAIL", "HISTORY",
+        ):
             return None
         db, table = _split_name(name, catalog)
         return (

@@ -180,3 +180,37 @@ def test_file_stats_view(meta_engine):
         ).collect()
     }
     assert cols == {"a", "b"}
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL (r6, the Delta surface): one row of physical
+    layout + policies from filesystem metadata, no Spark job."""
+    import json
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_detail"))
+    e.sql(
+        "CREATE TABLE d (id BIGINT NOT NULL, g STRING, v BIGINT,"
+        " PRIMARY KEY (id)) PARTITIONED BY (g)"
+        " DISTRIBUTED BY (id) INTO 2 BUCKETS WITH ('owner' = 'me')"
+    )
+    e.sql("INSERT INTO d VALUES (1, 'x', 10), (2, 'y', 20)")
+    r = e.sql("DESCRIBE DETAIL d").collect()[0]
+    assert r.format == "fluss-parquet" and r.name == "fluss.d"
+    assert r.table_type == "pk" and r.primary_key == "id"
+    assert r.partition_columns == "g" and r.bucket_columns == "id"
+    assert r.num_buckets == 2 and r.num_files >= 1 and r.size_bytes > 0
+    assert r.current_version == 1 and r.compaction_floor == 0
+    assert not r.is_materialized_view
+    assert json.loads(r.properties) == {"owner": "me"}
+    # log table + matview flags
+    e.sql("CREATE TABLE lg (a BIGINT)")
+    r = e.sql("DESCRIBE DETAIL lg").collect()[0]
+    assert r.table_type == "log" and r.primary_key is None
+    e.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n"
+        " FROM d GROUP BY g"
+    )
+    r = e.sql("DESCRIBE DETAIL mv").collect()[0]
+    assert r.is_materialized_view

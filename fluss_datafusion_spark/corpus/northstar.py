@@ -585,6 +585,47 @@ def ns_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
+    "ns_multimodal_resize",
+    extended=True,
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 16 + 1 AS INT) AS w,
+               CAST((doc_id * 7) % 16 + 1 AS INT) AS h
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           w AS src_width, h AS src_height,
+           CAST(8 AS INT) AS out_width, CAST(8 AS INT) AS out_height,
+           ROUND(list_avg(list_transform(range(8),
+                 j -> (31 * least((j * h) // 8, h - 1) + doc_id) % 256)),
+                 4) AS mean_r,
+           ROUND(list_avg(list_transform(range(8),
+                 j -> (31 * least((j * h) // 8, h - 1) + 7 * doc_id) % 256)),
+                 4) AS mean_g,
+           ROUND(list_avg(list_transform(range(8),
+                 j -> (31 * least((j * h) // 8, h - 1) + 13 * doc_id) % 256)),
+                 4) AS mean_b,
+           true AS decoded_ok
+    FROM dims
+    """,
+)
+def ns_multimodal_resize(spark, sf_dir):
+    """Decode → RESIZE → featurize (r6 — the thumbnail step vision
+    pipelines run between decode and the encoder): every synthesized
+    PNG is resized to 8x8 with the documented nearest mapping
+    src = min(floor(j*h/8), h-1), then per-channel means of the RESIZED
+    pixels are emitted.  Fixture rows are constant per y, so the oracle
+    replays the exact sampled-row means with a range() aggregate —
+    byte-exact verification of the resize kernel's index math through
+    the full decode path (Adam7 payloads included)."""
+    media = multimodal.synthesize_png_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    return multimodal.image_resize_stats(media, 8, 8, method="nearest")
+
+
+@query(
     "ns_multimodal_fake_features",
     extended=True,
     oracle="""

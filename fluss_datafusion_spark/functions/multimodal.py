@@ -592,6 +592,108 @@ def decode_png_pixels(payload):
     return out
 
 
+def resize_pixels(px, out_h: int, out_w: int, method: str = "nearest"):
+    """Resize a decoded (H, W, C) pixel array — the multimodal-pipeline
+    step between decode and feature extraction (thumbnailing for vision
+    encoders).  Pure numpy, deterministic, documented conventions:
+
+    - ``nearest``: source index = ``min(floor(i * in / out), in - 1)``
+      (the simple scale-floor mapping — trivially replayable in SQL,
+      which is what makes the oracle entry exact);
+    - ``bilinear``: half-pixel centers (align_corners=False, the
+      OpenCV/PIL default), edge-clamped, rounded back to the input
+      dtype.  Bilinear of a linear ramp reproduces the ramp exactly in
+      the interior (test-pinned).
+    """
+    import numpy as np
+
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize target must be at least 1x1")
+    h, w = px.shape[0], px.shape[1]
+    if method == "nearest":
+        ys = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+        xs = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+        return px[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    info = np.iinfo(px.dtype)
+    return np.clip(np.rint(out), info.min, info.max).astype(px.dtype)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_resize_stats(
+    media: DataFrame, out_h: int, out_w: int, method: str = "nearest"
+) -> DataFrame:
+    """Decode (PNG or BMP, sniffed), RESIZE to (out_h, out_w), and emit
+    per-channel means of the RESIZED pixels — the decode → resize →
+    featurize pipeline shape, Arrow-batched end to end; payloads never
+    leave the executors.  Means are rounded to 4 (cross-engine float
+    tolerance)."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                if px is None:
+                    px = decode_bmp_pixels(payload)
+                if px is None:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None, False)
+                    )
+                    continue
+                h, w, c = px.shape
+                rs = resize_pixels(px, out_h, out_w, method=method)
+                color = rs[..., :3] if c >= 3 else rs[..., :1]
+                means = color.reshape(-1, color.shape[-1]).astype(
+                    "float64"
+                ).mean(axis=0)
+                mr = round(float(means[0]), 4)
+                mg = round(float(means[1]), 4) if len(means) > 1 else mr
+                mb = round(float(means[2]), 4) if len(means) > 2 else mr
+                rows.append((mid, w, h, out_w, out_h, mr, mg, mb, True))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "src_width", "src_height", "out_width",
+                    "out_height", "mean_r", "mean_g", "mean_b", "decoded_ok",
+                ],
+            )
+            for col in ("src_width", "src_height", "out_width", "out_height"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _RESIZE_SCHEMA
+    )
+
+
 _PNG_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

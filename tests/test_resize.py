@@ -1,0 +1,71 @@
+"""Image resize kernel (functions/multimodal.resize_pixels r6) — the
+decode -> resize -> featurize pipeline step, pure numpy, documented
+conventions (nearest scale-floor; bilinear half-pixel edge-clamped)."""
+
+import numpy as np
+import pytest
+
+from fluss_datafusion_spark.functions import multimodal as mm
+
+
+def test_nearest_index_math():
+    px = np.arange(4 * 6 * 1, dtype=np.uint8).reshape(4, 6, 1)
+    out = mm.resize_pixels(px, 2, 3, method="nearest")
+    # src rows floor(0*4/2)=0, floor(1*4/2)=2; cols 0, 2, 4
+    want = px[[0, 2]][:, [0, 2, 4]]
+    assert np.array_equal(out, want)
+    # upscale repeats samples, never goes out of range
+    up = mm.resize_pixels(px, 8, 12, method="nearest")
+    assert up.shape == (8, 12, 1)
+    assert set(np.unique(up)) <= set(np.unique(px))
+
+
+def test_constant_image_is_fixed_point_both_methods():
+    px = np.full((5, 7, 3), 123, dtype=np.uint8)
+    for method in ("nearest", "bilinear"):
+        out = mm.resize_pixels(px, 3, 2, method=method)
+        assert out.shape == (3, 2, 3) and np.all(out == 123)
+
+
+def test_bilinear_preserves_linear_ramp_interior():
+    """Bilinear of a linear function is the linear function — interior
+    samples of a ramp land exactly on the ramp (uint16 for headroom)."""
+    h, w = 8, 8
+    px = (np.arange(h)[:, None, None] * 100
+          + np.arange(w)[None, :, None] * 10).astype(np.uint16)
+    out = mm.resize_pixels(px, 4, 4, method="bilinear")
+    fy = np.clip((np.arange(4) + 0.5) * 2 - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(4) + 0.5) * 2 - 0.5, 0, w - 1)
+    want = np.rint(fy[:, None, None] * 100 + fx[None, :, None] * 10)
+    assert np.array_equal(out.astype(float), want)
+
+
+def test_resize_rejects_bad_args():
+    px = np.zeros((2, 2, 1), dtype=np.uint8)
+    with pytest.raises(ValueError, match="at least 1x1"):
+        mm.resize_pixels(px, 0, 4)
+    with pytest.raises(ValueError, match="unknown resize method"):
+        mm.resize_pixels(px, 2, 2, method="lanczos")
+
+
+def test_image_resize_stats_end_to_end(spark, testdata):
+    """Full pipeline over synthesized PNGs (Adam7 included): resized
+    means equal the sampled-row closed form."""
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, f"{testdata}/documents.parquet").limit(60)
+    media = mm.synthesize_png_media(docs, id_col="doc_id")
+    rows = mm.image_resize_stats(media, 8, 8, method="nearest").collect()
+    assert rows and all(r.decoded_ok for r in rows)
+    for r in rows:
+        h = (r.media_id * 7) % 16 + 1
+        ys = [min(j * h // 8, h - 1) for j in range(8)]
+        want = round(sum((31 * y + r.media_id) % 256 for y in ys) / 8, 4)
+        assert r.mean_r == want, (r.media_id, r.mean_r, want)
+        assert (r.out_width, r.out_height) == (8, 8)
+    # undecodable payloads surface as decoded_ok = False
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    r = mm.image_resize_stats(bad, 4, 4).collect()[0]
+    assert not r.decoded_ok and r.mean_r is None

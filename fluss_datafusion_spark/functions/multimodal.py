@@ -2594,6 +2594,50 @@ def avi_frame_stats(media: DataFrame, every: int = 1) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_map, _AVI_STATS_SCHEMA)
 
 
+def video_thumbnail_stats(
+    media: DataFrame,
+    out_h: int,
+    out_w: int,
+    every: int = 1,
+    method: str = "nearest",
+) -> DataFrame:
+    """Frame-sample → RESIZE → featurize for video (r6): every
+    ``every``-th AVI frame is resized to (out_h, out_w) and its
+    per-channel means emitted — the video twin of
+    ``image_resize_stats``, composing the two production patterns
+    (sample frames BEFORE pixel work; thumbnail before the encoder).
+    Arrow-batched; payloads never leave the executors."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frames(payload, every=every)
+                if not frames:
+                    continue
+                for idx, px in frames:
+                    rs = resize_pixels(px, out_h, out_w, method=method)
+                    means = rs.reshape(-1, 3).astype("float64").mean(axis=0)
+                    rows.append(
+                        (mid, idx, out_w, out_h,
+                         round(float(means[0]), 4),
+                         round(float(means[1]), 4),
+                         round(float(means[2]), 4))
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "width", "height",
+                         "mean_r", "mean_g", "mean_b"],
+            )
+            for c in ("frame_index", "width", "height"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _AVI_STATS_SCHEMA
+    )
+
+
 def synthesize_avi_media(
     df: DataFrame, id_col: str = "doc_id", n_frames: int = 6
 ) -> DataFrame:

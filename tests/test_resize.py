@@ -69,3 +69,27 @@ def test_image_resize_stats_end_to_end(spark, testdata):
     )
     r = mm.image_resize_stats(bad, 4, 4).collect()[0]
     assert not r.decoded_ok and r.mean_r is None
+
+
+def test_video_thumbnail_stats(spark, testdata):
+    """Frame-sample -> resize -> featurize over synthesized AVIs:
+    flat-color frames make the resized means exact (constant image is a
+    resize fixed point), and sampling takes every 2nd frame."""
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, f"{testdata}/documents.parquet").limit(40)
+    media = mm.synthesize_avi_media(docs, id_col="doc_id", n_frames=6)
+    rows = mm.video_thumbnail_stats(media, 4, 4, every=2).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+        assert (r.width, r.height) == (4, 4)
+        f, i = r.frame_index, r.media_id
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            (11 * i + 29 * f) % 256,
+            (13 * i + 31 * f) % 256,
+            (17 * i + 37 * f) % 256,
+        )
+    for frames in by_media.values():
+        assert sorted(r.frame_index for r in frames) == [0, 2, 4]

@@ -626,6 +626,37 @@ def ns_multimodal_resize(spark, sf_dir):
 
 
 @query(
+    "ns_multimodal_resample",
+    extended=True,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate_in,
+           CAST(16000 AS INT) AS rate_out,
+           CAST(doc_id % 100 + 1 AS INT) AS frames_in,
+           CAST(round((doc_id % 100 + 1) * 16000.0
+                      / (8000 + (doc_id % 4) * 4000)) AS INT) AS frames_out,
+           ROUND(CAST(doc_id % 2000 - 1000 AS DOUBLE), 4) AS mean_amp,
+           ROUND(CAST(abs(doc_id % 2000 - 1000) AS DOUBLE), 4) AS rms,
+           true AS decoded_ok
+    FROM documents
+    """,
+)
+def ns_multimodal_resample(spark, sf_dir):
+    """Decode → RESAMPLE → featurize for audio (r6 — the rate
+    normalization speech encoders need): every synthesized PCM16 WAV
+    (rates 8/12/16/20 kHz) is resampled to 16 kHz with the documented
+    start-aligned linear kernel and the resampled mean/RMS emitted.
+    Constant-amplitude fixtures make resampling a fixed point, so the
+    oracle states every output — incl. the exact resampled frame count
+    round(n·16000/rate), whose ratios never land on .5 (no
+    rounding-mode divergence) — closed-form."""
+    media = multimodal.synthesize_wav_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    return multimodal.wav_resample_stats(media, 16000, method="linear")
+
+
+@query(
     "ns_multimodal_fake_features",
     extended=True,
     oracle="""

@@ -975,6 +975,105 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_map, _WAV_STATS_SCHEMA)
 
 
+def resample_pcm(samples, in_rate: int, out_rate: int, method: str = "linear"):
+    """Resample a decoded (frames, channels) PCM array to ``out_rate``
+    — the audio analog of :func:`resize_pixels` (speech encoders want
+    16 kHz regardless of source rate).  Documented conventions:
+
+    - output length = ``max(1, round(n * out_rate / in_rate))``;
+    - sample positions ``t_j = j * in_rate / out_rate`` (start-aligned),
+      edge-clamped;
+    - ``nearest`` rounds the position; ``linear`` interpolates between
+      the neighbors and rounds back to the input dtype (linear-in-time
+      signals resample exactly — test-pinned).
+
+    No anti-aliasing filter: this is the plumbing-level kernel (the
+    imaging/audio libs are stubbed in this environment by design); a
+    production pipeline would band-limit before heavy downsampling.
+    """
+    import numpy as np
+
+    if in_rate < 1 or out_rate < 1:
+        raise ValueError("rates must be positive")
+    if method not in ("nearest", "linear"):
+        raise ValueError(f"unknown resample method {method!r}")
+    n = samples.shape[0]
+    out_n = max(1, int(round(n * out_rate / in_rate)))
+    t = np.arange(out_n) * (in_rate / out_rate)
+    if method == "nearest":
+        idx = np.minimum(np.rint(t).astype(int), n - 1)
+        return samples[idx]
+    t = np.clip(t, 0, n - 1)
+    i0 = np.floor(t).astype(int)
+    i1 = np.minimum(i0 + 1, n - 1)
+    w = (t - i0)[:, None]
+    s = samples.astype(np.float64)
+    out = s[i0] * (1 - w) + s[i1] * w
+    if np.issubdtype(samples.dtype, np.integer):
+        info = np.iinfo(samples.dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(samples.dtype)
+    return out.astype(samples.dtype)
+
+
+_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rate_in", T.IntegerType()),
+        T.StructField("rate_out", T.IntegerType()),
+        T.StructField("frames_in", T.IntegerType()),
+        T.StructField("frames_out", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def wav_resample_stats(
+    media: DataFrame, out_rate: int, method: str = "linear"
+) -> DataFrame:
+    """Decode → RESAMPLE to ``out_rate`` → featurize (mean amplitude +
+    RMS of the resampled signal, rounded to 4) — the audio twin of
+    ``image_resize_stats``.  Arrow-batched; payloads never leave the
+    executors."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = parse_wav_header(payload)
+                px = decode_wav_pcm(payload)
+                if hdr is None or px is None:
+                    rows.append(
+                        (mid, None, None, None, None, None, None, False)
+                    )
+                    continue
+                rate, _channels, _bits, n_frames = hdr
+                rs = resample_pcm(px, rate, out_rate, method=method)
+                s = rs.astype(np.float64)
+                rows.append(
+                    (
+                        mid, rate, out_rate, n_frames, rs.shape[0],
+                        round(float(s.mean()), 4),
+                        round(float(np.sqrt((s ** 2).mean())), 4),
+                        True,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "rate_in", "rate_out", "frames_in",
+                         "frames_out", "mean_amp", "rms", "decoded_ok"],
+            )
+            for c in ("rate_in", "rate_out", "frames_in", "frames_out"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _RESAMPLE_SCHEMA
+    )
+
+
 def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture: a COMPLETE 16-bit PCM WAV per row — RIFF/fmt/data chunks
     plus a real constant-amplitude sample array, all fields derived

@@ -93,3 +93,44 @@ def test_video_thumbnail_stats(spark, testdata):
         )
     for frames in by_media.values():
         assert sorted(r.frame_index for r in frames) == [0, 2, 4]
+
+
+def test_resample_pcm_kernel():
+    """Audio resample kernel: nearest picks exact samples on integer
+    ratios; linear preserves linear-in-time signals; constants are
+    fixed points; stereo frames move together."""
+    ramp = (np.arange(10)[:, None] * 100).astype(np.int16)
+    # 2:1 downsample, nearest: positions 0,2,4,... -> even samples
+    down = mm.resample_pcm(ramp, 16000, 8000, method="nearest")
+    assert np.array_equal(down[:, 0], ramp[::2, 0])
+    # 1:2 upsample, linear: midpoints of a ramp land exactly between
+    up = mm.resample_pcm(ramp, 8000, 16000, method="linear")
+    assert up.shape[0] == 20
+    assert np.array_equal(up[0:4, 0], np.array([0, 50, 100, 150]))
+    # constant fixed point at a non-integer ratio
+    const = np.full((7, 2), -123, dtype=np.int16)
+    out = mm.resample_pcm(const, 12000, 16000)
+    assert out.shape == (9, 2) and np.all(out == -123)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown resample method"):
+        mm.resample_pcm(const, 1, 1, method="sinc")
+    with _pytest.raises(ValueError, match="positive"):
+        mm.resample_pcm(const, 0, 1)
+
+
+def test_wav_resample_stats_end_to_end(spark, testdata):
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(spark, f"{testdata}/documents.parquet").limit(50)
+    media = mm.synthesize_wav_media(docs, id_col="doc_id")
+    rows = mm.wav_resample_stats(media, 16000).collect()
+    assert rows and all(r.decoded_ok for r in rows)
+    for r in rows:
+        i = r.media_id
+        rate = 8000 + (i % 4) * 4000
+        n = i % 100 + 1
+        amp = i % 2000 - 1000
+        assert r.rate_in == rate and r.frames_in == n
+        assert r.frames_out == max(1, round(n * 16000 / rate))
+        assert r.mean_amp == float(amp) and r.rms == float(abs(amp))

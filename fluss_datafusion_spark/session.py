@@ -457,10 +457,23 @@ class EngineSession:
         # re-derives each touched view's plan once at the next read,
         # not once per write.
         self.catalog.refresh_views()
+        # EXPLAIN runs the SAME rewrite chain as execution (time travel,
+        # system tables, SHOW/QUALIFY rewrites), so the plan a user
+        # inspects is the plan the engine would run — not the raw text
+        # Spark alone couldn't resolve.
+        explain = re.match(
+            r"^\s*EXPLAIN(\s+(?:EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.+)$",
+            statement,
+            re.IGNORECASE | re.DOTALL,
+        )
+        prefix = ""
+        if explain is not None:
+            prefix = f"EXPLAIN{explain.group(1) or ''} "
+            statement = explain.group(2)
         statement = self._rewrite_time_travel(statement)
         statement = self._bind_system_tables(statement)
         rewritten = rewriter.rewrite_sql(statement, self.catalog)
-        return self.spark.sql(rewritten)
+        return self.spark.sql(prefix + rewritten)
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """Map the Delta/SQL:2011 inline time-travel spellings onto the

@@ -171,3 +171,24 @@ def test_show_stats_rewrite():
     assert "information_schema_column_stats" in out
     assert "table_schema = 'db1'" in out and "table_name = 't1'" in out
     assert rewrite_sql("SHOW STATS t1") == rewrite_sql("SHOW STATS FOR t1")
+
+
+def test_explain_runs_the_engine_rewrite_chain(spark, tmp_path):
+    """EXPLAIN (r6) resolves through the SAME rewrites as execution —
+    time travel, system tables, QUALIFY — so the inspected plan is the
+    executed plan."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_explain"))
+    e.sql("CREATE TABLE t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    e.sql("INSERT INTO t VALUES (1, 'a2')")
+    plan = e.sql("EXPLAIN SELECT * FROM t VERSION AS OF 1").collect()[0][0]
+    assert "Physical Plan" in plan and "__rn__" in plan
+    plan = e.sql(
+        "EXPLAIN SELECT id, v, row_number() OVER (ORDER BY id) AS rn"
+        " FROM t QUALIFY rn = 1"
+    ).collect()[0][0]
+    assert "Window" in plan or "window" in plan
+    plan = e.sql("EXPLAIN FORMATTED SELECT id FROM t$history").collect()[0][0]
+    assert "Physical Plan" in plan

@@ -276,7 +276,59 @@ _EXACT_TOP10_ORACLE = """
 """
 
 
-def _ann_recall_entry(spark, sf_dir, ann_fn, floor: float):
+_CLUSTERED_TOP10_ORACLE = """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(range(len(embedding)), i ->
+                   CAST(embedding[i + 1] AS DOUBLE)
+                   + CASE WHEN (i // 4) = (vec_id % 16)
+                          THEN 1.0 ELSE 0.0 END) AS v
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x*x)))) AS cos
+        FROM e q JOIN e c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    topk AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= 10
+    )
+    SELECT vec_id,
+           array_to_string(list(neighbor_id ORDER BY neighbor_id), ',') AS exact_ids,
+           TRUE AS recall_ok
+    FROM topk GROUP BY vec_id
+"""
+
+
+def clustered_embeddings(emb):
+    """Deterministic cluster-structure injection for the IVF fixture:
+    vector i gains +1.0 on the 4-dim block ``[4c, 4c+4)`` where
+    ``c = vec_id % 16`` — 16 well-separated clusters over the unit-norm
+    isotropic base vectors (within-cluster cos ~0.85, cross ~0.1).
+    Pure IEEE arithmetic on the same float32 inputs in both engines, so
+    the DuckDB oracle reproduces the vectors bit-for-bit.  This is the
+    regime real embedding corpora live in (the raw synthetic embeddings
+    are isotropic — any honest IVF's recall there equals the probed
+    corpus fraction, which misgrades the operator; see ROADMAP r6)."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(
+                F.floor(i / F.lit(4)) == F.col("vec_id") % 16, F.lit(1.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def _ann_recall_entry(spark, sf_dir, ann_fn, floor: float, emb_fn=None):
     """Shared shape for the ANN entries' deterministic-oracle form (the
     q45_sketch_bounds pattern): run the ANN path AND the exact top-10 in
     one query, emit the exact ids (which the oracle reproduces verbatim
@@ -290,6 +342,8 @@ def _ann_recall_entry(spark, sf_dir, ann_fn, floor: float):
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
+    if emb_fn is not None:
+        emb = emb_fn(emb)
     queries_df = emb.filter(F.col("vec_id") < 5)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
 
@@ -770,29 +824,32 @@ def ns_sessionize(spark, sf_dir):
     )
 
 
-@query("ns_sim_ann_ivf", oracle=_EXACT_TOP10_ORACLE)
+@query("ns_sim_ann_ivf", oracle=_CLUSTERED_TOP10_ORACLE)
 def ns_sim_ann_ivf(spark, sf_dir):
-    """Approximate top-10 via IVF inverted lists, verified with the same
-    deterministic oracle as the LSH entry: exact top-10 ids + in-query
-    recall >= 0.8 boolean.  r6: the quantizer seeds with deterministic
-    k-means|| (Bahmani 2012) instead of first-N-by-id, which BALANCES
-    the inverted lists (sf0.01 sizes 24-37 vs the old degenerate skew).
-    The synthetic embeddings are isotropic (no cluster structure — flat
-    covariance spectrum, mean NN cos 0.37 vs 0.0 random), so recall on
-    THIS data is ~the probed corpus fraction: n_probe=12 of 16 measures
-    min per-query recall 0.9 at sf0.001/sf0.01.  On clustered vectors
-    the same seeding covers every true cluster and hits recall 1.0 with
-    n_probe=2 (tests/test_ivf_seeding.py) — the regime real embedding
-    corpora live in.  Complements LSH — the two standard ANN scale
-    paths."""
+    """Approximate top-10 via IVF inverted lists over CLUSTERED vectors
+    (``clustered_embeddings`` — a deterministic +1.0-block transform the
+    DuckDB oracle reproduces bit-for-bit), verified with the same
+    deterministic-oracle shape as the LSH entry: exact top-10 ids +
+    in-query recall >= 0.8 boolean.
+
+    r7 entry reshape (VERDICT r6 item 1): the raw synthetic embeddings
+    are ISOTROPIC — on them any honest IVF's recall equals the probed
+    corpus fraction, so the r6 entry had to probe 12/16 lists
+    (near-brute-force, 2.3x slower) to hold its floor, misrepresenting
+    the operator.  With real cluster structure the r6 k-means|| seeding
+    (Bahmani 2012, `similarity.py:_kmeans_parallel_seeds`) covers every
+    true cluster and n_probe=2 of 16 holds recall 1.0 — the ~12.5%-of-
+    corpus scan that is IVF's actual value at 100 TB.  Complements LSH —
+    the two standard ANN scale paths."""
     return _ann_recall_entry(
         spark,
         sf_dir,
         lambda emb, q: similarity.ivf_ann_topk(
             emb, q, "vec_id", "embedding", "vec_id", "embedding",
-            k=11, n_centroids=16, n_probe=12, n_iters=2,
+            k=11, n_centroids=16, n_probe=2, n_iters=2,
         ),
         floor=0.8,
+        emb_fn=clustered_embeddings,
     )
 
 

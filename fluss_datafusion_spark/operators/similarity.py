@@ -200,30 +200,34 @@ def _kmeans_parallel_seeds(
     id_col: str,
     k: int,
     rounds: int = 3,
+    vecs: "DataFrame | None" = None,
 ) -> "object":
     """Deterministic k-means|| seeding (Bahmani et al., VLDB 2012 — the
     distributed k-means++): start from the min-id vector, then for a
     FIXED number of rounds (independent of k, unlike sequential
-    k-means++'s k passes) oversample ~2k candidates per round with
-    probability proportional to the cosine distance**2 to the nearest
-    already-picked candidate, weight the candidate pool by how many
-    corpus rows each candidate is nearest to, and reduce the pool to k
-    seeds with weighted k-means++ LOCALLY (the pool is model-sized:
-    <= 1 + 2k*rounds rows).
+    k-means++'s k passes) oversample 2k candidates per round weighted by
+    the cosine distance**2 to the nearest already-picked candidate,
+    weight the candidate pool by how many corpus rows each candidate is
+    nearest to, and reduce the pool to k seeds with weighted k-means++
+    LOCALLY (the pool is model-sized: <= 1 + 2k*rounds rows).
 
     Determinism: the per-row sampling uses md5-derived uniforms keyed by
     (id, round) — same corpus, same seeds, every run, any partitioning.
-    Scale shape: each round is one Arrow matmul pass + one 1-row sum;
+    Scale shape: each round is ONE job — an Arrow matmul pass feeding a
+    TakeOrdered of the 2k best A-ES keys (Efraimidis-Spirakis weighted
+    sampling: pick the smallest -ln(u)/w, the same variate family the
+    curation samplers use) — r7 replaced the total+Bernoulli two-pass;
     only candidate vectors (model state) ever reach the driver."""
     import numpy as np
 
-    vecs = corpus.select(F.col(id_col).alias("__id__"),
-                         F.col(vec_col).alias("__v__"))
+    if vecs is None:
+        vecs = corpus.select(F.col(id_col).alias("__id__"),
+                             F.col(vec_col).alias("__v__"))
     first = vecs.orderBy("__id__").limit(1).collect()
     if not first:
         raise ValueError("cannot train IVF centroids on an empty corpus")
     pool = _normalize(np.array([first[0]["__v__"]], dtype=np.float64))
-    ell = 2 * k  # expected oversample per round
+    ell = 2 * k  # oversample per round
     for r in range(rounds):
         maxsim = _max_sim_udf(pool)
         # cosine distance**2 weights; md5 uniform in (0, 1]
@@ -244,24 +248,21 @@ def _kmeans_parallel_seeds(
                   F.lit(2.0)).alias("__w__"),
             u.alias("__u__"),
         )
-        total = weighted.agg(F.sum("__w__")).collect()[0][0] or 0.0
-        if total <= 0:
-            break  # every vector coincides with a candidate already
-        # keep row i iff u_i < ell * w_i / total (expected ell picks);
-        # cap defensively at 4*ell by the strongest draws
+        # exactly-ell weighted draw without replacement: smallest
+        # -ln(u)/w keys (w=0 rows coincide with a candidate — excluded)
         picked = (
-            weighted.filter(F.col("__u__") * F.lit(total) <
-                            F.lit(float(ell)) * F.col("__w__"))
-            .orderBy((F.col("__u__") * F.lit(total) / F.col("__w__")).asc(),
+            weighted.filter(F.col("__w__") > 0)
+            .orderBy((-F.log(F.col("__u__")) / F.col("__w__")).asc(),
                      F.col("__id__"))
-            .limit(4 * ell)
+            .limit(ell)
             .collect()
         )
-        if picked:
-            pool = np.vstack(
-                [pool, _normalize(np.array([p["__v__"] for p in picked],
-                                           dtype=np.float64))]
-            )
+        if not picked:
+            break  # every vector coincides with a candidate already
+        pool = np.vstack(
+            [pool, _normalize(np.array([p["__v__"] for p in picked],
+                                       dtype=np.float64))]
+        )
     # weight pool members by their nearest-corpus-row counts (one pass)
     assign = ivf_assign_udf(pool, n_probe=1)
     counts = dict(
@@ -300,53 +301,132 @@ def _kmeans_parallel_seeds(
     return _normalize(out)
 
 
+def _train_local_kmeans(sample, k: int, n_iters: int):
+    """Deterministic local k-means over a bounded training SAMPLE
+    (rows already sorted by the caller's deterministic order): k-means++
+    seeding (fixed-seed RNG, d**2-weighted) + ``n_iters`` Lloyd steps,
+    all numpy.  The sample is model-sized by contract (<= sample_cap
+    vectors), so this is driver-side model fitting, not data movement."""
+    import numpy as np
+
+    mat = _normalize(np.asarray(sample, dtype=np.float64))
+    n = mat.shape[0]
+    rng = np.random.RandomState(0)
+    seeds = [0]  # min-id vector, matching the distributed path's start
+    d2 = np.maximum(1.0 - mat @ mat[0], 0.0) ** 2
+    while len(seeds) < min(k, n):
+        s = d2.sum()
+        if s <= 0:
+            remaining = [i for i in range(n) if i not in seeds]
+            seeds.extend(remaining[: k - len(seeds)])
+            break
+        pick = int(rng.choice(n, p=d2 / s))
+        if pick in seeds:
+            d2[pick] = 0.0
+            continue
+        seeds.append(pick)
+        d2 = np.minimum(d2, np.maximum(1.0 - mat @ mat[pick], 0.0) ** 2)
+    centroids = mat[seeds]
+    if centroids.shape[0] < k:
+        centroids = np.vstack(
+            [centroids] + [centroids[:1]] * (k - centroids.shape[0])
+        )
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        new = centroids.copy()
+        for c in range(k):
+            members = mat[assign == c]
+            if members.shape[0]:
+                vec = members.sum(axis=0)
+                if np.linalg.norm(vec) > 0:
+                    new[c] = vec
+        centroids = _normalize(new)
+    return centroids
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
     n_centroids: int = 16,
     n_iters: int = 2,
+    sample_cap: "int | None" = 256 * 64,
 ):
     """Deterministic IVF coarse quantizer for cosine similarity.
 
-    Init = deterministic k-means|| seeding (r6 — see
-    ``_kmeans_parallel_seeds``; first-N-by-id seeding puts every seed
-    in whatever cluster the low ids happen to live in, degrading list
-    balance and recall on clustered corpora), then ``n_iters`` Lloyd
-    steps run AS DATAFRAME JOBS: assignment is an Arrow-batched argmax
-    matmul per partition, the mean-update a groupBy over (centroid,
-    vector) — only the centroid matrix (n_centroids x dim floats) ever
-    reaches the driver, which is model state, not data.  Returns a
-    normalized numpy array, row i = centroid i.
+    Default path (r7): FAISS-style SAMPLED training — one distributed
+    job draws a deterministic md5-keyed sample of
+    ``min(sample_cap, 256*n_centroids)`` vectors (the 256-per-centroid
+    cap FAISS uses; quantizer quality saturates well below it), then
+    k-means++ seeding + ``n_iters`` Lloyd steps run locally in numpy.
+    The sample is model-sized by construction, so at 100 TB training is
+    ONE TakeOrdered pass over the corpus instead of ~7 full passes —
+    the shape every production ANN system uses.
+
+    ``sample_cap=None`` keeps the r6 full-corpus path: deterministic
+    k-means|| seeding (``_kmeans_parallel_seeds``, Bahmani 2012) +
+    Lloyd steps as DataFrame jobs (Arrow-batched argmax matmul
+    assignment, groupBy mean-update) — only the centroid matrix ever
+    reaches the driver.  Both paths are deterministic for a given
+    corpus.  Returns a normalized numpy array, row i = centroid i.
     """
     import numpy as np
 
-    centroids = _kmeans_parallel_seeds(corpus, vec_col, id_col, n_centroids)
-
-    for _ in range(n_iters):
-        assign = ivf_assign_udf(centroids, n_probe=1)
-        assigned = corpus.select(
-            F.col(vec_col).alias("__v__"),
-            assign(F.col(vec_col))[0].alias("__c__"),
-        )
-        sums = (
-            assigned.select(
-                "__c__", F.posexplode(F.col("__v__")).alias("__i__", "__x__")
-            )
-            .groupBy("__c__", "__i__")
-            .agg(F.sum("__x__").alias("__s__"))
+    if sample_cap is not None:
+        cap = min(sample_cap, 256 * n_centroids)
+        sample = (
+            corpus.select(F.col(id_col).alias("__id__"),
+                          F.col(vec_col).alias("__v__"))
+            .orderBy(F.md5(F.col("__id__").cast("string")), F.col("__id__"))
+            .limit(cap)
             .collect()
         )
-        new = centroids.copy()
-        by_c: dict = {}
-        for r in sums:
-            by_c.setdefault(r["__c__"], {})[r["__i__"]] = r["__s__"]
-        for c, comps in by_c.items():
-            vec = np.array([comps.get(i, 0.0) for i in range(centroids.shape[1])])
-            if np.linalg.norm(vec) > 0:
-                new[c] = vec
-        centroids = _normalize(new)
-    return centroids
+        if not sample:
+            raise ValueError("cannot train IVF centroids on an empty corpus")
+        # min-id first so seeding starts where the distributed path does
+        sample.sort(key=lambda r: r["__id__"])
+        return _train_local_kmeans(
+            [r["__v__"] for r in sample], n_centroids, n_iters
+        )
+
+    # One persisted projection feeds every training pass (3 seeding
+    # rounds + the pool-weighting pass + n_iters Lloyd steps) — without
+    # it each pass re-runs the caller's scan/transform lineage.
+    vecs = corpus.select(F.col(id_col).alias("__id__"),
+                         F.col(vec_col).alias("__v__")).persist()
+    try:
+        centroids = _kmeans_parallel_seeds(
+            corpus, vec_col, id_col, n_centroids, vecs=vecs
+        )
+
+        for _ in range(n_iters):
+            assign = ivf_assign_udf(centroids, n_probe=1)
+            assigned = vecs.select(
+                F.col("__v__"),
+                assign(F.col("__v__"))[0].alias("__c__"),
+            )
+            sums = (
+                assigned.select(
+                    "__c__", F.posexplode(F.col("__v__")).alias("__i__", "__x__")
+                )
+                .groupBy("__c__", "__i__")
+                .agg(F.sum("__x__").alias("__s__"))
+                .collect()
+            )
+            new = centroids.copy()
+            by_c: dict = {}
+            for r in sums:
+                by_c.setdefault(r["__c__"], {})[r["__i__"]] = r["__s__"]
+            for c, comps in by_c.items():
+                vec = np.array(
+                    [comps.get(i, 0.0) for i in range(centroids.shape[1])]
+                )
+                if np.linalg.norm(vec) > 0:
+                    new[c] = vec
+            centroids = _normalize(new)
+        return centroids
+    finally:
+        vecs.unpersist()
 
 
 def ivf_assign_udf(centroids, n_probe: int = 1):

@@ -48,6 +48,21 @@ def test_seeding_covers_every_cluster(spark):
     assert _clusters_covered(first_n, true_centers) == 1
 
 
+def test_distributed_kmeans_parallel_path(spark):
+    """sample_cap=None keeps the full-corpus k-means|| path (Bahmani
+    2012, DataFrame jobs): same coverage + determinism guarantees as
+    the default FAISS-style sampled path."""
+    df, true_centers = _clustered(spark)
+    a = similarity.train_ivf_centroids(
+        df, "embedding", "vec_id", 16, 2, sample_cap=None
+    )
+    assert _clusters_covered(a, true_centers) >= 15
+    b = similarity.train_ivf_centroids(
+        df, "embedding", "vec_id", 16, 2, sample_cap=None
+    )
+    assert np.allclose(a, b)
+
+
 def test_seeding_is_deterministic(spark):
     df, _ = _clustered(spark, n_clusters=8, per=30)
     a = similarity.train_ivf_centroids(df, "embedding", "vec_id", 8, 2)

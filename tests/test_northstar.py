@@ -89,7 +89,7 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert pairs[0]["jaccard"] >= 0.4
 
 
-def _ann_recall(spark, sf_dir, ann_fn):
+def _ann_recall(spark, sf_dir, ann_fn, emb_fn=None):
     """Per-query recall of an ANN function vs exact brute force (both
     self-dropped top-10, ties by neighbor id)."""
     from pyspark.sql import Window
@@ -98,6 +98,8 @@ def _ann_recall(spark, sf_dir, ann_fn):
     from fluss_datafusion_spark.session import read_table
 
     emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    if emb_fn is not None:
+        emb = emb_fn(emb)
     qdf = emb.filter(F.col("vec_id") < 5)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
 
@@ -216,13 +218,16 @@ def test_cosine_matches_numpy(spark):
 
 
 def test_ivf_recall_against_bruteforce(spark, testdata):
-    """IVF probing 12/16 lists (r6: the k-means|| quantizer balances the
-    lists, so on these ISOTROPIC synthetic embeddings recall tracks the
-    probed corpus fraction — measured per-query {0.9..1.0} at sf0.001;
-    clustered-data recall is pinned separately by test_ivf_seeding.py):
-    assert mean >= 0.85 and min >= 0.8, plus the corpus entry's
-    recall_ok booleans."""
-    from fluss_datafusion_spark.corpus.northstar import ns_sim_ann_ivf
+    """IVF probing 2/16 lists over the CLUSTERED fixture (r7 entry
+    reshape: the raw synthetic embeddings are isotropic, where any
+    honest IVF's recall equals the probed fraction — see the entry
+    docstring; k-means|| clustered-data coverage is pinned separately
+    by test_ivf_seeding.py): assert per-query recall >= 0.9, plus the
+    corpus entry's recall_ok booleans."""
+    from fluss_datafusion_spark.corpus.northstar import (
+        clustered_embeddings,
+        ns_sim_ann_ivf,
+    )
     from fluss_datafusion_spark.operators import similarity
 
     per = _ann_recall(
@@ -230,11 +235,12 @@ def test_ivf_recall_against_bruteforce(spark, testdata):
         testdata,
         lambda emb, q: similarity.ivf_ann_topk(
             emb, q, "vec_id", "embedding", "vec_id", "embedding",
-            k=11, n_centroids=16, n_probe=12, n_iters=2,
+            k=11, n_centroids=16, n_probe=2, n_iters=2,
         ),
+        emb_fn=clustered_embeddings,
     )
-    assert sum(per) / len(per) >= 0.85, f"IVF mean recall collapsed: {per}"
-    assert min(per) >= 0.8, f"IVF per-query recall collapsed: {per}"
+    assert sum(per) / len(per) >= 0.95, f"IVF mean recall collapsed: {per}"
+    assert min(per) >= 0.9, f"IVF per-query recall collapsed: {per}"
 
     rows = ns_sim_ann_ivf(spark, testdata).collect()
     assert len(rows) == 5

@@ -94,6 +94,10 @@ class FlussCatalog:
         # lets refresh_views notice OTHER sessions' writes to a shared
         # warehouse (one stat() per bound table per read boundary)
         self._view_bound_stamp: Dict[str, int] = {}
+        # qname -> token for maintenance markers THIS session holds
+        # (two sessions in one process must not mistake each other's
+        # marker for their own, so identity is per-catalog, not per-pid)
+        self._maint_tokens: Dict[str, str] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -901,6 +905,14 @@ class FlussCatalog:
         base = self._current_seq(spec)
         legacy = max(self._legacy_commits(spec), default=0)
         while True:
+            # OPTIMIZE/COMPACT exclusion (see the maintenance section):
+            # don't allocate while a foreign maintenance marker is up
+            self._wait_no_maintenance(spec)
+            # a completed swap leaves the fresh table dir without
+            # _commits/ — recreate it only AFTER the marker check (a
+            # makedirs during the swap's brief dir-absent window would
+            # recreate the table root and fail the swap's second rename)
+            os.makedirs(d, exist_ok=True)
             disk = self._commit_dir_max(spec)
             start = max(base, legacy, disk) + 1
             if expect_base is not None and start != expect_base + 1:
@@ -921,7 +933,30 @@ class FlussCatalog:
                     got.append(n)
                 except FileExistsError:
                     break
+                except FileNotFoundError:
+                    # the commit dir is briefly absent mid-dir-swap (we
+                    # raced past the marker check by microseconds): do
+                    # NOT recreate it here — a makedirs between the
+                    # swap's two renames would make the second rename
+                    # fail ENOTEMPTY.  Loop back to the marker wait.
+                    import time as _time
+
+                    _time.sleep(0.01)
+                    break
             if len(got) == count:
+                # Dekker re-check: our reservation files exist, so a
+                # maintenance session that grabbed its marker BEFORE we
+                # created them will now see them and wait for us; if the
+                # marker landed FIRST, we must be the one to yield —
+                # release and re-wait (nothing was written yet).
+                if self._maintenance_inflight(spec):
+                    for n in got:
+                        try:
+                            os.unlink(os.path.join(d, f"{n:010d}.inflight"))
+                        except OSError:
+                            pass
+                    base = self._current_seq(spec)
+                    continue
                 self._seq[key] = got[-1]
                 return got
             for n in got:  # lost the race mid-range: release and retry
@@ -941,6 +976,178 @@ class FlussCatalog:
                 os.unlink(os.path.join(d, f"{int(n):010d}.inflight"))
             except OSError:
                 pass
+
+    # -- maintenance exclusion (r7) ---------------------------------------
+    #
+    # OPTIMIZE / COMPACT / auto-compaction replace the table directory
+    # (_swap_dir).  A writer planning against the pre-swap file listing
+    # mid-swap would read vanished files, and a compaction that misses a
+    # concurrent append would lose rows.  The reference never faces this
+    # (the Fluss server owns storage, src/provider.rs:418); a shared
+    # file-backed warehouse must.  Protocol (same O_EXCL put-if-absent
+    # family as _reserve_seqs):
+    #
+    #   maintenance: CREATE ``maintenance.inflight`` marker (one winner)
+    #                -> wait for every writer reservation to drain
+    #                -> rewrite + swap -> release marker.
+    #   writers:     CREATE ``<seq>.inflight`` reservation
+    #                -> re-check the marker; if present, release the
+    #                   reservation and wait for the marker to clear.
+    #
+    # Both sides create-their-file-then-check-the-other (store-then-load,
+    # Dekker's ordering on a shared filesystem): whichever file lands
+    # second, its owner sees the other side's file and yields — there is
+    # no interleaving where a writer appends against a mid-swap listing.
+    # Crash safety: a marker (or reservation) whose mtime is older than
+    # MAINT_STALE_SECS is reaped as abandoned.
+
+    MAINT_MARKER = "maintenance.inflight"
+    MAINT_STALE_SECS = 600.0
+    MAINT_WAIT_SECS = 60.0
+
+    def _maint_marker_path(self, spec: TableSpec) -> str:
+        # SIBLING of the table directory, not inside it: the swap
+        # renames the whole table dir aside, and a marker stored within
+        # would vanish mid-maintenance — unblocking writers while
+        # _save_spec/_save_commits/manifest-rebuild are still running
+        # (and leaving a window where _commits/ itself doesn't exist).
+        # The dot prefix keeps it out of Spark's listings.
+        path = self.table_path(spec)
+        return os.path.join(
+            os.path.dirname(path),
+            f".{os.path.basename(path)}.{self.MAINT_MARKER}",
+        )
+
+    def _maintenance_inflight(self, spec: TableSpec) -> bool:
+        """True iff ANOTHER session holds a fresh maintenance marker on
+        this table (own markers and stale leftovers don't count)."""
+        import json
+        import time
+
+        marker = self._maint_marker_path(spec)
+        try:
+            st = os.stat(marker)
+        except OSError:
+            return False
+        token = self._maint_tokens.get(spec.qualified_name)
+        if token is not None:
+            try:
+                with open(marker) as fh:
+                    if json.load(fh).get("token") == token:
+                        return False
+            except Exception:
+                pass
+        if time.time() - st.st_mtime > self.MAINT_STALE_SECS:
+            try:  # crashed maintenance: reap so writers unblock
+                os.unlink(marker)
+            except OSError:
+                pass
+            return False
+        return True
+
+    def _wait_no_maintenance(self, spec: TableSpec) -> None:
+        """Writer side: block until no foreign maintenance marker is
+        present (bounded; maintenance windows are seconds)."""
+        import time
+
+        deadline = time.time() + self.MAINT_WAIT_SECS
+        while self._maintenance_inflight(spec):
+            if time.time() > deadline:
+                raise ConcurrentWriteConflict(
+                    f"maintenance (OPTIMIZE/COMPACT) on "
+                    f"{spec.qualified_name} has held its marker for over "
+                    f"{self.MAINT_WAIT_SECS:.0f}s; nothing was written — "
+                    f"re-run the statement"
+                )
+            time.sleep(0.02)
+
+    def _maintenance_lock(self, spec: TableSpec):
+        """Exclusive maintenance window: acquire the marker, then wait
+        for in-flight writer reservations to drain.  Raises
+        ConcurrentWriteConflict (taking nothing) if another maintenance
+        holds the marker past the deadline or a reservation never
+        drains."""
+        import contextlib
+        import json
+        import time
+        import uuid
+
+        @contextlib.contextmanager
+        def _lock():
+            d = self._commit_dir(spec)
+            os.makedirs(d, exist_ok=True)
+            marker = self._maint_marker_path(spec)
+            token = uuid.uuid4().hex
+            deadline = time.time() + self.MAINT_WAIT_SECS
+            while True:
+                try:
+                    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(
+                        fd,
+                        json.dumps(
+                            {"token": token, "pid": os.getpid(),
+                             "ts": time.time()}
+                        ).encode(),
+                    )
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    # stale-reap happens inside _maintenance_inflight
+                    if not self._maintenance_inflight(spec):
+                        held = self._maint_tokens.get(spec.qualified_name)
+                        if held is not None:
+                            raise ConcurrentWriteConflict(
+                                f"maintenance already in progress on "
+                                f"{spec.qualified_name} in this session"
+                            )
+                        continue  # stale marker reaped: retry the create
+                    if time.time() > deadline:
+                        raise ConcurrentWriteConflict(
+                            f"another session is running maintenance on "
+                            f"{spec.qualified_name}; retry later"
+                        )
+                    time.sleep(0.02)
+            self._maint_tokens[spec.qualified_name] = token
+            try:
+                # wait for writer reservations to drain (stale ones —
+                # crashed writers — are ignored past MAINT_STALE_SECS)
+                drain_deadline = time.time() + self.MAINT_WAIT_SECS
+                while True:
+                    pending = []
+                    now = time.time()
+                    try:
+                        entries = os.listdir(d)
+                    except OSError:
+                        entries = []
+                    for f in entries:
+                        if not f.endswith(".inflight"):
+                            continue
+                        if f == self.MAINT_MARKER:
+                            continue
+                        try:
+                            age = now - os.stat(os.path.join(d, f)).st_mtime
+                        except OSError:
+                            continue  # finalized between list and stat
+                        if age <= self.MAINT_STALE_SECS:
+                            pending.append(f)
+                    if not pending:
+                        break
+                    if time.time() > drain_deadline:
+                        raise ConcurrentWriteConflict(
+                            f"writer reservations {sorted(pending)} on "
+                            f"{spec.qualified_name} did not finalize; "
+                            f"maintenance aborted cleanly"
+                        )
+                    time.sleep(0.02)
+                yield
+            finally:
+                self._maint_tokens.pop(spec.qualified_name, None)
+                try:
+                    os.unlink(marker)
+                except OSError:
+                    pass
+
+        return _lock()
 
     def _record_commit(self, spec: TableSpec, seq: int) -> None:
         """Finalize a reserved seq: write the per-seq commit file with
@@ -1690,12 +1897,15 @@ class FlussCatalog:
             path, new_files, bloom_columns=bloom_cols, bloom_fpp=bloom_fpp
         )
         if seq is not None:
-            self._record_commit(spec, seq)
-            # Auto-compaction may replace these files on disk; capture
-            # the write's row count from their footers first so callers'
+            # Maintenance (another session's OPTIMIZE/COMPACT) may swap
+            # these files away the instant the reservation finalizes,
+            # and auto-compaction may replace them; capture the write's
+            # row count from their footers FIRST — while the inflight
+            # reservation still excludes any dir swap — so callers'
             # _footer_row_count still answers for the statement.
             counted = _CountedFiles(new_files)
             counted.precomputed_rows = _footer_row_count(list(new_files))
+            self._record_commit(spec, seq)
             self._maybe_auto_compact(spec, seq)
             return counted
         return new_files
@@ -1768,7 +1978,13 @@ class FlussCatalog:
             if self._compaction_deferred is not None:
                 self._compaction_deferred.add(spec.qualified_name)
                 return
-            self.compact(spec.qualified_name)
+            try:
+                self.compact(spec.qualified_name)
+            except ConcurrentWriteConflict:
+                # another session is compacting (or writers are busy):
+                # the policy's goal is being met elsewhere — the write
+                # statement that triggered us must not fail for it
+                pass
 
     def delete(self, name: str, key_value) -> int:
         """Point DELETE by full primary key (scalar for single-column
@@ -2377,6 +2593,10 @@ class FlussCatalog:
         path = self.table_path(spec)
         if not _has_data(path):
             return 0
+        with self._maintenance_lock(spec):
+            return self._optimize_locked(spec, path, target_file_bytes, zorder_by)
+
+    def _optimize_locked(self, spec, path, target_file_bytes, zorder_by):
         log = self._to_physical(spec, self._log_df(spec))
         if zorder_by:
             stored = {c.name: c.stored_name for c in spec.columns}
@@ -2472,6 +2692,10 @@ class FlussCatalog:
         spec = self.get_table(name)
         if not spec.has_primary_key:
             return
+        with self._maintenance_lock(spec):
+            self._compact_locked(spec)
+
+    def _compact_locked(self, spec: TableSpec) -> None:
         merged = self._to_physical(
             spec, self._merge_log(spec, self._log_df(spec), keep_internal=True)
         )

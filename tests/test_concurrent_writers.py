@@ -221,3 +221,158 @@ def test_commit_dir_folds_into_rollups(spark, tmp_path, monkeypatch):
     e1.catalog.optimize("t")
     assert not [f for f in os.listdir(d) if f.startswith("rollup-")] if os.path.isdir(d) else True
     assert sorted(e1.catalog._load_commits(spec)) == [1, 2, 3, 4, 5, 6, 7]
+
+
+# -- maintenance under the commit protocol (r7) ---------------------------
+
+
+def test_insert_interleaved_with_optimize_threads(spark, tmp_path):
+    """TRUE interleave: one session INSERTs in a loop from a thread
+    while the other runs OPTIMIZE (dir swaps) — the maintenance marker
+    + reservation-drain handshake must lose no rows, raise nothing,
+    and keep the seq history consistent."""
+    import threading
+
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (0, 'seed')")
+    errs = []
+
+    def writer():
+        try:
+            for i in range(1, 9):
+                e1.sql(f"INSERT INTO t VALUES ({i}, 'w{i}')")
+        except Exception as exc:  # pragma: no cover - the assert below
+            errs.append(exc)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    try:
+        for _ in range(3):
+            e2.catalog.optimize("t")
+    finally:
+        th.join()
+    assert not errs, f"writer died during concurrent OPTIMIZE: {errs}"
+    assert e2.sql("SELECT count(*) AS n FROM t").collect()[0].n == 9
+    assert _seq_history(e1) == list(range(1, 10)), "no lost statements"
+    spec = e1.catalog.get_table("t")
+    d = e1.catalog._commit_dir(spec)
+    leftover = (
+        [f for f in os.listdir(d) if f.endswith(".inflight")]
+        if os.path.isdir(d)
+        else []
+    )
+    assert not leftover, f"markers/reservations must all release: {leftover}"
+
+
+def test_insert_interleaved_with_auto_compaction(spark, tmp_path):
+    """Cross-session auto-compaction (compaction.auto-after) vs a
+    writer in another session: every row survives, the floor rises,
+    reads agree in both sessions."""
+    wh = str(tmp_path / "wh_autocompact")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql(
+        "CREATE TABLE t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id)) "
+        "WITH ('compaction.auto-after' = '3')"
+    )
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    for i in range(8):
+        (e1 if i % 2 == 0 else e2).sql(f"INSERT INTO t VALUES ({i}, 'v{i}')")
+    for e in (e1, e2):
+        assert e.sql("SELECT count(*) AS n FROM t").collect()[0].n == 8
+    spec = e1.catalog.get_table("t")
+    assert e1.catalog._floor.get(spec.qualified_name, 0) >= 3, (
+        "auto-compaction must have run at least once"
+    )
+
+
+def test_compact_aborts_cleanly_on_undrained_reservation(spark, tmp_path):
+    """A fresh foreign writer reservation blocks maintenance: COMPACT
+    waits, then aborts with ConcurrentWriteConflict having swapped
+    nothing; after the reservation clears it succeeds."""
+    import pytest
+
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    e1.sql("INSERT INTO t VALUES (1, 'b')")
+    spec = e2.catalog.get_table("t")
+    d = e2.catalog._commit_dir(spec)
+    stray = os.path.join(d, f"{99:010d}.inflight")
+    with open(stray, "x"):
+        pass
+    e2.catalog.MAINT_WAIT_SECS = 0.3
+    with pytest.raises(ConcurrentWriteConflict, match="did not finalize"):
+        e2.catalog.compact("t")
+    # nothing swapped: full history still present
+    assert _seq_history(e1) == [1, 2]
+    assert not os.path.exists(e2.catalog._maint_marker_path(spec)), (
+        "aborted maintenance must release its marker"
+    )
+    os.unlink(stray)
+    e2.catalog.compact("t")
+    assert e1.sql("SELECT v FROM t").collect()[0].v == "b"
+
+
+def test_writer_yields_to_maintenance_marker(spark, tmp_path):
+    """A fresh foreign maintenance marker blocks seq allocation: the
+    writer waits, raises ConcurrentWriteConflict at the deadline having
+    written nothing, and succeeds once the marker clears."""
+    import json
+
+    import pytest
+
+    e1, e2 = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    marker = e1.catalog._maint_marker_path(spec)
+    with open(marker, "x") as fh:
+        json.dump({"token": "foreign-session", "ts": 0}, fh)
+    e1.catalog.MAINT_WAIT_SECS = 0.3
+    with pytest.raises(ConcurrentWriteConflict, match="maintenance"):
+        e1.sql("INSERT INTO t VALUES (2, 'blocked')")
+    assert _seq_history(e1) == [1], "nothing written under the marker"
+    os.unlink(marker)
+    e1.sql("INSERT INTO t VALUES (2, 'ok')")
+    assert _seq_history(e1) == [1, 2]
+
+
+def test_stale_maintenance_marker_is_reaped(spark, tmp_path):
+    """A marker from a crashed maintenance session (mtime past
+    MAINT_STALE_SECS) must not block writers forever: it is reaped and
+    the INSERT proceeds."""
+    import json
+
+    e1, _ = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    marker = e1.catalog._maint_marker_path(spec)
+    with open(marker, "x") as fh:
+        json.dump({"token": "crashed-session", "ts": 0}, fh)
+    old = 1.0  # epoch 1970: decisively stale
+    os.utime(marker, (old, old))
+    e1.sql("INSERT INTO t VALUES (2, 'b')")  # reaps and proceeds
+    assert _seq_history(e1) == [1, 2]
+    assert not os.path.exists(marker)
+
+
+def test_auto_compact_conflict_does_not_fail_statement(spark, tmp_path):
+    """If auto-compaction cannot get its maintenance window (stray
+    fresh reservation), the triggering INSERT must still succeed — the
+    policy is best-effort, the statement is not."""
+    wh = str(tmp_path / "wh_acskip")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql(
+        "CREATE TABLE t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id)) "
+        "WITH ('compaction.auto-after' = '1')"
+    )
+    e1.catalog.MAINT_WAIT_SECS = 0.3
+    spec = e1.catalog.get_table("t")
+    d = e1.catalog._commit_dir(spec)
+    os.makedirs(d, exist_ok=True)
+    stray = os.path.join(d, f"{50:010d}.inflight")
+    with open(stray, "x"):
+        pass
+    e1.sql("INSERT INTO t VALUES (1, 'a')")  # compact skipped, no raise
+    assert e1.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
+    assert e1.catalog._floor.get(spec.qualified_name, 0) == 0, (
+        "compaction was skipped under the undrained reservation"
+    )

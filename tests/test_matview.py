@@ -418,3 +418,57 @@ def test_concurrent_refresh_applies_window_exactly_once(spark, tmp_path):
     for e in (e1, e2):
         got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
         assert got == [("a", 2, 15), ("b", 1, 7)], got
+
+
+def test_streaming_refresh_vs_manual_refresh_exactly_once(spark, tmp_path):
+    """r7 (VERDICT r6 item 8): the CONTINUOUS refresher goes through the
+    same commit-protocol refresh as manual REFRESH — a manual refresh
+    from another session landing mid-batch must not let the streaming
+    batch double-apply the window.  The injected winner commits while
+    the streaming refresh is reserving; the loser retries into a no-op
+    and both sessions read the exactly-once state."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog import matview
+
+    wh = str(tmp_path / "wh_mv_scc")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql(
+        "CREATE TABLE src (id BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (id))"
+    )
+    e1.sql("INSERT INTO src VALUES (1, 'a', 10), (2, 'b', 7)")
+    e1.sql(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n,"
+        " sum(x) AS sx FROM src GROUP BY g"
+    )
+    e1.sql("INSERT INTO src VALUES (3, 'a', 5)")  # the contested window
+
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    cat = e1.catalog
+    orig = cat._reserve_seqs
+    state = {"fired": False}
+
+    def winner_first(spec, count=1, expect_base=None):
+        if not state["fired"] and spec.name == "mv":
+            state["fired"] = True
+            e2.sql("REFRESH MATERIALIZED VIEW mv")  # manual winner lands
+        return orig(spec, count, expect_base=expect_base)
+
+    cat._reserve_seqs = winner_first
+    try:
+        q = matview.matview_refresh_sink(cat, "mv", str(tmp_path / "ckpt_scc"))
+        q.awaitTermination()
+    finally:
+        cat._reserve_seqs = orig
+    assert state["fired"], "the manual refresh must have interleaved"
+    for e in (e1, e2):
+        got = sorted(tuple(r) for r in e.sql("SELECT * FROM mv").collect())
+        assert got == [("a", 2, 15), ("b", 1, 7)], got
+
+    # and the streaming refresher still catches up AFTER a foreign
+    # manual refresh advanced the checkpoint (no stuck/no rewind)
+    e2.sql("INSERT INTO src VALUES (4, 'b', 3)")
+    q = matview.matview_refresh_sink(cat, "mv", str(tmp_path / "ckpt_scc"))
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in e1.sql("SELECT * FROM mv").collect())
+    assert got == [("a", 2, 15), ("b", 2, 10)], got

@@ -397,23 +397,27 @@ class FlussCatalog:
         (r6): their DIRECTORY names keep the original physical name —
         the write path's partitionBy and the bucket-id expression map
         through ``_stored_names``, and SHOW PARTITIONS translates dir
-        names back to the logical name for display.  Refusals: primary
-        key columns (their name is baked into merge semantics, point
-        deletes, and the PK-only skipping-prune rule across every code
-        path — the one rename Delta also gates behind a protocol bump),
-        and a column referenced by a CHECK constraint (the stored
-        expression would silently stop binding)."""
+        names back to the logical name for display.
+
+        PRIMARY KEY columns rename too (r7, the last mapping gap —
+        Delta gates this behind a protocol bump; here the persisted
+        ``physical_name`` in _spec.json IS the versioned mapping every
+        session reads): merge-on-read, the changelog windows, point
+        lookups, tombstone construction and MERGE all operate on the
+        LOGICAL frame (``_log_df``/``read`` translate physical→logical
+        at the scan boundary, ``_to_physical`` translates back at the
+        write boundary), and the skipping prune's PK-only allowlist is
+        checked in logical names BEFORE its rename_map hop — so the
+        merge semantics stay keyed by the on-disk physical column with
+        no path left that sees a mixed name.  Remaining refusal: a
+        column referenced by a CHECK constraint (the stored expression
+        would silently stop binding)."""
         import re as _re
 
         spec = self.get_table(name)
         col = spec.column(old)  # KeyError if absent
         if any(c.name == new for c in spec.columns):
             raise ValueError(f"column already exists: {new}")
-        if old in set(spec.primary_key):
-            raise ValueError(
-                f"cannot rename {old}: primary-key columns are "
-                "load-bearing for merge semantics"
-            )
         for cname, expr in spec.check_constraints.items():
             if _re.search(rf"\b{_re.escape(old)}\b", expr):
                 raise ValueError(
@@ -422,8 +426,11 @@ class FlussCatalog:
                 )
         col.physical_name = col.stored_name  # pin what's on disk
         col.name = new
-        # layout key lists name LOGICAL columns: follow the rename (the
-        # on-disk directory names stay put via physical_name)
+        # key lists name LOGICAL columns: follow the rename (the
+        # on-disk directory/file names stay put via physical_name)
+        spec.primary_key[:] = [
+            new if k == old else k for k in (spec.primary_key or [])
+        ]
         spec.partition_keys[:] = [
             new if k == old else k for k in (spec.partition_keys or [])
         ]
@@ -1828,6 +1835,7 @@ class FlussCatalog:
         deleted: bool,
         reserved_seq: Optional[int] = None,
         expect_base: Optional[int] = None,
+        deleted_col: Optional[str] = None,
     ):
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
@@ -1838,16 +1846,32 @@ class FlussCatalog:
         up front so a conflict aborts before ANY append).
         ``expect_base``: read-modify-write callers pass the seq their
         snapshot was based on — allocation raises
-        ConcurrentWriteConflict if another writer committed since."""
+        ConcurrentWriteConflict if another writer committed since.
+        ``deleted_col``: name of a boolean flag column in ``aligned``
+        marking per-row tombstones (r7) — lets a statement that both
+        upserts and deletes (matview refresh, MERGE) land as ONE append
+        job under ONE seq instead of two; the flag column becomes the
+        internal __del__ stamp and never reaches the data files."""
+        if deleted_col is not None and not spec.has_primary_key:
+            raise ValueError(
+                "per-row tombstone flags require a primary-key table"
+            )
         if not deleted and spec.check_constraints:
             # CHECK semantics: a row violates only when the expression is
             # FALSE (NULL passes).  The input is pinned first so a
             # non-deterministic source is not executed twice with
             # different rows for the check and the write.
             aligned = aligned.localCheckpoint()
+            check_src = (
+                aligned
+                if deleted_col is None
+                # tombstone rows carry NULL non-key payloads by design;
+                # constraints judge only the rows being written live
+                else aligned.filter(~F.col(deleted_col).cast("boolean"))
+            )
             for cname, expr in spec.check_constraints.items():
                 bad = (
-                    aligned.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                    check_src.filter(~F.coalesce(F.expr(expr), F.lit(True)))
                     .limit(1)
                     .count()
                 )
@@ -1864,11 +1888,18 @@ class FlussCatalog:
                 if reserved_seq is not None
                 else self._next_seq(spec, expect_base=expect_base)
             )
+            del_expr = (
+                F.col(deleted_col).cast("boolean")
+                if deleted_col is not None
+                else F.lit(bool(deleted))
+            )
             writer_df = (
                 aligned.withColumn(_SEQ, F.lit(seq))
                 .withColumn(_SUB, F.monotonically_increasing_id())
-                .withColumn(_DEL, F.lit(bool(deleted)))
+                .withColumn(_DEL, del_expr)
             )
+            if deleted_col is not None:
+                writer_df = writer_df.drop(deleted_col)
         # partition DIRECTORIES keep their original (stored) names after
         # a layout-column rename — partitionBy runs on the physical frame
         partition_cols = self._stored_names(spec, spec.partition_keys or [])
@@ -2505,36 +2536,52 @@ class FlussCatalog:
         live = None
         for part in live_parts:
             live = part if live is None else live.unionByName(part)
-        # Both outputs read the PRE-merge table state, but the writes land
-        # in the same log the plans scan — materialize before the first
-        # append so the second job cannot see the first's files (same
-        # self-reference hazard INSERT OVERWRITE handles above).
         if live is not None and tombstones is not None:
-            live = live.localCheckpoint(eager=True)
-            tombstones = tombstones.localCheckpoint(eager=True)
-        # reserve the statement's whole contiguous seq range before the
-        # first append: a concurrent writer conflicts the whole MERGE,
-        # never half of it
-        n_appends = (live is not None) + (tombstones is not None)
-        reserved = (
-            self._reserve_seqs(spec, n_appends, expect_base=base)
-            if n_appends
-            else []
-        )
+            # ONE append under ONE seq (r7 statement batching): the
+            # upsert and tombstone outputs fuse via a per-row __del__
+            # flag — one write job, one commit stamp, and the
+            # self-reference materialization barrier the old two-append
+            # form needed (eager checkpoints so append #2 couldn't see
+            # append #1's files) disappears with the second append.  A
+            # MERGE is one statement; it now burns one seq, not two.
+            from pyspark.sql import Observation
+
+            flag = "__merge_tomb__"
+            fused = live.withColumn(flag, F.lit(False)).unionByName(
+                tombstones.withColumn(flag, F.lit(True))
+            )
+            obs = Observation()
+            fused = fused.observe(
+                obs,
+                F.sum(F.when(F.col(flag), 1).otherwise(0))
+                .cast("long")
+                .alias("n_del"),
+                F.count(F.lit(1)).alias("n_all"),
+            )
+            seq = self._reserve_seqs(spec, 1, expect_base=base)[0]
+            with self.defer_auto_compact():
+                self._append_log(
+                    spec,
+                    fused,
+                    deleted=False,
+                    reserved_seq=seq,
+                    deleted_col=flag,
+                )
+            metrics = obs.get
+            deleted = int(metrics["n_del"] or 0)
+            upserted = int(metrics["n_all"] or 0) - deleted
+            return {"upserted": upserted, "deleted": deleted}
         with self.defer_auto_compact():
             if live is not None:
                 upserted = _footer_row_count(
                     self._append_log(
-                        spec, live, deleted=False, reserved_seq=reserved[0]
+                        spec, live, deleted=False, expect_base=base
                     )
                 )
             if tombstones is not None:
                 deleted = _footer_row_count(
                     self._append_log(
-                        spec,
-                        tombstones,
-                        deleted=True,
-                        reserved_seq=reserved[-1],
+                        spec, tombstones, deleted=True, expect_base=base
                     )
                 )
         return {"upserted": upserted, "deleted": deleted}

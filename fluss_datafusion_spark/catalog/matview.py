@@ -73,8 +73,9 @@ Scale shape: a refresh is one changelog derivation per source filtered
 to the seq window (a parquet scan + one window pass), the delta joins
 above for join views, one map-side-combined delta aggregation keyed on
 the group columns, one broadcast-or-shuffle LEFT join of (tiny) delta
-against the view, and two appends (upserts + tombstones).  Nothing
-corpus-sized is recomputed, collected, or broadcast.
+against the view, and ONE fused append (upserts and tombstones land
+under one seq via a per-row __del__ flag — r7).  Nothing corpus-sized
+is recomputed, collected, or broadcast.
 
 No reference analog (zuston/fluss-datafusion has neither changelogs nor
 views); part of the lakehouse surface beyond the reference.
@@ -466,13 +467,13 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     j1 = _snap_of(0)
     dj = _delta_of(0, _SIGN)
     if dj is not None:
-        dj = dj.localCheckpoint()
+        dj = dj.localCheckpoint(eager=False)
     for i in range(1, len(mv["sources"])):
         cond = _flat_join_cond(mv, mv["joins"][i - 1])
         c1 = _snap_of(i)
         dc = _delta_of(i, sc)
         if dc is not None:
-            dc = dc.localCheckpoint()
+            dc = dc.localCheckpoint(eager=False)
         terms = []
         if dj is not None:
             terms.append(dj.join(c1, cond))
@@ -489,7 +490,7 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                 ).drop(sc)
             )
         dj = (
-            reduce(DataFrame.unionByName, terms).localCheckpoint()
+            reduce(DataFrame.unionByName, terms).localCheckpoint(eager=False)
             if terms
             else None
         )
@@ -529,7 +530,11 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                 catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
             )
             .withColumnRenamed(_SIGN, sa)
-            .localCheckpoint()
+            # lazy: materializes once inside the first consuming job
+            # (the merged-state checkpoint) — both join terms then read
+            # the cached blocks; an eager checkpoint would be one extra
+            # Spark job per delta per refresh (r7 statement batching)
+            .localCheckpoint(eager=False)
         )
     if anchors["hi2"] > anchors["lo2"]:
         d_b = (
@@ -537,7 +542,7 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                 catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
             )
             .withColumnRenamed(_SIGN, sb)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     terms = []
     if d_a is not None:
@@ -941,7 +946,14 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         F.col(_STAR).isNotNull().alias("__mv_existed__"),
         needs_rescan.alias("__mv_rescan__"),
         *[c.alias(n) for n, c in new_cols.items()],
-    ).localCheckpoint()  # pin against the self-read below
+    ).localCheckpoint(eager=False)
+    # ^ pins against the self-read below: the upsert/tombstone branches
+    # both read merged, and merged's plan reads the view table the fused
+    # append writes to.  LAZY is safe here — the checkpoint materializes
+    # inside the first consuming job (the rescan probe, or the fused
+    # write itself) whose view-table scan holds the PRE-append file
+    # listing resolved at plan time; eager would be one extra Spark job
+    # per refresh (r7 statement batching).
 
     schema_order = [c.name for c in spec.columns]
     upserts = merged.filter(
@@ -969,8 +981,8 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
             mv,  # a rescan recomputes from scratch: compensation resets
         ).select(*schema_order)
         to_insert = upserts.unionByName(rescanned)
-    # CONCURRENTLY guard: reserve the refresh's two seqs against the
-    # base captured before the checkpoint load, then re-validate the
+    # CONCURRENTLY guard: reserve the refresh's seq against the base
+    # captured before the checkpoint load, then re-validate the
     # checkpoint itself — a concurrent refresh either conflicts the
     # reservation or shows up as a moved checkpoint; both abort cleanly
     # BEFORE any append (the retry loop in refresh_matview re-runs
@@ -979,17 +991,16 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         ConcurrentWriteConflict,
     )
 
-    seq_up, seq_dead = catalog._reserve_seqs(spec, 2, expect_base=view_base)
+    seq_ref = catalog._reserve_seqs(spec, 1, expect_base=view_base)[0]
     fresh = _load_mv(catalog, name)
     if fresh.get("last_seqs", fresh.get("last_seq")) != mv.get(
         "last_seqs", mv.get("last_seq")
     ):
-        catalog._release_seqs(spec, [seq_up, seq_dead])
+        catalog._release_seqs(spec, [seq_ref])
         raise ConcurrentWriteConflict(
             f"materialized view {name} was refreshed concurrently; "
             "nothing was written — re-running against the new checkpoint"
         )
-    n_up = catalog.insert(name, to_insert, reserved_seq=seq_up)
     # phantom groups (born and fully retracted inside one window, or
     # nulled out by WHERE) get no tombstone — they were never in the view
     dead = merged.filter(
@@ -1004,11 +1015,37 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
             for f in spec.spark_schema().fields
         ]
     )
-    from fluss_datafusion_spark.catalog.catalog import _footer_row_count
+    # ONE append under ONE seq (r7 statement batching): upserts and
+    # tombstones land fused via a per-row __del__ flag — a REFRESH is
+    # one statement, so one commit; halves the refresh's write jobs,
+    # commit stamps and stats harvests.  The upsert/delete split for
+    # the result dict rides the write job itself as observed metrics
+    # (no extra pass).
+    from pyspark.sql import Observation
 
-    n_del = _footer_row_count(
-        catalog._append_log(spec, dead, deleted=True, reserved_seq=seq_dead)
+    target = spec.spark_schema()
+    aligned_up = to_insert.select(
+        *[
+            F.col(src).cast(f.dataType).alias(f.name)
+            for src, f in zip(to_insert.columns, target.fields)
+        ]
     )
+    flag = "__mv_tomb__"
+    fused = aligned_up.withColumn(flag, F.lit(False)).unionByName(
+        dead.withColumn(flag, F.lit(True))
+    )
+    obs = Observation()
+    fused = fused.observe(
+        obs,
+        F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long").alias("n_del"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    catalog._append_log(
+        spec, fused, deleted=False, reserved_seq=seq_ref, deleted_col=flag
+    )
+    metrics = obs.get
+    n_del = int(metrics["n_del"] or 0)
+    n_up = int(metrics["n_all"] or 0) - n_del
     _checkpoint()
     return {"upserted": n_up, "deleted": n_del, "full_rebuild": 0}
 

@@ -76,7 +76,11 @@ _EXACT_JACCARD_ORACLE = """
 """
 
 
-@query("ns_dedup_ngram_jaccard", oracle=_EXACT_JACCARD_ORACLE)
+@query(
+    # r7 rotation: extended — the inverted-index pair-counting family
+    # keeps core rows via ns_dedup_minhash_lsh (same exact-Jaccard oracle)
+    "ns_dedup_ngram_jaccard", extended=True, oracle=_EXACT_JACCARD_ORACLE,
+)
 def ns_dedup_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs word-3-gram Jaccard (threshold 0.4).  Quadratic —
     the correctness baseline; at scale you block (by lang/source) or use
@@ -639,8 +643,7 @@ def ns_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
-    "ns_multimodal_resize",
-    extended=True,
+    "ns_multimodal_resize",  # r7: rotated INTO the core window
     oracle="""
     WITH dims AS (
         SELECT doc_id,
@@ -2676,7 +2679,7 @@ def ns_retrieval_bm25(spark, sf_dir):
 
 
 @query(
-    "ns_retrieval_index_lifecycle", extended=True,
+    "ns_retrieval_index_lifecycle",  # r7: rotated INTO the core window
     oracle="""
     WITH toks AS (
         SELECT doc_id,
@@ -2904,7 +2907,7 @@ def ns_retrieval_bm25_phrase(spark, sf_dir):
 
 
 @query(
-    "ns_retrieval_phrase_positional", extended=True,
+    "ns_retrieval_phrase_positional",  # r7: rotated INTO the core window
     oracle="""
     WITH alltoks AS (
         SELECT doc_id,

@@ -456,7 +456,9 @@ def q15_window_running(spark, sf_dir):
 
 
 @query(
-    "q16_topk",
+    # r7 rotation: extended — cheap relational sort/top-k Spark cannot
+    # get wrong; q14_window_rank keeps the ordering category a core row
+    "q16_topk", extended=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -479,7 +481,8 @@ def q16_topk(spark, sf_dir):
 
 
 @query(
-    "q17_setops",
+    # r7 rotation: extended — set-op coverage stays via q18/q19/q49 self
+    "q17_setops", extended=True,
     oracle="""
     SELECT 'union' AS op, nationkey FROM (
         SELECT c_nationkey AS nationkey FROM customer
@@ -2257,7 +2260,7 @@ def q65_group_by_all(spark, sf_dir):
 
 
 @query(
-    "q66_matview_star", extended=True,
+    "q66_matview_star",  # r7: rotated INTO the core window (n-ary matview)
     oracle="""
     WITH dimc0 AS (
         SELECT c_custkey AS k, c_mktsegment AS seg

@@ -20,7 +20,9 @@ from fluss_datafusion_spark.corpus import query, t, v
 
 
 @query(
-    "st_tumbling_window",
+    # r7 rotation: extended — windowed-agg coverage stays core via
+    # st_session_window + st_hypertable_rollup
+    "st_tumbling_window", extended=True,
     oracle="""
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,

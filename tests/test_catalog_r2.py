@@ -389,8 +389,9 @@ def test_auto_compaction_defers_inside_multi_append_statements(spark, tmp_path):
         " WITH ('compaction.auto-after' = '2')"
     )
     e.sql("INSERT INTO d VALUES (1, 'a'), (2, 'b'), (3, 'c')")  # seq 1
-    # seq 2+3 come from ONE MERGE (update + delete) -> threshold crossed
-    # mid-statement; guard must defer to the end
+    # seq 2 is ONE fused MERGE append (update + delete under one seq,
+    # r7) -> threshold crossed mid-statement; guard must defer the
+    # compaction to the statement boundary
     res = e.sql(
         "MERGE INTO d USING (SELECT 1 AS id, 'a2' AS v UNION ALL"
         " SELECT 3, NULL) s ON d.id = s.id"

@@ -62,8 +62,6 @@ def test_rename_column_no_file_rewrite_and_maintenance(spark, tmp_path):
 
 def test_rename_column_refusals(spark, tmp_path):
     e = _mk(spark, tmp_path, "wh_rc3")
-    with pytest.raises(ValueError, match="load-bearing"):
-        e.catalog.rename_column("t", "id", "key")  # PK still refuses
     with pytest.raises(ValueError, match="already exists"):
         e.catalog.rename_column("t", "val", "note")
     with pytest.raises(KeyError):
@@ -71,6 +69,69 @@ def test_rename_column_refusals(spark, tmp_path):
     e.sql("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (val > 0)")
     with pytest.raises(ValueError, match="v_pos"):
         e.catalog.rename_column("t", "val", "amount")
+
+
+def test_rename_pk_column_full_lifecycle(spark, tmp_path):
+    """r7 (VERDICT r6 item 4): PK columns rename through the same
+    persisted physical_name mapping — merge semantics stay keyed by the
+    on-disk physical column across upsert / point ops / compaction /
+    time travel / session reattach."""
+    e = _mk(spark, tmp_path, "wh_rc_pk")
+    e.sql("ALTER TABLE t RENAME COLUMN id TO key")
+    # upserts under the new PK name collide with pre-rename rows
+    e.sql("INSERT INTO t VALUES (1, 11, 'a2'), (3, 30, 'c')")
+    got = sorted((r.key, r.val) for r in e.sql("SELECT key, val FROM t").collect())
+    assert got == [(1, 11), (2, 20), (3, 30)]
+    # point lookup + point delete by the new name
+    assert e.catalog.lookup("t", 3).collect()[0]["val"] == 30
+    e.sql("DELETE FROM t WHERE key = 2")
+    assert {r.key for r in e.sql("SELECT key FROM t").collect()} == {1, 3}
+    # time travel across the rename resolves old state under new names
+    tt = {r["key"]: r["val"]
+          for r in e.catalog.read("t", as_of_seq=1).collect()}
+    assert tt == {1: 10, 2: 20}
+    # compaction keeps the mapping (merged files still store the
+    # physical name; the spec translates)
+    e.catalog.compact("t")
+    got = sorted((r.key, r.val) for r in e.sql("SELECT key, val FROM t").collect())
+    assert got == [(1, 11), (3, 30)]
+    # no data file carries the logical name
+    import fluss_datafusion_spark.catalog.catalog as C
+    spec = e.catalog.get_table("t")
+    for f in C._parquet_files(e.catalog.table_path(spec)):
+        import pyarrow.parquet as pq
+        assert "key" not in pq.read_schema(f).names
+        assert "id" in pq.read_schema(f).names
+    # a fresh session re-attaches the mapping from _spec.json
+    e2 = EngineSession(spark=spark, warehouse=e.catalog.warehouse)
+    got = sorted((r.key, r.val) for r in e2.sql("SELECT key, val FROM t").collect())
+    assert got == [(1, 11), (3, 30)]
+    e2.sql("INSERT INTO t VALUES (1, 12, 'a3')")
+    assert e2.catalog.lookup("t", 1).collect()[0]["val"] == 12
+
+
+def test_rename_composite_pk_component(spark, tmp_path):
+    """One component of a composite PK renames; composite lookups,
+    MERGE (on= must name the logical PK), and upsert identity all
+    follow."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_rc_cpk"))
+    e.sql(
+        "CREATE TABLE c2 (a BIGINT NOT NULL, b BIGINT NOT NULL, v STRING,"
+        " PRIMARY KEY (a, b))"
+    )
+    e.sql("INSERT INTO c2 VALUES (1, 1, 'x'), (1, 2, 'y')")
+    e.sql("ALTER TABLE c2 RENAME COLUMN b TO sub")
+    e.sql("INSERT INTO c2 VALUES (1, 2, 'y2')")  # upsert over (1,2)
+    got = sorted((r.a, r.sub, r.v) for r in e.sql("SELECT * FROM c2").collect())
+    assert got == [(1, 1, "x"), (1, 2, "y2")]
+    assert e.catalog.lookup("c2", {"a": 1, "sub": 2}).collect()[0]["v"] == "y2"
+    res = e.sql(
+        "MERGE INTO c2 USING (SELECT 1 AS a, 1 AS sub, 'x2' AS v) s"
+        " ON c2.a = s.a AND c2.sub = s.sub"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+    ).collect()[0]
+    assert res.upserted == 1
+    assert e.catalog.lookup("c2", {"a": 1, "sub": 1}).collect()[0]["v"] == "x2"
 
 
 def test_rename_column_survives_reattach_and_clone(spark, tmp_path):

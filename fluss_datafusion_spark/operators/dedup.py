@@ -252,8 +252,9 @@ def minhash_band_buckets(
 ) -> DataFrame:
     """(id, band, bucket) LSH bucket assignment via an Arrow-batched
     numpy kernel: per doc, hash every shingle ONCE map-side (xxhash64 →
-    pmod p, same values as ``minhash_signatures``), compute all num_perm
-    affine mins vectorized per batch, combine each band's rows_per_band
+    pmod p), split each hash into (bin, value) and take per-bin minima —
+    one-permutation hashing with rotation densification (r7; see
+    band_buckets_from_shingles) — then combine each band's rows_per_band
     mins INJECTIVELY into one long (sig < 2^31, so rows_per_band=2 packs
     into sig0*2^31+sig1 < 2^62 — no collision, strictly fewer
     false-positive candidates than hashing the band).
@@ -291,24 +292,74 @@ def band_buckets_from_shingles(
     DataFrame — lets a caller that also needs the shingle sets (e.g. the
     incremental-dedup index writer) compute them ONCE and feed both
     consumers, instead of paying the interpreted shingle expression
-    twice over the corpus."""
+    twice over the corpus.
+
+    r7 kernel: ONE-PERMUTATION HASHING with rotation densification
+    (Li, Owen & Zhang, NIPS 2012; Shrivastava & Li, ICML 2014) replaces
+    the num_perm affine permutations — each shingle's single hash is
+    split into (bin = h mod num_perm, value = h div num_perm), the
+    signature is the per-bin minimum (one O(n) scatter instead of a
+    num_perm x n matmul), and an empty bin borrows the nearest filled
+    bin to its right (cyclic), mixed with the borrow distance so
+    different-distance borrows cannot accidentally agree.  The whole
+    batch vectorizes: flat scatter-min + one suffix-min scan, no
+    per-document Python loop.  Candidate sets differ from the classic
+    affine kernel (same banding guarantee: P(candidate) = 1-(1-j^r)^b),
+    but every candidate is still EXACT-verified downstream, so results
+    are unchanged wherever recall holds — the corpus oracle pins that.
+    NOTE: a persisted LSH index built by an older (affine) kernel must
+    be rebuilt; probe and index must share the kernel."""
     import numpy as np
     import pandas as pd
 
     if rows_per_band != 2:
         raise ValueError("injective band packing requires rows_per_band=2")
-    p, coef = _minhash_coefficients(num_perm)
-    a_mat = np.array([a for a, _ in coef], dtype=np.int64)[:, None]
-    b_mat = np.array([b for _, b in coef], dtype=np.int64)[:, None]
+    p = (1 << 31) - 1
+    m31 = np.int64(p)
+    mix = np.int64(0x9E3779B1)  # distance mixer (golden-ratio odd const)
+    empty = np.int64(1 << 62)
 
     def buckets_fn(it):
         for pdf in it:
-            out = []
-            for hs in pdf["__hs__"]:
-                h = np.asarray(hs, dtype=np.int64)[None, :]
-                sig = ((a_mat * h + b_mat) % p).min(axis=1)
-                out.append(sig[0::2] * (1 << 31) + sig[1::2])
-            yield pd.DataFrame({"__id__": pdf["__id__"], "__bks__": out})
+            hs_list = pdf["__hs__"]
+            n_docs = len(hs_list)
+            if n_docs == 0:
+                yield pd.DataFrame({"__id__": pdf["__id__"], "__bks__": []})
+                continue
+            arrs = [np.asarray(h, dtype=np.int64) for h in hs_list]
+            counts = np.fromiter((a.size for a in arrs), dtype=np.int64,
+                                 count=n_docs)
+            flat = (
+                np.concatenate(arrs)
+                if counts.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            doc_idx = np.repeat(np.arange(n_docs), counts)
+            bins = flat % num_perm
+            vals = flat // num_perm  # < 2^31 / num_perm: packing-safe
+            sig = np.full((n_docs, num_perm), empty, dtype=np.int64)
+            np.minimum.at(sig, (doc_idx, bins), vals)
+            filled = sig < empty
+            if not filled.all():
+                # rotation densification, batch-vectorized: tile each row
+                # twice, suffix-min over "own index if filled else +inf"
+                # yields the nearest filled bin at-or-right of every
+                # position in one reversed cumulative pass
+                vals2 = np.concatenate([sig, sig], axis=1)
+                pos = np.where(
+                    vals2 < empty,
+                    np.arange(2 * num_perm, dtype=np.int64)[None, :],
+                    np.int64(4 * num_perm),
+                )
+                nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1]
+                take = nxt[:, :num_perm]
+                dist = take - np.arange(num_perm, dtype=np.int64)[None, :]
+                borrowed = np.take_along_axis(vals2, take, axis=1)
+                sig = np.where(filled, sig, (borrowed + dist * mix) % m31)
+            packed = sig[:, 0::2] * (1 << 31) + sig[:, 1::2]
+            yield pd.DataFrame(
+                {"__id__": pdf["__id__"], "__bks__": list(packed)}
+            )
 
     hashed = sh.select(
         "__id__",
@@ -433,12 +484,14 @@ def minhash_lsh_pairs(
     so truncation is visible to monitoring, not silent.
 
     ``mode``: 'arrow' (default) computes band buckets with the numpy
-    kernel (minhash_band_buckets — ~2x faster cold on short-doc corpora
-    by skipping the 128-column agg codegen); 'agg' keeps the
-    codegen'd min-aggregate path whose shuffle stays bounded at
-    num_perm longs per doc regardless of document length.  Both produce
-    IDENTICAL candidate pairs (same permutations; injective band
-    packing only removes bucket-hash collisions).
+    one-permutation-hashing kernel (minhash_band_buckets — r7: one
+    O(n) scatter per doc instead of a num_perm x n matmul); 'agg'
+    keeps the codegen'd classic affine min-aggregate path whose shuffle
+    stays bounded at num_perm longs per doc regardless of document
+    length.  Candidate sets differ between kernels (same banding
+    recall guarantee), but exact verification makes the RESULT pairs
+    identical wherever recall holds — pinned by the equality test and
+    the corpus oracle.
     """
     n_bands = num_perm // rows_per_band
     if mode == "arrow":

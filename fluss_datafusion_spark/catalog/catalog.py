@@ -1507,12 +1507,40 @@ class FlussCatalog:
             # are kept.  basePath keeps Hive partition-dir columns
             # (partition keys, __bkt__) populated for an explicit list.
             allowed = list(spec.primary_key) if spec.has_primary_key else None
-            files = sorted(_parquet_files(path))
             rename_map = {
                 c.name: c.physical_name
                 for c in spec.columns
                 if c.physical_name and c.physical_name != c.name
             }
+            # Chunk-store tables (r7): NO driver-side file enumeration.
+            # The distributed manifest scan returns only the EXCLUDED
+            # relative names; Spark gets the table DIRECTORY plus a
+            # pushed _metadata.file_path NOT-IN filter — FileSourceStrategy
+            # extracts metadata-only predicates and prunes whole files at
+            # listing (verified: the scan's numFiles metric drops), so at
+            # millions of files the driver never allocates the path list.
+            excl = skipping.excluded_relpaths(
+                self.spark, path, prune_predicate, allowed,
+                rename_map=rename_map,
+            )
+            if excl is not None:
+                reader = (
+                    self.spark.read.schema(self._stored_schema(spec))
+                    .option("basePath", path)
+                    .parquet(path)
+                )
+                if excl:
+                    uris = [
+                        f"file:{os.path.join(path, rel)}"
+                        for rel in sorted(excl)
+                    ]
+                    reader = (
+                        reader.select("*", "_metadata")
+                        .filter(~F.col("_metadata.file_path").isin(uris))
+                        .drop("_metadata")
+                    )
+                return self._to_logical(spec, reader)
+            files = sorted(_parquet_files(path))
             kept = skipping.prune(
                 path,
                 files,

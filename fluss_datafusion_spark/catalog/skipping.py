@@ -712,6 +712,45 @@ def _distributable(table_path: str) -> bool:
 def _prune_distributed(
     spark, table_path: str, files: Sequence[str], conjuncts: Sequence
 ) -> List[str]:
+    excluded = _excluded_distributed(spark, table_path, conjuncts)
+    if not excluded:
+        return list(files)
+    return [
+        f for f in files if os.path.relpath(f, table_path) not in excluded
+    ]
+
+
+def excluded_relpaths(
+    spark,
+    table_path: str,
+    predicate: str,
+    allowed_columns: Optional[Sequence[str]] = None,
+    rename_map: Optional[dict] = None,
+):
+    """Relative names of the files the manifest PROVES cannot match the
+    predicate — the r7 directory-read prune contract: the caller hands
+    Spark the table DIRECTORY plus a pushed ``_metadata.file_path``
+    NOT-IN filter built from this (small) set, so the driver never
+    enumerates the table's files at all (O(excluded) memory, no
+    os.walk).  Soundness is exclusion-only: a file the manifest doesn't
+    know is simply never excluded.  Returns None when this path doesn't
+    apply (no prunable conjuncts, or the store isn't a distributable
+    chunk store) — callers fall back to the list-based ``prune``."""
+    conjuncts = parse_conjuncts(predicate)
+    if allowed_columns is not None:
+        allowed = set(allowed_columns)
+        conjuncts = [c for c in conjuncts if c[0] in allowed]
+    if rename_map:
+        conjuncts = [
+            (rename_map.get(col, col), op, value)
+            for col, op, value in conjuncts
+        ]
+    if not conjuncts or not _distributable(table_path):
+        return None
+    return _excluded_distributed(spark, table_path, conjuncts)
+
+
+def _excluded_distributed(spark, table_path: str, conjuncts: Sequence) -> set:
     """Evaluate the conjunction against the chunked manifest AS A
     DATAFRAME: only stat rows for predicate columns are read (pushed
     filter on ``column``), later chunks win per (file, column) exactly
@@ -781,7 +820,7 @@ def _prune_distributed(
     _row_excludes = pandas_udf(
         _row_excludes_kernel, "boolean", PandasUDFType.SCALAR
     )
-    excluded = {
+    return {
         r["file"]
         for r in df.filter(
             _row_excludes(F.col("column"), F.col("min_json"), F.col("max_json"))
@@ -790,11 +829,6 @@ def _prune_distributed(
         .distinct()
         .collect()
     }
-    if not excluded:
-        return list(files)
-    return [
-        f for f in files if os.path.relpath(f, table_path) not in excluded
-    ]
 
 
 def prune(

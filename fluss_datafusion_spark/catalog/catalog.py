@@ -2639,6 +2639,7 @@ class FlussCatalog:
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: Optional[List[str]] = None,
+        where: Optional[str] = None,
     ) -> int:
         """Small-file consolidation: rewrite the table's log into files
         of roughly ``target_file_bytes`` WITHOUT merging or dropping
@@ -2669,7 +2670,172 @@ class FlussCatalog:
         if not _has_data(path):
             return 0
         with self._maintenance_lock(spec):
+            if where is not None:
+                return self._optimize_partitions_locked(
+                    spec, path, target_file_bytes, zorder_by, where
+                )
             return self._optimize_locked(spec, path, target_file_bytes, zorder_by)
+
+    # WHERE predicate grammar for partition-scoped OPTIMIZE: a strict
+    # AND of col = literal / col IN (literals) over PARTITION columns —
+    # deliberately narrower than general SQL (Delta imposes the same
+    # restriction) because the predicate selects which partition
+    # DIRECTORIES get rewritten; a predicate the scoper half-understood
+    # could silently widen or narrow the swap set.
+    def _parse_optimize_where(self, spec: TableSpec, where: str):
+        """{partition_col: {string values}} from the scoped-OPTIMIZE
+        WHERE clause; raises on anything outside the strict grammar."""
+        import re as _re
+
+        term_re = _re.compile(
+            r"^\s*(`?\w+`?)\s*(?:=\s*('(?:[^']*)'|-?\d+(?:\.\d+)?)"
+            r"|IN\s*\(([^()]*)\))\s*$",
+            _re.IGNORECASE,
+        )
+
+        def _lit(tok: str) -> str:
+            tok = tok.strip()
+            if tok.startswith("'") and tok.endswith("'"):
+                return tok[1:-1]
+            return tok
+
+        pcols = list(spec.partition_keys or [])
+        if not pcols:
+            raise ValueError(
+                f"OPTIMIZE ... WHERE requires a partitioned table; "
+                f"{spec.qualified_name} has no partition columns"
+            )
+        constraints: Dict[str, set] = {}
+        for term in _re.split(r"\s+AND\s+", where.strip(), flags=_re.IGNORECASE):
+            m = term_re.match(term)
+            if not m:
+                raise ValueError(
+                    "OPTIMIZE ... WHERE supports only AND-ed "
+                    "'col = literal' / 'col IN (literals)' terms over "
+                    f"partition columns; cannot scope {term.strip()!r}"
+                )
+            col = m.group(1).strip("`")
+            if col not in pcols:
+                raise ValueError(
+                    f"OPTIMIZE ... WHERE may only reference partition "
+                    f"columns {pcols}; {col!r} is not one"
+                )
+            vals = (
+                {_lit(m.group(2))}
+                if m.group(2) is not None
+                else {_lit(v) for v in m.group(3).split(",") if v.strip()}
+            )
+            constraints[col] = (
+                constraints[col] & vals if col in constraints else vals
+            )
+        return constraints
+
+    def _optimize_partitions_locked(
+        self, spec, path, target_file_bytes, zorder_by, where
+    ):
+        """Partition-scoped OPTIMIZE (r7): rewrite ONLY the partition
+        directories the WHERE clause selects, swapping each leaf dir
+        individually — the table spec, commit dir, and every other
+        partition's files are untouched, so the maintenance window
+        shrinks to the scoped subtree and time-travel anchors outside
+        it cannot even theoretically be disturbed.  Internal stamps
+        survive byte-identically exactly as whole-table OPTIMIZE."""
+        constraints = self._parse_optimize_where(spec, where)
+        stored = dict(
+            zip(spec.partition_keys, self._stored_names(spec, spec.partition_keys))
+        )
+        # affected leaf partition dirs: walk the hive tree level by
+        # level, keeping only dirs whose component value matches the
+        # constraint (dir values are hive-encoded strings)
+        rels = [""]
+        for lk in spec.partition_keys:
+            sk, vals = stored[lk], constraints.get(lk)
+            nxt = []
+            for rel in rels:
+                base = os.path.join(path, rel) if rel else path
+                try:
+                    entries = os.listdir(base)
+                except OSError:
+                    continue
+                for d in entries:
+                    if not d.startswith(f"{sk}="):
+                        continue
+                    if vals is None or d[len(sk) + 1:] in vals:
+                        nxt.append(os.path.join(rel, d) if rel else d)
+            rels = nxt
+        if not rels:
+            return 0  # no matching partitions on disk: a no-op
+        log = self._to_physical(spec, self._log_df(spec))
+        sel = F.lit(True)
+        for lk, vals in constraints.items():
+            sel = sel & F.col(stored[lk]).cast("string").isin(sorted(vals))
+        scoped = log.filter(sel)
+        partition_cols = list(stored.values())
+        if spec.num_buckets and spec.bucket_keys and _BKT in log.columns:
+            partition_cols.append(_BKT)
+        scoped_bytes = 0
+        for rel in rels:
+            for f in _parquet_files(os.path.join(path, rel)):
+                try:
+                    scoped_bytes += os.path.getsize(f)
+                except OSError:
+                    pass
+        n_files = max(1, int(scoped_bytes // target_file_bytes) + 1)
+        tmp = path + ".optimize"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if zorder_by:
+            from fluss_datafusion_spark.operators.zorder import zorder_key
+
+            zcols = self._stored_names(spec, zorder_by)
+            internal = [c for c in (_SEQ, _SUB, _BKT, _DEL) if c in log.columns]
+            bad = [c for c in zcols if c in internal]
+            if bad:
+                raise ValueError(f"cannot ZORDER BY internal columns {bad}")
+            scoped = (
+                scoped.withColumn("__z__", zorder_key(scoped, zcols))
+                .repartitionByRange(
+                    n_files, *[F.col(c) for c in partition_cols], F.col("__z__")
+                )
+                .sortWithinPartitions(*partition_cols, "__z__")
+                .drop("__z__")
+            )
+        else:
+            scoped = scoped.repartition(n_files, *partition_cols)
+        scoped.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+        # swap each affected leaf dir that the rewrite produced; a
+        # scoped dir with no rewritten rows (fully tombstone-free is
+        # impossible here — optimize keeps every row — but be safe)
+        # keeps its old subtree
+        for rel in rels:
+            live_dir = os.path.join(path, rel)
+            tmp_dir = os.path.join(tmp, rel)
+            if not os.path.isdir(tmp_dir):
+                continue
+            if os.path.isdir(live_dir):
+                _swap_dir(live_dir, tmp_dir)
+            else:
+                os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+                os.rename(tmp_dir, live_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._touch_write_marker(spec)
+        self._register_view(spec)
+        new_files = sorted(
+            f
+            for rel in rels
+            for f in _parquet_files(os.path.join(path, rel))
+        )
+        try:
+            # scoped manifest refresh: harvest only the rewritten files
+            # (later-wins replay makes the new entries authoritative;
+            # entries for the replaced files go stale and are never
+            # consulted again)
+            bloom_cols, bloom_fpp = self._bloom_config(spec)
+            skipping.add_files(
+                path, new_files, bloom_columns=bloom_cols, bloom_fpp=bloom_fpp
+            )
+        except Exception:
+            pass
+        return len(new_files)
 
     def _optimize_locked(self, spec, path, target_file_bytes, zorder_by):
         log = self._to_physical(spec, self._log_df(spec))

@@ -621,8 +621,9 @@ def parse_truncate_table(sql: str) -> Optional[str]:
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
-    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
-    re.IGNORECASE,
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
@@ -631,21 +632,26 @@ _COMPACT_RE = re.compile(
 
 
 def parse_maintenance(sql: str):
-    """Parse the lake-maintenance statements into (action, target[,
-    zorder_cols]): ``OPTIMIZE [TABLE] t [ZORDER BY (c1, c2)]``
-    (small-file consolidation + optional Morton clustering, Delta-style
-    spelling) and ``COMPACT TABLE t`` (collapse history to latest
-    images).  Returns None for anything else."""
+    """Parse the lake-maintenance statements into (action, target,
+    zorder_cols_or_None, where_or_None):
+    ``OPTIMIZE [TABLE] t [WHERE <partition predicate>]
+    [ZORDER BY (c1, c2)]`` (small-file consolidation + optional Morton
+    clustering; WHERE scopes the rewrite to matching partition
+    directories — the Delta spelling) and ``COMPACT TABLE t`` (collapse
+    history to latest images).  Returns None for anything else."""
     from fluss_datafusion_spark.sql.dialect import strip_quotes
 
     s = sql.strip().rstrip(";")
     match = _OPTIMIZE_RE.match(s)
     if match:
         target = ".".join(parse_qualified_name(match.group(1)))
-        if match.group(2):
-            cols = [strip_quotes(c.strip()) for c in match.group(2).split(",")]
-            return ("optimize", target, cols)
-        return ("optimize", target)
+        cols = None
+        if match.group("z"):
+            cols = [
+                strip_quotes(c.strip()) for c in match.group("z").split(",")
+            ]
+        where = match.group("where")
+        return ("optimize", target, cols, where.strip() if where else None)
     match = _COMPACT_RE.match(s)
     if match:
         return ("compact", ".".join(parse_qualified_name(match.group(1))))

@@ -269,18 +269,181 @@ def minhash_band_buckets(
     aggregate (whose plan compilation dominates short-doc corpora) and
     no signature shuffle at all.
     """
-    # Repartition BEFORE shingling: the interpreted zip_with shingle
-    # expression must spread across all cores even when the input is a
-    # single small file (one scan partition otherwise serializes it).
-    sh = (
+    # r7 token fast path: the corpus-wide pass hashes TOKENS (one
+    # interpreted xxhash64 per token, no k-gram string concatenation —
+    # word_shingles' zip_with concat chain was the measured bottleneck
+    # at 10x/100x scale, not the min computation), and the numpy kernel
+    # combines each k consecutive token hashes into a shingle hash with
+    # a vectorized rolling polynomial before the OPH scatter.  Exactly
+    # one linear scan of the text, ~3x less interpreted-expression work
+    # per doc.  Repartition BEFORE hashing so a single small input file
+    # still spreads across all cores.
+    from fluss_datafusion_spark.functions.text import tokens as _tokens
+
+    toks = (
         spread_small_scan(df)
         .select(
             F.col(id_col).alias("__id__"),
-            word_shingles(F.col(text_col), k).alias("__sh__"),
+            F.transform(
+                _tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+            ).alias("__th__"),
         )
-        .filter(F.size("__sh__") > 0)
+        .filter(F.size("__th__") >= k)
     )
-    return band_buckets_from_shingles(sh, num_perm, rows_per_band)
+    return _band_buckets_from_token_hashes(toks, k, num_perm, rows_per_band)
+
+
+def _oph_pack(np, doc_idx, hashes, n_docs: int, num_perm: int):
+    """Shared OPH core: per-doc per-bin minima over (doc_idx, hash)
+    pairs (hash in [0, 2^31)), densified, packed into num_perm/2
+    injective band values per doc.  Batch-vectorized — one scatter-min
+    plus bounded hashed-probe gathers, no per-document loop.
+
+    Densification is OPTIMAL (Shrivastava, ICML 2017), not rotation:
+    an empty bin i probes bins hash(i, t) for t = 1, 2, ... and copies
+    the first FILLED bin's value, mixed with (i, t).  Rotation
+    (nearest-filled-to-the-right) is catastrophically wrong for SPARSE
+    sets — docs with n << num_perm shingles share whole empty-bin
+    WINDOWS, so ONE common shingle densifies identically across its
+    entire gap and a 500k-doc corpus produced 21.8M candidate pairs for
+    25.6k true ones (measured, x100 tile).  Hashed probes break the
+    spatial correlation: two docs agree on a densified bin only if the
+    same probe attempt lands on a bin whose values agree — the unbiased
+    estimator the paper proves.  The probe sequence is a pure function
+    of (bin, attempt), identical for every doc and every run."""
+    m31 = np.int64((1 << 31) - 1)
+    mix = np.int64(0x9E3779B1)  # (bin, attempt) mixer (golden-ratio odd)
+    empty = np.int64(1 << 62)
+    bins = hashes % num_perm
+    vals = hashes // num_perm  # < 2^31 / num_perm: packing-safe
+    sig = np.full((n_docs, num_perm), empty, dtype=np.int64)
+    np.minimum.at(sig, (doc_idx, bins), vals)
+    filled = sig < empty
+    if not filled.all():
+        idx = np.arange(num_perm, dtype=np.int64)
+        rows = np.where(~filled.all(axis=1))[0]
+        base = sig[rows]
+        dense = base.copy()
+        need = base >= empty
+        # probe_i(t) = (c_i + t*d) mod num_perm with d odd walks EVERY
+        # bin within num_perm attempts (d is a unit mod a power of two),
+        # so any row with >= 1 filled bin — guaranteed by the caller's
+        # >= k-tokens filter — densifies fully inside this loop
+        for t in range(1, num_perm + 1):
+            if not need.any():
+                break
+            probe = (idx * 0x9E3779B1 + t * 0x85EBCA6B) % num_perm
+            gathered = base[:, probe]
+            take = need & (gathered < empty)
+            if take.any():
+                mixed = (gathered + (idx * 131 + t) * mix) % m31
+                dense[take] = mixed[take]
+                need &= ~take
+        out = sig.copy()
+        out[rows] = dense
+        sig = out
+    return sig[:, 0::2] * (1 << 31) + sig[:, 1::2]
+
+
+def _shingle_hash_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(__id__, __sh__ array<long>): each doc's DISTINCT hashed word
+    k-shingles — the rolling token-hash family of the bucket kernel,
+    deduplicated per doc.  Set operations over these equal the
+    string-shingle versions up to full-width 64-bit collisions (~2^-64
+    per pair of distinct shingles inside one doc pair's union —
+    negligible at any corpus size that fits a cluster).  Docs with
+    < k tokens yield an empty array (same as word_shingles)."""
+    import numpy as np
+    import pandas as pd
+
+    from fluss_datafusion_spark.functions.text import tokens as _tokens
+
+    coeffs = []
+    acc = 1
+    for _ in range(k):
+        acc = (acc * 0x9E3779B97F4A7C15) % (1 << 64)
+        coeffs.append(np.uint64(acc))
+
+    def sets_fn(it):
+        for pdf in it:
+            out = []
+            for th in pdf["__th__"]:
+                a = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                m = a.size - (k - 1)
+                if m <= 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                sh = np.zeros(m, dtype=np.uint64)
+                for j, c in enumerate(coeffs):
+                    sh += c * a[j : j + m]
+                out.append(np.unique(sh.astype(np.int64)))
+            yield pd.DataFrame({"__id__": pdf["__id__"], "__sh__": out})
+
+    toks = df.select(
+        F.col(id_col).alias("__id__"),
+        F.transform(
+            _tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("__th__"),
+    )
+    return toks.mapInPandas(sets_fn, "__id__ long, __sh__ array<long>")
+
+
+def _band_buckets_from_token_hashes(
+    toks: DataFrame, k: int, num_perm: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) from per-token xxhash64 arrays ``__th__``:
+    shingle hashes are the rolling polynomial
+    ``sum_j C^(k-j) * th[i+j]  (mod 2^64, then mod 2^31-1)`` —
+    order-sensitive, computed on the flat batch array with cross-doc
+    windows masked out — then the shared OPH pack.  Every consumer of
+    LSH buckets (batch pairs, incremental index build AND probes,
+    ingest sinks) derives them through this one kernel, so bucket
+    values always agree between an index and its probes."""
+    import numpy as np
+    import pandas as pd
+
+    if rows_per_band != 2:
+        raise ValueError("injective band packing requires rows_per_band=2")
+    # rolling-polynomial coefficients: powers of an odd 64-bit constant,
+    # wrapped mod 2^64 in Python ints (numpy scalar uint64 multiply
+    # warns on overflow; array ops wrap silently — keep both silent)
+    coeffs = []
+    acc = 1
+    for _ in range(k):
+        acc = (acc * 0x9E3779B97F4A7C15) % (1 << 64)
+        coeffs.append(np.uint64(acc))
+    m31 = np.uint64((1 << 31) - 1)
+
+    def buckets_fn(it):
+        for pdf in it:
+            th_list = pdf["__th__"]
+            n_docs = len(th_list)
+            if n_docs == 0:
+                yield pd.DataFrame({"__id__": pdf["__id__"], "__bks__": []})
+                continue
+            arrs = [np.asarray(h, dtype=np.int64) for h in th_list]
+            counts = np.fromiter(
+                (a.size for a in arrs), dtype=np.int64, count=n_docs
+            )
+            flat = np.concatenate(arrs).astype(np.uint64)
+            doc_idx = np.repeat(np.arange(n_docs), counts)
+            m = flat.size - (k - 1)
+            sh = np.zeros(m, dtype=np.uint64)
+            for j, c in enumerate(coeffs):
+                sh += c * flat[j : j + m]  # wraps mod 2^64 (hash mixing)
+            valid = doc_idx[:m] == doc_idx[k - 1 :]
+            hashes = (sh[valid] % m31).astype(np.int64)
+            packed = _oph_pack(np, doc_idx[:m][valid], hashes, n_docs, num_perm)
+            yield pd.DataFrame(
+                {"__id__": pdf["__id__"], "__bks__": list(packed)}
+            )
+
+    sig = toks.mapInPandas(buckets_fn, "__id__ long, __bks__ array<long>")
+    return sig.select(
+        "__id__", F.posexplode("__bks__").alias("__band__", "__bucket__")
+    )
 
 
 def band_buckets_from_shingles(
@@ -288,11 +451,12 @@ def band_buckets_from_shingles(
     num_perm: int = 128,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """``minhash_band_buckets`` over a pre-shingled (__id__, __sh__)
-    DataFrame — lets a caller that also needs the shingle sets (e.g. the
-    incremental-dedup index writer) compute them ONCE and feed both
-    consumers, instead of paying the interpreted shingle expression
-    twice over the corpus.
+    """OPH band buckets over a pre-shingled (__id__, __sh__) DataFrame
+    (shingle-STRING hashes).  NOTE (r7): bucket values from this path
+    differ from ``minhash_band_buckets``'s token-hash kernel — do NOT
+    mix the two across an index and its probes; the incremental index
+    now derives buckets via ``minhash_band_buckets`` for exactly that
+    reason.  Kept for callers that only have shingle arrays.
 
     r7 kernel: ONE-PERMUTATION HASHING with rotation densification
     (Li, Owen & Zhang, NIPS 2012; Shrivastava & Li, ICML 2014) replaces
@@ -315,9 +479,6 @@ def band_buckets_from_shingles(
     if rows_per_band != 2:
         raise ValueError("injective band packing requires rows_per_band=2")
     p = (1 << 31) - 1
-    m31 = np.int64(p)
-    mix = np.int64(0x9E3779B1)  # distance mixer (golden-ratio odd const)
-    empty = np.int64(1 << 62)
 
     def buckets_fn(it):
         for pdf in it:
@@ -335,28 +496,7 @@ def band_buckets_from_shingles(
                 else np.empty(0, dtype=np.int64)
             )
             doc_idx = np.repeat(np.arange(n_docs), counts)
-            bins = flat % num_perm
-            vals = flat // num_perm  # < 2^31 / num_perm: packing-safe
-            sig = np.full((n_docs, num_perm), empty, dtype=np.int64)
-            np.minimum.at(sig, (doc_idx, bins), vals)
-            filled = sig < empty
-            if not filled.all():
-                # rotation densification, batch-vectorized: tile each row
-                # twice, suffix-min over "own index if filled else +inf"
-                # yields the nearest filled bin at-or-right of every
-                # position in one reversed cumulative pass
-                vals2 = np.concatenate([sig, sig], axis=1)
-                pos = np.where(
-                    vals2 < empty,
-                    np.arange(2 * num_perm, dtype=np.int64)[None, :],
-                    np.int64(4 * num_perm),
-                )
-                nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1]
-                take = nxt[:, :num_perm]
-                dist = take - np.arange(num_perm, dtype=np.int64)[None, :]
-                borrowed = np.take_along_axis(vals2, take, axis=1)
-                sig = np.where(filled, sig, (borrowed + dist * mix) % m31)
-            packed = sig[:, 0::2] * (1 << 31) + sig[:, 1::2]
+            packed = _oph_pack(np, doc_idx, flat, n_docs, num_perm)
             yield pd.DataFrame(
                 {"__id__": pdf["__id__"], "__bks__": list(packed)}
             )
@@ -543,10 +683,18 @@ def minhash_lsh_pairs(
     # the ENTIRE corpus just to throw most of it away.  Filtering the
     # raw (id, text) rows down to candidate ids first means the verify
     # stage shingles only the candidate-bound slice.
-    shc = (
+    # r7: verification compares HASHED shingle sets (the same rolling
+    # token-hash family the bucket kernel uses) instead of k-gram
+    # strings — |∩|/|∪| over distinct 64-bit shingle hashes equals the
+    # string-shingle Jaccard up to hash collisions (~1e-13 per pair),
+    # and skips word_shingles' interpreted concat chain, which was the
+    # measured verify-stage bottleneck at 100x scale.
+    shc = _shingle_hash_sets(
         df.select(F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__"))
-        .join(cand_ids, "__id__", "left_semi")
-        .select("__id__", word_shingles(F.col("__t__"), k).alias("__sh__"))
+        .join(cand_ids, "__id__", "left_semi"),
+        "__id__",
+        "__t__",
+        k,
     )
     sa, sb = F.broadcast(shc).alias("sa"), F.broadcast(shc).alias("sb")
     verified = (

@@ -31,7 +31,6 @@ from fluss_datafusion_spark.functions.text import word_shingles
 from fluss_datafusion_spark.operators.dedup import (
     _attach_cached_deps,
     _bucket_local_pairs,
-    band_buckets_from_shingles,
     minhash_band_buckets,
     release_candidate_cache,
 )
@@ -108,10 +107,9 @@ def write_dedup_index(
 ) -> None:
     """Materialize the corpus dedup index (bucket assignment + shingle
     sets) at ``path``.  The shingle sets — the expensive interpreted
-    expression — are computed ONCE: written as the shingle store, then
-    read back from that parquet to derive the bucket assignment
-    (band_buckets_from_shingles), so the corpus text is scanned and
-    shingled exactly one time however large it is.  Both outputs are
+    expression — are computed ONCE and written as the shingle store;
+    the bucket assignment derives from the cheaper token-hash pass
+    (minhash_band_buckets — the exact kernel probes use).  Both outputs are
     written partition-parallel; re-running overwrites atomically per
     subdirectory."""
     sh = spread_small_scan(df).select(
@@ -119,8 +117,14 @@ def write_dedup_index(
         word_shingles(F.col(text_col), k).alias("__sh__"),
     ).filter(F.size("__sh__") > 0)
     sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
-    sh_stored = df.sparkSession.read.parquet(os.path.join(path, "shingles"))
-    buckets = band_buckets_from_shingles(sh_stored, num_perm, rows_per_band)
+    # r7: buckets derive from the TOKEN-hash kernel (minhash_band_buckets)
+    # — the same function probes use, so index and probe bucket values
+    # agree by construction.  This is a second linear text scan, but the
+    # token pass costs ~1/3 of the shingle pass it replaced (no k-gram
+    # string concatenation), so the build is net cheaper.
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, k, num_perm, rows_per_band
+    )
     buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
     # Stamp completion LAST so a crashed build never leaves a marker a
     # later ensure_dedup_index would trust.  ``source_id`` (snapshot /
@@ -304,7 +308,10 @@ def append_to_index(
     )
     try:
         sh.write.mode("append").parquet(os.path.join(path, "shingles"))
-        buckets = band_buckets_from_shingles(sh, num_perm, rows_per_band)
+        # token-hash kernel: must match the probes (see write_dedup_index)
+        buckets = minhash_band_buckets(
+            df, id_col, text_col, k, num_perm, rows_per_band
+        )
         buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
         # Keep the build marker's corpus count current so a later
         # ensure_dedup_index doesn't see a stale token and rebuild over

@@ -352,7 +352,10 @@ class EngineSession:
             action, target = maintenance[0], maintenance[1]
             if action == "optimize":
                 zorder_by = maintenance[2] if len(maintenance) > 2 else None
-                n_files = self.catalog.optimize(target, zorder_by=zorder_by)
+                where = maintenance[3] if len(maintenance) > 3 else None
+                n_files = self.catalog.optimize(
+                    target, zorder_by=zorder_by, where=where
+                )
                 return self.spark.createDataFrame([(n_files,)], "n_files bigint")
             self.catalog.compact(target)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)

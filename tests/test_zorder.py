@@ -134,10 +134,14 @@ def test_zorder_sql_form_and_parse(spark, tmp_path):
     from fluss_datafusion_spark.catalog.ddl import parse_maintenance
 
     assert parse_maintenance("OPTIMIZE t ZORDER BY (a, b)") == (
-        "optimize", "t", ["a", "b"])
+        "optimize", "t", ["a", "b"], None)
     assert parse_maintenance("OPTIMIZE TABLE db.t ZORDER BY (`c`)") == (
-        "optimize", "db.t", ["c"])
-    assert parse_maintenance("OPTIMIZE t") == ("optimize", "t")
+        "optimize", "db.t", ["c"], None)
+    assert parse_maintenance("OPTIMIZE t") == ("optimize", "t", None, None)
+    assert parse_maintenance("OPTIMIZE t WHERE p = 'x'") == (
+        "optimize", "t", None, "p = 'x'")
+    assert parse_maintenance("OPTIMIZE t WHERE p IN ('x','y') ZORDER BY (a)") == (
+        "optimize", "t", ["a"], "p IN ('x','y')")
 
     e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_zsql"))
     e.sql("CREATE TABLE zt (a BIGINT, b DOUBLE)")

@@ -908,7 +908,11 @@ class FlussCatalog:
         here, so a conflict aborts the statement cleanly."""
         key = spec.qualified_name
         d = self._commit_dir(spec)
-        os.makedirs(d, exist_ok=True)
+        # No makedirs here: creating the commit dir BEFORE the marker
+        # check below could recreate the table root mid-_swap_dir (the
+        # swap's second rename then fails ENOTEMPTY and the table is
+        # stranded at path+'.old').  The in-loop makedirs — which runs
+        # only after _wait_no_maintenance — covers recreation.
         base = self._current_seq(spec)
         legacy = max(self._legacy_commits(spec), default=0)
         while True:
@@ -936,6 +940,11 @@ class FlussCatalog:
                         os.path.join(d, f"{n:010d}.inflight"),
                         os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                     )
+                    # record the owner pid so stale-reaping can verify
+                    # liveness instead of trusting mtime alone (a write
+                    # job legitimately running past MAINT_STALE_SECS
+                    # must not get its reservation reaped mid-flight)
+                    os.write(fd, str(os.getpid()).encode())
                     os.close(fd)
                     got.append(n)
                 except FileExistsError:
@@ -1006,7 +1015,12 @@ class FlussCatalog:
     # second, its owner sees the other side's file and yields — there is
     # no interleaving where a writer appends against a mid-swap listing.
     # Crash safety: a marker (or reservation) whose mtime is older than
-    # MAINT_STALE_SECS is reaped as abandoned.
+    # MAINT_STALE_SECS is reaped as abandoned — but ONLY if its creator
+    # process is provably gone.  Both file kinds record the owner pid at
+    # create time; _owner_alive checks it (same-host semantics, which is
+    # what a local-fs warehouse has).  A compaction or append job that
+    # legitimately runs past the stale window therefore keeps its
+    # marker/reservation — age alone never reaps a live owner's file.
 
     MAINT_MARKER = "maintenance.inflight"
     MAINT_STALE_SECS = 600.0
@@ -1024,6 +1038,42 @@ class FlussCatalog:
             os.path.dirname(path),
             f".{os.path.basename(path)}.{self.MAINT_MARKER}",
         )
+
+    @staticmethod
+    def _owner_alive(path: str):
+        """Best-effort liveness of the process that created a marker or
+        reservation file (the file records its creator's pid — plain int
+        for reservations, ``{"pid": …}`` JSON for markers).  Returns
+        True (alive), False (provably dead), or None (unknown: empty /
+        unreadable / pre-liveness layout).  Same-host semantics — the
+        local-fs warehouse's scope; an object-store backend would
+        heartbeat instead (see the protocol note above)."""
+        import json
+
+        try:
+            with open(path) as fh:
+                raw = fh.read().strip()
+        except OSError:
+            return None
+        if not raw:
+            return None
+        try:
+            pid = (
+                int(json.loads(raw).get("pid"))
+                if raw.startswith("{")
+                else int(raw)
+            )
+        except Exception:
+            return None
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        except OSError:
+            return None
 
     def _maintenance_inflight(self, spec: TableSpec) -> bool:
         """True iff ANOTHER session holds a fresh maintenance marker on
@@ -1045,6 +1095,10 @@ class FlussCatalog:
             except Exception:
                 pass
         if time.time() - st.st_mtime > self.MAINT_STALE_SECS:
+            if self._owner_alive(marker) is True:
+                # a long-running but live maintenance (big compaction):
+                # age alone must not unblock writers under its swap
+                return True
             try:  # crashed maintenance: reap so writers unblock
                 os.unlink(marker)
             except OSError:
@@ -1136,6 +1190,11 @@ class FlussCatalog:
                         except OSError:
                             continue  # finalized between list and stat
                         if age <= self.MAINT_STALE_SECS:
+                            pending.append(f)
+                        elif self._owner_alive(os.path.join(d, f)) is True:
+                            # an append job legitimately running past the
+                            # stale window: swapping under it would drop
+                            # its rows — keep waiting on it
                             pending.append(f)
                     if not pending:
                         break

@@ -47,6 +47,11 @@ import os
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
+# module-level so the pandas_udf kernel's stringified type hints (PEP
+# 563 is active here) resolve against this module's globals — a local
+# import would leave "pd.Series" unresolvable at UDF-registration time
+import pandas as pd
+
 MANIFEST = "_file_stats.json"
 
 #: footer stat types we can compare against parsed SQL literals
@@ -760,7 +765,6 @@ def _excluded_distributed(spark, table_path: str, conjuncts: Sequence) -> set:
     The full per-file stats dict — bloom bitsets included — never
     materializes in driver memory: the O(total-files) allocation the
     JSON path pays is gone (VERDICT r5 item 1)."""
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -778,9 +782,11 @@ def _excluded_distributed(spark, table_path: str, conjuncts: Sequence) -> set:
     w = Window.partitionBy("file", "column").orderBy(F.desc("_chunk"))
     df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    def _row_excludes_kernel(column, min_json, max_json):
+    def _row_excludes_kernel(
+        column: "pd.Series", min_json: "pd.Series", max_json: "pd.Series"
+    ) -> "pd.Series":
         # exclusion is existential across conjuncts, and every conjunct
         # consults exactly one manifest row (its column's bounds OR its
         # column's bloom) — so each row decides independently and no
@@ -817,9 +823,7 @@ def _excluded_distributed(spark, table_path: str, conjuncts: Sequence) -> set:
             out.append(exc)
         return pd.Series(out)
 
-    _row_excludes = pandas_udf(
-        _row_excludes_kernel, "boolean", PandasUDFType.SCALAR
-    )
+    _row_excludes = pandas_udf(_row_excludes_kernel, "boolean")
     return {
         r["file"]
         for r in df.filter(

@@ -253,8 +253,8 @@ def minhash_band_buckets(
     """(id, band, bucket) LSH bucket assignment via an Arrow-batched
     numpy kernel: per doc, hash every shingle ONCE map-side (xxhash64 →
     pmod p), split each hash into (bin, value) and take per-bin minima —
-    one-permutation hashing with rotation densification (r7; see
-    band_buckets_from_shingles) — then combine each band's rows_per_band
+    one-permutation hashing with hashed-probe optimal densification
+    (r7; see _oph_pack) — then combine each band's rows_per_band
     mins INJECTIVELY into one long (sig < 2^31, so rows_per_band=2 packs
     into sig0*2^31+sig1 < 2^62 — no collision, strictly fewer
     false-positive candidates than hashing the band).
@@ -310,7 +310,21 @@ def _oph_pack(np, doc_idx, hashes, n_docs: int, num_perm: int):
     spatial correlation: two docs agree on a densified bin only if the
     same probe attempt lands on a bin whose values agree — the unbiased
     estimator the paper proves.  The probe sequence is a pure function
-    of (bin, attempt), identical for every doc and every run."""
+    of (bin, attempt), identical for every doc and every run.
+
+    ``num_perm`` must be a power of two: the per-attempt probe stride
+    is odd, a unit mod 2^m, so every probe walk visits all bins within
+    num_perm attempts.  For moduli sharing a factor with the stride,
+    a sparse doc could exit the loop with the empty sentinel left in
+    its signature (all such docs then share band values, exploding
+    false candidates) — so non-powers-of-two are rejected, and a
+    post-densification assert guards the zero-shingle case (callers
+    must filter size >= k before the kernel)."""
+    if num_perm <= 0 or num_perm & (num_perm - 1):
+        raise ValueError(
+            f"num_perm must be a power of two (probe-coverage guarantee); "
+            f"got {num_perm}"
+        )
     m31 = np.int64((1 << 31) - 1)
     mix = np.int64(0x9E3779B1)  # (bin, attempt) mixer (golden-ratio odd)
     empty = np.int64(1 << 62)
@@ -339,6 +353,16 @@ def _oph_pack(np, doc_idx, hashes, n_docs: int, num_perm: int):
                 mixed = (gathered + (idx * 131 + t) * mix) % m31
                 dense[take] = mixed[take]
                 need &= ~take
+        if need.any():
+            # only possible for an all-empty row = a doc with zero
+            # shingles, which every caller must have filtered out
+            # (size >= k); failing loudly beats silently bucketing all
+            # such docs together
+            raise ValueError(
+                f"{int(need.any(axis=1).sum())} document(s) with zero "
+                f"shingles reached the OPH kernel; filter size >= k "
+                f"before bucketing"
+            )
         out = sig.copy()
         out[rows] = dense
         sig = out
@@ -458,19 +482,23 @@ def band_buckets_from_shingles(
     now derives buckets via ``minhash_band_buckets`` for exactly that
     reason.  Kept for callers that only have shingle arrays.
 
-    r7 kernel: ONE-PERMUTATION HASHING with rotation densification
-    (Li, Owen & Zhang, NIPS 2012; Shrivastava & Li, ICML 2014) replaces
-    the num_perm affine permutations — each shingle's single hash is
-    split into (bin = h mod num_perm, value = h div num_perm), the
-    signature is the per-bin minimum (one O(n) scatter instead of a
-    num_perm x n matmul), and an empty bin borrows the nearest filled
-    bin to its right (cyclic), mixed with the borrow distance so
-    different-distance borrows cannot accidentally agree.  The whole
-    batch vectorizes: flat scatter-min + one suffix-min scan, no
-    per-document Python loop.  Candidate sets differ from the classic
-    affine kernel (same banding guarantee: P(candidate) = 1-(1-j^r)^b),
-    but every candidate is still EXACT-verified downstream, so results
-    are unchanged wherever recall holds — the corpus oracle pins that.
+    r7 kernel: ONE-PERMUTATION HASHING (Li, Owen & Zhang, NIPS 2012)
+    with hashed-probe OPTIMAL densification (Shrivastava, ICML 2017) —
+    each shingle's single hash is split into (bin = h mod num_perm,
+    value = h div num_perm), the signature is the per-bin minimum (one
+    O(n) scatter instead of a num_perm x n matmul), and an empty bin i
+    copies the value of the first FILLED bin along the probe sequence
+    probe(i, t), t = 1, 2, ..., mixed with (i, t) so different probe
+    paths cannot accidentally agree.  (Rotation densification —
+    nearest-filled-to-the-right — is deliberately NOT used: sparse docs
+    share whole empty-bin windows, so one common shingle densifies
+    identically across its entire gap; see _oph_pack for the measured
+    blowup.)  The whole batch vectorizes: flat scatter-min + bounded
+    probe gathers, no per-document Python loop.  Candidate sets differ
+    from the classic affine kernel (same banding guarantee:
+    P(candidate) = 1-(1-j^r)^b), but every candidate is still
+    EXACT-verified downstream, so results are unchanged wherever recall
+    holds — the corpus oracle pins that.
     NOTE: a persisted LSH index built by an older (affine) kernel must
     be rebuilt; probe and index must share the kernel."""
     import numpy as np

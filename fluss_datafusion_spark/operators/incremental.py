@@ -41,7 +41,11 @@ from fluss_datafusion_spark.session import spread_small_scan
 # ensure_dedup_index treats a marker with a different format token as
 # stale and rebuilds, so an index persisted by older code can never be
 # silently probed with new semantics.
-INDEX_FORMAT = "v1"
+# v2: one-permutation hashing over rolling-polynomial token-hash
+# shingles replaced the affine-permutation kernel — bucket values are
+# incompatible, so v1 indexes must rebuild (probing them with the new
+# kernel would silently miss every duplicate pair).
+INDEX_FORMAT = "v2"
 
 
 def _index_marker_path(path: str) -> str:

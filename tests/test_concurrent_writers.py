@@ -354,6 +354,82 @@ def test_stale_maintenance_marker_is_reaped(spark, tmp_path):
     assert not os.path.exists(marker)
 
 
+def test_live_owner_marker_is_never_reaped_by_age(spark, tmp_path):
+    """A maintenance marker older than MAINT_STALE_SECS whose owner
+    process is ALIVE must NOT be reaped — a big compaction legitimately
+    running past the stale window would otherwise get writers appending
+    under its swap (silent row loss).  The writer blocks and aborts
+    cleanly instead."""
+    import json
+
+    e1, _ = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    marker = e1.catalog._maint_marker_path(spec)
+    with open(marker, "x") as fh:
+        # os.getpid(): provably-alive owner (this very process)
+        json.dump({"token": "foreign", "pid": os.getpid(), "ts": 0}, fh)
+    os.utime(marker, (1.0, 1.0))  # decisively stale by mtime
+    e1.catalog.MAINT_WAIT_SECS = 0.3
+    with pytest.raises(ConcurrentWriteConflict, match="maintenance"):
+        e1.sql("INSERT INTO t VALUES (2, 'blocked')")
+    assert os.path.exists(marker), "live-owner marker survived"
+    assert _seq_history(e1) == [1]
+    os.unlink(marker)
+
+
+def test_dead_owner_marker_is_reaped(spark, tmp_path):
+    """A stale marker whose recorded pid is provably dead is reaped and
+    the writer proceeds (the crashed-maintenance recovery path)."""
+    import json
+    import subprocess
+
+    e1, _ = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    marker = e1.catalog._maint_marker_path(spec)
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # reaped: the pid no longer exists
+    with open(marker, "x") as fh:
+        json.dump({"token": "crashed", "pid": proc.pid, "ts": 0}, fh)
+    os.utime(marker, (1.0, 1.0))
+    e1.sql("INSERT INTO t VALUES (2, 'b')")
+    assert _seq_history(e1) == [1, 2]
+    assert not os.path.exists(marker)
+
+
+def test_live_owner_reservation_blocks_maintenance_past_stale_window(
+    spark, tmp_path
+):
+    """The drain loop must keep waiting on a reservation whose owner is
+    alive even past MAINT_STALE_SECS (a >10-minute append job at real
+    table sizes); maintenance aborts cleanly rather than swapping files
+    out from under the live write."""
+    e1, _ = _mk_pair(spark, tmp_path)
+    e1.sql("INSERT INTO t VALUES (1, 'a')")
+    spec = e1.catalog.get_table("t")
+    d = e1.catalog._commit_dir(spec)
+    stray = os.path.join(d, f"{99:010d}.inflight")
+    with open(stray, "x") as fh:
+        fh.write(str(os.getpid()))  # alive owner
+    os.utime(stray, (1.0, 1.0))  # stale by mtime
+    e1.catalog.MAINT_WAIT_SECS = 0.3
+    with pytest.raises(ConcurrentWriteConflict, match="reservations"):
+        e1.catalog.optimize("t")
+    os.unlink(stray)
+    # dead-owner stale reservation: ignored, maintenance proceeds
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(stray, "x") as fh:
+        fh.write(str(proc.pid))
+    os.utime(stray, (1.0, 1.0))
+    e1.catalog.MAINT_WAIT_SECS = 60.0
+    e1.catalog.optimize("t")
+    assert e1.sql("SELECT count(*) AS n FROM t").collect()[0].n == 1
+
+
 def test_auto_compact_conflict_does_not_fail_statement(spark, tmp_path):
     """If auto-compaction cannot get its maintenance window (stray
     fresh reservation), the triggering INSERT must still succeed — the

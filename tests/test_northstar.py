@@ -683,6 +683,21 @@ def test_ensure_dedup_index_builds_once_and_detects_staleness(
     grown = corpus.unionByName(extra)
     assert ensure_dedup_index(grown, "doc_id", "text", path) is False
 
+    # Format-version change -> stale -> rebuild.  An index persisted by
+    # an older kernel (e.g. v1 affine permutations) must never be probed
+    # by a newer one — bucket values are incompatible and probes would
+    # silently return zero matches.
+    import fluss_datafusion_spark.operators.incremental as inc
+
+    marker = inc._index_marker_path(path)
+    with open(marker) as fh:
+        token = fh.read()
+    assert token.startswith(inc.INDEX_FORMAT + "|")
+    with open(marker, "w") as fh:
+        fh.write("v1|" + token.split("|", 1)[1])
+    assert ensure_dedup_index(grown, "doc_id", "text", path) is True
+    assert ensure_dedup_index(grown, "doc_id", "text", path) is False
+
 
 def test_ann_index_persist_matches_inline_ivf(spark, tmp_path, testdata):
     """write_ann_index + ann_query_index must reproduce ivf_ann_topk

@@ -1923,6 +1923,7 @@ class FlussCatalog:
         reserved_seq: Optional[int] = None,
         expect_base: Optional[int] = None,
         deleted_col: Optional[str] = None,
+        distribute: bool = False,
     ):
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
@@ -1938,7 +1939,15 @@ class FlussCatalog:
         marking per-row tombstones (r7) — lets a statement that both
         upserts and deletes (matview refresh, MERGE) land as ONE append
         job under ONE seq instead of two; the flag column becomes the
-        internal __del__ stamp and never reaches the data files."""
+        internal __del__ stamp and never reaches the data files.
+        ``distribute=True``: apply the optimized-write rebalance (the
+        Delta optimizeWrite pattern) — RMW statements (UPDATE / DELETE /
+        MERGE / REFRESH) opt in because their per-statement deltas
+        otherwise land as shuffle.partitions near-empty files and PK
+        merge-on-read pays for every one of them.  Plain INSERTs stay
+        out: a bulk load's upstream partitioning is already sized, a
+        full-data shuffle at 100 TB is not (and INSERT's single-job
+        contract is pinned by test)."""
         if deleted_col is not None and not spec.has_primary_key:
             raise ValueError(
                 "per-row tombstone flags require a primary-key table"
@@ -1998,6 +2007,25 @@ class FlussCatalog:
                 _BKT, bucket_id_expr(spec, *[F.col(k) for k in spec.bucket_keys])
             ).repartition(spec.num_buckets, F.col(_BKT))
             partition_cols.append(_BKT)
+        elif (
+            distribute
+            and spec.properties.get("write.rebalance", "true").lower()
+            != "false"
+            and self.spark.conf.get(
+                "spark.sql.adaptive.enabled", "false"
+            ).lower() == "true"
+        ):
+            # Optimized writes (the Delta optimizeWrite pattern): an AQE
+            # REBALANCE before the write sizes output files by
+            # advisoryPartitionSizeInBytes — a small DML delta collapses
+            # to ONE file instead of shuffle.partitions near-empty files
+            # (measured r8: a 32-task 10-row append costs ~2x a 1-task
+            # one in committer overhead alone).  Partitioned tables
+            # rebalance on the partition keys so each directory gets
+            # contiguous writers.  Gated on AQE (without it the hint
+            # degrades to a fixed-width round-robin shuffle — worse) and
+            # on the write.rebalance table property.
+            writer_df = writer_df.hint("rebalance", *partition_cols)
         path = self.table_path(spec)
         before = _parquet_files(path)
         writer_df = self._to_physical(spec, writer_df)
@@ -2197,11 +2225,15 @@ class FlussCatalog:
         )
         with self.defer_auto_compact():
             restored = _footer_row_count(
-                self._append_log(spec, old, deleted=False, reserved_seq=seq_restore)
+                self._append_log(
+                    spec, old, deleted=False, reserved_seq=seq_restore,
+                    distribute=True,
+                )
             )
             deleted = _footer_row_count(
                 self._append_log(
-                    spec, to_delete, deleted=True, reserved_seq=seq_delete
+                    spec, to_delete, deleted=True, reserved_seq=seq_delete,
+                    distribute=True,
                 )
             )
         return {"restored": restored, "deleted": deleted}
@@ -2233,7 +2265,10 @@ class FlussCatalog:
             ]
         )
         return _footer_row_count(
-            self._append_log(spec, victims, deleted=True, expect_base=base)
+            self._append_log(
+                spec, victims, deleted=True, expect_base=base,
+                distribute=True,
+            )
         )
 
     def insert_sql(self, target: str, statement: str) -> DataFrame:
@@ -2367,7 +2402,10 @@ class FlussCatalog:
             ]
         )
         return _footer_row_count(
-            self._append_log(spec, updated, deleted=False, expect_base=base)
+            self._append_log(
+                spec, updated, deleted=False, expect_base=base,
+                distribute=True,
+            )
         )
 
     def merge_into(
@@ -2653,6 +2691,7 @@ class FlussCatalog:
                     deleted=False,
                     reserved_seq=seq,
                     deleted_col=flag,
+                    distribute=True,
                 )
             metrics = obs.get
             deleted = int(metrics["n_del"] or 0)
@@ -2662,13 +2701,15 @@ class FlussCatalog:
             if live is not None:
                 upserted = _footer_row_count(
                     self._append_log(
-                        spec, live, deleted=False, expect_base=base
+                        spec, live, deleted=False, expect_base=base,
+                        distribute=True,
                     )
                 )
             if tombstones is not None:
                 deleted = _footer_row_count(
                     self._append_log(
-                        spec, tombstones, deleted=True, expect_base=base
+                        spec, tombstones, deleted=True, expect_base=base,
+                        distribute=True,
                     )
                 )
         return {"upserted": upserted, "deleted": deleted}

@@ -946,19 +946,46 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         F.col(_STAR).isNotNull().alias("__mv_existed__"),
         needs_rescan.alias("__mv_rescan__"),
         *[c.alias(n) for n, c in new_cols.items()],
-    ).localCheckpoint(eager=False)
-    # ^ pins against the self-read below: the upsert/tombstone branches
-    # both read merged, and merged's plan reads the view table the fused
-    # append writes to.  LAZY is safe here — the checkpoint materializes
-    # inside the first consuming job (the rescan probe, or the fused
-    # write itself) whose view-table scan holds the PRE-append file
-    # listing resolved at plan time; eager would be one extra Spark job
-    # per refresh (r7 statement batching).
+    )
+    # Checkpoint pins against the self-read below: the fused write reads
+    # merged, and merged's plan reads the view table the write appends
+    # to.  LAZY + AQE-off (r8): under AQE, Dataset.localCheckpoint's
+    # toRdd call MATERIALIZES every intermediate query stage eagerly —
+    # measured ~0.4 s of stage-by-stage scheduling per refresh at tiny
+    # deltas.  With AQE off for just this call, toRdd is pure planning;
+    # the stats job right below then executes the whole delta pipeline
+    # as ONE job.  AQE stays on for everything else (including the
+    # rescan branch, whose source join benefits from it).
+    spark = merged.sparkSession
+    _aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        merged = merged.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe)
 
     schema_order = [c.name for c in spec.columns]
-    upserts = merged.filter(
-        (F.col(_STAR) > 0) & ~F.col("__mv_rescan__")
-    ).select(*schema_order)
+    # ONE stats pass over the checkpointed frame (r8): materializes the
+    # checkpoint AND returns every count downstream decisions need —
+    # the rescan probe, the upsert/delete split for the result dict
+    # (previously a write-side Observation), and the touched-group
+    # total.  Replaces the limit(1).count() probe job at the same job
+    # cost; the fused write below no longer carries an observe().
+    alive = F.col(_STAR) > 0
+    stats = merged.agg(
+        F.sum(F.when(alive & F.col("__mv_rescan__"), 1).otherwise(0)).alias(
+            "n_rescan"
+        ),
+        F.sum(F.when(alive & ~F.col("__mv_rescan__"), 1).otherwise(0)).alias(
+            "n_up"
+        ),
+        F.sum(
+            F.when(~alive & F.col("__mv_existed__"), 1).otherwise(0)
+        ).alias("n_dead"),
+    ).collect()[0]
+    n_rescan = int(stats["n_rescan"] or 0)
+    n_dead = int(stats["n_dead"] or 0)
+    n_up = int(stats["n_up"] or 0) + n_rescan
     # bounded rescan: groups whose stored extremum was retracted are
     # recomputed from the source — a semi-join-restricted scan touching
     # only those groups' rows, never the whole view (dead groups skip
@@ -970,9 +997,9 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     ).select(*mv["group_names"])
     # the rescan subtree joins the full source(s): skip it entirely
     # unless some group actually flagged (merged is checkpointed, so
-    # the probe is a local scan, not a recompute)
-    to_insert = upserts
-    if rescan_flags and rescan_keys.limit(1).count() > 0:
+    # the stats pass above was a local scan, not a recompute)
+    rescanned = None
+    if rescan_flags and n_rescan > 0:
         rescanned = _with_kahan_state(
             _normalized_source(catalog, mv, anchors)
             .join(rescan_keys, mv["group_names"], "left_semi")
@@ -980,7 +1007,6 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
             .agg(*_physical_aggs(mv)),
             mv,  # a rescan recomputes from scratch: compensation resets
         ).select(*schema_order)
-        to_insert = upserts.unionByName(rescanned)
     # CONCURRENTLY guard: reserve the refresh's seq against the base
     # captured before the checkpoint load, then re-validate the
     # checkpoint itself — a concurrent refresh either conflicts the
@@ -1001,53 +1027,58 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
             f"materialized view {name} was refreshed concurrently; "
             "nothing was written — re-running against the new checkpoint"
         )
-    # phantom groups (born and fully retracted inside one window, or
-    # nulled out by WHERE) get no tombstone — they were never in the view
-    dead = merged.filter(
-        (F.col(_STAR) <= 0) & F.col("__mv_existed__")
-    ).select(
+    # ONE append under ONE seq (r7 statement batching), ONE pass over
+    # the checkpoint (r8): upserts and tombstones come out of a single
+    # filter+select — a per-row CASE nulls the non-key payload of dead
+    # groups (phantom groups — born and fully retracted inside one
+    # window — match neither branch and get no tombstone; they were
+    # never in the view).  The previous union re-scanned the
+    # checkpointed frame once per branch and doubled the write plan.
+    # The upsert/delete split for the result dict came from the stats
+    # pass above — the write carries no observation listener.
+    target = spec.spark_schema()
+    flag = "__mv_tomb__"
+    keep = (alive & ~F.col("__mv_rescan__")) | (~alive & F.col("__mv_existed__"))
+    fused = merged.filter(keep).select(
         *[
             (
                 F.col(f.name)
                 if f.name in spec.primary_key
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
-            for f in spec.spark_schema().fields
-        ]
+                else F.when(alive, F.col(f.name)).otherwise(F.lit(None))
+            )
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in target.fields
+        ],
+        (~alive).alias(flag),
     )
-    # ONE append under ONE seq (r7 statement batching): upserts and
-    # tombstones land fused via a per-row __del__ flag — a REFRESH is
-    # one statement, so one commit; halves the refresh's write jobs,
-    # commit stamps and stats harvests.  The upsert/delete split for
-    # the result dict rides the write job itself as observed metrics
-    # (no extra pass).
-    from pyspark.sql import Observation
-
-    target = spec.spark_schema()
-    aligned_up = to_insert.select(
-        *[
-            F.col(src).cast(f.dataType).alias(f.name)
-            for src, f in zip(to_insert.columns, target.fields)
-        ]
-    )
-    flag = "__mv_tomb__"
-    fused = aligned_up.withColumn(flag, F.lit(False)).unionByName(
-        dead.withColumn(flag, F.lit(True))
-    )
-    obs = Observation()
-    fused = fused.observe(
-        obs,
-        F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long").alias("n_del"),
-        F.count(F.lit(1)).alias("n_all"),
-    )
+    if rescanned is not None:
+        rescanned_aligned = rescanned.select(
+            *[
+                F.col(src).cast(f.dataType).alias(f.name)
+                for src, f in zip(rescanned.columns, target.fields)
+            ]
+        )
+        fused = fused.unionByName(
+            rescanned_aligned.withColumn(flag, F.lit(False))
+        )
+    # the stats pass already counted the write exactly: a small delta
+    # pre-shapes to one output file here (no AQE rebalance stage — the
+    # shuffle would cost more than it saves), a large one keeps its
+    # partitioning and lets _append_log's optimized write size the files
+    small = (n_up + n_dead) <= 100_000 and rescanned is None
+    if small:
+        fused = fused.coalesce(1)
     catalog._append_log(
-        spec, fused, deleted=False, reserved_seq=seq_ref, deleted_col=flag
+        spec,
+        fused,
+        deleted=False,
+        reserved_seq=seq_ref,
+        deleted_col=flag,
+        distribute=not small,
     )
-    metrics = obs.get
-    n_del = int(metrics["n_del"] or 0)
-    n_up = int(metrics["n_all"] or 0) - n_del
     _checkpoint()
-    return {"upserted": n_up, "deleted": n_del, "full_rebuild": 0}
+    return {"upserted": n_up, "deleted": n_dead, "full_rebuild": 0}
 
 
 def is_matview(catalog, name: str) -> bool:

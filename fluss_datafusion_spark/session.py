@@ -64,7 +64,36 @@ def build_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    disable_dataframe_debugging(spark)
+    return spark
+
+
+def disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Turn off PySpark's per-call error-context capture
+    (``spark.python.sql.dataFrameDebugging.enabled``).
+
+    Measured (tools/profile_refresh_phases.py, r8): the capture wrapper
+    costs ~4 py4j round-trips per DataFrame API call (getActiveSession +
+    conf.get + origin set/clear), and a single matview REFRESH makes
+    ~630 wrapped calls — about HALF of the refresh's 5.3k py4j commands
+    and a large slice of every DML statement's fixed overhead.  The
+    trade is losing Python call-site lines inside JVM error messages,
+    which an engine layer (whose statements come from SQL text, not
+    user DataFrame code) does not need.  The flag is cached globally by
+    pyspark on first use, so the cache is reset/pinned too — this makes
+    the call effective even on driver-provided sessions that already
+    ran DataFrame calls."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
+    try:
+        import pyspark.errors.utils as _peu
+
+        _peu._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 class EngineSession:
@@ -80,6 +109,9 @@ class EngineSession:
 
     def __init__(self, spark: Optional[SparkSession] = None, warehouse: Optional[str] = None):
         self.spark = spark or build_spark()
+        # also for driver-provided sessions: the capture wrapper is pure
+        # per-call overhead for engine-built plans (see the helper)
+        disable_dataframe_debugging(self.spark)
         # Imports deferred so `import fluss_datafusion_spark` works even if a
         # subpackage is mid-refactor.
         from fluss_datafusion_spark.catalog.catalog import FlussCatalog

@@ -1588,7 +1588,29 @@ class FlussCatalog:
                     .option("basePath", path)
                     .parquet(path)
                 )
-                if excl:
+                if isinstance(excl, DataFrame):
+                    # capped contract (r8): the excluded side is too big
+                    # for an In-literal (O(n) driver memory, plan bloat)
+                    # — anti-join it distributed.  File opens are not
+                    # listing-pruned in this regime, but the names never
+                    # touch the driver; AQE broadcasts or shuffles the
+                    # manifest side by its actual size.
+                    excl_uris = excl.select(
+                        F.concat(
+                            F.lit(f"file:{path}{os.sep}"), F.col("__rel__")
+                        ).alias("__uri__")
+                    )
+                    reader = (
+                        reader.select("*", "_metadata")
+                        .join(
+                            excl_uris,
+                            F.col("_metadata.file_path")
+                            == F.col("__uri__"),
+                            "left_anti",
+                        )
+                        .drop("_metadata")
+                    )
+                elif excl:
                     uris = [
                         f"file:{os.path.join(path, rel)}"
                         for rel in sorted(excl)

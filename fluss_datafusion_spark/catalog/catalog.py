@@ -68,9 +68,17 @@ class FlussCatalog:
         spark: SparkSession,
         warehouse: Optional[str] = None,
         default_database: str = DEFAULT_DATABASE,
+        locking=None,
     ):
         self.spark = spark
         self.warehouse = warehouse or tempfile.mkdtemp(prefix="fluss_warehouse_")
+        # the commit protocol's put-if-absent seam (catalog/locking.py):
+        # default POSIX O_EXCL; an object-store deployment injects an
+        # implementation backed by S3 conditional-PUT / GCS
+        # generation-match / DynamoDB conditional writes
+        from fluss_datafusion_spark.catalog.locking import LocalFSLocking
+
+        self.locking = locking or LocalFSLocking()
         self.default_database = default_database
         self.databases: Dict[str, Dict[str, TableSpec]] = {default_database: {}}
         self._seq: Dict[str, int] = {}
@@ -936,19 +944,16 @@ class FlussCatalog:
             got: List[int] = []
             for n in range(start, start + count):
                 try:
-                    fd = os.open(
-                        os.path.join(d, f"{n:010d}.inflight"),
-                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                    )
-                    # record the owner pid so stale-reaping can verify
+                    # owner pid recorded so stale-reaping can verify
                     # liveness instead of trusting mtime alone (a write
                     # job legitimately running past MAINT_STALE_SECS
                     # must not get its reservation reaped mid-flight)
-                    os.write(fd, str(os.getpid()).encode())
-                    os.close(fd)
+                    if not self.locking.put_if_absent(
+                        os.path.join(d, f"{n:010d}.inflight"),
+                        str(os.getpid()).encode(),
+                    ):
+                        break
                     got.append(n)
-                except FileExistsError:
-                    break
                 except FileNotFoundError:
                     # the commit dir is briefly absent mid-dir-swap (we
                     # raced past the marker check by microseconds): do
@@ -967,19 +972,15 @@ class FlussCatalog:
                 # release and re-wait (nothing was written yet).
                 if self._maintenance_inflight(spec):
                     for n in got:
-                        try:
-                            os.unlink(os.path.join(d, f"{n:010d}.inflight"))
-                        except OSError:
-                            pass
+                        self.locking.delete(
+                            os.path.join(d, f"{n:010d}.inflight")
+                        )
                     base = self._current_seq(spec)
                     continue
                 self._seq[key] = got[-1]
                 return got
             for n in got:  # lost the race mid-range: release and retry
-                try:
-                    os.unlink(os.path.join(d, f"{n:010d}.inflight"))
-                except OSError:
-                    pass
+                self.locking.delete(os.path.join(d, f"{n:010d}.inflight"))
             base = start + len(got)
 
     def _release_seqs(self, spec: TableSpec, seqs: List[int]) -> None:
@@ -988,10 +989,7 @@ class FlussCatalog:
         this instant but the history stays monotone either way."""
         d = self._commit_dir(spec)
         for n in seqs:
-            try:
-                os.unlink(os.path.join(d, f"{int(n):010d}.inflight"))
-            except OSError:
-                pass
+            self.locking.delete(os.path.join(d, f"{int(n):010d}.inflight"))
 
     # -- maintenance exclusion (r7) ---------------------------------------
     #
@@ -1039,22 +1037,20 @@ class FlussCatalog:
             f".{os.path.basename(path)}.{self.MAINT_MARKER}",
         )
 
-    @staticmethod
-    def _owner_alive(path: str):
+    def _owner_alive(self, path: str):
         """Best-effort liveness of the process that created a marker or
         reservation file (the file records its creator's pid — plain int
         for reservations, ``{"pid": …}`` JSON for markers).  Returns
         True (alive), False (provably dead), or None (unknown: empty /
-        unreadable / pre-liveness layout).  Same-host semantics — the
-        local-fs warehouse's scope; an object-store backend would
-        heartbeat instead (see the protocol note above)."""
+        unreadable / pre-liveness layout, or a backend without host
+        liveness — object stores return None from ``owner_alive`` and
+        rely on heartbeat mtimes instead)."""
         import json
 
-        try:
-            with open(path) as fh:
-                raw = fh.read().strip()
-        except OSError:
+        raw_bytes = self.locking.read(path)
+        if raw_bytes is None:
             return None
+        raw = raw_bytes.decode("utf-8", "replace").strip()
         if not raw:
             return None
         try:
@@ -1065,15 +1061,7 @@ class FlussCatalog:
             )
         except Exception:
             return None
-        try:
-            os.kill(pid, 0)
-            return True
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True  # exists, owned by someone else
-        except OSError:
-            return None
+        return self.locking.owner_alive(pid)
 
     def _maintenance_inflight(self, spec: TableSpec) -> bool:
         """True iff ANOTHER session holds a fresh maintenance marker on
@@ -1082,27 +1070,24 @@ class FlussCatalog:
         import time
 
         marker = self._maint_marker_path(spec)
-        try:
-            st = os.stat(marker)
-        except OSError:
+        mtime = self.locking.stat_mtime(marker)
+        if mtime is None:
             return False
         token = self._maint_tokens.get(spec.qualified_name)
         if token is not None:
             try:
-                with open(marker) as fh:
-                    if json.load(fh).get("token") == token:
-                        return False
+                raw = self.locking.read(marker)
+                if raw is not None and json.loads(raw).get("token") == token:
+                    return False
             except Exception:
                 pass
-        if time.time() - st.st_mtime > self.MAINT_STALE_SECS:
+        if time.time() - mtime > self.MAINT_STALE_SECS:
             if self._owner_alive(marker) is True:
                 # a long-running but live maintenance (big compaction):
                 # age alone must not unblock writers under its swap
                 return True
-            try:  # crashed maintenance: reap so writers unblock
-                os.unlink(marker)
-            except OSError:
-                pass
+            # crashed maintenance: reap so writers unblock
+            self.locking.delete(marker)
             return False
         return True
 
@@ -1141,18 +1126,15 @@ class FlussCatalog:
             token = uuid.uuid4().hex
             deadline = time.time() + self.MAINT_WAIT_SECS
             while True:
-                try:
-                    fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(
-                        fd,
-                        json.dumps(
-                            {"token": token, "pid": os.getpid(),
-                             "ts": time.time()}
-                        ).encode(),
-                    )
-                    os.close(fd)
+                if self.locking.put_if_absent(
+                    marker,
+                    json.dumps(
+                        {"token": token, "pid": os.getpid(),
+                         "ts": time.time()}
+                    ).encode(),
+                ):
                     break
-                except FileExistsError:
+                else:
                     # stale-reap happens inside _maintenance_inflight
                     if not self._maintenance_inflight(spec):
                         held = self._maint_tokens.get(spec.qualified_name)
@@ -1176,19 +1158,15 @@ class FlussCatalog:
                 while True:
                     pending = []
                     now = time.time()
-                    try:
-                        entries = os.listdir(d)
-                    except OSError:
-                        entries = []
-                    for f in entries:
+                    for f in self.locking.list_names(d):
                         if not f.endswith(".inflight"):
                             continue
                         if f == self.MAINT_MARKER:
                             continue
-                        try:
-                            age = now - os.stat(os.path.join(d, f)).st_mtime
-                        except OSError:
+                        mt = self.locking.stat_mtime(os.path.join(d, f))
+                        if mt is None:
                             continue  # finalized between list and stat
+                        age = now - mt
                         if age <= self.MAINT_STALE_SECS:
                             pending.append(f)
                         elif self._owner_alive(os.path.join(d, f)) is True:
@@ -1208,10 +1186,7 @@ class FlussCatalog:
                 yield
             finally:
                 self._maint_tokens.pop(spec.qualified_name, None)
-                try:
-                    os.unlink(marker)
-                except OSError:
-                    pass
+                self.locking.delete(marker)
 
         return _lock()
 

@@ -204,6 +204,8 @@ def q12_cube(spark, sf_dir):
 
 @query(
     "q13_grouping_sets",
+    extended=True,  # r8: rotated out for q67_optimize_partition_scoped
+    # (aggregation keeps core rows q01 + q38; cube/rollup stay self-checked)
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n
     FROM orders
@@ -2374,3 +2376,113 @@ def q66_matview_star(spark, sf_dir):
     e.sql("UPDATE mvs_fact SET x = x + 5 WHERE ck % 13 = 0")
     e.sql("REFRESH MATERIALIZED VIEW mvs")
     return e.sql("SELECT seg, label, n, nx, sx, round(ax, 6) AS ax FROM mvs")
+
+
+@query(
+    "q67_optimize_partition_scoped",  # r8: CORE — partition-scoped
+    # maintenance differentiator (rotated in for q13_grouping_sets)
+    oracle="""
+    WITH src AS (
+        -- one row per id (the PK upsert's view of a duplicate-keyed
+        -- seed must be deterministic: take the max measure)
+        SELECT o_orderkey AS id,
+               CASE o_orderkey % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                    ELSE 'c' END AS p,
+               CAST(max(floor(o_totalprice)) AS BIGINT) AS v
+        FROM orders WHERE o_orderkey <= 900
+        GROUP BY o_orderkey
+    )
+    SELECT p, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+           min(v) AS mn, max(v) AS mx,
+           true AS others_untouched, true AS travel_ok,
+           true AS consolidated
+    FROM src GROUP BY p
+    """,
+)
+def q67_optimize_partition_scoped(spark, sf_dir):
+    """Partition-scoped OPTIMIZE lifecycle (r7 surface — catalog.optimize
+    with a WHERE scope; no reference analog, the Fluss server owns
+    layout): seed a partitioned PK table from orders in three chunks
+    (three files per partition), ``OPTIMIZE ... WHERE p = 'a' ZORDER BY
+    (v)``, then PROVE the maintenance contract in-result:
+
+    - ``others_untouched``: p=b / p=c files byte-identical (same paths,
+      same mtimes) across the scoped swap;
+    - ``travel_ok``: time travel to the middle seq still resolves after
+      the rewrite (stamps survive consolidation);
+    - ``consolidated``: the targeted partition collapsed to one file.
+
+    The booleans ride the result as columns the DuckDB oracle pins to
+    ``true``; the per-partition aggregates hash-check the post-OPTIMIZE
+    content against a raw re-derivation from orders."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_optsc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE opt_pt (id BIGINT NOT NULL, p STRING, v BIGINT,"
+        " PRIMARY KEY (id)) PARTITIONED BY (p)"
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 900)
+        .groupBy(F.col("o_orderkey").alias("id"))
+        .agg(F.max(F.floor("o_totalprice")).cast("bigint").alias("v"))
+        .select(
+            "id",
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("p"),
+            "v",
+        )
+    )
+    for lo, hi in ((-1, 300), (300, 600), (600, 901)):  # ids start at 0
+        src.filter(
+            (F.col("id") > lo) & (F.col("id") <= hi)
+        ).createOrReplaceTempView("opt_pt_seed")
+        e.sql("INSERT INTO opt_pt SELECT * FROM opt_pt_seed")
+
+    path = e.catalog.table_path(e.catalog.get_table("opt_pt"))
+
+    def files_mtimes(sub=None):
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet") and (sub is None or sub in r)
+        }
+
+    before_others = {
+        f: m for f, m in files_mtimes().items() if "p=a" not in f
+    }
+    travel_before = e.catalog.read("opt_pt", as_of_seq=2).count()
+
+    e.sql("OPTIMIZE opt_pt WHERE p = 'a' ZORDER BY (v)")
+
+    after = files_mtimes()
+    others_untouched = all(
+        after.get(f) == m for f, m in before_others.items()
+    ) and len(before_others) == len(
+        {f for f in after if "p=a" not in f}
+    )
+    consolidated = len({f for f in after if "p=a" in f}) == 1
+    travel_ok = (
+        e.catalog.read("opt_pt", as_of_seq=2).count() == travel_before
+    )
+    return (
+        e.sql(
+            "SELECT p, count(*) AS n, sum(v) AS sv, min(v) AS mn,"
+            " max(v) AS mx FROM opt_pt GROUP BY p"
+        )
+        .withColumn("others_untouched", F.lit(bool(others_untouched)))
+        .withColumn("travel_ok", F.lit(bool(travel_ok)))
+        .withColumn("consolidated", F.lit(bool(consolidated)))
+    )

@@ -751,3 +751,212 @@ def st_ab_test_ztest(spark, sf_dir):
     return ab_test_ztest(
         ev, ["event_type"], "variant", F.col("converted"), 0, 1
     )
+
+
+# -- real streaming-engine runs (r8: VERDICT r7 item 6) ----------------------
+#
+# The st_* entries above pin streaming SEMANTICS via the batch evaluator.
+# These four run the ACTUAL Structured Streaming engine — time-chunked
+# replay -> readStream -> stateful operator -> memory sink, exactly the
+# pipelines bench.py times as stream_* — and hash-check the final sink
+# against a DuckDB re-derivation, closing the bench/correctness symmetry
+# gap.  Extended registry: the driver window keeps its hard-signal rows;
+# CORRECTNESS_SELF carries these.
+
+
+def _replayed(spark, sf_dir, tag, build, output_mode, mfpt=2):
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark.streaming.events import (
+        chunk_table_for_replay,
+        events_stream,
+        run_to_memory,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_{tag}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = chunk_table_for_replay(
+        spark, sf_dir, os.path.join(root, "events"), n_chunks=8
+    )
+    name = f"corpus_stream_{tag}"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    run_to_memory(
+        build(events_stream(spark, replay, max_files_per_trigger=mfpt)),
+        name,
+        output_mode=output_mode,
+    )
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling", extended=True,
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """bench.py's stream_tumbling, correctness-checked: watermarked
+    1-hour tumbling counts through the real engine (complete mode) over
+    an 8-chunk in-order replay; the final sink must equal the batch
+    aggregation (in-order replay means the watermark drops nothing)."""
+    from fluss_datafusion_spark.streaming.events import tumbling_counts
+
+    return _replayed(spark, sf_dir, "tumbling", tumbling_counts, "complete")
+
+
+@query(
+    "stream_dedup", extended=True,
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           round(value, 3) AS value
+    FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """bench.py's stream_dedup, correctness-checked — and made
+    non-trivial: every 10th event is replayed as an exact duplicate
+    (same ts, so it lands in the same time chunk), and the watermarked
+    dropDuplicates must emit each event_id exactly once; the sink
+    equals the original events table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark.streaming.events import (
+        events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_dedup_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    from fluss_datafusion_spark.streaming.events import chunk_df_for_replay
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    # chunk_df_for_replay restamps file mtimes in ascending time order —
+    # FileStreamSource batches by mtime, and a same-second tie would mix
+    # late and early chunks (watermark then drops whole chunks silently)
+    path = chunk_df_for_replay(dup, os.path.join(root, "events"), n_chunks=8)
+    name = "corpus_stream_dedup"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    run_to_memory(
+        streaming_dedup(
+            events_stream(spark, path, max_files_per_trigger=2),
+            keys=("event_id",),
+            watermark="2 hours",
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 3).alias("value"),
+    )
+
+
+@query(
+    "stream_changelog", extended=True,
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, event_type, round(value, 3) AS value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT '+I' AS op, user_id, event_id, event_type, value
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT '-U' AS op, p.user_id, p.event_id, p.event_type, p.value
+    FROM o c JOIN o p ON c.user_id = p.user_id AND c.rn = p.rn + 1
+    UNION ALL
+    SELECT '+U' AS op, user_id, event_id, event_type, value
+    FROM o WHERE rn > 1
+    """,
+)
+def stream_changelog(spark, sf_dir):
+    """bench.py's stream_changelog, correctness-checked: the bucketed
+    keyed-state CDC operator through the real engine (update mode) —
+    the union of all batches' emissions must equal the order-based
+    batch derivation DuckDB replays with one window pass (+I for each
+    user's first event, -U/+U transitions for every later one)."""
+    from fluss_datafusion_spark.streaming.events import changelog_stream
+
+    out = _replayed(
+        spark, sf_dir, "changelog",
+        lambda s: changelog_stream(
+            s.withWatermark("ts", "0 seconds"),
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            image_cols=["event_id", "event_type", "value"],
+            ttl=None,
+            state_buckets=64,
+        ),
+        "update",
+    )
+    return out.select(
+        "op", "user_id", "event_id", "event_type",
+        F.round("value", 3).alias("value"),
+    )
+
+
+@query(
+    "stream_interval_join", extended=True,
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP)
+         BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             AND CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """bench.py's stream_interval_join, correctness-checked: the
+    watermarked stream-stream attribution join (purchase -> preceding
+    click within 1 hour) through the real engine, state crossing batch
+    boundaries; the sink equals DuckDB's time-bounded self-join."""
+    from fluss_datafusion_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    def build(s):
+        purchases = s.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        clicks = s.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        return interval_join_streams(
+            purchases, clicks, on=["user_id"],
+            left_ts="p_ts", right_ts="c_ts",
+            bound="1 hour", watermark="4 hours",
+        ).select("purchase_id", "user_id", "click_id")
+
+    # two streams need the SAME source stream object; _replayed builds one
+    return _replayed(
+        spark, sf_dir, "interval", build, "append", mfpt=4
+    )

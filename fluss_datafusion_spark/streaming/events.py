@@ -34,10 +34,18 @@ def chunk_table_for_replay(
     from fluss_datafusion_spark.session import read_table
 
     ev = read_table(spark, os.path.join(sf_dir, f"{table}.parquet"))
+    return chunk_df_for_replay(ev, out_dir, n_chunks)
+
+
+def chunk_df_for_replay(df: DataFrame, out_dir: str, n_chunks: int = 4) -> str:
+    """Write an arbitrary event DataFrame (must carry a ``ts`` column)
+    as time-ordered replay chunks — the frame-level form of
+    :func:`chunk_table_for_replay` for callers whose input is derived,
+    not a raw testdata table."""
     # Range-partition by ts: part-00000..part-0000N hold ascending time
     # ranges, so maxFilesPerTrigger=1 replays history in order.
     (
-        ev.repartitionByRange(n_chunks, "ts")
+        df.repartitionByRange(n_chunks, "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(out_dir)

@@ -127,12 +127,24 @@ def main() -> None:
     except Exception as exc:
         print(f"bench warmup error: {exc}", file=sys.stderr)
 
+    # Variance hygiene (r8, VERDICT r7 item 8): entries a round verdict
+    # flagged as >1.4x movers get median-of-3 so single-run VM noise and
+    # real regressions are distinguishable in BENCH artifacts.  Lifecycle
+    # entries rebuild their warehouse per run, so repeats are honest
+    # end-to-end re-executions, not cache replays.
+    TRIPLICATE = {"q45_sketch_bounds", "q57_matview_incremental"}
+
     timings = {}
     for name in sorted(queries):
-        t0 = time.time()
+        runs = 3 if name in TRIPLICATE else 1
+        samples = []
         try:
-            run_query(queries[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(runs):
+                t0 = time.time()
+                run_query(queries[name](spark, sf_dir))
+                samples.append(time.time() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as exc:  # a failing query must not hide the rest
             timings[name] = None
             print(f"bench error in {name}: {exc}", file=sys.stderr)

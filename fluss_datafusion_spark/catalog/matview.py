@@ -293,6 +293,26 @@ def parse_matview_select(select_sql: str) -> Dict:
     }
 
 
+def _lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=False) with AQE scoped OFF for the call.
+
+    Under AQE, ``Dataset.localCheckpoint``'s toRdd MATERIALIZES every
+    intermediate query stage eagerly — measured ~0.4 s of stage-by-stage
+    job scheduling per checkpoint at tiny deltas (r8 profiling).  With
+    AQE off for just the toRdd, the call is pure planning; the first
+    consuming job then executes the whole pipeline in one pass.  The
+    refresh's delta plans are bounded (O(changes)), so losing AQE's
+    runtime re-planning inside them costs nothing; AQE stays on for
+    everything downstream (including the rescan branch's source join)."""
+    spark = df.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
 def _acol(mv: Dict, col: Optional[str]) -> Optional[str]:
     """Normalized-frame column name for an aggregate argument (qualified
     refs mangle the dot so the projection is flat)."""
@@ -467,13 +487,13 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     j1 = _snap_of(0)
     dj = _delta_of(0, _SIGN)
     if dj is not None:
-        dj = dj.localCheckpoint(eager=False)
+        dj = _lazy_checkpoint(dj)
     for i in range(1, len(mv["sources"])):
         cond = _flat_join_cond(mv, mv["joins"][i - 1])
         c1 = _snap_of(i)
         dc = _delta_of(i, sc)
         if dc is not None:
-            dc = dc.localCheckpoint(eager=False)
+            dc = _lazy_checkpoint(dc)
         terms = []
         if dj is not None:
             terms.append(dj.join(c1, cond))
@@ -490,7 +510,7 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                 ).drop(sc)
             )
         dj = (
-            reduce(DataFrame.unionByName, terms).localCheckpoint(eager=False)
+            _lazy_checkpoint(reduce(DataFrame.unionByName, terms))
             if terms
             else None
         )
@@ -530,20 +550,20 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                 catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
             )
             .withColumnRenamed(_SIGN, sa)
-            # lazy: materializes once inside the first consuming job
-            # (the merged-state checkpoint) — both join terms then read
-            # the cached blocks; an eager checkpoint would be one extra
-            # Spark job per delta per refresh (r7 statement batching)
-            .localCheckpoint(eager=False)
+            # lazy (AQE-off scoped): materializes once inside the first
+            # consuming job (the merged-state checkpoint) — both join
+            # terms then read the cached blocks (r7 batching + r8
+            # _lazy_checkpoint)
         )
+        d_a = _lazy_checkpoint(d_a)
     if anchors["hi2"] > anchors["lo2"]:
         d_b = (
             _signed_changes(
                 catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
             )
             .withColumnRenamed(_SIGN, sb)
-            .localCheckpoint(eager=False)
         )
+        d_b = _lazy_checkpoint(d_b)
     terms = []
     if d_a is not None:
         b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])
@@ -949,20 +969,9 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     )
     # Checkpoint pins against the self-read below: the fused write reads
     # merged, and merged's plan reads the view table the write appends
-    # to.  LAZY + AQE-off (r8): under AQE, Dataset.localCheckpoint's
-    # toRdd call MATERIALIZES every intermediate query stage eagerly —
-    # measured ~0.4 s of stage-by-stage scheduling per refresh at tiny
-    # deltas.  With AQE off for just this call, toRdd is pure planning;
-    # the stats job right below then executes the whole delta pipeline
-    # as ONE job.  AQE stays on for everything else (including the
-    # rescan branch, whose source join benefits from it).
-    spark = merged.sparkSession
-    _aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        merged = merged.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe)
+    # to.  LAZY + AQE-off (_lazy_checkpoint): the stats job right below
+    # executes the whole delta pipeline as ONE job.
+    merged = _lazy_checkpoint(merged)
 
     schema_order = [c.name for c in spec.columns]
     # ONE stats pass over the checkpointed frame (r8): materializes the

@@ -484,15 +484,26 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
             catalog.read(src["name"], as_of_seq=his[i]), src["alias"]
         )
 
+    # Checkpoint policy (r8): a lazy checkpoint costs ~130 ms of toRdd
+    # planning even with AQE scoped off — measured as the dominant block
+    # of a warm n-ary refresh (4 checkpoints = 0.54 s of 1.26 s).  A
+    # delta subtree only deserves one when it feeds MORE than one join
+    # term; single-consumer subtrees inline into the merged plan (whose
+    # own checkpoint covers the self-read pinning) and recompute nothing.
+    has_delta = [h > l for h, l in zip(his, los)]
+    n_src = len(mv["sources"])
     j1 = _snap_of(0)
     dj = _delta_of(0, _SIGN)
-    if dj is not None:
+    # d0 feeds two fold-1 terms (δJ⋈C1 + δJ⋈δC) only if source 1 also
+    # has a delta; otherwise it flows through exactly one join per fold
+    if dj is not None and n_src > 1 and has_delta[1]:
         dj = _lazy_checkpoint(dj)
-    for i in range(1, len(mv["sources"])):
+    for i in range(1, n_src):
         cond = _flat_join_cond(mv, mv["joins"][i - 1])
         c1 = _snap_of(i)
         dc = _delta_of(i, sc)
-        if dc is not None:
+        if dc is not None and dj is not None:
+            # δC feeds J1⋈δC AND δJ⋈δC — two consumers
             dc = _lazy_checkpoint(dc)
         terms = []
         if dj is not None:
@@ -509,11 +520,13 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
                     _SIGN, -(F.col(_SIGN) * F.col(sc))
                 ).drop(sc)
             )
-        dj = (
-            _lazy_checkpoint(reduce(DataFrame.unionByName, terms))
-            if terms
-            else None
-        )
+        dj = reduce(DataFrame.unionByName, terms) if terms else None
+        # the folded delta feeds two terms of the NEXT step only if that
+        # source has its own delta; the LAST fold's output always has a
+        # single consumer (the delta aggregation under merged's
+        # checkpoint) and never checkpoints
+        if dj is not None and i + 1 < n_src and has_delta[i + 1]:
+            dj = _lazy_checkpoint(dj)
         j1 = j1.join(c1, cond)
     if dj is None:  # no source had a window (caller guards, but be safe)
         return _project_normal_flat(
@@ -542,28 +555,25 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
 
     sa, sb = "__mv_sign_a__", "__mv_sign_b__"
     d_a = d_b = None
-    # each delta feeds two terms: materialize the (small) CDC window
-    # once instead of re-running the changelog derivation per term
+    # a delta checkpoints ONLY when it feeds two terms (its own snapshot
+    # join AND the both-delta correction) — i.e. when the OTHER source
+    # also changed; single-consumer deltas inline into the merged plan
+    # (r8 checkpoint policy, see _delta_rows_nary)
+    both_changed = (
+        anchors["hi"] > anchors["lo"] and anchors["hi2"] > anchors["lo2"]
+    )
     if anchors["hi"] > anchors["lo"]:
-        d_a = (
-            _signed_changes(
-                catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
-            )
-            .withColumnRenamed(_SIGN, sa)
-            # lazy (AQE-off scoped): materializes once inside the first
-            # consuming job (the merged-state checkpoint) — both join
-            # terms then read the cached blocks (r7 batching + r8
-            # _lazy_checkpoint)
-        )
-        d_a = _lazy_checkpoint(d_a)
+        d_a = _signed_changes(
+            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+        ).withColumnRenamed(_SIGN, sa)
+        if both_changed:
+            d_a = _lazy_checkpoint(d_a)
     if anchors["hi2"] > anchors["lo2"]:
-        d_b = (
-            _signed_changes(
-                catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
-            )
-            .withColumnRenamed(_SIGN, sb)
-        )
-        d_b = _lazy_checkpoint(d_b)
+        d_b = _signed_changes(
+            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
+        ).withColumnRenamed(_SIGN, sb)
+        if both_changed:
+            d_b = _lazy_checkpoint(d_b)
     terms = []
     if d_a is not None:
         b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])

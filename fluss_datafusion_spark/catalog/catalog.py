@@ -326,10 +326,74 @@ class FlussCatalog:
         # malformed value must fail the CREATE, not a later write after
         # its files are already appended (ADVICE r5).
         self._validate_properties(spec, spec.properties or {})
+        self._validate_generated(spec)
         self.databases[spec.database][spec.name] = spec
         os.makedirs(self.table_path(spec), exist_ok=True)
         self._save_spec(spec)
         self._register_view(spec)
+
+    def _validate_generated(self, spec: TableSpec) -> None:
+        """DDL-time checks for GENERATED ALWAYS AS columns: the
+        expression must resolve against the table's OTHER stored
+        columns (no self- or cross-generated references — generation is
+        one pass, not a dependency graph), and a generated PRIMARY KEY
+        is refused (row identity must be caller-supplied, not derived —
+        an upsert keyed on a computed value would make 'which row am I
+        replacing' a function of the generation expr version)."""
+        gen_cols = [c for c in spec.columns if getattr(c, "generated", None)]
+        if not gen_cols:
+            return
+        gen_names = {c.name for c in gen_cols}
+        bad_pk = sorted(gen_names & set(spec.primary_key or []))
+        if bad_pk:
+            raise ValueError(
+                f"primary-key columns cannot be generated: {bad_pk}"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        base_fields = [
+            c for c in spec.columns if c.name not in gen_names
+        ]
+        probe = self.spark.createDataFrame(
+            [],
+            schema=StructType(
+                [StructField(c.name, c.spark_type, True) for c in base_fields]
+            ),
+        )
+        for c in gen_cols:
+            try:
+                probe.select(F.expr(c.generated)).schema
+            except Exception as exc:
+                raise ValueError(
+                    f"GENERATED ALWAYS AS expression for column "
+                    f"{c.name!r} does not resolve against the table's "
+                    f"other columns: {exc}"
+                ) from None
+
+    def _apply_generated(
+        self, spec: TableSpec, df: DataFrame, deleted_col: Optional[str]
+    ) -> DataFrame:
+        """Compute every GENERATED ALWAYS AS column from the row's other
+        values — the single write-path choke point, so INSERT / UPDATE /
+        MERGE / COPY FROM all agree and a source-column update can never
+        leave a stale derived value.  Tombstone-flagged rows keep NULL
+        payloads (their non-key columns are NULL by construction)."""
+        gen_cols = [c for c in spec.columns if getattr(c, "generated", None)]
+        if not gen_cols:
+            return df
+        for c in gen_cols:
+            expr = F.expr(c.generated).cast(c.spark_type)
+            if deleted_col is not None:
+                expr = F.when(
+                    ~F.coalesce(F.col(deleted_col).cast("boolean"), F.lit(False)),
+                    expr,
+                )
+            df = df.withColumn(c.name, expr)
+        # normalize to spec order (+ any trailing internals the caller
+        # attached, e.g. the tombstone flag)
+        spec_names = [c.name for c in spec.columns]
+        extras = [c for c in df.columns if c not in spec_names]
+        return df.select(*spec_names, *extras)
 
     def add_column(self, name: str, col) -> None:
         """ALTER TABLE ADD COLUMN: append a nullable column to the spec.
@@ -1896,17 +1960,49 @@ class FlussCatalog:
         validated refreshes)."""
         spec = self.get_table(name)
         target_schema = spec.spark_schema()
-        if len(df.columns) != len(target_schema):
+        gen_names = {
+            c.name for c in spec.columns if getattr(c, "generated", None)
+        }
+        if gen_names and list(df.columns) == target_schema.fieldNames():
+            # full-schema internal caller (insert_sql's column-list fill,
+            # COPY FROM): the generated slots are placeholders — drop
+            # them; _append_log recomputes
+            df = df.drop(*gen_names)
+        # GENERATED ALWAYS AS columns are never caller-supplied: the
+        # positional input aligns to the STORED (non-generated) columns
+        # and _append_log computes the rest
+        target_fields = [
+            f for f in target_schema.fields if f.name not in gen_names
+        ]
+        if len(df.columns) != len(target_fields):
+            hint = (
+                f" (the {len(gen_names)} GENERATED column(s) "
+                f"{sorted(gen_names)} are computed, not supplied)"
+                if gen_names
+                else ""
+            )
             raise ValueError(
                 f"INSERT column count mismatch for {spec.qualified_name}: "
-                f"{len(df.columns)} given, {len(target_schema)} expected"
+                f"{len(df.columns)} given, {len(target_fields)} expected"
+                f"{hint}"
             )
         aligned = df.select(
             *[
                 F.col(src).cast(field.dataType).alias(field.name)
-                for src, field in zip(df.columns, target_schema.fields)
+                for src, field in zip(df.columns, target_fields)
             ]
         )
+        if gen_names:
+            # placeholder NULLs so every downstream frame is full-schema;
+            # _apply_generated overwrites them on the live write
+            for f in target_schema.fields:
+                if f.name in gen_names:
+                    aligned = aligned.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            aligned = aligned.select(
+                *[f.name for f in target_schema.fields]
+            )
         new_files = self._append_log(
             spec, aligned, deleted=False, reserved_seq=reserved_seq
         )
@@ -1949,6 +2045,10 @@ class FlussCatalog:
             raise ValueError(
                 "per-row tombstone flags require a primary-key table"
             )
+        if not deleted:
+            # GENERATED ALWAYS AS columns are (re)computed on every live
+            # write — BEFORE constraints, which may reference them
+            aligned = self._apply_generated(spec, aligned, deleted_col)
         if not deleted and spec.check_constraints:
             # CHECK semantics: a row violates only when the expression is
             # FALSE (NULL passes).  The input is pinned first so a
@@ -2317,18 +2417,39 @@ class FlussCatalog:
                     f"INSERT BY NAME into {spec.qualified_name}: unknown "
                     f"columns {unknown}"
                 )
+            gen_named = [
+                c.name for c in spec.columns
+                if getattr(c, "generated", None) and c.name in input_df.columns
+            ]
+            if gen_named:
+                raise ValueError(
+                    f"INSERT BY NAME into {spec.qualified_name}: columns "
+                    f"{gen_named} are GENERATED ALWAYS AS and cannot be "
+                    f"written explicitly"
+                )
             column_list = "(" + ", ".join(input_df.columns) + ")"
         if column_list:
             from fluss_datafusion_spark.sql.dialect import strip_quotes
 
             given = [strip_quotes(c.strip()) for c in column_list[1:-1].split(",")]
+            gen_listed = [
+                c.name for c in spec.columns
+                if getattr(c, "generated", None) and c.name in given
+            ]
+            if gen_listed:
+                raise ValueError(
+                    f"INSERT into {spec.qualified_name}: columns "
+                    f"{gen_listed} are GENERATED ALWAYS AS and cannot be "
+                    f"written explicitly"
+                )
             # A column list omitting a primary-key or NOT NULL column
             # would silently write null keys, corrupting upsert/merge
             # semantics — the reference enforces PK NOT NULL, so reject.
             required = [
                 c.name
                 for c in spec.columns
-                if c.name in spec.primary_key or not c.nullable
+                if (c.name in spec.primary_key or not c.nullable)
+                and not getattr(c, "generated", None)
             ]
             omitted = [c for c in required if c not in given]
             if omitted:
@@ -2377,6 +2498,19 @@ class FlussCatalog:
             raise ValueError(
                 f"UPDATE may not reassign primary-key columns {bad} "
                 "(DELETE + INSERT to move a key)"
+            )
+        gen_bad = [
+            c for c in assigns
+            if any(
+                sc.name == c and getattr(sc, "generated", None)
+                for sc in spec.columns
+            )
+        ]
+        if gen_bad:
+            raise ValueError(
+                f"UPDATE may not assign GENERATED ALWAYS AS columns "
+                f"{gen_bad}; they are recomputed from the row's other "
+                f"columns on every write"
             )
         known = {c.name for c in spec.columns}
         missing = [c for c in assigns if c not in known]
@@ -2469,6 +2603,19 @@ class FlussCatalog:
                     raise ValueError(
                         f"MERGE UPDATE may not reassign primary-key "
                         f"columns {bad}"
+                    )
+                gen_bad = [
+                    c for c in assigns
+                    if any(
+                        sc.name == c and getattr(sc, "generated", None)
+                        for sc in spec.columns
+                    )
+                ]
+                if gen_bad:
+                    raise ValueError(
+                        f"MERGE UPDATE may not assign GENERATED ALWAYS "
+                        f"AS columns {gen_bad}; they are recomputed on "
+                        f"every write"
                     )
         for action, _cond, assigns in not_matched_by_source:
             if action == "update" and not assigns:

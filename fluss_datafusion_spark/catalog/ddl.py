@@ -146,6 +146,36 @@ _TYPE_RE = re.compile(
 )
 
 
+_GENERATED_RE = re.compile(
+    r"\bGENERATED\s+ALWAYS\s+AS\s*\(", re.IGNORECASE
+)
+
+
+def _extract_generated(rest: str):
+    """(generation expr | None, rest-with-the-clause-removed).  The
+    expression is taken by balanced-paren scan so nested calls and
+    commas survive; it is removed from ``rest`` BEFORE the NOT NULL /
+    COMMENT scans (an expr mentioning NULL must not flip nullability)."""
+    m = _GENERATED_RE.search(rest)
+    if not m:
+        return None, rest
+    depth, i = 1, m.end()
+    while i < len(rest) and depth:
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(
+            f"unbalanced parentheses in GENERATED ALWAYS AS: {rest!r}"
+        )
+    expr = rest[m.end(): i - 1].strip()
+    if not expr:
+        raise ValueError("empty GENERATED ALWAYS AS expression")
+    return expr, rest[: m.start()] + rest[i:]
+
+
 def _parse_column(text: str) -> ColumnSpec:
     match = _TYPE_RE.match(text)
     if not match:
@@ -153,10 +183,14 @@ def _parse_column(text: str) -> ColumnSpec:
     name = strip_quotes(match.group(1))
     type_name = re.sub(r"\s+", " ", match.group(2).strip())
     rest = text[match.end():]
+    generated, rest = _extract_generated(rest)
     nullable = not _NOT_NULL_RE.search(rest)
     comment_match = _COMMENT_RE.search(rest)
     comment = comment_match.group(1).replace("''", "'") if comment_match else None
-    return ColumnSpec(name=name, type_name=type_name, nullable=nullable, comment=comment)
+    return ColumnSpec(
+        name=name, type_name=type_name, nullable=nullable, comment=comment,
+        generated=generated,
+    )
 
 
 def _parse_name_list(text: str) -> List[str]:

@@ -380,6 +380,8 @@ def format_create_table_sql(spec: TableSpec) -> str:
     col_lines = []
     for col in spec.columns:
         piece = f"  {quote_identifier(col.name)} {spark_type_to_ddl(col.spark_type)}"
+        if getattr(col, "generated", None):
+            piece += f" GENERATED ALWAYS AS ({col.generated})"
         if not col.nullable:
             piece += " NOT NULL"
         if col.comment:

@@ -94,6 +94,12 @@ class ColumnSpec:
     # in the parquet files.  None = same as ``name``; RENAME COLUMN sets
     # it so no data file is ever rewritten.
     physical_name: Optional[str] = None
+    # GENERATED ALWAYS AS (expr): the column's value is COMPUTED from
+    # the row's other columns at every live write (the Delta generated-
+    # column pattern; classic use: a DATE partition column derived from
+    # an event timestamp).  Explicit writes to it are refused.  None =
+    # a normal stored column.
+    generated: Optional[str] = None
 
     @property
     def stored_name(self) -> str:

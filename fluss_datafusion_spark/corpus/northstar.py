@@ -4207,3 +4207,96 @@ def ns_retrieval_mmr(spark, sf_dir):
         "query_id bigint, n_selected int, first_doc bigint, "
         "all_in_candidates boolean, ref_match boolean",
     )
+
+
+@query(
+    "ns_profile_drift", extended=True,
+    oracle="""
+    WITH ref AS (
+        SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+    ),
+    cur AS (
+        SELECT l_quantity, l_extendedprice, l_discount FROM lineitem
+        WHERE l_quantity <= 25
+    ),
+    refl AS (
+        SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x FROM ref
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM ref
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM ref
+    ),
+    curl AS (
+        SELECT 'l_quantity' AS feature, CAST(l_quantity AS DOUBLE) AS x FROM cur
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM cur
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM cur
+    ),
+    edges AS (
+        SELECT feature, min(x) AS mn, max(x) AS mx FROM refl GROUP BY 1
+    ),
+    hr AS (
+        SELECT r.feature,
+               CASE WHEN x IS NULL THEN -1
+                    ELSE greatest(0, least(9,
+                         CAST(floor((x - mn) / ((mx - mn) / 10)) AS INT)))
+               END AS bin,
+               count(*) AS n_ref
+        FROM refl r JOIN edges USING (feature) GROUP BY 1, 2
+    ),
+    hc AS (
+        SELECT c.feature,
+               CASE WHEN x IS NULL THEN -1
+                    ELSE greatest(0, least(9,
+                         CAST(floor((x - mn) / ((mx - mn) / 10)) AS INT)))
+               END AS bin,
+               count(*) AS n_cur
+        FROM curl c JOIN edges USING (feature) GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(hr.feature, hc.feature) AS feature,
+               coalesce(hr.bin, hc.bin) AS bin,
+               coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        FROM hr FULL OUTER JOIN hc
+          ON hr.feature = hc.feature AND hr.bin = hc.bin
+    ),
+    tot AS (
+        SELECT feature, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+        FROM j GROUP BY 1
+    ),
+    f AS (
+        SELECT j.feature,
+               greatest(n_ref / t_ref, 1e-6) AS r,
+               greatest(n_cur / t_cur, 1e-6) AS c
+        FROM j JOIN tot USING (feature)
+    )
+    SELECT feature,
+           round(sum((c - r) * ln(c / r)), 6) AS psi,
+           round(sum(c * ln(c / r)), 6) AS kl,
+           round(sum(abs(c - r)) / 2, 6) AS tv,
+           sum((c - r) * ln(c / r)) > 0.25 AS drifted
+    FROM f GROUP BY feature
+    """,
+)
+def ns_profile_drift(spark, sf_dir):
+    """Distribution drift between two corpus snapshots
+    (operators/drift.py — the pre-training data-quality gate): PSI / KL
+    / total-variation per feature over fixed-width bins anchored to the
+    REFERENCE snapshot's min/max (deterministic, unlike quantile
+    sketches), NULLs as their own bin, ε-smoothed fractions.  The
+    "current" snapshot here is a deliberately biased slice
+    (l_quantity <= 25), so quantity must flag drifted and the price
+    column shifts moderately; DuckDB replays the binning and all three
+    statistics bit-for-bit.  ONE aggregation per snapshot on a
+    (feature, bin) key space that is constant-sized at any corpus
+    scale."""
+    from fluss_datafusion_spark.operators.drift import distribution_drift
+
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ref = li.select(*cols)
+    cur = li.filter(F.col("l_quantity") <= 25).select(*cols)
+    return distribution_drift(ref, cur, cols, n_bins=10).withColumnRenamed(
+        "column", "feature"
+    )

@@ -2486,3 +2486,65 @@ def q67_optimize_partition_scoped(spark, sf_dir):
         .withColumn("travel_ok", F.lit(bool(travel_ok)))
         .withColumn("consolidated", F.lit(bool(consolidated)))
     )
+
+
+@query(
+    "q68_generated_columns", extended=True,
+    oracle="""
+    WITH seed AS (
+        SELECT event_id AS id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(floor(value * 10) AS BIGINT) AS v
+        FROM events WHERE event_id < 3000
+    ),
+    after_update AS (
+        SELECT id, ts, CASE WHEN id % 5 = 0 THEN v + 1000 ELSE v END AS v
+        FROM seed
+    ),
+    final AS (
+        SELECT * FROM after_update WHERE id % 11 <> 0
+    )
+    SELECT CAST(ts AS DATE) AS d, count(*) AS n,
+           CAST(sum(v * 2) AS BIGINT) AS sv2,
+           CAST(min(v % 7) AS BIGINT) AS mn_b, CAST(max(v % 7) AS BIGINT) AS mx_b
+    FROM final GROUP BY 1
+    """,
+)
+def q68_generated_columns(spark, sf_dir):
+    """GENERATED ALWAYS AS lifecycle (r8 — the Delta generated-column
+    pattern; catalog._apply_generated): a PK table carries two computed
+    columns — a DATE partition derived from the event timestamp and a
+    doubled measure — through INSERT, a source-column UPDATE (the
+    derived values must track), and a predicate DELETE.  Values are
+    recomputed at the single write-path choke point, so no statement
+    can strand a stale derived value; DuckDB re-derives the final
+    grouped state from raw events with the generation exprs inlined."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_gencol_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE gen_ev (id BIGINT NOT NULL, ts TIMESTAMP, v BIGINT,"
+        " d DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),"
+        " v2 BIGINT GENERATED ALWAYS AS (v * 2),"
+        " b BIGINT GENERATED ALWAYS AS (v % 7),"
+        " PRIMARY KEY (id)) PARTITIONED BY (d)"
+    )
+    t(spark, sf_dir, "events").filter(F.col("event_id") < 3000).select(
+        F.col("event_id").alias("id"),
+        "ts",
+        F.floor(F.col("value") * 10).cast("bigint").alias("v"),
+    ).createOrReplaceTempView("gen_seed")
+    e.sql("INSERT INTO gen_ev SELECT * FROM gen_seed")
+    e.sql("UPDATE gen_ev SET v = v + 1000 WHERE id % 5 = 0")
+    e.sql("DELETE FROM gen_ev WHERE id % 11 = 0")
+    return e.sql(
+        "SELECT d, count(*) AS n, sum(v2) AS sv2,"
+        " min(b) AS mn_b, max(b) AS mx_b FROM gen_ev GROUP BY d"
+    )

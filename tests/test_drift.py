@@ -1,0 +1,63 @@
+"""Distribution-drift detection (operators/drift.py)."""
+
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators.drift import distribution_drift
+
+
+def _mk(spark, rows, cols=("x",)):
+    return spark.createDataFrame(
+        [tuple(r) if isinstance(r, (list, tuple)) else (r,) for r in rows],
+        ", ".join(f"{c} double" for c in cols),
+    )
+
+
+def test_identical_snapshots_have_zero_drift(spark):
+    df = _mk(spark, [float(i) for i in range(100)])
+    out = distribution_drift(df, df, ["x"]).collect()[0]
+    assert out["psi"] == 0.0 and out["kl"] == 0.0 and out["tv"] == 0.0
+    assert out["drifted"] is False
+
+
+def test_shifted_distribution_flags_drift(spark):
+    ref = _mk(spark, [float(i % 100) for i in range(1000)])
+    cur = _mk(spark, [float(i % 20) for i in range(1000)])  # mass -> low bins
+    out = distribution_drift(ref, cur, ["x"]).collect()[0]
+    assert out["drifted"] is True
+    assert out["psi"] > 1.0  # 8 of 10 bins emptied: massive PSI
+    assert 0.0 < out["tv"] <= 1.0
+
+
+def test_null_fraction_shift_is_visible(spark):
+    ref = _mk(spark, [float(i) for i in range(90)] + [None] * 10)
+    cur = _mk(spark, [float(i) for i in range(50)] + [None] * 50)
+    out = distribution_drift(ref, cur, ["x"]).collect()[0]
+    # NULLs form their own bin: 10% -> 50% null mass must register
+    assert out["drifted"] is True
+
+
+def test_out_of_range_values_clamp_into_edge_bins(spark):
+    ref = _mk(spark, [float(i) for i in range(100)])
+    cur = _mk(spark, [1e9] * 100)  # all beyond the reference max
+    out = distribution_drift(ref, cur, ["x"]).collect()[0]
+    assert out["drifted"] is True  # everything lands in the top bin
+
+
+def test_degenerate_constant_reference_column(spark):
+    ref = _mk(spark, [5.0] * 50)
+    cur = _mk(spark, [5.0] * 40 + [None] * 10)
+    out = distribution_drift(ref, cur, ["x"]).collect()[0]
+    # constant ref: one value bin; drift shows only via the null bin
+    assert out["psi"] > 0.0
+
+
+def test_multi_column_one_pass(spark):
+    ref = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+    )
+    cur = ref.filter(F.col("a") < 50)  # a shifts, b stays ~uniform
+    rows = {r["column"]: r for r in distribution_drift(ref, cur, ["a", "b"]).collect()}
+    assert rows["a"]["drifted"] is True
+    assert rows["b"]["drifted"] is False
+    assert rows["b"]["psi"] < 0.05

@@ -432,6 +432,20 @@ class FlussCatalog:
             raise ValueError(
                 f"cannot drop partition/bucket-key column {col_name}"
             )
+        import re as _re
+
+        for gc in spec.columns:
+            gen = getattr(gc, "generated", None)
+            if (
+                gen
+                and gc.name != col_name
+                and _re.search(rf"\b{_re.escape(col_name)}\b", gen)
+            ):
+                raise ValueError(
+                    f"cannot drop {col_name}: generated column {gc.name} "
+                    f"(GENERATED ALWAYS AS ({gen})) references it — drop "
+                    f"the generated column first"
+                )
         remaining = [c for c in spec.columns if c.name != col_name]
         if len(remaining) == len(spec.columns):
             raise KeyError(f"column not found: {spec.qualified_name}.{col_name}")
@@ -495,6 +509,16 @@ class FlussCatalog:
                 raise ValueError(
                     f"cannot rename {old}: CHECK constraint {cname} "
                     f"({expr}) references it — drop the constraint first"
+                )
+        # GENERATED ALWAYS AS expressions store column names as text the
+        # same way constraints do: a rename of a referenced column would
+        # silently stop the generation expr from binding (r8)
+        for gc in spec.columns:
+            gen = getattr(gc, "generated", None)
+            if gen and _re.search(rf"\b{_re.escape(old)}\b", gen):
+                raise ValueError(
+                    f"cannot rename {old}: generated column {gc.name} "
+                    f"(GENERATED ALWAYS AS ({gen})) references it"
                 )
         col.physical_name = col.stored_name  # pin what's on disk
         col.name = new

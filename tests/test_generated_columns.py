@@ -123,3 +123,16 @@ def test_create_time_validation(spark, tmp_path):
             "CREATE TABLE bad2 (id BIGINT NOT NULL, v BIGINT, "
             "k BIGINT GENERATED ALWAYS AS (v + 1), PRIMARY KEY (k))"
         )
+
+
+def test_rename_and_drop_of_generation_sources_refuse(spark, tmp_path):
+    e = _mk(spark, tmp_path, "wh_gen_alter")
+    e.sql("INSERT INTO ev VALUES (1, TIMESTAMP '2024-03-05 10:00:00', 7)")
+    with pytest.raises(ValueError, match="generated column"):
+        e.sql("ALTER TABLE ev RENAME COLUMN v TO w")
+    with pytest.raises(ValueError, match="generated column"):
+        e.sql("ALTER TABLE ev DROP COLUMN v")
+    # dropping the GENERATED column itself frees its source
+    e.sql("ALTER TABLE ev DROP COLUMN v2")
+    e.sql("ALTER TABLE ev RENAME COLUMN v TO w")
+    assert e.sql("SELECT w FROM ev").collect()[0].w == 7

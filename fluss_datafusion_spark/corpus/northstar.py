@@ -4300,3 +4300,58 @@ def ns_profile_drift(spark, sf_dir):
     return distribution_drift(ref, cur, cols, n_bins=10).withColumnRenamed(
         "column", "feature"
     )
+
+
+@query(
+    "ns_dedup_shared_spans", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i + 1 AS pos,
+               array_to_string(tk[i + 1 : i + 8], ' ') AS win
+        FROM toks, LATERAL (SELECT unnest(range(len(tk) - 7)) AS i) u
+        WHERE len(tk) >= 8
+    ),
+    nd AS (
+        SELECT win, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY 1
+    ),
+    wf AS (
+        SELECT w.* FROM w JOIN nd USING (win)
+        WHERE nd.n_docs BETWEEN 2 AND 16
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, a.pos AS pa, b.doc_id AS id_b, b.pos AS pb
+        FROM wf a JOIN wf b USING (win)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+               pa - row_number() OVER (
+                   PARTITION BY id_a, id_b, pa - pb ORDER BY pa
+               ) AS grp
+        FROM p
+    )
+    SELECT id_a, id_b, min(pa) AS a_start, min(pb) AS b_start,
+           count(*) + 7 AS n_tokens
+    FROM isl GROUP BY id_a, id_b, diag, grp
+    """,
+)
+def ns_dedup_shared_spans(spark, sf_dir):
+    """Cross-document EXACT shared spans (operators/dedup.py
+    shared_span_pairs — the ExactSubstr dedup family, Lee et al. ACL
+    2022): maximal runs of >= 8 verbatim-shared tokens between document
+    pairs, found with rolling-hash windows + one equality shuffle + a
+    gaps-and-islands pass instead of the paper's suffix array.  The
+    passage-level complement of MinHash document dedup: copied quotes /
+    licenses / templated sections in otherwise-different documents.
+    DuckDB replays the window join on the literal window STRINGS and
+    every maximal run's offsets and length hash-check."""
+    from fluss_datafusion_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return dedup.shared_span_pairs(
+        docs, "doc_id", "text", k=8, max_df=16
+    )

@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, all shuffle-planned by Catalyst and scale-safe:
+Five families, all shuffle-planned by Catalyst and scale-safe:
 
 - exact:       hash-groupBy on a content fingerprint — one shuffle.
 - n-gram Jaccard: exact all-pairs within blocking keys — the *oracle*
@@ -11,6 +11,9 @@ Four families, all shuffle-planned by Catalyst and scale-safe:
   run at 100 TB.
 - SimHash:     64-bit signature via per-bit token votes; equal-signature
   grouping finds near-identical docs in ONE aggregation (no pair join).
+- shared spans: cross-document EXACT >= k-token runs (ExactSubstr, Lee
+  et al. 2022) via rolling-hash windows + one equality shuffle + a
+  gaps-and-islands merge — the passage-level complement of MinHash.
 
 All hashing uses Spark's xxhash64 with fixed literal seeds, so results
 are deterministic across runs and clusters.
@@ -1182,3 +1185,144 @@ def semantic_dedup(
         )
     )
     return _attach_cached_deps(out, assigned)
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_df: int = 16,
+    min_span_tokens: Optional[int] = None,
+) -> DataFrame:
+    """Cross-document EXACT shared spans — the ExactSubstr dedup family
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): maximal runs of >= k consecutive tokens that two
+    documents share verbatim.  MinHash finds near-duplicate DOCUMENTS;
+    this finds copied PASSAGES (quotes, licenses, templated sections)
+    inside otherwise-different documents — the case document-level
+    Jaccard misses entirely.
+
+    Returns (id_a, id_b, a_start, b_start, n_tokens): one row per
+    maximal shared run, with 1-based token offsets into each document
+    and the run length in tokens (>= k; ``min_span_tokens`` raises the
+    floor).  The paper dedups with a suffix array; the distributed
+    re-expression is rolling-hash token windows + one equality join +
+    a gaps-and-islands pass, the standard Spark shape for this:
+
+    1. every k-token window hashes ONCE map-side (the same rolling
+       polynomial over per-token xxhash64 as the MinHash kernel —
+       O(n·k) vectorized numpy, no k-gram strings materialize);
+    2. windows present in more than ``max_df`` documents are dropped
+       before any pairing (boilerplate guard — a license header in a
+       million docs must not produce a million² pair explosion; the
+       guard emits an ``observe()`` metric like the LSH mega-bucket
+       cap);
+    3. surviving windows group by hash and expand document pairs
+       bucket-locally (one map-side-combined shuffle — never a
+       self-join, which would recompute the window pass per branch);
+    4. matches on the same alignment diagonal (pa − pb) merge into
+       maximal runs with one window pass (island = pa − row_number).
+
+    Scale shape: one linear scan + one shuffle on the window hash
+    (uniform 64-bit key) + one shuffle on (pair, diagonal) whose input
+    is already match-sized, not corpus-sized.  A hash collision could
+    fabricate a window match with probability ~2⁻⁶⁴ per window pair —
+    negligible at any corpus size that fits a cluster (same contract as
+    the hashed-shingle verify).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from fluss_datafusion_spark.functions.text import tokens as _tokens
+
+    if min_span_tokens is None:
+        min_span_tokens = k
+    coeffs = []
+    acc = 1
+    for _ in range(k):
+        acc = (acc * 0x9E3779B97F4A7C15) % (1 << 64)
+        coeffs.append(np.uint64(acc))
+
+    def windows_fn(it):
+        for pdf in it:
+            ids, poss, whs = [], [], []
+            for doc, th in zip(pdf["__id__"], pdf["__th__"]):
+                a = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                m = a.size - (k - 1)
+                if m <= 0:
+                    continue
+                wh = np.zeros(m, dtype=np.uint64)
+                for j, c in enumerate(coeffs):
+                    wh += c * a[j : j + m]
+                ids.append(np.full(m, doc, dtype=np.int64))
+                poss.append(np.arange(1, m + 1, dtype=np.int64))
+                whs.append(wh.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "__id__": np.concatenate(ids),
+                        "__pos__": np.concatenate(poss),
+                        "__wh__": np.concatenate(whs),
+                    }
+                )
+
+    toks = spread_small_scan(df).select(
+        F.col(id_col).alias("__id__"),
+        F.transform(
+            _tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("__th__"),
+    )
+    win = toks.mapInPandas(
+        windows_fn, "__id__ long, __pos__ long, __wh__ long"
+    )
+
+    # boilerplate guard + bucket-local pair expansion in ONE aggregation:
+    # group each window hash, keep buckets touching 2..max_df docs, and
+    # expand cross-document (position-annotated) pairs from the sorted
+    # member list — never a self-join
+    members = (
+        win.groupBy("__wh__")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__id__", "__pos__"))
+            ).alias("__m__"),
+            F.countDistinct("__id__").alias("__nd__"),
+        )
+        .observe(
+            "shared_span_guard",
+            F.sum((F.col("__nd__") > max_df).cast("long")).alias(
+                "boilerplate_windows"
+            ),
+        )
+        .filter((F.col("__nd__") >= 2) & (F.col("__nd__") <= max_df))
+    )
+    pairs = (
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__m__, (x, i) ->"
+                    " transform(filter(slice(__m__, i + 2, size(__m__)),"
+                    " y -> y.__id__ != x.__id__),"
+                    " y -> struct(x.__id__ AS id_a, x.__pos__ AS pa,"
+                    " y.__id__ AS id_b, y.__pos__ AS pb))))"
+                )
+            ).alias("__p__")
+        )
+        .select("__p__.id_a", "__p__.pa", "__p__.id_b", "__p__.pb")
+    )
+
+    w = Window.partitionBy("id_a", "id_b", "__diag__").orderBy("pa")
+    return (
+        pairs.withColumn("__diag__", F.col("pa") - F.col("pb"))
+        .withColumn("__isl__", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__diag__", "__isl__")
+        .agg(
+            F.min("pa").alias("a_start"),
+            F.min("pb").alias("b_start"),
+            (F.count(F.lit(1)) + k - 1).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_span_tokens)
+        .select("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    )

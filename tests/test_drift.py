@@ -61,3 +61,63 @@ def test_multi_column_one_pass(spark):
     assert rows["a"]["drifted"] is True
     assert rows["b"]["drifted"] is False
     assert rows["b"]["psi"] < 0.05
+
+
+# -- cross-document shared spans (dedup.shared_span_pairs) -------------------
+
+
+def _spans(spark, rows, **kw):
+    from fluss_datafusion_spark.operators.dedup import shared_span_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        tuple(r)
+        for r in shared_span_pairs(df, "doc_id", "text", **kw).collect()
+    )
+
+
+def test_shared_spans_basic_and_maximal(spark):
+    got = _spans(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "xx alpha beta gamma delta epsilon yy"),
+            (3, "no overlap at all in this one text"),
+        ],
+        k=4,
+    )
+    # ONE maximal 5-token run (positions 1 in doc1, 2 in doc2), not two
+    # overlapping 4-token windows
+    assert got == [(1, 2, 1, 2, 5)]
+
+
+def test_shared_spans_multiple_alignments(spark):
+    # doc2 contains doc1's span TWICE -> two distinct diagonals
+    got = _spans(
+        spark,
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x x a b c d y"),
+        ],
+        k=4,
+    )
+    assert (1, 2, 1, 1, 4) in got and (1, 2, 1, 7, 4) in got
+
+
+def test_shared_spans_boilerplate_guard(spark):
+    # the same header in 5 docs with max_df=3: no pairs from it
+    rows = [(i, "common header text here four five " + f"tail{i} x y z")
+            for i in range(5)]
+    got = _spans(spark, rows, k=4, max_df=3)
+    assert got == []
+    got2 = _spans(spark, rows, k=4, max_df=10)
+    assert len(got2) == 10  # C(5,2) pairs once the cap admits the window
+
+
+def test_shared_spans_min_span_floor(spark):
+    rows = [
+        (1, "p q r s t u v w"),
+        (2, "p q r s t zz ww vv"),
+    ]
+    assert _spans(spark, rows, k=4, min_span_tokens=6) == []
+    assert _spans(spark, rows, k=4, min_span_tokens=5) == [(1, 2, 1, 1, 5)]

@@ -149,3 +149,29 @@ def distribution_drift(
             (F.col("psi_raw") > psi_threshold).alias("drifted"),
         )
     )
+
+
+def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Schema-level drift between two snapshots: one row per column that
+    was ADDED, REMOVED, or TYPE-CHANGED — the metadata companion to
+    :func:`distribution_drift` (a pipeline checks schema first; a
+    removed feature is a harder failure than a shifted one).
+
+    Pure metadata (no data read, no jobs): the result is a local
+    relation built from the two schemas.  Columns: (column, change ∈
+    {added, removed, type_changed}, ref_type, cur_type)."""
+    ref_types = {f.name: f.dataType.simpleString() for f in ref.schema.fields}
+    cur_types = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+    rows = []
+    for name in sorted(set(ref_types) | set(cur_types)):
+        r, c = ref_types.get(name), cur_types.get(name)
+        if r is None:
+            rows.append((name, "added", None, c))
+        elif c is None:
+            rows.append((name, "removed", r, None))
+        elif r != c:
+            rows.append((name, "type_changed", r, c))
+    spark = ref.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, ref_type string, cur_type string"
+    )

@@ -121,3 +121,13 @@ def test_shared_spans_min_span_floor(spark):
     ]
     assert _spans(spark, rows, k=4, min_span_tokens=6) == []
     assert _spans(spark, rows, k=4, min_span_tokens=5) == [(1, 2, 1, 1, 5)]
+
+
+def test_schema_drift(spark):
+    from fluss_datafusion_spark.operators.drift import schema_drift
+
+    ref = spark.range(1).selectExpr("id AS a", "CAST(id AS INT) AS b", "id AS gone")
+    cur = spark.range(1).selectExpr("id AS a", "CAST(id AS DOUBLE) AS b", "id AS fresh")
+    got = {(r.column, r.change) for r in schema_drift(ref, cur).collect()}
+    assert got == {("b", "type_changed"), ("gone", "removed"), ("fresh", "added")}
+    assert schema_drift(ref, ref).count() == 0

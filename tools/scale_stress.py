@@ -129,6 +129,12 @@ def run_ops(spark, docs_path: str, emb_path: str) -> dict:
         ),
     )
     bench(
+        "dedup_shared_spans",
+        lambda: dedup.shared_span_pairs(
+            docs, "doc_id", "text", k=8, max_df=16
+        ),
+    )
+    bench(
         "dedup_embedding_lsh",
         lambda: dedup.embedding_cosine_pairs_lsh(
             emb, "vec_id", "embedding", threshold=0.9

@@ -4355,3 +4355,158 @@ def ns_dedup_shared_spans(spark, sf_dir):
     return dedup.shared_span_pairs(
         docs, "doc_id", "text", k=8, max_df=16
     )
+
+
+@query(
+    "ns_training_splits", extended=True,
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, md5(lower(trim(text))) AS grp FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, grp,
+               CASE
+                   WHEN CAST(
+                       CAST('0x' || substring(
+                           md5('split-0' || '|' || grp), 1, 12
+                       ) AS BIGINT) AS DOUBLE
+                   ) / power(16, 12) < 0.8 THEN 'train'
+                   WHEN CAST(
+                       CAST('0x' || substring(
+                           md5('split-0' || '|' || grp), 1, 12
+                       ) AS BIGINT) AS DOUBLE
+                   ) / power(16, 12) < 0.9 THEN 'val'
+                   ELSE 'test'
+               END AS split
+        FROM fp
+    )
+    SELECT split, count(*) AS n,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           (SELECT count(*) FROM (
+               SELECT grp FROM assigned
+               GROUP BY grp HAVING count(DISTINCT split) > 1
+           ) leaked) = 0 AS no_leakage
+    FROM assigned GROUP BY split
+    """,
+)
+def ns_training_splits(spark, sf_dir):
+    """Leakage-guarded train/val/test assignment
+    (training.assign_splits): every document with the same normalized
+    content fingerprint (= exact-dup group) lands in ONE split — the
+    contamination guard a row-level random split cannot give.
+    Assignment is md5(seed|group) mapped to [0,1) against cumulative
+    fraction thresholds, so DuckDB replays every assignment bit-for-bit
+    and pins the no-leakage invariant as an oracle boolean."""
+    from fluss_datafusion_spark.operators.training import assign_splits
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "grp", F.md5(F.lower(F.trim(F.col("text"))))
+    )
+    assigned = assign_splits(
+        docs, "doc_id",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="split-0", group_col="grp",
+    )
+    leaked = (
+        assigned.groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .limit(1)
+        .count()
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+        .withColumn("no_leakage", F.lit(leaked == 0))
+    )
+
+
+@query(
+    "ns_retrieval_eval_metrics", extended=True,
+    oracle="""
+    WITH queries AS (SELECT unnest(range(5)) AS qid),
+    ranked AS (
+        SELECT q.qid, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY md5(CAST(q.qid AS VARCHAR) || '|'
+                                || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rank
+        FROM queries q, documents d
+    ),
+    results AS (SELECT * FROM ranked WHERE rank <= 50),
+    qrels AS (
+        SELECT q.qid, d.doc_id FROM queries q, documents d
+        WHERE d.doc_id % 13 = q.qid
+    ),
+    hits AS (
+        SELECT r.qid, r.rank FROM results r JOIN qrels USING (qid, doc_id)
+    ),
+    per_q AS (
+        SELECT qid, min(rank) AS first_rel,
+               sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS nret,
+               sum(CASE WHEN rank <= 10
+                        THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg
+        FROM hits GROUP BY qid
+    ),
+    nrel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+    idcg AS (
+        SELECT qid, sum(1.0 / log2(i + 1)) AS ideal
+        FROM (SELECT qid, unnest(range(1, least(n_rel, 10) + 1)) AS i
+              FROM nrel) u
+        GROUP BY qid
+    )
+    SELECT n.qid,
+           round(coalesce(1.0 / p.first_rel, 0), 6) AS rr,
+           round(coalesce(CAST(p.nret AS DOUBLE) / n.n_rel, 0), 6)
+               AS recall_at_k,
+           round(coalesce(p.dcg / idcg.ideal, 0), 6) AS ndcg_at_k
+    FROM nrel n
+    LEFT JOIN per_q p USING (qid)
+    JOIN idcg USING (qid)
+    """,
+)
+def ns_retrieval_eval_metrics(spark, sf_dir):
+    """Offline retrieval evaluation (retrieval.retrieval_metrics): MRR /
+    recall@10 / nDCG@10 against a labeled qrels set.  The ranking under
+    test is a deterministic md5 pseudo-scorer both engines reproduce
+    (the fixture isolates the METRICS math — rank joins, first-hit
+    reciprocal, closed-form ideal DCG — from any engine-specific
+    scorer); qrels assign each query the documents with
+    doc_id % 13 == qid.  One (query, doc) join + two query-keyed
+    aggregations; every per-query metric hash-checks."""
+    from pyspark.sql import Window
+
+    from fluss_datafusion_spark.operators.retrieval import retrieval_metrics
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    queries = spark.range(5).select(F.col("id").alias("qid"))
+    ranked = queries.crossJoin(docs).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("qid").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                "doc_id",
+            )
+        ),
+    )
+    results = ranked.filter(F.col("rank") <= 50)
+    qrels = queries.crossJoin(docs).filter(
+        F.col("doc_id") % 13 == F.col("qid")
+    ).select("qid", "doc_id")
+    out = retrieval_metrics(results, qrels, k=10)
+    return out.select(
+        "qid",
+        F.round("rr", 6).alias("rr"),
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    )

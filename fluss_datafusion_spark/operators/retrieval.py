@@ -1031,3 +1031,63 @@ def mmr_diversify(
         )
 
     return candidates.groupBy(query_col).applyInPandas(pick, out_schema)
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Offline retrieval evaluation: per-query reciprocal rank,
+    recall@k, and nDCG@k (binary relevance) — the metrics pass every
+    search/RAG pipeline runs against a labeled qrels set before
+    shipping an index or reranker change.
+
+    ``results``: (query, doc, rank) with rank 1-based and unique per
+    query; ``qrels``: (query, doc) relevant pairs.  Returns one row per
+    query in qrels: (query, rr, recall_at_k, ndcg_at_k) — queries whose
+    top-k retrieved nothing relevant score 0, and queries absent from
+    ``results`` entirely still appear (a broken router must show up as
+    zeros, not vanish from the macro average).
+
+    Definitions (binary gain): RR = 1/rank of the first relevant hit at
+    ANY rank (the standard MRR convention); recall@k = |relevant ∩
+    top-k| / |relevant|; nDCG@k = Σ_{hits ≤ k} 1/log2(rank+1) divided
+    by the ideal Σ_{i=1..min(|relevant|, k)} 1/log2(i+1).
+
+    Scale shape: one inner join of results with qrels on (query, doc)
+    — both sides shuffle on the same key — then two map-side-combined
+    aggregations on the query key; the ideal-DCG term is a closed-form
+    expression over the per-query relevant count (an ``aggregate`` over
+    ``sequence``, no second data pass).  No UDFs, no driver rows.
+    """
+    q, d, r = query_col, doc_col, rank_col
+    hits = results.join(qrels, [q, d], "inner")
+    per_q = hits.groupBy(q).agg(
+        F.min(F.col(r)).alias("__first__"),
+        F.sum((F.col(r) <= k).cast("int")).alias("__nret__"),
+        F.sum(
+            F.when(F.col(r) <= k, 1.0 / F.log2(F.col(r) + 1)).otherwise(0.0)
+        ).alias("__dcg__"),
+    )
+    n_rel = qrels.groupBy(q).agg(F.count(F.lit(1)).alias("__nrel__"))
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(__nrel__, {k})),"
+        " CAST(0.0 AS DOUBLE), (s, i) -> s + 1.0 / log2(i + 1))"
+    )
+    return (
+        n_rel.join(per_q, q, "left")
+        .select(
+            q,
+            F.coalesce(1.0 / F.col("__first__"), F.lit(0.0)).alias("rr"),
+            F.coalesce(
+                F.col("__nret__") / F.col("__nrel__"), F.lit(0.0)
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("__dcg__") / idcg, F.lit(0.0)).alias(
+                "ndcg_at_k"
+            ),
+        )
+    )

@@ -293,3 +293,46 @@ def range_ranked(
         "__grank__", (F.col("__off__") + F.col("__rn__")).cast("long")
     )
     return out.drop("__pid__", "__rn__", "__off__"), "__grank__"
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions=None,
+    seed: str = "split-0",
+    group_col: str = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with an optional
+    LEAKAGE GUARD: with ``group_col`` given (e.g. a dedup-cluster
+    representative or content fingerprint), every row of a group lands
+    in the SAME split — near-duplicate documents scattered across train
+    and test silently inflate eval scores, the classic contamination a
+    random row-level split cannot prevent.
+
+    Assignment is a pure function of (seed, group key): the md5 hex of
+    ``seed|key`` maps to a uniform u ∈ [0, 1) (first 12 hex chars / 16¹²)
+    and cumulative fraction thresholds pick the split — reproducible
+    across runs, engines (any SQL with md5 replays it), and cluster
+    sizes; adding documents never reassigns existing ones.  Pure JVM
+    expressions on the scan, no shuffle, no state."""
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key = group_col or id_col
+    u = (
+        F.conv(F.substring(_md5_sort_key(key, seed), 1, 12), 16, 10)
+        .cast("double")
+        / float(16 ** 12)
+    )
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)

@@ -87,3 +87,68 @@ def test_assign_splits_fraction_validation(spark):
     df = spark.range(5).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(df, "doc_id", fractions={"train": 0.5, "test": 0.1})
+
+
+# -- property test: shared spans vs a brute-force reference ------------------
+
+
+def _brute_spans(docs, k):
+    """O(n² · m²) reference: maximal runs of >= k shared tokens."""
+    toks = {i: t.lower().split() for i, t in docs}
+    out = set()
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            # window match grid on each diagonal, islands by scanning
+            for diag in range(-(len(tb)), len(ta) + 1):
+                run = 0
+                start = None
+                # positions pa (1-based) with pb = pa - diag
+                for pa in range(1, len(ta) - k + 3):
+                    pb = pa - diag
+                    ok = (
+                        pa + k - 1 <= len(ta)
+                        and 1 <= pb
+                        and pb + k - 1 <= len(tb)
+                        and ta[pa - 1 : pa + k - 1] == tb[pb - 1 : pb + k - 1]
+                    )
+                    if ok:
+                        if run == 0:
+                            start = pa
+                        run += 1
+                    else:
+                        if run:
+                            out.add((a, b, start, start - diag, run + k - 1))
+                        run = 0
+                if run:
+                    out.add((a, b, start, start - diag, run + k - 1))
+    return out
+
+
+def test_shared_spans_match_bruteforce_reference(spark):
+    """Randomized docs over a tiny vocabulary (maximizing accidental
+    shared runs, multiple alignments, and within-doc repeats) must
+    agree exactly with the quadratic reference."""
+    import random
+
+    from fluss_datafusion_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(5):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 18))))
+            for i in range(6)
+        ]
+        k = rng.choice([3, 4])
+        expect = _brute_spans(docs, k)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            tuple(r)
+            for r in shared_span_pairs(
+                df, "doc_id", "text", k=k, max_df=100
+            ).collect()
+        }
+        assert got == expect, f"trial {trial} k={k}: {got ^ expect}"

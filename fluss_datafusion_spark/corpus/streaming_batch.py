@@ -960,3 +960,52 @@ def stream_interval_join(spark, sf_dir):
     return _replayed(
         spark, sf_dir, "interval", build, "append", mfpt=4
     )
+
+
+@query(
+    "st_time_weighted_avg", extended=True,
+    oracle="""
+    WITH s AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0, value AS v,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               ) AS t1
+        FROM events WHERE user_id < 40
+    ),
+    seg AS (SELECT * FROM s WHERE t1 > t0),
+    pb AS (
+        SELECT user_id, t0, t1, v, u.k,
+               least(t1, (u.k + 1) * 3600000000)
+                 - greatest(t0, u.k * 3600000000) AS ov
+        FROM seg, LATERAL (
+            SELECT unnest(range(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) AS k
+        ) u
+    )
+    SELECT user_id, CAST(to_timestamp(k * 3600) AS TIMESTAMP) AS bucket_ts,
+           round(sum(v * ov) / sum(ov), 6) AS twa,
+           round(sum(ov) / 1000000.0, 3) AS covered_seconds
+    FROM pb GROUP BY user_id, k
+    """,
+)
+def st_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular samples
+    (timeseries.time_weighted_avg — the TimescaleDB time_weight('LOCF')
+    primitive): per user, hourly buckets integrating the
+    last-observation-carried-forward step function, segments split and
+    clipped across every bucket they span on integer epoch-microsecond
+    arithmetic — so DuckDB replays each bucket's weighted mean and
+    covered time bit-for-bit.  The naive AVG these buckets would get is
+    wrong wherever sampling density correlates with value; the TWA is
+    density-independent."""
+    from fluss_datafusion_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = time_weighted_avg(ev, "ts", "value", 3600, ["user_id"])
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.round("twa", 6).alias("twa"),
+        F.round("covered_seconds", 3).alias("covered_seconds"),
+    )

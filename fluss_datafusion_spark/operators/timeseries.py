@@ -431,3 +431,98 @@ def histogram(
             F.coalesce(F.col("__n__"), F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    every_seconds: int,
+    group_cols: Optional[Sequence[str]] = None,
+    max_buckets_per_segment: int = 100_000,
+) -> DataFrame:
+    """Time-weighted average per time bucket over IRREGULAR samples —
+    the TimescaleDB ``time_weight('LOCF')`` primitive Spark lacks.  A
+    plain AVG over irregular samples is wrong whenever sampling density
+    correlates with value (a sensor reporting 100x more often during
+    spikes drags the naive mean toward the spikes); the time-weighted
+    mean integrates the last-observation-carried-forward step function
+    and divides by covered time.
+
+    Semantics: each sample's value holds until the group's NEXT sample
+    (LOCF).  A segment spanning bucket boundaries contributes to every
+    bucket it crosses, clipped to each bucket — so a bucket with no
+    samples of its own still averages the carried value (continuity
+    across gaps, exactly like TimescaleDB).  Each group's LAST sample
+    closes at its own timestamp (nothing extrapolates past the data);
+    a group with one sample yields nothing.  Returns (group_cols...,
+    bucket_ts, twa, covered_seconds) for buckets with coverage > 0.
+
+    All clipping runs on integer epoch-MICROSECOND longs, so bucket
+    membership and overlap widths are exact (no float boundary
+    wobble) and any SQL engine replays them bit-for-bit.
+
+    Scale shape: one window pass per group for lead(ts) (the shuffle
+    any per-key ordering pays), an inline ``sequence`` explode whose
+    fan-out is segment-duration / bucket-width — bounded by time span,
+    never corpus size, and guarded by ``max_buckets_per_segment``
+    (a single outlier gap must raise, not materialize an unbounded
+    grid) — then ONE map-side-combined aggregation on (group, bucket).
+    No UDFs, no driver rows.
+    """
+    group_cols = list(group_cols or [])
+    step_us = int(every_seconds) * 1_000_000
+    w = Window.partitionBy(
+        *([F.col(c) for c in group_cols] or [F.lit(1)])
+    ).orderBy("__t0__")
+    seg = (
+        df.select(
+            *group_cols,
+            F.unix_micros(F.col(ts_col)).alias("__t0__"),
+            F.col(value_col).cast("double").alias("__v__"),
+        )
+        .withColumn("__t1__", F.lead("__t0__").over(w))
+        .filter(F.col("__t1__") > F.col("__t0__"))
+    )
+    k0 = F.floor(F.col("__t0__") / step_us)
+    k1 = F.floor((F.col("__t1__") - 1) / step_us)
+    n_k = k1 - k0 + 1
+    k1_guarded = F.when(
+        n_k <= F.lit(int(max_buckets_per_segment)), k1
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "time_weighted_avg: one sample gap spans %s buckets "
+                "(> max_buckets_per_segment=%s); widen every_seconds "
+                "or filter outlier timestamps",
+                n_k.cast("string"),
+                F.lit(int(max_buckets_per_segment)).cast("string"),
+            )
+        ).cast("long")
+    )
+    per_bucket = seg.select(
+        *group_cols,
+        "__t0__",
+        "__t1__",
+        "__v__",
+        F.explode(F.sequence(k0, k1_guarded)).alias("__k__"),
+    ).withColumn(
+        "__ov__",
+        F.least(F.col("__t1__"), (F.col("__k__") + 1) * step_us)
+        - F.greatest(F.col("__t0__"), F.col("__k__") * step_us),
+    )
+    return (
+        per_bucket.groupBy(*group_cols, "__k__")
+        .agg(
+            (
+                F.sum(F.col("__v__") * F.col("__ov__")) / F.sum("__ov__")
+            ).alias("twa"),
+            (F.sum("__ov__") / 1_000_000.0).alias("covered_seconds"),
+        )
+        .select(
+            *group_cols,
+            F.timestamp_micros(F.col("__k__") * step_us).alias("bucket_ts"),
+            "twa",
+            "covered_seconds",
+        )
+    )

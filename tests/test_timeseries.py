@@ -162,3 +162,70 @@ def test_gapfill_months_guard(spark):
     out = gapfill_months(df, "ts", 1, ["g"], {"s": F.sum("v")}, max_buckets=100)
     with pytest.raises(Exception, match="max_buckets"):
         out.collect()
+
+
+def test_time_weighted_avg_locf_clipping(spark):
+    """Hand-computed: segments split and clip across bucket boundaries;
+    the last sample closes the series; naive AVG would differ."""
+    from fluss_datafusion_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s", "2024-01-01 00:00:00", 10.0),
+            ("s", "2024-01-01 00:01:30", 20.0),
+            ("s", "2024-01-01 00:02:00", 99.0),  # closes; no segment out
+            ("t", "2024-01-01 00:00:30", 4.0),
+            ("t", "2024-01-01 00:03:30", 8.0),   # 3-min gap spans b0..b3
+        ],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {
+        (r.k, str(r.bucket_ts)): (r.twa, r.covered_seconds)
+        for r in time_weighted_avg(df, "ts", "v", 60, ["k"]).collect()
+    }
+    assert got[("s", "2024-01-01 00:00:00")] == (10.0, 60.0)
+    assert got[("s", "2024-01-01 00:01:00")] == (15.0, 60.0)
+    # t: value 4 held from 00:00:30 to 00:03:30 (LOCF across empty buckets)
+    assert got[("t", "2024-01-01 00:00:00")] == (4.0, 30.0)
+    assert got[("t", "2024-01-01 00:01:00")] == (4.0, 60.0)
+    assert got[("t", "2024-01-01 00:02:00")] == (4.0, 60.0)
+    assert got[("t", "2024-01-01 00:03:00")] == (4.0, 30.0)
+    # single-sample groups / post-last time never appear
+    assert ("s", "2024-01-01 00:02:00") not in got
+
+
+def test_time_weighted_avg_density_independent(spark):
+    """100 samples of value 1 in the first second + one sample of 0 for
+    the rest of the bucket: naive AVG ~ 0.99, TWA ~ 1/60."""
+    from fluss_datafusion_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        ("k", f"2024-01-01 00:00:00.{i:02d}", 1.0) for i in range(100)
+    ] + [("k", "2024-01-01 00:00:01", 0.0), ("k", "2024-01-01 00:01:00", 5.0)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    row = time_weighted_avg(df, "ts", "v", 60, ["k"]).collect()[0]
+    assert abs(row.twa - 1.0 / 60.0) < 1e-9
+    assert row.covered_seconds == 60.0
+
+
+def test_time_weighted_avg_segment_guard(spark):
+    import pytest
+
+    from fluss_datafusion_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0), ("k", "2024-03-01 00:00:00", 2.0)],
+        "k string, ts string, v double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    with pytest.raises(Exception, match="max_buckets_per_segment"):
+        time_weighted_avg(
+            df, "ts", "v", 60, ["k"], max_buckets_per_segment=100
+        ).collect()

@@ -6,6 +6,14 @@ the latest right row forward (``last(..., ignorenulls=True)``).  Cost is
 a single shuffle+sort on (keys, ts) — no pair explosion, unlike the
 naive join+filter+argmax which is quadratic per key.  This is the shape
 that survives 100 TB: it's exactly one sort-merge pass.
+
+r8: full pandas ``merge_asof`` parity — ``direction`` ∈ {backward,
+forward, nearest} and ``tolerance_seconds``.  Forward is the mirrored
+window (first following right row); nearest computes both candidates in
+the SAME union pass (two window functions over one sort, still one
+shuffle) and picks the closer, ties to backward (the pandas
+convention); tolerance nulls a match whose time distance exceeds the
+bound.
 """
 
 from __future__ import annotations
@@ -14,6 +22,8 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_DIRECTIONS = ("backward", "forward", "nearest")
 
 
 def asof_join(
@@ -24,22 +34,39 @@ def asof_join(
     right_ts: str,
     right_value_cols: Optional[List[str]] = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    right_ts <= left_ts (or < when allow_exact_matches=False), per `on`
-    keys.  Left columns are preserved; right value columns are appended
-    (null when no earlier right row exists).
+    """For each left row, attach one right row per ``on`` keys:
 
-    Both inputs travel through one union: left rows carry their full row
-    as a struct, right rows carry their value struct.  Everything is a
-    single deterministic window pass — no row-ids, no second join.
+    * ``backward`` (default): the most recent right row with
+      right_ts <= left_ts (< when ``allow_exact_matches=False``);
+    * ``forward``: the earliest right row with right_ts >= left_ts
+      (> when exact matches are disallowed);
+    * ``nearest``: whichever of the two is closer in time (ties go
+      backward — the pandas convention).
+
+    ``tolerance_seconds`` nulls any match farther than the bound.
+    Left columns are preserved; right value columns are appended (null
+    when no qualifying right row exists).
+
+    Both inputs travel through ONE union and one shuffle+sort per key —
+    nearest adds a second window FUNCTION over the same sorted
+    partition, not a second exchange.
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {_DIRECTIONS}")
     on = list(on)
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in on and c != right_ts]
     left_cols = list(left.columns)
 
-    rstruct_t = F.struct(*[F.col(c) for c in right_value_cols])
+    # the match struct carries the right row's ts so tolerance and
+    # nearest can measure time distance after the window pass
+    rstruct_t = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__rts__"),
+        *[F.col(c) for c in right_value_cols],
+    )
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts__"),
@@ -55,21 +82,66 @@ def asof_join(
         lstruct_t.alias("__lval__"),
     )
     r = r.withColumn("__lval__", F.lit(None).cast(l.schema["__lval__"].dataType))
+    both = r.unionByName(l)
 
-    # tag order at equal ts decides >= vs > semantics: right-before-left
-    # means an exact-ts right row is visible to the left row.
-    tag_order = F.col("__tag__").asc() if allow_exact_matches else F.col("__tag__").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts__").asc(), tag_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        r.unionByName(l)
-        .withColumn("__match__", F.last("__rval__", ignorenulls=True).over(w))
-        .filter(F.col("__tag__") == 1)
-    )
-    return matched.select(
+    # tag order at equal ts decides >= vs > semantics.  Backward scans
+    # PRECEDING rows: an exact-ts right row is visible iff it sorts
+    # BEFORE the left row (tag asc).  Forward scans FOLLOWING rows: an
+    # exact-ts right row is visible iff it sorts AFTER (tag desc).
+    tag_back = F.col("__tag__").asc() if allow_exact_matches else F.col("__tag__").desc()
+    tag_fwd = F.col("__tag__").desc() if allow_exact_matches else F.col("__tag__").asc()
+
+    need_back = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    # each direction gets its own sort order so equal-ts semantics stay
+    # exact in BOTH (nearest + exclude-exact needs the forward window to
+    # skip equal-ts rights while backward skips them too — one shared
+    # order cannot express both).  Same partitionBy: Catalyst plans ONE
+    # exchange with an extra per-partition Sort, not a second shuffle.
+    out = both
+    if need_back:
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts__").asc(), tag_back)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            "__mb__", F.last("__rval__", ignorenulls=True).over(wb)
+        )
+    if need_fwd:
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts__").asc(), tag_fwd)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        out = out.withColumn(
+            "__mf__", F.first("__rval__", ignorenulls=True).over(wf)
+        )
+    out = out.filter(F.col("__tag__") == 1)
+
+    def dist(match):
+        return F.abs(
+            F.unix_micros(match.getField("__rts__"))
+            - F.unix_micros(F.col("__ts__").cast("timestamp"))
+        )
+
+    if direction == "backward":
+        match = F.col("__mb__")
+    elif direction == "forward":
+        match = F.col("__mf__")
+    else:
+        mb, mf = F.col("__mb__"), F.col("__mf__")
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(dist(mb) <= dist(mf), mb)  # tie -> backward (pandas)
+            .otherwise(mf)
+        )
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        match = F.when(dist(match) <= tol_us, match)
+    out = out.withColumn("__match__", match)
+    return out.select(
         *[F.col("__lval__").getField(c).alias(c) for c in left_cols],
         *[F.col("__match__").getField(c).alias(c) for c in right_value_cols],
     )

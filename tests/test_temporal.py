@@ -92,3 +92,84 @@ def test_temporal_join_refuses_appendonly(dim_session, spark):
     e.sql("CREATE TABLE applog (k BIGINT, v STRING)")
     with pytest.raises(ValueError, match="primary-key"):
         table_history(e.catalog, "applog")
+
+
+# -- asof directions + tolerance (r8: pandas merge_asof parity) ---------------
+
+
+def _asof(spark, left, right, **kw):
+    from fluss_datafusion_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(left, "k string, lts timestamp, lv long")
+    r = spark.createDataFrame(right, "k string, rts timestamp, rv long")
+    out = asof_join(l, r, ["k"], "lts", "rts", ["rv"], **kw)
+    return {(row.k, str(row.lts)): row.rv for row in out.collect()}
+
+
+import datetime as _dt
+
+
+def _t(s):
+    return _dt.datetime.fromisoformat(s)
+
+
+_LEFT = [("a", _t("2024-01-01 00:10:00"), 1)]
+_RIGHT = [
+    ("a", _t("2024-01-01 00:07:00"), 70),
+    ("a", _t("2024-01-01 00:12:00"), 120),
+]
+
+
+def test_asof_forward_and_nearest(spark):
+    key = ("a", "2024-01-01 00:10:00")
+    assert _asof(spark, _LEFT, _RIGHT, direction="backward")[key] == 70
+    assert _asof(spark, _LEFT, _RIGHT, direction="forward")[key] == 120
+    # 3 min back vs 2 min forward -> forward wins
+    assert _asof(spark, _LEFT, _RIGHT, direction="nearest")[key] == 120
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    right = [
+        ("a", _t("2024-01-01 00:08:00"), 80),
+        ("a", _t("2024-01-01 00:12:00"), 120),
+    ]
+    key = ("a", "2024-01-01 00:10:00")
+    assert _asof(spark, _LEFT, right, direction="nearest")[key] == 80
+
+
+def test_asof_exact_match_semantics_per_direction(spark):
+    right = [("a", _t("2024-01-01 00:10:00"), 100),
+             ("a", _t("2024-01-01 00:20:00"), 200)]
+    key = ("a", "2024-01-01 00:10:00")
+    assert _asof(spark, _LEFT, right, direction="forward")[key] == 100
+    assert (
+        _asof(spark, _LEFT, right, direction="forward",
+              allow_exact_matches=False)[key]
+        == 200
+    )
+    # nearest + exclude-exact must skip the equal-ts row in BOTH
+    # directions (the bug a shared sort order would reintroduce)
+    assert (
+        _asof(spark, _LEFT, right, direction="nearest",
+              allow_exact_matches=False)[key]
+        == 200
+    )
+
+
+def test_asof_tolerance(spark):
+    key = ("a", "2024-01-01 00:10:00")
+    assert (
+        _asof(spark, _LEFT, _RIGHT, direction="backward",
+              tolerance_seconds=60)[key]
+        is None
+    )
+    assert (
+        _asof(spark, _LEFT, _RIGHT, direction="backward",
+              tolerance_seconds=200)[key]
+        == 70
+    )
+    assert (
+        _asof(spark, _LEFT, _RIGHT, direction="nearest",
+              tolerance_seconds=130)[key]
+        == 120
+    )

@@ -2548,3 +2548,79 @@ def q68_generated_columns(spark, sf_dir):
         "SELECT d, count(*) AS n, sum(v2) AS sv2,"
         " min(b) AS mn_b, max(b) AS mx_b FROM gen_ev GROUP BY d"
     )
+
+
+@query(
+    "q69_scd2_dimension", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS band
+        FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT k, status, band, CAST(1 AS BIGINT) AS vf,
+           CASE WHEN k % 10 = 0 THEN CAST(2 AS BIGINT) END AS vt,
+           (k % 10 <> 0) AS cur, CAST(1 AS INTEGER) AS ver
+    FROM base
+    UNION ALL
+    SELECT k, 'X', band, CAST(2 AS BIGINT),
+           CASE WHEN k % 30 = 0 THEN CAST(4 AS BIGINT) END,
+           k % 30 <> 0, CAST(2 AS INTEGER)
+    FROM base WHERE k % 10 = 0
+    UNION ALL
+    SELECT k, 'R', CAST(0 AS BIGINT), CAST(5 AS BIGINT), NULL, true,
+           CAST(3 AS INTEGER)
+    FROM base WHERE k % 30 = 0
+    """,
+)
+def q69_scd2_dimension(spark, sf_dir):
+    """Type-2 slowly-changing dimension derived from the PK table's own
+    log (r8 — operators/temporal.scd2_history; the Kimball SCD2 /
+    DLT ``APPLY CHANGES ... STORED AS SCD TYPE 2`` shape with the
+    engine's changelog as the feed, no extra storage): seed from
+    orders, UPDATE a tracked attribute (opens version 2 for touched
+    keys), rewrite identical values (MUST be suppressed — no version
+    opens), DELETE (closes the open version without emitting a row),
+    re-INSERT the deleted keys (rebirth opens version 3).  DuckDB
+    re-derives every (key, version) interval row — valid_from/valid_to
+    statement anchors, is_current, version number — from raw orders and
+    the statement rules.  Scale shape: two window passes over (key,
+    seq), ONE shuffle on the key, no joins."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.temporal import scd2_history
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scd2_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE scd_dim (k BIGINT NOT NULL, status STRING,"
+        " band BIGINT, PRIMARY KEY (k))"
+    )
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("band"),
+    ).createOrReplaceTempView("scd_seed")
+    e.sql("INSERT INTO scd_dim SELECT * FROM scd_seed")                  # 1
+    e.sql("UPDATE scd_dim SET status = 'X' WHERE k % 10 = 0")            # 2
+    e.sql("UPDATE scd_dim SET band = band WHERE k % 5 = 0")              # 3
+    e.sql("DELETE FROM scd_dim WHERE k % 30 = 0")                        # 4
+    e.sql(
+        "INSERT INTO scd_dim SELECT k, 'R', CAST(0 AS BIGINT)"
+        " FROM scd_seed WHERE k % 30 = 0"
+    )                                                                    # 5
+    return scd2_history(e.catalog, "scd_dim").select(
+        "k",
+        "status",
+        "band",
+        F.col("__valid_from_seq__").alias("vf"),
+        F.col("__valid_to_seq__").alias("vt"),
+        F.col("__is_current__").alias("cur"),
+        F.col("__version__").alias("ver"),
+    )

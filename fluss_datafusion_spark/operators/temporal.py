@@ -143,3 +143,101 @@ def temporal_enrich(
     return temporal_join(
         facts, fact_ts_col, table_history(catalog, dim_table), on, value_cols
     )
+
+
+def scd2_versions(
+    history: DataFrame,
+    keys: Sequence[str],
+    track_cols: Optional[Sequence[str]] = None,
+    seq_col: str = "__valid_from_seq__",
+    ts_col: Optional[str] = "__valid_from_ts__",
+    tombstone_col: str = "__tombstone__",
+) -> DataFrame:
+    """Fold a per-key version stream into a Type-2 slowly-changing
+    dimension (Kimball SCD2; the Delta Live Tables ``APPLY CHANGES ...
+    STORED AS SCD TYPE 2`` shape): one row per (key, attribute
+    version) with ``valid_from`` / ``valid_to`` / ``is_current`` /
+    ``version``.
+
+    Semantics (the standard warehouse contract):
+
+    - a new version OPENS only when a TRACKED attribute actually
+      changes (null-safely) — an upsert that rewrites identical values
+      is suppressed, so churn-heavy CDC feeds don't explode the
+      dimension;
+    - a delete CLOSES the key's open version (``valid_to`` = the
+      delete's anchor) without emitting a row of its own; a later
+      re-insert opens a fresh version (rebirth), even with the
+      pre-delete attribute values;
+    - ``valid_to`` is NULL on the open version; ``is_current`` is true
+      exactly there; ``version`` numbers the key's surviving versions
+      from 1;
+    - untracked columns report the version-opener's values.
+
+    Scale shape: two window passes over (key, seq) — ONE shuffle on
+    the key, no joins, no driver state; versions-per-key is bounded by
+    the upstream feed (for engine tables, by compaction).  The input
+    is any frame with one row per (key, seq) plus a tombstone flag —
+    ``table_history`` produces exactly this; any Debezium/CDF-shaped
+    feed reduces to it with one aggregation.
+    """
+    keys = list(keys)
+    anchors = [seq_col] + ([ts_col] if ts_col else [])
+    if track_cols is None:
+        track_cols = [
+            c
+            for c in history.columns
+            if c not in keys and c not in anchors and c != tombstone_col
+        ]
+    track_cols = list(track_cols)
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    tomb = F.coalesce(F.col(tombstone_col), F.lit(False))
+    prev_tomb = F.lag(tomb).over(w)
+    is_first = F.lag(F.col(seq_col)).over(w).isNull()
+    attrs_same = F.lit(True)
+    for c in track_cols:
+        attrs_same = attrs_same & F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    opens = (
+        # first event opens iff it's a real row (a leading tombstone —
+        # a delete of a key never seen — anchors nothing)
+        (is_first & ~tomb)
+        # alive/dead flip always matters: close-by-delete and rebirth
+        | (~is_first & (tomb != prev_tomb))
+        # alive→alive: only a tracked-attribute change opens a version
+        | (~is_first & ~tomb & ~prev_tomb & ~attrs_same)
+    )
+    kept = history.withColumn("__scd_open__", opens).filter("__scd_open__")
+    wk = Window.partitionBy(*keys).orderBy(seq_col)
+    kept = kept.withColumn("__valid_to_seq__", F.lead(F.col(seq_col)).over(wk))
+    if ts_col:
+        kept = kept.withColumn("__valid_to_ts__", F.lead(F.col(ts_col)).over(wk))
+    out = kept.filter(~tomb).withColumn(
+        "__version__", F.row_number().over(wk).cast("int")
+    )
+    payload = [c for c in history.columns if c not in anchors and c != tombstone_col]
+    return out.select(
+        *payload,
+        F.col(seq_col),
+        F.col("__valid_to_seq__"),
+        *([F.col(ts_col), F.col("__valid_to_ts__")] if ts_col else []),
+        F.col("__valid_to_seq__").isNull().alias("__is_current__"),
+        "__version__",
+    )
+
+
+def scd2_history(
+    catalog,
+    name: str,
+    track_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """The engine PK table's full write history as a Type-2 dimension:
+    ``table_history`` (the log the table already keeps — no extra
+    storage, no CDC subscription) folded by ``scd2_versions``.  Version
+    anchors carry BOTH the statement seq (exact, replayable) and the
+    wall-clock commit instant (human-facing)."""
+    spec = catalog.get_table(name)
+    return scd2_versions(
+        table_history(catalog, name),
+        keys=list(spec.primary_key),
+        track_cols=track_cols,
+    )

@@ -1483,43 +1483,58 @@ class FlussCatalog:
             )
         log = self._log_df(spec)
         data_cols = spec.spark_schema().fieldNames()
-        w = Window.partitionBy(*spec.primary_key).orderBy(
-            F.col(_SEQ).asc(), F.col(_SUB).asc()
+        # Plan built as ONE generated SQL statement over a templated
+        # {log} reference (r8): the per-column struct/lag/when/explode
+        # chain used to cost ~200 py4j round-trips per derivation —
+        # q66-class n-ary refreshes run it up to 6 times per statement.
+        # spark.sql() ships the whole plan in ONE round-trip; semantics
+        # are identical (same window, same case rules, same explode).
+        bt = lambda c: "`" + c.replace("`", "``") + "`"  # noqa: E731
+        cols = ", ".join(bt(c) for c in data_cols)
+        pk = ", ".join(bt(k) for k in spec.primary_key)
+        over = f"OVER (PARTITION BY {pk} ORDER BY {_SEQ} ASC, {_SUB} ASC)"
+        cur_del = (
+            f"coalesce({_DEL}, false)" if _DEL in log.columns else "false"
         )
-        cur = F.struct(*[F.col(c) for c in data_cols])
-        prev = F.lag(cur).over(w)
-        cur_del = F.coalesce(F.col(_DEL), F.lit(False)) if _DEL in log.columns else F.lit(False)
-        prev_del = F.coalesce(F.lag(cur_del).over(w), F.lit(False))
+        out_cols = ", ".join(f"__c__.row.{bt(c)} AS {bt(c)}" for c in data_cols)
         # prev "live" = a previous write exists and it wasn't a tombstone;
         # entries that apply to no case stay NULL and are filtered after
         # the explode (a typed empty array is harder to construct).
-        prev_live = prev.isNotNull() & ~prev_del
-        first = (
-            F.when(~prev_live & ~cur_del, F.struct(F.lit("+I").alias("op"), cur.alias("row")))
-            .when(prev_live & cur_del, F.struct(F.lit("-D").alias("op"), prev.alias("row")))
-            .when(prev_live & ~cur_del, F.struct(F.lit("-U").alias("op"), prev.alias("row")))
-        )
-        second = F.when(
-            prev_live & ~cur_del, F.struct(F.lit("+U").alias("op"), cur.alias("row"))
-        )
-        changes = F.array(first, second)
-        # window expr materialized before the generator: Spark rejects
-        # window functions inside explode()
-        return (
-            log.withColumn("__changes__", changes)
-            .select(
-                F.col(_SEQ).alias("change_seq"),
-                F.col(_SUB).alias("change_sub"),
-                F.explode("__changes__").alias("__c__"),
+        # Window exprs are materialized before the generator: Spark
+        # rejects window functions inside explode().
+        q = f"""
+        SELECT __c__.op AS op, change_seq, change_sub, {out_cols}
+        FROM (
+            SELECT change_seq, change_sub,
+                   explode(array(
+                       CASE
+                           WHEN NOT __live__ AND NOT __cd__
+                               THEN named_struct('op', '+I', 'row', __cur__)
+                           WHEN __live__ AND __cd__
+                               THEN named_struct('op', '-D', 'row', __prev__)
+                           WHEN __live__ AND NOT __cd__
+                               THEN named_struct('op', '-U', 'row', __prev__)
+                       END,
+                       CASE WHEN __live__ AND NOT __cd__
+                           THEN named_struct('op', '+U', 'row', __cur__)
+                       END
+                   )) AS __c__
+            FROM (
+                SELECT {_SEQ} AS change_seq, {_SUB} AS change_sub,
+                       __cur__, __prev__, __cd__,
+                       (__prev__ IS NOT NULL AND NOT __pd__) AS __live__
+                FROM (
+                    SELECT *, struct({cols}) AS __cur__,
+                           lag(struct({cols})) {over} AS __prev__,
+                           {cur_del} AS __cd__,
+                           coalesce(lag({cur_del}) {over}, false) AS __pd__
+                    FROM {{log}}
+                )
             )
-            .filter(F.col("__c__").isNotNull())
-            .select(
-                F.col("__c__.op").alias("op"),
-                "change_seq",
-                "change_sub",
-                *[F.col(f"__c__.row.{c}").alias(c) for c in data_cols],
-            )
         )
+        WHERE __c__ IS NOT NULL
+        """
+        return self.spark.sql(q, log=log)
 
     def read_changes(
         self, name: str, from_seq: int, to_seq: Optional[int] = None
@@ -1733,23 +1748,34 @@ class FlussCatalog:
     ) -> DataFrame:
         """Upsert view over (a subset of) the log: last write per key
         wins.  One shuffle on the PK; internal columns dropped unless
-        ``keep_internal`` (compaction preserves the original stamps)."""
+        ``keep_internal`` (compaction preserves the original stamps).
+
+        Built as ONE generated SQL statement over a templated {log}
+        reference (r8): this plan fragment fronts EVERY read of every
+        PK table, so its per-call py4j chatter multiplies across
+        multi-statement lifecycles; spark.sql ships it in one
+        round-trip.  Keys whose LATEST write is a tombstone are deleted
+        (null __del__ = file predates DELETE support = live)."""
         internal = [] if keep_internal else [
             c for c in (_SEQ, _SUB, _BKT, _DEL) if c in df.columns
         ]
         if not spec.has_primary_key:
             return df.drop(*internal)
-        order = Window.partitionBy(*spec.primary_key).orderBy(
-            F.col(_SEQ).desc(), F.col(_SUB).desc()
+        bt = lambda c: "`" + c.replace("`", "``") + "`"  # noqa: E731
+        pk = ", ".join(bt(k) for k in spec.primary_key)
+        excl = ", ".join(bt(c) for c in ["__rn__"] + internal)
+        tomb = (
+            f"AND NOT coalesce({_DEL}, false)" if _DEL in df.columns else ""
         )
-        merged = df.withColumn("__rn__", F.row_number().over(order)).filter(
-            F.col("__rn__") == 1
-        )
-        if _DEL in df.columns:
-            # keys whose LATEST write is a tombstone are deleted (null
-            # __del__ = file predates DELETE support = live)
-            merged = merged.filter(~F.coalesce(F.col(_DEL), F.lit(False)))
-        return merged.drop("__rn__", *internal)
+        q = f"""
+        SELECT * EXCEPT ({excl}) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {pk} ORDER BY {_SEQ} DESC, {_SUB} DESC
+            ) AS __rn__
+            FROM {{log}}
+        ) WHERE __rn__ = 1 {tomb}
+        """
+        return self.spark.sql(q, log=df)
 
     @staticmethod
     def _view_name(spec: TableSpec) -> str:

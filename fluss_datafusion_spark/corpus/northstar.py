@@ -1717,6 +1717,99 @@ def ns_training_bpe_tokens(spark, sf_dir):
 
 
 @query(
+    "ns_training_wordpiece_tokens", extended=True,
+    oracle=r"""
+    SELECT doc_id,
+           array_to_string(
+               regexp_split_to_array(lower(trim(text)), '\s+'), ' '
+           ) AS detok,
+           CAST(0 AS BIGINT) AS n_unk,
+           true AS ref_match
+    FROM documents
+    """,
+)
+def ns_training_wordpiece_tokens(spark, sf_dir):
+    """WordPiece train + MaxMatch application hash-checked cross-engine
+    (r8 — operators/wordpiece.py; completes the BPE / unigram-LM /
+    WordPiece tokenizer triad): train 20 likelihood-scored merges
+    (score = pair/(left*right), the BERT/HuggingFace trainer rule —
+    NOT BPE's raw frequency), tokenize every document by greedy
+    longest-match against the learned vocab, then pin the output two
+    independent ways.  (1) ``detok``: stripping the ``##`` continuation
+    glue must losslessly reconstruct the lower-cased
+    whitespace-normalized text, which DuckDB recomputes from raw
+    ``documents.text``; ``n_unk`` must be 0 corpus-wide (trained on the
+    same corpus, every character is in the alphabet) — a single [UNK]
+    hash-mismatches.  (2) ``ref_match``: a structurally different
+    reference kernel re-tokenizes each word via the regex engine's
+    ordered alternation (vocab pieces longest-first) and must agree
+    exactly.  The trainer itself stays pinned merge-by-merge against a
+    pure-Python reference in tests/test_wordpiece.py."""
+    import pandas as pd
+
+    from fluss_datafusion_spark.operators.wordpiece import (
+        _CONT,
+        _UNK,
+        apply_wordpiece,
+        learn_wordpiece,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    merges, vocab = learn_wordpiece(docs, "text", n_merges=20)
+    toked = apply_wordpiece(docs, "doc_id", "text", vocab)
+
+    starts = sorted(
+        (v for v in vocab if not v.startswith(_CONT)), key=len, reverse=True
+    )
+    conts = sorted(
+        (v[len(_CONT):] for v in vocab if v.startswith(_CONT)),
+        key=len,
+        reverse=True,
+    )
+
+    def _ref(batches):
+        import re
+
+        start_re = re.compile("|".join(re.escape(v) for v in starts))
+        cont_re = re.compile("|".join(re.escape(v) for v in conts))
+
+        def word_ref(w):
+            out, i = [], 0
+            while i < len(w):
+                m = (start_re if i == 0 else cont_re).match(w, i)
+                if m is None or m.end() == i:
+                    return [_UNK]
+                out.append(m.group(0) if i == 0 else _CONT + m.group(0))
+                i = m.end()
+            return out
+
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = []
+                for w in (text or "").lower().split():
+                    toks.extend(word_ref(w))
+                out.append(" ".join(toks))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ref_tokens": out})
+
+    ref = docs.select("doc_id", "text").mapInPandas(
+        _ref, "doc_id long, ref_tokens string"
+    )
+    return toked.join(ref, "doc_id").select(
+        "doc_id",
+        F.rtrim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("tokens"), F.lit(" " + _CONT), F.lit("")),
+                F.lit(_CONT),
+                F.lit(""),
+            )
+        ).alias("detok"),
+        "n_unk",
+        (F.col("tokens") == F.col("ref_tokens")).alias("ref_match"),
+    )
+
+
+@query(
     # r6 rotation: -> extended (VERDICT r5 #7 — the embedding-dedup
     # category keeps ns_dedup_embedding core; this slot funds
     # ns_graph_components in the driver window)

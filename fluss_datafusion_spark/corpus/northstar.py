@@ -683,6 +683,94 @@ def ns_multimodal_resize(spark, sf_dir):
 
 
 @query(
+    "ns_multimodal_image_phash", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+    bits AS (
+        SELECT id, list_sum(list_transform(range(64), k ->
+            CASE WHEN
+                (CASE WHEN id >= 100 AND ((k % 8) * 16) // 9 = 0
+                           AND 2 * (k // 8) = 0
+                      THEN 255
+                      ELSE (5 * (((k % 8) * 16) // 9) * (((k % 8) * 16) // 9)
+                              * (id % 50 + 1)
+                            + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                            + 13 * (((k % 8) * 16) // 9)) % 251
+                 END)
+                <
+                (5 * ((((k % 8) + 1) * 16) // 9) * ((((k % 8) + 1) * 16) // 9)
+                   * (id % 50 + 1)
+                 + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                 + 13 * ((((k % 8) + 1) * 16) // 9)) % 251
+            THEN CAST(1 AS HUGEINT) << (63 - CAST(k AS INTEGER))
+            ELSE CAST(0 AS HUGEINT) END)) AS raw
+        FROM ids
+    )
+    SELECT id AS media_id,
+           CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                     THEN raw - (CAST(1 AS HUGEINT) << 64)
+                     ELSE raw END AS BIGINT) AS dhash,
+           true AS decoded_ok
+    FROM bits
+    """,
+)
+def ns_multimodal_image_phash(spark, sf_dir):
+    """Perceptual dHash hash-checked BIT FOR BIT cross-engine (r8 —
+    functions/multimodal.image_dhash_stats): decode the gradient-BMP
+    fixture (synthesize_gradient_bmp_media — content closed-form in the
+    id, one-pixel perturbation for ids >= 100), grayscale, nearest-
+    resize to 8x9, pack the 64 horizontal-gradient comparisons MSB-
+    first into a signed 64-bit value.  DuckDB re-derives every bit from
+    the pixel formula and the documented scale-floor sampling grid
+    (ys = 2r, xs = 16j//9) and re-packs the signed value — a single
+    wrong comparison, sample index, or bit position hash-mismatches.
+    The pipeline is the multimodal near-dup signal; pairing is
+    ns_dedup_image_phash."""
+    media = multimodal.synthesize_gradient_bmp_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    return multimodal.image_dhash_stats(media).select(
+        "media_id", "dhash", "decoded_ok"
+    )
+
+
+@query(
+    "ns_dedup_image_phash", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN (a.id < 100) = (b.id < 100) THEN 0 ELSE 1 END
+                AS INTEGER) AS ham
+    FROM ids a JOIN ids b ON a.id % 50 = b.id % 50 AND a.id < b.id
+    """,
+)
+def ns_dedup_image_phash(spark, sf_dir):
+    """Image near-duplicate detection end to end (r8 — decode →
+    perceptual dHash → banded Hamming LSH → exact popcount verify;
+    operators/dedup.hamming_near_dup_pairs): the gradient-BMP fixture
+    plants 50 clusters of 4 pixel-identical copies, half of them
+    carrying a one-pixel perturbation that flips EXACTLY one dHash bit
+    by construction.  The pair set must be exactly the within-cluster
+    pairs with ham = 0 for same-perturbation pairs and 1 across — a
+    missed band, a wrong popcount, or a cross-cluster false positive
+    (clusters are > 2 bits apart, test-pinned) all hash-mismatch.
+    Scale shape: one (band, slice) shuffle with bucket-local pair
+    expansion, never an all-pairs join — the SimHash posture applied to
+    image fingerprints."""
+    from fluss_datafusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    media = multimodal.synthesize_gradient_bmp_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    hashes = multimodal.image_dhash_stats(media)
+    return hamming_near_dup_pairs(
+        hashes, "media_id", "dhash", max_hamming=2
+    ).select("id_a", "id_b", "ham")
+
+
+@query(
     "ns_multimodal_resample",
     extended=True,
     oracle="""

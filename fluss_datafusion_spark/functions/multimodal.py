@@ -405,6 +405,162 @@ def bmp_pixel_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_map, _BMP_STATS_SCHEMA)
 
 
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def _pack_bits_64(bits) -> int:
+    """Row-major bit sequence (MSB first) -> signed 64-bit int."""
+    import numpy as np
+
+    raw = int.from_bytes(np.packbits(bits.astype(np.uint8)).tobytes(), "big")
+    return raw - (1 << 64) if raw >= (1 << 63) else raw
+
+
+def image_dhash_stats(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual image hashes over the binary column — the multimodal
+    near-duplicate signal (Krawetz's dHash/aHash, the standard cheap
+    perceptual fingerprints): decode (PNG or BMP, sniffed), integer
+    grayscale ``(r+g+b) // 3``, nearest-resize with the documented
+    scale-floor mapping (resize_pixels — exactly replayable), then
+
+    - ``dhash``: horizontal-gradient bits over a (hash_size,
+      hash_size+1) thumbnail — bit(i,j) = gray[i,j] < gray[i,j+1],
+      packed row-major MSB-first into a signed 64-bit value;
+    - ``ahash``: mean-threshold bits over a (hash_size, hash_size)
+      thumbnail — bit = pixel*N > sum (exact integer compare, no
+      float mean).
+
+    Hashes of near-identical images differ in few bits, so Hamming
+    distance is the dedup metric (operators/dedup.hamming_near_dup_
+    pairs buckets them without an all-pairs join).  Arrow-batched
+    mapInPandas; payloads never leave the executors; output is scalars.
+    hash_size must be 8 for the 64-bit packing."""
+    import numpy as np
+
+    if hash_size != 8:
+        raise ValueError("64-bit packing requires hash_size=8")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                if px is None:
+                    px = decode_bmp_pixels(payload)
+                if px is None:
+                    rows.append((mid, None, None, None, None, False))
+                    continue
+                h, w, c = px.shape
+                if c >= 3:
+                    gray = px[..., :3].astype(np.int64).sum(axis=-1) // 3
+                else:
+                    gray = px[..., 0].astype(np.int64)
+                d = resize_pixels(
+                    gray[:, :, None], hash_size, hash_size + 1, "nearest"
+                )[..., 0]
+                dh = _pack_bits_64((d[:, :-1] < d[:, 1:]).ravel())
+                a = resize_pixels(
+                    gray[:, :, None], hash_size, hash_size, "nearest"
+                )[..., 0]
+                n = hash_size * hash_size
+                ah = _pack_bits_64((a * n > a.sum()).ravel())
+                rows.append((mid, w, h, dh, ah, True))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "dhash", "ahash",
+                    "decoded_ok",
+                ],
+            )
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            out["dhash"] = pd.array(out["dhash"], dtype="Int64")
+            out["ahash"] = pd.array(out["ahash"], dtype="Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _DHASH_SCHEMA
+    )
+
+
+def synthesize_gradient_bmp_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_mod: int = 50,
+    perturb_at: int = 100,
+    size: int = 16,
+) -> DataFrame:
+    """Fixture for perceptual-hash dedup: a 24-bit grayscale-gradient
+    BMP per row with CONTROLLED near-duplicate structure.
+
+    - image content depends only on ``cluster = id % cluster_mod``:
+      gray(x, y) = (5x²(cluster+1) + y(7+3*cluster) + 13x) % 251 —
+      ids in one cluster
+            are pixel-identical copies, and distinct clusters land > 2 dHash
+      bits apart (test-pinned: min cross-cluster Hamming 15);
+    - rows with ``id >= perturb_at`` flip pixel (0, 0) to 255 — exactly
+      ONE dHash bit changes by construction (pixel (0,0) is sampled
+      only at thumbnail position (0,0); the base comparison
+      gray(0,0) = 0 < gray(1,0) holds for every cluster and 255 beats
+      any base value), so
+      perturbed-vs-unperturbed Hamming distance is exactly 1 and
+      identical-perturbation pairs stay at 0.
+
+    Gives the dedup oracle a closed form: pair (a, b) in one cluster
+    has dhash Hamming = 0 if (a < perturb_at) == (b < perturb_at)
+    else 1."""
+
+    def _bmp(i: int) -> bytes:
+        c = int(i % cluster_mod)
+        w = h = size
+        stride = (w * 3 + 3) & ~3
+        pad = b"\x00" * (stride - 3 * w)
+        rows = []
+        for y_store in range(h):  # bottom-up storage
+            y = h - 1 - y_store
+            row = bytearray()
+            for x in range(w):
+                g = (5 * x * x * (c + 1) + y * (7 + 3 * c) + 13 * x) % 251
+                if i >= perturb_at and x == 0 and y == 0:
+                    g = 255
+                row += bytes([g, g, g])
+            rows.append(bytes(row) + pad)
+        data = b"".join(rows)
+        header = (
+            b"BM"
+            + struct.pack("<I", 54 + len(data))
+            + b"\x00" * 4
+            + struct.pack("<I", 54)
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        return header + info + data
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_bmp(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
 def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture: a COMPLETE uncompressed 24-bit BMP per row — header plus
     a real pixel array (constant color derived from the id, dims

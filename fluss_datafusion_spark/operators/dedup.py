@@ -742,6 +742,75 @@ def minhash_lsh_pairs(
     return _attach_cached_deps(verified, candidates)
 
 
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Near-duplicate pairs over any 64-bit fingerprint column (SimHash,
+    perceptual image dHash/aHash, …) by banded Hamming LSH: split the
+    hash into ``n_bands`` equal bit slices, bucket-join ids sharing any
+    slice, verify candidates with an exact popcount.
+
+    Pigeonhole guarantee: a pair within Hamming distance
+    ``n_bands - 1`` differs in fewer bits than there are bands, so at
+    least one band matches — recall is EXACT for
+    ``max_hamming < n_bands`` (the default 4x16 covers distance 3);
+    larger thresholds trade recall for fewer buckets, the standard
+    Hamming-LSH dial.
+
+    Scale shape: one map-side-combined shuffle on (band, slice) with
+    bucket-local pair expansion (never a self-join), then one exact
+    verify join — the same posture as the MinHash/SimHash family,
+    including the deterministic mega-bucket guard (flat images / empty
+    documents collapse into one fingerprint; the cap bounds that
+    bucket's fan-out and surfaces an observe() metric).
+
+    Returns (id_a, id_b, ham) with id_a < id_b, ham <= max_hamming."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64; got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    hashes = df.select(
+        F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
+    )
+    buckets = spread_small_scan(hashes).select(
+        "__id__",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__h__", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band__", "__slice__"),
+    )
+    candidates = _bucket_local_pairs(
+        buckets,
+        ["__band__", "__slice__"],
+        max_bucket_size,
+        "hamming_bucket_guard",
+    )
+    ha = hashes.withColumnsRenamed({"__id__": "id_a", "__h__": "__ha__"})
+    hb = hashes.withColumnsRenamed({"__id__": "id_b", "__h__": "__hb__"})
+    verified = (
+        candidates.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "ham",
+            F.expr("bit_count(__ha__ ^ __hb__)").cast("int"),
+        )
+        .filter(F.col("ham") <= max_hamming)
+        .select("id_a", "id_b", "ham")
+    )
+    return _attach_cached_deps(verified, candidates)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: explode tokens, hash each token once,
     per-bit weighted vote, reassemble.  One explode + one groupBy; the 64

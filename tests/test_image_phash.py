@@ -1,0 +1,129 @@
+"""Perceptual image hashing (functions/multimodal.image_dhash_stats)
+and banded Hamming near-dup pairs (operators/dedup.hamming_near_dup_
+pairs): kernel vs a pure-Python reference, the one-bit perturbation
+guarantee of the gradient fixture, and the pigeonhole recall bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.functions.multimodal import (
+    _pack_bits_64,
+    image_dhash_stats,
+    synthesize_gradient_bmp_media,
+)
+from fluss_datafusion_spark.operators.dedup import hamming_near_dup_pairs
+
+
+def _ref_gray(i, size=16, cluster_mod=50, perturb_at=100):
+    c = i % cluster_mod
+    g = [[(5 * x * x * (c + 1) + y * (7 + 3 * c) + 13 * x) % 251
+          for x in range(size)] for y in range(size)]
+    if i >= perturb_at:
+        g[0][0] = 255
+    return g
+
+
+def _ref_dhash(i, size=16, hash_size=8):
+    g = _ref_gray(i, size)
+    ys = [min(r * size // hash_size, size - 1) for r in range(hash_size)]
+    xs = [min(c * size // (hash_size + 1), size - 1) for c in range(hash_size + 1)]
+    bits = []
+    for y in ys:
+        for j in range(hash_size):
+            bits.append(1 if g[y][xs[j]] < g[y][xs[j + 1]] else 0)
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _ids_df(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_dhash_matches_pure_python_reference(spark):
+    media = synthesize_gradient_bmp_media(_ids_df(spark, 20))
+    got = {r.media_id: r.dhash for r in image_dhash_stats(media).collect()}
+    for i in range(20):
+        assert got[i] == _ref_dhash(i), f"id {i}"
+
+
+def test_fixture_one_bit_perturbation(spark):
+    # same cluster: unperturbed vs perturbed differ in EXACTLY one bit
+    media = synthesize_gradient_bmp_media(
+        _ids_df(spark, 120), cluster_mod=50, perturb_at=100
+    )
+    rows = {r.media_id: r for r in image_dhash_stats(media).collect()}
+    assert all(r.decoded_ok for r in rows.values())
+    for c in range(20):
+        base, pert = rows[c].dhash, rows[c + 100].dhash
+        assert bin((base ^ pert) & ((1 << 64) - 1)).count("1") == 1
+        # identical copies hash identically
+        assert rows[c].dhash == rows[c + 50].dhash
+
+
+def test_cross_cluster_hamming_exceeds_threshold(spark):
+    # the corpus entry's closed-form oracle assumes clusters never
+    # collide within the verify threshold — pin it for the fixture dims
+    hashes = [_ref_dhash(i) for i in range(50)]
+    m = (1 << 64) - 1
+    min_ham = min(
+        bin((hashes[a] ^ hashes[b]) & m).count("1")
+        for a in range(50)
+        for b in range(a + 1, 50)
+    )
+    assert min_ham > 2, min_ham
+
+
+def test_hamming_pairs_end_to_end(spark):
+    media = synthesize_gradient_bmp_media(
+        _ids_df(spark, 40), cluster_mod=10, perturb_at=20
+    )
+    hashes = image_dhash_stats(media)
+    pairs = hamming_near_dup_pairs(
+        hashes, "media_id", "dhash", max_hamming=2
+    ).collect()
+    got = {(r.id_a, r.id_b): r.ham for r in pairs}
+    want = {}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            if a % 10 == b % 10:
+                want[(a, b)] = 0 if (a < 20) == (b < 20) else 1
+    assert got == want
+
+
+def test_pigeonhole_recall_guarantee(spark):
+    # any pair within hamming 3 of a 4-band split MUST surface: plant
+    # hashes at controlled distances, no image pipeline involved
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),             # ham 3: found (distinct bits in one band)
+        (2, base ^ (1 << 5) ^ (1 << 21) ^ (1 << 42)),  # ham 3 spread: found
+        (3, base ^ (1 << 0) ^ (1 << 17) ^ (1 << 33) ^ (1 << 50)),  # ham 4
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.id_a, r.id_b): r.ham
+        for r in hamming_near_dup_pairs(df, "id", "h", max_hamming=3).collect()
+    }
+    assert got[(0, 1)] == 3
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got  # ham 4, every band differs -> no bucket
+    # negative hash values (bit 63 set) band correctly
+    neg = spark.createDataFrame(
+        [(0, -1), (1, -2)], "id long, h long"  # ...1111 vs ...1110
+    )
+    out = hamming_near_dup_pairs(neg, "id", "h", max_hamming=1).collect()
+    assert [(r.id_a, r.id_b, r.ham) for r in out] == [(0, 1, 1)]
+
+
+def test_pack_bits_64_msb_first():
+    import numpy as np
+
+    bits = np.zeros(64, dtype=np.uint8)
+    bits[0] = 1  # MSB -> sign bit
+    assert _pack_bits_64(bits) == -(1 << 63)
+    bits = np.zeros(64, dtype=np.uint8)
+    bits[63] = 1
+    assert _pack_bits_64(bits) == 1

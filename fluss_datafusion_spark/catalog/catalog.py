@@ -2934,6 +2934,7 @@ class FlussCatalog:
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder_by: Optional[List[str]] = None,
         where: Optional[str] = None,
+        curve: str = "zorder",
     ) -> int:
         """Small-file consolidation: rewrite the table's log into files
         of roughly ``target_file_bytes`` WITHOUT merging or dropping
@@ -2954,6 +2955,12 @@ class FlussCatalog:
         semantics); otherwise the rewrite is one range shuffle on the
         z-key giving globally contiguous curve slices.
 
+        ``curve="hilbert"`` (``OPTIMIZE t HILBERT BY (c1, c2)``)
+        clusters on the Hilbert curve instead — tighter per-file
+        min/max boxes than Morton for 2-column layouts (the liquid-
+        clustering curve; see operators/hilbert.py), same stats +
+        range-shuffle machinery.
+
         Same crash-safe swap as compact: write to a temp dir, rename the
         live dir aside, rename the temp into place, drop the aside copy
         (_swap_dir) — a crash at any single point leaves a complete
@@ -2966,9 +2973,11 @@ class FlussCatalog:
         with self._maintenance_lock(spec):
             if where is not None:
                 return self._optimize_partitions_locked(
-                    spec, path, target_file_bytes, zorder_by, where
+                    spec, path, target_file_bytes, zorder_by, where, curve
                 )
-            return self._optimize_locked(spec, path, target_file_bytes, zorder_by)
+            return self._optimize_locked(
+                spec, path, target_file_bytes, zorder_by, curve
+            )
 
     # WHERE predicate grammar for partition-scoped OPTIMIZE: a strict
     # AND of col = literal / col IN (literals) over PARTITION columns —
@@ -3025,7 +3034,7 @@ class FlussCatalog:
         return constraints
 
     def _optimize_partitions_locked(
-        self, spec, path, target_file_bytes, zorder_by, where
+        self, spec, path, target_file_bytes, zorder_by, where, curve="zorder"
     ):
         """Partition-scoped OPTIMIZE (r7): rewrite ONLY the partition
         directories the WHERE clause selects, swapping each leaf dir
@@ -3078,15 +3087,15 @@ class FlussCatalog:
         tmp = path + ".optimize"
         shutil.rmtree(tmp, ignore_errors=True)
         if zorder_by:
-            from fluss_datafusion_spark.operators.zorder import zorder_key
+            from fluss_datafusion_spark.operators.hilbert import with_curve_key
 
             zcols = self._stored_names(spec, zorder_by)
             internal = [c for c in (_SEQ, _SUB, _BKT, _DEL) if c in log.columns]
             bad = [c for c in zcols if c in internal]
             if bad:
-                raise ValueError(f"cannot ZORDER BY internal columns {bad}")
+                raise ValueError(f"cannot cluster internal columns {bad}")
             scoped = (
-                scoped.withColumn("__z__", zorder_key(scoped, zcols))
+                with_curve_key(scoped, zcols, curve)
                 .repartitionByRange(
                     n_files, *[F.col(c) for c in partition_cols], F.col("__z__")
                 )
@@ -3131,7 +3140,9 @@ class FlussCatalog:
             pass
         return len(new_files)
 
-    def _optimize_locked(self, spec, path, target_file_bytes, zorder_by):
+    def _optimize_locked(
+        self, spec, path, target_file_bytes, zorder_by, curve="zorder"
+    ):
         log = self._to_physical(spec, self._log_df(spec))
         if zorder_by:
             stored = {c.name: c.stored_name for c in spec.columns}
@@ -3148,25 +3159,23 @@ class FlussCatalog:
         tmp = path + ".optimize"
         if zorder_by:
             zorder_by = self._stored_names(spec, zorder_by)
-            from fluss_datafusion_spark.operators.zorder import (
-                cluster_by_zorder,
-                zorder_key,
-            )
+            from fluss_datafusion_spark.operators.hilbert import with_curve_key
 
             internal = [c for c in (_SEQ, _SUB, _BKT, _DEL) if c in log.columns]
             bad = [c for c in zorder_by if c in internal]
             if bad:
-                raise ValueError(f"cannot ZORDER BY internal columns {bad}")
+                raise ValueError(f"cannot cluster internal columns {bad}")
+            keyed = with_curve_key(log, zorder_by, curve)
             if partition_cols:
-                # z-sort within each layout directory: directory pruning
-                # handles the partition/bucket columns, the z-curve
-                # handles the rest.  Range-partition on (layout, z) so a
-                # large partition splits into multiple CONTIGUOUS curve
-                # slices (hash-on-layout would glue each partition into
-                # one task = one file = nothing for the skipping scan).
+                # curve-sort within each layout directory: directory
+                # pruning handles the partition/bucket columns, the
+                # curve handles the rest.  Range-partition on (layout,
+                # key) so a large partition splits into multiple
+                # CONTIGUOUS curve slices (hash-on-layout would glue
+                # each partition into one task = one file = nothing for
+                # the skipping scan).
                 shuffled = (
-                    log.withColumn("__z__", zorder_key(log, zorder_by))
-                    .repartitionByRange(
+                    keyed.repartitionByRange(
                         n_files, *[F.col(c) for c in partition_cols], F.col("__z__")
                     )
                     .sortWithinPartitions(*partition_cols, "__z__")
@@ -3176,8 +3185,11 @@ class FlussCatalog:
                     *partition_cols
                 )
             else:
-                writer = cluster_by_zorder(log, zorder_by, n_files).write.mode(
-                    "overwrite"
+                writer = (
+                    keyed.repartitionByRange(max(1, n_files), F.col("__z__"))
+                    .sortWithinPartitions("__z__")
+                    .drop("__z__")
+                    .write.mode("overwrite")
                 )
         elif partition_cols:
             # cluster by the layout columns so each task writes whole

@@ -656,7 +656,7 @@ def parse_truncate_table(sql: str) -> Optional[str]:
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?:TABLE\s+)?((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+ZORDER\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
+    r"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<z>[^)]*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COMPACT_RE = re.compile(
@@ -667,12 +667,13 @@ _COMPACT_RE = re.compile(
 
 def parse_maintenance(sql: str):
     """Parse the lake-maintenance statements into (action, target,
-    zorder_cols_or_None, where_or_None):
+    cluster_cols_or_None, where_or_None, curve):
     ``OPTIMIZE [TABLE] t [WHERE <partition predicate>]
-    [ZORDER BY (c1, c2)]`` (small-file consolidation + optional Morton
-    clustering; WHERE scopes the rewrite to matching partition
-    directories — the Delta spelling) and ``COMPACT TABLE t`` (collapse
-    history to latest images).  Returns None for anything else."""
+    [ZORDER BY (c1, c2) | HILBERT BY (c1, c2)]`` (small-file
+    consolidation + optional space-filling-curve clustering — Morton or
+    Hilbert; WHERE scopes the rewrite to matching partition directories
+    — the Delta spelling) and ``COMPACT TABLE t`` (collapse history to
+    latest images).  Returns None for anything else."""
     from fluss_datafusion_spark.sql.dialect import strip_quotes
 
     s = sql.strip().rstrip(";")
@@ -685,7 +686,14 @@ def parse_maintenance(sql: str):
                 strip_quotes(c.strip()) for c in match.group("z").split(",")
             ]
         where = match.group("where")
-        return ("optimize", target, cols, where.strip() if where else None)
+        curve = (match.group("curve") or "zorder").lower()
+        return (
+            "optimize",
+            target,
+            cols,
+            where.strip() if where else None,
+            curve,
+        )
     match = _COMPACT_RE.match(s)
     if match:
         return ("compact", ".".join(parse_qualified_name(match.group(1))))

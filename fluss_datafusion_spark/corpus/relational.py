@@ -2624,3 +2624,58 @@ def q69_scd2_dimension(spark, sf_dir):
         F.col("__is_current__").alias("cur"),
         F.col("__version__").alias("ver"),
     )
+
+
+@query(
+    "q70_hilbert_key", extended=True,
+    oracle="""
+    WITH RECURSIVE pts AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderkey % 1000 AS BIGINT) AS x0,
+               CAST((o_orderkey * 7) % 1000 AS BIGINT) AS y0
+        FROM orders WHERE o_orderkey <= 2000
+    ), walk AS (
+        SELECT k, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d,
+               CAST(32768 AS BIGINT) AS s
+        FROM pts
+        UNION ALL
+        SELECT k,
+            CASE WHEN (y & s) = 0 THEN
+                CASE WHEN (x & s) > 0 THEN s - 1 - (y & (s - 1))
+                     ELSE y & (s - 1) END
+            ELSE x & (s - 1) END,
+            CASE WHEN (y & s) = 0 THEN
+                CASE WHEN (x & s) > 0 THEN s - 1 - (x & (s - 1))
+                     ELSE x & (s - 1) END
+            ELSE y & (s - 1) END,
+            d + s * s * CASE
+                WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+                WHEN (x & s) > 0 THEN 3
+                WHEN (y & s) > 0 THEN 1
+                ELSE 0 END,
+            s // 2
+        FROM walk WHERE s > 0
+    )
+    SELECT p.k, p.x0 AS x, p.y0 AS y, w.d AS hkey
+    FROM pts p JOIN walk w ON p.k = w.k AND w.s = 0
+    """,
+)
+def q70_hilbert_key(spark, sf_dir):
+    """Hilbert clustering key hash-checked value-by-value cross-engine
+    (r8 — operators/hilbert.with_hilbert_key, the liquid-clustering
+    curve behind ``OPTIMIZE t HILBERT BY (x, y)``): the 16-level
+    quadrant-digit fold runs as a chain of JVM projections in Spark,
+    and DuckDB replays the IDENTICAL per-level recurrence — quadrant
+    digit (3*rx)^ry joins d, (x, y) reduce into the quadrant and rotate
+    — as a recursive CTE.  A single wrong rotation case, mask, or digit
+    weight diverges the 32-bit index and hash-mismatches.  Curve
+    properties (bijection, unit steps, tighter min/max boxes than
+    Morton) are test-pinned in tests/test_hilbert.py."""
+    from fluss_datafusion_spark.operators.hilbert import with_hilbert_key
+
+    pts = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 1000).cast("long").alias("x"),
+        ((F.col("o_orderkey") * 7) % 1000).cast("long").alias("y"),
+    )
+    return with_hilbert_key(pts, ["x", "y"], out_col="hkey", scaled=True)

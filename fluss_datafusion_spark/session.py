@@ -385,8 +385,9 @@ class EngineSession:
             if action == "optimize":
                 zorder_by = maintenance[2] if len(maintenance) > 2 else None
                 where = maintenance[3] if len(maintenance) > 3 else None
+                curve = maintenance[4] if len(maintenance) > 4 else "zorder"
                 n_files = self.catalog.optimize(
-                    target, zorder_by=zorder_by, where=where
+                    target, zorder_by=zorder_by, where=where, curve=curve
                 )
                 return self.spark.createDataFrame([(n_files,)], "n_files bigint")
             self.catalog.compact(target)

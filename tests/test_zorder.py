@@ -134,14 +134,17 @@ def test_zorder_sql_form_and_parse(spark, tmp_path):
     from fluss_datafusion_spark.catalog.ddl import parse_maintenance
 
     assert parse_maintenance("OPTIMIZE t ZORDER BY (a, b)") == (
-        "optimize", "t", ["a", "b"], None)
+        "optimize", "t", ["a", "b"], None, "zorder")
     assert parse_maintenance("OPTIMIZE TABLE db.t ZORDER BY (`c`)") == (
-        "optimize", "db.t", ["c"], None)
-    assert parse_maintenance("OPTIMIZE t") == ("optimize", "t", None, None)
+        "optimize", "db.t", ["c"], None, "zorder")
+    assert parse_maintenance("OPTIMIZE t") == (
+        "optimize", "t", None, None, "zorder")
     assert parse_maintenance("OPTIMIZE t WHERE p = 'x'") == (
-        "optimize", "t", None, "p = 'x'")
+        "optimize", "t", None, "p = 'x'", "zorder")
     assert parse_maintenance("OPTIMIZE t WHERE p IN ('x','y') ZORDER BY (a)") == (
-        "optimize", "t", ["a"], "p IN ('x','y')")
+        "optimize", "t", ["a"], "p IN ('x','y')", "zorder")
+    assert parse_maintenance("OPTIMIZE t HILBERT BY (a, b)") == (
+        "optimize", "t", ["a", "b"], None, "hilbert")
 
     e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_zsql"))
     e.sql("CREATE TABLE zt (a BIGINT, b DOUBLE)")

@@ -944,6 +944,31 @@ def ns_sim_ann_ivf(spark, sf_dir):
     )
 
 
+@query("ns_sim_ann_ivfpq", extended=True, oracle=_CLUSTERED_TOP10_ORACLE)
+def ns_sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-10 (r8 — similarity.pq_ann_topk, the
+    FAISS IVFPQ + refine shape): the IVF coarse quantizer picks
+    n_probe=2 of 16 lists, probed candidates are scored by asymmetric
+    distance over 8-byte product-quantization codes (~32x smaller than
+    the float32 vectors — at 100 TB the scoring scan reads codes, full
+    vectors are touched only by the shortlist re-rank semi-join), and
+    the ADC shortlist re-ranks with exact cosine.  Same clustered
+    fixture and deterministic-oracle shape as ns_sim_ann_ivf: exact
+    top-10 ids (DuckDB brute-forces them) + recall_ok >= 0.8 boolean.
+    Codebook training is one md5-keyed sample job, farthest-first
+    seeded — fully deterministic."""
+    return _ann_recall_entry(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.pq_ann_topk(
+            emb, q, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, n_centroids=16, n_probe=2, m=8, ks=16, n_iters=2,
+        ),
+        floor=0.8,
+        emb_fn=clustered_embeddings,
+    )
+
+
 # --------------------------------------------------------------------------
 # data curation (decontamination, quotas, PII, TF-IDF)
 # --------------------------------------------------------------------------

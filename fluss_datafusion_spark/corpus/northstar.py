@@ -523,6 +523,9 @@ def ns_text_fingerprint(spark, sf_dir):
 
 @query(
     "ns_multimodal_payload",
+    extended=True,  # r8 rotation: -> extended for ns_dedup_image_phash
+    # (multimodal keeps ns_multimodal_features + ns_multimodal_resize
+    # core; the incoming row exercises decode AND the dedup family)
     oracle="""
     SELECT doc_id AS media_id,
            'application/octet-stream' AS content_type,
@@ -736,7 +739,8 @@ def ns_multimodal_image_phash(spark, sf_dir):
 
 
 @query(
-    "ns_dedup_image_phash", extended=True,
+    "ns_dedup_image_phash",  # r8: rotated INTO the core window (image
+    # near-dup differentiator; OUT: ns_multimodal_payload)
     oracle="""
     WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
     SELECT a.id AS id_a, b.id AS id_b,

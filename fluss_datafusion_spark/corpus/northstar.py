@@ -4720,3 +4720,51 @@ def ns_retrieval_eval_metrics(spark, sf_dir):
         F.round("recall_at_k", 6).alias("recall_at_k"),
         F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
     )
+
+
+@query(
+    "ns_curation_url_canonical", extended=True,
+    oracle="""
+    WITH src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 1500),
+    keyed AS (SELECT k, k % 100 AS page, (k % 3 <> 2) AS hq FROM src)
+    SELECT 'https://shop.com/item/' || page
+           || CASE WHEN hq THEN '?a=1&b=2' ELSE '' END AS canon,
+           count(*) AS n_dupes, CAST(min(k) AS BIGINT) AS rep_id
+    FROM keyed GROUP BY page, hq
+    """,
+)
+def ns_curation_url_canonical(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (r8 —
+    curation.canonical_url / url_dedup_groups, the normalization web
+    pipelines run before any content dedup): every order key becomes a
+    cosmetically-distinct fetch URL of one of 100 pages — mixed scheme/
+    host case, ``WWW.`` prefixes, explicit ``:443`` default ports,
+    trailing slashes, shuffled query parameters, ``utm_source``
+    tracking litter, fragments — and grouping by the canonical form
+    must collapse them to exactly (page x has-query) groups with
+    closed-form sizes and min-id representatives.  Any mishandled rule
+    (a kept tracking param, an unsorted query, a surviving port or
+    fragment) splits a group and hash-mismatches.  All JVM regexp/array
+    expressions, one map-side-combined groupBy."""
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(k % 3 == 0, F.lit("WWW.Shop.COM")).otherwise(F.lit("shop.com")),
+        F.when(k % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        (k % 100).cast("string"),
+        F.when(k % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 3 == 0, F.lit("?b=2&utm_source=x&a=1"))
+        .when(k % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    fetches = (
+        t(spark, sf_dir, "orders")
+        .filter(k <= 1500)
+        .select(k.alias("id"), url.alias("url"))
+    )
+    from fluss_datafusion_spark.operators.curation import url_dedup_groups
+
+    return url_dedup_groups(fetches, "id", "url")

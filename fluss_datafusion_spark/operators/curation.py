@@ -961,6 +961,87 @@ def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: query parameters that never change page identity (analytics litter) —
+#: the standard strip-list web-dedup pipelines apply before URL keying
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|ref_src|mc_cid|mc_eid)="
+)
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a URL for identity keying — the normalization
+    every web-corpus dedup runs before grouping by URL (CommonCrawl /
+    CCNet pipelines dedupe fetches of the same page under cosmetically
+    different URLs).  Rules, all RFC-3986-sanctioned equivalences plus
+    the two standard aggressive ones (www., tracking params):
+
+    - scheme and host lowercase; leading ``www.`` dropped;
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment dropped (never sent to the server);
+    - trailing slash dropped from non-root paths; empty path -> ``/``;
+    - tracking query parameters removed (TRACKING_PARAM_RE), remaining
+      parameters SORTED (order never changes identity in practice) and
+      rejoined; an emptied query drops its ``?``.
+
+    Pure JVM expressions (regexp + array lambdas), zero UDFs, zero
+    shuffles — canonicalization is a map-side column like any other.
+    """
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""),
+        r"#.*$",
+        "",
+    )
+    auth = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1)), r"^www\.", ""
+    )
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1), F.regexp_replace(path, r"/$", "")
+        ).otherwise(path)
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Group fetches by canonical URL: (canon, n_dupes, rep_id) with the
+    smallest id as the deterministic representative — the URL-level
+    dedup pass web pipelines run before any content-level dedup.  One
+    map-side-combined groupBy on the canonical key."""
+    return (
+        df.select(F.col(id_col).alias("__id__"), canonical_url(url_col).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("__id__").alias("rep_id"),
+        )
+    )
+
+
 def domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-domain corpus footprint — (domain, n_urls, n_docs) — the
     table every web-scrape curation policy starts from (domain

@@ -666,3 +666,41 @@ def test_pseudonymize_stable_scoped_and_null_preserving(spark):
     a = pseudonymize(df.select("id", "email"), ["email"], "s")
     b = pseudonymize(df.select(F.col("email").alias("email")), ["email"], "s")
     assert a.join(b, "email").count() == 5  # 2 matches x 2 + 1
+
+
+def test_canonical_url_rules(spark):
+    from fluss_datafusion_spark.operators.curation import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://Example.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("https://example.com/x?fbclid=abc&gclid=1&utm_campaign=z",
+         "https://example.com/x"),
+        ("https://example.com/x?z=1&y=2&z=0", "https://example.com/x?y=2&z=0&z=1"),
+        ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select("want", canonical_url("url").alias("got")).collect():
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_url_dedup_groups(spark):
+    from fluss_datafusion_spark.operators.curation import url_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/p?utm_source=a"),
+            (2, "HTTPS://WWW.EXAMPLE.COM:443/p"),
+            (3, "https://example.com/p/"),
+            (4, "https://example.com/q"),
+        ],
+        "id long, url string",
+    )
+    got = {r.canon: (r.n_dupes, r.rep_id) for r in url_dedup_groups(df, "id", "url").collect()}
+    assert got == {
+        "https://example.com/p": (3, 1),
+        "https://example.com/q": (1, 4),
+    }

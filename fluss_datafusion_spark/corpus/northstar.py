@@ -4768,3 +4768,37 @@ def ns_curation_url_canonical(spark, sf_dir):
     from fluss_datafusion_spark.operators.curation import url_dedup_groups
 
     return url_dedup_groups(fetches, "id", "url")
+
+
+@query(
+    "ns_sketch_kll", extended=True,
+    oracle="""
+    WITH src AS (SELECT o_totalprice FROM orders),
+    qs AS (SELECT CAST(q AS DOUBLE) AS qtile
+           FROM (VALUES (0.1), (0.5), (0.9)) v(q))
+    SELECT qtile,
+           CAST(floor(qtile * (SELECT count(*) FROM src)) AS BIGINT)
+               AS target_rank,
+           (SELECT count(*) FROM src) AS n,
+           true AS ok
+    FROM qs
+    """,
+)
+def ns_sketch_kll(spark, sf_dir):
+    """KLL-style quantile sketch with a hard in-query bound check (r8 —
+    sketches.QuantileSketch/kll_build/kll_quantile_check; completes the
+    mergeable-sketch family next to KMV distinct counts and CMS
+    frequencies): per-partition multilevel compactors (deterministic
+    md5-keyed compaction offsets) merge into one model-sized sketch,
+    and each estimated quantile's EXACT rank — one conditional-sum agg
+    over the corpus — must sit within eps*n of the target rank.  The
+    q45 pattern: the approximate estimate stays out of the hash;
+    integers + booleans ride it, DuckDB pins the bound booleans true
+    and re-derives the target ranks.  Rank-error guarantees are
+    measured (uniform/skewed/sorted/merged) in tests/test_kll.py."""
+    from fluss_datafusion_spark.operators.sketches import kll_quantile_check
+
+    prices = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price")
+    )
+    return kll_quantile_check(prices, "price", [0.1, 0.5, 0.9], k=200)

@@ -287,3 +287,178 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_est"))
         .withColumnRenamed("__cms_q__", value_col)
     )
+
+
+# -- KLL-style quantile sketches ---------------------------------------------
+
+
+class QuantileSketch:
+    """Multilevel-compactor quantile sketch (the KLL family — Karnin,
+    Lang & Liberty, FOCS 2016; uniform per-level capacities, the
+    simpler Manku-style layout).  Items at level i carry weight 2^i; a
+    full level sorts and keeps every other item (deterministic
+    md5-keyed offset — same engine-replayable-draw discipline as KMV),
+    promoting the survivors one level up.  Size is O(k log(n/k));
+    rank error is O(n/k)-ish and MEASURED, not just cited, in
+    tests/test_kll.py (uniform, skewed, and adversarially sorted
+    inputs).
+
+    Mergeable: concatenate per-level buffers and recompact — which is
+    what makes the distributed build shape work (one model-sized sketch
+    per partition, merged on the driver; the corpus never moves).
+    Model state, not data: everything here is driver/executor-local
+    python over <= k*levels floats."""
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k must be at least 8")
+        self.k = k
+        self.levels: List[List[float]] = [[]]
+        self.n = 0
+        self._n_compactions = 0
+
+    def _offset(self, level: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(
+            f"kll|{level}|{self._n_compactions}".encode()
+        ).hexdigest()
+        return int(h[0], 16) & 1
+
+    def _compact_level(self, level: int) -> None:
+        buf = sorted(self.levels[level])
+        off = self._offset(level)
+        self._n_compactions += 1
+        promoted = buf[off::2]
+        self.levels[level] = []
+        if level + 1 == len(self.levels):
+            self.levels.append([])
+        self.levels[level + 1].extend(promoted)
+
+    def _maybe_compact(self) -> None:
+        level = 0
+        while level < len(self.levels):
+            if len(self.levels[level]) > self.k:
+                self._compact_level(level)
+            level += 1
+
+    def update_many(self, values) -> "QuantileSketch":
+        for v in values:
+            if v is None:
+                continue
+            self.levels[0].append(float(v))
+            self.n += 1
+            if len(self.levels[0]) > self.k:
+                self._maybe_compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for level, buf in enumerate(other.levels):
+            while level >= len(self.levels):
+                self.levels.append([])
+            self.levels[level].extend(buf)
+        self.n += other.n
+        self._maybe_compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1]; got {q}")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        weighted = []
+        for level, buf in enumerate(self.levels):
+            w = 1 << level
+            weighted.extend((v, w) for v in buf)
+        weighted.sort()
+        target = q * self.n
+        acc = 0
+        for v, w in weighted:
+            acc += w
+            if acc >= target:
+                return v
+        return weighted[-1][0]
+
+    def quantiles(self, qs: Sequence[float]) -> List[float]:
+        return [self.quantile(q) for q in qs]
+
+
+def kll_build(df: DataFrame, col: str, k: int = 200) -> QuantileSketch:
+    """Distributed sketch build: one QuantileSketch per partition
+    (Arrow-batched pass, no shuffle), partial sketches shipped as
+    (partition, level, value) rows — O(k log n) each, model-sized —
+    and merged on the driver in deterministic partition order."""
+    import pandas as pd
+
+    def _part(batches):
+        sk = QuantileSketch(k)
+        for pdf in batches:
+            sk.update_many(pdf[col].dropna().to_numpy())
+        rows = {"level": [], "value": [], "n": []}
+        for level, buf in enumerate(sk.levels):
+            for v in buf:
+                rows["level"].append(level)
+                rows["value"].append(v)
+                rows["n"].append(0)
+        # ride the true item count on one marker row per partition
+        rows["level"].append(-1)
+        rows["value"].append(0.0)
+        rows["n"].append(sk.n)
+        yield pd.DataFrame(rows)
+
+    parts = (
+        df.select(F.col(col).cast("double").alias(col))
+        .mapInPandas(_part, f"level int, value double, n long")
+        .withColumn("__pid__", F.spark_partition_id())
+        .collect()
+    )
+    merged = QuantileSketch(k)
+    by_pid: dict = {}
+    for r in parts:
+        by_pid.setdefault(r["__pid__"], []).append(r)
+    for pid in sorted(by_pid):
+        sk = QuantileSketch(k)
+        for r in by_pid[pid]:
+            if r["level"] < 0:
+                sk.n = int(r["n"])
+                continue
+            while r["level"] >= len(sk.levels):
+                sk.levels.append([])
+            sk.levels[r["level"]].append(float(r["value"]))
+        merged.merge(sk)
+    return merged
+
+
+def kll_quantile_check(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    k: int = 200,
+    eps: float = 0.025,
+) -> DataFrame:
+    """The q45-pattern bounds-checked oracle form for the quantile
+    sketch: estimate each quantile from the sketch, then verify IN THE
+    SAME QUERY that the estimate's exact rank sits within ``eps * n``
+    of the target rank — one exact-rank aggregation over the corpus
+    per call (conditional sums, map-side combined).  Output is
+    integers + booleans only (the estimate itself is approximate by
+    design and stays out of the hash): (qtile, target_rank, n, ok)."""
+    sk = kll_build(df, col, k)
+    ests = sk.quantiles(list(qs))
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, est in enumerate(ests):
+        aggs.append(
+            F.sum(
+                (F.col(col).cast("double") <= F.lit(float(est))).cast("long")
+            ).alias(f"__r{i}__")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n__"])
+    out = []
+    for i, q in enumerate(qs):
+        rank = int(row[f"__r{i}__"])
+        ok = abs(rank - q * n) <= eps * n
+        out.append((float(q), int(q * n), n, bool(ok)))
+    return df.sparkSession.createDataFrame(
+        out, "qtile double, target_rank bigint, n bigint, ok boolean"
+    )

@@ -6,7 +6,7 @@ in CLI"); we expose them as the DuckDB/Snowflake-flavored COPY command
 over Spark's native readers/writers:
 
     COPY <table | (query)> TO '<path>'
-        [(FORMAT CSV|JSON|PARQUET [, HEADER true|false]
+        [(FORMAT CSV|JSON|PARQUET|ORC [, HEADER true|false]
           [, DELIMITER '<c>'] [, COMPRESSION <codec>]
           [, PARTITION_BY (c1, c2)])]
     COPY <table> FROM '<path>' [(FORMAT ... [, HEADER ...] [, DELIMITER ...])]
@@ -41,7 +41,7 @@ _OPT_RE = re.compile(
     re.IGNORECASE,
 )
 
-_FORMATS = {"csv", "json", "parquet"}
+_FORMATS = {"csv", "json", "parquet", "orc"}
 
 
 def parse_copy(sql: str) -> Optional[Tuple[str, str, str, dict]]:
@@ -71,7 +71,8 @@ def _format_of(path: str, opts: dict) -> str:
         fmt = os.path.splitext(path)[1].lstrip(".").lower()
     if fmt not in _FORMATS:
         raise ValueError(
-            f"COPY: unknown or missing format {fmt!r} (use FORMAT CSV|JSON|PARQUET)"
+            f"COPY: unknown or missing format {fmt!r} "
+            "(use FORMAT CSV|JSON|PARQUET|ORC)"
         )
     return fmt
 
@@ -136,10 +137,8 @@ def copy_from(session, target: str, path: str, opts: dict) -> int:
             # position-aligned: read with the target schema directly
             df = reader.schema(schema).csv(path)
             return session.catalog.insert(target, df)
-    elif fmt == "json":
-        df = spark.read.json(path)
     else:
-        df = spark.read.parquet(path)
+        df = getattr(spark.read, fmt)(path)  # json / parquet / orc
     have = set(df.columns)
     want = [f.name for f in schema.fields]
     missing = [c for c in want if c not in have]

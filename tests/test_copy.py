@@ -107,3 +107,18 @@ def test_copy_unknown_format_raises(cdb, tmp_path):
     cdb.sql("CREATE TABLE cdb.f1 (id BIGINT NOT NULL, PRIMARY KEY (id))")
     with pytest.raises(ValueError, match="unknown or missing format"):
         cdb.sql(f"COPY cdb.f1 TO '{tmp_path}/x.xlsx'")
+
+
+def test_copy_orc_roundtrip(spark, tmp_path):
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh_orc"))
+    e.sql("CREATE TABLE oc1 (id BIGINT NOT NULL, v DOUBLE, PRIMARY KEY (id))")
+    e.sql("INSERT INTO oc1 SELECT id, id * 1.5e0 AS v FROM range(50)")
+    out = str(tmp_path / "orc_out")
+    n = e.sql(f"COPY oc1 TO '{out}' (FORMAT ORC)").collect()[0]["rows"]
+    assert n == 50
+    e.sql("CREATE TABLE oc2 (id BIGINT NOT NULL, v DOUBLE, PRIMARY KEY (id))")
+    e.sql(f"COPY oc2 FROM '{out}' (FORMAT ORC)")
+    got = e.sql("SELECT count(*) AS n, sum(v) AS sv FROM oc2").collect()[0]
+    assert (got["n"], got["sv"]) == (50, sum(i * 1.5 for i in range(50)))

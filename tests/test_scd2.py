@@ -136,3 +136,74 @@ def test_scd2_null_attribute_transitions(spark):
     out = scd2_versions(hist, ["k"], seq_col="s", ts_col=None, tombstone_col="dead")
     rows = _by_key(out.collect())
     assert [(r.attr, r.s) for r in rows[1]] == [(None, 1), ("v", 3), (None, 4)]
+
+
+# -- property: kernel vs a brute-force reference ------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_event = st.one_of(
+    st.none(),                       # tombstone
+    st.sampled_from(["a", "b"]),     # attribute value
+)
+
+
+def _ref_scd2(events):
+    """Brute-force reference: walk the (seq, value_or_None) stream and
+    emit (value, vf, vt, cur, ver) rows by the documented rules."""
+    versions = []  # [value, vf, vt]
+    alive = False
+    cur_val = object()
+    for seq, val in events:
+        if val is None:
+            if alive:
+                versions[-1][2] = seq
+                alive = False
+        else:
+            if not alive or val != cur_val:
+                if alive:
+                    versions[-1][2] = seq
+                versions.append([val, seq, None])
+                alive = True
+                cur_val = val
+    return [
+        (v, vf, vt, vt is None, i + 1)
+        for i, (v, vf, vt) in enumerate(versions)
+    ]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    seqs=st.lists(
+        st.tuples(st.integers(0, 2), _event), min_size=1, max_size=12
+    )
+)
+def test_scd2_kernel_matches_reference(spark, seqs):
+    rows = []
+    per_key = {}
+    for i, (key, val) in enumerate(seqs):
+        seq = i + 1
+        per_key.setdefault(key, []).append((seq, val))
+        rows.append((key, seq, val, val is None))
+    hist = spark.createDataFrame(
+        rows, "k int, s int, attr string, dead boolean"
+    )
+    out = scd2_versions(hist, ["k"], seq_col="s", ts_col=None, tombstone_col="dead")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append(
+            (r.attr, r.s, r["__valid_to_seq__"], r["__is_current__"], r["__version__"])
+        )
+    for k in got:
+        got[k].sort(key=lambda t: t[4])
+    want = {
+        k: _ref_scd2(evs)
+        for k, evs in per_key.items()
+        if _ref_scd2(evs)
+    }
+    assert got == want

@@ -4802,3 +4802,68 @@ def ns_sketch_kll(spark, sf_dir):
         F.col("o_totalprice").alias("price")
     )
     return kll_quantile_check(prices, "price", [0.1, 0.5, 0.9], k=200)
+
+
+@query(
+    "ns_multimodal_scene_cuts", extended=True,
+    oracle="""
+    SELECT doc_id AS media_id, CAST(doc_id % 3 + 3 AS INTEGER) AS cut_frame,
+           CAST(40.0 AS DOUBLE) AS diff, CAST(8 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def ns_multimodal_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection (r8 — multimodal.avi_scene_cuts, the
+    shot-boundary-by-frame-differencing baseline that segments footage
+    before per-scene sampling): every synthesized AVI carries two
+    constant-color scenes with ONE cut at frame ``id % 3 + 3`` and a
+    per-channel jump of exactly 40 gray levels, so the detector must
+    emit exactly one boundary per video at the right frame with diff
+    exactly 40.0 — a missed frame, an off-by-one boundary index, or a
+    wrong difference all hash-mismatch.  Decode → frame-diff →
+    boundary rows, Arrow-batched; output is boundary-sized, never
+    frame-sized."""
+    media = multimodal.synthesize_scene_avi_media(
+        t(spark, sf_dir, "documents"), id_col="doc_id"
+    )
+    return multimodal.avi_scene_cuts(media, threshold=10.0)
+
+
+@query(
+    "ns_curation_compression_ratio", extended=True,
+    oracle="""
+    SELECT doc_id, CAST(strlen(coalesce(text, '')) AS BIGINT) AS raw_len,
+           true AS ok_band, true AS ok_repeat
+    FROM documents
+    """,
+)
+def ns_curation_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (r8 —
+    curation.compression_ratio_stats; the Gopher/FineWeb-class feature
+    heuristic counters miss — template junk compresses far below
+    prose): the q45 bounds pattern — the ratio itself is
+    implementation-defined (zlib level 6) so it stays out of the hash;
+    what rides are the exact UTF-8 byte length (DuckDB recomputes it)
+    and two invariants pinned true per document: the ratio sits in the
+    sane text band (0.02, 1.15], and doubling a document never
+    INCREASES its ratio (self-similarity must compress)."""
+    from fluss_datafusion_spark.operators.curation import (
+        compression_ratio_stats,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    one = compression_ratio_stats(docs, "doc_id", "text")
+    doubled = compression_ratio_stats(
+        docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("text")).alias("text"),
+        ),
+        "doc_id",
+        "text",
+    ).select(F.col("doc_id"), F.col("ratio").alias("ratio2"))
+    return one.join(doubled, "doc_id").select(
+        "doc_id",
+        "raw_len",
+        ((F.col("ratio") > 0.02) & (F.col("ratio") <= 1.15)).alias("ok_band"),
+        (F.col("ratio2") <= F.col("ratio") + 1e-6).alias("ok_repeat"),
+    )

@@ -2953,3 +2953,127 @@ def synthesize_avi_media(
         df.select(F.col(id_col).alias("media_id"))
         .mapInPandas(_map, "media_id long, payload binary")
     )
+
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("cut_frame", T.IntegerType()),
+        T.StructField("diff", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def avi_scene_cuts(media: DataFrame, threshold: float = 10.0) -> DataFrame:
+    """Scene-cut detection over uncompressed AVI payloads — the video
+    curation step that segments footage before per-scene sampling
+    (shot-boundary detection by frame differencing, the classic
+    baseline): decode frames, compute the mean absolute pixel
+    difference between consecutive frames, and emit one row per
+    boundary whose difference exceeds ``threshold``.
+
+    Returns (media_id, cut_frame, diff, n_frames): ``cut_frame`` is the
+    index of the FIRST frame of the new scene, ``diff`` the mean |Δ|
+    over all pixels/channels (rounded to 4).  Arrow-batched
+    mapInPandas, payloads never leave the executors; output is
+    boundary-sized, not frame-sized."""
+    import numpy as np
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_avi_frames(payload)
+                if frames is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                frames = list(frames)
+                prev = None
+                for idx, px in frames:
+                    if prev is not None:
+                        d = float(
+                            np.abs(
+                                px.astype(np.float64)
+                                - prev.astype(np.float64)
+                            ).mean()
+                        )
+                        if d > threshold:
+                            rows.append(
+                                (mid, idx, round(d, 4), len(frames))
+                            )
+                    prev = px
+            out = pd.DataFrame(
+                rows, columns=["media_id", "cut_frame", "diff", "n_frames"]
+            )
+            out["cut_frame"] = pd.array(out["cut_frame"], dtype="Int32")
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _SCENE_SCHEMA
+    )
+
+
+def synthesize_scene_avi_media(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 8
+) -> DataFrame:
+    """Scene-structured AVI fixture: two constant-color scenes per
+    video with ONE cut at frame ``id % 3 + 3`` and a per-channel jump
+    of exactly 40 gray levels — so the scene-cut oracle is closed-form:
+    one boundary per id, diff exactly 40.0, every other consecutive
+    pair identical (diff 0)."""
+
+    def _avi(i: int) -> bytes:
+        w = i % 8 + 2
+        h = (3 * i) % 8 + 2
+        cut = i % 3 + 3
+        a = (7 * i) % 200
+        stride = (w * 3 + 3) & ~3
+        frames = bytearray()
+        for f in range(n_frames):
+            g = a if f < cut else a + 40
+            row = (bytes([g, g, g]) * w) + b"\x00" * (stride - 3 * w)
+            dib = row * h
+            frames += b"00db" + struct.pack("<I", len(dib)) + dib
+            if len(dib) & 1:
+                frames += b"\x00"
+        avih = struct.pack(
+            "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = (
+            b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                            25, 0, n_frames, 0, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, w, h)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+
+        def lst(tag: bytes, four: bytes, payload: bytes) -> bytes:
+            body = four + payload
+            return tag + struct.pack("<I", len(body)) + body
+
+        def chunk(four: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) & 1 else b""
+            return four + struct.pack("<I", len(payload)) + payload + pad
+
+        strl = lst(b"LIST", b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+        hdrl = lst(b"LIST", b"hdrl", chunk(b"avih", avih) + strl)
+        movi = lst(b"LIST", b"movi", bytes(frames))
+        riff_body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_avi(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )

@@ -1257,3 +1257,46 @@ def pseudonymize(
         else:
             out = out.withColumn(col, token)
     return out
+
+
+def compression_ratio_stats(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher/FineWeb-class
+    quality signal built-in heuristics miss: highly repetitive or
+    template junk compresses far below normal prose, near-random noise
+    barely compresses at all, so curation pipelines band-pass on the
+    ratio.  Returns (id, raw_len, compressed_len, ratio) with
+    ratio = compressed/raw bytes (NULL for empty text); zlib level is
+    pinned so the statistic is deterministic.
+
+    One Arrow-batched pass, no shuffle — the ratio is a map-side column
+    like any other quality feature and composes with quality_filter."""
+    import pandas as pd
+    import zlib
+
+    def _map(batches):
+        for pdf in batches:
+            raw, comp, ratio = [], [], []
+            for text in pdf[text_col]:
+                b = (text or "").encode("utf-8")
+                raw.append(len(b))
+                if not b:
+                    comp.append(None)
+                    ratio.append(None)
+                    continue
+                c = len(zlib.compress(b, level))
+                comp.append(c)
+                ratio.append(round(c / len(b), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw,
+                    "compressed_len": pd.array(comp, dtype="Int64"),
+                    "ratio": pd.array(ratio, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        _map, f"{id_col} long, raw_len long, compressed_len long, ratio double"
+    )

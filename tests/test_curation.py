@@ -704,3 +704,30 @@ def test_url_dedup_groups(spark):
         "https://example.com/p": (3, 1),
         "https://example.com/q": (1, 4),
     }
+
+
+def test_compression_ratio_stats(spark):
+    import zlib
+
+    from fluss_datafusion_spark.operators.curation import (
+        compression_ratio_stats,
+    )
+
+    texts = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "the quick brown fox jumps over one lazy dog tonight"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    rows = {r.id: r for r in compression_ratio_stats(df, "id", "text").collect()}
+    for i, t in texts:
+        b = (t or "").encode()
+        assert rows[i].raw_len == len(b)
+        if b:
+            assert rows[i].compressed_len == len(zlib.compress(b, 6))
+            assert rows[i].ratio == round(rows[i].compressed_len / len(b), 6)
+        else:
+            assert rows[i].ratio is None
+    # the repetitive doc compresses much better than prose
+    assert rows[1].ratio < rows[2].ratio

@@ -134,3 +134,33 @@ def test_wav_resample_stats_end_to_end(spark, testdata):
         assert r.rate_in == rate and r.frames_in == n
         assert r.frames_out == max(1, round(n * 16000 / rate))
         assert r.mean_amp == float(amp) and r.rms == float(abs(amp))
+
+
+def test_scene_cuts_closed_form(spark):
+    from fluss_datafusion_spark.functions.multimodal import (
+        avi_scene_cuts,
+        synthesize_scene_avi_media,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    media = synthesize_scene_avi_media(ids)
+    rows = avi_scene_cuts(media, threshold=10.0).collect()
+    assert len(rows) == 24  # exactly one cut per video
+    for r in rows:
+        assert r.cut_frame == r.media_id % 3 + 3
+        assert r.diff == 40.0
+        assert r.n_frames == 8
+
+
+def test_scene_cuts_threshold_and_no_cuts(spark):
+    from fluss_datafusion_spark.functions.multimodal import (
+        avi_scene_cuts,
+        synthesize_scene_avi_media,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    media = synthesize_scene_avi_media(ids)
+    # threshold above the jump: no boundaries at all
+    assert avi_scene_cuts(media, threshold=50.0).count() == 0

@@ -4867,3 +4867,60 @@ def ns_curation_compression_ratio(spark, sf_dir):
         ((F.col("ratio") > 0.02) & (F.col("ratio") <= 1.15)).alias("ok_band"),
         (F.col("ratio2") <= F.col("ratio") + 1e-6).alias("ok_repeat"),
     )
+
+
+@query(
+    "ns_dedup_image_incremental", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN (a.id < 100) = (b.id < 100) THEN 0 ELSE 1 END
+                AS INTEGER) AS ham,
+           (a.id >= 100) AS a_new, (b.id >= 100) AS b_new
+    FROM ids a JOIN ids b ON a.id % 50 = b.id % 50 AND a.id < b.id
+    WHERE a.id >= 100 OR b.id >= 100
+    """,
+)
+def ns_dedup_image_incremental(spark, sf_dir):
+    """Incremental image dedup against a persisted Hamming index (r8 —
+    operators/incremental.write_hamming_index /
+    incremental_hamming_pairs; the perceptual-hash twin of the MinHash
+    incremental index): the unperturbed half of the gradient-BMP
+    fixture is fingerprinted ONCE into a persisted (buckets + hashes)
+    index, then the perturbed half arrives as an ingest batch and must
+    pair batch-vs-index (Hamming exactly 1 by construction) and
+    batch-vs-batch (exactly 0) WITHOUT re-emitting any index-internal
+    pair — DuckDB derives the complete expected pair set, distances,
+    and new-endpoint markers closed-form.  Probe cost is O(batch):
+    the batch's band assignment broadcast-semi-joins the index bucket
+    store down to touched buckets; verification loads index
+    fingerprints for candidate ids only."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark.operators.incremental import (
+        incremental_hamming_pairs,
+        write_hamming_index,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_himg_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    media = multimodal.synthesize_gradient_bmp_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    hashes = multimodal.image_dhash_stats(media).select("media_id", "dhash")
+    write_hamming_index(
+        hashes.filter(F.col("media_id") < 100), "media_id", "dhash", root
+    )
+    return incremental_hamming_pairs(
+        hashes.filter(F.col("media_id") >= 100),
+        root,
+        "media_id",
+        "dhash",
+        max_hamming=2,
+        keep_markers=True,
+    )

@@ -470,3 +470,176 @@ def dedup_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- incremental HAMMING (perceptual-hash) dedup ------------------------------
+
+# Bump when the fingerprint kernel or band layout changes (same contract
+# as INDEX_FORMAT above): a marker with a different token rebuilds.
+HAMMING_INDEX_FORMAT = "v1"
+
+
+def _hamming_token(source_id, n_bands: int) -> str:
+    return f"hamming-{HAMMING_INDEX_FORMAT}|bands={n_bands}|n={source_id}"
+
+
+def _hamming_bands(hashes: DataFrame, n_bands: int) -> DataFrame:
+    """(__id__, __band__, __slice__) band assignment of 64-bit
+    fingerprints — the same slicing dedup.hamming_near_dup_pairs uses,
+    so index and probe bucket values agree by construction."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64; got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashes.select(
+        "__id__",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__h__", b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band__", "__slice__"),
+    )
+
+
+def write_hamming_index(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    n_bands: int = 4,
+    source_id=None,
+) -> None:
+    """Materialize a perceptual-hash dedup index: ``hashes/`` (id,
+     64-bit fingerprint — the verify store) and ``buckets/`` (id, band,
+    slice — the probe store), marker stamped LAST.  The image twin of
+    ``write_dedup_index``: at 100 TB the corpus is fingerprinted once
+    (decode + dHash, the expensive Arrow pass) and every ingest batch
+    probes in O(batch)."""
+    hashes = df.select(
+        F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
+    )
+    hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+    _hamming_bands(hashes, n_bands).write.mode("overwrite").parquet(
+        os.path.join(path, "buckets")
+    )
+    token = _hamming_token(
+        source_id if source_id is not None else df.count(), n_bands
+    )
+    with open(_index_marker_path(path), "w", encoding="utf-8") as fh:
+        fh.write(token)
+
+
+def append_to_hamming_index(
+    df: DataFrame, id_col: str, hash_col: str, path: str, n_bands: int = 4
+) -> None:
+    """Pure parquet appends to both stores — no read-modify-write, so
+    appended == rebuilt exactly (the BM25/ANN index discipline)."""
+    hashes = df.select(
+        F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
+    )
+    hashes.write.mode("append").parquet(os.path.join(path, "hashes"))
+    _hamming_bands(hashes, n_bands).write.mode("append").parquet(
+        os.path.join(path, "buckets")
+    )
+
+
+def incremental_hamming_pairs(
+    new_df: DataFrame,
+    index_path: str,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    max_bucket_size: int = 256,
+    keep_markers: bool = False,
+) -> DataFrame:
+    """Near-duplicate fingerprint pairs touching the new batch:
+    batch-vs-index and batch-vs-batch, verified with an exact popcount;
+    index-internal pairs are NOT re-emitted (found when their batches
+    arrived).  Returns (id_a, id_b, ham[, a_new, b_new]) with
+    id_a < id_b and ham <= max_hamming; requires globally unique ids.
+
+    Same scale shape as ``incremental_dedup_pairs``: the batch's band
+    assignment is tiny and broadcast-semi-joins the (corpus-sized)
+    index bucket store down to TOUCHED buckets where it is read; pair
+    expansion is bucket-local with the deterministic mega-bucket guard;
+    the verify join loads index fingerprints for candidate ids only.
+    Recall is pigeonhole-exact for max_hamming < n_bands."""
+    spark = new_df.sparkSession
+    new_hashes = new_df.select(
+        F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
+    ).persist()
+    new_bands = _hamming_bands(new_hashes, n_bands)
+    idx_bands = spark.read.parquet(os.path.join(index_path, "buckets"))
+    touched = F.broadcast(new_bands.select("__band__", "__slice__"))
+    idx_touched = idx_bands.join(
+        touched, ["__band__", "__slice__"], "left_semi"
+    )
+    all_bands = new_bands.unionByName(idx_touched)
+    raw_candidates = _bucket_local_pairs(
+        all_bands,
+        ["__band__", "__slice__"],
+        max_bucket_size,
+        "incremental_hamming_guard",
+    )
+    new_ids = new_hashes.select(F.col("__id__").alias("__nid__")).distinct()
+    candidates = (
+        raw_candidates.join(
+            F.broadcast(
+                new_ids.select(
+                    F.col("__nid__").alias("id_a"), F.lit(True).alias("__a__")
+                )
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                new_ids.select(
+                    F.col("__nid__").alias("id_b"), F.lit(True).alias("__b__")
+                )
+            ),
+            "id_b",
+            "left",
+        )
+        .filter(F.col("__a__").isNotNull() | F.col("__b__").isNotNull())
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__a__").isNotNull().alias("a_new"),
+            F.col("__b__").isNotNull().alias("b_new"),
+        )
+    )
+    cand_ids = F.broadcast(
+        candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias("__id__")
+        ).distinct()
+    )
+    idx_hashes = spark.read.parquet(os.path.join(index_path, "hashes"))
+    hashes = new_hashes.unionByName(
+        idx_hashes.join(cand_ids, "__id__", "left_semi")
+    ).persist()
+    ha = F.broadcast(
+        hashes.withColumnsRenamed({"__id__": "id_a", "__h__": "__ha__"})
+    )
+    hb = F.broadcast(
+        hashes.withColumnsRenamed({"__id__": "id_b", "__h__": "__hb__"})
+    )
+    verified = (
+        candidates.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("ham", F.expr("bit_count(__ha__ ^ __hb__)").cast("int"))
+        .filter(F.col("ham") <= max_hamming)
+        .select(
+            "id_a",
+            "id_b",
+            "ham",
+            *(["a_new", "b_new"] if keep_markers else []),
+        )
+    )
+    return _attach_cached_deps(verified, raw_candidates, new_hashes, hashes)

@@ -127,3 +127,64 @@ def test_pack_bits_64_msb_first():
     bits = np.zeros(64, dtype=np.uint8)
     bits[63] = 1
     assert _pack_bits_64(bits) == 1
+
+
+# -- incremental hamming index -------------------------------------------------
+
+
+def test_incremental_hamming_index_lifecycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.operators.incremental import (
+        append_to_hamming_index,
+        incremental_hamming_pairs,
+        write_hamming_index,
+    )
+
+    path = str(tmp_path / "himg")
+    # clusters of 4 via id % 5 over ids 0..19 (cluster_mod=5,
+    # perturb_at=10: ids 10..19 one dHash bit off their cluster base)
+    media = synthesize_gradient_bmp_media(
+        _ids_df(spark, 20), cluster_mod=5, perturb_at=10
+    )
+    hashes = image_dhash_stats(media).select("media_id", "dhash")
+    corpus = hashes.filter(F.col("media_id") < 10)       # ids 0..9
+    batch = hashes.filter(F.col("media_id") >= 10)       # ids 10..19
+    write_hamming_index(corpus, "media_id", "dhash", path)
+    got = {
+        (r.id_a, r.id_b): (r.ham, r.a_new, r.b_new)
+        for r in incremental_hamming_pairs(
+            batch, path, "media_id", "dhash", max_hamming=2,
+            keep_markers=True,
+        ).collect()
+    }
+    want = {}
+    for a in range(20):
+        for b in range(a + 1, 20):
+            if a % 5 == b % 5 and (a >= 10 or b >= 10):
+                ham = 0 if (a < 10) == (b < 10) else 1
+                want[(a, b)] = (ham, a >= 10, b >= 10)
+    assert got == want  # index-internal pairs never re-emitted
+
+    # append == rebuild: after absorbing the batch, a second batch of
+    # fresh perturbed copies pairs against BOTH generations
+    append_to_hamming_index(batch, "media_id", "dhash", path)
+    media2 = synthesize_gradient_bmp_media(
+        spark.range(20, 25).select(F.col("id").alias("doc_id")),
+        cluster_mod=5,
+        perturb_at=0,  # all perturbed, like ids 10..19
+    )
+    batch2 = image_dhash_stats(media2).select("media_id", "dhash")
+    got2 = {
+        (r.id_a, r.id_b): r.ham
+        for r in incremental_hamming_pairs(
+            batch2, path, "media_id", "dhash", max_hamming=2
+        ).collect()
+    }
+    want2 = {}
+    for b2 in range(20, 25):
+        for old in range(20):
+            if old % 5 == b2 % 5:
+                lo, hi = min(old, b2), max(old, b2)
+                want2[(lo, hi)] = 0 if old >= 10 else 1
+    assert got2 == want2

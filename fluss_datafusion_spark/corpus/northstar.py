@@ -4924,3 +4924,117 @@ def ns_dedup_image_incremental(spark, sf_dir):
         max_hamming=2,
         keep_markers=True,
     )
+
+
+@query(
+    "ns_multimodal_ingest_e2e", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents
+                 WHERE doc_id BETWEEN 125 AND 149),
+    bits AS (
+        SELECT id, list_sum(list_transform(range(64), k ->
+            CASE WHEN
+                (CASE WHEN id >= 100 AND ((k % 8) * 16) // 9 = 0
+                           AND 2 * (k // 8) = 0
+                      THEN 255
+                      ELSE (5 * (((k % 8) * 16) // 9) * (((k % 8) * 16) // 9)
+                              * (id % 50 + 1)
+                            + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                            + 13 * (((k % 8) * 16) // 9)) % 251
+                 END)
+                <
+                (5 * ((((k % 8) + 1) * 16) // 9) * ((((k % 8) + 1) * 16) // 9)
+                   * (id % 50 + 1)
+                 + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                 + 13 * ((((k % 8) + 1) * 16) // 9)) % 251
+            THEN CAST(1 AS HUGEINT) << (63 - CAST(k AS INTEGER))
+            ELSE CAST(0 AS HUGEINT) END)) AS raw
+        FROM ids
+    )
+    SELECT id AS media_id,
+           CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+           CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                     THEN raw - (CAST(1 AS HUGEINT) << 64)
+                     ELSE raw END AS BIGINT) AS dhash
+    FROM bits
+    """,
+)
+def ns_multimodal_ingest_e2e(spark, sf_dir):
+    """The COMPOSED continuous MEDIA-ingest pipeline, end to end (r8 —
+    operators/incremental.media_ingest_sink, the image twin of
+    ns_pipeline_ingest_e2e): ids 0..24 of the gradient-BMP fixture are
+    fingerprinted once into a persisted Hamming index; ids 100..199
+    (the perturbed copies) then arrive as TWO mtime-ordered micro-
+    batches (100..149, then 150..199) — per batch: decode + dHash in
+    one Arrow pass, probe the index (corpus-copy-wins drop rule),
+    upsert the surviving fingerprint records into a PK engine table,
+    append them to the index so the next batch dedups against them.
+
+    The whole decision tree is closed-form: batch 0's clusters 0..24
+    pair with the index at Hamming exactly 1 (one-bit perturbation,
+    pinned by test) and drop; clusters 25..49 are unseen and survive;
+    batch 1's clusters 0..24 drop against the original index rows and
+    25..49 drop at Hamming 0 against batch 0's freshly-appended
+    survivors.  Final table = ids 125..149 exactly, and DuckDB
+    re-derives each survivor's dhash BIT FOR BIT from the pixel
+    formula (the ns_multimodal_image_phash derivation)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import (
+        media_ingest_sink,
+        write_hamming_index,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mingest_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = os.path.join(root, "replay")
+    os.makedirs(replay)
+
+    media = multimodal.synthesize_gradient_bmp_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    hashes = multimodal.image_dhash_stats(media).select("media_id", "dhash")
+    index = os.path.join(root, "idx")
+    write_hamming_index(
+        hashes.filter(F.col("media_id") < 25), "media_id", "dhash", index
+    )
+    # two mtime-ordered replay chunks (fixture-sized: 50 tiny BMPs each)
+    base = _time.time()
+    for i, (lo, hi) in enumerate(((100, 150), (150, 200))):
+        pdf = (
+            media.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            .toPandas()
+            .sort_values("media_id")
+        )
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        os.utime(fp, (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE media_ingest (media_id BIGINT NOT NULL, width INT,"
+        " height INT, dhash BIGINT, ahash BIGINT, PRIMARY KEY (media_id))"
+    )
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    media_ingest_sink(
+        stream, e.catalog, "media_ingest", index, os.path.join(root, "ckpt")
+    ).awaitTermination()
+    return e.sql(
+        "SELECT media_id, width, height, dhash FROM media_ingest"
+    )

@@ -643,3 +643,128 @@ def incremental_hamming_pairs(
         )
     )
     return _attach_cached_deps(verified, raw_candidates, new_hashes, hashes)
+
+
+def media_ingest_sink(
+    stream_media: DataFrame,
+    catalog,
+    table: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    transform=None,
+    metrics: Optional[list] = None,
+):
+    """Continuous MEDIA ingest with perceptual dedup — the image twin of
+    ``dedup_ingest_sink``.  Per micro-batch:
+
+    0. (optional) apply ``transform`` — a (DataFrame) -> DataFrame
+       payload-level curation stage (size gates, scene-cut gating,
+       format allowlists) run before fingerprinting;
+    1. decode + fingerprint every payload in ONE Arrow-batched pass
+       (functions/multimodal.image_dhash_stats — payload bytes never
+       leave the executors) and drop undecodable rows: they reach
+       neither the table nor the index, and count as filtered;
+    2. probe the persisted Hamming index for perceptual near-dups
+       (incremental_hamming_pairs: batch-vs-corpus via touched-bucket
+       semi-join and batch-vs-batch, exact popcount verify at
+       ``max_hamming``) — O(batch) probe cost, never O(corpus);
+    3. drop rule identical to the text sink: the already-indexed corpus
+       copy always wins; batch-internal pairs drop the greater id;
+    4. upsert the survivors' FINGERPRINT RECORDS (id, width, height,
+       dhash, ahash) into the PK table.  At 100 TB the payload bytes
+       stay in the source object store — the engine table is the
+       dedup-authoritative metadata, not a second copy of the corpus;
+    5. append the survivors' fingerprints to the index so the NEXT
+       batch dedups against them too.
+
+    State lives in the index + the table; the streaming query itself is
+    stateless, so the pipeline restarts cleanly from the checkpoint.
+    ``metrics`` (optional list) records per batch: {batch_id, n_in,
+    n_filtered, n_dropped, n_kept} — n_filtered counts transform drops
+    plus undecodable payloads."""
+    from fluss_datafusion_spark.functions.multimodal import image_dhash_stats
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import contextlib
+
+        with contextlib.ExitStack() as stack:
+            raw_df = batch_df.persist()
+            stack.callback(raw_df.unpersist)
+            n_raw = raw_df.count()
+            if n_raw == 0:
+                return
+            cur = transform(raw_df) if transform else raw_df
+            fp = (
+                image_dhash_stats(
+                    cur.select(
+                        F.col(id_col).alias("media_id"),
+                        F.col(payload_col).alias("payload"),
+                    )
+                )
+                .filter(F.col("decoded_ok"))
+                .select(
+                    F.col("media_id").alias(id_col),
+                    "width",
+                    "height",
+                    "dhash",
+                    "ahash",
+                )
+                .persist()
+            )
+            stack.callback(fp.unpersist)
+            n_in = fp.count()
+            if n_in == 0:
+                if metrics is not None:
+                    metrics.append(
+                        {
+                            "batch_id": batch_id,
+                            "n_in": n_raw,
+                            "n_filtered": n_raw,
+                            "n_dropped": 0,
+                            "n_kept": 0,
+                        }
+                    )
+                return
+            pairs = incremental_hamming_pairs(
+                fp,
+                index_path,
+                id_col,
+                "dhash",
+                max_hamming=max_hamming,
+                n_bands=n_bands,
+                keep_markers=True,
+            )
+            drop = pairs.select(
+                F.when(~F.col("b_new"), F.col("id_a"))
+                .when(~F.col("a_new"), F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b"))
+                .alias(id_col)
+            ).distinct()
+            survivors = fp.join(drop, id_col, "left_anti").persist()
+            n_kept = catalog.insert(table, survivors)
+            release_candidate_cache(pairs)
+            append_to_hamming_index(
+                survivors, id_col, "dhash", index_path, n_bands=n_bands
+            )
+            if metrics is not None:
+                metrics.append(
+                    {
+                        "batch_id": batch_id,
+                        "n_in": n_raw,
+                        "n_filtered": n_raw - n_in,
+                        "n_dropped": n_in - n_kept,
+                        "n_kept": n_kept,
+                    }
+                )
+            survivors.unpersist()
+
+    return (
+        stream_media.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,216 @@
+"""Continuous media ingest with perceptual dedup
+(operators/incremental.media_ingest_sink): end-to-end drop decisions
+across micro-batches, appended == rebuilt index equality, undecodable
+payload quarantine, and metrics accounting."""
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark import EngineSession
+from fluss_datafusion_spark.functions.multimodal import (
+    image_dhash_stats,
+    synthesize_gradient_bmp_media,
+)
+from fluss_datafusion_spark.operators.incremental import (
+    media_ingest_sink,
+    write_hamming_index,
+)
+
+
+def _media(spark, lo, hi):
+    return synthesize_gradient_bmp_media(
+        spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+    )
+
+
+def _write_chunks(media_df, out_dir, bounds):
+    """One mtime-ordered parquet file per (lo, hi) id range."""
+    os.makedirs(out_dir, exist_ok=True)
+    base = time.time()
+    for i, (lo, hi) in enumerate(bounds):
+        pdf = (
+            media_df.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            .toPandas()
+            .sort_values("media_id")
+        )
+        fp = os.path.join(out_dir, f"b{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        os.utime(fp, (base + i, base + i))
+    return out_dir
+
+
+def _stream(spark, replay):
+    return (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+
+def _setup(spark, tmp, index_ids=25):
+    """Index over unperturbed ids [0, index_ids); engine table ready."""
+    media = _media(spark, 0, 200)
+    hashes = image_dhash_stats(media).select("media_id", "dhash")
+    index = str(tmp / "idx")
+    write_hamming_index(
+        hashes.filter(F.col("media_id") < index_ids),
+        "media_id",
+        "dhash",
+        index,
+    )
+    e = EngineSession(spark=spark, warehouse=str(tmp / "wh"))
+    e.sql(
+        "CREATE TABLE media_tbl (media_id BIGINT NOT NULL, width INT,"
+        " height INT, dhash BIGINT, ahash BIGINT, PRIMARY KEY (media_id))"
+    )
+    return media, index, e
+
+
+def test_media_ingest_end_to_end(spark, tmp_path):
+    """Two batches: batch-0 clusters seen in the index drop at Hamming 1;
+    unseen clusters survive and are appended; batch-1 then drops
+    ENTIRELY — half against the original index, half at Hamming 0
+    against batch-0's survivors."""
+    media, index, e = _setup(spark, tmp_path)
+    replay = _write_chunks(
+        media, str(tmp_path / "replay"), ((100, 150), (150, 200))
+    )
+    metrics = []
+    media_ingest_sink(
+        _stream(spark, replay),
+        e.catalog,
+        "media_tbl",
+        index,
+        str(tmp_path / "ckpt"),
+        metrics=metrics,
+    ).awaitTermination()
+
+    got = sorted(
+        r.media_id for r in e.sql("SELECT media_id FROM media_tbl").collect()
+    )
+    assert got == list(range(125, 150))
+    assert metrics == [
+        {"batch_id": 0, "n_in": 50, "n_filtered": 0, "n_dropped": 25,
+         "n_kept": 25},
+        {"batch_id": 1, "n_in": 50, "n_filtered": 0, "n_dropped": 50,
+         "n_kept": 0},
+    ]
+    # survivors' fingerprints are faithful: table rows == direct derivation
+    want = {
+        r.media_id: (r.width, r.height, r.dhash)
+        for r in image_dhash_stats(media)
+        .filter(F.col("media_id").between(125, 149))
+        .collect()
+    }
+    rows = e.sql(
+        "SELECT media_id, width, height, dhash FROM media_tbl"
+    ).collect()
+    assert {r.media_id: (r.width, r.height, r.dhash) for r in rows} == want
+
+
+def test_media_ingest_appended_equals_rebuilt(spark, tmp_path):
+    """The index after ingest equals one rebuilt from scratch over
+    (original corpus + survivors) — the pure-append discipline."""
+    media, index, e = _setup(spark, tmp_path)
+    replay = _write_chunks(
+        media, str(tmp_path / "replay"), ((100, 150), (150, 200))
+    )
+    media_ingest_sink(
+        _stream(spark, replay),
+        e.catalog,
+        "media_tbl",
+        index,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    final_ids = F.col("media_id") < 25
+    write_hamming_index(
+        image_dhash_stats(media)
+        .filter(final_ids | F.col("media_id").between(125, 149))
+        .select("media_id", "dhash"),
+        "media_id",
+        "dhash",
+        rebuilt,
+    )
+    for store in ("hashes", "buckets"):
+        a = spark.read.parquet(os.path.join(index, store))
+        b = spark.read.parquet(os.path.join(rebuilt, store))
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), store
+
+
+def test_media_ingest_undecodable_quarantined(spark, tmp_path):
+    """Garbage payloads are filtered: never inserted, never indexed,
+    counted in n_filtered."""
+    media, index, e = _setup(spark, tmp_path)
+    pdf = (
+        media.filter(F.col("media_id").between(125, 129))
+        .toPandas()
+        .sort_values("media_id")
+    )
+    pdf.loc[pdf["media_id"] == 127, "payload"] = b"\x00not-an-image"
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    fp = os.path.join(replay, "b00000.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+
+    metrics = []
+    media_ingest_sink(
+        _stream(spark, replay),
+        e.catalog,
+        "media_tbl",
+        index,
+        str(tmp_path / "ckpt"),
+        metrics=metrics,
+    ).awaitTermination()
+
+    got = sorted(
+        r.media_id for r in e.sql("SELECT media_id FROM media_tbl").collect()
+    )
+    assert got == [125, 126, 128, 129]
+    assert metrics == [
+        {"batch_id": 0, "n_in": 5, "n_filtered": 1, "n_dropped": 0,
+         "n_kept": 4},
+    ]
+    idx_ids = {
+        r["__id__"]
+        for r in spark.read.parquet(os.path.join(index, "hashes")).collect()
+    }
+    assert 127 not in idx_ids and {125, 126, 128, 129} <= idx_ids
+
+
+def test_media_ingest_transform_hook(spark, tmp_path):
+    """A payload-level transform (size gate) runs before fingerprinting
+    and its drops count as filtered."""
+    media, index, e = _setup(spark, tmp_path)
+    replay = _write_chunks(media, str(tmp_path / "replay"), ((125, 135),))
+
+    def gate(df):
+        # keep even ids only — a stand-in for any payload curation rule
+        return df.filter(F.col("media_id") % 2 == 0)
+
+    metrics = []
+    media_ingest_sink(
+        _stream(spark, replay),
+        e.catalog,
+        "media_tbl",
+        index,
+        str(tmp_path / "ckpt"),
+        transform=gate,
+        metrics=metrics,
+    ).awaitTermination()
+    got = sorted(
+        r.media_id for r in e.sql("SELECT media_id FROM media_tbl").collect()
+    )
+    assert got == [126, 128, 130, 132, 134]
+    assert metrics == [
+        {"batch_id": 0, "n_in": 10, "n_filtered": 5, "n_dropped": 0,
+         "n_kept": 5},
+    ]

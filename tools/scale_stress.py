@@ -38,6 +38,74 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def build_media(spark, docs_path: str, root: str, scale: int) -> str:
+    """Per-doc synthesized BMPs with cluster structure that stays LINEAR
+    under tiling: cluster = doc_id // 10 (always exactly 10 members at
+    any scale), image content = the md5(cluster) bit plane rendered as
+    a 16x16 two-level BMP.  The library's gradient fixture
+    (synthesize_gradient_bmp_media) is NOT reusable here: its pixel
+    formula is periodic in cluster mod 251, so past 251 clusters
+    distinct clusters alias to identical images and the pair output
+    goes quadratic — an artifact of the fixture, not the operator.
+    md5 gives ~uniform 64-bit dHashes, so cross-cluster Hamming <= 2
+    collisions are ~1e-16 per pair and the output is 45 pairs/cluster,
+    exactly linear in the corpus."""
+    import hashlib
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"media_x{scale}")
+
+    def _bmp(cluster: int) -> bytes:
+        bits = hashlib.md5(str(cluster).encode()).digest()
+        w = h = 16
+        stride = (w * 3 + 3) & ~3
+        pad = b"\x00" * (stride - 3 * w)
+        rows = []
+        for y_store in range(h):
+            y = h - 1 - y_store
+            row = bytearray()
+            for x in range(w):
+                k = (x + 16 * y) % 128
+                g = 200 if (bits[k // 8] >> (k % 8)) & 1 else 10
+                row += bytes([g, g, g])
+            rows.append(bytes(row) + pad)
+        data = b"".join(rows)
+        header = (
+            b"BM" + struct.pack("<I", 54 + len(data)) + b"\x00" * 4
+            + struct.pack("<I", 54)
+        )
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        return header + info + data
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = {}
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                c = int(i) // 10
+                if c not in cache:
+                    cache[c] = _bmp(c)
+                payloads.append(cache[c])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    (
+        spark.read.parquet(docs_path)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def build_tiled(spark, sf_dir: str, scale: int, root: str):
     """(documents_path, embeddings_path) tiled ``scale``x."""
     from pyspark.sql import functions as F
@@ -101,13 +169,15 @@ def build_tiled(spark, sf_dir: str, scale: int, root: str):
     return out_docs, out_emb
 
 
-def run_ops(spark, docs_path: str, emb_path: str) -> dict:
+def run_ops(spark, docs_path: str, emb_path: str, media_path: str) -> dict:
     from pyspark.sql import functions as F
 
+    from fluss_datafusion_spark.functions import multimodal
     from fluss_datafusion_spark.operators import dedup, retrieval, similarity
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
+    media = spark.read.parquet(media_path)
     queries_vec = emb.filter(F.col("vec_id") % 211 == 0).limit(5)
     queries_txt = spark.createDataFrame(
         [(0, "hash join fast"), (1, "table scan slow")], ["qid", "qtext"]
@@ -153,6 +223,24 @@ def run_ops(spark, docs_path: str, emb_path: str) -> dict:
             docs, "doc_id", "text", queries_txt, "qid", "qtext", k=10
         ),
     )
+    # full perceptual-dedup path: Arrow-batched BMP decode + dHash, then
+    # banded Hamming LSH pairs (r8 operators)
+    bench(
+        "dedup_image_phash",
+        lambda: dedup.hamming_near_dup_pairs(
+            multimodal.image_dhash_stats(media).select("media_id", "dhash"),
+            "media_id",
+            "dhash",
+            max_hamming=2,
+        ),
+    )
+    bench(
+        "ann_ivfpq_topk",
+        lambda: similarity.pq_ann_topk(
+            emb, queries_vec, "vec_id", "embedding", "vec_id", "embedding",
+            k=11, n_centroids=16, n_probe=4, m=8, ks=16, n_iters=2,
+        ),
+    )
     return timings
 
 
@@ -161,6 +249,11 @@ def main() -> None:
     parser.add_argument("--scales", default="1,10,100")
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     parser.add_argument("--out", default="SCALE.md")
+    parser.add_argument(
+        "--note",
+        default="",
+        help="round-specific caveat paragraph appended under the protocol",
+    )
     args = parser.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -177,8 +270,12 @@ def main() -> None:
             docs_path, emb_path = build_tiled(
                 spark, args.sf_dir, scale, root
             )
+            media_path = build_media(spark, docs_path, root, scale)
             n_docs = spark.read.parquet(docs_path).count()
-            results[scale] = (n_docs, run_ops(spark, docs_path, emb_path))
+            results[scale] = (
+                n_docs,
+                run_ops(spark, docs_path, emb_path, media_path),
+            )
             print(f"scale x{scale} ({n_docs} docs): {results[scale][1]}")
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -187,6 +284,18 @@ def main() -> None:
     ops = list(results[scales[0]][1])
     lines = [
         "# SCALE — tiled scale-stress evidence (tools/scale_stress.py)",
+        "",
+        "Protocol (r8, the single source of truth for scale numbers):",
+        "this table is regenerated by `python tools/scale_stress.py` on a",
+        "quiet VM, fresh session, at the end of any round that touches a",
+        "measured op; any scale number quoted in ROADMAP/README must cite",
+        "this table's round.  PySpark's per-call error-context capture is",
+        "disabled by build_spark (~4 py4j round-trips per DataFrame call",
+        "otherwise).",
+    ]
+    if args.note:
+        lines += ["", args.note]
+    lines += [
         "",
         f"Base: {args.sf_dir} documents/embeddings, tiled with disjoint",
         "shingle spaces per copy (outputs stay linear in the input).",

@@ -5038,3 +5038,140 @@ def ns_multimodal_ingest_e2e(spark, sf_dir):
     return e.sql(
         "SELECT media_id, width, height, dhash FROM media_ingest"
     )
+
+
+@query(
+    "ns_curation_blocklist", extended=True,
+    oracle="""
+    WITH terms AS (
+        SELECT * FROM (VALUES ('slow'), ('vector'), ('hash value'),
+                              ('table window')) t(term)
+    ),
+    norm AS (
+        SELECT doc_id,
+               ' ' || array_to_string(
+                   regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')
+               || ' ' AS norm_text
+        FROM documents
+    ),
+    hits AS (
+        SELECT n.doc_id, t.term
+        FROM norm n JOIN terms t
+          ON position(' ' || t.term || ' ' IN n.norm_text) > 0
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(DISTINCT term) AS INTEGER) AS n_hits,
+               list_sort(list(DISTINCT term)) AS hit_terms
+        FROM hits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_hits, 0) AS n_hits,
+           COALESCE(a.hit_terms, []) AS hit_terms,
+           COALESCE(a.n_hits, 0) > 0 AS blocked
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def ns_curation_blocklist(spark, sf_dir):
+    """C4-style bad-words filtering (r8 —
+    operators/curation.blocklist_filter; Raffel et al. 2020 §2.2
+    dropped any page containing a blocklisted word): flag documents
+    containing any of four terms — two single words and two multi-word
+    phrases (one deliberately mis-cased/mis-spaced to pin the term
+    normalization).  The engine plans it as a token equi-JOIN (distinct
+    doc tokens x term first-word) + word-boundary containment verify —
+    never a giant regex alternation; DuckDB replays the same boundary
+    rule by substring position over the space-normalized text."""
+    from fluss_datafusion_spark.operators.curation import blocklist_filter
+
+    docs = t(spark, sf_dir, "documents")
+    bl = spark.createDataFrame(
+        [("slow",), ("vector",), ("Hash   Value",), ("table window",)],
+        ["term"],
+    )
+    return blocklist_filter(docs, bl, "doc_id", "text")
+
+
+@query(
+    "ns_sim_ann_binary", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id, v,
+               list_sum(list_transform(range(64), i ->
+                   CASE WHEN v[CAST(i AS INTEGER) + 1] > 0
+                        THEN CAST(1 AS HUGEINT) << (63 - CAST(i AS INTEGER))
+                        ELSE CAST(0 AS HUGEINT) END)) AS raw
+        FROM e
+    ),
+    signed AS (
+        SELECT vec_id, v,
+               CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                         THEN raw - (CAST(1 AS HUGEINT) << 64)
+                         ELSE raw END AS BIGINT) AS code
+        FROM codes
+    ),
+    ham AS (
+        SELECT q.vec_id, c.vec_id AS neighbor_id,
+               bit_count(xor(q.code, c.code)) AS ham, q.v AS qv, c.v AS cv
+        FROM signed q JOIN signed c ON q.vec_id < 5
+    ),
+    shortlist AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ham, neighbor_id) AS r
+            FROM ham
+        ) WHERE r <= 44
+    ),
+    rerank AS (
+        SELECT vec_id, neighbor_id, CAST(ham AS INTEGER) AS ham,
+               list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                  * sqrt(list_sum(list_transform(cv, x -> x*x)))) AS cos
+        FROM shortlist WHERE neighbor_id <> vec_id
+    )
+    SELECT vec_id, neighbor_id, ham, round(cos, 6) AS cos,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM rerank
+    ) WHERE rank <= 10
+    """,
+)
+def ns_sim_ann_binary(spark, sf_dir):
+    """Binary-quantization ANN, algorithm-replicated cross-engine (r8 —
+    operators/embeddings.binarize_sign +
+    operators/similarity.binary_ann_topk): sign-bit codes (32x smaller
+    than float32), XOR+popcount Hamming shortlist of rerank*k = 44 per
+    query (ties by neighbor id), exact-cosine re-rank of the shortlist
+    only.  DuckDB re-packs every code BIT FOR BIT (MSB-first fold,
+    signed conversion), replays the same (ham, id)-ordered shortlist
+    and the same rerank — a single wrong bit, shortlist slot, or rank
+    hash-mismatches.  The scan-side win is the point at 100 TB: phase 1
+    reads two bigints per row, raw vectors cross the wire for
+    shortlist ids only."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    res = similarity.binary_ann_topk(
+        emb, q, "vec_id", "embedding", "vec_id", "embedding",
+        k=11, rerank=4,
+    )
+    res = res.filter(F.col("neighbor_id") != F.col("vec_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        res.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "vec_id", "neighbor_id", "ham",
+            F.round("cos", 6).alias("cos"), "rank",
+        )
+    )

@@ -1300,3 +1300,77 @@ def compression_ratio_stats(
     return df.select(id_col, text_col).mapInPandas(
         _map, f"{id_col} long, raw_len long, compressed_len long, ratio double"
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_col: str = "term",
+) -> DataFrame:
+    """C4-style bad-words filtering (Raffel et al. 2020 §2.2 removed any
+    page containing a word on a public blocklist): flag every document
+    containing any blocklist TERM, where a term is one lowercase word
+    or a multi-word phrase matched on word boundaries.
+
+    Scale shape — a JOIN, not a regex union: the document side explodes
+    to DISTINCT lowercased tokens (corpus-token-sized, map-side
+    combined) and equi-joins the blocklist on the term's FIRST word;
+    multi-word phrases then verify by word-boundary containment on the
+    space-normalized text.  A 50k-term list as one regex alternation is
+    quadratic-ish per char in the automaton and un-pushable; the join
+    form broadcasts a small list automatically (AQE) and shuffles both
+    sides when the list itself is corpus-scale (trademark/URL lists).
+    No UDFs anywhere.
+
+    Returns one row per input document: (id, n_hits = distinct matched
+    terms, hit_terms = sorted array, blocked = n_hits > 0)."""
+    norm_text = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), " "),
+        F.lit(" "),
+    )
+    doc_tokens = docs.select(
+        F.col(id_col).alias("__id__"),
+        norm_text.alias("__norm__"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("__tok__"),
+    )
+    # normalize the term exactly like the text: lowercase, whitespace
+    # runs collapsed to single spaces (so " Hash   Value " matches)
+    terms = blocklist.select(
+        F.array_join(
+            F.split(F.lower(F.trim(F.col(term_col))), r"\s+"), " "
+        ).alias("__term__")
+    ).distinct()
+    terms = terms.withColumn(
+        "__tok__", F.split(F.col("__term__"), r"\s+").getItem(0)
+    )
+    hits = (
+        doc_tokens.join(terms, "__tok__")
+        .filter(
+            F.col("__norm__").contains(
+                F.concat(F.lit(" "), F.col("__term__"), F.lit(" "))
+            )
+        )
+        .groupBy("__id__")
+        .agg(
+            F.count_distinct("__term__").alias("n_hits"),
+            F.array_sort(F.collect_set("__term__")).alias("hit_terms"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id__"))
+        .distinct()
+        .join(hits, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.coalesce(
+                F.col("hit_terms"), F.array().cast("array<string>")
+            ).alias("hit_terms"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("blocked"),
+        )
+    )

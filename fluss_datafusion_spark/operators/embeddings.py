@@ -260,3 +260,48 @@ def hashed_tf_vectors(
             F.coalesce(F.col("__v__"), zero).alias("vector"),
         )
     )
+
+
+def binarize_sign(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "bcode",
+    dim: int | None = None,
+) -> DataFrame:
+    """Binary (sign-bit) embedding quantization: append ``out_col`` =
+    ``array<bigint>`` packing bit_i = (v[i] > 0) MSB-first into
+    ceil(dim/64) words — 32x smaller than float32, and Hamming distance
+    over the codes approximates angular distance (Charikar STOC 2002:
+    for unit vectors P[sign bits differ] = angle/pi per coordinate
+    hyperplane; here the hyperplanes are the coordinate axes, the
+    standard "binary quantization" in vector databases).
+
+    Pure JVM expressions (one aggregate-fold per word, whole-stage
+    codegen) — no UDF, no shuffle, no driver data.  ``dim`` is read
+    from one row when not given (plan-time scalar).  The fold shifts
+    left once per element, so a full word's first element lands at bit
+    63 and the last word of a non-multiple-of-64 dim packs its bits in
+    the LOW positions — any consistent convention works; codes of
+    equal-dim vectors are always comparable.
+
+    Pairs with ``similarity.binary_ann_topk`` (Hamming shortlist +
+    exact rerank) and ``dedup.hamming_near_dup_pairs`` (banded
+    near-dup over single-word codes)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first["d"]
+    n_words = (dim + 63) // 64
+    words = []
+    for w in range(n_words):
+        lo = w * 64
+        width = min(64, dim - lo)
+        word = F.aggregate(
+            F.slice(F.col(vec_col), lo + 1, width),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, 1)
+            + (x > 0).cast("long"),
+        )
+        words.append(word)
+    return df.withColumn(out_col, F.array(*words))

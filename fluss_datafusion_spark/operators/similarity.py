@@ -986,3 +986,108 @@ def pq_ann_topk(
     return exact.withColumn("rank", F.row_number().over(wf)).filter(
         F.col("rank") <= k
     )
+
+
+def binary_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    rerank: int = 4,
+    dim: int | None = None,
+    corpus_code: str | None = None,
+) -> DataFrame:
+    """Binary-quantization ANN (the vector-database "binary quantize +
+    rescore" shape): sign-bit codes (embeddings.binarize_sign, 32x
+    smaller than float32) are scanned with XOR+popcount Hamming
+    distance to build a ``rerank * k`` shortlist per query, then ONLY
+    the shortlist's raw vectors are fetched for exact-cosine re-ranking
+    — top-k is exact-on-the-shortlist.
+
+    Scale shape: the per-query top-(rerank*k) shuffle carries CODES
+    ONLY (a handful of bigints per row, never the float vectors);
+    phase 2 broadcast-semi-joins the shortlist ids back to the corpus,
+    so raw vectors cross the wire for candidate rows only.  Pass
+    ``corpus_code`` (a column precomputed once by
+    embeddings.binarize_sign and persisted) to make phase 1's SCAN
+    touch ~3% of the float bytes too — with codes derived on the fly
+    the scan still reads the vectors, it just never shuffles them.
+    No index build: this is the zero-maintenance middle ground between
+    brute force (full float scan) and IVF (train + route).
+
+    Determinism: both phases break ties by neighbor id.  Returns
+    (query_id, neighbor_id, ham, cos, rank) — rank 1..k by exact
+    cosine over the shortlist."""
+    from fluss_datafusion_spark.operators.embeddings import binarize_sign
+
+    if corpus_code is not None:
+        c_codes = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_code).alias("__cc__"),
+        )
+    else:
+        c_codes = binarize_sign(
+            corpus.select(
+                F.col(corpus_id).alias("neighbor_id"),
+                F.col(corpus_vec).alias("__cv__"),
+            ),
+            "__cv__",
+            out_col="__cc__",
+            dim=dim,
+        ).select("neighbor_id", "__cc__")
+    q = binarize_sign(
+        queries.select(
+            F.col(query_id).alias("__qid__"),
+            F.col(query_vec).alias("__qv__"),
+        ),
+        "__qv__",
+        out_col="__qc__",
+        dim=dim,
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("__qc__"),
+            F.col("__cc__"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("__qid__").orderBy("ham", "neighbor_id")
+    shortlist = (
+        F.broadcast(q.select("__qid__", "__qc__"))
+        .crossJoin(spread_small_scan(c_codes))
+        .select("__qid__", "neighbor_id", ham.alias("ham"))
+        .withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= rerank * k)
+        .drop("__r__")
+    )
+    cand_vecs = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv__"),
+    ).join(
+        F.broadcast(shortlist.select("neighbor_id").distinct()),
+        "neighbor_id",
+        "left_semi",
+    )
+    exact = (
+        shortlist.join(
+            F.broadcast(q.select("__qid__", "__qv__")), "__qid__"
+        )
+        .join(cand_vecs, "neighbor_id")
+        .select(
+            F.col("__qid__").alias(query_id),
+            "neighbor_id",
+            "ham",
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cos"),
+        )
+    )
+    wf = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(wf)).filter(
+        F.col("rank") <= k
+    )

@@ -5175,3 +5175,121 @@ def ns_sim_ann_binary(spark, sf_dir):
             F.round("cos", 6).alias("cos"), "rank",
         )
     )
+
+
+def _fs_em_oracle_sql(iters: int = 3) -> str:
+    """Unrolled-EM DuckDB oracle for ns_linkage_fs_em: replicates
+    fs_em_fit's E/M recurrences CTE by CTE (pattern-count table, w per
+    pattern, clamped parameter updates), then the log2 scoring rule —
+    every arithmetic step is the operator's, so a wrong update formula,
+    clamp, or denominator hash-mismatches."""
+    fields = ["a_nation", "a_seg", "a_bal"]
+
+    def prod(side: str) -> str:
+        return " * ".join(
+            f"(CASE WHEN {f} = 1 THEN {side}{i} ELSE 1 - {side}{i} END)"
+            for i, f in enumerate(fields, 1)
+        )
+
+    sql = """
+    WITH pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(a.c_nationkey = b.c_nationkey AS INTEGER) AS a_nation,
+               CAST(a.c_mktsegment = b.c_mktsegment AS INTEGER) AS a_seg,
+               CAST((a.c_acctbal > 0) = (b.c_acctbal > 0)
+                    AS INTEGER) AS a_bal
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 25
+    ),
+    patt AS (
+        SELECT a_nation, a_seg, a_bal, count(*) AS n
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    it0 AS (SELECT 0.1 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+                   0.1 AS u1, 0.1 AS u2, 0.1 AS u3)"""
+    cur = "it0"
+    for t in range(1, iters + 1):
+        sql += f""",
+    e{t} AS (
+        SELECT patt.*,
+               (p * {prod('m')})
+               / ((p * {prod('m')}) + ((1 - p) * {prod('u')})) AS w
+        FROM patt, {cur}
+    ),
+    it{t} AS (
+        SELECT least(greatest(sum(n * w) / sum(n), 1e-6), 1 - 1e-6) AS p"""
+        for i, f in enumerate(fields, 1):
+            sql += f""",
+               least(greatest(sum(n * w * {f}) / sum(n * w),
+                              1e-6), 1 - 1e-6) AS m{i},
+               least(greatest(sum(n * (1 - w) * {f})
+                              / (sum(n) - sum(n * w)),
+                              1e-6), 1 - 1e-6) AS u{i}"""
+        sql += f"""
+        FROM e{t}
+    )"""
+        cur = f"it{t}"
+    weight = " + ".join(
+        f"(CASE WHEN {f} = 1 THEN log2(m{i} / u{i})"
+        f" ELSE log2((1 - m{i}) / (1 - u{i})) END)"
+        for i, f in enumerate(fields, 1)
+    )
+    sql += f""",
+    scored AS (
+        SELECT pairs.*, {weight} AS match_weight, p
+        FROM pairs, {cur}
+    )
+    SELECT id_a, id_b, a_nation, a_seg, a_bal,
+           round(match_weight, 6) AS match_weight,
+           round((p / (1 - p) * pow(2.0, match_weight))
+                 / (1 + p / (1 - p) * pow(2.0, match_weight)), 6)
+               AS match_prob
+    FROM scored
+    """
+    return sql
+
+
+@query("ns_linkage_fs_em", extended=True, oracle=_fs_em_oracle_sql())
+def ns_linkage_fs_em(spark, sf_dir):
+    """Probabilistic record linkage, EM-replicated cross-engine (r8 —
+    operators/linkage.fs_em_fit/fs_score; Fellegi–Sunter 1969 + Winkler
+    1988, the Splink/fastLink shape): candidate pairs (customer k vs
+    k+25) carry three binary agreement fields (nation, market segment,
+    account-balance sign); 3 EM iterations fit (p, m_k, u_k) from
+    the DISTINCT-pattern count table (<= 8 rows — the fit cost is
+    corpus-independent), then every pair is scored with the log2
+    likelihood ratio and posterior.  The oracle unrolls the SAME three
+    E/M steps CTE by CTE in DuckDB — any wrong update formula, clamp,
+    denominator, or scoring constant hash-mismatches at 6 decimals."""
+    from fluss_datafusion_spark.operators.linkage import fs_em_fit, fs_score
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("__na__"),
+        F.col("c_mktsegment").alias("__sa__"),
+        F.col("c_acctbal").alias("__pa__"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("__nb__"),
+        F.col("c_mktsegment").alias("__sb__"),
+        F.col("c_acctbal").alias("__pb__"),
+    )
+    pairs = a.join(b, b["id_b"] == a["id_a"] + 25).select(
+        "id_a",
+        "id_b",
+        (F.col("__na__") == F.col("__nb__")).cast("int").alias("a_nation"),
+        (F.col("__sa__") == F.col("__sb__")).cast("int").alias("a_seg"),
+        ((F.col("__pa__") > 0) == (F.col("__pb__") > 0))
+        .cast("int")
+        .alias("a_bal"),
+    )
+    cols = ["a_nation", "a_seg", "a_bal"]
+    model = fs_em_fit(pairs, cols, iters=3)
+    return fs_score(pairs, cols, model).select(
+        "id_a", "id_b", *cols,
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_prob", 6).alias("match_prob"),
+    )

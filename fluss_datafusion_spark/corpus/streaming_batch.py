@@ -1009,3 +1009,83 @@ def st_time_weighted_avg(spark, sf_dir):
         F.round("twa", 6).alias("twa"),
         F.round("covered_seconds", 3).alias("covered_seconds"),
     )
+
+
+@query(
+    "stream_drift", extended=True,
+    oracle="""
+    WITH src AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    edges AS (SELECT min(value) AS mn, max(value) AS mx FROM src),
+    refh AS (
+        SELECT bin, count(*) AS n FROM (
+            SELECT CASE WHEN value IS NULL THEN -1
+                        ELSE greatest(0, least(9,
+                             CAST(floor((value - mn) / ((mx - mn) / 10))
+                                  AS INT)))
+                   END AS bin
+            FROM src, edges) GROUP BY 1
+    ),
+    allbins AS (SELECT unnest(range(-1, 10)) AS bin),
+    reff AS (
+        SELECT b.bin,
+               greatest(COALESCE(n, 0) / (SELECT sum(n) FROM refh),
+                        9.5367431640625e-07) AS r
+        FROM allbins b LEFT JOIN refh USING (bin)
+    ),
+    curb AS (
+        SELECT date_trunc('hour', ts) AS ws,
+               CASE WHEN value IS NULL THEN -1
+                    ELSE greatest(0, least(9,
+                         CAST(floor((value - mn) / ((mx - mn) / 10))
+                              AS INT)))
+               END AS bin
+        FROM src, edges
+    ),
+    tot AS (SELECT ws, count(*) AS n FROM curb GROUP BY 1),
+    curh AS (SELECT ws, bin, count(*) AS nb FROM curb GROUP BY 1, 2),
+    grid AS (SELECT ws, bin FROM (SELECT DISTINCT ws FROM curb), allbins),
+    curf AS (
+        SELECT g.ws, g.bin, t.n,
+               greatest(COALESCE(nb, 0) / t.n, 9.5367431640625e-07) AS c
+        FROM grid g LEFT JOIN curh USING (ws, bin) JOIN tot t USING (ws)
+    ),
+    j AS (SELECT ws, n, c, r FROM curf JOIN reff USING (bin))
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           'value' AS "column", n,
+           round(sum((c - r) * ln(c / r)), 6) AS psi,
+           round(sum(c * ln(c / r)), 6) AS kl,
+           round(sum(abs(c - r)) / 2, 6) AS tv,
+           sum((c - r) * ln(c / r)) > 0.25 AS drifted
+    FROM j GROUP BY ws, n
+    """,
+)
+def stream_drift(spark, sf_dir):
+    """LIVE drift monitoring through the real engine (r8 —
+    streaming.events.drift_stream + operators.drift.reference_model):
+    the events table's value distribution is frozen into a reference
+    model (bin edges + ε-smoothed fractions), then the table replays as
+    an 8-chunk stream and every 1-hour event-time window's PSI / KL /
+    total-variation against the reference lands in the sink from ONE
+    streaming aggregation (per-bin conditional counts, all JVM).
+    DuckDB re-derives the binning, both histograms, the smoothing, and
+    all three statistics closed-form per window — the streaming answer
+    must equal the batch derivation exactly (in-order replay, complete
+    mode)."""
+    from fluss_datafusion_spark.operators.drift import reference_model
+    from fluss_datafusion_spark.streaming.events import drift_stream
+
+    ev = t(spark, sf_dir, "events")
+    # eps = 2**-20: binary-exact and OFF the 6-decimal rounding grid —
+    # with the default 1e-6 the |c - eps| terms land EXACTLY on
+    # x.xxxxxx5 boundaries and cross-engine last-ulp noise flips the
+    # rounded value (observed: 39/720 rows off by 1e-6 in tv)
+    model = reference_model(
+        ev.select("value"), ["value"], n_bins=10, eps=2**-20
+    )
+    return _replayed(
+        spark,
+        sf_dir,
+        "drift",
+        lambda s: drift_stream(s, model, ["value"], window="1 hour"),
+        "complete",
+    )

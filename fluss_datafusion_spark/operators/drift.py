@@ -55,6 +55,24 @@ def _bin_edges(ref: DataFrame, columns: Sequence[str]):
     return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in columns}
 
 
+def _bin_expr(c: str, mn, mx, n_bins: int):
+    """The shared fixed-width bin id expression (see module docstring);
+    also the streaming monitor's binning, so batch and stream agree by
+    construction."""
+    x = F.col(c).cast("double")
+    if mn is None or mx is None or mx <= mn:
+        # degenerate reference (constant or all-NULL column): one
+        # value bin — everything that equals the constant lands in
+        # bin 0, anything else clamps there too; drift then shows
+        # only through the NULL bin, documented behavior
+        return F.when(x.isNull(), F.lit(_NULL_BIN)).otherwise(F.lit(0))
+    width = (mx - mn) / n_bins
+    raw = F.floor((x - F.lit(mn)) / F.lit(width)).cast("int")
+    return F.when(x.isNull(), F.lit(_NULL_BIN)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw))
+    )
+
+
 def _histogram(
     df: DataFrame, columns: Sequence[str], edges, n_bins: int
 ) -> DataFrame:
@@ -63,25 +81,11 @@ def _histogram(
     structs = []
     for c in columns:
         mn, mx = edges[c]
-        x = F.col(c).cast("double")
-        if mn is None or mx is None or mx <= mn:
-            # degenerate reference (constant or all-NULL column): one
-            # value bin — everything that equals the constant lands in
-            # bin 0, anything else clamps there too; drift then shows
-            # only through the NULL bin, documented behavior
-            bin_expr = F.when(x.isNull(), F.lit(_NULL_BIN)).otherwise(
-                F.lit(0)
-            )
-        else:
-            width = (mx - mn) / n_bins
-            raw = F.floor((x - F.lit(mn)) / F.lit(width)).cast("int")
-            bin_expr = F.when(x.isNull(), F.lit(_NULL_BIN)).otherwise(
-                F.greatest(
-                    F.lit(0), F.least(F.lit(n_bins - 1), raw)
-                )
-            )
         structs.append(
-            F.struct(F.lit(c).alias("column"), bin_expr.alias("bin"))
+            F.struct(
+                F.lit(c).alias("column"),
+                _bin_expr(c, mn, mx, n_bins).alias("bin"),
+            )
         )
     return (
         df.select(F.explode(F.array(*structs)).alias("__cb__"))
@@ -175,3 +179,30 @@ def schema_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, ref_type string, cur_type string"
     )
+
+
+def reference_model(
+    ref: DataFrame,
+    columns: Sequence[str],
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> dict:
+    """Freeze a reference snapshot into a tiny drift model: per column
+    the bin edges (min, max) and the ε-smoothed reference fraction for
+    EVERY bin (-1 = NULL bin, 0..n_bins-1 = value bins, absent bins
+    floored at ``eps``).  Two jobs total (edge agg + histogram of
+    |columns| × (n_bins + 1) rows); the model is a plain dict —
+    literal-sized, rides any closure, and is what the STREAMING monitor
+    (streaming.events.drift_stream) compares live windows against."""
+    edges = _bin_edges(ref, columns)
+    hist = _histogram(ref, columns, edges, n_bins).collect()
+    counts = {(r["column"], r["bin"]): r["n"] for r in hist}
+    model = {"n_bins": n_bins, "eps": eps, "columns": {}}
+    for c in columns:
+        total = sum(n for (cc, _), n in counts.items() if cc == c)
+        fracs = {}
+        for b in range(-1, n_bins):
+            n = counts.get((c, b), 0)
+            fracs[b] = max(n / total, eps) if total else eps
+        model["columns"][c] = {"edges": edges[c], "fracs": fracs}
+    return model

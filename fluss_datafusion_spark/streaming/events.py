@@ -1062,3 +1062,98 @@ def streaming_zscore_anomalies(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, output_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def drift_stream(
+    stream: DataFrame,
+    model: dict,
+    columns,
+    window: str = "1 hour",
+    watermark: str = "1 minute",
+    ts_col: str = "ts",
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """Live distribution-drift monitor: per event-time tumbling window
+    and feature column, PSI / KL / total-variation of the window's
+    value distribution against a FROZEN reference model
+    (operators.drift.reference_model — bin edges + ε-smoothed reference
+    fractions, a literal-sized dict).
+
+    ONE streaming aggregation: each row explodes to (column, bin) using
+    the SAME bin expression as the batch operator (drift._bin_expr, so
+    batch and stream agree by construction), then groupBy(window,
+    column) counts each bin as a conditional sum — n_bins + 2 exprs,
+    all JVM — and the PSI/KL/TV folds run as post-aggregation
+    projections against the reference fractions baked in as literals.
+    State is bounded by windows × columns; the reference never shuffles
+    (it IS the plan).  Works in append mode behind the watermark or
+    complete mode for replays.
+
+    Returns (window_start, window_end, column, n, psi, kl, tv,
+    drifted)."""
+    from fluss_datafusion_spark.operators.drift import _NULL_BIN, _bin_expr
+
+    n_bins = model["n_bins"]
+    eps = model["eps"]
+    cols = list(columns)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            _bin_expr(c, *model["columns"][c]["edges"], n_bins).alias(
+                "bin"
+            ),
+        )
+        for c in cols
+    ]
+    exploded = (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col), F.explode(F.array(*structs)).alias("__cb__")
+        )
+        .select(
+            F.col(ts_col),
+            F.col("__cb__.column").alias("column"),
+            F.col("__cb__.bin").alias("bin"),
+        )
+    )
+    bins = list(range(_NULL_BIN, n_bins))
+    aggs = [F.count(F.lit(1)).alias("__n__")] + [
+        F.sum((F.col("bin") == b).cast("long")).alias(f"__b{i}__")
+        for i, b in enumerate(bins)
+    ]
+    agged = exploded.groupBy(
+        F.window(ts_col, window).alias("__w__"), "column"
+    ).agg(*aggs)
+
+    def ref_frac(b: int):
+        expr = None
+        for c in cols:
+            frac = F.lit(float(model["columns"][c]["fracs"][b]))
+            expr = (
+                F.when(F.col("column") == c, frac)
+                if expr is None
+                else expr.when(F.col("column") == c, frac)
+            )
+        return expr
+
+    psi = F.lit(0.0)
+    kl = F.lit(0.0)
+    tv = F.lit(0.0)
+    for i, b in enumerate(bins):
+        c_frac = F.greatest(
+            F.col(f"__b{i}__") / F.col("__n__"), F.lit(eps)
+        )
+        r = ref_frac(b)
+        psi = psi + (c_frac - r) * F.log(c_frac / r)
+        kl = kl + c_frac * F.log(c_frac / r)
+        tv = tv + F.abs(c_frac - r)
+    return agged.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        "column",
+        F.col("__n__").alias("n"),
+        F.round(psi, 6).alias("psi"),
+        F.round(kl, 6).alias("kl"),
+        F.round(tv / 2, 6).alias("tv"),
+        (psi > psi_threshold).alias("drifted"),
+    )

@@ -5293,3 +5293,73 @@ def ns_linkage_fs_em(spark, sf_dir):
         F.round("match_weight", 6).alias("match_weight"),
         F.round("match_prob", 6).alias("match_prob"),
     )
+
+
+@query(
+    "ns_training_dsir", extended=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, u.g FROM toks,
+        LATERAL unnest(list_concat(
+            t,
+            list_transform(range(1, greatest(len(t), 1)),
+                           i -> t[i] || ' ' || t[i + 1])
+        )) AS u(g)
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('dsir-0|' || g), 1, 8))
+                    AS BIGINT) % 10000 AS b
+        FROM grams
+    ),
+    rc AS (SELECT b, count(*) AS n_raw FROM feats GROUP BY b),
+    tc AS (SELECT b, count(*) AS n_tgt FROM feats
+           WHERE doc_id % 7 = 0 GROUP BY b),
+    tot AS (SELECT (SELECT sum(n_raw) FROM rc) AS nr,
+                   (SELECT coalesce(sum(n_tgt), 0) FROM tc) AS nt),
+    lr AS (
+        SELECT coalesce(rc.b, tc.b) AS b,
+               ln((coalesce(n_tgt, 0) + 1) / (nt + 10000))
+               - ln((coalesce(n_raw, 0) + 1) / (nr + 10000)) AS lr
+        FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, tot
+    ),
+    per_doc AS (
+        SELECT f.doc_id, sum(lr.lr) AS w, count(*) AS nf
+        FROM feats f JOIN lr ON f.b = lr.b
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           round(coalesce(w, 0.0), 6) AS log_weight,
+           coalesce(nf, 0) AS n_feats
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def ns_training_dsir(spark, sf_dir):
+    """DSIR data selection, replicated cross-engine (r8 —
+    operators/training.dsir_log_weights; Xie et al. NeurIPS 2023): the
+    raw corpus is every document, the target is the doc_id % 7 == 0
+    domain sample; every document's importance log-weight sums
+    ln p_target/p_raw over its hashed unigram+bigram OCCURRENCES
+    (10k md5 buckets, Laplace-smoothed).  DuckDB re-derives the
+    tokenization, the bucket hash, both smoothed distributions, and
+    every per-doc sum — a wrong hash, smoothing constant, or a
+    distinct-instead-of-multiplicity feature count hash-mismatches.
+    Scale shape: two constant-key-space bucket counts + ONE broadcast
+    join of the <= n_buckets log-ratio table; no corpus pair joins."""
+    from fluss_datafusion_spark.operators.training import dsir_log_weights
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    out = dsir_log_weights(docs, target, "doc_id", "text", n_buckets=10000)
+    return out.select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        "n_feats",
+    )

@@ -34,6 +34,8 @@ Scale shapes (100 TB posture):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -336,3 +338,155 @@ def assign_splits(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def _dsir_feats(df: DataFrame, id_col: str, text_col: str, seed: str):
+    """(id, bucket) WITH MULTIPLICITY: lowercase whitespace tokens plus
+    word bigrams, each occurrence hashed to its md5 bucket id (the
+    n_buckets modulo is applied by the caller so the hash itself stays
+    bucket-count-free)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    # zip_with pads the shorter side with NULL, so both slices must be
+    # exactly len-1 long or a phantom NULL bigram rides along
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    gram = F.explode(F.concat(toks, bigrams)).alias("__g__")
+    return df.select(F.col(id_col).alias("__id__"), gram).select(
+        "__id__",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col("__g__"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("__h__"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10000,
+    seed: str = "dsir-0",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every RAW document by how much more likely its
+    hashed n-gram features are under the TARGET distribution than under
+    the raw one,
+
+        log_weight(doc) = Σ_f  ln p_target(b(f)) − ln p_raw(b(f))
+
+    summed over the document's unigram + bigram occurrences (with
+    multiplicity), where each side's bucket distribution is
+    Laplace-smoothed:  p(b) = (n_b + 1) / (N + n_buckets).  Documents
+    that look like the target (a curated domain sample) get positive
+    weights; selection is then ``dsir_select`` (Gumbel-top-n, the
+    paper's sampling-without-replacement trick) or a plain top-n.
+
+    Scale shape: two map-side-combined bucket counts (key space =
+    n_buckets, constant at any corpus size), ONE broadcast join of the
+    ≤ n_buckets log-ratio table against the raw side's exploded
+    features, one per-doc sum.  The hash is seeded md5 — deterministic
+    across engines, which is what the DuckDB oracle replays.
+
+    Returns one row per raw document: (id, log_weight, n_feats) —
+    n_feats = 0 and log_weight = 0.0 for empty documents."""
+    mod = F.lit(n_buckets)
+    raw_feats = _dsir_feats(raw, id_col, text_col, seed).withColumn(
+        "__b__", F.col("__h__") % mod
+    )
+    tgt_feats = _dsir_feats(target, id_col, text_col, seed).withColumn(
+        "__b__", F.col("__h__") % mod
+    )
+    rc = raw_feats.groupBy("__b__").agg(F.count(F.lit(1)).alias("n_raw"))
+    tc = tgt_feats.groupBy("__b__").agg(F.count(F.lit(1)).alias("n_tgt"))
+    totals_r = rc.agg(F.sum("n_raw")).collect()[0][0] or 0
+    totals_t = tc.agg(F.sum("n_tgt")).collect()[0][0] or 0
+    lr = (
+        rc.join(tc, "__b__", "full_outer")
+        .fillna(0, subset=["n_raw", "n_tgt"])
+        .select(
+            "__b__",
+            (
+                F.log((F.col("n_tgt") + 1) / F.lit(totals_t + n_buckets))
+                - F.log((F.col("n_raw") + 1) / F.lit(totals_r + n_buckets))
+            ).alias("__lr__"),
+        )
+    )
+    # features absent from BOTH counts cannot occur in raw docs; the
+    # left join below is belt-and-braces for scoring foreign frames
+    default_lr = math.log(1.0 / (totals_t + n_buckets)) - math.log(
+        1.0 / (totals_r + n_buckets)
+    )
+    per_doc = (
+        raw_feats.join(F.broadcast(lr), "__b__", "left")
+        .groupBy("__id__")
+        .agg(
+            F.sum(F.coalesce(F.col("__lr__"), F.lit(default_lr))).alias(
+                "__w__"
+            ),
+            F.count(F.lit(1)).alias("__nf__"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("__id__"))
+        .distinct()
+        .join(per_doc, "__id__", "left")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.coalesce(F.col("__w__"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.col("__nf__"), F.lit(0))
+            .cast("long")
+            .alias("n_feats"),
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    n: int,
+    id_col: str,
+    weight_col: str = "log_weight",
+    seed: str = "dsir-sel-0",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-n selection over DSIR log-weights — the paper's
+    sampling-without-replacement: key = log_weight / temperature + G
+    with G = −ln(−ln u) and u a seeded md5 uniform of the id, so the
+    draw is deterministic, engine-reproducible, and needs no RNG state.
+    TakeOrderedAndProject keeps n (no global sort)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + "|"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(weight_col) / F.lit(temperature) + gumbel
+    return (
+        weights.withColumn("__key__", key)
+        .orderBy(F.col("__key__").desc(), F.col(id_col))
+        .limit(n)
+        .drop("__key__")
+    )

@@ -5363,3 +5363,69 @@ def ns_training_dsir(spark, sf_dir):
         F.round("log_weight", 6).alias("log_weight"),
         "n_feats",
     )
+
+
+@query(
+    "ns_multimodal_audio_fp", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+    fp AS (
+        SELECT id, list_sum(list_transform(range(3), t ->
+            CAST(1 AS HUGEINT)
+            << (64 - (3 * CAST(id % 20 AS INTEGER) + 1
+                      + CAST(t AS INTEGER))))) AS raw
+        FROM ids
+    )
+    SELECT id AS media_id,
+           CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                     THEN raw - (CAST(1 AS HUGEINT) << 64)
+                     ELSE raw END AS BIGINT) AS afp,
+           CAST(2 + id % 3 AS INTEGER) AS n_windows,
+           true AS decoded_ok
+    FROM fp
+    """,
+)
+def ns_multimodal_audio_fp(spark, sf_dir):
+    """Audio fingerprints hash-checked BIT FOR BIT cross-engine (r8 —
+    functions/multimodal.audio_fingerprint): decode the float32 chord
+    fixture (synthesize_chord_media — three bin-aligned sines at bins
+    3c+1..3c+3, c = id % 20, id-dependent gain), run the REAL 128-point
+    FFT per window, average spectra, pack the 64 mean-threshold bits.
+    DuckDB re-derives every fingerprint from the bin triple alone —
+    the mean threshold must fire on exactly those three bins (gain
+    cancels; all other bins are float noise 1e-5 below threshold), and
+    a wrong bit position, sign conversion, or window count
+    hash-mismatches.  Clusters c = 0..6 make the packed value negative,
+    pinning the signed conversion."""
+    media = multimodal.synthesize_chord_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    return multimodal.audio_fingerprint(media)
+
+
+@query(
+    "ns_dedup_audio_fp", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+    SELECT a.id AS id_a, b.id AS id_b, 0 AS ham
+    FROM ids a JOIN ids b ON a.id % 20 = b.id % 20 AND a.id < b.id
+    """,
+)
+def ns_dedup_audio_fp(spark, sf_dir):
+    """AUDIO near-dup dedup — the triad completion (text MinHash ✓,
+    image dHash ✓, audio ✓): fingerprint the chord fixture
+    (audio_fingerprint), pair with the SAME banded Hamming LSH the
+    image path uses (dedup.hamming_near_dup_pairs).  Gain-variant
+    copies of one chord collide at Hamming exactly 0 (the mean
+    threshold cancels volume); distinct chords sit at Hamming 6
+    (disjoint bin triples), far above max_hamming=2, so the pair set is
+    closed-form: all same-cluster pairs, nothing else."""
+    from fluss_datafusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    media = multimodal.synthesize_chord_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    fp = multimodal.audio_fingerprint(media).select("media_id", "afp")
+    return hamming_near_dup_pairs(fp, "media_id", "afp", max_hamming=2)

@@ -3077,3 +3077,107 @@ def synthesize_scene_avi_media(
         df.select(F.col(id_col).alias("media_id"))
         .mapInPandas(_map, "media_id long, payload binary")
     )
+
+
+def synthesize_chord_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture for AUDIO fingerprint dedup: a float32 WAV "chord" per
+    row — three bin-aligned sine components at frequency bins
+    3c+1, 3c+2, 3c+3 of a 128-point window, c = id % 20, so distinct
+    clusters occupy DISJOINT bin triples (cross-cluster fingerprint
+    Hamming exactly 6) while ids in one cluster differ only by an
+    overall gain g = 0.8 + (id % 5)/10 — which the mean-threshold
+    fingerprint cancels exactly (every magnitude scales by g).  Frames
+    = 128 * (2 + id % 3); every window is identical (integer cycles per
+    window), mono, 8000 Hz."""
+    import math
+
+    def _wav(i: int) -> bytes:
+        rate, n_fft = 8000, 128
+        c = int(i) % 20
+        gain = 0.8 + (int(i) % 5) / 10.0
+        comps = [(3 * c + 1, 0.30), (3 * c + 2, 0.25), (3 * c + 3, 0.20)]
+        n_frames = n_fft * (2 + int(i) % 3)
+        samples = b"".join(
+            struct.pack(
+                "<f",
+                gain
+                * sum(
+                    a * math.sin(2 * math.pi * k * t / n_fft)
+                    for k, a in comps
+                ),
+            )
+            for t in range(n_frames)
+        )
+        fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(samples)) + samples
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
+_AFP_SCHEMA = (
+    "media_id long, afp long, n_windows int, decoded_ok boolean"
+)
+
+
+def audio_fingerprint(media: DataFrame, n_fft: int = 128) -> DataFrame:
+    """Perceptual AUDIO fingerprint over the binary column — the
+    acoustic twin of image_dhash_stats, completing the text/image/audio
+    dedup triad: decode PCM/float WAV, average channels to mono, frame
+    into non-overlapping ``n_fft`` windows, REAL rfft per window,
+    average the magnitude spectra, then pack 64 MEAN-THRESHOLD bits —
+    bit_j = S[j] · 64 > Σ S  over the 64 non-DC bins — MSB-first into a
+    signed 64-bit value (spectral-shape bits in the Haitsma–Kalker
+    2002 family; the mean threshold makes the fingerprint exactly
+    GAIN-INVARIANT, so re-encoded/volume-normalized copies collide).
+
+    Near-duplicate pairing is ``dedup.hamming_near_dup_pairs`` /
+    ``incremental.incremental_hamming_pairs`` on the ``afp`` column —
+    the same banded Hamming LSH and persisted-index paths images use.
+
+    Arrow-batched mapInPandas; payloads never leave the executors.
+    ``n_fft`` must be 128 for the 64-bit packing; clips shorter than
+    one window (or undecodable) come back decoded_ok = false."""
+    import numpy as np
+
+    if n_fft != 128:
+        raise ValueError("64-bit packing requires n_fft=128")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_wav_pcm(payload)
+                if px is None or px.shape[0] < n_fft:
+                    rows.append((mid, None, None, False))
+                    continue
+                mono = px.astype(np.float64).mean(axis=1)
+                n_win = mono.shape[0] // n_fft
+                frames = mono[: n_win * n_fft].reshape(n_win, n_fft)
+                mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                spec = mag[1:65]  # 64 non-DC bins
+                bits = spec * 64.0 > spec.sum()
+                rows.append((mid, _pack_bits_64(bits), n_win, True))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "afp", "n_windows", "decoded_ok"]
+            )
+            out["afp"] = pd.array(out["afp"], dtype="Int64")
+            out["n_windows"] = pd.array(out["n_windows"], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _AFP_SCHEMA
+    )

@@ -5429,3 +5429,133 @@ def ns_dedup_audio_fp(spark, sf_dir):
     )
     fp = multimodal.audio_fingerprint(media).select("media_id", "afp")
     return hamming_near_dup_pairs(fp, "media_id", "afp", max_hamming=2)
+
+
+@query(
+    "ns_curation_k_anonymity", extended=True,
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, count(*) AS n,
+           CAST(count(DISTINCT bal_band) AS BIGINT) AS l,
+           count(*) < 15 AS violates_k,
+           count(DISTINCT bal_band) < 2 AS violates_l
+    FROM c GROUP BY 1, 2
+    """,
+)
+def ns_curation_k_anonymity(spark, sf_dir):
+    """Privacy audit before a table release (r8 —
+    operators/curation.k_anonymity_audit; Sweeney 2002 k-anonymity +
+    Machanavajjhala 2007 l-diversity): equivalence classes over the
+    (nation, market segment) quasi-identifiers with the account-balance
+    band as the sensitive attribute — classes under k=15 rows are
+    re-identifiable, classes with l < 2 disclose the sensitive value by
+    membership alone.  ONE map-side-combined aggregation; DuckDB
+    replays counts and both flags exactly."""
+    from fluss_datafusion_spark.operators.curation import k_anonymity_audit
+
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    out = k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=15,
+        sensitive_col="bal_band",
+    )
+    return out.select(
+        "c_nationkey", "c_mktsegment", "n",
+        F.col("l").cast("long").alias("l"), "violates_k", "violates_l",
+    )
+
+
+@query(
+    "ns_profile_mutual_info", extended=True,
+    oracle="""
+    WITH pair1 AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS x,
+               CAST(l_linestatus AS VARCHAR) AS y
+        FROM lineitem
+    ),
+    pair2 AS (
+        SELECT CAST(l_returnflag AS VARCHAR) AS x,
+               CAST(l_linenumber AS VARCHAR) AS y
+        FROM lineitem
+    ),
+    mi1 AS (
+        SELECT 'l_returnflag' AS col_x, 'l_linestatus' AS col_y, mi, nmi,
+               n_joint
+        FROM (
+            WITH j AS (SELECT x, y, count(*) AS n FROM pair1 GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS t FROM j),
+            mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY 1),
+            my AS (SELECT y, sum(n) AS ny FROM j GROUP BY 1),
+            h AS (
+                SELECT (SELECT sum(-(nx / t) * ln(nx / t)) FROM mx, tot)
+                           AS hx,
+                       (SELECT sum(-(ny / t) * ln(ny / t)) FROM my, tot)
+                           AS hy
+            ),
+            m AS (
+                SELECT sum((j.n / t) * ln((j.n / t)
+                           / ((nx / t) * (ny / t)))) AS mi,
+                       count(*) AS n_joint
+                FROM j JOIN mx USING (x) JOIN my USING (y), tot
+            )
+            SELECT round(mi, 6) AS mi,
+                   round(CASE WHEN least(hx, hy) > 0
+                              THEN mi / least(hx, hy) ELSE 0.0 END, 6)
+                       AS nmi,
+                   n_joint
+            FROM m, h
+        )
+    ),
+    mi2 AS (
+        SELECT 'l_returnflag' AS col_x, 'l_linenumber' AS col_y, mi, nmi,
+               n_joint
+        FROM (
+            WITH j AS (SELECT x, y, count(*) AS n FROM pair2 GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS t FROM j),
+            mx AS (SELECT x, sum(n) AS nx FROM j GROUP BY 1),
+            my AS (SELECT y, sum(n) AS ny FROM j GROUP BY 1),
+            h AS (
+                SELECT (SELECT sum(-(nx / t) * ln(nx / t)) FROM mx, tot)
+                           AS hx,
+                       (SELECT sum(-(ny / t) * ln(ny / t)) FROM my, tot)
+                           AS hy
+            ),
+            m AS (
+                SELECT sum((j.n / t) * ln((j.n / t)
+                           / ((nx / t) * (ny / t)))) AS mi,
+                       count(*) AS n_joint
+                FROM j JOIN mx USING (x) JOIN my USING (y), tot
+            )
+            SELECT round(mi, 6) AS mi,
+                   round(CASE WHEN least(hx, hy) > 0
+                              THEN mi / least(hx, hy) ELSE 0.0 END, 6)
+                       AS nmi,
+                   n_joint
+            FROM m, h
+        )
+    )
+    SELECT * FROM mi1 UNION ALL SELECT * FROM mi2
+    """,
+)
+def ns_profile_mutual_info(spark, sf_dir):
+    """Pairwise mutual information between categorical columns (r8 —
+    operators/curation.mutual_information): the profiling signal for
+    redundant features and label leakage.  l_returnflag vs l_linestatus
+    are strongly dependent (both functions of shipdate — high NMI);
+    l_returnflag vs l_linenumber are independent (NMI ~ 0).  DuckDB
+    re-derives joints, marginals, entropies, and both statistics from
+    scratch.  Scale shape: one aggregation per pair on the |X|x|Y|
+    joint key space, marginals derived from the joint — the corpus is
+    scanned once per pair and nothing corpus-sized shuffles."""
+    from fluss_datafusion_spark.operators.curation import mutual_information
+
+    li = t(spark, sf_dir, "lineitem")
+    return mutual_information(
+        li,
+        [("l_returnflag", "l_linestatus"), ("l_returnflag", "l_linenumber")],
+    )

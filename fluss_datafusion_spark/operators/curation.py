@@ -1374,3 +1374,120 @@ def blocklist_filter(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("blocked"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: Optional[str] = None,
+) -> DataFrame:
+    """Privacy audit of a training table before release (Sweeney 2002
+    k-anonymity; Machanavajjhala 2007 l-diversity): group rows by the
+    quasi-identifier combination and flag equivalence classes smaller
+    than ``k`` — each such class's rows are re-identifiable by joining
+    public data on the quasi-identifiers.  With ``sensitive_col`` the
+    audit also reports ``l`` = distinct sensitive values per class
+    (l = 1 means membership alone discloses the sensitive value even
+    when k holds).
+
+    ONE map-side-combined aggregation on the quasi-identifier key —
+    the class count is corpus-independent when identifiers are
+    generalized (the intended use), and nothing else shuffles.
+
+    Returns one row per equivalence class: (quasi cols..., n,
+    violates_k[, l, violates_l -- l < 2])."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l"))
+    out = df.groupBy(*quasi_cols).agg(*aggs)
+    out = out.withColumn("violates_k", F.col("n") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("violates_l", F.col("l") < 2)
+    return out
+
+
+def mutual_information(
+    df: DataFrame, col_pairs: Sequence, base: Optional[float] = None
+) -> DataFrame:
+    """Pairwise mutual information between categorical columns — the
+    data-profiling signal for redundant features and leakage screens
+    (a feature with high MI against the label column leaks it):
+
+        MI(X, Y) = Σ_xy p(x, y) · ln( p(x, y) / (p(x) p(y)) )
+
+    plus the normalized variant NMI = MI / min(H(X), H(Y)) (0 when
+    either side is constant).  NULLs count as a regular category (a
+    NULL pattern that predicts another column is exactly what a leakage
+    screen must see).
+
+    Scale shape: ONE aggregation per pair on the (x, y) key space plus
+    two marginal rollups DERIVED from it (no second corpus scan); the
+    joint key space is |X| × |Y| — profiling-sized, not corpus-sized.
+    All-JVM expressions.
+
+    Returns (col_x, col_y, mi, nmi, n_joint) per requested pair."""
+    spark = df.sparkSession
+    results = None
+    for cx, cy in col_pairs:
+        joint = (
+            df.select(
+                F.col(cx).cast("string").alias("__x__"),
+                F.col(cy).cast("string").alias("__y__"),
+            )
+            .groupBy("__x__", "__y__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+        )
+        tot = F.sum("__n__").over(Window.partitionBy())
+        px = F.sum("__n__").over(Window.partitionBy("__x__"))
+        py = F.sum("__n__").over(Window.partitionBy("__y__"))
+        scored = joint.select(
+            (F.col("__n__") / tot).alias("pxy"),
+            (px / tot).alias("px"),
+            (py / tot).alias("py"),
+        )
+        agg = scored.agg(
+            F.sum(
+                F.col("pxy")
+                * F.log(F.col("pxy") / (F.col("px") * F.col("py")))
+            ).alias("mi"),
+            F.count(F.lit(1)).alias("n_joint"),
+        )
+        # H(X)/H(Y) via tiny rollups of the joint (global windows over
+        # the profiling-sized joint table, never over the corpus)
+        def entropy(marginal_col: str) -> DataFrame:
+            frac = (
+                joint.groupBy(marginal_col)
+                .agg(F.sum("__n__").alias("nm"))
+                .select(
+                    (
+                        F.col("nm") / F.sum("nm").over(Window.partitionBy())
+                    ).alias("p")
+                )
+            )
+            return frac.agg(
+                F.sum(-F.col("p") * F.log("p")).alias("h")
+            )
+
+        hx = entropy("__x__")
+        hy = entropy("__y__")
+        row = (
+            agg.select("mi", "n_joint")
+            .crossJoin(hx.select(F.col("h").alias("hx")))
+            .crossJoin(hy.select(F.col("h").alias("hy")))
+            .select(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.round("mi", 6).alias("mi"),
+                F.round(
+                    F.when(
+                        F.least("hx", "hy") > 0,
+                        F.col("mi") / F.least("hx", "hy"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ).alias("nmi"),
+                F.col("n_joint").cast("long").alias("n_joint"),
+            )
+        )
+        results = row if results is None else results.unionByName(row)
+    return results

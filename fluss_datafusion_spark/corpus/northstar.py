@@ -5559,3 +5559,133 @@ def ns_profile_mutual_info(spark, sf_dir):
         li,
         [("l_returnflag", "l_linestatus"), ("l_returnflag", "l_linenumber")],
     )
+
+
+@query(
+    "ns_quality_expectations", extended=True,
+    oracle="""
+    WITH n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_violations,
+           n_rows, (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+               = 0 AS passed
+    FROM n
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders
+            WHERE o_orderkey IS NOT NULL),
+           n_rows,
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders
+            WHERE o_orderkey IS NOT NULL) = 0
+    FROM n
+    UNION ALL
+    SELECT 'unique', 'o_orderstatus',
+           (SELECT count(*) - count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderstatus IS NOT NULL),
+           n_rows,
+           (SELECT count(*) - count(DISTINCT o_orderstatus) FROM orders
+            WHERE o_orderstatus IS NOT NULL) = 0
+    FROM n
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')),
+           n_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+    FROM n
+    UNION ALL
+    SELECT 'between', 'o_totalprice',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 1000 OR o_totalprice > 300000)),
+           n_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (o_totalprice < 1000 OR o_totalprice > 300000)) = 0
+    FROM n
+    UNION ALL
+    SELECT 'matches', 'o_orderpriority',
+           (SELECT count(*) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+           n_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+    FROM n
+    UNION ALL
+    SELECT 'row_count', NULL,
+           greatest(1000 - n_rows, 0), n_rows,
+           greatest(1000 - n_rows, 0) = 0
+    FROM n
+    UNION ALL
+    SELECT 'fk', 'o_custkey',
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey < 100)),
+           n_rows,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey < 100)) = 0
+    FROM n
+    """,
+)
+def ns_quality_expectations(spark, sf_dir):
+    """Data-quality expectation suite (r8 —
+    operators/expectations.expect / expect_fk; the dbt-test /
+    Great-Expectations surface): seven rules over orders — not_null,
+    two uniqueness rules (one passing on the PK, one failing hard on a
+    3-value column, exercising the duplicate arithmetic), accepted
+    values, a range rule with real violations, a regex rule, a
+    row-count floor — plus a referential-integrity audit against a
+    deliberately truncated parent (customers < 100, so most orders are
+    orphans).  All set rules ride ONE shared conditional-sum
+    aggregation; each uniqueness rule is its own count_distinct plan
+    (never multiple distincts in one agg — the Expand trap).  DuckDB
+    re-derives every count and flag."""
+    from fluss_datafusion_spark.operators.expectations import (
+        expect,
+        expect_fk,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    report = expect(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_custkey"},
+            {"kind": "unique", "columns": ["o_orderkey"]},
+            {"kind": "unique", "columns": ["o_orderstatus"]},
+            {
+                "kind": "accepted_values",
+                "column": "o_orderstatus",
+                "values": ["O", "F", "P"],
+            },
+            {
+                "kind": "between",
+                "column": "o_totalprice",
+                "lo": 1000,
+                "hi": 300000,
+            },
+            {
+                "kind": "matches",
+                "column": "o_orderpriority",
+                "pattern": "^[1-5]-",
+            },
+            {"kind": "row_count", "min": 1000},
+        ],
+    )
+    fk = expect_fk(orders, "o_custkey", cust, "c_custkey").select(
+        "rule",
+        "column",
+        F.col("n_orphans").alias("n_violations"),
+        "n_rows",
+        "passed",
+    )
+    return report.unionByName(fk)

@@ -1,0 +1,79 @@
+"""Data-quality expectations (operators/expectations.expect /
+expect_fk): rule arithmetic on crafted violations, NULL conventions,
+the uniqueness/Expand discipline, FK orphans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluss_datafusion_spark.operators.expectations import expect, expect_fk
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 10.0, "ok-1"),
+        (2, "a", 20.0, "ok-2"),
+        (3, None, 5.0, "bad"),
+        (4, "z", 200.0, None),
+        (4, "a", None, "ok-3"),
+    ]
+    return spark.createDataFrame(rows, "id int, cat string, x double, tag string")
+
+
+def test_rule_arithmetic(spark):
+    out = {
+        (r.rule, r.column): r
+        for r in expect(
+            _df(spark),
+            [
+                {"kind": "not_null", "column": "cat"},
+                {"kind": "unique", "columns": ["id"]},
+                {"kind": "accepted_values", "column": "cat", "values": ["a"]},
+                {"kind": "between", "column": "x", "lo": 0, "hi": 100},
+                {"kind": "matches", "column": "tag", "pattern": "^ok-"},
+                {"kind": "row_count", "min": 3, "max": 10},
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "cat")].n_violations == 1
+    assert out[("unique", "id")].n_violations == 1  # id 4 twice
+    assert out[("accepted_values", "cat")].n_violations == 1  # 'z'
+    # NULL x skips the range rule; 200.0 violates
+    assert out[("between", "x")].n_violations == 1
+    assert out[("matches", "tag")].n_violations == 1  # 'bad'; NULL skipped
+    rc = out[("row_count", None)]
+    assert rc.n_violations == 0 and rc.passed
+    assert all(r.n_rows == 5 for r in out.values())
+
+
+def test_row_count_shortfall_and_excess(spark):
+    df = _df(spark)
+    short = expect(df, [{"kind": "row_count", "min": 8}]).collect()[0]
+    assert short.n_violations == 3 and not short.passed
+    over = expect(df, [{"kind": "row_count", "min": 0, "max": 2}]).collect()[0]
+    assert over.n_violations == 3 and not over.passed
+
+
+def test_multicol_unique_and_null_keys(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (None, "a"), (2, None)]
+    df = spark.createDataFrame(rows, "k int, g string")
+    r = expect(df, [{"kind": "unique", "columns": ["k", "g"]}]).collect()[0]
+    # NULL-key rows (2) are excluded; 3 non-null rows, 2 distinct -> 1 dup
+    assert r.n_violations == 1 and not r.passed
+
+
+def test_unknown_rule_raises(spark):
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        expect(_df(spark), [{"kind": "positive", "column": "x"}])
+
+
+def test_fk_orphans_and_null_fk(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, pid int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    r = expect_fk(child, "pid", parent, "pk").collect()[0]
+    assert r.n_orphans == 1 and not r.passed  # 99; NULL is not an orphan
+    ok = expect_fk(
+        child.filter(F.col("id") < 3), "pid", parent, "pk"
+    ).collect()[0]
+    assert ok.n_orphans == 0 and ok.passed

@@ -1089,3 +1089,82 @@ def stream_drift(spark, sf_dir):
         lambda s: drift_stream(s, model, ["value"], window="1 hour"),
         "complete",
     )
+
+
+@query(
+    "stream_funnel", extended=True,
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t_1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_3
+        FROM events e JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND CAST(e.ts AS TIMESTAMP) > t2.t_2
+        GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CAST(1 + (t2.user_id IS NOT NULL)::INT
+                  + (t3.user_id IS NOT NULL)::INT AS INTEGER) AS stage,
+           t1.t_1, t2.t_2, t3.t_3
+    FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    """,
+)
+def stream_funnel(spark, sf_dir):
+    """LIVE funnel tracking through the real engine (r8 —
+    streaming.events.funnel_stream): view → click → purchase chains
+    accumulate in keyed state (k timestamps per user, bounded) across
+    an 8-chunk in-order replay; every batch re-emits advanced users in
+    update mode, and the highest-stage row per user is the final chain.
+    DuckDB re-derives the greedy-earliest chain closed-form (t_1 = min
+    view, t_2 = min click after t_1, t_3 = min purchase after t_2) —
+    in-order replay makes the streaming answer equal the batch truth
+    row for row, timestamps included."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from fluss_datafusion_spark.streaming.events import (
+        chunk_table_for_replay,
+        events_stream,
+        funnel_stream,
+        run_to_memory,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_funnel_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = chunk_table_for_replay(
+        spark, sf_dir, os.path.join(root, "events"), n_chunks=8
+    )
+    name = "corpus_stream_funnel"
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
+    run_to_memory(
+        funnel_stream(
+            events_stream(spark, replay, max_files_per_trigger=2),
+            ["view", "click", "purchase"],
+        ),
+        name,
+        output_mode="update",
+    )
+    sink = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.col("stage").desc())
+    return (
+        sink.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("user_id", "stage", "t_1", "t_2", "t_3")
+    )

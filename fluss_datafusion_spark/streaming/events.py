@@ -1157,3 +1157,103 @@ def drift_stream(
         F.round(tv / 2, 6).alias("tv"),
         (psi > psi_threshold).alias("drifted"),
     )
+
+
+def funnel_stream(
+    stream: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    within_seconds: Optional[float] = None,
+) -> DataFrame:
+    """LIVE funnel tracking — the streaming twin of
+    ``operators.funnel.funnel`` (greedy-earliest chain: t_1 = first
+    step-1 event, t_i = first step-i event strictly after t_{i-1},
+    optionally within ``within_seconds`` of t_1).  Keyed state holds
+    exactly the k chain timestamps per user (k = funnel length, a small
+    constant — state is bounded no matter how long the stream runs);
+    each micro-batch re-emits every user whose chain ADVANCED, so
+    update-mode consumers keep the latest row per user (stage is
+    monotone by construction).
+
+    On an in-order stream the emitted final state equals the batch
+    operator row for row (pinned by test) — the greedy chain only ever
+    consumes the earliest qualifying event, which in-order arrival
+    hands it first.  Out-of-order events that would have qualified
+    earlier are ignored once a later chain slot is set (the documented
+    divergence; the batch operator is the replayable truth).
+
+    Scale shape: one hash shuffle on the user key; per-batch python is
+    O(batch rows) after a pre-filter to funnel events only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct: {steps}")
+    k = len(steps)
+    step_ix = {s: i for i, s in enumerate(steps)}
+    within_us = (
+        int(within_seconds * 1_000_000) if within_seconds is not None else None
+    )
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    t_cols = [f"t_{i + 1}" for i in range(k)]
+    output_schema = (
+        f"{user_col} {fields[user_col]}, stage int, "
+        + ", ".join(f"{c} timestamp" for c in t_cols)
+    )
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+
+    def update(key, pdf_iter, state):
+        def native(v):
+            return v.item() if hasattr(v, "item") else v
+
+        chain = list(state.get) if state.exists else [None] * k
+        before = list(chain)
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col)
+            for ev, t in zip(batch[event_col], batch[ts_col]):
+                i = step_ix.get(ev)
+                if i is None:
+                    continue
+                t_us = int(t.value // 1_000)
+                if i == 0:
+                    if chain[0] is None:
+                        chain[0] = t_us
+                elif (
+                    chain[i] is None
+                    and chain[i - 1] is not None
+                    and t_us > chain[i - 1]
+                    and (
+                        within_us is None
+                        or t_us - chain[0] <= within_us
+                    )
+                ):
+                    chain[i] = t_us
+        if chain != before:
+            state.update(tuple(chain))
+            stage = sum(1 for t in chain if t is not None)
+            row = {user_col: [native(key[0])], "stage": [stage]}
+            for i, c in enumerate(t_cols):
+                row[c] = [
+                    pd.Timestamp(chain[i] * 1_000, unit="ns")
+                    if chain[i] is not None
+                    else pd.NaT
+                ]
+            yield pd.DataFrame(row)
+
+    return (
+        stream.filter(F.col(event_col).isin(steps))
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            output_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

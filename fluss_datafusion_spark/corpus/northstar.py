@@ -5689,3 +5689,91 @@ def ns_quality_expectations(spark, sf_dir):
         "passed",
     )
     return report.unionByName(fk)
+
+
+@query(
+    "ns_training_pit_join", extended=True,
+    oracle="""
+    WITH facts AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               round(value, 6) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f_signup AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS fts,
+               round(max(value), 6) AS signup_score
+        FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    f_click AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS fts,
+               round(max(value), 6) AS click_score
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    j1 AS (
+        SELECT facts.*, f_signup.signup_score
+        FROM facts ASOF LEFT JOIN f_signup
+          ON facts.user_id = f_signup.user_id AND facts.ts >= f_signup.fts
+    ),
+    j2 AS (
+        SELECT j1.*,
+               CASE WHEN facts_ts - fts <= INTERVAL 2 DAY
+                    THEN click_score END AS click_score
+        FROM (SELECT j1.*, j1.ts AS facts_ts FROM j1) j1
+        ASOF LEFT JOIN f_click
+          ON j1.user_id = f_click.user_id AND j1.facts_ts >= f_click.fts
+    )
+    SELECT user_id, ts, purchase_value, signup_score, click_score
+    FROM j2
+    """,
+)
+def ns_training_pit_join(spark, sf_dir):
+    """Feature-store point-in-time join (r8 —
+    operators/asof.point_in_time_join; the Feast/Tecton
+    get_historical_features construction): every purchase fact gets,
+    from TWO feature tables derived from the same stream (per-user
+    signup and click scores, deduped per (user, ts)), the latest value
+    at or before the purchase's OWN event time — time-leakage-free
+    training data by construction.  The click feature carries a 2-day
+    staleness tolerance (older matches surface as NULL, not as stale
+    values).  The oracle is DuckDB's NATIVE ASOF JOIN — two engines'
+    independent as-of implementations must agree row for row.  Scale
+    shape: one shuffle+sort per feature table, fact row count
+    invariant, feature tables never joined to each other."""
+    from fluss_datafusion_spark.operators.asof import point_in_time_join
+
+    ev = t(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    f_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("signup_score"))
+    )
+    f_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_score"))
+    )
+    out = point_in_time_join(
+        facts,
+        [
+            {
+                "df": f_signup.withColumnRenamed("ts", "fts"),
+                "on": ["user_id"],
+                "ts": "fts",
+                "values": ["signup_score"],
+            },
+            {
+                "df": f_click.withColumnRenamed("ts", "fts"),
+                "on": ["user_id"],
+                "ts": "fts",
+                "values": ["click_score"],
+                "tolerance_seconds": 2 * 86400,
+            },
+        ],
+        fact_ts="ts",
+    )
+    return out.select(
+        "user_id", "ts", "purchase_value", "signup_score", "click_score"
+    )

@@ -145,3 +145,45 @@ def asof_join(
         *[F.col("__lval__").getField(c).alias(c) for c in left_cols],
         *[F.col("__match__").getField(c).alias(c) for c in right_value_cols],
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    feature_tables: Sequence[dict],
+    fact_ts: str = "ts",
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Feature-store point-in-time join (the training-set assembly step
+    every feature platform ships — Feast/Tecton's `get_historical_
+    features`): for each fact (label) row, attach from EVERY feature
+    table the latest feature row at or before the fact's own event
+    time, never a later one — the construction that makes training
+    data leakage-free by time.
+
+    ``feature_tables``: a list of {"df": DataFrame, "on": [join keys],
+    "ts": feature timestamp col[, "values": [feature cols]][,
+    "tolerance_seconds": ...]} — per-table tolerance nulls features
+    staler than the bound (a feature pipeline that stopped updating
+    should surface as NULL, not as a year-old value).
+
+    Composition of the as-of kernel: one backward as-of join per
+    feature table, each a single shuffle+sort on that table's keys —
+    k tables = k exchanges of the (growing) fact frame and never a
+    fact-row explosion; feature tables are never joined to each other.
+    The fact row count is invariant (pinned by construction: as-of
+    attaches at most one row per table)."""
+    out = facts
+    for spec in feature_tables:
+        out = asof_join(
+            out,
+            spec["df"],
+            on=spec["on"],
+            left_ts=fact_ts,
+            right_ts=spec["ts"],
+            right_value_cols=spec.get("values"),
+            direction="backward",
+            tolerance_seconds=spec.get(
+                "tolerance_seconds", tolerance_seconds
+            ),
+        )
+    return out

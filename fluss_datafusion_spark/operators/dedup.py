@@ -742,6 +742,47 @@ def minhash_lsh_pairs(
     return _attach_cached_deps(verified, candidates)
 
 
+def hamming_band_keys(n_bands: int, key_blocks: int = 1):
+    """Bucket-key expressions for banded Hamming LSH over a 64-bit
+    ``__h__`` column: the hash splits into ``n_bands`` equal bit
+    blocks, and each key concatenates one ``key_blocks``-subset of
+    blocks (Manku-Jain-Sarma WWW 2007 §3 — their f=64 near-dup tables
+    are exactly these block combinations).
+
+    Pigeonhole: d bit-differences dirty at most d blocks, so any pair
+    within Hamming distance ``n_bands - key_blocks`` shares at least
+    one fully-clean subset — recall is EXACT for ``max_hamming <=
+    n_bands - key_blocks``.  WHY key_blocks matters at scale: with the
+    default 4x1 the keys are only 16 bits wide and saturate past ~2^16
+    DISTINCT fingerprints — random cross-fingerprint collisions then
+    grow candidate pairs QUADRATICALLY in the corpus (measured: the
+    SCALE x100 image-dedup row).  key_blocks=2 widens keys to 32 bits
+    (C(4,2) = 6 tables) and keeps d <= 2 exact — the 100 TB regime.
+
+    Returns the list of key Columns (caller posexplodes)."""
+    from itertools import combinations
+
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64; got {n_bands}")
+    if not 1 <= key_blocks < n_bands:
+        raise ValueError(
+            f"key_blocks must be in [1, n_bands); got {key_blocks}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    slices = [
+        F.shiftrightunsigned("__h__", b * width).bitwiseAND(F.lit(mask))
+        for b in range(n_bands)
+    ]
+    keys = []
+    for combo in combinations(range(n_bands), key_blocks):
+        v = F.lit(0).cast("long")
+        for b in combo:
+            v = F.shiftleft(v, width) + slices[b]
+        keys.append(v)
+    return keys
+
+
 def hamming_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -749,20 +790,23 @@ def hamming_near_dup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     max_bucket_size: int = 256,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs over any 64-bit fingerprint column (SimHash,
-    perceptual image dHash/aHash, …) by banded Hamming LSH: split the
-    hash into ``n_bands`` equal bit slices, bucket-join ids sharing any
-    slice, verify candidates with an exact popcount.
+    perceptual image dHash/aHash, audio spectral bits, …) by banded
+    Hamming LSH: bucket-join ids sharing any block-combination key
+    (see hamming_band_keys), verify candidates with an exact popcount.
 
-    Pigeonhole guarantee: a pair within Hamming distance
-    ``n_bands - 1`` differs in fewer bits than there are bands, so at
-    least one band matches — recall is EXACT for
-    ``max_hamming < n_bands`` (the default 4x16 covers distance 3);
-    larger thresholds trade recall for fewer buckets, the standard
-    Hamming-LSH dial.
+    Pigeonhole guarantee: recall is EXACT for
+    ``max_hamming <= n_bands - key_blocks`` (the default 4x16/kb=1
+    covers distance 3); larger thresholds trade recall for fewer
+    buckets, the standard Hamming-LSH dial.  PICK key_blocks=2 when
+    the corpus holds more than ~2^16 distinct fingerprints — 16-bit
+    keys saturate there and collision candidates grow quadratically
+    (hamming_band_keys documents the measurement); 32-bit keys hold to
+    ~2^32 at C(4,2)=6 tables and stay exact for distance <= 2.
 
-    Scale shape: one map-side-combined shuffle on (band, slice) with
+    Scale shape: one map-side-combined shuffle on (band, key) with
     bucket-local pair expansion (never a self-join), then one exact
     verify join — the same posture as the MinHash/SimHash family,
     including the deterministic mega-bucket guard (flat images / empty
@@ -770,24 +814,13 @@ def hamming_near_dup_pairs(
     bucket's fan-out and surfaces an observe() metric).
 
     Returns (id_a, id_b, ham) with id_a < id_b, ham <= max_hamming."""
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64; got {n_bands}")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
     buckets = spread_small_scan(hashes).select(
         "__id__",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("__h__", b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
+            F.array(*hamming_band_keys(n_bands, key_blocks))
         ).alias("__band__", "__slice__"),
     )
     candidates = _bucket_local_pairs(

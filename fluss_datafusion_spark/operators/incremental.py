@@ -479,29 +479,29 @@ def dedup_ingest_sink(
 HAMMING_INDEX_FORMAT = "v1"
 
 
-def _hamming_token(source_id, n_bands: int) -> str:
-    return f"hamming-{HAMMING_INDEX_FORMAT}|bands={n_bands}|n={source_id}"
+def _hamming_token(source_id, n_bands: int, key_blocks: int = 1) -> str:
+    # key_blocks joins the token only when non-default, so every v1
+    # index marker stays valid; a widened-key rebuild changes the token
+    # and forces stale narrow-key indexes to rebuild (the INDEX_FORMAT
+    # discipline).
+    kb = f"|kb={key_blocks}" if key_blocks != 1 else ""
+    return f"hamming-{HAMMING_INDEX_FORMAT}|bands={n_bands}{kb}|n={source_id}"
 
 
-def _hamming_bands(hashes: DataFrame, n_bands: int) -> DataFrame:
-    """(__id__, __band__, __slice__) band assignment of 64-bit
-    fingerprints — the same slicing dedup.hamming_near_dup_pairs uses,
-    so index and probe bucket values agree by construction."""
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64; got {n_bands}")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+def _hamming_bands(
+    hashes: DataFrame, n_bands: int, key_blocks: int = 1
+) -> DataFrame:
+    """(__id__, __band__, __slice__) key assignment of 64-bit
+    fingerprints — dedup.hamming_band_keys, the same derivation
+    dedup.hamming_near_dup_pairs uses, so index and probe bucket values
+    agree by construction (incl. the widened block-combination keys for
+    past-2^16-fingerprint corpora)."""
+    from fluss_datafusion_spark.operators.dedup import hamming_band_keys
+
     return hashes.select(
         "__id__",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("__h__", b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
+            F.array(*hamming_band_keys(n_bands, key_blocks))
         ).alias("__band__", "__slice__"),
     )
 
@@ -513,6 +513,7 @@ def write_hamming_index(
     path: str,
     n_bands: int = 4,
     source_id=None,
+    key_blocks: int = 1,
 ) -> None:
     """Materialize a perceptual-hash dedup index: ``hashes/`` (id,
      64-bit fingerprint — the verify store) and ``buckets/`` (id, band,
@@ -524,28 +525,37 @@ def write_hamming_index(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
     hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
-    _hamming_bands(hashes, n_bands).write.mode("overwrite").parquet(
-        os.path.join(path, "buckets")
-    )
+    _hamming_bands(hashes, n_bands, key_blocks).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "buckets"))
     token = _hamming_token(
-        source_id if source_id is not None else df.count(), n_bands
+        source_id if source_id is not None else df.count(),
+        n_bands,
+        key_blocks,
     )
     with open(_index_marker_path(path), "w", encoding="utf-8") as fh:
         fh.write(token)
 
 
 def append_to_hamming_index(
-    df: DataFrame, id_col: str, hash_col: str, path: str, n_bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    n_bands: int = 4,
+    key_blocks: int = 1,
 ) -> None:
     """Pure parquet appends to both stores — no read-modify-write, so
-    appended == rebuilt exactly (the BM25/ANN index discipline)."""
+    appended == rebuilt exactly (the BM25/ANN index discipline).
+    ``key_blocks`` must match the index build (the marker token pins
+    it)."""
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
     hashes.write.mode("append").parquet(os.path.join(path, "hashes"))
-    _hamming_bands(hashes, n_bands).write.mode("append").parquet(
-        os.path.join(path, "buckets")
-    )
+    _hamming_bands(hashes, n_bands, key_blocks).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "buckets"))
 
 
 def incremental_hamming_pairs(
@@ -557,6 +567,7 @@ def incremental_hamming_pairs(
     n_bands: int = 4,
     max_bucket_size: int = 256,
     keep_markers: bool = False,
+    key_blocks: int = 1,
 ) -> DataFrame:
     """Near-duplicate fingerprint pairs touching the new batch:
     batch-vs-index and batch-vs-batch, verified with an exact popcount;
@@ -569,12 +580,32 @@ def incremental_hamming_pairs(
     index bucket store down to TOUCHED buckets where it is read; pair
     expansion is bucket-local with the deterministic mega-bucket guard;
     the verify join loads index fingerprints for candidate ids only.
-    Recall is pigeonhole-exact for max_hamming < n_bands."""
+    Recall is pigeonhole-exact for max_hamming <= n_bands - key_blocks
+    (pass key_blocks=2 past ~2^16 distinct fingerprints — see
+    dedup.hamming_band_keys)."""
+    # Probing with a different key derivation than the index was built
+    # with silently misses every cross-batch pair (the INDEX_FORMAT-v2
+    # lesson) — refuse on a marker whose (bands, kb) prefix disagrees.
+    marker = _index_marker_path(index_path)
+    try:
+        with open(marker, "r", encoding="utf-8") as fh:
+            token = fh.read()
+    except OSError:
+        token = None
+    if token is not None:
+        prefix = _hamming_token("", n_bands, key_blocks).rsplit("|n=", 1)[0]
+        if not token.startswith(prefix + "|n="):
+            raise ValueError(
+                f"hamming index at {index_path} was built as "
+                f"'{token.rsplit('|n=', 1)[0]}' but the probe derives "
+                f"'{prefix}' keys — rebuild the index or match "
+                "n_bands/key_blocks"
+            )
     spark = new_df.sparkSession
     new_hashes = new_df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     ).persist()
-    new_bands = _hamming_bands(new_hashes, n_bands)
+    new_bands = _hamming_bands(new_hashes, n_bands, key_blocks)
     idx_bands = spark.read.parquet(os.path.join(index_path, "buckets"))
     touched = F.broadcast(new_bands.select("__band__", "__slice__"))
     idx_touched = idx_bands.join(
@@ -657,9 +688,17 @@ def media_ingest_sink(
     n_bands: int = 4,
     transform=None,
     metrics: Optional[list] = None,
+    fingerprint=None,
+    hash_col: str = "dhash",
+    key_blocks: int = 1,
 ):
     """Continuous MEDIA ingest with perceptual dedup — the image twin of
-    ``dedup_ingest_sink``.  Per micro-batch:
+    ``dedup_ingest_sink``, and modality-generic: ``fingerprint`` is any
+    (DataFrame[media_id, payload]) -> DataFrame[media_id, ...,
+    decoded_ok] Arrow pass producing a 64-bit ``hash_col``
+    (image_dhash_stats by default; multimodal.audio_fingerprint with
+    hash_col='afp' gives the audio pipeline on the same index
+    machinery).  Per micro-batch:
 
     0. (optional) apply ``transform`` — a (DataFrame) -> DataFrame
        payload-level curation stage (size gates, scene-cut gating,
@@ -688,6 +727,8 @@ def media_ingest_sink(
     plus undecodable payloads."""
     from fluss_datafusion_spark.functions.multimodal import image_dhash_stats
 
+    fp_fn = fingerprint if fingerprint is not None else image_dhash_stats
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         import contextlib
 
@@ -698,23 +739,20 @@ def media_ingest_sink(
             if n_raw == 0:
                 return
             cur = transform(raw_df) if transform else raw_df
-            fp = (
-                image_dhash_stats(
-                    cur.select(
-                        F.col(id_col).alias("media_id"),
-                        F.col(payload_col).alias("payload"),
-                    )
+            fp_raw = fp_fn(
+                cur.select(
+                    F.col(id_col).alias("media_id"),
+                    F.col(payload_col).alias("payload"),
                 )
-                .filter(F.col("decoded_ok"))
-                .select(
-                    F.col("media_id").alias(id_col),
-                    "width",
-                    "height",
-                    "dhash",
-                    "ahash",
-                )
-                .persist()
-            )
+            ).filter(F.col("decoded_ok"))
+            keep = [
+                c
+                for c in fp_raw.columns
+                if c not in ("media_id", "decoded_ok")
+            ]
+            fp = fp_raw.select(
+                F.col("media_id").alias(id_col), *keep
+            ).persist()
             stack.callback(fp.unpersist)
             n_in = fp.count()
             if n_in == 0:
@@ -733,10 +771,11 @@ def media_ingest_sink(
                 fp,
                 index_path,
                 id_col,
-                "dhash",
+                hash_col,
                 max_hamming=max_hamming,
                 n_bands=n_bands,
                 keep_markers=True,
+                key_blocks=key_blocks,
             )
             drop = pairs.select(
                 F.when(~F.col("b_new"), F.col("id_a"))
@@ -748,7 +787,8 @@ def media_ingest_sink(
             n_kept = catalog.insert(table, survivors)
             release_candidate_cache(pairs)
             append_to_hamming_index(
-                survivors, id_col, "dhash", index_path, n_bands=n_bands
+                survivors, id_col, hash_col, index_path,
+                n_bands=n_bands, key_blocks=key_blocks,
             )
             if metrics is not None:
                 metrics.append(

@@ -188,3 +188,107 @@ def test_incremental_hamming_index_lifecycle(spark, tmp_path):
                 lo, hi = min(old, b2), max(old, b2)
                 want2[(lo, hi)] = 0 if old >= 10 else 1
     assert got2 == want2
+
+
+def test_key_blocks_wide_keys_same_pairs(spark):
+    """key_blocks=2 (32-bit Manku block-combination keys — the
+    past-2^16-fingerprints regime) finds EXACTLY the pairs the narrow
+    default finds at max_hamming <= n_bands - 2."""
+    media = synthesize_gradient_bmp_media(_ids_df(spark, 150))
+    hashes = image_dhash_stats(media).select("media_id", "dhash")
+    narrow = {
+        (r.id_a, r.id_b, r.ham)
+        for r in hamming_near_dup_pairs(
+            hashes, "media_id", "dhash", max_hamming=2
+        ).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b, r.ham)
+        for r in hamming_near_dup_pairs(
+            hashes, "media_id", "dhash", max_hamming=2, key_blocks=2
+        ).collect()
+    }
+    assert wide == narrow and len(narrow) > 0
+
+
+def test_key_blocks_recall_exact_on_planted_pairs(spark):
+    """Pigeonhole: every planted pair at distance <= 2 is found with
+    key_blocks=2 over otherwise-random 64-bit hashes."""
+    import hashlib
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    for i in range(300):
+        h_u = int.from_bytes(
+            hashlib.md5(f"base{i}".encode()).digest()[:8], "big"
+        )
+        rows.append((2 * i, signed(h_u)))
+        flip = (1 << (i % 64)) | (1 << ((i * 7 + 3) % 64))
+        mate_u = h_u ^ (flip if i % 3 else (1 << (i % 64)))  # ham 1 or 2
+        rows.append((2 * i + 1, signed(mate_u)))
+    df = spark.createDataFrame(rows, "media_id long, h long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in hamming_near_dup_pairs(
+            df, "media_id", "h", max_hamming=2, key_blocks=2
+        ).collect()
+    }
+    want = {(2 * i, 2 * i + 1) for i in range(300)}
+    assert want <= got  # exact recall on planted pairs
+
+
+def test_key_blocks_validation(spark):
+    media = synthesize_gradient_bmp_media(_ids_df(spark, 5))
+    hashes = image_dhash_stats(media).select("media_id", "dhash")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_blocks"):
+        hamming_near_dup_pairs(
+            hashes, "media_id", "dhash", key_blocks=4
+        ).collect()
+
+
+def test_incremental_probe_refuses_key_mismatch(spark, tmp_path):
+    """A kb=2 probe against a kb=1 index must REFUSE (silent
+    false-negatives otherwise — the INDEX_FORMAT-v2 lesson)."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.incremental import (
+        incremental_hamming_pairs,
+        write_hamming_index,
+    )
+
+    media = synthesize_gradient_bmp_media(_ids_df(spark, 60), cluster_mod=10)
+    hashes = image_dhash_stats(media).select("media_id", "dhash")
+    root = str(tmp_path / "idx")
+    write_hamming_index(
+        hashes.filter(F.col("media_id") < 10), "media_id", "dhash", root
+    )
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        incremental_hamming_pairs(
+            hashes.filter(F.col("media_id") >= 10),
+            root, "media_id", "dhash", key_blocks=2,
+        )
+    # matching kb=2 build + probe agrees with the kb=1 path
+    wide_root = str(tmp_path / "idx2")
+    write_hamming_index(
+        hashes.filter(F.col("media_id") < 10),
+        "media_id", "dhash", wide_root, key_blocks=2,
+    )
+    wide = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(
+            hashes.filter(F.col("media_id") >= 10),
+            wide_root, "media_id", "dhash", key_blocks=2,
+        ).collect()
+    }
+    narrow = {
+        (r.id_a, r.id_b)
+        for r in incremental_hamming_pairs(
+            hashes.filter(F.col("media_id") >= 10),
+            root, "media_id", "dhash",
+        ).collect()
+    }
+    assert wide == narrow and len(wide) > 0

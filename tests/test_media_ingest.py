@@ -214,3 +214,54 @@ def test_media_ingest_transform_hook(spark, tmp_path):
         {"batch_id": 0, "n_in": 10, "n_filtered": 5, "n_dropped": 0,
          "n_kept": 5},
     ]
+
+
+def test_media_ingest_audio_fingerprint_hook(spark, tmp_path):
+    """The same sink ingests AUDIO: fingerprint=audio_fingerprint with
+    hash_col='afp' — gain-variant chord copies dedup against the
+    indexed corpus exactly like images do."""
+    from fluss_datafusion_spark.functions.multimodal import (
+        audio_fingerprint,
+        synthesize_chord_media,
+    )
+    from fluss_datafusion_spark.operators.incremental import (
+        write_hamming_index,
+    )
+
+    media = synthesize_chord_media(
+        spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    )
+    fp = audio_fingerprint(media).select("media_id", "afp")
+    index = str(tmp_path / "idx")
+    # corpus = clusters 0..9 (ids 0..9); ingest ids 20..59
+    write_hamming_index(
+        fp.filter(F.col("media_id") < 10), "media_id", "afp", index
+    )
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE audio_tbl (media_id BIGINT NOT NULL, afp BIGINT,"
+        " n_windows INT, PRIMARY KEY (media_id))"
+    )
+    replay = _write_chunks(media, str(tmp_path / "replay"), ((20, 60),))
+    metrics = []
+    media_ingest_sink(
+        _stream(spark, replay),
+        e.catalog,
+        "audio_tbl",
+        index,
+        str(tmp_path / "ckpt"),
+        fingerprint=audio_fingerprint,
+        hash_col="afp",
+        metrics=metrics,
+    ).awaitTermination()
+    got = sorted(
+        r.media_id for r in e.sql("SELECT media_id FROM audio_tbl").collect()
+    )
+    # ids 20..29 pair with indexed clusters 0..9 -> dropped; clusters
+    # 10..19 appear twice in the batch (30..39 vs 50..59 collide at
+    # ham 0; 20+c pairs 40+c): greater ids drop
+    assert got == list(range(30, 40))
+    assert metrics == [
+        {"batch_id": 0, "n_in": 40, "n_filtered": 0, "n_dropped": 30,
+         "n_kept": 10},
+    ]

@@ -224,14 +224,29 @@ def run_ops(spark, docs_path: str, emb_path: str, media_path: str) -> dict:
         ),
     )
     # full perceptual-dedup path: Arrow-batched BMP decode + dHash, then
-    # banded Hamming LSH pairs (r8 operators)
+    # banded Hamming LSH pairs (r8 operators).  Two key regimes on the
+    # SAME input: 16-bit keys (key_blocks=1, the default) saturate past
+    # ~2^16 distinct fingerprints and collision candidates grow
+    # quadratically — the _k16 row EXISTS to show that knee; 32-bit
+    # block-combination keys (key_blocks=2, Manku 2007) are the scale
+    # path and stay pigeonhole-exact for Hamming <= 2.
     bench(
-        "dedup_image_phash",
+        "dedup_image_phash_k16",
         lambda: dedup.hamming_near_dup_pairs(
             multimodal.image_dhash_stats(media).select("media_id", "dhash"),
             "media_id",
             "dhash",
             max_hamming=2,
+        ),
+    )
+    bench(
+        "dedup_image_phash_k32",
+        lambda: dedup.hamming_near_dup_pairs(
+            multimodal.image_dhash_stats(media).select("media_id", "dhash"),
+            "media_id",
+            "dhash",
+            max_hamming=2,
+            key_blocks=2,
         ),
     )
     bench(

@@ -5777,3 +5777,49 @@ def ns_training_pit_join(spark, sf_dir):
     return out.select(
         "user_id", "ts", "purchase_value", "signup_score", "click_score"
     )
+
+
+@query(
+    "ns_curation_discretize", extended=True,
+    oracle="""
+    WITH q AS (
+        SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+               round(quantile_cont(l_quantity, 0.5), 6) AS q2,
+               round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS e1,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS e2,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS e3
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST((l_quantity > q1)::INT + (l_quantity > q2)::INT
+                + (l_quantity > q3)::INT AS INTEGER) AS l_quantity_bin,
+           CAST((l_extendedprice > e1)::INT + (l_extendedprice > e2)::INT
+                + (l_extendedprice > e3)::INT AS INTEGER)
+               AS l_extendedprice_bin
+    FROM lineitem, q
+    """,
+)
+def ns_curation_discretize(spark, sf_dir):
+    """Equal-frequency quantile binning (r8 —
+    operators/curation.discretize_quantiles; the QuantileDiscretizer
+    feature-engineering shape on plain SQL): quartile cutpoints over
+    two lineitem measures, rounded to 6 decimals BEFORE assignment so
+    cross-engine last-ulp quantile differences cannot flip a boundary
+    value's bin; DuckDB re-derives the interpolated quantiles
+    (quantile_cont == Spark's exact percentile) and every row's bin.
+    The entry runs exact=True for oracle-grade reproducibility; the
+    default approx_percentile sketch is the bounded-memory 100 TB
+    path (one aggregation either way, then a narrow projection)."""
+    from fluss_datafusion_spark.operators.curation import (
+        discretize_quantiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    out = discretize_quantiles(
+        li, ["l_quantity", "l_extendedprice"], n_bins=4, exact=True
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity_bin",
+        "l_extendedprice_bin",
+    )

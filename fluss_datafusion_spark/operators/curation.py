@@ -1491,3 +1491,50 @@ def mutual_information(
         )
         results = row if results is None else results.unionByName(row)
     return results
+
+
+def discretize_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 4,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-engineering
+    discretizer (Spark MLlib's QuantileDiscretizer shape, rebuilt on
+    plain SQL so the cutpoints are engine-reproducible): per column,
+    compute the ``n_bins - 1`` interior quantile cutpoints, then append
+    ``{col}_bin`` = the number of cutpoints strictly below the value
+    (0..n_bins-1; NULLs stay NULL).  Cutpoints are rounded to 6
+    decimals BEFORE assignment so a cross-engine last-ulp difference in
+    the interpolated quantile cannot flip a boundary value's bin.
+
+    Scale shape: ONE aggregation per call (all columns' quantiles in
+    the same agg — ``approx_percentile`` sketches by default, the
+    bounded-memory 100 TB path; ``exact=True`` switches to the exact
+    interpolated ``percentile`` for oracle-grade reproducibility), then
+    a pure narrow projection — no shuffle of the corpus, no UDFs."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(1.0 / relative_error)}"
+    aggs = [
+        F.expr(
+            f"{fn}({c}, array({', '.join(str(p) for p in probs)}){acc})"
+        ).alias(f"__q_{c}")
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        cuts = [round(float(v), 6) for v in row[f"__q_{c}"]]
+        bin_expr = None
+        for cut in cuts:
+            term = (F.col(c) > F.lit(cut)).cast("int")
+            bin_expr = term if bin_expr is None else bin_expr + term
+        out = out.withColumn(
+            f"{c}_bin",
+            F.when(F.col(c).isNull(), F.lit(None)).otherwise(bin_expr),
+        )
+    return out

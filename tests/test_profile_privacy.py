@@ -64,3 +64,40 @@ def test_mutual_information_constant_column(spark):
     df = spark.createDataFrame([(1, "c")] * 5, "x int, y string")
     r = mutual_information(df, [("x", "y")]).collect()[0]
     assert r.mi == 0.0 and r.nmi == 0.0
+
+
+def test_discretize_quantiles_balanced_and_nulls(spark):
+    from fluss_datafusion_spark.operators.curation import (
+        discretize_quantiles,
+    )
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    out = discretize_quantiles(df, ["x"], n_bins=4, exact=True)
+    bins = {r.id: r.x_bin for r in out.collect()}
+    assert bins[100] is None
+    counts = {}
+    for i in range(100):
+        counts[bins[i]] = counts.get(bins[i], 0) + 1
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())  # ~equal frequency
+    assert bins[0] == 0 and bins[99] == 3
+    # monotone: higher values never land in lower bins
+    assert all(bins[i] <= bins[i + 1] for i in range(99))
+
+
+def test_discretize_validation_and_approx_close(spark):
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.curation import (
+        discretize_quantiles,
+    )
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1000)], "id int, x double")
+    with _pytest.raises(ValueError, match="n_bins"):
+        discretize_quantiles(df, ["x"], n_bins=1)
+    exact = {r.id: r.x_bin for r in discretize_quantiles(df, ["x"], 4, exact=True).collect()}
+    approx = {r.id: r.x_bin for r in discretize_quantiles(df, ["x"], 4).collect()}
+    # the sketch path may shift a few boundary rows, never whole bins
+    diffs = sum(1 for i in exact if exact[i] != approx[i])
+    assert diffs < 20

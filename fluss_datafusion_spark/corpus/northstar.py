@@ -2201,6 +2201,9 @@ def ns_pipeline_ingest_e2e(spark, sf_dir):
 
 @query(
     "ns_curation_span_scrub",
+    extended=True,  # r8 third-session rotation: -> extended for
+    # ns_linkage_fs_em (span scrubbing stays evidenced via
+    # ns_curation_substring_scrub / ns_dedup_shared_spans + tests)
     oracle="""
     WITH tk AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -5248,7 +5251,9 @@ def _fs_em_oracle_sql(iters: int = 3) -> str:
     return sql
 
 
-@query("ns_linkage_fs_em", extended=True, oracle=_fs_em_oracle_sql())
+@query("ns_linkage_fs_em", oracle=_fs_em_oracle_sql())  # r8 third-
+# session rotation: INTO the core window (new operator family —
+# probabilistic record linkage; OUT: ns_curation_span_scrub)
 def ns_linkage_fs_em(spark, sf_dir):
     """Probabilistic record linkage, EM-replicated cross-engine (r8 —
     operators/linkage.fs_em_fit/fs_score; Fellegi–Sunter 1969 + Winkler

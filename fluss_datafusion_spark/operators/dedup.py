@@ -753,11 +753,13 @@ def hamming_band_keys(n_bands: int, key_blocks: int = 1):
     within Hamming distance ``n_bands - key_blocks`` shares at least
     one fully-clean subset — recall is EXACT for ``max_hamming <=
     n_bands - key_blocks``.  WHY key_blocks matters at scale: with the
-    default 4x1 the keys are only 16 bits wide and saturate past ~2^16
-    DISTINCT fingerprints — random cross-fingerprint collisions then
-    grow candidate pairs QUADRATICALLY in the corpus (measured: the
-    SCALE x100 image-dedup row).  key_blocks=2 widens keys to 32 bits
-    (C(4,2) = 6 tables) and keeps d <= 2 exact — the 100 TB regime.
+    default 4x1 the keys are only 16 bits wide, so spurious candidate
+    pairs grow as O(n_distinct^2 / 2^16) per band — at 50k distinct
+    fingerprints that is already ~3 spurious verifies per true pair
+    (SCALE x100: k16 62.7s vs k32 51.0s, decode-dominated), and every
+    further 10x multiplies the spurious term 100x.  key_blocks=2
+    widens keys to 32 bits (C(4,2) = 6 tables), pushing saturation to
+    ~2^32 while keeping d <= 2 exact — the 100 TB regime.
 
     Returns the list of key Columns (caller posexplodes)."""
     from itertools import combinations

@@ -1168,3 +1168,63 @@ def stream_funnel(spark, sf_dir):
         .filter(F.col("__rn__") == 1)
         .select("user_id", "stage", "t_1", "t_2", "t_3")
     )
+
+
+@query(
+    "stream_expectations", extended=True,
+    oracle="""
+    WITH src AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+               event_type, value, user_id
+        FROM events
+    ),
+    agg AS (
+        SELECT ws, count(*) AS n,
+               sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+               sum(CASE WHEN event_type IS NOT NULL AND event_type
+                        NOT IN ('view', 'click', 'purchase', 'signup',
+                                'error')
+                        THEN 1 ELSE 0 END) AS v_av,
+               sum(CASE WHEN value IS NOT NULL
+                        AND (value < 0 OR value > 100)
+                        THEN 1 ELSE 0 END) AS v_bt
+        FROM src GROUP BY ws
+    )
+    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+           r.rule, r."column", r.n_violations, n AS n_rows,
+           r.n_violations = 0 AS passed
+    FROM agg, LATERAL (
+        VALUES ('not_null', 'user_id', v_nn),
+               ('accepted_values', 'event_type', v_av),
+               ('between', 'value', v_bt),
+               ('row_count', NULL, greatest(5 - n, 0))
+    ) r(rule, "column", n_violations)
+    """,
+)
+def stream_expectations(spark, sf_dir):
+    """LIVE data-quality monitoring through the real engine (r8 —
+    streaming.events.expectations_stream): four rules (not_null,
+    accepted_values, a value range with real violations, a per-window
+    row-count floor) evaluated as conditional sums in ONE streaming
+    aggregation per 1-hour event-time window, replayed over 8 in-order
+    chunks in complete mode.  DuckDB re-derives every window's counts
+    and flags."""
+    from fluss_datafusion_spark.streaming.events import expectations_stream
+
+    rules = [
+        {"kind": "not_null", "column": "user_id"},
+        {
+            "kind": "accepted_values",
+            "column": "event_type",
+            "values": ["view", "click", "purchase", "signup", "error"],
+        },
+        {"kind": "between", "column": "value", "lo": 0, "hi": 100},
+        {"kind": "row_count", "min": 5},
+    ]
+    return _replayed(
+        spark,
+        sf_dir,
+        "expectations",
+        lambda s: expectations_stream(s, rules, window="1 hour"),
+        "complete",
+    )

@@ -1257,3 +1257,79 @@ def funnel_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def expectations_stream(
+    stream: DataFrame,
+    rules,
+    window: str = "1 hour",
+    watermark: str = "1 minute",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LIVE data-quality monitoring — the streaming half of
+    ``operators.expectations.expect``: per event-time tumbling window,
+    evaluate every rule as a conditional sum in ONE streaming
+    aggregation and emit a violation report row per (window, rule).
+
+    Supported rule kinds: not_null / accepted_values / between /
+    matches (the set rules — each is one JVM conditional sum) and
+    row_count (min/max rows PER WINDOW — a throughput guard).
+    Uniqueness is deliberately absent: exact distinct aggregation is
+    unsupported in streaming; audit uniqueness in batch (expect()) or
+    track keys with streaming dedup.
+
+    Returns (window_start, window_end, rule, column, n_violations,
+    n_rows, passed).  State is one row of counters per open window —
+    bounded by the watermark regardless of stream length."""
+    from fluss_datafusion_spark.operators.expectations import (
+        _violation_expr,
+    )
+
+    rules = list(rules)
+    for r in rules:
+        if r["kind"] == "unique":
+            raise ValueError(
+                "uniqueness needs exact distinct aggregation — "
+                "unsupported in streaming; use batch expect()"
+            )
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, r in enumerate(rules):
+        if r["kind"] == "row_count":
+            continue
+        aggs.append(
+            F.sum(_violation_expr(r).cast("long")).alias(f"__v{i}__")
+        )
+    agged = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("__w__"))
+        .agg(*aggs)
+    )
+    row_exprs = []
+    for i, r in enumerate(rules):
+        kind = r["kind"]
+        if kind == "row_count":
+            lo = r.get("min", 0)
+            hi = r.get("max")
+            shortfall = F.greatest(F.lit(lo) - F.col("__n__"), F.lit(0))
+            excess = (
+                F.greatest(F.col("__n__") - F.lit(hi), F.lit(0))
+                if hi is not None
+                else F.lit(0)
+            )
+            viol = shortfall + excess
+        else:
+            viol = F.col(f"__v{i}__")
+        row_exprs.append(
+            F.struct(
+                F.lit(kind).alias("rule"),
+                F.lit(r.get("column")).cast("string").alias("column"),
+                viol.cast("long").alias("n_violations"),
+                F.col("__n__").alias("n_rows"),
+                (viol == 0).alias("passed"),
+            )
+        )
+    return agged.select(
+        F.col("__w__.start").alias("window_start"),
+        F.col("__w__.end").alias("window_end"),
+        F.explode(F.array(*row_exprs)).alias("__r__"),
+    ).select("window_start", "window_end", "__r__.*")

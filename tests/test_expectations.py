@@ -77,3 +77,43 @@ def test_fk_orphans_and_null_fk(spark):
         child.filter(F.col("id") < 3), "pid", parent, "pk"
     ).collect()[0]
     assert ok.n_orphans == 0 and ok.passed
+
+
+def test_expectations_stream_matches_batch(spark, testdata, tmp_path):
+    """Streaming rule counts per window equal the batch evaluation of
+    the same plan; uniqueness refuses."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.session import read_table
+    from fluss_datafusion_spark.streaming.events import (
+        chunk_df_for_replay,
+        expectations_stream,
+        run_to_memory,
+    )
+
+    ev = read_table(spark, f"{testdata}/events.parquet").select(
+        "ts", "user_id", "value"
+    )
+    rules = [
+        {"kind": "not_null", "column": "user_id"},
+        {"kind": "between", "column": "value", "lo": 0, "hi": 50},
+        {"kind": "row_count", "min": 3},
+    ]
+    batch = {
+        tuple(r) for r in expectations_stream(ev, rules).collect()
+    }
+    replay = chunk_df_for_replay(ev, str(tmp_path / "replay"), n_chunks=4)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    run_to_memory(
+        expectations_stream(stream, rules),
+        "exp_stream_eq",
+        output_mode="complete",
+    )
+    streamed = {tuple(r) for r in spark.table("exp_stream_eq").collect()}
+    assert streamed == batch and len(batch) > 0
+    with _pytest.raises(ValueError, match="uniqueness"):
+        expectations_stream(ev, [{"kind": "unique", "columns": ["user_id"]}])

@@ -5828,3 +5828,71 @@ def ns_curation_discretize(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity_bin",
         "l_extendedprice_bin",
     )
+
+
+@query(
+    "ns_quality_kn_lm", extended=True,
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, t[CAST(i AS INTEGER) + 1] AS w1,
+               t[CAST(i AS INTEGER) + 2] AS w2
+        FROM tk, LATERAL unnest(range(len(t) - 1)) u(i)
+    ),
+    c2 AS (
+        SELECT w1, w2, count(*) AS c2 FROM bg
+        WHERE doc_id % 4 = 0 GROUP BY 1, 2
+    ),
+    pref AS (
+        SELECT w1, sum(c2) AS cp, count(*) AS n1l FROM c2 GROUP BY 1
+    ),
+    cont AS (SELECT w2, count(*) AS n1r FROM c2 GROUP BY 1),
+    scal AS (
+        SELECT (SELECT count(DISTINCT u.tok) FROM tk,
+                LATERAL unnest(t) u(tok) WHERE doc_id % 4 = 0) AS V,
+               (SELECT count(*) FROM c2) AS T
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               CASE WHEN pref.cp IS NOT NULL THEN
+                   greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / pref.cp
+                   + 0.75 * pref.n1l / pref.cp
+                     * ((coalesce(cont.n1r, 0) + 0.5)
+                        / (T + 0.5 * (V + 1)))
+               ELSE (coalesce(cont.n1r, 0) + 0.5) / (T + 0.5 * (V + 1))
+               END AS p
+        FROM bg
+        LEFT JOIN c2 USING (w1, w2)
+        LEFT JOIN pref USING (w1)
+        LEFT JOIN cont USING (w2), scal
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(p)), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ns_quality_kn_lm(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM scoring (r8 —
+    operators/lm.train_kn_lm / score_with_kn; Kneser & Ney 1995, the
+    smoothing KenLM implements and CCNet's quality filter runs):
+    trained on the doc_id % 4 == 0 quarter, every document scored by
+    mean bigram log-probability — absolute discounting, continuation
+    back-off weights, the novel-context N1+ counts, and the additive
+    OOV floor all re-derived exactly in DuckDB.  Three count
+    aggregations to train, three narrow shuffle joins to score; model
+    state is DataFrames (corpus-shuffle-sized, never broadcast)."""
+    from fluss_datafusion_spark.operators.lm import (
+        score_with_kn,
+        train_kn_lm,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 4 == 0)
+    model = train_kn_lm(train, "doc_id", "text")
+    return score_with_kn(docs, "doc_id", "text", *model)

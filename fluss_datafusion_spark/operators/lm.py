@@ -248,3 +248,97 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)
+
+
+def train_kn_lm(
+    docs: DataFrame, id_col: str, text_col: str
+) -> Tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train an interpolated Kneser–Ney bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1998 — THE smoothing KenLM implements and CCNet
+    filters with; the add-alpha model above is the cheap stand-in):
+
+        P(w2 | w1) = max(c(w1 w2) − D, 0) / cp(w1)
+                     + D · N1+(w1 ·) / cp(w1) · P_cont(w2)
+        P_cont(w2) = (N1+(· w2) + a) / (N_types + a · (V + 1))
+
+    with D the absolute discount, N1+(w1 ·) the distinct continuations
+    of w1, N1+(· w2) the distinct left-contexts of w2 (the
+    "novel-context" count that makes KN rank 'Francisco' low despite
+    high frequency), N_types the distinct bigram count, and the
+    continuation distribution additively floored (a, +1 OOV bucket) so
+    every score is finite.
+
+    Returns (bigrams, prefixes, continuations, scalars) DataFrames:
+    ``(__w1__, __w2__, __c2__)``, ``(__w1__, __cp__, __n1l__)``,
+    ``(__w2__, __n1r__)``, ``(__V__, __T__)`` — three map-side-combined
+    counts over ONE bigram derivation plus the vocab scalar; the model
+    is corpus-shuffle-sized state, never a broadcast."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c2 = bg.groupBy("__w1__", "__w2__").agg(
+        F.count(F.lit(1)).alias("__c2__")
+    )
+    prefixes = c2.groupBy("__w1__").agg(
+        F.sum("__c2__").alias("__cp__"),
+        F.count(F.lit(1)).alias("__n1l__"),
+    )
+    continuations = c2.groupBy("__w2__").agg(
+        F.count(F.lit(1)).alias("__n1r__")
+    )
+    scalars = (
+        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        .select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok__")
+        )
+        .agg(F.countDistinct("__tok__").alias("__V__"))
+        .crossJoin(c2.agg(F.count(F.lit(1)).alias("__T__")))
+    )
+    return c2, prefixes, continuations, scalars
+
+
+def score_with_kn(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: DataFrame,
+    prefixes: DataFrame,
+    continuations: DataFrame,
+    scalars: DataFrame,
+    discount: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Score documents under the trained KN model (train_kn_lm): per
+    document the mean log-probability of its bigrams.  Unseen prefixes
+    back off entirely to the continuation distribution; unseen words
+    land in its additive floor — every bigram scores finite.
+
+    Same scale shape as score_with_lm: three shuffle joins on narrow
+    n-gram keys (model state is corpus-sized, never broadcast; the two
+    scalars ride as a single-row broadcast), one map-side-combined
+    per-doc average.  Returns (id_col, n_bigrams, avg_logprob) rounded
+    to 4 — the cross-engine float-sum tolerance."""
+    bg = _doc_bigrams(docs, id_col, text_col)
+    p_cont = (F.coalesce(F.col("__n1r__"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("__T__") + F.lit(alpha) * (F.col("__V__") + 1)
+    )
+    seen = F.col("__cp__").isNotNull()
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("__c2__"), F.lit(0)) - F.lit(discount),
+            F.lit(0.0),
+        )
+        / F.col("__cp__")
+        + F.lit(discount) * F.col("__n1l__") / F.col("__cp__") * p_cont
+    )
+    logp = F.log(F.when(seen, p_seen).otherwise(p_cont))
+    return (
+        bg.join(bigrams, ["__w1__", "__w2__"], "left")
+        .join(prefixes, "__w1__", "left")
+        .join(continuations, "__w2__", "left")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logprob"),
+        )
+        .select(F.col("__id__").alias(id_col), "n_bigrams", "avg_logprob")
+    )

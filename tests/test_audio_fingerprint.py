@@ -90,3 +90,107 @@ def test_tone_fixture_also_fingerprints(spark):
     assert all(r.decoded_ok for r in rows.values())
     mask = (1 << 64) - 1
     assert bin((rows[0].afp ^ rows[1].afp) & mask).count("1") == 2
+
+
+def test_video_fingerprint_matches_image_dhash(spark):
+    """Majority-vote video fingerprint of the gradient AVI equals the
+    still gradient image's dHash for unperturbed ids (brightness
+    offsets are gradient-invariant), and near-dups pair at Hamming 1."""
+    from fluss_datafusion_spark.functions.multimodal import (
+        image_dhash_stats,
+        synthesize_gradient_avi_media,
+        synthesize_gradient_bmp_media,
+        video_fingerprint,
+    )
+    from fluss_datafusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    ids = _ids(spark, 120)
+    vfp = {
+        r.media_id: r
+        for r in video_fingerprint(
+            synthesize_gradient_avi_media(ids, cluster_mod=50)
+        ).collect()
+    }
+    dhash = {
+        r.media_id: r.dhash
+        for r in image_dhash_stats(
+            synthesize_gradient_bmp_media(ids, cluster_mod=50)
+        ).collect()
+    }
+    assert all(r.decoded_ok and r.n_frames == 4 for r in vfp.values())
+    for i in range(100):  # unperturbed: video fp == still-image dhash
+        assert vfp[i].vfp == dhash[i], i
+    mask = (1 << 64) - 1
+    for c in range(20):  # perturbed copies: exactly one bit apart
+        assert bin((vfp[c].vfp ^ vfp[c + 100].vfp) & mask).count("1") == 1
+    pairs = hamming_near_dup_pairs(
+        video_fingerprint(
+            synthesize_gradient_avi_media(ids, cluster_mod=50)
+        ).select("media_id", "vfp"),
+        "media_id", "vfp", max_hamming=2,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if a % 50 == b % 50
+    }
+    assert got == want
+
+
+def test_video_ingest_sink_hook(spark, tmp_path):
+    """media_ingest_sink ingests VIDEO with fingerprint=video_fingerprint
+    — the third modality on the same index machinery."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.functions.multimodal import (
+        synthesize_gradient_avi_media,
+        video_fingerprint,
+    )
+    from fluss_datafusion_spark.operators.incremental import (
+        media_ingest_sink,
+        write_hamming_index,
+    )
+
+    media = synthesize_gradient_avi_media(_ids(spark, 60), cluster_mod=10)
+    fp = video_fingerprint(media).select("media_id", "vfp")
+    index = str(tmp_path / "idx")
+    write_hamming_index(
+        fp.filter(F.col("media_id") < 10), "media_id", "vfp", index
+    )
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE video_tbl (media_id BIGINT NOT NULL, vfp BIGINT,"
+        " n_frames INT, PRIMARY KEY (media_id))"
+    )
+    replay = str(tmp_path / "replay")
+    import os as _os
+
+    _os.makedirs(replay)
+    pdf = (
+        media.filter(F.col("media_id") >= 20)
+        .toPandas()
+        .sort_values("media_id")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        _os.path.join(replay, "b0.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    media_ingest_sink(
+        stream, e.catalog, "video_tbl", index, str(tmp_path / "ckpt"),
+        fingerprint=video_fingerprint, hash_col="vfp",
+    ).awaitTermination()
+    got = sorted(
+        r.media_id for r in e.sql("SELECT media_id FROM video_tbl").collect()
+    )
+    # every batch id's cluster (c = id % 10) is already in the index,
+    # so the corpus-copy-wins rule drops the whole batch
+    assert got == []

@@ -6016,3 +6016,31 @@ def ns_multimodal_video_fp(spark, sf_dir):
         id_col="doc_id",
     )
     return multimodal.video_fingerprint(media)
+
+
+@query(
+    "ns_dedup_video_fp", extended=True,
+    oracle="""
+    WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(CASE WHEN (a.id < 100) = (b.id < 100) THEN 0 ELSE 1 END
+                AS INTEGER) AS ham
+    FROM ids a JOIN ids b ON a.id % 50 = b.id % 50 AND a.id < b.id
+    """,
+)
+def ns_dedup_video_fp(spark, sf_dir):
+    """VIDEO near-dup dedup (r8 — the family's pairing entry, like
+    ns_dedup_image_phash / ns_dedup_audio_fp): fingerprint the gradient
+    AVI fixture (video_fingerprint — majority-vote frame dHash), pair
+    with the banded Hamming LSH.  Same-cluster unperturbed-vs-perturbed
+    copies sit at Hamming exactly 1, identical copies at 0, distinct
+    clusters far above max_hamming — the complete pair set and every
+    distance are closed-form in DuckDB."""
+    from fluss_datafusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    media = multimodal.synthesize_gradient_avi_media(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        id_col="doc_id",
+    )
+    fp = multimodal.video_fingerprint(media).select("media_id", "vfp")
+    return hamming_near_dup_pairs(fp, "media_id", "vfp", max_hamming=2)

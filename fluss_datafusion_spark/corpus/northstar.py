@@ -6044,3 +6044,143 @@ def ns_dedup_video_fp(spark, sf_dir):
     )
     fp = multimodal.video_fingerprint(media).select("media_id", "vfp")
     return hamming_near_dup_pairs(fp, "media_id", "vfp", max_hamming=2)
+
+
+@query(
+    "ns_multimodal_scene_ingest", extended=True,
+    oracle="""
+    WITH vids AS (SELECT doc_id AS i FROM documents
+                  WHERE doc_id < 10 OR (doc_id >= 30 AND doc_id < 60)),
+    scenes AS (
+        SELECT i, CAST(s AS INTEGER) AS s, 64 * i + s AS uid,
+               (i + 17 * s) % 50 AS c,
+               CASE WHEN i < 10 THEN 0 WHEN i < 45 THEN 1 ELSE 2 END AS grp
+        FROM vids, (SELECT unnest(range(3)) AS s) ss
+        WHERE s < 2 + i % 2
+    ),
+    idx AS (SELECT DISTINCT c FROM scenes WHERE grp = 0),
+    b1 AS (SELECT * FROM scenes WHERE grp = 1),
+    b1_keep AS (
+        SELECT * FROM b1
+        WHERE c NOT IN (SELECT c FROM idx)
+          AND uid = (SELECT min(uid) FROM b1 x WHERE x.c = b1.c)
+    ),
+    b2 AS (SELECT * FROM scenes WHERE grp = 2),
+    b2_keep AS (
+        SELECT * FROM b2
+        WHERE c NOT IN (SELECT c FROM idx)
+          AND c NOT IN (SELECT c FROM b1_keep)
+          AND uid = (SELECT min(uid) FROM b2 x WHERE x.c = b2.c)
+    ),
+    survivors AS (
+        SELECT * FROM b1_keep UNION ALL SELECT * FROM b2_keep
+    ),
+    bits AS (
+        SELECT uid, i, s, list_sum(list_transform(range(64), k ->
+            CASE WHEN
+                (5 * (((k % 8) * 16) // 9) * (((k % 8) * 16) // 9) * (c + 1)
+                 + (2 * (k // 8)) * (7 + 3 * c)
+                 + 13 * (((k % 8) * 16) // 9)) % 251
+                <
+                (5 * ((((k % 8) + 1) * 16) // 9) * ((((k % 8) + 1) * 16) // 9)
+                   * (c + 1)
+                 + (2 * (k // 8)) * (7 + 3 * c)
+                 + 13 * ((((k % 8) + 1) * 16) // 9)) % 251
+            THEN CAST(1 AS HUGEINT) << (63 - CAST(k AS INTEGER))
+            ELSE CAST(0 AS HUGEINT) END)) AS raw
+        FROM survivors
+    )
+    SELECT uid AS media_id, i AS video_id, s AS scene_idx,
+           CAST(3 * s AS INTEGER) AS start_frame,
+           CAST(3 AS INTEGER) AS n_frames,
+           CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+                     THEN raw - (CAST(1 AS HUGEINT) << 64)
+                     ELSE raw END AS BIGINT) AS sfp
+    FROM bits
+    """,
+)
+def ns_multimodal_scene_ingest(spark, sf_dir):
+    """Streaming SCENE-CUT video ingest with clip-level dedup (r8 —
+    functions/multimodal.video_scene_fingerprints riding
+    operators/incremental.media_ingest_sink unchanged, the round-9
+    candidate taken): videos 0..9 of the multiscene-AVI fixture are
+    segmented and their per-scene majority-vote dHashes indexed once;
+    videos 30..59 then arrive as TWO mtime-ordered micro-batches —
+    each payload is decoded ONCE into per-scene fingerprint rows
+    (packed uid = 64*video + scene), scenes probe the persisted
+    Hamming index (corpus-clip-wins; batch-internal same-content
+    scenes drop the greater uid), and surviving SCENE records upsert
+    into a PK engine table, their fingerprints appended to the index
+    so batch 2 dedups against batch 1's survivors.
+
+    Everything is closed-form in DuckDB: scene content is the gradient
+    cluster (i + 17*s) % 50, so the whole three-stage decision tree is
+    id arithmetic and every survivor's fingerprint is the
+    ns_multimodal_image_phash bit formula evaluated at its cluster."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import (
+        media_ingest_sink,
+        write_hamming_index,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scene_ingest_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = os.path.join(root, "replay")
+    os.makedirs(replay)
+
+    media = multimodal.synthesize_multiscene_avi_media(
+        t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 10)
+            | ((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+        ),
+        id_col="doc_id",
+    )
+    index = os.path.join(root, "idx")
+    corpus_fps = multimodal.video_scene_fingerprints(
+        media.filter(F.col("media_id") < 10)
+    ).filter("decoded_ok")
+    write_hamming_index(corpus_fps, "media_id", "sfp", index)
+    base = _time.time()
+    for i, (lo, hi) in enumerate(((30, 45), (45, 60))):
+        pdf = (
+            media.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            .toPandas()
+            .sort_values("media_id")
+        )
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        os.utime(fp, (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE scene_ingest (media_id BIGINT NOT NULL,"
+        " video_id BIGINT, scene_idx INT, start_frame INT, n_frames INT,"
+        " sfp BIGINT, PRIMARY KEY (media_id))"
+    )
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    media_ingest_sink(
+        stream, e.catalog, "scene_ingest", index,
+        os.path.join(root, "ckpt"),
+        fingerprint=multimodal.video_scene_fingerprints,
+        hash_col="sfp",
+    ).awaitTermination()
+    return e.sql(
+        "SELECT media_id, video_id, scene_idx, start_frame, n_frames, sfp"
+        " FROM scene_ingest"
+    )

@@ -3316,16 +3316,7 @@ def video_fingerprint(
                     continue
                 votes = np.zeros(64, dtype=np.int64)
                 for _fidx, px in frames:
-                    h, w, c = px.shape
-                    if c >= 3:
-                        gray = px[..., :3].astype(np.int64).sum(-1) // 3
-                    else:
-                        gray = px[..., 0].astype(np.int64)
-                    d = resize_pixels(
-                        gray[:, :, None], hash_size, hash_size + 1,
-                        "nearest",
-                    )[..., 0]
-                    votes += (d[:, :-1] < d[:, 1:]).ravel().astype(np.int64)
+                    votes += _frame_dhash_bits(px, hash_size)
                 bits = votes * 2 >= len(frames)
                 rows.append((mid, _pack_bits_64(bits), len(frames), True))
             out = pd.DataFrame(
@@ -3338,4 +3329,235 @@ def video_fingerprint(
 
     return media.select("media_id", "payload").mapInPandas(
         _map, _VFP_SCHEMA
+    )
+
+
+def _frame_dhash_bits(px, hash_size: int = 8):
+    """64 dHash gradient bits of one decoded (H, W, C) frame — the
+    image kernel shared by video_fingerprint and
+    video_scene_fingerprints: grayscale (integer channel mean),
+    nearest-resize to hash_size x (hash_size+1), horizontal
+    comparisons.  Returns a flat bool array of hash_size² bits."""
+    import numpy as np
+
+    h, w, c = px.shape
+    if c >= 3:
+        gray = px[..., :3].astype(np.int64).sum(-1) // 3
+    else:
+        gray = px[..., 0].astype(np.int64)
+    d = resize_pixels(gray[:, :, None], hash_size, hash_size + 1,
+                      "nearest")[..., 0]
+    return (d[:, :-1] < d[:, 1:]).ravel()
+
+
+_SCENE_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("video_id", T.LongType()),
+        T.StructField("scene_idx", T.IntegerType()),
+        T.StructField("start_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sfp", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_scene_fingerprints(
+    media: DataFrame,
+    threshold: float = 10.0,
+    hash_size: int = 8,
+    max_scenes: int = 64,
+) -> DataFrame:
+    """Per-SCENE perceptual video fingerprints — the clip-reuse dedup
+    primitive (whole-video fingerprints miss a stock clip spliced into
+    otherwise-new footage; scene-level fingerprints catch it): ONE
+    Arrow pass per payload decodes the AVI frames, segments at
+    frame-difference boundaries (mean |Δ| > ``threshold``, the
+    avi_scene_cuts rule), and majority-votes each scene's frames' 64
+    dHash gradient bits (ties round to 1 — the video_fingerprint
+    temporal aggregation, per scene).
+
+    Output is one row per scene: ``media_id`` is the PACKED scene uid
+    ``video_id * max_scenes + scene_idx`` (globally unique, so the
+    generic banded-Hamming machinery — dedup.hamming_near_dup_pairs,
+    incremental.incremental_hamming_pairs, media_ingest_sink with
+    ``fingerprint=video_scene_fingerprints, hash_col='sfp'`` — runs
+    unchanged on scenes), plus (video_id, scene_idx, start_frame,
+    n_frames, sfp, decoded_ok).  Undecodable payloads and videos with
+    more than ``max_scenes`` scenes yield a single decoded_ok = false
+    row (they reach neither tables nor indexes downstream).
+
+    Payload bytes never leave the executors; output is scene-sized,
+    not frame-sized."""
+    import numpy as np
+
+    if hash_size != 8:
+        raise ValueError("64-bit packing requires hash_size=8")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    frames = decode_avi_frames(payload)
+                except Exception:
+                    frames = None
+                if not frames:
+                    rows.append(
+                        (mid * max_scenes, mid, None, None, None, None,
+                         False)
+                    )
+                    continue
+                # scene boundaries: first frame + every cut
+                starts = [0]
+                prev = None
+                for pos, (_idx, px) in enumerate(frames):
+                    if prev is not None:
+                        d = float(
+                            np.abs(
+                                px.astype(np.float64)
+                                - prev.astype(np.float64)
+                            ).mean()
+                        )
+                        if d > threshold:
+                            starts.append(pos)
+                    prev = px
+                if len(starts) > max_scenes:
+                    rows.append(
+                        (mid * max_scenes, mid, None, None, None, None,
+                         False)
+                    )
+                    continue
+                bounds = starts + [len(frames)]
+                for s in range(len(starts)):
+                    lo, hi = bounds[s], bounds[s + 1]
+                    votes = np.zeros(
+                        hash_size * hash_size, dtype=np.int64
+                    )
+                    for _fidx, px in frames[lo:hi]:
+                        votes += _frame_dhash_bits(px, hash_size)
+                    bits = votes * 2 >= (hi - lo)
+                    rows.append(
+                        (
+                            mid * max_scenes + s,
+                            mid,
+                            s,
+                            frames[lo][0],
+                            hi - lo,
+                            _pack_bits_64(bits),
+                            True,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "video_id", "scene_idx", "start_frame",
+                    "n_frames", "sfp", "decoded_ok",
+                ],
+            )
+            for col in ("scene_idx", "start_frame", "n_frames"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            out["sfp"] = pd.array(out["sfp"], dtype="Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _SCENE_FP_SCHEMA
+    )
+
+
+def synthesize_multiscene_avi_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_mod: int = 50,
+    scene_shift: int = 17,
+    scene_len: int = 3,
+    size: int = 16,
+) -> DataFrame:
+    """Fixture for SCENE-level video dedup: an uncompressed AVI per
+    row with 2 + (id % 2) scenes of ``scene_len`` identical frames
+    each, scene ``s`` rendered as the gradient-BMP cluster pattern
+    (synthesize_gradient_bmp_media's pixel formula) for cluster
+    ``c = (id + scene_shift*s) % cluster_mod`` — so every derived fact
+    is closed-form in SQL:
+
+    - scene boundaries sit exactly at frame s*scene_len (within-scene
+      frame diffs are 0; adjacent scenes differ by scene_shift mod
+      cluster_mod ≠ 0, and distinct clusters' mean |Δ| is test-pinned
+      far above the cut threshold);
+    - each scene's majority-vote dHash equals the cluster's still-image
+      dHash (identical frames), i.e. the exact bit formula DuckDB
+      already replays for ns_multimodal_image_phash;
+    - two scenes (i, s) and (j, t) are perceptual duplicates iff
+      (i + scene_shift*s) ≡ (j + scene_shift*t) (mod cluster_mod) —
+      the clip-reuse oracle is pure id arithmetic."""
+
+    def _avi(i: int) -> bytes:
+        w = h = size
+        n_scenes = 2 + i % 2
+        stride = (w * 3 + 3) & ~3
+        pad = b"\x00" * (stride - 3 * w)
+        frames = bytearray()
+        for s in range(n_scenes):
+            c = (i + scene_shift * s) % cluster_mod
+            rows = []
+            for y_store in range(h):  # bottom-up storage
+                y = h - 1 - y_store
+                row = bytearray()
+                for x in range(w):
+                    g = (
+                        5 * x * x * (c + 1) + y * (7 + 3 * c) + 13 * x
+                    ) % 251
+                    row += bytes([g, g, g])
+                rows.append(bytes(row) + pad)
+            dib = b"".join(rows)
+            for _f in range(scene_len):
+                frames += b"00db" + struct.pack("<I", len(dib)) + dib
+                if len(dib) & 1:
+                    frames += b"\x00"
+        n_frames = n_scenes * scene_len
+        avih = struct.pack(
+            "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = (
+            b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                          n_frames, 0, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, w, h)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835,
+            0, 0,
+        )
+        strl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+            + b"avih" + struct.pack("<I", 56) + avih
+            + strl
+        )
+        movi = (
+            b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi"
+            + bytes(frames)
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_avi(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
     )

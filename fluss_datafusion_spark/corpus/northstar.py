@@ -6184,3 +6184,106 @@ def ns_multimodal_scene_ingest(spark, sf_dir):
         "SELECT media_id, video_id, scene_idx, start_frame, n_frames, sfp"
         " FROM scene_ingest"
     )
+
+
+# Shared HTML-fixture expression — valid in BOTH Spark SQL and DuckDB
+# (||-concat, CASE, CAST AS STRING), so the oracle rebuilds the exact
+# same page per document and replays the extraction chain on it.
+_HTML_FIXTURE_EXPR = (
+    "'<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS STRING)"
+    " || ' &amp; co</title>'"
+    " || CASE WHEN doc_id % 7 = 0"
+    "         THEN '<meta name=\"robots\" content=\"noindex, nofollow\">'"
+    "         ELSE '' END"
+    " || '<style>p { margin: 0; }</style>'"
+    " || '<script>if (1 < 2) { alert(\"</p>\"); }</script></head><body>'"
+    " || '<h1>Title &lt;' || CAST(doc_id AS STRING) || '&gt;</h1>'"
+    " || '<p>' || text || '</p>'"
+    " || '<!-- id ' || CAST(doc_id AS STRING) || ' -->'"
+    " || '<div>tail&nbsp;words &amp;lt; kept</div>'"
+    " || '<a href=\"https://ex.com/' || CAST(doc_id AS STRING)"
+    " || '\">first</a>'"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN '<a id=\"b\" href=\"https://ex.com/'"
+    "              || CAST(doc_id AS STRING) || '/b\">second</a>'"
+    "         ELSE '' END"
+    " || '</body></html>'"
+)
+
+
+@query(
+    "ns_curation_html_extract", extended=True,
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id, {_HTML_FIXTURE_EXPR} AS html FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+                html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+                '(?is)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|section|article|header|footer|blockquote)[^>]*>',
+                e'\\n', 'g'),
+                '(?s)<[^>]+>', ' ', 'g') AS body,
+            regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1)
+                AS rawtitle
+        FROM pages
+    ),
+    decoded AS (
+        SELECT doc_id, html,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+                body, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'), '&#39;', e'\\x27', 'g'),
+                '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS body,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(regexp_replace(
+                rawtitle, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'), '&#39;', e'\\x27', 'g'),
+                '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS title
+        FROM stripped
+    )
+    SELECT doc_id, trim(title) AS title,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            body, '[ \\t\\r\\f]+', ' ', 'g'),
+            ' ?\\n ?', e'\\n', 'g'),
+            e'\\n+', e'\\n', 'g'),
+            '^\\s+|\\s+$', '', 'g') AS text,
+        regexp_extract_all(html,
+            '(?is)<a[^>]*href\\s*=\\s*"([^"]*)"', 1) AS links,
+        CAST(len(regexp_extract_all(html,
+            '(?is)<a[^>]*href\\s*=\\s*"([^"]*)"', 1)) AS INTEGER)
+            AS n_links,
+        regexp_matches(html, '(?is)<meta[^>]*content\\s*=\\s*"[^"]*noindex')
+            AS noindex
+    FROM decoded
+    """,
+)
+def ns_curation_html_extract(spark, sf_dir):
+    """HTML -> text boilerplate extraction (r8 —
+    operators/curation.html_extract, the WET-extraction stage every
+    web-corpus pipeline starts from: C4 strips markup before any
+    heuristic, CCNet/RefinedWeb consume pre-extracted WET text): each
+    document is wrapped in a deterministic page — title with entities,
+    conditional robots-noindex meta, a style block, a script whose body
+    contains '<' and a fake closing tag, block/inline markup, an HTML
+    comment, nbsp + double-escaped entities, and 1-2 links — then the
+    engine strips scripts/styles/head/comments, breaks block tags to
+    newlines, drops tags, decodes entities (&amp; LAST: '&amp;lt;' is
+    the literal '&lt;'), and normalizes whitespace as ONE
+    whole-stage-codegen projection of RE2-compatible regexps.  DuckDB
+    rebuilds the identical page from the shared SQL expression and
+    replays the chain verbatim — title, text, links, n_links, noindex
+    all hash-checked."""
+    from fluss_datafusion_spark.operators.curation import html_extract
+
+    pages = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .selectExpr("doc_id", f"{_HTML_FIXTURE_EXPR} AS html")
+    )
+    return html_extract(pages)

@@ -1538,3 +1538,71 @@ def discretize_quantiles(
             F.when(F.col(c).isNull(), F.lit(None)).otherwise(bin_expr),
         )
     return out
+
+
+def html_extract(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """HTML -> text boilerplate extraction — the WET-extraction stage
+    every web-corpus pipeline starts from (C4 strips markup before its
+    heuristics, Raffel et al. 2020 §2.2; CCNet/RefinedWeb consume the
+    pre-extracted WET text): strip scripts/styles/comments/head, turn
+    block-level tags into line breaks, drop remaining tags, decode the
+    common entities, and normalize whitespace — plus the page-level
+    metadata curation keys on (title, robots-noindex, outbound links).
+
+    Entirely JVM regexp expressions (one whole-stage-codegen projection,
+    zero UDFs, no shuffle — linear in corpus bytes at 100 TB), and every
+    pattern is RE2-compatible (no backreferences or lookarounds) so the
+    DuckDB oracle replays the chain verbatim.  Entity decode order:
+    specific entities first, ``&amp;`` LAST — "&amp;lt;" must decode to
+    the literal "&lt;", not "<".
+
+    Returns (id, title, text, links array, n_links, noindex)."""
+    entities = (
+        (r"&lt;", "<"),
+        (r"&gt;", ">"),
+        (r"&quot;", "\""),
+        (r"&#39;", "'"),
+        (r"&nbsp;", " "),
+        (r"&amp;", "&"),
+    )
+    h = F.col(html_col)
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>([^<]*)</title>", 1)
+    for pat, rep in entities:
+        title = F.regexp_replace(title, pat, rep)
+    title = F.trim(title).alias("title")
+    noindex = h.rlike(
+        r"(?is)<meta[^>]*content\s*=\s*\"[^\"]*noindex"
+    ).alias("noindex")
+    links = F.expr(
+        f"regexp_extract_all({html_col},"
+        " '(?is)<a[^>]*href\\\\s*=\\\\s*\"([^\"]*)\"', 1)"
+    ).alias("links")
+    body = h
+    for pat, rep in (
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?is)<head[^>]*>.*?</head>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (
+            r"(?is)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table"
+            r"|section|article|header|footer|blockquote)[^>]*>",
+            "\n",
+        ),
+        (r"(?s)<[^>]+>", " "),
+        *entities,
+        (r"[ \t\r\f]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n+", "\n"),
+        (r"^\s+|\s+$", ""),
+    ):
+        body = F.regexp_replace(body, pat, rep)
+    return df.select(
+        F.col(id_col),
+        title,
+        body.alias("text"),
+        links,
+        F.size(links).alias("n_links"),
+        noindex,
+    )

@@ -731,3 +731,34 @@ def test_compression_ratio_stats(spark):
             assert rows[i].ratio is None
     # the repetitive doc compresses much better than prose
     assert rows[1].ratio < rows[2].ratio
+
+
+def test_html_extract_adversarial_cases(spark):
+    """The WET-extraction chain survives the classic traps: a fake
+    closing tag inside a script STRING, entities in the title,
+    double-escaped '&amp;lt;' staying literal, nbsp decoding, block
+    tags becoming line breaks, case-insensitive HREF, and noindex
+    detection."""
+    html = (
+        '<!DOCTYPE html><html><head><title> A &amp; B &lt;t&gt; </title>'
+        '<meta name="robots" content="noindex">'
+        "<style>p { color: red; }</style>"
+        '<script>if (1 < 2) { alert("</p>"); }</script></head><body>'
+        "<h1>Head</h1><p>one  two</p><!-- gone -->"
+        "<div>tail&nbsp;x &amp;lt; kept</div>"
+        '<a href="https://e.com/1">l1</a> mid '
+        '<a class="z" HREF="https://e.com/2">l2</a></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>plain</p>"), (3, "no markup at all")],
+        ["doc_id", "html"],
+    )
+    rows = {r.doc_id: r for r in curation.html_extract(df).collect()}
+    r = rows[1]
+    assert r.title == "A & B <t>"
+    assert r.text == "Head\none two\ntail x &lt; kept\nl1 mid l2"
+    assert r.links == ["https://e.com/1", "https://e.com/2"]
+    assert r.n_links == 2 and r.noindex
+    assert rows[2].text == "plain" and not rows[2].noindex
+    assert rows[2].title == "" and rows[2].links == []
+    assert rows[3].text == "no markup at all"

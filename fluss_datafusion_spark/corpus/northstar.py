@@ -6287,3 +6287,41 @@ def ns_curation_html_extract(spark, sf_dir):
         .selectExpr("doc_id", f"{_HTML_FIXTURE_EXPR} AS html")
     )
     return html_extract(pages)
+
+
+@query(
+    "ns_curation_temperature_mixture", extended=True,
+    oracle="""
+    WITH stats AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM stats),
+    sh AS (
+        SELECT source, n_docs, n_tokens,
+               n_tokens / CAST(total AS DOUBLE) AS share
+        FROM stats CROSS JOIN tot
+    )
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round((pow(share, 0.3) / sum(pow(share, 0.3)) OVER ()) / share,
+                 6) AS weight
+    FROM sh
+    """,
+)
+def ns_curation_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture sampling (r8 — the multilingual
+    upsampling rule of Conneau et al. 2020 §5.1 / Raffel et al. 2020
+    §3.4.3): per-source targets derived from the data itself as
+    share^α / Σ share^α at α = 0.3, so low-resource sources upsample
+    without hand-written shares.  One map-side-combined corpus pass;
+    the exponentiated-share normalizer is a window sum over the
+    O(domains) table.  DuckDB replays the algebra exactly."""
+    from fluss_datafusion_spark.operators import curation
+
+    return curation.domain_mixture_weights(
+        t(spark, sf_dir, "documents"), "source", "text", temperature=0.3
+    )

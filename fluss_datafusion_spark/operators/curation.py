@@ -788,6 +788,7 @@ def domain_mixture_weights(
     group_col: str,
     text_col: str,
     target_shares: Optional[dict] = None,
+    temperature: Optional[float] = None,
 ) -> DataFrame:
     """Per-domain sampling weights to hit a target token mixture (the
     Pile/DoReMi-style domain-reweighting step): for each value of
@@ -797,13 +798,25 @@ def domain_mixture_weights(
     maps group value -> desired share (defaults to the uniform mixture
     1/n_groups; missing keys get 0 — i.e. drop that domain).
 
+    ``temperature`` instead derives the targets from the data itself by
+    exponentiated-share smoothing — target_i = share_i^α / Σ share_j^α,
+    the multilingual upsampling rule (Conneau et al. 2020 §5.1 /
+    Raffel et al. 2020 §3.4.3 use α≈0.3): α = 1 keeps the natural
+    mixture, α → 0 approaches uniform, so low-resource domains are
+    upsampled without hand-written shares.  Mutually exclusive with
+    ``target_shares``.
+
     Returns (group_col, n_docs, n_tokens, token_share, weight), shares
     and weights rounded to 6.
 
     Scale shape: one map-side-combined aggregation over the corpus; the
     per-group table is O(domains) (tiny), so the totals ride in via a
-    single-row broadcast cross join.  No second pass over the data.
+    single-row broadcast cross join — and the temperature normalizer
+    Σ share^α is a window sum over that same tiny table.  No second
+    pass over the data.
     """
+    if target_shares is not None and temperature is not None:
+        raise ValueError("pass target_shares or temperature, not both")
     from fluss_datafusion_spark.functions.text import token_count
 
     stats = (
@@ -818,7 +831,16 @@ def domain_mixture_weights(
         F.sum("n_tokens").alias("__total__"),
         F.count(F.lit(1)).alias("__ngroups__"),
     )
-    if target_shares is None:
+    share = F.col("n_tokens") / F.col("__total__")
+    if temperature is not None:
+        # target_i = share_i^α / Σ share_j^α — the normalizer is a
+        # window sum over the O(domains) per-group table (no shuffle
+        # of corpus data; the table is partitions-of-one at this size)
+        norm = F.sum(F.pow(share, F.lit(temperature))).over(
+            Window.partitionBy()
+        )
+        target = F.pow(share, F.lit(temperature)) / norm
+    elif target_shares is None:
         target = F.lit(1.0) / F.col("__ngroups__")
     else:
         mapping = F.create_map(
@@ -827,7 +849,6 @@ def domain_mixture_weights(
         target = F.coalesce(
             mapping[F.col(group_col).cast("string")], F.lit(0.0)
         )
-    share = F.col("n_tokens") / F.col("__total__")
     return (
         stats.crossJoin(F.broadcast(totals))
         .select(

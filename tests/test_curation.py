@@ -263,6 +263,49 @@ def test_domain_mixture_weights_uniform_and_target(spark):
     assert targeted["code"] == 0.0  # absent from target -> dropped
 
 
+def test_domain_mixture_temperature_smoothing(spark):
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.curation import (
+        domain_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "web"),        # web: 7 tokens
+            (2, "four five six seven", "web"),
+            (3, "a b c", "code"),               # code: 3 tokens
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: r["weight"]
+        for r in domain_mixture_weights(
+            docs, "source", "text", temperature=0.3
+        ).collect()
+    }
+    # target_i = share^0.3 / sum(share^0.3); weight = target / share
+    n = 0.7**0.3 + 0.3**0.3
+    assert abs(got["web"] - round(0.7**0.3 / n / 0.7, 6)) < 1e-6
+    assert abs(got["code"] - round(0.3**0.3 / n / 0.3, 6)) < 1e-6
+    # alpha < 1 upsamples the low-resource domain
+    assert got["code"] > 1.0 > got["web"]
+    # alpha = 1 keeps the natural mixture: every weight 1
+    nat = {
+        r["source"]: r["weight"]
+        for r in domain_mixture_weights(
+            docs, "source", "text", temperature=1.0
+        ).collect()
+    }
+    assert nat == {"web": 1.0, "code": 1.0}
+    with _pytest.raises(ValueError):
+        domain_mixture_weights(
+            docs, "source", "text", target_shares={"web": 1.0},
+            temperature=0.3,
+        )
+
+
+
 def test_bigram_lm_scores_exact_math(spark):
     import math
 

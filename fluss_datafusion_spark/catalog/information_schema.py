@@ -337,9 +337,17 @@ def _table_stats(catalog, spec: TableSpec, exact: bool = True):
     total = 0
     mtime = None
     footer_rows = 0
-    for root, _dirs, files in os.walk(path):
+    # Spark's listing rule (catalog._parquet_files): names starting
+    # with _ or . are metadata unless they contain '=' — without the
+    # dir prune, a chunked stats manifest (_file_stats/*.parquet)
+    # counts as table rows (row_count 3 -> 303 on a 3-row table).
+    hidden = (
+        lambda n: (n.startswith("_") or n.startswith(".")) and "=" not in n
+    )
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not hidden(d)]
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not hidden(f):
                 full = os.path.join(root, f)
                 total += os.path.getsize(full)
                 m = os.path.getmtime(full)

@@ -214,3 +214,76 @@ def test_describe_detail(spark, tmp_path):
     )
     r = e.sql("DESCRIBE DETAIL mv").collect()[0]
     assert r.is_materialized_view
+
+
+def test_table_stats_ignores_chunked_manifest(spark, tmp_path):
+    """Regression (r8): once a table's stats manifest migrates to
+    parquet chunks (_file_stats/*.parquet), table_stats must NOT count
+    the manifest's rows/bytes as table data — Spark's listing rule
+    (underscore dirs are metadata) applies to the footer walk too."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.information_schema import (
+        _table_stats,
+    )
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE logt (id BIGINT, v STRING)")
+    e.sql("INSERT INTO logt VALUES (1,'a'), (2,'b'), (3,'c')")
+    spec = e.catalog.get_table("logt")
+    path = e.catalog.table_path(spec)
+    baseline_rc, baseline_size, _ = _table_stats(e.catalog, spec)
+    assert baseline_rc == 3
+    os.makedirs(os.path.join(path, skipping.CHUNK_DIR), exist_ok=True)
+    tb = pa.table(
+        {
+            "file": [f"f{i}.parquet" for i in range(300)],
+            "column": ["id"] * 300,
+            "min": ["0"] * 300,
+            "max": ["9"] * 300,
+        }
+    )
+    pq.write_table(
+        tb, os.path.join(path, skipping.CHUNK_DIR, "chunk-0.parquet")
+    )
+    rc, size, _ = _table_stats(e.catalog, spec)
+    assert rc == 3  # was 303 before the dir prune
+    assert size == baseline_size
+
+
+def test_count_star_metadata_fast_path(spark, tmp_path):
+    """`SELECT count(*) FROM <log table>` is answered from parquet
+    footer metadata — the Iceberg/Delta/DuckDB fast path: exact for
+    append-only tables, listing-identical to the read path, and the
+    plan never scans the table.  PK tables (merge-on-read), WHERE
+    tails and $-suffixed time-travel forms fall through to Catalyst."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE lg (id BIGINT, v STRING)")
+    e.sql("INSERT INTO lg VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO lg SELECT id, 'x' FROM range(0, 98)")
+    df = e.sql("SELECT count(*) FROM lg")
+    assert df.columns == ["count(1)"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()  # metadata-only, no scan
+    assert df.collect()[0][0] == 100
+    # alias honored, case/whitespace robust
+    df2 = e.sql("select COUNT( 1 ) AS n from lg")
+    assert df2.columns == ["n"] and df2.collect()[0][0] == 100
+    # PK table: merge-on-read count MUST come from the real plan
+    e.sql("CREATE TABLE pk (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO pk VALUES (1,'a'), (1,'b'), (2,'c')")
+    assert e.sql("SELECT count(*) FROM pk").collect()[0][0] == 2
+    # predicate tail falls through to Catalyst
+    assert (
+        e.sql("SELECT count(*) FROM lg WHERE id >= 90").collect()[0][0] == 8
+    )
+    # stays exact across maintenance (file rewrite)
+    e.sql("OPTIMIZE lg")
+    assert e.sql("SELECT count(*) FROM lg").collect()[0][0] == 100

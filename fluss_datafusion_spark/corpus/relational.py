@@ -2679,3 +2679,55 @@ def q70_hilbert_key(spark, sf_dir):
         ((F.col("o_orderkey") * 7) % 1000).cast("long").alias("y"),
     )
     return with_hilbert_key(pts, ["x", "y"], out_col="hkey", scaled=True)
+
+
+@query(
+    "q71_count_star_metadata",
+    oracle="""
+    WITH base AS (SELECT count(*) AS n_base FROM part),
+    filt AS (SELECT count(*) AS n_filtered FROM part WHERE p_size > 25)
+    SELECT n_base + n_filtered AS n_total, n_base, n_filtered
+    FROM base CROSS JOIN filt
+    """,
+    extended=True,
+)
+def q71_count_star_metadata(spark, sf_dir):
+    """Metadata-only COUNT(*) (r8 — session.py fast path, the
+    Iceberg/Delta/DuckDB pattern): a bare `SELECT count(*)` on an
+    append-only log table is answered from parquet footer row counts —
+    no scan, no Spark job on table data, O(files-metadata) at 100 TB.
+    Two log tables — the full `part` copy loaded across TWO commits
+    (the footer sum must track multiple appends) and a filtered slice —
+    are each counted through the fast path; DuckDB re-derives both
+    counts from the raw table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cnt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "part")
+    e.sql("CREATE TABLE cnt_all (p_partkey BIGINT, p_size INT)")
+    e.sql(
+        "INSERT INTO cnt_all SELECT p_partkey, p_size FROM part"
+        " WHERE p_partkey % 2 = 0"
+    )
+    e.sql(
+        "INSERT INTO cnt_all SELECT p_partkey, p_size FROM part"
+        " WHERE p_partkey % 2 = 1"
+    )
+    e.sql("CREATE TABLE cnt_f (p_partkey BIGINT, p_size INT)")
+    e.sql(
+        "INSERT INTO cnt_f SELECT p_partkey, p_size FROM part"
+        " WHERE p_size > 25"
+    )
+    base = e.sql("SELECT count(*) AS n_base FROM cnt_all")
+    filt = e.sql("SELECT count(*) AS n_filtered FROM cnt_f")
+    return base.crossJoin(filt).selectExpr(
+        "n_base + n_filtered AS n_total", "n_base", "n_filtered"
+    )

@@ -522,8 +522,14 @@ class EngineSession:
                     )
                     alias = count_match.group(1) or "count(1)"
                     alias = alias.strip("`")
-                    return self.spark.createDataFrame(
-                        [(n,)], f"`{alias}` bigint"
+                    # exactly ONE partition: createDataFrame would
+                    # spread the single row over defaultParallelism
+                    # empty slices (a crossJoin of two such results
+                    # plans parallelism² tasks)
+                    from pyspark.sql import functions as _F
+
+                    return self.spark.range(0, 1, 1, 1).select(
+                        _F.lit(n).cast("long").alias(alias)
                     )
 
         # Read boundary: re-bind temp views left stale by earlier writes

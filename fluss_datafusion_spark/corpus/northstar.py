@@ -6325,3 +6325,60 @@ def ns_curation_temperature_mixture(spark, sf_dir):
     return curation.domain_mixture_weights(
         t(spark, sf_dir, "documents"), "source", "text", temperature=0.3
     )
+
+
+@query(
+    "ns_text_readability", extended=True,
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               'Intro words here. ' || text || '! Final tail ok?' AS s
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, s,
+               list_filter(regexp_split_to_array(lower(trim(s)), '\\s+'),
+                           w -> w <> '') AS toks
+        FROM pages
+    ),
+    counts AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_words,
+               CAST(greatest(len(regexp_extract_all(s, '[.!?]+')), 1)
+                    AS INTEGER) AS n_sentences,
+               CAST(list_sum(list_transform(toks, w ->
+                    greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                    AS INTEGER) AS n_syllables
+        FROM tk
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                        - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)),
+                 6) AS flesch,
+           round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (n_syllables / CAST(n_words AS DOUBLE)) - 15.59,
+                 6) AS fk_grade
+    FROM counts
+    """,
+)
+def ns_text_readability(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability scoring (r8 —
+    functions/text.readability_stats, the classic document-quality
+    signal — Kincaid et al. 1975): the fixture wraps each document in
+    a three-sentence frame (testdata documents carry no punctuation),
+    then words, sentence-terminator runs and per-word vowel-group
+    syllables feed the two formulas as ONE codegen projection of JVM
+    array folds.  DuckDB replays tokenization, the syllable fold and
+    the exact float algebra (round at 6 — the 4-decimal grid is where
+    engine tie rules diverge)."""
+    from fluss_datafusion_spark.functions.text import readability_stats
+
+    pages = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Intro words here. "),
+            F.col("text"),
+            F.lit("! Final tail ok?"),
+        ).alias("text"),
+    )
+    return readability_stats(pages, "doc_id", "text")

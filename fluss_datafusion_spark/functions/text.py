@@ -248,3 +248,58 @@ def repetition_stats(df, id_col: str, text_col: str):
             ),
         )
     )
+
+
+def readability_stats(df, id_col: str, text_col: str):
+    """Flesch reading-ease + Flesch-Kincaid grade level — the classic
+    readability quality signal (Kincaid et al. 1975; used as a
+    document-quality feature in web-corpus curation alongside the
+    stopword/length heuristics): per document count words (whitespace
+    tokens), sentences (terminator runs ``[.!?]+``; floored at 1 when
+    any words exist — headline-style text is one sentence) and
+    syllables (per-word vowel groups ``[aeiouy]+`` over the lowercased
+    token, floored at 1 per word — the standard cheap approximation),
+    then
+
+        flesch   = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        fk_grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    All JVM expressions (higher-order array folds, zero UDFs, no
+    shuffle — one codegen projection, linear at 100 TB); rounded to 4
+    so the DuckDB oracle replays bit-for-bit.  Empty documents come
+    back with zero counts and NULL scores."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.size(toks)
+    n_sent_raw = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), F.lit(0))
+    )
+    n_sentences = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.greatest(n_sent_raw, F.lit(1))
+    )
+    n_syllables = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ),
+    )
+    wps = n_words.cast("double") / n_sentences
+    spw = n_syllables.cast("double") / n_words
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.round(206.835 - 1.015 * wps - 84.6 * spw, 6),
+        ).alias("flesch"),
+        F.when(
+            n_words > 0, F.round(0.39 * wps + 11.8 * spw - 15.59, 6)
+        ).alias("fk_grade"),
+    )

@@ -805,3 +805,30 @@ def test_html_extract_adversarial_cases(spark):
     assert rows[2].text == "plain" and not rows[2].noindex
     assert rows[2].title == "" and rows[2].links == []
     assert rows[3].text == "no markup at all"
+
+
+def test_readability_stats_hand_checked(spark):
+    """Flesch / FK grade against hand-computed values, the syllable
+    floor (vowel-less words count 1), the sentence floor (unterminated
+    text is one sentence), and NULL scores on empty docs."""
+    from fluss_datafusion_spark.functions.text import readability_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It was happy! Was it?"),
+            (2, "headline with no terminator"),
+            (3, ""),
+            (4, "Gnarly rhythms crwth tsk."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r for r in readability_stats(df, "doc_id", "text").collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (11, 3, 12)
+    assert r1.flesch == round(206.835 - 1.015 * (11 / 3) - 84.6 * (12 / 11), 6)
+    assert r1.fk_grade == round(0.39 * (11 / 3) + 11.8 * (12 / 11) - 15.59, 6)
+    assert rows[2].n_sentences == 1  # floor: headline-style text
+    assert rows[3].n_words == 0 and rows[3].flesch is None
+    assert rows[4].n_syllables == 5  # gnarly=2, rhythms=1, crwth/tsk floor 1

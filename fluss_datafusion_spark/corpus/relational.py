@@ -2684,22 +2684,28 @@ def q70_hilbert_key(spark, sf_dir):
 @query(
     "q71_count_star_metadata",
     oracle="""
-    WITH base AS (SELECT count(*) AS n_base FROM part),
+    WITH base AS (SELECT count(*) AS n_base,
+                         min(p_partkey) AS min_key,
+                         max(p_partkey) AS max_key,
+                         min(p_size) AS min_size, max(p_size) AS max_size
+                  FROM part),
     filt AS (SELECT count(*) AS n_filtered FROM part WHERE p_size > 25)
-    SELECT n_base + n_filtered AS n_total, n_base, n_filtered
+    SELECT n_base + n_filtered AS n_total, n_base, n_filtered,
+           min_key, max_key, min_size, max_size
     FROM base CROSS JOIN filt
     """,
     extended=True,
 )
 def q71_count_star_metadata(spark, sf_dir):
-    """Metadata-only COUNT(*) (r8 — session.py fast path, the
-    Iceberg/Delta/DuckDB pattern): a bare `SELECT count(*)` on an
-    append-only log table is answered from parquet footer row counts —
-    no scan, no Spark job on table data, O(files-metadata) at 100 TB.
-    Two log tables — the full `part` copy loaded across TWO commits
-    (the footer sum must track multiple appends) and a filtered slice —
-    are each counted through the fast path; DuckDB re-derives both
-    counts from the raw table."""
+    """Metadata-only aggregates (r8 — plans/metadata_agg.py, the
+    Iceberg/Delta manifest-aggregate pattern): a bare `SELECT
+    count(*)/min(c)/max(c)` on an append-only log table is answered
+    from parquet footer statistics — no scan, no Spark job on table
+    data, O(files-metadata) at 100 TB.  Two log tables — the full
+    `part` copy loaded across TWO commits (footer sums and manifest
+    bounds must track multiple appends) and a filtered slice — run
+    counts plus min/max over a BIGINT and an INT column through the
+    fast path; DuckDB re-derives everything from the raw table."""
     import shutil
     import tempfile
 
@@ -2726,8 +2732,13 @@ def q71_count_star_metadata(spark, sf_dir):
         "INSERT INTO cnt_f SELECT p_partkey, p_size FROM part"
         " WHERE p_size > 25"
     )
-    base = e.sql("SELECT count(*) AS n_base FROM cnt_all")
+    base = e.sql(
+        "SELECT count(*) AS n_base, min(p_partkey) AS min_key,"
+        " max(p_partkey) AS max_key, min(p_size) AS min_size,"
+        " max(p_size) AS max_size FROM cnt_all"
+    )
     filt = e.sql("SELECT count(*) AS n_filtered FROM cnt_f")
     return base.crossJoin(filt).selectExpr(
-        "n_base + n_filtered AS n_total", "n_base", "n_filtered"
+        "n_base + n_filtered AS n_total", "n_base", "n_filtered",
+        "min_key", "max_key", "min_size", "max_size"
     )

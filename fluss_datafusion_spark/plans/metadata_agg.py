@@ -1,0 +1,180 @@
+"""Metadata-only aggregates — answer ``SELECT count(*)/min(c)/max(c)
+FROM <log table>`` from parquet footer statistics instead of a scan
+(the Iceberg/Delta manifest-aggregate pattern; no reference analog —
+zuston/fluss-datafusion plans a full scan for every query,
+src/provider/scan_exec.rs:43).
+
+Soundness gates (each falls back to Catalyst, never approximates):
+
+* **log tables only** — PK tables merge-on-read: footer rows count
+  superseded versions and tombstones, and a shadowed row's value may
+  be the footer min/max;
+* **count(*)**: footer row sums are exact for append-only tables and
+  the file listing is identical to the read path (same directory walk,
+  same underscore rule);
+* **min/max**: every data file must carry manifest bounds for the
+  column (files predating stats harvest, or whose row groups lack
+  stats — e.g. all-null or non-finite-float files — fall back), and
+  the column must be an integer or float family type: parquet STRING
+  stats may be writer-truncated (valid bounds for pruning, but not
+  necessarily attained values — `BinaryTruncator` pads the max up), so
+  an exact answer cannot use them;
+* column mapping: manifest bounds are keyed by PHYSICAL column names;
+  the logical->physical hop happens here.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+# exact-answer-safe manifest types: integer family (footer stats are
+# exact values) and float family (the harvest drops non-finite stats,
+# so surviving bounds are attained finite values; NaN-holding files
+# lack stats entirely and force the fallback)
+_EXACT_TYPES = {
+    "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "FLOAT",
+    "REAL", "DOUBLE",
+}
+
+_AGG_RE = re.compile(
+    r"(COUNT)\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(`[^`]*`|\w+))?"
+    r"|(MIN|MAX)\s*\(\s*(`[^`]*`|\w+)\s*\)(?:\s+AS\s+(`[^`]*`|\w+))?",
+    re.IGNORECASE,
+)
+
+_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+"
+    r"FROM\s+((?:`[^`]*`|\w+)(?:\s*\.\s*(?:`[^`]*`|\w+))?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _unquote(name: str) -> str:
+    return name.strip("`")
+
+
+def try_metadata_aggregate(session, statement: str):
+    """Return a one-row literal DataFrame when ``statement`` is a bare
+    aggregate-only SELECT over a log table whose answer is fully
+    determined by footer metadata, else None (caller falls through to
+    Catalyst)."""
+    m = _STMT_RE.match(statement)
+    if m is None:
+        return None
+    select_list, table_ref = m.group(1), m.group(2)
+    # split the select list on top-level commas and parse each item as
+    # exactly one supported aggregate (anything else -> not ours)
+    items = [s.strip() for s in _split_top_level(select_list)]
+    if not items:
+        return None
+    parsed = []
+    for item in items:
+        am = _AGG_RE.fullmatch(item)
+        if am is None:
+            return None
+        if am.group(1):  # COUNT
+            parsed.append(("count", None, _unquote(am.group(2) or "count(1)")))
+        else:
+            fn = am.group(3).lower()
+            col = _unquote(am.group(4))
+            alias = _unquote(am.group(5) or f"{fn}({col})")
+            parsed.append((fn, col, alias))
+
+    from fluss_datafusion_spark.sql.dialect import parse_qualified_name
+
+    target = ".".join(parse_qualified_name(table_ref))
+    if not session.catalog.has_table(target):
+        return None
+    spec = session.catalog.get_table(target)
+    if spec.has_primary_key:
+        return None
+
+    from fluss_datafusion_spark.catalog.catalog import (
+        _footer_row_count,
+        _parquet_files,
+    )
+
+    path = session.catalog.table_path(spec)
+    files = sorted(_parquet_files(path))
+
+    needs_minmax = any(fn != "count" for fn, _c, _a in parsed)
+    bounds_by_col = {}
+    if needs_minmax:
+        import os
+
+        from fluss_datafusion_spark.catalog import skipping
+
+        cols = {}
+        for fn, col, _alias in parsed:
+            if fn == "count":
+                continue
+            cspec = next(
+                (c for c in spec.columns if c.name.lower() == col.lower()),
+                None,
+            )
+            base_type = (cspec.type_name.split("(")[0].upper()
+                         if cspec else None)
+            if cspec is None or base_type not in _EXACT_TYPES:
+                return None
+            cols[col] = cspec.physical_name or cspec.name
+        if files:
+            manifest = skipping.load(path)
+            rels = {os.path.relpath(f, path) for f in files}
+            if not rels.issubset(manifest.keys()):
+                return None
+            for col, phys in cols.items():
+                lows, highs = [], []
+                for rel in rels:
+                    b = manifest[rel].get(phys)
+                    if b is None:
+                        return None  # untracked column in some file
+                    lows.append(b[0])
+                    highs.append(b[1])
+                bounds_by_col[col] = (min(lows), max(highs))
+        else:
+            for col in cols:
+                bounds_by_col[col] = (None, None)
+
+    from pyspark.sql import functions as F
+
+    n = _footer_row_count(files) if any(
+        fn == "count" for fn, _c, _a in parsed
+    ) else None
+    out_cols = []
+    for fn, col, alias in parsed:
+        if fn == "count":
+            out_cols.append(F.lit(n).cast("long").alias(alias))
+        else:
+            cspec = next(
+                c for c in spec.columns if c.name.lower() == col.lower()
+            )
+            lo, hi = bounds_by_col[col]
+            val = lo if fn == "min" else hi
+            out_cols.append(
+                F.lit(val).cast(cspec.spark_type).alias(alias)
+            )
+    # exactly ONE partition (createDataFrame would spread the single
+    # row over defaultParallelism empty slices — a crossJoin of two
+    # such results plans parallelism² tasks)
+    return session.spark.range(0, 1, 1, 1).select(*out_cols)
+
+
+def _split_top_level(select_list: str):
+    """Split on commas not nested inside parentheses or backticks."""
+    items, depth, buf, in_bt = [], 0, [], False
+    for ch in select_list:
+        if ch == "`":
+            in_bt = not in_bt
+        elif not in_bt:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append("".join(buf))
+                buf = []
+                continue
+        buf.append(ch)
+    items.append("".join(buf))
+    return [s for s in (i.strip() for i in items) if s]

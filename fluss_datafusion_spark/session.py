@@ -487,50 +487,21 @@ class EngineSession:
                 self._bind_system_tables(self._rewrite_time_travel(statement)),
             )
 
-        # Metadata-only COUNT(*) on append-only log tables (the
-        # Iceberg/Delta/DuckDB fast path): a bare `SELECT count(*)
-        # FROM t` is answered from parquet footer row counts — exact
-        # for non-PK tables (no tombstones, no merge-on-read) and
-        # listing-identical to the read path (same directory, same
-        # underscore rule) — so a 100 TB count never launches a scan.
-        # PK tables, matviews (PK-backed), views, time travel ($-forms
-        # excluded by the identifier grammar) and any WHERE/GROUP tail
-        # fall through to Catalyst.
-        count_match = re.match(
-            r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)\s*"
-            r"(?:AS\s+(`[^`]*`|\w+)\s*)?"
-            r"FROM\s+((?:`[^`]*`|\w+)(?:\s*\.\s*(?:`[^`]*`|\w+))?)\s*$",
-            statement,
-            re.IGNORECASE,
-        )
-        if count_match is not None:
-            from fluss_datafusion_spark.sql.dialect import (
-                parse_qualified_name,
+        # Metadata-only aggregates on append-only log tables (the
+        # Iceberg/Delta manifest-aggregate pattern): a bare
+        # `SELECT count(*)/min(c)/max(c) FROM t` is answered from
+        # parquet footer statistics — no scan, O(files-metadata) at
+        # 100 TB.  Every soundness gate (PK tables, string truncation,
+        # manifest coverage, WHERE tails, time travel) falls back to
+        # Catalyst — see plans/metadata_agg.py.
+        if re.match(r"^\s*SELECT\s", statement, re.IGNORECASE):
+            from fluss_datafusion_spark.plans.metadata_agg import (
+                try_metadata_aggregate,
             )
 
-            target = ".".join(parse_qualified_name(count_match.group(2)))
-            if self.catalog.has_table(target):
-                spec = self.catalog.get_table(target)
-                if not spec.has_primary_key:
-                    from fluss_datafusion_spark.catalog.catalog import (
-                        _footer_row_count,
-                        _parquet_files,
-                    )
-
-                    n = _footer_row_count(
-                        sorted(_parquet_files(self.catalog.table_path(spec)))
-                    )
-                    alias = count_match.group(1) or "count(1)"
-                    alias = alias.strip("`")
-                    # exactly ONE partition: createDataFrame would
-                    # spread the single row over defaultParallelism
-                    # empty slices (a crossJoin of two such results
-                    # plans parallelism² tasks)
-                    from pyspark.sql import functions as _F
-
-                    return self.spark.range(0, 1, 1, 1).select(
-                        _F.lit(n).cast("long").alias(alias)
-                    )
+            fast = try_metadata_aggregate(self, statement)
+            if fast is not None:
+                return fast
 
         # Read boundary: re-bind temp views left stale by earlier writes
         # (one set check when nothing changed).  Write-only statements

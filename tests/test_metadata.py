@@ -287,3 +287,55 @@ def test_count_star_metadata_fast_path(spark, tmp_path):
     # stays exact across maintenance (file rewrite)
     e.sql("OPTIMIZE lg")
     assert e.sql("SELECT count(*) FROM lg").collect()[0][0] == 100
+
+
+def test_min_max_metadata_fast_path(spark, tmp_path):
+    """min/max on numeric columns of log tables answer from manifest
+    bounds — scan-free, exact across multiple commits and negative
+    values; string columns (writer-truncatable stats) and tables with
+    incomplete manifest coverage fall back to Catalyst."""
+    import os
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE mm (id BIGINT, v STRING, x DOUBLE)")
+    e.sql(
+        "INSERT INTO mm SELECT id, concat('v', id) AS v, id * 1.5 AS x"
+        " FROM range(0, 100)"
+    )
+    e.sql("INSERT INTO mm VALUES (-7, 'neg', -10.5)")
+    df = e.sql(
+        "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi,"
+        " min(x) AS xlo, max(x) AS xhi FROM mm"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert [tuple(r) for r in df.collect()] == [(101, -7, 99, -10.5, 148.5)]
+    # Spark-conventional default column names
+    d = e.sql("SELECT min(id), max(id) FROM mm")
+    assert d.columns == ["min(id)", "max(id)"]
+    # string min/max: truncation hazard -> real plan
+    s = e.sql("SELECT min(v) AS s FROM mm")
+    assert "parquet" in s._jdf.queryExecution().executedPlan().toString().lower()
+    assert s.collect()[0][0] == "neg"
+    # incomplete manifest coverage -> fall back, same answer
+    spec = e.catalog.get_table("mm")
+    manifest = os.path.join(e.catalog.table_path(spec), "_file_stats.json")
+    os.rename(manifest, manifest + ".bak")
+    try:
+        df2 = e.sql("SELECT min(id) AS lo FROM mm")
+        assert (
+            "parquet"
+            in df2._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        assert df2.collect()[0][0] == -7
+        # count(*) needs no manifest: still scan-free
+        c = e.sql("SELECT count(*) FROM mm")
+        assert (
+            "parquet"
+            not in c._jdf.queryExecution().executedPlan().toString().lower()
+        )
+        assert c.collect()[0][0] == 101
+    finally:
+        os.rename(manifest + ".bak", manifest)

@@ -302,6 +302,48 @@ class FlussCatalog:
         spec.properties = merged
         self._save_spec(spec)
 
+    def create_tag(self, name: str, tag: str, seq: Optional[int] = None):
+        """ALTER TABLE t CREATE TAG <tag> [AS OF VERSION n] — a named
+        time-travel ref (Iceberg tag semantics: immutable once created;
+        re-pointing means DROP + CREATE).  Defaults to the current
+        committed seq; a future seq refuses (nothing to pin)."""
+        spec = self.get_table(name)
+        if tag in (spec.tags or {}):
+            raise ValueError(f"tag {tag!r} already exists on {name}")
+        head = self._committed_seq(spec)
+        if seq is None:
+            seq = head
+        elif seq > head:
+            raise ValueError(
+                f"cannot tag version {seq}: table is at {head}"
+            )
+        import datetime
+
+        spec.tags = dict(spec.tags or {})
+        spec.tags[tag] = {
+            "seq": int(seq),
+            "created_at": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+        }
+        self._save_spec(spec)
+
+    def drop_tag(self, name: str, tag: str) -> None:
+        spec = self.get_table(name)
+        if tag not in (spec.tags or {}):
+            raise ValueError(f"no tag {tag!r} on {name}")
+        spec.tags = {k: v for k, v in spec.tags.items() if k != tag}
+        self._save_spec(spec)
+
+    def resolve_tag(self, name: str, tag: str) -> int:
+        """Tag -> statement seq (the read path then applies the same
+        compaction-floor validation as any $v anchor)."""
+        spec = self.get_table(name)
+        entry = (spec.tags or {}).get(tag)
+        if entry is None:
+            raise ValueError(f"no tag {tag!r} on {name}")
+        return int(entry["seq"])
+
     def unset_table_properties(self, name: str, keys) -> None:
         """ALTER TABLE t UNSET TBLPROPERTIES ('k', ...): remove keys
         (absent keys are a no-op, matching Spark/Delta)."""

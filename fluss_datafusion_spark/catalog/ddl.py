@@ -435,6 +435,20 @@ def parse_alter_table(sql: str):
         return None
     target = ".".join(parse_qualified_name(match.group(1)))
     body = match.group(2).strip()
+    # tags: named version refs (Iceberg's ALTER TABLE ... CREATE TAG)
+    ctag = re.match(
+        r"^CREATE\s+TAG\s+(`?[\w.-]+`?)"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+        body, re.IGNORECASE,
+    )
+    if ctag:
+        seq = int(ctag.group(2)) if ctag.group(2) else None
+        return target, ("create_tag", (strip_quotes(ctag.group(1)), seq))
+    dtag = re.match(
+        r"^DROP\s+TAG\s+(`?[\w.-]+`?)\s*$", body, re.IGNORECASE
+    )
+    if dtag:
+        return target, ("drop_tag", strip_quotes(dtag.group(1)))
     addc = re.match(
         r"^ADD\s+CONSTRAINT\s+(`?[\w]+`?)\s+CHECK\s*\((.*)\)\s*$",
         body, re.IGNORECASE | re.DOTALL,

@@ -124,6 +124,11 @@ class TableSpec:
     # CHECK constraints: {name: boolean SQL expr}; violation = expr is
     # FALSE (NULL passes, the SQL-standard CHECK semantics)
     check_constraints: Dict[str, str] = field(default_factory=dict)
+    # named version refs (Iceberg tags): {tag: {"seq": N, "created_at":
+    # iso}} — resolve to time-travel anchors; stored in the spec so they
+    # survive OPTIMIZE/COMPACT/RESTORE like every other table fact (a
+    # tag below the compaction floor refuses at read, same as $v)
+    tags: Dict[str, dict] = field(default_factory=dict)
 
     @property
     def has_primary_key(self) -> bool:

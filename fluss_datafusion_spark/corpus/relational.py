@@ -2742,3 +2742,62 @@ def q71_count_star_metadata(spark, sf_dir):
         "n_base + n_filtered AS n_total", "n_base", "n_filtered",
         "min_key", "max_key", "min_size", "max_size"
     )
+
+
+@query(
+    "q72_version_tags",
+    oracle="""
+    WITH tagged AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+    ),
+    head AS (
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 1 THEN 'renamed' ELSE n_name END
+                   AS n_name
+        FROM nation
+    )
+    SELECT t.n_nationkey, t.n_name AS tagged_name, h.n_name AS head_name
+    FROM tagged t JOIN head h USING (n_nationkey)
+    """,
+    extended=True,
+)
+def q72_version_tags(spark, sf_dir):
+    """Named version refs (r8 — Iceberg-style TAGS: catalog.create_tag,
+    `t$tag('name')` system table, quoted `VERSION AS OF '<tag>'`
+    spelling): load region-1 nations, TAG the snapshot, upsert a rename
+    over every tagged row, then join the tag-pinned state against the
+    head state — the tag must still see the pre-rename names while the
+    head sees the renames.  Tags live in _spec.json (they survive
+    maintenance and sessions; below-floor tags refuse at read like any
+    $v anchor).  DuckDB re-derives both states from the raw table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_tags_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE tag_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    e.sql(
+        "INSERT INTO tag_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 1"
+    )
+    e.sql("ALTER TABLE tag_nation CREATE TAG pre_rename")
+    e.sql(
+        "INSERT INTO tag_nation SELECT n_nationkey, 'renamed' AS n_name"
+        " FROM nation WHERE n_regionkey = 1"
+    )
+    return e.sql(
+        "SELECT t.n_nationkey, t.n_name AS tagged_name,"
+        " h.n_name AS head_name"
+        " FROM tag_nation VERSION AS OF 'pre_rename' t"
+        " JOIN tag_nation h ON t.n_nationkey = h.n_nationkey"
+    )

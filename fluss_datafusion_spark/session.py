@@ -286,9 +286,37 @@ class EngineSession:
                 self.catalog.set_table_properties(target, payload)
             elif action == "unset_properties":
                 self.catalog.unset_table_properties(target, payload)
+            elif action == "create_tag":
+                self.catalog.create_tag(target, *payload)
+            elif action == "drop_tag":
+                self.catalog.drop_tag(target, payload)
             else:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+
+        tags_match = re.match(
+            r"^\s*SHOW\s+TAGS\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if tags_match is not None:
+            from fluss_datafusion_spark.sql.dialect import (
+                parse_qualified_name,
+            )
+
+            target = ".".join(parse_qualified_name(tags_match.group(1)))
+            if self.catalog.has_table(target):
+                spec = self.catalog.get_table(target)
+                floor = self.catalog._floor.get(spec.qualified_name, 0)
+                rows = [
+                    (k, v["seq"], v.get("created_at"), v["seq"] >= floor)
+                    for k, v in sorted((spec.tags or {}).items())
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "tag_name string, seq bigint, created_at string,"
+                    " time_travelable boolean",
+                )
 
         detail_match = re.match(
             r"^\s*DESCRIBE\s+DETAIL\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
@@ -547,7 +575,8 @@ class EngineSession:
         pattern = re.compile(
             r"\b([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']*)'"
             r"|TIMESTAMP\s+AS\s+OF\s+'([^']*)'"
-            r"|VERSION\s+AS\s+OF\s+(\d+))",
+            r"|VERSION\s+AS\s+OF\s+(\d+)"
+            r"|VERSION\s+AS\s+OF\s+'([^']*)')",
             re.IGNORECASE,
         )
         masked = _mask_positional(statement)
@@ -559,6 +588,10 @@ class EngineSession:
                 continue
             if match.group(4) is not None:
                 repl = f"{table}$v{match.group(4)}"
+            elif match.group(5) is not None:
+                # Iceberg's quoted form: VERSION AS OF '<tag>'
+                span = match.span(5)
+                repl = f"{table}$tag('{statement[span[0]:span[1]]}')"
             else:
                 # the ts literal was blanked in the mask — slice the
                 # original text at the same positions
@@ -596,7 +629,7 @@ class EngineSession:
         pattern = re.compile(
             r"`?([\w.]+)\$(changelog|history"
             r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+)"
-            r"|at\('([^']*)'\))`?"
+            r"|at\('([^']*)'\)|tag\('([^']*)'\))`?"
         )
 
         def bind(match):
@@ -619,6 +652,10 @@ class EngineSession:
             elif kind.startswith("at("):
                 ts = match.group(6)
                 seq = self.catalog.resolve_timestamp(table, ts)
+                view = f"__at{seq}__{tbl}"
+                df = self.catalog.read(table, as_of_seq=seq)
+            elif kind.startswith("tag("):
+                seq = self.catalog.resolve_tag(table, match.group(7))
                 view = f"__at{seq}__{tbl}"
                 df = self.catalog.read(table, as_of_seq=seq)
             else:

@@ -646,7 +646,8 @@ def ns_multimodal_png_decode(spark, sf_dir):
 
 
 @query(
-    "ns_multimodal_resize",  # r7: rotated INTO the core window
+    "ns_multimodal_resize",  # r7: rotated in; r8 4th: -> extended for
+    extended=True,           # ns_multimodal_scene_ingest
     oracle="""
     WITH dims AS (
         SELECT doc_id,
@@ -6047,7 +6048,9 @@ def ns_dedup_video_fp(spark, sf_dir):
 
 
 @query(
-    "ns_multimodal_scene_ingest", extended=True,
+    "ns_multimodal_scene_ingest",  # r8 4th: rotated INTO the core
+    # window (out: ns_multimodal_resize) — streaming + perceptual index
+    # + composite-uid dedup in one driver-checked row
     oracle="""
     WITH vids AS (SELECT doc_id AS i FROM documents
                   WHERE doc_id < 10 OR (doc_id >= 30 AND doc_id < 60)),

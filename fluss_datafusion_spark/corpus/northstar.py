@@ -6385,3 +6385,51 @@ def ns_text_readability(spark, sf_dir):
         ).alias("text"),
     )
     return readability_stats(pages, "doc_id", "text")
+
+
+@query(
+    "ns_curation_dp_release", extended=True,
+    oracle="""
+    WITH stats AS (
+        SELECT source, count(*) AS n,
+               sum(greatest(0.0, least(100.0,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END))) AS s
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    noised AS (
+        SELECT source, n, s,
+            (CAST(concat('0x', substr(md5('dp-r8|count|' || source), 1, 13))
+                  AS BIGINT) + 0.5) / 4503599627370496.0 AS uc,
+            (CAST(concat('0x', substr(md5('dp-r8|sum|' || source), 1, 13))
+                  AS BIGINT) + 0.5) / 4503599627370496.0 AS us
+        FROM stats
+    )
+    SELECT source,
+        round(n + (-(1.0/0.5)) * sign(uc - 0.5)
+                  * ln(1.0 - 2.0 * abs(uc - 0.5)), 6) AS dp_count,
+        round(s + (-(100.0/0.5)) * sign(us - 0.5)
+                  * ln(1.0 - 2.0 * abs(us - 0.5)), 6) AS dp_sum
+    FROM noised
+    """,
+)
+def ns_curation_dp_release(spark, sf_dir):
+    """ε-differentially-private statistics release (r8 —
+    operators/curation.dp_aggregate, the Laplace mechanism of Dwork et
+    al. 2006): per-source document counts and token sums (clipped to
+    [0, 100] per document — clipping bounds the sensitivity) released
+    at ε = 0.5 with inverse-CDF Laplace noise drawn from a seeded md5
+    uniform.  One map-side-combined aggregation; noise is a per-GROUP
+    expression.  DuckDB replays the md5 chain, the clipping and the
+    exact inverse-CDF float algebra."""
+    from fluss_datafusion_spark.functions.text import token_count
+    from fluss_datafusion_spark.operators.curation import dp_aggregate
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return dp_aggregate(
+        docs, ["source"], epsilon=0.5, seed="dp-r8",
+        sum_col="n_tokens", bounds=(0, 100),
+    )

@@ -1627,3 +1627,79 @@ def html_extract(
         F.size(links).alias("n_links"),
         noindex,
     )
+
+
+def dp_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-0",
+    sum_col: Optional[str] = None,
+    bounds: Optional[tuple] = None,
+) -> DataFrame:
+    """ε-differentially-private aggregate release (the Laplace
+    mechanism, Dwork et al. 2006) — the privacy-preserving way to
+    publish per-group statistics of a training corpus: per group emit
+    ``count + Laplace(1/ε)`` and, when ``sum_col``/``bounds`` are
+    given, the per-row-CLIPPED sum + ``Laplace(max(|lo|,|hi|)/ε)``
+    (clipping bounds the sensitivity — without it a single row could
+    shift the sum arbitrarily and no finite noise suffices).
+
+    Noise is drawn by inverse-CDF from a seeded md5 uniform
+    (u = 52-bit md5 prefix of seed|metric|group-key; X =
+    −b·sgn(u−½)·ln(1−2|u−½|)), so the release is deterministic and
+    engine-replayable — the reproducible-pipeline form; a production
+    release keeps the seed secret, which is the only difference between
+    this and the textbook mechanism.  One map-side-combined aggregation
+    (noise is a per-GROUP expression, O(groups) work); scores rounded
+    at 6.  NULL group keys are excluded (concat_ws would alias them
+    with empty strings)."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if (sum_col is None) != (bounds is None):
+        raise ValueError("sum_col and bounds come together")
+    gcols = [F.col(c) for c in group_cols]
+    grouped = df
+    for c in group_cols:
+        grouped = grouped.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    if sum_col is not None:
+        lo, hi = bounds
+        if not lo < hi:
+            raise ValueError("bounds must be (lo, hi) with lo < hi")
+        clipped = F.greatest(
+            F.lit(float(lo)),
+            F.least(F.lit(float(hi)), F.col(sum_col).cast("double")),
+        )
+        aggs.append(F.sum(clipped).alias("__s__"))
+    stats = grouped.groupBy(*gcols).agg(*aggs)
+
+    def lap(metric: str, b: float):
+        key = F.concat_ws(
+            "|", F.lit(seed), F.lit(metric),
+            *[F.col(c).cast("string") for c in group_cols],
+        )
+        u = (
+            F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 52))
+        return (
+            F.lit(-b)
+            * F.signum(u - 0.5)
+            * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+        )
+
+    out = [
+        *group_cols,
+        F.round(F.col("__n__") + lap("count", 1.0 / epsilon), 6).alias(
+            "dp_count"
+        ),
+    ]
+    if sum_col is not None:
+        sens = max(abs(float(bounds[0])), abs(float(bounds[1])))
+        out.append(
+            F.round(
+                F.col("__s__") + lap("sum", sens / epsilon), 6
+            ).alias("dp_sum")
+        )
+    return stats.select(*out)

@@ -832,3 +832,49 @@ def test_readability_stats_hand_checked(spark):
     assert rows[2].n_sentences == 1  # floor: headline-style text
     assert rows[3].n_words == 0 and rows[3].flesch is None
     assert rows[4].n_syllables == 5  # gnarly=2, rhythms=1, crwth/tsk floor 1
+
+
+def test_dp_aggregate_matches_pure_python(spark):
+    """The seeded Laplace release replays exactly in pure Python
+    (md5 uniform -> inverse CDF), clipping bounds the sum sensitivity,
+    and guards refuse bad epsilon/bounds."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.curation import dp_aggregate
+
+    rows = [(g, v) for g in ("a", "b", "c") for v in (5.0, 50.0, 500.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r.g: r
+        for r in dp_aggregate(
+            df, ["g"], epsilon=2.0, seed="s1", sum_col="x",
+            bounds=(0, 100),
+        ).collect()
+    }
+
+    def lap(metric, g, b):
+        u = (
+            int(hashlib.md5(f"s1|{metric}|{g}".encode()).hexdigest()[:13], 16)
+            + 0.5
+        ) / float(1 << 52)
+        return -b * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+
+    for g in ("a", "b", "c"):
+        # clipped sum: 5 + 50 + min(500, 100) = 155
+        assert got[g].dp_count == round(3 + lap("count", g, 1 / 2.0), 6)
+        assert got[g].dp_sum == round(155.0 + lap("sum", g, 100 / 2.0), 6)
+    # different seed -> different noise
+    other = {
+        r.g: r.dp_count
+        for r in dp_aggregate(df, ["g"], epsilon=2.0, seed="s2").collect()
+    }
+    assert any(other[g] != got[g].dp_count for g in other)
+    with _pytest.raises(ValueError):
+        dp_aggregate(df, ["g"], epsilon=0.0)
+    with _pytest.raises(ValueError):
+        dp_aggregate(df, ["g"], sum_col="x")  # bounds missing
+    with _pytest.raises(ValueError):
+        dp_aggregate(df, ["g"], sum_col="x", bounds=(5, 5))

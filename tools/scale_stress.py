@@ -106,6 +106,103 @@ def build_media(spark, docs_path: str, root: str, scale: int) -> str:
     return out
 
 
+def build_scene_media(spark, docs_path: str, root: str, scale: int) -> str:
+    """Multiscene AVIs with LINEAR scene-dup structure under tiling
+    (the build_media discipline, lifted to video): video i has two
+    2-frame scenes whose content keys are ``2*(i // 10) + s`` — every
+    scene cluster has exactly 10 members at any scale, adjacent scenes
+    of one video always differ (2b vs 2b+1), and content is the
+    md5(cluster) bit plane (uniform 64-bit scene dHashes: cross-cluster
+    collisions ~1e-16/pair), so pair output is 45/cluster — exactly
+    linear.  The library's gradient multiscene fixture is NOT reusable
+    here for the same mod-251 aliasing reason as the BMP one."""
+    import hashlib
+    import struct
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"scene_media_x{scale}")
+    w = h = 16
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - 3 * w)
+
+    def _dib(cluster: int) -> bytes:
+        bits = hashlib.md5(str(cluster).encode()).digest()
+        rows = []
+        for y_store in range(h):
+            y = h - 1 - y_store
+            row = bytearray()
+            for x in range(w):
+                k = (x + 16 * y) % 128
+                g = 200 if (bits[k // 8] >> (k % 8)) & 1 else 10
+                row += bytes([g, g, g])
+            rows.append(bytes(row) + pad)
+        return b"".join(rows)
+
+    def _avi(i: int, dib_cache: dict) -> bytes:
+        frames = bytearray()
+        n_frames = 4  # 2 scenes x 2 identical frames
+        for s in range(2):
+            c = 2 * (i // 10) + s
+            if c not in dib_cache:
+                dib_cache[c] = _dib(c)
+            dib = dib_cache[c]
+            for _f in range(2):
+                frames += b"00db" + struct.pack("<I", len(dib)) + dib
+        avih = struct.pack(
+            "<10I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        ) + b"\x00" * 16
+        strh = (
+            b"vids" + b"DIB "
+            + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0,
+                          n_frames, 0, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, w, h)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835,
+            0, 0,
+        )
+        strl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+            + b"strl"
+            + b"strh" + struct.pack("<I", len(strh)) + strh
+            + b"strf" + struct.pack("<I", len(strf)) + strf
+        )
+        hdrl = (
+            b"LIST" + struct.pack("<I", 4 + 8 + 56 + len(strl)) + b"hdrl"
+            + b"avih" + struct.pack("<I", 56) + avih + strl
+        )
+        movi = (
+            b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi"
+            + bytes(frames)
+        )
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dib_cache = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _avi(int(i), dib_cache) for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    (
+        spark.read.parquet(docs_path)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def build_tiled(spark, sf_dir: str, scale: int, root: str):
     """(documents_path, embeddings_path) tiled ``scale``x."""
     from pyspark.sql import functions as F
@@ -169,11 +266,14 @@ def build_tiled(spark, sf_dir: str, scale: int, root: str):
     return out_docs, out_emb
 
 
-def run_ops(spark, docs_path: str, emb_path: str, media_path: str) -> dict:
+def run_ops(
+    spark, docs_path: str, emb_path: str, media_path: str,
+    scene_media_path: str,
+) -> dict:
     from pyspark.sql import functions as F
 
     from fluss_datafusion_spark.functions import multimodal
-    from fluss_datafusion_spark.operators import dedup, retrieval, similarity
+    from fluss_datafusion_spark.operators import curation, dedup, retrieval, similarity
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
@@ -249,6 +349,38 @@ def run_ops(spark, docs_path: str, emb_path: str, media_path: str) -> dict:
             key_blocks=2,
         ),
     )
+    # scene-level video dedup (r8 4th): decode + per-scene majority-vote
+    # dHash in one Arrow pass, then the wide-key banded Hamming path —
+    # the clip-reuse detector at corpus scale (decode-dominated, like
+    # the image rows; key_blocks=2 is the past-2^16 regime).
+    scene_media = spark.read.parquet(scene_media_path)
+    bench(
+        "dedup_video_scene_fp",
+        lambda: dedup.hamming_near_dup_pairs(
+            multimodal.video_scene_fingerprints(scene_media)
+            .filter("decoded_ok")
+            .select("media_id", "sfp"),
+            "media_id",
+            "sfp",
+            max_hamming=2,
+            key_blocks=2,
+        ),
+    )
+    # WET-stage HTML extraction (r8 4th): one whole-stage-codegen
+    # projection of RE2-safe regexps — the row exists to prove the
+    # chain stays linear in corpus bytes (no backtracking blowup).
+    bench(
+        "curation_html_extract",
+        lambda: curation.html_extract(
+            docs.selectExpr(
+                "doc_id",
+                "'<html><head><title>t</title><style>p{}</style>'"
+                " || '<script>var x=1;</script></head><body><p>'"
+                " || text || '</p><a href=\"https://e.com/x\">l</a>'"
+                " || '</body></html>' AS html",
+            )
+        ),
+    )
     bench(
         "ann_ivfpq_topk",
         lambda: similarity.pq_ann_topk(
@@ -286,10 +418,16 @@ def main() -> None:
                 spark, args.sf_dir, scale, root
             )
             media_path = build_media(spark, docs_path, root, scale)
+            scene_media_path = build_scene_media(
+                spark, docs_path, root, scale
+            )
             n_docs = spark.read.parquet(docs_path).count()
             results[scale] = (
                 n_docs,
-                run_ops(spark, docs_path, emb_path, media_path),
+                run_ops(
+                    spark, docs_path, emb_path, media_path,
+                    scene_media_path,
+                ),
             )
             print(f"scale x{scale} ({n_docs} docs): {results[scale][1]}")
     finally:

@@ -6433,3 +6433,87 @@ def ns_curation_dp_release(spark, sf_dir):
         docs, ["source"], epsilon=0.5, seed="dp-r8",
         sum_col="n_tokens", bounds=(0, 100),
     )
+
+
+@query(
+    "ns_ts_lttb_downsample", extended=True,
+    oracle="""
+    WITH base AS (
+        SELECT user_id AS k, ts, round(CAST(value AS DOUBLE), 0) AS v,
+               CAST(epoch_us(ts)
+                    - min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                    AS DOUBLE) AS x,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, round(CAST(value AS DOUBLE), 0)) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ),
+    small AS (
+        SELECT k, ts, v, CAST(NULL AS INTEGER) AS bucket
+        FROM base WHERE cnt <= 12
+    ),
+    big AS (SELECT * FROM base WHERE cnt > 12),
+    ends AS (
+        SELECT k,
+               min(CASE WHEN rn = 1 THEN x END) AS fx,
+               min(CASE WHEN rn = 1 THEN v END) AS fy,
+               min(CASE WHEN rn = cnt THEN x END) AS lx,
+               min(CASE WHEN rn = cnt THEN v END) AS ly
+        FROM big GROUP BY k
+    ),
+    interior AS (
+        SELECT *, CAST(floor((rn - 2) * 10 / (cnt - 2.0)) AS INTEGER) AS b
+        FROM big WHERE rn > 1 AND rn < cnt
+    ),
+    avgs AS (
+        SELECT k, b, avg(x) AS ax, avg(v) AS ay
+        FROM interior GROUP BY k, b
+    ),
+    anch AS (
+        SELECT i.*, coalesce(l.ax, e.fx) AS xl, coalesce(l.ay, e.fy) AS yl,
+               coalesce(r.ax, e.lx) AS xr, coalesce(r.ay, e.ly) AS yr
+        FROM interior i
+        LEFT JOIN avgs l ON l.k = i.k AND l.b = i.b - 1
+        LEFT JOIN avgs r ON r.k = i.k AND r.b = i.b + 1
+        JOIN ends e ON e.k = i.k
+    ),
+    ranked AS (
+        SELECT k, ts, v, b,
+               row_number() OVER (
+                   PARTITION BY k, b
+                   ORDER BY abs((xl - xr) * (v - yl)
+                                - (xl - x) * (yr - yl)) DESC, rn ASC
+               ) AS rk
+        FROM anch
+    ),
+    picked AS (SELECT k, ts, v, b AS bucket FROM ranked WHERE rk = 1),
+    endpoints AS (
+        SELECT k, ts, v, CAST(-1 AS INTEGER) AS bucket
+        FROM big WHERE rn = 1
+        UNION ALL
+        SELECT k, ts, v, CAST(10 AS INTEGER) AS bucket
+        FROM big WHERE rn = cnt
+    )
+    SELECT k AS user_id, ts, v AS value, bucket FROM small
+    UNION ALL SELECT k, ts, v, bucket FROM endpoints
+    UNION ALL SELECT k, ts, v, bucket FROM picked
+    """,
+)
+def ns_ts_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (r8 — operators/timeseries.lttb_downsample;
+    Steinarsson 2013, TimescaleDB's lttb() in the bucket-average-anchor
+    parallel form): every user's event series decimates to 12 points —
+    endpoints plus the largest-triangle pick from each of 10
+    equal-count buckets anchored on neighbor-bucket averages; short
+    series pass through whole.  Values round to integers first (exact
+    float sums in any order) and x rebases to the series minimum
+    (triangle areas are affine-invariant; raw epoch-µs bucket sums
+    would exceed 2^53) — so DuckDB replays the entire float algebra,
+    rank ties included, bit-for-bit."""
+    from fluss_datafusion_spark.operators.timeseries import lttb_downsample
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value"), 0).alias("value")
+    )
+    return lttb_downsample(ev, "user_id", "ts", "value", 12)

@@ -526,3 +526,144 @@ def time_weighted_avg(
             "covered_seconds",
         )
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    the shape-preserving decimation TimescaleDB ships as ``lttb()``),
+    in the bucket-average-anchor PARALLEL form: per series keep the
+    first and last points, split the interior into ``n_out − 2``
+    equal-count buckets, and from each bucket keep the point whose
+    triangle with the NEIGHBOR BUCKETS' average points has the largest
+    area.  The sequential original anchors on the previously SELECTED
+    point (an inherently serial scan); averaging the neighbor buckets
+    instead is the standard parallel approximation — every bucket
+    decides independently, so the whole series family downsample is
+    two keyed shuffles (row numbering + bucket averages) and a rank,
+    no iteration, no driver loop.
+
+    Series shorter than ``n_out`` pass through whole.  Determinism:
+    rows order by (ts, value); area ties keep the earlier point.
+    Returns (key, ts, value, bucket) with bucket −1/B marking the
+    endpoints.  Numerics: triangle areas are affine-invariant, so x is
+    REBASED to epoch-µs minus the series minimum before any float math
+    — raw epoch-µs (~1.7e15) summed over a bucket exceeds 2⁵³ and the
+    bucket average would depend on partial-sum order; rebased offsets
+    (series span, ≲1e12 µs) sum exactly, making the whole algebra
+    bit-replayable in any engine."""
+    if n_out < 3:
+        raise ValueError("n_out must be at least 3 (endpoints + 1)")
+    b_total = n_out - 2
+    wkey = Window.partitionBy("__key__")
+    base = (
+        df.select(
+            F.col(key_col).alias("__key__"),
+            F.col(ts_col).alias("__ts__"),
+            F.col(val_col).cast("double").alias("__val__"),
+        )
+        .withColumn("__us__", F.unix_micros(F.col("__ts__")))
+        .withColumn(
+            "__x__",
+            (F.col("__us__") - F.min("__us__").over(wkey)).cast("double"),
+        )
+        .withColumn(
+            "__rn__",
+            F.row_number().over(wkey.orderBy("__ts__", "__val__")),
+        )
+        .withColumn("__cnt__", F.count(F.lit(1)).over(wkey))
+    )
+    small = base.filter(F.col("__cnt__") <= n_out).select(
+        F.col("__key__").alias(key_col),
+        F.col("__ts__").alias(ts_col),
+        F.col("__val__").alias(val_col),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    big = base.filter(F.col("__cnt__") > n_out)
+    first = big.filter(F.col("__rn__") == 1)
+    last = big.filter(F.col("__rn__") == F.col("__cnt__"))
+    interior = big.filter(
+        (F.col("__rn__") > 1) & (F.col("__rn__") < F.col("__cnt__"))
+    ).withColumn(
+        "__b__",
+        F.floor(
+            (F.col("__rn__") - 2)
+            * F.lit(b_total)
+            / (F.col("__cnt__") - 2)
+        ).cast("int"),
+    )
+    avgs = interior.groupBy("__key__", "__b__").agg(
+        F.avg("__x__").alias("__ax__"), F.avg("__val__").alias("__ay__")
+    )
+    ends = first.select(
+        "__key__",
+        F.col("__x__").alias("__fx__"),
+        F.col("__val__").alias("__fy__"),
+    ).join(
+        last.select(
+            "__key__",
+            F.col("__x__").alias("__lx__"),
+            F.col("__val__").alias("__ly__"),
+        ),
+        "__key__",
+    )
+    left = avgs.select(
+        "__key__",
+        (F.col("__b__") + 1).alias("__b__"),
+        F.col("__ax__").alias("__lxa__"),
+        F.col("__ay__").alias("__lya__"),
+    )
+    right = avgs.select(
+        "__key__",
+        (F.col("__b__") - 1).alias("__b__"),
+        F.col("__ax__").alias("__rxa__"),
+        F.col("__ay__").alias("__rya__"),
+    )
+    anch = (
+        interior.join(left, ["__key__", "__b__"], "left")
+        .join(right, ["__key__", "__b__"], "left")
+        .join(ends, "__key__")
+        .withColumn("__xl__", F.coalesce("__lxa__", "__fx__"))
+        .withColumn("__yl__", F.coalesce("__lya__", "__fy__"))
+        .withColumn("__xr__", F.coalesce("__rxa__", "__lx__"))
+        .withColumn("__yr__", F.coalesce("__rya__", "__ly__"))
+    )
+    area = F.abs(
+        (F.col("__xl__") - F.col("__xr__"))
+        * (F.col("__val__") - F.col("__yl__"))
+        - (F.col("__xl__") - F.col("__x__"))
+        * (F.col("__yr__") - F.col("__yl__"))
+    )
+    ranked = anch.withColumn("__area__", area).withColumn(
+        "__rk__",
+        F.row_number().over(
+            Window.partitionBy("__key__", "__b__").orderBy(
+                F.col("__area__").desc(), F.col("__rn__").asc()
+            )
+        ),
+    )
+    picked = ranked.filter(F.col("__rk__") == 1).select(
+        F.col("__key__").alias(key_col),
+        F.col("__ts__").alias(ts_col),
+        F.col("__val__").alias(val_col),
+        F.col("__b__").alias("bucket"),
+    )
+    endpoints = first.select(
+        F.col("__key__").alias(key_col),
+        F.col("__ts__").alias(ts_col),
+        F.col("__val__").alias(val_col),
+        F.lit(-1).alias("bucket"),
+    ).unionByName(
+        last.select(
+            F.col("__key__").alias(key_col),
+            F.col("__ts__").alias(ts_col),
+            F.col("__val__").alias(val_col),
+            F.lit(b_total).alias("bucket"),
+        )
+    )
+    return small.unionByName(endpoints).unionByName(picked)

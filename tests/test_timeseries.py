@@ -229,3 +229,85 @@ def test_time_weighted_avg_segment_guard(spark):
         time_weighted_avg(
             df, "ts", "v", 60, ["k"], max_buckets_per_segment=100
         ).collect()
+
+
+def test_lttb_downsample_matches_pure_python(spark):
+    """The parallel LTTB (bucket-average anchors) replays exactly in
+    pure Python: endpoints kept, per-bucket largest-triangle picks,
+    spike preservation, short-series passthrough, n_out guard."""
+    import datetime
+
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.timeseries import lttb_downsample
+
+    rows = []
+    vals = {}
+    for k in (1, 2):
+        n = 37 if k == 1 else 5
+        series = []
+        for i in range(n):
+            v = 500.0 if (k == 1 and i == 13) else float((7 * i) % 23)
+            series.append(v)
+            rows.append(
+                (
+                    k,
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(minutes=3 * i),
+                    v,
+                )
+            )
+        vals[k] = series
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    n_out = 8
+    got = {
+        k: sorted(
+            (r.ts, r.v, r.bucket)
+            for r in lttb_downsample(df, "k", "ts", "v", n_out)
+            .filter(f"k = {k}")
+            .collect()
+        )
+        for k in (1, 2)
+    }
+    # short series passes through whole
+    assert len(got[2]) == 5 and all(b is None for _, _, b in got[2])
+
+    # pure-python parallel LTTB on series 1
+    series = vals[1]
+    n, B = len(series), n_out - 2
+    xs = [3 * 60 * 1e6 * i for i in range(n)]  # µs offsets (rebased)
+    xs = [x - xs[0] for x in xs]
+    buckets = {}
+    for rn in range(2, n):  # 1-based interior rn in [2, n-1]
+        b = (rn - 2) * B // (n - 2)
+        buckets.setdefault(b, []).append(rn - 1)  # 0-based idx
+    avg = {
+        b: (
+            sum(xs[i] for i in idxs) / len(idxs),
+            sum(series[i] for i in idxs) / len(idxs),
+        )
+        for b, idxs in buckets.items()
+    }
+    expected = {0, n - 1}
+    for b, idxs in buckets.items():
+        xl, yl = avg[b - 1] if b - 1 in avg else (xs[0], series[0])
+        xr, yr = avg[b + 1] if b + 1 in avg else (xs[-1], series[-1])
+        best = max(
+            idxs,
+            key=lambda i: (
+                abs((xl - xr) * (series[i] - yl) - (xl - xs[i]) * (yr - yl)),
+                -i,
+            ),
+        )
+        expected.add(best)
+    exp_rows = sorted(
+        (
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=3 * i),
+            series[i],
+        )
+        for i in expected
+    )
+    assert [(t, v) for t, v, _ in got[1]] == exp_rows
+    assert any(v == 500.0 for _, v, _ in got[1])  # the spike survives
+    with _pytest.raises(ValueError):
+        lttb_downsample(df, "k", "ts", "v", 2)

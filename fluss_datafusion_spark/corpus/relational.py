@@ -2801,3 +2801,43 @@ def q72_version_tags(spark, sf_dir):
         " FROM tag_nation VERSION AS OF 'pre_rename' t"
         " JOIN tag_nation h ON t.n_nationkey = h.n_nationkey"
     )
+
+
+@query(
+    "q73_partition_count_metadata",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    extended=True,
+)
+def q73_partition_count_metadata(spark, sf_dir):
+    """Per-partition counts from metadata (r8 —
+    plans/metadata_agg.try_partition_group_count): `SELECT <partition
+    col>, count(*) GROUP BY <partition col>` on a partitioned log
+    table is answered from per-leaf-directory footer row sums — the
+    partition-dashboard query at 100 TB costs a directory listing, not
+    a scan.  DuckDB re-derives the counts from the raw table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pcnt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "orders")
+    e.sql(
+        "CREATE TABLE pcnt (o_orderkey BIGINT, o_orderstatus STRING)"
+        " PARTITIONED BY (o_orderstatus)"
+    )
+    e.sql(
+        "INSERT INTO pcnt SELECT o_orderkey, o_orderstatus FROM orders"
+    )
+    return e.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM pcnt"
+        " GROUP BY o_orderstatus"
+    )

@@ -723,8 +723,12 @@ def media_ingest_sink(
     State lives in the index + the table; the streaming query itself is
     stateless, so the pipeline restarts cleanly from the checkpoint.
     ``metrics`` (optional list) records per batch: {batch_id, n_in,
-    n_filtered, n_dropped, n_kept} — n_filtered counts transform drops
-    plus undecodable payloads."""
+    n_filtered, n_dropped, n_kept} — n_in counts RAW sink rows
+    (payloads); n_filtered = raw rows − fingerprint rows, i.e.
+    transform drops plus undecodable payloads for one-row-per-payload
+    hooks, and NEGATIVE for row-expanding hooks (a scene hook emits
+    several rows per video); n_dropped/n_kept are at fingerprint-row
+    grain."""
     from fluss_datafusion_spark.functions.multimodal import image_dhash_stats
 
     fp_fn = fingerprint if fingerprint is not None else image_dhash_stats

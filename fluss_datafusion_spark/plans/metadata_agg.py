@@ -178,3 +178,104 @@ def _split_top_level(select_list: str):
         buf.append(ch)
     items.append("".join(buf))
     return [s for s in (i.strip() for i in items) if s]
+
+
+_GROUP_RE = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+"
+    r"FROM\s+((?:`[^`]*`|\w+)(?:\s*\.\s*(?:`[^`]*`|\w+))?)\s+"
+    r"GROUP\s+BY\s+(`[^`]*`|\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def try_partition_group_count(session, statement: str):
+    """``SELECT <partition col>, count(*) FROM <log table> GROUP BY
+    <partition col>`` answered from per-leaf-directory footer row sums
+    (either projection order; the per-partition dashboard query at
+    100 TB).  Gates: log table, the group column IS a partition key of
+    int/date/string family (dir strings cast losslessly), no null
+    partition dirs (Hive default sentinel -> fall back).  Dir values
+    are URL-decoded the way Spark's partition writer escaped them."""
+    m = _GROUP_RE.match(statement)
+    if m is None:
+        return None
+    items = [s.strip() for s in _split_top_level(m.group(1))]
+    if len(items) != 2:
+        return None
+    gcol = _unquote(m.group(3))
+    count_alias = None
+    col_alias = None
+    col_first = None
+    for pos, item in enumerate(items):
+        am = _AGG_RE.fullmatch(item)
+        if am is not None and am.group(1):  # COUNT
+            count_alias = _unquote(am.group(2) or "count(1)")
+            continue
+        cm = re.fullmatch(
+            r"(`[^`]*`|\w+)(?:\s+AS\s+(`[^`]*`|\w+))?", item, re.IGNORECASE
+        )
+        if cm is None or _unquote(cm.group(1)).lower() != gcol.lower():
+            return None
+        col_alias = _unquote(cm.group(2) or cm.group(1))
+        col_first = pos == 0
+    if count_alias is None or col_alias is None:
+        return None
+
+    from fluss_datafusion_spark.sql.dialect import parse_qualified_name
+
+    target = ".".join(parse_qualified_name(m.group(2)))
+    if not session.catalog.has_table(target):
+        return None
+    spec = session.catalog.get_table(target)
+    if spec.has_primary_key:
+        return None
+    cspec = next(
+        (c for c in spec.columns if c.name.lower() == gcol.lower()), None
+    )
+    if cspec is None or cspec.name not in (spec.partition_keys or []):
+        return None
+    base_type = cspec.type_name.split("(")[0].upper()
+    if base_type not in {
+        "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "STRING",
+        "VARCHAR", "DATE",
+    }:
+        return None
+
+    import os
+    from urllib.parse import unquote
+
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    stored = (cspec.physical_name or cspec.name) + "="
+    path = session.catalog.table_path(spec)
+    by_value = {}
+    import pyarrow.parquet as pq
+
+    for f in sorted(_parquet_files(path)):
+        rel = os.path.relpath(f, path)
+        seg = next(
+            (s for s in rel.split(os.sep) if s.startswith(stored)), None
+        )
+        if seg is None:
+            return None  # unpartitioned stray file — not ours
+        value = unquote(seg[len(stored):])
+        if value == _HIVE_NULL:
+            return None
+        by_value[value] = by_value.get(value, 0) + pq.read_metadata(
+            f
+        ).num_rows
+
+    from pyspark.sql import functions as F
+
+    rows = sorted(by_value.items())
+    df = session.spark.createDataFrame(
+        [(v, n) for v, n in rows] or [], "__v__ string, __n__ long"
+    )
+    gexpr = F.col("__v__").cast(cspec.spark_type).alias(col_alias)
+    nexpr = F.col("__n__").alias(count_alias)
+    out = df.select(gexpr, nexpr) if col_first else df.select(nexpr, gexpr)
+    # partition counts are O(partitions) rows — keep them on one
+    # partition like every other metadata-literal result
+    return out.coalesce(1)

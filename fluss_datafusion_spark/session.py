@@ -525,9 +525,12 @@ class EngineSession:
         if re.match(r"^\s*SELECT\s", statement, re.IGNORECASE):
             from fluss_datafusion_spark.plans.metadata_agg import (
                 try_metadata_aggregate,
+                try_partition_group_count,
             )
 
             fast = try_metadata_aggregate(self, statement)
+            if fast is None:
+                fast = try_partition_group_count(self, statement)
             if fast is not None:
                 return fast
 

@@ -339,3 +339,40 @@ def test_min_max_metadata_fast_path(spark, tmp_path):
         assert c.collect()[0][0] == 101
     finally:
         os.rename(manifest + ".bak", manifest)
+
+
+def test_partition_group_count_fast_path(spark, tmp_path):
+    """`SELECT <partition col>, count(*) ... GROUP BY <partition col>`
+    on a log table answers from per-leaf footer sums — scan-free, both
+    projection orders, values cast back to the column type; grouping
+    by a non-partition column falls through to Catalyst."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE pg (id BIGINT, g STRING, d INT)"
+        " PARTITIONED BY (g)"
+    )
+    e.sql(
+        "INSERT INTO pg SELECT id, CASE WHEN id % 3 = 0 THEN 'a'"
+        " WHEN id % 3 = 1 THEN 'b' ELSE 'c w=x' END AS g,"
+        " CAST(id % 5 AS INT) AS d FROM range(0, 90)"
+    )
+    df = e.sql("SELECT g, count(*) AS n FROM pg GROUP BY g")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("a", 30), ("b", 30), ("c w=x", 30),  # url-escaped dir decodes
+    ]
+    # reversed projection order + default count name
+    df2 = e.sql("SELECT count(*), g FROM pg GROUP BY g")
+    assert df2.columns == ["count(1)", "g"]
+    assert sorted(tuple(r) for r in df2.collect()) == [
+        (30, "a"), (30, "b"), (30, "c w=x"),
+    ]
+    # non-partition group column -> real plan, same answer
+    df3 = e.sql("SELECT d, count(*) AS n FROM pg GROUP BY d")
+    assert "parquet" in df3._jdf.queryExecution().executedPlan().toString().lower()
+    assert sorted(tuple(r) for r in df3.collect()) == [
+        (i, 18) for i in range(5)
+    ]

@@ -6517,3 +6517,133 @@ def ns_ts_lttb_downsample(spark, sf_dir):
         "user_id", "ts", F.round(F.col("value"), 0).alias("value")
     )
     return lttb_downsample(ev, "user_id", "ts", "value", 12)
+
+
+@query(
+    "ns_multimodal_audio_seg_ingest", extended=True,
+    oracle="""
+    WITH clips AS (SELECT doc_id AS i FROM documents
+                   WHERE doc_id < 10 OR (doc_id >= 30 AND doc_id < 60)),
+    segs AS (
+        SELECT i, CAST(s AS INTEGER) AS s, 64 * i + s AS uid,
+               (i + 17 * s) % 20 AS c,
+               CASE WHEN i < 10 THEN 0 WHEN i < 45 THEN 1 ELSE 2 END AS grp
+        FROM clips, (SELECT unnest(range(3)) AS s) ss
+        WHERE s < 2 + i % 2
+    ),
+    idx AS (SELECT DISTINCT c FROM segs WHERE grp = 0),
+    b1 AS (SELECT * FROM segs WHERE grp = 1),
+    b1_keep AS (
+        SELECT * FROM b1
+        WHERE c NOT IN (SELECT c FROM idx)
+          AND uid = (SELECT min(uid) FROM b1 x WHERE x.c = b1.c)
+    ),
+    b2 AS (SELECT * FROM segs WHERE grp = 2),
+    b2_keep AS (
+        SELECT * FROM b2
+        WHERE c NOT IN (SELECT c FROM idx)
+          AND c NOT IN (SELECT c FROM b1_keep)
+          AND uid = (SELECT min(uid) FROM b2 x WHERE x.c = b2.c)
+    ),
+    survivors AS (
+        SELECT * FROM b1_keep UNION ALL SELECT * FROM b2_keep
+    )
+    SELECT uid AS media_id, i AS audio_id, s AS seg_idx,
+           CAST(4 * s AS INTEGER) AS start_window,
+           CAST(4 AS INTEGER) AS n_windows,
+           CAST(CASE WHEN 3 * c = 0 THEN
+                     (CAST(1 AS HUGEINT) << 63) - (CAST(1 AS HUGEINT) << 64)
+                     + (CAST(1 AS HUGEINT) << 62)
+                     + (CAST(1 AS HUGEINT) << 61)
+                ELSE (CAST(1 AS HUGEINT) << (63 - 3 * c))
+                     + (CAST(1 AS HUGEINT) << (63 - 3 * c - 1))
+                     + (CAST(1 AS HUGEINT) << (63 - 3 * c - 2))
+                END AS BIGINT) AS afp
+    FROM survivors
+    """,
+)
+def ns_multimodal_audio_seg_ingest(spark, sf_dir):
+    """Streaming AUDIO-segment ingest with clip-reuse dedup (r8 —
+    functions/multimodal.audio_segment_fingerprints riding
+    operators/incremental.media_ingest_sink unchanged; the acoustic
+    twin of ns_multimodal_scene_ingest): clips 0..9 of the
+    segment-chord fixture are cut into fixed 4-window granules and
+    their gain-invariant spectral fingerprints indexed; clips 30..59
+    arrive as TWO micro-batches, each decoded ONCE into per-segment
+    rows (uid = 64·clip + segment) that probe the persisted Hamming
+    index (corpus-copy-wins, batch-internal greater-uid drops), with
+    survivors upserted and appended for batch 2.
+
+    Closed form throughout: segment (i, s) plays cluster
+    (i + 17·s) % 20, whose fingerprint is exactly the 3 bits at
+    positions 3c..3c+2 (bin-aligned chord, mean-threshold bits) — the
+    drop tree AND every surviving fingerprint are id arithmetic in
+    DuckDB (cluster 0's bit 0 is the sign bit: the signed form is
+    assembled explicitly)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import (
+        media_ingest_sink,
+        write_hamming_index,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_aseg_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    replay = os.path.join(root, "replay")
+    os.makedirs(replay)
+
+    media = multimodal.synthesize_segment_chord_media(
+        t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 10)
+            | ((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+        ),
+        id_col="doc_id",
+    )
+    index = os.path.join(root, "idx")
+    corpus_fps = multimodal.audio_segment_fingerprints(
+        media.filter(F.col("media_id") < 10)
+    ).filter("decoded_ok")
+    write_hamming_index(corpus_fps, "media_id", "afp", index)
+    base = _time.time()
+    for i, (lo, hi) in enumerate(((30, 45), (45, 60))):
+        pdf = (
+            media.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            .toPandas()
+            .sort_values("media_id")
+        )
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        os.utime(fp, (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE audio_seg_ingest (media_id BIGINT NOT NULL,"
+        " audio_id BIGINT, seg_idx INT, start_window INT, n_windows INT,"
+        " afp BIGINT, PRIMARY KEY (media_id))"
+    )
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    media_ingest_sink(
+        stream, e.catalog, "audio_seg_ingest", index,
+        os.path.join(root, "ckpt"),
+        fingerprint=multimodal.audio_segment_fingerprints,
+        hash_col="afp",
+    ).awaitTermination()
+    return e.sql(
+        "SELECT media_id, audio_id, seg_idx, start_window, n_windows, afp"
+        " FROM audio_seg_ingest"
+    )

@@ -3561,3 +3561,161 @@ def synthesize_multiscene_avi_media(
         df.select(F.col(id_col).alias("media_id"))
         .mapInPandas(_map, "media_id long, payload binary")
     )
+
+
+_ASEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("start_window", T.IntegerType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_segment_fingerprints(
+    media: DataFrame,
+    n_fft: int = 128,
+    seg_windows: int = 4,
+    max_segments: int = 64,
+) -> DataFrame:
+    """Per-SEGMENT audio fingerprints — the clip-reuse detector for
+    audio (whole-clip fingerprints miss a jingle spliced into a longer
+    recording), the acoustic twin of video_scene_fingerprints: decode
+    the WAV once, cut the mono signal into FIXED-length segments of
+    ``seg_windows`` x ``n_fft`` frames (time-based segmentation is the
+    audio-fingerprinting convention — Haitsma-Kalker granules — unlike
+    video, where content cuts segment), and pack each segment's 64
+    gain-invariant mean-threshold spectral bits (the audio_fingerprint
+    kernel per segment).  A trailing partial segment is dropped
+    (sub-granule audio carries too few windows to fingerprint stably).
+
+    One row per segment, ``media_id`` = packed uid ``audio_id *
+    max_segments + seg_idx`` — so hamming_near_dup_pairs,
+    incremental_hamming_pairs and media_ingest_sink (with
+    ``fingerprint=audio_segment_fingerprints, hash_col='afp'``) run
+    unchanged on segments.  Undecodable / shorter-than-one-segment /
+    over-long payloads yield one decoded_ok=false row.  Arrow-batched
+    mapInPandas; payloads never leave the executors."""
+    import numpy as np
+
+    if n_fft != 128:
+        raise ValueError("64-bit packing requires n_fft=128")
+    if seg_windows < 1:
+        raise ValueError("seg_windows must be at least 1")
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                px = decode_wav_pcm(payload)
+                seg_len = seg_windows * n_fft
+                if px is None or px.shape[0] < seg_len:
+                    rows.append(
+                        (mid * max_segments, mid, None, None, None, None,
+                         False)
+                    )
+                    continue
+                mono = px.astype(np.float64).mean(axis=1)
+                n_seg = mono.shape[0] // seg_len
+                if n_seg > max_segments:
+                    rows.append(
+                        (mid * max_segments, mid, None, None, None, None,
+                         False)
+                    )
+                    continue
+                frames = mono[: n_seg * seg_len].reshape(
+                    n_seg, seg_windows, n_fft
+                )
+                for s in range(n_seg):
+                    mag = np.abs(np.fft.rfft(frames[s], axis=1)).mean(
+                        axis=0
+                    )
+                    spec = mag[1:65]
+                    bits = spec * 64.0 > spec.sum()
+                    rows.append(
+                        (
+                            mid * max_segments + s,
+                            mid,
+                            s,
+                            s * seg_windows,
+                            seg_windows,
+                            _pack_bits_64(bits),
+                            True,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "audio_id", "seg_idx", "start_window",
+                    "n_windows", "afp", "decoded_ok",
+                ],
+            )
+            for col in ("seg_idx", "start_window", "n_windows"):
+                out[col] = pd.array(out[col], dtype="Int32")
+            out["afp"] = pd.array(out["afp"], dtype="Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _map, _ASEG_SCHEMA
+    )
+
+
+def synthesize_segment_chord_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cluster_mod: int = 20,
+    seg_shift: int = 17,
+    seg_windows: int = 4,
+) -> DataFrame:
+    """Fixture for SEGMENT-level audio dedup: a float32 WAV per row
+    with 2 + (id % 2) segments of ``seg_windows`` x 128 frames, segment
+    ``s`` playing the chord of cluster ``c = (id + seg_shift*s) %
+    cluster_mod`` (synthesize_chord_media's bin-aligned triple at bins
+    3c+1..3c+3, amplitudes 0.30/0.25/0.20, whole-clip gain
+    0.8 + (id % 5)/10 which the mean-threshold bits cancel) — so each
+    segment's fingerprint is the cluster's 3-bit closed form and two
+    segments are perceptual duplicates iff their clusters agree:
+    clip-reuse structure is pure id arithmetic, exactly like the
+    multiscene AVI fixture."""
+    import math
+
+    def _wav(i: int) -> bytes:
+        rate, n_fft = 8000, 128
+        n_segs = 2 + int(i) % 2
+        gain = 0.8 + (int(i) % 5) / 10.0
+        samples = bytearray()
+        for s in range(n_segs):
+            c = (int(i) + seg_shift * s) % cluster_mod
+            comps = [(3 * c + 1, 0.30), (3 * c + 2, 0.25), (3 * c + 3, 0.20)]
+            for t in range(seg_windows * n_fft):
+                samples += struct.pack(
+                    "<f",
+                    gain
+                    * sum(
+                        a * math.sin(2 * math.pi * k * t / n_fft)
+                        for k, a in comps
+                    ),
+                )
+        fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+    )

@@ -1228,3 +1228,105 @@ def stream_expectations(spark, sf_dir):
         lambda s: expectations_stream(s, rules, window="1 hour"),
         "complete",
     )
+
+
+@query(
+    "st_quarantine_dead_letter", extended=True,
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+        FROM events WHERE event_id < 2000
+    ),
+    tagged AS (
+        SELECT *,
+            -- array_to_string([]) is NULL in DuckDB, not '' — coalesce
+            coalesce(array_to_string(list_filter([
+                CASE WHEN value < 1.0 OR value > 200.0
+                     THEN 'between_value' END,
+                CASE WHEN event_type IS NOT NULL
+                          AND event_type NOT IN ('click','view','purchase',
+                                                 'signup')
+                     THEN 'accepted_values_event_type' END
+            ], x -> x IS NOT NULL), ','), '') AS failed
+        FROM ev
+    )
+    SELECT event_id, event_type, value,
+           CAST(NULL AS VARCHAR) AS failed_rules, 'clean' AS dest
+    FROM tagged WHERE failed = ''
+    UNION ALL
+    SELECT event_id, event_type, value, failed AS failed_rules,
+           'dead' AS dest
+    FROM tagged WHERE failed <> ''
+    """,
+)
+def st_quarantine_dead_letter(spark, sf_dir):
+    """Streaming dead-letter routing (r8 —
+    operators/expectations.quarantine_sink, the Delta-Live-Tables
+    expectations-with-DROP pattern): 2000 events replay as four
+    time-ordered micro-batches; per batch, rows violating any
+    row-scoped rule (value out of [1, 200]; event_type outside the
+    accepted set) land in the dead-letter PK table with their
+    failed_rules names while clean rows upsert into the clean PK
+    table — both through the engine insert path, restart-safe from the
+    checkpoint.  DuckDB re-derives both splits and every failed_rules
+    string from the same predicates."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.expectations import (
+        quarantine_sink,
+    )
+    from fluss_datafusion_spark.streaming.events import (
+        chunk_df_for_replay,
+        events_stream,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_quar_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "ts", "event_type", F.col("value").cast("double"))
+    )
+    replay = chunk_df_for_replay(ev, os.path.join(root, "replay"), 4)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    e.sql(
+        "CREATE TABLE q_clean (event_id BIGINT NOT NULL, event_type STRING,"
+        " value DOUBLE, PRIMARY KEY (event_id))"
+    )
+    e.sql(
+        "CREATE TABLE q_dead (event_id BIGINT NOT NULL, event_type STRING,"
+        " value DOUBLE, failed_rules STRING, PRIMARY KEY (event_id))"
+    )
+    stream = events_stream(
+        spark, replay,
+        schema="event_id long, ts timestamp, event_type string,"
+        " value double",
+    ).drop("ts")
+    quarantine_sink(
+        stream,
+        e.catalog,
+        "q_clean",
+        "q_dead",
+        [
+            {"kind": "between", "column": "value", "lo": 1.0, "hi": 200.0},
+            {
+                "kind": "accepted_values",
+                "column": "event_type",
+                "values": ["click", "view", "purchase", "signup"],
+            },
+        ],
+        os.path.join(root, "ckpt"),
+    ).awaitTermination()
+    return e.sql(
+        "SELECT event_id, event_type, value,"
+        " CAST(NULL AS STRING) AS failed_rules, 'clean' AS dest"
+        " FROM q_clean"
+        " UNION ALL"
+        " SELECT event_id, event_type, value, failed_rules, 'dead' AS dest"
+        " FROM q_dead"
+    )

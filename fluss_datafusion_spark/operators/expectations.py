@@ -170,3 +170,83 @@ def expect_fk(
         "rule string, column string, n_orphans long, n_rows long,"
         " passed boolean",
     )
+
+
+def quarantine_split(
+    df: DataFrame, rules: Sequence[Dict]
+) -> "tuple[DataFrame, DataFrame]":
+    """Row-level expectation routing: (clean, quarantined) where a row
+    quarantines iff it violates ANY row-scoped rule (not_null /
+    accepted_values / between / matches — unique and row_count are
+    table-scoped and refuse here), and the quarantined frame carries a
+    ``failed_rules`` array naming every violated rule.  Both branches
+    are single-pass projections of the same violation expressions the
+    ``expect`` report aggregates — zero UDFs, no shuffle, linear at
+    100 TB."""
+    names, exprs = [], []
+    for rule in rules:
+        if rule["kind"] in ("unique", "row_count"):
+            raise ValueError(
+                f"{rule['kind']} is table-scoped; quarantine_split routes"
+                " rows — audit it with expect() instead"
+            )
+        name = rule.get("name") or f"{rule['kind']}_{rule.get('column')}"
+        names.append(name)
+        exprs.append(_violation_expr(rule))
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(e, F.lit(n)).otherwise(F.lit(None))
+                for n, e in zip(names, exprs)
+            ]
+        )
+    )
+    tagged = df.withColumn("failed_rules", failed)
+    clean = tagged.filter(F.size("failed_rules") == 0).drop("failed_rules")
+    quarantined = tagged.filter(F.size("failed_rules") > 0)
+    return clean, quarantined
+
+
+def quarantine_sink(
+    stream: DataFrame,
+    catalog,
+    clean_table: str,
+    dead_letter_table: str,
+    rules: Sequence[Dict],
+    checkpoint: str,
+    metrics=None,
+):
+    """Continuous dead-letter routing — the streaming form of
+    ``quarantine_split`` (Delta Live Tables' expectations-with-DROP
+    pattern): per micro-batch, rows that pass every row-scoped rule
+    upsert/append into ``clean_table``; violators land in
+    ``dead_letter_table`` with their ``failed_rules`` array (stringed
+    — the dead-letter schema stays engine-typed) so they can be
+    inspected, fixed and replayed.  Both writes go through the
+    engine's insert path (seq/constraints/upsert semantics); the
+    stream itself is stateless, so restarts recover from the
+    checkpoint.  ``metrics`` records {batch_id, n_clean, n_quarantined}
+    per batch."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quarantined = quarantine_split(batch_df, rules)
+        dead = quarantined.withColumn(
+            "failed_rules", F.array_join("failed_rules", ",")
+        )
+        n_clean = catalog.insert(clean_table, clean)
+        n_quarantined = catalog.insert(dead_letter_table, dead)
+        if metrics is not None:
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_clean": n_clean,
+                    "n_quarantined": n_quarantined,
+                }
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

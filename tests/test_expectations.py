@@ -117,3 +117,105 @@ def test_expectations_stream_matches_batch(spark, testdata, tmp_path):
     assert streamed == batch and len(batch) > 0
     with _pytest.raises(ValueError, match="uniqueness"):
         expectations_stream(ev, [{"kind": "unique", "columns": ["user_id"]}])
+
+
+def test_quarantine_split_row_routing(spark):
+    """Row-level routing: clean rows drop the helper column, violators
+    carry every failed rule name; table-scoped rules refuse."""
+    import pytest as _pytest
+
+    from fluss_datafusion_spark.operators.expectations import (
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, None, 5.0),        # not_null violation
+            (3, "zz", 200.0),      # accepted_values AND between
+            (4, "b", 50.0),
+        ],
+        "id long, cat string, v double",
+    )
+    rules = [
+        {"kind": "not_null", "column": "cat"},
+        {"kind": "accepted_values", "column": "cat", "values": ["a", "b"]},
+        {"kind": "between", "column": "v", "lo": 0, "hi": 100},
+    ]
+    clean, quarantined = quarantine_split(df, rules)
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    assert clean.columns == ["id", "cat", "v"]
+    got = {r.id: sorted(r.failed_rules) for r in quarantined.collect()}
+    assert got == {
+        2: ["not_null_cat"],
+        3: ["accepted_values_cat", "between_v"],
+    }
+    with _pytest.raises(ValueError):
+        quarantine_split(df, [{"kind": "unique", "column": "id"}])
+
+
+def test_quarantine_sink_dead_letter_replay(spark, tmp_path):
+    """Streaming dead-letter routing through the engine insert path:
+    clean rows upsert; violators land in the dead-letter table with
+    their rule names, fixable and replayable into the clean table."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.expectations import (
+        quarantine_sink,
+    )
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE clean_t (id BIGINT NOT NULL, v DOUBLE,"
+        " PRIMARY KEY (id))"
+    )
+    e.sql(
+        "CREATE TABLE dead_t (id BIGINT NOT NULL, v DOUBLE,"
+        " failed_rules STRING, PRIMARY KEY (id))"
+    )
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    base = time.time()
+    batches = [
+        [(1, 10.0), (2, -5.0), (3, 20.0)],
+        [(4, 999.0), (5, 30.0)],
+    ]
+    for i, rows in enumerate(batches):
+        fp = os.path.join(replay, f"b{i:05d}.parquet")
+        pq.write_table(
+            pa.table(
+                {"id": [r[0] for r in rows], "v": [r[1] for r in rows]}
+            ),
+            fp,
+        )
+        os.utime(fp, (base + i, base + i))
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    metrics = []
+    quarantine_sink(
+        stream,
+        e.catalog,
+        "clean_t",
+        "dead_t",
+        [{"kind": "between", "column": "v", "lo": 0, "hi": 100}],
+        str(tmp_path / "ckpt"),
+        metrics=metrics,
+    ).awaitTermination()
+    assert sorted(r.id for r in e.sql("SELECT id FROM clean_t").collect()) == [1, 3, 5]
+    dead = {r.id: r.failed_rules for r in e.sql("SELECT * FROM dead_t").collect()}
+    assert dead == {2: "between_v", 4: "between_v"}
+    assert metrics == [
+        {"batch_id": 0, "n_clean": 2, "n_quarantined": 1},
+        {"batch_id": 1, "n_clean": 1, "n_quarantined": 1},
+    ]
+    # the dead-letter pattern: fix and replay into the clean table
+    e.sql("INSERT INTO clean_t SELECT id, 0.0 AS v FROM dead_t")
+    assert e.sql("SELECT count(*) FROM clean_t").collect()[0][0] == 5

@@ -522,17 +522,33 @@ class EngineSession:
         # 100 TB.  Every soundness gate (PK tables, string truncation,
         # manifest coverage, WHERE tails, time travel) falls back to
         # Catalyst — see plans/metadata_agg.py.
-        if re.match(r"^\s*SELECT\s", statement, re.IGNORECASE):
+        explain_probe = re.match(
+            r"^\s*EXPLAIN(?:\s+(?:EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.+)$",
+            statement,
+            re.IGNORECASE | re.DOTALL,
+        )
+        inner = explain_probe.group(1) if explain_probe else statement
+        if re.match(r"^\s*SELECT\s", inner, re.IGNORECASE):
             from fluss_datafusion_spark.plans.metadata_agg import (
                 try_metadata_aggregate,
                 try_partition_group_count,
             )
 
-            fast = try_metadata_aggregate(self, statement)
+            fast = try_metadata_aggregate(self, inner)
             if fast is None:
-                fast = try_partition_group_count(self, statement)
+                fast = try_partition_group_count(self, inner)
             if fast is not None:
-                return fast
+                if explain_probe is None:
+                    return fast
+                # the documented invariant: EXPLAIN shows the plan the
+                # engine would RUN — for fast-path aggregates that is
+                # the metadata literal, not the scan Catalyst would plan
+                text = (
+                    "== Physical Plan (metadata-only aggregate fast"
+                    " path — plans/metadata_agg.py) ==\n"
+                    + fast._jdf.queryExecution().executedPlan().toString()
+                )
+                return self.spark.createDataFrame([(text,)], "plan string")
 
         # Read boundary: re-bind temp views left stale by earlier writes
         # (one set check when nothing changed).  Write-only statements

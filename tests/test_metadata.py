@@ -376,3 +376,20 @@ def test_partition_group_count_fast_path(spark, tmp_path):
     assert sorted(tuple(r) for r in df3.collect()) == [
         (i, 18) for i in range(5)
     ]
+
+
+def test_explain_shows_fast_path_plan(spark, tmp_path):
+    """EXPLAIN on a fast-path aggregate shows the metadata literal the
+    engine runs, not the scan Catalyst would plan (the EXPLAIN-runs-
+    the-rewrite-chain invariant); non-eligible EXPLAINs still show the
+    real plan."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE ex (id BIGINT, v STRING)")
+    e.sql("INSERT INTO ex VALUES (1, 'a'), (2, 'b')")
+    plan = e.sql("EXPLAIN SELECT count(*) FROM ex").collect()[0][0]
+    assert "metadata-only aggregate fast path" in plan
+    assert "parquet" not in plan.lower()
+    real = e.sql("EXPLAIN SELECT count(*) FROM ex WHERE id > 1").collect()[0][0]
+    assert "metadata-only" not in real

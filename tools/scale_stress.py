@@ -203,6 +203,58 @@ def build_scene_media(spark, docs_path: str, root: str, scale: int) -> str:
     return out
 
 
+def build_audio_media(spark, docs_path: str, root: str, scale: int) -> str:
+    """Segmented float32 WAVs with LINEAR clip-reuse structure under
+    tiling (the build_media discipline on PCM): clip i has two
+    4x128-frame segments whose samples are seeded pseudo-noise keyed
+    by cluster ``2*(i // 10) + s`` — 10 members per cluster at any
+    scale, mean-threshold spectral fingerprints ~uniform 64-bit, pair
+    output 45/cluster, exactly linear.  (The library's chord fixture
+    caps at 20 clusters — bin-aligned triples only fit 64 bins — so it
+    would alias under tiling, same lesson as the gradient fixtures.)"""
+    import struct
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out = os.path.join(root, f"audio_media_x{scale}")
+    seg_len = 4 * 128
+
+    def _wav(i: int, cache: dict) -> bytes:
+        samples = bytearray()
+        for s in range(2):
+            c = 2 * (i // 10) + s
+            if c not in cache:
+                rng = np.random.RandomState(c % (2**31))
+                cache[c] = rng.uniform(-1, 1, seg_len).astype("<f4").tobytes()
+            samples += cache[c]
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i), cache) for i in pdf["media_id"]],
+                }
+            )
+
+    (
+        spark.read.parquet(docs_path)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(_map, "media_id long, payload binary")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def build_tiled(spark, sf_dir: str, scale: int, root: str):
     """(documents_path, embeddings_path) tiled ``scale``x."""
     from pyspark.sql import functions as F
@@ -268,7 +320,7 @@ def build_tiled(spark, sf_dir: str, scale: int, root: str):
 
 def run_ops(
     spark, docs_path: str, emb_path: str, media_path: str,
-    scene_media_path: str,
+    scene_media_path: str, audio_media_path: str,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -366,6 +418,22 @@ def run_ops(
             key_blocks=2,
         ),
     )
+    # segment-level audio dedup (r8 4th): WAV decode + per-segment FFT
+    # mean-threshold bits in one Arrow pass, then the wide-key Hamming
+    # path — completes the image/video/audio modality scale evidence.
+    audio_media = spark.read.parquet(audio_media_path)
+    bench(
+        "dedup_audio_seg_fp",
+        lambda: dedup.hamming_near_dup_pairs(
+            multimodal.audio_segment_fingerprints(audio_media)
+            .filter("decoded_ok")
+            .select("media_id", "afp"),
+            "media_id",
+            "afp",
+            max_hamming=2,
+            key_blocks=2,
+        ),
+    )
     # WET-stage HTML extraction (r8 4th): one whole-stage-codegen
     # projection of RE2-safe regexps — the row exists to prove the
     # chain stays linear in corpus bytes (no backtracking blowup).
@@ -421,12 +489,15 @@ def main() -> None:
             scene_media_path = build_scene_media(
                 spark, docs_path, root, scale
             )
+            audio_media_path = build_audio_media(
+                spark, docs_path, root, scale
+            )
             n_docs = spark.read.parquet(docs_path).count()
             results[scale] = (
                 n_docs,
                 run_ops(
                     spark, docs_path, emb_path, media_path,
-                    scene_media_path,
+                    scene_media_path, audio_media_path,
                 ),
             )
             print(f"scale x{scale} ({n_docs} docs): {results[scale][1]}")

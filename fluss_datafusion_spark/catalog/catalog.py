@@ -344,6 +344,284 @@ class FlussCatalog:
             raise ValueError(f"no tag {tag!r} on {name}")
         return int(entry["seq"])
 
+    # -- branches (r8): writable version refs -----------------------------
+    #
+    # Iceberg branch semantics on the PK log: a branch forks the table's
+    # statement history at ``fork_seq`` and accumulates its own writes in
+    # a SIBLING directory (``<table>__branches/<name>``) with a
+    # branch-local seq space starting at fork_seq + 1.  The sibling
+    # placement is load-bearing twice over: (a) main reads list the table
+    # directory, so branch files are invisible to them by construction
+    # (no filter to forget); (b) OPTIMIZE/COMPACT replace the table dir
+    # via _swap_dir — a branch stored inside it would vanish mid-swap.
+    #
+    # A branch read is the overlay  merge(main log ⩽ fork_seq  ∪  branch
+    # log): branch seqs all exceed fork_seq, so merge-on-read's
+    # max-(__seq__,__sub__)-wins picks branch rows over the forked base
+    # exactly as it picks newer main rows over older ones — upsert,
+    # tombstone and time-travel machinery work on a branch unchanged.
+    # Main commits PAST the fork never reach the overlay, so the two
+    # histories diverge without coordination.
+    #
+    # fast_forward publishes a branch whose fork point is still the main
+    # head: branch files already carry exactly the __seq__ stamps main
+    # needs next, so publication is a seq reservation (which excludes
+    # maintenance and detects divergence) plus FILE MOVES — zero data
+    # rewrite at any table size.  A diverged main (head > fork) refuses;
+    # rebase/cherry-pick is out of scope (matching Iceberg, whose
+    # fast_forward procedure has the same precondition).
+
+    def _branch_root(self, spec: TableSpec) -> str:
+        # sibling of the table dir — see the section comment.  The
+        # trailing marker can't collide with a real table: _attach_
+        # existing only attaches dirs holding a _spec.json.
+        return self.table_path(spec) + "__branches"
+
+    def _branch_path(self, spec: TableSpec, branch: str) -> str:
+        return os.path.join(self._branch_root(spec), branch)
+
+    def _branch_commit_dir(self, spec: TableSpec, branch: str) -> str:
+        return os.path.join(self._branch_path(spec, branch), "_commits")
+
+    def _branch_info(self, spec: TableSpec, branch: str) -> dict:
+        entry = (spec.branches or {}).get(branch)
+        if entry is None:
+            raise ValueError(
+                f"no branch {branch!r} on {spec.qualified_name}"
+            )
+        return entry
+
+    def _branch_commits(self, spec: TableSpec, branch: str) -> Dict[int, float]:
+        """Branch-committed seq -> commit ts (same file format as the
+        main per-seq commit dir)."""
+        import json
+
+        d = self._branch_commit_dir(spec, branch)
+        out: Dict[int, float] = {}
+        if not os.path.isdir(d):
+            return out
+        for fn in os.listdir(d):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(d, fn)) as fh:
+                        out[int(fn[:-5])] = float(json.load(fh)["ts"])
+                except (ValueError, OSError, KeyError):
+                    continue
+        return out
+
+    def _branch_head(self, spec: TableSpec, branch: str) -> int:
+        """Highest branch-committed seq (the fork seq if none)."""
+        fork = int(self._branch_info(spec, branch)["fork_seq"])
+        return max(self._branch_commits(spec, branch), default=fork)
+
+    def _branch_next_seq(
+        self, spec: TableSpec, branch: str, expect_base: Optional[int] = None
+    ) -> int:
+        """Reserve the next branch-local seq — the same O_EXCL
+        put-if-absent protocol as _reserve_seqs, scoped to the branch
+        commit dir (branch writers contend only among themselves; no
+        maintenance ever swaps a branch dir, so there is no marker to
+        wait on)."""
+        fork = int(self._branch_info(spec, branch)["fork_seq"])
+        d = self._branch_commit_dir(spec, branch)
+        os.makedirs(d, exist_ok=True)
+        while True:
+            taken = [fork]
+            for fn in os.listdir(d):
+                stem = fn.split(".", 1)[0]
+                if stem.isdigit():
+                    taken.append(int(stem))
+            n = max(taken) + 1
+            if expect_base is not None and n != expect_base + 1:
+                raise ConcurrentWriteConflict(
+                    f"concurrent write to branch {branch!r} of "
+                    f"{spec.qualified_name}: statement read state as of "
+                    f"seq {expect_base} but seq {n - 1} has been "
+                    f"committed since; nothing was written — re-run the "
+                    f"statement"
+                )
+            if self.locking.put_if_absent(
+                os.path.join(d, f"{n:010d}.inflight"),
+                str(os.getpid()).encode(),
+            ):
+                return n
+
+    def _record_branch_commit(
+        self, spec: TableSpec, branch: str, seq: int
+    ) -> None:
+        import json
+        import time
+
+        try:
+            d = self._branch_commit_dir(spec, branch)
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, f"{int(seq):010d}.json")
+            tmp = f"{final}.{os.getpid()}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"ts": time.time()}, fh)
+            os.replace(tmp, final)
+            try:
+                os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
+            except OSError:
+                pass
+        except Exception:
+            pass
+
+    def create_branch(
+        self, name: str, branch: str, seq: Optional[int] = None
+    ) -> None:
+        """ALTER TABLE t CREATE BRANCH <b> [AS OF VERSION n] — a writable
+        fork of the table's history (PK tables only: divergence is
+        defined by the __seq__ overlay).  Defaults to the current
+        committed head; a future seq refuses like create_tag; a
+        below-compaction-floor seq refuses at CREATE time (the forked
+        base no longer exists as per-seq history)."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError(
+                f"branches require a primary-key table; "
+                f"{spec.qualified_name} is an append-only log table"
+            )
+        if branch in (spec.branches or {}):
+            raise ValueError(f"branch {branch!r} already exists on {name}")
+        if branch in (spec.tags or {}):
+            # one ref namespace: VERSION AS OF '<ref>' must be unambiguous
+            raise ValueError(
+                f"{branch!r} already names a tag on {name}"
+            )
+        head = self._committed_seq(spec)
+        if seq is None:
+            seq = head
+        elif seq > head:
+            raise ValueError(
+                f"cannot branch from version {seq}: table is at {head}"
+            )
+        floor = self._floor.get(spec.qualified_name, 0)
+        if seq < floor:
+            raise ValueError(
+                f"history before seq {floor} was discarded by compaction; "
+                f"cannot branch from seq {seq}"
+            )
+        import datetime
+
+        spec.branches = dict(spec.branches or {})
+        spec.branches[branch] = {
+            "fork_seq": int(seq),
+            "created_at": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+        }
+        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
+        self._save_spec(spec)
+
+    def drop_branch(self, name: str, branch: str) -> None:
+        spec = self.get_table(name)
+        if branch not in (spec.branches or {}):
+            raise ValueError(f"no branch {branch!r} on {name}")
+        spec.branches = {
+            k: v for k, v in spec.branches.items() if k != branch
+        }
+        self._save_spec(spec)
+        shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
+
+    def read_branch(
+        self, name: str, branch: str, predicate: Optional[str] = None
+    ) -> DataFrame:
+        """Snapshot read of a branch: merge(main ⩽ fork ∪ branch log).
+        The fork anchor gets the same compaction-floor validation as any
+        $v anchor; the branch side is small by construction (statement
+        deltas since the fork) so it joins the overlay unpruned while
+        the main side keeps its file-skipping path."""
+        spec = self.get_table(name)
+        info = self._branch_info(spec, branch)
+        fork = int(info["fork_seq"])
+        floor = self._floor.get(spec.qualified_name, 0)
+        if fork < floor:
+            raise ValueError(
+                f"history before seq {floor} was discarded by compaction; "
+                f"branch {branch!r} forked at seq {fork} and can no "
+                f"longer be read (fast-forward or drop it)"
+            )
+        log = self._log_df(spec, prune_predicate=predicate).filter(
+            F.col(_SEQ) <= F.lit(fork)
+        )
+        bpath = self._branch_path(spec, branch)
+        if _parquet_files(bpath):
+            bdf = self._to_logical(
+                spec,
+                self.spark.read.schema(self._stored_schema(spec)).parquet(
+                    bpath
+                ),
+            )
+            log = log.unionByName(bdf, allowMissingColumns=True)
+        out = self._merge_log(spec, log)
+        if predicate is not None:
+            out = out.filter(F.expr(predicate))
+        return out
+
+    def fast_forward(self, name: str, branch: str) -> dict:
+        """Publish a branch: advance main to the branch head.  Requires
+        main's head to still be the branch's fork seq (no divergence —
+        the Iceberg fast_forward precondition).  Branch files already
+        carry the exact __seq__ stamps main needs next, so publication
+        is a main-space seq reservation (fork+1 .. head, which excludes
+        maintenance swaps for the duration and turns a concurrent main
+        commit into a clean ConcurrentWriteConflict) plus file MOVES
+        into the table directory — zero data rewrite at any size.  The
+        branch survives, re-forked at the new head with an empty delta
+        (publish-and-continue)."""
+        spec = self.get_table(name)
+        info = self._branch_info(spec, branch)
+        fork = int(info["fork_seq"])
+        commits = self._branch_commits(spec, branch)
+        head = max(commits, default=fork)
+        key = spec.qualified_name
+        moved = 0
+        if head > fork:
+            # reservation first: holds off OPTIMIZE/COMPACT while files
+            # land, and verifies main is still at the fork point
+            got = self._reserve_seqs(
+                spec, count=head - fork, expect_base=fork
+            )
+            bpath = self._branch_path(spec, branch)
+            path = self.table_path(spec)
+            files = sorted(_parquet_files(bpath))
+            landed = []
+            for f in files:
+                rel = os.path.relpath(f, bpath)
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(f, dst)
+                landed.append(dst)
+                moved += 1
+            # footer-stats harvest so the published files keep skipping
+            # coverage (branch-side manifests stay behind and die with
+            # the branch dir)
+            bloom_cols, bloom_fpp = self._bloom_config(spec)
+            skipping.add_files(
+                path, landed, bloom_columns=bloom_cols, bloom_fpp=bloom_fpp
+            )
+            for s in got:
+                if s in commits:
+                    self._record_commit(spec, s, ts=commits[s])
+                else:
+                    # an aborted branch statement left a seq gap: main
+                    # history tolerates gaps, release the reservation
+                    self._release_seqs(spec, [s])
+            self._seq[key] = head
+            self._touch_write_marker(spec)
+            self._register_view(spec)
+        # re-fork the branch at the (possibly unchanged) head with an
+        # empty delta: publish-and-continue
+        shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
+        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
+        spec.branches = dict(spec.branches or {})
+        spec.branches[branch] = dict(
+            spec.branches[branch], fork_seq=int(head)
+        )
+        self._save_spec(spec)
+        return {"advanced_to": int(head), "files_published": moved}
+
     def unset_table_properties(self, name: str, keys) -> None:
         """ALTER TABLE t UNSET TBLPROPERTIES ('k', ...): remove keys
         (absent keys are a no-op, matching Spark/Delta)."""
@@ -674,6 +952,7 @@ class FlussCatalog:
         self._stale_views.discard(spec.qualified_name)
         self._view_overrides.pop(spec.qualified_name, None)
         shutil.rmtree(self.table_path(spec), ignore_errors=True)
+        shutil.rmtree(self._branch_root(spec), ignore_errors=True)
         self.spark.catalog.dropTempView(self._view_name(spec))
         # the bare-name view belongs to the DEFAULT database's table: drop
         # it only when that is the table being dropped, so a same-named
@@ -689,6 +968,9 @@ class FlussCatalog:
         path = self.table_path(spec)
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
+        # branches fork the history being discarded — they go with it
+        shutil.rmtree(self._branch_root(spec), ignore_errors=True)
+        spec.branches = {}
         self._seq.pop(spec.qualified_name, None)
         self._floor.pop(spec.qualified_name, None)
         self._save_spec(spec)
@@ -724,6 +1006,9 @@ class FlussCatalog:
             os.rename(old_path, new_path)
         else:
             os.makedirs(new_path, exist_ok=True)
+        if os.path.isdir(old_path + "__branches"):
+            # branch data is a sibling of the table dir — it moves too
+            os.rename(old_path + "__branches", self._branch_root(spec))
         self._save_spec(spec)  # rewrite with the new name
         self._register_view(spec)
 
@@ -752,6 +1037,9 @@ class FlussCatalog:
         dst_spec = TableSpec.from_dict(src.to_dict())
         dst_spec.name = dst_table
         dst_spec.database = dst_db
+        # branch data lives OUTSIDE the table dir and is not cloned —
+        # carrying the refs without their deltas would lie
+        dst_spec.branches = {}
         self.databases.setdefault(dst_db, {})
         dst_path = self.table_path(dst_spec)
         os.makedirs(dst_path, exist_ok=True)
@@ -1320,12 +1608,18 @@ class FlussCatalog:
 
         return _lock()
 
-    def _record_commit(self, spec: TableSpec, seq: int) -> None:
+    def _record_commit(
+        self, spec: TableSpec, seq: int, ts: Optional[float] = None
+    ) -> None:
         """Finalize a reserved seq: write the per-seq commit file with
         the wall-clock commit time (epoch seconds) and drop the
         reservation.  Best effort like the stats harvest: a failure must
         not fail the write — an unfinalized reservation still counts as
-        a taken seq, it just has no timestamp anchor."""
+        a taken seq, it just has no timestamp anchor.
+
+        ``ts``: carry an earlier commit time instead of now — fast_forward
+        publishes branch statements under their ORIGINAL commit stamps so
+        TIMESTAMP AS OF keeps answering about when the write happened."""
         import json
         import time
 
@@ -1335,7 +1629,7 @@ class FlussCatalog:
             final = os.path.join(d, f"{int(seq):010d}.json")
             tmp = f"{final}.{os.getpid()}.tmp"
             with open(tmp, "w") as fh:
-                json.dump({"ts": time.time()}, fh)
+                json.dump({"ts": time.time() if ts is None else float(ts)}, fh)
             os.replace(tmp, final)
             try:
                 os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
@@ -2036,6 +2330,7 @@ class FlussCatalog:
         name: str,
         df: DataFrame,
         reserved_seq: Optional[int] = None,
+        branch: Optional[str] = None,
     ) -> int:
         """INSERT a DataFrame.  PK tables: upsert semantics — within the
         batch, later rows win on PK collisions (src/provider.rs:430-437:
@@ -2095,8 +2390,11 @@ class FlussCatalog:
             aligned = aligned.select(
                 *[f.name for f in target_schema.fields]
             )
+        if branch is not None:
+            self._branch_info(spec, branch)  # validate before writing
         new_files = self._append_log(
-            spec, aligned, deleted=False, reserved_seq=reserved_seq
+            spec, aligned, deleted=False, reserved_seq=reserved_seq,
+            branch=branch,
         )
         return _footer_row_count(new_files)
 
@@ -2109,6 +2407,7 @@ class FlussCatalog:
         expect_base: Optional[int] = None,
         deleted_col: Optional[str] = None,
         distribute: bool = False,
+        branch: Optional[str] = None,
     ):
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
@@ -2136,6 +2435,12 @@ class FlussCatalog:
         if deleted_col is not None and not spec.has_primary_key:
             raise ValueError(
                 "per-row tombstone flags require a primary-key table"
+            )
+        if branch is not None and not spec.has_primary_key:
+            # branch divergence is defined by the __seq__ overlay — an
+            # append-only log table has no seq space to fork
+            raise ValueError(
+                "branch writes require a primary-key table"
             )
         if not deleted:
             # GENERATED ALWAYS AS columns are (re)computed on every live
@@ -2168,11 +2473,18 @@ class FlussCatalog:
         writer_df = aligned
         seq = None
         if spec.has_primary_key:
-            seq = (
-                reserved_seq
-                if reserved_seq is not None
-                else self._next_seq(spec, expect_base=expect_base)
-            )
+            if reserved_seq is not None:
+                seq = reserved_seq
+            elif branch is not None:
+                # branch-local seq space: writers on the same branch
+                # contend among themselves via the branch commit dir;
+                # main-table maintenance never swaps the branch dir, so
+                # no marker wait is needed here
+                seq = self._branch_next_seq(
+                    spec, branch, expect_base=expect_base
+                )
+            else:
+                seq = self._next_seq(spec, expect_base=expect_base)
             del_expr = (
                 F.col(deleted_col).cast("boolean")
                 if deleted_col is not None
@@ -2215,15 +2527,21 @@ class FlussCatalog:
             # degrades to a fixed-width round-robin shuffle — worse) and
             # on the write.rebalance table property.
             writer_df = writer_df.hint("rebalance", *partition_cols)
-        path = self.table_path(spec)
+        path = (
+            self._branch_path(spec, branch)
+            if branch is not None
+            else self.table_path(spec)
+        )
         before = _parquet_files(path)
         writer_df = self._to_physical(spec, writer_df)
         writer = writer_df.write.mode("append")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
-        self._register_view(spec)
-        self._touch_write_marker(spec)
+        if branch is None:
+            # branch writes don't change the main view or its staleness
+            self._register_view(spec)
+            self._touch_write_marker(spec)
         new_files = sorted(_parquet_files(path) - before)
         # incremental footer-stats (+ opt-in column bloom) harvest for
         # the skipping scan (never fails the write — see skipping.add_files)
@@ -2240,8 +2558,11 @@ class FlussCatalog:
             # _footer_row_count still answers for the statement.
             counted = _CountedFiles(new_files)
             counted.precomputed_rows = _footer_row_count(list(new_files))
-            self._record_commit(spec, seq)
-            self._maybe_auto_compact(spec, seq)
+            if branch is not None:
+                self._record_branch_commit(spec, branch, seq)
+            else:
+                self._record_commit(spec, seq)
+                self._maybe_auto_compact(spec, seq)
             return counted
         return new_files
 
@@ -2427,7 +2748,9 @@ class FlussCatalog:
             )
         return {"restored": restored, "deleted": deleted}
 
-    def delete_where(self, name: str, predicate: str) -> int:
+    def delete_where(
+        self, name: str, predicate: str, branch: Optional[str] = None
+    ) -> int:
         """``DELETE FROM t WHERE <any predicate>``: evaluate the
         predicate against the current merged state and append one
         tombstone per matching key — the predicate sibling of the
@@ -2442,8 +2765,15 @@ class FlussCatalog:
                 f"DELETE requires a primary-key table; "
                 f"{spec.qualified_name} is an append-only log table"
             )
-        base = self._latest_seq(spec)  # snapshot the RMW statement reads
-        victims = self._current_df(spec).filter(F.expr(predicate)).select(
+        if branch is not None:
+            # branch RMW: victims come from the branch overlay, the
+            # tombstones land in the branch's own seq space
+            base = self._branch_head(spec, branch)
+            victims_src = self.read_branch(name, branch)
+        else:
+            base = self._latest_seq(spec)  # snapshot the RMW statement reads
+            victims_src = self._current_df(spec)
+        victims = victims_src.filter(F.expr(predicate)).select(
             *[
                 (
                     F.col(f.name)
@@ -2456,11 +2786,13 @@ class FlussCatalog:
         return _footer_row_count(
             self._append_log(
                 spec, victims, deleted=True, expect_base=base,
-                distribute=True,
+                distribute=True, branch=branch,
             )
         )
 
-    def insert_sql(self, target: str, statement: str) -> DataFrame:
+    def insert_sql(
+        self, target: str, statement: str, branch: Optional[str] = None
+    ) -> DataFrame:
         """Execute ``INSERT INTO | OVERWRITE [TABLE] t [(cols)] VALUES
         ... | SELECT ...``.
 
@@ -2561,9 +2893,14 @@ class FlussCatalog:
                     exprs.append(F.lit(None).cast(field.dataType).alias(field.name))
             input_df = input_df.select(*exprs)
         if overwrite:
+            if branch is not None:
+                raise ValueError(
+                    "INSERT OVERWRITE is not supported on a branch "
+                    "(truncation is a whole-table operation)"
+                )
             input_df = input_df.localCheckpoint(eager=True)
             self.truncate_table(target)
-        count = self.insert(target, input_df)
+        count = self.insert(target, input_df, branch=branch)
         return self.spark.createDataFrame([(count,)], "count bigint")
 
     def update_rows(

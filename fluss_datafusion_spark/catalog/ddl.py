@@ -449,6 +449,27 @@ def parse_alter_table(sql: str):
     )
     if dtag:
         return target, ("drop_tag", strip_quotes(dtag.group(1)))
+    # branches: writable version refs (Iceberg's CREATE BRANCH /
+    # fast_forward procedure as ALTER forms)
+    cbr = re.match(
+        r"^CREATE\s+BRANCH\s+(`?[\w.-]+`?)"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+        body, re.IGNORECASE,
+    )
+    if cbr:
+        seq = int(cbr.group(2)) if cbr.group(2) else None
+        return target, ("create_branch", (strip_quotes(cbr.group(1)), seq))
+    dbr = re.match(
+        r"^DROP\s+BRANCH\s+(`?[\w.-]+`?)\s*$", body, re.IGNORECASE
+    )
+    if dbr:
+        return target, ("drop_branch", strip_quotes(dbr.group(1)))
+    ffwd = re.match(
+        r"^FAST\s+FORWARD\s+(?:TO\s+)?BRANCH\s+(`?[\w.-]+`?)\s*$",
+        body, re.IGNORECASE,
+    )
+    if ffwd:
+        return target, ("fast_forward", strip_quotes(ffwd.group(1)))
     addc = re.match(
         r"^ADD\s+CONSTRAINT\s+(`?[\w]+`?)\s+CHECK\s*\((.*)\)\s*$",
         body, re.IGNORECASE | re.DOTALL,

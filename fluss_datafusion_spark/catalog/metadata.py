@@ -129,6 +129,13 @@ class TableSpec:
     # survive OPTIMIZE/COMPACT/RESTORE like every other table fact (a
     # tag below the compaction floor refuses at read, same as $v)
     tags: Dict[str, dict] = field(default_factory=dict)
+    # writable version refs (Iceberg branches): {branch: {"fork_seq": N,
+    # "created_at": iso}} — a branch diverges from the main log at its
+    # fork seq and accumulates its own statement history in a sibling
+    # directory with a branch-local seq space starting at fork_seq + 1
+    # (catalog.py "branches" section); stored in the spec like tags so
+    # they survive OPTIMIZE and session restarts
+    branches: Dict[str, dict] = field(default_factory=dict)
 
     @property
     def has_primary_key(self) -> bool:

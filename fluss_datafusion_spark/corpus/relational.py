@@ -2841,3 +2841,77 @@ def q73_partition_count_metadata(spark, sf_dir):
         "SELECT o_orderstatus, count(*) AS n FROM pcnt"
         " GROUP BY o_orderstatus"
     )
+
+
+@query(
+    "q74_branch_lifecycle",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2
+    ),
+    branch AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'branched'
+                    ELSE n_name END AS n_name
+        FROM base WHERE n_nationkey % 3 <> 0
+    )
+    SELECT b.n_nationkey, b.n_name AS before_name,
+           br.n_name AS branch_name, br.n_name AS after_name
+    FROM base b LEFT JOIN branch br USING (n_nationkey)
+    """,
+    extended=True,
+)
+def q74_branch_lifecycle(spark, sf_dir):
+    """Writable version refs (r8 — Iceberg-style BRANCHES: ALTER TABLE
+    CREATE BRANCH, `t$branch('name')` reads and writes, fast_forward
+    publication).  Load region-2 nations, fork a branch, upsert renames
+    and delete a subset ON THE BRANCH (main stays untouched — the
+    before-state read proves isolation), then FAST FORWARD: the branch
+    files MOVE into the main log under their original __seq__ stamps
+    (zero rewrite) and main's head state must equal the branch state.
+    DuckDB re-derives all three states from the raw table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_branch_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE br_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    e.sql(
+        "INSERT INTO br_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 2"
+    )
+    e.sql("ALTER TABLE br_nation CREATE BRANCH dev")
+    e.sql(
+        "INSERT INTO br_nation$branch('dev')"
+        " SELECT n_nationkey, 'branched' AS n_name FROM nation"
+        " WHERE n_regionkey = 2 AND n_nationkey % 2 = 0"
+    )
+    e.sql("DELETE FROM br_nation$branch('dev') WHERE n_nationkey % 3 = 0")
+    # pin the pre-publication states eagerly: the result plan executes
+    # AFTER fast_forward has moved the branch files
+    before = e.sql(
+        "SELECT n_nationkey, n_name AS before_name FROM br_nation"
+    ).localCheckpoint(eager=True)
+    branch_state = e.sql(
+        "SELECT n_nationkey, n_name AS branch_name"
+        " FROM br_nation$branch('dev')"
+    ).localCheckpoint(eager=True)
+    e.sql("ALTER TABLE br_nation FAST FORWARD BRANCH dev")
+    after = e.sql(
+        "SELECT n_nationkey, n_name AS after_name FROM br_nation"
+    )
+    return (
+        before.join(branch_state, "n_nationkey", "left")
+        .join(after, "n_nationkey", "left")
+        .select("n_nationkey", "before_name", "branch_name", "after_name")
+    )

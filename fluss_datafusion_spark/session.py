@@ -290,6 +290,16 @@ class EngineSession:
                 self.catalog.create_tag(target, *payload)
             elif action == "drop_tag":
                 self.catalog.drop_tag(target, payload)
+            elif action == "create_branch":
+                self.catalog.create_branch(target, *payload)
+            elif action == "drop_branch":
+                self.catalog.drop_branch(target, payload)
+            elif action == "fast_forward":
+                ff = self.catalog.fast_forward(target, payload)
+                return self.spark.createDataFrame(
+                    [(ff["advanced_to"], ff["files_published"])],
+                    "advanced_to bigint, files_published bigint",
+                )
             else:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
@@ -316,6 +326,37 @@ class EngineSession:
                     rows,
                     "tag_name string, seq bigint, created_at string,"
                     " time_travelable boolean",
+                )
+
+        branches_match = re.match(
+            r"^\s*SHOW\s+BRANCHES\s+(?:(?:FROM|IN)\s+)?"
+            r"((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
+            statement,
+            re.IGNORECASE,
+        )
+        if branches_match is not None:
+            from fluss_datafusion_spark.sql.dialect import (
+                parse_qualified_name,
+            )
+
+            target = ".".join(parse_qualified_name(branches_match.group(1)))
+            if self.catalog.has_table(target):
+                spec = self.catalog.get_table(target)
+                floor = self.catalog._floor.get(spec.qualified_name, 0)
+                rows = [
+                    (
+                        k,
+                        v["fork_seq"],
+                        self.catalog._branch_head(spec, k),
+                        v.get("created_at"),
+                        v["fork_seq"] >= floor,
+                    )
+                    for k, v in sorted((spec.branches or {}).items())
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "branch_name string, fork_seq bigint, head_seq bigint,"
+                    " created_at string, readable boolean",
                 )
 
         detail_match = re.match(
@@ -464,6 +505,51 @@ class EngineSession:
             count = self.catalog.update_rows(target, assigns, where)
             return self.spark.createDataFrame([(count,)], "count bigint")
 
+        # branch-targeted DML: INSERT INTO / DELETE FROM t$branch('b')
+        # routes to the branch's own seq space (reads of the same form
+        # are handled by _bind_system_tables like any system table)
+        branch_dml = re.match(
+            r"^\s*(INSERT\s+INTO|DELETE\s+FROM)\s+"
+            r"((?:`[^`]*`|[\w.])+)\$branch\('([^']*)'\)([\s\S]*)$",
+            statement,
+            re.IGNORECASE,
+        )
+        if branch_dml is not None:
+            from fluss_datafusion_spark.sql.dialect import (
+                parse_qualified_name,
+            )
+
+            verb = branch_dml.group(1).upper().split()[0]
+            target = ".".join(parse_qualified_name(branch_dml.group(2)))
+            bname = branch_dml.group(3)
+            rest = branch_dml.group(4)
+            if self.catalog.has_table(target):
+                if verb == "DELETE":
+                    where = re.match(
+                        r"^\s*WHERE\s+([\s\S]+?)\s*;?\s*$", rest,
+                        re.IGNORECASE,
+                    )
+                    if not where:
+                        raise ValueError(
+                            "DELETE on a branch requires a WHERE clause"
+                        )
+                    count = self.catalog.delete_where(
+                        target, where.group(1), branch=bname
+                    )
+                    return self.spark.createDataFrame(
+                        [(count,)], "count bigint"
+                    )
+                stripped = (
+                    f"INSERT INTO {branch_dml.group(2)}{rest}"
+                )
+                return self.catalog.insert_sql(
+                    target,
+                    self._bind_system_tables(
+                        self._rewrite_time_travel(stripped)
+                    ),
+                    branch=bname,
+                )
+
         delete_parsed = ddl.parse_delete(statement)
         if delete_parsed is not None and self.catalog.has_table(delete_parsed[0]):
             target, key, pred = delete_parsed
@@ -608,9 +694,17 @@ class EngineSession:
             if match.group(4) is not None:
                 repl = f"{table}$v{match.group(4)}"
             elif match.group(5) is not None:
-                # Iceberg's quoted form: VERSION AS OF '<tag>'
+                # Iceberg's quoted form: VERSION AS OF '<ref>' — one ref
+                # namespace, tags and branches both resolve (create_branch
+                # refuses a name already taken by a tag, so no ambiguity)
                 span = match.span(5)
-                repl = f"{table}$tag('{statement[span[0]:span[1]]}')"
+                ref = statement[span[0]:span[1]]
+                spec = self.catalog.get_table(table)
+                kind = (
+                    "branch" if ref in (spec.branches or {})
+                    and ref not in (spec.tags or {}) else "tag"
+                )
+                repl = f"{table}${kind}('{ref}')"
             else:
                 # the ts literal was blanked in the mask — slice the
                 # original text at the same positions
@@ -648,7 +742,8 @@ class EngineSession:
         pattern = re.compile(
             r"`?([\w.]+)\$(changelog|history"
             r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+)"
-            r"|at\('([^']*)'\)|tag\('([^']*)'\))`?"
+            r"|at\('([^']*)'\)|tag\('([^']*)'\)"
+            r"|branch\('([^']*)'\))`?"
         )
 
         def bind(match):
@@ -677,6 +772,10 @@ class EngineSession:
                 seq = self.catalog.resolve_tag(table, match.group(7))
                 view = f"__at{seq}__{tbl}"
                 df = self.catalog.read(table, as_of_seq=seq)
+            elif kind.startswith("branch("):
+                b = match.group(8)
+                view = f"__branch_{re.sub(r'[^A-Za-z0-9_]', '_', b)}__{tbl}"
+                df = self.catalog.read_branch(table, b)
             else:
                 view = f"__v{match.group(5)}__{tbl}"
                 df = self.catalog.read(table, as_of_seq=int(match.group(5)))

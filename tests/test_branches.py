@@ -1,0 +1,208 @@
+"""Writable version refs — Iceberg-style table BRANCHES.
+
+A branch forks the PK log's statement history at its fork seq and
+accumulates its own writes in a sibling directory with a branch-local
+seq space (catalog.py "branches" section).  Reads are the overlay
+merge(main ⩽ fork ∪ branch log); fast_forward publishes a
+non-diverged branch by MOVING its files into the main log (zero
+rewrite — the files already carry the exact __seq__ stamps main needs
+next).  The reference CLI has no refs at all (tags and branches both
+exceed it); semantics follow Iceberg's branch + fast_forward
+procedure."""
+
+import os
+
+import pytest
+
+from fluss_datafusion_spark import EngineSession
+from fluss_datafusion_spark.catalog.catalog import ConcurrentWriteConflict
+
+
+@pytest.fixture()
+def branched(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE bt (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO bt VALUES (1, 'a'), (2, 'b')")  # seq 1
+    e.sql("ALTER TABLE bt CREATE BRANCH dev")
+    return e
+
+
+def _rows(e, sql):
+    return sorted(tuple(r) for r in e.sql(sql).collect())
+
+
+def test_branch_isolation_both_directions(branched):
+    e = branched
+    # branch write: upsert an existing key + a new key
+    e.sql("INSERT INTO bt$branch('dev') VALUES (2, 'B2'), (3, 'c')")
+    # main write after the fork
+    e.sql("INSERT INTO bt VALUES (4, 'd')")
+    # main never sees branch rows
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "a"), (2, "b"), (4, "d")]
+    # the branch sees the forked base plus its own writes — and NOT
+    # main's post-fork commit
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "B2"), (3, "c")]
+    # quoted VERSION AS OF resolves branches too (one ref namespace)
+    assert _rows(e, "SELECT id, v FROM bt VERSION AS OF 'dev'") == [
+        (1, "a"), (2, "B2"), (3, "c")]
+
+
+def test_branch_delete_and_upsert_semantics(branched):
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 1")
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (2, "b"), (3, "c")]
+    # later branch statements win over earlier ones (normal upsert)
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'C3')")
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (2, "b"), (3, "C3")]
+    # main untouched throughout
+    assert _rows(e, "SELECT id, v FROM bt") == [(1, "a"), (2, "b")]
+
+
+def test_show_branches_and_ddl_guards(branched):
+    e = branched
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES bt").collect()]
+    assert [(r[0], r[1], r[2], r[4]) for r in rows] == [("dev", 1, 1, True)]
+    e.sql("INSERT INTO bt$branch('dev') VALUES (9, 'z')")
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES FROM bt").collect()]
+    assert [(r[0], r[1], r[2]) for r in rows] == [("dev", 1, 2)]
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE bt CREATE BRANCH dev")  # duplicate
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE bt CREATE BRANCH fut AS OF VERSION 99")
+    e.sql("ALTER TABLE bt CREATE TAG pin")
+    with pytest.raises(ValueError):
+        # one ref namespace: a branch may not shadow a tag
+        e.sql("ALTER TABLE bt CREATE BRANCH pin")
+    e.sql("ALTER TABLE bt DROP BRANCH dev")
+    assert e.sql("SHOW BRANCHES bt").count() == 0
+    with pytest.raises(ValueError):
+        e.sql("SELECT * FROM bt$branch('dev')")
+
+
+def test_branch_requires_pk_table(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE logt (id BIGINT, v STRING)")
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE logt CREATE BRANCH b")
+
+
+def test_fast_forward_publishes_and_continues(branched):
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (2, 'B2'), (3, 'c')")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 1")
+    ff = e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev").collect()[0]
+    assert ff.advanced_to == 3 and ff.files_published >= 2
+    # main now shows the branch state
+    assert _rows(e, "SELECT id, v FROM bt") == [(2, "B2"), (3, "c")]
+    # the published statements keep their seq identity: time travel to
+    # the intermediate branch seq works on MAIN after publication
+    assert _rows(e, "SELECT id, v FROM bt$v2") == [
+        (1, "a"), (2, "B2"), (3, "c")]
+    # the branch survives, re-forked at the new head with an empty delta
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES bt").collect()]
+    assert [(r[0], r[1], r[2]) for r in rows] == [("dev", 3, 3)]
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (2, "B2"), (3, "c")]
+    # and main's seq space continues past the published head
+    e.sql("INSERT INTO bt VALUES (5, 'e')")
+    assert e.catalog.current_seq("bt") == 4
+
+
+def test_fast_forward_refuses_divergence(branched):
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    e.sql("INSERT INTO bt VALUES (4, 'd')")  # main moved past the fork
+    with pytest.raises(ConcurrentWriteConflict):
+        e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev")
+    # nothing was published and the branch is intact
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "a"), (2, "b"), (4, "d")]
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "b"), (3, "c")]
+
+
+def test_branches_survive_sessions_rename_and_optimize(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    e = EngineSession(spark=spark, warehouse=wh)
+    e.sql("CREATE TABLE mt (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO mt VALUES (1, 'a')")
+    e.sql("ALTER TABLE mt CREATE BRANCH exp")
+    e.sql("INSERT INTO mt$branch('exp') VALUES (2, 'b')")
+    e.sql("OPTIMIZE mt")  # consolidation must not touch the branch
+    assert sorted(
+        tuple(r) for r in e.sql("SELECT id, v FROM mt$branch('exp')").collect()
+    ) == [(1, "a"), (2, "b")]
+    e.sql("ALTER TABLE mt RENAME TO mt2")
+    assert sorted(
+        tuple(r)
+        for r in e.sql("SELECT id, v FROM mt2$branch('exp')").collect()
+    ) == [(1, "a"), (2, "b")]
+    # a fresh session over the same warehouse re-attaches branch + data
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    assert sorted(
+        tuple(r)
+        for r in e2.sql("SELECT id, v FROM mt2$branch('exp')").collect()
+    ) == [(1, "a"), (2, "b")]
+    # drop_table removes the sibling branch dir
+    spec = e2.catalog.get_table("mt2")
+    broot = e2.catalog._branch_root(spec)
+    assert os.path.isdir(broot)
+    e2.sql("DROP TABLE mt2")
+    assert not os.path.isdir(broot)
+
+
+def test_branch_below_compaction_floor_refuses(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE ct (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO ct VALUES (1, 'a')")
+    e.sql("ALTER TABLE ct CREATE BRANCH old")
+    e.sql("INSERT INTO ct VALUES (2, 'b')")
+    e.catalog.compact("ct")  # truncates history, raises the floor
+    with pytest.raises(ValueError, match="compaction"):
+        e.sql("SELECT * FROM ct$branch('old')")
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES ct").collect()]
+    assert rows[0][4] is False  # readable = False
+    with pytest.raises(ValueError, match="compaction"):
+        e.catalog.create_branch("ct", "older", seq=1)
+
+
+def test_branch_concurrent_write_conflict(branched):
+    e = branched
+    cat = e.catalog
+    spec = cat.get_table("bt")
+    base = cat._branch_head(spec, "dev")
+    # another writer lands a branch statement between our read and append
+    cat.insert("bt", e.spark.sql("SELECT 7L, 'x'"), branch="dev")
+    with pytest.raises(ConcurrentWriteConflict):
+        cat._branch_next_seq(spec, "dev", expect_base=base)
+
+
+def test_branch_respects_buckets_and_generated(spark, tmp_path):
+    """Branch writes run the full append machinery: bucket layout,
+    GENERATED columns and CHECK constraints all apply on the branch."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE gb (id BIGINT NOT NULL, v STRING, "
+        "lv STRING GENERATED ALWAYS AS (lower(v)), PRIMARY KEY (id)) "
+        "DISTRIBUTED BY (id) BUCKETS 4"
+    )
+    e.sql("INSERT INTO gb VALUES (1, 'A')")
+    e.sql("ALTER TABLE gb CREATE BRANCH b")
+    e.sql("INSERT INTO gb$branch('b') VALUES (2, 'B')")
+    assert sorted(
+        tuple(r)
+        for r in e.sql("SELECT id, v, lv FROM gb$branch('b')").collect()
+    ) == [(1, "A", "a"), (2, "B", "b")]
+    # fast-forward moves the bucketed layout as-is
+    e.sql("ALTER TABLE gb FAST FORWARD BRANCH b")
+    assert sorted(
+        tuple(r) for r in e.sql("SELECT id, v, lv FROM gb").collect()
+    ) == [(1, "A", "a"), (2, "B", "b")]
+    # PK point lookup still prunes to one bucket post-publication
+    assert [tuple(r) for r in e.catalog.lookup("gb", 2).select(
+        "id", "v").collect()] == [(2, "B")]

@@ -2904,7 +2904,11 @@ class FlussCatalog:
         return self.spark.createDataFrame([(count,)], "count bigint")
 
     def update_rows(
-        self, name: str, assigns: Dict[str, str], where: Optional[str] = None
+        self,
+        name: str,
+        assigns: Dict[str, str],
+        where: Optional[str] = None,
+        branch: Optional[str] = None,
     ) -> int:
         """``UPDATE t SET col = expr [WHERE pred]`` on a primary-key
         table: rewrite the matching rows of the current merged state and
@@ -2948,8 +2952,12 @@ class FlussCatalog:
                 f"UPDATE references unknown columns {missing} on "
                 f"{spec.qualified_name}"
             )
-        base = self._latest_seq(spec)  # snapshot the RMW statement reads
-        cur = self._current_df(spec)
+        if branch is not None:
+            base = self._branch_head(spec, branch)
+            cur = self.read_branch(name, branch)
+        else:
+            base = self._latest_seq(spec)  # snapshot the RMW statement reads
+            cur = self._current_df(spec)
         rows = cur.filter(F.expr(where)) if where else cur
         updated = rows.select(
             *[
@@ -2964,7 +2972,7 @@ class FlussCatalog:
         return _footer_row_count(
             self._append_log(
                 spec, updated, deleted=False, expect_base=base,
-                distribute=True,
+                distribute=True, branch=branch,
             )
         )
 
@@ -2976,6 +2984,7 @@ class FlussCatalog:
         matched_clauses=None,
         not_matched=None,
         not_matched_by_source=None,
+        branch: Optional[str] = None,
     ) -> Dict[str, int]:
         """MERGE INTO for primary-key tables (the lakehouse upsert DML the
         reference's upsert writer implies but its CLI never exposes —
@@ -3085,9 +3094,13 @@ class FlussCatalog:
                 "(ANSI MERGE cardinality violation)"
             )
 
-        base = self._latest_seq(spec)  # snapshot the RMW statement reads
+        if branch is not None:
+            base = self._branch_head(spec, branch)
+            cur = self.read_branch(name, branch).alias("t")
+        else:
+            base = self._latest_seq(spec)  # snapshot the RMW statement reads
+            cur = self._current_df(spec).alias("t")
         target_fields = spec.spark_schema().fields
-        cur = self._current_df(spec).alias("t")
         src = source.alias("s")
         join_cond = None
         for k in on:
@@ -3256,7 +3269,11 @@ class FlussCatalog:
                 .alias("n_del"),
                 F.count(F.lit(1)).alias("n_all"),
             )
-            seq = self._reserve_seqs(spec, 1, expect_base=base)[0]
+            seq = (
+                self._branch_next_seq(spec, branch, expect_base=base)
+                if branch is not None
+                else self._reserve_seqs(spec, 1, expect_base=base)[0]
+            )
             with self.defer_auto_compact():
                 self._append_log(
                     spec,
@@ -3265,6 +3282,7 @@ class FlussCatalog:
                     reserved_seq=seq,
                     deleted_col=flag,
                     distribute=True,
+                    branch=branch,
                 )
             metrics = obs.get
             deleted = int(metrics["n_del"] or 0)
@@ -3275,14 +3293,14 @@ class FlussCatalog:
                 upserted = _footer_row_count(
                     self._append_log(
                         spec, live, deleted=False, expect_base=base,
-                        distribute=True,
+                        distribute=True, branch=branch,
                     )
                 )
             if tombstones is not None:
                 deleted = _footer_row_count(
                     self._append_log(
                         spec, tombstones, deleted=True, expect_base=base,
-                        distribute=True,
+                        distribute=True, branch=branch,
                     )
                 )
         return {"upserted": upserted, "deleted": deleted}

@@ -505,11 +505,12 @@ class EngineSession:
             count = self.catalog.update_rows(target, assigns, where)
             return self.spark.createDataFrame([(count,)], "count bigint")
 
-        # branch-targeted DML: INSERT INTO / DELETE FROM t$branch('b')
-        # routes to the branch's own seq space (reads of the same form
-        # are handled by _bind_system_tables like any system table)
+        # branch-targeted DML: INSERT INTO / DELETE FROM / UPDATE /
+        # MERGE INTO t$branch('b') routes to the branch's own seq space
+        # (reads of the same form are handled by _bind_system_tables
+        # like any system table)
         branch_dml = re.match(
-            r"^\s*(INSERT\s+INTO|DELETE\s+FROM)\s+"
+            r"^\s*(INSERT\s+INTO|DELETE\s+FROM|UPDATE|MERGE\s+INTO)\s+"
             r"((?:`[^`]*`|[\w.])+)\$branch\('([^']*)'\)([\s\S]*)$",
             statement,
             re.IGNORECASE,
@@ -538,6 +539,54 @@ class EngineSession:
                     )
                     return self.spark.createDataFrame(
                         [(count,)], "count bigint"
+                    )
+                if verb == "UPDATE":
+                    parsed = ddl.parse_update(
+                        f"UPDATE {branch_dml.group(2)}{rest}"
+                    )
+                    if parsed is None:
+                        raise ValueError(
+                            f"cannot parse branch UPDATE: {statement!r}"
+                        )
+                    _t, assigns, where = parsed
+                    count = self.catalog.update_rows(
+                        target, assigns, where, branch=bname
+                    )
+                    return self.spark.createDataFrame(
+                        [(count,)], "count bigint"
+                    )
+                if verb == "MERGE":
+                    merge = ddl.parse_merge(
+                        f"MERGE INTO {branch_dml.group(2)}{rest}"
+                    )
+                    if merge is None:
+                        raise ValueError(
+                            f"cannot parse branch MERGE: {statement!r}"
+                        )
+                    source = merge["source"]
+                    if source.startswith("("):
+                        source_df = self.sql(source[1:-1])
+                    elif self.catalog.has_table(source):
+                        source_df = self.catalog.read(source)
+                    else:
+                        self.catalog.refresh_views()
+                        source_df = self.spark.table(
+                            rewriter.rewrite_sql(source, self.catalog)
+                        )
+                    counts = self.catalog.merge_into(
+                        target,
+                        source_df,
+                        merge["on"],
+                        matched_clauses=merge["matched"],
+                        not_matched=merge["not_matched"],
+                        not_matched_by_source=merge.get(
+                            "not_matched_by_source"
+                        ),
+                        branch=bname,
+                    )
+                    return self.spark.createDataFrame(
+                        [(counts["upserted"], counts["deleted"])],
+                        "upserted bigint, deleted bigint",
                     )
                 stripped = (
                     f"INSERT INTO {branch_dml.group(2)}{rest}"

@@ -206,3 +206,29 @@ def test_branch_respects_buckets_and_generated(spark, tmp_path):
     # PK point lookup still prunes to one bucket post-publication
     assert [tuple(r) for r in e.catalog.lookup("gb", 2).select(
         "id", "v").collect()] == [(2, "B")]
+
+
+def test_branch_update_and_merge(branched):
+    """UPDATE and MERGE INTO on a branch: the full RMW DML family runs
+    against the branch overlay and lands in the branch seq space."""
+    e = branched
+    n = e.sql(
+        "UPDATE bt$branch('dev') SET v = upper(v) WHERE id = 1"
+    ).collect()[0][0]
+    assert n == 1
+    counts = e.sql(
+        "MERGE INTO bt$branch('dev') t USING "
+        "(SELECT * FROM VALUES (2, 'merged'), (9, 'new') AS s(id, v)) s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (counts.upserted, counts.deleted) == (2, 0)
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "A"), (2, "merged"), (9, "new")]
+    # main untouched by the whole branch DML family
+    assert _rows(e, "SELECT id, v FROM bt") == [(1, "a"), (2, "b")]
+    # publish: main adopts the three branch statements
+    e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev")
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "A"), (2, "merged"), (9, "new")]

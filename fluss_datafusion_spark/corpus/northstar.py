@@ -6647,3 +6647,96 @@ def ns_multimodal_audio_seg_ingest(spark, sf_dir):
         "SELECT media_id, audio_id, seg_idx, start_window, n_windows, afp"
         " FROM audio_seg_ingest"
     )
+
+
+@query(
+    "ns_quality_wap_publish", extended=True,
+    oracle="""
+    WITH staged AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 10 = 1 THEN -5
+                    ELSE p_size END AS p_size,
+               CASE WHEN p_partkey % 10 = 2 THEN NULL
+                    ELSE p_name END AS p_name
+        FROM part WHERE p_partkey % 4 IN (1, 2)
+    ),
+    clean AS (
+        SELECT p_partkey, p_name, p_size FROM staged
+        WHERE p_size >= 1 AND p_name IS NOT NULL
+    ),
+    final AS (
+        SELECT p_partkey, p_name, p_size FROM part WHERE p_partkey % 4 = 0
+        UNION ALL SELECT p_partkey, p_name, p_size FROM clean
+    ),
+    audit AS (
+        SELECT count(*) AS n_quarantined FROM staged
+        WHERE NOT (p_size >= 1 AND p_name IS NOT NULL)
+    )
+    SELECT f.p_partkey, f.p_name, f.p_size, a.n_quarantined
+    FROM final f CROSS JOIN audit a
+    """,
+)
+def ns_quality_wap_publish(spark, sf_dir):
+    """Write-Audit-Publish (r8 cont.) — the canonical Iceberg branch
+    workflow, composed from the engine's own primitives: WRITE an
+    untrusted batch to a staging BRANCH (main readers never see it),
+    AUDIT the branch overlay with an expectation predicate and
+    quarantine the violating rows via branch-scoped DELETE (row-level
+    gating, not batch-level all-or-nothing), then PUBLISH with FAST
+    FORWARD — the surviving rows MOVE into the main log under their
+    original seq stamps, zero rewrite.  The batch injects two
+    deterministic defect classes (negative sizes, NULL names); DuckDB
+    re-derives the quarantine count and the exact published state.
+
+    100 TB shape: the audit is one scan of the branch overlay; the
+    quarantine is one tombstone append; publication is O(branch files)
+    metadata — main is never rewritten, and a failed audit leaves main
+    untouched (drop the branch to abort)."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.corpus import v
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_wap_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "part")
+    e.sql(
+        "CREATE TABLE wap (p_partkey BIGINT NOT NULL, p_name STRING,"
+        " p_size INT, PRIMARY KEY (p_partkey))"
+    )
+    # seed main with the trusted slice
+    e.sql(
+        "INSERT INTO wap SELECT p_partkey, p_name, p_size FROM part"
+        " WHERE p_partkey % 4 = 0"
+    )
+    e.sql("ALTER TABLE wap CREATE BRANCH staging")
+    # WRITE: the incoming batch (with injected defects) lands on the
+    # branch only
+    e.sql(
+        "INSERT INTO wap$branch('staging')"
+        " SELECT p_partkey,"
+        "        CASE WHEN p_partkey % 10 = 2 THEN NULL ELSE p_name END,"
+        "        CASE WHEN p_partkey % 10 = 1 THEN -5 ELSE p_size END"
+        " FROM part WHERE p_partkey % 4 IN (1, 2)"
+    )
+    # AUDIT: quarantine expectation violations on the branch (seeded
+    # rows can't match — real part rows have 1<=size and a name)
+    quarantined = e.sql(
+        "DELETE FROM wap$branch('staging')"
+        " WHERE NOT (p_size >= 1 AND p_name IS NOT NULL)"
+    ).collect()[0][0]
+    # PUBLISH: zero-rewrite fast-forward
+    e.sql("ALTER TABLE wap FAST FORWARD BRANCH staging")
+    # single-partition literal (the q71 lesson: createDataFrame spreads
+    # one row over defaultParallelism empty slices)
+    audit = spark.range(0, 1, 1, 1).select(
+        F.lit(int(quarantined)).cast("long").alias("n_quarantined")
+    )
+    return e.sql(
+        "SELECT p_partkey, p_name, p_size FROM wap"
+    ).crossJoin(audit)

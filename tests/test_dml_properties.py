@@ -198,3 +198,120 @@ def test_dml_interleaved_sessions_match_dict_model(spark, ops):
         seqs,
     )
     assert max(seqs, default=0) <= len(ops), "seqs bounded by statements"
+
+
+def _engine_branch(spark):
+    if "br" not in _STATE:
+        wh = os.path.join(tempfile.mkdtemp(prefix="dml_prop_br_"), "wh")
+        e = EngineSession(spark=spark, warehouse=wh)
+        e.sql(
+            "CREATE TABLE dmlb (k BIGINT NOT NULL, v BIGINT,"
+            " PRIMARY KEY (k))"
+        )
+        _STATE["br"] = e
+    return _STATE["br"]
+
+
+_br_op = st.one_of(
+    st.tuples(
+        st.just("main_ins"),
+        st.lists(st.tuples(_keys, _vals), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("main_del"), _keys),
+    st.tuples(
+        st.just("br_ins"),
+        st.lists(st.tuples(_keys, _vals), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("br_del"), _keys),
+    st.tuples(st.just("br_upd"), st.tuples(_keys, _vals)),
+    st.tuples(st.just("ff"), st.just(None)),
+    st.tuples(st.just("rebranch"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_br_op, min_size=1, max_size=6))
+def test_branch_state_machine_matches_dict_models(spark, ops):
+    """Branch semantics as a two-model state machine: main ops mutate
+    only the main model, branch ops only the branch model (two-way
+    isolation at every step), FAST FORWARD publishes iff main has not
+    diverged from the fork (else ConcurrentWriteConflict and BOTH
+    states are unchanged), and drop+recreate re-forks the branch at the
+    current main head.  Pins the interaction space — publish after
+    delete-then-reinsert, diverge-then-rebranch-then-publish, repeated
+    publications — that the example tests can't enumerate."""
+    from fluss_datafusion_spark.catalog.catalog import (
+        ConcurrentWriteConflict,
+    )
+
+    e = _engine_branch(spark)
+    e.catalog.truncate_table("dmlb")  # also drops any existing branch
+    e.sql("ALTER TABLE dmlb CREATE BRANCH b")
+
+    main = {}
+    branch = {}
+    branch_writes = 0   # branch statements since the current fork
+    main_diverged = 0   # main statements since the current fork
+
+    for op, arg in ops:
+        if op == "main_ins":
+            values = ", ".join(f"({k}, {v})" for k, v in arg)
+            e.sql(f"INSERT INTO dmlb VALUES {values}")
+            for k, v in arg:
+                main[k] = v
+            main_diverged += 1
+        elif op == "main_del":
+            e.sql(f"DELETE FROM dmlb WHERE k = {arg}")
+            main.pop(arg, None)
+            main_diverged += 1
+        elif op == "br_ins":
+            values = ", ".join(f"({k}, {v})" for k, v in arg)
+            e.sql(f"INSERT INTO dmlb$branch('b') VALUES {values}")
+            for k, v in arg:
+                branch[k] = v
+            branch_writes += 1
+        elif op == "br_del":
+            e.sql(f"DELETE FROM dmlb$branch('b') WHERE k = {arg}")
+            branch.pop(arg, None)
+            branch_writes += 1
+        elif op == "br_upd":
+            thr, delta = arg
+            e.sql(
+                f"UPDATE dmlb$branch('b') SET v = v + {delta}"
+                f" WHERE k >= {thr}"
+            )
+            branch = {
+                k: (v + delta if k >= thr else v)
+                for k, v in branch.items()
+            }
+            branch_writes += 1
+        elif op == "ff":
+            if branch_writes and main_diverged:
+                with pytest.raises(ConcurrentWriteConflict):
+                    e.sql("ALTER TABLE dmlb FAST FORWARD BRANCH b")
+                # refused: both states unchanged
+            else:
+                e.sql("ALTER TABLE dmlb FAST FORWARD BRANCH b")
+                if branch_writes:
+                    main = dict(branch)
+                    main_diverged = 0
+                # an empty branch is a no-op publish: the branch keeps
+                # its (possibly stale) fork — divergence persists
+                branch_writes = 0
+        elif op == "rebranch":
+            e.sql("ALTER TABLE dmlb DROP BRANCH b")
+            e.sql("ALTER TABLE dmlb CREATE BRANCH b")
+            branch = dict(main)
+            branch_writes = 0
+            main_diverged = 0
+
+    got_main = {r.k: r.v for r in e.catalog.read("dmlb").collect()}
+    assert got_main == main, (ops, got_main, main)
+    got_branch = {
+        r.k: r.v for r in e.catalog.read_branch("dmlb", "b").collect()
+    }
+    assert got_branch == branch, (ops, got_branch, branch)

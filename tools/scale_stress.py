@@ -456,6 +456,36 @@ def run_ops(
             k=11, n_centroids=16, n_probe=4, m=8, ks=16, n_iters=2,
         ),
     )
+    # branch publication (r8 5th): seed a PK table with the FULL tiled
+    # corpus (setup, untimed), then time CREATE BRANCH + a FIXED
+    # 1000-row branch write + FAST FORWARD.  The row exists to prove
+    # the publish path is O(branch delta) metadata: main grows 100x
+    # underneath it, the timed work must not.
+    import tempfile as _tf
+
+    from fluss_datafusion_spark import EngineSession
+
+    wap_root = _tf.mkdtemp(prefix="scale_branch_")
+    try:
+        eng = EngineSession(
+            spark=spark, warehouse=os.path.join(wap_root, "wh")
+        )
+        eng.sql(
+            "CREATE TABLE br_docs (doc_id BIGINT NOT NULL, text STRING,"
+            " PRIMARY KEY (doc_id))"
+        )
+        eng.catalog.insert(
+            "br_docs", docs.select("doc_id", "text")
+        )  # untimed seed
+        batch = docs.select("doc_id", "text").limit(1000).localCheckpoint()
+        t0 = time.time()
+        eng.sql("ALTER TABLE br_docs CREATE BRANCH pub")
+        eng.catalog.insert("br_docs", batch, branch="pub")
+        eng.sql("ALTER TABLE br_docs FAST FORWARD BRANCH pub")
+        timings["branch_publish_fixed_batch"] = round(time.time() - t0, 2)
+        eng.sql("DROP TABLE br_docs")
+    finally:
+        shutil.rmtree(wap_root, ignore_errors=True)
     return timings
 
 

@@ -1330,3 +1330,50 @@ def st_quarantine_dead_letter(spark, sf_dir):
         " SELECT event_id, event_type, value, failed_rules, 'dead' AS dest"
         " FROM q_dead"
     )
+
+
+@query(
+    "st_counter_agg", extended=True,
+    oracle="""
+    WITH s AS (
+        SELECT user_id % 8 AS series,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+               CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    d AS (
+        SELECT series, bucket_id, tus, v,
+               lag(v) OVER (
+                   PARTITION BY series, bucket_id ORDER BY tus
+               ) AS pv
+        FROM s
+    )
+    SELECT series, bucket_id,
+           sum(CASE WHEN pv IS NULL THEN 0
+                    WHEN v >= pv THEN v - pv ELSE v END) AS delta,
+           sum(CASE WHEN pv IS NOT NULL AND v < pv THEN 1
+                    ELSE 0 END) AS num_resets,
+           count(*) AS n_samples,
+           min_by(v, tus) AS first_value,
+           max_by(v, tus) AS last_value
+    FROM d GROUP BY series, bucket_id
+    """,
+)
+def st_counter_agg(spark, sf_dir):
+    """Reset-aware counter aggregation (timeseries.counter_agg — the
+    TimescaleDB counter_agg + delta()/num_resets() family): hourly
+    per-series deltas over a counter that "restarts" whenever the value
+    decreases — naive max-min under-counts every bucket with a restart.
+    The counter rides integer cents (CAST(round(value*100) AS BIGINT))
+    so every pair difference, reset correction and first/last pick is
+    exact integer arithmetic DuckDB replays bit-for-bit.  One window
+    exchange on (series, bucket), aggregation reuses the partitioning."""
+    from fluss_datafusion_spark.operators.timeseries import counter_agg
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).alias("series"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return counter_agg(ev, "ts", "cents", 3600, ["series"])

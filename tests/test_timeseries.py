@@ -311,3 +311,36 @@ def test_lttb_downsample_matches_pure_python(spark):
     assert any(v == 500.0 for _, v, _ in got[1])  # the spike survives
     with _pytest.raises(ValueError):
         lttb_downsample(df, "k", "ts", "v", 2)
+
+
+def test_counter_agg_reset_semantics(spark):
+    """Hand-computed reset arithmetic: growth, one restart mid-bucket,
+    bucket-boundary pairs excluded, singleton bucket yields delta 0."""
+    from fluss_datafusion_spark.operators.timeseries import counter_agg
+
+    rows = [
+        # series a, bucket 0 (ts < 3600): 10 -> 25 -> 5 -> 12
+        # pairs: +15, reset(+5), +7  => delta 27, resets 1
+        ("a", 100, 10), ("a", 200, 25), ("a", 300, 5), ("a", 400, 12),
+        # series a, bucket 1: single sample => delta 0, resets 0
+        ("a", 3700, 2),
+        # series b, bucket 0: monotone 1 -> 4 -> 9 => delta 8
+        ("b", 150, 1), ("b", 250, 4), ("b", 350, 9),
+    ]
+    df = spark.createDataFrame(
+        [(s, float(ts), v) for s, ts, v in rows],
+        "series string, epoch double, v bigint",
+    ).select(
+        "series", F.col("epoch").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r.series, r.bucket_id): (
+            r.delta, r.num_resets, r.n_samples, r.first_value, r.last_value
+        )
+        for r in counter_agg(df, "ts", "v", 3600, ["series"]).collect()
+    }
+    assert out == {
+        ("a", 0): (27, 1, 4, 10, 12),
+        ("a", 1): (0, 0, 1, 2, 2),
+        ("b", 0): (8, 0, 3, 1, 9),
+    }

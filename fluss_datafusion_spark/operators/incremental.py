@@ -812,3 +812,64 @@ def media_ingest_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def wap_ingest_sink(
+    stream_df: DataFrame,
+    catalog,
+    table: str,
+    branch: str,
+    checkpoint: str,
+    violation_predicate: str,
+    publish_every: int = 1,
+    metrics: Optional[list] = None,
+):
+    """Streaming Write-Audit-Publish: continuous gated ingestion on a
+    staging BRANCH (the Iceberg WAP pattern as a foreachBatch sink).
+    Per micro-batch:
+
+    1. WRITE the raw batch to the staging branch — main readers never
+       see unaudited rows, and the raw batch stays replayable in the
+       branch history ($history / time travel on the branch log);
+    2. AUDIT: quarantine rows matching ``violation_predicate`` with a
+       branch-scoped DELETE.  Previously published rows are clean by
+       induction (only audited rows ever publish), so the overlay scan
+       only ever tombstones the new batch's violators — the predicate
+       must be evaluable per row (the expectations-module rule forms);
+    3. PUBLISH every ``publish_every`` batches: FAST FORWARD moves the
+       audited files into the main log under their original seq stamps
+       (zero rewrite).  A concurrent main writer surfaces as
+       ConcurrentWriteConflict — in the WAP discipline main takes
+       writes only through publications, so the conflict means a
+       protocol violation, not a retry case.
+
+    The streaming query itself is stateless (state = the branch), so it
+    restarts cleanly from the checkpoint.  ``metrics`` records per
+    batch: {batch_id, n_in, n_quarantined, published (bool)}.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # pin a replayed source
+        n_in = catalog.insert(table, batch_df, branch=branch)
+        n_q = catalog.delete_where(
+            table, violation_predicate, branch=branch
+        )
+        published = (int(batch_id) + 1) % max(1, int(publish_every)) == 0
+        if published:
+            catalog.fast_forward(table, branch)
+        if metrics is not None:
+            metrics.append(
+                {
+                    "batch_id": int(batch_id),
+                    "n_in": int(n_in),
+                    "n_quarantined": int(n_q),
+                    "published": bool(published),
+                }
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1269,3 +1269,76 @@ def test_streaming_zscore_matches_batch_operator(spark, replay_dir):
     assert len(got) == len(want) > 0
     mismatches = {k for k in want if got[k] != want[k]}
     assert not mismatches, list(mismatches)[:5]
+
+
+def test_wap_ingest_sink_end_to_end(spark, tmp_path):
+    """Streaming Write-Audit-Publish: three micro-batches land on a
+    staging branch, violators are quarantined per batch, publication
+    fast-forwards every 2 batches.  Main must contain exactly the clean
+    rows of published batches; the unpublished tail stays branch-only;
+    the branch history retains the quarantined rows as tombstoned
+    statements (the replayable audit trail)."""
+    import time
+
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.operators.incremental import wap_ingest_sink
+    from fluss_datafusion_spark.session import read_table
+
+    docs = read_table(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    replay = str(tmp_path / "wap_replay")
+    docs.repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(replay)
+    parts = sorted(
+        f for f in os.listdir(replay)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time()
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(replay, fname), (base + i, base + i))
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE wap_docs (doc_id BIGINT NOT NULL, text STRING,"
+        " PRIMARY KEY (doc_id))"
+    )
+    e.sql("ALTER TABLE wap_docs CREATE BRANCH staging")
+
+    bad = "doc_id % 7 = 0"  # the expectation: these rows must not publish
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    metrics: list = []
+    q = wap_ingest_sink(
+        stream, e.catalog, "wap_docs", "staging",
+        str(tmp_path / "wap_ckpt"), violation_predicate=bad,
+        publish_every=2, metrics=metrics,
+    )
+    q.awaitTermination()
+
+    assert [m["published"] for m in metrics] == [False, True, False]
+    assert sum(m["n_in"] for m in metrics) == docs.count()
+    assert sum(m["n_quarantined"] for m in metrics) == docs.filter(bad).count()
+
+    # main = clean rows of the two PUBLISHED batches (batch replay order
+    # is mtime order = doc_id ranges, so published docs are batches 0+1)
+    got_main = {r.doc_id for r in e.sql("SELECT doc_id FROM wap_docs").collect()}
+    clean = docs.filter(f"NOT ({bad})")
+    n_b01 = metrics[0]["n_in"] + metrics[1]["n_in"]
+    expect_main = {
+        r.doc_id
+        for r in clean.orderBy("doc_id").collect()
+        if r.doc_id in {x.doc_id for x in docs.orderBy("doc_id").limit(n_b01).collect()}
+    }
+    assert got_main == expect_main
+    # the staging branch sees ALL clean rows (published + pending)
+    got_branch = {
+        r.doc_id
+        for r in e.catalog.read_branch("wap_docs", "staging").collect()
+    }
+    assert got_branch == {r.doc_id for r in clean.collect()}
+    # quarantined rows never reach main or the branch state
+    assert not any(d % 7 == 0 for d in got_main | got_branch)

@@ -778,7 +778,10 @@ def q28_correlated_subquery(spark, sf_dir):
 
 
 @query(
+    # r8 rotation: extended — pivot/explode coverage stays via q30/q48
+    # self rows; q74_branch_lifecycle takes the core slot
     "q29_pivot",
+    extended=True,
     oracle="""
     SELECT o_orderpriority,
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
@@ -2859,7 +2862,9 @@ def q73_partition_count_metadata(spark, sf_dir):
            br.n_name AS branch_name, br.n_name AS after_name
     FROM base b LEFT JOIN branch br USING (n_nationkey)
     """,
-    extended=True,
+    # r8 rotation: CORE — the round's lakehouse surface addition rides
+    # the driver window (q29_pivot rotated to extended; pivot/explode
+    # stays self-covered via q30/q48)
 )
 def q74_branch_lifecycle(spark, sf_dir):
     """Writable version refs (r8 — Iceberg-style BRANCHES: ALTER TABLE

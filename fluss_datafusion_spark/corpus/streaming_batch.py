@@ -1377,3 +1377,48 @@ def st_counter_agg(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return counter_agg(ev, "ts", "cents", 3600, ["series"])
+
+
+@query(
+    "st_state_agg", extended=True,
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type AS state,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               ) AS t1
+        FROM events WHERE user_id < 24
+    ),
+    seg AS (SELECT * FROM s WHERE t1 > t0),
+    pb AS (
+        SELECT user_id, state, t0, t1, u.k,
+               least(t1, (u.k + 1) * 21600000000)
+                 - greatest(t0, u.k * 21600000000) AS ov
+        FROM seg, LATERAL (
+            SELECT unnest(range(t0 // 21600000000,
+                                (t1 - 1) // 21600000000 + 1)) AS k
+        ) u
+    )
+    SELECT user_id, CAST(to_timestamp(k * 21600) AS TIMESTAMP) AS bucket_ts,
+           state, round(sum(ov) / 1000000.0, 3) AS duration_seconds
+    FROM pb GROUP BY user_id, k, state
+    """,
+)
+def st_state_agg(spark, sf_dir):
+    """Time-in-state per bucket (timeseries.state_agg — the TimescaleDB
+    state_agg/duration_in() primitive): per user and 6-hour bucket, how
+    long each event_type 'state' held under LOCF semantics.  A sample
+    count answers the wrong question when sampling is event-driven —
+    one 'error' before a quiet stretch is hours in-error, not 1/n of
+    the bucket.  Segments clip across buckets on exact integer
+    epoch-microseconds; DuckDB replays every overlap."""
+    from fluss_datafusion_spark.operators.timeseries import state_agg
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 24)
+    out = state_agg(ev, "ts", "event_type", 21600, ["user_id"])
+    return out.select(
+        "user_id", "bucket_ts", "state",
+        F.round("duration_seconds", 3).alias("duration_seconds"),
+    )

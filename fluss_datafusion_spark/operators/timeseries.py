@@ -739,3 +739,84 @@ def counter_agg(
         F.expr("min_by(__v__, __ts__)").alias("first_value"),
         F.expr("max_by(__v__, __ts__)").alias("last_value"),
     ).withColumnRenamed("__bucket__", "bucket_id")
+
+
+def state_agg(
+    df: DataFrame,
+    ts_col: str,
+    state_col: str,
+    every_seconds: int,
+    group_cols: Optional[Sequence[str]] = None,
+    max_buckets_per_segment: int = 100_000,
+) -> DataFrame:
+    """Time-in-state per bucket — the TimescaleDB ``state_agg`` /
+    ``duration_in()`` primitive: given irregular state-change samples
+    (service status, machine mode, user tier), how long did each group
+    spend in each state within each bucket?  A COUNT of samples per
+    state answers a different (and usually wrong) question whenever
+    sampling is event-driven: one 'down' sample before a quiet night is
+    eleven hours of downtime, not 1/n of the bucket.
+
+    Semantics (shared with ``time_weighted_avg``, whose LOCF clipping
+    machinery this reuses): each sample's state holds until the group's
+    NEXT sample; a segment contributes its overlap to every bucket it
+    crosses, on exact integer epoch-microsecond arithmetic.  The last
+    sample closes at its own timestamp (nothing extrapolates), single-
+    sample groups yield nothing.  Returns (group_cols..., bucket_ts,
+    state, duration_seconds) for overlaps > 0.
+
+    Scale shape: one window pass per group for lead(ts), a sequence
+    explode bounded by time span (guarded), then ONE map-side-combined
+    aggregation on (group, bucket, state).  No UDFs, no driver rows.
+    """
+    group_cols = list(group_cols or [])
+    step_us = int(every_seconds) * 1_000_000
+    w = Window.partitionBy(
+        *([F.col(c) for c in group_cols] or [F.lit(1)])
+    ).orderBy("__t0__")
+    seg = (
+        df.select(
+            *group_cols,
+            F.unix_micros(F.col(ts_col)).alias("__t0__"),
+            F.col(state_col).alias("__s__"),
+        )
+        .withColumn("__t1__", F.lead("__t0__").over(w))
+        .filter(F.col("__t1__") > F.col("__t0__"))
+    )
+    k0 = F.floor(F.col("__t0__") / step_us)
+    k1 = F.floor((F.col("__t1__") - 1) / step_us)
+    n_k = k1 - k0 + 1
+    k1_guarded = F.when(
+        n_k <= F.lit(int(max_buckets_per_segment)), k1
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "state_agg: one sample gap spans %s buckets "
+                "(> max_buckets_per_segment=%s); widen every_seconds "
+                "or filter outlier timestamps",
+                n_k.cast("string"),
+                F.lit(int(max_buckets_per_segment)).cast("string"),
+            )
+        ).cast("long")
+    )
+    per_bucket = seg.select(
+        *group_cols,
+        "__t0__",
+        "__t1__",
+        "__s__",
+        F.explode(F.sequence(k0, k1_guarded)).alias("__k__"),
+    ).withColumn(
+        "__ov__",
+        F.least(F.col("__t1__"), (F.col("__k__") + 1) * step_us)
+        - F.greatest(F.col("__t0__"), F.col("__k__") * step_us),
+    )
+    return (
+        per_bucket.groupBy(*group_cols, "__k__", "__s__")
+        .agg((F.sum("__ov__") / 1_000_000.0).alias("duration_seconds"))
+        .select(
+            *group_cols,
+            F.timestamp_micros(F.col("__k__") * step_us).alias("bucket_ts"),
+            F.col("__s__").alias("state"),
+            "duration_seconds",
+        )
+    )

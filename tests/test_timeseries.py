@@ -344,3 +344,34 @@ def test_counter_agg_reset_semantics(spark):
         ("a", 1): (0, 0, 1, 2, 2),
         ("b", 0): (8, 0, 3, 1, 9),
     }
+
+
+def test_state_agg_locf_clipping(spark):
+    """Hand-computed duration-in-state: LOCF across a quiet stretch,
+    clipping across bucket boundaries, last sample closes the series."""
+    from fluss_datafusion_spark.operators.timeseries import state_agg
+
+    rows = [
+        # up at t=0 .. down at t=3000 .. up at t=7500 .. (end, t=9000)
+        ("svc", 0, "up"), ("svc", 3000, "down"),
+        ("svc", 7500, "up"), ("svc", 9000, "up"),
+    ]
+    df = spark.createDataFrame(
+        [(g, float(ts), s) for g, ts, s in rows],
+        "g string, epoch double, s string",
+    ).select("g", F.col("epoch").cast("timestamp").alias("ts"), "s")
+    out = {
+        (r.g, r.bucket_ts.timestamp(), r.state): r.duration_seconds
+        for r in state_agg(df, "ts", "s", 3600, ["g"]).collect()
+    }
+    assert out == {
+        # bucket 0: up 0-3000 (3000s), down 3000-3600 (600s)
+        ("svc", 0.0, "up"): 3000.0,
+        ("svc", 0.0, "down"): 600.0,
+        # bucket 1: down 3600-7200 (3600s) — LOCF through the quiet hour
+        ("svc", 3600.0, "down"): 3600.0,
+        # bucket 2: down 7200-7500 (300s), up 7500-9000 (1500s); the
+        # final sample closes the series at t=9000
+        ("svc", 7200.0, "down"): 300.0,
+        ("svc", 7200.0, "up"): 1500.0,
+    }

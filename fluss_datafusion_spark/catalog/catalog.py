@@ -559,6 +559,58 @@ class FlussCatalog:
             out = out.filter(F.expr(predicate))
         return out
 
+    def branch_diff(self, name: str, branch: str) -> DataFrame:
+        """What publishing the branch would change — the review-before-
+        merge view: one row per primary key whose state differs between
+        the branch and CURRENT main, classified ``insert`` (key only on
+        the branch), ``delete`` (key only on main), ``update`` (both,
+        differing values), with both sides' columns as ``main_<col>`` /
+        ``branch_<col>``.  Keys identical on both sides emit nothing.
+
+        Note this diffs against main's HEAD, not the fork: on a
+        diverged table the view shows exactly the contested ground a
+        fast_forward would refuse over.
+
+        Scale shape: ONE full-outer shuffle join on the PK (the MERGE
+        plan) over two merge-on-read scans; the null-safe value compare
+        is a codegen conjunction, no UDFs."""
+        spec = self.get_table(name)
+        if not spec.has_primary_key:
+            raise ValueError("branch_diff requires a primary-key table")
+        self._branch_info(spec, branch)  # validate
+        pk = list(spec.primary_key)
+        non_key = [c.name for c in spec.columns if c.name not in pk]
+        main = self.read(name).alias("m")
+        br = self.read_branch(name, branch).alias("b")
+        cond = None
+        for k in pk:
+            eq = F.col(f"m.{k}") == F.col(f"b.{k}")
+            cond = eq if cond is None else (cond & eq)
+        joined = main.join(br, cond, "full_outer")
+        m_hit = F.col(f"m.{pk[0]}").isNotNull()
+        b_hit = F.col(f"b.{pk[0]}").isNotNull()
+        same = F.lit(True)
+        for c in non_key:
+            same = same & F.col(f"m.{c}").eqNullSafe(F.col(f"b.{c}"))
+        change = (
+            F.when(~m_hit, F.lit("insert"))
+            .when(~b_hit, F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out = joined.withColumn("change_type", change).filter(
+            F.col("change_type").isNotNull()
+        )
+        cols = [
+            *[
+                F.coalesce(F.col(f"b.{k}"), F.col(f"m.{k}")).alias(k)
+                for k in pk
+            ],
+            F.col("change_type"),
+            *[F.col(f"m.{c}").alias(f"main_{c}") for c in non_key],
+            *[F.col(f"b.{c}").alias(f"branch_{c}") for c in non_key],
+        ]
+        return out.select(*cols)
+
     def fast_forward(self, name: str, branch: str) -> dict:
         """Publish a branch: advance main to the branch head.  Requires
         main's head to still be the branch's fork seq (no divergence —

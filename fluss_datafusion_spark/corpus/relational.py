@@ -2920,3 +2920,70 @@ def q74_branch_lifecycle(spark, sf_dir):
         .join(after, "n_nationkey", "left")
         .select("n_nationkey", "before_name", "branch_name", "after_name")
     )
+
+
+@query(
+    "q75_branch_diff",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 3
+    ),
+    branch AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'edited'
+                    ELSE n_name END AS n_name
+        FROM base WHERE n_nationkey % 5 <> 0
+        UNION ALL
+        SELECT n_nationkey + 1000, 'added' FROM base
+    )
+    SELECT COALESCE(b.n_nationkey, m.n_nationkey) AS n_nationkey,
+           CASE WHEN m.n_nationkey IS NULL THEN 'insert'
+                WHEN b.n_nationkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           m.n_name AS main_n_name, b.n_name AS branch_n_name
+    FROM base m FULL OUTER JOIN branch b USING (n_nationkey)
+    WHERE m.n_nationkey IS NULL OR b.n_nationkey IS NULL
+       OR m.n_name IS DISTINCT FROM b.n_name
+    """,
+    extended=True,
+)
+def q75_branch_diff(spark, sf_dir):
+    """Pre-publish review view (r8 cont. — catalog.branch_diff, the
+    `t$branch_diff('b')` system table): one row per key whose state
+    differs between the branch and current main, classified
+    insert/update/delete with both sides' values — what a FAST FORWARD
+    would change, inspectable before publishing.  One full-outer PK
+    join (the MERGE plan) over two merge-on-read scans; DuckDB
+    re-derives every classification."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bdiff_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE bd_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    e.sql(
+        "INSERT INTO bd_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 3"
+    )
+    e.sql("ALTER TABLE bd_nation CREATE BRANCH rev")
+    e.sql(
+        "UPDATE bd_nation$branch('rev') SET n_name = 'edited'"
+        " WHERE n_nationkey % 2 = 0"
+    )
+    e.sql("DELETE FROM bd_nation$branch('rev') WHERE n_nationkey % 5 = 0")
+    e.sql(
+        "INSERT INTO bd_nation$branch('rev')"
+        " SELECT n_nationkey + 1000, 'added' FROM nation"
+        " WHERE n_regionkey = 3"
+    )
+    return e.sql("SELECT * FROM bd_nation$branch_diff('rev')")

@@ -792,6 +792,7 @@ class EngineSession:
             r"`?([\w.]+)\$(changelog|history"
             r"|changes\((\d+)(?:\s*,\s*(\d+))?\)|v(\d+)"
             r"|at\('([^']*)'\)|tag\('([^']*)'\)"
+            r"|branch_diff\('([^']*)'\)"
             r"|branch\('([^']*)'\))`?"
         )
 
@@ -821,8 +822,14 @@ class EngineSession:
                 seq = self.catalog.resolve_tag(table, match.group(7))
                 view = f"__at{seq}__{tbl}"
                 df = self.catalog.read(table, as_of_seq=seq)
-            elif kind.startswith("branch("):
+            elif kind.startswith("branch_diff("):
                 b = match.group(8)
+                view = (
+                    f"__branchdiff_{re.sub(r'[^A-Za-z0-9_]', '_', b)}__{tbl}"
+                )
+                df = self.catalog.branch_diff(table, b)
+            elif kind.startswith("branch("):
+                b = match.group(9)
                 view = f"__branch_{re.sub(r'[^A-Za-z0-9_]', '_', b)}__{tbl}"
                 df = self.catalog.read_branch(table, b)
             else:

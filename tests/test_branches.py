@@ -232,3 +232,27 @@ def test_branch_update_and_merge(branched):
     e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev")
     assert _rows(e, "SELECT id, v FROM bt") == [
         (1, "A"), (2, "merged"), (9, "new")]
+
+
+def test_branch_diff_review_view(branched):
+    """branch_diff classifies the publish delta: insert / update /
+    delete rows with both sides' values; identical keys emit nothing."""
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (2, 'B2'), (3, 'c')")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 1")
+    rows = {
+        r.id: (r.change_type, r.main_v, r.branch_v)
+        for r in e.sql("SELECT * FROM bt$branch_diff('dev')").collect()
+    }
+    assert rows == {
+        1: ("delete", "a", None),
+        2: ("update", "b", "B2"),
+        3: ("insert", None, "c"),
+    }
+    # diff is against main's HEAD: a diverged main shows contested keys
+    e.sql("INSERT INTO bt VALUES (3, 'main3')")
+    rows = {
+        r.id: (r.change_type, r.main_v, r.branch_v)
+        for r in e.sql("SELECT * FROM bt$branch_diff('dev')").collect()
+    }
+    assert rows[3] == ("update", "main3", "c")

@@ -256,3 +256,17 @@ def test_branch_diff_review_view(branched):
         for r in e.sql("SELECT * FROM bt$branch_diff('dev')").collect()
     }
     assert rows[3] == ("update", "main3", "c")
+
+
+def test_branch_of_empty_table(spark, tmp_path):
+    """Fork at seq 0 (nothing in main): the overlay read, publish and
+    re-fork all work on the empty base."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE et (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("ALTER TABLE et CREATE BRANCH b")
+    assert e.sql("SELECT * FROM et$branch('b')").count() == 0
+    e.sql("INSERT INTO et$branch('b') VALUES (1, 'a')")
+    assert _rows(e, "SELECT id, v FROM et$branch('b')") == [(1, "a")]
+    assert e.sql("SELECT * FROM et").count() == 0
+    e.sql("ALTER TABLE et FAST FORWARD BRANCH b")
+    assert _rows(e, "SELECT id, v FROM et") == [(1, "a")]

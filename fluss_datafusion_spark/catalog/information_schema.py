@@ -290,6 +290,41 @@ def register_views(catalog, include_stats: bool = True) -> None:
         "last_refresh_seq long, staleness_statements long, is_fresh boolean",
     ).createOrReplaceTempView("information_schema_materialized_views")
 
+    # Named version refs (r8): tags (read-only) and branches (writable)
+    # in one view — the observability side of SHOW TAGS / SHOW BRANCHES
+    # (anchor_seq = the tag's pinned seq / the branch's fork seq;
+    # head_seq differs from anchor only for branches with deltas;
+    # readable=false marks refs stranded below the compaction floor)
+    refs = []
+    for s in specs:
+        floor = catalog._floor.get(s.qualified_name, 0)
+        for tag, info in sorted((s.tags or {}).items()):
+            refs.append(
+                (
+                    s.database, s.name, tag, "TAG", int(info["seq"]),
+                    int(info["seq"]), info.get("created_at"),
+                    int(info["seq"]) >= floor,
+                )
+            )
+        for br, info in sorted((s.branches or {}).items()):
+            fork = int(info["fork_seq"])
+            try:
+                head = catalog._branch_head(s, br)
+            except Exception:
+                head = fork
+            refs.append(
+                (
+                    s.database, s.name, br, "BRANCH", fork, int(head),
+                    info.get("created_at"), fork >= floor,
+                )
+            )
+    spark.createDataFrame(
+        refs,
+        "table_schema string, table_name string, ref_name string, "
+        "ref_type string, anchor_seq long, head_seq long, "
+        "created_at string, readable boolean",
+    ).createOrReplaceTempView("information_schema_table_refs")
+
 
 def _list_partitions(catalog, spec: TableSpec):
     """(partition_id, partition_name value1$value2, qualified k1=v1/k2=v2).

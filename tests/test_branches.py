@@ -270,3 +270,22 @@ def test_branch_of_empty_table(spark, tmp_path):
     assert e.sql("SELECT * FROM et").count() == 0
     e.sql("ALTER TABLE et FAST FORWARD BRANCH b")
     assert _rows(e, "SELECT id, v FROM et") == [(1, "a")]
+
+
+def test_information_schema_table_refs(branched):
+    """Tags and branches surface in one observability view with anchor,
+    head and floor-readability columns."""
+    e = branched
+    e.sql("ALTER TABLE bt CREATE TAG v1")
+    e.sql("INSERT INTO bt$branch('dev') VALUES (8, 'h')")
+    rows = {
+        (r.ref_name, r.ref_type): (r.anchor_seq, r.head_seq, r.readable)
+        for r in e.sql(
+            "SELECT * FROM information_schema.table_refs"
+            " WHERE table_name = 'bt'"
+        ).collect()
+    }
+    assert rows == {
+        ("dev", "BRANCH"): (1, 2, True),
+        ("v1", "TAG"): (1, 1, True),
+    }

@@ -289,3 +289,19 @@ def test_information_schema_table_refs(branched):
         ("dev", "BRANCH"): (1, 2, True),
         ("v1", "TAG"): (1, 1, True),
     }
+
+
+def test_fast_forward_after_main_optimize(spark, tmp_path):
+    """OPTIMIZE consolidates main's files between fork and publish —
+    the swap preserves the head seq, so a non-diverged branch still
+    fast-forwards and the published rows merge correctly."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE ot (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO ot VALUES (1, 'a'), (2, 'b')")
+    e.sql("ALTER TABLE ot CREATE BRANCH dev")
+    e.sql("INSERT INTO ot$branch('dev') VALUES (2, 'B'), (3, 'c')")
+    e.sql("OPTIMIZE ot")  # maintenance swap; head seq unchanged
+    e.sql("ALTER TABLE ot FAST FORWARD BRANCH dev")
+    assert sorted(
+        tuple(r) for r in e.sql("SELECT id, v FROM ot").collect()
+    ) == [(1, "a"), (2, "B"), (3, "c")]

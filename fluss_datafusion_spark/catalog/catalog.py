@@ -559,6 +559,35 @@ class FlussCatalog:
             out = out.filter(F.expr(predicate))
         return out
 
+    def expire_refs(self, name: str) -> dict:
+        """Drop every tag and branch stranded below the compaction
+        floor — refs whose anchor history no longer exists and which
+        therefore refuse every read (information_schema.table_refs
+        shows them readable=false).  Compaction deliberately leaves
+        them in place (raising the floor must not silently destroy
+        named refs); this is the explicit janitor a retention policy
+        calls.  Returns {"tags": [...], "branches": [...]} dropped."""
+        spec = self.get_table(name)
+        floor = self._floor.get(spec.qualified_name, 0)
+        dead_tags = sorted(
+            t for t, v in (spec.tags or {}).items()
+            if int(v["seq"]) < floor
+        )
+        dead_branches = sorted(
+            b for b, v in (spec.branches or {}).items()
+            if int(v["fork_seq"]) < floor
+        )
+        for t in dead_tags:
+            spec.tags = {k: v for k, v in spec.tags.items() if k != t}
+        for b in dead_branches:
+            spec.branches = {
+                k: v for k, v in spec.branches.items() if k != b
+            }
+            shutil.rmtree(self._branch_path(spec, b), ignore_errors=True)
+        if dead_tags or dead_branches:
+            self._save_spec(spec)
+        return {"tags": dead_tags, "branches": dead_branches}
+
     def branch_diff(self, name: str, branch: str) -> DataFrame:
         """What publishing the branch would change — the review-before-
         merge view: one row per primary key whose state differs between

@@ -470,6 +470,8 @@ def parse_alter_table(sql: str):
     )
     if ffwd:
         return target, ("fast_forward", strip_quotes(ffwd.group(1)))
+    if re.match(r"^EXPIRE\s+REFS\s*$", body, re.IGNORECASE):
+        return target, ("expire_refs", None)
     addc = re.match(
         r"^ADD\s+CONSTRAINT\s+(`?[\w]+`?)\s+CHECK\s*\((.*)\)\s*$",
         body, re.IGNORECASE | re.DOTALL,

@@ -300,6 +300,12 @@ class EngineSession:
                     [(ff["advanced_to"], ff["files_published"])],
                     "advanced_to bigint, files_published bigint",
                 )
+            elif action == "expire_refs":
+                dropped = self.catalog.expire_refs(target)
+                return self.spark.createDataFrame(
+                    [(len(dropped["tags"]), len(dropped["branches"]))],
+                    "expired_tags bigint, expired_branches bigint",
+                )
             else:
                 self.catalog.rename_table(target, payload)
             return self.spark.createDataFrame([(1,)], "count bigint").limit(0)

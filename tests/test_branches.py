@@ -305,3 +305,30 @@ def test_fast_forward_after_main_optimize(spark, tmp_path):
     assert sorted(
         tuple(r) for r in e.sql("SELECT id, v FROM ot").collect()
     ) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_expire_refs_drops_only_floor_stranded(spark, tmp_path):
+    """EXPIRE REFS is the explicit janitor: refs below the compaction
+    floor (provably unreadable) are dropped, live refs survive."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE xr (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO xr VALUES (1, 'a')")
+    e.sql("ALTER TABLE xr CREATE TAG old_tag")
+    e.sql("ALTER TABLE xr CREATE BRANCH old_br")
+    e.sql("INSERT INTO xr VALUES (2, 'b')")
+    e.catalog.compact("xr")  # floor rises past both refs' anchors
+    e.sql("ALTER TABLE xr CREATE TAG live_tag")
+    e.sql("ALTER TABLE xr CREATE BRANCH live_br")
+    row = e.sql("ALTER TABLE xr EXPIRE REFS").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (1, 1)
+    refs = {
+        r.ref_name
+        for r in e.sql(
+            "SELECT * FROM information_schema.table_refs"
+            " WHERE table_name = 'xr'"
+        ).collect()
+    }
+    assert refs == {"live_tag", "live_br"}
+    # idempotent: nothing left to expire
+    row = e.sql("ALTER TABLE xr EXPIRE REFS").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (0, 0)

@@ -1791,6 +1791,7 @@ class FlussCatalog:
         as_of_seq: Optional[int] = None,
         as_of_ts=None,
         predicate: Optional[str] = None,
+        branch: Optional[str] = None,
     ) -> DataFrame:
         """Snapshot read.  For PK tables: merged (upserted) current state.
 
@@ -1816,6 +1817,15 @@ class FlussCatalog:
         ``read(name).filter(predicate)``.
         """
         spec = self.get_table(name)
+        if branch is not None:
+            # API symmetry with insert/delete_where/update_rows/merge_into:
+            # read(name, branch=b) is the branch overlay (read_branch)
+            if as_of_seq is not None or as_of_ts is not None:
+                raise ValueError(
+                    "time travel within a branch is not supported; "
+                    "pass branch alone"
+                )
+            return self.read_branch(name, branch, predicate=predicate)
         if as_of_ts is not None:
             if as_of_seq is not None:
                 raise ValueError("pass as_of_seq or as_of_ts, not both")

@@ -332,3 +332,23 @@ def test_expire_refs_drops_only_floor_stranded(spark, tmp_path):
     # idempotent: nothing left to expire
     row = e.sql("ALTER TABLE xr EXPIRE REFS").collect()[0]
     assert (row.expired_tags, row.expired_branches) == (0, 0)
+
+
+def test_read_api_branch_symmetry(branched):
+    """read(name, branch=b) mirrors the writer APIs' branch kwarg."""
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    got = sorted(
+        tuple(r)
+        for r in e.catalog.read("bt", branch="dev").select("id", "v").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # predicate path works through the branch overlay
+    got = [
+        tuple(r)
+        for r in e.catalog.read("bt", branch="dev", predicate="id = 3")
+        .select("id", "v").collect()
+    ]
+    assert got == [(3, "c")]
+    with pytest.raises(ValueError):
+        e.catalog.read("bt", as_of_seq=1, branch="dev")

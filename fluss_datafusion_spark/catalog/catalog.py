@@ -28,6 +28,7 @@ Spark-first design, 100 TB posture:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 from typing import Dict, List, Optional
@@ -106,6 +107,9 @@ class FlussCatalog:
         # (two sessions in one process must not mistake each other's
         # marker for their own, so identity is per-catalog, not per-pid)
         self._maint_tokens: Dict[str, str] = {}
+        # (table, branch) -> token of a fast_forward publish this
+        # session holds (see the branch publish exclusion section)
+        self._publish_tokens: Dict[tuple, str] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -302,14 +306,46 @@ class FlussCatalog:
         spec.properties = merged
         self._save_spec(spec)
 
+    # Ref names become filesystem path components (branch dirs live at
+    # <table>__branches/<name>) and share one namespace with tags for
+    # VERSION AS OF resolution.  The DDL regex [\w.-]+ alone admits '.'
+    # and '..', and the Python API accepts any string including '/':
+    # either would make _branch_path escape the branch root and hand
+    # rmtree/rename the DATABASE directory.  Validate at creation and
+    # again (defensively) at every path construction.
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]*$")
+
+    @classmethod
+    def _validate_ref_name(cls, kind: str, ref: str) -> None:
+        if (
+            not isinstance(ref, str)
+            or ref in (".", "..")
+            or os.sep in ref
+            or (os.altsep is not None and os.altsep in ref)
+            or not cls._REF_NAME_RE.match(ref)
+        ):
+            raise ValueError(
+                f"invalid {kind} name {ref!r}: must start with a letter "
+                f"or digit and contain only letters, digits, '_', '.' "
+                f"and '-'"
+            )
+
     def create_tag(self, name: str, tag: str, seq: Optional[int] = None):
         """ALTER TABLE t CREATE TAG <tag> [AS OF VERSION n] — a named
         time-travel ref (Iceberg tag semantics: immutable once created;
         re-pointing means DROP + CREATE).  Defaults to the current
         committed seq; a future seq refuses (nothing to pin)."""
+        self._validate_ref_name("tag", tag)
         spec = self.get_table(name)
         if tag in (spec.tags or {}):
             raise ValueError(f"tag {tag!r} already exists on {name}")
+        if tag in (spec.branches or {}):
+            # one ref namespace, enforced BOTH ways: a tag shadowing an
+            # existing branch would silently re-point VERSION AS OF
+            # '<ref>' from the branch overlay to the tag's pinned seq
+            raise ValueError(
+                f"{tag!r} already names a branch on {name}"
+            )
         head = self._committed_seq(spec)
         if seq is None:
             seq = head
@@ -378,6 +414,9 @@ class FlussCatalog:
         return self.table_path(spec) + "__branches"
 
     def _branch_path(self, spec: TableSpec, branch: str) -> str:
+        # defense in depth: a hostile or corrupted ref name must never
+        # become a path traversal handed to makedirs/rmtree/rename
+        self._validate_ref_name("branch", branch)
         return os.path.join(self._branch_root(spec), branch)
 
     def _branch_commit_dir(self, spec: TableSpec, branch: str) -> str:
@@ -419,13 +458,16 @@ class FlussCatalog:
     ) -> int:
         """Reserve the next branch-local seq — the same O_EXCL
         put-if-absent protocol as _reserve_seqs, scoped to the branch
-        commit dir (branch writers contend only among themselves; no
-        maintenance ever swaps a branch dir, so there is no marker to
-        wait on)."""
+        commit dir (branch writers contend only among themselves, plus
+        the publish marker below: a fast_forward in flight moves and
+        deletes branch files, so writers must not land rows under it —
+        same store-then-load Dekker ordering as the maintenance
+        protocol)."""
         fork = int(self._branch_info(spec, branch)["fork_seq"])
         d = self._branch_commit_dir(spec, branch)
-        os.makedirs(d, exist_ok=True)
         while True:
+            self._wait_no_branch_publish(spec, branch)
+            os.makedirs(d, exist_ok=True)
             taken = [fork]
             for fn in os.listdir(d):
                 stem = fn.split(".", 1)[0]
@@ -444,7 +486,155 @@ class FlussCatalog:
                 os.path.join(d, f"{n:010d}.inflight"),
                 str(os.getpid()).encode(),
             ):
+                # Dekker re-check: if a publish grabbed its marker
+                # before seeing our reservation, we yield — release and
+                # re-wait (nothing was written yet)
+                if self._branch_publish_inflight(spec, branch):
+                    self.locking.delete(
+                        os.path.join(d, f"{n:010d}.inflight")
+                    )
+                    continue
                 return n
+
+    # -- branch publish exclusion ------------------------------------------
+    #
+    # fast_forward lists the branch's parquet files, MOVES them into the
+    # table dir, then rmtree's and re-forks the branch directory.  A
+    # branch statement landing files after the listing (or mid-write)
+    # would have its data silently destroyed by the re-fork.  Same
+    # two-sided protocol as maintenance vs writers (_maintenance_lock):
+    #
+    #   publisher: CREATE the publish marker (one winner) -> wait for
+    #              branch seq reservations to drain -> list/move/re-fork
+    #              -> release marker.
+    #   writers:   CREATE <seq>.inflight -> re-check the marker; if
+    #              present, release the reservation and wait.
+    #
+    # The marker lives as a SIBLING of the branch dir (dot-prefixed,
+    # inside <table>__branches/) so the re-fork's rmtree cannot delete
+    # it mid-publish and unblock writers before the new fork_seq is
+    # saved.  Staleness/liveness handling mirrors the maintenance
+    # marker: age alone never reaps a live owner's marker.
+
+    def _branch_publish_marker(self, spec: TableSpec, branch: str) -> str:
+        self._validate_ref_name("branch", branch)
+        return os.path.join(
+            self._branch_root(spec), f".{branch}.publish.inflight"
+        )
+
+    def _branch_publish_inflight(self, spec: TableSpec, branch: str) -> bool:
+        """True iff ANOTHER session holds a fresh publish marker on this
+        branch (own markers and provably-dead leftovers don't count)."""
+        import json
+        import time
+
+        marker = self._branch_publish_marker(spec, branch)
+        mtime = self.locking.stat_mtime(marker)
+        if mtime is None:
+            return False
+        token = self._publish_tokens.get(
+            (spec.qualified_name, branch)
+        )
+        if token is not None:
+            try:
+                raw = self.locking.read(marker)
+                if raw is not None and json.loads(raw).get("token") == token:
+                    return False
+            except Exception:
+                pass
+        if time.time() - mtime > self.MAINT_STALE_SECS:
+            if self._owner_alive(marker) is True:
+                return True
+            self.locking.delete(marker)
+            return False
+        return True
+
+    def _wait_no_branch_publish(self, spec: TableSpec, branch: str) -> None:
+        import time
+
+        deadline = time.time() + self.MAINT_WAIT_SECS
+        while self._branch_publish_inflight(spec, branch):
+            if time.time() > deadline:
+                raise ConcurrentWriteConflict(
+                    f"FAST FORWARD of branch {branch!r} on "
+                    f"{spec.qualified_name} has held its marker for over "
+                    f"{self.MAINT_WAIT_SECS:.0f}s; nothing was written — "
+                    f"re-run the statement"
+                )
+            time.sleep(0.02)
+
+    def _branch_publish_lock(self, spec: TableSpec, branch: str):
+        """Exclusive publish window on one branch: acquire the marker,
+        then wait for in-flight branch seq reservations to drain."""
+        import contextlib
+        import json
+        import time
+        import uuid
+
+        @contextlib.contextmanager
+        def _lock():
+            d = self._branch_commit_dir(spec, branch)
+            os.makedirs(d, exist_ok=True)
+            marker = self._branch_publish_marker(spec, branch)
+            token = uuid.uuid4().hex
+            lock_key = (spec.qualified_name, branch)
+            deadline = time.time() + self.MAINT_WAIT_SECS
+            while True:
+                if self.locking.put_if_absent(
+                    marker,
+                    json.dumps(
+                        {"token": token, "pid": os.getpid(),
+                         "ts": time.time()}
+                    ).encode(),
+                ):
+                    break
+                if not self._branch_publish_inflight(spec, branch):
+                    if self._publish_tokens.get(lock_key) is not None:
+                        raise ConcurrentWriteConflict(
+                            f"FAST FORWARD already in progress on "
+                            f"branch {branch!r} of "
+                            f"{spec.qualified_name} in this session"
+                        )
+                    continue  # stale marker reaped: retry the create
+                if time.time() > deadline:
+                    raise ConcurrentWriteConflict(
+                        f"another session is publishing branch "
+                        f"{branch!r} of {spec.qualified_name}; retry "
+                        f"later"
+                    )
+                time.sleep(0.02)
+            self._publish_tokens[lock_key] = token
+            try:
+                drain_deadline = time.time() + self.MAINT_WAIT_SECS
+                while True:
+                    pending = []
+                    now = time.time()
+                    for f in self.locking.list_names(d):
+                        if not f.endswith(".inflight"):
+                            continue
+                        mt = self.locking.stat_mtime(os.path.join(d, f))
+                        if mt is None:
+                            continue
+                        if now - mt <= self.MAINT_STALE_SECS:
+                            pending.append(f)
+                        elif self._owner_alive(os.path.join(d, f)) is True:
+                            pending.append(f)
+                    if not pending:
+                        break
+                    if time.time() > drain_deadline:
+                        raise ConcurrentWriteConflict(
+                            f"branch writer reservations "
+                            f"{sorted(pending)} on {branch!r} of "
+                            f"{spec.qualified_name} did not finalize; "
+                            f"FAST FORWARD aborted cleanly"
+                        )
+                    time.sleep(0.02)
+                yield
+            finally:
+                self._publish_tokens.pop(lock_key, None)
+                self.locking.delete(marker)
+
+        return _lock()
 
     def _record_branch_commit(
         self, spec: TableSpec, branch: str, seq: int
@@ -476,6 +666,7 @@ class FlussCatalog:
         committed head; a future seq refuses like create_tag; a
         below-compaction-floor seq refuses at CREATE time (the forked
         base no longer exists as per-seq history)."""
+        self._validate_ref_name("branch", branch)
         spec = self.get_table(name)
         if not spec.has_primary_key:
             raise ValueError(
@@ -523,6 +714,9 @@ class FlussCatalog:
         }
         self._save_spec(spec)
         shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
+        # a leftover publish marker must not haunt a future branch of
+        # the same name (it lives OUTSIDE the branch dir by design)
+        self.locking.delete(self._branch_publish_marker(spec, branch))
 
     def read_branch(
         self, name: str, branch: str, predicate: Optional[str] = None
@@ -584,6 +778,7 @@ class FlussCatalog:
                 k: v for k, v in spec.branches.items() if k != b
             }
             shutil.rmtree(self._branch_path(spec, b), ignore_errors=True)
+            self.locking.delete(self._branch_publish_marker(spec, b))
         if dead_tags or dead_branches:
             self._save_spec(spec)
         return {"tags": dead_tags, "branches": dead_branches}
@@ -652,55 +847,73 @@ class FlussCatalog:
         branch survives, re-forked at the new head with an empty delta
         (publish-and-continue)."""
         spec = self.get_table(name)
-        info = self._branch_info(spec, branch)
-        fork = int(info["fork_seq"])
-        commits = self._branch_commits(spec, branch)
-        head = max(commits, default=fork)
+        self._branch_info(spec, branch)  # validate before locking
         key = spec.qualified_name
         moved = 0
-        if head > fork:
-            # reservation first: holds off OPTIMIZE/COMPACT while files
-            # land, and verifies main is still at the fork point
-            got = self._reserve_seqs(
-                spec, count=head - fork, expect_base=fork
+        # publish window: block new branch seq reservations and wait
+        # for in-flight ones to drain BEFORE listing the branch files —
+        # a statement landing files after the listing would have its
+        # rows silently destroyed by the re-fork rmtree below
+        with self._branch_publish_lock(spec, branch):
+            info = self._branch_info(spec, branch)
+            fork = int(info["fork_seq"])
+            commits = self._branch_commits(spec, branch)
+            head = max(commits, default=fork)
+            if head > fork:
+                # reservation first: holds off OPTIMIZE/COMPACT while
+                # files land, and verifies main is still at the fork
+                got = self._reserve_seqs(
+                    spec, count=head - fork, expect_base=fork
+                )
+                bpath = self._branch_path(spec, branch)
+                path = self.table_path(spec)
+                files = sorted(_parquet_files(bpath))
+                landed = []
+                for f in files:
+                    rel = os.path.relpath(f, bpath)
+                    dst = os.path.join(path, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(f, dst)
+                    landed.append(dst)
+                    moved += 1
+                # footer-stats harvest so the published files keep
+                # skipping coverage (branch-side manifests stay behind
+                # and die with the branch dir)
+                bloom_cols, bloom_fpp = self._bloom_config(spec)
+                skipping.add_files(
+                    path, landed,
+                    bloom_columns=bloom_cols, bloom_fpp=bloom_fpp,
+                )
+                for s in got:
+                    if s in commits:
+                        self._record_commit(spec, s, ts=commits[s])
+                    else:
+                        # an aborted branch statement left a seq gap:
+                        # main history tolerates gaps, release it
+                        self._release_seqs(spec, [s])
+                self._seq[key] = head
+                self._touch_write_marker(spec)
+                self._register_view(spec)
+            else:
+                # empty branch: nothing to publish, but the divergence
+                # contract must still hold — re-anchor the fork at the
+                # CURRENT main head so subsequent branch reads overlay
+                # today's base, not a stale one (an unchanged fork on an
+                # advanced main would silently pin old data)
+                head = max(head, self._committed_seq(spec))
+            # re-fork the branch at the (possibly advanced) head with an
+            # empty delta: publish-and-continue
+            shutil.rmtree(
+                self._branch_path(spec, branch), ignore_errors=True
             )
-            bpath = self._branch_path(spec, branch)
-            path = self.table_path(spec)
-            files = sorted(_parquet_files(bpath))
-            landed = []
-            for f in files:
-                rel = os.path.relpath(f, bpath)
-                dst = os.path.join(path, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.rename(f, dst)
-                landed.append(dst)
-                moved += 1
-            # footer-stats harvest so the published files keep skipping
-            # coverage (branch-side manifests stay behind and die with
-            # the branch dir)
-            bloom_cols, bloom_fpp = self._bloom_config(spec)
-            skipping.add_files(
-                path, landed, bloom_columns=bloom_cols, bloom_fpp=bloom_fpp
+            os.makedirs(
+                self._branch_commit_dir(spec, branch), exist_ok=True
             )
-            for s in got:
-                if s in commits:
-                    self._record_commit(spec, s, ts=commits[s])
-                else:
-                    # an aborted branch statement left a seq gap: main
-                    # history tolerates gaps, release the reservation
-                    self._release_seqs(spec, [s])
-            self._seq[key] = head
-            self._touch_write_marker(spec)
-            self._register_view(spec)
-        # re-fork the branch at the (possibly unchanged) head with an
-        # empty delta: publish-and-continue
-        shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
-        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
-        spec.branches = dict(spec.branches or {})
-        spec.branches[branch] = dict(
-            spec.branches[branch], fork_seq=int(head)
-        )
-        self._save_spec(spec)
+            spec.branches = dict(spec.branches or {})
+            spec.branches[branch] = dict(
+                spec.branches[branch], fork_seq=int(head)
+            )
+            self._save_spec(spec)
         return {"advanced_to": int(head), "files_published": moved}
 
     def unset_table_properties(self, name: str, keys) -> None:

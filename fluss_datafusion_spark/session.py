@@ -29,6 +29,18 @@ TESTDATA_TABLES = (
 )
 
 
+def _ref_view_token(ref: str) -> str:
+    """Injective temp-view token for a branch/tag ref name: the
+    sanitized form alone collides ('a-b' and 'a_b' both map to 'a_b',
+    so a statement referencing both would have the second bind clobber
+    the first); a short digest of the RAW name disambiguates."""
+    import hashlib
+    import re as _re
+
+    safe = _re.sub(r"[^A-Za-z0-9_]", "_", ref)
+    return f"{safe}_{hashlib.sha1(ref.encode()).hexdigest()[:8]}"
+
+
 def build_spark(
     app_name: str = "fluss-datafusion-spark",
     master: Optional[str] = None,
@@ -830,13 +842,11 @@ class EngineSession:
                 df = self.catalog.read(table, as_of_seq=seq)
             elif kind.startswith("branch_diff("):
                 b = match.group(8)
-                view = (
-                    f"__branchdiff_{re.sub(r'[^A-Za-z0-9_]', '_', b)}__{tbl}"
-                )
+                view = f"__branchdiff_{_ref_view_token(b)}__{tbl}"
                 df = self.catalog.branch_diff(table, b)
             elif kind.startswith("branch("):
                 b = match.group(9)
-                view = f"__branch_{re.sub(r'[^A-Za-z0-9_]', '_', b)}__{tbl}"
+                view = f"__branch_{_ref_view_token(b)}__{tbl}"
                 df = self.catalog.read_branch(table, b)
             else:
                 view = f"__v{match.group(5)}__{tbl}"

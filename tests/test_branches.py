@@ -352,3 +352,145 @@ def test_read_api_branch_symmetry(branched):
     assert got == [(3, "c")]
     with pytest.raises(ValueError):
         e.catalog.read("bt", as_of_seq=1, branch="dev")
+
+
+# -- round 9: ref-name safety + publish exclusion -------------------------
+
+
+def test_ref_names_are_path_safe(branched):
+    """A ref name becomes a filesystem path component: '..', '.', and
+    separator-bearing names must refuse at creation (ADVICE r8: a
+    branch named '..' resolved to the DATABASE directory, so DROP
+    BRANCH/EXPIRE REFS/fast_forward would rmtree every table)."""
+    e = branched
+    for bad in ("..", ".", "a/b", "a\\b", "", ".hidden", "-x"):
+        with pytest.raises(ValueError):
+            e.catalog.create_branch("bt", bad)
+        with pytest.raises(ValueError):
+            e.catalog.create_tag("bt", bad)
+    # the DDL surface refuses too (its regex admits '.' and '..')
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE bt CREATE BRANCH `..`")
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE bt CREATE TAG `..`")
+    # sane names still work, including dots and dashes INSIDE the name
+    e.sql("ALTER TABLE bt CREATE BRANCH rel-1.2_x")
+    assert _rows(e, "SELECT id, v FROM bt$branch('rel-1.2_x')") == [
+        (1, "a"), (2, "b")]
+
+
+def test_one_ref_namespace_both_directions(branched):
+    """create_branch refuses a tag's name AND create_tag refuses a
+    branch's name — otherwise VERSION AS OF '<ref>' silently re-points
+    from the branch overlay to the tag's pinned seq (ADVICE r8)."""
+    e = branched
+    with pytest.raises(ValueError, match="branch"):
+        e.sql("ALTER TABLE bt CREATE TAG dev")  # 'dev' is a branch
+    e.sql("ALTER TABLE bt CREATE TAG pinned")
+    with pytest.raises(ValueError, match="tag"):
+        e.sql("ALTER TABLE bt CREATE BRANCH pinned")
+
+
+def test_branch_view_names_injective(branched):
+    """Branches 'a-b' and 'a_b' sanitize to the same identifier; one
+    statement referencing both must read two different overlays
+    (ADVICE r8: the second temp-view bind clobbered the first)."""
+    e = branched
+    e.sql("ALTER TABLE bt CREATE BRANCH a-b")
+    e.sql("ALTER TABLE bt CREATE BRANCH a_b")
+    e.sql("INSERT INTO bt$branch('a-b') VALUES (10, 'dash')")
+    e.sql("INSERT INTO bt$branch('a_b') VALUES (20, 'under')")
+    got = _rows(
+        e,
+        "SELECT x.id, x.v, y.id AS id2, y.v AS v2 "
+        "FROM bt$branch('a-b') x JOIN bt$branch('a_b') y ON x.id + 10 = y.id",
+    )
+    assert got == [(10, "dash", 20, "under")]
+
+
+def test_fast_forward_empty_branch_reanchors_on_diverged_main(branched):
+    """head == fork with main advanced past the fork: publishing an
+    empty branch must not leave it pinned at the stale fork (ADVICE
+    r8) — it re-anchors at the current main head."""
+    e = branched
+    e.sql("INSERT INTO bt VALUES (4, 'd')")  # main seq 2 > fork 1
+    ff = e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev").collect()[0]
+    assert ff.advanced_to == 2 and ff.files_published == 0
+    # the branch now overlays today's base, not the pre-divergence one
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "b"), (4, "d")]
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES bt").collect()]
+    assert [(r[0], r[1]) for r in rows] == [("dev", 2)]
+
+
+def test_fast_forward_excludes_concurrent_branch_writers(branched):
+    """A branch seq reservation in flight (writer mid-statement) makes
+    fast_forward wait; a publish marker in flight makes new branch
+    reservations wait (ADVICE r8: without exclusion the re-fork rmtree
+    silently destroyed concurrently-committed branch rows)."""
+    import threading
+    import time
+
+    e = branched
+    cat = e.catalog
+    spec = cat.get_table("bt")
+
+    # writer holds a reservation -> publish drains it before moving
+    n = cat._branch_next_seq(spec, "dev")
+    done = {}
+
+    def _publish():
+        done["t0"] = time.monotonic()
+        e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev")
+        done["t1"] = time.monotonic()
+
+    th = threading.Thread(target=_publish)
+    th.start()
+    time.sleep(0.3)
+    assert "t1" not in done, "publish must wait for the reservation"
+    # finalize the writer's statement, then the publish proceeds
+    cat._record_branch_commit(spec, "dev", n)
+    th.join(timeout=30)
+    assert "t1" in done and done["t1"] - done["t0"] >= 0.25
+
+    # publish marker up -> a FOREIGN session's reservation waits (the
+    # Dekker other side; own-session actors bypass their own marker,
+    # same as the maintenance protocol)
+    e2 = EngineSession(spark=e.spark, warehouse=cat.warehouse)
+    cat2 = e2.catalog
+    spec2 = cat2.get_table("bt")
+    with cat._branch_publish_lock(spec, "dev"):
+        got = {}
+
+        def _reserve():
+            got["n"] = cat2._branch_next_seq(spec2, "dev")
+
+        th2 = threading.Thread(target=_reserve)
+        th2.start()
+        time.sleep(0.3)
+        assert "n" not in got, "reservation must wait for the publish"
+    th2.join(timeout=30)
+    assert "n" in got
+    # release so the fixture teardown sees no stray reservation
+    cat.locking.delete(
+        os.path.join(
+            cat._branch_commit_dir(spec, "dev"),
+            f"{got['n']:010d}.inflight",
+        )
+    )
+
+
+def test_drop_branch_clears_stale_publish_marker(branched):
+    """A crashed publish leaves its marker OUTSIDE the branch dir; DROP
+    BRANCH must clear it so a re-created branch isn't blocked."""
+    e = branched
+    cat = e.catalog
+    spec = cat.get_table("bt")
+    marker = cat._branch_publish_marker(spec, "dev")
+    assert cat.locking.put_if_absent(marker, b"999999")
+    e.sql("ALTER TABLE bt DROP BRANCH dev")
+    assert cat.locking.stat_mtime(marker) is None
+    e.sql("ALTER TABLE bt CREATE BRANCH dev")
+    e.sql("INSERT INTO bt$branch('dev') VALUES (9, 'i')")
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "b"), (9, "i")]

@@ -21,6 +21,53 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def probe_cpu_contention(width: int = 32) -> dict:
+    """Host CPU-contention marker: the same fixed CPU burn measured
+    serially and at ``width``-wide process parallelism.  ratio ~1.0-1.15
+    = the VM really has ``width`` cores free; ratio 1.3+ = co-tenant
+    load or a CPU quota is shaving parallel throughput, which inflates
+    every multi-task Spark stage in proportion WITHOUT moving the
+    1-task job floor (measured: a 30 ms floor coexisting with 1.33x
+    parallel contention and a 1.4x-inflated bench total).  Both probes
+    ride in the artifact so a verdict can normalize: clean-equivalent
+    total ~= value / ratio."""
+    import concurrent.futures as cf
+
+    serial = _burn(0)
+    with cf.ProcessPoolExecutor(max_workers=width) as pool:
+        ts = list(pool.map(_burn, range(width)))
+    par = sorted(ts)[len(ts) // 2]
+    return {
+        "serial_ms": round(serial * 1000.0, 1),
+        f"parallel{width}_ms": round(par * 1000.0, 1),
+        "ratio": round(par / serial, 3),
+    }
+
+
+def probe_job_floor(spark, samples: int = 5) -> float:
+    """Median wall-clock of a trivial 1-task SQL job, in ms — the
+    irreducible Spark job-scheduling latency on THIS host right now.
+    On a clean host it measures ~65 ms; VM-level contention pushes it
+    to 110-190 ms and inflates every query in proportion (VERDICT r8:
+    three rounds of perf verdicts hinged on reconstructing host state
+    from prose — this rides the number in the artifact instead).
+    Probed before AND after the run so drift during the run shows."""
+    ts = []
+    for _ in range(samples):
+        t0 = time.time()
+        run_query(spark.range(1, 2, numPartitions=1).selectExpr("id"))
+        ts.append((time.time() - t0) * 1000.0)
+    return round(sorted(ts)[len(ts) // 2], 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -132,7 +179,20 @@ def main() -> None:
     # real regressions are distinguishable in BENCH artifacts.  Lifecycle
     # entries rebuild their warehouse per run, so repeats are honest
     # end-to-end re-executions, not cache replays.
-    TRIPLICATE = {"q45_sketch_bounds", "q57_matview_incremental"}
+    # Lifecycle entries (DML/matview/streaming-ingest pipelines of many
+    # short statements) are floor-dominated, so they amplify host noise
+    # the most — all of them get median-of-3 (VERDICT r8 item 1).
+    TRIPLICATE = {
+        "q45_sketch_bounds",
+        "q53_merge_into",
+        "q57_matview_incremental",
+        "q59_matview_join",
+        "q66_matview_star",
+        "ns_multimodal_scene_ingest",
+    }
+
+    floor_before_ms = probe_job_floor(spark)
+    contention_before = probe_cpu_contention()
 
     timings = {}
     for name in sorted(queries):
@@ -257,6 +317,9 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error in streaming setup: {exc}", file=sys.stderr)
 
+    floor_after_ms = probe_job_floor(spark)
+    contention_after = probe_cpu_contention()
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
@@ -266,6 +329,21 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-state markers (VERDICT r8 item 1): the 1-task job
+                # floor catches scheduler-latency degradation; the CPU
+                # contention ratio catches parallel-throughput shaving
+                # (co-tenant load / CPU quota), which inflates totals
+                # ~linearly while leaving the floor untouched.  Clean
+                # host: floor <= ~70 ms AND ratio <= ~1.15.  Normalize
+                # cross-round comparisons by the ratio first.
+                "job_floor_ms": {
+                    "before": floor_before_ms,
+                    "after": floor_after_ms,
+                },
+                "cpu_contention": {
+                    "before": contention_before,
+                    "after": contention_after,
+                },
             }
         )
     )

@@ -321,42 +321,7 @@ def _acol(mv: Dict, col: Optional[str]) -> Optional[str]:
     return col.replace(".", "__") if mv.get("source2") else col
 
 
-def _project_normal(df: DataFrame, mv: Dict, sign=None) -> DataFrame:
-    """Project source/joined rows down to the normalized shape the agg
-    machinery consumes: group output names + mangled agg args
-    (+ optional per-row sign)."""
-    cols = [
-        F.expr(expr).alias(name)
-        for expr, name in zip(mv["group_cols"], mv["group_names"])
-    ]
-    done = set()
-    for a in mv["aggs"]:
-        c = a["col"]
-        if c is None or c in done:
-            continue
-        done.add(c)
-        cols.append(F.expr(c).alias(_acol(mv, c)))
-    if sign is not None:
-        cols.append(sign.cast("int").alias(_SIGN))
-    return df.select(*cols)
 
-
-def _join_cond(mv: Dict):
-    return reduce(
-        lambda x, y: x & y,
-        [F.expr(l) == F.expr(r) for l, r in mv["join_on"]],
-    )
-
-
-def _joined(mv: Dict, dfa: DataFrame, dfb: DataFrame, sign=None) -> DataFrame:
-    """alias → join → WHERE → normalized projection (qualified refs in
-    the WHERE resolve against the aliases, exactly as written)."""
-    out = dfa.alias(mv["alias"]).join(
-        dfb.alias(mv["alias2"]), _join_cond(mv), "inner"
-    )
-    if mv["where"]:
-        out = out.filter(F.expr(mv["where"]))
-    return _project_normal(out, mv, sign=sign)
 
 
 def _is_nary(mv: Dict) -> bool:
@@ -374,29 +339,50 @@ def _flat_expr(mv: Dict, expr: str) -> str:
     return re.sub(pat, r"\1__\2", expr)
 
 
-def _flat_frame(df: DataFrame, alias: str) -> DataFrame:
-    return df.select(*[F.col(c).alias(f"{alias}__{c}") for c in df.columns])
 
 
-def _flat_join_cond(mv: Dict, pairs) -> "F.Column":
-    return reduce(
-        lambda x, y: x & y,
-        [
-            F.col(_flat_expr(mv, l)) == F.col(_flat_expr(mv, r))
-            for l, r in pairs
-        ],
-    )
+
+# -- SQL-string plan construction (r9) ---------------------------------
+#
+# The delta/rebuild plans below are assembled as ONE generated SQL
+# statement per relation, with the raw inputs (pinned snapshots,
+# bounded CDC windows, checkpointed deltas) passed as spark.sql
+# DataFrame template parameters — the read_changelog treatment
+# (catalog.py r8: 251 -> 22 py4j commands).  The per-column
+# select/withColumn/join chains they replace cost ~340 ms of py4j
+# round-trips per warm REFRESH (r9 profile: _delta_rows 94 cmds +
+# _normalized_source 45 + _signed_changes 73 per window); an n-ary
+# refresh (q66) runs the derivation once per source per statement.
+# Semantics are unchanged: the SQL text is generated from the same
+# parsed view dict, and every user-derived fragment is brace-escaped
+# so spark.sql's string formatter can't misread it.
 
 
-def _project_normal_flat(df: DataFrame, mv: Dict, sign=None) -> DataFrame:
-    """n-ary analog of _project_normal: WHERE + projection over a flat
-    (alias__col) fully-joined frame.  _acol's dot-mangling produces the
-    same ``alias__col`` names, so the downstream agg machinery is
-    shared unchanged."""
-    if mv["where"]:
-        df = df.filter(F.expr(_flat_expr(mv, mv["where"])))
-    cols = [
-        F.col(_flat_expr(mv, expr)).alias(name)
+def _fmt_safe(text: str) -> str:
+    """Escape braces in user-derived SQL fragments: spark.sql(q, **dfs)
+    runs the query through a string formatter, so a literal '{' inside
+    an expression or string literal would be parsed as a template
+    field."""
+    return text.replace("{", "{{").replace("}", "}}")
+
+
+def _bt(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+# op -> row-contribution sign (matches _signed_changes' historic rule)
+_SIGN_CASE = "CASE WHEN op IN ('+I', '+U') THEN 1 ELSE -1 END"
+_CDC_META = ("op", "change_seq", "change_sub")
+
+
+def _norm_items_sql(mv: Dict, sign_sql: Optional[str] = None,
+                    flat: bool = False) -> str:
+    """SELECT items of the normalized shape the agg machinery consumes:
+    group output names + (mangled) agg args + optional sign — the SQL
+    text form of _project_normal/_project_normal_flat."""
+    tx = (lambda e: _flat_expr(mv, e)) if flat else (lambda e: e)
+    items = [
+        f"({_fmt_safe(tx(expr))}) AS {_bt(name)}"
         for expr, name in zip(mv["group_cols"], mv["group_names"])
     ]
     done = set()
@@ -405,50 +391,99 @@ def _project_normal_flat(df: DataFrame, mv: Dict, sign=None) -> DataFrame:
         if c is None or c in done:
             continue
         done.add(c)
-        cols.append(F.col(_flat_expr(mv, c)).alias(_acol(mv, c)))
-    if sign is not None:
-        cols.append(sign.cast("int").alias(_SIGN))
-    return df.select(*cols)
+        items.append(f"({_fmt_safe(tx(c))}) AS {_bt(_acol(mv, c))}")
+    if sign_sql is not None:
+        items.append(f"CAST(({sign_sql}) AS INT) AS {_bt(_SIGN)}")
+    return ", ".join(items)
 
 
-def _nary_snapshot(catalog, mv: Dict, his: List[int]) -> DataFrame:
-    """Fold-join of all sources pinned at their anchors (flat frames)."""
-    frames = [
-        _flat_frame(
-            catalog.read(s["name"], as_of_seq=hi), s["alias"]
-        )
-        for s, hi in zip(mv["sources"], his)
-    ]
-    joined = frames[0]
-    for i, frame in enumerate(frames[1:]):
-        joined = joined.join(frame, _flat_join_cond(mv, mv["joins"][i]))
-    return joined
+def _pair_on_sql(mv: Dict, pairs, flat: bool = False) -> str:
+    tx = (lambda e: _flat_expr(mv, e)) if flat else (lambda e: e)
+    return " AND ".join(
+        f"({_fmt_safe(tx(l))}) = ({_fmt_safe(tx(r))})" for l, r in pairs
+    )
+
+
+def _where_sql(mv: Dict, flat: bool = False) -> str:
+    if not mv["where"]:
+        return ""
+    w = _flat_expr(mv, mv["where"]) if flat else mv["where"]
+    return f" WHERE {_fmt_safe(w)}"
+
+
+class _SqlPlan:
+    """Accumulates spark.sql template parameters while SQL text is
+    composed, so one final spark.sql call ships the whole plan."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.params: Dict[str, DataFrame] = {}
+
+    def ref(self, df: DataFrame) -> str:
+        k = f"p{len(self.params)}"
+        self.params[k] = df
+        return "{" + k + "}"
+
+    def sql(self, q: str) -> DataFrame:
+        return self.spark.sql(q, **self.params)
+
+
+def _flat_items_sql(cols: List[str], alias: str) -> str:
+    return ", ".join(f"{_bt(c)} AS {_bt(alias + '__' + c)}" for c in cols)
+
+
+def _nary_snap_from(catalog, mv: Dict, his: List[int], plan: _SqlPlan) -> str:
+    """FROM-clause text of the fold-join of all sources pinned at their
+    anchors, as flat (alias__col) subselects."""
+    parts = None
+    for i, (s, hi) in enumerate(zip(mv["sources"], his)):
+        snap = catalog.read(s["name"], as_of_seq=hi)
+        cols = catalog.get_table(s["name"]).spark_schema().fieldNames()
+        t = f"(SELECT {_flat_items_sql(cols, s['alias'])} FROM {plan.ref(snap)})"
+        if parts is None:
+            parts = t
+        else:
+            parts += f" JOIN {t} ON {_pair_on_sql(mv, mv['joins'][i - 1], flat=True)}"
+    return parts
 
 
 def _normalized_source(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     """The view's input relation (joined for join views), pinned at the
-    given per-source seq anchors, WHERE applied, normalized."""
+    given per-source seq anchors, WHERE applied, normalized — one
+    generated SQL statement."""
+    plan = _SqlPlan(catalog.spark)
     if _is_nary(mv):
-        return _project_normal_flat(
-            _nary_snapshot(catalog, mv, anchors["his"]), mv
+        frm = _nary_snap_from(catalog, mv, anchors["his"], plan)
+        return plan.sql(
+            f"SELECT {_norm_items_sql(mv, flat=True)} FROM {frm}"
+            f"{_where_sql(mv, flat=True)}"
         )
     if mv.get("source2") is None:
         src = catalog.read(mv["source"], as_of_seq=anchors["hi"])
-        if mv["where"]:
-            src = src.filter(F.expr(mv["where"]))
-        return _project_normal(src, mv)
-    return _joined(
-        mv,
-        catalog.read(mv["source"], as_of_seq=anchors["hi"]),
-        catalog.read(mv["source2"], as_of_seq=anchors["hi2"]),
+        return plan.sql(
+            f"SELECT {_norm_items_sql(mv)} FROM {plan.ref(src)}"
+            f"{_where_sql(mv)}"
+        )
+    a1 = catalog.read(mv["source"], as_of_seq=anchors["hi"])
+    b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])
+    on = _pair_on_sql(mv, mv["join_on"])
+    return plan.sql(
+        f"SELECT {_norm_items_sql(mv)} FROM {plan.ref(a1)} {_bt(mv['alias'])}"
+        f" JOIN {plan.ref(b1)} {_bt(mv['alias2'])} ON {on}{_where_sql(mv)}"
     )
 
 
-def _signed_changes(catalog, mv: Dict, source: str, lo: int, hi: int):
-    """Bounded CDC window of one source as sign-weighted plain rows."""
+def _signed_changes(catalog, mv: Dict, source: str, lo: int, hi: int,
+                    sign_name: str = _SIGN) -> DataFrame:
+    """Bounded CDC window of one source as sign-weighted plain rows
+    (one generated SQL statement over the changelog window)."""
     ch = catalog.read_changes(source, from_seq=lo, to_seq=hi)
-    sign = F.when(F.col("op").isin("+I", "+U"), F.lit(1)).otherwise(F.lit(-1))
-    return ch.withColumn(_SIGN, sign).drop("op", "change_seq", "change_sub")
+    cols = [c for c in ch.columns if c not in _CDC_META]
+    items = ", ".join(_bt(c) for c in cols)
+    return catalog.spark.sql(
+        f"SELECT {items}, {_SIGN_CASE} AS {_bt(sign_name)} FROM {{ch}}",
+        ch=ch,
+    )
 
 
 def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
@@ -464,96 +499,139 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     delta side) and checkpoints the accumulated delta once, so refresh
     cost is O(changes × join fan-out × n_sources), never O(Σ|sources|).
     Signs multiply through each join; the both-delta term is negated
-    exactly as in the 2-ary rule."""
-    sc = "__mv_sign_c__"
+    exactly as in the 2-ary rule.
+
+    The whole fold is composed as SQL text (checkpoint boundaries
+    excepted — a checkpointed delta re-enters as a template param), so
+    a refresh ships ONE statement per checkpoint segment instead of
+    ~100 py4j plan-construction round-trips."""
+    spark = catalog.spark
     his, los = anchors["his"], anchors["los"]
+    srcs = mv["sources"]
+    n_src = len(srcs)
+    has_delta = [h > l for h, l in zip(his, los)]
+    plan = _SqlPlan(spark)
+    sc = "__mv_sign_c__"
 
-    def _delta_of(i: int, sign_name: str):
-        if his[i] <= los[i]:
-            return None
-        src = mv["sources"][i]
-        return _flat_frame(
-            _signed_changes(catalog, mv, src["name"], los[i], his[i])
-            .withColumnRenamed(_SIGN, "__sgn__"),
-            src["alias"],
-        ).withColumnRenamed(f"{src['alias']}____sgn__", sign_name)
+    def flat_cols(i: int) -> List[str]:
+        al = srcs[i]["alias"]
+        return [
+            f"{al}__{c}"
+            for c in catalog.get_table(srcs[i]["name"])
+            .spark_schema()
+            .fieldNames()
+        ]
 
-    def _snap_of(i: int):
-        src = mv["sources"][i]
-        return _flat_frame(
-            catalog.read(src["name"], as_of_seq=his[i]), src["alias"]
+    def snap_text(i: int) -> str:
+        snap = catalog.read(srcs[i]["name"], as_of_seq=his[i])
+        cols = catalog.get_table(srcs[i]["name"]).spark_schema().fieldNames()
+        return (
+            f"(SELECT {_flat_items_sql(cols, srcs[i]['alias'])}"
+            f" FROM {plan.ref(snap)})"
         )
 
-    # Checkpoint policy (r8): a lazy checkpoint costs ~130 ms of toRdd
-    # planning even with AQE scoped off — measured as the dominant block
-    # of a warm n-ary refresh (4 checkpoints = 0.54 s of 1.26 s).  A
-    # delta subtree only deserves one when it feeds MORE than one join
-    # term; single-consumer subtrees inline into the merged plan (whose
-    # own checkpoint covers the self-read pinning) and recompute nothing.
-    has_delta = [h > l for h, l in zip(his, los)]
-    n_src = len(mv["sources"])
-    j1 = _snap_of(0)
-    dj = _delta_of(0, _SIGN)
+    def delta_text(i: int, sign_name: str) -> Optional[str]:
+        if his[i] <= los[i]:
+            return None
+        src = srcs[i]
+        ch = catalog.read_changes(src["name"], from_seq=los[i], to_seq=his[i])
+        cols = [c for c in ch.columns if c not in _CDC_META]
+        return (
+            f"(SELECT {_flat_items_sql(cols, src['alias'])},"
+            f" {_SIGN_CASE} AS {_bt(sign_name)} FROM {plan.ref(ch)})"
+        )
+
+    def materialize(text: str) -> str:
+        # Checkpoint policy (r8): a lazy checkpoint costs ~130 ms of
+        # toRdd planning even with AQE scoped off — a delta subtree
+        # only deserves one when it feeds MORE than one join term;
+        # single-consumer subtrees inline into the next statement.
+        df = _lazy_checkpoint(spark.sql(f"SELECT * FROM {text}", **plan.params))
+        return plan.ref(df)
+
+    cum_cols = flat_cols(0)
+    j1_from = snap_text(0)
+    dj = delta_text(0, _SIGN)
     # d0 feeds two fold-1 terms (δJ⋈C1 + δJ⋈δC) only if source 1 also
     # has a delta; otherwise it flows through exactly one join per fold
     if dj is not None and n_src > 1 and has_delta[1]:
-        dj = _lazy_checkpoint(dj)
+        dj = materialize(dj)
     for i in range(1, n_src):
-        cond = _flat_join_cond(mv, mv["joins"][i - 1])
-        c1 = _snap_of(i)
-        dc = _delta_of(i, sc)
+        cond = _pair_on_sql(mv, mv["joins"][i - 1], flat=True)
+        c1 = snap_text(i)
+        dc = delta_text(i, sc)
         if dc is not None and dj is not None:
             # δC feeds J1⋈δC AND δJ⋈δC — two consumers
-            dc = _lazy_checkpoint(dc)
+            dc = materialize(dc)
+        step_cols = cum_cols + flat_cols(i)
+        sel = ", ".join(_bt(c) for c in step_cols)
         terms = []
         if dj is not None:
-            terms.append(dj.join(c1, cond))
+            terms.append(
+                f"SELECT {sel}, {_bt(_SIGN)} FROM {dj} JOIN {c1} ON {cond}"
+            )
         if dc is not None:
             terms.append(
-                j1.join(dc, cond)
-                .withColumnRenamed(sc, _SIGN)
+                f"SELECT {sel}, {_bt(sc)} AS {_bt(_SIGN)}"
+                f" FROM {j1_from} JOIN {dc} ON {cond}"
             )
         if dj is not None and dc is not None:
-            both = dj.join(dc, cond)
             terms.append(
-                both.withColumn(
-                    _SIGN, -(F.col(_SIGN) * F.col(sc))
-                ).drop(sc)
+                f"SELECT {sel}, -({_bt(_SIGN)} * {_bt(sc)}) AS {_bt(_SIGN)}"
+                f" FROM {dj} JOIN {dc} ON {cond}"
             )
-        dj = reduce(DataFrame.unionByName, terms) if terms else None
+        dj = (
+            "(" + " UNION ALL ".join(f"({t})" for t in terms) + ")"
+            if terms
+            else None
+        )
         # the folded delta feeds two terms of the NEXT step only if that
         # source has its own delta; the LAST fold's output always has a
         # single consumer (the delta aggregation under merged's
         # checkpoint) and never checkpoints
         if dj is not None and i + 1 < n_src and has_delta[i + 1]:
-            dj = _lazy_checkpoint(dj)
-        j1 = j1.join(c1, cond)
+            dj = materialize(dj)
+        j1_from = f"{j1_from} JOIN {c1} ON {cond}"
+        cum_cols = step_cols
     if dj is None:  # no source had a window (caller guards, but be safe)
-        return _project_normal_flat(
-            j1.limit(0), mv, sign=F.lit(1)
+        return plan.sql(
+            f"SELECT {_norm_items_sql(mv, '1', flat=True)}"
+            f" FROM {j1_from} LIMIT 0"
         )
-    return _project_normal_flat(dj, mv, sign=F.col(_SIGN))
+    return plan.sql(
+        f"SELECT {_norm_items_sql(mv, _bt(_SIGN), flat=True)} FROM {dj}"
+        f"{_where_sql(mv, flat=True)}"
+    )
 
 
 def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     """Sign-weighted normalized rows whose aggregation is the view's
-    exact delta over the refresh window.
+    exact delta over the refresh window — one generated SQL statement
+    per checkpoint segment (see _delta_rows_nary).
 
     Single source: the CDC window itself.  Join views: the three-term
     join delta  δA ⋈ B1  +  A1 ⋈ δB  −  δA ⋈ δB  with per-pair sign
     products (see module docstring); three or more sources fold the
     same rule pairwise (see _delta_rows_nary)."""
+    plan = _SqlPlan(catalog.spark)
     if _is_nary(mv):
         return _delta_rows_nary(catalog, mv, anchors)
     if mv.get("source2") is None:
-        ch = _signed_changes(
-            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
+        ch = catalog.read_changes(
+            mv["source"], from_seq=anchors["lo"], to_seq=anchors["hi"]
         )
-        if mv["where"]:
-            ch = ch.filter(F.expr(mv["where"]))
-        return _project_normal(ch, mv, sign=F.col(_SIGN))
+        # WHERE evaluates over the raw change images (before the
+        # normalized projection), exactly as the filtered-DataFrame
+        # form did
+        return plan.sql(
+            f"SELECT {_norm_items_sql(mv, _SIGN_CASE)}"
+            f" FROM {plan.ref(ch)}{_where_sql(mv)}"
+        )
 
     sa, sb = "__mv_sign_a__", "__mv_sign_b__"
+    a, b = _bt(mv["alias"]), _bt(mv["alias2"])
+    on = _pair_on_sql(mv, mv["join_on"])
+    where = _where_sql(mv)
     d_a = d_b = None
     # a delta checkpoints ONLY when it feeds two terms (its own snapshot
     # join AND the both-delta correction) — i.e. when the OTHER source
@@ -564,26 +642,41 @@ def _delta_rows(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     )
     if anchors["hi"] > anchors["lo"]:
         d_a = _signed_changes(
-            catalog, mv, mv["source"], anchors["lo"], anchors["hi"]
-        ).withColumnRenamed(_SIGN, sa)
+            catalog, mv, mv["source"], anchors["lo"], anchors["hi"],
+            sign_name=sa,
+        )
         if both_changed:
             d_a = _lazy_checkpoint(d_a)
     if anchors["hi2"] > anchors["lo2"]:
         d_b = _signed_changes(
-            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"]
-        ).withColumnRenamed(_SIGN, sb)
+            catalog, mv, mv["source2"], anchors["lo2"], anchors["hi2"],
+            sign_name=sb,
+        )
         if both_changed:
             d_b = _lazy_checkpoint(d_b)
     terms = []
     if d_a is not None:
         b1 = catalog.read(mv["source2"], as_of_seq=anchors["hi2"])
-        terms.append(_joined(mv, d_a, b1, sign=F.col(sa)))
+        terms.append(
+            f"SELECT {_norm_items_sql(mv, _bt(sa))} FROM {plan.ref(d_a)} {a}"
+            f" JOIN {plan.ref(b1)} {b} ON {on}{where}"
+        )
     if d_b is not None:
         a1 = catalog.read(mv["source"], as_of_seq=anchors["hi"])
-        terms.append(_joined(mv, a1, d_b, sign=F.col(sb)))
+        terms.append(
+            f"SELECT {_norm_items_sql(mv, _bt(sb))} FROM {plan.ref(a1)} {a}"
+            f" JOIN {plan.ref(d_b)} {b} ON {on}{where}"
+        )
     if d_a is not None and d_b is not None:
-        terms.append(_joined(mv, d_a, d_b, sign=-(F.col(sa) * F.col(sb))))
-    return reduce(DataFrame.unionByName, terms)
+        # the both-delta pairs were counted by the first two terms
+        # twice: subtract them (sign products negated)
+        terms.append(
+            f"SELECT {_norm_items_sql(mv, f'-({_bt(sa)} * {_bt(sb)})')}"
+            f" FROM {plan.ref(d_a)} {a} JOIN {plan.ref(d_b)} {b}"
+            f" ON {on}{where}"
+        )
+    return plan.sql(" UNION ALL ".join(f"({t})" for t in terms))
+
 
 
 def _with_kahan_state(state: DataFrame, mv: Dict) -> DataFrame:
@@ -977,34 +1070,68 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         needs_rescan.alias("__mv_rescan__"),
         *[c.alias(n) for n, c in new_cols.items()],
     )
-    # Checkpoint pins against the self-read below: the fused write reads
-    # merged, and merged's plan reads the view table the write appends
-    # to.  LAZY + AQE-off (_lazy_checkpoint): the stats job right below
-    # executes the whole delta pipeline as ONE job.
-    merged = _lazy_checkpoint(merged)
-
+    # Pinning against the self-read below (the fused write reads merged,
+    # and merged's plan reads the view table the write appends to), two
+    # ways by delta size (r9):
+    #
+    #   SMALL (the normal incremental case): collect the merged delta to
+    #   the driver and rebuild it as a LOCAL DataFrame with the exact
+    #   same schema — one job total, perfect pinning (the data left the
+    #   cluster), and it replaces BOTH the lazy-checkpoint toRdd planning
+    #   (~0.38 s of Catalyst work per refresh, r9 profile) and the
+    #   separate stats job (counts come from the collected rows).  The
+    #   cap bounds driver memory; a refresh window touching ≤10k groups
+    #   is by far the common shape.
+    #
+    #   LARGE: fall back to the r8 design — lazy checkpoint + one stats
+    #   job that materializes it.  The probe's limit-collect is one
+    #   extra early-exiting job on this path; large refreshes are
+    #   compute-dominated, so it's noise there.
+    _LOCAL_CAP = 10_001
+    local_rows = merged.limit(_LOCAL_CAP).collect()
     schema_order = [c.name for c in spec.columns]
-    # ONE stats pass over the checkpointed frame (r8): materializes the
-    # checkpoint AND returns every count downstream decisions need —
-    # the rescan probe, the upsert/delete split for the result dict
-    # (previously a write-side Observation), and the touched-group
-    # total.  Replaces the limit(1).count() probe job at the same job
-    # cost; the fused write below no longer carries an observe().
+    if len(local_rows) < _LOCAL_CAP:
+        # ONE-slice parallelize, NOT createDataFrame(rows, schema): the
+        # latter splits a 170-row list across defaultParallelism python
+        # tasks and the downstream write pays ~4.5 s of worker round
+        # trips (measured); one slice is one ~150 ms task and row
+        # objects round-trip exactly (no pandas type mangling)
+        merged = catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.parallelize(local_rows, 1),
+            merged.schema,
+        )
+        n_rescan = n_up = n_dead = 0
+        for r in local_rows:
+            if r[_STAR] > 0:
+                if r["__mv_rescan__"]:
+                    n_rescan += 1
+                else:
+                    n_up += 1
+            elif r["__mv_existed__"]:
+                n_dead += 1
+        n_up += n_rescan
+    else:
+        merged = _lazy_checkpoint(merged)
+        # ONE stats pass over the checkpointed frame (r8): materializes
+        # the checkpoint AND returns every count downstream decisions
+        # need — the rescan probe, the upsert/delete split for the
+        # result dict, and the touched-group total.
+        alive0 = F.col(_STAR) > 0
+        stats = merged.agg(
+            F.sum(
+                F.when(alive0 & F.col("__mv_rescan__"), 1).otherwise(0)
+            ).alias("n_rescan"),
+            F.sum(
+                F.when(alive0 & ~F.col("__mv_rescan__"), 1).otherwise(0)
+            ).alias("n_up"),
+            F.sum(
+                F.when(~alive0 & F.col("__mv_existed__"), 1).otherwise(0)
+            ).alias("n_dead"),
+        ).collect()[0]
+        n_rescan = int(stats["n_rescan"] or 0)
+        n_dead = int(stats["n_dead"] or 0)
+        n_up = int(stats["n_up"] or 0) + n_rescan
     alive = F.col(_STAR) > 0
-    stats = merged.agg(
-        F.sum(F.when(alive & F.col("__mv_rescan__"), 1).otherwise(0)).alias(
-            "n_rescan"
-        ),
-        F.sum(F.when(alive & ~F.col("__mv_rescan__"), 1).otherwise(0)).alias(
-            "n_up"
-        ),
-        F.sum(
-            F.when(~alive & F.col("__mv_existed__"), 1).otherwise(0)
-        ).alias("n_dead"),
-    ).collect()[0]
-    n_rescan = int(stats["n_rescan"] or 0)
-    n_dead = int(stats["n_dead"] or 0)
-    n_up = int(stats["n_up"] or 0) + n_rescan
     # bounded rescan: groups whose stored extremum was retracted are
     # recomputed from the source — a semi-join-restricted scan touching
     # only those groups' rows, never the whole view (dead groups skip

@@ -753,24 +753,95 @@ class FlussCatalog:
             out = out.filter(F.expr(predicate))
         return out
 
-    def expire_refs(self, name: str) -> dict:
-        """Drop every tag and branch stranded below the compaction
-        floor — refs whose anchor history no longer exists and which
-        therefore refuse every read (information_schema.table_refs
-        shows them readable=false).  Compaction deliberately leaves
-        them in place (raising the floor must not silently destroy
-        named refs); this is the explicit janitor a retention policy
-        calls.  Returns {"tags": [...], "branches": [...]} dropped."""
+    def expire_refs(
+        self,
+        name: str,
+        retain_last: Optional[int] = None,
+        older_than_seconds: Optional[float] = None,
+    ) -> dict:
+        """ALTER TABLE t EXPIRE REFS [RETAIN LAST n] [OLDER THAN
+        <interval>] — the ref janitor (Iceberg's expireSnapshots
+        retention analog on named refs).
+
+        Always drops refs stranded below the compaction floor — their
+        anchor history no longer exists and every read refuses
+        (information_schema.table_refs shows them readable=false);
+        compaction deliberately leaves them in place (raising the floor
+        must not silently destroy named refs).
+
+        Retention policies extend the candidate set (per ref KIND —
+        tags and branches age independently):
+
+        - ``older_than_seconds``: refs created earlier than the cutoff
+          become candidates (bare RETAIN LAST means every ref is).
+        - ``retain_last``: the newest n refs of each kind (by anchor
+          seq, then creation time) are protected regardless of age —
+          the Iceberg retain-last floor.
+        - live-branch protection: a branch with UNPUBLISHED work
+          (committed statements past its fork) is never expired by
+          policy — only FAST FORWARD, DROP BRANCH, or floor-stranding
+          can take work a user hasn't published.
+
+        Idempotent; returns {"tags": [...], "branches": [...]}
+        dropped."""
+        if retain_last is not None and retain_last < 0:
+            raise ValueError("RETAIN LAST requires a non-negative count")
+        if older_than_seconds is not None and older_than_seconds < 0:
+            raise ValueError("OLDER THAN requires a non-negative interval")
         spec = self.get_table(name)
         floor = self._floor.get(spec.qualified_name, 0)
-        dead_tags = sorted(
+        dead_tags = {
             t for t, v in (spec.tags or {}).items()
             if int(v["seq"]) < floor
-        )
-        dead_branches = sorted(
+        }
+        dead_branches = {
             b for b, v in (spec.branches or {}).items()
             if int(v["fork_seq"]) < floor
-        )
+        }
+        if retain_last is not None or older_than_seconds is not None:
+            import datetime
+
+            now = datetime.datetime.now(datetime.timezone.utc)
+
+            def _age_s(info: dict) -> float:
+                try:
+                    created = datetime.datetime.fromisoformat(
+                        info["created_at"]
+                    )
+                except (KeyError, ValueError):
+                    return float("inf")  # unstamped = arbitrarily old
+                return (now - created).total_seconds()
+
+            for entries, anchor, dead in (
+                (spec.tags or {}, "seq", dead_tags),
+                (spec.branches or {}, "fork_seq", dead_branches),
+            ):
+                newest_first = sorted(
+                    entries.items(),
+                    key=lambda kv: (
+                        int(kv[1][anchor]),
+                        kv[1].get("created_at", ""),
+                    ),
+                    reverse=True,
+                )
+                protected = {
+                    r for r, _ in newest_first[: retain_last or 0]
+                }
+                for ref, info in newest_first:
+                    if ref in protected or ref in dead:
+                        continue
+                    if (
+                        older_than_seconds is not None
+                        and _age_s(info) < older_than_seconds
+                    ):
+                        continue
+                    if anchor == "fork_seq" and self._branch_head(
+                        spec, ref
+                    ) > int(info["fork_seq"]):
+                        continue  # live-branch protection
+                    dead.add(ref)
+        dead_tags = sorted(dead_tags)
+        dead_branches = sorted(dead_branches)
         for t in dead_tags:
             spec.tags = {k: v for k, v in spec.tags.items() if k != t}
         for b in dead_branches:

@@ -470,8 +470,36 @@ def parse_alter_table(sql: str):
     )
     if ffwd:
         return target, ("fast_forward", strip_quotes(ffwd.group(1)))
-    if re.match(r"^EXPIRE\s+REFS\s*$", body, re.IGNORECASE):
-        return target, ("expire_refs", None)
+    exp = re.match(r"^EXPIRE\s+REFS\s*(.*)$", body, re.IGNORECASE | re.DOTALL)
+    if exp:
+        # optional retention clauses in either order:
+        #   [RETAIN LAST n] [OLDER THAN [INTERVAL] 'n' UNIT]
+        rest = exp.group(1).strip()
+        retain = None
+        older = None
+        _UNIT_S = {
+            "SECOND": 1.0, "MINUTE": 60.0, "HOUR": 3600.0, "DAY": 86400.0,
+        }
+        while rest:
+            m = re.match(r"^RETAIN\s+LAST\s+(\d+)\s*", rest, re.IGNORECASE)
+            if m and retain is None:
+                retain = int(m.group(1))
+                rest = rest[m.end():].strip()
+                continue
+            m = re.match(
+                r"^OLDER\s+THAN\s+(?:INTERVAL\s+)?'?(\d+)'?\s+"
+                r"(SECOND|MINUTE|HOUR|DAY)S?\s*",
+                rest, re.IGNORECASE,
+            )
+            if m and older is None:
+                older = int(m.group(1)) * _UNIT_S[m.group(2).upper()]
+                rest = rest[m.end():].strip()
+                continue
+            raise ValueError(
+                "EXPIRE REFS supports '[RETAIN LAST n] [OLDER THAN "
+                f"[INTERVAL] n SECOND|MINUTE|HOUR|DAY[S]]': got {body!r}"
+            )
+        return target, ("expire_refs", (retain, older))
     addc = re.match(
         r"^ADD\s+CONSTRAINT\s+(`?[\w]+`?)\s+CHECK\s*\((.*)\)\s*$",
         body, re.IGNORECASE | re.DOTALL,

@@ -1050,6 +1050,10 @@ def q37_window_moving_frame(spark, sf_dir):
            round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
     FROM lineitem GROUP BY l_returnflag
     """,
+    # r9: rotated to extended for q76_expire_refs_retention (aggregation
+    # keeps q01 core; percentile coverage stays in-window via q45's
+    # bounds-checked approx_percentile)
+    extended=True,
 )
 def q38_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (Spark `percentile` == DuckDB
@@ -2987,3 +2991,91 @@ def q75_branch_diff(spark, sf_dir):
         " WHERE n_regionkey = 3"
     )
     return e.sql("SELECT * FROM bd_nation$branch_diff('rev')")
+
+
+@query(
+    "q76_expire_refs_retention",
+    oracle="""
+    WITH r1 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 1),
+         r3 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 3),
+         odd1 AS (SELECT count(*) AS c FROM r1 WHERE n_nationkey % 2 = 1)
+    SELECT 't3' AS ref_name, 'TAG' AS ref_type,
+           (SELECT c FROM odd1) + (SELECT count(*) FROM r3) AS n_rows
+    UNION ALL
+    SELECT 'b2', 'BRANCH', (SELECT c FROM odd1) + 1
+    UNION ALL
+    SELECT 'expired', 'TAG', 2
+    UNION ALL
+    SELECT 'expired', 'BRANCH', 1
+    """,
+    # r9: CORE — the round's retention-policy addition rides the driver
+    # window (q38_percentiles rotated to extended)
+)
+def q76_expire_refs_retention(spark, sf_dir):
+    """Ref retention (r9 — `ALTER TABLE t EXPIRE REFS [RETAIN LAST n]
+    [OLDER THAN interval]`, the Iceberg expireSnapshots analog on named
+    refs): three tags + two branches accumulate over three statements,
+    one branch carries UNPUBLISHED work; `RETAIN LAST 1 OLDER THAN 0
+    SECONDS` must keep the newest tag, keep the newest branch (which is
+    also live-protected), and expire the rest.  Every surviving ref is
+    then READ THROUGH (`VERSION AS OF`) so the result ties ref identity
+    to row counts DuckDB re-derives from raw nation; the expired counts
+    ride as marker rows."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_xrefs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE xr_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    # seq 1: region-1 load
+    e.sql(
+        "INSERT INTO xr_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 1"
+    )
+    e.sql("ALTER TABLE xr_nation CREATE TAG t1")
+    e.sql("ALTER TABLE xr_nation CREATE BRANCH b1")
+    # seq 2: delete even keys
+    e.sql("DELETE FROM xr_nation WHERE n_nationkey % 2 = 0")
+    e.sql("ALTER TABLE xr_nation CREATE TAG t2")
+    e.sql("ALTER TABLE xr_nation CREATE BRANCH b2")
+    # seq 3: adopt region-3 rows
+    e.sql(
+        "INSERT INTO xr_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 3"
+    )
+    e.sql("ALTER TABLE xr_nation CREATE TAG t3")
+    # b2 carries unpublished work -> live-branch protection
+    e.sql("INSERT INTO xr_nation$branch('b2') VALUES (9999, 'wip')")
+    exp = e.sql(
+        "ALTER TABLE xr_nation EXPIRE REFS RETAIN LAST 1"
+        " OLDER THAN INTERVAL '0' SECONDS"
+    ).collect()[0]
+    survivors = sorted(
+        (r.ref_name, r.ref_type)
+        for r in e.sql(
+            "SELECT * FROM information_schema.table_refs"
+            " WHERE table_name = 'xr_nation'"
+        ).collect()
+    )
+    rows = []
+    for ref, kind in survivors:  # metadata-sized: <= retained refs
+        n = e.sql(
+            f"SELECT count(*) AS c FROM xr_nation VERSION AS OF '{ref}'"
+        ).collect()[0].c
+        rows.append((ref, kind, int(n)))
+    rows.append(("expired", "TAG", int(exp.expired_tags)))
+    rows.append(("expired", "BRANCH", int(exp.expired_branches)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "ref_name string, ref_type string, n_rows bigint",
+    )

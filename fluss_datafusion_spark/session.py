@@ -313,7 +313,12 @@ class EngineSession:
                     "advanced_to bigint, files_published bigint",
                 )
             elif action == "expire_refs":
-                dropped = self.catalog.expire_refs(target)
+                retain, older = payload if payload else (None, None)
+                dropped = self.catalog.expire_refs(
+                    target,
+                    retain_last=retain,
+                    older_than_seconds=older,
+                )
                 return self.spark.createDataFrame(
                     [(len(dropped["tags"]), len(dropped["branches"]))],
                     "expired_tags bigint, expired_branches bigint",

@@ -494,3 +494,76 @@ def test_drop_branch_clears_stale_publish_marker(branched):
     e.sql("INSERT INTO bt$branch('dev') VALUES (9, 'i')")
     assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
         (1, "a"), (2, "b"), (9, "i")]
+
+
+def test_expire_refs_retention_policies(spark, tmp_path):
+    """EXPIRE REFS [RETAIN LAST n] [OLDER THAN interval] — the Iceberg
+    expireSnapshots retention analog on named refs (VERDICT r8 item 3):
+    keep-last-N per ref kind, max-age cutoff, live-branch protection,
+    idempotent."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE rr (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    for i in range(1, 5):
+        e.sql(f"INSERT INTO rr VALUES ({i}, 'v{i}')")  # seqs 1..4
+        e.sql(f"ALTER TABLE rr CREATE TAG t{i} AS OF VERSION {i}")
+    e.sql("ALTER TABLE rr CREATE BRANCH b1 AS OF VERSION 1")
+    e.sql("ALTER TABLE rr CREATE BRANCH b2 AS OF VERSION 2")
+    e.sql("ALTER TABLE rr CREATE BRANCH b3 AS OF VERSION 3")
+    # b2 carries UNPUBLISHED work: policy expiry must never take it
+    e.sql("INSERT INTO rr$branch('b2') VALUES (99, 'wip')")
+
+    # age cutoff in the future-relative sense: nothing is older than a
+    # day, so OLDER THAN 1 DAY expires nothing
+    row = e.sql("ALTER TABLE rr EXPIRE REFS OLDER THAN 1 DAY").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (0, 0)
+
+    # keep-last-2 per kind: tags t3/t4 survive, branches b3 survives
+    # plus b2 via live-branch protection; t1/t2/b1 expire
+    row = e.sql("ALTER TABLE rr EXPIRE REFS RETAIN LAST 2").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (2, 1)
+    refs = {
+        (r.ref_name, r.ref_type)
+        for r in e.sql(
+            "SELECT * FROM information_schema.table_refs"
+            " WHERE table_name = 'rr'"
+        ).collect()
+    }
+    assert refs == {
+        ("t3", "TAG"), ("t4", "TAG"),
+        ("b2", "BRANCH"), ("b3", "BRANCH"),
+    }
+    # idempotent (b2 still protected by its unpublished delta)
+    row = e.sql("ALTER TABLE rr EXPIRE REFS RETAIN LAST 2").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (0, 0)
+
+    # combined clauses parse in either order; OLDER THAN 0 SECONDS makes
+    # everything a candidate, RETAIN LAST 1 keeps the newest of each
+    # kind (t4, b3); b2 keeps its live protection
+    row = e.sql(
+        "ALTER TABLE rr EXPIRE REFS OLDER THAN INTERVAL '0' SECONDS"
+        " RETAIN LAST 1"
+    ).collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (1, 0)
+    refs = {
+        r.ref_name
+        for r in e.sql(
+            "SELECT * FROM information_schema.table_refs"
+            " WHERE table_name = 'rr'"
+        ).collect()
+    }
+    assert refs == {"t4", "b2", "b3"}
+
+    # b2 forked at 2 while main is at 4 and it carries work, so
+    # publication refuses on divergence — the only ways out are DROP
+    # (explicit, below) or a future cherry-pick; policy expiry stays
+    # unable to take it either way
+    with pytest.raises(ConcurrentWriteConflict):
+        e.sql("ALTER TABLE rr FAST FORWARD BRANCH b2")
+    # drop the unpublishable branch explicitly, then expire the rest
+    e.sql("ALTER TABLE rr DROP BRANCH b2")
+    row = e.sql("ALTER TABLE rr EXPIRE REFS RETAIN LAST 0").collect()[0]
+    assert (row.expired_tags, row.expired_branches) == (1, 1)
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE rr EXPIRE REFS RETAIN LAST -1")
+    with pytest.raises(ValueError):
+        e.sql("ALTER TABLE rr EXPIRE REFS OLDER THAN 5 FORTNIGHTS")

@@ -987,6 +987,133 @@ class FlussCatalog:
             self._save_spec(spec)
         return {"advanced_to": int(head), "files_published": moved}
 
+    def cherry_pick(self, name: str, branch: str) -> dict:
+        """Publish a DIVERGED branch: re-stamp its statements onto the
+        current main head (ALTER TABLE t CHERRY PICK BRANCH b).
+
+        fast_forward refuses when main moved past the fork — the Iceberg
+        precondition.  Cherry-pick is the rebase-publication escape
+        hatch: branch statements fork+1..head are re-issued as main
+        seqs mainHead+1.. (original intra-statement __sub__ order and
+        tombstones preserved, commit timestamps carried over), which
+        REWRITES the branch files (the __seq__ stamps must change — the
+        zero-rewrite move only exists at the fork point).
+
+        Conflict policy: REFUSE when any primary key was written by
+        BOTH sides since the fork (the safe default — last-writer-wins
+        across diverged histories silently destroys one side's intent;
+        the `t$branch_diff('b')` view shows the contested ground before
+        publishing).  Main keys untouched by the branch and branch keys
+        untouched by main merge cleanly: merge-on-read picks the higher
+        seq per key exactly as for any two main statements.
+
+        Scale shape: conflict detection is one PK semi-join of two
+        seq-pruned scans; publication is one re-stamped scan-and-write
+        of the branch delta (O(branch), never O(table)).  The branch
+        publish lock excludes concurrent branch writers; the main seq
+        reservation (expect_base = observed head) turns a concurrent
+        main commit into a clean ConcurrentWriteConflict."""
+        spec = self.get_table(name)
+        self._branch_info(spec, branch)  # validate before locking
+        key = spec.qualified_name
+        pk_stored = self._stored_names(spec, spec.primary_key)
+        with self._branch_publish_lock(spec, branch):
+            info = self._branch_info(spec, branch)
+            fork = int(info["fork_seq"])
+            commits = self._branch_commits(spec, branch)
+            bhead = max(commits, default=fork)
+            main_head = self._committed_seq(spec)
+            if bhead == fork:
+                # nothing to publish: re-anchor at today's head (same
+                # contract as fast_forward's empty-branch path)
+                head = max(fork, main_head)
+                self._refork_branch(spec, branch, head)
+                return {"advanced_to": int(head), "files_published": 0}
+            bpath = self._branch_path(spec, branch)
+            bdf = self.spark.read.schema(self._stored_schema(spec)).parquet(
+                bpath
+            )
+            if main_head > fork:
+                # contested keys: written by BOTH histories since the fork
+                main_changed = (
+                    self._log_df(spec)
+                    .filter(F.col(_SEQ) > F.lit(fork))
+                    .select(
+                        *[
+                            F.col(c).alias(s)
+                            for c, s in zip(spec.primary_key, pk_stored)
+                        ]
+                    )
+                )
+                contested = (
+                    bdf.select(*pk_stored)
+                    .join(main_changed, pk_stored, "left_semi")
+                    .distinct()
+                    .limit(6)
+                    .collect()
+                )
+                if contested:
+                    sample = ", ".join(
+                        str(tuple(r)) for r in contested[:5]
+                    )
+                    more = " (and possibly more)" if len(contested) > 5 else ""
+                    raise ConcurrentWriteConflict(
+                        f"cherry-pick of branch {branch!r} onto "
+                        f"{spec.qualified_name} refused: keys written by "
+                        f"both histories since the fork: {sample}{more} — "
+                        f"review with {name}$branch_diff('{branch}'), then "
+                        f"resolve on the branch or DROP it"
+                    )
+            n = bhead - fork
+            offset = main_head - fork
+            got = self._reserve_seqs(spec, count=n, expect_base=main_head)
+            path = self.table_path(spec)
+            restamped = bdf.withColumn(
+                _SEQ, (F.col(_SEQ) + F.lit(offset)).cast("long")
+            )
+            partition_cols = self._stored_names(
+                spec, spec.partition_keys or []
+            )
+            if spec.num_buckets and spec.bucket_keys:
+                partition_cols.append(_BKT)
+            before = _parquet_files(path)
+            writer = restamped.write.mode("append")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(path)
+            new_files = sorted(_parquet_files(path) - before)
+            bloom_cols, bloom_fpp = self._bloom_config(spec)
+            skipping.add_files(
+                path, new_files,
+                bloom_columns=bloom_cols, bloom_fpp=bloom_fpp,
+            )
+            moved = len(new_files)
+            for s in got:
+                orig = s - offset
+                if orig in commits:
+                    self._record_commit(spec, s, ts=commits[orig])
+                else:
+                    # an aborted branch statement left a seq gap: main
+                    # history tolerates gaps, release the reservation
+                    self._release_seqs(spec, [s])
+            head = main_head + n
+            self._seq[key] = head
+            self._touch_write_marker(spec)
+            self._register_view(spec)
+            self._refork_branch(spec, branch, head)
+        return {"advanced_to": int(head), "files_published": moved}
+
+    def _refork_branch(self, spec: TableSpec, branch: str, head: int):
+        """Re-fork a branch at ``head`` with an empty delta
+        (publish-and-continue; caller holds the publish lock)."""
+        shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
+        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
+        spec.branches = dict(spec.branches or {})
+        spec.branches[branch] = dict(
+            spec.branches[branch], fork_seq=int(head)
+        )
+        self._save_spec(spec)
+
     def unset_table_properties(self, name: str, keys) -> None:
         """ALTER TABLE t UNSET TBLPROPERTIES ('k', ...): remove keys
         (absent keys are a no-op, matching Spark/Delta)."""

@@ -470,6 +470,12 @@ def parse_alter_table(sql: str):
     )
     if ffwd:
         return target, ("fast_forward", strip_quotes(ffwd.group(1)))
+    cpick = re.match(
+        r"^CHERRY\s*[- ]?\s*PICK\s+BRANCH\s+(`?[\w.-]+`?)\s*$",
+        body, re.IGNORECASE,
+    )
+    if cpick:
+        return target, ("cherry_pick", strip_quotes(cpick.group(1)))
     exp = re.match(r"^EXPIRE\s+REFS\s*(.*)$", body, re.IGNORECASE | re.DOTALL)
     if exp:
         # optional retention clauses in either order:

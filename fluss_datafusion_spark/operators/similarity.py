@@ -106,18 +106,16 @@ def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     ).T
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    def buckets(v):
-        import pandas as pd
+    import pandas as pd
 
+    def buckets(v: pd.Series) -> pd.Series:
         vecs = np.stack(v.to_numpy()).astype(np.float64)  # N x dim
         signs = (vecs @ mat) >= 0  # N x (n_tables*n_planes)
         per_table = signs.reshape(len(vecs), n_tables, n_planes)
         ids = (per_table * weights).sum(axis=2).astype(np.int32)  # N x n_tables
         return pd.Series(list(ids))
 
-    from pyspark.sql.pandas.functions import PandasUDFType
-
-    return pandas_udf(buckets, "array<int>", PandasUDFType.SCALAR)
+    return pandas_udf(buckets, "array<int>")
 
 
 def lsh_ann_topk(
@@ -180,18 +178,16 @@ def _max_sim_udf(centroids):
     """Arrow-batched UDF: max cosine (dot on normalized inputs) of each
     vector against the given seed matrix."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.pandas.functions import PandasUDFType
 
     cmat = np.asarray(centroids, dtype=np.float64).T
 
-    def maxsim(v):
-        import pandas as pd
-
+    def maxsim(v: pd.Series) -> pd.Series:
         vecs = _normalize(np.stack(v.to_numpy()).astype(np.float64))
         return pd.Series((vecs @ cmat).max(axis=1))
 
-    return pandas_udf(maxsim, "double", PandasUDFType.SCALAR)
+    return pandas_udf(maxsim, "double")
 
 
 def _kmeans_parallel_seeds(
@@ -433,20 +429,18 @@ def ivf_assign_udf(centroids, n_probe: int = 1):
     """Arrow-batched UDF: array<int> of the ``n_probe`` nearest centroid
     ids (by cosine = dot on normalized inputs) for each vector."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.pandas.functions import PandasUDFType
 
     cmat = np.asarray(centroids, dtype=np.float64).T  # dim x n_centroids
 
-    def assign(v):
-        import pandas as pd
-
+    def assign(v: pd.Series) -> pd.Series:
         vecs = _normalize(np.stack(v.to_numpy()).astype(np.float64))
         sims = vecs @ cmat  # N x n_centroids
         top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(top))
 
-    return pandas_udf(assign, "array<int>", PandasUDFType.SCALAR)
+    return pandas_udf(assign, "array<int>")
 
 
 def ivf_ann_topk(

@@ -279,3 +279,210 @@ def try_partition_group_count(session, statement: str):
     # partition counts are O(partitions) rows — keep them on one
     # partition like every other metadata-literal result
     return out.coalesce(1)
+
+
+_BRANCH_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+"
+    r"FROM\s+((?:`[^`]*`|\w+)(?:\s*\.\s*(?:`[^`]*`|\w+))?)"
+    r"\$branch\(\s*'([^']*)'\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# branch deltas are statement-sized by construction; a branch that
+# accumulated more final keys than this probes main too broadly for a
+# "metadata" fast path — fall back to the overlay scan
+_BRANCH_DELTA_CAP = 2000
+
+
+def try_branch_metadata_aggregate(session, statement: str):
+    """``SELECT count(*)/min(c)/max(c) FROM t$branch('b')`` answered
+    from main-side manifest metadata plus the (statement-sized) branch
+    delta — without scanning the main table (VERDICT r8 item 5).
+
+    A branch read is merge(main ⩽ fork ∪ branch log), so the main side
+    contributes exactly the live state AT THE FORK.  That state is
+    metadata-recoverable iff the table was COMPACTED at the fork point
+    (floor == fork): compaction materializes live-only, one-row-per-key
+    files (tombstones and shadowed versions dropped — _merge_log), so
+    footer row sums are exact and column bounds are attained live
+    values.  Files main wrote AFTER the fork are excluded via their
+    manifest ``__seq__`` bounds; a file without seq bounds falls back.
+
+    The branch side is read for real (it is small by construction —
+    statement deltas since the fork, capped here) and its final per-key
+    states adjust the count: +1 for a live key absent at the fork, −1
+    for a tombstoned key present at the fork.  Fork-presence is probed
+    with a PK IN-list against ONLY the fork-covering files (file
+    skipping prunes by key bounds/blooms) — O(branch), never O(table).
+    min/max additionally require every branch-final key to be a fresh
+    live insert (an upsert or tombstone of a fork key can retract the
+    stored extremum — the non-self-maintainable case); otherwise those
+    aggregates fall back while a bare count(*) still serves.
+
+    Soundness gates (each falls back to Catalyst, never approximates):
+    floor == fork, complete __seq__ manifest coverage, single-column
+    PK (the IN-list probe), ≤ _BRANCH_DELTA_CAP branch-final keys, and
+    the main path's exact-type rule for min/max columns."""
+    m = _BRANCH_STMT_RE.match(statement)
+    if m is None:
+        return None
+    select_list, table_ref, branch = m.group(1), m.group(2), m.group(3)
+    items = [s.strip() for s in _split_top_level(select_list)]
+    if not items:
+        return None
+    parsed = []
+    for item in items:
+        am = _AGG_RE.fullmatch(item)
+        if am is None:
+            return None
+        if am.group(1):
+            parsed.append(("count", None, _unquote(am.group(2) or "count(1)")))
+        else:
+            fn = am.group(3).lower()
+            col = _unquote(am.group(4))
+            alias = _unquote(am.group(5) or f"{fn}({col})")
+            parsed.append((fn, col, alias))
+
+    from fluss_datafusion_spark.sql.dialect import parse_qualified_name
+
+    target = ".".join(parse_qualified_name(table_ref))
+    if not session.catalog.has_table(target):
+        return None
+    catalog = session.catalog
+    spec = catalog.get_table(target)
+    if not spec.has_primary_key or len(spec.primary_key) != 1:
+        return None
+    info = (spec.branches or {}).get(branch)
+    if info is None:
+        return None
+    fork = int(info["fork_seq"])
+    floor = catalog._floor.get(spec.qualified_name, 0)
+    if fork != floor:
+        return None  # fork base not physically materialized live-only
+
+    import os
+
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import (
+        _SEQ,
+        _footer_row_count,
+        _parquet_files,
+    )
+
+    path = catalog.table_path(spec)
+    files = sorted(_parquet_files(path))
+    manifest = skipping.load(path) if files else {}
+    fork_files = []
+    for f in files:
+        rel = os.path.relpath(f, path)
+        b = manifest.get(rel, {}).get(_SEQ)
+        if b is None:
+            return None  # unclassifiable file
+        if b[1] <= fork:
+            fork_files.append(f)
+        elif b[0] <= fork:
+            return None  # straddles the fork: not compaction-shaped
+
+    # exact-type + bounds gates for min/max (same rules as the main path)
+    minmax_cols = {}
+    for fn, col, _alias in parsed:
+        if fn == "count":
+            continue
+        cspec = next(
+            (c for c in spec.columns if c.name.lower() == col.lower()),
+            None,
+        )
+        if cspec is None:
+            return None
+        base_type = cspec.type_name.split("(")[0].upper()
+        if base_type not in _EXACT_TYPES:
+            return None
+        minmax_cols[col] = cspec
+
+    # ---- branch delta (small by construction; capped) ----
+    pk = spec.primary_key[0]
+    pk_stored = catalog._stored_names(spec, [pk])[0]
+    from pyspark.sql import functions as F
+
+    bpath = catalog._branch_path(spec, branch)
+    delta = []  # (key, live, {col: value})
+    if _parquet_files(bpath):
+        bdf = session.spark.read.schema(
+            catalog._stored_schema(spec)
+        ).parquet(bpath)
+        want = [pk_stored, "__seq__", "__sub__", "__del__"] + [
+            (c.physical_name or c.name) for c in minmax_cols.values()
+        ]
+        rows = bdf.select(*dict.fromkeys(want)).limit(
+            _BRANCH_DELTA_CAP + 1
+        ).collect()
+        if len(rows) > _BRANCH_DELTA_CAP:
+            return None
+        final = {}
+        for r in rows:
+            stamp = (r["__seq__"], r["__sub__"])
+            prev = final.get(r[pk_stored])
+            if prev is None or stamp > prev[0]:
+                final[r[pk_stored]] = (stamp, r)
+        for k, (_stamp, r) in final.items():
+            delta.append((k, not bool(r["__del__"]), r))
+
+    # fork-presence probe: PK IN-list over ONLY the fork files
+    present = set()
+    if delta and fork_files:
+        keys = [k for k, _live, _r in delta]
+        probe = (
+            session.spark.read.schema(catalog._stored_schema(spec))
+            .parquet(*fork_files)
+            .filter(F.col(pk_stored).isin(keys))
+            .select(pk_stored)
+        )
+        present = {r[0] for r in probe.collect()}
+
+    # min/max serve only when no branch-final key touches a fork key
+    # (an upsert or tombstone of a fork key can RETRACT the stored
+    # extremum — the non-self-maintainable case); fresh live inserts
+    # fold in monotonically and tombstones of absent keys are no-ops
+    if minmax_cols and any(k in present for k, _live, _r in delta):
+        return None
+
+    n = None
+    if any(fn == "count" for fn, _c, _a in parsed):
+        n = _footer_row_count(fork_files)
+        for k, live, _r in delta:
+            if live and k not in present:
+                n += 1
+            elif not live and k in present:
+                n -= 1
+
+    bounds_by_col = {}
+    for col, cspec in minmax_cols.items():
+        phys = cspec.physical_name or cspec.name
+        lows, highs = [], []
+        for f in fork_files:
+            rel = os.path.relpath(f, path)
+            b = manifest.get(rel, {}).get(phys)
+            if b is None:
+                return None
+            lows.append(b[0])
+            highs.append(b[1])
+        for k, live, r in delta:
+            if live and r[phys] is not None:
+                lows.append(r[phys])
+                highs.append(r[phys])
+        bounds_by_col[col] = (
+            min(lows) if lows else None,
+            max(highs) if highs else None,
+        )
+
+    out_cols = []
+    for fn, col, alias in parsed:
+        if fn == "count":
+            out_cols.append(F.lit(n).cast("long").alias(alias))
+        else:
+            lo, hi = bounds_by_col[col]
+            val = lo if fn == "min" else hi
+            out_cols.append(
+                F.lit(val).cast(minmax_cols[col].spark_type).alias(alias)
+            )
+    return session.spark.range(0, 1, 1, 1).select(*out_cols)

@@ -312,6 +312,12 @@ class EngineSession:
                     [(ff["advanced_to"], ff["files_published"])],
                     "advanced_to bigint, files_published bigint",
                 )
+            elif action == "cherry_pick":
+                cp = self.catalog.cherry_pick(target, payload)
+                return self.spark.createDataFrame(
+                    [(cp["advanced_to"], cp["files_published"])],
+                    "advanced_to bigint, files_published bigint",
+                )
             elif action == "expire_refs":
                 retain, older = payload if payload else (None, None)
                 dropped = self.catalog.expire_refs(
@@ -688,6 +694,7 @@ class EngineSession:
         inner = explain_probe.group(1) if explain_probe else statement
         if re.match(r"^\s*SELECT\s", inner, re.IGNORECASE):
             from fluss_datafusion_spark.plans.metadata_agg import (
+                try_branch_metadata_aggregate,
                 try_metadata_aggregate,
                 try_partition_group_count,
             )
@@ -695,6 +702,8 @@ class EngineSession:
             fast = try_metadata_aggregate(self, inner)
             if fast is None:
                 fast = try_partition_group_count(self, inner)
+            if fast is None:
+                fast = try_branch_metadata_aggregate(self, inner)
             if fast is not None:
                 if explain_probe is None:
                     return fast

@@ -567,3 +567,121 @@ def test_expire_refs_retention_policies(spark, tmp_path):
         e.sql("ALTER TABLE rr EXPIRE REFS RETAIN LAST -1")
     with pytest.raises(ValueError):
         e.sql("ALTER TABLE rr EXPIRE REFS OLDER THAN 5 FORTNIGHTS")
+
+
+# -- round 9: diverged-branch cherry-pick ----------------------------------
+
+
+def test_cherry_pick_publishes_diverged_branch(branched):
+    """fast_forward refuses once main moves past the fork; CHERRY PICK
+    re-stamps the branch statements onto the current head when no key
+    was written by both histories (VERDICT r8 item 6)."""
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c'), (5, 'e')")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 5")  # branch seq 3
+    e.sql("INSERT INTO bt VALUES (4, 'd')")  # main diverges (seq 2)
+    with pytest.raises(ConcurrentWriteConflict):
+        e.sql("ALTER TABLE bt FAST FORWARD BRANCH dev")
+    cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
+    # branch had 2 statements past the fork -> main advances 2 seqs
+    assert cp.advanced_to == 4 and cp.files_published >= 2
+    # main now carries BOTH histories: its own divergence and the
+    # branch's insert + the delete of key 5
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # time travel: seq 3 = branch insert statement re-stamped
+    assert _rows(e, "SELECT id, v FROM bt$v3") == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+    # the branch survives re-forked at the new head with an empty delta
+    rows = [tuple(r) for r in e.sql("SHOW BRANCHES bt").collect()]
+    assert [(r[0], r[1], r[2]) for r in rows] == [("dev", 4, 4)]
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    # main's seq space continues cleanly
+    e.sql("INSERT INTO bt VALUES (9, 'i')")
+    assert e.catalog.current_seq("bt") == 5
+
+
+def test_cherry_pick_refuses_contested_keys(branched):
+    """A key written by both histories since the fork refuses (safe
+    default) and nothing is published."""
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (2, 'branch-2'), (3, 'c')")
+    e.sql("UPDATE bt SET v = 'main-2' WHERE id = 2")  # contested key 2
+    with pytest.raises(ConcurrentWriteConflict, match="both histories"):
+        e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev")
+    # nothing moved: main and branch unchanged
+    assert _rows(e, "SELECT id, v FROM bt") == [(1, "a"), (2, "main-2")]
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "branch-2"), (3, "c")]
+    # resolving on the branch (retract the contested write by matching
+    # main) still refuses — key 2 was WRITTEN by both sides; the policy
+    # is history-based, not value-based
+    e.sql("UPDATE bt$branch('dev') SET v = 'main-2' WHERE id = 2")
+    with pytest.raises(ConcurrentWriteConflict):
+        e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev")
+    # dropping and re-doing the clean part of the work publishes
+    e.sql("ALTER TABLE bt DROP BRANCH dev")
+    e.sql("ALTER TABLE bt CREATE BRANCH dev")
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
+    assert cp.advanced_to == e.catalog.current_seq("bt")
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "a"), (2, "main-2"), (3, "c")]
+
+
+def test_cherry_pick_non_diverged_and_empty(branched):
+    """Cherry-pick subsumes the non-diverged case (offset 0) and the
+    empty-branch case (re-anchor)."""
+    e = branched
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
+    assert cp.advanced_to == 2 and cp.files_published >= 1
+    assert _rows(e, "SELECT id, v FROM bt") == [
+        (1, "a"), (2, "b"), (3, "c")]
+    # empty branch + diverged main: re-anchors
+    e.sql("INSERT INTO bt VALUES (4, 'd')")
+    cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
+    assert cp.advanced_to == 3 and cp.files_published == 0
+    assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_cherry_pick_preserves_buckets_and_timestamps(spark, tmp_path):
+    """Re-stamped files land under the table's bucket layout and keep
+    their original commit timestamps (TIMESTAMP AS OF keeps answering)."""
+    import time
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE bk (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"
+        " DISTRIBUTED BY (id) BUCKETS 4"
+    )
+    e.sql("INSERT INTO bk VALUES (1, 'a')")
+    e.sql("ALTER TABLE bk CREATE BRANCH dev")
+    e.sql("INSERT INTO bk$branch('dev') VALUES (2, 'b'), (6, 'f')")
+    t_branch_write = time.time()
+    time.sleep(1.1)
+    e.sql("INSERT INTO bk VALUES (9, 'z')")  # diverge
+    e.sql("ALTER TABLE bk CHERRY PICK BRANCH dev")
+    got = sorted(
+        tuple(r) for r in e.sql("SELECT id, v FROM bk").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (6, "f"), (9, "z")]
+    # bucket-pruned point lookup still works on the published rows
+    assert [tuple(r) for r in e.catalog.lookup("bk", 6).select("id", "v").collect()] == [(6, "f")]
+    # the re-stamped statement answers TIMESTAMP AS OF at its ORIGINAL
+    # write time (after it, the row exists even though main's own later
+    # insert happened afterward... the re-stamp is ordered AFTER main's
+    # head, so at t_branch_write main had only seq 1)
+    import datetime
+    ts = datetime.datetime.fromtimestamp(t_branch_write).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    rows = sorted(
+        tuple(r)
+        for r in e.sql(
+            f"SELECT id, v FROM bk TIMESTAMP AS OF '{ts}'"
+        ).collect()
+    )
+    assert (1, "a") in rows

@@ -439,7 +439,7 @@ class FlussCatalog:
         out: Dict[int, float] = {}
         if not os.path.isdir(d):
             return out
-        for fn in os.listdir(d):
+        for fn in self.locking.list_names(d):
             if fn.endswith(".json"):
                 try:
                     with open(os.path.join(d, fn)) as fh:
@@ -469,7 +469,9 @@ class FlussCatalog:
             self._wait_no_branch_publish(spec, branch)
             os.makedirs(d, exist_ok=True)
             taken = [fork]
-            for fn in os.listdir(d):
+            # through the seam: an in-flight reservation may exist only
+            # in the locking backend's namespace (object-store double)
+            for fn in self.locking.list_names(d):
                 stem = fn.split(".", 1)[0]
                 if stem.isdigit():
                     taken.append(int(stem))
@@ -650,10 +652,11 @@ class FlussCatalog:
             with open(tmp, "w") as fh:
                 json.dump({"ts": time.time()}, fh)
             os.replace(tmp, final)
-            try:
-                os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
-            except OSError:
-                pass
+            # through the seam: the reservation may live only in the
+            # locking backend's namespace
+            self.locking.delete(
+                os.path.join(d, f"{int(seq):010d}.inflight")
+            )
         except Exception:
             pass
 
@@ -1677,9 +1680,10 @@ class FlussCatalog:
         import json
 
         out: Dict[int, Optional[float]] = {}
-        try:
-            entries = os.listdir(self._commit_dir(spec))
-        except OSError:
+        # through the seam: inflight reservations may live only in the
+        # locking backend's namespace (LocalFS lists the dir either way)
+        entries = self.locking.list_names(self._commit_dir(spec))
+        if not entries:
             return out
         rollups = False
         for f in entries:
@@ -1760,10 +1764,11 @@ class FlussCatalog:
     def _commit_dir_max(self, spec: TableSpec) -> int:
         """Highest seq named in the commit dir (inflight and rollup
         files included) — names only, no file opens (the allocation hot
-        path; rollup names carry their covered max seq)."""
-        try:
-            entries = os.listdir(self._commit_dir(spec))
-        except OSError:
+        path; rollup names carry their covered max seq).  Listed
+        through the locking seam: inflight reservations may exist only
+        in the backend's namespace."""
+        entries = self.locking.list_names(self._commit_dir(spec))
+        if not entries:
             return 0
         best = 0
         for f in entries:
@@ -2123,10 +2128,11 @@ class FlussCatalog:
             with open(tmp, "w") as fh:
                 json.dump({"ts": time.time() if ts is None else float(ts)}, fh)
             os.replace(tmp, final)
-            try:
-                os.unlink(os.path.join(d, f"{int(seq):010d}.inflight"))
-            except OSError:
-                pass
+            # through the seam: the reservation may live only in the
+            # locking backend's namespace
+            self.locking.delete(
+                os.path.join(d, f"{int(seq):010d}.inflight")
+            )
             self._maybe_fold_commits(spec)
         except Exception:
             pass
@@ -2161,10 +2167,9 @@ class FlussCatalog:
                         and int(stem[len("rollup-"):]) <= max_saved
                     )
                     if absorbed:
-                        try:
-                            os.unlink(os.path.join(d, f))
-                        except OSError:
-                            pass
+                        # seam delete: covers lock-namespace inflights
+                        # and on-disk commit records alike
+                        self.locking.delete(os.path.join(d, f))
         except Exception:
             pass
 

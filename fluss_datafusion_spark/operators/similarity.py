@@ -17,6 +17,11 @@ from __future__ import annotations
 import random
 from typing import List, Sequence
 
+# module-level so the pandas_udf kernels' stringified type hints (PEP
+# 563 `from __future__ import annotations`) resolve 'pd.Series' against
+# this module's globals at decoration time (same note as skipping.py)
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -106,8 +111,6 @@ def _table_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     ).T
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    import pandas as pd
-
     def buckets(v: pd.Series) -> pd.Series:
         vecs = np.stack(v.to_numpy()).astype(np.float64)  # N x dim
         signs = (vecs @ mat) >= 0  # N x (n_tables*n_planes)
@@ -178,7 +181,6 @@ def _max_sim_udf(centroids):
     """Arrow-batched UDF: max cosine (dot on normalized inputs) of each
     vector against the given seed matrix."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype=np.float64).T
@@ -429,7 +431,6 @@ def ivf_assign_udf(centroids, n_probe: int = 1):
     """Arrow-batched UDF: array<int> of the ``n_probe`` nearest centroid
     ids (by cosine = dot on normalized inputs) for each vector."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(centroids, dtype=np.float64).T  # dim x n_centroids

@@ -110,6 +110,11 @@ class FlussCatalog:
         # (table, branch) -> token of a fast_forward publish this
         # session holds (see the branch publish exclusion section)
         self._publish_tokens: Dict[tuple, str] = {}
+        # qname -> mtime_ns of the spec file as loaded: the cheap gate
+        # for cross-session spec reloads (_reload_spec_if_moved)
+        self._spec_stamp: Dict[str, int] = {}
+        # db -> db-directory mtime_ns at the last new-table discovery
+        self._db_dir_stamp: Dict[str, int] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -124,8 +129,52 @@ class FlussCatalog:
 
         payload = spec.to_dict()
         payload["__floor__"] = self._floor.get(spec.qualified_name, 0)
-        with open(self._spec_path(spec), "w") as fh:
+        # atomic replace: other sessions reload specs at their own
+        # get_table boundaries (cross-session DDL visibility) and must
+        # never observe a truncated JSON mid-write
+        path = self._spec_path(spec)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
             json.dump(payload, fh)
+        os.replace(tmp, path)
+        try:
+            self._spec_stamp[spec.qualified_name] = os.stat(
+                path
+            ).st_mtime_ns
+        except OSError:
+            pass
+
+    def _reload_spec_if_moved(self, spec: TableSpec) -> TableSpec:
+        """Cross-session DDL visibility: if another session re-saved
+        this table's spec since we loaded it (mtime_ns moved), re-read
+        it — branches, tags, schema and properties created elsewhere
+        become visible at the next statement boundary instead of
+        requiring a session restart.  One stat() when nothing changed."""
+        import json
+
+        qname = spec.qualified_name
+        path = self._spec_path(spec)
+        try:
+            stamp = os.stat(path).st_mtime_ns
+        except OSError:
+            return spec  # mid-rename/drop by another session: keep ours
+        if stamp == self._spec_stamp.get(qname):
+            return spec
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+        except (OSError, ValueError):
+            return spec  # transient: retry at the next boundary
+        floor = payload.pop("__floor__", 0)
+        fresh = TableSpec.from_dict(payload)
+        self.databases[spec.database][spec.name] = fresh
+        if floor:
+            self._floor[qname] = floor
+        self._spec_stamp[qname] = stamp
+        # a schema/property change needs the view re-derived, not just
+        # the data re-read — the write-marker path only covers the data
+        self._stale_views.add(qname)
+        return fresh
 
     def _attach_existing(self) -> None:
         """Re-attach every table persisted under the warehouse: a new
@@ -158,6 +207,12 @@ class FlussCatalog:
                 self.databases.setdefault(db, {})[spec.name] = spec
                 if floor:
                     self._floor[spec.qualified_name] = floor
+                try:
+                    self._spec_stamp[spec.qualified_name] = os.stat(
+                        spec_file
+                    ).st_mtime_ns
+                except OSError:
+                    pass
                 self._register_view(spec)
         # logical views of databases with no (remaining) tables still
         # need their database registered and their bindings restored
@@ -209,9 +264,34 @@ class FlussCatalog:
     def get_table(self, name: str) -> TableSpec:
         db, table = self._resolve(name)
         try:
-            return self.databases[db][table]
+            spec = self.databases[db][table]
         except KeyError:
-            raise KeyError(f"table not found: {db}.{table}") from None
+            # late attach: a table another session created after this
+            # one started (cross-session DDL visibility)
+            spec = self._try_attach(db, table)
+            if spec is None:
+                raise KeyError(f"table not found: {db}.{table}") from None
+            return spec
+        return self._reload_spec_if_moved(spec)
+
+    def _try_attach(self, db: str, table: str) -> Optional[TableSpec]:
+        import json
+
+        spec_file = os.path.join(self.warehouse, db, table, "_spec.json")
+        try:
+            with open(spec_file) as fh:
+                payload = json.load(fh)
+            stamp = os.stat(spec_file).st_mtime_ns
+        except (OSError, ValueError):
+            return None
+        floor = payload.pop("__floor__", 0)
+        spec = TableSpec.from_dict(payload)
+        self.databases.setdefault(db, {})[spec.name] = spec
+        if floor:
+            self._floor[spec.qualified_name] = floor
+        self._spec_stamp[spec.qualified_name] = stamp
+        self._register_view(spec)
+        return spec
 
     def list_tables(self, database: Optional[str] = None) -> List[str]:
         db = database or self.default_database
@@ -2666,6 +2746,7 @@ class FlussCatalog:
         since this session bound the view) — then re-bind dependent
         logical views ONCE.  Cost when nothing changed: one set check
         plus one stat() per bound table."""
+        self._discover_new_tables()
         stale = set(self._stale_views)
         self._stale_views.clear()
         for db_tables in self.databases.values():
@@ -2690,6 +2771,36 @@ class FlussCatalog:
             # logical views froze their analyzed plans over the OLD
             # base bindings — re-derive them in definition order
             self._rebind_logical_views()
+
+    def _discover_new_tables(self) -> None:
+        """Attach tables OTHER sessions created since this session
+        started (cross-session DDL visibility for plain SELECTs, which
+        resolve via temp views and never hit get_table's late-attach).
+        Gated on each database DIRECTORY's mtime — it moves exactly
+        when a table dir is added or removed, so the steady-state cost
+        is one stat() per database per read boundary, never a listing."""
+        try:
+            dbs = os.listdir(self.warehouse)
+        except OSError:
+            return
+        for db in dbs:
+            db_dir = os.path.join(self.warehouse, db)
+            try:
+                stamp = os.stat(db_dir).st_mtime_ns
+            except OSError:
+                continue
+            if self._db_dir_stamp.get(db) == stamp:
+                continue
+            self._db_dir_stamp[db] = stamp
+            if not os.path.isdir(db_dir):
+                continue
+            known = self.databases.get(db, {})
+            for table in sorted(os.listdir(db_dir)):
+                if table in known or table.endswith(
+                    (".old", ".optimize", ".compact")
+                ):
+                    continue
+                self._try_attach(db, table)
 
     def _register_view_now(self, spec: TableSpec) -> None:
         self._view_bound_stamp[spec.qualified_name] = self._write_stamp(spec)

@@ -685,3 +685,33 @@ def test_cherry_pick_preserves_buckets_and_timestamps(spark, tmp_path):
         ).collect()
     )
     assert (1, "a") in rows
+
+
+def test_cross_session_ddl_visibility(spark, tmp_path):
+    """A LIVE session sees another session's DDL at its next statement
+    boundary (r9 — spec reload gated on the spec file's mtime): branch
+    and tag creation, new tables, and ADD COLUMN no longer require a
+    session restart."""
+    wh = str(tmp_path / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE xs (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO xs VALUES (1, 'a')")
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    # branch created in e1 is writable from e2 without a restart
+    e1.sql("ALTER TABLE xs CREATE BRANCH dev")
+    e2.sql("INSERT INTO xs$branch('dev') VALUES (2, 'b')")
+    assert _rows(e1, "SELECT id, v FROM xs$branch('dev')") == [
+        (1, "a"), (2, "b")]
+    # a tag created in e2 resolves in e1
+    e2.sql("ALTER TABLE xs CREATE TAG snap")
+    assert _rows(e1, "SELECT id, v FROM xs VERSION AS OF 'snap'") == [
+        (1, "a")]
+    # a table created in e2 after e1 started is readable from e1
+    e2.sql("CREATE TABLE late (k BIGINT NOT NULL, PRIMARY KEY (k))")
+    e2.sql("INSERT INTO late VALUES (7)")
+    assert _rows(e1, "SELECT k FROM late") == [(7,)]
+    # schema evolution lands too
+    e2.sql("ALTER TABLE xs ADD COLUMN extra BIGINT")
+    e1.sql("INSERT INTO xs VALUES (3, 'c', 30)")
+    assert _rows(e1, "SELECT id, v, extra FROM xs WHERE id = 3") == [
+        (3, "c", 30)]

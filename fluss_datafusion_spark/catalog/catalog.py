@@ -1057,17 +1057,7 @@ class FlussCatalog:
                 head = max(head, self._committed_seq(spec))
             # re-fork the branch at the (possibly advanced) head with an
             # empty delta: publish-and-continue
-            shutil.rmtree(
-                self._branch_path(spec, branch), ignore_errors=True
-            )
-            os.makedirs(
-                self._branch_commit_dir(spec, branch), exist_ok=True
-            )
-            spec.branches = dict(spec.branches or {})
-            spec.branches[branch] = dict(
-                spec.branches[branch], fork_seq=int(head)
-            )
-            self._save_spec(spec)
+            self._refork_branch(spec, branch, head)
         return {"advanced_to": int(head), "files_published": moved}
 
     def cherry_pick(self, name: str, branch: str) -> dict:

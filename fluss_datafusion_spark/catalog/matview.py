@@ -1142,8 +1142,8 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         (F.col(_STAR) > 0) & F.col("__mv_rescan__")
     ).select(*mv["group_names"])
     # the rescan subtree joins the full source(s): skip it entirely
-    # unless some group actually flagged (merged is checkpointed, so
-    # the stats pass above was a local scan, not a recompute)
+    # unless some group actually flagged (merged is pinned — local
+    # rows or a checkpoint — so probing it never recomputes the delta)
     rescanned = None
     if rescan_flags and n_rescan > 0:
         rescanned = _with_kahan_state(

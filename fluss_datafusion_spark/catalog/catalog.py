@@ -2785,12 +2785,41 @@ class FlussCatalog:
             if not os.path.isdir(db_dir):
                 continue
             known = self.databases.get(db, {})
-            for table in sorted(os.listdir(db_dir)):
+            try:
+                present = set(os.listdir(db_dir))
+            except OSError:
+                continue
+            for table in sorted(present):
                 if table in known or table.endswith(
                     (".old", ".optimize", ".compact")
                 ):
                     continue
                 self._try_attach(db, table)
+            # cross-session DROP visibility: a known table whose dir
+            # vanished was dropped elsewhere — detach it so its stale
+            # view stops answering.  A maintenance dir-swap leaves the
+            # table dir briefly absent, so never detach while that
+            # table's .old sibling exists or a fresh maintenance marker
+            # is up (the swap window); a wrongly-skipped detach just
+            # waits for the next boundary.
+            for table in sorted(set(known) - present):
+                spec = known[table]
+                if os.path.isdir(self.table_path(spec) + ".old"):
+                    continue
+                if self._maintenance_inflight(spec):
+                    continue
+                known.pop(table)
+                qname = spec.qualified_name
+                self._stale_views.discard(qname)
+                self._view_overrides.pop(qname, None)
+                self._view_bound_stamp.pop(qname, None)
+                self._spec_stamp.pop(qname, None)
+                try:
+                    self.spark.catalog.dropTempView(self._view_name(spec))
+                    if db == self.default_database:
+                        self.spark.catalog.dropTempView(table)
+                except Exception:
+                    pass
 
     def _register_view_now(self, spec: TableSpec) -> None:
         self._view_bound_stamp[spec.qualified_name] = self._write_stamp(spec)

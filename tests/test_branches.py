@@ -715,3 +715,25 @@ def test_cross_session_ddl_visibility(spark, tmp_path):
     e1.sql("INSERT INTO xs VALUES (3, 'c', 30)")
     assert _rows(e1, "SELECT id, v, extra FROM xs WHERE id = 3") == [
         (3, "c", 30)]
+
+
+def test_cross_session_drop_visibility(spark, tmp_path):
+    """A table dropped by another session detaches from live sessions
+    at their next statement boundary; OPTIMIZE's dir-swap window never
+    false-detaches."""
+    wh = str(tmp_path / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE gone (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO gone VALUES (1, 'a')")
+    e1.sql("CREATE TABLE stays (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO stays VALUES (1, 'a')")
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.sql("DROP TABLE gone")
+    # e1's next boundary detaches 'gone' but keeps 'stays'
+    assert _rows(e1, "SELECT id, v FROM stays") == [(1, "a")]
+    assert not e1.catalog.has_table("gone")
+    with pytest.raises(Exception):
+        e1.sql("SELECT * FROM gone").collect()
+    # maintenance on a surviving table doesn't trip the detach
+    e1.sql("OPTIMIZE stays")
+    assert _rows(e2, "SELECT id, v FROM stays") == [(1, "a")]

@@ -298,9 +298,12 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
                 e.sql("ALTER TABLE dmlb FAST FORWARD BRANCH b")
                 if branch_writes:
                     main = dict(branch)
-                    main_diverged = 0
-                # an empty branch is a no-op publish: the branch keeps
-                # its (possibly stale) fork — divergence persists
+                else:
+                    # r9 (ADVICE r8): publishing an EMPTY branch
+                    # re-anchors its fork at the current main head —
+                    # the overlay follows today's base, divergence ends
+                    branch = dict(main)
+                main_diverged = 0
                 branch_writes = 0
         elif op == "rebranch":
             e.sql("ALTER TABLE dmlb DROP BRANCH b")

@@ -267,7 +267,10 @@ def pack_sequences(
     tokenizer's job downstream)."""
     import pandas as pd
 
-    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # unannotated on purpose: applyInPandas infers the eval type from
+    # hints when ANY are present and warns on a partially-hinted
+    # (key, pdf) signature; no hints = the plain GROUPED_MAP fallback
+    def pack(key, pdf):
         pdf = pdf.sort_values("__id__")
         bins, bin_ids, bin_tok = [], [], 0
         out = []

@@ -2994,6 +2994,83 @@ def q75_branch_diff(spark, sf_dir):
 
 
 @query(
+    "q77_branch_metadata_agg",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_nationkey * 10 AS x FROM nation
+        WHERE n_regionkey IN (0, 1)
+    ),
+    branch AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT n_nationkey + 1000, -5 FROM nation WHERE n_regionkey = 4
+    )
+    SELECT (SELECT count(*) FROM branch) AS n,
+           (SELECT min(x) FROM branch) AS mn,
+           (SELECT max(x) FROM branch) AS mx,
+           (SELECT count(*) FROM base) AS n_main
+    """,
+    extended=True,
+)
+def q77_branch_metadata_agg(spark, sf_dir):
+    """Branch-read metadata fast path (r9 —
+    plans/metadata_agg.try_branch_metadata_aggregate): count/min/max on
+    `t$branch('b')` answered from main-side manifest metadata (fork
+    base compacted live-only; post-fork main files excluded via their
+    manifest __seq__ bounds) plus the statement-sized branch delta.
+    The entry compacts at the fork, writes fresh rows on the branch AND
+    diverges main afterward, then aggregates through the fast path;
+    EXPLAIN is asserted to show the metadata-literal plan, so a silent
+    fall-through to the scan fails the hash, not just a perf budget."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bmeta_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE bm_nation (n_nationkey BIGINT NOT NULL, x BIGINT,"
+        " PRIMARY KEY (n_nationkey))"
+    )
+    e.sql(
+        "INSERT INTO bm_nation SELECT n_nationkey, n_nationkey * 10"
+        " FROM nation WHERE n_regionkey IN (0, 1)"
+    )
+    e.catalog.compact("bm_nation")  # floor = head: live-only fork base
+    e.sql("ALTER TABLE bm_nation CREATE BRANCH agg")
+    # fresh live inserts on the branch (min/max-safe delta)
+    e.sql(
+        "INSERT INTO bm_nation$branch('agg')"
+        " SELECT n_nationkey + 1000, -5 FROM nation WHERE n_regionkey = 4"
+    )
+    # main diverges AFTER the fork: these files must be excluded
+    e.sql("INSERT INTO bm_nation VALUES (9999, 999999)")
+    q = (
+        "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx"
+        " FROM bm_nation$branch('agg')"
+    )
+    plan = e.sql(f"EXPLAIN {q}").collect()[0][0]
+    served = "metadata-only aggregate fast path" in plan
+    row = e.sql(q).collect()[0]
+    n_main = e.sql(
+        "SELECT count(*) AS c FROM bm_nation VERSION AS OF 1"
+    ).collect()[0].c
+    return spark.createDataFrame(
+        # a fall-through poisons n with a sentinel: the oracle hash
+        # then fails loudly instead of silently grading the scan path
+        [(int(row.n) if served else -1, int(row.mn), int(row.mx),
+          int(n_main))],
+        "n bigint, mn bigint, mx bigint, n_main bigint",
+    )
+
+
+@query(
     "q76_expire_refs_retention",
     oracle="""
     WITH r1 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 1),

@@ -819,6 +819,28 @@ def _full_state(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     return _with_kahan_state(state, mv)
 
 
+# driver-local pinning cap shared by the refresh delta and the full
+# build: a result this small re-enters as a ONE-slice local frame (one
+# job, no toRdd checkpoint planning); anything larger checkpoints
+_LOCAL_PIN_CAP = 10_001
+
+
+def _pinned_state(catalog, mv: Dict, anchors: Dict):
+    """Full build state, materialized exactly once and pinned: returns
+    (DataFrame, collected_rows_or_None).  ≤ _LOCAL_PIN_CAP groups come
+    back as a driver-local one-slice frame (callers can then answer
+    row-level probes in plain python); larger states eager-checkpoint."""
+    state_df = _full_state(catalog, mv, anchors)
+    rows = state_df.limit(_LOCAL_PIN_CAP).collect()
+    if len(rows) < _LOCAL_PIN_CAP:
+        local = catalog.spark.createDataFrame(
+            catalog.spark.sparkContext.parallelize(rows, 1),
+            state_df.schema,
+        )
+        return local, rows
+    return state_df.localCheckpoint(), None
+
+
 def create_matview(catalog, name: str, select_sql: str) -> int:
     """CREATE MATERIALIZED VIEW: parse, validate against the source(s),
     create the backing PK table, run the initial full build, checkpoint
@@ -863,8 +885,11 @@ def _create_matview_impl(catalog, name: str, select_sql: str) -> int:
     # applied exactly once — by the next refresh
     anchors = _anchors_now(catalog, mv)
     # materialize once: the null-group check and the insert below would
-    # otherwise each re-run the full build aggregation
-    state = _full_state(catalog, mv, anchors).localCheckpoint()
+    # otherwise each re-run the full build aggregation.  Small builds
+    # (≤10k groups) pin as driver-local rows — the refresh path's r9
+    # trick — which also folds the null-group probe job into plain
+    # python; larger builds keep the eager checkpoint.
+    state, local_rows = _pinned_state(catalog, mv, anchors)
     # float sums get a Kahan compensation column (exact types don't)
     double_fields = {
         f.name
@@ -878,10 +903,19 @@ def _create_matview_impl(catalog, name: str, select_sql: str) -> int:
         and f"__mv_sum_{a['alias']}" in double_fields
     ]
     state = _with_kahan_state(state, mv)
-    null_groups = state
-    for g in mv["group_names"]:
-        null_groups = null_groups.filter(F.col(g).isNull())
-    if null_groups.limit(1).count() > 0:
+    if local_rows is not None:
+        # same predicate as the chained filters below: every group col
+        # null (the conjunction the DataFrame form expresses)
+        has_null_group = any(
+            all(r[g] is None for g in mv["group_names"])
+            for r in local_rows
+        )
+    else:
+        null_groups = state
+        for g in mv["group_names"]:
+            null_groups = null_groups.filter(F.col(g).isNull())
+        has_null_group = null_groups.limit(1).count() > 0
+    if has_null_group:
         raise ValueError(
             "GROUP BY columns become the view's PRIMARY KEY and must be "
             "non-null; add e.g. 'col IS NOT NULL' to the WHERE clause"
@@ -975,7 +1009,7 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         # a source compacted past our checkpoint: the exact change
         # window is gone — rebuild from the snapshot (the standard
         # CDC-consumer fallback), then checkpoint at the anchors
-        state = _full_state(catalog, mv, anchors).localCheckpoint()
+        state, _rows = _pinned_state(catalog, mv, anchors)
         catalog.truncate_table(name)
         n = catalog.insert(name, state)
         _checkpoint()
@@ -1087,10 +1121,9 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     #   job that materializes it.  The probe's limit-collect is one
     #   extra early-exiting job on this path; large refreshes are
     #   compute-dominated, so it's noise there.
-    _LOCAL_CAP = 10_001
-    local_rows = merged.limit(_LOCAL_CAP).collect()
+    local_rows = merged.limit(_LOCAL_PIN_CAP).collect()
     schema_order = [c.name for c in spec.columns]
-    if len(local_rows) < _LOCAL_CAP:
+    if len(local_rows) < _LOCAL_PIN_CAP:
         # ONE-slice parallelize, NOT createDataFrame(rows, schema): the
         # latter splits a 170-row list across defaultParallelism python
         # tasks and the downstream write pays ~4.5 s of worker round

@@ -115,6 +115,11 @@ class FlussCatalog:
         self._spec_stamp: Dict[str, int] = {}
         # db -> db-directory mtime_ns at the last new-table discovery
         self._db_dir_stamp: Dict[str, int] = {}
+        # qname -> re-entrancy depth of the spec-mutation lock THIS
+        # session holds (_spec_mutation): nested DDL helpers (e.g.
+        # _refork_branch under cherry_pick) re-enter instead of
+        # deadlocking on their own marker
+        self._spec_lock_depth: Dict[str, int] = {}
         self._attach_existing()
 
     # -- persistence --------------------------------------------------------
@@ -136,13 +141,18 @@ class FlussCatalog:
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
+            fh.flush()
+            # record OUR file's identity before the rename (preserved by
+            # os.replace).  Stat-ing `path` after the replace instead
+            # would race: another session replacing in between would
+            # hand us ITS stamp without its payload, suppressing the
+            # cross-session reload forever (ADVICE r9).  With the tmp
+            # stamp, a lost race leaves our recorded stamp != on-disk
+            # stamp and _reload_spec_if_moved picks up the winner at
+            # the next statement boundary.
+            stamp = os.fstat(fh.fileno()).st_mtime_ns
         os.replace(tmp, path)
-        try:
-            self._spec_stamp[spec.qualified_name] = os.stat(
-                path
-            ).st_mtime_ns
-        except OSError:
-            pass
+        self._spec_stamp[spec.qualified_name] = stamp
 
     def _reload_spec_if_moved(self, spec: TableSpec) -> TableSpec:
         """Cross-session DDL visibility: if another session re-saved
@@ -175,6 +185,66 @@ class FlussCatalog:
         # the data re-read — the write-marker path only covers the data
         self._stale_views.add(qname)
         return fresh
+
+    def _spec_mutation(self, spec: TableSpec):
+        """CAS window for a spec read-modify-write (ADVICE r9, medium):
+        ``_save_spec`` alone is last-writer-wins, so two sessions doing
+        concurrent ref DDL (CREATE TAG in A while B runs CREATE BRANCH)
+        would silently drop one side's committed metadata.  This
+        serializes the window through the locking seam — acquire the
+        table's ``_spec.lock`` (put-if-absent; mtime-staleness reap for
+        crashed owners, same scheme as the maintenance marker), then
+        RELOAD the spec if another session moved it, and yield the
+        fresh object for the caller to mutate and save.
+
+        Re-entrant per session+table (``_spec_lock_depth``): nested
+        helpers like ``_refork_branch`` under ``cherry_pick`` ride the
+        outer window.  Lock-ordering note: callers that also hold the
+        branch publish lock always take publish -> spec, and no path
+        takes spec -> publish, so the pair cannot deadlock."""
+        import contextlib
+        import json
+        import time
+
+        @contextlib.contextmanager
+        def _locked():
+            qname = spec.qualified_name
+            depth = self._spec_lock_depth.get(qname, 0)
+            if depth:
+                self._spec_lock_depth[qname] = depth + 1
+                try:
+                    yield self.databases[spec.database][spec.name]
+                finally:
+                    self._spec_lock_depth[qname] -= 1
+                return
+            marker = os.path.join(self.table_path(spec), "_spec.lock")
+            payload = json.dumps(
+                {"pid": os.getpid(), "ts": time.time()}
+            ).encode()
+            deadline = time.time() + self.MAINT_WAIT_SECS
+            while not self.locking.put_if_absent(marker, payload):
+                mtime = self.locking.stat_mtime(marker)
+                if mtime is None:
+                    continue  # released between our put and stat: retry
+                if time.time() - mtime > self.MAINT_STALE_SECS and (
+                    self._owner_alive(marker) is not True
+                ):
+                    self.locking.delete(marker)  # crashed owner: reap
+                    continue
+                if time.time() > deadline:
+                    raise ConcurrentWriteConflict(
+                        f"another session holds the spec lock on "
+                        f"{qname}; retry the DDL statement"
+                    )
+                time.sleep(0.01)
+            self._spec_lock_depth[qname] = 1
+            try:
+                yield self._reload_spec_if_moved(spec)
+            finally:
+                self._spec_lock_depth.pop(qname, None)
+                self.locking.delete(marker)
+
+        return _locked()
 
     def _attach_existing(self) -> None:
         """Re-attach every table persisted under the warehouse: a new
@@ -375,16 +445,16 @@ class FlussCatalog:
         Bloom columns added here cover future writes; run
         ``refresh_file_stats`` to backfill blooms for existing files.
         ``materialized_view`` is engine-managed and refuses."""
-        spec = self.get_table(name)
         if "materialized_view" in props:
             raise ValueError(
                 "the materialized_view property is engine-managed"
             )
-        merged = dict(spec.properties or {})
-        merged.update(props)
-        self._validate_properties(spec, merged)
-        spec.properties = merged
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            merged = dict(spec.properties or {})
+            merged.update(props)
+            self._validate_properties(spec, merged)
+            spec.properties = merged
+            self._save_spec(spec)
 
     # Ref names become filesystem path components (branch dirs live at
     # <table>__branches/<name>) and share one namespace with tags for
@@ -416,40 +486,40 @@ class FlussCatalog:
         re-pointing means DROP + CREATE).  Defaults to the current
         committed seq; a future seq refuses (nothing to pin)."""
         self._validate_ref_name("tag", tag)
-        spec = self.get_table(name)
-        if tag in (spec.tags or {}):
-            raise ValueError(f"tag {tag!r} already exists on {name}")
-        if tag in (spec.branches or {}):
-            # one ref namespace, enforced BOTH ways: a tag shadowing an
-            # existing branch would silently re-point VERSION AS OF
-            # '<ref>' from the branch overlay to the tag's pinned seq
-            raise ValueError(
-                f"{tag!r} already names a branch on {name}"
-            )
-        head = self._committed_seq(spec)
-        if seq is None:
-            seq = head
-        elif seq > head:
-            raise ValueError(
-                f"cannot tag version {seq}: table is at {head}"
-            )
-        import datetime
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if tag in (spec.tags or {}):
+                raise ValueError(f"tag {tag!r} already exists on {name}")
+            if tag in (spec.branches or {}):
+                # one ref namespace, enforced BOTH ways: a tag shadowing
+                # an existing branch would silently re-point VERSION AS
+                # OF '<ref>' from the branch overlay to the tag's seq
+                raise ValueError(
+                    f"{tag!r} already names a branch on {name}"
+                )
+            head = self._committed_seq(spec)
+            if seq is None:
+                seq = head
+            elif seq > head:
+                raise ValueError(
+                    f"cannot tag version {seq}: table is at {head}"
+                )
+            import datetime
 
-        spec.tags = dict(spec.tags or {})
-        spec.tags[tag] = {
-            "seq": int(seq),
-            "created_at": datetime.datetime.now(
-                datetime.timezone.utc
-            ).isoformat(),
-        }
-        self._save_spec(spec)
+            spec.tags = dict(spec.tags or {})
+            spec.tags[tag] = {
+                "seq": int(seq),
+                "created_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+            self._save_spec(spec)
 
     def drop_tag(self, name: str, tag: str) -> None:
-        spec = self.get_table(name)
-        if tag not in (spec.tags or {}):
-            raise ValueError(f"no tag {tag!r} on {name}")
-        spec.tags = {k: v for k, v in spec.tags.items() if k != tag}
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if tag not in (spec.tags or {}):
+                raise ValueError(f"no tag {tag!r} on {name}")
+            spec.tags = {k: v for k, v in spec.tags.items() if k != tag}
+            self._save_spec(spec)
 
     def resolve_tag(self, name: str, tag: str) -> int:
         """Tag -> statement seq (the read path then applies the same
@@ -686,6 +756,31 @@ class FlussCatalog:
                     )
                 time.sleep(0.02)
             self._publish_tokens[lock_key] = token
+            # Heartbeat the marker for the whole publish window (ADVICE
+            # r9): a cherry-pick whose Spark rewrite outruns
+            # MAINT_STALE_SECS on a liveness-unknown backend would
+            # otherwise have its LIVE marker reaped mid-re-fork, letting
+            # a branch writer land rows that the rmtree then destroys.
+            import threading
+
+            stop_beat = threading.Event()
+            touch = getattr(self.locking, "touch", None)
+
+            def _heartbeat():
+                while not stop_beat.wait(self.PUBLISH_HEARTBEAT_SECS):
+                    try:
+                        touch(marker)
+                    except Exception:
+                        pass  # transient storage error: next beat retries
+
+            beater = None
+            if touch is not None:
+                beater = threading.Thread(
+                    target=_heartbeat,
+                    daemon=True,
+                    name=f"publish-heartbeat-{branch}",
+                )
+                beater.start()
             try:
                 drain_deadline = time.time() + self.MAINT_WAIT_SECS
                 while True:
@@ -713,6 +808,9 @@ class FlussCatalog:
                     time.sleep(0.02)
                 yield
             finally:
+                stop_beat.set()
+                if beater is not None:
+                    beater.join(timeout=1.0)
                 self._publish_tokens.pop(lock_key, None)
                 self.locking.delete(marker)
 
@@ -750,52 +848,55 @@ class FlussCatalog:
         below-compaction-floor seq refuses at CREATE time (the forked
         base no longer exists as per-seq history)."""
         self._validate_ref_name("branch", branch)
-        spec = self.get_table(name)
-        if not spec.has_primary_key:
-            raise ValueError(
-                f"branches require a primary-key table; "
-                f"{spec.qualified_name} is an append-only log table"
-            )
-        if branch in (spec.branches or {}):
-            raise ValueError(f"branch {branch!r} already exists on {name}")
-        if branch in (spec.tags or {}):
-            # one ref namespace: VERSION AS OF '<ref>' must be unambiguous
-            raise ValueError(
-                f"{branch!r} already names a tag on {name}"
-            )
-        head = self._committed_seq(spec)
-        if seq is None:
-            seq = head
-        elif seq > head:
-            raise ValueError(
-                f"cannot branch from version {seq}: table is at {head}"
-            )
-        floor = self._floor.get(spec.qualified_name, 0)
-        if seq < floor:
-            raise ValueError(
-                f"history before seq {floor} was discarded by compaction; "
-                f"cannot branch from seq {seq}"
-            )
-        import datetime
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if not spec.has_primary_key:
+                raise ValueError(
+                    f"branches require a primary-key table; "
+                    f"{spec.qualified_name} is an append-only log table"
+                )
+            if branch in (spec.branches or {}):
+                raise ValueError(
+                    f"branch {branch!r} already exists on {name}"
+                )
+            if branch in (spec.tags or {}):
+                # one ref namespace: VERSION AS OF '<ref>' must be
+                # unambiguous
+                raise ValueError(
+                    f"{branch!r} already names a tag on {name}"
+                )
+            head = self._committed_seq(spec)
+            if seq is None:
+                seq = head
+            elif seq > head:
+                raise ValueError(
+                    f"cannot branch from version {seq}: table is at {head}"
+                )
+            floor = self._floor.get(spec.qualified_name, 0)
+            if seq < floor:
+                raise ValueError(
+                    f"history before seq {floor} was discarded by "
+                    f"compaction; cannot branch from seq {seq}"
+                )
+            import datetime
 
-        spec.branches = dict(spec.branches or {})
-        spec.branches[branch] = {
-            "fork_seq": int(seq),
-            "created_at": datetime.datetime.now(
-                datetime.timezone.utc
-            ).isoformat(),
-        }
-        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
-        self._save_spec(spec)
+            spec.branches = dict(spec.branches or {})
+            spec.branches[branch] = {
+                "fork_seq": int(seq),
+                "created_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(),
+            }
+            os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
+            self._save_spec(spec)
 
     def drop_branch(self, name: str, branch: str) -> None:
-        spec = self.get_table(name)
-        if branch not in (spec.branches or {}):
-            raise ValueError(f"no branch {branch!r} on {name}")
-        spec.branches = {
-            k: v for k, v in spec.branches.items() if k != branch
-        }
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if branch not in (spec.branches or {}):
+                raise ValueError(f"no branch {branch!r} on {name}")
+            spec.branches = {
+                k: v for k, v in spec.branches.items() if k != branch
+            }
+            self._save_spec(spec)
         shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
         # a leftover publish marker must not haunt a future branch of
         # the same name (it lives OUTSIDE the branch dir by design)
@@ -871,70 +972,78 @@ class FlussCatalog:
             raise ValueError("RETAIN LAST requires a non-negative count")
         if older_than_seconds is not None and older_than_seconds < 0:
             raise ValueError("OLDER THAN requires a non-negative interval")
-        spec = self.get_table(name)
-        floor = self._floor.get(spec.qualified_name, 0)
-        dead_tags = {
-            t for t, v in (spec.tags or {}).items()
-            if int(v["seq"]) < floor
-        }
-        dead_branches = {
-            b for b, v in (spec.branches or {}).items()
-            if int(v["fork_seq"]) < floor
-        }
-        if retain_last is not None or older_than_seconds is not None:
-            import datetime
-
-            now = datetime.datetime.now(datetime.timezone.utc)
-
-            def _age_s(info: dict) -> float:
-                try:
-                    created = datetime.datetime.fromisoformat(
-                        info["created_at"]
-                    )
-                except (KeyError, ValueError):
-                    return float("inf")  # unstamped = arbitrarily old
-                return (now - created).total_seconds()
-
-            for entries, anchor, dead in (
-                (spec.tags or {}, "seq", dead_tags),
-                (spec.branches or {}, "fork_seq", dead_branches),
-            ):
-                newest_first = sorted(
-                    entries.items(),
-                    key=lambda kv: (
-                        int(kv[1][anchor]),
-                        kv[1].get("created_at", ""),
-                    ),
-                    reverse=True,
-                )
-                protected = {
-                    r for r, _ in newest_first[: retain_last or 0]
-                }
-                for ref, info in newest_first:
-                    if ref in protected or ref in dead:
-                        continue
-                    if (
-                        older_than_seconds is not None
-                        and _age_s(info) < older_than_seconds
-                    ):
-                        continue
-                    if anchor == "fork_seq" and self._branch_head(
-                        spec, ref
-                    ) > int(info["fork_seq"]):
-                        continue  # live-branch protection
-                    dead.add(ref)
-        dead_tags = sorted(dead_tags)
-        dead_branches = sorted(dead_branches)
-        for t in dead_tags:
-            spec.tags = {k: v for k, v in spec.tags.items() if k != t}
-        for b in dead_branches:
-            spec.branches = {
-                k: v for k, v in spec.branches.items() if k != b
+        with self._spec_mutation(self.get_table(name)) as spec:
+            floor = self._floor.get(spec.qualified_name, 0)
+            dead_tags = {
+                t for t, v in (spec.tags or {}).items()
+                if int(v["seq"]) < floor
             }
-            shutil.rmtree(self._branch_path(spec, b), ignore_errors=True)
-            self.locking.delete(self._branch_publish_marker(spec, b))
-        if dead_tags or dead_branches:
-            self._save_spec(spec)
+            dead_branches = {
+                b for b, v in (spec.branches or {}).items()
+                if int(v["fork_seq"]) < floor
+            }
+            if retain_last is not None or older_than_seconds is not None:
+                import datetime
+
+                now = datetime.datetime.now(datetime.timezone.utc)
+
+                def _age_s(info: dict) -> float:
+                    try:
+                        created = datetime.datetime.fromisoformat(
+                            info["created_at"]
+                        )
+                    except (KeyError, ValueError):
+                        return float("inf")  # unstamped = arbitrarily old
+                    return (now - created).total_seconds()
+
+                for entries, anchor, dead in (
+                    (spec.tags or {}, "seq", dead_tags),
+                    (spec.branches or {}, "fork_seq", dead_branches),
+                ):
+                    newest_first = sorted(
+                        entries.items(),
+                        key=lambda kv: (
+                            int(kv[1][anchor]),
+                            kv[1].get("created_at", ""),
+                        ),
+                        reverse=True,
+                    )
+                    # RETAIN LAST protects the newest n refs a user can
+                    # still read: a floor-stranded ref is already doomed
+                    # and must not consume a retention slot (ADVICE r9 —
+                    # otherwise one extra LIVE ref gets expired)
+                    protected = {
+                        r for r, _ in [
+                            kv for kv in newest_first if kv[0] not in dead
+                        ][: retain_last or 0]
+                    }
+                    for ref, info in newest_first:
+                        if ref in protected or ref in dead:
+                            continue
+                        if (
+                            older_than_seconds is not None
+                            and _age_s(info) < older_than_seconds
+                        ):
+                            continue
+                        if anchor == "fork_seq" and self._branch_head(
+                            spec, ref
+                        ) > int(info["fork_seq"]):
+                            continue  # live-branch protection
+                        dead.add(ref)
+            dead_tags = sorted(dead_tags)
+            dead_branches = sorted(dead_branches)
+            for t in dead_tags:
+                spec.tags = {k: v for k, v in spec.tags.items() if k != t}
+            for b in dead_branches:
+                spec.branches = {
+                    k: v for k, v in spec.branches.items() if k != b
+                }
+                shutil.rmtree(
+                    self._branch_path(spec, b), ignore_errors=True
+                )
+                self.locking.delete(self._branch_publish_marker(spec, b))
+            if dead_tags or dead_branches:
+                self._save_spec(spec)
         return {"tags": dead_tags, "branches": dead_branches}
 
     def branch_diff(self, name: str, branch: str) -> DataFrame:
@@ -1178,28 +1287,32 @@ class FlussCatalog:
 
     def _refork_branch(self, spec: TableSpec, branch: str, head: int):
         """Re-fork a branch at ``head`` with an empty delta
-        (publish-and-continue; caller holds the publish lock)."""
-        shutil.rmtree(self._branch_path(spec, branch), ignore_errors=True)
-        os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
-        spec.branches = dict(spec.branches or {})
-        spec.branches[branch] = dict(
-            spec.branches[branch], fork_seq=int(head)
-        )
-        self._save_spec(spec)
+        (publish-and-continue; caller holds the publish lock — the spec
+        lock nests inside it, see _spec_mutation's ordering note)."""
+        with self._spec_mutation(spec) as spec:
+            shutil.rmtree(
+                self._branch_path(spec, branch), ignore_errors=True
+            )
+            os.makedirs(self._branch_commit_dir(spec, branch), exist_ok=True)
+            spec.branches = dict(spec.branches or {})
+            spec.branches[branch] = dict(
+                spec.branches[branch], fork_seq=int(head)
+            )
+            self._save_spec(spec)
 
     def unset_table_properties(self, name: str, keys) -> None:
         """ALTER TABLE t UNSET TBLPROPERTIES ('k', ...): remove keys
         (absent keys are a no-op, matching Spark/Delta)."""
-        spec = self.get_table(name)
         if "materialized_view" in keys:
             raise ValueError(
                 "the materialized_view property is engine-managed"
             )
-        props = dict(spec.properties or {})
-        for k in keys:
-            props.pop(k, None)
-        spec.properties = props
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            props = dict(spec.properties or {})
+            for k in keys:
+                props.pop(k, None)
+            spec.properties = props
+            self._save_spec(spec)
 
     def create_table(self, spec: TableSpec, if_not_exists: bool = True) -> None:
         self.create_database(spec.database)
@@ -1286,22 +1399,23 @@ class FlussCatalog:
         schema, so files written before the ALTER surface the column as
         NULL (the same parquet-evolution mechanism the ``__del__``
         tombstone column relies on)."""
-        spec = self.get_table(name)
-        if any(c.name == col.name for c in spec.columns):
-            raise ValueError(
-                f"column already exists: {spec.qualified_name}.{col.name}"
-            )
-        if any(c.stored_name == col.name for c in spec.columns):
-            # a renamed column still occupies this name ON DISK: a new
-            # column stored under it would alias the old data
-            raise ValueError(
-                f"column name {col.name} is still used as the physical "
-                f"(on-disk) name of a renamed column; pick another name"
-            )
-        if not col.nullable:
-            raise ValueError("ADD COLUMN must be nullable")
-        spec.columns.append(col)
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if any(c.name == col.name for c in spec.columns):
+                raise ValueError(
+                    f"column already exists: {spec.qualified_name}.{col.name}"
+                )
+            if any(c.stored_name == col.name for c in spec.columns):
+                # a renamed column still occupies this name ON DISK: a
+                # new column stored under it would alias the old data
+                raise ValueError(
+                    f"column name {col.name} is still used as the "
+                    f"physical (on-disk) name of a renamed column; pick "
+                    f"another name"
+                )
+            if not col.nullable:
+                raise ValueError("ADD COLUMN must be nullable")
+            spec.columns.append(col)
+            self._save_spec(spec)
         self._register_view(spec)
 
     def drop_column(self, name: str, col_name: str) -> None:
@@ -1310,34 +1424,41 @@ class FlussCatalog:
         selecting them (parquet reads by name).  PK / partition /
         bucket-key columns refuse — they define row identity and
         layout."""
-        spec = self.get_table(name)
-        if col_name in spec.primary_key:
-            raise ValueError(f"cannot drop primary-key column {col_name}")
-        if col_name in spec.partition_keys or col_name in spec.bucket_keys:
-            raise ValueError(
-                f"cannot drop partition/bucket-key column {col_name}"
-            )
-        import re as _re
-
-        for gc in spec.columns:
-            gen = getattr(gc, "generated", None)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if col_name in spec.primary_key:
+                raise ValueError(
+                    f"cannot drop primary-key column {col_name}"
+                )
             if (
-                gen
-                and gc.name != col_name
-                and _re.search(rf"\b{_re.escape(col_name)}\b", gen)
+                col_name in spec.partition_keys
+                or col_name in spec.bucket_keys
             ):
                 raise ValueError(
-                    f"cannot drop {col_name}: generated column {gc.name} "
-                    f"(GENERATED ALWAYS AS ({gen})) references it — drop "
-                    f"the generated column first"
+                    f"cannot drop partition/bucket-key column {col_name}"
                 )
-        remaining = [c for c in spec.columns if c.name != col_name]
-        if len(remaining) == len(spec.columns):
-            raise KeyError(f"column not found: {spec.qualified_name}.{col_name}")
-        if not remaining:
-            raise ValueError("cannot drop the last column")
-        spec.columns[:] = remaining
-        self._save_spec(spec)
+            import re as _re
+
+            for gc in spec.columns:
+                gen = getattr(gc, "generated", None)
+                if (
+                    gen
+                    and gc.name != col_name
+                    and _re.search(rf"\b{_re.escape(col_name)}\b", gen)
+                ):
+                    raise ValueError(
+                        f"cannot drop {col_name}: generated column "
+                        f"{gc.name} (GENERATED ALWAYS AS ({gen})) "
+                        f"references it — drop the generated column first"
+                    )
+            remaining = [c for c in spec.columns if c.name != col_name]
+            if len(remaining) == len(spec.columns):
+                raise KeyError(
+                    f"column not found: {spec.qualified_name}.{col_name}"
+                )
+            if not remaining:
+                raise ValueError("cannot drop the last column")
+            spec.columns[:] = remaining
+            self._save_spec(spec)
         self._register_view(spec)
 
     def _stored_names(self, spec: TableSpec, cols) -> List[str]:
@@ -1385,7 +1506,11 @@ class FlussCatalog:
         would silently stop binding)."""
         import re as _re
 
-        spec = self.get_table(name)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            self._rename_column_locked(spec, old, new, _re)
+        self._register_view(spec)
+
+    def _rename_column_locked(self, spec, old, new, _re):
         col = spec.column(old)  # KeyError if absent
         if any(c.name == new for c in spec.columns):
             raise ValueError(f"column already exists: {new}")
@@ -1428,7 +1553,6 @@ class FlussCatalog:
                 if c.strip()
             )
         self._save_spec(spec)
-        self._register_view(spec)
 
     #: widening conversions Spark 4's parquet readers perform in place
     #: (SPARK-40876): no data file is touched, old files upcast at scan
@@ -1457,59 +1581,63 @@ class FlussCatalog:
             spark_type_to_ddl,
         )
 
-        spec = self.get_table(name)
-        col = spec.column(col_name)  # KeyError if absent
-        old_t = spark_type_to_ddl(ddl_type_to_spark(col.type_name)).lower()
-        new_t = spark_type_to_ddl(ddl_type_to_spark(new_type)).lower()
-        if new_t == old_t:
-            return
-        if new_t not in self._WIDENINGS.get(old_t, set()):
-            raise ValueError(
-                f"cannot alter {col_name} from {old_t} to {new_t}: only "
-                "widening conversions (tinyint/smallint/int -> bigint or "
-                "double, float -> double) read old files in place"
+        with self._spec_mutation(self.get_table(name)) as spec:
+            col = spec.column(col_name)  # KeyError if absent
+            old_t = spark_type_to_ddl(
+                ddl_type_to_spark(col.type_name)
+            ).lower()
+            new_t = spark_type_to_ddl(ddl_type_to_spark(new_type)).lower()
+            if new_t == old_t:
+                return
+            if new_t not in self._WIDENINGS.get(old_t, set()):
+                raise ValueError(
+                    f"cannot alter {col_name} from {old_t} to {new_t}: "
+                    "only widening conversions (tinyint/smallint/int -> "
+                    "bigint or double, float -> double) read old files "
+                    "in place"
+                )
+            protected = (
+                set(spec.primary_key)
+                | set(spec.partition_keys or [])
+                | set(spec.bucket_keys or [])
             )
-        protected = (
-            set(spec.primary_key)
-            | set(spec.partition_keys or [])
-            | set(spec.bucket_keys or [])
-        )
-        if col_name in protected:
-            raise ValueError(
-                f"cannot widen {col_name}: primary-key/partition/bucket "
-                "columns feed hash layouts whose values change with the type"
-            )
-        col.type_name = new_type
-        self._save_spec(spec)
+            if col_name in protected:
+                raise ValueError(
+                    f"cannot widen {col_name}: primary-key/partition/"
+                    "bucket columns feed hash layouts whose values "
+                    "change with the type"
+                )
+            col.type_name = new_type
+            self._save_spec(spec)
         self._register_view(spec)
 
     def add_check_constraint(self, name: str, cname: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT cname CHECK (expr): existing rows
         must already satisfy it (one validation scan, the Delta
         contract), then future writes enforce it."""
-        spec = self.get_table(name)
-        if cname in spec.check_constraints:
-            raise ValueError(f"constraint already exists: {cname}")
-        bad = (
-            self.read(name)
-            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-            .limit(1)
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"cannot add CHECK constraint {cname} ({expr}): existing "
-                f"rows of {spec.qualified_name} violate it"
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if cname in spec.check_constraints:
+                raise ValueError(f"constraint already exists: {cname}")
+            bad = (
+                self.read(name)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .limit(1)
+                .count()
             )
-        spec.check_constraints[cname] = expr
-        self._save_spec(spec)
+            if bad:
+                raise ValueError(
+                    f"cannot add CHECK constraint {cname} ({expr}): "
+                    f"existing rows of {spec.qualified_name} violate it"
+                )
+            spec.check_constraints[cname] = expr
+            self._save_spec(spec)
 
     def drop_check_constraint(self, name: str, cname: str) -> None:
-        spec = self.get_table(name)
-        if cname not in spec.check_constraints:
-            raise KeyError(f"constraint not found: {cname}")
-        del spec.check_constraints[cname]
-        self._save_spec(spec)
+        with self._spec_mutation(self.get_table(name)) as spec:
+            if cname not in spec.check_constraints:
+                raise KeyError(f"constraint not found: {cname}")
+            del spec.check_constraints[cname]
+            self._save_spec(spec)
 
     def drop_table(self, name: str) -> None:
         db, table = self._resolve(name)
@@ -2008,6 +2136,11 @@ class FlussCatalog:
     MAINT_MARKER = "maintenance.inflight"
     MAINT_STALE_SECS = 600.0
     MAINT_WAIT_SECS = 60.0
+    # Heartbeat period for long-held publish markers: on backends where
+    # owner liveness is unknowable (object stores), staleness alone
+    # reaps — so the holder must keep its marker's mtime fresh.  5x
+    # headroom inside the stale window tolerates several missed beats.
+    PUBLISH_HEARTBEAT_SECS = MAINT_STALE_SECS / 5.0
 
     def _maint_marker_path(self, spec: TableSpec) -> str:
         # SIBLING of the table directory, not inside it: the swap
@@ -2794,7 +2927,18 @@ class FlussCatalog:
                     (".old", ".optimize", ".compact")
                 ):
                     continue
-                self._try_attach(db, table)
+                if (
+                    self._try_attach(db, table) is None
+                    and os.path.isdir(os.path.join(db_dir, table))
+                ):
+                    # caught another session between mkdir(<db>/<t>) and
+                    # its _spec.json landing — the spec file's arrival
+                    # moves only the TABLE dir's mtime, so our db-dir
+                    # stamp would never re-trip (ADVICE r9).  Forget the
+                    # stamp so the next boundary relists and retries; a
+                    # permanently spec-less stray dir costs one listdir
+                    # per boundary, bounded and harmless.
+                    self._db_dir_stamp.pop(db, None)
             # cross-session DROP visibility: a known table whose dir
             # vanished was dropped elsewhere — detach it so its stale
             # view stops answering.  A maintenance dir-swap leaves the

@@ -492,13 +492,16 @@ def parse_alter_table(sql: str):
                 retain = int(m.group(1))
                 rest = rest[m.end():].strip()
                 continue
+            # quotes around the count must PAIR: a lone quote (OLDER
+            # THAN '5 DAY) is malformed SQL, not a parseable interval
             m = re.match(
-                r"^OLDER\s+THAN\s+(?:INTERVAL\s+)?'?(\d+)'?\s+"
+                r"^OLDER\s+THAN\s+(?:INTERVAL\s+)?(?:'(\d+)'|(\d+))\s+"
                 r"(SECOND|MINUTE|HOUR|DAY)S?\s*",
                 rest, re.IGNORECASE,
             )
             if m and older is None:
-                older = int(m.group(1)) * _UNIT_S[m.group(2).upper()]
+                count = int(m.group(1) or m.group(2))
+                older = count * _UNIT_S[m.group(3).upper()]
                 rest = rest[m.end():].strip()
                 continue
             raise ValueError(

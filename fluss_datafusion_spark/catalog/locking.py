@@ -95,6 +95,18 @@ class LocalFSLocking:
         except OSError:
             return []
 
+    def touch(self, path: str) -> bool:
+        """Heartbeat: refresh ``path``'s mtime to now without changing
+        its payload — the owner of a long-held marker calls this
+        periodically so mtime-staleness reaping never takes a LIVE
+        marker.  Object-store mapping: re-PUT the object (or a
+        metadata-only copy-in-place).  False if the marker vanished."""
+        try:
+            os.utime(path, None)
+            return True
+        except OSError:
+            return False
+
     def owner_alive(self, pid: int) -> Optional[bool]:
         """True/False when liveness is decidable on this host; None
         means unknown (object-store backends return None and rely on
@@ -238,6 +250,22 @@ class InMemoryLocking:
         except OSError:
             disk = set()
         return sorted(mem | disk)
+
+    def touch(self, path: str) -> bool:
+        import time
+
+        if self._take_failure("touch"):
+            return False
+        with self._lock:
+            entry = self._entries.get(path)
+            if entry is not None:
+                self._entries[path] = (entry[0], time.time())
+                return True
+        try:
+            os.utime(path, None)
+            return True
+        except OSError:
+            return False
 
     def owner_alive(self, pid: int) -> Optional[bool]:
         return None  # object-store semantics: heartbeat mtimes decide

@@ -1,0 +1,167 @@
+"""ADVICE r9 regression tests: the spec-write CAS (lost ref DDL under
+concurrent sessions), publish-marker heartbeats on liveness-unknown
+backends, retention-slot accounting in EXPIRE REFS, the late-landing
+_spec.json discovery retry, and OLDER THAN quote pairing."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from fluss_datafusion_spark import ConcurrentWriteConflict, EngineSession
+from fluss_datafusion_spark.catalog.locking import InMemoryLocking
+
+
+def _rows(e, sql):
+    return sorted(tuple(r) for r in e.sql(sql).collect())
+
+
+def test_spec_mutation_lock_excludes_concurrent_ref_ddl(spark, tmp_path):
+    """Two sessions' ref DDL on one table serializes through the spec
+    lock: while A holds its mutation window, B's CREATE TAG refuses
+    with a clean conflict instead of silently last-writer-winning."""
+    wh = str(tmp_path / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE st (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO st VALUES (1, 'a')")
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.sql("SELECT * FROM st").collect()  # attach
+    e2.catalog.MAINT_WAIT_SECS = 0.3  # instance shadow: fast timeout
+    spec = e1.catalog.get_table("st")
+    with e1.catalog._spec_mutation(spec):
+        with pytest.raises(ConcurrentWriteConflict):
+            e2.catalog.create_tag("st", "snap")
+    # window released: the same DDL proceeds, and BOTH sessions see it
+    e2.catalog.create_tag("st", "snap")
+    assert "snap" in (e1.catalog.get_table("st").tags or {})
+
+
+def test_concurrent_ref_ddl_never_loses_an_update(spark, tmp_path):
+    """The ADVICE r9 medium scenario: concurrent CREATE TAG in one
+    session and CREATE BRANCH in another must BOTH survive — the CAS
+    reloads inside the lock, so neither read-modify-write clobbers the
+    other's committed metadata."""
+    wh = str(tmp_path / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE ct (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO ct VALUES (1, 'a')")
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.sql("SELECT * FROM ct").collect()  # both sessions hold the spec
+
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def _tags():
+        barrier.wait()
+        for i in range(5):
+            try:
+                e1.catalog.create_tag("ct", f"tag{i}")
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errs.append(exc)
+
+    def _branches():
+        barrier.wait()
+        for i in range(5):
+            try:
+                e2.catalog.create_branch("ct", f"br{i}")
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errs.append(exc)
+
+    ts = [threading.Thread(target=_tags), threading.Thread(target=_branches)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    # a THIRD session reads the spec cold off disk: all 10 refs landed
+    e3 = EngineSession(spark=spark, warehouse=wh)
+    spec = e3.catalog.get_table("ct")
+    assert sorted(spec.tags or {}) == [f"tag{i}" for i in range(5)]
+    assert sorted(spec.branches or {}) == [f"br{i}" for i in range(5)]
+
+
+def test_publish_marker_heartbeat_outlives_stale_window(spark, tmp_path):
+    """On a liveness-unknown backend, a publish marker older than
+    MAINT_STALE_SECS is reaped — unless its owner heartbeats.  A long
+    cherry-pick rewrite must keep its marker alive (ADVICE r9)."""
+    wh = str(tmp_path / "wh")
+    shared = InMemoryLocking()
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.catalog.locking = shared
+    e1.sql("CREATE TABLE hb (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO hb VALUES (1, 'a')")
+    e1.sql("ALTER TABLE hb CREATE BRANCH dev")
+    e1.catalog.PUBLISH_HEARTBEAT_SECS = 0.05  # instance shadow
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.catalog.locking = shared
+    spec1 = e1.catalog.get_table("hb")
+    spec2 = e2.catalog.get_table("hb")
+    with e1.catalog._branch_publish_lock(spec1, "dev"):
+        marker = e1.catalog._branch_publish_marker(spec1, "dev")
+        # simulate the rewrite outrunning the stale window
+        shared.backdate(marker, e1.catalog.MAINT_STALE_SECS + 60)
+        time.sleep(0.25)  # several heartbeat periods
+        # the marker is FRESH again: another session still sees the
+        # publish in flight instead of reaping a live owner's marker
+        assert e2.catalog._branch_publish_inflight(spec2, "dev") is True
+    assert e2.catalog._branch_publish_inflight(spec2, "dev") is False
+
+
+def test_retention_slots_never_consumed_by_stranded_refs(spark, tmp_path):
+    """RETAIN LAST n protects the newest n refs a user can still READ:
+    floor-stranded refs are dropped regardless and must not occupy
+    retention slots (ADVICE r9)."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE rs (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    for i in range(1, 6):
+        e.sql(f"INSERT INTO rs VALUES ({i}, 'v{i}')")  # seqs 1..5
+    for i in (1, 2):
+        e.sql(f"ALTER TABLE rs CREATE TAG old{i} AS OF VERSION {i}")
+    for i in (3, 4, 5):
+        e.sql(f"ALTER TABLE rs CREATE TAG live{i} AS OF VERSION {i}")
+    # strand old1/old2 below the floor
+    e.catalog._floor["fluss.rs"] = 3
+    row = e.sql(
+        "ALTER TABLE rs EXPIRE REFS RETAIN LAST 2"
+        " OLDER THAN INTERVAL '0' SECONDS"
+    ).collect()[0]
+    # old1/old2 expire as stranded, live3 expires by policy — but
+    # live4/live5 fill the FULL retention count
+    assert row.expired_tags == 3
+    spec = e.catalog.get_table("rs")
+    assert sorted(spec.tags or {}) == ["live4", "live5"]
+
+
+def test_older_than_rejects_mismatched_quotes(spark, tmp_path):
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE qq (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    for bad in (
+        "ALTER TABLE qq EXPIRE REFS OLDER THAN '5 DAY",
+        "ALTER TABLE qq EXPIRE REFS OLDER THAN 5' DAY",
+    ):
+        with pytest.raises(ValueError):
+            e.sql(bad)
+    # paired quotes and bare counts both parse
+    e.sql("ALTER TABLE qq EXPIRE REFS OLDER THAN '5' DAYS")
+    e.sql("ALTER TABLE qq EXPIRE REFS OLDER THAN 5 DAYS")
+
+
+def test_discovery_retries_when_spec_lands_late(spark, tmp_path):
+    """ADVICE r9: a table dir listed BEFORE its _spec.json lands must
+    not strand — the spec file's arrival moves only the table dir's
+    mtime, so the db-dir stamp alone would never re-trip."""
+    wh = str(tmp_path / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE base (id BIGINT NOT NULL, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO base VALUES (1)")
+    # another session's CREATE TABLE caught between mkdir and spec write
+    os.makedirs(os.path.join(wh, "fluss", "late_t"))
+    e1.catalog.refresh_views()  # discovery sees a spec-less dir
+    # now the spec lands WITHOUT the db dir's mtime moving
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.sql("CREATE TABLE late_t (k BIGINT NOT NULL, PRIMARY KEY (k))")
+    e2.sql("INSERT INTO late_t VALUES (7)")
+    e1.catalog.refresh_views()  # retry boundary: attaches now
+    assert e1.catalog.has_table("late_t")
+    assert _rows(e1, "SELECT k FROM late_t") == [(7,)]

@@ -50,6 +50,27 @@ def canon(rows, columns):
     return [columns[i] for i in order], data
 
 
+def _git_state(repo=None):
+    """(HEAD commit hash, dirty flag for the package dir) — None/True
+    when git is unavailable, so a stamp is never silently wrong."""
+    import subprocess
+
+    repo = repo or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        status = subprocess.run(
+            ["git", "status", "--porcelain", "--", "fluss_datafusion_spark"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        )
+        dirty = bool(status.stdout.strip()) or status.returncode != 0
+    except Exception:
+        return None, True
+    return head, dirty
+
+
 def main():
     argv = sys.argv[1:]
     json_out = None
@@ -156,8 +177,22 @@ def main():
             print(f"OK    {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
 
     if json_out:
+        # stamp the git state this run corresponds to: the artifact-
+        # freshness gate (tests/test_artifact_freshness.py) fails when
+        # a committed SELF predates the last code commit touching the
+        # package — the r7/r8/r9 artifact-lag pattern, automated away
+        commit, dirty = _git_state()
         with open(json_out, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1)
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "generated_at_commit": commit,
+                    "generated_dirty": dirty,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
         print(f"wrote {json_out} ({len(results)} queries)")
     print()
     if failures:

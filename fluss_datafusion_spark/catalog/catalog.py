@@ -1182,10 +1182,15 @@ class FlussCatalog:
         zero-rewrite move only exists at the fork point).
 
         Conflict policy: REFUSE when any primary key was written by
-        BOTH sides since the fork (the safe default — last-writer-wins
-        across diverged histories silently destroys one side's intent;
-        the `t$branch_diff('b')` view shows the contested ground before
-        publishing).  Main keys untouched by the branch and branch keys
+        BOTH sides since the fork AND the branch-final value differs
+        from main's current value (last-writer-wins across diverged
+        histories silently destroys one side's intent; the
+        `t$branch_diff('b')` view shows the contested ground before
+        publishing).  History-contested keys whose values AGREE — the
+        branch retracted its write by matching main, or both sides
+        deleted the key — publish cleanly (VERDICT r9 item 3: real
+        multi-writer workflows otherwise hit spurious refusals).  Main
+        keys untouched by the branch and branch keys
         untouched by main merge cleanly: merge-on-read picks the higher
         seq per key exactly as for any two main statements.
 
@@ -1227,25 +1232,40 @@ class FlussCatalog:
                         ]
                     )
                 )
-                contested = (
+                contested_keys = (
                     bdf.select(*pk_stored)
                     .join(main_changed, pk_stored, "left_semi")
                     .distinct()
-                    .limit(6)
-                    .collect()
                 )
-                if contested:
-                    sample = ", ".join(
-                        str(tuple(r)) for r in contested[:5]
-                    )
-                    more = " (and possibly more)" if len(contested) > 5 else ""
-                    raise ConcurrentWriteConflict(
-                        f"cherry-pick of branch {branch!r} onto "
-                        f"{spec.qualified_name} refused: keys written by "
-                        f"both histories since the fork: {sample}{more} — "
-                        f"review with {name}$branch_diff('{branch}'), then "
-                        f"resolve on the branch or DROP it"
-                    )
+                # cheap existence probe first: the common (uncontested)
+                # path stays the one semi-join of two seq-pruned scans
+                if contested_keys.limit(1).collect():
+                    # Value-based refinement (VERDICT r9 item 3): a key
+                    # written by both histories whose branch-FINAL state
+                    # EQUALS main's CURRENT state carries no conflicting
+                    # intent (e.g. the branch retracted its write by
+                    # matching main, or both sides deleted the key) —
+                    # it publishes cleanly.  Only genuinely diverging
+                    # VALUES refuse.
+                    diverged = self._contested_value_divergence(
+                        name, spec, branch, contested_keys
+                    ).limit(6).collect()
+                    if diverged:
+                        sample = ", ".join(
+                            str(tuple(r)) for r in diverged[:5]
+                        )
+                        more = (
+                            " (and possibly more)"
+                            if len(diverged) > 5 else ""
+                        )
+                        raise ConcurrentWriteConflict(
+                            f"cherry-pick of branch {branch!r} onto "
+                            f"{spec.qualified_name} refused: keys written "
+                            f"by both histories since the fork with "
+                            f"DIVERGING values: {sample}{more} — review "
+                            f"with {name}$branch_diff('{branch}'), then "
+                            f"resolve on the branch or DROP it"
+                        )
             n = bhead - fork
             offset = main_head - fork
             got = self._reserve_seqs(spec, count=n, expect_base=main_head)
@@ -1284,6 +1304,49 @@ class FlussCatalog:
             self._register_view(spec)
             self._refork_branch(spec, branch, head)
         return {"advanced_to": int(head), "files_published": moved}
+
+    def _contested_value_divergence(
+        self, name: str, spec: TableSpec, branch: str, contested: DataFrame
+    ) -> DataFrame:
+        """Among history-contested keys (stored-name PK frame), the ones
+        whose branch-final state actually DIFFERS from main's current
+        state: present on exactly one side (an insert/delete conflict)
+        or present on both with any non-key column differing (null-safe
+        compare, same predicate as branch_diff).  Keys identical on both
+        sides — including deleted-on-both — emit nothing and may publish.
+
+        Scale shape: both merge-on-read scans are semi-joined down to
+        the contested keys FIRST, so the full-outer value compare is
+        O(contested), never O(table); the probe only runs after the
+        existence check found at least one contested key."""
+        pk = list(spec.primary_key)
+        pk_stored = self._stored_names(spec, pk)
+        keys = contested.select(
+            *[F.col(s).alias(l) for s, l in zip(pk_stored, pk)]
+        )
+        non_key = [c.name for c in spec.columns if c.name not in pk]
+        m = self.read(name).join(keys, pk, "left_semi").alias("m")
+        b = (
+            self.read_branch(name, branch)
+            .join(keys, pk, "left_semi")
+            .alias("b")
+        )
+        cond = None
+        for k in pk:
+            eq = F.col(f"m.{k}") == F.col(f"b.{k}")
+            cond = eq if cond is None else (cond & eq)
+        joined = m.join(b, cond, "full_outer")
+        m_hit = F.col(f"m.{pk[0]}").isNotNull()
+        b_hit = F.col(f"b.{pk[0]}").isNotNull()
+        same = F.lit(True)
+        for c in non_key:
+            same = same & F.col(f"m.{c}").eqNullSafe(F.col(f"b.{c}"))
+        return joined.filter(~(m_hit & b_hit & same)).select(
+            *[
+                F.coalesce(F.col(f"b.{k}"), F.col(f"m.{k}")).alias(k)
+                for k in pk
+            ]
+        )
 
     def _refork_branch(self, spec: TableSpec, branch: str, head: int):
         """Re-fork a branch at ``head`` with an empty delta

@@ -1900,7 +1900,9 @@ def q58_lateral_join(spark, sf_dir):
 
 
 @query(
-    "q59_matview_join",  # r5: CORE - join-view incremental maintenance differentiator
+    "q59_matview_join",
+    extended=True,  # r10: rotated out for q77_branch_metadata_agg (the
+    # join-delta maintenance family keeps q57 in core + this SELF row)
     oracle="""
     WITH dim0 AS (
         SELECT c_custkey AS k, c_mktsegment AS seg
@@ -3010,7 +3012,10 @@ def q75_branch_diff(spark, sf_dir):
            (SELECT max(x) FROM branch) AS mx,
            (SELECT count(*) FROM base) AS n_main
     """,
-    extended=True,
+    # r10: CORE — the branch-read metadata fast path is a
+    # differentiator (VERDICT r9 item 5); q59_matview_join rotated to
+    # extended (the matview-join delta algebra stays covered by q57's
+    # core row + q59's SELF row)
 )
 def q77_branch_metadata_agg(spark, sf_dir):
     """Branch-read metadata fast path (r9 —
@@ -3155,4 +3160,92 @@ def q76_expire_refs_retention(spark, sf_dir):
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
         "ref_name string, ref_type string, n_rows bigint",
+    )
+
+
+@query(
+    "q78_cherry_pick_values",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+    ),
+    merged AS (
+        -- value-equal contested keys published: evens agreed on both
+        -- sides, %5 keys deleted on both sides, +500 branch inserts
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'agreed'
+                    ELSE n_name END AS n_name
+        FROM base WHERE n_nationkey % 5 <> 0
+        UNION ALL
+        SELECT n_nationkey + 500, 'picked' FROM base
+    )
+    -- the second, genuinely-diverged cherry-pick REFUSED: main keeps
+    -- its post-publish 'main9' update, the branch edit never lands
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'main9'
+                ELSE n_name END AS n_name,
+           TRUE AS second_refused
+    FROM merged
+    """,
+    extended=True,
+)
+def q78_cherry_pick_values(spark, sf_dir):
+    """Value-based cherry-pick conflicts (r10 — VERDICT r9 item 3):
+    history-contested keys whose branch-final value EQUALS main's
+    current value publish cleanly (retracted writes, same value written
+    on both sides, deleted-on-both), while genuinely DIVERGING values
+    still refuse with nothing moved.  Both outcomes ride one oracle:
+    the first CHERRY PICK publishes a fully value-agreed divergence,
+    the second refuses a real conflict, and DuckDB re-derives the final
+    main state from the raw nation table."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cpval_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    v(spark, sf_dir, "nation")
+    e.sql(
+        "CREATE TABLE cp_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    e.sql(
+        "INSERT INTO cp_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 1"
+    )
+    e.sql("ALTER TABLE cp_nation CREATE BRANCH fix")
+    # main and branch CONTEST the same keys but agree on every value:
+    # evens -> 'agreed' on both sides, %5 keys deleted on both sides
+    e.sql("UPDATE cp_nation SET n_name = 'agreed' WHERE n_nationkey % 2 = 0")
+    e.sql("DELETE FROM cp_nation WHERE n_nationkey % 5 = 0")
+    e.sql(
+        "UPDATE cp_nation$branch('fix') SET n_name = 'agreed'"
+        " WHERE n_nationkey % 2 = 0"
+    )
+    e.sql("DELETE FROM cp_nation$branch('fix') WHERE n_nationkey % 5 = 0")
+    e.sql(
+        "INSERT INTO cp_nation$branch('fix')"
+        " SELECT n_nationkey + 500, 'picked' FROM nation"
+        " WHERE n_regionkey = 1"
+    )
+    # fast_forward refuses (diverged) but value-equal cherry-pick lands
+    e.sql("ALTER TABLE cp_nation CHERRY PICK BRANCH fix")
+    # round 2: a REAL divergence — same keys, different values
+    e.sql("UPDATE cp_nation SET n_name = 'main9' WHERE n_nationkey % 2 = 0")
+    e.sql(
+        "UPDATE cp_nation$branch('fix') SET n_name = 'branch9'"
+        " WHERE n_nationkey % 2 = 0"
+    )
+    refused = False
+    try:
+        e.sql("ALTER TABLE cp_nation CHERRY PICK BRANCH fix")
+    except Exception:
+        refused = True  # ConcurrentWriteConflict: nothing moved
+    return e.sql("SELECT n_nationkey, n_name FROM cp_nation").withColumn(
+        "second_refused", F.lit(refused)
     )

@@ -312,17 +312,19 @@ def try_branch_metadata_aggregate(session, statement: str):
     statement deltas since the fork, capped here) and its final per-key
     states adjust the count: +1 for a live key absent at the fork, −1
     for a tombstoned key present at the fork.  Fork-presence is probed
-    with a PK IN-list against ONLY the fork-covering files (file
-    skipping prunes by key bounds/blooms) — O(branch), never O(table).
+    against ONLY the fork-covering files with per-PK-column IN-list
+    pushdowns (file skipping prunes by key bounds/blooms); composite
+    PKs (r10) add a broadcast semi-join against the statement-sized
+    key frame for exactness — O(branch), never O(table).
     min/max additionally require every branch-final key to be a fresh
     live insert (an upsert or tombstone of a fork key can retract the
     stored extremum — the non-self-maintainable case); otherwise those
     aggregates fall back while a bare count(*) still serves.
 
     Soundness gates (each falls back to Catalyst, never approximates):
-    floor == fork, complete __seq__ manifest coverage, single-column
-    PK (the IN-list probe), ≤ _BRANCH_DELTA_CAP branch-final keys, and
-    the main path's exact-type rule for min/max columns."""
+    floor == fork, complete __seq__ manifest coverage,
+    ≤ _BRANCH_DELTA_CAP branch-final keys, and the main path's
+    exact-type rule for min/max columns."""
     m = _BRANCH_STMT_RE.match(statement)
     if m is None:
         return None
@@ -350,7 +352,7 @@ def try_branch_metadata_aggregate(session, statement: str):
         return None
     catalog = session.catalog
     spec = catalog.get_table(target)
-    if not spec.has_primary_key or len(spec.primary_key) != 1:
+    if not spec.has_primary_key:
         return None
     info = (spec.branches or {}).get(branch)
     if info is None:
@@ -400,17 +402,16 @@ def try_branch_metadata_aggregate(session, statement: str):
         minmax_cols[col] = cspec
 
     # ---- branch delta (small by construction; capped) ----
-    pk = spec.primary_key[0]
-    pk_stored = catalog._stored_names(spec, [pk])[0]
+    pk_stored = catalog._stored_names(spec, list(spec.primary_key))
     from pyspark.sql import functions as F
 
     bpath = catalog._branch_path(spec, branch)
-    delta = []  # (key, live, {col: value})
+    delta = []  # (pk tuple, live, {col: value})
     if _parquet_files(bpath):
         bdf = session.spark.read.schema(
             catalog._stored_schema(spec)
         ).parquet(bpath)
-        want = [pk_stored, "__seq__", "__sub__", "__del__"] + [
+        want = [*pk_stored, "__seq__", "__sub__", "__del__"] + [
             (c.physical_name or c.name) for c in minmax_cols.values()
         ]
         rows = bdf.select(*dict.fromkeys(want)).limit(
@@ -421,23 +422,38 @@ def try_branch_metadata_aggregate(session, statement: str):
         final = {}
         for r in rows:
             stamp = (r["__seq__"], r["__sub__"])
-            prev = final.get(r[pk_stored])
+            k = tuple(r[c] for c in pk_stored)
+            prev = final.get(k)
             if prev is None or stamp > prev[0]:
-                final[r[pk_stored]] = (stamp, r)
+                final[k] = (stamp, r)
         for k, (_stamp, r) in final.items():
             delta.append((k, not bool(r["__del__"]), r))
 
-    # fork-presence probe: PK IN-list over ONLY the fork files
+    # fork-presence probe over ONLY the fork files: per-column IN-list
+    # filters push into the scan (file skipping prunes by key bounds /
+    # blooms on each PK column), then — for composite PKs (r10, VERDICT
+    # r9 item 6) — a broadcast semi-join against the statement-sized
+    # key frame restores exactness (the per-column filters alone admit
+    # the cross-product of the key columns' values)
     present = set()
     if delta and fork_files:
         keys = [k for k, _live, _r in delta]
-        probe = (
-            session.spark.read.schema(catalog._stored_schema(spec))
-            .parquet(*fork_files)
-            .filter(F.col(pk_stored).isin(keys))
-            .select(pk_stored)
-        )
-        present = {r[0] for r in probe.collect()}
+        scan = session.spark.read.schema(
+            catalog._stored_schema(spec)
+        ).parquet(*fork_files)
+        for i, c in enumerate(pk_stored):
+            scan = scan.filter(F.col(c).isin([k[i] for k in keys]))
+        scan = scan.select(*pk_stored)
+        if len(pk_stored) > 1:
+            from pyspark.sql.types import StructType
+
+            stored_schema = catalog._stored_schema(spec)
+            keys_df = session.spark.createDataFrame(
+                session.spark.sparkContext.parallelize(keys, 1),
+                StructType([stored_schema[c] for c in pk_stored]),
+            )
+            scan = scan.join(F.broadcast(keys_df), pk_stored, "left_semi")
+        present = {tuple(r) for r in scan.collect()}
 
     # min/max serve only when no branch-final key touches a fork key
     # (an upsert or tombstone of a fork key can RETRACT the stored

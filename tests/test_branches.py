@@ -615,19 +615,38 @@ def test_cherry_pick_refuses_contested_keys(branched):
     assert _rows(e, "SELECT id, v FROM bt$branch('dev')") == [
         (1, "a"), (2, "branch-2"), (3, "c")]
     # resolving on the branch (retract the contested write by matching
-    # main) still refuses — key 2 was WRITTEN by both sides; the policy
-    # is history-based, not value-based
+    # main) PUBLISHES: key 2 was written by both sides but the values
+    # now agree, so there is no conflicting intent (r10 — the policy is
+    # value-based; history alone no longer spuriously refuses)
     e.sql("UPDATE bt$branch('dev') SET v = 'main-2' WHERE id = 2")
-    with pytest.raises(ConcurrentWriteConflict):
-        e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev")
-    # dropping and re-doing the clean part of the work publishes
-    e.sql("ALTER TABLE bt DROP BRANCH dev")
-    e.sql("ALTER TABLE bt CREATE BRANCH dev")
-    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
     cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
     assert cp.advanced_to == e.catalog.current_seq("bt")
     assert _rows(e, "SELECT id, v FROM bt") == [
         (1, "a"), (2, "main-2"), (3, "c")]
+
+
+def test_cherry_pick_value_equal_contested_keys_publish(branched):
+    """History-contested keys whose values AGREE publish cleanly
+    (VERDICT r9 item 3): delete-on-both and same-value-written-on-both
+    are not conflicts; a genuine value divergence still refuses."""
+    e = branched
+    # both sides delete key 1; both sides write key 2 to the SAME value
+    e.sql("DELETE FROM bt WHERE id = 1")
+    e.sql("UPDATE bt SET v = 'agreed' WHERE id = 2")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 1")
+    e.sql("UPDATE bt$branch('dev') SET v = 'agreed' WHERE id = 2")
+    e.sql("INSERT INTO bt$branch('dev') VALUES (3, 'c')")
+    cp = e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev").collect()[0]
+    assert cp.advanced_to == e.catalog.current_seq("bt")
+    assert _rows(e, "SELECT id, v FROM bt") == [(2, "agreed"), (3, "c")]
+
+    # delete-on-branch vs update-on-main is a REAL divergence: refuse
+    e.sql("UPDATE bt SET v = 'newer' WHERE id = 2")
+    e.sql("DELETE FROM bt$branch('dev') WHERE id = 2")
+    with pytest.raises(ConcurrentWriteConflict, match="DIVERGING"):
+        e.sql("ALTER TABLE bt CHERRY PICK BRANCH dev")
+    # nothing moved
+    assert _rows(e, "SELECT id, v FROM bt") == [(2, "newer"), (3, "c")]
 
 
 def test_cherry_pick_non_diverged_and_empty(branched):

@@ -225,6 +225,7 @@ _br_op = st.one_of(
     st.tuples(st.just("br_del"), _keys),
     st.tuples(st.just("br_upd"), st.tuples(_keys, _vals)),
     st.tuples(st.just("ff"), st.just(None)),
+    st.tuples(st.just("cp"), st.just(None)),
     st.tuples(st.just("rebranch"), st.just(None)),
 )
 
@@ -256,6 +257,8 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
     branch = {}
     branch_writes = 0   # branch statements since the current fork
     main_diverged = 0   # main statements since the current fork
+    main_touched = set()    # keys main actually WROTE since the fork
+    branch_touched = set()  # keys the branch actually WROTE since it
 
     for op, arg in ops:
         if op == "main_ins":
@@ -263,9 +266,14 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
             e.sql(f"INSERT INTO dmlb VALUES {values}")
             for k, v in arg:
                 main[k] = v
+                main_touched.add(k)
             main_diverged += 1
         elif op == "main_del":
             e.sql(f"DELETE FROM dmlb WHERE k = {arg}")
+            # a PK-equality DELETE records its tombstone even for an
+            # absent key ("recorded, not validated" — catalog.delete),
+            # so the key counts as WRITTEN for conflict detection
+            main_touched.add(arg)
             main.pop(arg, None)
             main_diverged += 1
         elif op == "br_ins":
@@ -273,9 +281,11 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
             e.sql(f"INSERT INTO dmlb$branch('b') VALUES {values}")
             for k, v in arg:
                 branch[k] = v
+                branch_touched.add(k)
             branch_writes += 1
         elif op == "br_del":
             e.sql(f"DELETE FROM dmlb$branch('b') WHERE k = {arg}")
+            branch_touched.add(arg)  # tombstone recorded even if absent
             branch.pop(arg, None)
             branch_writes += 1
         elif op == "br_upd":
@@ -284,6 +294,7 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
                 f"UPDATE dmlb$branch('b') SET v = v + {delta}"
                 f" WHERE k >= {thr}"
             )
+            branch_touched |= {k for k in branch if k >= thr}
             branch = {
                 k: (v + delta if k >= thr else v)
                 for k, v in branch.items()
@@ -305,12 +316,46 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
                     branch = dict(main)
                 main_diverged = 0
                 branch_writes = 0
+                main_touched = set()
+                branch_touched = set()
+        elif op == "cp":
+            # r10: CHERRY PICK refuses only on contested keys whose
+            # VALUES genuinely diverge (absence-aware); value-equal
+            # contested keys — retracted writes, deleted-on-both —
+            # publish.  On publish, branch statements re-stamp onto
+            # main's head: branch-written keys take the branch-final
+            # state, everything else keeps main's current state.
+            contested = main_touched & branch_touched
+            diverged_keys = {
+                k for k in contested
+                if (k in main) != (k in branch)
+                or (k in main and main[k] != branch[k])
+            }
+            if branch_writes and diverged_keys:
+                with pytest.raises(ConcurrentWriteConflict):
+                    e.sql("ALTER TABLE dmlb CHERRY PICK BRANCH b")
+                # refused: both states unchanged
+            else:
+                e.sql("ALTER TABLE dmlb CHERRY PICK BRANCH b")
+                if branch_writes:
+                    for k in branch_touched:
+                        if k in branch:
+                            main[k] = branch[k]
+                        else:
+                            main.pop(k, None)
+                branch = dict(main)
+                main_diverged = 0
+                branch_writes = 0
+                main_touched = set()
+                branch_touched = set()
         elif op == "rebranch":
             e.sql("ALTER TABLE dmlb DROP BRANCH b")
             e.sql("ALTER TABLE dmlb CREATE BRANCH b")
             branch = dict(main)
             branch_writes = 0
             main_diverged = 0
+            main_touched = set()
+            branch_touched = set()
 
     got_main = {r.k: r.v for r in e.catalog.read("dmlb").collect()}
     assert got_main == main, (ops, got_main, main)

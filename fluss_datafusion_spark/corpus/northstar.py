@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fluss_datafusion_spark.corpus import query, t
@@ -450,6 +451,69 @@ def ns_text_stats(spark, sf_dir):
         tx.token_count(F.col("text")).alias("n_tokens"),
         tx.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
         F.round(tx.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@query(
+    "ns_text_sentences",
+    oracle="""
+    WITH p AS (
+        -- punctuation-bearing fixture synthesized deterministically
+        -- from the raw corpus (documents carry no punctuation): every
+        -- 15-word run becomes three 5-word sentences cycling . ! ?
+        SELECT doc_id,
+               regexp_replace(text,
+                   '((\\w+ ){4}\\w+) ((\\w+ ){4}\\w+) ((\\w+ ){4}\\w+) ',
+                   '\\1. \\3! \\5? ', 'g') AS pt
+        FROM documents WHERE doc_id < 120
+    ),
+    s AS (
+        SELECT doc_id,
+               unnest(string_split(
+                   regexp_replace(pt, '([.!?]) ', '\\1|', 'g'), '|'))
+                   AS sentence
+        FROM p
+    )
+    SELECT doc_id, sentence,
+           CAST(len(string_split(sentence, ' ')) AS INT) AS n_words,
+           CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+               AS n_sentences
+    FROM s WHERE length(sentence) > 0
+    """,
+    extended=True,
+)
+def ns_text_sentences(spark, sf_dir):
+    """Sentence segmentation (r10 — VERDICT r9 item 7, previously
+    blocked on 'documents carry no punctuation'): the fixture is
+    SYNTHESIZED in-query — a deterministic regex stamps cycling
+    terminators onto every 15-word run, identically in Spark and the
+    DuckDB oracle — then functions.text.sentences splits on
+    terminator-then-space boundaries as a pure JVM expression chain
+    (mark-then-split; no lookbehind, no UDFs).  Per-sentence rows carry
+    word counts and the per-doc sentence count.
+
+    Scale shape: one scan -> explode; no shuffle except the per-doc
+    count window (constant-width key), and at 100 TB the window can be
+    replaced by a size() on the pre-explode array — kept here to pin
+    the windowed form too."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    pt = F.regexp_replace(
+        F.col("text"),
+        r"((\w+ ){4}\w+) ((\w+ ){4}\w+) ((\w+ ){4}\w+) ",
+        "$1. $3! $5? ",
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(tx.sentences(pt)).alias("sentence"),
+    )
+    return exploded.select(
+        "doc_id",
+        "sentence",
+        F.size(F.split(F.col("sentence"), " ")).cast("int").alias("n_words"),
+        F.count("*")
+        .over(Window.partitionBy("doc_id"))
+        .cast("long")
+        .alias("n_sentences"),
     )
 
 

@@ -3249,3 +3249,90 @@ def q78_cherry_pick_values(spark, sf_dir):
     return e.sql("SELECT n_nationkey, n_name FROM cp_nation").withColumn(
         "second_refused", F.lit(refused)
     )
+
+
+@query(
+    "q79_cross_session_ddl",
+    oracle="""
+    WITH r0 AS (SELECT count(*) AS c FROM nation WHERE n_regionkey = 0)
+    SELECT 'late_attach' AS probe, (SELECT c FROM r0) AS n
+    UNION ALL SELECT 'branch_cross_write', (SELECT c FROM r0) + 1
+    UNION ALL SELECT 'tag_resolves', (SELECT c FROM r0)
+    UNION ALL SELECT 'add_column', 1
+    UNION ALL SELECT 'drop_detached', 0
+    """,
+    extended=True,
+)
+def q79_cross_session_ddl(spark, sf_dir):
+    """Cross-session DDL/DROP visibility (r9 bonus feature, r10 oracle —
+    VERDICT r9 item 8): two live EngineSessions over ONE warehouse.
+    Session B late-attaches a table A created after B started (db-dir
+    mtime gate), writes to a branch A created (spec-mtime reload), reads
+    A's tag, evolves the schema with ADD COLUMN that A's next insert
+    uses, and A detaches a table B dropped — all at statement
+    boundaries, no restarts.  Each probe lands as a (probe, n) row the
+    DuckDB oracle re-derives from nation counts and the contract
+    literals."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_xsess_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    wh = os.path.join(root, "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    v(spark, sf_dir, "nation")
+    e2 = EngineSession(spark=spark, warehouse=wh)  # starts EMPTY
+    e1.sql(
+        "CREATE TABLE xs_nation (n_nationkey BIGINT NOT NULL,"
+        " n_name STRING, PRIMARY KEY (n_nationkey))"
+    )
+    e1.sql(
+        "INSERT INTO xs_nation SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_regionkey = 0"
+    )
+    e1.sql("CREATE TABLE xs_gone (k BIGINT NOT NULL, PRIMARY KEY (k))")
+    rows = []
+    # late-attach: e2 discovers a table created AFTER it started
+    rows.append(
+        ("late_attach",
+         e2.sql("SELECT count(*) AS c FROM xs_nation").collect()[0].c)
+    )
+    # ref DDL in e1 is visible (and writable) from e2 without restart
+    e1.sql("ALTER TABLE xs_nation CREATE TAG t0")
+    e1.sql("ALTER TABLE xs_nation CREATE BRANCH dev")
+    e2.sql("INSERT INTO xs_nation$branch('dev') VALUES (9999, 'wip')")
+    rows.append(
+        ("branch_cross_write",
+         e1.sql("SELECT count(*) AS c FROM xs_nation$branch('dev')")
+         .collect()[0].c)
+    )
+    rows.append(
+        ("tag_resolves",
+         e2.sql("SELECT count(*) AS c FROM xs_nation VERSION AS OF 't0'")
+         .collect()[0].c)
+    )
+    # schema evolution lands cross-session
+    e2.sql("ALTER TABLE xs_nation ADD COLUMN extra BIGINT")
+    e1.sql("INSERT INTO xs_nation VALUES (8888, 'new', 42)")
+    rows.append(
+        ("add_column",
+         e1.sql("SELECT count(*) AS c FROM xs_nation"
+                " WHERE extra IS NOT NULL").collect()[0].c)
+    )
+    # DROP in e2 detaches in e1 at its next boundary
+    e2.sql("DROP TABLE xs_gone")
+    e1.catalog.refresh_views()
+    rows.append(
+        ("drop_detached", 1 if e1.catalog.has_table("xs_gone") else 0)
+    )
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p, int(n)) for p, n in rows], 1
+        ),
+        "probe string, n bigint",
+    )

@@ -137,6 +137,23 @@ def word_shingles(text, k: int = 3) -> Column:
     )
 
 
+def sentences(text) -> Column:
+    """Sentence segmentation as array<string> — a pure JVM expression
+    chain (r10, VERDICT r9 item 7): mark each terminator-then-space
+    boundary with an out-of-band delimiter, then split on it, so every
+    sentence keeps its own terminator and interior abbreviation dots
+    never need lookbehind (RE2-compatible — the identical two-step runs
+    as a DuckDB oracle, where lookbehind is unavailable).
+
+    Boundary rule: ``[.!?]`` followed by whitespace ends a sentence; the
+    final sentence may be unterminated.  Empty segments (e.g. from
+    leading terminators) are dropped."""
+    marked = F.regexp_replace(text, r"([.!?])\s+", "$1\x1e")
+    return F.filter(
+        F.split(marked, "\x1e"), lambda s: F.length(s) > 0
+    )
+
+
 def lang_id_table(df, id_col: str, text_col: str):
     """DataFrame-level language ID with the same first-max-wins cascade
     as lang_id(), restructured for scale: explode tokens once, keep only

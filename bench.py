@@ -68,6 +68,81 @@ def probe_job_floor(spark, samples: int = 5) -> float:
     return round(sorted(ts)[len(ts) // 2], 1)
 
 
+def probe_stmt_floor(spark, samples: int = 5) -> float:
+    """Median wall-clock, in ms, of the CHEAPEST possible PK-table DML
+    statement on this host right now — a single-row INSERT through the
+    full engine path (plan, one write job, footer harvest, commit
+    protocol, view rebind).  This is the unit the DML-lifecycle bench
+    entries are floor-dominated by; q66's decomposition below prices
+    its statement count against it."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = tempfile.mkdtemp(prefix="bench_stmt_floor_")
+    try:
+        e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+        e.sql(
+            "CREATE TABLE __floor_probe (k BIGINT NOT NULL, v BIGINT,"
+            " PRIMARY KEY (k))"
+        )
+        e.sql("INSERT INTO __floor_probe VALUES (0, 0)")  # warm the path
+        ts = []
+        for i in range(1, samples + 1):
+            t0 = time.time()
+            e.sql(f"INSERT INTO __floor_probe VALUES ({i}, {i})")
+            ts.append((time.time() - t0) * 1000.0)
+        return round(sorted(ts)[len(ts) // 2], 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q66_decomposition(spark, sf_dir, stmt_floor_ms: float) -> dict:
+    """One instrumented q66 run: wall per statement GROUP (the exact
+    Q66_GROUPS the corpus entry executes), plus the floor arithmetic
+    the target re-baseline rests on (VERDICT r9 item 1): the lifecycle
+    is 17 user statements, 15 of which are bare DDL/DML priced at the
+    host's per-statement floor — so the entry's floor is
+    15 x stmt_floor + 2 x refresh work, not a number any plan change
+    can push below 15 x stmt_floor."""
+    from fluss_datafusion_spark.corpus.relational import (
+        Q66_FINAL,
+        Q66_GROUPS,
+        q66_setup,
+    )
+
+    e = q66_setup(spark, sf_dir)
+    groups = {}
+    n_stmts = 0
+    for label, stmts in Q66_GROUPS:
+        t0 = time.time()
+        for s in stmts:
+            e.sql(s)
+        groups[label] = round(time.time() - t0, 3)
+        n_stmts += len(stmts)
+    t0 = time.time()
+    run_query(e.sql(Q66_FINAL))
+    groups["final_select"] = round(time.time() - t0, 3)
+    n_stmts += 1
+    refresh_sec = groups["w1_refresh"] + groups["w2_refresh"]
+    non_refresh = n_stmts - 2
+    floor_sec = round(non_refresh * stmt_floor_ms / 1000.0, 2)
+    return {
+        "statements": n_stmts,
+        "groups": groups,
+        "stmt_floor_ms": stmt_floor_ms,
+        "non_refresh_statements": non_refresh,
+        "statement_floor_sec": floor_sec,
+        "refresh_sec": round(refresh_sec, 2),
+        # the re-baselined target: the 15 bare statements at the host's
+        # measured floor, plus both refreshes at <= 1.2 s of real delta
+        # work each (the r10 steady-state: inline small-window fold, one
+        # pinned delta job, one fused append)
+        "derived_target_sec": round(floor_sec + 2 * 1.2, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -320,6 +395,17 @@ def main() -> None:
     floor_after_ms = probe_job_floor(spark)
     contention_after = probe_cpu_contention()
 
+    # q66's in-artifact floor decomposition (VERDICT r9 item 1): one
+    # extra instrumented run priced against the live statement floor,
+    # so the artifact itself shows how much of the entry is statement
+    # count x host floor vs real refresh work.
+    try:
+        stmt_floor = probe_stmt_floor(spark)
+        q66_decomp = q66_decomposition(spark, sf_dir, stmt_floor)
+    except Exception as exc:  # never fail the artifact over the probe
+        print(f"bench error in q66 decomposition: {exc}", file=sys.stderr)
+        q66_decomp = None
+
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
         json.dumps(
@@ -344,6 +430,7 @@ def main() -> None:
                     "before": contention_before,
                     "after": contention_after,
                 },
+                "q66_decomposition": q66_decomp,
             }
         )
     )

@@ -486,6 +486,38 @@ def _signed_changes(catalog, mv: Dict, source: str, lo: int, hi: int,
     )
 
 
+# windows below this many summed parquet bytes inline their delta
+# subtrees as SQL text instead of checkpointing (a double scan of a
+# small window inside one job beats per-checkpoint toRdd planning)
+_INLINE_WINDOW_BYTES = 64 * 1024 * 1024
+
+
+def _window_bytes(catalog, name: str, lo: int, hi: int) -> float:
+    """Summed on-disk parquet bytes of the files a CDC window (lo, hi]
+    reads — manifest metadata only, no Spark job.  Files without
+    manifest __seq__ bounds count as unknown (infinite), so the caller
+    stays on the conservative checkpoint path."""
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _SEQ, _parquet_files
+
+    spec = catalog.get_table(name)
+    path = catalog.table_path(spec)
+    manifest = skipping.load(path)
+    total = 0
+    for f in _parquet_files(path):
+        rel = os.path.relpath(f, path)
+        b = (manifest.get(rel) or {}).get(_SEQ)
+        if b is None:
+            return float("inf")
+        if b[1] <= lo or b[0] > hi:
+            continue  # outside the window: the seq-pruned scan skips it
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return float("inf")
+    return total
+
+
 def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     """n-ary join delta by FOLDING the two-relation rule: with
     J = A1⋈...⋈Ak the accumulated join and δJ its accumulated delta,
@@ -512,6 +544,19 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
     has_delta = [h > l for h, l in zip(his, los)]
     plan = _SqlPlan(spark)
     sc = "__mv_sign_c__"
+    # r10: when EVERY leaf CDC window is provably SMALL (summed parquet
+    # bytes of the window's files, known from the manifest — a
+    # metadata-only check, no job), multi-consumer subtrees inline as
+    # text instead of checkpointing: re-scanning a statement-sized
+    # window twice inside the ONE final job costs less than each lazy
+    # checkpoint's ~130 ms of toRdd planning.  Large windows keep the
+    # r8 checkpoint policy — recompute there would double a real scan.
+    all_windows_small = all(
+        not has_delta[i]
+        or _window_bytes(catalog, s["name"], los[i], his[i])
+        <= _INLINE_WINDOW_BYTES
+        for i, s in enumerate(srcs)
+    )
 
     def flat_cols(i: int) -> List[str]:
         al = srcs[i]["alias"]
@@ -546,6 +591,10 @@ def _delta_rows_nary(catalog, mv: Dict, anchors: Dict) -> DataFrame:
         # toRdd planning even with AQE scoped off — a delta subtree
         # only deserves one when it feeds MORE than one join term;
         # single-consumer subtrees inline into the next statement.
+        # r10: small-window refreshes inline EVERY subtree (see
+        # all_windows_small above).
+        if all_windows_small:
+            return text
         df = _lazy_checkpoint(spark.sql(f"SELECT * FROM {text}", **plan.params))
         return plan.ref(df)
 

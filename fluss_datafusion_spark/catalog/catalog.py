@@ -3753,7 +3753,11 @@ class FlussCatalog:
             input_df = input_df.localCheckpoint(eager=True)
             self.truncate_table(target)
         count = self.insert(target, input_df, branch=branch)
-        return self.spark.createDataFrame([(count,)], "count bigint")
+        # pure-JVM scalar frame (see EngineSession._scalar_df): the
+        # python-RDD constructor is ~2x slower per statement
+        return self.spark.range(1).select(
+            F.lit(count).cast("bigint").alias("count")
+        )
 
     def update_rows(
         self,

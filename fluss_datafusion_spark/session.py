@@ -131,6 +131,28 @@ class EngineSession:
         self.catalog = FlussCatalog(self.spark, warehouse=warehouse)
         register_sql_functions(self.spark)
 
+    def _scalar_df(self, name: str, value: int, empty: bool = False):
+        """One-row (or zero-row) bigint result frame for DML/DDL
+        statements, as a pure-JVM plan: ``createDataFrame([(n,)])``
+        pays python-RDD serialization on every call (~90 ms measured
+        r10); ``range(...).select(lit)`` halves it.  DML-lifecycle
+        entries run a dozen such statements, so the constructor IS part
+        of the statement floor."""
+        from pyspark.sql import functions as F
+
+        return self.spark.range(0 if empty else 1).select(
+            F.lit(value).cast("bigint").alias(name)
+        )
+
+    def _literal_df(self, **cols):
+        """Multi-column one-row bigint result frame, same rationale as
+        ``_scalar_df`` (kwargs order = column order)."""
+        from pyspark.sql import functions as F
+
+        return self.spark.range(1).select(
+            *[F.lit(v).cast("bigint").alias(k) for k, v in cols.items()]
+        )
+
     def sql(self, query: str) -> DataFrame:
         import re
 
@@ -159,7 +181,7 @@ class EngineSession:
             )
         if use_match:
             self.catalog.set_default_database(strip_quotes(use_match.group(1)))
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         # CLONE must dispatch before CREATE TABLE parsing (it shares the
         # CREATE TABLE prefix but has no column list to parse)
@@ -167,15 +189,15 @@ class EngineSession:
         if clone_parsed is not None:
             new_name, source, deep, if_not_exists = clone_parsed
             if if_not_exists and self.catalog.has_table(new_name):
-                return self.spark.createDataFrame([(0,)], "n_files bigint").limit(0)
+                return self._scalar_df("n_files", 0, empty=True)
             n_files = self.catalog.clone_table(source, new_name, deep=deep)
-            return self.spark.createDataFrame([(n_files,)], "n_files bigint")
+            return self._scalar_df("n_files", n_files)
 
         like_parsed = ddl.parse_create_like(statement)
         if like_parsed is not None and self.catalog.has_table(like_parsed[1]):
             new_name, source, if_not_exists = like_parsed
             if if_not_exists and self.catalog.has_table(new_name):
-                return self.spark.createDataFrame([(0,)], "count bigint").limit(0)
+                return self._scalar_df("count", 0, empty=True)
             from fluss_datafusion_spark.catalog.metadata import TableSpec
 
             src = self.catalog.get_table(source)
@@ -185,40 +207,41 @@ class EngineSession:
                 parts = [self.catalog.default_database] + parts
             spec.database, spec.name = parts
             self.catalog.create_table(spec, if_not_exists=False)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         mv_parsed = ddl.parse_create_matview(statement)
         if mv_parsed is not None:
             from fluss_datafusion_spark.catalog import matview
 
             n = matview.create_matview(self.catalog, *mv_parsed)
-            return self.spark.createDataFrame([(n,)], "groups bigint")
+            return self._scalar_df("groups", n)
 
         mv_refresh = ddl.parse_refresh_matview(statement)
         if mv_refresh is not None and self.catalog.has_table(mv_refresh):
             from fluss_datafusion_spark.catalog import matview
 
             counts = matview.refresh_matview(self.catalog, mv_refresh)
-            return self.spark.createDataFrame(
-                [(counts["upserted"], counts["deleted"], counts["full_rebuild"])],
-                "upserted bigint, deleted bigint, full_rebuild bigint",
+            return self._literal_df(
+                upserted=counts["upserted"],
+                deleted=counts["deleted"],
+                full_rebuild=counts["full_rebuild"],
             )
 
         vacuum_target = ddl.parse_vacuum(statement)
         if vacuum_target is not None and self.catalog.has_table(vacuum_target):
             removed = self.catalog.vacuum(vacuum_target)
-            return self.spark.createDataFrame([(removed,)], "removed bigint")
+            return self._scalar_df("removed", removed)
 
         view_parsed = ddl.parse_create_view(statement)
         if view_parsed is not None:
             name, select_sql, or_replace = view_parsed
             self.catalog.create_view(name, select_sql, or_replace=or_replace)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         drop_view = ddl.parse_drop_view(statement)
         if drop_view is not None:
             self.catalog.drop_view(drop_view[0], if_exists=drop_view[1])
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         ctas = ddl.parse_ctas(
             statement, default_database=self.catalog.default_database
@@ -226,9 +249,7 @@ class EngineSession:
         if ctas is not None:
             name, layout, select_sql, if_not_exists = ctas
             if if_not_exists and self.catalog.has_table(name):
-                return self.spark.createDataFrame(
-                    [(0,)], "inserted bigint"
-                ).limit(0)
+                return self._scalar_df("inserted", 0, empty=True)
             from fluss_datafusion_spark.catalog.metadata import (
                 ColumnSpec,
                 TableSpec,
@@ -260,24 +281,24 @@ class EngineSession:
                 if_not_exists=False,
             )
             n = self.catalog.insert(name, df)
-            return self.spark.createDataFrame([(n,)], "inserted bigint")
+            return self._scalar_df("inserted", n)
 
         if ddl.is_engine_create_table(statement):
             spec = ddl.parse_create_table(
                 statement, default_database=self.catalog.default_database
             )
             self.catalog.create_table(spec)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         database = ddl.parse_create_database(statement)
         if database is not None:
             self.catalog.create_database(database)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         drop_target = ddl.parse_drop_table(statement)
         if drop_target is not None and self.catalog.has_table(drop_target):
             self.catalog.drop_table(drop_target)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         alter_parsed = ddl.parse_alter_table(statement)
         if alter_parsed is not None and self.catalog.has_table(alter_parsed[0]):
@@ -308,15 +329,15 @@ class EngineSession:
                 self.catalog.drop_branch(target, payload)
             elif action == "fast_forward":
                 ff = self.catalog.fast_forward(target, payload)
-                return self.spark.createDataFrame(
-                    [(ff["advanced_to"], ff["files_published"])],
-                    "advanced_to bigint, files_published bigint",
+                return self._literal_df(
+                    advanced_to=ff["advanced_to"],
+                    files_published=ff["files_published"],
                 )
             elif action == "cherry_pick":
                 cp = self.catalog.cherry_pick(target, payload)
-                return self.spark.createDataFrame(
-                    [(cp["advanced_to"], cp["files_published"])],
-                    "advanced_to bigint, files_published bigint",
+                return self._literal_df(
+                    advanced_to=cp["advanced_to"],
+                    files_published=cp["files_published"],
                 )
             elif action == "expire_refs":
                 retain, older = payload if payload else (None, None)
@@ -325,13 +346,13 @@ class EngineSession:
                     retain_last=retain,
                     older_than_seconds=older,
                 )
-                return self.spark.createDataFrame(
-                    [(len(dropped["tags"]), len(dropped["branches"]))],
-                    "expired_tags bigint, expired_branches bigint",
+                return self._literal_df(
+                    expired_tags=len(dropped["tags"]),
+                    expired_branches=len(dropped["branches"]),
                 )
             else:
                 self.catalog.rename_table(target, payload)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         tags_match = re.match(
             r"^\s*SHOW\s+TAGS\s+((?:`[^`]*`|\"[^\"]*\"|[\w@$.])+)\s*$",
@@ -475,7 +496,7 @@ class EngineSession:
         truncate_target = ddl.parse_truncate_table(statement)
         if truncate_target is not None and self.catalog.has_table(truncate_target):
             self.catalog.truncate_table(truncate_target)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         maintenance = ddl.parse_maintenance(statement)
         if maintenance is not None and self.catalog.has_table(maintenance[1]):
@@ -487,9 +508,9 @@ class EngineSession:
                 n_files = self.catalog.optimize(
                     target, zorder_by=zorder_by, where=where, curve=curve
                 )
-                return self.spark.createDataFrame([(n_files,)], "n_files bigint")
+                return self._scalar_df("n_files", n_files)
             self.catalog.compact(target)
-            return self.spark.createDataFrame([(1,)], "count bigint").limit(0)
+            return self._scalar_df("count", 0, empty=True)
 
         from fluss_datafusion_spark.sources import copy as copy_io
 
@@ -502,7 +523,7 @@ class EngineSession:
                 if not self.catalog.has_table(source):
                     raise ValueError(f"COPY FROM: unknown table {source}")
                 n = copy_io.copy_from(self, source, path, opts)
-            return self.spark.createDataFrame([(n,)], "rows bigint")
+            return self._scalar_df("rows", n)
 
         analyze_parsed = ddl.parse_analyze(statement)
         if analyze_parsed is not None and self.catalog.has_table(analyze_parsed[0]):
@@ -532,7 +553,7 @@ class EngineSession:
         if update_parsed is not None and self.catalog.has_table(update_parsed[0]):
             target, assigns, where = update_parsed
             count = self.catalog.update_rows(target, assigns, where)
-            return self.spark.createDataFrame([(count,)], "count bigint")
+            return self._scalar_df("count", count)
 
         # branch-targeted DML: INSERT INTO / DELETE FROM / UPDATE /
         # MERGE INTO t$branch('b') routes to the branch's own seq space
@@ -636,7 +657,7 @@ class EngineSession:
                 count = self.catalog.delete(target, key)
             else:
                 count = self.catalog.delete_where(target, pred)
-            return self.spark.createDataFrame([(count,)], "count bigint")
+            return self._scalar_df("count", count)
 
         merge = ddl.parse_merge(statement) if re.match(
             r"^\s*MERGE\s+INTO\b", statement, re.IGNORECASE

@@ -311,12 +311,16 @@ def append_to_index(
         .persist()
     )
     try:
-        sh.write.mode("append").parquet(os.path.join(path, "shingles"))
-        # token-hash kernel: must match the probes (see write_dedup_index)
-        buckets = minhash_band_buckets(
-            df, id_col, text_col, k, num_perm, rows_per_band
+        # token-hash kernel: must match the probes (see write_dedup_index).
+        # The two stores are independent outputs: concurrent jobs (r10)
+        _parallel_writes(
+            lambda: sh.write.mode("append").parquet(
+                os.path.join(path, "shingles")
+            ),
+            lambda: minhash_band_buckets(
+                df, id_col, text_col, k, num_perm, rows_per_band
+            ).write.mode("append").parquet(os.path.join(path, "buckets")),
         )
-        buckets.write.mode("append").parquet(os.path.join(path, "buckets"))
         # Keep the build marker's corpus count current so a later
         # ensure_dedup_index doesn't see a stale token and rebuild over
         # the appended index.
@@ -449,9 +453,18 @@ def dedup_ingest_sink(
                 .alias(id_col)
             ).distinct()
             survivors = batch_df.join(drop, id_col, "left_anti").persist()
-            n_kept = catalog.insert(table, survivors)
+            n_kept = survivors.count()  # one job materializes the cache
+            if n_kept:
+                # engine upsert + index append are independent outputs
+                # of the SAME cached frame: overlap them (r10 — see
+                # _parallel_writes for the replay-safety argument)
+                _parallel_writes(
+                    lambda: catalog.insert(table, survivors),
+                    lambda: append_to_index(
+                        survivors, id_col, text_col, index_path
+                    ),
+                )
             release_candidate_cache(pairs)
-            append_to_index(survivors, id_col, text_col, index_path)
             if metrics is not None:
                 metrics.append(
                     {

@@ -399,17 +399,31 @@ def write_bm25_index(
     proximity queries serve from the same index."""
     import os
 
+    from fluss_datafusion_spark.operators.incremental import (
+        _parallel_writes,
+    )
+
     occ = _term_rows(docs, id_col, text_col)
-    occ.groupBy("__term__", "__doc__").agg(
-        F.count(F.lit(1)).alias("__tf__")
-    ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
-    occ.groupBy("__doc__").agg(
-        F.count(F.lit(1)).alias("__dl__")
-    ).write.mode("overwrite").parquet(os.path.join(path, "doc_stats"))
+    # independent stores of one derivation: concurrent jobs (r10) — the
+    # tokenization recomputes per store either way (caching term rows
+    # would spill at corpus scale), so overlapping trades no CPU
+    writes = [
+        lambda: occ.groupBy("__term__", "__doc__")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings")),
+        lambda: occ.groupBy("__doc__")
+        .agg(F.count(F.lit(1)).alias("__dl__"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "doc_stats")),
+    ]
     if positional:
-        build_positional_postings(docs, id_col, text_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "positions"))
+        writes.append(
+            lambda: build_positional_postings(docs, id_col, text_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "positions"))
+        )
+    _parallel_writes(*writes)
 
 
 def append_to_bm25_index(
@@ -422,17 +436,28 @@ def append_to_bm25_index(
     an id would double-count its terms."""
     import os
 
+    from fluss_datafusion_spark.operators.incremental import (
+        _parallel_writes,
+    )
+
     occ = _term_rows(docs, id_col, text_col)
-    occ.groupBy("__term__", "__doc__").agg(
-        F.count(F.lit(1)).alias("__tf__")
-    ).write.mode("append").parquet(os.path.join(path, "postings"))
-    occ.groupBy("__doc__").agg(
-        F.count(F.lit(1)).alias("__dl__")
-    ).write.mode("append").parquet(os.path.join(path, "doc_stats"))
+    writes = [
+        lambda: occ.groupBy("__term__", "__doc__")
+        .agg(F.count(F.lit(1)).alias("__tf__"))
+        .write.mode("append")
+        .parquet(os.path.join(path, "postings")),
+        lambda: occ.groupBy("__doc__")
+        .agg(F.count(F.lit(1)).alias("__dl__"))
+        .write.mode("append")
+        .parquet(os.path.join(path, "doc_stats")),
+    ]
     if os.path.isdir(os.path.join(path, "positions")):
-        build_positional_postings(docs, id_col, text_col).write.mode(
-            "append"
-        ).parquet(os.path.join(path, "positions"))
+        writes.append(
+            lambda: build_positional_postings(docs, id_col, text_col)
+            .write.mode("append")
+            .parquet(os.path.join(path, "positions"))
+        )
+    _parallel_writes(*writes)
 
 
 def load_bm25_index(

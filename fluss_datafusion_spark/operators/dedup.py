@@ -1027,6 +1027,60 @@ def embedding_cosine_pairs_lsh(
     return _attach_cached_deps(verified, candidates)
 
 
+# edge lists at or under this collect for exact driver-side union-find
+# (a few MB of id pairs); larger graphs run the distributed rounds
+_LOCAL_CC_EDGE_CAP = 200_000
+
+
+def _local_components(edges: DataFrame, src: str, dst: str):
+    """r10 small-graph regime shared by both component algorithms:
+    when the (already-materialized) edge list fits the driver, run
+    exact union-find in Python and re-enter as a one-slice local frame
+    — the fixpoint (cluster_id = min id of the component) is identical
+    to min-label propagation's and to the star contraction's, with
+    ZERO iterative Spark rounds.  Returns None past the cap (the
+    distributed rounds are the 100 TB path); the count is one cheap
+    job over checkpoint blocks."""
+    if edges.count() > _LOCAL_CC_EDGE_CAP:
+        return None
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def _find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for node in parent:
+        r = _find(node)
+        if node < comp_min.get(r, node + 1):
+            comp_min[r] = node
+    out = [(node, comp_min[_find(node)]) for node in sorted(parent)]
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema[src].dataType
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        StructType(
+            [
+                StructField("doc_id", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ]
+        ),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iter: int = 10,
@@ -1067,6 +1121,13 @@ def dedup_clusters(
     edges = pairs.select(
         F.col("id_a").alias("__src__"), F.col("id_b").alias("__dst__")
     ).localCheckpoint(eager=True)
+    # r10 small-graph regime: near-dup PAIR sets are usually tiny
+    # relative to the corpus (dedup rates are single-digit percent) —
+    # see _local_components; past the cap the distributed loop below
+    # runs unchanged (the 100 TB path)
+    local = _local_components(edges, "__src__", "__dst__")
+    if local is not None:
+        return local
     # symmetric edge list so a node always sees both directions; derived
     # from the materialized edge blocks, so the union is two cheap scans
     sym = edges.union(
@@ -1145,6 +1206,10 @@ def dedup_clusters_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # small-graph regime (r10): identical fixpoint, zero star rounds
+    local = _local_components(edges, "__u__", "__v__")
+    if local is not None:
+        return local
 
     def _sym(e):
         return e.union(

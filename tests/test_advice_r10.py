@@ -176,3 +176,30 @@ def test_discovery_retries_when_spec_lands_late(spark, tmp_path):
     e1.catalog.refresh_views()  # retry boundary: attaches now
     assert e1.catalog.has_table("late_t")
     assert _rows(e1, "SELECT k FROM late_t") == [(7,)]
+
+
+def test_spec_lock_survives_lost_put_and_stale_reap(spark, tmp_path):
+    """The spec-write CAS through the object-store double: a transient
+    lost PUT retries and lands; a crashed owner's stale lock (mtime past
+    MAINT_STALE_SECS, liveness unknowable) is reaped instead of wedging
+    every future DDL."""
+    wh = str(tmp_path / "wh")
+    shared = InMemoryLocking()
+    e = EngineSession(spark=spark, warehouse=wh)
+    e.catalog.locking = shared
+    e.sql("CREATE TABLE lk (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e.sql("INSERT INTO lk VALUES (1, 'a')")
+    # transient conditional-PUT loss: the acquisition loop retries
+    shared.fail_put(1)
+    e.catalog.create_tag("lk", "snap")
+    assert "snap" in (e.catalog.get_table("lk").tags or {})
+    # crashed owner's leftover lock: backdated past the stale window
+    spec = e.catalog.get_table("lk")
+    path = e.catalog.table_path(spec)
+    marker = os.path.join(
+        os.path.dirname(path), f".{os.path.basename(path)}.spec.lock"
+    )
+    assert shared.put_if_absent(marker, b'{"pid": 999999, "ts": 0}')
+    shared.backdate(marker, e.catalog.MAINT_STALE_SECS + 60)
+    e.catalog.create_tag("lk", "snap2")  # reaps and proceeds
+    assert "snap2" in (e.catalog.get_table("lk").tags or {})

@@ -203,3 +203,55 @@ def test_spec_lock_survives_lost_put_and_stale_reap(spark, tmp_path):
     shared.backdate(marker, e.catalog.MAINT_STALE_SECS + 60)
     e.catalog.create_tag("lk", "snap2")  # reaps and proceeds
     assert "snap2" in (e.catalog.get_table("lk").tags or {})
+
+
+def test_parallel_writes_settles_all_before_raising():
+    """A failing write must not orphan a straggler thread mid-job: the
+    helper waits for every thunk, then raises the first error."""
+    from fluss_datafusion_spark.operators.incremental import (
+        _parallel_writes,
+    )
+
+    done = []
+
+    def _ok():
+        time.sleep(0.05)
+        done.append("ok")
+
+    def _boom():
+        raise RuntimeError("write failed")
+
+    with pytest.raises(RuntimeError, match="write failed"):
+        _parallel_writes(_boom, _ok)
+    assert done == ["ok"]  # the sibling write ran to completion
+
+
+def test_dml_result_frame_contract(spark, tmp_path):
+    """The driver-visible result frames of every DML/DDL statement kind
+    keep their column names and bigint types after the r10 pure-JVM
+    constructor switch."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE rf (k BIGINT NOT NULL, v BIGINT, PRIMARY KEY (k))")
+
+    def shape(sql):
+        df = e.sql(sql)
+        return [(f.name, f.dataType.typeName()) for f in df.schema.fields]
+
+    assert shape("INSERT INTO rf VALUES (1, 10)") == [("count", "long")]
+    assert shape("UPDATE rf SET v = 11 WHERE k = 1") == [("count", "long")]
+    assert shape("DELETE FROM rf WHERE k = 1") == [("count", "long")]
+    e.sql("INSERT INTO rf VALUES (2, 5)")
+    e.sql("CREATE MATERIALIZED VIEW rfv AS SELECT k, count(*) AS n"
+          " FROM rf GROUP BY k")
+    assert shape("REFRESH MATERIALIZED VIEW rfv") == [
+        ("upserted", "long"), ("deleted", "long"), ("full_rebuild", "long")]
+    e.sql("ALTER TABLE rf CREATE BRANCH b")
+    e.sql("INSERT INTO rf$branch('b') VALUES (3, 6)")
+    assert shape("ALTER TABLE rf FAST FORWARD BRANCH b") == [
+        ("advanced_to", "long"), ("files_published", "long")]
+    assert shape("ALTER TABLE rf EXPIRE REFS OLDER THAN 1 DAY") == [
+        ("expired_tags", "long"), ("expired_branches", "long")]
+    # the zero-row USE result keeps its schema too
+    use = e.sql("USE fluss")
+    assert [f.name for f in use.schema.fields] == ["count"]
+    assert use.count() == 0

@@ -255,3 +255,90 @@ def test_dml_result_frame_contract(spark, tmp_path):
     use = e.sql("USE fluss")
     assert [f.name for f in use.schema.fields] == ["count"]
     assert use.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # which session acts
+        st.sampled_from(
+            ["create_tag", "drop_tag", "create_branch", "drop_branch",
+             "set_prop", "unset_prop"]
+        ),
+        st.sampled_from(["r1", "r2", "r3"]),  # shared name pool
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_cross_session_ref_ddl_state_machine(spark, tmp_path_factory, ops):
+    """Interleaved ref/property DDL across TWO sessions over one
+    warehouse vs a dict model: every op lands under the spec CAS and is
+    visible to BOTH sessions at the next boundary; invalid ops raise
+    and change nothing.  Tags and branches share one namespace (either
+    kind blocks the other's name)."""
+    wh = str(tmp_path_factory.mktemp("caswh") / "wh")
+    e1 = EngineSession(spark=spark, warehouse=wh)
+    e1.sql("CREATE TABLE cs (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))")
+    e1.sql("INSERT INTO cs VALUES (1, 'a')")
+    e2 = EngineSession(spark=spark, warehouse=wh)
+    e2.sql("SELECT * FROM cs").collect()
+    sessions = [e1, e2]
+    tags, branches, props = set(), set(), {}
+    for who, op, name in ops:
+        cat = sessions[who].catalog
+        if op == "create_tag":
+            if name in tags or name in branches:
+                with pytest.raises(ValueError):
+                    cat.create_tag("cs", name)
+            else:
+                cat.create_tag("cs", name)
+                tags.add(name)
+        elif op == "drop_tag":
+            if name in tags:
+                cat.drop_tag("cs", name)
+                tags.discard(name)
+            else:
+                with pytest.raises(ValueError):
+                    cat.drop_tag("cs", name)
+        elif op == "create_branch":
+            if name in tags or name in branches:
+                with pytest.raises(ValueError):
+                    cat.create_branch("cs", name)
+            else:
+                cat.create_branch("cs", name)
+                branches.add(name)
+        elif op == "drop_branch":
+            if name in branches:
+                cat.drop_branch("cs", name)
+                branches.discard(name)
+            else:
+                with pytest.raises(ValueError):
+                    cat.drop_branch("cs", name)
+        elif op == "set_prop":
+            cat.set_table_properties("cs", {name: "x"})
+            props[name] = "x"
+        elif op == "unset_prop":
+            cat.unset_table_properties("cs", [name])
+            props.pop(name, None)
+    # a THIRD session reads the spec cold off disk; both live sessions
+    # agree at their next boundary
+    e3 = EngineSession(spark=spark, warehouse=wh)
+    for e in (e1, e2, e3):
+        spec = e.catalog.get_table("cs")
+        assert set(spec.tags or {}) == tags, (ops, who)
+        assert set(spec.branches or {}) == branches, ops
+        got_props = {
+            k: v for k, v in (spec.properties or {}).items()
+            if k in ("r1", "r2", "r3")
+        }
+        assert got_props == props, ops

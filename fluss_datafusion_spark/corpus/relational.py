@@ -3197,12 +3197,20 @@ def q76_expire_refs_retention(spark, sf_dir):
         SELECT n_nationkey + 500, 'picked' FROM base
     )
     -- the second, genuinely-diverged cherry-pick REFUSED: main keeps
-    -- its post-publish 'main9' update, the branch edit never lands
+    -- its post-publish 'main9' update, the branch edit never lands.
+    -- phase 3 (r11): a branch point-DELETE of an ABSENT key is a
+    -- recorded tombstone ("this key must not exist"), so after main
+    -- inserts that key BOTH cherry-pick and fast-forward refuse and
+    -- main keeps (9001, 'survives')
     SELECT n_nationkey,
            CASE WHEN n_nationkey % 2 = 0 THEN 'main9'
                 ELSE n_name END AS n_name,
-           TRUE AS second_refused
+           TRUE AS second_refused,
+           TRUE AS absent_del_cp_refused,
+           TRUE AS absent_del_ff_refused
     FROM merged
+    UNION ALL
+    SELECT 9001, 'survives', TRUE, TRUE, TRUE
     """,
     extended=True,
 )
@@ -3263,8 +3271,30 @@ def q78_cherry_pick_values(spark, sf_dir):
         e.sql("ALTER TABLE cp_nation CHERRY PICK BRANCH fix")
     except Exception:
         refused = True  # ConcurrentWriteConflict: nothing moved
-    return e.sql("SELECT n_nationkey, n_name FROM cp_nation").withColumn(
-        "second_refused", F.lit(refused)
+    # phase 3 (r11 — VERDICT r10 item 1): a point DELETE of an ABSENT
+    # key on a fresh branch records its blind tombstone; when main then
+    # INSERTS that key, the branch-final state (absent) diverges from
+    # main's current state (present) — BOTH publication paths refuse
+    # and main keeps its row
+    e.sql("ALTER TABLE cp_nation DROP BRANCH fix")
+    e.sql("ALTER TABLE cp_nation CREATE BRANCH fix2")
+    e.sql("DELETE FROM cp_nation$branch('fix2') WHERE n_nationkey = 9001")
+    e.sql("INSERT INTO cp_nation VALUES (9001, 'survives')")
+    cp3_refused = False
+    try:
+        e.sql("ALTER TABLE cp_nation CHERRY PICK BRANCH fix2")
+    except Exception:
+        cp3_refused = True
+    ff3_refused = False
+    try:
+        e.sql("ALTER TABLE cp_nation FAST FORWARD BRANCH fix2")
+    except Exception:
+        ff3_refused = True
+    return (
+        e.sql("SELECT n_nationkey, n_name FROM cp_nation")
+        .withColumn("second_refused", F.lit(refused))
+        .withColumn("absent_del_cp_refused", F.lit(cp3_refused))
+        .withColumn("absent_del_ff_refused", F.lit(ff3_refused))
     )
 
 

@@ -16,7 +16,7 @@ import os
 import tempfile
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from fluss_datafusion_spark import EngineSession
@@ -236,6 +236,17 @@ _br_op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_br_op, min_size=1, max_size=6))
+# VERDICT r10 item 1 counterexample, pinned so the machine can't green
+# by luck: a branch point-DELETE of an ABSENT key must still record its
+# tombstone (blind append), so a later main INSERT of that key makes
+# cherry-pick refuse (present-vs-absent divergence).  Before the fix the
+# session routed branch point-DELETEs through delete_where, which
+# tombstones only MATCHING keys — the statement was silently lost and
+# the cherry-pick published.
+@example(ops=[("br_del", 0), ("main_ins", [(0, 0)]), ("cp", None)])
+# The fast-forward face of the same seam: the lost tombstone also made
+# the branch look write-free, so FF would re-anchor instead of refuse.
+@example(ops=[("br_del", 0), ("main_ins", [(0, 0)]), ("ff", None)])
 def test_branch_state_machine_matches_dict_models(spark, ops):
     """Branch semantics as a two-model state machine: main ops mutate
     only the main model, branch ops only the branch model (two-way

@@ -197,25 +197,33 @@ class FlussCatalog:
         RELOAD the spec if another session moved it, and yield the
         fresh object for the caller to mutate and save.
 
-        Re-entrant per session+table (``_spec_lock_depth``): nested
-        helpers like ``_refork_branch`` under ``cherry_pick`` ride the
-        outer window.  Lock-ordering note: callers that also hold the
-        branch publish lock always take publish -> spec, and no path
-        takes spec -> publish, so the pair cannot deadlock."""
+        Re-entrant per THREAD+table (``_spec_lock_depth`` keys by
+        ``(thread ident, qname)`` — ADVICE r10: qname-only keying made
+        the lock non-exclusive across threads of one session, so a
+        catalog mutation on a ``_parallel_writes`` worker thread could
+        silently "re-enter" the main thread's window): nested helpers
+        like ``_refork_branch`` under ``cherry_pick`` ride the outer
+        window; a DIFFERENT thread of the same session contends on the
+        marker like any other session.  Lock-ordering note: callers
+        that also hold the branch publish lock always take publish ->
+        spec, and no path takes spec -> publish, so the pair cannot
+        deadlock."""
         import contextlib
         import json
+        import threading
         import time
 
         @contextlib.contextmanager
         def _locked():
             qname = spec.qualified_name
-            depth = self._spec_lock_depth.get(qname, 0)
+            depth_key = (threading.get_ident(), qname)
+            depth = self._spec_lock_depth.get(depth_key, 0)
             if depth:
-                self._spec_lock_depth[qname] = depth + 1
+                self._spec_lock_depth[depth_key] = depth + 1
                 try:
                     yield self.databases[spec.database][spec.name]
                 finally:
-                    self._spec_lock_depth[qname] -= 1
+                    self._spec_lock_depth[depth_key] -= 1
                 return
             # SIBLING of the table directory (like the maintenance
             # marker): maintenance dir-swaps replace the table dir
@@ -231,6 +239,16 @@ class FlussCatalog:
             ).encode()
             deadline = time.time() + self.MAINT_WAIT_SECS
             while not self.locking.put_if_absent(marker, payload):
+                # deadline first, before ANY per-branch handling: a
+                # marker repeatedly created/deleted (or reaped and
+                # re-taken) by other sessions would otherwise keep this
+                # waiter spinning through the `continue` branches
+                # forever (ADVICE r10)
+                if time.time() > deadline:
+                    raise ConcurrentWriteConflict(
+                        f"another session holds the spec lock on "
+                        f"{qname}; retry the DDL statement"
+                    )
                 mtime = self.locking.stat_mtime(marker)
                 if mtime is None:
                     continue  # released between our put and stat: retry
@@ -239,17 +257,12 @@ class FlussCatalog:
                 ):
                     self.locking.delete(marker)  # crashed owner: reap
                     continue
-                if time.time() > deadline:
-                    raise ConcurrentWriteConflict(
-                        f"another session holds the spec lock on "
-                        f"{qname}; retry the DDL statement"
-                    )
                 time.sleep(0.01)
-            self._spec_lock_depth[qname] = 1
+            self._spec_lock_depth[depth_key] = 1
             try:
                 yield self._reload_spec_if_moved(spec)
             finally:
-                self._spec_lock_depth.pop(qname, None)
+                self._spec_lock_depth.pop(depth_key, None)
                 self.locking.delete(marker)
 
         return _locked()
@@ -1696,21 +1709,34 @@ class FlussCatalog:
     def add_check_constraint(self, name: str, cname: str, expr: str) -> None:
         """ALTER TABLE ADD CONSTRAINT cname CHECK (expr): existing rows
         must already satisfy it (one validation scan, the Delta
-        contract), then future writes enforce it."""
-        with self._spec_mutation(self.get_table(name)) as spec:
+        contract), then future writes enforce it.
+
+        The validation scan runs BEFORE the spec lock is taken (ADVICE
+        r10): the spec marker has no heartbeat, so a table-sized scan
+        held inside the window could outlive MAINT_STALE_SECS on a
+        liveness-unknown backend, get reaped, and let a concurrent DDL
+        be clobbered by our _save_spec.  Only the name re-check and the
+        save sit inside the window — spec-vs-spec races stay excluded,
+        and the scan-vs-concurrent-insert race is unchanged (data
+        writes never held the spec lock; enforcement starts when the
+        saved spec is visible, exactly as before)."""
+        spec0 = self.get_table(name)
+        if cname in spec0.check_constraints:
+            raise ValueError(f"constraint already exists: {cname}")
+        bad = (
+            self.read(name)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {cname} ({expr}): "
+                f"existing rows of {spec0.qualified_name} violate it"
+            )
+        with self._spec_mutation(spec0) as spec:
             if cname in spec.check_constraints:
                 raise ValueError(f"constraint already exists: {cname}")
-            bad = (
-                self.read(name)
-                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
-                .limit(1)
-                .count()
-            )
-            if bad:
-                raise ValueError(
-                    f"cannot add CHECK constraint {cname} ({expr}): "
-                    f"existing rows of {spec.qualified_name} violate it"
-                )
             spec.check_constraints[cname] = expr
             self._save_spec(spec)
 

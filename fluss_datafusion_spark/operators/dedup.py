@@ -1063,7 +1063,11 @@ def _local_components(edges: DataFrame, src: str, dst: str):
     comp_min: dict = {}
     for node in parent:
         r = _find(node)
-        if node < comp_min.get(r, node + 1):
+        # None sentinel, not `node + 1`: ids may be strings (entity
+        # resolution / account linking graphs derive the output schema
+        # from edges.schema), where arithmetic raises (ADVICE r10)
+        cur = comp_min.get(r)
+        if cur is None or node < cur:
             comp_min[r] = node
     out = [(node, comp_min[_find(node)]) for node in sorted(parent)]
     from pyspark.sql.types import StructField, StructType

@@ -538,6 +538,11 @@ def _parallel_writes(*thunks) -> None:
             except Exception as exc:  # settle all before raising
                 errs.append(exc)
         if errs:
+            if len(errs) > 1:
+                # chain the secondary failures so a multi-thunk loss
+                # (e.g. a shared executor dying under both jobs) keeps
+                # every diagnostic in the traceback (ADVICE r10)
+                raise errs[0] from errs[1]
             raise errs[0]
 
 

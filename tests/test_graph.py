@@ -141,3 +141,27 @@ def test_connected_components_isolated_nodes(spark):
         for r in connected_components(edges, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_connected_components_string_ids_local_regime(spark):
+    """ADVICE r10: the <=200k-edge driver-local union-find must handle
+    non-integer node ids (entity resolution / account linking graphs) —
+    the old `node + 1` comp-min sentinel raised TypeError on strings."""
+    from fluss_datafusion_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("acct:b", "acct:a"), ("acct:c", "acct:b"), ("x", "y")],
+        "src string, dst string",
+    )
+    for algo in ("star", "label_prop"):
+        got = {
+            r.node_id: r.component_id
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == {
+            "acct:a": "acct:a",
+            "acct:b": "acct:a",
+            "acct:c": "acct:a",
+            "x": "x",
+            "y": "x",
+        }, algo

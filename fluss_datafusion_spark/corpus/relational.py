@@ -3023,11 +3023,22 @@ def q75_branch_diff(spark, sf_dir):
         SELECT * FROM base
         UNION ALL
         SELECT n_nationkey + 1000, -5 FROM nation WHERE n_regionkey = 4
+    ),
+    -- phase 2 (r11): the branch upserts fork key 5 and tombstones fork
+    -- key 1 — neither old value attains a fork bound, so min/max stay
+    -- metadata-served through the touched keys
+    branch2 AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey = 5 THEN 123 ELSE x END AS x
+        FROM branch WHERE n_nationkey <> 1
     )
     SELECT (SELECT count(*) FROM branch) AS n,
            (SELECT min(x) FROM branch) AS mn,
            (SELECT max(x) FROM branch) AS mx,
-           (SELECT count(*) FROM base) AS n_main
+           (SELECT count(*) FROM base) AS n_main,
+           (SELECT count(*) FROM branch2) AS n2,
+           (SELECT min(x) FROM branch2) AS mn2,
+           (SELECT max(x) FROM branch2) AS mx2
     """,
     # r10: CORE — the branch-read metadata fast path is a
     # differentiator (VERDICT r9 item 5); q59_matview_join rotated to
@@ -3083,12 +3094,24 @@ def q77_branch_metadata_agg(spark, sf_dir):
     n_main = e.sql(
         "SELECT count(*) AS c FROM bm_nation VERSION AS OF 1"
     ).collect()[0].c
+    # phase 2 (r11 — VERDICT r10 item 4): statements TOUCHING fork keys
+    # keep min/max on the fast path when the probe's old values prove
+    # non-retraction (key 5's old 50 and key 1's old 10 attain neither
+    # fork bound); the plan assertion keeps a silent fall-through loud
+    e.sql("INSERT INTO bm_nation$branch('agg') VALUES (5, 123)")
+    e.sql("DELETE FROM bm_nation$branch('agg') WHERE n_nationkey = 1")
+    served2 = "metadata-only aggregate fast path" in (
+        e.sql(f"EXPLAIN {q}").collect()[0][0]
+    )
+    row2 = e.sql(q).collect()[0]
     return spark.createDataFrame(
         # a fall-through poisons n with a sentinel: the oracle hash
         # then fails loudly instead of silently grading the scan path
         [(int(row.n) if served else -1, int(row.mn), int(row.mx),
-          int(n_main))],
-        "n bigint, mn bigint, mx bigint, n_main bigint",
+          int(n_main),
+          int(row2.n) if served2 else -1, int(row2.mn), int(row2.mx))],
+        "n bigint, mn bigint, mx bigint, n_main bigint,"
+        " n2 bigint, mn2 bigint, mx2 bigint",
     )
 
 

@@ -294,6 +294,37 @@ _BRANCH_STMT_RE = re.compile(
 _BRANCH_DELTA_CAP = 2000
 
 
+def _prune_fork_probe_files(path, fork_files, pk_stored, keys):
+    """Manifest-pruned subset of the fork files that might contain any
+    of the branch-final keys (r11, VERDICT r10 item 8): the presence
+    probe's per-column IN-lists, handed to ``skipping.prune`` so whole
+    files drop DRIVER-SIDE (bounds + blooms) before the scan even
+    plans — previously all fork files reached the scan and only parquet
+    row groups pruned.  Best-effort and sound: columns whose key values
+    aren't cleanly literal-izable (not all-int / all-str) are skipped,
+    and unknown files are kept, exactly like every other prune site.
+    An empty result is a proof that every touched key is fork-absent."""
+    from fluss_datafusion_spark.catalog import skipping
+
+    conjuncts = []
+    for i, c in enumerate(pk_stored):
+        vals = {k[i] for k in keys}
+        if None in vals:
+            continue
+        if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            lits = ", ".join(str(v) for v in sorted(vals))
+        elif all(isinstance(v, str) for v in vals):
+            lits = ", ".join(
+                "'" + v.replace("'", "''") + "'" for v in sorted(vals)
+            )
+        else:
+            continue
+        conjuncts.append(f"{c} IN ({lits})")
+    if not conjuncts:
+        return list(fork_files)
+    return skipping.prune(path, fork_files, " AND ".join(conjuncts))
+
+
 def try_branch_metadata_aggregate(session, statement: str):
     """``SELECT count(*)/min(c)/max(c) FROM t$branch('b')`` answered
     from main-side manifest metadata plus the (statement-sized) branch
@@ -435,15 +466,39 @@ def try_branch_metadata_aggregate(session, statement: str):
     # r9 item 6) — a broadcast semi-join against the statement-sized
     # key frame restores exactness (the per-column filters alone admit
     # the cross-product of the key columns' values)
-    present = set()
+    minmax_phys = [c.physical_name or c.name for c in minmax_cols.values()]
+    present = {}
     if delta and fork_files:
         keys = [k for k, _live, _r in delta]
-        scan = session.spark.read.schema(
-            catalog._stored_schema(spec)
-        ).parquet(*fork_files)
+        # drop whole fork files driver-side first (r11, VERDICT r10
+        # item 8): the same IN-lists the scan filters on, evaluated
+        # against the manifest's per-file bounds/blooms, keep the probe
+        # statement-sized as branch histories and fork layouts grow
+        probe_files = _prune_fork_probe_files(
+            path, fork_files, pk_stored, keys
+        )
+        if not probe_files:
+            # no fork file can contain any touched key: all absent
+            probe_files = None
+        # basePath: partition (and bucket) columns are DIRECTORY-encoded;
+        # reading leaf files without it silently yields nulls for them,
+        # which would blind the probe on partitioned tables
+        scan = (
+            session.spark.read.schema(catalog._stored_schema(spec))
+            .option("basePath", path)
+            .parquet(*probe_files)
+            if probe_files
+            else None
+        )
+    else:
+        scan = None
+    if scan is not None:
         for i, c in enumerate(pk_stored):
             scan = scan.filter(F.col(c).isin([k[i] for k in keys]))
-        scan = scan.select(*pk_stored)
+        # project the min/max columns too: the probe is running anyway,
+        # and the touched keys' OLD values are exactly what the
+        # non-retraction proof below needs (r11, VERDICT r10 item 4)
+        scan = scan.select(*dict.fromkeys([*pk_stored, *minmax_phys]))
         if len(pk_stored) > 1:
             from pyspark.sql.types import StructType
 
@@ -453,14 +508,9 @@ def try_branch_metadata_aggregate(session, statement: str):
                 StructType([stored_schema[c] for c in pk_stored]),
             )
             scan = scan.join(F.broadcast(keys_df), pk_stored, "left_semi")
-        present = {tuple(r) for r in scan.collect()}
-
-    # min/max serve only when no branch-final key touches a fork key
-    # (an upsert or tombstone of a fork key can RETRACT the stored
-    # extremum — the non-self-maintainable case); fresh live inserts
-    # fold in monotonically and tombstones of absent keys are no-ops
-    if minmax_cols and any(k in present for k, _live, _r in delta):
-        return None
+        present = {
+            tuple(r[c] for c in pk_stored): r for r in scan.collect()
+        }
 
     n = None
     if any(fn == "count" for fn, _c, _a in parsed):
@@ -471,6 +521,17 @@ def try_branch_metadata_aggregate(session, statement: str):
             elif not live and k in present:
                 n -= 1
 
+    # min/max through fork-key upserts (r11 — VERDICT r10 item 4): a
+    # branch statement touching a fork key can RETRACT the stored
+    # extremum, but only if that key's OLD value attained the global
+    # bound — and the probe just read every touched key's old value.
+    # Per column:  serve min(fork LO, branch live values) when no
+    # touched old value attains LO (the fork rows still attaining LO
+    # are untouched); serve min(branch live values) when the branch
+    # itself (re-)establishes a value ≤ LO; otherwise the true minimum
+    # may sit strictly between the bounds — fall back to the scan.
+    # Compacted fork files make LO/HI ATTAINED live values, which is
+    # what licenses the first rule.  Symmetric for max.
     bounds_by_col = {}
     for col, cspec in minmax_cols.items():
         phys = cspec.physical_name or cspec.name
@@ -482,14 +543,34 @@ def try_branch_metadata_aggregate(session, statement: str):
                 return None
             lows.append(b[0])
             highs.append(b[1])
-        for k, live, r in delta:
-            if live and r[phys] is not None:
-                lows.append(r[phys])
-                highs.append(r[phys])
-        bounds_by_col[col] = (
-            min(lows) if lows else None,
-            max(highs) if highs else None,
-        )
+        lo = min(lows) if lows else None
+        hi = max(highs) if highs else None
+        live_vals = [
+            r[phys] for _k, live, r in delta
+            if live and r[phys] is not None
+        ]
+        old_vals = [
+            present[k][phys]
+            for k, _live, _r in delta
+            if k in present and present[k][phys] is not None
+        ]
+        if lo is None:
+            new_lo = min(live_vals) if live_vals else None
+        elif all(v != lo for v in old_vals):
+            new_lo = min([lo, *live_vals])
+        elif live_vals and min(live_vals) <= lo:
+            new_lo = min(live_vals)
+        else:
+            return None  # stored minimum possibly retracted
+        if hi is None:
+            new_hi = max(live_vals) if live_vals else None
+        elif all(v != hi for v in old_vals):
+            new_hi = max([hi, *live_vals])
+        elif live_vals and max(live_vals) >= hi:
+            new_hi = max(live_vals)
+        else:
+            return None  # stored maximum possibly retracted
+        bounds_by_col[col] = (new_lo, new_hi)
 
     out_cols = []
     for fn, col, alias in parsed:

@@ -431,19 +431,26 @@ def test_branch_metadata_fast_path(spark, tmp_path):
     e.sql("DELETE FROM bm$branch('dev') WHERE id = 99")
     assert [tuple(r) for r in e.sql(q).collect()] == [(3, 5, 25)]
 
-    # upsert of a fork key: count still serves (+0), min/max fall back
-    # to the real overlay scan — answers stay exact either way
+    # upsert of a fork key: count serves (+0) — and min/max now serve
+    # TOO (r11, VERDICT r10 item 4): the presence probe reads the
+    # touched key's old value (25 — attains the stored max, but the
+    # branch's 1000 re-establishes past it; not the stored min at all),
+    # proving non-retraction without a scan
     e.sql("INSERT INTO bm$branch('dev') VALUES (2, 1000)")
     assert [tuple(r) for r in e.sql(
         "SELECT count(*) AS n FROM bm$branch('dev')").collect()] == [(3,)]
     assert "metadata-only" in plan_of("SELECT count(*) AS n FROM bm$branch('dev')")
     assert [tuple(r) for r in e.sql(q).collect()] == [(3, 5, 1000)]
-    assert "metadata-only" not in plan_of(q)
+    assert "metadata-only" in plan_of(q)
 
-    # tombstone of a fork key: count adjusts -1 (still metadata-served)
+    # tombstone of a fork key: count adjusts -1; the dead key's old
+    # value 10 attained the stored min, but the branch's live 5 sits
+    # below it — all three aggregates still metadata-served
     e.sql("DELETE FROM bm$branch('dev') WHERE id = 1")
     assert [tuple(r) for r in e.sql(
         "SELECT count(*) AS n FROM bm$branch('dev')").collect()] == [(2,)]
+    assert [tuple(r) for r in e.sql(q).collect()] == [(2, 5, 1000)]
+    assert "metadata-only" in plan_of(q)
 
     # main itself is unaffected and un-fast-pathed (PK table)
     assert e.sql("SELECT count(*) FROM bm").collect()[0][0] == 3
@@ -521,3 +528,88 @@ def test_branch_metadata_fast_path_composite_pk(spark, tmp_path):
     assert e.sql(
         "SELECT count(*) AS n FROM cm$branch('dev') WHERE x >= 0"
     ).collect()[0][0] == 3
+
+
+def test_branch_metadata_minmax_retraction_falls_back(spark, tmp_path):
+    """The one genuinely non-provable case still falls back: a fork key
+    holding an extremum is upserted DOWNWARD (old 25 attained the
+    stored max; the branch's 15 does not re-establish it), so the true
+    max sits strictly between the bounds and only a scan can find it.
+    Answers stay exact either way; a count-only statement still serves
+    from metadata."""
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE rb (id BIGINT NOT NULL, x BIGINT, PRIMARY KEY (id))")
+    e.sql("INSERT INTO rb VALUES (1, 10), (2, 25)")
+    e.catalog.compact("rb")
+    e.sql("ALTER TABLE rb CREATE BRANCH dev")
+    e.sql("INSERT INTO rb$branch('dev') VALUES (2, 15)")
+
+    def plan_of(sql):
+        return e.sql(f"EXPLAIN {sql}").collect()[0][0]
+
+    q = "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx FROM rb$branch('dev')"
+    assert [tuple(r) for r in e.sql(q).collect()] == [(2, 10, 15)]
+    assert "metadata-only" not in plan_of(q)
+    qc = "SELECT count(*) AS n FROM rb$branch('dev')"
+    assert [tuple(r) for r in e.sql(qc).collect()] == [(2,)]
+    assert "metadata-only" in plan_of(qc)
+    # the min-side twin: delete the key attaining the stored MIN with
+    # nothing re-establishing it — min falls back, exact answer
+    e.sql("DELETE FROM rb$branch('dev') WHERE id = 1")
+    qm = "SELECT min(x) AS mn FROM rb$branch('dev')"
+    assert [tuple(r) for r in e.sql(qm).collect()] == [(15,)]
+    assert "metadata-only" not in plan_of(qm)
+
+
+def test_fork_presence_probe_prunes_whole_files(spark, tmp_path):
+    """r11 (VERDICT r10 item 8): the fork-presence probe routes its
+    IN-lists through skipping.prune, so on a multi-file fork whose key
+    ranges are disjoint the probe plans over a strict subset of the
+    fork files — and a key provably absent from EVERY file skips the
+    probe scan entirely."""
+    from fluss_datafusion_spark import EngineSession
+    from fluss_datafusion_spark.catalog.catalog import _SEQ, _parquet_files
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.plans.metadata_agg import (
+        _prune_fork_probe_files,
+    )
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE pf (id BIGINT NOT NULL, g STRING NOT NULL,"
+        " v BIGINT, PRIMARY KEY (id, g)) PARTITIONED BY (g)"
+    )
+    e.sql(
+        "INSERT INTO pf SELECT id, 'a', id * 2 FROM range(1, 11)"
+    )
+    e.sql(
+        "INSERT INTO pf SELECT id, 'b', id * 3 FROM range(101, 111)"
+    )
+    e.catalog.compact("pf")
+    e.sql("ALTER TABLE pf CREATE BRANCH dev")
+    spec = e.catalog.get_table("pf")
+    path = e.catalog.table_path(spec)
+    fork_files = sorted(_parquet_files(path))
+    assert len(fork_files) >= 2, "need a multi-file fork"
+    pk_stored = e.catalog._stored_names(spec, list(spec.primary_key))
+
+    # key (5,'a') lives only in the a-partition's id range: the
+    # b-partition files (ids 101-110) must drop driver-side
+    kept = _prune_fork_probe_files(path, fork_files, pk_stored, [(5, "a")])
+    assert kept and len(kept) < len(fork_files)
+    # a key outside EVERY file's id bounds prunes to nothing
+    assert _prune_fork_probe_files(
+        path, fork_files, pk_stored, [(99999, "zz")]
+    ) == []
+
+    # end-to-end: the fast path stays exact through the pruned probe
+    e.sql("INSERT INTO pf$branch('dev') VALUES (5, 'a', 1000)")   # touched
+    e.sql("DELETE FROM pf$branch('dev') WHERE id = 101 AND g = 'b'")
+    e.sql("INSERT INTO pf$branch('dev') VALUES (999, 'c', -7)")   # fresh
+    q = "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM pf$branch('dev')"
+    assert [tuple(r) for r in e.sql(q).collect()] == [(20, -7, 1000)]
+    assert "metadata-only aggregate fast path" in (
+        e.sql(f"EXPLAIN {q}").collect()[0][0]
+    )

@@ -165,3 +165,41 @@ def test_connected_components_string_ids_local_regime(spark):
             "x": "x",
             "y": "x",
         }, algo
+
+
+def test_pagerank_forced_cap_equivalence(spark, monkeypatch):
+    """r11: the driver-local numpy power iteration and the distributed
+    rounds are the same arithmetic — forced past the cap, the
+    distributed path must reproduce the local ranks within the
+    operator's round-to-5 output contract (compared at 1e-4 to absorb
+    cross-path float-sum order).  Covers uniform, personalized, and
+    tol-mode, dangling nodes included."""
+    import random
+
+    import fluss_datafusion_spark.operators.graph as g
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        list({(rng.randrange(60), rng.randrange(80)) for _ in range(150)}),
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+
+    def ranks(**kw):
+        return {
+            r.id: r.rank_norm
+            for r in g.pagerank(edges, "src", "dst", **kw).collect()
+        }
+
+    for kw in (
+        {"n_iters": 3},
+        {"n_iters": 4, "personalize": seeds},
+        {"tol": 1e-6, "max_iters": 30},
+    ):
+        local = ranks(**kw)
+        monkeypatch.setattr(g, "_LOCAL_PR_EDGE_CAP", 0)
+        dist = ranks(**kw)
+        monkeypatch.undo()
+        assert set(local) == set(dist) and local
+        for k in local:
+            assert abs(local[k] - dist[k]) < 1e-4, (kw, k)

@@ -374,3 +374,82 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
         r.k: r.v for r in e.catalog.read_branch("dmlb", "b").collect()
     }
     assert got_branch == branch, (ops, got_branch, branch)
+
+
+def _engine_meta(spark):
+    if "meta" not in _STATE:
+        wh = os.path.join(tempfile.mkdtemp(prefix="dml_prop_meta_"), "wh")
+        _STATE["meta"] = EngineSession(spark=spark, warehouse=wh)
+    return _STATE["meta"]
+
+
+_mkeys = st.integers(min_value=0, max_value=5)
+_mvals = st.one_of(st.none(), st.integers(min_value=-9, max_value=9))
+
+_meta_op = st.one_of(
+    st.tuples(
+        st.just("ins"),
+        st.lists(st.tuples(_mkeys, _mvals), min_size=1, max_size=3),
+    ),
+    st.tuples(st.just("del"), _mkeys),
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.lists(st.tuples(_mkeys, _mvals), min_size=0, max_size=5),
+    ops=st.lists(_meta_op, min_size=0, max_size=5),
+)
+# the r11 non-retraction rules' corner cases, pinned:
+@example(seed=[(0, 5)], ops=[("ins", [(0, -5)])])        # min retract+re-establish
+@example(seed=[(0, 5)], ops=[("ins", [(0, 9)])])         # max re-establish above
+@example(seed=[(0, 5), (1, 7)], ops=[("del", 1)])        # delete the max holder
+@example(seed=[(0, 5)], ops=[("del", 0)])                 # delete the only row
+@example(seed=[(0, None), (1, 3)], ops=[("ins", [(1, None)])])  # NULLs
+@example(seed=[], ops=[("ins", [(2, 4)])])                # empty fork base
+def test_branch_metadata_fastpath_matches_scan(spark, seed, ops):
+    """r11 (VERDICT r10 item 4 guard): whatever mix of branch inserts /
+    upserts / tombstones lands on a compacted fork, the count/min/max a
+    statement returns — fast path OR fallback — must equal the real
+    merge-on-read branch scan.  Randomized keys/values drive extremum
+    retraction, re-establishment, NULL columns, fork-absent deletes,
+    and empty fork bases through the manifest-bounds arithmetic."""
+    e = _engine_meta(spark)
+    if e.catalog.has_table("mprop"):
+        e.sql("DROP TABLE mprop")
+    e.sql(
+        "CREATE TABLE mprop (k BIGINT NOT NULL, x BIGINT, PRIMARY KEY (k))"
+    )
+    model = {}
+    if seed:
+        vals = ", ".join(
+            f"({k}, {'NULL' if v is None else v})" for k, v in seed
+        )
+        e.sql(f"INSERT INTO mprop VALUES {vals}")
+        for k, v in seed:
+            model[k] = v
+    e.catalog.compact("mprop")  # floor = fork: fast path eligible
+    e.sql("ALTER TABLE mprop CREATE BRANCH b")
+    for op, arg in ops:
+        if op == "ins":
+            vals = ", ".join(
+                f"({k}, {'NULL' if v is None else v})" for k, v in arg
+            )
+            e.sql(f"INSERT INTO mprop$branch('b') VALUES {vals}")
+            for k, v in arg:
+                model[k] = v
+        else:
+            e.sql(f"DELETE FROM mprop$branch('b') WHERE k = {arg}")
+            model.pop(arg, None)
+    got = e.sql(
+        "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx"
+        " FROM mprop$branch('b')"
+    ).collect()[0]
+    xs = [v for v in model.values() if v is not None]
+    assert got.n == len(model), (seed, ops, got)
+    assert got.mn == (min(xs) if xs else None), (seed, ops, got)
+    assert got.mx == (max(xs) if xs else None), (seed, ops, got)

@@ -456,6 +456,29 @@ def run_ops(
             k=11, n_centroids=16, n_probe=4, m=8, ks=16, n_iters=2,
         ),
     )
+    # PageRank regime switch (r11): ~4 deterministic out-edges per doc
+    # into a 10k-host id space — x1/x10 sit under the 1M-edge cap and
+    # take the driver-local numpy iteration; x100 (~2M edges) crosses
+    # it and runs the distributed rounds.  The row exists to show BOTH
+    # regimes and that the distributed path holds at the 100x point
+    # (the forced-cap pytest pins their equivalence).
+    from fluss_datafusion_spark.operators import graph
+
+    pr_edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("text", F.lit(i)), F.lit(10000))
+                    for i in range(4)
+                ]
+            )
+        ).alias("dst"),
+    ).distinct()
+    bench(
+        "graph_pagerank3",
+        lambda: graph.pagerank(pr_edges, "src", "dst", n_iters=3),
+    )
     # branch publication (r8 5th): seed a PK table with the FULL tiled
     # corpus (setup, untimed), then time CREATE BRANCH + a FIXED
     # 1000-row branch write + FAST FORWARD.  The row exists to prove
@@ -484,6 +507,53 @@ def run_ops(
         eng.sql("ALTER TABLE br_docs FAST FORWARD BRANCH pub")
         timings["branch_publish_fixed_batch"] = round(time.time() - t0, 2)
         eng.sql("DROP TABLE br_docs")
+        # branch metadata aggregate through TOUCHED fork keys (r11):
+        # seed a numeric PK table with the full tiled corpus, compact
+        # (fork base live-only — setup, untimed), branch, upsert 10
+        # EXISTING keys to a mid-range value (old values attain neither
+        # manifest bound), then time count/min/max on the branch.  The
+        # row exists to prove the statement is O(delta) metadata — it
+        # must stay flat while the table under it grows 100x — and the
+        # plan is asserted fast-path so a silent fall-through to the
+        # scan cannot masquerade as a timing.
+        eng.sql(
+            "CREATE TABLE br_meta (doc_id BIGINT NOT NULL, x BIGINT,"
+            " PRIMARY KEY (doc_id))"
+        )
+        eng.catalog.insert(
+            "br_meta",
+            docs.select("doc_id", F.length("text").cast("long").alias("x")),
+        )  # untimed seed
+        eng.catalog.compact("br_meta")  # untimed: fork base live-only
+        lo, hi = eng.sql(
+            "SELECT min(x) AS lo, max(x) AS hi FROM br_meta"
+        ).collect()[0]
+        mid = (lo + hi) // 2
+        # touched keys whose OLD value attains neither bound: the
+        # non-retraction proof then serves min/max from the manifest
+        keys = [
+            r.doc_id
+            for r in eng.sql(
+                f"SELECT doc_id FROM br_meta WHERE x > {lo} AND x < {hi}"
+                " ORDER BY doc_id LIMIT 10"
+            ).collect()
+        ]
+        assert keys, "tiled corpus must have interior-valued keys"
+        vals = ", ".join(f"({k}, {mid})" for k in keys)
+        t0 = time.time()
+        eng.sql("ALTER TABLE br_meta CREATE BRANCH meta")
+        eng.sql(f"INSERT INTO br_meta$branch('meta') VALUES {vals}")
+        q = (
+            "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx"
+            " FROM br_meta$branch('meta')"
+        )
+        row = eng.sql(q).collect()[0]
+        timings["branch_meta_minmax_touched"] = round(time.time() - t0, 2)
+        assert "metadata-only aggregate fast path" in (
+            eng.sql(f"EXPLAIN {q}").collect()[0][0]
+        ), "branch metadata row must be the fast path, not the scan"
+        assert row.mn <= mid <= row.mx
+        eng.sql("DROP TABLE br_meta")
     finally:
         shutil.rmtree(wap_root, ignore_errors=True)
     return timings

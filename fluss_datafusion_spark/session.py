@@ -591,8 +591,11 @@ class EngineSession:
                     # or cherry-pick/branch_diff never see the
                     # divergence; VERDICT r10 item 1); anything else is
                     # the predicate form against the branch overlay.
+                    # re-parse with the ORIGINAL (possibly backtick-
+                    # quoted) table token so exotic names still reach
+                    # the point-delete dispatch
                     parsed = ddl.parse_delete(
-                        f"DELETE FROM {target}{rest}"
+                        f"DELETE FROM {branch_dml.group(2)}{rest}"
                     )
                     key = parsed[1] if parsed is not None else None
                     pk = set(self.catalog.get_table(target).primary_key)

@@ -173,3 +173,18 @@ def test_cherry_pick_empty_delta_publishes_zero_files(spark, tmp_path):
     e.sql("INSERT INTO dmld$branch('b') VALUES (2, 2)")
     assert _state(e, "SELECT k, v FROM dmld$branch('b')") == [
         (1, 1), (2, 2)]
+
+
+def test_branch_point_delete_quoted_table_name(spark, tmp_path):
+    """The dispatch re-parse uses the original (quoted) table token, so
+    a backtick-named table still takes the blind-tombstone point path
+    on its branch."""
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql(
+        "CREATE TABLE `qt` (k BIGINT NOT NULL, v BIGINT, PRIMARY KEY (k))"
+    )
+    e.sql("ALTER TABLE qt CREATE BRANCH b")
+    e.sql("DELETE FROM `qt`$branch('b') WHERE k = 7")  # absent: blind
+    e.sql("INSERT INTO qt VALUES (7, 1)")
+    with pytest.raises(ConcurrentWriteConflict):
+        e.sql("ALTER TABLE qt CHERRY PICK BRANCH b")

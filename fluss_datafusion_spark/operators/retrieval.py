@@ -73,15 +73,23 @@ def build_bm25_index(
 
     Persist (or write as tables) to amortize across query batches.
     """
+    # ONE tokenize pass feeds everything (r11): tf per (term, doc) is
+    # the only corpus-sized aggregation; dl = sum(tf) per doc (identical
+    # to counting occurrences directly — saves the second full
+    # tokenize+explode scan), and df rides as a count window over the
+    # term partition (one exchange on __term__ instead of a groupBy PLUS
+    # a postings-side join exchange).  Values are unchanged — every
+    # oracle row pins them.
     occ = _term_rows(docs, id_col, text_col)
-    postings = occ.groupBy("__term__", "__doc__").agg(
+    tf = occ.groupBy("__term__", "__doc__").agg(
         F.count(F.lit(1)).alias("__tf__")
     )
-    df_t = postings.groupBy("__term__").agg(F.count(F.lit(1)).alias("__df__"))
-    postings = postings.join(df_t, "__term__")
+    postings = tf.withColumn(
+        "__df__", F.count(F.lit(1)).over(Window.partitionBy("__term__"))
+    )
     if max_df is not None:
         postings = postings.filter(F.col("__df__") <= max_df)
-    doc_stats = occ.groupBy("__doc__").agg(F.count(F.lit(1)).alias("__dl__"))
+    doc_stats = tf.groupBy("__doc__").agg(F.sum("__tf__").alias("__dl__"))
     corpus_stats = doc_stats.agg(
         F.count(F.lit(1)).alias("__N__"), F.avg("__dl__").alias("__avgdl__")
     )

@@ -223,6 +223,7 @@ _br_op = st.one_of(
         st.lists(st.tuples(_keys, _vals), min_size=1, max_size=3),
     ),
     st.tuples(st.just("br_del"), _keys),
+    st.tuples(st.just("br_delw"), _vals),  # DELETE ... WHERE v < x
     st.tuples(st.just("br_upd"), st.tuples(_keys, _vals)),
     st.tuples(st.just("ff"), st.just(None)),
     st.tuples(st.just("cp"), st.just(None)),
@@ -247,6 +248,14 @@ _br_op = st.one_of(
 # The fast-forward face of the same seam: the lost tombstone also made
 # the branch look write-free, so FF would re-anchor instead of refuse.
 @example(ops=[("br_del", 0), ("main_ins", [(0, 0)]), ("ff", None)])
+# r11 empty-delta cherry-pick: a zero-match predicate delete advances
+# the branch head without touching a key; cp on diverged main must
+# publish (no contested keys) with an EMPTY restamp, and the branch
+# must continue cleanly from the new anchor.
+@example(ops=[
+    ("br_delw", -50), ("main_ins", [(1, 1)]), ("cp", None),
+    ("br_ins", [(2, 2)]), ("ff", None),
+])
 def test_branch_state_machine_matches_dict_models(spark, ops):
     """Branch semantics as a two-model state machine: main ops mutate
     only the main model, branch ops only the branch model (two-way
@@ -298,6 +307,19 @@ def test_branch_state_machine_matches_dict_models(spark, ops):
             e.sql(f"DELETE FROM dmlb$branch('b') WHERE k = {arg}")
             branch_touched.add(arg)  # tombstone recorded even if absent
             branch.pop(arg, None)
+            branch_writes += 1
+        elif op == "br_delw":
+            # predicate form: tombstones only MATCHING keys (evaluated
+            # against the branch overlay).  A zero-match delete still
+            # RECORDS a commit — the branch head advances, so FF/CP
+            # treat the branch as written-to — but touches no key, and
+            # its cherry-pick restamp is an EMPTY delta (r11: published
+            # with files_published accounting, no empty part file).
+            e.sql(f"DELETE FROM dmlb$branch('b') WHERE v < {arg}")
+            matching = {k for k, v in branch.items() if v < arg}
+            branch_touched |= matching
+            for k in matching:
+                del branch[k]
             branch_writes += 1
         elif op == "br_upd":
             thr, delta = arg

@@ -129,7 +129,14 @@ def write_dedup_index(
     buckets = minhash_band_buckets(
         df, id_col, text_col, k, num_perm, rows_per_band
     )
-    buckets.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    bpath = os.path.join(path, "buckets")
+    # range-cluster on the probe key + harvest a skipping manifest so
+    # every ingest batch's probe can drop untouched store files
+    # driver-side (r11; see _pruned_store_read)
+    buckets.repartitionByRange("__bucket__", "__band__").write.mode(
+        "overwrite"
+    ).parquet(bpath)
+    _harvest_store_manifest(bpath)
     # Stamp completion LAST so a crashed build never leaves a marker a
     # later ensure_dedup_index would trust.  ``source_id`` (snapshot /
     # fingerprint) must match what probers pass to ensure_dedup_index;
@@ -185,7 +192,14 @@ def incremental_dedup_pairs(
     new_buckets = minhash_band_buckets(
         new_docs, id_col, text_col, k, num_perm, rows_per_band
     ).persist()
-    idx_buckets = spark.read.parquet(os.path.join(index_path, "buckets"))
+    # manifest-pruned store read (r11): the bucket-clustered store
+    # drops untouched files driver-side before the semi-join below
+    idx_buckets = _pruned_store_read(
+        spark,
+        os.path.join(index_path, "buckets"),
+        new_buckets.select("__band__", "__bucket__"),
+        ["__band__", "__bucket__"],
+    )
 
     # Restrict the index to buckets the batch actually touches, then pair
     # bucket-locally over the union (new ids see old ids AND each other).
@@ -313,13 +327,28 @@ def append_to_index(
     try:
         # token-hash kernel: must match the probes (see write_dedup_index).
         # The two stores are independent outputs: concurrent jobs (r10)
+        def _append_buckets():
+            bpath = os.path.join(path, "buckets")
+            from fluss_datafusion_spark.catalog.catalog import (
+                _parquet_files,
+            )
+
+            try:
+                before = _parquet_files(bpath)
+            except Exception:
+                before = set()
+            minhash_band_buckets(
+                df, id_col, text_col, k, num_perm, rows_per_band
+            ).sortWithinPartitions("__bucket__").write.mode(
+                "append"
+            ).parquet(bpath)
+            _harvest_store_manifest(bpath, before=before)
+
         _parallel_writes(
             lambda: sh.write.mode("append").parquet(
                 os.path.join(path, "shingles")
             ),
-            lambda: minhash_band_buckets(
-                df, id_col, text_col, k, num_perm, rows_per_band
-            ).write.mode("append").parquet(os.path.join(path, "buckets")),
+            _append_buckets,
         )
         # Keep the build marker's corpus count current so a later
         # ensure_dedup_index doesn't see a stale token and rebuild over
@@ -519,6 +548,82 @@ def _hamming_bands(
     )
 
 
+# probe-side file pruning of the bucket stores (r11, the ROADMAP
+# candidate generalized from the fork-presence probe): stores are
+# range-clustered on their key columns at write time and carry a
+# skipping manifest, so a batch's touched-key IN-lists drop whole store
+# files DRIVER-SIDE before the scan plans.  Pruning only engages when
+# the store has enough files to matter and the touched set is
+# statement-sized; unknown (e.g. crash-appended) files are always kept
+# — the same soundness contract as every other prune site.
+_PROBE_PRUNE_MIN_FILES = 4
+_PROBE_PRUNE_MAX_KEYS = 20_000
+
+
+def _harvest_store_manifest(store_path: str, before=None) -> None:
+    """(Re)harvest footer bounds for an index store — full rebuild when
+    ``before`` is None (overwrite), else add only the new files
+    (append).  Best-effort: a failed harvest leaves pruning degraded,
+    never wrong (prune keeps unknown files)."""
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    try:
+        files = _parquet_files(store_path)
+        if before is None:
+            skipping.rebuild(store_path, sorted(files))
+        else:
+            new = sorted(files - before)
+            if new:
+                skipping.add_files(store_path, new)
+    except Exception:
+        pass
+
+
+def _pruned_store_read(
+    spark, store_path: str, touched: DataFrame, key_cols
+) -> DataFrame:
+    """Read an index store restricted (at FILE granularity) to rows
+    that might carry the batch's touched keys.  Exactness is the
+    caller's bucket equi-join; this only drops files whose footer
+    bounds/blooms prove no touched key inside.  Falls back to the full
+    read when there is no manifest, few files, a non-int key, or an
+    oversized touched set (one tiny collect job derives the IN-lists —
+    the touched frame is batch-sized by the probe contract)."""
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+    full = spark.read.parquet(store_path)
+    try:
+        files = sorted(_parquet_files(store_path))
+        if len(files) < _PROBE_PRUNE_MIN_FILES or not skipping.load(
+            store_path
+        ):
+            return full
+        rows = touched.distinct().collect()
+        if not rows or len(rows) > _PROBE_PRUNE_MAX_KEYS:
+            return full
+        conjuncts = []
+        for c in key_cols:
+            vals = {r[c] for r in rows}
+            if not all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in vals
+            ):
+                return full
+            lits = ", ".join(str(v) for v in sorted(vals))
+            conjuncts.append(f"{c} IN ({lits})")
+        kept = skipping.prune(store_path, files, " AND ".join(conjuncts))
+    except Exception:
+        return full
+    if not kept:
+        # bounds/blooms prove NO store file carries a touched key
+        return full.limit(0)
+    if len(kept) == len(files):
+        return full
+    return spark.read.schema(full.schema).parquet(*kept)
+
+
 def _parallel_writes(*thunks) -> None:
     """Run independent Spark write jobs concurrently (threads share the
     session; the scheduler interleaves their stages).  Small-batch
@@ -567,13 +672,21 @@ def write_hamming_index(
     # the two stores are independent outputs of one input: write them
     # as CONCURRENT jobs (threads share the SparkSession) so the build
     # pays max(write), not sum — the marker still lands strictly LAST
+    def _write_buckets():
+        # range-cluster on the probe key so per-file footer bounds are
+        # tight, then harvest a skipping manifest: every ingest batch's
+        # probe can then drop untouched store files driver-side (r11)
+        bpath = os.path.join(path, "buckets")
+        _hamming_bands(hashes, n_bands, key_blocks).repartitionByRange(
+            "__slice__", "__band__"
+        ).write.mode("overwrite").parquet(bpath)
+        _harvest_store_manifest(bpath)
+
     _parallel_writes(
         lambda: hashes.write.mode("overwrite").parquet(
             os.path.join(path, "hashes")
         ),
-        lambda: _hamming_bands(hashes, n_bands, key_blocks)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "buckets")),
+        _write_buckets,
     )
     token = _hamming_token(
         source_id if source_id is not None else df.count(),
@@ -603,13 +716,26 @@ def append_to_hamming_index(
     # between them leaves a partial append, which the foreachBatch
     # replay re-appends wholesale — duplicate index entries are benign
     # (candidate pairs dedup by id), exactly as with sequential writes
+    def _append_buckets():
+        bpath = os.path.join(path, "buckets")
+        from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+        try:
+            before = _parquet_files(bpath)
+        except Exception:
+            before = set()
+        # batch-sized: sort within the (few) incoming partitions so the
+        # appended files' slice bounds stay tight for probe pruning
+        _hamming_bands(hashes, n_bands, key_blocks).sortWithinPartitions(
+            "__slice__"
+        ).write.mode("append").parquet(bpath)
+        _harvest_store_manifest(bpath, before=before)
+
     _parallel_writes(
         lambda: hashes.write.mode("append").parquet(
             os.path.join(path, "hashes")
         ),
-        lambda: _hamming_bands(hashes, n_bands, key_blocks)
-        .write.mode("append")
-        .parquet(os.path.join(path, "buckets")),
+        _append_buckets,
     )
 
 
@@ -661,7 +787,15 @@ def incremental_hamming_pairs(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     ).persist()
     new_bands = _hamming_bands(new_hashes, n_bands, key_blocks)
-    idx_bands = spark.read.parquet(os.path.join(index_path, "buckets"))
+    # manifest-pruned store read (r11): the slice-clustered store drops
+    # untouched files driver-side; the broadcast semi-join below stays
+    # the exactness filter (per-column bounds admit the cross-product)
+    idx_bands = _pruned_store_read(
+        spark,
+        os.path.join(index_path, "buckets"),
+        new_bands.select("__band__", "__slice__"),
+        ["__band__", "__slice__"],
+    )
     touched = F.broadcast(new_bands.select("__band__", "__slice__"))
     idx_touched = idx_bands.join(
         touched, ["__band__", "__slice__"], "left_semi"

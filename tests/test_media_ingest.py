@@ -265,3 +265,79 @@ def test_media_ingest_audio_fingerprint_hook(spark, tmp_path):
         {"batch_id": 0, "n_in": 40, "n_filtered": 0, "n_dropped": 30,
          "n_kept": 10},
     ]
+
+
+def test_hamming_store_manifest_prunes_probe_files(spark, tmp_path):
+    """r11: index bucket stores are range-clustered and carry a
+    skipping manifest; a probe whose touched keys live in a narrow
+    slice range reads a strict subset of the store files, and a batch
+    touching NO possible slice reads nothing — while appends keep the
+    manifest current and results stay exact (fallback = full read)."""
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.catalog import skipping
+    from fluss_datafusion_spark.catalog.catalog import _parquet_files
+    from fluss_datafusion_spark.operators import incremental as inc
+
+    path = str(tmp_path / "hidx")
+    # ids chosen so fingerprints (= id here) spread the 16-bit slice
+    # space: slices of hash h are its four 16-bit blocks
+    base = spark.range(0, 4096).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") * 65537).alias("dhash"),  # low+high blocks vary
+    )
+    # a production store has many files; at test size AQE would
+    # coalesce the range shuffle into one — pin the partition count so
+    # the clustering (and thus the prune) is observable
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        inc.write_hamming_index(base, "media_id", "dhash", path)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    store = path + "/buckets"
+    files = sorted(_parquet_files(store))
+    assert len(files) >= inc._PROBE_PRUNE_MIN_FILES
+    assert len(skipping.load(store)) == len(files)
+
+    # a 2-fingerprint batch touches <= 8 slice keys: the clustered
+    # store must serve it from a strict subset of its files
+    batch = spark.createDataFrame(
+        [(9001, 5 * 65537), (9002, 6 * 65537)], "media_id long, dhash long"
+    )
+    bands = inc._hamming_bands(
+        batch.select(
+            F.col("media_id").alias("__id__"), F.col("dhash").alias("__h__")
+        ),
+        n_bands=4,
+    )
+    pr = inc._pruned_store_read(
+        spark, store, bands.select("__band__", "__slice__"),
+        ["__band__", "__slice__"],
+    )
+    read_files = pr.select(F.input_file_name()).distinct().count()
+    assert 0 < read_files < len(files)
+
+    # exactness end-to-end: the pruned probe finds the ham<=2 pair
+    pairs = inc.incremental_hamming_pairs(
+        spark.createDataFrame([(9001, 5 * 65537)], "media_id long, dhash long"),
+        path, "media_id", "dhash", max_hamming=2,
+    )
+    assert [(r.id_a, r.id_b) for r in pairs.collect()] == [(5, 9001)]
+
+    # appends land in the manifest; probe results stay exact after them
+    inc.append_to_hamming_index(
+        spark.createDataFrame(
+            [(8000, 40000 * 65537)], "media_id long, dhash long"
+        ),
+        "media_id", "dhash", path,
+    )
+    assert len(skipping.load(store)) == len(_parquet_files(store))
+    pairs2 = inc.incremental_hamming_pairs(
+        spark.createDataFrame(
+            [(9100, 40000 * 65537)], "media_id long, dhash long"
+        ),
+        path, "media_id", "dhash", max_hamming=2,
+    )
+    assert [(r.id_a, r.id_b) for r in pairs2.collect()] == [(8000, 9100)]

@@ -152,6 +152,54 @@ def q66_decomposition(spark, sf_dir, stmt_floor_ms: float) -> dict:
     }
 
 
+def q57_decomposition(spark, sf_dir, stmt_floor_ms: float) -> dict:
+    """One instrumented q57 run (r11 — the q66 treatment applied to the
+    2-refresh single-table matview lifecycle): wall per statement group
+    plus the floor arithmetic.  The lifecycle is 11 statements: 9 bare
+    DDL/DML priced at the host's per-statement floor, plus real
+    input-sized work — the CREATE MV's initial full build, the seed
+    insert's 2000-row scan, the final read, and the RMW excess of the
+    five UPDATE/DELETE statements over the bare-insert floor (warm r11
+    measurements ~0.7 + 0.27 + 0.2 + ~0.35, budgeted together at
+    1.0 s) and both CDC-window refreshes (warm ~1.1 + 1.15 s; budgeted
+    2.3 s).  target = 9 x stmt_floor + 1.0 + 2.3 — floor-scaled
+    for degraded hosts (a warm in-session decomposition sums ~4.9 s
+    at a 205 ms floor, exactly the formula's value)."""
+    from fluss_datafusion_spark.corpus.relational import (
+        Q57_FINAL,
+        Q57_GROUPS,
+        q57_setup,
+    )
+
+    e = q57_setup(spark, sf_dir)
+    groups = {}
+    n_stmts = 0
+    for label, stmts in Q57_GROUPS:
+        t0 = time.time()
+        for s in stmts:
+            e.sql(s)
+        groups[label] = round(time.time() - t0, 3)
+        n_stmts += len(stmts)
+    t0 = time.time()
+    run_query(e.sql(Q57_FINAL))
+    groups["final_select"] = round(time.time() - t0, 3)
+    n_stmts += 1
+    refresh_sec = groups["w1_refresh"] + groups["w2_refresh"]
+    non_refresh = n_stmts - 2
+    floor_sec = round(non_refresh * stmt_floor_ms / 1000.0, 2)
+    return {
+        "statements": n_stmts,
+        "groups": groups,
+        "stmt_floor_ms": stmt_floor_ms,
+        "non_refresh_statements": non_refresh,
+        "statement_floor_sec": floor_sec,
+        "refresh_sec": round(refresh_sec, 2),
+        "refresh_budget_sec": 2.3,
+        "setup_work_budget_sec": 1.0,
+        "derived_target_sec": round(floor_sec + 2.3 + 1.0, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -433,6 +481,15 @@ def main() -> None:
     except Exception as exc:  # never fail the artifact over the probe
         print(f"bench error in q66 decomposition: {exc}", file=sys.stderr)
         q66_decomp = None
+    try:
+        stmt_floor57 = (
+            q66_decomp["stmt_floor_ms"] if q66_decomp
+            else probe_stmt_floor(spark)
+        )
+        q57_decomp = q57_decomposition(spark, sf_dir, stmt_floor57)
+    except Exception as exc:
+        print(f"bench error in q57 decomposition: {exc}", file=sys.stderr)
+        q57_decomp = None
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
@@ -459,6 +516,7 @@ def main() -> None:
                     "after": contention_after,
                 },
                 "q66_decomposition": q66_decomp,
+                "q57_decomposition": q57_decomp,
             }
         )
     )

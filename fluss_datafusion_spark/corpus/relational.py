@@ -1824,7 +1824,47 @@ def q57_matview_incremental(spark, sf_dir):
     Each REFRESH applies only the bounded CDC window (O(changes), not
     O(source) — see matview.refresh_matview).  DuckDB re-derives the
     final source state from raw orders and re-aggregates; every group
-    count/sum/avg and the dead group's absence are hash-checked."""
+    count/sum/avg and the dead group's absence are hash-checked.
+    Statement groups live in Q57_GROUPS so bench.py's decomposition
+    prices the lifecycle against the live statement floor (r11, the
+    q66 treatment)."""
+    e = q57_setup(spark, sf_dir)
+    for _label, stmts in Q57_GROUPS:
+        for s in stmts:
+            e.sql(s)
+    return e.sql(Q57_FINAL)
+
+
+Q57_GROUPS = [
+    ("create", [
+        "CREATE TABLE mv_src (k BIGINT NOT NULL, g STRING, x BIGINT,"
+        " PRIMARY KEY (k))",
+    ]),
+    ("seed", ["INSERT INTO mv_src SELECT * FROM mv_seed"]),
+    ("create_mv", [
+        "CREATE MATERIALIZED VIEW mv_agg AS"
+        " SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
+        " avg(x) AS ax, min(x) AS mn, max(x) AS mx FROM mv_src GROUP BY g",
+    ]),
+    ("w1_dml", [
+        "UPDATE mv_src SET g = 'U1' WHERE k % 97 = 0",
+        "DELETE FROM mv_src WHERE k % 53 = 0",
+        "INSERT INTO mv_src VALUES (1000001, 'Z', 10),"
+        " (1000002, 'Z', NULL), (1000003, 'Z', 25)",
+    ]),
+    ("w1_refresh", ["REFRESH MATERIALIZED VIEW mv_agg"]),
+    ("w2_dml", [
+        "UPDATE mv_src SET x = x + 7 WHERE g = 'O'",
+        "DELETE FROM mv_src WHERE g = 'U1'",
+    ]),
+    ("w2_refresh", ["REFRESH MATERIALIZED VIEW mv_agg"]),
+]
+Q57_FINAL = "SELECT g, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mv_agg"
+
+
+def q57_setup(spark, sf_dir):
+    """Fresh engine + seed view for the q57 lifecycle (shared with
+    bench.py's decomposition runner)."""
     import shutil
     import tempfile
 
@@ -1836,34 +1876,12 @@ def q57_matview_incremental(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     e = EngineSession(spark=spark, warehouse=os.path.join(root, "wh"))
-    e.sql(
-        "CREATE TABLE mv_src (k BIGINT NOT NULL, g STRING, x BIGINT,"
-        " PRIMARY KEY (k))"
-    )
     t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("g"),
         F.floor("o_totalprice").cast("bigint").alias("x"),
     ).createOrReplaceTempView("mv_seed")
-    e.sql("INSERT INTO mv_src SELECT * FROM mv_seed")
-    e.sql(
-        "CREATE MATERIALIZED VIEW mv_agg AS"
-        " SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx,"
-        " avg(x) AS ax, min(x) AS mn, max(x) AS mx FROM mv_src GROUP BY g"
-    )
-    e.sql("UPDATE mv_src SET g = 'U1' WHERE k % 97 = 0")
-    e.sql("DELETE FROM mv_src WHERE k % 53 = 0")
-    e.sql(
-        "INSERT INTO mv_src VALUES (1000001, 'Z', 10),"
-        " (1000002, 'Z', NULL), (1000003, 'Z', 25)"
-    )
-    e.sql("REFRESH MATERIALIZED VIEW mv_agg")
-    e.sql("UPDATE mv_src SET x = x + 7 WHERE g = 'O'")
-    e.sql("DELETE FROM mv_src WHERE g = 'U1'")
-    e.sql("REFRESH MATERIALIZED VIEW mv_agg")
-    return e.sql(
-        "SELECT g, n, nx, sx, round(ax, 6) AS ax, mn, mx FROM mv_agg"
-    )
+    return e
 
 
 @query(

@@ -475,3 +475,132 @@ def test_branch_metadata_fastpath_matches_scan(spark, seed, ops):
     assert got.n == len(model), (seed, ops, got)
     assert got.mn == (min(xs) if xs else None), (seed, ops, got)
     assert got.mx == (max(xs) if xs else None), (seed, ops, got)
+
+
+def _engine_branch_pair(spark):
+    if "brpair" not in _STATE:
+        wh = os.path.join(tempfile.mkdtemp(prefix="dml_prop_brx_"), "wh")
+        e1 = EngineSession(spark=spark, warehouse=wh)
+        e1.sql(
+            "CREATE TABLE dmlx (k BIGINT NOT NULL, v BIGINT,"
+            " PRIMARY KEY (k))"
+        )
+        e2 = EngineSession(spark=spark, warehouse=wh)
+        _STATE["brpair"] = (e1, e2)
+    return _STATE["brpair"]
+
+
+_brx_op = st.one_of(
+    st.tuples(
+        st.just("main_ins"),
+        st.lists(st.tuples(_keys, _vals), min_size=1, max_size=2),
+    ),
+    st.tuples(
+        st.just("br_ins"),
+        st.lists(st.tuples(_keys, _vals), min_size=1, max_size=2),
+    ),
+    st.tuples(st.just("br_del"), _keys),
+    st.tuples(st.just("ff"), st.just(None)),
+    st.tuples(st.just("cp"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(st.booleans(), _brx_op), min_size=1, max_size=5
+    )
+)
+def test_branch_dml_interleaved_sessions_match_dict_models(spark, ops):
+    """r11 (ROADMAP candidate): TWO sessions over one warehouse
+    interleave branch DML and publication.  The r10 spec-CAS machine
+    covers ref DDL; this one drives the branch DATA paths cross-session
+    — branch writes from either session land in one branch seq space,
+    isolation holds both ways, and FF/CP outcomes follow the same
+    dict models as the single-session machine regardless of which
+    session issues each statement."""
+    from fluss_datafusion_spark.catalog.catalog import (
+        ConcurrentWriteConflict,
+    )
+
+    e1, e2 = _engine_branch_pair(spark)
+    e1.catalog.truncate_table("dmlx")
+    e2.catalog._seq.pop("fluss.dmlx", None)
+    e1.sql("ALTER TABLE dmlx CREATE BRANCH b")
+
+    main = {}
+    branch = {}
+    branch_writes = 0
+    main_diverged = 0
+    main_touched = set()
+    branch_touched = set()
+
+    for use_second, (op, arg) in ops:
+        e = e2 if use_second else e1
+        if op == "main_ins":
+            values = ", ".join(f"({k}, {v})" for k, v in arg)
+            e.sql(f"INSERT INTO dmlx VALUES {values}")
+            for k, v in arg:
+                main[k] = v
+                main_touched.add(k)
+            main_diverged += 1
+        elif op == "br_ins":
+            values = ", ".join(f"({k}, {v})" for k, v in arg)
+            e.sql(f"INSERT INTO dmlx$branch('b') VALUES {values}")
+            for k, v in arg:
+                branch[k] = v
+                branch_touched.add(k)
+            branch_writes += 1
+        elif op == "br_del":
+            e.sql(f"DELETE FROM dmlx$branch('b') WHERE k = {arg}")
+            branch_touched.add(arg)  # blind tombstone, either session
+            branch.pop(arg, None)
+            branch_writes += 1
+        elif op == "ff":
+            if branch_writes and main_diverged:
+                with pytest.raises(ConcurrentWriteConflict):
+                    e.sql("ALTER TABLE dmlx FAST FORWARD BRANCH b")
+            else:
+                e.sql("ALTER TABLE dmlx FAST FORWARD BRANCH b")
+                if branch_writes:
+                    main = dict(branch)
+                else:
+                    branch = dict(main)
+                main_diverged = branch_writes = 0
+                main_touched = set()
+                branch_touched = set()
+        elif op == "cp":
+            contested = main_touched & branch_touched
+            diverged_keys = {
+                k for k in contested
+                if (k in main) != (k in branch)
+                or (k in main and main[k] != branch[k])
+            }
+            if branch_writes and diverged_keys:
+                with pytest.raises(ConcurrentWriteConflict):
+                    e.sql("ALTER TABLE dmlx CHERRY PICK BRANCH b")
+            else:
+                e.sql("ALTER TABLE dmlx CHERRY PICK BRANCH b")
+                if branch_writes:
+                    for k in branch_touched:
+                        if k in branch:
+                            main[k] = branch[k]
+                        else:
+                            main.pop(k, None)
+                branch = dict(main)
+                main_diverged = branch_writes = 0
+                main_touched = set()
+                branch_touched = set()
+
+    for e in (e1, e2):
+        got_main = {r.k: r.v for r in e.catalog.read("dmlx").collect()}
+        assert got_main == main, (ops, got_main, main)
+        got_branch = {
+            r.k: r.v
+            for r in e.catalog.read_branch("dmlx", "b").collect()
+        }
+        assert got_branch == branch, (ops, got_branch, branch)

@@ -407,11 +407,20 @@ def main() -> None:
             "stream_tumbling", tumbling_counts, "complete",
             max_files_per_trigger=4,
         )
+        # r11: same mfpt=4 framing as tumbling/interval-join below —
+        # 2 data batches + the watermark-flush batch, dedup state
+        # crossing a boundary, output rows byte-identical at mfpt 2/4
+        # (A/B measured 100000 rows; 3.76 -> 1.32 s same-session)
         stream_bench(
             "stream_dedup",
             lambda s: streaming_dedup(s, keys=("event_id",), watermark="2 hours"),
             "append",
+            max_files_per_trigger=4,
         )
+        # r11: mfpt=4 keeps 2 real batches with keyed state crossing a
+        # boundary; changelog rows are per-EVENT transitions, so output
+        # is batch-size invariant (A/B measured: 198500 rows byte-equal
+        # at mfpt 2/4/8; 6.7 -> 2.1 s same-session)
         stream_bench(
             "stream_changelog",
             lambda s: changelog_stream(
@@ -426,6 +435,7 @@ def main() -> None:
                 state_buckets=64,
             ),
             "update",
+            max_files_per_trigger=4,
         )
         def _interval(s):
             purchases = s.filter(F.col("event_type") == "purchase").select(

@@ -160,3 +160,59 @@ def test_bm25_ingest_sink_streams_documents_into_index(spark, testdata, tmp_path
         ).collect()
     )
     assert from_persisted == derived
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["the", "hash", "join", "scan", "", "  ", "Fast"])
+_texts = st.lists(_words, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_texts, min_size=1, max_size=8))
+def test_build_bm25_index_matches_reference_model(spark, texts):
+    """r11 guard for the one-pass build refactor (dl from sum(tf), df
+    as a term-partition window): random tiny corpora incl. empty /
+    all-whitespace / case-folded docs must produce exactly the postings,
+    doc lengths, and corpus stats a brute-force python model derives."""
+    from collections import Counter
+
+    from fluss_datafusion_spark.operators.retrieval import build_bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    postings, doc_stats, corpus_stats = build_bm25_index(
+        docs, "doc_id", "text"
+    )
+
+    # reference model: whitespace tokens, lowercased, empties dropped
+    tf = Counter()
+    dl = Counter()
+    for i, t in enumerate(texts):
+        for tok in t.lower().split():
+            tf[(tok, i)] += 1
+            dl[i] += 1
+    df_t = Counter(term for term, _ in tf)
+
+    got_postings = {
+        (r["__term__"], r["__doc__"]): (r["__tf__"], r["__df__"])
+        for r in postings.collect()
+    }
+    assert got_postings == {
+        (term, doc): (n, df_t[term]) for (term, doc), n in tf.items()
+    }, texts
+    got_dl = {r["__doc__"]: r["__dl__"] for r in doc_stats.collect()}
+    assert got_dl == dict(dl), texts
+    n_row = corpus_stats.collect()[0]
+    assert n_row["__N__"] == len(dl)
+    if dl:
+        expected_avg = sum(dl.values()) / len(dl)
+        assert abs(n_row["__avgdl__"] - expected_avg) < 1e-9
+    else:
+        assert n_row["__avgdl__"] is None

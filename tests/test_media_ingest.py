@@ -341,3 +341,74 @@ def test_hamming_store_manifest_prunes_probe_files(spark, tmp_path):
         path, "media_id", "dhash", max_hamming=2,
     )
     assert [(r.id_a, r.id_b) for r in pairs2.collect()] == [(8000, 9100)]
+
+
+def test_incremental_hamming_pairs_match_bruteforce_random(spark, tmp_path):
+    """r11 guard for the pruned probe path: across several random
+    fingerprint corpora and batch splits (including near-dup planted
+    pairs and store appends), the incremental probe must emit exactly
+    the brute-force popcount pairs touching the batch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.operators import incremental as inc
+
+    rng = random.Random(23)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    for trial in range(3):
+        base_h = {
+            i: rng.getrandbits(63) for i in range(trial * 100, trial * 100 + 40)
+        }
+        # plant near-dups: some corpus-vs-batch, some batch-internal
+        ids = sorted(base_h)
+        batch_h = {}
+        for j in range(6):
+            src = ids[rng.randrange(len(ids))]
+            h = base_h[src]
+            if j % 2:
+                h ^= 1 << rng.randrange(64)  # hamming 1
+            batch_h[1000 + trial * 100 + j] = h
+        batch_h[1000 + trial * 100 + 90] = rng.getrandbits(63)  # loner
+
+        path = str(tmp_path / f"h{trial}")
+        corpus_df = spark.createDataFrame(
+            sorted(base_h.items()), "media_id long, dhash long"
+        )
+        spark.conf.set(coalesce_key, "false")
+        try:
+            inc.write_hamming_index(corpus_df, "media_id", "dhash", path)
+        finally:
+            spark.conf.set(coalesce_key, prev)
+        # grow the store with an append so the probe crosses build+append
+        extra = {5000 + trial: rng.getrandbits(63)}
+        inc.append_to_hamming_index(
+            spark.createDataFrame(
+                sorted(extra.items()), "media_id long, dhash long"
+            ),
+            "media_id", "dhash", path,
+        )
+        corpus_all = {**base_h, **extra}
+
+        batch_df = spark.createDataFrame(
+            sorted(batch_h.items()), "media_id long, dhash long"
+        )
+        got = sorted(
+            (r.id_a, r.id_b, r.ham)
+            for r in inc.incremental_hamming_pairs(
+                batch_df, path, "media_id", "dhash", max_hamming=2
+            ).collect()
+        )
+        want = []
+        everything = {**corpus_all, **batch_h}
+        for a in sorted(everything):
+            for b in sorted(everything):
+                if a >= b:
+                    continue
+                if a not in batch_h and b not in batch_h:
+                    continue  # corpus-internal pairs are never re-emitted
+                ham = bin(everything[a] ^ everything[b]).count("1")
+                if ham <= 2:
+                    want.append((a, b, ham))
+        assert got == sorted(want), (trial, got, want)

@@ -1737,6 +1737,21 @@ class FlussCatalog:
         with self._spec_mutation(spec0) as spec:
             if cname in spec.check_constraints:
                 raise ValueError(f"constraint already exists: {cname}")
+            # re-resolve expr against the RELOADED spec (ADVICE r11): a
+            # concurrent spec mutation (e.g. DROP COLUMN referenced by
+            # expr) landing between the pre-lock scan and this window
+            # must not commit a constraint against a stale schema.
+            # Plan-time analysis only — an empty local frame, no job.
+            try:
+                self.spark.createDataFrame(
+                    [], spec.spark_schema()
+                ).filter(F.expr(expr)).schema
+            except Exception as exc:
+                raise ValueError(
+                    f"cannot add CHECK constraint {cname} ({expr}): "
+                    f"it no longer resolves against the current schema "
+                    f"of {spec.qualified_name}: {exc}"
+                ) from exc
             spec.check_constraints[cname] = expr
             self._save_spec(spec)
 

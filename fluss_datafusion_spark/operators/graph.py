@@ -62,6 +62,11 @@ def _local_pagerank(
     if e.count() > _LOCAL_PR_EDGE_CAP:
         return None
     pdf = e.toPandas()
+    if pdf[["__src__", "__dst__"]].isna().any().any():
+        # null endpoints round-trip through pandas as NaN (floats in an
+        # int column) and would diverge from the distributed path's
+        # null-dropping join semantics — fall through to that path
+        return None
     src = pdf["__src__"].to_numpy()
     dst = pdf["__dst__"].to_numpy()
     ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -74,20 +79,26 @@ def _local_pagerank(
     src_i, dst_i = inv[: len(src)], inv[len(src):]
     deg = np.bincount(src_i, minlength=n).astype(np.float64)
     if personalize is not None:
-        seed_vals = {
-            r[0]
-            for r in personalize.select(
-                F.col(personalize.columns[0])
-            ).distinct().collect()
-        }
-        if len(seed_vals) > _LOCAL_PR_EDGE_CAP:
+        # limit(cap+1) bounds the collect BEFORE materializing the set
+        # (a corpus-sized seed frame never reaches the driver whole)
+        seed_rows = (
+            personalize.select(F.col(personalize.columns[0]))
+            .distinct()
+            .limit(_LOCAL_PR_EDGE_CAP + 1)
+            .collect()
+        )
+        if len(seed_rows) > _LOCAL_PR_EDGE_CAP:
             return None
+        seed_vals = {r[0] for r in seed_rows}
         v = np.zeros(n)
-        # teleport weight 1/|S| over ALL distinct seeds (a seed absent
-        # from the graph still dilutes the vector — mirrors the
-        # distributed nodes_v construction)
-        seed_idx = np.isin(ids, np.array(sorted(seed_vals)))
-        v[seed_idx] = 1.0 / len(seed_vals)
+        if seed_vals:
+            # teleport weight 1/|S| over ALL distinct seeds (a seed
+            # absent from the graph still dilutes the vector — mirrors
+            # the distributed nodes_v construction); an EMPTY seed set
+            # leaves v all-zero, matching the distributed regime's
+            # all-zero ranks
+            seed_idx = np.isin(ids, np.array(sorted(seed_vals)))
+            v[seed_idx] = 1.0 / len(seed_vals)
     else:
         v = np.full(n, 1.0 / n)
     r = v.copy()

@@ -649,11 +649,12 @@ def _parallel_writes(*thunks) -> None:
             except Exception as exc:  # settle all before raising
                 errs.append(exc)
         if errs:
-            if len(errs) > 1:
-                # chain the secondary failures so a multi-thunk loss
-                # (e.g. a shared executor dying under both jobs) keeps
-                # every diagnostic in the traceback (ADVICE r10)
-                raise errs[0] from errs[1]
+            # chain the WHOLE tail of secondary failures (not just the
+            # second) so a multi-thunk loss (e.g. a shared executor
+            # dying under all jobs) keeps every diagnostic in the
+            # traceback (ADVICE r10 + r11)
+            for cause, exc in zip(errs[1:], errs):
+                exc.__cause__ = cause
             raise errs[0]
 
 

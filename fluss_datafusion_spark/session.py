@@ -531,9 +531,10 @@ class EngineSession:
 
             target, cols = analyze_parsed
             s = _stats.analyze_table(self.catalog, target, columns=cols)
-            return self.spark.createDataFrame(
-                [(s["row_count"], s["file_bytes"], len(s["columns"]))],
-                "row_count bigint, file_bytes bigint, analyzed_columns bigint",
+            return self._literal_df(
+                row_count=s["row_count"],
+                file_bytes=s["file_bytes"],
+                analyzed_columns=len(s["columns"]),
             )
 
         restore_parsed = ddl.parse_restore(statement)
@@ -542,9 +543,8 @@ class EngineSession:
             if isinstance(anchor, tuple):  # ("ts", "<string>")
                 anchor = self.catalog.resolve_timestamp(target, anchor[1])
             counts = self.catalog.restore_table(target, anchor)
-            return self.spark.createDataFrame(
-                [(counts["restored"], counts["deleted"])],
-                "restored bigint, deleted bigint",
+            return self._literal_df(
+                restored=counts["restored"], deleted=counts["deleted"]
             )
 
         update_parsed = ddl.parse_update(statement) if re.match(
@@ -607,9 +607,7 @@ class EngineSession:
                         count = self.catalog.delete_where(
                             target, where.group(1), branch=bname
                         )
-                    return self.spark.createDataFrame(
-                        [(count,)], "count bigint"
-                    )
+                    return self._scalar_df("count", count)
                 if verb == "UPDATE":
                     parsed = ddl.parse_update(
                         f"UPDATE {branch_dml.group(2)}{rest}"
@@ -622,9 +620,7 @@ class EngineSession:
                     count = self.catalog.update_rows(
                         target, assigns, where, branch=bname
                     )
-                    return self.spark.createDataFrame(
-                        [(count,)], "count bigint"
-                    )
+                    return self._scalar_df("count", count)
                 if verb == "MERGE":
                     merge = ddl.parse_merge(
                         f"MERGE INTO {branch_dml.group(2)}{rest}"
@@ -654,9 +650,9 @@ class EngineSession:
                         ),
                         branch=bname,
                     )
-                    return self.spark.createDataFrame(
-                        [(counts["upserted"], counts["deleted"])],
-                        "upserted bigint, deleted bigint",
+                    return self._literal_df(
+                        upserted=counts["upserted"],
+                        deleted=counts["deleted"],
                     )
                 stripped = (
                     f"INSERT INTO {branch_dml.group(2)}{rest}"
@@ -704,9 +700,8 @@ class EngineSession:
                 not_matched=merge["not_matched"],
                 not_matched_by_source=merge.get("not_matched_by_source"),
             )
-            return self.spark.createDataFrame(
-                [(counts["upserted"], counts["deleted"])],
-                "upserted bigint, deleted bigint",
+            return self._literal_df(
+                upserted=counts["upserted"], deleted=counts["deleted"]
             )
 
         insert_target = ddl.parse_insert_target(statement)

@@ -200,6 +200,104 @@ def q57_decomposition(spark, sf_dir, stmt_floor_ms: float) -> dict:
     }
 
 
+def ns_dedup_incremental_decomposition(
+    spark, sf_dir, job_floor_ms: float
+) -> dict:
+    """One instrumented ns_dedup_incremental run (r12 — the q66/q57
+    treatment applied to the index-probe entry): wall per PHASE plus
+    the floor arithmetic.  The probe is 3 driver-visible actions — the
+    bucket-prune key collect (which materializes the batch's banding
+    persist), the verify-prune candidate collect (which materializes
+    the bucket-local pairing persist), and the final verify/write —
+    each paying the 1-task job floor, plus real batch-sized work:
+
+    - ``banding_sec`` (measured in-run, warm): the batch's interpreted
+      shingle -> one-permutation-minhash -> band pipeline — paid once
+      into the persist; the irreducible compute of ANY probe.
+    - ``verify_shingle_sec`` (measured in-run): the verify stage's
+      candidate-bound batch re-shingle (word_shingles arrays).
+    - committed budgets over those floors: ``pairing_budget_sec`` for
+      the pruned store read + touched-bucket semi-join + bucket-local
+      pair expansion (warm r12 quiet-host remainder ~1.85 s), and
+      ``verify_join_budget_sec`` for the index shingle-store read +
+      dual-broadcast jaccard verification + sink (~1.6-1.9 s).
+
+    target = 3 x job_floor + banding + verify_shingle + 1.9 + 1.9 —
+    floor- and compute-scaled for degraded hosts, achievable warm."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from fluss_datafusion_spark.corpus.northstar import (
+        _incr_index_path,
+        _incr_source_id,
+        t as _t,
+    )
+    from fluss_datafusion_spark.functions.text import word_shingles
+    from fluss_datafusion_spark.operators import incremental
+    from fluss_datafusion_spark.operators.dedup import (
+        minhash_band_buckets,
+        release_candidate_cache,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    path = _incr_index_path(sf_dir)
+    # index current (the entry's own contract) — untimed when fresh
+    incremental.ensure_dedup_index(
+        corpus, "doc_id", "text", path, source_id=_incr_source_id(sf_dir)
+    )
+    groups = {}
+    # measured sub-compute: batch banding (standalone, warm cache-free)
+    t0 = time.time()
+    banding_rows = minhash_band_buckets(
+        batch, "doc_id", "text", 3, 128, 2
+    ).count()
+    groups["banding"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    word_shingles_n = (
+        batch.select(word_shingles(F.col("text"), 3).alias("s"))
+        .filter(F.size("s") > 0)
+        .count()
+    )
+    groups["verify_shingle"] = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    # the probe itself, phase-timed
+    t0 = time.time()
+    pairs = incremental.incremental_dedup_pairs(
+        batch, path, "doc_id", "text", threshold=0.4
+    )
+    groups["construct"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    run_query(
+        pairs.select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        )
+    )
+    groups["materialize"] = round(time.time() - t0, 3)
+    release_candidate_cache(pairs)
+    spark.catalog.clearCache()
+    _ = (banding_rows, word_shingles_n)
+    floor_sec = round(3 * job_floor_ms / 1000.0, 2)
+    return {
+        "actions": 3,
+        "groups": groups,
+        "job_floor_ms": job_floor_ms,
+        "action_floor_sec": floor_sec,
+        "pairing_budget_sec": 1.9,
+        "verify_join_budget_sec": 1.9,
+        "derived_target_sec": round(
+            floor_sec
+            + groups["banding"]
+            + groups["verify_shingle"]
+            + 1.9
+            + 1.9,
+            2,
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -500,6 +598,16 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error in q57 decomposition: {exc}", file=sys.stderr)
         q57_decomp = None
+    try:
+        nsdi_decomp = ns_dedup_incremental_decomposition(
+            spark, sf_dir, floor_after_ms
+        )
+    except Exception as exc:
+        print(
+            f"bench error in ns_dedup_incremental decomposition: {exc}",
+            file=sys.stderr,
+        )
+        nsdi_decomp = None
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     print(
@@ -527,6 +635,7 @@ def main() -> None:
                 },
                 "q66_decomposition": q66_decomp,
                 "q57_decomposition": q57_decomp,
+                "ns_dedup_incremental_decomposition": nsdi_decomp,
             }
         )
     )

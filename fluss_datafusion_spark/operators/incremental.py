@@ -116,11 +116,29 @@ def write_dedup_index(
     (minhash_band_buckets — the exact kernel probes use).  Both outputs are
     written partition-parallel; re-running overwrites atomically per
     subdirectory."""
-    sh = spread_small_scan(df).select(
-        F.col(id_col).alias("__id__"),
-        word_shingles(F.col(text_col), k).alias("__sh__"),
+    # Range-cluster the shingle store on the doc id WHEN the input is
+    # below full-core parallelism (the spread_small_scan guard, but
+    # range instead of round-robin: same narrow pre-shingle shuffle,
+    # same parallelism, and per-file id bounds become DISJOINT — the
+    # verify-store prune (r12) can then drop files untouched by a
+    # batch's candidate ids).  A 100 TB input is past the guard and
+    # keeps its natural (typically id-clustered) layout; within-file
+    # sort tightens row-group stats either way.  Worst case is wide
+    # bounds = full read — never wrong.
+    base = df.select(
+        F.col(id_col).alias("__id__"), F.col(text_col).alias("__t__")
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartitionByRange(parallelism, "__id__")
+    sh = base.select(
+        "__id__", word_shingles(F.col("__t__"), k).alias("__sh__")
     ).filter(F.size("__sh__") > 0)
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    spath = os.path.join(path, "shingles")
+    sh.sortWithinPartitions("__id__").write.mode("overwrite").parquet(
+        spath
+    )
+    _harvest_store_manifest(spath)
     # r7: buckets derive from the TOKEN-hash kernel (minhash_band_buckets)
     # — the same function probes use, so index and probe bucket values
     # agree by construction.  This is a second linear text scan, but the
@@ -272,7 +290,15 @@ def incremental_dedup_pairs(
         .join(cand_ids, "__id__", "left_semi")
         .select("__id__", word_shingles(F.col("__t__"), k).alias("__sh__"))
     )
-    idx_sh = spark.read.parquet(os.path.join(index_path, "shingles"))
+    # manifest-pruned verify read (r12): candidate ids are batch-bounded,
+    # so the shingle store — the index's heaviest column — serves the
+    # verify join from only the files whose id bounds admit a candidate
+    idx_sh = _pruned_store_read(
+        spark,
+        os.path.join(index_path, "shingles"),
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias("__id__")),
+        ["__id__"],
+    )
     # Persist the candidate-bound shingle union: it is broadcast for
     # BOTH endpoints of the verify join, and without materialization the
     # two broadcast builds each re-run the semi-joins, the batch
@@ -344,12 +370,22 @@ def append_to_index(
             ).parquet(bpath)
             _harvest_store_manifest(bpath, before=before)
 
-        _parallel_writes(
-            lambda: sh.write.mode("append").parquet(
-                os.path.join(path, "shingles")
-            ),
-            _append_buckets,
-        )
+        def _append_shingles():
+            spath = os.path.join(path, "shingles")
+            from fluss_datafusion_spark.catalog.catalog import (
+                _parquet_files,
+            )
+
+            try:
+                before = _parquet_files(spath)
+            except Exception:
+                before = set()
+            sh.sortWithinPartitions("__id__").write.mode(
+                "append"
+            ).parquet(spath)
+            _harvest_store_manifest(spath, before=before)
+
+        _parallel_writes(_append_shingles, _append_buckets)
         # Keep the build marker's corpus count current so a later
         # ensure_dedup_index doesn't see a stale token and rebuild over
         # the appended index.
@@ -559,6 +595,30 @@ def _hamming_bands(
 _PROBE_PRUNE_MIN_FILES = 4
 _PROBE_PRUNE_MAX_KEYS = 20_000
 
+# bounded observability for the prune regime (r12): every
+# _pruned_store_read appends one record — {store, files, kept,
+# engaged} — so harnesses (tools/scale_stress.py) and tests can commit
+# files-kept/files-dropped evidence without instrumenting call sites.
+# deque(maxlen) keeps long-running streaming sinks from accumulating.
+import collections as _collections
+
+prune_stats_log = _collections.deque(maxlen=16)
+
+
+def _log_prune(store_path: str, n_files, n_kept, engaged: bool) -> None:
+    try:
+        prune_stats_log.append(
+            {
+                "store": os.path.basename(os.path.dirname(store_path))
+                + "/" + os.path.basename(store_path),
+                "files": n_files,
+                "kept": n_kept,
+                "engaged": engaged,
+            }
+        )
+    except Exception:
+        pass
+
 
 def _harvest_store_manifest(store_path: str, before=None) -> None:
     """(Re)harvest footer bounds for an index store — full rebuild when
@@ -599,6 +659,7 @@ def _pruned_store_read(
         if len(files) < _PROBE_PRUNE_MIN_FILES or not skipping.load(
             store_path
         ):
+            _log_prune(store_path, len(files), len(files), False)
             return full
         # collect RAW rows with an early-out limit and dedup driver-side:
         # a distinct() here is a full shuffle of the batch's key
@@ -606,22 +667,29 @@ def _pruned_store_read(
         # whose touched sets blanket the key space and get discarded
         # anyway (measured +0.5-1.0 s per probe at sf0.1); limit without
         # distinct is a local early-out over the persisted batch cache
-        rows = touched.limit(_PROBE_PRUNE_MAX_KEYS + 1).collect()
-        if not rows or len(rows) > _PROBE_PRUNE_MAX_KEYS:
+        # Arrow transfer, not row pickling: bulk batches hit the cap and
+        # this early-out collect is pure overhead for them — 20k rows
+        # through toPandas cost ~5x less than .collect() (r12, the
+        # decomposition's named gap)
+        pdf = touched.limit(_PROBE_PRUNE_MAX_KEYS + 1).toPandas()
+        if len(pdf) == 0 or len(pdf) > _PROBE_PRUNE_MAX_KEYS:
+            _log_prune(store_path, len(files), len(files), False)
             return full
         conjuncts = []
         for c in key_cols:
-            vals = {r[c] for r in rows}
+            vals = set(pdf[c].tolist())
             if not all(
                 isinstance(v, int) and not isinstance(v, bool)
                 for v in vals
             ):
+                _log_prune(store_path, len(files), len(files), False)
                 return full
             lits = ", ".join(str(v) for v in sorted(vals))
             conjuncts.append(f"{c} IN ({lits})")
         kept = skipping.prune(store_path, files, " AND ".join(conjuncts))
     except Exception:
         return full
+    _log_prune(store_path, len(files), len(kept), True)
     if not kept:
         # bounds/blooms prove NO store file carries a touched key
         return full.limit(0)
@@ -689,12 +757,21 @@ def write_hamming_index(
         ).write.mode("overwrite").parquet(bpath)
         _harvest_store_manifest(bpath)
 
-    _parallel_writes(
-        lambda: hashes.write.mode("overwrite").parquet(
-            os.path.join(path, "hashes")
-        ),
-        _write_buckets,
-    )
+    def _write_hashes():
+        hpath = os.path.join(path, "hashes")
+        # disjoint per-file id bounds for the verify-store prune (r12):
+        # range-cluster below full-core parallelism, natural layout
+        # past it — see write_dedup_index's shingle-store note
+        h = hashes
+        parallelism = h.sparkSession.sparkContext.defaultParallelism
+        if h.rdd.getNumPartitions() < parallelism:
+            h = h.repartitionByRange(parallelism, "__id__")
+        h.sortWithinPartitions("__id__").write.mode(
+            "overwrite"
+        ).parquet(hpath)
+        _harvest_store_manifest(hpath)
+
+    _parallel_writes(_write_hashes, _write_buckets)
     token = _hamming_token(
         source_id if source_id is not None else df.count(),
         n_bands,
@@ -738,12 +815,20 @@ def append_to_hamming_index(
         ).write.mode("append").parquet(bpath)
         _harvest_store_manifest(bpath, before=before)
 
-    _parallel_writes(
-        lambda: hashes.write.mode("append").parquet(
-            os.path.join(path, "hashes")
-        ),
-        _append_buckets,
-    )
+    def _append_hashes():
+        hpath = os.path.join(path, "hashes")
+        from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+        try:
+            before = _parquet_files(hpath)
+        except Exception:
+            before = set()
+        hashes.sortWithinPartitions("__id__").write.mode("append").parquet(
+            hpath
+        )
+        _harvest_store_manifest(hpath, before=before)
+
+    _parallel_writes(_append_hashes, _append_buckets)
 
 
 def incremental_hamming_pairs(
@@ -847,7 +932,14 @@ def incremental_hamming_pairs(
             F.explode(F.array("id_a", "id_b")).alias("__id__")
         ).distinct()
     )
-    idx_hashes = spark.read.parquet(os.path.join(index_path, "hashes"))
+    # manifest-pruned verify read (r12): same file-drop discipline as
+    # the bucket store, keyed by the batch-bounded candidate ids
+    idx_hashes = _pruned_store_read(
+        spark,
+        os.path.join(index_path, "hashes"),
+        candidates.select(F.explode(F.array("id_a", "id_b")).alias("__id__")),
+        ["__id__"],
+    )
     hashes = new_hashes.unionByName(
         idx_hashes.join(cand_ids, "__id__", "left_semi")
     ).persist()

@@ -38,6 +38,11 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# per-op in-row annotations (e.g. files-kept/files-total per probe);
+# run_ops fills it, main() snapshots per scale and renders in-cell
+ANNOTATIONS: dict = {}
+
+
 def build_media(spark, docs_path: str, root: str, scale: int) -> str:
     """Per-doc synthesized BMPs with cluster structure that stays LINEAR
     under tiling: cluster = doc_id // 10 (always exactly 10 members at
@@ -320,7 +325,7 @@ def build_tiled(spark, sf_dir: str, scale: int, root: str):
 
 def run_ops(
     spark, docs_path: str, emb_path: str, media_path: str,
-    scene_media_path: str, audio_media_path: str,
+    scene_media_path: str, audio_media_path: str, scale: int = 1,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -479,6 +484,83 @@ def run_ops(
         "graph_pagerank3",
         lambda: graph.pagerank(pr_edges, "src", "dst", n_iters=3),
     )
+    # index-store probe-prune regime at its DESIGN scale (r12, VERDICT
+    # r11 item 1): a hamming bucket store built with 64*scale range
+    # partitions — constant file size, linearly MORE files, the 100 TB
+    # geometry — probed with FIXED 4-fingerprint batches whose hashes
+    # duplicate corpus entries (the realistic ingest-dup case, so the
+    # verify store prune engages too).  Store build is untimed setup;
+    # the timed probes must stay FLAT while the store grows 100x, and
+    # the per-probe buckets+hashes kept/total file counts ride the row.
+    import tempfile as _tfp
+
+    from fluss_datafusion_spark.operators import incremental as inc
+    from fluss_datafusion_spark.operators.dedup import (
+        release_candidate_cache,
+    )
+
+    prune_root = _tfp.mkdtemp(prefix="scale_probe_")
+    try:
+        n_docs_probe = docs.count()
+        fp_df = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.xxhash64("doc_id").alias("fp"),
+        ).repartitionByRange(16 * scale, "media_id")
+        store = os.path.join(prune_root, "hidx")
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_coal = spark.conf.get(coalesce_key, "true")
+        spark.conf.set("spark.sql.shuffle.partitions", str(64 * scale))
+        spark.conf.set(coalesce_key, "false")
+        try:
+            inc.write_hamming_index(
+                fp_df, "media_id", "fp", store, key_blocks=2
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(coalesce_key, prev_coal)
+        # 12 corpus fingerprints spread across the id range (and thus
+        # across the hashes store's range-clustered files)
+        stride = max(1, n_docs_probe // 13)
+        sample_ids = [i * stride for i in range(1, 13)]
+        samples = (
+            fp_df.filter(F.col("media_id").isin(sample_ids))
+            .limit(12)
+            .collect()
+        )
+        assert len(samples) == 12, "sample ids must exist in the corpus"
+        inc.prune_stats_log.clear()
+        kept_notes = []
+        t0 = time.time()
+        for b in range(3):
+            batch = spark.createDataFrame(
+                [
+                    (10**12 + 10 * b + j, samples[4 * b + j].fp)
+                    for j in range(4)
+                ],
+                "media_id long, fp long",
+            )
+            pairs = inc.incremental_hamming_pairs(
+                batch, store, "media_id", "fp",
+                max_hamming=2, key_blocks=2,
+            )
+            n_pairs = pairs.count()
+            release_candidate_cache(pairs)
+            assert n_pairs >= 4, "each batch fingerprint must pair"
+            probe_recs = list(inc.prune_stats_log)[-2:]
+            inc.prune_stats_log.clear()
+            kept_notes.append(
+                "+".join(
+                    f"{r['kept']}/{r['files']}" for r in probe_recs
+                )
+            )
+        timings["probe_prune_fixed_batches"] = round(time.time() - t0, 2)
+        ANNOTATIONS["probe_prune_fixed_batches"] = (
+            "kept/total buckets+hashes: " + " ".join(kept_notes)
+        )
+    finally:
+        shutil.rmtree(prune_root, ignore_errors=True)
+
     # branch publication (r8 5th): seed a PK table with the FULL tiled
     # corpus (setup, untimed), then time CREATE BRANCH + a FIXED
     # 1000-row branch write + FAST FORWARD.  The row exists to prove
@@ -605,12 +687,15 @@ def main() -> None:
             }
             timings = run_ops(
                 spark, docs_path, emb_path, media_path,
-                scene_media_path, audio_media_path,
+                scene_media_path, audio_media_path, scale=scale,
             )
             host["contention_after"] = probe_cpu_contention()["ratio"]
-            results[scale] = (n_docs, timings, host)
+            notes = dict(ANNOTATIONS)
+            ANNOTATIONS.clear()
+            results[scale] = (n_docs, timings, host, notes)
             print(
                 f"scale x{scale} ({n_docs} docs, host {host}): {timings}"
+                + (f" notes={notes}" if notes else "")
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -659,7 +744,15 @@ def main() -> None:
     ] + ["" for _ in scales[1:]]
     lines.append("| " + " | ".join(host_row) + " |")
     for op in ops:
-        row = [op] + [f"{results[s][1][op]:.2f}s" for s in scales]
+        row = [op] + [
+            f"{results[s][1][op]:.2f}s"
+            + (
+                f" ({results[s][3][op]})"
+                if op in results[s][3]
+                else ""
+            )
+            for s in scales
+        ]
         for a, b in zip(scales, scales[1:]):
             ta, tb = results[a][1][op], results[b][1][op]
             row.append(f"{tb / ta:.2f}x" if ta else "n/a")

@@ -529,8 +529,12 @@ def main() -> None:
                 ttl=None,
                 # coarse state buckets: per-key state pays a fixed
                 # Arrow round-trip per key per micro-batch; bucketed
-                # pays it 64x per batch (equivalence pytest-pinned)
-                state_buckets=64,
+                # pays it per bucket (equivalence pytest-pinned).  16
+                # over 8 shuffle partitions = 2 Arrow exchanges/task —
+                # r12 interleaved A/B: b16 2.09-2.29 s vs b64
+                # 2.31-2.54 s vs b8 2.09-2.59 s, identical 198500 rows;
+                # at cluster scale this knob tracks core count
+                state_buckets=16,
             ),
             "update",
             max_files_per_trigger=4,

@@ -228,6 +228,15 @@ def register_views(catalog, include_stats: bool = True) -> None:
                             (s.database, s.name, rel_path, bcol, desc, desc)
                         )
                     continue
+                if col_name == skipping.SUMS_KEY:
+                    # harvested sums surface under "<col>#sum" so the
+                    # plain bounds rows stay numerically parseable
+                    for scol, (ssum, nn) in sorted(stat.items()):
+                        file_stats.append(
+                            (s.database, s.name, rel_path,
+                             f"{scol}#sum", str(ssum), f"nonnull={nn}")
+                        )
+                    continue
                 lo, hi = stat
                 file_stats.append(
                     (s.database, s.name, rel_path, col_name, str(lo), str(hi))

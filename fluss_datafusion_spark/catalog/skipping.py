@@ -60,6 +60,15 @@ _SCALARS = (int, float, str, bool)
 #: reserved manifest key holding per-file per-column bloom filters
 BLOOM_KEY = "__bloom__"
 
+#: reserved manifest key holding per-file integer-column sums (r12):
+#: {column: [sum, nonnull_count]}.  Parquet footers carry no sums, so
+#: the harvest reads the (just-written, page-cache-hot) integer columns
+#: once at write time — O(data written), amortized like the bounds.
+#: Integer family ONLY: int sums are exact and order-independent, float
+#: sums are neither.  Absent sums = consumers fall back (the
+#: backward-compatible contract for manifests harvested by older code).
+SUMS_KEY = "__sums__"
+
 
 # -- per-file bloom filters ---------------------------------------------------
 #
@@ -312,6 +321,10 @@ def _load_chunks(table_path: str) -> Dict[str, Dict[str, List]]:
                 entry.setdefault(BLOOM_KEY, {})[
                     c[len(BLOOM_KEY) + 1 :]
                 ] = json.loads(lo)
+            elif c.startswith(SUMS_KEY + ":"):
+                entry.setdefault(SUMS_KEY, {})[
+                    c[len(SUMS_KEY) + 1 :]
+                ] = [json.loads(lo), json.loads(hi)]
             else:
                 entry[c] = [json.loads(lo), json.loads(hi)]
     return manifest
@@ -335,6 +348,13 @@ def _write_chunk(table_path: str, entries: Dict[str, Dict[str, List]]) -> None:
                     rows["column"].append(f"{BLOOM_KEY}:{bcol}")
                     rows["min_json"].append(json.dumps(bloom))
                     rows["max_json"].append(None)
+                continue
+            if c == SUMS_KEY:  # sums ride as prefixed [sum, nonnull]
+                for scol, (s, nn) in bounds.items():
+                    rows["file"].append(f)
+                    rows["column"].append(f"{SUMS_KEY}:{scol}")
+                    rows["min_json"].append(json.dumps(s))
+                    rows["max_json"].append(json.dumps(nn))
                 continue
             lo, hi = bounds
             rows["file"].append(f)
@@ -396,6 +416,33 @@ def _use_chunks(table_path: str, incoming: int) -> bool:
     return current + incoming >= CHUNK_THRESHOLD
 
 
+def _file_column_sums(path: str) -> Dict[str, List]:
+    """{column: [sum, nonnull_count]} for integer-family user columns
+    (names not starting ``__`` — internal seq/tombstone columns and
+    index-store keys are never aggregated).  Sums come from the data
+    pages (footers carry none); at write time the file is page-cache
+    hot, so this is one cheap columnar pass per written file."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    int_cols = [
+        fld.name
+        for fld in pf.schema_arrow
+        if pa.types.is_integer(fld.type) and not fld.name.startswith("__")
+    ]
+    if not int_cols:
+        return {}
+    tbl = pf.read(columns=int_cols)
+    sums: Dict[str, List] = {}
+    for name in int_cols:
+        col = tbl.column(name)
+        s = pc.sum(col).as_py()
+        sums[name] = [s if s is not None else 0, len(tbl) - col.null_count]
+    return sums
+
+
 def _harvest_entry(
     table_path: str,
     f: str,
@@ -407,6 +454,12 @@ def _harvest_entry(
         blooms = _file_blooms(f, bloom_columns, bloom_fpp)
         if blooms:
             entry[BLOOM_KEY] = blooms
+    try:
+        sums = _file_column_sums(f)
+    except Exception:
+        sums = {}  # sums are an optimization; never fail the harvest
+    if sums:
+        entry[SUMS_KEY] = sums
     return entry
 
 

@@ -3049,6 +3049,12 @@ def q75_branch_diff(spark, sf_dir):
         SELECT n_nationkey,
                CASE WHEN n_nationkey = 5 THEN 123 ELSE x END AS x
         FROM branch WHERE n_nationkey <> 1
+    ),
+    -- phase 3 (r12): sum/avg from harvested per-file sums; the
+    -- NULL-measure insert exercises the nonnull bookkeeping
+    branch3 AS (
+        SELECT * FROM branch2
+        UNION ALL SELECT 7777, NULL
     )
     SELECT (SELECT count(*) FROM branch) AS n,
            (SELECT min(x) FROM branch) AS mn,
@@ -3056,7 +3062,10 @@ def q75_branch_diff(spark, sf_dir):
            (SELECT count(*) FROM base) AS n_main,
            (SELECT count(*) FROM branch2) AS n2,
            (SELECT min(x) FROM branch2) AS mn2,
-           (SELECT max(x) FROM branch2) AS mx2
+           (SELECT max(x) FROM branch2) AS mx2,
+           (SELECT count(*) FROM branch3) AS n3,
+           CAST((SELECT sum(x) FROM branch3) AS BIGINT) AS sx3,
+           (SELECT avg(x) FROM branch3) AS ax3
     """,
     # r10: CORE — the branch-read metadata fast path is a
     # differentiator (VERDICT r9 item 5); q59_matview_join rotated to
@@ -3122,14 +3131,30 @@ def q77_branch_metadata_agg(spark, sf_dir):
         e.sql(f"EXPLAIN {q}").collect()[0][0]
     )
     row2 = e.sql(q).collect()[0]
+    # phase 3 (r12 — VERDICT r11 item 4): sum/avg through the SAME
+    # touched-key machinery, fed by the harvest's per-file integer
+    # sums; sums are self-maintainable (the probe's old values retract
+    # exactly), and a NULL-measure insert checks the nonnull ledger
+    e.sql("INSERT INTO bm_nation$branch('agg') VALUES (7777, NULL)")
+    q3 = (
+        "SELECT count(*) AS n3, sum(x) AS sx3, avg(x) AS ax3"
+        " FROM bm_nation$branch('agg')"
+    )
+    served3 = "metadata-only aggregate fast path" in (
+        e.sql(f"EXPLAIN {q3}").collect()[0][0]
+    )
+    row3 = e.sql(q3).collect()[0]
     return spark.createDataFrame(
         # a fall-through poisons n with a sentinel: the oracle hash
         # then fails loudly instead of silently grading the scan path
         [(int(row.n) if served else -1, int(row.mn), int(row.mx),
           int(n_main),
-          int(row2.n) if served2 else -1, int(row2.mn), int(row2.mx))],
+          int(row2.n) if served2 else -1, int(row2.mn), int(row2.mx),
+          int(row3.n3) if served3 else -1, int(row3.sx3),
+          float(row3.ax3))],
         "n bigint, mn bigint, mx bigint, n_main bigint,"
-        " n2 bigint, mn2 bigint, mx2 bigint",
+        " n2 bigint, mn2 bigint, mx2 bigint,"
+        " n3 bigint, sx3 bigint, ax3 double",
     )
 
 

@@ -1,6 +1,7 @@
-"""Metadata-only aggregates — answer ``SELECT count(*)/min(c)/max(c)
-FROM <log table>`` from parquet footer statistics instead of a scan
-(the Iceberg/Delta manifest-aggregate pattern; no reference analog —
+"""Metadata-only aggregates — answer ``SELECT count(*)/min(c)/max(c)/
+sum(c)/avg(c) FROM <log table>`` from parquet footer statistics and the
+harvest's per-file integer sums instead of a scan (the Iceberg/Delta
+manifest-aggregate pattern; no reference analog —
 zuston/fluss-datafusion plans a full scan for every query,
 src/provider/scan_exec.rs:43).
 
@@ -19,6 +20,10 @@ Soundness gates (each falls back to Catalyst, never approximates):
   stats may be writer-truncated (valid bounds for pruning, but not
   necessarily attained values — `BinaryTruncator` pads the max up), so
   an exact answer cannot use them;
+* **sum/avg** (r12): integer family ONLY (int sums are exact and
+  order-independent; float sums are neither), and every file must
+  carry the harvest's ``__sums__`` entry (skipping.SUMS_KEY —
+  manifests written by pre-r12 code fall back);
 * column mapping: manifest bounds are keyed by PHYSICAL column names;
   the logical->physical hop happens here.
 """
@@ -39,9 +44,15 @@ _EXACT_TYPES = {
 
 _AGG_RE = re.compile(
     r"(COUNT)\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(`[^`]*`|\w+))?"
-    r"|(MIN|MAX)\s*\(\s*(`[^`]*`|\w+)\s*\)(?:\s+AS\s+(`[^`]*`|\w+))?",
+    r"|(MIN|MAX|SUM|AVG)\s*\(\s*(`[^`]*`|\w+)\s*\)"
+    r"(?:\s+AS\s+(`[^`]*`|\w+))?",
     re.IGNORECASE,
 )
+
+# sum/avg exactness is INTEGER-family only: int sums are exact and
+# order-independent (the harvest stores them per file — skipping.py
+# SUMS_KEY); float sums are neither, so those always fall back
+_INT_TYPES = {"TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT"}
 
 _STMT_RE = re.compile(
     r"^\s*SELECT\s+(.+?)\s+"
@@ -98,14 +109,15 @@ def try_metadata_aggregate(session, statement: str):
     path = session.catalog.table_path(spec)
     files = sorted(_parquet_files(path))
 
-    needs_minmax = any(fn != "count" for fn, _c, _a in parsed)
+    needs_stats = any(fn != "count" for fn, _c, _a in parsed)
     bounds_by_col = {}
-    if needs_minmax:
+    sums_by_col = {}
+    if needs_stats:
         import os
 
         from fluss_datafusion_spark.catalog import skipping
 
-        cols = {}
+        minmax_cols, sum_cols = {}, {}
         for fn, col, _alias in parsed:
             if fn == "count":
                 continue
@@ -115,15 +127,20 @@ def try_metadata_aggregate(session, statement: str):
             )
             base_type = (cspec.type_name.split("(")[0].upper()
                          if cspec else None)
-            if cspec is None or base_type not in _EXACT_TYPES:
-                return None
-            cols[col] = cspec.physical_name or cspec.name
+            if fn in ("min", "max"):
+                if cspec is None or base_type not in _EXACT_TYPES:
+                    return None
+                minmax_cols[col] = cspec.physical_name or cspec.name
+            else:  # sum / avg: exact integer sums only (r12)
+                if cspec is None or base_type not in _INT_TYPES:
+                    return None
+                sum_cols[col] = cspec.physical_name or cspec.name
         if files:
             manifest = skipping.load(path)
             rels = {os.path.relpath(f, path) for f in files}
             if not rels.issubset(manifest.keys()):
                 return None
-            for col, phys in cols.items():
+            for col, phys in minmax_cols.items():
                 lows, highs = [], []
                 for rel in rels:
                     b = manifest[rel].get(phys)
@@ -132,9 +149,22 @@ def try_metadata_aggregate(session, statement: str):
                     lows.append(b[0])
                     highs.append(b[1])
                 bounds_by_col[col] = (min(lows), max(highs))
+            for col, phys in sum_cols.items():
+                total, nonnull = 0, 0
+                for rel in rels:
+                    s = (manifest[rel].get(skipping.SUMS_KEY) or {}).get(
+                        phys
+                    )
+                    if s is None:
+                        return None  # pre-r12 manifest: no sums
+                    total += s[0]
+                    nonnull += s[1]
+                sums_by_col[col] = (total, nonnull)
         else:
-            for col in cols:
+            for col in minmax_cols:
                 bounds_by_col[col] = (None, None)
+            for col in sum_cols:
+                sums_by_col[col] = (0, 0)
 
     from pyspark.sql import functions as F
 
@@ -145,7 +175,7 @@ def try_metadata_aggregate(session, statement: str):
     for fn, col, alias in parsed:
         if fn == "count":
             out_cols.append(F.lit(n).cast("long").alias(alias))
-        else:
+        elif fn in ("min", "max"):
             cspec = next(
                 c for c in spec.columns if c.name.lower() == col.lower()
             )
@@ -154,10 +184,31 @@ def try_metadata_aggregate(session, statement: str):
             out_cols.append(
                 F.lit(val).cast(cspec.spark_type).alias(alias)
             )
+        else:
+            out_cols.append(_sum_avg_lit(fn, sums_by_col[col], alias))
     # exactly ONE partition (createDataFrame would spread the single
     # row over defaultParallelism empty slices — a crossJoin of two
     # such results plans parallelism² tasks)
     return session.spark.range(0, 1, 1, 1).select(*out_cols)
+
+
+def _sum_avg_lit(fn: str, total_nonnull, alias: str):
+    """Literal column for a served sum/avg: Spark's types exactly —
+    sum(int family) is BIGINT, avg is DOUBLE, both NULL when every
+    input is NULL (nonnull == 0)."""
+    from pyspark.sql import functions as F
+
+    total, nonnull = total_nonnull
+    if nonnull == 0:
+        val = None
+    elif fn == "sum":
+        val = total
+    else:
+        val = total / nonnull  # ints -> one IEEE double division,
+        # identical to Spark's sum/count fold over the same exact ints
+    return F.lit(val).cast("double" if fn == "avg" else "long").alias(
+        alias
+    )
 
 
 def _split_top_level(select_list: str):
@@ -416,8 +467,10 @@ def try_branch_metadata_aggregate(session, statement: str):
         elif b[0] <= fork:
             return None  # straddles the fork: not compaction-shaped
 
-    # exact-type + bounds gates for min/max (same rules as the main path)
-    minmax_cols = {}
+    # exact-type + bounds gates (same rules as the main path): min/max
+    # need exact-typed manifest bounds; sum/avg (r12) need the integer
+    # family and per-file harvested sums
+    minmax_cols, sum_cols = {}, {}
     for fn, col, _alias in parsed:
         if fn == "count":
             continue
@@ -428,9 +481,14 @@ def try_branch_metadata_aggregate(session, statement: str):
         if cspec is None:
             return None
         base_type = cspec.type_name.split("(")[0].upper()
-        if base_type not in _EXACT_TYPES:
-            return None
-        minmax_cols[col] = cspec
+        if fn in ("min", "max"):
+            if base_type not in _EXACT_TYPES:
+                return None
+            minmax_cols[col] = cspec
+        else:
+            if base_type not in _INT_TYPES:
+                return None
+            sum_cols[col] = cspec
 
     # ---- branch delta (small by construction; capped) ----
     pk_stored = catalog._stored_names(spec, list(spec.primary_key))
@@ -443,7 +501,8 @@ def try_branch_metadata_aggregate(session, statement: str):
             catalog._stored_schema(spec)
         ).parquet(bpath)
         want = [*pk_stored, "__seq__", "__sub__", "__del__"] + [
-            (c.physical_name or c.name) for c in minmax_cols.values()
+            (c.physical_name or c.name)
+            for c in [*minmax_cols.values(), *sum_cols.values()]
         ]
         rows = bdf.select(*dict.fromkeys(want)).limit(
             _BRANCH_DELTA_CAP + 1
@@ -466,7 +525,10 @@ def try_branch_metadata_aggregate(session, statement: str):
     # r9 item 6) — a broadcast semi-join against the statement-sized
     # key frame restores exactness (the per-column filters alone admit
     # the cross-product of the key columns' values)
-    minmax_phys = [c.physical_name or c.name for c in minmax_cols.values()]
+    minmax_phys = [
+        c.physical_name or c.name
+        for c in [*minmax_cols.values(), *sum_cols.values()]
+    ]
     present = {}
     if delta and fork_files:
         keys = [k for k, _live, _r in delta]
@@ -572,14 +634,48 @@ def try_branch_metadata_aggregate(session, statement: str):
             return None  # stored maximum possibly retracted
         bounds_by_col[col] = (new_lo, new_hi)
 
+    # sum/avg through ANY branch DML (r12): unlike min/max, sums are
+    # SELF-MAINTAINABLE — a fork-key upsert retracts exactly its old
+    # value, which the presence probe already read, so no branch shape
+    # forces a fallback once the fork files carry harvested sums:
+    #   sum = fork_sum + Σ new live values − Σ old values of touched
+    #         present keys;  nonnull adjusts the same way.
+    from fluss_datafusion_spark.catalog import skipping as _skipping
+
+    sums_by_col = {}
+    for col, cspec in sum_cols.items():
+        phys = cspec.physical_name or cspec.name
+        total, nonnull = 0, 0
+        for f in fork_files:
+            rel = os.path.relpath(f, path)
+            s = (manifest.get(rel, {}).get(_skipping.SUMS_KEY) or {}).get(
+                phys
+            )
+            if s is None:
+                return None  # pre-r12 manifest: no sums harvested
+            total += s[0]
+            nonnull += s[1]
+        for k, live, r in delta:
+            new_v = r[phys] if live else None
+            old_row = present.get(k)
+            old_v = old_row[phys] if old_row is not None else None
+            total += (new_v or 0) - (old_v or 0)
+            nonnull += (
+                (1 if (live and new_v is not None) else 0)
+                - (1 if (old_row is not None and old_v is not None) else 0)
+            )
+        sums_by_col[col] = (total, nonnull)
+
     out_cols = []
     for fn, col, alias in parsed:
         if fn == "count":
             out_cols.append(F.lit(n).cast("long").alias(alias))
-        else:
+        elif fn in ("min", "max"):
             lo, hi = bounds_by_col[col]
             val = lo if fn == "min" else hi
             out_cols.append(
                 F.lit(val).cast(minmax_cols[col].spark_type).alias(alias)
             )
+        else:
+            out_cols.append(_sum_avg_lit(fn, sums_by_col[col], alias))
     return session.spark.range(0, 1, 1, 1).select(*out_cols)

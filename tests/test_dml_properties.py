@@ -433,13 +433,21 @@ _meta_op = st.one_of(
 @example(seed=[(0, 5)], ops=[("del", 0)])                 # delete the only row
 @example(seed=[(0, None), (1, 3)], ops=[("ins", [(1, None)])])  # NULLs
 @example(seed=[], ops=[("ins", [(2, 4)])])                # empty fork base
+# r12 sum/avg ledger corners: upsert-to-NULL retracts a value from the
+# sum AND a unit from the nonnull count; tombstone of a NULL-valued key
+# must adjust neither
+@example(seed=[(0, 5), (1, 7)], ops=[("ins", [(0, None)])])
+@example(seed=[(0, None), (1, 2)], ops=[("del", 0)])
 def test_branch_metadata_fastpath_matches_scan(spark, seed, ops):
-    """r11 (VERDICT r10 item 4 guard): whatever mix of branch inserts /
-    upserts / tombstones lands on a compacted fork, the count/min/max a
-    statement returns — fast path OR fallback — must equal the real
-    merge-on-read branch scan.  Randomized keys/values drive extremum
-    retraction, re-establishment, NULL columns, fork-absent deletes,
-    and empty fork bases through the manifest-bounds arithmetic."""
+    """r11 (VERDICT r10 item 4 guard; r12 adds sum/avg): whatever mix
+    of branch inserts / upserts / tombstones lands on a compacted fork,
+    the count/min/max/sum/avg a statement returns — fast path OR
+    fallback — must equal the real merge-on-read branch scan.
+    Randomized keys/values drive extremum retraction, re-establishment,
+    NULL columns, fork-absent deletes, and empty fork bases through the
+    manifest-bounds arithmetic, and the same churn through the
+    harvested-sums ledger (sum retraction via the probe's old
+    values)."""
     e = _engine_meta(spark)
     if e.catalog.has_table("mprop"):
         e.sql("DROP TABLE mprop")
@@ -468,13 +476,21 @@ def test_branch_metadata_fastpath_matches_scan(spark, seed, ops):
             e.sql(f"DELETE FROM mprop$branch('b') WHERE k = {arg}")
             model.pop(arg, None)
     got = e.sql(
-        "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx"
+        "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx,"
+        " sum(x) AS sx, avg(x) AS ax"
         " FROM mprop$branch('b')"
     ).collect()[0]
     xs = [v for v in model.values() if v is not None]
     assert got.n == len(model), (seed, ops, got)
     assert got.mn == (min(xs) if xs else None), (seed, ops, got)
     assert got.mx == (max(xs) if xs else None), (seed, ops, got)
+    assert got.sx == (sum(xs) if xs else None), (seed, ops, got)
+    if xs:
+        assert got.ax == pytest.approx(sum(xs) / len(xs), rel=1e-12), (
+            seed, ops, got,
+        )
+    else:
+        assert got.ax is None, (seed, ops, got)
 
 
 def _engine_branch_pair(spark):

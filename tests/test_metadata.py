@@ -179,7 +179,9 @@ def test_file_stats_view(meta_engine):
             " WHERE table_name = 'fs_demo'"
         ).collect()
     }
-    assert cols == {"a", "b"}
+    # r12: integer columns additionally surface their harvested per-file
+    # sum under "<col>#sum" (strings have no exact sums)
+    assert cols == {"a", "b", "a#sum"}
 
 
 def test_describe_detail(spark, tmp_path):
@@ -339,6 +341,57 @@ def test_min_max_metadata_fast_path(spark, tmp_path):
         assert c.collect()[0][0] == 101
     finally:
         os.rename(manifest + ".bak", manifest)
+
+
+def test_sum_avg_metadata_fast_path(spark, tmp_path):
+    """r12: sum/avg on integer columns of log tables answer from the
+    harvest's per-file sums (skipping.SUMS_KEY) — scan-free and exact
+    across commits, NULLs, and negatives; float columns (order-
+    dependent sums) and sum-less manifests fall back to Catalyst."""
+    import json
+    import os
+
+    from fluss_datafusion_spark import EngineSession
+
+    e = EngineSession(spark=spark, warehouse=str(tmp_path / "wh"))
+    e.sql("CREATE TABLE sa (id BIGINT, x DOUBLE)")
+    e.sql("INSERT INTO sa SELECT id, id * 1.5 AS x FROM range(0, 100)")
+    e.sql("INSERT INTO sa VALUES (-7, -10.5), (NULL, 1.0)")
+    df = e.sql(
+        "SELECT sum(id) AS s, avg(id) AS a, count(*) AS n FROM sa"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    want_sum = sum(range(100)) - 7
+    assert [tuple(r) for r in df.collect()] == [
+        (want_sum, want_sum / 101, 102)
+    ]
+    # float sum: order-dependent -> real plan, same value
+    s = e.sql("SELECT sum(x) AS s FROM sa")
+    assert "parquet" in s._jdf.queryExecution().executedPlan().toString().lower()
+    # all-NULL integer column sums to NULL through the fast path
+    e.sql("CREATE TABLE sa2 (id BIGINT)")
+    e.sql("INSERT INTO sa2 VALUES (NULL), (NULL)")
+    d2 = e.sql("SELECT sum(id) AS s, avg(id) AS a FROM sa2")
+    assert "parquet" not in d2._jdf.queryExecution().executedPlan().toString().lower()
+    assert [tuple(r) for r in d2.collect()] == [(None, None)]
+    # a manifest WITHOUT sums (older harvest) falls back, same answer
+    spec = e.catalog.get_table("sa")
+    mpath = os.path.join(e.catalog.table_path(spec), "_file_stats.json")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    stripped = {
+        f: {k: v for k, v in entry.items() if k != "__sums__"}
+        for f, entry in manifest.items()
+    }
+    with open(mpath, "w") as fh:
+        json.dump(stripped, fh)
+    df3 = e.sql("SELECT sum(id) AS s FROM sa")
+    assert (
+        "parquet"
+        in df3._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert df3.collect()[0][0] == want_sum
 
 
 def test_partition_group_count_fast_path(spark, tmp_path):

@@ -259,10 +259,40 @@ class FlussCatalog:
                     continue
                 time.sleep(0.01)
             self._spec_lock_depth[depth_key] = 1
+            # Heartbeat the marker for the whole window (r12, VERDICT
+            # r11 item 6 — the publish-marker treatment): most windows
+            # are millisecond DDL saves, but maintenance dir-swaps ride
+            # this lock too, and on a liveness-unknown backend (owner
+            # pid unresolvable) a swap outliving MAINT_STALE_SECS would
+            # have its LIVE marker reaped, letting a concurrent DDL be
+            # clobbered by our re-save.  touch() keeps the mtime fresh;
+            # the thread parks on the Event and fires only for holds
+            # that actually run long.
+            stop_beat = threading.Event()
+            beater = None
+            touch = getattr(self.locking, "touch", None)
+            if touch is not None:
+
+                def _beat():
+                    while not stop_beat.wait(self.PUBLISH_HEARTBEAT_SECS):
+                        try:
+                            touch(marker)
+                        except Exception:
+                            pass  # transient storage error: next beat
+
+                beater = threading.Thread(
+                    target=_beat,
+                    daemon=True,
+                    name=f"spec-heartbeat-{qname}",
+                )
+                beater.start()
             try:
                 yield self._reload_spec_if_moved(spec)
             finally:
                 self._spec_lock_depth.pop(depth_key, None)
+                stop_beat.set()
+                if beater is not None:
+                    beater.join(timeout=1.0)
                 self.locking.delete(marker)
 
         return _locked()

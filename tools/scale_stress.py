@@ -454,6 +454,33 @@ def run_ops(
             )
         ),
     )
+    # r12 (VERDICT r11 item 7): html_extract marginal-step evidence.
+    # curation_html_extract above scales ROWS with the tile, so its
+    # step ratio mixes regex work with task fan-out and per-row
+    # overhead.  This probe holds rows FIXED (2000) and scales only the
+    # BYTES per document with the tile factor: if the regex projection
+    # is linear in corpus bytes, this row's step ratio reads ~10x per
+    # 10x — and curation_html_extract's excess over that is tiling
+    # fan-out, not a superlinear pattern.
+    probe_rows = 2000
+    unit = (
+        "word alpha &amp;x <b>bead</b> y z "
+        "<a href=\"https://e.com/p\">l</a> tail "
+    )
+    html_probe = spark.range(probe_rows).selectExpr(
+        "id AS doc_id",
+        "concat('<html><head><title>t</title><style>p{}</style>'"
+        " , '<script>var x=1;</script></head><body><p>'"
+        f" , repeat('{unit}', {8 * scale})"
+        " , '</p></body></html>') AS html",
+    )
+    ANNOTATIONS["html_extract_bytes_fixed_rows"] = (
+        f"{probe_rows} rows x ~{len(unit) * 8 * scale}B"
+    )
+    bench(
+        "html_extract_bytes_fixed_rows",
+        lambda: curation.html_extract(html_probe),
+    )
     bench(
         "ann_ivfpq_topk",
         lambda: similarity.pq_ann_topk(

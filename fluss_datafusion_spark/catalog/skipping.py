@@ -62,11 +62,16 @@ BLOOM_KEY = "__bloom__"
 
 #: reserved manifest key holding per-file integer-column sums (r12):
 #: {column: [sum, nonnull_count]}.  Parquet footers carry no sums, so
-#: the harvest reads the (just-written, page-cache-hot) integer columns
-#: once at write time — O(data written), amortized like the bounds.
-#: Integer family ONLY: int sums are exact and order-independent, float
-#: sums are neither.  Absent sums = consumers fall back (the
-#: backward-compatible contract for manifests harvested by older code).
+#: harvesting them means reading the integer columns back — which is
+#: why sums ride ONLY the full ``rebuild`` (compaction / OPTIMIZE /
+#: refresh_file_stats: maintenance that just rewrote the data, so the
+#: read-back is page-cache-hot and amortized into a rewrite the table
+#: already paid), never the per-statement ``add_files`` harvest (a DML
+#: lifecycle writes many small files; measured +0.6-0.8 s per
+#: 17-statement lifecycle when sums rode every write).  Integer family
+#: ONLY: int sums are exact and order-independent, float sums are
+#: neither.  Absent sums = consumers fall back (the
+#: backward-compatible contract, same as pre-r12 manifests).
 SUMS_KEY = "__sums__"
 
 
@@ -448,18 +453,20 @@ def _harvest_entry(
     f: str,
     bloom_columns: Optional[Sequence[str]],
     bloom_fpp: float,
+    with_sums: bool = False,
 ) -> Dict:
     entry = _file_column_bounds(f)
     if bloom_columns:
         blooms = _file_blooms(f, bloom_columns, bloom_fpp)
         if blooms:
             entry[BLOOM_KEY] = blooms
-    try:
-        sums = _file_column_sums(f)
-    except Exception:
-        sums = {}  # sums are an optimization; never fail the harvest
-    if sums:
-        entry[SUMS_KEY] = sums
+    if with_sums:
+        try:
+            sums = _file_column_sums(f)
+        except Exception:
+            sums = {}  # an optimization; never fail the harvest
+        if sums:
+            entry[SUMS_KEY] = sums
     return entry
 
 
@@ -518,7 +525,7 @@ def rebuild(
     manifest: Dict[str, Dict[str, List]] = {}
     for f in files:
         manifest[os.path.relpath(f, table_path)] = _harvest_entry(
-            table_path, f, bloom_columns, bloom_fpp
+            table_path, f, bloom_columns, bloom_fpp, with_sums=True
         )
     if len(manifest) >= CHUNK_THRESHOLD or _chunk_files(table_path):
         _clear_chunks(table_path)

@@ -22,8 +22,11 @@ Soundness gates (each falls back to Catalyst, never approximates):
   an exact answer cannot use them;
 * **sum/avg** (r12): integer family ONLY (int sums are exact and
   order-independent; float sums are neither), and every file must
-  carry the harvest's ``__sums__`` entry (skipping.SUMS_KEY —
-  manifests written by pre-r12 code fall back);
+  carry the harvest's ``__sums__`` entry (skipping.SUMS_KEY).  Sums
+  ride only the full manifest REBUILD (compaction / OPTIMIZE /
+  refresh_file_stats) — per-statement writes don't pay the column
+  read-back, so freshly-appended files fall back until the next
+  maintenance pass;
 * column mapping: manifest bounds are keyed by PHYSICAL column names;
   the logical->physical hop happens here.
 """

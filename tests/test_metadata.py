@@ -179,9 +179,19 @@ def test_file_stats_view(meta_engine):
             " WHERE table_name = 'fs_demo'"
         ).collect()
     }
-    # r12: integer columns additionally surface their harvested per-file
-    # sum under "<col>#sum" (strings have no exact sums)
-    assert cols == {"a", "b", "a#sum"}
+    assert cols == {"a", "b"}
+    # r12: after a stats rebuild, integer columns additionally surface
+    # their harvested per-file sum under "<col>#sum" (strings have no
+    # exact sums; write-time harvests carry none)
+    e.catalog.refresh_file_stats("fs_demo")
+    cols2 = {
+        r.column_name
+        for r in e.sql(
+            "SELECT column_name FROM information_schema.file_stats"
+            " WHERE table_name = 'fs_demo'"
+        ).collect()
+    }
+    assert cols2 == {"a", "b", "a#sum"}
 
 
 def test_describe_detail(spark, tmp_path):
@@ -357,12 +367,18 @@ def test_sum_avg_metadata_fast_path(spark, tmp_path):
     e.sql("CREATE TABLE sa (id BIGINT, x DOUBLE)")
     e.sql("INSERT INTO sa SELECT id, id * 1.5 AS x FROM range(0, 100)")
     e.sql("INSERT INTO sa VALUES (-7, -10.5), (NULL, 1.0)")
+    want_sum = sum(range(100)) - 7
+    # write-time harvest carries NO sums (the per-statement cost rule):
+    # before a stats rebuild the query falls back to the scan
+    pre = e.sql("SELECT sum(id) AS s FROM sa")
+    assert "parquet" in pre._jdf.queryExecution().executedPlan().toString().lower()
+    assert pre.collect()[0][0] == want_sum
+    e.catalog.refresh_file_stats("sa")  # rebuild harvests sums
     df = e.sql(
         "SELECT sum(id) AS s, avg(id) AS a, count(*) AS n FROM sa"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "parquet" not in plan.lower()
-    want_sum = sum(range(100)) - 7
     assert [tuple(r) for r in df.collect()] == [
         (want_sum, want_sum / 101, 102)
     ]
@@ -372,6 +388,7 @@ def test_sum_avg_metadata_fast_path(spark, tmp_path):
     # all-NULL integer column sums to NULL through the fast path
     e.sql("CREATE TABLE sa2 (id BIGINT)")
     e.sql("INSERT INTO sa2 VALUES (NULL), (NULL)")
+    e.catalog.refresh_file_stats("sa2")
     d2 = e.sql("SELECT sum(id) AS s, avg(id) AS a FROM sa2")
     assert "parquet" not in d2._jdf.queryExecution().executedPlan().toString().lower()
     assert [tuple(r) for r in d2.collect()] == [(None, None)]

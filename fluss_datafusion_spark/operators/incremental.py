@@ -298,6 +298,7 @@ def incremental_dedup_pairs(
         os.path.join(index_path, "shingles"),
         candidates.select(F.explode(F.array("id_a", "id_b")).alias("__id__")),
         ["__id__"],
+        min_files=_VERIFY_PRUNE_MIN_FILES,
     )
     # Persist the candidate-bound shingle union: it is broadcast for
     # BOTH endpoints of the verify join, and without materialization the
@@ -594,6 +595,15 @@ def _hamming_bands(
 # — the same soundness contract as every other prune site.
 _PROBE_PRUNE_MIN_FILES = 4
 _PROBE_PRUNE_MAX_KEYS = 20_000
+# Verify stores (shingles / hashes) pay an EXTRA bounded collect to
+# learn the candidate ids at probe-construction time — an added job per
+# micro-batch.  That job only pays for itself when enough files can
+# drop: measured at sf0.1 scene-ingest (small store, ~8 files) the
+# always-on verify prune cost ~1 s per entry, while the 1600-file SCALE
+# store keeps 4 files per probe.  Below this many files the verify read
+# stays a plain scan (the bucket-store prune keeps its lower bar — its
+# touched keys are collected anyway).
+_VERIFY_PRUNE_MIN_FILES = 16
 
 # bounded observability for the prune regime (r12): every
 # _pruned_store_read appends one record — {store, files, kept,
@@ -641,7 +651,8 @@ def _harvest_store_manifest(store_path: str, before=None) -> None:
 
 
 def _pruned_store_read(
-    spark, store_path: str, touched: DataFrame, key_cols
+    spark, store_path: str, touched: DataFrame, key_cols,
+    min_files: int = _PROBE_PRUNE_MIN_FILES,
 ) -> DataFrame:
     """Read an index store restricted (at FILE granularity) to rows
     that might carry the batch's touched keys.  Exactness is the
@@ -656,7 +667,7 @@ def _pruned_store_read(
     full = spark.read.parquet(store_path)
     try:
         files = sorted(_parquet_files(store_path))
-        if len(files) < _PROBE_PRUNE_MIN_FILES or not skipping.load(
+        if len(files) < min_files or not skipping.load(
             store_path
         ):
             _log_prune(store_path, len(files), len(files), False)
@@ -939,6 +950,7 @@ def incremental_hamming_pairs(
         os.path.join(index_path, "hashes"),
         candidates.select(F.explode(F.array("id_a", "id_b")).alias("__id__")),
         ["__id__"],
+        min_files=_VERIFY_PRUNE_MIN_FILES,
     )
     hashes = new_hashes.unionByName(
         idx_hashes.join(cand_ids, "__id__", "left_semi")

@@ -15,7 +15,13 @@ def _text(i):
     return f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} fox{i}"
 
 
-def test_dedup_verify_store_prunes_by_candidate_ids(spark, tmp_path):
+def test_dedup_verify_store_prunes_by_candidate_ids(
+    spark, tmp_path, monkeypatch
+):
+    # test sessions run few cores -> few store files; drop the verify
+    # gate (production bar: _VERIFY_PRUNE_MIN_FILES) to observe the
+    # regime at test size
+    monkeypatch.setattr(inc, "_VERIFY_PRUNE_MIN_FILES", 4)
     path = str(tmp_path / "didx")
     # unique text per doc: the only candidates are the batch's verbatim
     # copies of LOW-id corpus docs, so the candidate id set is narrow
@@ -69,7 +75,7 @@ def test_dedup_verify_store_prunes_by_candidate_ids(spark, tmp_path):
 
     with mock.patch.object(
         inc, "_PROBE_PRUNE_MIN_FILES", 10**9
-    ):
+    ), mock.patch.object(inc, "_VERIFY_PRUNE_MIN_FILES", 10**9):
         full_pairs = inc.incremental_dedup_pairs(
             batch, path, "doc_id", "text", threshold=0.4
         )
@@ -77,7 +83,10 @@ def test_dedup_verify_store_prunes_by_candidate_ids(spark, tmp_path):
     assert got == want and got, "pruned and full probes must agree"
 
 
-def test_hamming_verify_store_prunes_by_candidate_ids(spark, tmp_path):
+def test_hamming_verify_store_prunes_by_candidate_ids(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setattr(inc, "_VERIFY_PRUNE_MIN_FILES", 4)
     path = str(tmp_path / "hidx")
     base = spark.range(0, 4096).select(
         F.col("id").alias("media_id"),

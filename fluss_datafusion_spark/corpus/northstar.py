@@ -1076,6 +1076,78 @@ def ns_curation_decontaminate(spark, sf_dir):
 
 
 @query(
+    "ns_contamination_embedding", extended=True,
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(range(len(embedding)), i ->
+                   CAST(embedding[i + 1] AS DOUBLE)
+                   + CASE WHEN (i // 4) = (vec_id % 16)
+                          THEN 1.0 ELSE 0.0 END) AS v
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 97 = 0),
+    pairs AS (
+        SELECT c.vec_id, b.bid,
+               list_sum(list_transform(list_zip(c.v, b.bv),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(c.v, x -> x*x)))
+                  * sqrt(list_sum(list_transform(b.bv, x -> x*x)))) AS cos
+        FROM e c JOIN b ON c.vec_id <> b.bid
+    )
+    SELECT vec_id, count(*) AS n_bench_hits, TRUE AS recall_ok
+    FROM pairs WHERE cos >= 0.5 GROUP BY vec_id
+    """,
+)
+def ns_contamination_embedding(spark, sf_dir):
+    """Embedding-space decontamination (r12 — paraphrased eval leakage
+    that shares no n-grams): corpus vectors within cosine >= 0.5 of any
+    benchmark vector (vec_id % 97 = 0 stands in for the eval suite) on
+    the CLUSTERED fixture, where within-cluster cos ~0.85 and cross
+    ~0.1 put the threshold in a wide margin both engines resolve
+    identically.  Deterministic-oracle form (the ANN entries' shape):
+    the EXACT brute-force contaminated set is the hash-checked result,
+    and the IVF-candidate path (curation.embedding_decontaminate — the
+    production read at 100 TB, O(corpus x bench / n_centroids)) rides
+    as an in-query ``recall_ok`` >= 0.95 boolean the oracle states as
+    TRUE."""
+    from fluss_datafusion_spark.functions.vector import cosine_fast
+    from fluss_datafusion_spark.operators import curation
+
+    emb = clustered_embeddings(t(spark, sf_dir, "embeddings"))
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    b2 = bench.select(
+        F.col("vec_id").alias("__bid__"), F.col("embedding").alias("__bv__")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(b2))
+        .filter(F.col("vec_id") != F.col("__bid__"))
+        .filter(
+            cosine_fast(F.col("embedding"), F.col("__bv__")) >= F.lit(0.5)
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+    )
+    approx = curation.embedding_decontaminate(
+        emb, bench, "vec_id", "embedding", 0.5,
+        n_centroids=16, n_probe=2, n_iters=2,
+    )
+    rec = (
+        exact.join(
+            approx.select("vec_id", F.lit(True).alias("__hit__")),
+            "vec_id",
+            "left",
+        )
+        .agg(
+            (
+                F.count("__hit__") / F.count(F.lit(1)) >= F.lit(0.95)
+            ).alias("recall_ok")
+        )
+    )
+    return exact.crossJoin(F.broadcast(rec))
+
+
+@query(
     "ns_curation_quota_sample", extended=True,
     oracle="""
     SELECT doc_id, lang FROM (

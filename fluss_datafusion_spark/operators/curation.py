@@ -62,6 +62,74 @@ def decontaminate(
     )
 
 
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Embedding-space train/test contamination (r12 — the semantic
+    complement of the n-gram ``decontaminate``): corpus items whose
+    embedding sits within cosine >= ``threshold`` of ANY benchmark
+    vector.  Paraphrased eval leakage shares no shingles but lands in
+    the same embedding neighborhood — this is the standard second
+    decontamination pass (e.g. the GPT-3/PaLM eval-dedup appendices
+    run n-gram AND similarity filters).
+
+    Scale shape (the IVF candidate discipline, similarity.py): train a
+    coarse quantizer on the corpus sample, give every corpus vector its
+    ONE nearest list and every benchmark vector its ``n_probe`` nearest
+    lists, broadcast the (eval-suite-sized) benchmark side into a join
+    on the list id — O(corpus x bench / n_centroids) candidate pairs
+    instead of corpus x bench — then verify each candidate with the
+    EXACT cosine: the approximation only generates candidates, never
+    scores.  A benchmark vector whose duplicate fell outside its probed
+    lists is the (tunable) recall tradeoff every ANN-based
+    decontamination makes.
+
+    Returns (id_col, n_bench_hits) for contaminated corpus items only;
+    a corpus row that IS a benchmark row is not its own contamination
+    (pairs with equal ids are dropped).
+    """
+    from fluss_datafusion_spark.operators import similarity
+
+    centroids = similarity.train_ivf_centroids(
+        corpus, vec_col, id_col, n_centroids, n_iters
+    )
+    c_assign = similarity.ivf_assign_udf(centroids, n_probe=1)
+    c = spread_small_scan(corpus).select(
+        F.col(id_col).alias("__cid__"),
+        F.col(vec_col).alias("__cv__"),
+        c_assign(F.col(vec_col))[0].alias("__list__"),
+    )
+    b_assign = similarity.ivf_assign_udf(centroids, n_probe=n_probe)
+    b = benchmark.select(
+        F.col(id_col).alias("__bid__"),
+        F.col(vec_col).alias("__bv__"),
+        F.explode(b_assign(F.col(vec_col))).alias("__list__"),
+    )
+    # corpus side carries ONE list per row, so (cid, bid) candidate
+    # pairs are unique by construction — count() is a distinct count
+    from fluss_datafusion_spark.functions.vector import cosine_fast
+
+    return (
+        F.broadcast(b)
+        .join(c, "__list__")
+        .filter(F.col("__cid__") != F.col("__bid__"))
+        .filter(
+            cosine_fast(F.col("__cv__"), F.col("__bv__"))
+            >= F.lit(threshold)
+        )
+        .groupBy("__cid__")
+        .agg(F.count(F.lit(1)).alias("n_bench_hits"))
+        .select(F.col("__cid__").alias(id_col), "n_bench_hits")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: List[str],

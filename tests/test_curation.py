@@ -878,3 +878,53 @@ def test_dp_aggregate_matches_pure_python(spark):
         dp_aggregate(df, ["g"], sum_col="x")  # bounds missing
     with _pytest.raises(ValueError):
         dp_aggregate(df, ["g"], sum_col="x", bounds=(5, 5))
+
+
+def test_embedding_decontaminate_ivf_matches_bruteforce(spark):
+    """r12: IVF-candidate decontamination finds exactly the brute-force
+    contaminated set on a cluster-structured corpus (the regime the
+    candidate generation is designed for), with exact cosine scoring —
+    and a benchmark member is never its own contamination."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n_clusters = 16, 4
+
+    def vec(c):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        for i in range(4 * c, 4 * c + 4):
+            v[i] += 1.0
+        return v
+
+    rows = [(i, vec(i % n_clusters)) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = corpus.filter(F.col("vec_id") % 30 == 0)  # one per cluster-ish
+
+    got = {
+        r.vec_id: r.n_bench_hits
+        for r in curation.embedding_decontaminate(
+            corpus, bench, "vec_id", "embedding", 0.5,
+            n_centroids=n_clusters, n_probe=2, n_iters=2,
+        ).collect()
+    }
+
+    # brute force in python
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    bench_rows = [(i, v) for i, v in rows if i % 30 == 0]
+    want = {}
+    for i, v in rows:
+        n = sum(
+            1 for bi, bv in bench_rows if bi != i and cos(v, bv) >= 0.5
+        )
+        if n:
+            want[i] = n
+    assert got == want and want
+    # benchmark members appear only via OTHER bench vectors
+    for bi, _ in bench_rows:
+        assert got.get(bi, 0) == want.get(bi, 0)

@@ -1148,6 +1148,48 @@ def ns_contamination_embedding(spark, sf_dir):
 
 
 @query(
+    "ns_curation_token_windows", extended=True,
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0 ELSE
+                   CAST(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS BIGINT)
+               END AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS start_window,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_window,
+           CAST((cum - 1) // 512 AS BIGINT) AS end_window,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_windows
+    FROM c
+    """,
+)
+def ns_curation_token_windows(spark, sf_dir):
+    """Concat-and-chunk packing (curation.chunk_token_windows — the
+    GPT-2/3/LLaMA pretraining layout, boundary-spanning 512-token
+    windows over the id-ordered token stream).  The global token cumsum
+    runs as range-partition local cumsums + broadcast prefix offsets
+    (never a single-partition window); DuckDB replays the same cumsum
+    with one window function and states every document's window
+    coordinates exactly."""
+    from fluss_datafusion_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents")
+    return curation.chunk_token_windows(
+        docs, "doc_id", "text", window=512
+    )
+
+
+@query(
     "ns_curation_quota_sample", extended=True,
     oracle="""
     SELECT doc_id, lang FROM (

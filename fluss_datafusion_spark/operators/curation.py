@@ -72,13 +72,14 @@ def embedding_decontaminate(
     n_probe: int = 2,
     n_iters: int = 2,
 ) -> DataFrame:
-    """Embedding-space train/test contamination (r12 — the semantic
-    complement of the n-gram ``decontaminate``): corpus items whose
-    embedding sits within cosine >= ``threshold`` of ANY benchmark
-    vector.  Paraphrased eval leakage shares no shingles but lands in
-    the same embedding neighborhood — this is the standard second
-    decontamination pass (e.g. the GPT-3/PaLM eval-dedup appendices
-    run n-gram AND similarity filters).
+    """Embedding-space train/test contamination, IVF-bucketed (r12):
+    corpus items whose embedding sits within cosine >= ``threshold`` of
+    ANY benchmark vector.  The SCALE variant of
+    ``embedding_contamination`` above (which scores every corpus row
+    against every broadcast bench vector — right when the bench side is
+    eval-suite-sized): here candidates come from shared coarse-quantizer
+    lists, so a large benchmark costs O(corpus x bench / n_centroids)
+    exact cosines instead of corpus x bench.
 
     Scale shape (the IVF candidate discipline, similarity.py): train a
     coarse quantizer on the corpus sample, give every corpus vector its
@@ -367,6 +368,71 @@ def pack_sequences(
     )
 
 
+def chunk_token_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 512,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing (r12): documents in ``id``
+    order are concatenated into ONE token stream and cut into fixed
+    ``window``-token training windows — documents SPAN window
+    boundaries (no padding, no discarded remainders), the dominant
+    pretraining data layout (GPT-2/3, LLaMA).  The complement of
+    ``pack_sequences`` above, which bin-packs whole documents and pads.
+
+    Returns one row per non-empty document: (id, n_tokens,
+    start_window, offset_in_window, end_window, n_windows) — enough for
+    a trainer shard to locate every document's tokens inside the
+    chunked stream, and for attention-masking tools to know which
+    windows mix documents.
+
+    Scale shape: the global token CUMSUM runs as per-range-partition
+    local cumsums plus broadcast prefix offsets (the ``range_ranked``
+    pattern, operators/training.py) — never a single-partition global
+    window.  The ranked frame is localCheckpoint-pinned so the offsets
+    branch and the data branch see the SAME nondeterministically-
+    sampled range boundaries; the resulting offsets are the pure
+    id-order cumsum regardless of where the boundaries fell.
+    """
+    from fluss_datafusion_spark.functions.text import token_count
+
+    sized = docs.select(
+        F.col(id_col).alias("__id__"),
+        token_count(F.col(text_col)).alias("__n__"),
+    ).filter(F.col("__n__") > 0)
+    part = sized.repartitionByRange(
+        num_partitions, F.col("__id__")
+    ).withColumn("__pid__", F.spark_partition_id())
+    w = Window.partitionBy("__pid__").orderBy("__id__")
+    ranked = part.withColumn(
+        "__c__", F.sum("__n__").over(w)
+    ).localCheckpoint(eager=True)
+    totals = ranked.groupBy("__pid__").agg(F.max("__c__").alias("__t__"))
+    woff = Window.orderBy("__pid__").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid__",
+        F.coalesce(F.sum("__t__").over(woff), F.lit(0)).alias("__off__"),
+    )
+    start = F.col("__off__") + F.col("__c__") - F.col("__n__")
+    start_w = F.floor(start / window).cast("long")
+    end_w = F.floor((start + F.col("__n__") - 1) / window).cast("long")
+    return (
+        ranked.join(F.broadcast(offsets), "__pid__")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.col("__n__").alias("n_tokens"),
+            start_w.alias("start_window"),
+            (start % window).cast("long").alias("offset_in_window"),
+            end_w.alias("end_window"),
+            (end_w - start_w + 1).cast("long").alias("n_windows"),
+        )
+    )
+
+
 def embedding_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -384,8 +450,10 @@ def embedding_contamination(
     as a stats-based broadcast (no hint) against the streamed corpus —
     a narrow map-side pass, no shuffle of the corpus; the per-corpus-row
     best match reduces with map-side combine.  For benchmark sets too
-    big to broadcast, bucket both sides with the LSH/IVF helpers in
-    operators/similarity.py instead.
+    big for every corpus row to score every bench vector,
+    ``embedding_decontaminate`` (r12) is the IVF-bucketed variant of
+    this operator: candidates from shared coarse lists, exact cosine on
+    candidates only.
 
     Returns (id_col, bench_id, cos) — the strongest benchmark match per
     contaminated corpus row.

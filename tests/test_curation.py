@@ -928,3 +928,47 @@ def test_embedding_decontaminate_ivf_matches_bruteforce(spark):
     # benchmark members appear only via OTHER bench vectors
     for bi, _ in bench_rows:
         assert got.get(bi, 0) == want.get(bi, 0)
+
+
+def test_chunk_token_windows_matches_python_model(spark):
+    """r12: concat-and-chunk coordinates equal a sequential python
+    model, including docs spanning several windows and exact-boundary
+    landings; empty docs are excluded; the distributed cumsum is
+    identical at any partition count."""
+    texts = {
+        1: "a b c",                      # 3 tokens
+        2: " ".join(["w"] * 10),         # 10 tokens -> spans the 8-cut
+        3: "",                           # empty: excluded
+        4: "x y z q",                    # 4
+        5: " ".join(["t"] * 7),          # 7 -> ends exactly at 24
+        6: "final doc here",             # 3
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    for parts in (1, 3, 7):
+        got = {
+            r.doc_id: (
+                r.n_tokens, r.start_window, r.offset_in_window,
+                r.end_window, r.n_windows,
+            )
+            for r in curation.chunk_token_windows(
+                docs, "doc_id", "text", window=8, num_partitions=parts
+            ).collect()
+        }
+        cum = 0
+        want = {}
+        for i in sorted(texts):
+            n = len(texts[i].split()) if texts[i].strip() else 0
+            if n == 0:
+                continue
+            start, end = cum, cum + n - 1
+            want[i] = (
+                n, start // 8, start % 8, end // 8,
+                end // 8 - start // 8 + 1,
+            )
+            cum += n
+        assert got == want, parts
+    assert 3 not in got
+    # doc 2 spans windows (10 tokens from offset 3): 2 windows
+    assert got[2][4] == 2

@@ -454,6 +454,19 @@ def run_ops(
             )
         ),
     )
+    # r12: concat-and-chunk packing — the global token cumsum must scale
+    # as range-partition local cumsums + an O(partitions) offsets
+    # broadcast (operators/curation.chunk_token_windows), never a
+    # single-partition window.  Linear wall under 100x docs is the
+    # evidence the two-pass shape holds.
+    bench(
+        "token_windows_chunk",
+        lambda: curation.chunk_token_windows(
+            docs, "doc_id", "text", window=512,
+            num_partitions=16 * scale,
+        ),
+    )
+
     # r12 (VERDICT r11 item 7): html_extract marginal-step evidence.
     # curation_html_extract above scales ROWS with the tile, so its
     # step ratio mixes regex work with task fan-out and per-row

@@ -374,6 +374,8 @@ def chunk_token_windows(
     text_col: str,
     window: int = 512,
     num_partitions: int = 64,
+    counter=None,
+    _materialize: bool = True,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing (r12): documents in ``id``
     order are concatenated into ONE token stream and cut into fixed
@@ -395,20 +397,26 @@ def chunk_token_windows(
     branch and the data branch see the SAME nondeterministically-
     sampled range boundaries; the resulting offsets are the pure
     id-order cumsum regardless of where the boundaries fell.
+
+    ``counter``: a Column-returning callable mapping the text column to
+    the per-document token count — whitespace ``token_count`` by
+    default; pass ``text.bpe_ish_token_count`` (or a real tokenizer's
+    count) to lay windows out in the trainer's token space.
     """
     from fluss_datafusion_spark.functions.text import token_count
 
+    counter = counter or token_count
     sized = docs.select(
         F.col(id_col).alias("__id__"),
-        token_count(F.col(text_col)).alias("__n__"),
+        counter(F.col(text_col)).cast("long").alias("__n__"),
     ).filter(F.col("__n__") > 0)
     part = sized.repartitionByRange(
         num_partitions, F.col("__id__")
     ).withColumn("__pid__", F.spark_partition_id())
     w = Window.partitionBy("__pid__").orderBy("__id__")
-    ranked = part.withColumn(
-        "__c__", F.sum("__n__").over(w)
-    ).localCheckpoint(eager=True)
+    ranked = part.withColumn("__c__", F.sum("__n__").over(w))
+    if _materialize:  # tests pass False to plan-assert the window shape
+        ranked = ranked.localCheckpoint(eager=True)
     totals = ranked.groupBy("__pid__").agg(F.max("__c__").alias("__t__"))
     woff = Window.orderBy("__pid__").rowsBetween(
         Window.unboundedPreceding, -1

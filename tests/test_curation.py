@@ -972,3 +972,42 @@ def test_chunk_token_windows_matches_python_model(spark):
     assert 3 not in got
     # doc 2 spans windows (10 tokens from offset 3): 2 windows
     assert got[2][4] == 2
+
+
+def test_chunk_token_windows_plan_and_counters(spark):
+    """r12: the data-side cumsum window is partitioned by __pid__ —
+    never a global (single-partition) window; and a pluggable counter
+    (bpe_ish_token_count) relays the window layout into that token
+    space."""
+    from fluss_datafusion_spark.functions.text import bpe_ish_token_count
+
+    docs = spark.createDataFrame(
+        [(i, f"somelongword{i} tiny {'x' * (i % 9)}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    unmat = curation.chunk_token_windows(
+        docs, "doc_id", "text", window=8, num_partitions=4,
+        _materialize=False,
+    )
+    plan = unmat._jdf.queryExecution().executedPlan().toString()
+    window_lines = [l for l in plan.splitlines() if "sum(__n__" in l]
+    assert window_lines and all("__pid__" in l for l in window_lines)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.start_window)
+        for r in curation.chunk_token_windows(
+            docs, "doc_id", "text", window=8,
+            counter=bpe_ish_token_count,
+        ).collect()
+    }
+    # python model of the bpe-ish count: per word max(1, ceil(len/4))
+    import math
+
+    cum = 0
+    for i in range(50):
+        text = f"somelongword{i} tiny {'x' * (i % 9)}"
+        n = sum(
+            max(1, math.ceil(len(wd) / 4)) for wd in text.split()
+        )
+        assert got[i] == (n, cum // 8), i
+        cum += n

@@ -1011,3 +1011,45 @@ def test_chunk_token_windows_plan_and_counters(spark):
         )
         assert got[i] == (n, cum // 8), i
         cum += n
+
+
+def test_chunk_token_windows_randomized_contiguity(spark):
+    """r12: across randomized corpora and partition counts, the window
+    coordinates form one contiguous token stream — doc k's start equals
+    doc k-1's end + 1 (in id order), conservation holds, and the layout
+    is partition-count-invariant."""
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(50)}"
+                         for _ in range(rng.randrange(0, 40))))
+            for i in range(rng.randrange(30, 90))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        baseline = None
+        for parts in (1, 5):
+            out = sorted(
+                (
+                    r.doc_id, r.n_tokens, r.start_window,
+                    r.offset_in_window, r.end_window, r.n_windows,
+                )
+                for r in curation.chunk_token_windows(
+                    docs, "doc_id", "text", window=16,
+                    num_partitions=parts,
+                ).collect()
+            )
+            if baseline is None:
+                baseline = out
+            assert out == baseline, (seed, parts)
+        # contiguity + conservation against the id-ordered stream
+        pos = 0
+        for doc_id, n, sw, off, ew, nw in baseline:
+            assert sw == pos // 16 and off == pos % 16, doc_id
+            end = pos + n - 1
+            assert ew == end // 16 and nw == ew - sw + 1, doc_id
+            pos += n
+        assert pos == sum(
+            len(t.split()) for _i, t in rows if t.strip()
+        )

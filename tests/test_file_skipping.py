@@ -359,3 +359,30 @@ def test_chunk_store_prune_and_read_path(spark, tmp_path, monkeypatch):
         for r in e.catalog.read("logs", predicate="x BETWEEN 200 AND 209").collect()
     )
     assert got == [(200, "a"), (209, "b")]
+
+
+def test_chunk_store_roundtrips_sums_and_blooms(tmp_path):
+    """r12: harvested per-file integer sums (SUMS_KEY) survive the
+    chunked-manifest serialization exactly, alongside bounds and
+    blooms — a consumer reading the chunk store must see the same
+    entries the JSON manifest would have held."""
+    from fluss_datafusion_spark.catalog import skipping
+
+    root = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    entries = {
+        "part-0.parquet": {
+            "a": [1, 9],
+            skipping.SUMS_KEY: {"a": [10, 2], "b": [-5, 3]},
+        },
+        "part-1.parquet": {
+            "a": [10, 20],
+            skipping.SUMS_KEY: {"a": [30, 2]},
+        },
+        "part-2.parquet": {"a": [21, 30]},  # no sums: absent, not {}
+    }
+    skipping._write_chunk(root, entries)
+    got = skipping._load_chunks(root)
+    assert got == entries

@@ -1038,6 +1038,79 @@ def refresh_matview(catalog, name: str) -> Dict[str, int]:
         return _refresh_matview_impl(catalog, name)
 
 
+def _try_local_refresh_write(catalog, spec, mv, local_rows, view_base):
+    """Driver-local refresh write (see the call site): derive the fused
+    upsert/tombstone rows from the collected merged delta with the SAME
+    row-wise rules as the Spark fused plan — keep (alive & !rescan) |
+    (!alive & existed); non-key payloads null on dead groups; flag =
+    !alive — and append them through catalog._local_write_rows under
+    the same reserve-validate-write concurrency protocol.  Returns the
+    refresh result dict, or None when any group needs a bounded rescan
+    (the Spark path handles the rescan union) or a column type is
+    outside the local writer's support."""
+    from fluss_datafusion_spark.catalog.catalog import (
+        ConcurrentWriteConflict,
+        _pa_type,
+    )
+
+    if spec.num_buckets and spec.bucket_keys:
+        return None
+    if spec.partition_keys:
+        return None
+    target = spec.spark_schema()
+    pa_types = {}
+    for f in target.fields:
+        t = _pa_type(f.dataType)
+        if t is None:
+            return None
+        pa_types[f.name] = t
+    n_rescan = n_up = n_dead = 0
+    for r in local_rows:
+        if r[_STAR] > 0:
+            if r["__mv_rescan__"]:
+                n_rescan += 1
+            else:
+                n_up += 1
+        elif r["__mv_existed__"]:
+            n_dead += 1
+    if n_rescan > 0:
+        return None
+    pk = set(spec.primary_key)
+    cols = {f.name: [] for f in target.fields}
+    flags = []
+    for r in local_rows:
+        alive = r[_STAR] > 0
+        if not (alive or r["__mv_existed__"]):
+            continue  # phantom group: born and retracted inside the window
+        for f in target.fields:
+            cols[f.name].append(
+                r[f.name] if (f.name in pk or alive) else None
+            )
+        flags.append(not alive)
+    seq_ref = catalog._reserve_seqs(spec, 1, expect_base=view_base)[0]
+    fresh = _load_mv(catalog, spec.qualified_name)
+    if fresh.get("last_seqs", fresh.get("last_seq")) != mv.get(
+        "last_seqs", mv.get("last_seq")
+    ):
+        catalog._release_seqs(spec, [seq_ref])
+        raise ConcurrentWriteConflict(
+            f"materialized view {spec.qualified_name} was refreshed "
+            "concurrently; nothing was written — re-running against the "
+            "new checkpoint"
+        )
+    catalog._local_write_rows(
+        spec,
+        cols,
+        pa_types,
+        deleted=False,
+        del_flags=flags,
+        reserved_seq=seq_ref,
+        expect_base=None,
+        branch=None,
+    )
+    return {"upserted": n_up, "deleted": n_dead, "full_rebuild": 0}
+
+
 def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     spec = catalog.get_table(name)
     # concurrency base: captured BEFORE the checkpoint load, so a
@@ -1185,6 +1258,22 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
     local_rows = merged.limit(_LOCAL_PIN_CAP).collect()
     schema_order = [c.name for c in spec.columns]
     if len(local_rows) < _LOCAL_PIN_CAP:
+        # r12 driver-local write: the fused upsert/tombstone rows are a
+        # pure row-wise function of the ALREADY-COLLECTED delta — when
+        # no group needs a rescan, compute them here and write one
+        # pyarrow file through catalog._local_write_rows instead of
+        # round-tripping the rows through a python-RDD parallelize + a
+        # Spark write job (guide §1.2; measured: the refresh write job
+        # was ~0.4-0.75 s of the ~2 s warm refresh).  Equivalence with
+        # the Spark fused plan is pinned by
+        # tests/test_matview_local_write.py; any disqualifier returns
+        # None and the r9 path below runs unchanged.
+        local = _try_local_refresh_write(
+            catalog, spec, mv, local_rows, view_base
+        )
+        if local is not None:
+            _checkpoint()
+            return local
         # ONE-slice parallelize, NOT createDataFrame(rows, schema): the
         # latter splits a 170-row list across defaultParallelism python
         # tasks and the downstream write pays ~4.5 s of worker round

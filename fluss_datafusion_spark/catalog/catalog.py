@@ -49,6 +49,13 @@ _COMMIT_DIR = "_commits"
 #: as plan literals; the cap only bounds the pyarrow table build)
 _LOCAL_WRITE_MAX_ROWS = 100_000
 
+#: cap on the RMW collect-probe variant: an UPDATE/DELETE delta at or
+#: under this lands as one driver-written file; past it the probe
+#: early-exits and the distributed write runs (at 100 TB the probe cost
+#: is one bounded CollectLimit pass, the win is the per-statement
+#: committer round-trip on the small-delta common case)
+_RMW_LOCAL_CAP = 10_000
+
 
 def _pa_type(dt):
     """pyarrow type for a Spark field the driver-local writer supports,
@@ -3381,6 +3388,7 @@ class FlussCatalog:
         distribute: bool = False,
         branch: Optional[str] = None,
         maybe_local: bool = False,
+        collect_local: bool = False,
     ):
         """Append schema-aligned rows to the table's log with the internal
         stamps (__seq__/__sub__/__del__ for PK tables, __bkt__ layout).
@@ -3430,6 +3438,20 @@ class FlussCatalog:
             # bucketed/partitioned layout, unsupported type) and the
             # distributed path below runs as before.
             local = self._try_local_append(
+                spec, aligned, deleted, reserved_seq, expect_base,
+                deleted_col, branch,
+            )
+            if local is not None:
+                return local
+        if collect_local and not spec.check_constraints:
+            # RMW variant of the same idea: the delta of an UPDATE /
+            # predicate-DELETE is usually tiny — probe it with ONE
+            # early-exiting limit collect; at or under the cap the
+            # collected rows ARE the complete delta (a pinned snapshot)
+            # and the write is driver-local.  Past the cap the probe
+            # cost is bounded (CollectLimit reads partitions
+            # incrementally) and the distributed write runs as before.
+            local = self._try_collect_local_append(
                 spec, aligned, deleted, reserved_seq, expect_base,
                 deleted_col, branch,
             )
@@ -3633,6 +3655,55 @@ class FlussCatalog:
             branch=branch,
         )
 
+    def _try_collect_local_append(
+        self,
+        spec: TableSpec,
+        aligned: DataFrame,
+        deleted: bool,
+        reserved_seq: Optional[int],
+        expect_base: Optional[int],
+        deleted_col: Optional[str],
+        branch: Optional[str],
+    ):
+        """RMW driver-local append (see _append_log's collect_local
+        seam): one limit-capped collect of the delta plan; at or under
+        the cap the rows are written locally, else None (the caller runs
+        the distributed write — the only double-executed work is the
+        early-exiting probe).  Callers must not attach Observations to
+        ``aligned`` (the probe would consume them)."""
+        if spec.num_buckets and spec.bucket_keys:
+            return None
+        if spec.partition_keys:
+            return None
+        fields = list(aligned.schema.fields)
+        data_fields = [f for f in fields if f.name != deleted_col]
+        pa_types = {}
+        for f in data_fields:
+            t = _pa_type(f.dataType)
+            if t is None:
+                return None
+            pa_types[f.name] = t
+        rows = aligned.limit(_RMW_LOCAL_CAP + 1).collect()
+        if len(rows) > _RMW_LOCAL_CAP:
+            return None
+        del_flags = None
+        if deleted_col is not None:
+            del_flags = [
+                None if r[deleted_col] is None else bool(r[deleted_col])
+                for r in rows
+            ]
+        columns = {f.name: [r[f.name] for r in rows] for f in data_fields}
+        return self._local_write_rows(
+            spec,
+            columns,
+            {f.name: pa_types[f.name] for f in data_fields},
+            deleted=deleted,
+            del_flags=del_flags,
+            reserved_seq=reserved_seq,
+            expect_base=expect_base,
+            branch=branch,
+        )
+
     def _local_write_rows(
         self,
         spec: TableSpec,
@@ -3703,6 +3774,10 @@ class FlussCatalog:
         if seq is not None:
             counted = _CountedFiles(new_files)
             counted.precomputed_rows = n
+            counted.tombstone_rows = (
+                n if (deleted and del_flags is None)
+                else sum(1 for f in (del_flags or []) if f)
+            )
             if branch is not None:
                 self._record_branch_commit(spec, branch, seq)
             else:
@@ -3948,7 +4023,7 @@ class FlussCatalog:
         return _footer_row_count(
             self._append_log(
                 spec, victims, deleted=True, expect_base=base,
-                distribute=True, branch=branch,
+                distribute=True, branch=branch, collect_local=True,
             )
         )
 
@@ -4146,7 +4221,7 @@ class FlussCatalog:
         return _footer_row_count(
             self._append_log(
                 spec, updated, deleted=False, expect_base=base,
-                distribute=True, branch=branch,
+                distribute=True, branch=branch, collect_local=True,
             )
         )
 
@@ -4429,26 +4504,41 @@ class FlussCatalog:
             # form needed (eager checkpoints so append #2 couldn't see
             # append #1's files) disappears with the second append.  A
             # MERGE is one statement; it now burns one seq, not two.
-            from pyspark.sql import Observation
-
             flag = "__merge_tomb__"
             fused = live.withColumn(flag, F.lit(False)).unionByName(
                 tombstones.withColumn(flag, F.lit(True))
-            )
-            obs = Observation()
-            fused = fused.observe(
-                obs,
-                F.sum(F.when(F.col(flag), 1).otherwise(0))
-                .cast("long")
-                .alias("n_del"),
-                F.count(F.lit(1)).alias("n_all"),
             )
             seq = (
                 self._branch_next_seq(spec, branch, expect_base=base)
                 if branch is not None
                 else self._reserve_seqs(spec, 1, expect_base=base)[0]
             )
+            # r12 RMW driver-local attempt (the collect_local seam, but
+            # at the call site: the upsert/delete split is counted from
+            # the collected flags in Python, where the Spark path needs
+            # an Observation — which a limit probe would consume)
             with self.defer_auto_compact():
+                local = self._try_collect_local_append(
+                    spec, fused, False, seq, None, flag, branch
+                ) if not spec.check_constraints else None
+                if local is not None:
+                    rows_n = local.precomputed_rows
+                    # the local writer preserved the flags it was given;
+                    # recount from the fused probe result is not needed —
+                    # _try_collect_local_append stashes them:
+                    deleted = local.tombstone_rows
+                    upserted = rows_n - deleted
+                    return {"upserted": upserted, "deleted": deleted}
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                fused = fused.observe(
+                    obs,
+                    F.sum(F.when(F.col(flag), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_del"),
+                    F.count(F.lit(1)).alias("n_all"),
+                )
                 self._append_log(
                     spec,
                     fused,
@@ -4917,6 +5007,9 @@ class _CountedFiles(list):
     policy-driven auto-compaction replaces the files on disk."""
 
     precomputed_rows: int = 0
+    #: of which tombstones (__del__ true) — set by the driver-local
+    #: writer so MERGE's upsert/delete split needs no Observation
+    tombstone_rows: int = 0
 
 
 def _footer_row_count(files) -> int:

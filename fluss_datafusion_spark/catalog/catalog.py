@@ -3742,28 +3742,31 @@ class FlussCatalog:
             if branch is not None
             else self.table_path(spec)
         )
-        new_files = []
-        if n:
-            names = list(columns)
-            stored = self._stored_names(spec, names)
-            arrays = {
-                sname: pa.array(columns[name], type=pa_types[name])
-                for name, sname in zip(names, stored)
-            }
-            if spec.has_primary_key:
-                arrays[_SEQ] = pa.array([seq] * n, pa.int64())
-                arrays[_SUB] = pa.array(range(n), pa.int64())
-                arrays[_DEL] = pa.array(
-                    del_flags
-                    if del_flags is not None
-                    else [bool(deleted)] * n,
-                    pa.bool_(),
-                )
-            os.makedirs(path, exist_ok=True)
-            fname = f"part-{uuid.uuid4().hex}-local.snappy.parquet"
-            fpath = os.path.join(path, fname)
-            pq.write_table(pa.table(arrays), fpath, compression="snappy")
-            new_files = [fpath]
+        # The file is written even for a 0-row delta: the distributed
+        # writer always produces (at least) one part file carrying the
+        # schema, and branch/divergence accounting reads the raw branch
+        # dir — an empty predicate-DELETE must leave the same physical
+        # trace either way (tests/test_branch_dml_parity.py).
+        names = list(columns)
+        stored = self._stored_names(spec, names)
+        arrays = {
+            sname: pa.array(columns[name], type=pa_types[name])
+            for name, sname in zip(names, stored)
+        }
+        if spec.has_primary_key:
+            arrays[_SEQ] = pa.array([seq] * n, pa.int64())
+            arrays[_SUB] = pa.array(range(n), pa.int64())
+            arrays[_DEL] = pa.array(
+                del_flags
+                if del_flags is not None
+                else [bool(deleted)] * n,
+                pa.bool_(),
+            )
+        os.makedirs(path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}-local.snappy.parquet"
+        fpath = os.path.join(path, fname)
+        pq.write_table(pa.table(arrays), fpath, compression="snappy")
+        new_files = [fpath]
         if branch is None:
             self._register_view(spec)
             self._touch_write_marker(spec)
@@ -4516,7 +4519,12 @@ class FlussCatalog:
             # r12 RMW driver-local attempt (the collect_local seam, but
             # at the call site: the upsert/delete split is counted from
             # the collected flags in Python, where the Spark path needs
-            # an Observation — which a limit probe would consume)
+            # an Observation — which a limit probe would consume).
+            # GENERATED columns must be computed BEFORE the local write
+            # (ADVICE r12): _append_log applies them on the distributed
+            # path, but the direct local call bypasses it; reapplication
+            # on fallback is idempotent (recomputed from source values).
+            fused = self._apply_generated(spec, fused, flag)
             with self.defer_auto_compact():
                 local = self._try_collect_local_append(
                     spec, fused, False, seq, None, flag, branch

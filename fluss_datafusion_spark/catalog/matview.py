@@ -1265,8 +1265,9 @@ def _refresh_matview_impl(catalog, name: str) -> Dict[str, int]:
         # round-tripping the rows through a python-RDD parallelize + a
         # Spark write job (guide §1.2; measured: the refresh write job
         # was ~0.4-0.75 s of the ~2 s warm refresh).  Equivalence with
-        # the Spark fused plan is pinned by
-        # tests/test_matview_local_write.py; any disqualifier returns
+        # the Spark fused plan is pinned by tests/test_local_append.py
+        # (test_matview_local_refresh_parity /
+        # test_matview_rescan_falls_back); any disqualifier returns
         # None and the r9 path below runs unchanged.
         local = _try_local_refresh_write(
             catalog, spec, mv, local_rows, view_base

@@ -521,10 +521,32 @@ def rebuild(
     """Replace the manifest with fresh bounds (+ optional column blooms)
     for exactly ``files`` (post-OPTIMIZE/compact full rewrite).  Returns
     files covered.  Large file sets land in the chunked store (one
-    merged chunk); small ones in the JSON manifest."""
+    merged chunk); small ones in the JSON manifest.
+
+    Carry-forward (r13, guide §6): entries already in the prior
+    manifest WITH harvested sums (and every requested bloom) are reused
+    verbatim — part-file names are uuid-unique, so a surviving relpath
+    is byte-identical and its stats cannot have changed.  A rebuild
+    after a compaction that rewrote 1% of files re-reads only that 1%
+    instead of the integer columns of the other 99%.  Entries lacking
+    SUMS_KEY are re-harvested (they may predate sums harvesting —
+    write-time add_files harvests bounds only)."""
+    prior = load(table_path)
     manifest: Dict[str, Dict[str, List]] = {}
     for f in files:
-        manifest[os.path.relpath(f, table_path)] = _harvest_entry(
+        rel = os.path.relpath(f, table_path)
+        old = prior.get(rel)
+        if (
+            old is not None
+            and SUMS_KEY in old
+            and (
+                not bloom_columns
+                or all(c in old.get(BLOOM_KEY, {}) for c in bloom_columns)
+            )
+        ):
+            manifest[rel] = old
+            continue
+        manifest[rel] = _harvest_entry(
             table_path, f, bloom_columns, bloom_fpp, with_sums=True
         )
     if len(manifest) >= CHUNK_THRESHOLD or _chunk_files(table_path):

@@ -908,7 +908,7 @@ def stream_changelog(spark, sf_dir):
             order_cols=["ts", "event_id"],
             image_cols=["event_id", "event_type", "value"],
             ttl=None,
-            state_buckets=64,
+            state_buckets="auto",  # engine-derived: 2 x shuffle.partitions
         ),
         "update",
     )

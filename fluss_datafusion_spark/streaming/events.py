@@ -285,6 +285,12 @@ def changelog_stream(
     per-bucket loop); pick B ~ a few x cores.  Incompatible with ``ttl``
     (timeout granularity would become the bucket, silently evicting
     fresh keys that share a bucket with stale ones — refuse instead).
+    ``state_buckets="auto"`` derives B = 2 x the session's
+    ``spark.sql.shuffle.partitions`` (the knob that already tracks
+    cluster width): ~2 buckets per state partition keeps every task
+    busy while paying the per-bucket round-trip a small constant number
+    of times per batch — the scale-adaptive sizing rather than a
+    constant tuned for one host.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -296,6 +302,10 @@ def changelog_stream(
             raise ValueError(
                 "changelog_stream: state_buckets is incompatible with ttl "
                 "(eviction would act on whole buckets, not keys)"
+            )
+        if state_buckets == "auto":
+            state_buckets = 2 * int(
+                stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
         return _bucketed_changelog_stream(
             stream, list(key_cols), list(order_cols), list(image_cols),

@@ -386,3 +386,60 @@ def test_chunk_store_roundtrips_sums_and_blooms(tmp_path):
     skipping._write_chunk(root, entries)
     got = skipping._load_chunks(root)
     assert got == entries
+
+
+# -- rebuild sums carry-forward (r13) ---------------------------------------
+
+
+def test_rebuild_carries_forward_sums_for_surviving_files(tmp_path, monkeypatch):
+    """rebuild() must NOT re-read files whose manifest entry already
+    carries sums: a compaction touching 1% of files re-harvests only
+    that 1% (uuid part names make a surviving relpath byte-identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tp = str(tmp_path / "tbl")
+    os.makedirs(tp)
+
+    def write(name, vals):
+        p = os.path.join(tp, name)
+        pq.write_table(
+            pa.table({"k": pa.array(vals, pa.int64())}), p
+        )
+        return p
+
+    f1 = write("part-aaaa-local.snappy.parquet", [1, 2, 3])
+    f2 = write("part-bbbb-local.snappy.parquet", [10, 20])
+    assert skipping.rebuild(tp, [f1, f2]) == 2
+    m0 = skipping.load(tp)
+    assert m0[os.path.basename(f1)][skipping.SUMS_KEY] == {"k": [6, 3]}
+
+    # second rebuild: one new file, f1 survives, f2 rewritten away
+    f3 = write("part-cccc-local.snappy.parquet", [100])
+    calls = []
+    real = skipping._harvest_entry
+
+    def counting(table_path, f, *a, **k):
+        calls.append(os.path.basename(f))
+        return real(table_path, f, *a, **k)
+
+    monkeypatch.setattr(skipping, "_harvest_entry", counting)
+    assert skipping.rebuild(tp, [f1, f3]) == 2
+    assert calls == [os.path.basename(f3)], (
+        "surviving file was re-harvested")
+    m1 = skipping.load(tp)
+    assert set(m1) == {os.path.basename(f1), os.path.basename(f3)}
+    assert m1[os.path.basename(f1)][skipping.SUMS_KEY] == {"k": [6, 3]}
+    assert m1[os.path.basename(f3)][skipping.SUMS_KEY] == {"k": [100, 1]}
+    assert m1[os.path.basename(f1)]["k"] == [1, 3]  # bounds intact
+
+    # a bloom request the old entry can't satisfy forces re-harvest
+    calls.clear()
+    assert skipping.rebuild(tp, [f1, f3], bloom_columns=["k"]) == 2
+    assert sorted(calls) == sorted(
+        [os.path.basename(f1), os.path.basename(f3)]
+    )
+    # ... and once blooms are in the manifest, they carry forward too
+    calls.clear()
+    assert skipping.rebuild(tp, [f1, f3], bloom_columns=["k"]) == 2
+    assert calls == []

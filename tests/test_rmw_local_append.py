@@ -201,3 +201,38 @@ def test_check_constraints_bypass_gate(engine):
     with pytest.raises(ValueError, match="CHECK constraint pos"):
         e.sql("UPDATE kt SET x = -1 WHERE k = 2")
     assert _canon(e.sql("SELECT * FROM kt")) == [(1, 6), (2, 8)]
+
+
+def test_probe_gate_pk_bounded_vs_unbounded(engine, monkeypatch):
+    """With the file-count gate forced shut, only statements whose
+    predicate shape bounds the delta (full-PK equality / IN) may probe;
+    unbounded predicates go straight to the distributed writer (no
+    partial double-execution of a big delta plan at scale)."""
+    e = engine
+    e.sql("CREATE TABLE gp (k BIGINT NOT NULL, v BIGINT, PRIMARY KEY (k))")
+    e.sql("INSERT INTO gp VALUES (1, 10), (2, 20), (3, 30)")
+    monkeypatch.setattr(cat_mod, "_RMW_PROBE_MAX_FILES", 0)
+    n0 = len(_local_files(e, "gp"))
+    e.sql("UPDATE gp SET v = v + 1 WHERE v >= 10")  # unbounded shape
+    assert len(_local_files(e, "gp")) == n0, "unbounded UPDATE must not probe"
+    e.sql("UPDATE gp SET v = v + 1 WHERE k = 2")  # full-PK equality
+    assert len(_local_files(e, "gp")) == n0 + 1
+    e.sql("DELETE FROM gp WHERE k IN (1, 3)")  # PK IN list
+    assert len(_local_files(e, "gp")) == n0 + 2
+    assert _canon(e.sql("SELECT * FROM gp")) == [(2, 22)]
+
+
+def test_pk_bounded_predicate_shapes(engine):
+    cat = engine.catalog
+    engine.sql(
+        "CREATE TABLE pb (a BIGINT NOT NULL, b BIGINT NOT NULL, v STRING,"
+        " PRIMARY KEY (a, b))"
+    )
+    spec = cat.get_table("pb")
+    assert cat._pk_bounded_predicate(spec, "a = 1 AND b = 2")
+    assert cat._pk_bounded_predicate(spec, "a IN (1, 2) AND b = 7")
+    assert not cat._pk_bounded_predicate(spec, "a = 1")  # b unpinned
+    assert not cat._pk_bounded_predicate(spec, "a = 1 OR b = 2")
+    assert not cat._pk_bounded_predicate(spec, "a >= 1 AND b = 2")
+    assert not cat._pk_bounded_predicate(spec, "v = 'x'")
+    assert not cat._pk_bounded_predicate(spec, None)

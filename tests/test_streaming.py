@@ -957,6 +957,10 @@ def test_changelog_stream_bucketed_state_matches_per_key(spark, tmp_path):
     assert bucketed == per_key
     assert ("-D", 2, 2, "b") in bucketed  # tombstone carried last image
     assert ("+I", 2, 7, "b2") in bucketed  # re-insert after delete
+    # "auto" derives B from the session's shuffle partitions inside the
+    # engine (r13) — emitted rows must still match the per-key path
+    auto = run("auto", state_buckets="auto")
+    assert auto == per_key
 
     with _pytest.raises(ValueError, match="state_buckets"):
         changelog_stream(

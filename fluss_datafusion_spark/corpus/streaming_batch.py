@@ -764,7 +764,8 @@ def st_ab_test_ztest(spark, sf_dir):
 # CORRECTNESS_SELF carries these.
 
 
-def _replayed(spark, sf_dir, tag, build, output_mode, mfpt=2):
+def _replayed(spark, sf_dir, tag, build, output_mode, mfpt=2,
+              final_flush=True):
     import shutil
     import tempfile
 
@@ -791,6 +792,7 @@ def _replayed(spark, sf_dir, tag, build, output_mode, mfpt=2):
         build(events_stream(spark, replay, max_files_per_trigger=mfpt)),
         name,
         output_mode=output_mode,
+        final_flush=final_flush,
     )
     return spark.table(name)
 
@@ -810,7 +812,10 @@ def stream_tumbling(spark, sf_dir):
     aggregation (in-order replay means the watermark drops nothing)."""
     from fluss_datafusion_spark.streaming.events import tumbling_counts
 
-    return _replayed(spark, sf_dir, "tumbling", tumbling_counts, "complete")
+    # complete mode re-emits the full result every batch: the trailing
+    # no-data flush batch adds nothing (r13; rows oracle-pinned)
+    return _replayed(spark, sf_dir, "tumbling", tumbling_counts, "complete",
+                     final_flush=False)
 
 
 @query(
@@ -864,6 +869,7 @@ def stream_dedup(spark, sf_dir):
         ),
         name,
         output_mode="append",
+        final_flush=False,  # dedup emits first-seen rows eagerly (r13)
     )
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type",
@@ -911,6 +917,7 @@ def stream_changelog(spark, sf_dir):
             state_buckets="auto",  # engine-derived: 2 x shuffle.partitions
         ),
         "update",
+        final_flush=False,  # update-mode CDC emits per batch (r13)
     )
     return out.select(
         "op", "user_id", "event_id", "event_type",
@@ -956,9 +963,13 @@ def stream_interval_join(spark, sf_dir):
             bound="1 hour", watermark="4 hours",
         ).select("purchase_id", "user_id", "click_id")
 
-    # two streams need the SAME source stream object; _replayed builds one
+    # two streams need the SAME source stream object; _replayed builds one.
+    # Inner stream-stream join emits eagerly; the flush batch only evicts
+    # state an AvailableNow run discards at termination (r13; rows
+    # oracle-pinned, A/B in tools/profile_stream_interval_join.py)
     return _replayed(
-        spark, sf_dir, "interval", build, "append", mfpt=4
+        spark, sf_dir, "interval", build, "append", mfpt=4,
+        final_flush=False,
     )
 
 

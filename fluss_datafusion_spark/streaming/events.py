@@ -149,18 +149,45 @@ def streaming_dedup(
 # -- sinks -------------------------------------------------------------------
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    final_flush: bool = True,
+):
     """Execute a streaming plan with AvailableNow (the reference's
     read-to-latest-offset snapshot semantics) into an in-memory table;
-    returns after completion."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    returns after completion.
+
+    ``final_flush=False`` disables the trailing no-data micro-batch
+    Spark schedules after the last data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``).  That batch
+    exists to advance the watermark so append-mode AGGREGATIONS can
+    emit their final windows and state can be evicted — for queries
+    whose sink emits EAGERLY (inner stream-stream joins, streaming
+    dedup, update/complete-mode stateful ops) it produces zero rows
+    while still paying a full state-store pass on every partition
+    (profiled ~1.6-2.2 s of a ~6-8 s interval-join replay —
+    tools/profile_stream_interval_join.py).  An AvailableNow run
+    terminates right after it, so the eviction work is thrown away.
+    Callers whose query NEEDS watermark-finalized emission (e.g.
+    session_window in append mode) must keep the default."""
+    session = stream_df.sparkSession
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior = session.conf.get(key)
+    if not final_flush:
+        session.conf.set(key, "false")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        session.conf.set(key, prior)
     return q
 
 

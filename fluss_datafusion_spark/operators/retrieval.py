@@ -41,10 +41,18 @@ from fluss_datafusion_spark.session import spread_small_scan
 
 def _term_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__doc__, __term__) — one row per token occurrence, lowercased,
-    empty terms dropped (split of a blank text yields [''])."""
+    empty terms dropped (split of a blank text yields ['']).
+
+    No ``spread_small_scan`` here (r13): whitespace split + explode is
+    LIGHT per-row work — codegen'd string ops, no python boundary — so
+    round-robin widening a small corpus buys no compute overlap while
+    adding a shuffle and a 32-wide tiny stage per derivation.  A/B at
+    sf0.1 (quiet host, warm, interleaved): index lifecycle
+    write/append/load+topk 4.1-4.7 s with the spread vs 2.7-2.9 s
+    without.  Heavy per-row operators (shingles, sketches, Arrow
+    kernels) keep their spread."""
     return (
-        spread_small_scan(df)
-        .select(
+        df.select(
             F.col(id_col).alias("__doc__"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("__term__"),
         )
@@ -270,7 +278,8 @@ def build_positional_postings(
     Persist alongside the BM25 index to serve phrase queries without
     re-tokenizing the corpus."""
     occ = (
-        spread_small_scan(docs)
+        # no spread: light tokenize work, same rationale as _term_rows
+        docs
         .select(
             F.col(id_col).alias("__doc__"),
             F.posexplode(tokens(F.lower(F.col(text_col)))).alias(

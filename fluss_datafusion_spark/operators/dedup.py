@@ -819,7 +819,10 @@ def hamming_near_dup_pairs(
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
-    buckets = spread_small_scan(hashes).select(
+    # no spread (r13): band keys are codegen'd bit-slice expressions,
+    # not interpreted lambdas — widening a small input to core count
+    # cost more than the work (A/B ns_dedup_image_phash 1.9 -> 1.2 s)
+    buckets = hashes.select(
         "__id__",
         F.posexplode(
             F.array(*hamming_band_keys(n_bands, key_blocks))

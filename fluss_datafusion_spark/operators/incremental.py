@@ -343,7 +343,12 @@ def append_to_index(
     the write-then-read-back trick (reading the store back would rescan
     every earlier batch's files)."""
     sh = (
-        spread_small_scan(df)
+        # no spread (r13): the shingle pass lands in a persist consumed
+        # by two branches — round-robin widening a batch-sized input
+        # adds a shuffle plus 32-wide cache partitions for every
+        # downstream task wave.  Interleaved A/B: ns_dedup_incremental
+        # 7.0-7.3 -> 5.0-5.6 s, ns_dedup_idx_build 4.1-5.0 -> 3.7-4.5 s.
+        df
         .select(
             F.col(id_col).alias("__id__"),
             word_shingles(F.col(text_col), k).alias("__sh__"),

@@ -42,8 +42,12 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     functions/text.py:word_shingles).  spread_small_scan fans the
     interpreted lambda across cores on small-file test inputs.
     """
+    # no spread (r13): tokenize + slice/zip_with bigrams measured
+    # CHEAPER serialized than the round-robin widening on small inputs
+    # (A/B ns_quality_lm_score 1.9-2.5 -> 1.3-1.8 s warm); at 100 TB
+    # the guard was a no-op
     with_toks = (
-        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        docs.filter(token_count(F.col(text_col)) >= 2)
         .select(
             F.col(id_col).alias("__id__"),
             tokens(F.lower(F.col(text_col))).alias("__t__"),
@@ -76,7 +80,7 @@ def train_bigram_lm(
     c2 = bg.groupBy("__w1__", "__w2__").agg(F.count(F.lit(1)).alias("__c2__"))
     cp = bg.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__cp__"))
     vocab = (
-        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        docs.filter(token_count(F.col(text_col)) >= 2)  # no spread (r13)
         .select(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok__")
         )
@@ -285,7 +289,7 @@ def train_kn_lm(
         F.count(F.lit(1)).alias("__n1r__")
     )
     scalars = (
-        spread_small_scan(docs.filter(token_count(F.col(text_col)) >= 2))
+        docs.filter(token_count(F.col(text_col)) >= 2)  # no spread (r13)
         .select(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok__")
         )

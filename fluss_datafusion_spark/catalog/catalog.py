@@ -3322,6 +3322,7 @@ class FlussCatalog:
         reserved_seq: Optional[int] = None,
         branch: Optional[str] = None,
         maybe_local: bool = False,
+        collect_local: bool = False,
     ) -> int:
         """INSERT a DataFrame.  PK tables: upsert semantics — within the
         batch, later rows win on PK collisions (src/provider.rs:430-437:
@@ -3335,7 +3336,14 @@ class FlussCatalog:
 
         ``reserved_seq``: stamp a seq the caller already reserved via
         ``_reserve_seqs`` (multi-append statements and concurrency-
-        validated refreshes)."""
+        validated refreshes).
+
+        ``collect_local``: opt into the capped-collect driver-local
+        write (see _append_log).  For callers whose input is a CACHED
+        frame with a known small row count (micro-batch ingest sinks),
+        the probe is a cache read — no double execution is possible —
+        and the write skips the distributed committer.  Callers must
+        not attach Observations to ``df``."""
         spec = self.get_table(name)
         target_schema = spec.spark_schema()
         gen_names = {
@@ -3386,6 +3394,7 @@ class FlussCatalog:
         new_files = self._append_log(
             spec, aligned, deleted=False, reserved_seq=reserved_seq,
             branch=branch, maybe_local=maybe_local,
+            collect_local=collect_local,
         )
         return _footer_row_count(new_files)
 

@@ -483,18 +483,25 @@ def dedup_ingest_sink(
         import contextlib
 
         with contextlib.ExitStack() as stack:
+            # the batch frame feeds three consumers (bucket assignment,
+            # shingle verify, the survivors anti-join) — persist always;
+            # the n_raw / n_in COUNT jobs exist only for metrics records
+            # and their early-outs, so metrics-off batches skip both
+            # (r13, two job floors per micro-batch; an empty batch flows
+            # through the cached empty probe for pennies)
             raw_df = batch_df.persist()
             stack.callback(raw_df.unpersist)
-            n_raw = raw_df.count()
-            if n_raw == 0:
-                return
+            if metrics is not None:
+                n_raw = raw_df.count()
+                if n_raw == 0:
+                    return
             batch_df = transform(raw_df) if transform else raw_df
             if batch_df is not raw_df:
                 batch_df = batch_df.persist()
                 stack.callback(batch_df.unpersist)
-            n_in = batch_df.count()
-            if n_in == 0:
-                if metrics is not None:
+            if metrics is not None:
+                n_in = batch_df.count()
+                if n_in == 0:
                     metrics.append(
                         {
                             "batch_id": batch_id,
@@ -504,7 +511,7 @@ def dedup_ingest_sink(
                             "n_kept": 0,
                         }
                     )
-                return
+                    return
             pairs = incremental_dedup_pairs(
                 batch_df, index_path, id_col, text_col, threshold=threshold,
                 keep_markers=True,
@@ -528,9 +535,14 @@ def dedup_ingest_sink(
             if n_kept:
                 # engine upsert + index append are independent outputs
                 # of the SAME cached frame: overlap them (r10 — see
-                # _parallel_writes for the replay-safety argument)
+                # _parallel_writes for the replay-safety argument).
+                # n_kept is exact (the cache was just materialized), so
+                # a small batch's upsert goes driver-local — the capped
+                # collect is a cache read, never a second execution
                 _parallel_writes(
-                    lambda: catalog.insert(table, survivors),
+                    lambda: catalog.insert(
+                        table, survivors, collect_local=n_kept <= 10_000,
+                    ),
                     lambda: append_to_index(
                         survivors, id_col, text_col, index_path
                     ),
@@ -797,6 +809,101 @@ def write_hamming_index(
         fh.write(token)
 
 
+# Batches at or under this many fingerprint rows append to the hamming
+# index DRIVER-SIDE: one collect of the (id, hash, band-keys) frame, two
+# pyarrow part files — instead of two distributed write jobs through the
+# committer.  Same small-delta rationale (and the same cap) as the
+# catalog's collect-local seam; past the cap the distributed appends run
+# unchanged, so 100 TB-scale batches never collect.
+_HAMMING_LOCAL_APPEND_CAP = 10_000
+
+
+def _local_append_hamming(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    path: str,
+    n_bands: int,
+    key_blocks: int,
+) -> bool:
+    """Driver-local small-batch append to both hamming stores: the band
+    keys are evaluated by the SAME hamming_band_keys expressions the
+    distributed path posexplodes (one collect — exactness by
+    construction, no Python twin of the bit arithmetic), each store
+    gets one pyarrow part file written under the store's EXISTING
+    parquet schema, and the skipping manifest is extended for the new
+    files only.  Returns False (caller falls back to the distributed
+    appends) when either store is missing or its schema can't be read
+    — never raises."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluss_datafusion_spark.operators.dedup import hamming_band_keys
+
+    bpath = os.path.join(path, "buckets")
+    hpath = os.path.join(path, "hashes")
+    try:
+        from fluss_datafusion_spark.catalog.catalog import _parquet_files
+
+        bfiles = _parquet_files(bpath)
+        hfiles = _parquet_files(hpath)
+        # pin the collected values to the stores' existing physical
+        # schemas so appended files stay byte-compatible with the
+        # distributed writer's output
+        bschema = pq.read_schema(next(iter(sorted(bfiles))))
+        hschema = pq.read_schema(next(iter(sorted(hfiles))))
+    except Exception:
+        return False
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id__"),
+            F.col(hash_col).alias("__h__"),
+            F.array(*hamming_band_keys(n_bands, key_blocks)).alias(
+                "__keys__"
+            ),
+        )
+        .limit(_HAMMING_LOCAL_APPEND_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _HAMMING_LOCAL_APPEND_CAP:
+        return False
+    ids = [r["__id__"] for r in rows]
+    hs = [r["__h__"] for r in rows]
+    b_ids, b_bands, b_slices = [], [], []
+    for r in rows:
+        for band, sl in enumerate(r["__keys__"]):
+            b_ids.append(r["__id__"])
+            b_bands.append(band)
+            b_slices.append(sl)
+    # sort the bucket rows by slice so the appended file's footer
+    # bounds stay tight for probe pruning (mirrors the distributed
+    # path's sortWithinPartitions("__slice__"))
+    order = sorted(range(len(b_slices)), key=lambda i: (b_slices[i],))
+    btab = pa.table(
+        {
+            "__id__": [b_ids[i] for i in order],
+            "__band__": [b_bands[i] for i in order],
+            "__slice__": [b_slices[i] for i in order],
+        }
+    ).select(bschema.names).cast(bschema)
+    horder = sorted(range(len(ids)), key=lambda i: (ids[i],))
+    htab = pa.table(
+        {
+            "__id__": [ids[i] for i in horder],
+            "__h__": [hs[i] for i in horder],
+        }
+    ).select(hschema.names).cast(hschema)
+    bfile = os.path.join(bpath, f"part-{uuid.uuid4().hex}-local.snappy.parquet")
+    hfile = os.path.join(hpath, f"part-{uuid.uuid4().hex}-local.snappy.parquet")
+    pq.write_table(btab, bfile, compression="snappy")
+    pq.write_table(htab, hfile, compression="snappy")
+    _harvest_store_manifest(bpath, before=bfiles)
+    _harvest_store_manifest(hpath, before=hfiles)
+    return True
+
+
 def append_to_hamming_index(
     df: DataFrame,
     id_col: str,
@@ -804,11 +911,27 @@ def append_to_hamming_index(
     path: str,
     n_bands: int = 4,
     key_blocks: int = 1,
+    known_count: Optional[int] = None,
 ) -> None:
     """Pure parquet appends to both stores — no read-modify-write, so
     appended == rebuilt exactly (the BM25/ANN index discipline).
     ``key_blocks`` must match the index build (the marker token pins
-    it)."""
+    it).
+
+    ``known_count``: callers that already counted the batch (ingest
+    sinks materialize their survivors cache with a count) pass it so a
+    small batch appends DRIVER-SIDE — one collect of the cached frame
+    and two pyarrow part files instead of two write jobs (see
+    _local_append_hamming); large/unknown batches keep the distributed
+    appends."""
+    if (
+        known_count is not None
+        and 0 < known_count <= _HAMMING_LOCAL_APPEND_CAP
+        and _local_append_hamming(
+            df, id_col, hash_col, path, n_bands, key_blocks
+        )
+    ):
+        return
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
     )
@@ -1042,10 +1165,20 @@ def media_ingest_sink(
         import contextlib
 
         with contextlib.ExitStack() as stack:
-            raw_df = batch_df.persist()
-            stack.callback(raw_df.unpersist)
-            n_raw = raw_df.count()
-            if n_raw == 0:
+            # metrics-off fast shape (r13): the n_raw / n_in counts exist
+            # only for the metrics records and their empty-batch
+            # early-outs — without metrics an empty batch flows through
+            # the (cached, empty) probe for pennies, so skipping the two
+            # count jobs saves two per-micro-batch job floors.  The raw
+            # persist is kept only while something reads the batch twice
+            # (a transform, or the metrics count + the fingerprint pass).
+            if metrics is not None or transform is not None:
+                raw_df = batch_df.persist()
+                stack.callback(raw_df.unpersist)
+            else:
+                raw_df = batch_df
+            n_raw = raw_df.count() if metrics is not None else None
+            if n_raw == 0 and metrics is not None:
                 return
             cur = transform(raw_df) if transform else raw_df
             fp_raw = fp_fn(
@@ -1063,9 +1196,9 @@ def media_ingest_sink(
                 F.col("media_id").alias(id_col), *keep
             ).persist()
             stack.callback(fp.unpersist)
-            n_in = fp.count()
-            if n_in == 0:
-                if metrics is not None:
+            if metrics is not None:
+                n_in = fp.count()
+                if n_in == 0:
                     metrics.append(
                         {
                             "batch_id": batch_id,
@@ -1075,7 +1208,7 @@ def media_ingest_sink(
                             "n_kept": 0,
                         }
                     )
-                return
+                    return
             pairs = incremental_hamming_pairs(
                 fp,
                 index_path,
@@ -1098,12 +1231,20 @@ def media_ingest_sink(
                 # the engine upsert and the index append are independent
                 # outputs of the SAME cached frame: overlap them (r10 —
                 # the batch pays max(write), not sum; see _parallel_writes
-                # for the replay-safety argument)
+                # for the replay-safety argument).  n_kept is exact (the
+                # cache was materialized by the count above), so a small
+                # batch takes both driver-local write paths — the
+                # "probe" collects are cache reads, never a second
+                # execution (r13).
                 _parallel_writes(
-                    lambda: catalog.insert(table, survivors),
+                    lambda: catalog.insert(
+                        table, survivors,
+                        collect_local=n_kept <= _HAMMING_LOCAL_APPEND_CAP,
+                    ),
                     lambda: append_to_hamming_index(
                         survivors, id_col, hash_col, index_path,
                         n_bands=n_bands, key_blocks=key_blocks,
+                        known_count=n_kept,
                     ),
                 )
             release_candidate_cache(pairs)

@@ -134,27 +134,41 @@ def write_dedup_index(
     sh = base.select(
         "__id__", word_shingles(F.col("__t__"), k).alias("__sh__")
     ).filter(F.size("__sh__") > 0)
-    spath = os.path.join(path, "shingles")
-    sh.sortWithinPartitions("__id__").write.mode("overwrite").parquet(
-        spath
-    )
-    _harvest_store_manifest(spath)
-    # r7: buckets derive from the TOKEN-hash kernel (minhash_band_buckets)
-    # — the same function probes use, so index and probe bucket values
-    # agree by construction.  This is a second linear text scan, but the
-    # token pass costs ~1/3 of the shingle pass it replaced (no k-gram
-    # string concatenation), so the build is net cheaper.
-    buckets = minhash_band_buckets(
-        df, id_col, text_col, k, num_perm, rows_per_band
-    )
-    bpath = os.path.join(path, "buckets")
-    # range-cluster on the probe key + harvest a skipping manifest so
-    # every ingest batch's probe can drop untouched store files
-    # driver-side (r11; see _pruned_store_read)
-    buckets.repartitionByRange("__bucket__", "__band__").write.mode(
-        "overwrite"
-    ).parquet(bpath)
-    _harvest_store_manifest(bpath)
+
+    # The two stores are independent outputs of the raw corpus: write
+    # them as CONCURRENT jobs (threads share the SparkSession), the
+    # same shape write_hamming_index already uses — the build pays
+    # max(write), not sum, whenever neither scan saturates the cores
+    # (r13 interleaved A/B at sf0.1: 3.78 -> 2.76 s median; at full
+    # cluster saturation the scheduler interleaves and it is never
+    # slower than sequential).  The marker still lands strictly LAST.
+    def _write_shingles():
+        spath = os.path.join(path, "shingles")
+        sh.sortWithinPartitions("__id__").write.mode("overwrite").parquet(
+            spath
+        )
+        _harvest_store_manifest(spath)
+
+    def _write_buckets():
+        # r7: buckets derive from the TOKEN-hash kernel
+        # (minhash_band_buckets) — the same function probes use, so
+        # index and probe bucket values agree by construction.  This is
+        # a second linear text scan, but the token pass costs ~1/3 of
+        # the shingle pass it replaced (no k-gram string concatenation),
+        # so the build is net cheaper.
+        buckets = minhash_band_buckets(
+            df, id_col, text_col, k, num_perm, rows_per_band
+        )
+        bpath = os.path.join(path, "buckets")
+        # range-cluster on the probe key + harvest a skipping manifest
+        # so every ingest batch's probe can drop untouched store files
+        # driver-side (r11; see _pruned_store_read)
+        buckets.repartitionByRange("__bucket__", "__band__").write.mode(
+            "overwrite"
+        ).parquet(bpath)
+        _harvest_store_manifest(bpath)
+
+    _parallel_writes(_write_shingles, _write_buckets)
     # Stamp completion LAST so a crashed build never leaves a marker a
     # later ensure_dedup_index would trust.  ``source_id`` (snapshot /
     # fingerprint) must match what probers pass to ensure_dedup_index;

@@ -783,9 +783,16 @@ def write_hamming_index(
     ``write_dedup_index``: at 100 TB the corpus is fingerprinted once
     (decode + dHash, the expensive Arrow pass) and every ingest batch
     probes in O(batch)."""
+    # persist the NARROW (id, hash) projection: both store writes (and
+    # previously the marker's count) consume it, and without a cache
+    # each one re-executes the full input plan — for fingerprint inputs
+    # that is the decode-heavy Arrow pass, the single most expensive
+    # piece of the build (r13).  16 bytes/row bounds the cache at any
+    # corpus size; the expensive payload bytes are NOT cached.
     hashes = df.select(
         F.col(id_col).alias("__id__"), F.col(hash_col).alias("__h__")
-    )
+    ).persist()
+
     # the two stores are independent outputs of one input: write them
     # as CONCURRENT jobs (threads share the SparkSession) so the build
     # pays max(write), not sum — the marker still lands strictly LAST
@@ -813,12 +820,31 @@ def write_hamming_index(
         ).parquet(hpath)
         _harvest_store_manifest(hpath)
 
-    _parallel_writes(_write_hashes, _write_buckets)
-    token = _hamming_token(
-        source_id if source_id is not None else df.count(),
-        n_bands,
-        key_blocks,
-    )
+    try:
+        _parallel_writes(_write_hashes, _write_buckets)
+    finally:
+        hashes.unpersist()
+    if source_id is None:
+        # the token's n is the input row count — exactly the hashes
+        # store's row count (no filter between df and the store), so
+        # read it from the just-written parquet footers instead of
+        # paying a THIRD execution of the (decode-heavy) input plan
+        # via df.count() (r13: each store write already executed it
+        # once; measured one full fingerprint pass saved per build)
+        try:
+            import pyarrow.parquet as _pq
+
+            from fluss_datafusion_spark.catalog.catalog import (
+                _parquet_files,
+            )
+
+            source_id = sum(
+                _pq.read_metadata(f).num_rows
+                for f in _parquet_files(os.path.join(path, "hashes"))
+            )
+        except Exception:
+            source_id = df.count()
+    token = _hamming_token(source_id, n_bands, key_blocks)
     with open(_index_marker_path(path), "w", encoding="utf-8") as fh:
         fh.write(token)
 
